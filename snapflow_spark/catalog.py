@@ -1,0 +1,60 @@
+"""Table catalog over the sf-parameterized parquet fixtures.
+
+Snapflow's Storage/DataFormat layer (SURVEY.md §1.1 [P kvh/dcp]) is
+subsumed by Spark's unified reader; the catalog is just a thin
+name->path mapping per scale-factor directory. At cluster scale the
+same API would point at partitioned table roots instead of single
+files — readers take directories transparently.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables: always broadcast-join candidates.
+DIM_TABLES = {"region", "nation", "supplier", "part"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    from snapflow_spark.session import tune
+
+    tune(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) read as long via nanosAsLong;
+        # convert to µs TimestampType with *integer* division — a double
+        # round-trip loses ~256 ns at 2024-epoch magnitudes (SURVEY §5.3:
+        # fixture ns components are 000, so truncation is lossless).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register temp views so SQL-snap style queries (SURVEY §2.A A2)
+    can reference inputs by name, mirroring snapflow's table-ref binding."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

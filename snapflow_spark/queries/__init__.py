@@ -1,0 +1,3 @@
+"""Import all query modules so the registry is fully populated."""
+
+from snapflow_spark.queries import aggregates  # noqa: F401

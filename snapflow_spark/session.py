@@ -1,0 +1,54 @@
+"""SparkSession construction and runtime tuning.
+
+Snapflow's Environment (SURVEY.md §1.1 [P snapflow/core/environment.py])
+is replaced by a SparkSession plus the runtime confs below. ``tune`` is
+idempotent and safe to call on a session we did not create (the driver
+passes its own session to ``__spark_entry__.entry``): it only touches
+runtime-settable confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs every query in this engine relies on.
+
+    - UTC session timezone: the DuckDB oracle treats parquet timestamps
+      as naive instants; Spark must extract date parts in UTC to match.
+    - AQE on: runtime re-planning (partition coalescing, skew-join
+      splitting) is the 100 TB story for every shuffle in this engine.
+    - Arrow on: all pandas-UDF operators cross JVM->python in batches.
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    # default; read as long nanos, converted in catalog.load_table.
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    except Exception:
+        pass  # static in some deployments; AQE coalescing still applies
+    return spark
+
+
+def build_session(app_name: str = "snapflow-spark", master: str | None = None) -> SparkSession:
+    """Build the engine's own session (tests, bench, CLI runs)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return tune(builder.getOrCreate())
