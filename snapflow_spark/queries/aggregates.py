@@ -23,6 +23,8 @@ from snapflow_spark.compat import (
 )
 from snapflow_spark.registry import query
 
+from snapflow_spark.operators import sql_snap
+
 _Q1_CUTOFF = "1998-09-02"
 
 
@@ -67,4 +69,190 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_avg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark plans a two-phase expand + partial
+    aggregate, so the distinct set never concentrates on one node."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_agg_case",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CASE WHEN o.o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS high_share
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_agg_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (high-value order share per nation) with
+    a broadcast dimension join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    n_high = F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).cast("bigint")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            n_high.alias("n_high"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (n_high / F.count(F.lit(1))).alias("high_share"),
+        )
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+           CAST(GROUPING(CAST(year(o.o_orderdate) AS INT)) AS INT) AS g_year
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, CAST(year(o.o_orderdate) AS INT))
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, year) with GROUPING flags — Spark's expand
+    operator computes all rollup levels in one pass over the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+    )
+    return joined.rollup("n_name", "o_year").agg(
+        exact_sum("o_totalprice", "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.grouping("o_year").cast("int").alias("g_year"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle=f"""
+    SELECT l_partkey,
+           {exact_avg_sql('l_quantity', 'avg_qty')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) > 27.5
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — a post-aggregation filter on an exact-decimal average,
+    so the comparison resolves identically in both engines."""
+    avg_qty = exact_avg("l_quantity", "avg_qty")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(avg_qty, F.count(F.lit(1)).alias("n_items"))
+        .where(F.col("avg_qty") > 27.5)
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        )
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT c.c_custkey,
+           string_agg(DISTINCT o.o_orderpriority, ',' ORDER BY o.o_orderpriority) AS priorities,
+           COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey < 50
+    GROUP BY c.c_custkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted → joined to a string (deterministic
+    serialization of a collected aggregate, SURVEY §5.3)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 50)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_sql_passthrough",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL snap (SURVEY §2.A A2): SQL text over named inputs through
+    operators.sql_snap — Spark SQL is the storage engine."""
+    return sql_snap(
+        spark,
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM {orders_view} WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        """,
+        inputs={"orders_snap_input": load_table(spark, sf_dir, "orders")},
+        params={"orders_view": "orders_snap_input"},
     )

@@ -1,0 +1,279 @@
+"""Projection / filter / join queries (SURVEY.md §2.B.2–2.B.3).
+
+Scale notes per query are in the docstrings; the common themes:
+filters and projections are declared so Catalyst pushes them into the
+parquet scan (PushedFilters/ReadSchema), dimension joins carry explicit
+``broadcast()`` hints, and the fact-fact joins shuffle on their keys
+with AQE handling skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapflow_spark.catalog import load_table
+from snapflow_spark.compat import (
+    REVENUE_SQL,
+    dec,
+    exact_revenue_sum,
+    exact_revenue_sum_sql,
+    exact_sum,
+    exact_sum_sql,
+    revenue_col,
+    ts_millis,
+    ts_millis_sql,
+)
+from snapflow_spark.operators import asof_join
+from snapflow_spark.registry import query
+
+
+@query(
+    "q_filter_project",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({REVENUE_SQL} AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R'
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + computed projection; both predicates reach the parquet
+    scan as PushedFilters, and ReadSchema carries only 5 columns."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            revenue_col().cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_predicates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderstatus LIKE 'F%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / null-test predicate stack, all pushable."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderstatus").like("F%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q_join_inner",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {exact_revenue_sum_sql('revenue')},
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped 3-way inner join. orders⋈lineitem shuffles on
+    orderkey (both sides filtered first); the customer side is small
+    relative to the fact join and AQE converts it to broadcast when it
+    fits — the right plan at any scale factor."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(exact_revenue_sum("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving zero-order customers (COUNT skips the
+    null-extended rows; SUM coalesced to 0 on both sides)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000),
+            "left",
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+            AND o.o_totalprice > 350000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with ≥1 large urgent order.
+    Semi joins shuffle only the key column of the probe side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no 400k+ order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dimension join with explicit broadcast hints: the
+    fact side never shuffles for the join — nation/region ship to every
+    executor, exactly what a 100 TB fact table needs."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal", "sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT p.p_partkey, l.l_orderkey, l.l_linenumber, l.l_quantity, p.p_retailprice
+    FROM part p
+    JOIN lineitem l
+      ON l.l_extendedprice / l.l_quantity
+           BETWEEN p.p_retailprice * 0.95 AND p.p_retailprice * 1.05
+    WHERE p.p_size <= 5 AND l.l_quantity <= 5
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range (non-equi) join: unit price within ±5% of a part's
+    retail price. Spark plans broadcast-nested-loop with the filtered
+    part side broadcast; at scale the slice predicates bound the
+    broadcast side and the band predicate prunes pairs early."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 5)
+    unit = l.l_extendedprice / l.l_quantity
+    return (
+        F.broadcast(p)
+        .join(
+            l,
+            unit.between(p.p_retailprice * 0.95, p.p_retailprice * 1.05),
+        )
+        .select("p_partkey", "l_orderkey", "l_linenumber", "l_quantity", "p_retailprice")
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, {ts_millis_sql('e.ts', 'ts_ms')},
+           e.event_type, e.value, c.value AS last_click_value
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ) c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join via operators.asof_join (union + running
+    last — one shuffle on user_id, no UDF): every event enriched with
+    the user's most recent click value at or before its timestamp."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    enriched = asof_join(
+        e.select("event_id", "user_id", "ts", "event_type", "value"),
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        payload={"value": "last_click_value"},
+        right_order="event_id",
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        ts_millis("ts", "ts_ms"),
+        "event_type",
+        "value",
+        "last_click_value",
+    )
