@@ -1,0 +1,52 @@
+"""SnapshotStore — an ordered sequence of immutable parquet snapshots.
+
+The Spark re-expression of snapflow's DataBlock stream (SURVEY §1.1):
+each ``append`` writes one immutable snapshot dir; readers union any
+subset. Parquet dirs written by executors scale to any size — the
+store itself is only naming + listing, so the metadata cost is O(#
+snapshots), never O(rows).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, path: str | os.PathLike):
+        self.path = Path(path)
+        self.path.mkdir(parents=True, exist_ok=True)
+
+    def snapshot_ids(self) -> list[str]:
+        return sorted(
+            p.name for p in self.path.iterdir()
+            if p.is_dir() and p.name.startswith("snapshot-")
+        )
+
+    def _next_id(self) -> str:
+        ids = self.snapshot_ids()
+        n = int(ids[-1].split("-")[1]) + 1 if ids else 0
+        return f"snapshot-{n:06d}"
+
+    def append(self, df: DataFrame) -> str:
+        """Write one immutable snapshot; returns its id."""
+        sid = self._next_id()
+        df.write.mode("errorifexists").parquet(str(self.path / sid))
+        return sid
+
+    def read(self, spark: SparkSession, ids: list[str] | None = None) -> DataFrame | None:
+        """Union of the given snapshots (default: all). None if empty —
+        a node with no unconsumed input simply does not run, mirroring
+        snapflow's reactive fixed point."""
+        ids = self.snapshot_ids() if ids is None else ids
+        if not ids:
+            return None
+        return spark.read.parquet(*[str(self.path / sid) for sid in ids])
+
+    def read_latest(self, spark: SparkSession) -> DataFrame | None:
+        """Stream op ``latest`` (SURVEY §2.A A7): most recent snapshot only."""
+        ids = self.snapshot_ids()
+        return self.read(spark, ids[-1:]) if ids else None

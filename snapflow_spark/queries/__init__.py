@@ -1,3 +1,9 @@
 """Import all query modules so the registry is fully populated."""
 
-from snapflow_spark.queries import aggregates, relational, setops  # noqa: F401
+from snapflow_spark.queries import (  # noqa: F401
+    aggregates,
+    framework,
+    relational,
+    setops,
+    windows,
+)

@@ -1,0 +1,157 @@
+"""Snapflow framework-op queries (SURVEY.md §2.A): accumulate, schema
+translation, format round-trips, and the incremental run loop.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapflow_spark.catalog import load_table
+from snapflow_spark.compat import ts_millis, ts_millis_sql
+from snapflow_spark.incremental import Node, Pipeline
+from snapflow_spark.operators import dedupe_keep_latest, merge_streams, schema_translate
+from snapflow_spark.registry import query
+from snapflow_spark.sources import read_csv, read_jsonl, write_csv, write_jsonl
+
+_SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
+
+_EVENT_COLS = ["event_id", "user_id", "event_type", "value"]
+
+
+def _events_chunks(spark: SparkSession, sf_dir: str, n: int = 3) -> list[DataFrame]:
+    """FIXTURES.md §B events_chunks: disjoint blocks by event_id % n."""
+    e = load_table(spark, sf_dir, "events")
+    return [e.where(F.col("event_id") % n == i) for i in range(n)]
+
+
+@query(
+    "q_accumulate",
+    oracle=f"""
+    SELECT event_id, user_id, {ts_millis_sql('ts', 'ts_ms')}, event_type, value
+    FROM events
+    """,
+)
+def q_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """accumulate (SURVEY §2.A A3): three delta blocks appended into the
+    full history — a zero-shuffle unionByName via operators.merge_streams.
+    The chunks partition the table, so the accumulated multiset must
+    equal the one-shot scan."""
+    acc = merge_streams(*_events_chunks(spark, sf_dir))
+    return acc.select(
+        "event_id", "user_id", ts_millis("ts", "ts_ms"), "event_type", "value"
+    )
+
+
+@query(
+    "q_schema_translate",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           c_name AS customer_name,
+           CAST(c_acctbal AS DOUBLE) AS balance,
+           CAST(c_nationkey AS BIGINT) AS nation_id,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema implementation mapping (SURVEY §2.A A9): rename + cast via
+    operators.schema_translate — a pure projection Catalyst folds into
+    the scan."""
+    return schema_translate(
+        load_table(spark, sf_dir, "customer"),
+        mapping={
+            "customer_id": "c_custkey",
+            "customer_name": "c_name",
+            "balance": "c_acctbal",
+            "nation_id": "c_nationkey",
+            "segment": "c_mktsegment",
+        },
+        casts={"balance": "double", "nation_id": "bigint"},
+    )
+
+
+@query("q_scan_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan (SURVEY §2.A A6): write the nation dim to CSV, read it
+    back with schema inference, and prove the round-trip is lossless."""
+    path = str(_SCRATCH / "csv_roundtrip" / "nation")
+    write_csv(load_table(spark, sf_dir, "nation"), path)
+    df = read_csv(spark, path)
+    return df.select(
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("int"),
+    )
+
+
+@query(
+    "q_scan_jsonl",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan (SURVEY §2.B.1): documents -> JSONL -> read back."""
+    path = str(_SCRATCH / "jsonl_roundtrip" / "documents")
+    write_jsonl(load_table(spark, sf_dir, "documents"), path)
+    return read_jsonl(spark, path).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "q_incremental_semantics",
+    oracle=f"""
+    SELECT user_id, event_type, event_id, {ts_millis_sql('ts', 'ts_ms')}, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q_incremental_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reactive run loop (SURVEY §2.A A11) end-to-end: events arrive
+    as three snapshot blocks; an accumulate node appends each delta; a
+    keep-latest state node recomputes from the accumulated reference.
+    After three incremental ticks the final state must equal the batch
+    dedupe over the full table — the core "incremental == batch"
+    guarantee snapflow is built around.
+    """
+    _SCRATCH.mkdir(parents=True, exist_ok=True)
+    warehouse = tempfile.mkdtemp(prefix="incr_", dir=_SCRATCH)
+    try:
+        pipe = Pipeline(warehouse)
+        src = pipe.add_source("events_src")
+        pipe.add_node(
+            Node(
+                name="accumulated",
+                fn=lambda spark, delta: delta,
+                upstream={"delta": ("events_src", "consumable")},
+            )
+        )
+        pipe.add_node(
+            Node(
+                name="latest_state",
+                fn=lambda spark, history: dedupe_keep_latest(
+                    history,
+                    keys=["user_id", "event_type"],
+                    order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+                ),
+                upstream={"history": ("accumulated", "reference")},
+                overwrite=True,
+            )
+        )
+        for chunk in _events_chunks(spark, sf_dir):
+            src.append(chunk)
+            pipe.produce(spark)  # one reactive tick per arriving block
+
+        state = pipe.store("latest_state").read_latest(spark)
+        result = state.select(
+            "user_id", "event_type", "event_id", ts_millis("ts", "ts_ms"), "value"
+        )
+        rows = result.collect()  # materialize before the warehouse vanishes
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)

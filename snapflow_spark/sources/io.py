@@ -1,0 +1,69 @@
+"""Sources & sinks (SURVEY.md §2.B.1) — snapflow's Storage/DataFormat
+layer collapsed onto Spark's unified reader/writer.
+
+Snapflow needed a cost-weighted copy graph (dcp) to move blocks
+between Records/pandas/CSV/DB formats [P kvh/dcp]; Spark reads and
+writes every format natively and distributes the IO, so each helper
+here is a thin, typed convenience over ``spark.read``/``df.write``.
+All paths may be directories of part-files — that is what makes these
+the 100 TB path (parallel readers/writers, no driver funnel).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def import_records(
+    spark: SparkSession, records: Iterable[Mapping], schema: StructType | str | None = None
+) -> DataFrame:
+    """import_records (SURVEY §2.A A5): list-of-dicts -> DataFrame."""
+    return spark.createDataFrame(list(records), schema=schema)
+
+
+def import_dataframe(spark: SparkSession, pdf, schema: StructType | str | None = None) -> DataFrame:
+    """import_dataframe (A5): pandas DataFrame -> DataFrame (Arrow path)."""
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str | None = None, **options
+) -> DataFrame:
+    """CSV scan (A6) with schema inference when none is declared —
+    matching snapflow's infer-on-import behavior."""
+    opts = {"header": "true", **options}
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", "true").csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(header="true", **options).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC scan (snapflow's database storages). Partition options
+    (partitionColumn/lowerBound/upperBound/numPartitions) turn one
+    database cursor into N parallel range scans — required for any
+    large table. No database ships in this sandbox, so this is a thin
+    passthrough verified against Spark's own API only."""
+    return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(**options).load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()

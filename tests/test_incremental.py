@@ -1,0 +1,114 @@
+"""Incremental-semantics tests (SURVEY.md §5.2(4)): chunked produce()
+converges to the one-shot batch result, consumption is exactly-once,
+and re-runs are no-ops.
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.incremental import Node, Pipeline
+from snapflow_spark.operators import dedupe_keep_latest
+
+TX_SCHEMA = "id bigint, customer string, amount double, updated_at timestamp"
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def pipe(tmp_path):
+    return Pipeline(str(tmp_path / "warehouse"))
+
+
+def _chunks(spark):
+    return [
+        spark.createDataFrame(
+            [(1, "alice", 10.0, _ts("2024-01-01T00:00:00")),
+             (2, "bob", 20.0, _ts("2024-01-01T01:00:00"))], TX_SCHEMA),
+        spark.createDataFrame(
+            [(2, "bob", 25.0, _ts("2024-01-02T00:00:00")),
+             (4, "dave", 40.0, _ts("2024-01-02T01:00:00"))], TX_SCHEMA),
+        spark.createDataFrame(
+            [(1, "alice", 15.0, _ts("2024-01-03T00:00:00"))], TX_SCHEMA),
+    ]
+
+
+def _build(pipe):
+    pipe.add_node(Node(
+        name="accumulated",
+        fn=lambda spark, delta: delta,
+        upstream={"delta": ("tx", "consumable")},
+    ))
+    pipe.add_node(Node(
+        name="state",
+        fn=lambda spark, history: dedupe_keep_latest(
+            history, keys=["id"],
+            order_by=[F.col("updated_at").desc(), F.col("amount").desc()]),
+        upstream={"history": ("accumulated", "reference")},
+        overwrite=True,
+    ))
+
+
+def test_incremental_equals_batch(spark, pipe):
+    src = pipe.add_source("tx")
+    _build(pipe)
+    for chunk in _chunks(spark):
+        src.append(chunk)
+        pipe.produce(spark)
+    state = pipe.store("state").read_latest(spark)
+    rows = {r.id: r.amount for r in state.collect()}
+    assert rows == {1: 15.0, 2: 25.0, 4: 40.0}
+    # accumulated history holds every delta row exactly once
+    assert pipe.store("accumulated").read(spark).count() == 5
+
+
+def test_produce_is_idempotent_without_new_data(spark, pipe):
+    src = pipe.add_source("tx")
+    _build(pipe)
+    src.append(_chunks(spark)[0])
+    assert pipe.produce(spark) > 0
+    assert pipe.produce(spark) == 0  # reactive fixed point: nothing new
+    assert len(pipe.store("accumulated").snapshot_ids()) == 1
+
+
+def test_consumption_survives_restart(spark, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    pipe1 = Pipeline(wh)
+    src = pipe1.add_source("tx")
+    _build(pipe1)
+    src.append(_chunks(spark)[0])
+    pipe1.produce(spark)
+
+    # a brand-new Pipeline over the same warehouse resumes from the ledger
+    pipe2 = Pipeline(wh)
+    pipe2.add_source("tx")
+    _build(pipe2)
+    assert pipe2.produce(spark) == 0
+    pipe2.sources["tx"].append(_chunks(spark)[1])
+    assert pipe2.produce(spark) > 0
+    assert pipe2.store("accumulated").read(spark).count() == 4
+
+
+def test_importer_node_runs_once(spark, pipe):
+    calls = []
+
+    def importer(spark_):
+        calls.append(1)
+        return spark_.createDataFrame([(1, "a", 1.0, _ts("2024-01-01T00:00:00"))], TX_SCHEMA)
+
+    pipe.add_node(Node(name="imported", fn=lambda spark: importer(spark)))
+    pipe.produce(spark)
+    pipe.produce(spark)
+    assert len(calls) == 1
+    assert pipe.store("imported").read(spark).count() == 1
+
+
+def test_latest_stream_op(spark, pipe):
+    src = pipe.add_source("tx")
+    for chunk in _chunks(spark)[:2]:
+        src.append(chunk)
+    latest = src.read_latest(spark)
+    assert {r.id for r in latest.collect()} == {2, 4}

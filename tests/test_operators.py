@@ -1,0 +1,177 @@
+"""Snapflow-parity operator tests (SURVEY.md §5.2(2), FIXTURES.md §B) —
+static literal record fixtures through each framework op, asserting
+exact rows, mirroring snapflow's testing/utils.py harness [P].
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.operators import (
+    asof_join,
+    dedupe_keep_latest,
+    grouped_topk,
+    merge_streams,
+    schema_translate,
+    sql_snap,
+    topk,
+)
+
+TX_SCHEMA = "id bigint, customer string, amount double, updated_at timestamp"
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def tx_chunks(spark):
+    """FIXTURES.md fixture tx_log: 3 overlapping chunks, unique_on=[id]."""
+    c1 = spark.createDataFrame(
+        [
+            (1, "alice", 10.0, _ts("2024-01-01T00:00:00")),
+            (2, "bob", 20.0, _ts("2024-01-01T01:00:00")),
+            (3, "carol", 30.0, _ts("2024-01-01T02:00:00")),
+        ],
+        TX_SCHEMA,
+    )
+    c2 = spark.createDataFrame(
+        [
+            (2, "bob", 25.0, _ts("2024-01-02T00:00:00")),
+            (4, "dave", 40.0, _ts("2024-01-02T01:00:00")),
+        ],
+        TX_SCHEMA,
+    )
+    c3 = spark.createDataFrame(
+        [
+            (1, "alice", 15.0, _ts("2024-01-03T00:00:00")),
+            (5, "erin", 50.0, _ts("2024-01-03T01:00:00")),
+        ],
+        TX_SCHEMA,
+    )
+    return [c1, c2, c3]
+
+
+def test_accumulate_appends_history(tx_chunks):
+    acc = merge_streams(*tx_chunks)
+    assert acc.count() == 7
+
+
+def test_dedupe_keep_latest(tx_chunks):
+    acc = merge_streams(*tx_chunks)
+    latest = dedupe_keep_latest(
+        acc, keys=["id"], order_by=[F.col("updated_at").desc()]
+    )
+    rows = {r.id: (r.amount, r.updated_at) for r in latest.collect()}
+    assert len(rows) == 5
+    assert rows[1][0] == 15.0  # chunk3 wins over chunk1
+    assert rows[2][0] == 25.0  # chunk2 wins over chunk1
+    assert rows[3][0] == 30.0
+
+
+def test_dedupe_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.0, _ts("2024-01-01T00:00:00")),
+            (1, "b", 2.0, _ts("2024-01-01T00:00:00")),  # same key+ts
+        ],
+        TX_SCHEMA,
+    )
+    latest = dedupe_keep_latest(
+        df, keys=["id"], order_by=[F.col("updated_at").desc(), F.col("amount").desc()]
+    )
+    assert latest.collect()[0].customer == "b"
+
+
+def test_merge_streams_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id bigint, a string")
+    b = spark.createDataFrame([(2, "y")], "id bigint, b string")
+    merged = merge_streams(a, b)
+    rows = {r.id: (r.a, r.b) for r in merged.collect()}
+    assert rows[1] == ("x", None) and rows[2] == (None, "y")
+
+
+def test_schema_translate_pair(spark):
+    """FIXTURES.md schema_translate_pair: pure rename/cast, row-identical."""
+    src = spark.createDataFrame(
+        [("alice", 10.5), ("bob", 20.0)], "full_name string, amt double"
+    )
+    out = schema_translate(
+        src,
+        mapping={"customer": "full_name", "amount": "amt"},
+        casts={"amount": "double"},
+    )
+    assert out.columns == ["customer", "amount"]
+    assert {tuple(r) for r in out.collect()} == {("alice", 10.5), ("bob", 20.0)}
+
+
+def test_sql_snap_binds_inputs(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k bigint, v double")
+    out = sql_snap(
+        spark,
+        "SELECT SUM(v) AS total FROM {input_table}",
+        inputs={"my_input": df},
+        params={"input_table": "my_input"},
+    )
+    assert out.collect()[0].total == 12.0
+
+
+def test_asof_join_backward_with_exact_match(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01T00:00:00")),
+            (1, 101, _ts("2024-01-01T02:00:00")),
+            (2, 102, _ts("2024-01-01T01:00:00")),  # no prior right row
+        ],
+        "user_id bigint, event_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), 1.0, 900),  # exact-ts match for event 100
+            (1, _ts("2024-01-01T01:00:00"), 2.0, 901),
+            (2, _ts("2024-01-01T03:00:00"), 9.0, 902),  # after left's event -> no match
+        ],
+        "user_id bigint, ts timestamp, value double, rid bigint",
+    )
+    out = asof_join(
+        left,
+        right,
+        keys=["user_id"],
+        left_ts="ts",
+        payload={"value": "last_value"},
+        right_order="rid",
+    )
+    got = {r.event_id: r.last_value for r in out.collect()}
+    assert got == {100: 1.0, 101: 2.0, 102: None}
+
+
+def test_asof_join_tie_break_on_right_order(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T01:00:00"))],
+        "user_id bigint, event_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), 5.0, 1),
+            (1, _ts("2024-01-01T00:00:00"), 6.0, 2),  # same ts, higher rid wins
+        ],
+        "user_id bigint, ts timestamp, value double, rid bigint",
+    )
+    out = asof_join(
+        left, right, keys=["user_id"], left_ts="ts",
+        payload={"value": "v"}, right_order="rid",
+    )
+    assert out.collect()[0].v == 6.0
+
+
+def test_topk_and_grouped_topk(spark):
+    df = spark.createDataFrame(
+        [(g, i, float(i * (g + 1))) for g in range(2) for i in range(5)],
+        "g int, i int, score double",
+    )
+    top2 = topk(df, [F.col("score").desc(), F.col("i")], 2)
+    assert [(r.g, r.i) for r in top2.collect()] == [(1, 4), (1, 3)]
+    per_group = grouped_topk(df, ["g"], [F.col("score").desc(), F.col("i")], 2)
+    got = sorted((r.g, r.i) for r in per_group.collect())
+    assert got == [(0, 3), (0, 4), (1, 3), (1, 4)]
