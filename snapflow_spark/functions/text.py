@@ -1,0 +1,139 @@
+"""Text-analysis functions (SURVEY.md §2.B.11 north-star ops).
+
+Two tiers, chosen by the 100 TB rule "UDFs are the slow path":
+- *_expr: pure Column expressions (JVM codegen) — language ID, quality
+  scoring, tokenization. These are the defaults.
+- *_udf: Arrow-vectorized pandas UDFs for logic Spark expressions
+  can't express (simhash bit packing). Batch transfer via Arrow, never
+  row-at-a-time python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType, LongType
+
+TOKEN_RE = r"\S+"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately small: the point is the operator
+# shape (score per language -> argmax), not lexicon quality.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+    "zh": ["的", "是", "和"],
+}
+
+
+def tokens_expr(col: str | Column) -> Column:
+    """Whitespace tokenization as a JVM regex — the canonical token
+    column every downstream text op builds on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+
+
+def token_count_expr(col: str | Column) -> Column:
+    return F.size(tokens_expr(col))
+
+
+def _token_count_batch(texts: pd.Series) -> pd.Series:
+    return texts.str.findall(TOKEN_RE).str.len().astype("int32")
+
+
+def token_count_udf(col: str | Column) -> Column:
+    """Arrow-vectorized token counter — the pandas-UDF form of
+    token_count_expr, kept as the reference python-snap example
+    (SURVEY §2.B.9). Semantics identical to the expr variant. Built at
+    call time (pandas_udf registration needs an active session)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_token_count_batch, IntegerType())(c)
+
+
+def lang_id_expr(col: str | Column) -> Column:
+    """Heuristic language ID: stopword-marker hit counts per language,
+    argmax wins (ties broken by language code order). Pure Column
+    algebra -> whole-stage codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"[\p{L}]+"), 0)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(x) for x in markers])
+        hits = F.size(F.filter(toks, lambda t, m=marker_arr: F.array_contains(m, t)))
+        scores.append((lang, hits))
+    best = None
+    for lang, score in scores:
+        pair = F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(
+            (pair.getField("score") > best.getField("score")), pair
+        ).otherwise(best)
+    return best.getField("lang")
+
+
+def quality_score_expr(col: str | Column) -> Column:
+    """Document quality heuristic in [0,1]: penalize very short docs,
+    high punctuation ratio, and low stopword ratio (the classic
+    pre-training corpus filters), as one codegen expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    toks = tokens_expr(c)
+    n_toks = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop = F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    stop_ratio = F.when(n_toks > 0, n_stop / n_toks).otherwise(F.lit(0.0))
+    length_score = F.least(n_toks / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        0.5 * length_score + 0.25 * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+        + 0.25 * F.least(stop_ratio * 5, F.lit(1.0)),
+        6,
+    )
+
+
+def fingerprint_expr(col: str | Column, n_chars: int = 64) -> Column:
+    """Deterministic document fingerprint: sha2-256 of the
+    whitespace-normalized lowercased text — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.sha2(normalized, 256).substr(1, n_chars)
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    import hashlib
+
+    def tok_hash(tok: str) -> np.uint64:
+        # blake2b, not python hash(): stable across workers and runs
+        return np.uint64(
+            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        )
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, text in enumerate(texts):
+        if not text:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            bits = (tok_hash(tok) >> shifts) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash_udf(col: str | Column) -> Column:
+    """64-bit SimHash over whitespace tokens (Charikar): per-token
+    64-bit blake2b hashes vote bitwise, the sign of each bit column
+    becomes the fingerprint bit. Arrow-batched; near-dup candidates
+    then group on hamming-band substrings of this value."""
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_simhash_batch, LongType())(c)

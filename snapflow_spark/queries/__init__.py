@@ -4,6 +4,8 @@ from snapflow_spark.queries import (  # noqa: F401
     aggregates,
     framework,
     relational,
+    scalars,
     setops,
+    udfs,
     windows,
 )

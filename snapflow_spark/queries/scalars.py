@@ -1,0 +1,198 @@
+"""Scalar function-family queries (SURVEY.md §2.B.8) — one query per
+family, several functions per row so one oracle hash covers the family.
+
+Cross-engine gotchas baked in (probed on real data this session):
+- libm functions (exp/ln/log10/pow) differ from DuckDB in the last ULP
+  -> wrapped in round(x, 6) on BOTH sides.
+- Spark floor/ceil return BIGINT, DuckDB DOUBLE -> explicit casts.
+- Spark regexp_replace replaces all matches; DuckDB needs the 'g' flag.
+- Spark weekday() (0=Mon) == DuckDB isodow()-1.
+- orders.o_orderdate arrives as TIMESTAMP_NTZ in Spark 4 -> date parts
+  are timezone-independent; timestamps serialize via date_format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapflow_spark.catalog import load_table
+from snapflow_spark.registry import query
+
+
+@query(
+    "q_scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS u,
+           lower(p_brand) AS lo,
+           substring(p_type, 3, 5) AS sub,
+           CAST(length(p_name) AS INT) AS len_name,
+           trim(concat_ws('|', p_brand, p_type)) AS joined,
+           replace(p_type, ' ', '_') AS replaced,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           list_element(string_split(p_type, ' '), 1) AS tok1,
+           regexp_extract(p_name, '([0-9]+)', 1) AS first_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           reverse(p_brand) AS rev
+    FROM part
+    """,
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, length, concat, replace, pad,
+    split, regex extract/replace — all whole-stage-codegen JVM ops."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("u"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_type", 3, 5).alias("sub"),
+        F.length("p_name").alias("len_name"),
+        F.trim(F.concat_ws("|", "p_brand", "p_type")).alias("joined"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("replaced"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.element_at(F.split("p_type", " "), 1).alias("tok1"),
+        F.regexp_extract("p_name", "([0-9]+)", 1).alias("first_num"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.reverse(F.col("p_brand")).alias("rev"),
+    )
+
+
+@query(
+    "q_scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT) AS days_to_99,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    """,
+)
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: parts, truncation, arithmetic, diffs —
+    serialized as ISO strings so both engines hash identically."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.weekday("o_orderdate").alias("wd"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(
+            F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd"
+        ).alias("plus30"),
+        F.datediff(
+            F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_99"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@query(
+    "q_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / 7, 3) AS r3,
+           CAST(floor(l_extendedprice / 7) AS BIGINT) AS fl,
+           CAST(ceil(l_extendedprice / 7) AS BIGINT) AS ce,
+           abs(l_discount - 0.05) AS ab,
+           mod(l_orderkey, 7) AS pm,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+           greatest(l_quantity, l_discount * 100) AS g,
+           least(l_tax, l_discount) AS le,
+           round(exp(l_discount), 6) AS ex,
+           round(ln(l_extendedprice), 6) AS ln_p,
+           round(log10(l_extendedprice), 6) AS lg,
+           round(pow(l_quantity, 2.5), 6) AS pw,
+           sqrt(l_extendedprice) AS sq
+    FROM lineitem
+    """,
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt is IEEE-exact cross-engine; the libm group
+    (exp/ln/log10/pow) is rounded to 6 decimals on both sides because
+    JVM Math and C libm differ in the last ULP (probed, SURVEY §5.3)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7, 3).alias("r3"),
+        F.floor(F.col("l_extendedprice") / 7).cast("bigint").alias("fl"),
+        F.ceil(F.col("l_extendedprice") / 7).cast("bigint").alias("ce"),
+        F.abs(F.col("l_discount") - 0.05).alias("ab"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("pm"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+        F.least(F.col("l_tax"), F.col("l_discount")).alias("le"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        F.round(F.log10("l_extendedprice"), 6).alias("lg"),
+        F.round(F.pow("l_quantity", F.lit(2.5)), 6).alias("pw"),
+        F.sqrt("l_extendedprice").alias("sq"),
+    )
+
+
+@query(
+    "q_scalar_array",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_type, ' ')) AS INT) AS n_tokens,
+           array_to_string(list_sort(string_split(p_type, ' ')), ',') AS sorted_tokens,
+           CAST(list_contains(string_split(p_type, ' '), 'the') AS INT) AS has_the,
+           list_element(string_split(p_type, ' '), 1) AS first_tok,
+           CAST(list_aggregate(list_transform(string_split(p_type, ' '),
+                x -> length(x)), 'sum') AS INT) AS total_len
+    FROM part
+    """,
+)
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order transform/aggregate lambdas —
+    snapflow had no array columns (SURVEY §1.2); this engine exposes
+    them natively and keeps the lambdas inside codegen."""
+    p = load_table(spark, sf_dir, "part")
+    toks = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.size(toks).alias("n_tokens"),
+        F.array_join(F.sort_array(toks), ",").alias("sorted_tokens"),
+        F.array_contains(toks, "the").cast("int").alias("has_the"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("total_len"),
+    )
+
+
+@query(
+    "q_scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(len(json_keys(props::JSON)) AS INT) AS n_keys
+    FROM events
+    """,
+)
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: snapflow rode nested data in Json fields (SURVEY
+    §1.2); here both path extraction and full map parsing are native."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.size(F.map_keys(parsed)).alias("n_keys"),
+    )
