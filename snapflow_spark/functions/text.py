@@ -61,11 +61,15 @@ def lang_id_expr(col: str | Column) -> Column:
     algebra -> whole-stage codegen, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.regexp_extract_all(F.lower(c), F.lit(r"[\p{L}]+"), 0)
+    def _contains(marker_arr):
+        # real closure: a default-arg lambda would read as a 2-arg
+        # (element, index) lambda to Spark's higher-order filter
+        return lambda t: F.array_contains(marker_arr, t)
+
     scores = []
     for lang, markers in _LANG_MARKERS.items():
         marker_arr = F.array(*[F.lit(x) for x in markers])
-        hits = F.size(F.filter(toks, lambda t, m=marker_arr: F.array_contains(m, t)))
-        scores.append((lang, hits))
+        scores.append((lang, F.size(F.filter(toks, _contains(marker_arr)))))
     best = None
     for lang, score in scores:
         pair = F.struct(score.alias("score"), F.lit(lang).alias("lang"))

@@ -1,0 +1,15 @@
+from snapflow_spark.multimodal.columns import (
+    BLOB_META_SCHEMA,
+    attach_fake_blob,
+    decode_image,
+    extract_features,
+    sample_frames,
+)
+
+__all__ = [
+    "BLOB_META_SCHEMA",
+    "attach_fake_blob",
+    "decode_image",
+    "extract_features",
+    "sample_frames",
+]

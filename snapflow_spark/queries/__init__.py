@@ -3,9 +3,11 @@
 from snapflow_spark.queries import (  # noqa: F401
     aggregates,
     framework,
+    northstar,
     relational,
     scalars,
     setops,
+    streaming_q,
     udfs,
     windows,
 )

@@ -1,0 +1,177 @@
+"""North-star queries (SURVEY.md §2.B.11): dedup, similarity search,
+text analysis, multimodal — the LLM-data-pipeline operators
+(BASELINE.json north_star) as first-class engine capabilities.
+
+Hash-matched where an exact SQL oracle exists; probabilistic/LSH ops
+are declared rows-only here and property-tested in
+tests/test_northstar.py (SURVEY §5.2(3)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapflow_spark.catalog import load_table
+from snapflow_spark.functions.text import (
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from snapflow_spark.functions.vectors import cosine_similarity
+from snapflow_spark.multimodal import attach_fake_blob, extract_features
+from snapflow_spark.operators.dedup_text import (
+    exact_dedup,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from snapflow_spark.operators.similarity import (
+    IVFIndex,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+)
+from snapflow_spark.registry import query
+
+
+@query(
+    "q_dedup_exact",
+    oracle=r"""
+    SELECT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via operators.dedup_text.exact_dedup: group on the
+    sha256 fingerprint of normalized text, keep min doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    out = exact_dedup(d, text_col="text", id_col="doc_id")
+    return out.select("fingerprint", "doc_id", "n_copies")
+
+
+@query(
+    "q_similarity_topk",
+    oracle="""
+    WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(p.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings e, probe p
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors of probe vec_id=0 via
+    operators.similarity.brute_force_topk (higher-order array algebra,
+    JVM-side; probe broadcast, corpus never shuffles)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).cast("bigint").alias("probe_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") != 0)
+    out = brute_force_topk(corpus, probes, k=5)
+    return out.select("vec_id", F.round("cos", 6).alias("cos"))
+
+
+@query(
+    "q_text_stats",
+    oracle=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics — tokenization via the same
+    regex family both engines implement identically (probed)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(token_count_expr("text").cast("bigint")).alias("total_tokens"),
+    )
+
+
+@query("q_text_quality")  # rows-only: heuristic scores have no SQL oracle
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis sweep (rows-only): language-ID heuristic, quality
+    score, fingerprint, token count — one codegen projection, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id_expr("text").alias("lang_pred"),
+        quality_score_expr("text").alias("quality"),
+        fingerprint_expr("text").alias("fingerprint"),
+        token_count_expr("text").alias("n_tokens"),
+    )
+
+
+@query("q_dedup_minhash")  # rows-only: LSH candidates, property-tested
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates verified by exact n-gram
+    Jaccard — the full candidates->verify cascade on the documents
+    table (seeded, deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(d, jaccard_threshold=0.4)
+    verified = ngram_jaccard_pairs(d, cands.select("id_a", "id_b"), n=3)
+    return verified.where(F.col("jaccard") >= 0.4).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query("q_dedup_simhash")  # rows-only: banded simhash candidates
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SimHash near-dup candidate pairs (hamming <= 3)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(d, max_hamming=3)
+
+
+@query("q_similarity_ann")  # rows-only: IVF approximate search
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for 3 probe vectors (KMeans cells,
+    nprobe=4 of 16) — the 100 TB path; recall property-tested against
+    brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    index = IVFIndex.build(emb, k_cells=16)
+    return index.search(probes, k=5, nprobe=4)
+
+
+@query("q_embed_near_dup")  # rows-only: random-projection LSH pairs
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9) via
+    unit-normalization + euclidean LSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, cos_threshold=0.9).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
+@query("q_multimodal_features")  # rows-only: binary-column plumbing
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline plumbing: text -> binary blob + metadata
+    struct -> mapInPandas featurizer (deterministic fake codec) ->
+    feature vectors. Schema and batch shape are the real contract."""
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    blobs = attach_fake_blob(d)
+    feats = extract_features(blobs)
+    return feats.select(
+        "doc_id", "modality", F.size("features").alias("dim"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )

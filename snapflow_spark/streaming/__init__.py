@@ -1,0 +1,19 @@
+from snapflow_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from snapflow_spark.streaming.runner import (
+    run_stream_to_batch,
+    stream_from_snapshots,
+    streaming_dedupe,
+)
+
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "stream_from_snapshots",
+    "run_stream_to_batch",
+    "streaming_dedupe",
+]

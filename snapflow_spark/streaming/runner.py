@@ -1,0 +1,71 @@
+"""Structured Streaming wrappers (SURVEY.md §2.B.10).
+
+Snapflow's reactive loop processes blocks as they arrive; the true
+streaming analogue is a file-source stream over a SnapshotStore
+directory — every appended snapshot becomes a micro-batch. Bounded
+runs use trigger(availableNow) so tests and the oracle can compare the
+final table against batch SQL (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def stream_from_snapshots(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a snapshot-store directory (new parquet files =
+    new micro-batches). Streaming file sources require an explicit
+    schema — take it from ``store.read(spark).schema``.
+
+    max_files_per_trigger bounds each micro-batch; without it a bounded
+    (availableNow) run drains ALL existing files in one batch, so the
+    watermark never advances mid-run — set it when event-time semantics
+    across batches matter."""
+    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def streaming_dedupe(
+    stream: DataFrame, keys: list[str], ts: str, watermark: str
+) -> DataFrame:
+    """Streaming dedupe (SURVEY §2.B.10): exactly-once keys within the
+    watermark horizon — state for a key is dropped once the watermark
+    passes, bounding state size on an infinite stream.
+
+    Semantics note (verified empirically on Spark 4.1): the watermark
+    bounds STATE, it does not filter late rows — a duplicate arriving
+    after its key's state was evicted is re-emitted (at-least-once
+    dedupe). Event-time late-row *dropping* is a property of windowed
+    aggregations (see tumbling_agg + withWatermark), not dropDuplicates."""
+    return stream.withWatermark(ts, watermark).dropDuplicates(keys)
+
+
+def run_stream_to_batch(
+    stream: DataFrame,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Run a bounded streaming query to completion (availableNow) into
+    an in-memory sink and return the final result as a DataFrame."""
+    name = f"snapflow_stream_{abs(hash(stream)) % 10**8}"
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(name)

@@ -1,0 +1,159 @@
+"""North-star property tests (SURVEY.md §5.2(3), FIXTURES.md
+planted_dups): recall guarantees for the probabilistic dedup/similarity
+operators that have no SQL oracle, plus multimodal plumbing.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.multimodal import attach_fake_blob, decode_image, extract_features, sample_frames
+from snapflow_spark.operators.dedup_text import (
+    exact_dedup,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from snapflow_spark.operators.similarity import IVFIndex, brute_force_topk, embedding_near_dup_pairs
+
+WORDS = (
+    "spark data table row column filter join group window agg scan hash "
+    "batch stream value key part order line customer nation small fast slow"
+).split()
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """FIXTURES.md planted_dups: 20 base docs + 5 near-copies (one-token
+    edit) + 5 exact copies."""
+    rng = random.Random(7)
+    base = [" ".join(rng.choices(WORDS, k=40)) for _ in range(20)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    near_pairs = []
+    for j in range(5):  # near-copies of docs 0..4
+        toks = base[j].split()
+        toks[rng.randrange(len(toks))] = "EDITED"
+        rows.append((100 + j, " ".join(toks)))
+        near_pairs.append((j, 100 + j))
+    exact_ids = []
+    for j in range(5):  # exact copies of docs 5..9
+        rows.append((200 + j, base[5 + j]))
+        exact_ids.append((5 + j, 200 + j))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return df, near_pairs, exact_ids
+
+
+def test_exact_dedup_removes_exact_copies(planted, spark):
+    df, _near, exact_ids = planted
+    out = exact_dedup(df).collect()
+    assert len(out) == 25  # 30 docs - 5 exact copies
+    dups = {r.doc_id: r.n_copies for r in out if r.n_copies > 1}
+    assert dups == {orig: 2 for orig, _copy in exact_ids}
+
+
+def test_minhash_recall_on_planted_near_dups(planted):
+    df, near_pairs, exact_ids = planted
+    cands = minhash_candidates(df, jaccard_threshold=0.5, num_hash_tables=8)
+    got = {(r.id_a, r.id_b) for r in cands.collect()}
+    found = sum(1 for p in near_pairs if p in got)
+    assert found / len(near_pairs) >= 0.8  # FIXTURES.md recall bound
+    # exact copies are jaccard-1.0 — all must surface
+    assert all(p in got for p in exact_ids)
+
+
+def test_simhash_finds_near_dups(planted):
+    df, near_pairs, exact_ids = planted
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_candidates(df, max_hamming=6).collect()}
+    assert all(p in pairs for p in exact_ids)
+    assert all(pairs[p] == 0 for p in exact_ids)
+    found = sum(1 for p in near_pairs if p in pairs)
+    assert found / len(near_pairs) >= 0.8
+
+
+def test_ngram_jaccard_verification(planted, spark):
+    df, near_pairs, exact_ids = planted
+    cand = spark.createDataFrame(near_pairs + exact_ids, "id_a bigint, id_b bigint")
+    verified = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(df, cand).collect()}
+    for p in exact_ids:
+        assert verified[p] == 1.0
+    for p in near_pairs:
+        assert 0.5 < verified[p] < 1.0  # one-token edit: high but < 1
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)
+    ]
+    # plant 3 near-duplicate pairs (tiny perturbation)
+    for j in range(3):
+        base = rows[j][1]
+        rows.append((500 + j, [x + rng.gauss(0, 0.01) for x in base]))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_ivf_recall_vs_brute_force(embeddings):
+    probes = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = embeddings
+    exact = brute_force_topk(corpus, probes, k=5)
+    exact_sets = {
+        pid: {r.vec_id for r in rows}
+        for pid, rows in _group(exact.collect(), "probe_id").items()
+    }
+    index = IVFIndex.build(corpus, k_cells=8)
+    approx = index.search(probes, k=5, nprobe=3)
+    approx_sets = {
+        pid: {r.vec_id for r in rows}
+        for pid, rows in _group(approx.collect(), "probe_id").items()
+    }
+    recalls = [
+        len(exact_sets[p] & approx_sets.get(p, set())) / 5 for p in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_embedding_near_dup_finds_planted(embeddings):
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(
+        embeddings, cos_threshold=0.95, num_hash_tables=6, bucket_length=1.0
+    ).collect()}
+    planted = {(j, 500 + j) for j in range(3)}
+    assert planted <= pairs
+
+
+def _group(rows, key):
+    out = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(r)
+    return out
+
+
+def test_multimodal_plumbing(spark, planted):
+    df, _n, _e = planted
+    blobs = attach_fake_blob(df.limit(10))
+    assert dict(blobs.dtypes)["blob"] == "binary"
+    feats = extract_features(blobs)
+    rows = feats.collect()
+    assert len(rows) == 10
+    assert all(len(r.features) == 8 for r in rows)
+    # deterministic featurizer: same blob -> same vector across runs
+    again = {r.doc_id: r.features for r in extract_features(blobs).collect()}
+    assert all(again[r.doc_id] == r.features for r in rows)
+    with pytest.raises(NotImplementedError):
+        decode_image(blobs)
+
+
+def test_sample_frames_expansion(spark, planted):
+    df, _n, _e = planted
+    blobs = attach_fake_blob(df.limit(3)).withColumn(
+        "meta", F.col("meta").withField("duration_ms", F.lit(3500))
+    )
+    frames = sample_frames(blobs, every_ms=1000)
+    per_doc = _group(frames.collect(), "doc_id")
+    assert all([f.frame_ms for f in fs] == [0, 1000, 2000, 3000] for fs in per_doc.values())

@@ -1,0 +1,123 @@
+"""Structured Streaming semantics tests (SURVEY.md §5.2(3)):
+- a bounded stream over snapshot dirs produces the same result as the
+  batch run of the same expression
+- watermarking drops exactly the too-late rows (FIXTURES.md late_events)
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.incremental import SnapshotStore
+from snapflow_spark.streaming import (
+    run_stream_to_batch,
+    stream_from_snapshots,
+    streaming_dedupe,
+    tumbling_agg,
+)
+
+EV_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + timedelta(minutes=m), u, v) for (i, m, u, v) in rows], EV_SCHEMA
+    )
+
+
+def test_stream_equals_batch_tumbling(spark, tmp_path):
+    store = SnapshotStore(tmp_path / "events")
+    chunk1 = _mk_events(spark, [(1, 0, 1, 1.0), (2, 30, 1, 2.0), (3, 70, 2, 3.0)])
+    chunk2 = _mk_events(spark, [(4, 90, 2, 4.0), (5, 130, 1, 5.0)])
+    store.append(chunk1)
+    store.append(chunk2)
+
+    batch = store.read(spark)
+    batch_out = {
+        (r.window_start, r.n) for r in tumbling_agg(
+            batch, "ts", "1 hour", [F.count(F.lit(1)).alias("n")]
+        ).collect()
+    }
+
+    stream = stream_from_snapshots(spark, str(store.path), batch.schema)
+    stream_agg = tumbling_agg(
+        stream.withWatermark("ts", "0 seconds"), "ts", "1 hour",
+        [F.count(F.lit(1)).alias("n")],
+    )
+    result = run_stream_to_batch(
+        stream_agg, output_mode="complete", checkpoint=str(tmp_path / "ckpt")
+    )
+    stream_out = {(r.window_start, r.n) for r in result.collect()}
+    assert stream_out == batch_out
+    assert sum(n for _, n in stream_out) == 5
+
+
+def test_streaming_dedupe_is_exactly_once_within_horizon(spark, tmp_path):
+    """Streaming dedupe drops duplicate keys across micro-batches while
+    their state lives; the watermark bounds the state, not the input
+    (verified semantics on Spark 4.1 — late NEW keys still pass)."""
+    store = SnapshotStore(tmp_path / "late")
+    store.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 120, 1, 2.0)]).coalesce(1))
+    # second batch: a duplicate key (2), a late new key (3), a fresh key (4)
+    store.append(
+        _mk_events(spark, [(2, 121, 1, 9.9), (3, 0, 1, 3.0), (4, 130, 1, 4.0)]).coalesce(1)
+    )
+
+    stream = stream_from_snapshots(
+        spark,
+        str(store.path),
+        "event_id bigint, ts timestamp, user_id bigint, value double",
+        max_files_per_trigger=1,
+    )
+    deduped = streaming_dedupe(stream, keys=["event_id"], ts="ts", watermark="1 hour")
+    result = run_stream_to_batch(deduped, checkpoint=str(tmp_path / "ckpt2"))
+    rows = {r.event_id: r.value for r in result.collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[2] == 2.0  # the batch-1 original won; duplicate 9.9 dropped
+
+
+def test_watermark_drops_late_rows_in_windowed_agg(spark, tmp_path):
+    """FIXTURES.md late_events: with a 1h watermark, a row arriving 2h
+    late falls into a window the watermark already closed -> dropped
+    from the append-mode output; without a watermark it is counted."""
+    store = SnapshotStore(tmp_path / "late_agg")
+    # batch-1 max ts 02:30 -> watermark 01:30, strictly past the hour-0
+    # window's end. Verified on Spark 4.1: a batch-N watermark governs
+    # input filtering from batch N+2, so a "carrier" batch sits between
+    # the watermark-advancing batch and the late arrival.
+    store.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 150, 1, 2.0)]).coalesce(1))
+    store.append(_mk_events(spark, [(5, 160, 1, 5.0)]).coalesce(1))
+    store.append(_mk_events(spark, [(3, 1, 1, 3.0), (4, 240, 1, 4.0)]).coalesce(1))
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+    stream = stream_from_snapshots(spark, str(store.path), schema, max_files_per_trigger=1)
+    agg = tumbling_agg(
+        stream.withWatermark("ts", "1 hour"), "ts", "1 hour",
+        [F.count(F.lit(1)).alias("n")],
+    )
+    result = run_stream_to_batch(agg, checkpoint=str(tmp_path / "ckpt4"))
+    counts = {r.window_start: r.n for r in result.collect()}
+    # hour-0 window closed when watermark hit 01:00 after batch 1 with
+    # count 1; the late row (ts=00:01) in batch 2 must not reopen it.
+    assert counts[T0] == 1
+
+    batch = store.read(spark)
+    batch_counts = {
+        r.window_start: r.n
+        for r in tumbling_agg(batch, "ts", "1 hour", [F.count(F.lit(1)).alias("n")]).collect()
+    }
+    assert batch_counts[T0] == 2  # without watermark the late row counts
+
+
+def test_stream_without_watermark_keeps_late_rows(spark, tmp_path):
+    store = SnapshotStore(tmp_path / "nolate")
+    store.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 120, 1, 2.0)]))
+    store.append(_mk_events(spark, [(3, 0, 1, 3.0)]))
+    stream = stream_from_snapshots(
+        spark, str(store.path), "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    result = run_stream_to_batch(stream, checkpoint=str(tmp_path / "ckpt3"))
+    assert sorted(r.event_id for r in result.collect()) == [1, 2, 3]
