@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract).
+
+Runs every declared query from ``snapflow_spark.registry`` at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through Spark's `noop` sink so the
+whole physical plan (scan -> shuffle -> agg/join) executes, without
+paying driver-side collect/serialization that the driver's own
+correctness pass already measures.
+
+Usage:
+    python bench.py                # all queries @ sf0.1
+    python bench.py q_agg_basic    # subset
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from snapflow_spark.registry import all_queries  # noqa: E402
+from snapflow_spark.session import build_session  # noqa: E402
+
+
+def run(sf_dir: str, names: list[str]) -> dict:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    queries = all_queries()
+    spark = build_session("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up on the smallest sf so first-query timing is not dominated
+    # by one-time session costs: JVM/codegen (q_agg_basic) and python
+    # worker spawn for pandas-UDF stages (q_dedup_simhash) — a
+    # long-running cluster has warm workers.
+    for warm in ("q_agg_basic", "q_dedup_simhash"):
+        queries[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "total_wall_sec_all_declared_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "cpus": int(cpus),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:] or sorted(all_queries())
+    print(json.dumps(run(sf_dir, names)))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a too-coarse input up to the session's default
+    parallelism before CPU-heavy per-row work (LSH signatures, UDF
+    featurizers). The local fixtures are single-row-group parquet files
+    -> 1 scan partition -> 1 busy core; at 100 TB a scan has thousands
+    of splits and this is a no-op, so no extra shuffle at scale."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register temp views so SQL-snap style queries (SURVEY §2.A A2)
     can reference inputs by name, mirroring snapflow's table-ref binding."""

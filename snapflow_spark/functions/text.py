@@ -109,29 +109,32 @@ def fingerprint_expr(col: str | Column, n_chars: int = 64) -> Column:
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    import hashlib
-
-    def tok_hash(tok: str) -> np.uint64:
-        # blake2b, not python hash(): stable across workers and runs
-        return np.uint64(
-            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        )
-
-    out = np.zeros(len(texts), dtype=np.int64)
+    """Fully vectorized SimHash: flatten the batch's tokens into one
+    array, hash them all at once (pd.util.hash_array = C-speed siphash
+    with a FIXED key — stable across workers/runs, unlike python
+    hash()), then per-document bit votes via np.add.reduceat. No
+    per-token python loop."""
+    tok_lists = texts.fillna("").str.split()
+    lengths = tok_lists.str.len().to_numpy(dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nonempty_idx = np.flatnonzero(lengths > 0)
     shifts = np.arange(64, dtype=np.uint64)
-    for i, text in enumerate(texts):
-        if not text:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
-            bits = (tok_hash(tok) >> shifts) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        sig = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
-    return pd.Series(out)
+    powers = np.uint64(1) << shifts
+    # chunk so the (n_tokens, 64) bit matrix stays ~tens of MB even for
+    # arrow batches of long documents
+    chunk = 512
+    for lo in range(0, len(nonempty_idx), chunk):
+        idx = nonempty_idx[lo : lo + chunk]
+        flat = np.concatenate([np.asarray(tok_lists.iloc[i], dtype=object) for i in idx])
+        hashes = pd.util.hash_array(flat)  # uint64, deterministic key
+        # per-token bit matrix; votes = 2*sum(bits) - n_tokens
+        bits = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        starts = np.zeros(len(idx), dtype=np.int64)
+        np.cumsum(lengths[idx][:-1], out=starts[1:])
+        ones = np.add.reduceat(bits, starts, axis=0)  # (n_docs, 64)
+        doc_votes = 2 * ones - lengths[idx][:, None]
+        out[idx] = ((doc_votes > 0).astype(np.uint64)) @ powers
+    return pd.Series(out.astype(np.int64))
 
 
 def simhash_udf(col: str | Column) -> Column:

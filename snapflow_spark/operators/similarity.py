@@ -14,10 +14,13 @@ similarity corpus).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from snapflow_spark.catalog import ensure_parallelism
 from snapflow_spark.functions.vectors import cosine_similarity, l2_norm
+from snapflow_spark.operators.buckets import bucketed_pairs
 from snapflow_spark.operators.topk import grouped_topk, topk
 
 
@@ -38,7 +41,7 @@ def brute_force_topk(
             F.col(probe_id_col), F.col(vec_col).alias("__probe_vec")
         )
     )
-    scored = corpus.select(id_col, vec_col).crossJoin(p).select(
+    scored = ensure_parallelism(corpus.select(id_col, vec_col)).crossJoin(p).select(
         probe_id_col,
         id_col,
         cosine_similarity(vec_col, "__probe_vec").alias("cos"),
@@ -73,6 +76,9 @@ class IVFIndex:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        # no ensure_parallelism here: KMeans.fit launches maxIter jobs,
+        # so more partitions of a small corpus = scheduler overhead, and
+        # a big corpus arrives pre-split from its scan anyway
         feats = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
         km = KMeans(k=k_cells, seed=seed, featuresCol="__features", predictionCol="cell")
         model = km.fit(feats)
@@ -119,36 +125,63 @@ def embedding_near_dup_pairs(
     cos_threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    num_hash_tables: int = 4,
-    bucket_length: float = 0.5,
+    n_bands: int = 24,
+    bits_per_band: int = 12,
+    max_bucket: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Cosine-near-duplicate pairs at scale: normalize to unit vectors,
-    then euclidean random-projection LSH — for unit vectors
-    ||a-b|| = sqrt(2-2cos), so the cosine threshold maps exactly to a
-    distance threshold. Returns (id_a < id_b, cos)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    """Cosine-near-duplicate pairs via signed-random-projection LSH:
+    each vector gets n_bands*bits_per_band hyperplane sign bits
+    (P[bit match] = 1 - angle/pi) from one numpy matmul per Arrow
+    batch; bits group into band keys; ONE shuffle on the band key;
+    exact cosine is computed in-bucket (the member struct carries the
+    vector), so candidates are verified with no join-back.
 
-    unit = corpus.select(
-        id_col,
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
-        ).alias("__unit"),
-    ).withColumn("__features", array_to_vector("__unit"))
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="__features", outputCol="__hashes",
-        numHashTables=num_hash_tables, bucketLength=bucket_length, seed=seed,
-    )
-    model = lsh.fit(unit)
-    dist_threshold = float((2.0 - 2.0 * cos_threshold) ** 0.5)
-    pairs = model.approxSimilarityJoin(unit, unit, dist_threshold, distCol="dist")
-    return (
-        pairs.select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos"),
+    Band shape tradeoff: detection for cos>=0.9 with 24x12 bands is
+    ~0.98 while a random (near-orthogonal) pair collides in a band
+    w.p. 2^-12 — wider bands flood the verify stage with random
+    collisions (measured 30x the candidate pairs at 12x6).
+
+    Replaces pyspark.ml BucketedRandomProjectionLSH.approxSimilarityJoin
+    (measured 6.8s vs <2s on sf0.1; and ml.Vector conversion costs an
+    extra python<->JVM round per row at scale)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    rng = np.random.default_rng(seed)
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"])
+    # dim x n_planes projection matrix; the sign bits come from one
+    # numpy matmul per Arrow batch. (A higher-order-fn formulation —
+    # 72 aggregate(zip_with(...)) per row — is interpreted, not
+    # codegen'd, and measured ~4s vs <1s for the matmul.)
+    planes_t = rng.standard_normal((n_bands * bits_per_band, dim)).T.copy()
+    powers = (1 << np.arange(bits_per_band - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (m @ planes_t) > 0  # (n, n_planes)
+        keys = bits.reshape(len(m), n_bands, bits_per_band).astype(np.int64) @ powers
+        return pd.Series(list(keys))
+
+    banded = (
+        ensure_parallelism(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
         )
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id", "__vec", F.posexplode(band_keys("__vec")).alias("band_idx", "band_val"))
     )
+    pairs = bucketed_pairs(
+        banded,
+        ["band_idx", "band_val"],
+        F.struct("id", "__vec"),
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            cosine_similarity(x["__vec"], y["__vec"]).alias("cos"),
+        ),
+        max_bucket=max_bucket,
+    )
+    return pairs.where(F.col("cos") >= cos_threshold).dropDuplicates(["id_a", "id_b"])

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from snapflow_spark.catalog import load_table
+from snapflow_spark.catalog import ensure_parallelism, load_table
 from snapflow_spark.functions.text import (
     fingerprint_expr,
     lang_id_expr,
@@ -109,7 +109,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis sweep (rows-only): language-ID heuristic, quality
     score, fingerprint, token count — one codegen projection, no UDF."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         "lang",

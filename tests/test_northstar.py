@@ -121,7 +121,7 @@ def test_ivf_recall_vs_brute_force(embeddings):
 
 def test_embedding_near_dup_finds_planted(embeddings):
     pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(
-        embeddings, cos_threshold=0.95, num_hash_tables=6, bucket_length=1.0
+        embeddings, cos_threshold=0.95
     ).collect()}
     planted = {(j, 500 + j) for j in range(3)}
     assert planted <= pairs
