@@ -31,6 +31,61 @@ _LANG_MARKERS = {
 }
 
 
+# GPT-2-style pre-tokenizer, constrained to the regex subset BOTH
+# Java (Spark) and RE2 (DuckDB oracle) support identically: no
+# lookahead, non-capturing groups, unicode classes. Verified to give
+# identical token streams in both engines.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def ngram_expr(tokens: Column, n: int = 3) -> Column:
+    """Sliding word n-grams as an array column (codegen, no UDF);
+    fewer than n tokens degrade to one whole-text gram."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def bpe_tokens_expr(col: str | Column) -> Column:
+    """BPE-ish pre-tokenization (contractions / letter runs / digit
+    runs / punctuation runs, space-prefixed) — the token-count basis a
+    training-data pipeline budgets by. Pure JVM regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_RE), 0)
+
+
+def gram_hashes_expr(tokens: Column, n: int = 3) -> Column:
+    """sha256 hex per token n-gram — sha256 is the one hash Spark and
+    the DuckDB oracle share bit-for-bit, which makes fingerprints
+    hash-matchable cross-engine. (xxhash64 is the cheaper at-scale
+    choice when oracle parity is not needed.)"""
+    return F.transform(ngram_expr(tokens, n), lambda s: F.sha2(s, 256))
+
+
+def winnow_fingerprints_expr(hashes: Column, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    MOSS): slide a w-window over the gram-hash sequence, keep each
+    window's minimum, distinct the result. The rolling-hash
+    fingerprint family for plagiarism/near-dup detection.
+
+    ``hashes`` MUST be a materialized column (stage gram_hashes_expr
+    in its own select first): the window transform references it once
+    per window, and an inline subtree would re-hash every gram per
+    window — measured O(n^2): 19s -> 2s on sf0.01."""
+    wins = F.when(
+        F.size(hashes) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(hashes) - w),
+            lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    return F.array_distinct(wins)
+
+
 def tokens_expr(col: str | Column) -> Column:
     """Whitespace tokenization as a JVM regex — the canonical token
     column every downstream text op builds on."""

@@ -22,7 +22,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from snapflow_spark.catalog import ensure_parallelism
-from snapflow_spark.functions.text import fingerprint_expr, simhash_udf, tokens_expr
+from snapflow_spark.functions.text import (  # noqa: F401 — ngram_expr re-exported
+    fingerprint_expr,
+    ngram_expr,
+    simhash_udf,
+    tokens_expr,
+)
 from snapflow_spark.operators.buckets import bucketed_pairs
 
 
@@ -190,17 +195,6 @@ def minhash_candidates(
         max_bucket=max_bucket,
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
-
-
-def ngram_expr(tokens: Column, n: int = 3) -> Column:
-    """Sliding word n-grams as an array column (codegen, no UDF)."""
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", tokens)))
 
 
 def ngram_jaccard_pairs(

@@ -14,10 +14,15 @@ from pyspark.sql import functions as F
 
 from snapflow_spark.catalog import ensure_parallelism, load_table
 from snapflow_spark.functions.text import (
+    BPE_RE,
+    bpe_tokens_expr,
     fingerprint_expr,
+    gram_hashes_expr,
     lang_id_expr,
     quality_score_expr,
     token_count_expr,
+    tokens_expr,
+    winnow_fingerprints_expr,
 )
 from snapflow_spark.functions.vectors import cosine_similarity
 from snapflow_spark.multimodal import attach_fake_blob, extract_features
@@ -117,6 +122,75 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_expr("text").alias("quality"),
         fingerprint_expr("text").alias("fingerprint"),
         token_count_expr("text").alias("n_tokens"),
+    )
+
+
+@query(
+    "q_tokenize_bpe",
+    # plain concatenation: BPE_RE contains {L}/{N} which an f-string
+    # would treat as replacement fields
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '"""
+    + BPE_RE.replace("'", "''")
+    + r"""')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways a training pipeline budgets text:
+    whitespace tokens and BPE-ish pre-tokenizer tokens (functions.text
+    BPE_RE — a regex subset Java and RE2 execute identically)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_expr("text").cast("bigint").alias("n_ws_tokens"),
+        F.size(bpe_tokens_expr("text")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "q_fingerprint_winnow",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                  ELSE [array_to_string(t, ' ')] END AS g
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id, list_transform(g, x -> sha256(x)) AS h FROM grams
+    ), winnowed AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(h) >= 4
+                    THEN list_transform(range(1, len(h) - 2),
+                                        i -> list_min(h[i:i+3]))
+                    ELSE [list_min(h)] END) AS fps
+      FROM hashed
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           list_min(fps) AS min_fp
+    FROM winnowed
+    """,
+)
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing over token
+    3-gram sha256 hashes, window 4) — functions.text
+    winnow_fingerprints_expr; sha256 makes it oracle-hashable."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    staged = d.select(
+        "doc_id", gram_hashes_expr(tokens_expr("text"), n=3).alias("h")
+    ).select("doc_id", winnow_fingerprints_expr(F.col("h"), w=4).alias("fps"))
+    return staged.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
     )
 
 

@@ -157,3 +157,34 @@ def test_sample_frames_expansion(spark, planted):
     frames = sample_frames(blobs, every_ms=1000)
     per_doc = _group(frames.collect(), "doc_id")
     assert all([f.frame_ms for f in fs] == [0, 1000, 2000, 3000] for fs in per_doc.values())
+
+
+def test_winnow_fingerprints_overlap_for_near_dups(spark, planted):
+    """Near-copies (one-token edit) share most winnowed fingerprints;
+    unrelated docs share few."""
+    from snapflow_spark.functions.text import (
+        gram_hashes_expr,
+        tokens_expr,
+        winnow_fingerprints_expr,
+    )
+
+    df, near_pairs, _ = planted
+    staged = df.select(
+        "doc_id", gram_hashes_expr(tokens_expr("text"), n=3).alias("h")
+    ).select("doc_id", winnow_fingerprints_expr(F.col("h"), w=4).alias("fps"))
+    fps = {r.doc_id: set(r.fps) for r in staged.collect()}
+    for a, b in near_pairs:
+        inter = len(fps[a] & fps[b]) / len(fps[a] | fps[b])
+        assert inter > 0.5, (a, b, inter)
+    # unrelated random docs share almost nothing
+    assert len(fps[0] & fps[10]) / len(fps[0] | fps[10]) < 0.2
+
+
+def test_bpe_tokens_shape(spark):
+    from snapflow_spark.functions.text import bpe_tokens_expr
+
+    df = spark.createDataFrame([("Hello world's 42 co-ops done",)], "text string")
+    toks = df.select(bpe_tokens_expr("text").alias("t")).first()["t"]
+    assert toks == ["Hello", " world", "'s", " 42", " co", "-", "ops", " done"]
+    # lossless: concatenation reconstructs the input
+    assert "".join(toks) == "Hello world's 42 co-ops done"
