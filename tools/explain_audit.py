@@ -24,59 +24,25 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from snapflow_spark.plans.introspect import PlanFacts, plan_facts  # noqa: E402
 from snapflow_spark.registry import all_queries  # noqa: E402
 from snapflow_spark.session import build_session  # noqa: E402
 
 
-def plan_text(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def audit_one(name: str, df) -> dict:
-    text = plan_text(df)
-    scans = re.findall(r"Scan parquet[^\n]*", text)
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
-    schemas = re.findall(r"ReadSchema: ([^\n]*)", text)
-    joins = re.findall(
-        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
-        text,
-    )
-    exchanges = len(re.findall(r"\bExchange\b", text))
-    # formatted mode labels nodes inside a codegen stage with
-    # "[codegen id : N]" — count distinct stages and covered nodes
-    wscg = len(set(re.findall(r"\[codegen id : (\d+)\]", text)))
-    nodes = len(re.findall(r"^\s*\(\d+\)", text, re.M))
-    cached = len(re.findall(r"InMemoryTableScan", text))
-    return {
-        "name": name,
-        "n_scans": len(scans),
-        "pushed": pushed,
-        "schemas": schemas,
-        "joins": joins,
-        "exchanges": exchanges,
-        "wscg_spans": wscg,
-        "nodes": nodes,
-        "cached_scans": cached,
-        "text": text,
-    }
-
-
-def flag(a: dict) -> list[str]:
+def flag(a: PlanFacts) -> list[str]:
     flags = []
-    for s in a["schemas"]:
+    for s in a.read_schemas:
         # a scan reading >8 columns for any query is suspicious pruning
         ncols = s.count(",") + 1 if s.strip() else 0
         if ncols > 8:
             flags.append(f"⚠ wide ReadSchema ({ncols} cols): {s[:90]}")
-    if "CartesianProduct" in a["joins"]:
+    if a.has_cartesian:
         flags.append("⚠ CartesianProduct in plan")
-    if a["exchanges"] > 6 and not a["cached_scans"]:
+    if a.exchanges > 6 and not a.cached_scans:
         # formatted explain re-prints a cached subtree's plan at every
         # InMemoryTableScan reference, so raw counts overcount when a
         # query persists an intermediate — skip the flag then
-        flags.append(f"⚠ {a['exchanges']} exchanges")
+        flags.append(f"⚠ {a.exchanges} exchanges")
     return flags
 
 
@@ -102,23 +68,23 @@ def main() -> None:
     for name in names:
         try:
             df = queries[name](spark, args.sf)
-            a = audit_one(name, df)
+            a = plan_facts(df)
         except Exception as exc:  # noqa: BLE001
             lines.append(f"## {name}\nERROR building plan: {exc}\n")
             continue
         flags = flag(a)
         lines.append(f"## {name}")
         lines.append(
-            f"- scans={a['n_scans']} exchanges={a['exchanges']} "
-            f"joins={','.join(a['joins']) or '-'} wscg={a['wscg_spans']} "
-            f"cached={a['cached_scans']} nodes={a['nodes']}"
+            f"- scans={a.n_scans} exchanges={a.exchanges} "
+            f"joins={','.join(a.joins) or '-'} wscg={a.codegen_stages} "
+            f"cached={a.cached_scans} nodes={a.nodes}"
         )
-        for p, s in zip(a["pushed"], a["schemas"]):
+        for p, s in zip(a.pushed_filters, a.read_schemas):
             lines.append(f"- pushed=[{p[:110]}] read={s[:110]}")
         lines.extend(flags)
         lines.append("")
         status = "⚠" if flags else "ok"
-        print(f"{name:28s} {status:2s} exch={a['exchanges']} joins={','.join(a['joins']) or '-'}")
+        print(f"{name:28s} {status:2s} exch={a.exchanges} joins={','.join(a.joins) or '-'}")
 
     report = "\n".join(lines)
     if args.out:
