@@ -34,6 +34,20 @@ class RunLedger:
         self._data.setdefault(node, {}).setdefault(input_name, []).extend(ids)
         self._flush()
 
+    def replace_consumed(
+        self, node: str, input_name: str, retired: list[str], replacement: str
+    ) -> None:
+        """Compaction fix-up for one (node, input): swap the retired ids
+        for the replacement compacted id so it is not re-processed."""
+        ids = self._data.get(node, {}).get(input_name)
+        if not ids:
+            return
+        retired_set = set(retired)
+        self._data[node][input_name] = [i for i in ids if i not in retired_set] + [
+            replacement
+        ]
+        self._flush()
+
     def _flush(self) -> None:
         self.path.parent.mkdir(parents=True, exist_ok=True)
         tmp = self.path.with_suffix(".tmp")

@@ -134,6 +134,37 @@ class Pipeline:
             self.ledger.mark_consumed(node.name, input_name, ids)
         return True
 
+    def compact_store(self, spark: SparkSession, name: str) -> str | None:
+        """Compact a store's snapshots into one (small-files control for
+        long-lived accumulator state) and fix up every consumer's ledger
+        so the compacted snapshot is not re-processed.
+
+        Refuses (ValueError) if any consumer has NOT fully consumed the
+        store — compacting under a lagging consumer would force it to
+        re-read rows it already saw (at-least-once); run produce() to
+        the fixed point first."""
+        store = self.store(name)
+        available = store.snapshot_ids()
+        consumers = [
+            (node.name, input_name)
+            for node in self.nodes.values()
+            for input_name, (src, _mode) in node.upstream.items()
+            if src == name
+        ]
+        for node_name, input_name in consumers:
+            lagging = self.ledger.unconsumed(node_name, input_name, available)
+            if lagging:
+                raise ValueError(
+                    f"cannot compact {name!r}: {node_name}.{input_name} has "
+                    f"unconsumed snapshots {lagging}; produce() first"
+                )
+        sid, retired = store.compact(spark)
+        if sid is None:
+            return None
+        for node_name, input_name in consumers:
+            self.ledger.replace_consumed(node_name, input_name, retired, sid)
+        return sid
+
     def produce(self, spark: SparkSession) -> int:
         """Run the DAG to its reactive fixed point; returns the number
         of node executions."""

@@ -50,3 +50,25 @@ class SnapshotStore:
         """Stream op ``latest`` (SURVEY §2.A A7): most recent snapshot only."""
         ids = self.snapshot_ids()
         return self.read(spark, ids[-1:]) if ids else None
+
+    def compact(self, spark: SparkSession) -> tuple[str | None, list[str]]:
+        """Merge all snapshots into one (returns (new_id, retired_ids)).
+
+        A long-lived accumulator store grows one dir per tick; readers
+        then pay per-snapshot listing + many small files — the classic
+        small-files problem. Compaction rewrites history, so consumers'
+        ledgers must be fixed up atomically with it: use
+        ``Pipeline.compact_store`` rather than calling this directly
+        inside a pipeline (it marks the new snapshot consumed for every
+        node that had consumed ALL retired ones)."""
+        import shutil
+
+        old = self.snapshot_ids()
+        if len(old) <= 1:
+            return None, []
+        merged = self.read(spark, old)
+        sid = self._next_id()
+        merged.write.mode("errorifexists").parquet(str(self.path / sid))
+        for o in old:
+            shutil.rmtree(self.path / o)
+        return sid, old

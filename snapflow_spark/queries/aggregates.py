@@ -256,3 +256,30 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputs={"orders_snap_input": load_table(spark, sf_dir, "orders")},
         params={"orders_view": "orders_snap_input"},
     )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority) with GROUPING flags — all 4 grouping
+    levels in one expand + one shuffle, like rollup."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            exact_sum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )

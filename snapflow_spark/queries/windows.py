@@ -116,3 +116,40 @@ def q_dedupe_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id", "event_type", "event_id", ts_millis("ts", "ts_ms"), "value"
     )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ntile(4) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+           dense_rank() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey) AS drk,
+           first_value(o_orderkey) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_orderkey
+    FROM orders
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / dense_rank / first_value in one window pass (explicit
+    ROWS frame on first_value for cross-engine determinism)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drk"),
+        F.first("o_orderkey").over(wf).alias("top_orderkey"),
+    )

@@ -8,6 +8,7 @@ from snapflow_spark.streaming.runner import (
     stream_from_snapshots,
     streaming_dedupe,
 )
+from snapflow_spark.streaming.stateful import running_user_stats
 
 __all__ = [
     "tumbling_agg",
@@ -16,4 +17,5 @@ __all__ = [
     "stream_from_snapshots",
     "run_stream_to_batch",
     "streaming_dedupe",
+    "running_user_stats",
 ]

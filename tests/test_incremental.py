@@ -112,3 +112,39 @@ def test_latest_stream_op(spark, pipe):
         src.append(chunk)
     latest = src.read_latest(spark)
     assert {r.id for r in latest.collect()} == {2, 4}
+
+
+def test_compaction_preserves_incremental_semantics(spark, tmp_path):
+    """Compacting a fully-consumed source neither loses rows nor causes
+    re-processing; a lagging consumer blocks compaction."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from snapflow_spark.incremental import Node, Pipeline
+
+    p = Pipeline(str(tmp_path / "wh"))
+    src = p.add_source("raw")
+    p.add_node(Node("copy", lambda spark, input: input, {"input": ("raw", "consumable")}))
+
+    for i in range(3):
+        src.append(spark.createDataFrame([(i,)], "id long"))
+    p.produce(spark)
+    assert len(src.snapshot_ids()) == 3
+
+    sid = p.compact_store(spark, "raw")
+    assert sid is not None
+    assert src.snapshot_ids() == [sid]
+    assert src.read(spark).count() == 3
+    # consumer must NOT re-process the compacted snapshot
+    assert p.produce(spark) == 0
+    assert p.store("copy").read(spark).count() == 3
+
+    # new data after compaction flows normally
+    src.append(spark.createDataFrame([(99,)], "id long"))
+    assert p.produce(spark) == 1
+    assert p.store("copy").read(spark).count() == 4
+
+    # lagging consumer blocks compaction
+    src.append(spark.createDataFrame([(100,)], "id long"))
+    with pytest.raises(ValueError, match="unconsumed"):
+        p.compact_store(spark, "raw")

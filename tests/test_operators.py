@@ -175,3 +175,25 @@ def test_topk_and_grouped_topk(spark):
     per_group = grouped_topk(df, ["g"], [F.col("score").desc(), F.col("i")], 2)
     got = sorted((r.g, r.i) for r in per_group.collect())
     assert got == [(0, 3), (0, 4), (1, 3), (1, 4)]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics — compare against the
+    plain join on a skewed dataset (90% of rows share one key)."""
+    from snapflow_spark.operators.skew import salted_count_by_key, salted_join
+
+    left = spark.createDataFrame(
+        [(1 if i < 90 else i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    right = spark.createDataFrame([(k, k * 10) for k in range(100)], "k long, w long")
+
+    plain = {(r.k, r.v, r.w) for r in left.join(right, ["k"], "inner").collect()}
+    salted = {(r.k, r.v, r.w) for r in salted_join(left, right, ["k"]).collect()}
+    assert salted == plain
+
+    plain_left = {(r.k, r.v, r.w) for r in left.join(right.where("k < 5"), ["k"], "left").collect()}
+    salted_left = {(r.k, r.v, r.w) for r in salted_join(left, right.where("k < 5"), ["k"], "left").collect()}
+    assert salted_left == plain_left
+
+    counts = {r.k: r.n for r in salted_count_by_key(left, ["k"]).collect()}
+    assert counts[1] == 90 and sum(counts.values()) == 100

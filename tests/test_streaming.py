@@ -121,3 +121,31 @@ def test_stream_without_watermark_keeps_late_rows(spark, tmp_path):
     )
     result = run_stream_to_batch(stream, checkpoint=str(tmp_path / "ckpt3"))
     assert sorted(r.event_id for r in result.collect()) == [1, 2, 3]
+
+
+def test_stateful_running_stats_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-user state survives micro-batches —
+    the final emitted row per user equals a batch-computed EWMA."""
+    from snapflow_spark.streaming.stateful import running_user_stats
+
+    store = SnapshotStore(tmp_path / "sev")
+    store.append(_mk_events(spark, [(1, 0, 1, 10.0), (2, 5, 1, 20.0), (3, 7, 2, 5.0)]))
+    store.append(_mk_events(spark, [(4, 10, 1, 30.0), (5, 12, 2, 7.0)]))
+
+    stream = stream_from_snapshots(
+        spark, str(store.path), EV_SCHEMA, max_files_per_trigger=1
+    )
+    out = run_stream_to_batch(
+        running_user_stats(stream, alpha=0.5), output_mode="update"
+    )
+    # one emission per user per micro-batch it appeared in; the LAST
+    # emission per user carries the full running state
+    final = {
+        r.user_id: r
+        for r in out.orderBy("n_events").collect()  # ascending: last wins
+    }
+    assert final[1].n_events == 3 and final[1].total == 60.0
+    # ewma over [10,20,30] with alpha .5: 10 -> 15 -> 22.5 (order-dependent!)
+    assert abs(final[1].ewma - 22.5) < 1e-9
+    assert final[2].n_events == 2 and final[2].total == 12.0
+    assert abs(final[2].ewma - (0.5 * 7 + 0.5 * 5)) < 1e-9
