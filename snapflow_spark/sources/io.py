@@ -67,3 +67,25 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-partitioned parquet sink — the 100 TB table layout: readers
+    with a filter on the partition columns scan only matching
+    directories (partition pruning at the file listing, before any IO).
+    ``max_records_per_file`` caps file sizes so a skewed partition
+    value still yields splittable files."""
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy(*partition_by).parquet(path)

@@ -197,3 +197,51 @@ def test_salted_join_matches_plain_join(spark):
 
     counts = {r.k: r.n for r in salted_count_by_key(left, ["k"]).collect()}
     assert counts[1] == 90 and sum(counts.values()) == 100
+
+
+def test_partitioned_parquet_sink_prunes(spark, tmp_path):
+    """Partitioned sink: partition dirs exist and a partition-filtered
+    read scans only the matching directory (pruning verified via the
+    input_file_name of surviving rows)."""
+    import pyspark.sql.functions as F
+
+    from snapflow_spark.sources.io import read_parquet, write_parquet_partitioned
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(20)],
+        "id long, grp string, v double",
+    )
+    out = str(tmp_path / "part_table")
+    write_parquet_partitioned(df, out, ["grp"])
+    assert sorted(p.name for p in (tmp_path / "part_table").glob("grp=*")) == [
+        "grp=a",
+        "grp=b",
+    ]
+    back = read_parquet(spark, out).where(F.col("grp") == "a")
+    files = {r[0] for r in back.select(F.input_file_name()).distinct().collect()}
+    assert back.count() == 10
+    assert all("grp=a" in f for f in files)  # only the pruned dir is read
+
+
+def test_python_udtf_sentence_split(spark):
+    """Spark 4 python UDTF: row -> many rows via SQL LATERAL."""
+    from snapflow_spark.functions.udtfs import SplitSentences, register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "One. Two! Three?"), (2, ""), (3, "Just one")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT doc_id, s.sent_idx, s.sentence "
+        "FROM udtf_docs, LATERAL split_sentences(text) s ORDER BY doc_id, sent_idx"
+    ).collect()
+    assert [(r.doc_id, r.sent_idx, r.sentence) for r in rows] == [
+        (1, 0, "One."),
+        (1, 1, "Two!"),
+        (1, 2, "Three?"),
+        (3, 0, "Just one"),
+    ]
+    # direct table-function call form
+    direct = SplitSentences(F.lit("A. B.")).collect()
+    assert [r.sentence for r in direct] == ["A.", "B."]
