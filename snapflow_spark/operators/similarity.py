@@ -56,10 +56,15 @@ class IVFIndex:
 
     build() is one ML fit + one projection; search() prunes to the
     nprobe nearest cells then brute-forces within them. Recall is
-    tunable via nprobe; nprobe == k_cells degenerates to exact."""
+    tunable via nprobe; nprobe == k_cells degenerates to exact.
+    save()/load() persist the assignment partitionBy(cell) — the
+    100 TB layout where a probe's scan reads only nprobe/k_cells of
+    the data via partition pruning — plus a tiny centroid table."""
 
-    def __init__(self, model, assigned: DataFrame, vec_col: str, id_col: str):
-        self.model = model
+    def __init__(self, centers, assigned: DataFrame, vec_col: str, id_col: str):
+        import numpy as np
+
+        self.centers = np.asarray(centers, dtype=np.float64)  # (k_cells, dim)
         self.assigned = assigned  # corpus + "cell" column
         self.vec_col = vec_col
         self.id_col = id_col
@@ -83,15 +88,44 @@ class IVFIndex:
         km = KMeans(k=k_cells, seed=seed, featuresCol="__features", predictionCol="cell")
         model = km.fit(feats)
         assigned = model.transform(feats).drop("__features")
-        # At scale: persist `assigned` partitioned by cell
-        # (df.write.partitionBy("cell")) so search prunes at the reader.
-        return cls(model, assigned, vec_col, id_col)
+        import numpy as np
+
+        centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+        return cls(centers, assigned, vec_col, id_col)
+
+    def save(self, path: str) -> None:
+        """Persist: assignment Hive-partitioned by cell + centroid
+        table. Search on a loaded index prunes cell partitions at the
+        file listing."""
+        self.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/assigned"
+        )
+        spark = self.assigned.sparkSession
+        rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.centers)]
+        spark.createDataFrame(rows, "cell int, center array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        path: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "IVFIndex":
+        centroid_rows = spark.read.parquet(f"{path}/centroids").collect()
+        centers = [
+            r["center"] for r in sorted(centroid_rows, key=lambda r: r["cell"])
+        ]
+        assigned = spark.read.parquet(f"{path}/assigned")
+        return cls(centers, assigned, vec_col, id_col)
 
     def search(self, probes: DataFrame, k: int = 5, nprobe: int = 4,
                probe_id_col: str = "probe_id") -> DataFrame:
         import numpy as np
 
-        centers = np.array([np.asarray(c) for c in self.model.clusterCenters()])
+        centers = self.centers
         probe_rows = probes.select(probe_id_col, self.vec_col).collect()
 
         # Driver-side nprobe selection is OK: #probes is small and

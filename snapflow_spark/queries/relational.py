@@ -226,19 +226,24 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/range (non-equi) join: unit price within ±5% of a part's
-    retail price. Spark plans broadcast-nested-loop with the filtered
-    part side broadcast; at scale the slice predicates bound the
-    broadcast side and the band predicate prunes pairs early."""
+    retail price — via operators.rangejoin.banded_range_join, the
+    equi-join rewrite that scales past broadcast-nested-loop (one
+    shuffle on the band key; band width ~ typical interval width)."""
+    from snapflow_spark.operators.rangejoin import banded_range_join
+
     p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 5)
     l = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 5)
     unit = l.l_extendedprice / l.l_quantity
-    return (
-        F.broadcast(p)
-        .join(
-            l,
-            unit.between(p.p_retailprice * 0.95, p.p_retailprice * 1.05),
-        )
-        .select("p_partkey", "l_orderkey", "l_linenumber", "l_quantity", "p_retailprice")
+    joined = banded_range_join(
+        l,
+        p,
+        point=unit,
+        lo=p.p_retailprice * 0.95,
+        hi=p.p_retailprice * 1.05,
+        band_width=100.0,
+    )
+    return joined.select(
+        "p_partkey", "l_orderkey", "l_linenumber", "l_quantity", "p_retailprice"
     )
 
 

@@ -188,3 +188,30 @@ def test_bpe_tokens_shape(spark):
     assert toks == ["Hello", " world", "'s", " 42", " co", "-", "ops", " done"]
     # lossless: concatenation reconstructs the input
     assert "".join(toks) == "Hello world's 42 co-ops done"
+
+
+def test_ivf_save_load_roundtrip(embeddings, tmp_path):
+    """Persisted IVF index: search on a loaded index returns the same
+    neighbors, and the assignment is laid out partitionBy(cell) so a
+    probe reads only its nprobe cells (verified via input_file_name)."""
+    from snapflow_spark.operators.similarity import IVFIndex
+
+    probes = embeddings.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    index = IVFIndex.build(embeddings, k_cells=8)
+    before = {(r.probe_id, r.vec_id) for r in index.search(probes, k=5, nprobe=3).collect()}
+
+    path = str(tmp_path / "ivf")
+    index.save(path)
+    spark = embeddings.sparkSession
+    loaded = IVFIndex.load(spark, path)
+    after = {(r.probe_id, r.vec_id) for r in loaded.search(probes, k=5, nprobe=3).collect()}
+    assert after == before
+
+    cell_dirs = {p.name for p in (tmp_path / "ivf" / "assigned").glob("cell=*")}
+    assert len(cell_dirs) == 8
+    # partition pruning: a single-cell filter reads exactly one cell dir
+    one = loaded.assigned.where(F.col("cell") == 3)
+    files = {r[0] for r in one.select(F.input_file_name()).distinct().collect()}
+    assert files and all("cell=3" in f for f in files)

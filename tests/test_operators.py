@@ -245,3 +245,31 @@ def test_python_udtf_sentence_split(spark):
     # direct table-function call form
     direct = SplitSentences(F.lit("A. B.")).collect()
     assert [r.sentence for r in direct] == ["A.", "B."]
+
+
+def test_banded_range_join_matches_naive(spark):
+    """Banded rewrite must equal the naive theta join for any band
+    width, including intervals spanning many bands and NULLs."""
+    from snapflow_spark.operators.rangejoin import banded_range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.5, 10.0, 99.9, 100.0, 250.0, -5.0])]
+        + [(99, None)],
+        "pid long, v double",
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0.0, 1.0), (2, 5.0, 150.0), (3, 99.95, 100.05), (4, -10.0, -1.0), (5, None, 5.0)],
+        "iid long, lo double, hi double",
+    )
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.join(ivs, pts.v.between(ivs.lo, ivs.hi)).collect()
+    }
+    for w in (0.5, 7.0, 1000.0):
+        banded = {
+            (r.pid, r.iid)
+            for r in banded_range_join(
+                pts, ivs, point=pts.v, lo=ivs.lo, hi=ivs.hi, band_width=w
+            ).collect()
+        }
+        assert banded == naive, w
