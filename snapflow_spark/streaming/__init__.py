@@ -6,6 +6,7 @@ from snapflow_spark.streaming.windows import (
 from snapflow_spark.streaming.runner import (
     run_stream_to_batch,
     stream_from_snapshots,
+    stream_to_snapshots,
     streaming_dedupe,
 )
 from snapflow_spark.streaming.stateful import running_user_stats
@@ -15,6 +16,7 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "stream_from_snapshots",
+    "stream_to_snapshots",
     "run_stream_to_batch",
     "streaming_dedupe",
     "running_user_stats",

@@ -50,6 +50,41 @@ def streaming_dedupe(
     return stream.withWatermark(ts, watermark).dropDuplicates(keys)
 
 
+def stream_to_snapshots(
+    stream: DataFrame,
+    store,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """writeStream -> SnapshotStore: every micro-batch appends one
+    immutable snapshot, so downstream *batch* Pipeline nodes consume a
+    live stream through the same ledgered incremental path as any
+    other source — snapflow's stream/batch unification on Spark.
+
+    foreachBatch gives exactly-once per epoch via the checkpoint: a
+    replayed epoch re-runs the function, and the store append is made
+    idempotent by naming the snapshot after the epoch id."""
+    import shutil
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sid = f"snapshot-{epoch_id:06d}-stream"
+        target = store.path / sid
+        if target.exists():  # replayed epoch: overwrite atomically
+            shutil.rmtree(target)
+        batch_df.write.mode("errorifexists").parquet(str(target))
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def run_stream_to_batch(
     stream: DataFrame,
     output_mode: str = "append",

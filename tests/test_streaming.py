@@ -149,3 +149,38 @@ def test_stateful_running_stats_across_microbatches(spark, tmp_path):
     assert abs(final[1].ewma - 22.5) < 1e-9
     assert final[2].n_events == 2 and final[2].total == 12.0
     assert abs(final[2].ewma - (0.5 * 7 + 0.5 * 5)) < 1e-9
+
+
+def test_stream_to_snapshots_feeds_batch_pipeline(spark, tmp_path):
+    """The stream/batch unification loop: streaming micro-batches land
+    as ledgerable snapshots; a batch Pipeline node consumes them
+    incrementally; restarting the stream processes only new files."""
+    from snapflow_spark.incremental import Node, Pipeline
+    from snapflow_spark.streaming import stream_from_snapshots, stream_to_snapshots
+
+    raw = SnapshotStore(tmp_path / "raw")
+    raw.append(_mk_events(spark, [(1, 0, 1, 1.0), (2, 5, 2, 2.0)]))
+
+    landed = SnapshotStore(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_from_snapshots(spark, str(raw.path), EV_SCHEMA)
+    enriched = stream.withColumn("value2", F.col("value") * 2)
+    stream_to_snapshots(enriched, landed, checkpoint=ckpt)
+    assert landed.read(spark).count() == 2
+
+    p = Pipeline(str(tmp_path / "wh"))
+    p.sources["landed"] = landed
+    p.add_node(
+        Node("sink", lambda spark, input: input.select("event_id", "value2"),
+             {"input": ("landed", "consumable")})
+    )
+    assert p.produce(spark) == 1
+    assert p.store("sink").read(spark).count() == 2
+
+    # more stream data -> only the new file becomes a new snapshot
+    raw.append(_mk_events(spark, [(3, 10, 1, 5.0)]))
+    stream2 = stream_from_snapshots(spark, str(raw.path), EV_SCHEMA)
+    stream_to_snapshots(stream2.withColumn("value2", F.col("value") * 2), landed, checkpoint=ckpt)
+    assert landed.read(spark).count() == 3
+    assert p.produce(spark) == 1  # only the delta flows on
+    assert p.store("sink").read(spark).count() == 3
