@@ -249,3 +249,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "modality", F.size("features").alias("dim"),
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+@query(
+    "q_pipeline_docs",
+    oracle=r"""
+    WITH dedup AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+    ), kept AS (
+      SELECT d.*
+      FROM documents d JOIN dedup USING (doc_id)
+      WHERE d.n_chars >= 80
+        AND len(regexp_extract_all(d.text, '\S+')) >= 15
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed north-star pipeline:
+    exact dedup (keep min doc_id per normalized fingerprint) -> quality
+    gate (length + token floor) -> per-language corpus stats. One
+    dedup shuffle + one agg shuffle; the dedup keep-set semi-joins the
+    corpus so dropped copies never reach the quality stage."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(d, text_col="text", id_col="doc_id").select("doc_id")
+    kept = d.join(keep, "doc_id", "left_semi").where(
+        (F.col("n_chars") >= 80) & (token_count_expr("text") >= 15)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_expr("text").cast("bigint")).alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -196,3 +196,32 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         F.size(F.map_keys(parsed)).alias("n_keys"),
     )
+
+
+@query(
+    "q_scalar_cast",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+           COALESCE(TRY_CAST(o_orderstatus AS BIGINT), -1) AS status_num,
+           NULLIF(o_orderstatus, 'O') AS status_nz,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_long,
+           CAST(CAST(o_orderkey AS DOUBLE) AS STRING) AS key_str
+    FROM orders
+    """,
+)
+def q_scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast/null family: try_cast (ANSI-safe failure -> NULL),
+    coalesce, nullif, numeric/string round-trips — identical semantics
+    both engines, exercised on real mixed-content columns."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias("prio_num"),
+        F.coalesce(F.col("o_orderstatus").try_cast("bigint"), F.lit(-1)).alias("status_num"),
+        F.nullif("o_orderstatus", F.lit("O")).alias("status_nz"),
+        # explicit floor: CAST(double AS BIGINT) truncates in Spark but
+        # rounds in DuckDB — the only divergent cast in the family
+        F.floor("o_totalprice").cast("bigint").alias("price_long"),
+        F.col("o_orderkey").cast("double").cast("string").alias("key_str"),
+    )
