@@ -77,15 +77,22 @@ class IVFIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         seed: int = 42,
+        max_iter: int = 8,
     ) -> "IVFIndex":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         # no ensure_parallelism here: KMeans.fit launches maxIter jobs,
         # so more partitions of a small corpus = scheduler overhead, and
-        # a big corpus arrives pre-split from its scan anyway
+        # a big corpus arrives pre-split from its scan anyway.
+        # max_iter=8: a coarse IVF quantizer needs rough cells, not
+        # converged clustering — recall comes from nprobe, and each
+        # extra iteration is one more full pass over the corpus.
         feats = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
-        km = KMeans(k=k_cells, seed=seed, featuresCol="__features", predictionCol="cell")
+        km = KMeans(
+            k=k_cells, seed=seed, maxIter=max_iter,
+            featuresCol="__features", predictionCol="cell",
+        )
         model = km.fit(feats)
         assigned = model.transform(feats).drop("__features")
         import numpy as np
