@@ -1,0 +1,67 @@
+"""CLI entry point — snapflow's ``snapflow run ...`` analogue
+(SURVEY.md §3.1 EP3 [P snapflow/cli/]).
+
+    python -m snapflow_spark list
+    python -m snapflow_spark run q_agg_basic [--sf DIR] [--limit N] [--explain]
+    python -m snapflow_spark schema q_agg_basic
+
+``run`` executes a declared query and prints rows; ``--explain`` prints
+the formatted physical plan instead (the plan-quality workflow).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    from snapflow_spark.catalog import DEFAULT_SF_DIR
+
+    ap = argparse.ArgumentParser(prog="snapflow_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list declared queries")
+    run = sub.add_parser("run", help="run a declared query")
+    run.add_argument("name")
+    run.add_argument("--sf", default=DEFAULT_SF_DIR)
+    run.add_argument("--limit", type=int, default=20)
+    run.add_argument("--explain", action="store_true")
+    sch = sub.add_parser("schema", help="show a query's result schema")
+    sch.add_argument("name")
+    sch.add_argument("--sf", default=DEFAULT_SF_DIR)
+    args = ap.parse_args(argv)
+
+    from snapflow_spark.registry import QUERIES, all_queries
+
+    queries = all_queries()
+    if args.cmd == "list":
+        for name in sorted(queries):
+            spec = QUERIES[name]
+            kind = "oracle" if spec.oracle else "rows-only"
+            doc = (spec.doc or "").strip().splitlines()
+            print(f"{name:28s} {kind:9s} {doc[0] if doc else ''}")
+        return 0
+
+    if args.name not in queries:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+
+    from snapflow_spark.session import build_session
+
+    spark = build_session(f"cli-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = queries[args.name](spark, args.sf)
+    if args.cmd == "schema":
+        print(df.schema.simpleString())
+        return 0
+    if args.explain:
+        from snapflow_spark.plans import plan_text
+
+        print(plan_text(df))
+        return 0
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -273,3 +273,46 @@ def test_banded_range_join_matches_naive(spark):
             ).collect()
         }
         assert banded == naive, w
+
+
+def test_expectations_single_pass_and_quarantine(spark):
+    from snapflow_spark.operators.quality import (
+        check_expectations,
+        in_range,
+        matches,
+        not_null,
+        one_of,
+        quarantine,
+        unique_key_check,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.com", 10.0, "en"),
+            (2, None, 5.0, "en"),          # null email
+            (3, "bad-email", -2.0, "xx"),  # bad email, range, lang
+            (4, "d@x.com", 7.0, "de"),
+        ],
+        "id long, email string, score double, lang string",
+    )
+    exps = [
+        not_null("email"),
+        matches("email", r"^[^@]+@[^@]+$"),
+        in_range("score", lo=0.0),
+        one_of("lang", ["en", "de", "fr"]),
+    ]
+    report = check_expectations(df, exps)
+    assert report["rows"] == 4
+    assert report["email_not_null_failures"] == 1
+    assert report["email_matches_failures"] == 1  # NULL passes matches
+    assert report["score_in_range_failures"] == 1
+    assert report["lang_one_of_failures"] == 1
+
+    passed, failed = quarantine(df, exps)
+    assert {r.id for r in passed.collect()} == {1, 4}
+    fails = {r.id: set(r.failed_checks) for r in failed.collect()}
+    assert fails[2] == {"email_not_null"}
+    assert fails[3] == {"email_matches", "score_in_range", "lang_one_of"}
+
+    assert unique_key_check(df, ["id"]) == 0
+    assert unique_key_check(df.union(df), ["id"]) == 4
