@@ -3,6 +3,7 @@ from snapflow_spark.multimodal.columns import (
     attach_fake_blob,
     decode_image,
     extract_features,
+    resize_images,
     sample_frames,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "attach_fake_blob",
     "decode_image",
     "extract_features",
+    "resize_images",
     "sample_frames",
 ]

@@ -92,6 +92,33 @@ def extract_features(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_i
     )
 
 
+def resize_images(
+    df: DataFrame, width: int, height: int, blob_col: str = "blob"
+) -> DataFrame:
+    """Resize plan for image blobs via mapInPandas: the metadata struct
+    is rewritten to the target dimensions and the blob passes through a
+    per-batch transform. The pixel resample itself is STUBBED (same
+    codec constraint as decode_image — a deterministic truncate/pad of
+    the byte payload stands in), so tests pin the real contract: batch
+    iteration, schema preservation, metadata correctness."""
+    meta_t = BLOB_META_SCHEMA
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height  # stand-in payload size
+        for pdf in batches:
+            out = pdf.copy()
+            out["blob"] = [
+                bytes(b or b"")[:target].ljust(target, b"\0") for b in pdf["blob"]
+            ]
+            yield out
+
+    resized_meta = F.col("meta").withField("width", F.lit(width).cast("int")).withField(
+        "height", F.lit(height).cast("int")
+    )
+    with_meta = df.withColumn("meta", resized_meta)
+    return with_meta.mapInPandas(_resize, schema=with_meta.schema)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video blobs: emits (doc_id, frame_ms)
     rows from the metadata duration — the real decoder would seek

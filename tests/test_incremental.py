@@ -148,3 +148,35 @@ def test_compaction_preserves_incremental_semantics(spark, tmp_path):
     src.append(spark.createDataFrame([(100,)], "id long"))
     with pytest.raises(ValueError, match="unconsumed"):
         p.compact_store(spark, "raw")
+
+
+def test_crash_between_write_and_ledger_is_at_least_once(spark, tmp_path):
+    """The documented recovery contract: output snapshot written but
+    consumption NOT yet ledgered (crash window) -> the re-run processes
+    the same delta again, appending a duplicate snapshot. Downstream
+    keep-latest state nodes absorb the duplicates; append-log consumers
+    see at-least-once."""
+    from snapflow_spark.incremental import Node, Pipeline
+
+    p = Pipeline(str(tmp_path / "wh"))
+    src = p.add_source("raw")
+    p.add_node(Node("copy", lambda spark, input: input, {"input": ("raw", "consumable")}))
+    src.append(spark.createDataFrame([(1,)], "id long"))
+    p.produce(spark)
+    assert p.store("copy").read(spark).count() == 1
+
+    # simulate the crash window: forget the consumption record only
+    del p.ledger._data["copy"]
+    p.ledger._flush()
+
+    p2 = Pipeline(str(tmp_path / "wh"))
+    p2.sources["raw"] = src
+    p2.add_node(Node("copy", lambda spark, input: input, {"input": ("raw", "consumable")}))
+    assert p2.produce(spark) == 1  # re-processes the unledgered delta
+    # append-log output now holds the duplicate: at-least-once, as documented
+    assert p2.store("copy").read(spark).count() == 2
+    # dedupe-keep-latest over the log restores exactly-once state
+    from snapflow_spark.operators import dedupe_keep_latest
+    import pyspark.sql.functions as F
+    log = p2.store("copy").read(spark).withColumn("one", F.lit(1))
+    assert dedupe_keep_latest(log, ["id"], ["one"]).count() == 1

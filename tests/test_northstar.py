@@ -215,3 +215,18 @@ def test_ivf_save_load_roundtrip(embeddings, tmp_path):
     one = loaded.assigned.where(F.col("cell") == 3)
     files = {r[0] for r in one.select(F.input_file_name()).distinct().collect()}
     assert files and all("cell=3" in f for f in files)
+
+
+def test_resize_images_plumbing(spark, planted):
+    from snapflow_spark.multimodal import attach_fake_blob, resize_images
+
+    df, _n, _e = planted
+    blobs = attach_fake_blob(df.limit(5))
+    resized = resize_images(blobs, width=16, height=4)
+    rows = resized.collect()
+    assert len(rows) == 5
+    assert all(len(bytes(r.blob)) == 64 for r in rows)  # 16*4 stand-in payload
+    assert all((r.meta.width, r.meta.height) == (16, 4) for r in rows)
+    # schema-preserving transform (mapInPandas normalizes nullability,
+    # so compare names + types, not the exact StructType)
+    assert resized.schema.simpleString() == blobs.schema.simpleString()
