@@ -288,3 +288,71 @@ def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count_expr("text").cast("bigint")).alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), g AS (
+      SELECT doc_id, source,
+             list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                    ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over a deterministic candidate set (all
+    same-source pairs in two sources) — the dedup cascade's verify
+    stage as its own oracle-matched query (operators.dedup_text.
+    ngram_jaccard_pairs; the LSH candidate generators stay rows-only
+    because no shared cross-engine hash exists for minhash)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    )
+    ids = d.select("doc_id", "source")
+    a = ids.select(F.col("doc_id").alias("id_a"), F.col("source").alias("s_a"))
+    b = ids.select(F.col("doc_id").alias("id_b"), F.col("source").alias("s_b"))
+    cands = a.join(b, (F.col("s_a") == F.col("s_b")) & (F.col("id_a") < F.col("id_b"))).select(
+        "id_a", "id_b"
+    )
+    out = ngram_jaccard_pairs(d, cands, n=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "q_embed_near_exact",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 300 AND b.vec_id < 300
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.2
+    """,
+)
+def q_embed_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs over a bounded slice — the
+    brute-force ground truth the SRP-LSH path (q_embed_near_dup,
+    rows-only) approximates; oracle-matched via the shared
+    double-precision cosine."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", cosine_similarity("e_a", "e_b").alias("cos_raw")
+    )
+    return pairs.where(F.col("cos_raw") >= 0.2).select(
+        "id_a", "id_b", F.round("cos_raw", 6).alias("cos")
+    )
