@@ -197,6 +197,42 @@ def minhash_candidates(
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 
+def mingram_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Deterministic near-dup candidate pairs via min-gram blocking —
+    a 1-permutation MinHash: each doc's block key is the minimum
+    sha256 over its distinct token n-grams, and candidates are the
+    in-block pairs. Same physical shape as every LSH generator here
+    (ONE shuffle groupBy(block), bounded in-block pairs, never N²),
+    but built from sha256 + array_min only, so a SQL oracle can
+    reproduce the exact candidate set cross-engine — which is what
+    lets the verify stage stay hash-matched (q_dedup_ngram).
+
+    Recall is that of a single band (docs sharing their rarest gram);
+    the multi-band generators (minhash_candidates) trade oracle
+    reproducibility for higher recall.
+    """
+    blocked = (
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.array_distinct(ngram_expr(tokens_expr(text_col), n)).alias("grams"))
+        .select("id", F.array_min(F.transform("grams", lambda g: F.sha2(g, 256))).alias("blk"))
+    )
+    pairs = bucketed_pairs(
+        blocked,
+        ["blk"],
+        F.struct("id"),
+        lambda x, y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b")),
+        max_bucket=max_bucket,
+    )
+    # one block per doc -> no cross-bucket duplicates to drop
+    return pairs
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

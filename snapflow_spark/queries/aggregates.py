@@ -127,22 +127,38 @@ def q_agg_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_agg_rollup",
+    "q_agg_rollup_cube",
     oracle="""
-    SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_orders,
-           CAST(GROUPING(n.n_name) AS INT) AS g_nation,
-           CAST(GROUPING(CAST(year(o.o_orderdate) AS INT)) AS INT) AS g_year
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY ROLLUP (n.n_name, CAST(year(o.o_orderdate) AS INT))
+    SELECT 'rollup' AS mode, d1, CAST(d2i AS VARCHAR) AS d2,
+           revenue, n_orders, g1, g2
+    FROM (
+      SELECT n.n_name AS d1, CAST(year(o.o_orderdate) AS INT) AS d2i,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders,
+             CAST(GROUPING(n.n_name) AS INT) AS g1,
+             CAST(GROUPING(CAST(year(o.o_orderdate) AS INT)) AS INT) AS g2
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY ROLLUP (n.n_name, CAST(year(o.o_orderdate) AS INT)))
+    UNION ALL
+    SELECT 'cube' AS mode, o_orderstatus AS d1, o_orderpriority AS d2,
+           revenue, n_orders, g1, g2
+    FROM (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+             CAST(GROUPING(o_orderpriority) AS INT) AS g2
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority))
     """,
 )
-def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP (nation, year) with GROUPING flags — Spark's expand
-    operator computes all rollup levels in one pass over the shuffle."""
+def q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, year) over a broadcast-dimension join AND CUBE
+    (status, priority), tagged and unioned — Spark's expand operator
+    computes all grouping levels of each branch in one pass over its
+    shuffle; GROUPING flags disambiguate super-aggregate rows."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
@@ -151,12 +167,43 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .withColumn("o_year", F.year("o_orderdate"))
     )
-    return joined.rollup("n_name", "o_year").agg(
-        exact_sum("o_totalprice", "revenue"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.grouping("n_name").cast("int").alias("g_nation"),
-        F.grouping("o_year").cast("int").alias("g_year"),
+    rollup = (
+        joined.rollup("n_name", "o_year")
+        .agg(
+            exact_sum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("n_name").cast("int").alias("g1"),
+            F.grouping("o_year").cast("int").alias("g2"),
+        )
+        .select(
+            F.lit("rollup").alias("mode"),
+            F.col("n_name").alias("d1"),
+            F.col("o_year").cast("string").alias("d2"),
+            "revenue",
+            "n_orders",
+            "g1",
+            "g2",
+        )
     )
+    cube = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            exact_sum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").cast("int").alias("g1"),
+            F.grouping("o_orderpriority").cast("int").alias("g2"),
+        )
+        .select(
+            F.lit("cube").alias("mode"),
+            F.col("o_orderstatus").alias("d1"),
+            F.col("o_orderpriority").alias("d2"),
+            "revenue",
+            "n_orders",
+            "g1",
+            "g2",
+        )
+    )
+    return rollup.unionByName(cube)
 
 
 @query(
@@ -255,31 +302,4 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         inputs={"orders_snap_input": load_table(spark, sf_dir, "orders")},
         params={"orders_view": "orders_snap_input"},
-    )
-
-
-@query(
-    "q_agg_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_orders,
-           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
-           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE (status, priority) with GROUPING flags — all 4 grouping
-    levels in one expand + one shuffle, like rollup."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            exact_sum("o_totalprice", "revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.grouping("o_orderstatus").cast("int").alias("g_status"),
-            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-        )
     )

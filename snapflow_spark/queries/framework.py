@@ -75,29 +75,36 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_scan_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
-def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV scan (SURVEY §2.A A6): write the nation dim to CSV, read it
-    back with schema inference, and prove the round-trip is lossless."""
-    path = str(_SCRATCH / "csv_roundtrip" / "nation")
-    write_csv(load_table(spark, sf_dir, "nation"), path)
-    df = read_csv(spark, path)
-    return df.select(
+@query(
+    "q_scan_formats",
+    oracle="""
+    SELECT 'csv' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT 'jsonl' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format round-trips (SURVEY §2.A A6 import_csv + §2.B.1
+    JSONL scan) in one tagged union: write the nation dim to CSV and
+    to JSON-lines, read both back (CSV with schema inference), and
+    prove both round-trips are lossless."""
+    csv_path = str(_SCRATCH / "csv_roundtrip" / "nation")
+    write_csv(load_table(spark, sf_dir, "nation"), csv_path)
+    from_csv = read_csv(spark, csv_path).select(
+        F.lit("csv").alias("fmt"),
         F.col("n_nationkey").cast("int"),
         F.col("n_name").cast("string"),
         F.col("n_regionkey").cast("int"),
     )
-
-
-@query(
-    "q_scan_jsonl",
-    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
-)
-def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines scan (SURVEY §2.B.1): documents -> JSONL -> read back."""
-    path = str(_SCRATCH / "jsonl_roundtrip" / "documents")
-    write_jsonl(load_table(spark, sf_dir, "documents"), path)
-    return read_jsonl(spark, path).select("doc_id", "text", "lang", "source", "n_chars")
+    jsonl_path = str(_SCRATCH / "jsonl_roundtrip" / "nation")
+    write_jsonl(load_table(spark, sf_dir, "nation"), jsonl_path)
+    from_jsonl = read_jsonl(spark, jsonl_path).select(
+        F.lit("jsonl").alias("fmt"),
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("int"),
+    )
+    return from_csv.unionByName(from_jsonl)
 
 
 @query(
@@ -151,7 +158,11 @@ def q_incremental_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = state.select(
             "user_id", "event_type", "event_id", ts_millis("ts", "ts_ms"), "value"
         )
-        rows = result.collect()  # materialize before the warehouse vanishes
-        return spark.createDataFrame(rows, result.schema)
+        # Distributed write to a stable scratch path (survives the
+        # warehouse teardown below), then a lazy parquet read — the
+        # final state never concentrates on the driver.
+        out = str(_SCRATCH / "incremental_state")
+        result.write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)

@@ -28,6 +28,7 @@ from snapflow_spark.functions.vectors import cosine_similarity
 from snapflow_spark.multimodal import attach_fake_blob, extract_features
 from snapflow_spark.operators.dedup_text import (
     exact_dedup,
+    mingram_candidates,
     minhash_candidates,
     ngram_jaccard_pairs,
     simhash_candidates,
@@ -294,38 +295,41 @@ def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram",
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
-      FROM documents WHERE source IN ('src0', 'src1')
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
     ), g AS (
-      SELECT doc_id, source,
+      SELECT doc_id,
              list_distinct(
                CASE WHEN len(toks) >= 3
                     THEN list_transform(range(1, len(toks) - 1),
                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
                     ELSE [array_to_string(toks, ' ')] END) AS grams
       FROM t
+    ), k AS (
+      SELECT doc_id, grams,
+             list_min(list_transform(grams, x -> sha256(x))) AS blk
+      FROM g
+    ), m AS (
+      SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn FROM k
+    ), b AS (
+      SELECT * FROM m WHERE rn <= 64
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                 / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
-    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+                 / len(list_distinct(a.grams || c.grams)), 6) AS jaccard
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard over a deterministic candidate set (all
-    same-source pairs in two sources) — the dedup cascade's verify
-    stage as its own oracle-matched query (operators.dedup_text.
-    ngram_jaccard_pairs; the LSH candidate generators stay rows-only
-    because no shared cross-engine hash exists for minhash)."""
-    d = load_table(spark, sf_dir, "documents").where(
-        F.col("source").isin("src0", "src1")
-    )
-    ids = d.select("doc_id", "source")
-    a = ids.select(F.col("doc_id").alias("id_a"), F.col("source").alias("s_a"))
-    b = ids.select(F.col("doc_id").alias("id_b"), F.col("source").alias("s_b"))
-    cands = a.join(b, (F.col("s_a") == F.col("s_b")) & (F.col("id_a") < F.col("id_b"))).select(
-        "id_a", "id_b"
-    )
+    """Exact n-gram Jaccard over min-gram-blocked candidates
+    (operators.dedup_text.mingram_candidates — a 1-permutation MinHash
+    whose sha256 block key a SQL oracle reproduces exactly): the full
+    candidates -> verify cascade in the scale-shaped form. Candidates
+    come from ONE shuffle on the block key with bounded in-block pairs
+    (max_bucket=64, id-sorted — the oracle replays the truncation with
+    row_number), never an all-pairs join; the verify stage semi-joins
+    the corpus down to candidate members before computing grams."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = mingram_candidates(d, n=3, max_bucket=64)
     out = ngram_jaccard_pairs(d, cands, n=3)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

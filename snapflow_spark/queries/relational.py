@@ -34,17 +34,26 @@ from snapflow_spark.registry import query
     SELECT l_orderkey, l_linenumber,
            CAST({REVENUE_SQL} AS DOUBLE) AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R'
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag IN ('R', 'A')
+      AND l_quantity BETWEEN 5 AND 45
+      AND l_linestatus LIKE 'F%'
+      AND l_partkey IS NOT NULL
     """,
 )
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter + computed projection; both predicates reach the parquet
-    scan as PushedFilters, and ReadSchema carries only 5 columns."""
+    """Filter + computed projection with the full predicate stack
+    (timestamp compare, IN, BETWEEN, LIKE, null test — §2.B.2's two
+    roster rows in one query); every predicate reaches the parquet scan
+    as a PushedFilter and ReadSchema carries only the needed columns."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .where(
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_returnflag") == "R")
+            & F.col("l_returnflag").isin("R", "A")
+            & F.col("l_quantity").between(5, 45)
+            & F.col("l_linestatus").like("F%")
+            & F.col("l_partkey").isNotNull()
         )
         .select(
             "l_orderkey",
@@ -52,28 +61,6 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             revenue_col().cast("double").alias("revenue"),
         )
     )
-
-
-@query(
-    "q_predicates",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-    FROM orders
-    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-      AND o_totalprice BETWEEN 50000 AND 200000
-      AND o_orderstatus LIKE 'F%'
-      AND o_custkey IS NOT NULL
-    """,
-)
-def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN / BETWEEN / LIKE / null-test predicate stack, all pushable."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.where(
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-        & F.col("o_totalprice").between(50000, 200000)
-        & F.col("o_orderstatus").like("F%")
-        & F.col("o_custkey").isNotNull()
-    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
 
 
 @query(
@@ -144,43 +131,40 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_join_semi",
+    "q_join_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'semi' AS mode, c_custkey, c_name FROM customer c
     WHERE EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
             AND o.o_totalprice > 350000)
-    """,
-)
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join (EXISTS): customers with ≥1 large urgent order.
-    Semi joins shuffle only the key column of the probe side."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
-    )
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@query(
-    "q_join_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'anti' AS mode, c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     """,
 )
-def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS): customers with no 400k+ order."""
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) and LEFT ANTI (NOT EXISTS) in one tagged
+    union — both join strategies appear in the single plan. Semi/anti
+    joins shuffle only the key column of the probe side: 'semi' =
+    customers with ≥1 large urgent order, 'anti' = customers with no
+    400k+ order."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    o_urgent = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
     )
+    o_high = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    semi = (
+        c.join(o_urgent, c.c_custkey == o_urgent.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("mode"), "c_custkey", "c_name")
+    )
+    anti = (
+        c.join(o_high, c.c_custkey == o_high.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("mode"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti)
 
 
 @query(

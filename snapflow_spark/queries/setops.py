@@ -37,30 +37,29 @@ def _recent(spark, sf_dir):
 
 
 @query(
-    "q_union_all",
+    "q_union",
     oracle=f"""
-    SELECT o_custkey FROM orders WHERE {_HIGH}
+    SELECT 'all' AS mode, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE {_HIGH}
+      UNION ALL
+      SELECT o_custkey FROM orders WHERE {_RECENT})
     UNION ALL
-    SELECT o_custkey FROM orders WHERE {_RECENT}
+    SELECT 'distinct' AS mode, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE {_HIGH}
+      UNION
+      SELECT o_custkey FROM orders WHERE {_RECENT})
     """,
 )
-def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream merge (UNION ALL, duplicates preserved) via
-    operators.merge_streams — a logical concat, no shuffle."""
-    return merge_streams(_high(spark, sf_dir), _recent(spark, sf_dir))
-
-
-@query(
-    "q_union_distinct",
-    oracle=f"""
-    SELECT o_custkey FROM orders WHERE {_HIGH}
-    UNION
-    SELECT o_custkey FROM orders WHERE {_RECENT}
-    """,
-)
-def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct): merge + one hash-distinct shuffle on the key."""
-    return merge_streams(_high(spark, sf_dir), _recent(spark, sf_dir)).distinct()
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream merge (UNION ALL, duplicates preserved — snapflow's A8
+    merge, a zero-shuffle logical concat via operators.merge_streams)
+    and UNION DISTINCT (merge + one hash-distinct shuffle on the key)
+    as two tagged branches of one result."""
+    both = merge_streams(_high(spark, sf_dir), _recent(spark, sf_dir))
+    dedup = merge_streams(_high(spark, sf_dir), _recent(spark, sf_dir)).distinct()
+    return both.select(F.lit("all").alias("mode"), "o_custkey").unionByName(
+        dedup.select(F.lit("distinct").alias("mode"), "o_custkey")
+    )
 
 
 @query(

@@ -19,57 +19,58 @@ def _win_ms(field: str, alias: str):
 
 
 @query(
-    "q_stream_tumbling",
+    "q_stream_windows",
     oracle=f"""
-    SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS ws_ms,
+    SELECT 'tumbling' AS mode,
+           CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS ws_ms,
            COUNT(*) AS n_events,
            {exact_sum_sql('value', 'sum_value')}
-    FROM events GROUP BY 1
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT 'sliding' AS mode, ws_ms, n_events, sum_value FROM (
+      WITH buckets AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, value FROM events
+      )
+      SELECT CAST(epoch_ms(ws) AS BIGINT) AS ws_ms,
+             COUNT(*) AS n_events,
+             {exact_sum_sql('value', 'sum_value')}
+      FROM buckets GROUP BY 1)
     """,
 )
-def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows via streaming.tumbling_agg (batch mode).
-    Spark's window() start aligns to the epoch hour = DuckDB's
-    date_trunc('hour')."""
+def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows AND sliding 1-hour/30-minute windows
+    (batch runs of the same window() expressions Structured Streaming
+    uses), tagged and unioned. Spark's window() start aligns to the
+    epoch hour = DuckDB's date_trunc('hour'); for the sliding branch
+    every event lands in exactly two windows and the oracle replays
+    that expansion with time_bucket arithmetic."""
     e = load_table(spark, sf_dir, "events")
-    out = tumbling_agg(
+    tumbling = tumbling_agg(
         e,
         ts="ts",
         duration="1 hour",
         aggs=[F.count(F.lit(1)).alias("n_events"), exact_sum("value", "sum_value")],
+    ).select(
+        F.lit("tumbling").alias("mode"),
+        _win_ms("window_start", "ws_ms"),
+        "n_events",
+        "sum_value",
     )
-    return out.select(
-        _win_ms("window_start", "ws_ms"), "n_events", "sum_value"
-    )
-
-
-@query(
-    "q_stream_sliding",
-    oracle=f"""
-    WITH buckets AS (
-      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
-      UNION ALL
-      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, value FROM events
-    )
-    SELECT CAST(epoch_ms(ws) AS BIGINT) AS ws_ms,
-           COUNT(*) AS n_events,
-           {exact_sum_sql('value', 'sum_value')}
-    FROM buckets GROUP BY 1
-    """,
-)
-def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1 hour every 30 minutes): every event lands in
-    exactly two windows; the oracle replays that expansion with
-    time_bucket arithmetic."""
-    e = load_table(spark, sf_dir, "events")
-    out = sliding_agg(
+    sliding = sliding_agg(
         e,
         ts="ts",
         duration="1 hour",
         slide="30 minutes",
         aggs=[F.count(F.lit(1)).alias("n_events"), exact_sum("value", "sum_value")],
+    ).select(
+        F.lit("sliding").alias("mode"),
+        _win_ms("window_start", "ws_ms"),
+        "n_events",
+        "sum_value",
     )
-    return out.select(_win_ms("window_start", "ws_ms"), "n_events", "sum_value")
+    return tumbling.unionByName(sliding)
 
 
 @query(
