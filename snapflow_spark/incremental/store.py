@@ -21,9 +21,16 @@ class SnapshotStore:
         self.path.mkdir(parents=True, exist_ok=True)
 
     def snapshot_ids(self) -> list[str]:
+        """Only COMMITTED snapshots: Spark's parquet committer drops a
+        _SUCCESS marker at job commit, so a dir Spark is still writing
+        (e.g. a live stream epoch) is invisible to readers — without
+        this, a concurrent batch tick could consume a partial snapshot
+        and mark it done, silently losing the rest of its rows."""
         return sorted(
             p.name for p in self.path.iterdir()
-            if p.is_dir() and p.name.startswith("snapshot-")
+            if p.is_dir()
+            and p.name.startswith("snapshot-")
+            and (p / "_SUCCESS").exists()
         )
 
     def _next_id(self) -> str:

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _ORDER = "__asof_order"
+_PAYLOAD = "__asof_payload"
 
 
 def asof_join(
@@ -41,10 +42,18 @@ def asof_join(
         }
     out_cols = list(payload.values())
 
+    # ALL payload columns travel in ONE struct: the struct is non-null
+    # for every right row, so a single last(ignorenulls=True) carries
+    # the whole payload of the most recent matching right row — even
+    # when some of its fields are legitimately NULL. (Filling each
+    # column independently would skip NULL fields and mix values from
+    # different right rows — diverging from merge_asof/ASOF JOIN.)
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias(left_ts),
-        *[F.col(src).alias(dst) for src, dst in payload.items()],
+        F.struct(*[F.col(src).alias(dst) for src, dst in payload.items()]).alias(
+            _PAYLOAD
+        ),
         F.lit(0).alias(_SIDE),
         (F.col(right_order) if right_order else F.lit(0)).alias(_ORDER),
     )
@@ -59,18 +68,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__filled_{c}")
-            for c in out_cols
-        ],
+        "*", F.last(F.col(_PAYLOAD), ignorenulls=True).over(w).alias("__filled")
     )
-    result = (
-        filled.where(F.col(_SIDE) == 1)
-        .drop(_SIDE, _ORDER, *out_cols)
-        .select(
-            *[F.col(c) for c in left.columns],
-            *[F.col(f"__filled_{c}").alias(c) for c in out_cols],
-        )
+    result = filled.where(F.col(_SIDE) == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__filled.{dst}").alias(dst) for dst in out_cols],
     )
     return result

@@ -55,10 +55,18 @@ def one_of(col: str, allowed: list) -> Expectation:
     )
 
 
+def _null_safe(e: Expectation) -> Column:
+    """A predicate evaluating to NULL (e.g. a custom Expectation with
+    no isNull guard) counts as FAILURE — otherwise where(~p) and
+    where(p) would both exclude the row, making it vanish from the
+    quarantine split while check_expectations counted it as a pass."""
+    return F.coalesce(e.predicate, F.lit(False))
+
+
 def check_expectations(df: DataFrame, expectations: list[Expectation]) -> dict:
     """One aggregate pass: {'rows': N, '<name>_failures': k, ...}."""
     aggs = [F.count(F.lit(1)).alias("rows")] + [
-        F.sum(F.when(~e.predicate, 1).otherwise(0)).alias(f"{e.name}_failures")
+        F.sum(F.when(~_null_safe(e), 1).otherwise(0)).alias(f"{e.name}_failures")
         for e in expectations
     ]
     row = df.agg(*aggs).first()
@@ -68,14 +76,15 @@ def check_expectations(df: DataFrame, expectations: list[Expectation]) -> dict:
 def quarantine(
     df: DataFrame, expectations: list[Expectation]
 ) -> tuple[DataFrame, DataFrame]:
-    """(passed, failed) split on the conjunction of all expectations.
+    """(passed, failed) split on the conjunction of all expectations;
+    every input row lands in exactly one side (NULL predicate = fail).
     ``failed`` carries a ``failed_checks`` array naming what broke."""
     all_pass = F.lit(True)
     for e in expectations:
-        all_pass = all_pass & e.predicate
+        all_pass = all_pass & _null_safe(e)
     failed_names = F.array_compact(
         F.array(
-            *[F.when(~e.predicate, F.lit(e.name)) for e in expectations]
+            *[F.when(~_null_safe(e), F.lit(e.name)) for e in expectations]
         )
     )
     passed = df.where(all_pass)

@@ -35,7 +35,18 @@ def banded_range_join(
     """Join every ``points`` row to the ``intervals`` rows whose
     [lo, hi] contains ``point``. ``point`` must reference only
     ``points`` columns; ``lo``/``hi`` only ``intervals`` columns.
-    NULL point or bounds never match (BETWEEN semantics)."""
+    NULL point or bounds never match (BETWEEN semantics).
+
+    Inner only: the exact range predicate is applied AFTER the band
+    equi-join, which would silently drop the null-extended rows of an
+    outer join (turning it back into an inner join). Compose outer
+    semantics explicitly on top (e.g. left-join the inner result back
+    to ``points``)."""
+    if how != "inner":
+        raise ValueError(
+            "banded_range_join supports how='inner' only; the post-join "
+            "range filter would drop outer-join null-extended rows"
+        )
     w = float(band_width)
     pts = points.withColumn("__band", F.floor(point / w).cast("long"))
     ivs = intervals.withColumn(

@@ -29,6 +29,9 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # pinned explicitly (not left to Spark's default) — SCALE.md's
+    # skew story depends on AQE splitting oversized join partitions
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
     # default; read as long nanos, converted in catalog.load_table.

@@ -63,15 +63,25 @@ def stream_to_snapshots(
 
     foreachBatch gives exactly-once per epoch via the checkpoint: a
     replayed epoch re-runs the function, and the store append is made
-    idempotent by naming the snapshot after the epoch id."""
+    idempotent by naming the snapshot after the epoch id. Each epoch
+    is written to a dot-prefixed temp dir (invisible to
+    snapshot_ids()) and os.rename()d into place only after the
+    parquet job commits, so concurrent batch Pipeline ticks can never
+    observe a partially written snapshot; snapshot_ids() additionally
+    requires the _SUCCESS marker."""
+    import os
     import shutil
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sid = f"snapshot-{epoch_id:06d}-stream"
         target = store.path / sid
-        if target.exists():  # replayed epoch: overwrite atomically
+        tmp = store.path / f".{sid}.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        batch_df.write.mode("errorifexists").parquet(str(tmp))
+        if target.exists():  # replayed epoch: swap in the rewrite
             shutil.rmtree(target)
-        batch_df.write.mode("errorifexists").parquet(str(target))
+        os.rename(tmp, target)
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
     writer = (

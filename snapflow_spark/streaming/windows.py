@@ -14,15 +14,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _windowed(
+    df: DataFrame,
+    window_col: Column,
+    keys: list[str] | None,
+    aggs: list[Column],
+    start_name: str,
+    end_name: str,
+) -> DataFrame:
+    """groupBy(window, keys).agg(aggs) with the window struct split
+    into named start/end columns. Agg output names are recovered
+    STRUCTURALLY from the aggregated frame's schema (everything after
+    the grouping columns) — no Column._jc string parsing, which breaks
+    under Spark Connect and yields unselectable names for unaliased
+    aggregates."""
+    keys = keys or []
+    grouped = df.groupBy(window_col.alias("w"), *keys).agg(*aggs)
+    agg_names = grouped.columns[1 + len(keys):]
+    return grouped.select(
+        F.col("w.start").alias(start_name),
+        F.col("w.end").alias(end_name),
+        *keys,
+        *agg_names,
+    )
+
+
 def tumbling_agg(
     df: DataFrame, ts: str, duration: str, aggs: list[Column], keys: list[str] | None = None
 ) -> DataFrame:
-    grouped = df.groupBy(F.window(ts, duration).alias("w"), *(keys or []))
-    return grouped.agg(*aggs).select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        *(keys or []),
-        *[c for c in _agg_names(aggs)],
+    return _windowed(
+        df, F.window(ts, duration), keys, aggs, "window_start", "window_end"
     )
 
 
@@ -34,12 +55,8 @@ def sliding_agg(
     aggs: list[Column],
     keys: list[str] | None = None,
 ) -> DataFrame:
-    grouped = df.groupBy(F.window(ts, duration, slide).alias("w"), *(keys or []))
-    return grouped.agg(*aggs).select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        *(keys or []),
-        *[c for c in _agg_names(aggs)],
+    return _windowed(
+        df, F.window(ts, duration, slide), keys, aggs, "window_start", "window_end"
     )
 
 
@@ -48,19 +65,6 @@ def session_agg(
 ) -> DataFrame:
     """Session windows: events within ``gap`` of the previous event
     merge; the window closes ``gap`` after the last event."""
-    grouped = df.groupBy(F.session_window(ts, gap).alias("w"), *keys)
-    return grouped.agg(*aggs).select(
-        F.col("w.start").alias("session_start"),
-        F.col("w.end").alias("session_end"),
-        *keys,
-        *[c for c in _agg_names(aggs)],
+    return _windowed(
+        df, F.session_window(ts, gap), keys, aggs, "session_start", "session_end"
     )
-
-
-def _agg_names(aggs: list[Column]) -> list[str]:
-    # Column metadata keeps the alias; re-reference by name post-agg.
-    names = []
-    for c in aggs:
-        name = c._jc.toString().split(" AS ")[-1].strip("`")
-        names.append(name)
-    return names

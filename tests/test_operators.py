@@ -316,3 +316,65 @@ def test_expectations_single_pass_and_quarantine(spark):
 
     assert unique_key_check(df, ["id"]) == 0
     assert unique_key_check(df.union(df), ["id"]) == 4
+
+
+def test_asof_join_null_payload_not_skipped(spark):
+    """A matching right row whose payload value is legitimately NULL
+    must yield NULL — not an older non-null value carried forward
+    (merge_asof / ASOF JOIN semantics). All payload columns must come
+    from the SAME right row."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01T02:00:00"))],
+        "user_id bigint, event_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), 5.0, "old", 1),
+            (1, _ts("2024-01-01T01:00:00"), None, "new", 2),  # latest match
+        ],
+        "user_id bigint, ts timestamp, value double, tag string, rid bigint",
+    )
+    out = asof_join(
+        left,
+        right,
+        keys=["user_id"],
+        left_ts="ts",
+        payload={"value": "v", "tag": "t"},
+        right_order="rid",
+    ).collect()[0]
+    assert out.v is None  # NOT 5.0 from the older row
+    assert out.t == "new"  # both payload fields from the same right row
+
+
+def test_quarantine_null_predicate_counts_as_failure(spark):
+    """A predicate evaluating to NULL must route the row to `failed`
+    (and count as a failure) — rows must never vanish from the split."""
+    from snapflow_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+        quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0)], "id long, score double"
+    )
+    # deliberately null-unsafe custom predicate: NULL score -> NULL
+    exps = [Expectation("score_positive", F.col("score") > 0)]
+    report = check_expectations(df, exps)
+    assert report["rows"] == 3
+    assert report["score_positive_failures"] == 2  # NULL counts as failure
+    passed, failed = quarantine(df, exps)
+    assert {r.id for r in passed.collect()} == {1}
+    assert {r.id for r in failed.collect()} == {2, 3}  # row 2 not lost
+
+
+def test_banded_range_join_rejects_outer(spark):
+    from snapflow_spark.operators.rangejoin import banded_range_join
+
+    pts = spark.createDataFrame([(1, 5.0)], "id long, x double")
+    ivs = spark.createDataFrame([(1, 0.0, 10.0)], "iid long, lo double, hi double")
+    with pytest.raises(ValueError, match="inner"):
+        banded_range_join(
+            pts, ivs, point=F.col("x"), lo=F.col("lo"), hi=F.col("hi"),
+            band_width=5.0, how="left",
+        )

@@ -184,3 +184,17 @@ def test_stream_to_snapshots_feeds_batch_pipeline(spark, tmp_path):
     assert landed.read(spark).count() == 3
     assert p.produce(spark) == 1  # only the delta flows on
     assert p.store("sink").read(spark).count() == 3
+
+
+def test_snapshot_store_ignores_uncommitted_dirs(spark, tmp_path):
+    """A snapshot dir without Spark's _SUCCESS commit marker (e.g. an
+    epoch still being written by a live stream) must be invisible to
+    snapshot_ids()/read() — otherwise a concurrent batch tick could
+    consume a partial snapshot and mark it done."""
+    store = SnapshotStore(tmp_path / "atomic")
+    store.append(spark.createDataFrame([(1,)], "v int"))
+    partial = store.path / "snapshot-000001"
+    partial.mkdir()
+    (partial / "part-00000.parquet").write_bytes(b"not yet committed")
+    assert store.snapshot_ids() == ["snapshot-000000"]
+    assert store.read(spark).count() == 1
