@@ -25,7 +25,7 @@ from snapflow_spark.functions.text import (
     winnow_fingerprints_expr,
 )
 from snapflow_spark.functions.vectors import cosine_similarity
-from snapflow_spark.multimodal import attach_fake_blob, extract_features
+from snapflow_spark.multimodal import attach_image_blob, extract_features
 from snapflow_spark.operators.dedup_text import (
     exact_dedup,
     mingram_candidates,
@@ -238,13 +238,15 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")  # rows-only: binary-column plumbing
+@query("q_multimodal_features")  # rows-only: no SQL oracle for image decode
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline plumbing: text -> binary blob + metadata
-    struct -> mapInPandas featurizer (deterministic fake codec) ->
-    feature vectors. Schema and batch shape are the real contract."""
+    """Multimodal pipeline end-to-end on REAL encoded images: text ->
+    deterministic PPM/BMP blob + metadata struct -> fused
+    decode+featurize mapInPandas stage -> per-channel pixel statistics
+    (multimodal.codec is a pure-numpy PPM/BMP codec; features verified
+    against the numpy reference in tests/test_northstar.py)."""
     d = load_table(spark, sf_dir, "documents").limit(200)
-    blobs = attach_fake_blob(d)
+    blobs = attach_image_blob(d)
     feats = extract_features(blobs)
     return feats.select(
         "doc_id", "modality", F.size("features").alias("dim"),

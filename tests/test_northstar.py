@@ -8,7 +8,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from snapflow_spark.multimodal import attach_fake_blob, decode_image, extract_features, sample_frames
+from snapflow_spark.multimodal import attach_image_blob, extract_features, sample_frames
 from snapflow_spark.operators.dedup_text import (
     exact_dedup,
     minhash_candidates,
@@ -134,24 +134,75 @@ def _group(rows, key):
     return out
 
 
-def test_multimodal_plumbing(spark, planted):
+def test_multimodal_real_decode(spark, planted):
+    """Blobs are real encoded PPM/BMP images; the Spark featurizer's
+    output must equal the numpy reference computed from the same
+    decoded pixels, per doc."""
+    import numpy as np
+
+    from snapflow_spark.multimodal import decode_image_bytes, image_features
+
     df, _n, _e = planted
-    blobs = attach_fake_blob(df.limit(10))
+    blobs = attach_image_blob(df.limit(10))
     assert dict(blobs.dtypes)["blob"] == "binary"
-    feats = extract_features(blobs)
-    rows = feats.collect()
+    raw = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
+    # both formats present (even ids -> PPM, odd -> BMP)
+    magics = {b[:2] for b in raw.values()}
+    assert magics == {b"P6", b"BM"}
+    rows = extract_features(blobs).collect()
     assert len(rows) == 10
-    assert all(len(r.features) == 8 for r in rows)
-    # deterministic featurizer: same blob -> same vector across runs
+    for r in rows:
+        expect = image_features(decode_image_bytes(raw[r.doc_id]))
+        assert np.allclose(r.features, expect, atol=1e-6), r.doc_id
+    # deterministic: same blob -> same vector across runs
     again = {r.doc_id: r.features for r in extract_features(blobs).collect()}
     assert all(again[r.doc_id] == r.features for r in rows)
+
+
+def test_image_codec_roundtrip_and_known_image():
+    import numpy as np
+
+    from snapflow_spark.multimodal import (
+        decode_image_bytes,
+        encode_bmp,
+        encode_ppm,
+        image_features,
+        resize_nearest,
+        synthesize_image,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image_bytes(encode_ppm(arr)), arr)
+    # BMP row padding: width 3 -> 9 bytes padded to 12 per row
+    assert np.array_equal(decode_image_bytes(encode_bmp(arr)), arr)
+
+    # known 2x2 image: exact header parse + feature values
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    ppm = b"P6\n2 2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_image_bytes(ppm), px)
+    f = image_features(px)
+    assert f[6] == 2.0 and f[7] == 2.0  # width, height
+    assert abs(f[0] - (510 / 4) / 255.0) < 1e-6  # mean red = 0.5
+    # ascii P3 variant decodes identically
+    p3 = ("P3\n2 2\n255\n" + " ".join(str(v) for v in px.reshape(-1))).encode()
+    assert np.array_equal(decode_image_bytes(p3), px)
+    # nearest-neighbor upscale doubles each pixel
+    up = resize_nearest(px, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert np.array_equal(up[0, 0], px[0, 0]) and np.array_equal(up[3, 3], px[1, 1])
+    # deterministic synthesis
+    assert np.array_equal(synthesize_image(b"x", 4, 4), synthesize_image(b"x", 4, 4))
+    # compressed formats: explicit, not silent
     with pytest.raises(NotImplementedError):
-        decode_image(blobs)
+        decode_image_bytes(b"\x89PNG\r\n\x1a\n000")
 
 
 def test_sample_frames_expansion(spark, planted):
     df, _n, _e = planted
-    blobs = attach_fake_blob(df.limit(3)).withColumn(
+    blobs = attach_image_blob(df.limit(3)).withColumn(
         "meta", F.col("meta").withField("duration_ms", F.lit(3500))
     )
     frames = sample_frames(blobs, every_ms=1000)
@@ -217,16 +268,48 @@ def test_ivf_save_load_roundtrip(embeddings, tmp_path):
     assert files and all("cell=3" in f for f in files)
 
 
-def test_resize_images_plumbing(spark, planted):
-    from snapflow_spark.multimodal import attach_fake_blob, resize_images
+def test_resize_images_real_resample(spark, planted):
+    """Resize decodes, nearest-neighbor resamples, and re-encodes in
+    the SOURCE format; decoded output must equal the numpy resample of
+    the decoded input."""
+    import numpy as np
+
+    from snapflow_spark.multimodal import (
+        decode_image_bytes,
+        resize_images,
+        resize_nearest,
+    )
 
     df, _n, _e = planted
-    blobs = attach_fake_blob(df.limit(5))
+    blobs = attach_image_blob(df.limit(5))
+    before = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
     resized = resize_images(blobs, width=16, height=4)
     rows = resized.collect()
     assert len(rows) == 5
-    assert all(len(bytes(r.blob)) == 64 for r in rows)  # 16*4 stand-in payload
+    for r in rows:
+        raw = bytes(r.blob)
+        assert raw[:2] == before[r.doc_id][:2]  # format preserved
+        arr = decode_image_bytes(raw)
+        assert arr.shape == (4, 16, 3)
+        expect = resize_nearest(decode_image_bytes(before[r.doc_id]), 16, 4)
+        assert np.array_equal(arr, expect), r.doc_id
     assert all((r.meta.width, r.meta.height) == (16, 4) for r in rows)
     # schema-preserving transform (mapInPandas normalizes nullability,
     # so compare names + types, not the exact StructType)
     assert resized.schema.simpleString() == blobs.schema.simpleString()
+
+
+def test_decode_images_operator(spark, planted):
+    import numpy as np
+
+    from snapflow_spark.multimodal import decode_image_bytes, decode_images
+
+    df, _n, _e = planted
+    blobs = attach_image_blob(df.limit(4))
+    raw = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
+    out = {r.doc_id: r for r in decode_images(blobs).collect()}
+    assert len(out) == 4
+    for doc_id, r in out.items():
+        arr = decode_image_bytes(raw[doc_id])
+        assert (r.height, r.width, r.channels) == (arr.shape[0], arr.shape[1], 3)
+        assert np.array_equal(np.array(r.pixels).reshape(arr.shape), arr)
