@@ -29,7 +29,30 @@ def main(argv: list[str] | None = None) -> int:
     sch = sub.add_parser("schema", help="show a query's result schema")
     sch.add_argument("name")
     sch.add_argument("--sf", default=DEFAULT_SF_DIR)
+    prod = sub.add_parser(
+        "produce", help="run a YAML pipeline file to its reactive fixed point (EP3)"
+    )
+    prod.add_argument("pipeline", help="path to pipeline.yaml")
+    prod.add_argument("--warehouse", default=None, help="override the file's warehouse")
+    prod.add_argument("--show", default=None, help="node/store to print after the run")
+    prod.add_argument("--limit", type=int, default=20)
     args = ap.parse_args(argv)
+
+    if args.cmd == "produce":
+        from snapflow_spark.plans import produce_file
+        from snapflow_spark.session import build_session
+
+        spark = build_session("cli-produce")
+        spark.sparkContext.setLogLevel("ERROR")
+        g, ran = produce_file(spark, args.pipeline, warehouse=args.warehouse)
+        print(f"produced: {ran} node run(s)")
+        if args.show:
+            out = g.read(spark, args.show)
+            if out is None:
+                print(f"{args.show}: no snapshots")
+            else:
+                out.show(args.limit, truncate=False)
+        return 0
 
     from snapflow_spark.registry import QUERIES, all_queries
 

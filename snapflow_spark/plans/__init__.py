@@ -11,5 +11,13 @@
 
 from snapflow_spark.plans.graph import GraphBuilder, graph
 from snapflow_spark.plans.introspect import plan_facts, plan_text
+from snapflow_spark.plans.yaml_config import load_graph, produce_file
 
-__all__ = ["GraphBuilder", "graph", "plan_facts", "plan_text"]
+__all__ = [
+    "GraphBuilder",
+    "graph",
+    "load_graph",
+    "plan_facts",
+    "plan_text",
+    "produce_file",
+]

@@ -1,0 +1,183 @@
+"""Declarative YAML graph config — snapflow's EP3 (`snapflow run` on a
+dataspace file [P SURVEY §3.1 EP3]) on the Spark engine.
+
+A pipeline file declares sources, nodes, their wiring and functions:
+
+    warehouse: .scratch/demo
+    sources:
+      - events_src
+    nodes:
+      - name: accumulated
+        function: core.accumulate
+        upstream: events_src
+      - name: latest_state
+        function: core.dedupe_keep_latest
+        upstream:
+          history: {node: accumulated, mode: reference}
+        params:
+          keys: [user_id, event_type]
+          order_by: ["ts desc", "event_id desc"]
+        overwrite: true
+
+``function`` is either a builtin (the ``core.*`` standard library,
+mirroring snapflow's core module functions) or an import path
+``package.module:callable`` resolving to ``fn(spark, **inputs,
+**params)``. ``upstream`` accepts the same shorthand as
+plans.graph.GraphBuilder: a bare source name, or a mapping of input
+name -> node name | {node, mode} with mode in consumable | reference
+| latest.
+
+Run it with ``python -m snapflow_spark produce pipeline.yaml`` or
+``load_graph(...)`` / ``produce_file(...)`` from python.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapflow_spark.plans.graph import GraphBuilder, graph
+
+_MODES = {"consumable", "reference", "latest"}
+
+
+# --- builtin node function library (snapflow core-module parity) -----
+
+def _accumulate(spark: SparkSession, input: DataFrame) -> DataFrame:  # noqa: A002
+    """core.accumulate (A3): append each delta block to the history."""
+    return input
+
+
+def _dedupe_keep_latest(
+    spark: SparkSession,
+    history: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """core.dedupe_keep_latest (A4): current state from an append log.
+    order_by entries are "col" or "col desc"."""
+    from snapflow_spark.operators import dedupe_keep_latest
+
+    cols = []
+    for spec in order_by:
+        parts = spec.split()
+        c = F.col(parts[0])
+        cols.append(c.desc() if len(parts) > 1 and parts[1].lower() == "desc" else c)
+    return dedupe_keep_latest(history, keys=keys, order_by=cols)
+
+
+def _sql(spark: SparkSession, sql: str, **inputs: DataFrame) -> DataFrame:
+    """core.sql (A2): SQL text over named inputs ({name} placeholders)."""
+    from snapflow_spark.operators import sql_snap
+
+    return sql_snap(
+        spark, sql, inputs=inputs, params={name: name for name in inputs}
+    )
+
+
+def _filter(spark: SparkSession, input: DataFrame, predicate: str) -> DataFrame:  # noqa: A002
+    """core.filter: keep rows matching a SQL boolean expression."""
+    return input.where(F.expr(predicate))
+
+
+def _select(spark: SparkSession, input: DataFrame, columns: list[str]) -> DataFrame:  # noqa: A002
+    """core.select: project SQL expressions (supports `expr AS name`)."""
+    return input.selectExpr(*columns)
+
+
+BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
+    "core.accumulate": _accumulate,
+    "core.dedupe_keep_latest": _dedupe_keep_latest,
+    "core.sql": _sql,
+    "core.filter": _filter,
+    "core.select": _select,
+}
+
+
+def resolve_function(ref: str) -> Callable[..., DataFrame | None]:
+    """'core.*' builtin, or 'package.module:callable' import path."""
+    if ref in BUILTINS:
+        return BUILTINS[ref]
+    if ":" not in ref:
+        raise ValueError(
+            f"unknown function {ref!r}: not a core.* builtin "
+            f"({sorted(BUILTINS)}) and not a 'module:callable' import path"
+        )
+    mod_name, attr = ref.split(":", 1)
+    fn = getattr(importlib.import_module(mod_name), attr)
+    if not callable(fn):
+        raise TypeError(f"{ref!r} resolved to non-callable {fn!r}")
+    return fn
+
+
+def _normalize_upstream(spec) -> str | dict | None:
+    """YAML upstream -> GraphBuilder upstream shorthand."""
+    if spec is None or isinstance(spec, str):
+        return spec
+    if not isinstance(spec, dict):
+        raise ValueError(f"upstream must be a name or mapping, got {spec!r}")
+    out = {}
+    for input_name, entry in spec.items():
+        if isinstance(entry, str):
+            out[input_name] = entry
+        else:
+            mode = entry.get("mode", "consumable")
+            if mode not in _MODES:
+                raise ValueError(f"unknown input mode {mode!r} (want {_MODES})")
+            out[input_name] = (entry["node"], mode)
+    return out
+
+
+def load_graph(config: dict | str | Path, warehouse: str | None = None) -> GraphBuilder:
+    """Build a GraphBuilder from a YAML file path or an already-parsed
+    config mapping. ``warehouse`` overrides the file's value (the CLI
+    does this for --warehouse)."""
+    if not isinstance(config, dict):
+        import yaml
+
+        with open(config) as f:
+            config = yaml.safe_load(f)
+    if not isinstance(config, dict):
+        raise ValueError("pipeline config must be a mapping")
+
+    wh = warehouse or config.get("warehouse")
+    if not wh:
+        raise ValueError("config needs a 'warehouse' (or pass warehouse=...)")
+    g = graph(str(wh))
+
+    for src in config.get("sources", []):
+        name = src["name"] if isinstance(src, dict) else src
+        g.source(name)
+
+    for node in config.get("nodes", []):
+        fn = resolve_function(node["function"])
+        params = node.get("params") or {}
+        if params:
+            base = fn
+
+            def bound(spark, _base=base, _params=params, **inputs):
+                return _base(spark, **inputs, **_params)
+
+            bound.__name__ = getattr(fn, "__name__", node["function"])
+            fn = bound
+        g.create_node(
+            name=node["name"],
+            function=fn,
+            upstream=_normalize_upstream(node.get("upstream")),
+            overwrite=bool(node.get("overwrite", False)),
+        )
+    return g
+
+
+def produce_file(
+    spark: SparkSession, path: str | Path, warehouse: str | None = None
+) -> tuple[GraphBuilder, int]:
+    """EP3 entry: load the YAML graph and run to the reactive fixed
+    point. Returns (graph, number of node executions)."""
+    g = load_graph(path, warehouse=warehouse)
+    ran = g.produce(spark)
+    return g, ran

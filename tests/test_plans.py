@@ -67,3 +67,116 @@ def test_plan_facts_broadcast_and_pushdown(spark):
     assert any("l_shipdate" in p for p in facts.pushed_filters)
     # ...and the scan must prune to the 7 needed columns
     assert all("l_orderkey" not in s for s in facts.read_schemas)
+
+
+PIPELINE_YAML = """
+warehouse: "{wh}"
+sources:
+  - events_src
+nodes:
+  - name: accumulated
+    function: core.accumulate
+    upstream: events_src
+  - name: latest_state
+    function: core.dedupe_keep_latest
+    upstream:
+      history: {{node: accumulated, mode: reference}}
+    params:
+      keys: [user_id]
+      order_by: ["ts desc"]
+    overwrite: true
+"""
+
+
+def test_yaml_graph_round_trip(spark, tmp_path):
+    """EP3 parity: a 2-node incremental pipeline declared in YAML runs
+    to the reactive fixed point, consuming only deltas per tick."""
+    from snapflow_spark.plans import load_graph
+
+    wh = tmp_path / "yaml_wh"
+    cfg = tmp_path / "pipeline.yaml"
+    cfg.write_text(PIPELINE_YAML.format(wh=wh))
+
+    g = load_graph(cfg)
+    src = g.pipeline.sources["events_src"]
+    src.append(
+        spark.createDataFrame([(1, 1.0, 10.0), (2, 1.0, 20.0)], "user_id long, ts double, v double")
+    )
+    assert g.produce(spark) == 2
+    state = {r.user_id: r.v for r in g.read(spark, "latest_state").collect()}
+    assert state == {1: 10.0, 2: 20.0}
+
+    # fixed point with no new input
+    assert g.produce(spark) == 0
+
+    # second tick: newer row for user 1 replaces, user 3 appears
+    src.append(
+        spark.createDataFrame([(1, 2.0, 99.0), (3, 1.0, 30.0)], "user_id long, ts double, v double")
+    )
+    # reloading from the SAME file resumes from the warehouse ledger
+    g2 = load_graph(cfg)
+    assert g2.produce(spark) == 2
+    state = {r.user_id: r.v for r in g2.read(spark, "latest_state").collect()}
+    assert state == {1: 99.0, 2: 20.0, 3: 30.0}
+
+
+def test_yaml_cli_produce(spark, tmp_path, capsys):
+    """CLI round-trip: `python -m snapflow_spark produce pipeline.yaml`."""
+    from snapflow_spark.cli import main
+    from snapflow_spark.plans import load_graph
+
+    wh = tmp_path / "cli_wh"
+    cfg = tmp_path / "pipeline.yaml"
+    cfg.write_text(PIPELINE_YAML.format(wh=wh))
+    load_graph(cfg).pipeline.sources["events_src"].append(
+        spark.createDataFrame([(7, 1.0, 70.0)], "user_id long, ts double, v double")
+    )
+    assert main(["produce", str(cfg), "--show", "latest_state"]) == 0
+    out = capsys.readouterr().out
+    assert "produced: 2 node run(s)" in out
+    assert "70.0" in out
+
+
+def test_yaml_builtin_sql_filter_select_and_import_path(spark, tmp_path):
+    from snapflow_spark.plans import load_graph
+
+    cfg = {
+        "warehouse": str(tmp_path / "wh_sql"),
+        "sources": [{"name": "raw"}],
+        "nodes": [
+            {
+                "name": "kept",
+                "function": "core.filter",
+                "upstream": "raw",
+                "params": {"predicate": "v > 10"},
+            },
+            {
+                "name": "shaped",
+                "function": "core.select",
+                "upstream": "kept",
+                "params": {"columns": ["id", "v * 2 AS v2"]},
+            },
+            {
+                "name": "summed",
+                "function": "core.sql",
+                "upstream": {"t": "shaped"},
+                "params": {"sql": "SELECT CAST(SUM(v2) AS DOUBLE) AS total FROM {t}"},
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["raw"].append(
+        spark.createDataFrame([(1, 5.0), (2, 20.0), (3, 30.0)], "id long, v double")
+    )
+    assert g.produce(spark) == 3
+    assert g.read(spark, "summed").first().total == 100.0
+
+    # import-path resolution + clear error for unknown refs
+    import pytest as _pytest
+
+    from snapflow_spark.plans.yaml_config import resolve_function
+
+    fn = resolve_function("snapflow_spark.plans.yaml_config:_accumulate")
+    assert callable(fn)
+    with _pytest.raises(ValueError, match="core"):
+        resolve_function("not_a_builtin")
