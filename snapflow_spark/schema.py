@@ -22,17 +22,31 @@ from snapflow_spark.operators.schema_translate import schema_translate
 
 
 @dataclass(frozen=True)
+class Relation:
+    """FK-style relation declaration (commonmodel `relations` parity):
+    this schema's rows point at one/many rows of ``schema`` via the
+    ``on`` field mapping (local field -> remote field)."""
+
+    schema: str
+    on: dict[str, str]
+    cardinality: str = "many_to_one"  # or "one_to_many"
+
+
+@dataclass(frozen=True)
 class SchemaSpec:
     """fields: name -> Spark type DDL ("bigint", "string", ...).
     unique_on: natural-key columns (drives conform-time dedupe).
     latest_by: ordering column for keep-latest (required if unique_on).
-    implementations: other-schema name -> (target field -> source expr)."""
+    implementations: other-schema name -> (target field -> source expr).
+    relations: relation name -> Relation (FK declarations compiled to
+    join builders by ``join_relation``)."""
 
     name: str
     fields: dict[str, str]
     unique_on: list[str] = field(default_factory=list)
     latest_by: str | None = None
     implementations: dict[str, dict[str, str]] = field(default_factory=dict)
+    relations: dict[str, Relation] = field(default_factory=dict)
 
     @property
     def ddl(self) -> str:
@@ -66,6 +80,39 @@ class SchemaSpec:
                 raise ValueError(f"schema {self.name}: unique_on needs latest_by")
             df = dedupe_keep_latest(df, self.unique_on, [self.latest_by])
         return df
+
+    def join_relation(
+        self,
+        df: DataFrame,
+        relation: str,
+        target: DataFrame,
+        how: str = "left",
+        broadcast: bool | None = None,
+        prefix: str | None = None,
+    ) -> DataFrame:
+        """Compile a declared relation into the join it denotes:
+        equi-join on the declared field mapping, target columns
+        prefixed (default ``<relation>_``) so nothing collides.
+
+        ``broadcast=None`` resolves by cardinality: a many_to_one
+        relation is a dimension lookup, so the target ships to every
+        executor and the (large) fact side never shuffles — the right
+        default at any scale. one_to_many targets are fact-sized and
+        shuffle-join under AQE instead."""
+        rel = self.relations[relation]
+        prefix = f"{relation}_" if prefix is None else prefix
+        renamed = target.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in target.columns]
+        )
+        if broadcast is None:
+            broadcast = rel.cardinality == "many_to_one"
+        if broadcast:
+            renamed = F.broadcast(renamed)
+        cond = None
+        for local, remote in rel.on.items():
+            clause = df[local] == renamed[f"{prefix}{remote}"]
+            cond = clause if cond is None else cond & clause
+        return df.join(renamed, cond, how)
 
     def validate(self, df: DataFrame) -> list[str]:
         """Structural check: missing/mistyped columns (no data pass)."""

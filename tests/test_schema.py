@@ -3,7 +3,7 @@ fields, unique_on keep-latest conformance, implementations mapping."""
 
 import pyspark.sql.functions as F
 
-from snapflow_spark.schema import SchemaSpec
+from snapflow_spark.schema import Relation, SchemaSpec
 
 CUSTOMER = SchemaSpec(
     name="Customer",
@@ -57,3 +57,43 @@ def test_validate_reports_structural_problems(spark):
         [], CUSTOMER.struct_type
     )
     assert CUSTOMER.validate(good) == []
+
+
+ORDER_SPEC = SchemaSpec(
+    name="Order",
+    fields={"order_id": "bigint", "cust_id": "bigint", "total": "double"},
+    relations={
+        "customer": Relation(schema="Customer", on={"cust_id": "cust_id"}),
+        "items": Relation(
+            schema="OrderItem",
+            on={"order_id": "order_id"},
+            cardinality="one_to_many",
+        ),
+    },
+)
+
+
+def test_relation_join_compiles_declared_fk(spark):
+    """A declared many_to_one relation compiles to a broadcast
+    dimension join with prefixed target columns; left rows without a
+    match survive (how='left')."""
+    orders = spark.createDataFrame(
+        [(1, 7, 10.0), (2, 8, 20.0), (3, 99, 30.0)],
+        "order_id long, cust_id long, total double",
+    )
+    customers = spark.createDataFrame(
+        [(7, "alice"), (8, "bob")], "cust_id long, name string"
+    )
+    out = ORDER_SPEC.join_relation(orders, "customer", customers)
+    rows = {r.order_id: r.customer_name for r in out.collect()}
+    assert rows == {1: "alice", 2: "bob", 3: None}
+    # many_to_one default -> broadcast hash join in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    items = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "order_id long, sku string"
+    )
+    fan = ORDER_SPEC.join_relation(orders, "items", items, how="inner")
+    assert fan.count() == 3
+    assert set(fan.columns) == {"order_id", "cust_id", "total", "items_order_id", "items_sku"}
