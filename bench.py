@@ -45,11 +45,26 @@ def run(sf_dir: str, names: list[str]) -> dict:
             "overwrite"
         ).save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def one_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            # queries are independent; drop any persist() a query left
+            # behind so later timings aren't skewed by storage-memory
+            # eviction of accumulated cache segments
+            spark.catalog.clearCache()
+        return timings
+
+    # Two passes: pass 1 includes residual first-touch costs (file
+    # listing, codegen compiles for each query shape); pass 2 is the
+    # steady state a long-running cluster sees. Headline value stays
+    # the COLD pass total for round-over-round comparability with
+    # BENCH_r01; `queries_warm`/`value_warm` carry the honest
+    # steady-state numbers.
+    timings = one_pass()
+    warm = one_pass()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
@@ -57,6 +72,8 @@ def run(sf_dir: str, names: list[str]) -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "value_warm": round(sum(warm.values()), 3),
+        "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "cpus": int(cpus),

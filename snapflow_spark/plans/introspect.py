@@ -42,6 +42,20 @@ class PlanFacts:
         return "CartesianProduct" in self.joins
 
 
+def _distinct_exchanges(text: str) -> int:
+    """Count DISTINCT shuffle exchanges. The formatted explain
+    re-renders a cached (InMemoryRelation) subtree once per reference,
+    so a raw occurrence count triple-counts the upstream of a
+    persisted DataFrame referenced three times — node ids are stable
+    across those renders, so unique ids = exchanges that actually
+    execute. (BroadcastExchange is excluded: it is a broadcast, not a
+    shuffle.)"""
+    ids = set(re.findall(r"(?<![A-Za-z])Exchange \((\d+)\)", text))
+    if ids:
+        return len(ids)
+    return len(re.findall(r"\bExchange\b", text))
+
+
 def plan_facts(df: DataFrame) -> PlanFacts:
     text = plan_text(df)
     return PlanFacts(
@@ -53,7 +67,7 @@ def plan_facts(df: DataFrame) -> PlanFacts:
             r"|BroadcastNestedLoopJoin|CartesianProduct)",
             text,
         ),
-        exchanges=len(re.findall(r"\bExchange\b", text)),
+        exchanges=_distinct_exchanges(text),
         # formatted mode labels codegen membership as "[codegen id : N]"
         codegen_stages=len(set(re.findall(r"\[codegen id : (\d+)\]", text))),
         cached_scans=len(re.findall(r"InMemoryTableScan", text)),
