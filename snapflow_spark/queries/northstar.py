@@ -77,8 +77,12 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.similarity.brute_force_topk (higher-order array algebra,
     JVM-side; probe broadcast, corpus never shuffles)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # probe_id from the REAL column, not lit(0): a literal would be
+    # constant-folded out of grouped_topk's partitionBy, collapsing the
+    # per-probe window to a single global partition (WindowExec "No
+    # Partition Defined" — all scores on one task)
     probes = emb.where(F.col("vec_id") == 0).select(
-        F.lit(0).cast("bigint").alias("probe_id"), "embedding"
+        F.col("vec_id").cast("bigint").alias("probe_id"), "embedding"
     )
     corpus = emb.where(F.col("vec_id") != 0)
     out = brute_force_topk(corpus, probes, k=5)

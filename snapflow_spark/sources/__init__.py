@@ -1,3 +1,9 @@
+from snapflow_spark.sources.connectors import (
+    ImportResult,
+    import_api_pages,
+    load_cursor,
+    save_cursor,
+)
 from snapflow_spark.sources.io import (
     import_dataframe,
     import_records,
@@ -9,9 +15,13 @@ from snapflow_spark.sources.io import (
 )
 
 __all__ = [
+    "ImportResult",
+    "import_api_pages",
     "import_records",
     "import_dataframe",
+    "load_cursor",
     "read_csv",
+    "save_cursor",
     "write_csv",
     "read_jsonl",
     "write_jsonl",

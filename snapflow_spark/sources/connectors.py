@@ -1,0 +1,93 @@
+"""Generic external-connector shape (SURVEY.md §2.A A12).
+
+Snapflow's concrete connectors (stripe, shopify, fred, ...) are all
+the same loop: fetch a page of records from an API, emit it as a
+block, remember a cursor so the next run resumes where this one
+stopped. This module implements that LOOP on the Spark engine —
+page -> DataFrame -> SnapshotStore snapshot, cursor checkpointed in
+the store directory — so a concrete connector is just a
+``fetch_page`` function. No network ships in this sandbox; tests
+drive the loop with an in-memory pager, which exercises everything
+except the HTTP call itself.
+
+Scale note: API pagination is inherently sequential and
+driver-bound — the page loop is NOT where 100 TB arrives (that is the
+parquet/JDBC path). What must scale is everything downstream, which
+is why pages land as SnapshotStore snapshots: the incremental
+Pipeline consumes them exactly like any other source, and history
+reads are distributed parquet scans.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from snapflow_spark.incremental.store import SnapshotStore
+
+# fetch_page(cursor) -> (records, next_cursor); next_cursor None = done
+FetchPage = Callable[[object], tuple[list[Mapping], object]]
+
+
+@dataclass
+class ImportResult:
+    snapshot_ids: list[str] = field(default_factory=list)
+    n_pages: int = 0
+    n_records: int = 0
+    cursor: object = None  # final cursor, persisted for the next run
+
+
+def _cursor_path(store: SnapshotStore) -> Path:
+    return store.path / "_cursor.json"
+
+
+def load_cursor(store: SnapshotStore) -> object:
+    p = _cursor_path(store)
+    if p.exists():
+        return json.loads(p.read_text())["cursor"]
+    return None
+
+
+def save_cursor(store: SnapshotStore, cursor: object) -> None:
+    tmp = _cursor_path(store).with_suffix(".tmp")
+    tmp.write_text(json.dumps({"cursor": cursor}))
+    tmp.rename(_cursor_path(store))
+
+
+def import_api_pages(
+    spark: SparkSession,
+    fetch_page: FetchPage,
+    schema: StructType | str,
+    store: SnapshotStore,
+    max_pages: int | None = None,
+) -> ImportResult:
+    """Run the connector loop: resume from the store's checkpointed
+    cursor, append one snapshot per fetched page, checkpoint the
+    advanced cursor AFTER each snapshot commits (a crash re-fetches at
+    most one page — at-least-once, deduped downstream by the
+    consumer's keys, the same contract snapflow's importers had).
+
+    The cursor encodes the RESUME POINT (e.g. last seen id or
+    timestamp) and always advances monotonically; an empty page means
+    "caught up" — the loop stops and the next run polls again from the
+    tail, which is how an incremental importer follows a live API.
+
+    ``schema`` is required: API records are schemaless dicts and
+    inference from one page is unstable across pages."""
+    result = ImportResult(cursor=load_cursor(store))
+    while max_pages is None or result.n_pages < max_pages:
+        records, next_cursor = fetch_page(result.cursor)
+        if not records:  # caught up; keep the tail cursor for next run
+            break
+        df = spark.createDataFrame(records, schema=schema)
+        result.snapshot_ids.append(store.append(df))
+        result.n_pages += 1
+        result.n_records += len(records)
+        result.cursor = next_cursor
+        save_cursor(store, next_cursor)
+    return result

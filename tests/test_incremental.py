@@ -180,3 +180,38 @@ def test_crash_between_write_and_ledger_is_at_least_once(spark, tmp_path):
     import pyspark.sql.functions as F
     log = p2.store("copy").read(spark).withColumn("one", F.lit(1))
     assert dedupe_keep_latest(log, ["id"], ["one"]).count() == 1
+
+
+def test_api_connector_loop_resumes_from_cursor(spark, tmp_path):
+    """A12 connector shape: paged fetch -> one snapshot per page,
+    cursor checkpointed after each commit; a new run resumes at the
+    tail and a live API's later records arrive incrementally."""
+    from snapflow_spark.incremental import SnapshotStore
+    from snapflow_spark.sources import import_api_pages, load_cursor
+
+    api_rows = [(i, f"rec{i}") for i in range(25)]  # the "remote" table
+
+    def fetch_page(cursor, page_size=10):
+        start = int(cursor or 0)
+        page = api_rows[start : start + page_size]
+        return [{"id": i, "name": n} for i, n in page], start + len(page)
+
+    store = SnapshotStore(tmp_path / "api")
+    r1 = import_api_pages(spark, fetch_page, "id long, name string", store)
+    assert (r1.n_pages, r1.n_records) == (3, 25)
+    assert store.read(spark).count() == 25
+    assert load_cursor(store) == 25
+
+    # caught up: nothing fetched, cursor unchanged
+    r2 = import_api_pages(spark, fetch_page, "id long, name string", store)
+    assert (r2.n_pages, r2.n_records) == (0, 0)
+
+    # live API grows; only the delta is imported
+    api_rows.extend((i, f"rec{i}") for i in range(25, 30))
+    r3 = import_api_pages(spark, fetch_page, "id long, name string", store)
+    assert (r3.n_pages, r3.n_records) == (1, 5)
+    assert store.read(spark).count() == 30
+    # max_pages bounds one run without losing the resume point
+    api_rows.extend((i, f"rec{i}") for i in range(30, 55))
+    r4 = import_api_pages(spark, fetch_page, "id long, name string", store, max_pages=1)
+    assert r4.n_records == 10 and load_cursor(store) == 40
