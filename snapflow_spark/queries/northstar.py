@@ -115,10 +115,55 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_text_quality")  # rows-only: heuristic scores have no SQL oracle
+@query(
+    "q_text_quality",
+    # the heuristics are deterministic arithmetic, so the oracle
+    # replays them exactly: marker-hit argmax with the fold's
+    # keep-earliest tie-break (a later language wins only on a
+    # STRICTLY greater score), the same punct/stopword/length ratios,
+    # and the shared sha256 fingerprint
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             regexp_extract_all(lower(text), '[\p{L}]+') AS ltoks,
+             regexp_extract_all(text, '\S+') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ), scored AS (
+      SELECT *,
+        len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+        len(list_filter(ltoks, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+        len(list_filter(ltoks, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+        len(list_filter(ltoks, x -> list_contains(['el','la','y','es','los'], x))) AS s_es,
+        len(list_filter(ltoks, x -> list_contains(['的','是','和'], x))) AS s_zh,
+        len(toks) AS n_toks,
+        n_chars - length(regexp_replace(text, '[.,;:!?''"()\[\]{}]', '', 'g')) AS n_punct,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], lower(x)))) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_zh > greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
+                WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+                WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+                WHEN s_de > s_en THEN 'de'
+                ELSE 'en' END AS lang_pred,
+           round(0.5 * least(n_toks / 50.0, 1.0)
+                 + 0.25 * (1 - least(CASE WHEN n_chars > 0
+                                          THEN CAST(n_punct AS DOUBLE) / n_chars
+                                          ELSE 0 END * 5, 1.0))
+                 + 0.25 * least(CASE WHEN n_toks > 0
+                                     THEN CAST(n_stop AS DOUBLE) / n_toks
+                                     ELSE 0 END * 5, 1.0),
+                 6) AS quality,
+           sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM scored
+    """,
+)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-analysis sweep (rows-only): language-ID heuristic, quality
-    score, fingerprint, token count — one codegen projection, no UDF."""
+    """Text-analysis sweep: language-ID heuristic, quality score,
+    fingerprint, token count — one codegen projection, no UDF; every
+    heuristic hash-matched against its SQL replay."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
@@ -126,7 +171,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id_expr("text").alias("lang_pred"),
         quality_score_expr("text").alias("quality"),
         fingerprint_expr("text").alias("fingerprint"),
-        token_count_expr("text").alias("n_tokens"),
+        token_count_expr("text").cast("bigint").alias("n_tokens"),
     )
 
 
