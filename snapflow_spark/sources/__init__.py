@@ -10,6 +10,7 @@ from snapflow_spark.sources.io import (
     read_csv,
     read_jdbc,
     read_jsonl,
+    write_bucketed,
     write_csv,
     write_jsonl,
 )
@@ -26,4 +27,5 @@ __all__ = [
     "read_jsonl",
     "write_jsonl",
     "read_jdbc",
+    "write_bucketed",
 ]

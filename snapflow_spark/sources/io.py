@@ -73,6 +73,34 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted parquet table — the CO-LOCATED join layout:
+    two tables bucketed on the same keys with the same bucket count
+    sort-merge-join with ZERO exchanges (each task reads bucket i of
+    both sides), and groupBy on the bucket keys skips its shuffle too.
+    At 100 TB this is how a repeatedly-joined fact/fact pair stops
+    paying the shuffle on every query: pay it once at write time.
+    Bucket metadata lives in the table catalog, so this is
+    ``saveAsTable`` (pass ``path`` to keep the files external)."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_parquet_partitioned(
     df: DataFrame,
     path: str,

@@ -180,3 +180,40 @@ def test_yaml_builtin_sql_filter_select_and_import_path(spark, tmp_path):
     assert callable(fn)
     with _pytest.raises(ValueError, match="core"):
         resolve_function("not_a_builtin")
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key/count sort-merge-join with
+    ZERO shuffles — the pay-once co-located join layout."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from snapflow_spark.plans import plan_facts
+    from snapflow_spark.sources import write_bucketed
+
+    orders = spark.range(0, 2000).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 100).alias("cust_id"),
+        (F.col("id") * 1.5).alias("total"),
+    )
+    custs = spark.range(0, 100).select(
+        F.col("id").alias("cust_id"), F.concat(F.lit("c"), F.col("id")).alias("name")
+    )
+    write_bucketed(orders, "b_orders", ["cust_id"], 4, path=str(tmp_path / "o"))
+    write_bucketed(custs, "b_custs", ["cust_id"], 4, path=str(tmp_path / "c"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_orders").join(spark.table("b_custs"), "cust_id")
+            facts = plan_facts(joined)
+            assert "SortMergeJoin" in facts.joins
+            assert facts.exchanges == 0, facts.text
+            assert joined.count() == 2000
+            # bucketed groupBy on the bucket key also skips its shuffle
+            agg = spark.table("b_orders").groupBy("cust_id").agg(F.sum("total"))
+            assert plan_facts(agg).exchanges == 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_custs")
