@@ -385,6 +385,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# ground-truth slice bound: 300 vectors -> ~45k pairs, small enough
+# that the deliberate cartesian below stays a single broadcast batch
+_EXACT_SLICE = 300
+
+
 @query(
     "q_embed_near_exact",
     oracle="""
@@ -398,11 +403,17 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embed_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs over a bounded slice — the
-    brute-force ground truth the SRP-LSH path (q_embed_near_dup,
+    """Exact cosine near-dup pairs over an EXPLICITLY BOUNDED slice —
+    the brute-force ground truth the SRP-LSH path (q_embed_near_dup,
     rows-only) approximates; oracle-matched via the shared
-    double-precision cosine."""
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    double-precision cosine.
+
+    This is a deliberate bounded cartesian (_EXACT_SLICE=300 ->
+    ~45k pairs via BroadcastNestedLoopJoin): ground-truth generation
+    only, NEVER the scale path — at corpus size the same question is
+    answered by q_embed_near_dup's one-shuffle SRP-LSH, whose recall
+    is property-tested against exactly this query's output."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _EXACT_SLICE)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(

@@ -378,3 +378,54 @@ def test_banded_range_join_rejects_outer(spark):
             pts, ivs, point=F.col("x"), lo=F.col("lo"), hi=F.col("hi"),
             band_width=5.0, how="left",
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_join_matches_pandas_merge_asof(spark, seed):
+    """Randomized parity against pandas merge_asof (the semantics
+    snapflow users relied on): backward, exact matches allowed, ties
+    broken by the later right row, NULL payloads carried as-is."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 120, 80
+    left_pd = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 4, n_l),
+            "ts": rng.integers(0, 40, n_l),
+            "event_id": np.arange(n_l),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 4, n_r),
+            "ts": rng.integers(0, 40, n_r),
+            "value": np.where(rng.random(n_r) < 0.25, np.nan, rng.random(n_r).round(3)),
+            "rid": np.arange(n_r),
+        }
+    )
+    # pandas reference: sorted by (ts, rid) so the LAST exact/prior row
+    # per key wins — the same tie-break as right_order="rid"
+    expect = pd.merge_asof(
+        left_pd.sort_values(["ts", "event_id"]),
+        right_pd.sort_values(["ts", "rid"]),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    ).set_index("event_id")["value"]
+
+    left = spark.createDataFrame(left_pd, "user_id long, ts long, event_id long")
+    right = spark.createDataFrame(right_pd, "user_id long, ts long, value double, rid long")
+    out = asof_join(
+        left, right, keys=["user_id"], left_ts="ts",
+        payload={"value": "value"}, right_order="rid",
+    )
+    got = {r.event_id: r.value for r in out.collect()}
+    assert len(got) == n_l
+    for eid, v in expect.items():
+        g = got[eid]
+        if pd.isna(v):
+            assert g is None or (isinstance(g, float) and pd.isna(g)), eid
+        else:
+            assert g == pytest.approx(v), eid
