@@ -9,7 +9,7 @@ from snapflow_spark.streaming.runner import (
     stream_to_snapshots,
     streaming_dedupe,
 )
-from snapflow_spark.streaming.stateful import running_user_stats
+from snapflow_spark.streaming.stateful import running_user_stats, running_user_stats_tws
 
 __all__ = [
     "tumbling_agg",
@@ -20,4 +20,5 @@ __all__ = [
     "run_stream_to_batch",
     "streaming_dedupe",
     "running_user_stats",
+    "running_user_stats_tws",
 ]

@@ -198,3 +198,48 @@ def test_snapshot_store_ignores_uncommitted_dirs(spark, tmp_path):
     (partial / "part-00000.parquet").write_bytes(b"not yet committed")
     assert store.snapshot_ids() == ["snapshot-000000"]
     assert store.read(spark).count() == 1
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas form of the running-stats op
+    produces the same final per-key state as the
+    applyInPandasWithState form over the same micro-batches. Skipped
+    where Spark's TWS state-server protocol deps (protobuf) are
+    absent — running_user_stats_tws raises a clear ImportError there
+    (asserted below), and the parity assertion runs everywhere else."""
+    import pytest as _pytest
+
+    from snapflow_spark.streaming.stateful import (
+        running_user_stats,
+        running_user_stats_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError, match="protobuf"):
+            running_user_stats_tws(_mk_events(spark, [(1, 0, 1, 1.0)]))
+        _pytest.skip("google.protobuf not in this environment (TWS state server)")
+
+    store = SnapshotStore(tmp_path / "tws")
+    store.append(_mk_events(spark, [(1, 0, 1, 10.0), (2, 5, 1, 20.0), (3, 7, 2, 5.0)]))
+    store.append(_mk_events(spark, [(4, 10, 1, 30.0), (5, 12, 2, 7.0)]))
+
+    def final_states(op, ckpt):
+        stream = stream_from_snapshots(
+            spark, str(store.path), EV_SCHEMA, max_files_per_trigger=1
+        )
+        out = run_stream_to_batch(
+            op(stream, alpha=0.5),
+            output_mode="update",
+            checkpoint=str(tmp_path / ckpt),
+        )
+        return {
+            r.user_id: (r.n_events, r.total, round(r.ewma, 9))
+            for r in out.orderBy("n_events").collect()
+        }
+
+    a = final_states(running_user_stats, "ck_a")
+    b = final_states(running_user_stats_tws, "ck_b")
+    assert a == b
+    assert a[1] == (3, 60.0, 22.5)
