@@ -72,6 +72,63 @@ def _cell_assign_udf(centers):
     return assign
 
 
+def brute_force_topk_matmul(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact cosine top-k for MANY probes: the distributed exact-knn
+    shape. brute_force_topk crossJoins corpus x probes — P probes
+    inflate the scored relation P-fold before the window. Here each
+    Arrow batch scores ALL probes with one (batch x dim) @ (dim x P)
+    matmul and keeps only its local top-k per probe, so the shuffle
+    carries <= partitions * P * k candidate rows instead of N * P;
+    grouped_topk then resolves the global answer. Same result set as
+    brute_force_topk (parity-tested), strictly better shape for P > 1.
+    """
+    import numpy as np
+
+    probe_rows = sorted(
+        probes.select(probe_id_col, vec_col).collect(), key=lambda r: r[probe_id_col]
+    )
+    pids = np.array([r[probe_id_col] for r in probe_rows], dtype=np.int64)
+    pmat = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in probe_rows])
+    pnorm = np.linalg.norm(pmat, axis=1)
+    pnorm[pnorm == 0] = 1.0
+    pmat_t = (pmat / pnorm[:, None]).T.copy()  # (dim, P), unit probes
+
+    def score_batches(batches):
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (m / norms[:, None]) @ pmat_t  # (n, P)
+            ids = pdf[id_col].to_numpy()
+            out_pid, out_id, out_cos = [], [], []
+            top = min(k, len(ids))
+            for j in range(cos.shape[1]):
+                col = cos[:, j]
+                # local top-k with (cos desc, id asc) determinism
+                order = np.lexsort((ids, -col))[:top]
+                out_pid.extend([pids[j]] * len(order))
+                out_id.extend(ids[order])
+                out_cos.extend(col[order])
+            yield pd.DataFrame(
+                {probe_id_col: out_pid, id_col: out_id, "cos": out_cos}
+            )
+
+    candidates = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
+        score_batches,
+        schema=f"{probe_id_col} bigint, {id_col} bigint, cos double",
+    )
+    return grouped_topk(
+        candidates, [probe_id_col], [F.col("cos").desc(), F.col(id_col).asc()], k
+    )
+
+
 class IVFIndex:
     """Inverted-file index: corpus rows assigned to KMeans centroids.
 

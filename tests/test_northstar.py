@@ -313,3 +313,29 @@ def test_decode_images_operator(spark, planted):
         arr = decode_image_bytes(raw[doc_id])
         assert (r.height, r.width, r.channels) == (arr.shape[0], arr.shape[1], 3)
         assert np.array_equal(np.array(r.pixels).reshape(arr.shape), arr)
+
+
+def test_brute_force_topk_matmul_parity(spark, planted):
+    """The per-partition matmul + partial-top-k scorer returns exactly
+    the crossJoin+window scorer's result set for multiple probes."""
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_matmul,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = emb.where(~F.col("vec_id").isin(0, 1, 2))
+
+    def key(df):
+        return sorted(
+            (r.probe_id, r.vec_id, round(r.cos, 9))
+            for r in df.collect()
+        )
+
+    a = key(brute_force_topk(corpus, probes, k=7))
+    b = key(brute_force_topk_matmul(corpus, probes, k=7))
+    assert a == b and len(a) == 21
