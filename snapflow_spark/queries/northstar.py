@@ -277,12 +277,32 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search(probes, k=5, nprobe=4)
 
 
+_PLANT = 60  # planted near-dup copies; detected pairs ≈ this count
+_PLANT_OFFSET = 1_000_000
+
+
 @query("q_embed_near_dup")  # rows-only: random-projection LSH pairs
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.9) via
-    unit-normalization + euclidean LSH."""
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9) via SRP-LSH.
+
+    The synthetic embeddings table has NO natural near-dups (max
+    pairwise cos ≈ 0.5-0.6 at sf0.01/0.1), which made this query's
+    r1 driver row an empty result — true but evidence-free. The query
+    therefore PLANTS deterministic near-dups first: the first _PLANT
+    vectors get a copy (vec_id + 1e6) with every 37th dimension
+    sign-flipped — cos(v, copy) = 1 - 2*2/72 ≈ 0.944 for unit-ish
+    72-dim vectors — and the LSH cascade must find exactly those
+    pairs. Recall vs the exact ground truth is pinned in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, cos_threshold=0.9).select(
+    flipped = F.transform(
+        "embedding", lambda x, i: F.when(i % 37 == 0, -x).otherwise(x)
+    )
+    planted = emb.where(F.col("vec_id") < _PLANT).select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        flipped.alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return embedding_near_dup_pairs(corpus, cos_threshold=0.9).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
     )
 

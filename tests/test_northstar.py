@@ -339,3 +339,38 @@ def test_brute_force_topk_matmul_parity(spark, planted):
     a = key(brute_force_topk(corpus, probes, k=7))
     b = key(brute_force_topk_matmul(corpus, probes, k=7))
     assert a == b and len(a) == 21
+
+
+def test_embed_near_dup_query_finds_planted_pairs(spark):
+    """q_embed_near_dup plants perturbed copies (cos ≈ 0.944) and the
+    SRP-LSH cascade must recover (orig, orig+1e6) pairs — high recall,
+    zero false positives (the in-bucket exact cosine enforces the
+    threshold)."""
+    import numpy as np
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.queries.northstar import _PLANT, _PLANT_OFFSET, q_embed_near_dup
+
+    # exact ground truth: which planted pairs actually clear cos 0.9
+    # (sign-flipping dims 0 and 37 costs 2*energy of those dims, which
+    # varies per vector)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .where(F.col("vec_id") < _PLANT)
+        .collect()
+    }
+    expect = set()
+    for vid, v in vecs.items():
+        c = v.copy()
+        c[0] *= -1
+        c[37] *= -1
+        cos = float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+        if cos >= 0.9:
+            expect.add((vid, vid + _PLANT_OFFSET))
+
+    rows = q_embed_near_dup(spark, "/root/testdata/sf0.001").collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert got <= expect  # exact in-bucket cosine: no false positives
+    assert expect and len(got) >= 0.9 * len(expect)  # LSH recall
+    assert all(0.9 <= r.cos <= 1.0 for r in rows)
