@@ -217,3 +217,38 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_custs")
+
+
+def test_all_declared_queries_plan_quality(spark):
+    """Plan-quality gate over the ENTIRE roster (sf0.001): no
+    cartesian outside the documented ground-truth query, bounded
+    shuffle counts, and every parquet scan prunes its ReadSchema below
+    the full table width. Catches a silently-regressed plan shape the
+    value-correctness oracle can't see."""
+    from snapflow_spark.registry import all_queries
+
+    # widest base tables: lineitem=11 cols, events=6; any scan reading
+    # more than 9 columns has lost pruning
+    MAX_READ_COLS = 9
+    # documented deliberate nested-loop plans: q_embed_near_exact is a
+    # bounded ground-truth cartesian; q_similarity_topk crossJoins the
+    # corpus with a BROADCAST probe set (a one-row build side — BNLJ is
+    # exactly the right physical plan there)
+    CARTESIAN_OK = {"q_embed_near_exact", "q_similarity_topk"}
+    MAX_EXCHANGES = 12
+
+    failures = []
+    for name, fn in all_queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        facts = plan_facts(df)
+        if facts.has_cartesian and name not in CARTESIAN_OK:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in facts.joins and name not in CARTESIAN_OK:
+            failures.append(f"{name}: BroadcastNestedLoopJoin")
+        if facts.exchanges > MAX_EXCHANGES:
+            failures.append(f"{name}: {facts.exchanges} exchanges")
+        for s in facts.read_schemas:
+            ncols = s.count(",") + 1 if s.strip() else 0
+            if ncols > MAX_READ_COLS:
+                failures.append(f"{name}: ReadSchema {ncols} cols")
+    assert not failures, failures
