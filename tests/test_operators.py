@@ -173,6 +173,11 @@ def test_topk_and_grouped_topk(spark):
     top2 = topk(df, [F.col("score").desc(), F.col("i")], 2)
     assert [(r.g, r.i) for r in top2.collect()] == [(1, 4), (1, 3)]
     per_group = grouped_topk(df, ["g"], [F.col("score").desc(), F.col("i")], 2)
+    # Spark 4 plans the rank filter as WindowGroupLimit: partial top-k
+    # BEFORE the shuffle (only k rows/group/partition move at scale)
+    from snapflow_spark.plans.introspect import plan_text
+
+    assert "WindowGroupLimit" in plan_text(per_group)
     got = sorted((r.g, r.i) for r in per_group.collect())
     assert got == [(0, 3), (0, 4), (1, 3), (1, 4)]
 

@@ -252,3 +252,21 @@ def test_all_declared_queries_plan_quality(spark):
             if ncols > MAX_READ_COLS:
                 failures.append(f"{name}: ReadSchema {ncols} cols")
     assert not failures, failures
+
+
+def test_cli_list_run_schema_explain(spark, capsys):
+    """Lock the CLI surface: list shows all 50, schema prints DDL,
+    run --explain prints a physical plan."""
+    from snapflow_spark.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("\n") == 50 and "q_agg_basic" in out
+
+    assert main(["schema", "q_agg_basic", "--sf", "/root/testdata/sf0.001"]) == 0
+    assert "sum_qty" in capsys.readouterr().out
+
+    assert main(["run", "q_topk", "--sf", "/root/testdata/sf0.001", "--explain"]) == 0
+    assert "TakeOrderedAndProject" in capsys.readouterr().out
+
+    assert main(["run", "nope"]) == 2
