@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from snapflow_spark.catalog import ensure_parallelism
-from snapflow_spark.functions.vectors import cosine_similarity, l2_norm
+from snapflow_spark.functions.vectors import cosine_similarity
 from snapflow_spark.operators.buckets import bucketed_pairs
 from snapflow_spark.operators.topk import grouped_topk, topk
 

@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 
 from snapflow_spark.catalog import load_table
 from snapflow_spark.compat import (
-    MONEY,
     dec,
     exact_avg,
     exact_avg_sql,

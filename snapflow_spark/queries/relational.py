@@ -19,7 +19,6 @@ from snapflow_spark.compat import (
     exact_revenue_sum,
     exact_revenue_sum_sql,
     exact_sum,
-    exact_sum_sql,
     revenue_col,
     ts_millis,
     ts_millis_sql,

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snapflow_spark.catalog import load_table
-from snapflow_spark.compat import exact_sum, exact_sum_sql, ts_millis_sql
+from snapflow_spark.compat import exact_sum, exact_sum_sql
 from snapflow_spark.registry import query
 from snapflow_spark.streaming import session_agg, sliding_agg, tumbling_agg
 
