@@ -434,3 +434,29 @@ def test_asof_join_matches_pandas_merge_asof(spark, seed):
             assert g is None or (isinstance(g, float) and pd.isna(g)), eid
         else:
             assert g == pytest.approx(v), eid
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC source/sink test against embedded Derby (ships with
+    Spark): write a table, read it back as 4 PARALLEL range scans via
+    partitionColumn bounds — the shape that matters at scale."""
+    from snapflow_spark.sources import read_jdbc
+    from snapflow_spark.sources.io import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdb;create=true"
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    write_jdbc(df, url, "t_roundtrip", mode="overwrite")
+    back = read_jdbc(
+        spark,
+        url,
+        "t_roundtrip",
+        partitionColumn="k",
+        lowerBound="0",
+        upperBound="100",
+        numPartitions="4",
+    )
+    assert back.rdd.getNumPartitions() == 4  # parallel range scans
+    rows = {r.k: r.v for r in back.collect()}
+    assert len(rows) == 100 and rows[7] == 14.0
