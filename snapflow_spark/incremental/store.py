@@ -39,9 +39,17 @@ class SnapshotStore:
         return f"snapshot-{n:06d}"
 
     def append(self, df: DataFrame) -> str:
-        """Write one immutable snapshot; returns its id."""
+        """Write one immutable snapshot; returns its id. A leftover
+        UNCOMMITTED dir with the same id (a crashed earlier append —
+        invisible to snapshot_ids, so _next_id re-assigns its id) is
+        cleared first; a committed dir still fails errorifexists."""
         sid = self._next_id()
-        df.write.mode("errorifexists").parquet(str(self.path / sid))
+        target = self.path / sid
+        if target.exists() and not (target / "_SUCCESS").exists():
+            import shutil
+
+            shutil.rmtree(target)
+        df.write.mode("errorifexists").parquet(str(target))
         return sid
 
     def read(self, spark: SparkSession, ids: list[str] | None = None) -> DataFrame | None:

@@ -243,3 +243,17 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     b = final_states(running_user_stats_tws, "ck_b")
     assert a == b
     assert a[1] == (3, 60.0, 22.5)
+
+
+def test_snapshot_append_recovers_from_crashed_write(spark, tmp_path):
+    """A crashed append (dir present, no _SUCCESS) must not wedge the
+    store: the next append reclaims the id and commits cleanly."""
+    store = SnapshotStore(tmp_path / "crashed")
+    store.append(spark.createDataFrame([(1,)], "v int"))
+    orphan = store.path / "snapshot-000001"
+    orphan.mkdir()
+    (orphan / "part-0.parquet").write_bytes(b"partial")
+    sid = store.append(spark.createDataFrame([(2,)], "v int"))
+    assert sid == "snapshot-000001"
+    assert store.snapshot_ids() == ["snapshot-000000", "snapshot-000001"]
+    assert store.read(spark).count() == 2
