@@ -68,9 +68,13 @@ def kll_rollup_quantiles(
     return merged.select(
         *(by or []),
         *[
-            F.kll_sketch_get_quantile_double("kll", F.lit(p)).alias(
-                f"p{int(p * 100)}"
-            )
+            F.kll_sketch_get_quantile_double("kll", F.lit(p)).alias(_plabel(p))
             for p in probs
         ],
     )
+
+
+def _plabel(p: float) -> str:
+    """Collision-free quantile column label: p50, p99, p99_9, p0_1 —
+    truncating to int would alias 0.99 and 0.999 both to 'p99'."""
+    return "p" + f"{p * 100:g}".replace(".", "_").replace("-", "m")

@@ -38,18 +38,26 @@ class SnapshotStore:
         n = int(ids[-1].split("-")[1]) + 1 if ids else 0
         return f"snapshot-{n:06d}"
 
-    def append(self, df: DataFrame) -> str:
-        """Write one immutable snapshot; returns its id. A leftover
-        UNCOMMITTED dir with the same id (a crashed earlier append —
-        invisible to snapshot_ids, so _next_id re-assigns its id) is
-        cleared first; a committed dir still fails errorifexists."""
-        sid = self._next_id()
-        target = self.path / sid
-        if target.exists() and not (target / "_SUCCESS").exists():
-            import shutil
+    def _write_snapshot(self, df: DataFrame, sid: str) -> None:
+        """Commit protocol shared by append/compact: write to a
+        dot-prefixed temp dir (never listed, never claims an id), then
+        os.rename into place. A crashed write leaves only a temp dir —
+        reclaimed by the next writer of the same id — and the rename
+        fails LOUDLY if the target exists (a concurrent writer already
+        committed this id), instead of destroying anyone's output."""
+        import shutil
 
-            shutil.rmtree(target)
-        df.write.mode("errorifexists").parquet(str(target))
+        target = self.path / sid
+        tmp = self.path / f".{sid}.tmp"
+        if tmp.exists():  # crashed earlier write of this id
+            shutil.rmtree(tmp)
+        df.write.mode("errorifexists").parquet(str(tmp))
+        os.rename(tmp, target)
+
+    def append(self, df: DataFrame) -> str:
+        """Write one immutable snapshot; returns its id."""
+        sid = self._next_id()
+        self._write_snapshot(df, sid)
         return sid
 
     def read(self, spark: SparkSession, ids: list[str] | None = None) -> DataFrame | None:
@@ -83,7 +91,7 @@ class SnapshotStore:
             return None, []
         merged = self.read(spark, old)
         sid = self._next_id()
-        merged.write.mode("errorifexists").parquet(str(self.path / sid))
+        self._write_snapshot(merged, sid)
         for o in old:
             shutil.rmtree(self.path / o)
         return sid, old

@@ -1,6 +1,7 @@
 from snapflow_spark.multimodal.codec import (
     decode_image_bytes,
     encode_bmp,
+    encode_pgm,
     encode_ppm,
     resize_nearest,
     synthesize_image,
@@ -23,6 +24,7 @@ __all__ = [
     "decode_image_bytes",
     "decode_images",
     "encode_bmp",
+    "encode_pgm",
     "encode_ppm",
     "extract_features",
     "image_features",

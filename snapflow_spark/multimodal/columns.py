@@ -188,6 +188,8 @@ def resize_images(
     (PPM stays PPM, BMP stays BMP); the metadata struct is rewritten
     to the target dimensions. Schema-preserving."""
 
+    from snapflow_spark.multimodal.codec import encode_pgm
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
@@ -195,17 +197,30 @@ def resize_images(
             for b in pdf[blob_col]:
                 raw = bytes(b)
                 arr = decode_image_bytes(raw)
-                if arr.ndim == 2:
-                    arr = np.repeat(arr[:, :, None], 3, axis=2)
                 small = resize_nearest(arr, width, height)
-                blobs.append(
-                    encode_bmp(small) if raw[:2] == b"BM" else encode_ppm(small)
-                )
+                if raw[:2] == b"BM":
+                    blobs.append(encode_bmp(small))
+                elif small.ndim == 2:  # grayscale PGM stays grayscale
+                    blobs.append(encode_pgm(small))
+                else:
+                    blobs.append(encode_ppm(small))
             out[blob_col] = blobs
             yield out
 
-    resized_meta = F.col("meta").withField("width", F.lit(width).cast("int")).withField(
-        "height", F.lit(height).cast("int")
+    # format is preserved, so the output mime can be derived from the
+    # INPUT blob's magic — keeps meta.mime truthful for grayscale PGM
+    # (which would otherwise stay advertised as its old mime)
+    magic = F.decode(F.col(blob_col).substr(1, 2), "UTF-8")
+    out_mime = (
+        F.when(magic == "BM", F.lit("image/bmp"))
+        .when(magic.isin("P5", "P2"), F.lit("image/x-portable-graymap"))
+        .otherwise(F.lit("image/x-portable-pixmap"))
+    )
+    resized_meta = (
+        F.col("meta")
+        .withField("width", F.lit(width).cast("int"))
+        .withField("height", F.lit(height).cast("int"))
+        .withField("mime", out_mime)
     )
     with_meta = df.withColumn("meta", resized_meta)
     return with_meta.mapInPandas(_resize, schema=with_meta.schema)

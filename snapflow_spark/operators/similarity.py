@@ -172,23 +172,36 @@ class IVFIndex:
 
         # uniform seeded sample, not limit(): limit pulls whole leading
         # partitions, which biases the quantizer if the corpus is
-        # stored clustered. count() on parquet is metadata-only.
+        # stored clustered. count() on parquet is metadata-only. The
+        # sampled fraction overshoots ~20% and is cut back to
+        # train_sample with a seeded shuffle AFTER collect (a .limit()
+        # on the sampled stream would reintroduce the leading-partition
+        # bias driver-side).
         n = corpus.count()
         vecs = corpus.select(vec_col)
         if n > train_sample:
             vecs = vecs.sample(
                 withReplacement=False, fraction=min(1.0, 1.2 * train_sample / n), seed=seed
-            ).limit(int(train_sample))
+            )
         sample = np.asarray([r[0] for r in vecs.collect()], dtype=np.float64)
         rng = np.random.default_rng(seed)
-        centers = sample[rng.choice(len(sample), size=k_cells, replace=False)]
+        if len(sample) > train_sample:
+            sample = sample[rng.permutation(len(sample))[:train_sample]]
+        # a corpus smaller than k_cells gets one cell per vector
+        k = min(int(k_cells), len(sample))
+        centers = sample[rng.choice(len(sample), size=k, replace=False)]
+        c_sq = (centers**2).sum(axis=1)
         for _ in range(max_iter):
-            d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            labels = d2.argmin(axis=1)
-            for c in range(k_cells):
+            # ||s-c||^2 argmin == (s.c - |c|^2/2) argmax: one
+            # (n, dim) @ (dim, k) matmul per iteration, never the
+            # (n, k, dim) broadcast difference tensor (25 GB at
+            # 16k x 256 x 768 — driver OOM territory)
+            labels = (sample @ centers.T - 0.5 * c_sq).argmax(axis=1)
+            for c in range(k):
                 members = sample[labels == c]
                 if len(members):
                     centers[c] = members.mean(axis=0)
+            c_sq = (centers**2).sum(axis=1)
         assigned = corpus.withColumn(
             "cell", _cell_assign_udf(centers)(F.col(vec_col))
         )

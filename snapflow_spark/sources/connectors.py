@@ -30,7 +30,12 @@ from pyspark.sql.types import StructType
 
 from snapflow_spark.incremental.store import SnapshotStore
 
-# fetch_page(cursor) -> (records, next_cursor); next_cursor None = done
+# fetch_page(cursor) -> (records, next_cursor). The cursor is the
+# RESUME POINT and must advance monotonically, never to None — an
+# empty records list signals "caught up" (the loop stops and the next
+# run polls from the tail). A None next_cursor on a non-empty page is
+# a contract violation and raises: persisting it would silently
+# restart pagination from the beginning and re-import all history.
 FetchPage = Callable[[object], tuple[list[Mapping], object]]
 
 
@@ -84,6 +89,13 @@ def import_api_pages(
         records, next_cursor = fetch_page(result.cursor)
         if not records:  # caught up; keep the tail cursor for next run
             break
+        if next_cursor is None:
+            raise ValueError(
+                "fetch_page returned records with next_cursor=None; the "
+                "cursor must advance monotonically (return the tail cursor "
+                "and an empty page when caught up) — persisting None would "
+                "restart pagination and duplicate all history on re-run"
+            )
         df = spark.createDataFrame(records, schema=schema)
         result.snapshot_ids.append(store.append(df))
         result.n_pages += 1

@@ -57,3 +57,11 @@ def test_kll_quantile_merge_brackets_exact(spark):
     q = kll_rollup_quantiles(partials, [0.5, 0.99]).first()
     assert abs(q["p50"] - 5000) < 200
     assert abs(q["p99"] - 9900) < 200
+
+
+def test_kll_quantile_labels_do_not_collide():
+    from snapflow_spark.functions.sketches import _plabel
+
+    labels = [_plabel(p) for p in (0.5, 0.99, 0.999, 0.001, 0.25)]
+    assert labels == ["p50", "p99", "p99_9", "p0_1", "p25"]
+    assert len(set(labels)) == len(labels)

@@ -215,3 +215,19 @@ def test_api_connector_loop_resumes_from_cursor(spark, tmp_path):
     api_rows.extend((i, f"rec{i}") for i in range(30, 55))
     r4 = import_api_pages(spark, fetch_page, "id long, name string", store, max_pages=1)
     assert r4.n_records == 10 and load_cursor(store) == 40
+
+
+def test_api_connector_rejects_none_cursor_with_records(spark, tmp_path):
+    """A pager returning records with next_cursor=None must fail loudly
+    — persisting None would restart pagination and duplicate history."""
+    import pytest
+
+    from snapflow_spark.incremental import SnapshotStore
+    from snapflow_spark.sources import import_api_pages
+
+    def bad_pager(cursor):
+        return [{"id": 1}], None
+
+    store = SnapshotStore(tmp_path / "bad_api")
+    with pytest.raises(ValueError, match="next_cursor=None"):
+        import_api_pages(spark, bad_pager, "id long", store)

@@ -374,3 +374,48 @@ def test_embed_near_dup_query_finds_planted_pairs(spark):
     assert got <= expect  # exact in-bucket cosine: no false positives
     assert expect and len(got) >= 0.9 * len(expect)  # LSH recall
     assert all(0.9 <= r.cos <= 1.0 for r in rows)
+
+
+def test_ivf_build_small_corpus_and_pgm_resize(spark):
+    """IVF build on a corpus smaller than k_cells clamps the cell
+    count instead of crashing; resize keeps grayscale PGM grayscale
+    and rewrites meta.mime truthfully."""
+    import numpy as np
+
+    from snapflow_spark.multimodal import (
+        decode_image_bytes,
+        encode_pgm,
+        resize_images,
+    )
+    from snapflow_spark.operators.similarity import IVFIndex
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), float(-i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IVFIndex.build(tiny, k_cells=16)
+    assert len(idx.centers) == 5  # clamped to corpus size
+    probes = tiny.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    assert idx.search(probes, k=2, nprobe=5).count() == 2
+
+    gray = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    df = spark.createDataFrame([(1, bytearray(encode_pgm(gray)))], "doc_id long, blob binary")
+    df = df.withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/x-portable-graymap").alias("mime"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(6).cast("int").alias("height"),
+            F.lit(0).cast("int").alias("duration_ms"),
+            F.lit("mem://g").alias("source_uri"),
+        ),
+    )
+    r = resize_images(df, width=4, height=3).collect()[0]
+    out = decode_image_bytes(bytes(r.blob))
+    assert out.shape == (3, 4)  # still 2-D grayscale
+    assert bytes(r.blob)[:2] == b"P5"
+    assert r.meta.mime == "image/x-portable-graymap"
+    assert (r.meta.width, r.meta.height) == (4, 3)

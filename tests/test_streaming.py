@@ -246,14 +246,35 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
 
 
 def test_snapshot_append_recovers_from_crashed_write(spark, tmp_path):
-    """A crashed append (dir present, no _SUCCESS) must not wedge the
-    store: the next append reclaims the id and commits cleanly."""
+    """Commit protocol: a crashed append leaves only a dot-temp dir
+    (reclaimed by the next writer); a committed-looking target owned
+    by a CONCURRENT writer makes the rename fail loudly instead of
+    destroying their output; compact shares the same protocol."""
     store = SnapshotStore(tmp_path / "crashed")
     store.append(spark.createDataFrame([(1,)], "v int"))
-    orphan = store.path / "snapshot-000001"
-    orphan.mkdir()
-    (orphan / "part-0.parquet").write_bytes(b"partial")
+    # crashed earlier write of the next id -> temp leftover, reclaimed
+    tmp = store.path / ".snapshot-000001.tmp"
+    tmp.mkdir()
+    (tmp / "part-0.parquet").write_bytes(b"partial")
     sid = store.append(spark.createDataFrame([(2,)], "v int"))
     assert sid == "snapshot-000001"
     assert store.snapshot_ids() == ["snapshot-000000", "snapshot-000001"]
+    assert store.read(spark).count() == 2
+    # a concurrent writer's already-renamed dir: fail loudly, not rmtree
+    squatter = store.path / "snapshot-000002"
+    squatter.mkdir()
+    (squatter / "part-0.parquet").write_bytes(b"other writer")
+    with pytest.raises(OSError):
+        store.append(spark.createDataFrame([(3,)], "v int"))
+    assert (squatter / "part-0.parquet").read_bytes() == b"other writer"
+    # the failed rename left its temp dir behind — exactly the crashed
+    # state; compact shares the protocol, reclaims it, and proceeds
+    import shutil
+
+    shutil.rmtree(squatter)
+    assert (store.path / ".snapshot-000002.tmp").exists()
+    new_id, retired = store.compact(spark)
+    assert new_id == "snapshot-000002" and retired == [
+        "snapshot-000000", "snapshot-000001"
+    ]
     assert store.read(spark).count() == 2
