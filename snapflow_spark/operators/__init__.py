@@ -5,18 +5,45 @@ scale story (shuffle/broadcast behavior at 100 TB).
 """
 
 from snapflow_spark.operators.asof import asof_join
+from snapflow_spark.operators.dedup_text import (
+    exact_dedup,
+    mingram_candidates,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
 from snapflow_spark.operators.dedupe import dedupe_keep_latest
 from snapflow_spark.operators.merge import merge_streams
+from snapflow_spark.operators.rangejoin import banded_range_join
 from snapflow_spark.operators.schema_translate import schema_translate
+from snapflow_spark.operators.similarity import (
+    IVFIndex,
+    brute_force_topk,
+    brute_force_topk_matmul,
+    embedding_near_dup_pairs,
+)
+from snapflow_spark.operators.skew import salted_count_by_key, salted_join
 from snapflow_spark.operators.sql_snap import sql_snap
 from snapflow_spark.operators.topk import grouped_topk, topk
 
 __all__ = [
+    "IVFIndex",
     "asof_join",
+    "banded_range_join",
+    "brute_force_topk",
+    "brute_force_topk_matmul",
     "dedupe_keep_latest",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "grouped_topk",
     "merge_streams",
+    "mingram_candidates",
+    "minhash_candidates",
+    "ngram_jaccard_pairs",
+    "salted_count_by_key",
+    "salted_join",
     "schema_translate",
+    "simhash_candidates",
     "sql_snap",
     "topk",
-    "grouped_topk",
 ]
