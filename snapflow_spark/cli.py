@@ -36,7 +36,32 @@ def main(argv: list[str] | None = None) -> int:
     prod.add_argument("--warehouse", default=None, help="override the file's warehouse")
     prod.add_argument("--show", default=None, help="node/store to print after the run")
     prod.add_argument("--limit", type=int, default=20)
+    sql = sub.add_parser(
+        "sql", help="run ad-hoc SQL over the catalog tables (the SQL-snap surface)"
+    )
+    sql.add_argument("text", help="SQL; catalog tables are registered as views")
+    sql.add_argument("--sf", default=DEFAULT_SF_DIR)
+    sql.add_argument("--limit", type=int, default=20)
+    sql.add_argument("--explain", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.cmd == "sql":
+        from snapflow_spark.catalog import TABLES, load_table
+        from snapflow_spark.session import build_session, tune
+
+        spark = build_session("cli-sql")
+        spark.sparkContext.setLogLevel("ERROR")
+        tune(spark)
+        for t in TABLES:
+            load_table(spark, args.sf, t).createOrReplaceTempView(t)
+        df = spark.sql(args.text)
+        if args.explain:
+            from snapflow_spark.plans import plan_text
+
+            print(plan_text(df))
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
 
     if args.cmd == "produce":
         from snapflow_spark.plans import produce_file

@@ -270,3 +270,18 @@ def test_cli_list_run_schema_explain(spark, capsys):
     assert "TakeOrderedAndProject" in capsys.readouterr().out
 
     assert main(["run", "nope"]) == 2
+
+
+def test_cli_sql_adhoc(spark, capsys):
+    """`python -m snapflow_spark sql "..."` runs ad-hoc SQL over the
+    registered catalog views — the interactive SQL-snap surface."""
+    from snapflow_spark.cli import main
+
+    assert main([
+        "sql",
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "GROUP BY 1 ORDER BY 1 LIMIT 3",
+        "--sf", "/root/testdata/sf0.001",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "o_orderpriority" in out and "1-URGENT" in out
