@@ -11,6 +11,7 @@ from snapflow_spark.sources.io import (
     read_jdbc,
     read_jsonl,
     write_bucketed,
+    write_range_sorted,
     write_csv,
     write_jsonl,
 )
@@ -28,4 +29,5 @@ __all__ = [
     "write_jsonl",
     "read_jdbc",
     "write_bucketed",
+    "write_range_sorted",
 ]

@@ -460,3 +460,35 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert back.rdd.getNumPartitions() == 4  # parallel range scans
     rows = {r.k: r.v for r in back.collect()}
     assert len(rows) == 100 and rows[7] == 14.0
+
+
+def test_write_range_sorted_produces_disjoint_rowgroup_stats(spark, tmp_path):
+    """The data-skipping layout: files written by write_range_sorted
+    carry non-overlapping min/max stats on the sort column, so
+    predicate scans can skip whole row groups/files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from snapflow_spark.sources.io import write_range_sorted
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = str(tmp_path / "sorted")
+    write_range_sorted(df, out, ["k"], n_ranges=4)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("k")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, ranges  # disjoint: skipping is possible
