@@ -1,3 +1,9 @@
+from snapflow_spark.functions.sketches import (
+    hll_partials,
+    hll_rollup,
+    kll_quantile_partials,
+    kll_rollup_quantiles,
+)
 from snapflow_spark.functions.text import (
     lang_id_expr,
     quality_score_expr,
@@ -8,11 +14,15 @@ from snapflow_spark.functions.text import (
 from snapflow_spark.functions.vectors import cosine_similarity, l2_norm
 
 __all__ = [
-    "token_count_udf",
-    "tokens_expr",
+    "cosine_similarity",
+    "hll_partials",
+    "hll_rollup",
+    "kll_quantile_partials",
+    "kll_rollup_quantiles",
+    "l2_norm",
     "lang_id_expr",
     "quality_score_expr",
     "simhash_udf",
-    "cosine_similarity",
-    "l2_norm",
+    "token_count_udf",
+    "tokens_expr",
 ]
