@@ -2,9 +2,14 @@
 
 Runs every declared query from ``snapflow_spark.registry`` at
 ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints a compact totals-only JSON
+line followed by the full per-query JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "unit": "sec", ..., "value": N, "value_warm": N}
+    {"metric": "...", "unit": "sec", "queries": {...}, ..., "value": N}
+
+(totals are the LAST keys of the full line so a bounded tail capture
+still recovers them; BENCH_r02 lost its cold total to a head cut)
 
 Each query is fully materialized through Spark's `noop` sink so the
 whole physical plan (scan -> shuffle -> agg/join) executes, without
@@ -70,23 +75,32 @@ def run(sf_dir: str, names: list[str]) -> dict:
     warm = one_pass()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Key order matters for capture robustness: the driver records a
+    # bounded tail of stdout (BENCH_r02's cold total was cut off the
+    # FRONT of the line). Per-query dicts go first and every scalar
+    # total goes LAST so the totals survive any tail cap.
     return {
         "metric": "total_wall_sec_all_declared_queries",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "cpus": int(cpus),
+        "value": round(sum(timings.values()), 3),
+        "value_warm": round(sum(warm.values()), 3),
     }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = sys.argv[1:] or sorted(all_queries())
-    print(json.dumps(run(sf_dir, names)))
+    result = run(sf_dir, names)
+    # Compact totals-only line first (survives head-capture and gives a
+    # human-greppable summary), then the full per-query JSON line.
+    summary = {k: result[k] for k in ("metric", "unit", "sf", "n_queries", "cpus", "value", "value_warm")}
+    print(json.dumps(summary))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

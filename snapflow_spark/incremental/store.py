@@ -20,12 +20,14 @@ class SnapshotStore:
         self.path = Path(path)
         self.path.mkdir(parents=True, exist_ok=True)
 
-    def snapshot_ids(self) -> list[str]:
-        """Only COMMITTED snapshots: Spark's parquet committer drops a
-        _SUCCESS marker at job commit, so a dir Spark is still writing
-        (e.g. a live stream epoch) is invisible to readers — without
-        this, a concurrent batch tick could consume a partial snapshot
-        and mark it done, silently losing the rest of its rows."""
+    def _listed(self) -> list[str]:
+        """All COMMITTED snapshot dirs: Spark's parquet committer drops
+        a _SUCCESS marker at job commit, so a dir Spark is still
+        writing (e.g. a live stream epoch) is invisible to readers —
+        without this, a concurrent batch tick could consume a partial
+        snapshot and mark it done, silently losing the rest of its
+        rows. Includes retired-but-not-yet-deleted dirs (see
+        ``compact``); use ``snapshot_ids`` for the reader view."""
         return sorted(
             p.name for p in self.path.iterdir()
             if p.is_dir()
@@ -33,9 +35,33 @@ class SnapshotStore:
             and (p / "_SUCCESS").exists()
         )
 
+    def _retired(self, listed: list[str]) -> set[str]:
+        """Ids masked by a committed snapshot's _RETIRES manifest.
+        ``compact`` writes the manifest INSIDE the merged dir before
+        the rename, so one atomic rename both publishes the merged
+        rows and hides the originals — no crash window in which both
+        are visible (double-count) or neither is (data loss)."""
+        import json
+
+        retired: set[str] = set()
+        for sid in listed:
+            m = self.path / sid / "_RETIRES"
+            if m.exists():
+                retired.update(json.loads(m.read_text()))
+        return retired
+
+    def snapshot_ids(self) -> list[str]:
+        """Reader view: committed snapshots minus retired ones."""
+        listed = self._listed()
+        retired = self._retired(listed)
+        return [sid for sid in listed if sid not in retired]
+
     def _next_id(self) -> str:
-        ids = self.snapshot_ids()
-        n = int(ids[-1].split("-")[1]) + 1 if ids else 0
+        # max over ALL committed dirs (retired leftovers included) so a
+        # crashed compact's undeleted originals can never cause an id
+        # collision with the next append.
+        ids = self._listed()
+        n = max(int(s.split("-")[1]) for s in ids) + 1 if ids else 0
         return f"snapshot-{n:06d}"
 
     def _write_snapshot(self, df: DataFrame, sid: str) -> None:
@@ -83,7 +109,17 @@ class SnapshotStore:
         ledgers must be fixed up atomically with it: use
         ``Pipeline.compact_store`` rather than calling this directly
         inside a pipeline (it marks the new snapshot consumed for every
-        node that had consumed ALL retired ones)."""
+        node that had consumed ALL retired ones).
+
+        Crash-safe end-to-end: the merged snapshot is written to a temp
+        dir WITH a ``_RETIRES`` manifest naming every dir it replaces
+        (including leftovers from earlier crashed compactions), so the
+        single os.rename that commits it atomically retires the
+        originals too. The rmtree loop after the rename is pure
+        cleanup — a crash anywhere in it leaves dirs that
+        ``snapshot_ids`` already excludes, reclaimed by the next
+        compact."""
+        import json
         import shutil
 
         old = self.snapshot_ids()
@@ -91,7 +127,21 @@ class SnapshotStore:
             return None, []
         merged = self.read(spark, old)
         sid = self._next_id()
-        self._write_snapshot(merged, sid)
-        for o in old:
-            shutil.rmtree(self.path / o)
+        # every committed dir on disk except the new one is retired:
+        # the visible set being merged, plus any already-masked
+        # leftovers a previous crashed cleanup left behind
+        retires = self._listed()
+
+        target = self.path / sid
+        tmp = self.path / f".{sid}.tmp"
+        if tmp.exists():  # crashed earlier write of this id
+            shutil.rmtree(tmp)
+        merged.write.mode("errorifexists").parquet(str(tmp))
+        (tmp / "_RETIRES").write_text(json.dumps(retires))
+        os.rename(tmp, target)  # atomic: publishes merged + masks old
+
+        for o in retires:
+            p = self.path / o
+            if p.exists():
+                shutil.rmtree(p)
         return sid, old

@@ -91,10 +91,16 @@ def brute_force_topk_matmul(
     """
     import numpy as np
 
+    # id column types come from the INPUT schemas (string doc ids work
+    # the same as bigints — pids stays a python list, Arrow casts the
+    # yielded object columns to the declared types)
+    pid_type = probes.schema[probe_id_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
     probe_rows = sorted(
         probes.select(probe_id_col, vec_col).collect(), key=lambda r: r[probe_id_col]
     )
-    pids = np.array([r[probe_id_col] for r in probe_rows], dtype=np.int64)
+    pids = [r[probe_id_col] for r in probe_rows]
     pmat = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in probe_rows])
     pnorm = np.linalg.norm(pmat, axis=1)
     pnorm[pnorm == 0] = 1.0
@@ -122,7 +128,7 @@ def brute_force_topk_matmul(
 
     candidates = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
         score_batches,
-        schema=f"{probe_id_col} bigint, {id_col} bigint, cos double",
+        schema=f"{probe_id_col} {pid_type}, {id_col} {id_type}, cos double",
     )
     return grouped_topk(
         candidates, [probe_id_col], [F.col("cos").desc(), F.col(id_col).asc()], k
@@ -184,6 +190,8 @@ class IVFIndex:
                 withReplacement=False, fraction=min(1.0, 1.2 * train_sample / n), seed=seed
             )
         sample = np.asarray([r[0] for r in vecs.collect()], dtype=np.float64)
+        if sample.size == 0:
+            raise ValueError("cannot build IVF index on an empty corpus")
         rng = np.random.default_rng(seed)
         if len(sample) > train_sample:
             sample = sample[rng.permutation(len(sample))[:train_sample]]

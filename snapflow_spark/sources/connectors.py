@@ -96,6 +96,13 @@ def import_api_pages(
                 "and an empty page when caught up) — persisting None would "
                 "restart pagination and duplicate all history on re-run"
             )
+        if next_cursor == result.cursor:
+            raise ValueError(
+                f"fetch_page returned records without advancing the cursor "
+                f"(still {next_cursor!r}); with max_pages=None this pager "
+                f"would loop forever appending duplicate snapshots — the "
+                f"cursor must advance on every non-empty page"
+            )
         df = spark.createDataFrame(records, schema=schema)
         result.snapshot_ids.append(store.append(df))
         result.n_pages += 1

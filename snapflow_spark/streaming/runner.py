@@ -79,9 +79,20 @@ def stream_to_snapshots(
         if tmp.exists():
             shutil.rmtree(tmp)
         batch_df.write.mode("errorifexists").parquet(str(tmp))
-        if target.exists():  # replayed epoch: swap in the rewrite
-            shutil.rmtree(target)
-        os.rename(tmp, target)
+        if target.exists():
+            # Replayed epoch: swap via rename, not rmtree-then-rename —
+            # the committed dir stays visible until the single atomic
+            # rename replaces it, so a concurrent batch tick that
+            # listed the id can never find it absent mid-swap. The
+            # dot-prefixed retired dir is invisible to snapshot_ids().
+            retired = store.path / f".{sid}.retired"
+            if retired.exists():
+                shutil.rmtree(retired)
+            os.rename(target, retired)
+            os.rename(tmp, target)
+            shutil.rmtree(retired)
+        else:
+            os.rename(tmp, target)
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
     writer = (

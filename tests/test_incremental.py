@@ -231,3 +231,71 @@ def test_api_connector_rejects_none_cursor_with_records(spark, tmp_path):
     store = SnapshotStore(tmp_path / "bad_api")
     with pytest.raises(ValueError, match="next_cursor=None"):
         import_api_pages(spark, bad_pager, "id long", store)
+
+
+def test_api_connector_rejects_non_advancing_cursor(spark, tmp_path):
+    """A pager returning records with a REPEATED cursor would loop
+    forever (max_pages=None) appending duplicate snapshots — the
+    monotonic-advance contract makes it fail loudly instead."""
+    from snapflow_spark.incremental import SnapshotStore
+    from snapflow_spark.sources import import_api_pages
+
+    def stuck_pager(cursor):
+        return [{"id": 1}], 7  # always page 7, never advances
+
+    store = SnapshotStore(tmp_path / "stuck_api")
+    with pytest.raises(ValueError, match="without advancing"):
+        import_api_pages(spark, stuck_pager, "id long", store)
+    # exactly one snapshot landed before the violation was detected
+    assert len(store.snapshot_ids()) == 1
+
+
+def test_compact_crash_before_cleanup_never_double_counts(spark, tmp_path):
+    """compact()'s commit is the single rename of the merged dir, whose
+    embedded _RETIRES manifest masks the originals atomically. A crash
+    BETWEEN that rename and the cleanup rmtree loop must leave readers
+    seeing exactly the merged rows (not merged + originals), and the
+    next compact must reclaim the leftovers."""
+    import shutil as _shutil
+
+    from snapflow_spark.incremental import SnapshotStore
+
+    store = SnapshotStore(tmp_path / "cc")
+    for i in range(3):
+        store.append(spark.createDataFrame([(i,)], "id long"))
+    assert len(store.snapshot_ids()) == 3
+
+    real_rmtree = _shutil.rmtree
+
+    def crashing_rmtree(path, *a, **kw):
+        # let temp-dir reclaims through; crash on retiring a committed dir
+        if "/.s" not in str(path) and "snapshot-" in str(path):
+            raise RuntimeError("simulated crash during cleanup")
+        return real_rmtree(path, *a, **kw)
+
+    _shutil.rmtree = crashing_rmtree
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            store.compact(spark)
+    finally:
+        _shutil.rmtree = real_rmtree
+
+    # merged snapshot is committed and the originals are masked: reader
+    # sees exactly once, even though the original dirs still exist
+    ids = store.snapshot_ids()
+    assert ids == ["snapshot-000003"]
+    assert store.read(spark).count() == 3
+    leftovers = [p.name for p in store.path.iterdir() if p.name.startswith("snapshot-")]
+    assert len(leftovers) == 4  # 3 originals + merged, but only 1 visible
+
+    # a subsequent append can't collide with a masked leftover id
+    store.append(spark.createDataFrame([(99,)], "id long"))
+    assert store.snapshot_ids() == ["snapshot-000003", "snapshot-000004"]
+    assert store.read(spark).count() == 4
+
+    # next compact reclaims the crashed cleanup's leftovers
+    sid, retired = store.compact(spark)
+    assert store.snapshot_ids() == [sid]
+    assert store.read(spark).count() == 4
+    on_disk = [p.name for p in store.path.iterdir() if p.name.startswith("snapshot-")]
+    assert on_disk == [sid]

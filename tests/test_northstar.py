@@ -419,3 +419,45 @@ def test_ivf_build_small_corpus_and_pgm_resize(spark):
     assert bytes(r.blob)[:2] == b"P5"
     assert r.meta.mime == "image/x-portable-graymap"
     assert (r.meta.width, r.meta.height) == (4, 3)
+
+
+def test_brute_force_topk_matmul_string_ids(spark):
+    """The matmul scorer's candidate schema derives from the INPUT id
+    column types — string doc ids work identically to bigints."""
+    from snapflow_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_matmul,
+    )
+
+    # 0.003*i de-ties cosines: distinct ids with bitwise-equal cos
+    # would tie-break on the FLOAT rounding of each path, not the data
+    corpus = spark.createDataFrame(
+        [
+            (f"doc-{i:03d}", [float(i % 7) + 0.003 * i, float((i * 3) % 5), 1.0])
+            for i in range(40)
+        ],
+        "vec_id string, embedding array<float>",
+    )
+    probes = spark.createDataFrame(
+        [("p-a", [1.0, 0.0, 1.0]), ("p-b", [0.0, 2.0, 1.0])],
+        "probe_id string, embedding array<float>",
+    )
+
+    def key(df):
+        return sorted((r.probe_id, r.vec_id, round(r.cos, 9)) for r in df.collect())
+
+    a = key(brute_force_topk(corpus, probes, k=4))
+    b = key(brute_force_topk_matmul(corpus, probes, k=4))
+    assert a == b and len(a) == 8
+
+
+def test_ivf_build_empty_corpus_raises(spark):
+    """An empty corpus fails with a clear error, not a numpy argmax
+    crash inside the Lloyd loop."""
+    import pytest
+
+    from snapflow_spark.operators.similarity import IVFIndex
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        IVFIndex.build(empty, k_cells=4)
