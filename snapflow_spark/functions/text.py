@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 TOKEN_RE = r"\S+"
 
@@ -199,3 +199,52 @@ def simhash_udf(col: str | Column) -> Column:
     then group on hamming-band substrings of this value."""
     c = F.col(col) if isinstance(col, str) else col
     return pandas_udf(_simhash_batch, LongType())(c)
+
+
+def _simhash_sha_bands_batch(texts: pd.Series) -> pd.Series:
+    """sha256 simhash band values, vectorized per Arrow batch — the
+    engine-side twin of the q_dedup_simhash SQL oracle. Per token
+    INSTANCE the first 8 sha256 bytes vote bitwise (big-endian bit
+    order = the oracle's hex-nibble extraction); bit p of the
+    signature is 1 iff 2*ones >= n_tokens; bits pack into 4 16-bit
+    band values. sha256 runs once per DISTINCT token in the chunk
+    (pd.factorize), the votes are one np.add.reduceat."""
+    import hashlib
+
+    tok_lists = texts.fillna("").str.split()
+    lengths = tok_lists.str.len().to_numpy(dtype=np.int64)
+    out: list = [None] * len(texts)
+    nonempty = np.flatnonzero(lengths > 0)
+    shifts = (63 - np.arange(64)).astype(np.uint64)  # column p -> bit p
+    powers16 = (1 << np.arange(15, -1, -1)).astype(np.int64)
+    chunk = 512
+    for lo in range(0, len(nonempty), chunk):
+        idx = nonempty[lo : lo + chunk]
+        flat = np.concatenate(
+            [np.asarray(tok_lists.iloc[i], dtype=object) for i in idx]
+        )
+        codes, uniques = pd.factorize(flat)
+        uh = np.array(
+            [
+                int.from_bytes(hashlib.sha256(t.encode("utf-8")).digest()[:8], "big")
+                for t in uniques
+            ],
+            dtype=np.uint64,
+        )
+        ubits = ((uh[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        bits = ubits[codes]  # (n_tokens, 64)
+        starts = np.zeros(len(idx), dtype=np.int64)
+        np.cumsum(lengths[idx][:-1], out=starts[1:])
+        ones = np.add.reduceat(bits, starts, axis=0)  # (n_docs, 64)
+        simbits = (2 * ones >= lengths[idx][:, None]).astype(np.int64)
+        bvals = simbits.reshape(len(idx), 4, 16) @ powers16  # (n_docs, 4)
+        for k, i in enumerate(idx):
+            out[i] = [int(v) for v in bvals[k]]
+    return pd.Series(out)
+
+
+def simhash_sha_bands_udf(col: str | Column) -> Column:
+    """Array of 4 16-bit sha256-simhash band values (see
+    operators.dedup_text.simhash_sha_candidates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_simhash_sha_bands_batch, ArrayType(IntegerType()))(c)

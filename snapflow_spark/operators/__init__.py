@@ -11,6 +11,7 @@ from snapflow_spark.operators.dedup_text import (
     minhash_candidates,
     ngram_jaccard_pairs,
     simhash_candidates,
+    simhash_sha_candidates,
 )
 from snapflow_spark.operators.dedupe import dedupe_keep_latest
 from snapflow_spark.operators.merge import merge_streams
@@ -44,6 +45,7 @@ __all__ = [
     "salted_join",
     "schema_translate",
     "simhash_candidates",
+    "simhash_sha_candidates",
     "sql_snap",
     "topk",
 ]

@@ -32,7 +32,7 @@ from snapflow_spark.operators.dedup_text import (
     mingram_candidates,
     minhash_candidates,
     ngram_jaccard_pairs,
-    simhash_candidates,
+    simhash_sha_candidates,
 )
 from snapflow_spark.operators.similarity import (
     IVFIndex,
@@ -258,11 +258,57 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash")  # rows-only: banded simhash candidates
+@query(
+    "q_dedup_simhash",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      FROM documents
+    ), nz AS (
+      SELECT doc_id, list_transform(toks, t -> substr(sha256(t), 1, 16)) AS hs
+      FROM t WHERE len(toks) > 0
+    ), bs AS (
+      SELECT doc_id, len(hs) AS n,
+             list_transform(range(0, 64), p ->
+               list_sum(list_transform(hs, s ->
+                 ((CAST(instr('0123456789abcdef', substr(s, p // 4 + 1, 1)) AS INT) - 1)
+                  >> (3 - CAST(p % 4 AS INT))) & 1))) AS bitsum
+      FROM nz
+    ), sb AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), p ->
+               CASE WHEN 2 * bitsum[p + 1] >= n THEN 1 ELSE 0 END) AS simbits
+      FROM bs
+    ), bv AS (
+      SELECT doc_id,
+             list_transform(range(0, 4), b ->
+               CAST(list_sum(list_transform(range(0, 16), j ->
+                 simbits[b * 16 + j + 1] << (15 - CAST(j AS INT)))) AS INT)) AS bvals
+      FROM sb
+    ), banded AS (
+      SELECT doc_id, bvals, u.b AS band_idx, bvals[u.b + 1] AS band_val
+      FROM bv CROSS JOIN (SELECT unnest(range(4)) AS b) u
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS rn
+      FROM banded
+    ), k AS (SELECT * FROM ranked WHERE rn <= 64)
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(list_sum(list_transform(range(1, 5), i ->
+             bit_count(xor(a.bvals[i], c.bvals[i])))) AS BIGINT) AS hamming
+    FROM k a JOIN k c
+      ON a.band_idx = c.band_idx AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+    WHERE list_sum(list_transform(range(1, 5), i ->
+            bit_count(xor(a.bvals[i], c.bvals[i])))) <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-SimHash near-dup candidate pairs (hamming <= 3)."""
+    """Banded-SimHash near-dup candidate pairs (hamming <= 3) in the
+    oracle-reproducible sha256 form (simhash_sha_candidates): the
+    signature, banding, bucket truncation, and hamming verify are all
+    exact integer/hex arithmetic the DuckDB oracle replays — upgraded
+    from rows-only in round 3, the same path q_dedup_ngram took."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_candidates(d, max_hamming=3)
+    return simhash_sha_candidates(d, max_hamming=3)
 
 
 @query("q_similarity_ann")  # rows-only: IVF approximate search

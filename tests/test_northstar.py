@@ -461,3 +461,20 @@ def test_ivf_build_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty corpus"):
         IVFIndex.build(empty, k_cells=4)
+
+
+def test_simhash_sha_finds_near_dups(planted):
+    """The oracle-reproducible sha256 simhash keeps the same detection
+    contract as the numpy path: exact copies at hamming 0, planted
+    near-dups recalled."""
+    from snapflow_spark.operators.dedup_text import simhash_sha_candidates
+
+    df, near_pairs, exact_ids = planted
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_sha_candidates(df, max_hamming=6).collect()
+    }
+    assert all(p in pairs for p in exact_ids)
+    assert all(pairs[p] == 0 for p in exact_ids)
+    found = sum(1 for p in near_pairs if p in pairs)
+    assert found / len(near_pairs) >= 0.8
