@@ -25,6 +25,7 @@ from snapflow_spark.compat import (
 )
 from snapflow_spark.operators import asof_join
 from snapflow_spark.registry import query
+from snapflow_spark.sources import refresh_bucketed
 
 
 @query(
@@ -78,19 +79,37 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10-shaped 3-way inner join. orders⋈lineitem shuffles on
-    orderkey (both sides filtered first); the customer side is small
-    relative to the fact join and AQE converts it to broadcast when it
-    fits — the right plan at any scale factor."""
+    """TPC-H Q10-shaped 3-way inner join over the BUCKETED co-located
+    layout (round 3): both fact sides are written bucketed on orderkey
+    (sources.write_bucketed), so the orders⋈lineitem sort-merge join
+    runs with ZERO exchanges — each task reads bucket i of both sides
+    (plan shows ``Bucketed: true`` + SMJ with only Sorts above the
+    scans). The customer side broadcasts. At 100 TB the bucketed write
+    is paid once and amortized across every query that joins the pair;
+    here the query pays it inline (the q_accumulate setup precedent)
+    so the driver-visible plan IS the zero-exchange join. The `merge`
+    hint keeps the physical shape stable where AQE would broadcast the
+    small sf's fact side — broadcasting would be fine at sf0.01, but
+    the co-located SMJ is the plan that survives the scale-up."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
     )
-    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    ob = refresh_bucketed(o, "q_join_inner_orders_b", ["o_orderkey"], 8)
+    lb = refresh_bucketed(l, "q_join_inner_lineitem_b", ["l_orderkey"], 8)
+    fact = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
+        fact.join(F.broadcast(c), fact.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(exact_revenue_sum("revenue"), F.count(F.lit(1)).alias("n_items"))
     )

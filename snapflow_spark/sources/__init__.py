@@ -10,6 +10,7 @@ from snapflow_spark.sources.io import (
     read_csv,
     read_jdbc,
     read_jsonl,
+    refresh_bucketed,
     write_bucketed,
     write_range_sorted,
     write_csv,
@@ -28,6 +29,7 @@ __all__ = [
     "read_jsonl",
     "write_jsonl",
     "read_jdbc",
+    "refresh_bucketed",
     "write_bucketed",
     "write_range_sorted",
 ]

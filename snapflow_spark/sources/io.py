@@ -124,6 +124,33 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def refresh_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """write_bucketed for a MANAGED table that may have a stale
+    location: each Spark session starts a fresh in-memory metastore,
+    so a warehouse dir left by a previous session raises
+    LOCATION_ALREADY_EXISTS on create even though the catalog has no
+    such table. Drop the catalog entry AND clear the orphaned
+    location, then write, then return the bucketed scan."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    leftover = Path(warehouse) / table.lower()
+    if leftover.exists():
+        shutil.rmtree(leftover)
+    write_bucketed(df, table, bucket_cols, n_buckets, sort_cols=sort_cols)
+    return spark.table(table)
+
+
 def write_parquet_partitioned(
     df: DataFrame,
     path: str,

@@ -219,6 +219,21 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_custs")
 
 
+def test_q_join_inner_uses_bucketed_zero_exchange_smj(spark):
+    """The driver-visible q_join_inner runs its fact-fact join over
+    the bucketed co-located layout: SortMergeJoin with NO exchange
+    under it (the only exchange in the plan is the final groupBy), and
+    both fact scans are bucketed."""
+    from snapflow_spark.registry import all_queries
+
+    df = all_queries()["q_join_inner"](spark, "/root/testdata/sf0.001")
+    facts = plan_facts(df)
+    assert "SortMergeJoin" in facts.joins
+    assert facts.exchanges == 1, facts.text  # final agg only
+    assert "Bucketed: true" in facts.text
+    assert "SelectedBucketsCount: 8 out of 8" in facts.text
+
+
 def test_all_declared_queries_plan_quality(spark):
     """Plan-quality gate over the ENTIRE roster (sf0.001): no
     cartesian outside the documented ground-truth query, bounded

@@ -1,0 +1,108 @@
+"""Two-scale-factor bench: measure the heavy-tail operators at sf0.1
+and at the gen_scale.py ~10x corpus, and report wall-clock ratios.
+
+This is the empirical backing for SCALE.md: the 100 TB argument is
+plan shape (bucketed candidate generation, broadcast dims, pruned
+scans); this harness shows the same plans actually scale ~linearly
+when the data does. Ratios well under the data factor mean the query
+is still overhead-dominated at this size; ratios near the factor mean
+linear work; ratios far above it would expose quadratic behavior.
+
+Protocol: sequential, one query at a time, ``clearCache()`` between
+queries; per (query, sf): cold run then warm run (both full
+``count()`` actions). Emits one JSON document (default
+``SCALE_BENCH.json``) keyed by query with base/scaled secs + ratio.
+
+Usage::
+
+    python tools/gen_scale.py --out .scratch/sf1      # once
+    python tools/bench_scale.py [--factor 10] [--out SCALE_BENCH.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from snapflow_spark.registry import all_queries
+from snapflow_spark.session import build_session
+
+# Heavy-tail roster: every query bound to a scaled table
+# (documents / embeddings / events). Annotations explain expected
+# non-linear rows (constant-output or bounded-slice queries).
+HEAVY = {
+    "q_dedup_exact": "documents; output ~linear",
+    "q_dedup_minhash": "documents; bucketed LSH cascade",
+    "q_dedup_simhash": "documents; sha256 simhash bands",
+    "q_dedup_ngram": "documents; min-gram blocking",
+    "q_pipeline_docs": "documents; dedup->quality->stats, 5 agg rows",
+    "q_tokenize_bpe": "documents; Arrow-batched tokenizer",
+    "q_udaf_grouped": "events; applyInPandas, groups x factor",
+    "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
+    "q_stream_windows": "events; tumbling+sliding agg",
+    "q_stream_session": "events; session windows",
+    "q_similarity_ann": "embeddings; IVF build + probe",
+    "q_embed_near_dup": "embeddings; SRP-LSH, planted output constant",
+    "q_embed_near_exact": (
+        "embeddings; FLAT BY DESIGN: vec_id<300 slice is pushdown-pruned,"
+        " so work is constant regardless of corpus size"
+    ),
+}
+
+
+def run_once(spark, fn, sf_dir: str) -> tuple[float, int]:
+    spark.catalog.clearCache()
+    t0 = time.time()
+    n = fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--scaled", default=".scratch/sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="SCALE_BENCH.json")
+    args = ap.parse_args()
+
+    spark = build_session("bench-scale")
+    queries = all_queries()
+    results: dict[str, dict] = {}
+    for name, note in HEAVY.items():
+        fn = queries[name]
+        row: dict = {"note": note}
+        for key, sf_dir in (("base", args.base), ("scaled", args.scaled)):
+            cold, n = run_once(spark, fn, sf_dir)
+            warm, _ = run_once(spark, fn, sf_dir)
+            row[f"{key}_cold_sec"] = round(cold, 3)
+            row[f"{key}_warm_sec"] = round(warm, 3)
+            row[f"{key}_rows"] = n
+        row["ratio_cold"] = round(row["scaled_cold_sec"] / row["base_cold_sec"], 2)
+        row["ratio_warm"] = round(row["scaled_warm_sec"] / row["base_warm_sec"], 2)
+        results[name] = row
+        print(
+            f"{name:28s} base {row['base_cold_sec']:7.2f}s "
+            f"scaled {row['scaled_cold_sec']:7.2f}s "
+            f"ratio {row['ratio_cold']:5.2f} (warm {row['ratio_warm']:5.2f}) "
+            f"rows {row['base_rows']} -> {row['scaled_rows']}",
+            flush=True,
+        )
+
+    doc = {
+        "metric": "scale_ratio_heavy_tail",
+        "factor": args.factor,
+        "base": args.base,
+        "scaled": args.scaled,
+        "queries": results,
+    }
+    Path(args.out).write_text(json.dumps(doc, indent=2) + "\n")
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
