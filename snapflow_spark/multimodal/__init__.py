@@ -2,6 +2,7 @@ from snapflow_spark.multimodal.codec import (
     decode_image_bytes,
     encode_bmp,
     encode_pgm,
+    encode_png,
     encode_ppm,
     resize_nearest,
     synthesize_image,
@@ -25,6 +26,7 @@ __all__ = [
     "decode_images",
     "encode_bmp",
     "encode_pgm",
+    "encode_png",
     "encode_ppm",
     "extract_features",
     "image_features",

@@ -145,19 +145,142 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(payload).to_bytes(4, "big")
+        + tag
+        + payload
+        + zlib.crc32(tag + payload).to_bytes(4, "big")
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> 8-bit RGB PNG; (H, W) uint8 -> 8-bit gray
+    PNG. Stdlib zlib deflate, filter type 0 on every scanline (the
+    always-valid choice; optimal filtering is a size optimization,
+    not a correctness one)."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type = 0
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type = 2
+    else:
+        raise ValueError(f"encode_png expects (H, W) or (H, W, 3), got {a.shape}")
+    h, w = a.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    flat = a.reshape(h, -1)
+    raw = b"".join(b"\x00" + flat[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced gray/RGB PNG -> (H, W)/(H, W, 3) uint8.
+
+    Stdlib zlib inflates the IDAT stream; scanline un-filtering is
+    numpy: None/Up are vectorized whole-row ops, Sub is a per-pixel
+    cumsum (mod-256 addition distributes over the prefix sum), and
+    Average/Paeth — which depend on left AND upper neighbors — fall
+    back to a per-pixel loop vectorized over channels. Palette/alpha/
+    16-bit/interlaced variants raise with a clear message."""
+    import struct
+    import zlib
+
+    if bytes(data[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    n = len(data)
+    while i + 8 <= n:
+        ln = int.from_bytes(data[i : i + 4], "big")
+        tag = bytes(data[i + 4 : i + 8])
+        payload = data[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = payload
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", bytes(ihdr))
+    if depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced gray/RGB PNG supported "
+            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    channels = 3 if color_type == 2 else 1
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG pixel data truncated: {len(raw)} != {h * (stride + 1)}")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    filt = rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for r in range(h):
+        ft = int(ftypes[r])
+        row = filt[r]
+        prior = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if ft == 0:
+            recon = row
+        elif ft == 1:  # Sub: prefix sum over pixels, per channel
+            recon = np.cumsum(row.reshape(w, bpp), axis=0, dtype=np.int64).reshape(stride)
+        elif ft == 2:  # Up
+            recon = row + prior
+        elif ft in (3, 4):  # Average / Paeth: left-dependent, loop pixels
+            recon = np.zeros(stride, np.int64)
+            for px in range(w):
+                lo = px * bpp
+                left = recon[lo - bpp : lo] % 256 if px else np.zeros(bpp, np.int64)
+                up = prior[lo : lo + bpp]
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = prior[lo - bpp : lo] if px else np.zeros(bpp, np.int64)
+                    p = left + up - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    )
+                recon[lo : lo + bpp] = row[lo : lo + bpp] + pred
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = (recon % 256).astype(np.uint8)
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, 3)
+
+
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Sniff the magic and decode: PNM -> (H,W,3)/(H,W), BMP ->
-    (H,W,3), uint8. JPEG/PNG raise NotImplementedError (they need a
-    real codec library this environment does not ship)."""
+    (H,W,3), PNG (8-bit gray/RGB) -> (H,W)/(H,W,3), uint8. JPEG
+    raises NotImplementedError (DCT entropy decode needs a real codec
+    library this environment does not ship)."""
     head = bytes(data[:4])
     if head[:2] in (b"P6", b"P3", b"P5", b"P2"):
         return decode_pnm(data)
     if head[:2] == b"BM":
         return decode_bmp(data)
-    if head.startswith(_MAGIC_JPEG) or head.startswith(_MAGIC_PNG):
+    if head.startswith(_MAGIC_PNG):
+        return decode_png(data)
+    if head.startswith(_MAGIC_JPEG):
         raise NotImplementedError(
-            "JPEG/PNG decode requires a codec library not present in this "
-            "environment; re-encode as PPM/BMP or plug a decoder in here"
+            "JPEG decode requires a codec library not present in this "
+            "environment; re-encode as PNG/PPM/BMP or plug a decoder in here"
         )
     raise ValueError(f"unrecognized image format (magic {head!r})")
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from snapflow_spark.multimodal.codec import (
     decode_image_bytes,
     encode_bmp,
+    encode_png,
     encode_ppm,
     resize_nearest,
     synthesize_image,
@@ -44,7 +45,11 @@ BLOB_META_SCHEMA = (
 # [mean_r, mean_g, mean_b, std_r, std_g, std_b, width, height]
 FEATURE_DIM = 8
 
-_MIME = {"ppm": "image/x-portable-pixmap", "bmp": "image/bmp"}
+_MIME = {
+    "ppm": "image/x-portable-pixmap",
+    "bmp": "image/bmp",
+    "png": "image/png",
+}
 
 
 def attach_image_blob(
@@ -56,10 +61,11 @@ def attach_image_blob(
     modality: str = "image",
 ) -> DataFrame:
     """Deterministic REAL image payload per row: pixels synthesized
-    from the text bytes (codec.synthesize_image), encoded as P6 PPM
-    for even ids and 24-bit BMP for odd ids — so every downstream op
-    exercises both decoders. Real pipelines replace this with a
-    parquet binary column or URI; everything downstream is unchanged."""
+    from the text bytes (codec.synthesize_image), encoded round-robin
+    by id as P6 PPM / 24-bit BMP / 8-bit PNG — so every downstream op
+    exercises all three decoders (PNG added round 3: stdlib-zlib
+    codec). Real pipelines replace this with a parquet binary column
+    or URI; everything downstream is unchanged."""
 
     def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -70,12 +76,16 @@ def attach_image_blob(
                 arr = synthesize_image(
                     str(text or "").encode("utf-8"), width=width, height=height
                 )
-                if int(doc_id) % 2 == 0:
+                pick = int(doc_id) % 3
+                if pick == 0:
                     blobs.append(encode_ppm(arr))
                     mimes.append(_MIME["ppm"])
-                else:
+                elif pick == 1:
                     blobs.append(encode_bmp(arr))
                     mimes.append(_MIME["bmp"])
+                else:
+                    blobs.append(encode_png(arr))
+                    mimes.append(_MIME["png"])
             out["blob"] = blobs
             out["mime"] = mimes
             yield out
@@ -200,6 +210,8 @@ def resize_images(
                 small = resize_nearest(arr, width, height)
                 if raw[:2] == b"BM":
                     blobs.append(encode_bmp(small))
+                elif raw[:2] == b"\x89P":  # PNG stays PNG (gray or RGB)
+                    blobs.append(encode_png(small))
                 elif small.ndim == 2:  # grayscale PGM stays grayscale
                     blobs.append(encode_pgm(small))
                 else:
@@ -209,11 +221,14 @@ def resize_images(
 
     # format is preserved, so the output mime can be derived from the
     # INPUT blob's magic — keeps meta.mime truthful for grayscale PGM
-    # (which would otherwise stay advertised as its old mime)
-    magic = F.decode(F.col(blob_col).substr(1, 2), "UTF-8")
+    # (which would otherwise stay advertised as its old mime). Compare
+    # via hex, not decode(UTF-8): PNG's \x89 lead byte is not valid
+    # UTF-8 and would garble a string comparison.
+    magic = F.hex(F.col(blob_col).substr(1, 2))
     out_mime = (
-        F.when(magic == "BM", F.lit("image/bmp"))
-        .when(magic.isin("P5", "P2"), F.lit("image/x-portable-graymap"))
+        F.when(magic == F.lit("424D"), F.lit("image/bmp"))  # "BM"
+        .when(magic == F.lit("8950"), F.lit("image/png"))  # \x89"P"
+        .when(magic.isin("5035", "5032"), F.lit("image/x-portable-graymap"))  # P5/P2
         .otherwise(F.lit("image/x-portable-pixmap"))
     )
     resized_meta = (

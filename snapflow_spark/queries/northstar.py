@@ -357,10 +357,11 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_multimodal_features")  # rows-only: no SQL oracle for image decode
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end on REAL encoded images: text ->
-    deterministic PPM/BMP blob + metadata struct -> fused
+    deterministic PPM/BMP/PNG blob + metadata struct -> fused
     decode+featurize mapInPandas stage -> per-channel pixel statistics
-    (multimodal.codec is a pure-numpy PPM/BMP codec; features verified
-    against the numpy reference in tests/test_northstar.py)."""
+    (multimodal.codec is pure-numpy PPM/PGM/BMP plus a stdlib-zlib
+    PNG codec; features verified against the numpy reference in
+    tests/test_northstar.py)."""
     d = load_table(spark, sf_dir, "documents").limit(200)
     blobs = attach_image_blob(d)
     feats = extract_features(blobs)

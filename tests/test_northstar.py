@@ -135,9 +135,9 @@ def _group(rows, key):
 
 
 def test_multimodal_real_decode(spark, planted):
-    """Blobs are real encoded PPM/BMP images; the Spark featurizer's
-    output must equal the numpy reference computed from the same
-    decoded pixels, per doc."""
+    """Blobs are real encoded PPM/BMP/PNG images; the Spark
+    featurizer's output must equal the numpy reference computed from
+    the same decoded pixels, per doc."""
     import numpy as np
 
     from snapflow_spark.multimodal import decode_image_bytes, image_features
@@ -146,9 +146,9 @@ def test_multimodal_real_decode(spark, planted):
     blobs = attach_image_blob(df.limit(10))
     assert dict(blobs.dtypes)["blob"] == "binary"
     raw = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
-    # both formats present (even ids -> PPM, odd -> BMP)
+    # all three formats present (id % 3 -> PPM / BMP / PNG)
     magics = {b[:2] for b in raw.values()}
-    assert magics == {b"P6", b"BM"}
+    assert magics == {b"P6", b"BM", b"\x89P"}
     rows = extract_features(blobs).collect()
     assert len(rows) == 10
     for r in rows:
@@ -195,9 +195,69 @@ def test_image_codec_roundtrip_and_known_image():
     assert np.array_equal(up[0, 0], px[0, 0]) and np.array_equal(up[3, 3], px[1, 1])
     # deterministic synthesis
     assert np.array_equal(synthesize_image(b"x", 4, 4), synthesize_image(b"x", 4, 4))
-    # compressed formats: explicit, not silent
+    # JPEG stays explicit, not silent
     with pytest.raises(NotImplementedError):
-        decode_image_bytes(b"\x89PNG\r\n\x1a\n000")
+        decode_image_bytes(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Stdlib-zlib PNG codec (round 3): RGB + gray round-trips, and
+    decode of every filter type (our encoder emits only type 0, but
+    external files use Sub/Up/Average/Paeth — hand-filter a known
+    image and check the un-filtering reconstructs it)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from snapflow_spark.multimodal import decode_image_bytes, encode_png
+    from snapflow_spark.multimodal.codec import _png_chunk, _PNG_SIG, decode_png
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(6, 4), dtype=np.uint8)
+    assert np.array_equal(decode_image_bytes(encode_png(rgb)), rgb)
+    assert np.array_equal(decode_image_bytes(encode_png(gray)), gray)
+
+    # hand-filtered PNG: rows use filters 1..4 (Sub, Up, Average, Paeth)
+    img = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8).astype(np.int32)
+    h, w, bpp = 4, 3, 3
+    scan = bytearray()
+    for r, ft in enumerate([1, 2, 3, 4]):
+        scan.append(ft)
+        prior = img[r - 1].reshape(-1) if r else np.zeros(w * bpp, np.int32)
+        cur = img[r].reshape(-1)
+        for i in range(w * bpp):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prior[i])
+            c = int(prior[i - bpp]) if i >= bpp else 0
+            if ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            scan.append((int(cur[i]) - pred) % 256)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob), img.astype(np.uint8))
+
+    # unsupported variants are loud
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="only 8-bit"):
+        decode_png(bad)
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(_PNG_SIG + b"000")
 
 
 def test_sample_frames_expansion(spark, planted):
