@@ -47,7 +47,7 @@ HEAVY = {
     "q_stream_windows": "events; tumbling+sliding agg",
     "q_stream_session": "events; session windows",
     "q_similarity_ann": "embeddings; IVF build + probe",
-    "q_embed_near_dup": "embeddings; SRP-LSH, planted output constant",
+    "q_embed_near_dup": "embeddings; SRP-LSH, planted output ~constant (base slice only)",
     "q_embed_near_exact": (
         "embeddings; FLAT BY DESIGN: vec_id<300 slice is pushdown-pruned,"
         " so work is constant regardless of corpus size"
@@ -72,6 +72,14 @@ def main() -> None:
 
     spark = build_session("bench-scale")
     queries = all_queries()
+
+    # Warm the session before timing anything: JVM codegen paths and
+    # the 32 Python UDF workers cost ~5-20 s on first touch, and
+    # without this the FIRST (query, sf) pair absorbs it, skewing the
+    # base-vs-scaled ratio for whichever query runs first.
+    for sf_dir in (args.base, args.scaled):
+        run_once(spark, queries["q_tokenize_bpe"], sf_dir)
+
     results: dict[str, dict] = {}
     for name, note in HEAVY.items():
         fn = queries[name]

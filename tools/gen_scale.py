@@ -15,9 +15,15 @@ collides across replicas:
   near-dups (same Jaccard/simhash distance), and no shingle or band
   bucket is shared across replicas, so dedup OUTPUT scales exactly
   linearly with input — wall-clock ratios are interpretable.
-- embeddings: element-wise deterministic sinusoidal perturbation
-  (amplitude 0.03) keyed on (vec_id, dim, replica) — cluster geometry
-  survives for IVF; ids offset per replica.
+- embeddings: replica r applies a deterministic per-replica SIGN-FLIP
+  pattern over dimensions (a reflection — an exact isometry): every
+  within-replica distance/cosine is preserved bit-for-bit, so each
+  replica carries the base corpus's full cluster geometry, while
+  cross-replica cosines collapse to ~0 (about half the dims flip).
+  A small additive perturbation instead would leave replicas at
+  cosine≈1 of their originals and blow up near-dup outputs ~1900x
+  (measured) — the reflection keeps near-dup output linear in the
+  factor. Ids offset per replica.
 - events: user_id/event_id offset per replica — group COUNT scales
   by the factor while per-group size stays constant (the realistic
   shape for applyInPandas / sessionization at more data).
@@ -81,16 +87,12 @@ def scale_embeddings(df: DataFrame, factor: int) -> DataFrame:
     def rep(base: DataFrame, r: int) -> DataFrame:
         if r == 0:
             return base
+        # sign s(r, i) = ±1 from the parity of a 64-bit hash of
+        # (replica, dim) — same pattern for every vector in a replica.
         emb = F.transform(
             "embedding",
             lambda x, i: (
-                x
-                + F.sin(
-                    F.col("vec_id").cast("double") * 1.7
-                    + i.cast("double") * 0.13
-                    + F.lit(float(r) * 2.39)
-                )
-                * F.lit(0.03)
+                x * (F.lit(1) - F.lit(2) * F.pmod(F.xxhash64(F.lit(r), i), F.lit(2)))
             ).cast("float"),
         )
         return base.select(
