@@ -1,0 +1,219 @@
+"""Audio columns (SURVEY.md §2.B.11 multimodal): WAV/PCM payloads as
+opaque BINARY columns + typed metadata, processed in mapInPandas —
+the audio twin of the image path in columns.py.
+
+The codec is REAL: RIFF/WAVE PCM16 is a pure header-plus-samples
+format, so encode/decode need only stdlib struct + numpy (the same
+honesty bar the image side sets with PPM/BMP/PNG). Compressed audio
+(MP3/AAC/OGG) raises NotImplementedError explicitly.
+
+At 100 TB the shape matches images: blobs ride in parquet binary
+columns, decode FUSES with featurization in one Arrow-batched
+mapInPandas stage (raw samples never hit storage or shuffle), and
+worker memory is bounded by the Arrow batch size.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from snapflow_spark.multimodal.columns import BLOB_META_SCHEMA
+
+# [duration_ms, n_channels, rms, peak, mean, zero_crossing_rate]
+AUDIO_FEATURE_DIM = 6
+
+_COMPRESSED_MAGIC = (b"ID3", b"\xff\xfb", b"\xff\xf3", b"OggS", b"fLaC")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 -> RIFF/WAVE PCM16 bytes."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise ValueError(f"encode_wav expects (n,) or (n, ch), got {a.shape}")
+    n, ch = a.shape
+    data = a.reshape(-1).tobytes()  # interleaved frames
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> ((n, channels) int16, sample_rate). Walks
+    the chunk list (extra chunks like LIST/fact are skipped), PCM16
+    only; float/ADPCM/compressed raise with a clear message."""
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        if data[:3] in _COMPRESSED_MAGIC or data[:2] in _COMPRESSED_MAGIC:
+            raise NotImplementedError(
+                "compressed audio (MP3/OGG/FLAC) needs a codec library "
+                "not present in this environment"
+            )
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    fmt = None
+    pcm = None
+    n = len(data)
+    while i + 8 <= n:
+        tag = data[i : i + 4]
+        size = int.from_bytes(data[i + 4 : i + 8], "little")
+        payload = data[i + 8 : i + 8 + size]
+        if tag == b"fmt ":
+            fmt = payload
+        elif tag == b"data":
+            pcm = payload
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, sample_rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM16 WAV supported (format={audio_format}, bits={bits})"
+        )
+    frames = np.frombuffer(pcm, dtype="<i2", count=len(pcm) // 2)
+    return frames.reshape(-1, ch).copy(), sample_rate
+
+
+def synthesize_audio(
+    seed_bytes: bytes, n_samples: int = 1600, channels: int = 1
+) -> np.ndarray:
+    """Deterministic (n, ch) int16 PCM from a byte seed — blake2b in
+    counter mode (the synthesize_image recipe), reproducible anywhere."""
+    import hashlib
+
+    need = n_samples * channels * 2
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.blake2b(
+            seed_bytes + counter.to_bytes(4, "little"), digest_size=64
+        ).digest()
+        counter += 1
+    return (
+        np.frombuffer(bytes(out[:need]), dtype="<i2")
+        .reshape(n_samples, channels)
+        .copy()
+    )
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
+    """AUDIO_FEATURE_DIM stats of one decoded clip, on float samples
+    normalized to [-1, 1]: duration_ms, n_channels, rms, peak, mean,
+    zero-crossing rate (channel-mean, sign changes per sample)."""
+    a = np.asarray(samples, dtype=np.float64) / 32768.0
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    duration_ms = 1000.0 * n / sample_rate
+    signs = np.signbit(a)
+    zcr = float(np.mean(signs[1:] != signs[:-1])) if n > 1 else 0.0
+    return [
+        float(duration_ms),
+        float(ch),
+        float(np.sqrt(np.mean(a**2))),
+        float(np.max(np.abs(a))),
+        float(np.mean(a)),
+        zcr,
+    ]
+
+
+def attach_audio_blob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_samples: int = 1600,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Deterministic REAL WAV payload per row (synthesized PCM from
+    the text bytes; stereo for every third id so both channel layouts
+    are exercised), plus the shared metadata struct."""
+
+    def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            blobs = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ch = 2 if int(doc_id) % 3 == 0 else 1
+                pcm = synthesize_audio(
+                    str(text or "").encode("utf-8"), n_samples=n_samples, channels=ch
+                )
+                blobs.append(encode_wav(pcm, sample_rate))
+            out["blob"] = blobs
+            yield out
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["blob binary"]
+    )
+    with_blob = df.mapInPandas(_blobs, schema=schema)
+    duration_ms = int(round(1000.0 * n_samples / sample_rate))
+    return with_blob.withColumn(
+        "meta",
+        F.struct(
+            F.lit("audio").alias("modality"),
+            F.lit("audio/wav").alias("mime"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.lit(duration_ms).cast("int").alias("duration_ms"),
+            F.concat(F.lit("mem://audio/"), F.col(id_col).cast("string")).alias(
+                "source_uri"
+            ),
+        ).cast(BLOB_META_SCHEMA),
+    )
+
+
+def extract_audio_features(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused decode+featurize in ONE mapInPandas stage (the image
+    extract_features contract): decoded samples never leave the
+    worker; output is (id, modality, sample_rate, features)."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, feats = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                samples, rate = decode_wav(bytes(blob))
+                ids.append(doc_id)
+                rates.append(rate)
+                feats.append(audio_features(samples, rate))
+            yield pd.DataFrame(
+                {id_col: ids, "sample_rate": rates, "features": feats}
+            )
+
+    out = df.mapInPandas(
+        _feats, schema=f"{id_col} long, sample_rate int, features array<double>"
+    )
+    return out.withColumn("modality", F.lit("audio"))
+
+
+def resample_audio(
+    df: DataFrame, target_rate: int, blob_col: str = "blob"
+) -> DataFrame:
+    """Nearest-neighbor resample to target_rate inside mapInPandas,
+    re-encoded as WAV — the audio twin of resize_images. Schema- and
+    meta-preserving except duration-invariant rate change."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            blobs = []
+            for b in pdf[blob_col]:
+                samples, rate = decode_wav(bytes(b))
+                n = samples.shape[0]
+                m = max(1, int(round(n * target_rate / rate)))
+                idx = np.minimum((np.arange(m) * n) // m, n - 1)
+                blobs.append(encode_wav(samples[idx], target_rate))
+            out[blob_col] = blobs
+            yield out
+
+    return df.mapInPandas(_resample, schema=df.schema)

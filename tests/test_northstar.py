@@ -523,6 +523,92 @@ def test_ivf_build_empty_corpus_raises(spark):
         IVFIndex.build(empty, k_cells=4)
 
 
+def test_wav_codec_roundtrip_and_features():
+    """RIFF/WAVE PCM16 codec: mono + stereo round-trips, chunk-walking
+    decode (extra LIST chunk skipped), loud failures for compressed/
+    non-PCM, and feature values pinned to hand-computed stats."""
+    import struct
+
+    import numpy as np
+
+    from snapflow_spark.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+        synthesize_audio,
+    )
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32768, size=500, dtype=np.int16)
+    stereo = rng.integers(-32768, 32768, size=(300, 2), dtype=np.int16)
+    s, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(s[:, 0], mono)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(s2, stereo)
+
+    # extra chunk between fmt and data is skipped (chunk walking)
+    blob = bytearray(encode_wav(mono, 8000))
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = bytes(blob[:36]) + extra + bytes(blob[36:])
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    s3, _ = decode_wav(patched)
+    assert np.array_equal(s3[:, 0], mono)
+
+    # known features: constant +1/-1 alternating square wave
+    sq = np.tile(np.array([16384, -16384], dtype=np.int16), 400)
+    f = audio_features(sq, 16000)
+    assert f[0] == 1000.0 * 800 / 16000  # duration_ms
+    assert f[1] == 1.0  # channels
+    assert abs(f[2] - 0.5) < 1e-9  # rms of +-0.5 square
+    assert abs(f[3] - 0.5) < 1e-9  # peak
+    assert abs(f[5] - 1.0) < 1e-9  # sign flips every sample
+
+    assert np.array_equal(synthesize_audio(b"x", 64, 2), synthesize_audio(b"x", 64, 2))
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x04rest-of-an-mp3")
+    with pytest.raises(ValueError, match="PCM16"):
+        # format tag 3 = IEEE float
+        float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + float_fmt
+        body += b"data" + struct.pack("<I", 0)
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_audio_blob_pipeline_spark(spark, planted):
+    """attach_audio_blob -> extract_audio_features end to end: fused
+    mapInPandas features equal the numpy reference per doc, both
+    channel layouts present, resample halves the duration's sample
+    count while preserving rate metadata contract."""
+    import numpy as np
+
+    from snapflow_spark.multimodal import (
+        attach_audio_blob,
+        audio_features,
+        decode_wav,
+        extract_audio_features,
+        resample_audio,
+    )
+
+    df, _n, _e = planted
+    blobs = attach_audio_blob(df.limit(9), n_samples=320)
+    raw = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
+    chans = {decode_wav(b)[0].shape[1] for b in raw.values()}
+    assert chans == {1, 2}
+    meta = blobs.select("meta.modality", "meta.mime", "meta.duration_ms").first()
+    assert (meta[0], meta[1], meta[2]) == ("audio", "audio/wav", 20)
+
+    rows = extract_audio_features(blobs).collect()
+    assert len(rows) == 9
+    for r in rows:
+        samples, rate = decode_wav(raw[r.doc_id])
+        assert rate == r.sample_rate == 16000
+        assert np.allclose(r.features, audio_features(samples, rate), atol=1e-12)
+
+    halved = resample_audio(blobs, 8000)
+    got = decode_wav(bytes(halved.select("blob").first().blob))
+    assert got[1] == 8000 and got[0].shape[0] == 160
+
+
 def test_simhash_sha_finds_near_dups(planted):
     """The oracle-reproducible sha256 simhash keeps the same detection
     contract as the numpy path: exact copies at hamming 0, planted
