@@ -241,11 +241,11 @@ def resize_images(
     return with_meta.mapInPandas(_resize, schema=with_meta.schema)
 
 
-def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plan for video blobs: emits (doc_id, frame_ms)
-    rows from the metadata duration — the real decoder would seek
-    these offsets inside the mapInPandas stage. Pure codegen expansion
-    (sequence + explode), no UDF."""
+def sample_frame_offsets(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-OFFSET plan for video blobs: emits (doc_id, frame_ms)
+    rows from the metadata duration without touching the payload —
+    pure codegen expansion (sequence + explode), no UDF. For actual
+    decoded frame sampling see video.sample_frames (real Y4M decode)."""
     return df.select(
         "doc_id",
         F.explode(

@@ -1,0 +1,338 @@
+"""Video columns (SURVEY.md §2.B.11 multimodal): raw-video payloads
+as opaque BINARY columns + typed metadata, processed in mapInPandas —
+completing the image/audio/video triad (columns.py, audio.py).
+
+The codec is REAL: YUV4MPEG2 (.y4m) is a plain-text-header +
+raw-planes format, so encode/decode need only stdlib + numpy (the
+same honesty bar as PPM/BMP/PNG and RIFF/WAVE). We support C444
+(3 full-resolution planes) and Cmono (luma only) — both round-trip
+bit-exactly; the codec parses containers, it does not do colorimetry,
+so the three planes are carried as-is. Compressed video (MP4/MKV/
+WebM/AVI) raises NotImplementedError explicitly.
+
+Frame sampling is the scale-relevant op: ``sample_frames`` decodes
+inside one mapInPandas stage, keeps every Nth frame, and EXPLODES to
+one row per sampled frame re-encoded as a still image (PPM/PGM) —
+so the output feeds the existing image pipeline (columns.
+extract_features) unchanged. Raw frames never hit storage or shuffle;
+worker memory is bounded by the Arrow batch size times one decoded
+clip.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from snapflow_spark.multimodal.codec import encode_pgm, encode_ppm
+from snapflow_spark.multimodal.columns import BLOB_META_SCHEMA
+
+# [duration_ms, n_frames, fps, width, height, mean_luma, std_luma,
+#  motion_energy]
+VIDEO_FEATURE_DIM = 8
+
+_COMPRESSED_MAGIC = {
+    b"\x1aE\xdf\xa3": "MKV/WebM (EBML)",
+    b"RIFF": "AVI",  # RIFF but not WAVE — checked after Y4M magic
+}
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: int = 25, mono: bool | None = None
+) -> bytes:
+    """(T, H, W, 3) or (T, H, W) uint8 -> YUV4MPEG2 bytes (C444 for
+    3-plane input, Cmono for single-plane)."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim == 3:
+        a = a[..., None]
+    if a.ndim != 4 or a.shape[3] not in (1, 3):
+        raise ValueError(f"encode_y4m expects (T,H,W[,1|3]), got {a.shape}")
+    t, h, w, c = a.shape
+    if mono is None:
+        mono = c == 1
+    cs = b"Cmono" if mono else b"C444"
+    header = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 %s\n" % (w, h, fps, cs)
+    parts = [header]
+    for f in range(t):
+        parts.append(b"FRAME\n")
+        # planar layout: each channel is a full H*W plane
+        for ch in range(c):
+            parts.append(a[f, :, :, ch].tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 -> ((T, H, W, C) uint8, fps). C444 and Cmono only;
+    subsampled (C420*/C422) and compressed containers raise with a
+    clear message."""
+    data = bytes(data)
+    if not data.startswith(b"YUV4MPEG2"):
+        if data[4:8] == b"ftyp":
+            raise NotImplementedError(
+                "compressed video (MP4) needs a codec library not "
+                "present in this environment"
+            )
+        for magic, name in _COMPRESSED_MAGIC.items():
+            if data.startswith(magic):
+                raise NotImplementedError(
+                    f"compressed video ({name}) needs a codec library "
+                    "not present in this environment"
+                )
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    w = h = fps = None
+    channels = 3  # Y4M default colorspace is 420; we only take 444/mono
+    cs = b"C420"
+    for tok in data[9:nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = int(round(int(num) / int(den)))
+        elif tok[:1] == b"C":
+            cs = tok
+    if w is None or h is None or fps is None:
+        raise ValueError("Y4M header missing W/H/F")
+    if cs == b"Cmono":
+        channels = 1
+    elif cs == b"C444":
+        channels = 3
+    else:
+        raise ValueError(
+            f"only C444/Cmono Y4M supported (got {cs.decode()!r}); "
+            "subsampled chroma needs upsampling policy the caller must pick"
+        )
+    plane = w * h
+    frame_bytes = plane * channels
+    frames = []
+    i = nl + 1
+    n = len(data)
+    while i < n:
+        fnl = data.index(b"\n", i)
+        if data[i : i + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: expected FRAME marker")
+        i = fnl + 1
+        raw = np.frombuffer(data, dtype=np.uint8, count=frame_bytes, offset=i)
+        frames.append(
+            raw.reshape(channels, h, w).transpose(1, 2, 0)
+        )
+        i += frame_bytes
+    return np.stack(frames).copy(), fps
+
+
+def synthesize_video(
+    seed_bytes: bytes,
+    n_frames: int = 8,
+    width: int = 8,
+    height: int = 8,
+    channels: int = 3,
+) -> np.ndarray:
+    """Deterministic (T, H, W, C) uint8 frames from a byte seed:
+    frame 0 from blake2b counter-mode (the synthesize_image recipe),
+    then each later frame is the previous one rolled by one pixel
+    with a per-frame hashed row mixed in — guaranteeing nonzero,
+    reproducible motion energy."""
+    import hashlib
+
+    need = height * width * channels
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.blake2b(
+            seed_bytes + counter.to_bytes(4, "little"), digest_size=64
+        ).digest()
+        counter += 1
+    base = (
+        np.frombuffer(bytes(out[:need]), dtype=np.uint8)
+        .reshape(height, width, channels)
+        .copy()
+    )
+    frames = [base]
+    for f in range(1, n_frames):
+        prev = frames[-1]
+        nxt = np.roll(prev, 1, axis=1).copy()
+        row = hashlib.blake2b(
+            seed_bytes + b"row" + f.to_bytes(4, "little"),
+            digest_size=width * channels if width * channels <= 64 else 64,
+        ).digest()
+        row = (row * (width * channels // len(row) + 1))[: width * channels]
+        nxt[f % height] = np.frombuffer(row, dtype=np.uint8).reshape(
+            width, channels
+        )
+        frames.append(nxt)
+    return np.stack(frames)
+
+
+def video_features(frames: np.ndarray, fps: int) -> list[float]:
+    """VIDEO_FEATURE_DIM stats of one decoded clip: duration_ms,
+    n_frames, fps, width, height, mean/std of luma (channel mean),
+    motion energy (mean |inter-frame diff| in [0,1])."""
+    a = np.asarray(frames, dtype=np.float64)
+    t, h, w = a.shape[:3]
+    luma = a.mean(axis=3) if a.ndim == 4 else a
+    motion = (
+        float(np.mean(np.abs(np.diff(luma, axis=0))) / 255.0) if t > 1 else 0.0
+    )
+    return [
+        float(1000.0 * t / fps),
+        float(t),
+        float(fps),
+        float(w),
+        float(h),
+        float(luma.mean() / 255.0),
+        float(luma.std() / 255.0),
+        motion,
+    ]
+
+
+def attach_video_blob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    width: int = 8,
+    height: int = 8,
+    fps: int = 25,
+) -> DataFrame:
+    """Deterministic REAL Y4M payload per row (synthesized frames from
+    the text bytes; mono for every third id so both colorspaces are
+    exercised), plus the shared metadata struct."""
+
+    def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            blobs = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ch = 1 if int(doc_id) % 3 == 0 else 3
+                frames = synthesize_video(
+                    str(text or "").encode("utf-8"),
+                    n_frames=n_frames,
+                    width=width,
+                    height=height,
+                    channels=ch,
+                )
+                blobs.append(encode_y4m(frames, fps))
+            out["blob"] = blobs
+            yield out
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["blob binary"]
+    )
+    with_blob = df.mapInPandas(_blobs, schema=schema)
+    duration_ms = int(round(1000.0 * n_frames / fps))
+    return with_blob.withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("video/x-yuv4mpeg").alias("mime"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.lit(duration_ms).cast("int").alias("duration_ms"),
+            F.concat(F.lit("mem://video/"), F.col(id_col).cast("string")).alias(
+                "source_uri"
+            ),
+        ).cast(BLOB_META_SCHEMA),
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling fused with decode in ONE mapInPandas stage:
+    keep every Nth frame and EXPLODE to one row per sampled frame,
+    re-encoded as a still image (P6 PPM for color, P5 PGM for mono)
+    with the standard BLOB_META_SCHEMA struct attached — so the rows
+    are first-class image blobs that columns.extract_features /
+    resize_images consume unchanged. Output: (id, frame_idx, ts_ms,
+    blob, meta). Raw frames never leave the worker."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, blobs, mimes, ws, hs = [], [], [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                frames, fps = decode_y4m(bytes(blob))
+                for idx in range(0, frames.shape[0], every_n):
+                    frame = frames[idx]
+                    if frame.shape[2] == 1:
+                        img = encode_pgm(frame[:, :, 0])
+                        mime = "image/x-portable-graymap"
+                    else:
+                        img = encode_ppm(frame)
+                        mime = "image/x-portable-pixmap"
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    tss.append(int(round(1000.0 * idx / fps)))
+                    blobs.append(img)
+                    mimes.append(mime)
+                    ws.append(frame.shape[1])
+                    hs.append(frame.shape[0])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "blob": blobs,
+                    "mime": mimes,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    sampled = df.mapInPandas(
+        _sample,
+        schema=(
+            f"{id_col} long, frame_idx int, ts_ms int, blob binary,"
+            " mime string, width int, height int"
+        ),
+    )
+    return sampled.select(
+        id_col,
+        "frame_idx",
+        "ts_ms",
+        "blob",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.col("mime").alias("mime"),
+            F.col("width").alias("width"),
+            F.col("height").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.concat(
+                F.lit("mem://frame/"),
+                F.col(id_col).cast("string"),
+                F.lit("/"),
+                F.col("frame_idx").cast("string"),
+            ).alias("source_uri"),
+        ).cast(BLOB_META_SCHEMA).alias("meta"),
+    )
+
+
+def extract_video_features(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused decode+featurize in ONE mapInPandas stage (the image/
+    audio contract): output is (id, modality, fps, features)."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fpss, feats = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                frames, fps = decode_y4m(bytes(blob))
+                ids.append(doc_id)
+                fpss.append(fps)
+                feats.append(video_features(frames, fps))
+            yield pd.DataFrame({id_col: ids, "fps": fpss, "features": feats})
+
+    out = df.mapInPandas(
+        _feats, schema=f"{id_col} long, fps int, features array<double>"
+    )
+    return out.withColumn("modality", F.lit("video"))

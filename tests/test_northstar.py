@@ -8,7 +8,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from snapflow_spark.multimodal import attach_image_blob, extract_features, sample_frames
+from snapflow_spark.multimodal import attach_image_blob, extract_features, sample_frame_offsets
 from snapflow_spark.operators.dedup_text import (
     exact_dedup,
     minhash_candidates,
@@ -265,7 +265,7 @@ def test_sample_frames_expansion(spark, planted):
     blobs = attach_image_blob(df.limit(3)).withColumn(
         "meta", F.col("meta").withField("duration_ms", F.lit(3500))
     )
-    frames = sample_frames(blobs, every_ms=1000)
+    frames = sample_frame_offsets(blobs, every_ms=1000)
     per_doc = _group(frames.collect(), "doc_id")
     assert all([f.frame_ms for f in fs] == [0, 1000, 2000, 3000] for fs in per_doc.values())
 
@@ -521,6 +521,108 @@ def test_ivf_build_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty corpus"):
         IVFIndex.build(empty, k_cells=4)
+
+
+def test_y4m_codec_roundtrip_and_features():
+    """YUV4MPEG2 codec: C444 + Cmono round-trips, header parameter
+    parse, loud failures for compressed/subsampled, and feature values
+    pinned to hand-computed stats."""
+    import numpy as np
+
+    from snapflow_spark.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        synthesize_video,
+        video_features,
+    )
+
+    rng = np.random.default_rng(5)
+    color = rng.integers(0, 256, size=(4, 6, 5, 3), dtype=np.uint8)
+    mono = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    f1, fps1 = decode_y4m(encode_y4m(color, fps=25))
+    assert fps1 == 25 and np.array_equal(f1, color)
+    f2, fps2 = decode_y4m(encode_y4m(mono, fps=30))
+    assert fps2 == 30 and np.array_equal(f2[:, :, :, 0], mono)
+
+    # known features: 2 frames, second = first + 10 everywhere
+    a = np.full((4, 4, 3), 100, dtype=np.uint8)
+    clip = np.stack([a, a + 10])
+    f = video_features(clip, fps=10)
+    assert f[0] == 200.0  # duration_ms: 2 frames @ 10fps
+    assert f[1:5] == [2.0, 10.0, 4.0, 4.0]
+    assert abs(f[5] - 105 / 255.0) < 1e-9  # mean luma
+    assert abs(f[7] - 10 / 255.0) < 1e-9  # motion energy
+
+    # synthesized motion is reproducible and nonzero
+    v = synthesize_video(b"x", n_frames=5, width=6, height=6)
+    assert np.array_equal(v, synthesize_video(b"x", n_frames=5, width=6, height=6))
+    assert video_features(v, 25)[7] > 0.0
+
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"\x00\x00\x00\x18ftypmp42rest-of-an-mp4")
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"\x1aE\xdf\xa3webm-ebml-header")
+    with pytest.raises(ValueError, match="C444/Cmono"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\nFRAME\n" + b"\x00" * 24)
+
+
+def test_video_frame_sampling_feeds_image_pipeline(spark, planted):
+    """attach_video_blob -> sample_frames explodes every-Nth decoded
+    frame into REAL still-image blobs that the existing image
+    featurizer consumes unchanged; extract_video_features matches the
+    numpy reference per doc."""
+    import numpy as np
+
+    from snapflow_spark.multimodal import (
+        attach_video_blob,
+        decode_y4m,
+        extract_features,
+        extract_video_features,
+        image_features,
+        sample_frames,
+        video_features,
+    )
+
+    df, _n, _e = planted
+    blobs = attach_video_blob(df.limit(9), n_frames=6, fps=25)
+    raw = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
+    chans = {decode_y4m(b)[0].shape[3] for b in raw.values()}
+    assert chans == {1, 3}
+    meta = blobs.select("meta.modality", "meta.mime", "meta.duration_ms").first()
+    assert (meta[0], meta[1], meta[2]) == ("video", "video/x-yuv4mpeg", 240)
+
+    frames = sample_frames(blobs, every_n=2)
+    rows = frames.collect()
+    assert len(rows) == 9 * 3  # frames 0, 2, 4 of 6
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        assert sorted(r.frame_idx for r in rs) == [0, 2, 4]
+        assert sorted(r.ts_ms for r in rs) == [0, 80, 160]
+    # sampled stills decode (via the image codec) to the exact source frames
+    from snapflow_spark.multimodal import decode_image_bytes
+
+    for r in frames.collect():
+        clip, _fps = decode_y4m(raw[r.doc_id])
+        src = clip[r.frame_idx]
+        still = decode_image_bytes(bytes(r.blob))
+        if still.ndim == 2:  # PGM decodes to (h, w); source is (h, w, 1)
+            still = still[:, :, None]
+        assert np.array_equal(still, src)
+
+    # and the stills feed the EXISTING image featurizer unchanged
+    feat_rows = extract_features(
+        frames.withColumn("doc_id", F.col("doc_id") * 10 + F.col("frame_idx"))
+    ).collect()
+    assert len(feat_rows) == 27 and all(len(r.features) > 0 for r in feat_rows)
+
+    vrows = extract_video_features(blobs).collect()
+    assert len(vrows) == 9
+    for r in vrows:
+        clip, fps = decode_y4m(raw[r.doc_id])
+        assert fps == r.fps == 25
+        assert np.allclose(r.features, video_features(clip, fps), atol=1e-12)
 
 
 def test_wav_codec_roundtrip_and_features():
