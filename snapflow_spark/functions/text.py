@@ -248,3 +248,78 @@ def simhash_sha_bands_udf(col: str | Column) -> Column:
     operators.dedup_text.simhash_sha_candidates)."""
     c = F.col(col) if isinstance(col, str) else col
     return pandas_udf(_simhash_sha_bands_batch, ArrayType(IntegerType()))(c)
+
+
+# Oracle-reproducible MinHash constants (see minhash_sha_bands_udf):
+# universal-hash permutations p_i(h) = (a_i * h + b_i) mod MH_P over
+# 32-bit sha256 gram hashes reduced mod MH_P. a_i/b_i come from a
+# glibc-constant LCG so BOTH engines derive them with the same exact
+# integer arithmetic (no RNG state to ship across engines).
+MH_P = 2147483647  # Mersenne prime 2^31 - 1
+MH_LCG_A = 1103515245
+MH_LCG_C = 12345
+MH_K = 32  # permutations = MH_BANDS * MH_ROWS
+MH_BANDS = 16
+MH_ROWS = 2
+
+
+def _mh_perm_coeffs() -> tuple[np.ndarray, np.ndarray]:
+    i = np.arange(MH_K, dtype=np.int64)
+    a = (MH_LCG_A * (i + 1) + MH_LCG_C) % (MH_P - 1) + 1  # 1..P-1, never 0
+    b = (MH_LCG_A * (i + 1000) + MH_LCG_C) % MH_P
+    return a, b
+
+
+def _minhash_sha_bands_batch(texts: pd.Series) -> pd.Series:
+    """MinHash band values per document, vectorized per Arrow batch —
+    the engine-side twin of the q_dedup_minhash SQL oracle. Grams are
+    distinct token 3-grams (ngram_expr semantics: <3 tokens degrade to
+    one whole-text gram); each gram hashes to the first 4 sha256 bytes
+    (big-endian = the oracle's hex parse) reduced mod MH_P; signature
+    value i is the min over grams of (a_i*h + b_i) mod MH_P; band j
+    packs rows (2j, 2j+1) into ONE bigint sig[2j]*MH_P + sig[2j+1]
+    (< 2^62, exact in both engines' int64). sha256 runs once per
+    DISTINCT gram in the chunk (pd.factorize); the per-doc min is one
+    np.minimum.reduceat."""
+    import hashlib
+
+    tok_lists = texts.fillna("").str.split()
+    a, b = _mh_perm_coeffs()
+    out: list = [None] * len(texts)
+    nonempty = np.flatnonzero(tok_lists.str.len().to_numpy(dtype=np.int64) > 0)
+    chunk = 512
+    for lo in range(0, len(nonempty), chunk):
+        idx = nonempty[lo : lo + chunk]
+        gram_lists = []
+        for i in idx:
+            toks = tok_lists.iloc[i]
+            if len(toks) >= 3:
+                grams = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+            else:
+                grams = {" ".join(toks)}
+            gram_lists.append(sorted(grams))
+        lengths = np.array([len(g) for g in gram_lists], dtype=np.int64)
+        flat = np.concatenate([np.asarray(g, dtype=object) for g in gram_lists])
+        codes, uniques = pd.factorize(flat)
+        uh = np.array(
+            [
+                int.from_bytes(hashlib.sha256(g.encode("utf-8")).digest()[:4], "big")
+                for g in uniques
+            ],
+            dtype=np.int64,
+        ) % MH_P
+        perms = (uh[codes, None] * a[None, :] + b[None, :]) % MH_P  # (grams, K)
+        starts = np.zeros(len(idx), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        sig = np.minimum.reduceat(perms, starts, axis=0)  # (n_docs, K)
+        bands = sig[:, 0::2] * MH_P + sig[:, 1::2]  # (n_docs, MH_BANDS)
+        for k, i in enumerate(idx):
+            out[i] = [int(v) for v in bands[k]]
+    return pd.Series(out)
+
+
+def minhash_sha_bands_udf(col: str | Column) -> Column:
+    """Array of MH_BANDS packed-bigint MinHash band values (see
+    operators.dedup_text.minhash_sha_candidates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_minhash_sha_bands_batch, ArrayType(LongType()))(c)

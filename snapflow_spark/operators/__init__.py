@@ -9,6 +9,7 @@ from snapflow_spark.operators.dedup_text import (
     exact_dedup,
     mingram_candidates,
     minhash_candidates,
+    minhash_sha_candidates,
     ngram_jaccard_pairs,
     simhash_candidates,
     simhash_sha_candidates,
@@ -40,6 +41,7 @@ __all__ = [
     "merge_streams",
     "mingram_candidates",
     "minhash_candidates",
+    "minhash_sha_candidates",
     "ngram_jaccard_pairs",
     "salted_count_by_key",
     "salted_join",

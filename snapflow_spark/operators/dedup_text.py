@@ -255,6 +255,44 @@ def minhash_candidates(
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 
+def minhash_sha_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates in the ORACLE-REPRODUCIBLE
+    form: k=32 universal-hash permutations (a_i*h + b_i mod 2^31-1,
+    LCG-derived coefficients) over 32-bit sha256 gram hashes, banded
+    b=16 x r=2 with each band's two rows packed into one bigint — all
+    exact integer arithmetic a SQL oracle replays bit-for-bit, the
+    same trick mingram/simhash_sha used (q_dedup_ngram /
+    q_dedup_simhash). Detection probability 1-(1-J^2)^16 (~0.94 at
+    J=0.4), vs a single band for mingram_candidates.
+
+    Same physical shape as every LSH generator here: one Arrow-batched
+    signature pass, ONE shuffle on (band_idx, band_val), bounded
+    id-sorted in-bucket pairs (max_bucket), dedup across bands — never
+    N². Returns (id_a < id_b); verify exactly afterwards with
+    ngram_jaccard_pairs (the cascade in q_dedup_minhash)."""
+    from snapflow_spark.functions.text import minhash_sha_bands_udf
+
+    banded = (
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .where(F.size(tokens_expr(text_col)) > 0)
+        .select("id", minhash_sha_bands_udf(text_col).alias("bvals"))
+        .select("id", F.posexplode("bvals").alias("band_idx", "band_val"))
+    )
+    pairs = bucketed_pairs(
+        banded,
+        ["band_idx", "band_val"],
+        F.struct("id"),
+        lambda x, y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b")),
+        max_bucket=max_bucket,
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
 def mingram_candidates(
     df: DataFrame,
     text_col: str = "text",

@@ -30,7 +30,7 @@ from snapflow_spark.operators.buckets import bucketed_pairs
 from snapflow_spark.operators.dedup_text import (
     exact_dedup,
     mingram_candidates,
-    minhash_candidates,
+    minhash_sha_candidates,
     ngram_jaccard_pairs,
     simhash_sha_candidates,
 )
@@ -245,13 +245,67 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash")  # rows-only: LSH candidates, property-tested
+@query(
+    "q_dedup_minhash",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                    ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t WHERE len(toks) > 0
+    ), h AS (
+      SELECT doc_id,
+             list_transform(grams, x ->
+               list_sum(list_transform(range(0, 8), j ->
+                 (CAST(instr('0123456789abcdef', substr(sha256(x), j + 1, 1)) AS BIGINT) - 1)
+                 << (4 * (7 - CAST(j AS INT))))) % 2147483647) AS hm
+      FROM g
+    ), s AS (
+      SELECT doc_id,
+             list_transform(range(0, 32), i ->
+               list_min(list_transform(hm, v ->
+                 (((1103515245 * (i + 1) + 12345) % 2147483646 + 1) * v
+                  + (1103515245 * (i + 1000) + 12345) % 2147483647)
+                 % 2147483647))) AS sig
+      FROM h
+    ), banded AS (
+      SELECT doc_id, u.b AS band_idx,
+             sig[2 * u.b + 1] * 2147483647 + sig[2 * u.b + 2] AS band_val
+      FROM s CROSS JOIN (SELECT unnest(range(16)) AS b) u
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS rn
+      FROM banded
+    ), k AS (SELECT * FROM ranked WHERE rn <= 64
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM k a JOIN k c ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+                       AND a.doc_id < c.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                 / len(list_distinct(ga.grams || gb.grams)), 6) AS jaccard
+    FROM cand p
+    JOIN g ga ON ga.doc_id = p.id_a
+    JOIN g gb ON gb.doc_id = p.id_b
+    WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+          / len(list_distinct(ga.grams || gb.grams)) >= 0.4
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates verified by exact n-gram
-    Jaccard — the full candidates->verify cascade on the documents
-    table (seeded, deterministic)."""
+    """MinHash-LSH near-dup cascade (candidates -> exact n-gram
+    Jaccard verify >= 0.4) in the ORACLE-REPRODUCIBLE sha256 form
+    (minhash_sha_candidates: k=32 LCG-universal-hash permutations over
+    sha256 gram hashes, b=16 x r=2 banding, packed-bigint band keys,
+    id-sorted bucket truncation) — upgraded from rows-only in round 3,
+    completing the LSH family: every dedup tier (exact, min-gram,
+    simhash, minhash) is now hash-matched cross-engine."""
     d = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidates(d, jaccard_threshold=0.4)
+    cands = minhash_sha_candidates(d)
     verified = ngram_jaccard_pairs(d, cands.select("id_a", "id_b"), n=3)
     return verified.where(F.col("jaccard") >= 0.4).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

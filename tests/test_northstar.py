@@ -62,6 +62,41 @@ def test_minhash_recall_on_planted_near_dups(planted):
     assert all(p in got for p in exact_ids)
 
 
+def test_minhash_sha_recall_on_planted_near_dups(planted):
+    """Oracle-reproducible MinHash (q_dedup_minhash's generator) meets
+    the same recall bound as the xxhash64 at-scale form, and its
+    signature math matches a from-scratch python replay of the
+    LCG-permutation spec (the contract the SQL oracle relies on)."""
+    import hashlib
+
+    from snapflow_spark.functions.text import _minhash_sha_bands_batch
+    from snapflow_spark.operators.dedup_text import minhash_sha_candidates
+
+    df, near_pairs, exact_ids = planted
+    got = {(r.id_a, r.id_b) for r in minhash_sha_candidates(df).collect()}
+    found = sum(1 for p in near_pairs if p in got)
+    assert found / len(near_pairs) >= 0.8  # FIXTURES.md recall bound
+    assert all(p in got for p in exact_ids)  # jaccard-1.0 pairs always collide
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    toks = text.split()
+    grams = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+    P = 2147483647
+    hs = [
+        int.from_bytes(hashlib.sha256(g.encode()).digest()[:4], "big") % P
+        for g in grams
+    ]
+    sig = []
+    for i in range(32):
+        a = (1103515245 * (i + 1) + 12345) % (P - 1) + 1
+        b = (1103515245 * (i + 1000) + 12345) % P
+        sig.append(min((a * h + b) % P for h in hs))
+    expect = [sig[2 * j] * P + sig[2 * j + 1] for j in range(16)]
+    import pandas as pd
+
+    assert list(_minhash_sha_bands_batch(pd.Series([text]))[0]) == expect
+
+
 def test_simhash_finds_near_dups(planted):
     df, near_pairs, exact_ids = planted
     pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_candidates(df, max_hamming=6).collect()}
