@@ -23,6 +23,7 @@ from snapflow_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_matmul,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_int,
 )
 from snapflow_spark.operators.skew import salted_count_by_key, salted_join
 from snapflow_spark.operators.sql_snap import sql_snap
@@ -36,6 +37,7 @@ __all__ = [
     "brute_force_topk_matmul",
     "dedupe_keep_latest",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_int",
     "exact_dedup",
     "grouped_topk",
     "merge_streams",

@@ -341,3 +341,75 @@ def embedding_near_dup_pairs(
         max_bucket=max_bucket,
     )
     return pairs.where(F.col("cos") >= cos_threshold).dropDuplicates(["id_a", "id_b"])
+
+
+def embedding_near_dup_pairs_int(
+    corpus: DataFrame,
+    cos_threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 8,
+    bits_per_band: int = 6,
+    max_bucket: int = 128,
+    quant: int = 1000,
+) -> DataFrame:
+    """embedding_near_dup_pairs in the ORACLE-REPRODUCIBLE form: the
+    SRP hyperplanes are ±1 Rademacher weights derived from a
+    multiply-xorshift mix of (dim, plane), applied to the INTEGER-
+    quantized vector floor(x*quant) — so every sign bit is exact int64
+    arithmetic a SQL oracle replays bit-for-bit (float hyperplane dot
+    products near zero could round differently across engines; integer
+    ones cannot). Exact cosine (on the ORIGINAL float vectors) is
+    verified in-bucket; same one-shuffle bucketed_pairs shape.
+
+    The mixer MUST be nonlinear in the plane index: an affine LCG
+    makes each band's planes shifted copies of one threshold sequence
+    — measured 2 (!) distinct values in half the 6-bit bands, buckets
+    of 280 swallowing the corpus. Two multiply + xorshift rounds give
+    64/64 distinct values and max bucket 29 on the same data. All
+    intermediates stay < 2^63 (the second multiply sees a 31-bit
+    value), so int64 is exact in numpy, Spark, and DuckDB alike.
+
+    P[bit match] = 1 - angle/pi still holds for Rademacher planes, so
+    detection at cos>=0.9 with 8x6 bands is ~0.995 while a random
+    pair collides in a band w.p. ~2^-6."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_planes = n_bands * bits_per_band
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        q = np.floor(m * quant).astype(np.int64)
+        dim = q.shape[1]
+        i = np.arange(dim, dtype=np.int64)[:, None]
+        p = np.arange(n_planes, dtype=np.int64)[None, :]
+        k = i * n_planes + p
+        h1 = (k * 2654435761) % 4294967296
+        h2 = (h1 ^ (h1 >> 15)) % 2147483648
+        h3 = (h2 * 2246822519) % 4294967296
+        h4 = h3 ^ (h3 >> 13)
+        w = np.where(h4 % 2 == 0, 1, -1).astype(np.int64)  # (dim, planes)
+        bits = (q @ w) >= 0  # (n, planes)
+        powers = (1 << np.arange(bits_per_band)).astype(np.int64)  # bit j -> 2^j
+        keys = bits.reshape(len(q), n_bands, bits_per_band).astype(np.int64) @ powers
+        return pd.Series(list(keys))
+
+    banded = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
+    ).select("id", "__vec", F.posexplode(band_keys("__vec")).alias("band_idx", "band_val"))
+    pairs = bucketed_pairs(
+        banded,
+        ["band_idx", "band_val"],
+        F.struct("id", "__vec"),
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            cosine_similarity(x["__vec"], y["__vec"]).alias("cos"),
+        ),
+        max_bucket=max_bucket,
+    )
+    return pairs.where(F.col("cos") >= cos_threshold).dropDuplicates(["id_a", "id_b"])

@@ -37,7 +37,7 @@ from snapflow_spark.operators.dedup_text import (
 from snapflow_spark.operators.similarity import (
     IVFIndex,
     brute_force_topk,
-    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_int,
 )
 from snapflow_spark.registry import query
 
@@ -382,18 +382,70 @@ _PLANT = 60  # planted near-dup copies; detected pairs ≈ this count
 _PLANT_OFFSET = 1_000_000
 
 
-@query("q_embed_near_dup")  # rows-only: random-projection LSH pairs
+@query(
+    "q_embed_near_dup",
+    oracle="""
+    WITH planted AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN (i - 1) % 37 = 0 THEN -embedding[i]
+                         ELSE embedding[i] END) AS embedding
+      FROM embeddings WHERE vec_id < 60
+    ), corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM planted
+    ), qv AS (
+      SELECT vec_id,
+             list_transform(emb, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+      FROM corpus
+    ), wt0 AS (
+      SELECT t.b, t2.j, t3.i0,
+             (t3.i0 * 48 + t.b * 6 + t2.j) * 2654435761 % 4294967296 AS h1
+      FROM range(8) t(b) CROSS JOIN range(6) t2(j) CROSS JOIN range(64) t3(i0)
+    ), wt1 AS (SELECT *, xor(h1, h1 >> 15) % 2147483648 AS h2 FROM wt0
+    ), wt2 AS (SELECT *, h2 * 2246822519 % 4294967296 AS h3 FROM wt1
+    ), wt3 AS (
+      SELECT b, j, i0,
+             CASE WHEN xor(h3, h3 >> 13) % 2 = 0 THEN 1 ELSE -1 END AS w
+      FROM wt2
+    ), wt AS (SELECT b, j, list(w ORDER BY i0) AS wl FROM wt3 GROUP BY b, j
+    ), bits AS (
+      SELECT qv.vec_id, wt.b, wt.j,
+             CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] * wl[i])) >= 0
+                  THEN 1 << wt.j ELSE 0 END AS bv
+      FROM qv CROSS JOIN wt
+    ), banded AS (
+      SELECT vec_id, b AS band_idx, SUM(bv) AS band_val FROM bits GROUP BY 1, 2
+    ), ranked AS (
+      SELECT banded.*, corpus.emb,
+             row_number() OVER (PARTITION BY band_idx, band_val ORDER BY vec_id) AS rn
+      FROM banded JOIN corpus USING (vec_id)
+    ), k AS (SELECT * FROM ranked WHERE rn <= 128)
+    SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_cosine_similarity(a.emb, c.emb), 6) AS cos
+    FROM k a JOIN k c ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+                     AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.emb, c.emb) >= 0.9
+    """,
+)
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.9) via SRP-LSH.
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9) via SRP-LSH
+    in the oracle-reproducible INTEGER form (embedding_near_dup_pairs_int:
+    ±1 LCG hyperplanes over floor(x*1000)-quantized vectors, 8 bands x
+    6 bits, exact in-bucket cosine verify) — upgraded from rows-only
+    in round 3.
 
     The synthetic embeddings table has NO natural near-dups (max
     pairwise cos ≈ 0.5-0.6 at sf0.01/0.1), which made this query's
     r1 driver row an empty result — true but evidence-free. The query
     therefore PLANTS deterministic near-dups first: the first _PLANT
     vectors get a copy (vec_id + 1e6) with every 37th dimension
-    sign-flipped — cos(v, copy) = 1 - 2*2/72 ≈ 0.944 for unit-ish
-    72-dim vectors — and the LSH cascade must find exactly those
-    pairs. Recall vs the exact ground truth is pinned in pytest."""
+    sign-flipped — cos(v, copy) = 1 - 2*2/64 ≈ 0.94 for unit-ish
+    64-dim vectors — and the LSH cascade must find exactly those
+    pairs. Recall vs the exact ground truth is pinned in pytest, and
+    the DuckDB oracle replays planting, quantization, banding,
+    truncation, and the cosine verify exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     flipped = F.transform(
         "embedding", lambda x, i: F.when(i % 37 == 0, -x).otherwise(x)
@@ -403,7 +455,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         flipped.alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    return embedding_near_dup_pairs(corpus, cos_threshold=0.9).select(
+    return embedding_near_dup_pairs_int(corpus, cos_threshold=0.9).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
     )
 

@@ -162,6 +162,46 @@ def test_embedding_near_dup_finds_planted(embeddings):
     assert planted <= pairs
 
 
+def test_embedding_near_dup_int_finds_planted(embeddings):
+    """The oracle-reproducible integer-SRP form (q_embed_near_dup's
+    generator) finds the same planted near-dups, and its band keys are
+    well-distributed (the affine-LCG degeneracy regression: half the
+    bands collapsing to 2 values would swallow recall in truncation)."""
+    from collections import Counter
+
+    from snapflow_spark.operators.similarity import embedding_near_dup_pairs_int
+
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs_int(
+        embeddings, cos_threshold=0.95
+    ).collect()}
+    planted = {(j, 500 + j) for j in range(3)}
+    assert planted <= pairs
+
+    # band-key diversity: no band may bucket >25% of the corpus into
+    # one value (303 vectors over 64 values should spread ~5/bucket);
+    # numpy replay of the operator's weight spec
+    import numpy as np
+    vecs = np.array(
+        [r.embedding for r in embeddings.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    q = np.floor(vecs * 1000).astype(np.int64)
+    dim, n_planes, bits = q.shape[1], 48, 6
+    i = np.arange(dim, dtype=np.int64)[:, None]
+    p = np.arange(n_planes, dtype=np.int64)[None, :]
+    k = i * n_planes + p
+    h1 = (k * 2654435761) % 4294967296
+    h2 = (h1 ^ (h1 >> 15)) % 2147483648
+    h3 = (h2 * 2246822519) % 4294967296
+    w = np.where((h3 ^ (h3 >> 13)) % 2 == 0, 1, -1).astype(np.int64)
+    keys = ((q @ w) >= 0).reshape(len(q), 8, bits).astype(np.int64) @ (
+        1 << np.arange(bits)
+    )
+    for band in range(8):
+        top = Counter(keys[:, band].tolist()).most_common(1)[0][1]
+        assert top <= len(q) * 0.25, f"band {band} degenerate: {top}/{len(q)}"
+
+
 def _group(rows, key):
     out = {}
     for r in rows:
