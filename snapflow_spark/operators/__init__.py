@@ -5,6 +5,12 @@ scale story (shuffle/broadcast behavior at 100 TB).
 """
 
 from snapflow_spark.operators.asof import asof_join
+from snapflow_spark.operators.curation import (
+    contamination_pairs,
+    pack_sequences,
+    split_by_hash,
+    stratified_sample_by_hash,
+)
 from snapflow_spark.operators.dedup_text import (
     exact_dedup,
     mingram_candidates,
@@ -30,6 +36,10 @@ from snapflow_spark.operators.sql_snap import sql_snap
 from snapflow_spark.operators.topk import grouped_topk, topk
 
 __all__ = [
+    "contamination_pairs",
+    "pack_sequences",
+    "split_by_hash",
+    "stratified_sample_by_hash",
     "IVFIndex",
     "asof_join",
     "banded_range_join",

@@ -1,0 +1,166 @@
+"""Training-corpus curation operators (SURVEY.md §2.B.11 north-star:
+the ops a large-scale LLM-data pipeline runs between dedup and
+tokenizer hand-off): deterministic train/test splitting, stratified
+sampling, sequence packing, and train/eval contamination detection.
+
+All four are pure DataFrame algebra (whole-stage codegen, no UDF) and
+deterministic: splits and samples key off sha256 of the document id —
+never rand() — so a re-run, a backfill, or a second engine (the DuckDB
+oracle) assigns every document identically. That determinism is not a
+testing convenience: reproducible splits are a correctness requirement
+for training pipelines (eval contamination via split drift is a real
+failure mode).
+
+Scale notes per op are in the docstrings; the common theme is that
+nothing here shuffles more than once, and the only window runs inside
+a user-chosen partition key (global total order is not a thing at
+100 TB — packing is per-shard by construction, as in real pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# split/sample hashing resolution: sha256 -> first 8 hex chars -> int
+# mod _BUCKETS gives ~uniform buckets with 0.01% granularity
+_BUCKETS = 10_000
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, _BUCKETS) from sha256(salt || key).
+    The 32-bit hex prefix parse (conv base 16) is exactly what the SQL
+    oracle replays; no engine-private hash, no RNG."""
+    h = F.sha2(F.concat(F.lit(salt), key.cast("string")), 256)
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    test_frac: float = 0.1,
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/test assignment: a document lands in 'test'
+    iff its hash bucket falls below test_frac. Changing the salt
+    re-rolls the split; changing nothing re-derives it bit-identically
+    on any engine or any day — the property a training pipeline needs
+    to keep eval sets stable across backfills.
+
+    Scale: a pure projection — no shuffle, no state; composes with
+    any downstream agg/write."""
+    thresh = int(round(test_frac * _BUCKETS))
+    return df.withColumn(
+        out_col,
+        F.when(_hash_bucket(F.col(id_col), salt) < thresh, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a document iff its hash
+    bucket falls below its stratum's fraction. Unlike df.sampleBy
+    (seeded Bernoulli over partition iteration order — not stable
+    across repartitions), the hash form is a pure row-wise predicate:
+    same rows survive regardless of partitioning, cluster size, or
+    engine. Up-weighting / re-balancing corpora by language or source
+    is the canonical use.
+
+    Scale: filter-only — pushes down past column pruning, no shuffle."""
+    frac = None
+    for stratum, f in fractions.items():
+        cond = F.col(strata_col) == stratum
+        frac = F.when(cond, F.lit(f)) if frac is None else frac.when(cond, F.lit(f))
+    frac = frac.otherwise(F.lit(default_frac)) if frac is not None else F.lit(default_frac)
+    thresh = (frac * _BUCKETS).cast("long")
+    return df.where(_hash_bucket(F.col(id_col), salt) < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partition_col: str | None = None,
+    out_prefix: str = "chunk",
+) -> DataFrame:
+    """Sequence packing, concat-and-chunk form: documents are laid out
+    in id order (within ``partition_col`` if given), token counts
+    accumulate, and the training context a document STARTS in is
+    floor(start_offset / budget) — exactly the layout a pretraining
+    loader produces when it concatenates documents and cuts fixed-size
+    contexts. Adds:
+      {out_prefix}_start  — the document's global token start offset
+      {out_prefix}_id     — the context index it starts in
+      {out_prefix}_spans  — True when the document crosses a context
+                            boundary (gets split across contexts)
+
+    Scale: ONE window. With partition_col the cumsum runs per shard
+    (lang / source / date — how real pipelines pack, since a global
+    total order over 100 TB is neither feasible nor wanted); without
+    it Spark warns and runs single-task — acceptable only for tests.
+    """
+    part = [partition_col] if partition_col else []
+    w = Window.partitionBy(*part).orderBy(F.col(id_col))
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
+    out = df.withColumn(f"{out_prefix}_start", start)
+    end_incl = F.col(f"{out_prefix}_start") + F.col(token_col) - 1
+    return out.withColumn(
+        f"{out_prefix}_id", F.floor(F.col(f"{out_prefix}_start") / budget)
+    ).withColumn(
+        f"{out_prefix}_spans",
+        (F.col(token_col) > 0)
+        & (F.floor(end_incl / budget) > F.col(f"{out_prefix}_id")),
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval contamination detection: (train_id, eval_id,
+    n_shared) for every train document sharing >= min_overlap distinct
+    token n-grams with an eval document. Long n-grams (n=8 default)
+    are the standard benchmark-leak signal (a shared 8-gram is
+    essentially verbatim overlap, not chance).
+
+    Scale shape: both sides explode to (gram, id) pairs, distinct per
+    doc; the eval side — benchmarks are tiny relative to a 100 TB
+    corpus — is broadcast so the gram join is map-side with NO shuffle
+    of the train grams; the count-by-pair agg then shuffles only the
+    matching pairs (rare). Set broadcast_eval=False to fall back to a
+    hash join on the gram when the eval side is genuinely large."""
+    from snapflow_spark.functions.text import ngram_expr, tokens_expr
+
+    def _grams(d: DataFrame, out_id: str) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(ngram_expr(tokens_expr(text_col), n))
+            ).alias("gram"),
+        )
+
+    tg = _grams(train, "train_id")
+    eg = _grams(eval_df, "eval_id")
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )

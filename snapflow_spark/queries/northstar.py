@@ -27,6 +27,7 @@ from snapflow_spark.functions.text import (
 from snapflow_spark.functions.vectors import cosine_similarity
 from snapflow_spark.multimodal import attach_image_blob, extract_features
 from snapflow_spark.operators.buckets import bucketed_pairs
+from snapflow_spark.operators.curation import pack_sequences, split_by_hash
 from snapflow_spark.operators.dedup_text import (
     exact_dedup,
     mingram_candidates,
@@ -485,34 +486,91 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
       GROUP BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
     ), kept AS (
-      SELECT d.*
+      SELECT d.*, len(regexp_extract_all(d.text, '\S+')) AS n_toks,
+             CASE WHEN CAST(list_sum(list_transform(range(0, 8), j ->
+                    (CAST(instr('0123456789abcdef',
+                          substr(sha256('split-v1' || CAST(d.doc_id AS VARCHAR)), j + 1, 1))
+                     AS BIGINT) - 1) << (4 * (7 - CAST(j AS INT))))) AS BIGINT)
+                  % 10000 < 1000
+                  THEN 'test' ELSE 'train' END AS split
       FROM documents d JOIN dedup USING (doc_id)
       WHERE d.n_chars >= 80
         AND len(regexp_extract_all(d.text, '\S+')) >= 15
+    ), packed AS (
+      SELECT lang, doc_id, n_toks,
+             SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id) - n_toks AS cstart
+      FROM kept WHERE split = 'train'
+    ), pagg AS (
+      SELECT lang,
+             COUNT(DISTINCT cstart // 2048) AS n_chunks,
+             CAST(SUM(CASE WHEN n_toks > 0
+                            AND (cstart + n_toks - 1) // 2048 > cstart // 2048
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+      FROM packed GROUP BY lang
+    ), bagg AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      FROM kept GROUP BY lang
     )
-    SELECT lang,
-           COUNT(*) AS n_docs,
-           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
-           CAST(MIN(doc_id) AS BIGINT) AS first_doc
-    FROM kept
-    GROUP BY lang
+    SELECT b.lang, b.n_docs, b.total_tokens, b.first_doc, b.n_train, b.n_test,
+           COALESCE(p.n_chunks, 0) AS n_chunks,
+           COALESCE(p.n_spanning, 0) AS n_spanning
+    FROM bagg b LEFT JOIN pagg p USING (lang)
     """,
 )
 def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation — the composed north-star pipeline:
     exact dedup (keep min doc_id per normalized fingerprint) -> quality
-    gate (length + token floor) -> per-language corpus stats. One
-    dedup shuffle + one agg shuffle; the dedup keep-set semi-joins the
-    corpus so dropped copies never reach the quality stage."""
+    gate (length + token floor) -> deterministic sha256 train/test
+    split (operators.curation.split_by_hash, stable across engines and
+    backfills) -> per-language sequence packing of the train split
+    into 2048-token contexts (pack_sequences: concat-and-chunk, the
+    pretraining-loader layout; the ONE window runs per lang, never
+    globally) -> per-language stats incl. context counts and how many
+    documents span a context boundary. One dedup shuffle, one window
+    shuffle on lang, one agg shuffle."""
     d = load_table(spark, sf_dir, "documents")
     keep = exact_dedup(d, text_col="text", id_col="doc_id").select("doc_id")
-    kept = d.join(keep, "doc_id", "left_semi").where(
-        (F.col("n_chars") >= 80) & (token_count_expr("text") >= 15)
+    kept = split_by_hash(
+        d.join(keep, "doc_id", "left_semi")
+        .where((F.col("n_chars") >= 80) & (token_count_expr("text") >= 15))
+        .withColumn("n_toks", token_count_expr("text")),
+        test_frac=0.1,
     )
-    return kept.groupBy("lang").agg(
+    packed = pack_sequences(
+        kept.where(F.col("split") == "train"),
+        budget=2048,
+        token_col="n_toks",
+        partition_col="lang",
+    )
+    bagg = kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count_expr("text").cast("bigint")).alias("total_tokens"),
+        F.sum(F.col("n_toks").cast("bigint")).alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    pagg = packed.groupBy("lang").agg(
+        F.countDistinct("chunk_id").alias("n_chunks"),
+        F.sum(F.col("chunk_spans").cast("int")).cast("bigint").alias("n_spanning"),
+    )
+    return bagg.join(pagg, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "first_doc",
+        "n_train",
+        "n_test",
+        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        F.coalesce("n_spanning", F.lit(0)).alias("n_spanning"),
     )
 
 

@@ -1,0 +1,140 @@
+"""Curation operators: deterministic splits/samples, sequence packing,
+contamination detection (SURVEY §2.B.11 north-star; tests mirror the
+oracle-parity strategy — the split hash is replayed in DuckDB here the
+same way driver oracles replay query semantics)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.operators.curation import (
+    contamination_pairs,
+    pack_sequences,
+    split_by_hash,
+    stratified_sample_by_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], f"doc {i} body " + ("tok " * (i % 7)))
+        for i in range(600)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+
+def test_split_by_hash_deterministic_and_balanced(docs):
+    a = {r.doc_id: r.split for r in split_by_hash(docs, test_frac=0.2).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in split_by_hash(docs.repartition(13), test_frac=0.2).collect()
+    }
+    assert a == b  # invariant under partitioning
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.12 < frac < 0.28  # 600 docs at 20%: well within binomial range
+
+    # cross-engine: DuckDB replays the sha256-bucket assignment exactly
+    duck = dict(
+        duckdb.sql(
+            """
+            SELECT i AS doc_id,
+                   CASE WHEN CAST(list_sum(list_transform(range(0, 8), j ->
+                          (CAST(instr('0123456789abcdef',
+                                substr(sha256('split-v1' || CAST(i AS VARCHAR)), j + 1, 1))
+                           AS BIGINT) - 1) << (4 * (7 - CAST(j AS INT))))) AS BIGINT)
+                        % 10000 < 2000
+                        THEN 'test' ELSE 'train' END AS split
+            FROM range(600) t(i)
+            """
+        ).fetchall()
+    )
+    assert a == duck
+
+
+def test_split_salt_rerolls(docs):
+    a = {r.doc_id: r.split for r in split_by_hash(docs, salt="v1").collect()}
+    b = {r.doc_id: r.split for r in split_by_hash(docs, salt="v2").collect()}
+    assert a != b
+    assert set(a) == set(b)
+
+
+def test_stratified_sample_rates_and_stability(docs):
+    fr = {"en": 1.0, "de": 0.5, "fr": 0.0}
+    kept = stratified_sample_by_hash(docs, fr).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang.get("en", set())) == 200  # frac 1.0: all 200
+    assert "fr" not in by_lang  # frac 0.0: none
+    assert 60 <= len(by_lang.get("de", set())) <= 140  # frac 0.5 of 200
+    # stable under repartition (the sampleBy failure mode)
+    kept2 = {
+        r.doc_id
+        for r in stratified_sample_by_hash(docs.repartition(7), fr).collect()
+    }
+    assert {r.doc_id for r in kept} == kept2
+    # unknown strata use default_frac
+    none_kept = stratified_sample_by_hash(docs, {"xx": 1.0}).count()
+    assert none_kept == 0
+
+
+def test_pack_sequences_exact_layout(spark):
+    rows = [(1, 100), (2, 50), (3, 80), (4, 200), (5, 10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens int")
+    out = {
+        r.doc_id: (r.chunk_start, r.chunk_id, r.chunk_spans)
+        for r in pack_sequences(df, budget=128).collect()
+    }
+    # concat order 1..5: starts 0,100,150,230,430
+    assert out[1] == (0, 0, False)  # [0,100) inside chunk 0
+    assert out[2] == (100, 0, True)  # [100,150) crosses 128
+    assert out[3] == (150, 1, False)  # [150,230) inside chunk 1
+    assert out[4] == (230, 1, True)  # [230,430) crosses 256 and 384
+    assert out[5] == (430, 3, False)
+
+
+def test_pack_sequences_per_partition(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de", 60) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens int")
+    out = pack_sequences(df, budget=100, partition_col="lang").collect()
+    for r in out:
+        rank = sorted(x.doc_id for x in out if x.lang == r.lang).index(r.doc_id)
+        assert r.chunk_start == 60 * rank  # cumsum restarts per lang
+        assert r.chunk_id == (60 * rank) // 100
+
+
+def test_pack_sequences_zero_token_doc(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 100)], "doc_id bigint, n_tokens int"
+    )
+    out = {r.doc_id: (r.chunk_start, r.chunk_spans) for r in pack_sequences(df, 64).collect()}
+    assert out[1] == (0, False)  # empty doc occupies nothing, spans nothing
+    assert out[2] == (0, True)
+
+
+def test_contamination_detects_planted_leak(spark):
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    train_rows = [
+        (1, f"clean document one with its own words {0}"),
+        (2, f"prefix text {leak} suffix text"),
+        (3, "another clean one entirely different tokens here"),
+    ]
+    eval_rows = [(100, f"benchmark question {leak} benchmark answer")]
+    train = spark.createDataFrame(train_rows, "doc_id bigint, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id bigint, text string")
+    got = contamination_pairs(train, ev, n=8).collect()
+    assert [(r.train_id, r.eval_id, r.n_shared) for r in got] == [(2, 100, 1)]
+    # shuffle-join fallback agrees with the broadcast path
+    got2 = contamination_pairs(train, ev, n=8, broadcast_eval=False).collect()
+    assert [(r.train_id, r.eval_id, r.n_shared) for r in got2] == [(2, 100, 1)]
+
+
+def test_contamination_min_overlap_threshold(spark):
+    a = "one two three four five six seven eight nine ten"
+    train = spark.createDataFrame([(1, a)], "doc_id bigint, text string")
+    ev = spark.createDataFrame([(9, a)], "doc_id bigint, text string")
+    # identical 10-token docs share 3 distinct 8-grams
+    got = contamination_pairs(train, ev, n=8, min_overlap=3).collect()
+    assert [(r.train_id, r.eval_id, r.n_shared) for r in got] == [(1, 9, 3)]
+    assert contamination_pairs(train, ev, n=8, min_overlap=4).count() == 0
