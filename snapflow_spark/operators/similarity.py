@@ -349,7 +349,7 @@ def embedding_near_dup_pairs_int(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_bands: int = 8,
-    bits_per_band: int = 6,
+    bits_per_band: int | None = 6,
     max_bucket: int = 128,
     quant: int = 1000,
 ) -> DataFrame:
@@ -372,12 +372,28 @@ def embedding_near_dup_pairs_int(
 
     P[bit match] = 1 - angle/pi still holds for Rademacher planes, so
     detection at cos>=0.9 with 8x6 bands is ~0.995 while a random
-    pair collides in a band w.p. ~2^-6."""
+    pair collides in a band w.p. ~2^-6.
+
+    bits_per_band=None AUTO-SIZES band width to the corpus: occupancy
+    per band value grows linearly with corpus size under fixed bits,
+    so at 10x data the id-sorted truncation starts eating recall and
+    in-bucket pair work grows (measured ratio 2.3 at 10x with fixed 6
+    bits). Sizing bits ~ log2(n / target_occupancy) keeps expected
+    bucket size — and therefore both recall and per-bucket work —
+    constant as the corpus grows; declared queries pin bits explicitly
+    so their oracle stays bit-identical."""
+    import math
+
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
+    if bits_per_band is None:
+        n = corpus.count()
+        # target ~max_bucket/4 vectors per band value; >=4 bits so a
+        # tiny corpus still gets real bands, <=24 to bound key width
+        bits_per_band = min(24, max(4, math.ceil(math.log2(max(2, n / (max_bucket / 4))))))
     n_planes = n_bands * bits_per_band
 
     @pandas_udf(ArrayType(LongType()))

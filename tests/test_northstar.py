@@ -202,6 +202,26 @@ def test_embedding_near_dup_int_finds_planted(embeddings):
         assert top <= len(q) * 0.25, f"band {band} degenerate: {top}/{len(q)}"
 
 
+def test_embedding_near_dup_int_autosizes_bands(embeddings):
+    """bits_per_band=None keeps expected bucket occupancy constant as
+    the corpus grows (the knob that holds recall at 10x/100x): still
+    finds the planted pairs, and a bigger corpus gets wider bands."""
+    import math
+
+    from snapflow_spark.operators.similarity import embedding_near_dup_pairs_int
+
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs_int(
+        embeddings, cos_threshold=0.95, bits_per_band=None
+    ).collect()}
+    assert {(j, 500 + j) for j in range(3)} <= pairs
+    # the sizing formula itself: monotone in n, clamped to [4, 24]
+    size = lambda n: min(24, max(4, math.ceil(math.log2(max(2, n / 32)))))
+    assert size(300) == 4
+    assert size(20_000) == 10
+    assert size(2_000_000) == 16
+    assert size(10**12) == 24
+
+
 def _group(rows, key):
     out = {}
     for r in rows:
