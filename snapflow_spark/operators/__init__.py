@@ -12,6 +12,8 @@ from snapflow_spark.operators.curation import (
     stratified_sample_by_hash,
 )
 from snapflow_spark.operators.dedup_text import (
+    connected_components,
+    dedup_cluster_representatives,
     exact_dedup,
     mingram_candidates,
     minhash_candidates,
@@ -36,6 +38,8 @@ from snapflow_spark.operators.sql_snap import sql_snap
 from snapflow_spark.operators.topk import grouped_topk, topk
 
 __all__ = [
+    "connected_components",
+    "dedup_cluster_representatives",
     "contamination_pairs",
     "pack_sequences",
     "split_by_hash",

@@ -329,6 +329,95 @@ def mingram_candidates(
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs — the step AFTER any
+    LSH candidate->verify cascade: verified pairs form a graph, and a
+    corpus keeps ONE representative per component, not per pair
+    (A~B, B~C must collapse to one cluster even though (A,C) never
+    surfaced as a pair).
+
+    Algorithm: iterative min-label propagation (the degenerate-simple
+    member of the small-star/large-star family): every node starts
+    labeled with itself; each round joins labels across edges in both
+    directions and keeps the per-node min; stop when no label changed.
+    Deterministic — the fixpoint is the component-min id regardless of
+    execution order. Rounds needed = graph diameter in the worst case
+    (dedup components are near-cliques from bucket explosion, so 2-3
+    rounds in practice); each round is two shuffles (join + groupBy)
+    on the EDGE set only — the corpus itself never enters the loop.
+    localCheckpoint() per round truncates the lineage so the plan does
+    not double every iteration (the classic iterative-DataFrame trap);
+    the convergence check piggybacks on the same pass via a changed-
+    label count, one tiny action per round.
+
+    Returns (id, component) with component = min id reachable; ids
+    not present in any pair are absent (callers union isolated docs
+    back as their own component — they need no clustering).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate labels flowing across edges, plus each node's own
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "component")
+            .unionByName(labels)
+        )
+        new_labels = prop.groupBy("id").agg(F.min("component").alias("component"))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_cluster_representatives(
+    df: DataFrame,
+    verified_pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Corpus-level keep/drop decision from verified near-dup pairs:
+    connected components over the pairs, each document mapped to its
+    component representative (min id; docs in no pair represent
+    themselves). Returns the corpus ids + (component, is_rep) — the
+    semi-join driver for 'drop all near-dups but one per cluster'.
+    The component computation touches only the edge set; the corpus
+    joins in once at the end (left join + coalesce, one shuffle)."""
+    comp = connected_components(verified_pairs, max_iter=max_iter)
+    out = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    return out.withColumn("is_rep", F.col(id_col) == F.col("component"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

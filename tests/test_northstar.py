@@ -821,3 +821,71 @@ def test_simhash_sha_finds_near_dups(planted):
     assert all(pairs[p] == 0 for p in exact_ids)
     found = sum(1 for p in near_pairs if p in pairs)
     assert found / len(near_pairs) >= 0.8
+
+
+def test_connected_components_chain_and_parity(spark):
+    """A~B, B~C collapses to ONE cluster (the pair-level trap), and a
+    random graph's components match a from-scratch python union-find."""
+    import random as _random
+
+    from snapflow_spark.operators.dedup_text import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    rng = _random.Random(3)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    expect = {x: find(x) for x in touched}
+    # normalize union-find roots to component-min ids
+    comp_min: dict = {}
+    for x, r in expect.items():
+        comp_min.setdefault(r, x)
+        comp_min[r] = min(comp_min[r], x)
+    expect = {x: comp_min[r] for x, r in expect.items()}
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == expect
+
+
+def test_dedup_cluster_representatives_end_to_end(planted, spark):
+    """Full cascade: LSH candidates -> exact verify -> components ->
+    one representative per near-dup cluster; exact copies and near
+    copies fold into their base doc's cluster."""
+    from snapflow_spark.operators.dedup_text import (
+        dedup_cluster_representatives,
+        minhash_sha_candidates,
+    )
+
+    df, near_pairs, exact_ids = planted
+    cands = minhash_sha_candidates(df)
+    verified = ngram_jaccard_pairs(df, cands.select("id_a", "id_b")).where(
+        F.col("jaccard") >= 0.5
+    )
+    out = {r.doc_id: (r.component, r.is_rep)
+           for r in dedup_cluster_representatives(df, verified).collect()}
+    assert len(out) == 30  # every corpus doc is assigned
+    for base, copy in exact_ids:
+        assert out[copy] == (base, False)
+        assert out[base] == (base, True)
+    found_near = sum(1 for b, c in near_pairs if out[c][0] == b)
+    assert found_near / len(near_pairs) >= 0.8
+    kept = [d for d, (_c, rep) in out.items() if rep]
+    assert len(kept) <= 30 - 5 - found_near + 0  # at least copies+nears folded
