@@ -155,6 +155,64 @@ def quality_score_expr(col: str | Column) -> Column:
     )
 
 
+def repetition_signals_expr(col: str | Column) -> Column:
+    """Within-document repetition signals (the Gopher/MassiveText-style
+    repetition filters): a struct of
+      dup_line_frac   — fraction of non-empty lines that are repeats
+      dup_2gram_frac  — fraction of token 2-gram instances that repeat
+      dup_3gram_frac  — same for 3-grams
+    each as (total - distinct) / total, 0.0 for degenerate docs. High
+    values flag boilerplate/spam (nav bars, SEO keyword stuffing,
+    templated pages) that survives exact dedup because the noise
+    varies. Pure Column algebra — whole-stage codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    toks = tokens_expr(c)
+
+    def _dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, (n - F.size(F.array_distinct(arr))) / n
+        ).otherwise(F.lit(0.0))
+
+    return F.struct(
+        _dup_frac(lines).alias("dup_line_frac"),
+        _dup_frac(ngram_expr(toks, 2)).alias("dup_2gram_frac"),
+        _dup_frac(ngram_expr(toks, 3)).alias("dup_3gram_frac"),
+    )
+
+
+def dedup_lines_expr(col: str | Column) -> Column:
+    """Remove repeated lines WITHIN a document, preserving first-
+    occurrence order (array_distinct is order-stable in Spark) — the
+    line-level sibling of corpus-level exact dedup, for boilerplate
+    stripping. Codegen only."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws("\n", F.array_distinct(F.split(c, "\n")))
+
+
+# PII scrubbing patterns, ordered so URL runs before the bare-domain
+# email pattern cannot eat scheme-ful URLs' userinfo
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"(?<!\d)(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}(?!\d)", "<PHONE>"),
+]
+
+
+def scrub_pii_expr(col: str | Column) -> Column:
+    """Redact emails / URLs / IPv4s / US-style phone numbers with
+    typed placeholder tokens — the standard pre-training scrub pass.
+    A chain of JVM regexp_replace calls (codegen, no UDF); patterns
+    are deliberately conservative (precision over recall: a missed
+    phone number beats mangling arithmetic in code/prose)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def fingerprint_expr(col: str | Column, n_chars: int = 64) -> Column:
     """Deterministic document fingerprint: sha2-256 of the
     whitespace-normalized lowercased text — the exact-dedup key."""

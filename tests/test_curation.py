@@ -138,3 +138,49 @@ def test_contamination_min_overlap_threshold(spark):
     got = contamination_pairs(train, ev, n=8, min_overlap=3).collect()
     assert [(r.train_id, r.eval_id, r.n_shared) for r in got] == [(1, 9, 3)]
     assert contamination_pairs(train, ev, n=8, min_overlap=4).count() == 0
+
+
+def test_repetition_signals_pinned(spark):
+    from snapflow_spark.functions.text import repetition_signals_expr
+
+    docs = [
+        (1, "a b c d e"),                      # no repeats
+        (2, "x y x y x y"),                   # heavy 2-gram repetition
+        (3, "line one\nline one\nline two\n\n"),  # dup line, empty ignored
+        (4, ""),                               # degenerate
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.doc_id: r.sig.asDict() for r in
+           df.select("doc_id", repetition_signals_expr("text").alias("sig")).collect()}
+    assert out[1] == {"dup_line_frac": 0.0, "dup_2gram_frac": 0.0, "dup_3gram_frac": 0.0}
+    # "x y x y x y": 2-grams = [xy, yx, xy, yx, xy] -> 5 total, 2 distinct
+    assert abs(out[2]["dup_2gram_frac"] - 3 / 5) < 1e-12
+    # 3-grams = [xyx, yxy, xyx, yxy] -> 4 total, 2 distinct
+    assert abs(out[2]["dup_3gram_frac"] - 2 / 4) < 1e-12
+    assert abs(out[3]["dup_line_frac"] - 1 / 3) < 1e-12
+    assert out[4] == {"dup_line_frac": 0.0, "dup_2gram_frac": 0.0, "dup_3gram_frac": 0.0}
+
+
+def test_dedup_lines_preserves_order(spark):
+    from snapflow_spark.functions.text import dedup_lines_expr
+
+    df = spark.createDataFrame(
+        [(1, "nav\nbody one\nnav\nbody two\nnav")], "doc_id bigint, text string"
+    )
+    assert df.select(dedup_lines_expr("text").alias("t")).first().t == "nav\nbody one\nbody two"
+
+
+def test_scrub_pii(spark):
+    from snapflow_spark.functions.text import scrub_pii_expr
+
+    cases = [
+        ("mail me at john.doe+x@example.co.uk now", "mail me at <EMAIL> now"),
+        ("see https://a.b/c?d=1#e and http://x.y", "see <URL> and <URL>"),
+        ("server 10.0.255.1 down", "server <IP> down"),
+        ("call 555-867-5309 or (415) 555 2671", "call <PHONE> or <PHONE>"),
+        ("version 1.2.3 stays, math 2+2=4 stays", "version 1.2.3 stays, math 2+2=4 stays"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i bigint, text string")
+    got = {r.i: r.t for r in df.select("i", scrub_pii_expr("text").alias("t")).collect()}
+    for i, (_src, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
