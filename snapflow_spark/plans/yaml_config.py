@@ -89,12 +89,67 @@ def _select(spark: SparkSession, input: DataFrame, columns: list[str]) -> DataFr
     return input.selectExpr(*columns)
 
 
+def _split(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    id_col: str = "doc_id",
+    test_frac: float = 0.1,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """core.split: deterministic sha256 train/test assignment
+    (operators.curation.split_by_hash)."""
+    from snapflow_spark.operators import split_by_hash
+
+    return split_by_hash(input, id_col=id_col, test_frac=test_frac, salt=salt)
+
+
+def _sample(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """core.sample: deterministic stratified sampling
+    (operators.curation.stratified_sample_by_hash)."""
+    from snapflow_spark.operators import stratified_sample_by_hash
+
+    return stratified_sample_by_hash(
+        input, fractions, strata_col=strata_col, id_col=id_col, salt=salt
+    )
+
+
+def _pack(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """core.pack: concat-and-chunk sequence packing
+    (operators.curation.pack_sequences)."""
+    from snapflow_spark.operators import pack_sequences
+
+    return pack_sequences(
+        input,
+        budget=budget,
+        token_col=token_col,
+        id_col=id_col,
+        partition_col=partition_col,
+    )
+
+
 BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.accumulate": _accumulate,
     "core.dedupe_keep_latest": _dedupe_keep_latest,
     "core.sql": _sql,
     "core.filter": _filter,
     "core.select": _select,
+    "core.split": _split,
+    "core.sample": _sample,
+    "core.pack": _pack,
 }
 
 

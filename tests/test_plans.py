@@ -182,6 +182,67 @@ def test_yaml_builtin_sql_filter_select_and_import_path(spark, tmp_path):
         resolve_function("not_a_builtin")
 
 
+def test_yaml_builtin_curation_ops(spark, tmp_path):
+    """core.split / core.sample / core.pack builtins wire the curation
+    operators into YAML pipelines and match direct operator calls."""
+    from snapflow_spark.operators import (
+        pack_sequences,
+        split_by_hash,
+        stratified_sample_by_hash,
+    )
+    from snapflow_spark.plans import load_graph
+
+    cfg = {
+        "warehouse": str(tmp_path / "wh_cur"),
+        "sources": [{"name": "docs"}],
+        "nodes": [
+            {
+                "name": "with_split",
+                "function": "core.split",
+                "upstream": "docs",
+                "params": {"test_frac": 0.2, "salt": "s1"},
+            },
+            {
+                "name": "sampled",
+                "function": "core.sample",
+                "upstream": {"input": {"node": "with_split", "mode": "reference"}},
+                "params": {"fractions": {"en": 1.0, "fr": 0.5}, "salt": "s2"},
+                "overwrite": True,
+            },
+            {
+                "name": "packed",
+                "function": "core.pack",
+                "upstream": {"input": {"node": "sampled", "mode": "reference"}},
+                "params": {"budget": 64, "partition_col": "lang"},
+                "overwrite": True,
+            },
+        ],
+    }
+    rows = [(i, "en" if i % 3 else "fr", 10 + i % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+    g = load_graph(cfg)
+    g.pipeline.sources["docs"].append(df)
+    assert g.produce(spark) == 3
+
+    expected = pack_sequences(
+        stratified_sample_by_hash(
+            split_by_hash(df, test_frac=0.2, salt="s1"),
+            {"en": 1.0, "fr": 0.5},
+            salt="s2",
+        ),
+        budget=64,
+        partition_col="lang",
+    )
+    got = g.read(spark, "packed")
+    assert sorted(got.columns) == sorted(expected.columns)
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(expected.collect(), key=key)
+    # the split column made it through and both labels occur
+    labels = {r["split"] for r in got.collect()}
+    assert labels == {"train", "test"}
+
+
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     """Two tables bucketed on the same key/count sort-merge-join with
     ZERO shuffles — the pay-once co-located join layout."""
