@@ -16,7 +16,14 @@ from snapflow_spark.compat import ts_millis, ts_millis_sql
 from snapflow_spark.incremental import Node, Pipeline
 from snapflow_spark.operators import dedupe_keep_latest, merge_streams, schema_translate
 from snapflow_spark.registry import query
-from snapflow_spark.sources import read_csv, read_jsonl, write_csv, write_jsonl
+from snapflow_spark.sources import (
+    read_csv,
+    read_jsonl,
+    read_orc,
+    write_csv,
+    write_jsonl,
+    write_orc,
+)
 
 _SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
 
@@ -81,13 +88,15 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'csv' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     UNION ALL
     SELECT 'jsonl' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT 'orc' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-format round-trips (SURVEY §2.A A6 import_csv + §2.B.1
-    JSONL scan) in one tagged union: write the nation dim to CSV and
-    to JSON-lines, read both back (CSV with schema inference), and
-    prove both round-trips are lossless."""
+    """Format round-trips (SURVEY §2.A A6 import_csv + §2.B.1 JSONL and
+    ORC scans) in one tagged union: write the nation dim to CSV,
+    JSON-lines, and ORC, read each back (CSV with schema inference),
+    and prove all three round-trips are lossless."""
     csv_path = str(_SCRATCH / "csv_roundtrip" / "nation")
     write_csv(load_table(spark, sf_dir, "nation"), csv_path)
     from_csv = read_csv(spark, csv_path).select(
@@ -104,7 +113,15 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").cast("string"),
         F.col("n_regionkey").cast("int"),
     )
-    return from_csv.unionByName(from_jsonl)
+    orc_path = str(_SCRATCH / "orc_roundtrip" / "nation")
+    write_orc(load_table(spark, sf_dir, "nation"), orc_path)
+    from_orc = read_orc(spark, orc_path).select(
+        F.lit("orc").alias("fmt"),
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("int"),
+    )
+    return from_csv.unionByName(from_jsonl).unionByName(from_orc)
 
 
 @query(

@@ -10,11 +10,13 @@ from snapflow_spark.sources.io import (
     read_csv,
     read_jdbc,
     read_jsonl,
+    read_orc,
     refresh_bucketed,
     write_bucketed,
     write_range_sorted,
     write_csv,
     write_jsonl,
+    write_orc,
 )
 
 __all__ = [
@@ -28,6 +30,8 @@ __all__ = [
     "write_csv",
     "read_jsonl",
     "write_jsonl",
+    "read_orc",
+    "write_orc",
     "read_jdbc",
     "refresh_bucketed",
     "write_bucketed",

@@ -56,6 +56,21 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """ORC scan (§2.B.1) — the other columnar warehouse format. Spark's
+    native ORC reader is vectorized and pushes predicates/column pruning
+    into the stripe footers exactly like parquet, so a Hive-era ORC lake
+    reads at full scan speed without conversion."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(**options).orc(path)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC scan (snapflow's database storages). Partition options
     (partitionColumn/lowerBound/upperBound/numPartitions) turn one

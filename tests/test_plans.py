@@ -69,6 +69,27 @@ def test_plan_facts_broadcast_and_pushdown(spark):
     assert all("l_orderkey" not in s for s in facts.read_schemas)
 
 
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    """ORC sink/scan (§2.B.1): lossless round-trip, and predicates +
+    column pruning reach the ORC scan just like parquet."""
+    from snapflow_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"name-{i}", float(i) * 1.5) for i in range(100)],
+        "id long, name string, score double",
+    )
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+    filtered = back.filter("id >= 90").select("id", "name")
+    facts = plan_facts(filtered)
+    assert any("id" in p for p in facts.pushed_filters)
+    assert all("score" not in s for s in facts.read_schemas)
+    assert filtered.count() == 10
+
+
 PIPELINE_YAML = """
 warehouse: "{wh}"
 sources:
