@@ -1,3 +1,4 @@
+from snapflow_spark.streaming.joins import enrich_latest, interval_join
 from snapflow_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -12,6 +13,8 @@ from snapflow_spark.streaming.runner import (
 from snapflow_spark.streaming.stateful import running_user_stats, running_user_stats_tws
 
 __all__ = [
+    "enrich_latest",
+    "interval_join",
     "tumbling_agg",
     "sliding_agg",
     "session_agg",

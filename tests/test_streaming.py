@@ -361,3 +361,76 @@ def test_snapshot_append_recovers_from_crashed_write(spark, tmp_path):
         "snapshot-000000", "snapshot-000001"
     ]
     assert store.read(spark).count() == 2
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (impressions x clicks):
+    the streaming result equals the same interval_join run in batch
+    mode, including matches whose two sides arrive in DIFFERENT
+    micro-batches — the state-buffering contract."""
+    from snapflow_spark.streaming import interval_join
+
+    imps = SnapshotStore(tmp_path / "imps")
+    clicks = SnapshotStore(tmp_path / "clicks")
+    # u1 imp@0 matched by click@3; u1 imp@5 matched by click@12 (but
+    # click@3 is before imp@5, outside [l.ts, l.ts+10m]); u2 imp@60
+    # matched by click@61 which arrives two snapshots later.
+    imps.append(_mk_events(spark, [(1, 0, 1, 10.0), (2, 5, 1, 20.0)]))
+    imps.append(_mk_events(spark, [(3, 60, 2, 30.0)]))
+    clicks.append(_mk_events(spark, [(101, 3, 1, 1.0)]))
+    clicks.append(_mk_events(spark, [(102, 12, 1, 2.0)]))
+    clicks.append(_mk_events(spark, [(103, 61, 2, 3.0)]))
+
+    def join(left, right):
+        return interval_join(
+            left,
+            right,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            watermark="2 hours",
+            lower="0 seconds",
+            upper="10 minutes",
+            right_prefix="click_",
+        ).select("event_id", "user_id", "click_event_id")
+
+    batch_rows = {
+        tuple(r) for r in join(imps.read(spark), clicks.read(spark)).collect()
+    }
+    assert batch_rows == {(1, 1, 101), (2, 1, 102), (3, 2, 103)}
+
+    stream_joined = join(
+        stream_from_snapshots(spark, str(imps.path), EV_SCHEMA, max_files_per_trigger=1),
+        stream_from_snapshots(spark, str(clicks.path), EV_SCHEMA, max_files_per_trigger=1),
+    )
+    result = run_stream_to_batch(
+        stream_joined, output_mode="append", checkpoint=str(tmp_path / "ssj_ckpt")
+    )
+    assert {tuple(r) for r in result.collect()} == batch_rows
+
+
+def test_enrich_latest_respects_max_age_horizon(spark, tmp_path):
+    """Stream-side dimension enrichment: facts only see dim versions
+    published within max_age BEFORE them (bounded-state as-of)."""
+    from snapflow_spark.streaming import enrich_latest
+
+    facts = SnapshotStore(tmp_path / "facts")
+    dim = SnapshotStore(tmp_path / "dim")
+    facts.append(_mk_events(spark, [(1, 10, 1, 0.0), (2, 10, 2, 0.0)]))
+    # u1 has a fresh version (8min, inside the 5min horizon of fact@10)
+    # and a stale one (2min, outside); u2 only has a stale version.
+    dim.append(_mk_events(spark, [(201, 2, 1, 1.0), (202, 8, 1, 2.0), (203, 1, 2, 9.0)]))
+
+    out = enrich_latest(
+        stream_from_snapshots(spark, str(facts.path), EV_SCHEMA),
+        stream_from_snapshots(spark, str(dim.path), EV_SCHEMA),
+        on=["user_id"],
+        fact_ts="ts",
+        dim_ts="ts",
+        watermark="1 hour",
+        max_age="5 minutes",
+    ).select("event_id", "dim_event_id", "dim_value")
+    result = run_stream_to_batch(
+        out, output_mode="append", checkpoint=str(tmp_path / "enr_ckpt")
+    )
+    assert {tuple(r) for r in result.collect()} == {(1, 202, 2.0)}
