@@ -28,10 +28,12 @@ from snapflow_spark.operators.rangejoin import banded_range_join
 from snapflow_spark.operators.schema_translate import schema_translate
 from snapflow_spark.operators.similarity import (
     IVFIndex,
+    PQCodec,
     brute_force_topk,
     brute_force_topk_matmul,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_int,
+    ivf_pq_topk,
 )
 from snapflow_spark.operators.skew import salted_count_by_key, salted_join
 from snapflow_spark.operators.sql_snap import sql_snap
@@ -45,6 +47,8 @@ __all__ = [
     "split_by_hash",
     "stratified_sample_by_hash",
     "IVFIndex",
+    "PQCodec",
+    "ivf_pq_topk",
     "asof_join",
     "banded_range_join",
     "brute_force_topk",

@@ -276,6 +276,247 @@ class IVFIndex:
         )
 
 
+class PQCodec:
+    """Product quantization — the MEMORY scale path for vector search.
+
+    A 100 TB embedding corpus is unsearchable as raw floats (64-dim
+    float64 = 512 B/vector); PQ splits each L2-normalized vector into
+    ``m`` subvectors, k-means-codes each subspace independently
+    (n_codes <= 256 -> one byte per subspace), and stores only the
+    m-byte code word: 64x smaller, so the whole scan fits in the page
+    cache that the raw corpus overflows. Search is ADC (asymmetric
+    distance computation): the probe stays un-quantized, one (m x
+    n_codes) table of probe-subvector . codebook-entry inner products
+    is built per probe, and every corpus vector's approximate cosine
+    is m table lookups — no float math per row. An optional exact
+    re-rank on the top rerank_factor*k candidates restores recall lost
+    to quantization by touching only that sliver of raw vectors.
+
+    train() follows the same sampled-Lloyd recipe as IVFIndex.build
+    (codebooks need a representative sample, not a converged
+    distributed fit); encode() is one Arrow-batched matmul pass per
+    subspace. Compose with IVFIndex via ivf_pq_topk for the full
+    FAISS-shaped IVF-PQ: prune to nprobe cells, ADC-scan the codes,
+    re-rank the survivors exactly.
+    """
+
+    def __init__(self, codebooks, vec_col: str, id_col: str):
+        import numpy as np
+
+        self.codebooks = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        self.m = len(self.codebooks)
+        self.dsub = self.codebooks[0].shape[1]
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def train(
+        cls,
+        corpus: DataFrame,
+        m: int = 8,
+        n_codes: int = 256,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 42,
+        max_iter: int = 10,
+        train_sample: int = 16384,
+    ) -> "PQCodec":
+        import numpy as np
+
+        if n_codes > 256:
+            raise ValueError("n_codes must fit one byte (<= 256)")
+        n = corpus.count()
+        vecs = corpus.select(vec_col)
+        if n > train_sample:
+            vecs = vecs.sample(
+                withReplacement=False, fraction=min(1.0, 1.2 * train_sample / n), seed=seed
+            )
+        sample = np.asarray([r[0] for r in vecs.collect()], dtype=np.float64)
+        if sample.size == 0:
+            raise ValueError("cannot train a PQ codec on an empty corpus")
+        rng = np.random.default_rng(seed)
+        if len(sample) > train_sample:
+            sample = sample[rng.permutation(len(sample))[:train_sample]]
+        dim = sample.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        dsub = dim // m
+        norms = np.linalg.norm(sample, axis=1)
+        norms[norms == 0] = 1.0
+        sample = sample / norms[:, None]  # cosine -> inner product space
+        codebooks = []
+        for j in range(m):
+            sub = sample[:, j * dsub : (j + 1) * dsub]
+            k = min(n_codes, len(sub))
+            centers = sub[rng.choice(len(sub), size=k, replace=False)]
+            c_sq = (centers**2).sum(axis=1)
+            for _ in range(max_iter):
+                labels = (sub @ centers.T - 0.5 * c_sq).argmax(axis=1)
+                for c in range(k):
+                    members = sub[labels == c]
+                    if len(members):
+                        centers[c] = members.mean(axis=0)
+                c_sq = (centers**2).sum(axis=1)
+            codebooks.append(centers)
+        return cls(codebooks, vec_col, id_col)
+
+    def encode(self, df: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
+        """(id, [keep_cols,] pq_code binary): each vector L2-normalized,
+        each subspace argmin-coded with one matmul per Arrow batch.
+        The m-byte code column is what a 100 TB index persists."""
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        books = self.codebooks
+        m, dsub = self.m, self.dsub
+
+        @pandas_udf(BinaryType())
+        def code(vecs: pd.Series) -> pd.Series:
+            mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat = mat / norms[:, None]
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                cb = books[j]
+                codes[:, j] = (sub @ cb.T - 0.5 * (cb**2).sum(axis=1)).argmax(axis=1)
+            return pd.Series([c.tobytes() for c in codes])
+
+        cols = [self.id_col, *(keep_cols or [])]
+        return df.select(*cols, code(F.col(self.vec_col)).alias("pq_code"))
+
+    def adc_topk(
+        self,
+        codes: DataFrame,
+        probes: DataFrame,
+        k: int = 5,
+        probe_id_col: str = "probe_id",
+        rerank_with: DataFrame | None = None,
+        rerank_factor: int = 4,
+    ) -> DataFrame:
+        """Approximate cosine top-k over the CODE column only. Same
+        bounded-shuffle shape as brute_force_topk_matmul: each Arrow
+        batch keeps a local top per probe, the shuffle carries <=
+        partitions * P * k' rows. With rerank_with (the raw corpus),
+        the top rerank_factor*k ADC candidates per probe are re-scored
+        exactly and the final top-k is exact-over-candidates — the
+        standard recall repair that reads only candidate raw vectors."""
+        import numpy as np
+
+        pid_type = probes.schema[probe_id_col].dataType.simpleString()
+        id_type = codes.schema[self.id_col].dataType.simpleString()
+        kk = k * rerank_factor if rerank_with is not None else k
+
+        probe_rows = sorted(
+            probes.select(probe_id_col, self.vec_col).collect(),
+            key=lambda r: r[probe_id_col],
+        )
+        pids = [r[probe_id_col] for r in probe_rows]
+        pmat = np.vstack([np.asarray(r[self.vec_col], dtype=np.float64) for r in probe_rows])
+        pnorm = np.linalg.norm(pmat, axis=1)
+        pnorm[pnorm == 0] = 1.0
+        pmat = pmat / pnorm[:, None]
+        # ADC tables: tables[p, j, c] = probe_p's j-th subvector . code c
+        m, dsub = self.m, self.dsub
+        tables = np.stack(
+            [
+                np.stack(
+                    [self.codebooks[j] @ p[j * dsub : (j + 1) * dsub] for j in range(m)]
+                )
+                for p in pmat
+            ]
+        )  # (P, m, n_codes)
+        id_col = self.id_col
+        arange_m = np.arange(m)
+
+        def score_batches(batches):
+            for pdf in batches:
+                code_mat = np.vstack(
+                    [np.frombuffer(b, dtype=np.uint8) for b in pdf["pq_code"]]
+                ).astype(np.int64)  # (n, m)
+                ids = pdf[id_col].to_numpy()
+                top = min(kk, len(ids))
+                out_pid, out_id, out_cos = [], [], []
+                for p in range(len(pids)):
+                    approx = tables[p][arange_m[None, :], code_mat].sum(axis=1)
+                    order = np.lexsort((ids, -approx))[:top]
+                    out_pid.extend([pids[p]] * len(order))
+                    out_id.extend(ids[order])
+                    out_cos.extend(approx[order])
+                yield pd.DataFrame(
+                    {probe_id_col: out_pid, id_col: out_id, "cos": out_cos}
+                )
+
+        candidates = ensure_parallelism(codes.select(id_col, "pq_code")).mapInPandas(
+            score_batches,
+            schema=f"{probe_id_col} {pid_type}, {id_col} {id_type}, cos double",
+        )
+        approx_top = grouped_topk(
+            candidates, [probe_id_col], [F.col("cos").desc(), F.col(id_col).asc()], kk
+        )
+        if rerank_with is None:
+            return approx_top
+        # exact re-rank: candidate ids (bounded: P * kk rows) broadcast
+        # against the raw corpus; probe vectors broadcast for the exact
+        # cosine; the raw corpus is touched only at candidate ids.
+        cand = F.broadcast(approx_top.select(probe_id_col, id_col))
+        raw = rerank_with.select(
+            F.col(self.id_col), F.col(self.vec_col).alias("__raw_vec")
+        ).join(cand, self.id_col)
+        p = F.broadcast(
+            probes.select(
+                F.col(probe_id_col), F.col(self.vec_col).alias("__probe_vec")
+            )
+        )
+        exact = raw.join(p, probe_id_col).select(
+            probe_id_col,
+            self.id_col,
+            cosine_similarity("__raw_vec", "__probe_vec").alias("cos"),
+        )
+        return grouped_topk(
+            exact, [probe_id_col], [F.col("cos").desc(), F.col(self.id_col).asc()], k
+        )
+
+
+def ivf_pq_topk(
+    index: IVFIndex,
+    pq: PQCodec,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    probe_id_col: str = "probe_id",
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """FAISS-shaped IVF-PQ: prune the corpus to each probe's nprobe
+    nearest cells (partition pruning on a saved index), ADC-scan only
+    those cells' m-byte codes, then exact-re-rank the survivors. At
+    100 TB a probe touches nprobe/k_cells of the codes (themselves
+    ~64x smaller than the raw vectors) and raw floats only for
+    rerank_factor*k candidate rows."""
+    import numpy as np
+
+    centers = index.centers
+    probe_rows = probes.select(probe_id_col, index.vec_col).collect()
+    cells = set()
+    for r in probe_rows:
+        v = np.array(r[index.vec_col], dtype=np.float64)
+        norm = np.linalg.norm(v) * np.linalg.norm(centers, axis=1)
+        cos = (centers @ v) / np.where(norm == 0, 1, norm)
+        cells.update(int(c) for c in np.argsort(-cos)[:nprobe])
+    pruned = index.assigned.where(F.col("cell").isin(sorted(cells)))
+    codes = pq.encode(pruned)
+    return pq.adc_topk(
+        codes,
+        probes,
+        k=k,
+        probe_id_col=probe_id_col,
+        rerank_with=pruned,
+        rerank_factor=rerank_factor,
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     cos_threshold: float = 0.9,

@@ -889,3 +889,81 @@ def test_dedup_cluster_representatives_end_to_end(planted, spark):
     assert found_near / len(near_pairs) >= 0.8
     kept = [d for d, (_c, rep) in out.items() if rep]
     assert len(kept) <= 30 - 5 - found_near + 0  # at least copies+nears folded
+
+
+def test_pq_codes_compress_and_rerank_is_exact_over_candidates(embeddings):
+    """PQ encode: m bytes per vector (64x smaller than float64 raw);
+    ADC + exact re-rank finds each in-corpus probe as its own top-1
+    with cos == 1."""
+    from snapflow_spark.operators.similarity import PQCodec
+
+    pq = PQCodec.train(embeddings, m=4, n_codes=32, seed=7)
+    codes = pq.encode(embeddings)
+    lengths = {len(r.pq_code) for r in codes.collect()}
+    assert lengths == {4}
+
+    probes = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    top = pq.adc_topk(codes, probes, k=5, rerank_with=embeddings)
+    by_probe = _group(top.collect(), "probe_id")
+    for pid, rows in by_probe.items():
+        best = max(rows, key=lambda r: r.cos)
+        assert best.vec_id == pid
+        assert abs(best.cos - 1.0) < 1e-9
+
+
+def test_pq_adc_recall_vs_brute_force(embeddings):
+    from snapflow_spark.operators.similarity import PQCodec
+
+    probes = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact_sets = {
+        pid: {r.vec_id for r in rows}
+        for pid, rows in _group(brute_force_topk(embeddings, probes, k=5).collect(), "probe_id").items()
+    }
+    pq = PQCodec.train(embeddings, m=4, n_codes=32, seed=7)
+    codes = pq.encode(embeddings)
+
+    reranked = pq.adc_topk(codes, probes, k=5, rerank_with=embeddings, rerank_factor=6)
+    rr_sets = {
+        pid: {r.vec_id for r in rows}
+        for pid, rows in _group(reranked.collect(), "probe_id").items()
+    }
+    recalls = [len(exact_sets[p] & rr_sets.get(p, set())) / 5 for p in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+    # ADC alone (no re-rank) is the cheap pass — still mostly right
+    adc_sets = {
+        pid: {r.vec_id for r in rows}
+        for pid, rows in _group(pq.adc_topk(codes, probes, k=5).collect(), "probe_id").items()
+    }
+    adc_recalls = [len(exact_sets[p] & adc_sets.get(p, set())) / 5 for p in exact_sets]
+    assert sum(adc_recalls) / len(adc_recalls) >= 0.4
+
+
+def test_ivf_pq_composed_search(embeddings):
+    """Full IVF-PQ: cell pruning + ADC over codes + exact re-rank.
+    Each in-corpus probe must find itself; recall@5 vs brute force
+    stays useful at nprobe=3 of 8 cells."""
+    from snapflow_spark.operators.similarity import IVFIndex, PQCodec, ivf_pq_topk
+
+    probes = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact_sets = {
+        pid: {r.vec_id for r in rows}
+        for pid, rows in _group(brute_force_topk(embeddings, probes, k=5).collect(), "probe_id").items()
+    }
+    index = IVFIndex.build(embeddings, k_cells=8)
+    pq = PQCodec.train(embeddings, m=4, n_codes=32, seed=7)
+    result = ivf_pq_topk(index, pq, probes, k=5, nprobe=3, rerank_factor=6)
+    sets = {
+        pid: {r.vec_id for r in rows}
+        for pid, rows in _group(result.collect(), "probe_id").items()
+    }
+    for pid in sets:
+        assert pid in sets[pid]  # self-match survives the cascade
+    recalls = [len(exact_sets[p] & sets.get(p, set())) / 5 for p in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.6
