@@ -45,11 +45,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) read as long via nanosAsLong;
-        # convert to µs TimestampType with *integer* division — a double
-        # round-trip loses ~256 ns at 2024-epoch magnitudes (SURVEY §5.3:
-        # fixture ns components are 000, so truncation is lossless).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Normalize ts to µs TimestampType regardless of how the fixture
+        # was written. Older fixtures use parquet TIMESTAMP(NANOS), which
+        # nanosAsLong surfaces as a long — convert with *integer* division
+        # (a double round-trip loses ~256 ns at 2024-epoch magnitudes;
+        # fixture ns components are 000, so truncation is lossless). Newer
+        # fixtures are native timestamp[us], read as TIMESTAMP/TIMESTAMP_NTZ —
+        # a cast is exact with the session pinned to UTC (session.py).
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
