@@ -89,11 +89,30 @@ class SnapshotStore:
     def read(self, spark: SparkSession, ids: list[str] | None = None) -> DataFrame | None:
         """Union of the given snapshots (default: all). None if empty —
         a node with no unconsumed input simply does not run, mirroring
-        snapflow's reactive fixed point."""
-        ids = self.snapshot_ids() if ids is None else ids
-        if not ids:
-            return None
-        return spark.read.parquet(*[str(self.path / sid) for sid in ids])
+        snapflow's reactive fixed point.
+
+        Retries when a listed dir has vanished under us: a replayed
+        stream epoch swaps its snapshot via two renames (runner.py
+        write_batch), and POSIX has no atomic directory replace, so
+        for the instant between the renames the id is listed-but-
+        absent. The retry re-lists (default mode) or waits out the
+        swap (explicit ids), bounded so a genuinely deleted dir still
+        fails loudly."""
+        import time
+
+        explicit = ids is not None
+        for attempt in range(5):
+            cur = ids if explicit else self.snapshot_ids()
+            if not cur:
+                return None
+            try:
+                return spark.read.parquet(*[str(self.path / sid) for sid in cur])
+            except Exception as e:  # AnalysisException PATH_NOT_FOUND
+                if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+                    raise
+                if attempt == 4:
+                    raise
+                time.sleep(0.02 * (attempt + 1))
 
     def read_latest(self, spark: SparkSession) -> DataFrame | None:
         """Stream op ``latest`` (SURVEY §2.A A7): most recent snapshot only."""

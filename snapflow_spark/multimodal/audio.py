@@ -53,7 +53,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     only; float/ADPCM/compressed raise with a clear message."""
     data = bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        if data[:3] in _COMPRESSED_MAGIC or data[:2] in _COMPRESSED_MAGIC:
+        # compare each magic at its own length — the prefixes range
+        # from 2 bytes (MP3 frame sync) to 4 (OggS/fLaC)
+        if any(data[: len(m)] == m for m in _COMPRESSED_MAGIC):
             raise NotImplementedError(
                 "compressed audio (MP3/OGG/FLAC) needs a codec library "
                 "not present in this environment"

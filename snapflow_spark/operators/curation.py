@@ -76,12 +76,18 @@ def stratified_sample_by_hash(
     is the canonical use.
 
     Scale: filter-only — pushes down past column pruning, no shuffle."""
-    frac = None
+    # Thresholds are computed driver-side with the SAME expression
+    # split_by_hash uses (int(round(f * _BUCKETS))) — a SQL-side
+    # `(frac * _BUCKETS).cast("long")` truncates, so 0.35 (not exactly
+    # representable in binary) would give 3499 here but 3500 in
+    # split_by_hash; one rule for both keeps oracle replays honest.
+    thresh = None
     for stratum, f in fractions.items():
         cond = F.col(strata_col) == stratum
-        frac = F.when(cond, F.lit(f)) if frac is None else frac.when(cond, F.lit(f))
-    frac = frac.otherwise(F.lit(default_frac)) if frac is not None else F.lit(default_frac)
-    thresh = (frac * _BUCKETS).cast("long")
+        t = F.lit(int(round(f * _BUCKETS)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    default_t = F.lit(int(round(default_frac * _BUCKETS)))
+    thresh = thresh.otherwise(default_t) if thresh is not None else default_t
     return df.where(_hash_bucket(F.col(id_col), salt) < thresh)
 
 

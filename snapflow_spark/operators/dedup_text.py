@@ -371,6 +371,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         # candidate labels flowing across edges, plus each node's own
         prop = (
@@ -390,6 +391,16 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Exiting via max_iter with labels still moving means some
+        # component's diameter exceeds the round budget — returning
+        # the intermediate labels would silently split it into several
+        # clusters (under-dedup with no signal). Fail loudly; callers
+        # with a genuinely long-chain graph raise max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "a component's diameter exceeds max_iter — raise max_iter"
+        )
     return labels
 
 

@@ -80,10 +80,12 @@ def stream_to_snapshots(
             shutil.rmtree(tmp)
         batch_df.write.mode("errorifexists").parquet(str(tmp))
         if target.exists():
-            # Replayed epoch: swap via rename, not rmtree-then-rename —
-            # the committed dir stays visible until the single atomic
-            # rename replaces it, so a concurrent batch tick that
-            # listed the id can never find it absent mid-swap. The
+            # Replayed epoch: swap via two renames, not rmtree-then-
+            # rename. POSIX has no atomic directory replace, so the
+            # committed dir IS absent for the instant between the two
+            # renames — but the window shrinks from a full recursive
+            # delete to two rename syscalls, and SnapshotStore.read()
+            # retries a vanished listed dir to cover exactly it. The
             # dot-prefixed retired dir is invisible to snapshot_ids().
             retired = store.path / f".{sid}.retired"
             if retired.exists():

@@ -184,3 +184,24 @@ def test_scrub_pii(spark):
     got = {r.i: r.t for r in df.select("i", scrub_pii_expr("text").alias("t")).collect()}
     for i, (_src, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_split_and_sample_threshold_consistency(docs):
+    """split_by_hash and stratified_sample_by_hash must derive the SAME
+    bucket threshold from the same fraction. 0.35 is not exactly
+    representable in binary (0.35 * 10000 = 3499.999...), so a
+    truncating SQL cast gives 3499 where python round() gives 3500 —
+    the off-by-one-bucket inconsistency this pins down."""
+    frac = 0.35
+    test_ids = {
+        r.doc_id
+        for r in split_by_hash(docs, test_frac=frac, salt="s").collect()
+        if r.split == "test"
+    }
+    sampled = {
+        r.doc_id
+        for r in stratified_sample_by_hash(
+            docs, {"en": frac, "de": frac, "fr": frac}, salt="s"
+        ).collect()
+    }
+    assert test_ids == sampled

@@ -763,6 +763,17 @@ def test_wav_codec_roundtrip_and_features():
     assert np.array_equal(synthesize_audio(b"x", 64, 2), synthesize_audio(b"x", 64, 2))
     with pytest.raises(NotImplementedError):
         decode_wav(b"ID3\x04rest-of-an-mp3")
+    # each magic is checked at its own length: OggS/fLaC are 4 bytes,
+    # MP3 frame sync is 2 (a fixed-width slice comparison left these
+    # dead and they fell through to the generic ValueError)
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"OggS\x00\x02rest-of-an-ogg")
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"fLaC\x00\x00\x00\x22rest-of-a-flac")
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"\xff\xfbmp3-frame-sync")
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x00\x01not-audio-at-all")
     with pytest.raises(ValueError, match="PCM16"):
         # format tag 3 = IEEE float
         float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
@@ -863,6 +874,22 @@ def test_connected_components_chain_and_parity(spark):
     df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == expect
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter with labels still moving must fail loudly:
+    the intermediate labels would silently split a long-diameter
+    component into several clusters (under-dedup with no signal)."""
+    from snapflow_spark.operators.dedup_text import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # same graph converges with budget for the diameter
+    got = {r.id: r.component for r in connected_components(chain, max_iter=10).collect()}
+    assert set(got.values()) == {0}
 
 
 def test_dedup_cluster_representatives_end_to_end(planted, spark):

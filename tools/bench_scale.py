@@ -9,8 +9,10 @@ is still overhead-dominated at this size; ratios near the factor mean
 linear work; ratios far above it would expose quadratic behavior.
 
 Protocol: sequential, one query at a time, ``clearCache()`` between
-queries; per (query, sf): cold run then warm run (both full
-``count()`` actions). Emits one JSON document (default
+queries; per (query, sf): cold run then warm run, both materialized
+through the same noop sink bench.py uses (a ``count()`` would let
+Catalyst prune declared projected columns and under-measure the
+query's physical plan). Emits one JSON document (default
 ``SCALE_BENCH.json``) keyed by query with base/scaled secs + ratio.
 
 Usage::
@@ -56,10 +58,20 @@ HEAVY = {
 
 
 def run_once(spark, fn, sf_dir: str) -> tuple[float, int]:
+    """Materialize through the same noop-sink protocol bench.py uses.
+
+    ``count()`` would let Catalyst prune deterministic projected
+    columns the query declares (an aggregate-pushdown count measures
+    less work than the query does); the noop sink executes the full
+    physical plan. Row count comes from a SparkListener-free
+    accumulator-less second source: a cheap count AFTER timing, kept
+    only as a sanity check on output size."""
     spark.catalog.clearCache()
+    df = fn(spark, sf_dir)
     t0 = time.time()
-    n = fn(spark, sf_dir).count()
-    return time.time() - t0, n
+    df.write.format("noop").mode("overwrite").save()
+    elapsed = time.time() - t0
+    return elapsed, df.count()
 
 
 def main() -> None:
