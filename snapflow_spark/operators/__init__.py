@@ -6,6 +6,7 @@ scale story (shuffle/broadcast behavior at 100 TB).
 
 from snapflow_spark.operators.asof import asof_join
 from snapflow_spark.operators.curation import (
+    cap_per_domain,
     contamination_pairs,
     pack_sequences,
     split_by_hash,
@@ -14,6 +15,7 @@ from snapflow_spark.operators.curation import (
 from snapflow_spark.operators.dedup_text import (
     connected_components,
     dedup_cluster_representatives,
+    dedup_lines_global,
     exact_dedup,
     mingram_candidates,
     minhash_candidates,
@@ -25,6 +27,11 @@ from snapflow_spark.operators.dedup_text import (
 from snapflow_spark.operators.dedupe import dedupe_keep_latest
 from snapflow_spark.operators.merge import merge_streams
 from snapflow_spark.operators.rangejoin import banded_range_join
+from snapflow_spark.operators.retrieval import (
+    bm25_topk,
+    build_vocab,
+    doc_terms,
+)
 from snapflow_spark.operators.schema_translate import schema_translate
 from snapflow_spark.operators.similarity import (
     IVFIndex,
@@ -40,6 +47,11 @@ from snapflow_spark.operators.sql_snap import sql_snap
 from snapflow_spark.operators.topk import grouped_topk, topk
 
 __all__ = [
+    "bm25_topk",
+    "build_vocab",
+    "cap_per_domain",
+    "doc_terms",
+    "dedup_lines_global",
     "connected_components",
     "dedup_cluster_representatives",
     "contamination_pairs",

@@ -170,3 +170,35 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_overlap)
     )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Per-domain document cap — the anti-domination sampler every web
+    corpus runs (one crawl-happy domain must not become 30% of the
+    training mix): keep at most ``cap`` documents per domain,
+    deterministically. Selection order within a domain is the sha256
+    of (salt || id) — a stable shuffle, so the kept subset is an
+    unbiased sample that any engine re-derives bit-identically (a
+    row_number over arrival order would keep whatever happened to be
+    crawled first; rand() would keep different docs every run).
+
+    Scale shape: ONE window shuffle partitioned by domain. A mega
+    domain sorts its partition (that is what per-domain selection
+    means), but the sort key is a fixed 64-hex digest and the output
+    cuts to ``cap`` rows; for caps ≪ domain size a cheaper two-phase
+    variant (hash-bucket pre-filter to ~2·cap, then the window) drops
+    the sorted volume — same result, worth it only when domains run to
+    billions of rows."""
+    order = F.sha2(F.concat(F.lit(salt), F.col(id_col).cast("string")), 256)
+    w = Window.partitionBy(domain_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__cap_rn", F.row_number().over(w))
+        .where(F.col("__cap_rn") <= cap)
+        .drop("__cap_rn")
+    )

@@ -18,7 +18,7 @@ near-dedup feasible at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from snapflow_spark.catalog import ensure_parallelism
@@ -469,5 +469,86 @@ def ngram_jaccard_pairs(
                 F.size(F.array_intersect("grams_a", "grams_b"))
                 / F.size(F.array_union("grams_a", "grams_b"))
             ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """CROSS-document line deduplication — the CCNet/RefinedWeb boiler-
+    plate killer: a line (nav bar, cookie banner, footer) that appears
+    in many documents survives only at its FIRST occurrence corpus-wide
+    (minimum (doc_id, line_no)); every later copy is dropped and each
+    document is reconstructed from its surviving lines in order.
+    Complements ``functions.text.dedup_lines_expr``, which dedups only
+    WITHIN a document.
+
+    Deterministic (first occurrence is a total order over
+    (doc_id, line_no)), so a SQL oracle can replay it exactly.
+
+    Scale shape: posexplode lines -> ONE shuffle keyed on sha256 of the
+    normalized line (the window partitions by the 64-hex digest, never
+    the raw line text, so long lines don't inflate shuffle keys) ->
+    groupBy doc to reassemble (second shuffle). State per key is the
+    occurrence list of one distinct line — bounded by occurrence count,
+    not corpus size; a pathological mega-line (empty string, "")
+    is its own key and can skew — ``normalize`` drops whitespace-only
+    lines up front for exactly that reason.
+
+    Returns (id, text, n_lines, n_kept) — one row per input doc, text
+    rebuilt from surviving lines (empty string if none survived).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(line_sep))).alias(
+            "line_no", "line"
+        ),
+    )
+    if normalize:
+        # rlike(\S), not trim() != '': Spark's trim strips only
+        # 0x20 spaces, so a tab-only line would sneak through
+        lines = lines.where(F.col("line").rlike(r"\S"))
+    w = Window.partitionBy(F.sha2(F.col("line"), 256)).orderBy(
+        F.col(id_col).asc(), F.col("line_no").asc()
+    )
+    marked = lines.withColumn("__rn", F.row_number().over(w))
+    rebuilt = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct(F.col("line_no"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                line_sep,
+            ).alias(text_col),
+        )
+    )
+    # docs whose every line was dropped (all duplicates / all blank)
+    # still come back, with empty text
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )

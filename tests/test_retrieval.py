@@ -1,0 +1,153 @@
+"""Lexical retrieval + round-4 curation operators: BM25 scoring
+(pinned to a from-scratch python reference AND a DuckDB replay),
+vocabulary building, cross-document line dedup, per-domain caps.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.operators import (
+    bm25_topk,
+    build_vocab,
+    cap_per_domain,
+    dedup_lines_global,
+    doc_terms,
+)
+from snapflow_spark.operators.retrieval import bm25_oracle_sql
+
+DOCS = [
+    (0, "spark shuffle join join hash", "src0"),
+    (1, "broadcast join for small tables", "src0"),
+    (2, "hash aggregation with partial combine", "src1"),
+    (3, "spark spark spark tuning guide", "src1"),
+    (4, "the empty doc problem", "src2"),
+    (5, "...", "src2"),  # zero letter tokens — counts toward N only
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t, s) for i, t, s in DOCS], "doc_id bigint, text string, source string"
+    )
+
+
+def _py_bm25(query: str, k1=1.2, b=0.75):
+    """From-scratch reference implementation over DOCS."""
+    tok = lambda t: re.findall(r"[^\W\d_]+", t.lower())
+    corpus = {i: tok(t) for i, t, _ in DOCS}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / n
+    df = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    scores = {}
+    for i, toks in corpus.items():
+        s = 0.0
+        for t in set(tok(query)):
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            scores[i] = round(s, 6)
+    return scores
+
+
+def test_doc_terms_shape(docs):
+    rows = doc_terms(docs).collect()
+    got = {(r.doc_id, r.term): (r.tf, r.dl) for r in rows}
+    assert got[(0, "join")] == (2, 5)
+    assert got[(3, "spark")] == (3, 5)
+    assert not any(d == 5 for d, _ in got)  # zero-token doc absent
+
+
+def test_bm25_matches_python_reference(spark, docs):
+    queries = spark.createDataFrame(
+        [(1, "spark join"), (2, "hash")], "query_id bigint, query_text string"
+    )
+    out = bm25_topk(docs, queries, k=10).collect()
+    got = {(r.query_id, r.doc_id): r.score for r in out}
+    for qid, qtext in [(1, "spark join"), (2, "hash")]:
+        expect = _py_bm25(qtext)
+        mine = {d: s for (q, d), s in got.items() if q == qid}
+        assert mine == expect, (qid, mine, expect)
+
+
+def test_bm25_topk_rank_and_duckdb_replay(spark, docs, tmp_path):
+    import duckdb
+
+    queries = [(1, "spark join"), (2, "hash aggregation")]
+    qdf = spark.createDataFrame(queries, "query_id bigint, query_text string")
+    out = bm25_topk(docs, qdf, k=2)
+    got = {(r.query_id, r.doc_id): r.score for r in out.collect()}
+    assert len(got) == 4  # k=2 per query
+
+    pq = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    duck = {
+        (q, d): s
+        for q, d, s in con.execute(bm25_oracle_sql(queries, k=2)).fetchall()
+    }
+    assert got == duck
+
+
+def test_build_vocab_global_and_grouped(spark, docs):
+    got = build_vocab(docs, top_k=2).collect()
+    assert [(r.term, r.term_count, r.term_rank) for r in got] == [
+        ("spark", 4, 1),
+        ("join", 3, 2),
+    ]
+    by_src = {
+        (r.source, r.term_rank): (r.term, r.term_count)
+        for r in build_vocab(docs, top_k=1, by="source").collect()
+    }
+    assert by_src[("src0", 1)] == ("join", 3)
+    assert by_src[("src1", 1)] == ("spark", 3)
+    # count ties break on term asc: src2 has all-distinct tokens
+    assert by_src[("src2", 1)] == ("doc", 1)
+
+
+def test_dedup_lines_global(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content one\nfooter"),
+            (2, "cookie banner\nreal content two\nfooter"),
+            (3, "cookie banner\nfooter"),
+            (4, "   \n\t"),  # whitespace-only lines -> empty doc
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in dedup_lines_global(docs).collect()}
+    # first occurrence of each boilerplate line lives in doc 1
+    assert got[1].text == "cookie banner\nreal content one\nfooter"
+    assert got[2].text == "real content two"
+    assert got[3].text == ""
+    assert got[4].text == ""
+    assert (got[2].n_lines, got[2].n_kept) == (3, 1)
+    assert (got[3].n_lines, got[3].n_kept) == (2, 0)
+    assert (got[4].n_lines, got[4].n_kept) == (0, 0)
+    assert len(got) == 4  # every input doc comes back
+
+
+def test_cap_per_domain(spark, docs):
+    capped = cap_per_domain(docs, cap=1, domain_col="source")
+    rows = capped.collect()
+    assert len(rows) == 3  # one per domain
+    assert {r.source for r in rows} == {"src0", "src1", "src2"}
+    # deterministic: same survivors on a reshuffled input
+    again = {
+        r.doc_id for r in cap_per_domain(docs.repartition(5), cap=1).collect()
+    }
+    assert {r.doc_id for r in rows} == again
+    # cap >= domain size keeps everything
+    assert cap_per_domain(docs, cap=10).count() == len(DOCS)
