@@ -27,7 +27,16 @@ from snapflow_spark.functions.text import (
 from snapflow_spark.functions.vectors import cosine_similarity
 from snapflow_spark.multimodal import attach_image_blob, extract_features
 from snapflow_spark.operators.buckets import bucketed_pairs
-from snapflow_spark.operators.curation import pack_sequences, split_by_hash
+from snapflow_spark.operators.curation import (
+    cap_per_domain,
+    pack_sequences,
+    split_by_hash,
+)
+from snapflow_spark.operators.retrieval import (
+    bm25_oracle_sql,
+    bm25_topk,
+    build_vocab,
+)
 from snapflow_spark.operators.dedup_text import (
     exact_dedup,
     mingram_candidates,
@@ -61,23 +70,39 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("fingerprint", "doc_id", "n_copies")
 
 
+_BM25_QUERIES = [(1, "join hash scan"), (2, "customer filter merge")]
+
+
 @query(
     "q_similarity_topk",
-    oracle="""
-    WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(p.embedding AS DOUBLE[])), 6) AS cos
-    FROM embeddings e, probe p
-    WHERE e.vec_id <> 0
-    ORDER BY cos DESC, e.vec_id
-    LIMIT 5
+    oracle=f"""
+    SELECT * FROM (
+      WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      SELECT 'cos' AS branch, CAST(0 AS BIGINT) AS qid,
+             e.vec_id AS item_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(p.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> 0
+      ORDER BY score DESC, e.vec_id
+      LIMIT 5
+    )
+    UNION ALL
+    SELECT 'bm25' AS branch, CAST(query_id AS BIGINT) AS qid,
+           doc_id AS item_id, score
+    FROM ({bm25_oracle_sql(_BM25_QUERIES, k=5)}) bm
     """,
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors of probe vec_id=0 via
-    operators.similarity.brute_force_topk (higher-order array algebra,
-    JVM-side; probe broadcast, corpus never shuffles)."""
+    """Tagged union (round 4) — the two top-k retrieval modalities a
+    corpus-audit pipeline runs side by side:
+    - 'cos': exact cosine top-5 neighbors of probe vec_id=0 via
+      operators.similarity.brute_force_topk (higher-order array
+      algebra, JVM-side; probe broadcast, corpus never shuffles).
+    - 'bm25': lexical Okapi-BM25 top-5 documents for two fixed probe
+      queries via operators.retrieval.bm25_topk (broadcast query
+      terms over one-shuffle postings; exact int/ln arithmetic both
+      engines replay bit-for-bit after round-6)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # probe_id from the REAL column, not lit(0): a literal would be
     # constant-folded out of grouped_topk's partitionBy, collapsing the
@@ -87,34 +112,86 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("probe_id"), "embedding"
     )
     corpus = emb.where(F.col("vec_id") != 0)
-    out = brute_force_topk(corpus, probes, k=5)
-    return out.select("vec_id", F.round("cos", 6).alias("cos"))
+    cos = brute_force_topk(corpus, probes, k=5).select(
+        F.lit("cos").alias("branch"),
+        F.lit(0).cast("bigint").alias("qid"),
+        F.col("vec_id").alias("item_id"),
+        F.round("cos", 6).alias("score"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id bigint, query_text string")
+    bm25 = bm25_topk(d, qdf, k=5).select(
+        F.lit("bm25").alias("branch"),
+        F.col("query_id").alias("qid"),
+        F.col("doc_id").alias("item_id"),
+        "score",
+    )
+    return cos.unionByName(bm25)
 
 
 @query(
     "q_text_stats",
     oracle=r"""
-    SELECT lang,
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[\p{L}]+')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS term_count
+      FROM tok GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY term_count DESC, term) AS rn
+      FROM counts
+    )
+    SELECT 'stats' AS branch, lang,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT source) AS n_sources,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+           CAST(NULL AS VARCHAR) AS term,
+           CAST(NULL AS BIGINT) AS term_count
     FROM documents
     GROUP BY lang
+    UNION ALL
+    SELECT 'vocab' AS branch, lang,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           term, term_count
+    FROM ranked WHERE rn <= 5
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language corpus statistics — tokenization via the same
-    regex family both engines implement identically (probed)."""
+    """Tagged union (round 4): per-language corpus statistics
+    ('stats' branch — tokenization via the same regex family both
+    engines implement identically) ∪ the per-language top-5 token
+    vocabulary ('vocab' branch — operators.retrieval.build_vocab, the
+    tokenizer-budget audit; ranking count desc / term asc is
+    deterministic in both engines)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    stats = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.sum(token_count_expr("text").cast("bigint")).alias("total_tokens"),
+    ).select(
+        F.lit("stats").alias("branch"),
+        "lang", "n_docs", "n_sources", "total_chars", "avg_chars", "total_tokens",
+        null_s.alias("term"), null_l.alias("term_count"),
     )
+    vocab = build_vocab(d, top_k=5, by="lang").select(
+        F.lit("vocab").alias("branch"),
+        "lang",
+        null_l.alias("n_docs"), null_l.alias("n_sources"),
+        null_l.alias("total_chars"),
+        F.lit(None).cast("double").alias("avg_chars"),
+        null_l.alias("total_tokens"),
+        "term", "term_count",
+    )
+    return stats.unionByName(vocab)
 
 
 @query(
@@ -485,17 +562,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN(doc_id) AS doc_id
       FROM documents
       GROUP BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
-    ), kept AS (
-      SELECT d.*, len(regexp_extract_all(d.text, '\S+')) AS n_toks,
-             CASE WHEN CAST(list_sum(list_transform(range(0, 8), j ->
-                    (CAST(instr('0123456789abcdef',
-                          substr(sha256('split-v1' || CAST(d.doc_id AS VARCHAR)), j + 1, 1))
-                     AS BIGINT) - 1) << (4 * (7 - CAST(j AS INT))))) AS BIGINT)
-                  % 10000 < 1000
-                  THEN 'test' ELSE 'train' END AS split
+    ), gated AS (
+      SELECT d.*
       FROM documents d JOIN dedup USING (doc_id)
       WHERE d.n_chars >= 80
         AND len(regexp_extract_all(d.text, '\S+')) >= 15
+    ), capped AS (
+      SELECT * FROM (
+        SELECT g.*, row_number() OVER (
+          PARTITION BY source
+          ORDER BY sha256('cap-v1' || CAST(doc_id AS VARCHAR)), doc_id) AS cap_rn
+        FROM gated g
+      ) WHERE cap_rn <= 18
+    ), kept AS (
+      SELECT c.* EXCLUDE (cap_rn),
+             len(regexp_extract_all(c.text, '\S+')) AS n_toks,
+             CASE WHEN CAST(list_sum(list_transform(range(0, 8), j ->
+                    (CAST(instr('0123456789abcdef',
+                          substr(sha256('split-v1' || CAST(c.doc_id AS VARCHAR)), j + 1, 1))
+                     AS BIGINT) - 1) << (4 * (7 - CAST(j AS INT))))) AS BIGINT)
+                  % 10000 < 1000
+                  THEN 'test' ELSE 'train' END AS split
+      FROM capped c
     ), packed AS (
       SELECT lang, doc_id, n_toks,
              SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id) - n_toks AS cstart
@@ -525,20 +613,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation — the composed north-star pipeline:
     exact dedup (keep min doc_id per normalized fingerprint) -> quality
-    gate (length + token floor) -> deterministic sha256 train/test
-    split (operators.curation.split_by_hash, stable across engines and
+    gate (length + token floor) -> per-domain anti-domination cap
+    (cap_per_domain, ≤18 docs per source in sha256 order — round 4) ->
+    deterministic sha256 train/test split
+    (operators.curation.split_by_hash, stable across engines and
     backfills) -> per-language sequence packing of the train split
     into 2048-token contexts (pack_sequences: concat-and-chunk, the
     pretraining-loader layout; the ONE window runs per lang, never
     globally) -> per-language stats incl. context counts and how many
     documents span a context boundary. One dedup shuffle, one window
-    shuffle on lang, one agg shuffle."""
+    shuffle each on source and lang, one agg shuffle."""
     d = load_table(spark, sf_dir, "documents")
     keep = exact_dedup(d, text_col="text", id_col="doc_id").select("doc_id")
+    gated = d.join(keep, "doc_id", "left_semi").where(
+        (F.col("n_chars") >= 80) & (token_count_expr("text") >= 15)
+    )
+    # anti-domination cap (round 4): at most 18 survivors per source,
+    # hash-ordered (operators.curation.cap_per_domain) — the oracle
+    # replays the same sha256 selection order
+    capped = cap_per_domain(gated, cap=18, domain_col="source")
     kept = split_by_hash(
-        d.join(keep, "doc_id", "left_semi")
-        .where((F.col("n_chars") >= 80) & (token_count_expr("text") >= 15))
-        .withColumn("n_toks", token_count_expr("text")),
+        capped.withColumn("n_toks", token_count_expr("text")),
         test_frac=0.1,
     )
     packed = pack_sequences(
