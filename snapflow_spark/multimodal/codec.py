@@ -267,9 +267,10 @@ def decode_png(data: bytes) -> np.ndarray:
 
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Sniff the magic and decode: PNM -> (H,W,3)/(H,W), BMP ->
-    (H,W,3), PNG (8-bit gray/RGB) -> (H,W)/(H,W,3), uint8. JPEG
-    raises NotImplementedError (DCT entropy decode needs a real codec
-    library this environment does not ship)."""
+    (H,W,3), PNG (8-bit gray/RGB) -> (H,W)/(H,W,3), baseline JPEG
+    (4:4:4 / 4:2:0 / 4:2:2 / gray, restart markers) -> (H,W,3)/(H,W),
+    uint8. Progressive/arithmetic JPEG raises NotImplementedError
+    (from the jpeg module) so the gap stays explicit."""
     head = bytes(data[:4])
     if head[:2] in (b"P6", b"P3", b"P5", b"P2"):
         return decode_pnm(data)
@@ -278,10 +279,9 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     if head.startswith(_MAGIC_PNG):
         return decode_png(data)
     if head.startswith(_MAGIC_JPEG):
-        raise NotImplementedError(
-            "JPEG decode requires a codec library not present in this "
-            "environment; re-encode as PNG/PPM/BMP or plug a decoder in here"
-        )
+        from snapflow_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError(f"unrecognized image format (magic {head!r})")
 
 

@@ -49,6 +49,7 @@ _MIME = {
     "ppm": "image/x-portable-pixmap",
     "bmp": "image/bmp",
     "png": "image/png",
+    "jpeg": "image/jpeg",
 }
 
 
@@ -62,12 +63,17 @@ def attach_image_blob(
 ) -> DataFrame:
     """Deterministic REAL image payload per row: pixels synthesized
     from the text bytes (codec.synthesize_image), encoded round-robin
-    by id as P6 PPM / 24-bit BMP / 8-bit PNG — so every downstream op
-    exercises all three decoders (PNG added round 3: stdlib-zlib
-    codec). Real pipelines replace this with a parquet binary column
-    or URI; everything downstream is unchanged."""
+    by id as P6 PPM / 24-bit BMP / 8-bit PNG / baseline JPEG — so
+    every downstream op exercises all four decoders (PNG added round
+    3: stdlib-zlib codec; JPEG added round 4: pure-numpy baseline
+    codec, the one LOSSY member — features downstream are statistics
+    of the decoded pixels, deterministic either way). Real pipelines
+    replace this with a parquet binary column or URI; everything
+    downstream is unchanged."""
 
     def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from snapflow_spark.multimodal.jpeg import encode_jpeg
+
         for pdf in batches:
             out = pdf.copy()
             blobs = []
@@ -76,16 +82,19 @@ def attach_image_blob(
                 arr = synthesize_image(
                     str(text or "").encode("utf-8"), width=width, height=height
                 )
-                pick = int(doc_id) % 3
+                pick = int(doc_id) % 4
                 if pick == 0:
                     blobs.append(encode_ppm(arr))
                     mimes.append(_MIME["ppm"])
                 elif pick == 1:
                     blobs.append(encode_bmp(arr))
                     mimes.append(_MIME["bmp"])
-                else:
+                elif pick == 2:
                     blobs.append(encode_png(arr))
                     mimes.append(_MIME["png"])
+                else:
+                    blobs.append(encode_jpeg(arr, quality=95))
+                    mimes.append(_MIME["jpeg"])
             out["blob"] = blobs
             out["mime"] = mimes
             yield out
@@ -201,6 +210,8 @@ def resize_images(
     from snapflow_spark.multimodal.codec import encode_pgm
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from snapflow_spark.multimodal.jpeg import encode_jpeg
+
         for pdf in batches:
             out = pdf.copy()
             blobs = []
@@ -212,6 +223,8 @@ def resize_images(
                     blobs.append(encode_bmp(small))
                 elif raw[:2] == b"\x89P":  # PNG stays PNG (gray or RGB)
                     blobs.append(encode_png(small))
+                elif raw[:3] == b"\xff\xd8\xff":  # JPEG stays JPEG
+                    blobs.append(encode_jpeg(small, quality=95))
                 elif small.ndim == 2:  # grayscale PGM stays grayscale
                     blobs.append(encode_pgm(small))
                 else:
@@ -228,6 +241,7 @@ def resize_images(
     out_mime = (
         F.when(magic == F.lit("424D"), F.lit("image/bmp"))  # "BM"
         .when(magic == F.lit("8950"), F.lit("image/png"))  # \x89"P"
+        .when(magic == F.lit("FFD8"), F.lit("image/jpeg"))
         .when(magic.isin("5035", "5032"), F.lit("image/x-portable-graymap"))  # P5/P2
         .otherwise(F.lit("image/x-portable-pixmap"))
     )
