@@ -44,13 +44,19 @@ def run(sf_dir: str, names: list[str]) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up on the smallest sf so first-query timing is not dominated
-    # by one-time session costs: JVM/codegen (q_agg_basic) and python
-    # worker spawn for pandas-UDF stages (q_dedup_simhash) — a
-    # long-running cluster has warm workers.
+    # by one-time session costs: JVM/codegen (q_agg_basic), python
+    # worker spawn for pandas-UDF stages (q_dedup_simhash), and the
+    # parquet write committer classloading (the tiny write below, which
+    # otherwise lands on whichever snapshot-writing query runs first) —
+    # a long-running cluster has all three warm.
     for warm in ("q_agg_basic", "q_dedup_simhash"):
         queries[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.range(2).write.mode("overwrite").parquet(f"{td}/warm")
 
     def one_pass() -> dict[str, float]:
         timings: dict[str, float] = {}

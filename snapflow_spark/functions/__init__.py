@@ -1,8 +1,16 @@
+from snapflow_spark.functions.bloom import (
+    BloomFilter,
+    build_bloom,
+    filter_might_contain,
+)
 from snapflow_spark.functions.sketches import (
     hll_partials,
     hll_rollup,
     kll_quantile_partials,
     kll_rollup_quantiles,
+    theta_overlap,
+    theta_partials,
+    theta_rollup,
 )
 from snapflow_spark.functions.text import (
     lang_id_expr,
@@ -14,7 +22,10 @@ from snapflow_spark.functions.text import (
 from snapflow_spark.functions.vectors import cosine_similarity, l2_norm
 
 __all__ = [
+    "BloomFilter",
+    "build_bloom",
     "cosine_similarity",
+    "filter_might_contain",
     "hll_partials",
     "hll_rollup",
     "kll_quantile_partials",
@@ -23,6 +34,9 @@ __all__ = [
     "lang_id_expr",
     "quality_score_expr",
     "simhash_udf",
+    "theta_overlap",
+    "theta_partials",
+    "theta_rollup",
     "token_count_udf",
     "tokens_expr",
 ]

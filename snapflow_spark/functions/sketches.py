@@ -78,3 +78,47 @@ def _plabel(p: float) -> str:
     """Collision-free quantile column label: p50, p99, p99_9, p0_1 —
     truncating to int would alias 0.99 and 0.999 both to 'p99'."""
     return "p" + f"{p * 100:g}".replace(".", "_").replace("-", "m")
+
+
+def theta_partials(
+    df: DataFrame, key: str | Column, by: list[str], lgk: int = 12
+) -> DataFrame:
+    """One Theta sketch per group — like HLL it estimates distinct
+    counts from a KB-scale summary, but Theta additionally supports
+    SET OPERATIONS on merged sketches (intersection/difference), which
+    is the tool for corpus questions like "how many distinct doc
+    fingerprints do crawl A and crawl B share" without rescanning
+    either crawl."""
+    return df.groupBy(*by).agg(F.theta_sketch_agg(key, F.lit(lgk)).alias("theta"))
+
+
+def theta_rollup(partials: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Union-merge Theta partials to a coarser grouping and estimate
+    distinct counts — sketches only, raw data never re-read."""
+    grouped = partials.groupBy(*(by or []))
+    return grouped.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("theta")).alias("n_distinct")
+    )
+
+
+def theta_overlap(
+    partials_a: DataFrame, partials_b: DataFrame
+) -> DataFrame:
+    """Estimated |A ∩ B| and |A \\ B| between two partial sets (each
+    union-merged to one sketch first). One row: n_a, n_b, n_common,
+    n_only_a — the crawl-overlap / contamination dashboard numbers."""
+    a = partials_a.agg(F.theta_union_agg("theta").alias("ta"))
+    b = partials_b.agg(F.theta_union_agg("theta").alias("tb"))
+    return (
+        a.crossJoin(b)
+        .select(
+            F.theta_sketch_estimate("ta").alias("n_a"),
+            F.theta_sketch_estimate("tb").alias("n_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("ta", "tb")
+            ).alias("n_common"),
+            F.theta_sketch_estimate(F.theta_difference("ta", "tb")).alias(
+                "n_only_a"
+            ),
+        )
+    )

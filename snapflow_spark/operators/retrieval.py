@@ -89,13 +89,14 @@ def bm25_topk(
     """
     terms = doc_terms(docs, text_col, id_col)
     # N and avgdl from the docs scan itself (zero-token docs count
-    # toward N but never appear in postings): one tiny agg action.
+    # toward N but never appear in postings), folded in as a BROADCAST
+    # one-row join so the whole query stays one lazy plan — an eager
+    # .first() here would cost a separate job per invocation.
     # avgdl = exact int64 sum / exact count — deterministic.
-    n_avg = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size(word_tokens_expr(text_col)).cast("bigint")).alias("sum_dl"),
-    ).first()
-    n_docs, avgdl = int(n_avg["n"]), float(n_avg["sum_dl"]) / int(n_avg["n"])
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.size(word_tokens_expr(text_col)).cast("bigint")).alias("__sum_dl"),
+    )
 
     q_terms = queries.select(
         F.col(query_id_col), F.explode(word_tokens_expr(query_text_col)).alias("term")
@@ -107,15 +108,20 @@ def bm25_topk(
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
+    avgdl = F.col("__sum_dl").cast("double") / F.col("__n")
     idf = F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     tf_part = (F.col("tf") * (1.0 + k1)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
     )
+    # ONE broadcast side: per-term df × the one-row corpus stats —
+    # broadcasting them separately costs an extra broadcast-exchange
+    # job per query run for no benefit (both are tiny)
+    df_q_stats = df_q.crossJoin(stats)
     scored = (
         terms.join(F.broadcast(q_terms), "term")
-        .join(F.broadcast(df_q), "term")
+        .join(F.broadcast(df_q_stats), "term")
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
     )

@@ -65,3 +65,89 @@ def test_kll_quantile_labels_do_not_collide():
     labels = [_plabel(p) for p in (0.5, 0.99, 0.999, 0.001, 0.25)]
     assert labels == ["p50", "p99", "p99_9", "p0_1", "p25"]
     assert len(set(labels)) == len(labels)
+
+
+def test_theta_rollup_and_overlap(spark):
+    """Theta partials merge like HLL, and intersection/difference
+    estimates answer the crawl-overlap question from sketches only.
+    On small exact-capacity sketches the estimates are exact."""
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.functions.sketches import (
+        theta_overlap,
+        theta_partials,
+        theta_rollup,
+    )
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 7).alias("shard"), F.concat(F.lit("u"), (F.col("id") % 3000)).alias("user")
+    )
+    partials = theta_partials(df, "user", by=["shard"])
+    merged = theta_rollup(partials).first()["n_distinct"]
+    assert abs(merged - 3000) / 3000 < 0.05
+
+    # overlap: A = users 0..2999, B = users 2000..4999 -> common 1000
+    b = spark.range(2000, 5000).select(
+        F.lit(0).alias("shard"), F.concat(F.lit("u"), F.col("id")).alias("user")
+    )
+    pb = theta_partials(b, "user", by=["shard"])
+    row = theta_overlap(partials, pb).first()
+    assert abs(row.n_common - 1000) / 1000 < 0.1
+    assert abs(row.n_only_a - 2000) / 2000 < 0.1
+
+
+def test_bloom_filter_contract():
+    """No false negatives ever; false-positive rate in the configured
+    ballpark; merge(A, B) bit-identical to build(A ∪ B); serialization
+    round-trips."""
+    from snapflow_spark.functions.bloom import BloomFilter
+
+    m, k = 1 << 14, 5
+    a_keys = [f"a{i}" for i in range(500)]
+    b_keys = [f"b{i}" for i in range(500)]
+    a = BloomFilter.from_items(a_keys, m, k)
+    b = BloomFilter.from_items(b_keys, m, k)
+    assert all(a.contains(x) for x in a_keys)  # no false negatives
+    fp = sum(a.contains(f"zz{i}") for i in range(10000)) / 10000
+    assert fp < 0.05, fp  # m/n=32 bits/key, k=5 -> ~0.2% expected
+
+    merged = a.merge(b)
+    union = BloomFilter.from_items(a_keys + b_keys, m, k)
+    assert (merged.bits == union.bits).all()  # exact merge contract
+
+    rt = BloomFilter.deserialize(merged.serialize())
+    assert (rt.bits == merged.bits).all() and (rt.m, rt.k) == (m, k)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        a.merge(BloomFilter(1 << 10, 5))
+    with _pytest.raises(ValueError):
+        BloomFilter.deserialize(b"junk")
+
+
+def test_bloom_spark_build_and_filter(spark):
+    """Distributed build is bit-identical to the local build over the
+    same keys; membership filter keeps every true member and the
+    negated form drops none of the genuinely-new keys (the ingestion
+    dedup shape: no false negatives -> no lost data)."""
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.functions.bloom import (
+        BloomFilter,
+        build_bloom,
+        filter_might_contain,
+    )
+
+    seen = spark.range(0, 2000).select(F.concat(F.lit("k"), "id").alias("key"))
+    bf = build_bloom(seen.repartition(8), "key", m_bits=1 << 16, k=5)
+    local = BloomFilter.from_items([f"k{i}" for i in range(2000)], 1 << 16, 5)
+    assert (bf.bits == local.bits).all()
+
+    incoming = spark.range(1500, 4000).select(
+        F.concat(F.lit("k"), "id").alias("key")
+    )
+    kept = {r.key for r in filter_might_contain(incoming, "key", bf).collect()}
+    assert {f"k{i}" for i in range(1500, 2000)} <= kept  # all true members
+    new = {r.key for r in filter_might_contain(incoming, "key", bf, negate=True).collect()}
+    assert new <= {f"k{i}" for i in range(2000, 4000)}  # only genuinely-new keys
+    assert len(new) >= 1900  # few false positives stole at most a handful
