@@ -90,3 +90,25 @@ def quarantine(
     passed = df.where(all_pass)
     failed = df.where(~all_pass).withColumn("failed_checks", failed_names)
     return passed, failed
+
+
+def observe_expectations(
+    df: DataFrame, expectations: list[Expectation], name: str = "quality"
+):
+    """Attach the expectation counters to the DataFrame itself via
+    ``df.observe`` — the ZERO-extra-scan form of check_expectations:
+    metrics accumulate during whatever action the pipeline runs anyway
+    (the snapshot write, the sink), so at 100 TB the quality gate adds
+    no second pass at all. Returns ``(df, observation)``; read
+    ``observation.get`` AFTER the first action on ``df``.
+
+    check_expectations stays for the standalone-audit case; this is
+    what a production write path uses."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("rows")] + [
+        F.sum(F.when(~_null_safe(e), 1).otherwise(0)).alias(f"{e.name}_failures")
+        for e in expectations
+    ]
+    return df.observe(obs, *metrics), obs

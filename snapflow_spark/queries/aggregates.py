@@ -93,36 +93,79 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
 @query(
     "q_agg_case",
-    oracle="""
-    SELECT n.n_name,
-           CAST(SUM(CASE WHEN o.o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+    oracle=f"""
+    WITH j AS (
+      SELECT n.n_name, o.o_orderpriority, o.o_totalprice
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT 'case' AS branch, n_name,
+           CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
            COUNT(*) AS n_orders,
-           CAST(SUM(CASE WHEN o.o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS high_share
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
+           CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS high_share,
+           CAST(NULL AS VARCHAR) AS prio,
+           CAST(NULL AS BIGINT) AS n_prio
+    FROM j GROUP BY n_name
+    UNION ALL
+    SELECT 'pivot' AS branch, d.n_name,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           p.prio, c.c
+    FROM (SELECT DISTINCT n_name FROM j) d
+    CROSS JOIN (VALUES {", ".join(f"('{p}')" for p in _PRIORITIES)}) p(prio)
+    LEFT JOIN (
+      SELECT n_name, o_orderpriority, COUNT(*) AS c FROM j GROUP BY 1, 2
+    ) c ON c.n_name = d.n_name AND c.o_orderpriority = p.prio
     """,
 )
 def q_agg_case(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregation (high-value order share per nation) with
-    a broadcast dimension join."""
+    """Tagged union (round 4): conditional aggregation ('case' branch —
+    high-value order share per nation, broadcast dimension join) ∪ the
+    pivot/unpivot relational surface ('pivot' branch): per-nation order
+    counts PIVOTed to one column per priority (explicit value list, the
+    scale-safe form — pivot without values runs an extra distinct pass
+    and caps at spark.sql.pivotMaxValues) then UNPIVOTed back to long
+    form, absent combinations carried as NULLs. The oracle replays
+    pivot∘unpivot as dims × values LEFT JOIN counts."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        n, c.c_nationkey == n.n_nationkey
+    )
     n_high = F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)).cast("bigint")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            n_high.alias("n_high"),
-            F.count(F.lit(1)).alias("n_orders"),
-            (n_high / F.count(F.lit(1))).alias("high_share"),
+    null_l = F.lit(None).cast("bigint")
+    case = joined.groupBy("n_name").agg(
+        n_high.alias("n_high"),
+        F.count(F.lit(1)).alias("n_orders"),
+        (n_high / F.count(F.lit(1))).alias("high_share"),
+    ).select(
+        F.lit("case").alias("branch"),
+        "n_name", "n_high", "n_orders", "high_share",
+        F.lit(None).cast("string").alias("prio"),
+        null_l.alias("n_prio"),
+    )
+    pivoted = (
+        joined.groupBy("n_name")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+        .unpivot("n_name", _PRIORITIES, "prio", "n_prio")
+        .select(
+            F.lit("pivot").alias("branch"),
+            "n_name",
+            null_l.alias("n_high"),
+            null_l.alias("n_orders"),
+            F.lit(None).cast("double").alias("high_share"),
+            "prio",
+            "n_prio",
         )
     )
+    return case.unionByName(pivoted)
 
 
 @query(

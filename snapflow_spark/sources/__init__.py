@@ -1,3 +1,7 @@
+from snapflow_spark.sources.datasource import (
+    PagedApiDataSource,
+    synthetic_pager,
+)
 from snapflow_spark.sources.connectors import (
     ImportResult,
     import_api_pages,
@@ -20,6 +24,8 @@ from snapflow_spark.sources.io import (
 )
 
 __all__ = [
+    "PagedApiDataSource",
+    "synthetic_pager",
     "ImportResult",
     "import_api_pages",
     "import_records",

@@ -492,3 +492,31 @@ def test_write_range_sorted_produces_disjoint_rowgroup_stats(spark, tmp_path):
     assert len(ranges) == 4
     for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
         assert hi_a < lo_b, ranges  # disjoint: skipping is possible
+
+
+def test_observe_expectations_piggybacks_on_action(spark):
+    """df.observe counters equal check_expectations' dedicated-scan
+    numbers, accumulated during the pipeline's own action (a noop
+    write) with no extra scan."""
+    from snapflow_spark.operators.quality import (
+        check_expectations,
+        in_range,
+        not_null,
+        observe_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 999.0), (4, 5.0)],
+        "id bigint, v double",
+    )
+    exps = [not_null("v"), in_range("v", 0, 100)]
+    observed, obs = observe_expectations(df, exps)
+    observed.write.format("noop").mode("overwrite").save()  # the action
+    got = obs.get
+    expect = check_expectations(df, exps)
+    assert got == expect
+    assert got["rows"] == 4
+    assert got["v_not_null_failures"] == 1
+    # NULL passes in_range by design (not_null owns null-counting,
+    # so a null row isn't double-counted across expectations)
+    assert got["v_in_range_failures"] == 1
