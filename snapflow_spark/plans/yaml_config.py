@@ -141,6 +141,56 @@ def _pack(
     )
 
 
+def _cap(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """core.cap: per-domain anti-domination cap
+    (operators.curation.cap_per_domain)."""
+    from snapflow_spark.operators import cap_per_domain
+
+    return cap_per_domain(
+        input, cap=cap, domain_col=domain_col, id_col=id_col, salt=salt
+    )
+
+
+def _dedup_lines(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """core.dedup_lines: cross-document line dedup
+    (operators.dedup_text.dedup_lines_global)."""
+    from snapflow_spark.operators import dedup_lines_global
+
+    return dedup_lines_global(input, text_col=text_col, id_col=id_col)
+
+
+def _bm25(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    queries: list,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """core.bm25: lexical top-k retrieval over the input corpus for a
+    literal [[id, text], ...] query list
+    (operators.retrieval.bm25_topk)."""
+    from snapflow_spark.operators import bm25_topk
+
+    qdf = spark.createDataFrame(
+        [(int(i), str(t)) for i, t in queries],
+        "query_id bigint, query_text string",
+    )
+    return bm25_topk(input, qdf, k=k, text_col=text_col, id_col=id_col)
+
+
 BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.accumulate": _accumulate,
     "core.dedupe_keep_latest": _dedupe_keep_latest,
@@ -150,6 +200,9 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.split": _split,
     "core.sample": _sample,
     "core.pack": _pack,
+    "core.cap": _cap,
+    "core.dedup_lines": _dedup_lines,
+    "core.bm25": _bm25,
 }
 
 

@@ -383,3 +383,62 @@ def test_cli_sql_adhoc(spark, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "o_orderpriority" in out and "1-URGENT" in out
+
+
+def test_yaml_builtin_round4_ops(spark, tmp_path):
+    """core.cap / core.dedup_lines / core.bm25 builtins wire the
+    round-4 operators into YAML pipelines, matching direct calls."""
+    from snapflow_spark.operators import bm25_topk, cap_per_domain, dedup_lines_global
+    from snapflow_spark.plans import load_graph
+
+    cfg = {
+        "warehouse": str(tmp_path / "wh_r4"),
+        "sources": [{"name": "docs"}],
+        "nodes": [
+            {
+                "name": "capped",
+                "function": "core.cap",
+                "upstream": "docs",
+                "params": {"cap": 3, "domain_col": "src"},
+            },
+            {
+                "name": "line_deduped",
+                "function": "core.dedup_lines",
+                "upstream": {"input": {"node": "capped", "mode": "reference"}},
+                "overwrite": True,
+            },
+            {
+                "name": "hits",
+                "function": "core.bm25",
+                "upstream": {"input": {"node": "line_deduped", "mode": "reference"}},
+                "params": {"queries": [[1, "alpha beta"]], "k": 3},
+                "overwrite": True,
+            },
+        ],
+    }
+    rows = [
+        (i, f"src{i % 4}", f"alpha line {i}\nshared footer\nbeta tail {i % 5}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+
+    g = load_graph(cfg)
+    g.pipeline.sources["docs"].append(df)
+    assert g.produce(spark) == 3
+
+    expected_capped = cap_per_domain(df, cap=3, domain_col="src")
+    assert g.read(spark, "capped").count() == expected_capped.count() == 12
+    expected_lines = dedup_lines_global(expected_capped.select("doc_id", "text"))
+    got_lines = {r.doc_id: r.text for r in g.read(spark, "line_deduped").collect()}
+    for r in expected_lines.collect():
+        assert got_lines[r.doc_id] == r.text
+    qdf = spark.createDataFrame([(1, "alpha beta")], "query_id bigint, query_text string")
+    expected_hits = bm25_topk(expected_lines.select("doc_id", "text"), qdf, k=3)
+    got_hits = sorted(
+        (r.query_id, r.doc_id, r.score) for r in g.read(spark, "hits").collect()
+    )
+    exp_hits = sorted(
+        (r.query_id, r.doc_id, r.score) for r in expected_hits.collect()
+    )
+    assert got_hits == exp_hits
+
