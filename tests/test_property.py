@@ -1,0 +1,98 @@
+"""Hypothesis property tests for the pure-python/numpy components
+(SURVEY §5.2(3)): codecs, Bloom filter, curation arithmetic. These
+run WITHOUT a SparkSession, so hypothesis can afford hundreds of
+examples — the Spark-side tests pin the same components on fixed
+fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# bounded sizes keep each example in the low-ms range
+_dims = st.integers(min_value=1, max_value=33)
+
+
+@st.composite
+def _rgb_images(draw):
+    h, w = draw(_dims), draw(_dims)
+    data = draw(
+        st.binary(min_size=h * w * 3, max_size=h * w * 3)
+    )
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+@settings(max_examples=60, deadline=None)
+@given(_rgb_images())
+def test_lossless_codecs_roundtrip_any_image(img):
+    """PPM/BMP/PNG are bit-exact on arbitrary pixel content and any
+    (odd, tiny, skinny) dimensions."""
+    from snapflow_spark.multimodal.codec import (
+        decode_image_bytes,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    for enc in (encode_ppm, encode_bmp, encode_png):
+        assert np.array_equal(decode_image_bytes(enc(img)), img), enc.__name__
+
+
+@settings(max_examples=25, deadline=None)
+@given(_rgb_images(), st.sampled_from(["444", "420"]))
+def test_jpeg_decodes_any_image_shape(img, sub):
+    """Baseline JPEG round-trips ANY content/shape to the right shape
+    and dtype with bounded worst-case error (random noise is JPEG's
+    worst case; quality-95 error stays far from saturating)."""
+    from snapflow_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < 64.0, (img.shape, sub, err)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(min_size=0, max_size=20), max_size=60),
+    st.lists(st.text(min_size=0, max_size=20), max_size=60),
+)
+def test_bloom_merge_commutes_and_never_false_negative(a_keys, b_keys):
+    from snapflow_spark.functions.bloom import BloomFilter
+
+    m, k = 1 << 12, 4
+    a = BloomFilter.from_items(a_keys, m, k)
+    b = BloomFilter.from_items(b_keys, m, k)
+    ab, ba = a.merge(b), b.merge(a)
+    union = BloomFilter.from_items(a_keys + b_keys, m, k)
+    assert (ab.bits == ba.bits).all()  # commutative
+    assert (ab.bits == union.bits).all()  # merge == union build
+    assert all(ab.contains(x) for x in a_keys + b_keys)  # no false negatives
+    rt = BloomFilter.deserialize(ab.serialize())
+    assert (rt.bits == ab.bits).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=0, max_value=10**12), st.text(max_size=12))
+def test_hash_bucket_oracle_fold_matches_int_parse(doc_id, salt):
+    """The DuckDB oracle replays _hash_bucket's `conv(substr(hex,1,8),
+    16, 10) % B` as a per-hex-digit instr fold (q_pipeline_docs'
+    split CTE). Property: the fold and the direct 32-bit parse agree
+    for ANY id and salt — the cross-engine bucket contract."""
+    import hashlib
+
+    from snapflow_spark.operators.curation import _BUCKETS
+
+    h = hashlib.sha256((salt + str(doc_id)).encode("utf-8")).hexdigest()
+    direct = int(h[:8], 16) % _BUCKETS
+    folded = (
+        sum(
+            ("0123456789abcdef".index(h[j]))  # instr(...)-1 in the SQL
+            << (4 * (7 - j))
+            for j in range(8)
+        )
+        % _BUCKETS
+    )
+    assert folded == direct
