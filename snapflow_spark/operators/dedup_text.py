@@ -503,9 +503,13 @@ def dedup_lines_global(
     Returns (id, text, n_lines, n_kept) — one row per input doc, text
     rebuilt from surviving lines (empty string if none survived).
     """
+    # F.split takes a Java REGEX: escape the separator so a literal
+    # like "." or "|" splits on the character, not the pattern
+    import re as _re
+
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(line_sep))).alias(
+        F.posexplode(F.split(F.col(text_col), F.lit(_re.escape(line_sep)))).alias(
             "line_no", "line"
         ),
     )

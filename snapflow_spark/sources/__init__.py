@@ -1,3 +1,4 @@
+from snapflow_spark.sources.snapshot_sink import SnapshotStoreDataSource
 from snapflow_spark.sources.datasource import (
     PagedApiDataSource,
     synthetic_pager,
@@ -24,6 +25,7 @@ from snapflow_spark.sources.io import (
 )
 
 __all__ = [
+    "SnapshotStoreDataSource",
     "PagedApiDataSource",
     "synthetic_pager",
     "ImportResult",

@@ -1,0 +1,170 @@
+"""Spark 4 Python DataSource SINK for the SnapshotStore (§2.A A3/A11).
+
+The foreachBatch form (streaming/runner.py) drives the store from a
+user function; this is the IDIOMATIC-SINK form — the store as a
+registered format:
+
+    spark.dataSource.register(SnapshotStoreDataSource)
+    df.write.format("snapshot_store").option("path", root).save()
+    stream.writeStream.format("snapshot_store").option("path", root)...
+
+and it maps Spark's two-phase sink protocol DIRECTLY onto the store's
+commit protocol:
+
+- ``write`` runs per task on executors: rows → one pyarrow parquet
+  part file in a dot-prefixed staging dir (invisible to
+  ``snapshot_ids``), commit message = the part path. Data never
+  funnels through the driver.
+- ``commit`` runs once on the driver after ALL tasks succeeded: move
+  the parts into a snapshot temp dir, drop the ``_SUCCESS`` marker,
+  one ``os.rename`` publishes. A replayed streaming epoch (crash
+  after publish, before Spark committed its offset log) finds the
+  target present and swaps via the same two-rename retire dance
+  runner.write_batch uses — at-least-once at the file level, exactly
+  once as observed through ``snapshot_ids``.
+- ``abort`` deletes staged parts; a crashed task leaves only staging
+  files that the next writer of the same store reclaims.
+
+Streaming snapshot ids are ``snapshot-<batchId>-sink`` so epoch
+replay is IDEMPOTENT per micro-batch id; batch writes allocate the
+next free id under a driver-side lock (single writer per store —
+same contract as SnapshotStore.append).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from pathlib import Path
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
+
+from snapflow_spark.incremental.store import SnapshotStore
+
+
+class PartWritten(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+_PA_TYPES = {
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool",
+    "binary": "binary",
+}
+
+
+def _to_arrow(rows: list[Row], schema: StructType):
+    """Rows → pyarrow table with EXPLICIT types for the primitive
+    columns (pandas inference would promote nullable ints to float and
+    silently change the stored schema)."""
+    import pyarrow as pa
+
+    cols = {f.name: [r[f.name] for r in rows] for f in schema.fields}
+    arrays, fields = [], []
+    for f in schema.fields:
+        simple = f.dataType.simpleString()
+        pa_t = _PA_TYPES.get(simple)
+        if simple == "timestamp":
+            pa_t = pa.timestamp("us", tz=None)
+        arrays.append(pa.array(cols[f.name], type=pa_t))
+        fields.append(f.name)
+    return pa.table(dict(zip(fields, arrays)))
+
+
+class _SnapshotWriterBase:
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.root = Path(options["path"])
+        self.staging = self.root / ".staging"
+
+    def write(self, iterator: Iterator[Row]) -> PartWritten:
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        self.staging.mkdir(parents=True, exist_ok=True)
+        part = self.staging / f"part-{uuid.uuid4().hex}.parquet"
+        if rows:
+            pq.write_table(_to_arrow(rows, self.schema_), part)
+        return PartWritten(str(part), len(rows))
+
+    def _publish(self, messages, sid: str) -> None:
+        """Move staged parts into a temp snapshot dir, mark _SUCCESS,
+        rename to publish; present target = replayed epoch → retire
+        swap (runner.write_batch's shape)."""
+        parts = [m for m in messages if m is not None and m.rows > 0]
+        if not parts:
+            for m in messages:
+                if m is not None and Path(m.path).exists():
+                    Path(m.path).unlink()
+            return
+        target = self.root / sid
+        tmp = self.root / f".{sid}.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        for i, m in enumerate(parts):
+            os.rename(m.path, tmp / f"part-{i:05d}.parquet")
+        (tmp / "_SUCCESS").touch()
+        if target.exists():
+            retired = self.root / f".{sid}.retired"
+            if retired.exists():
+                shutil.rmtree(retired)
+            os.rename(target, retired)
+            os.rename(tmp, target)
+            shutil.rmtree(retired)
+        else:
+            os.rename(tmp, target)
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        for m in messages:
+            if m is not None and Path(m.path).exists():
+                Path(m.path).unlink()
+
+
+class SnapshotBatchWriter(_SnapshotWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        store = SnapshotStore(self.root)
+        self._publish(messages, store._next_id())
+
+    def abort(self, messages) -> None:  # type: ignore[override]
+        _SnapshotWriterBase.abort(self, messages)
+
+
+class SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        # epoch-stamped id → a replayed micro-batch overwrites itself
+        self._publish(messages, f"snapshot-{batchId:06d}-sink")
+
+
+class SnapshotStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_store"
+
+    def writer(self, schema: StructType, overwrite: bool) -> SnapshotBatchWriter:
+        if overwrite:
+            raise ValueError(
+                "snapshot_store is append-only (immutable snapshots); "
+                "use mode('append') — compaction rewrites history via "
+                "SnapshotStore.compact"
+            )
+        return SnapshotBatchWriter(schema, dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> SnapshotStreamWriter:
+        return SnapshotStreamWriter(schema, dict(self.options))

@@ -104,3 +104,83 @@ def test_import_path_pager_resolution():
     assert [r["id"] for r in records] == [0, 1, 2, 3, 4] and cur == 5
     with pytest.raises(ValueError, match="module:callable"):
         _resolve_pager({"pager": "no-colon"})
+
+
+# ---- snapshot_store sink ----
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register_sink(spark):
+    from snapflow_spark.sources import SnapshotStoreDataSource
+
+    spark.dataSource.register(SnapshotStoreDataSource)
+
+
+def test_snapshot_sink_batch_write(spark, tmp_path):
+    """df.write.format('snapshot_store') appends one committed
+    snapshot (parts staged on executors, driver publish) that the
+    SnapshotStore reads back exactly; a second write appends a second
+    snapshot; overwrite mode is rejected (immutability)."""
+    from snapflow_spark.incremental.store import SnapshotStore
+
+    root = str(tmp_path / "store")
+    df = spark.range(0, 100).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    df.write.format("snapshot_store").option("path", root).mode("append").save()
+    store = SnapshotStore(root)
+    assert len(store.snapshot_ids()) == 1
+    got = store.read(spark).collect()
+    assert sorted(r.id for r in got) == list(range(100))
+    assert dict(store.read(spark).dtypes)["id"] == "bigint"  # no pandas float promotion
+
+    df.where("id < 10").write.format("snapshot_store").option("path", root).mode(
+        "append"
+    ).save()
+    assert len(store.snapshot_ids()) == 2
+    assert store.read(spark).count() == 110
+
+    with pytest.raises(Exception, match="append-only"):
+        df.write.format("snapshot_store").option("path", root).mode(
+            "overwrite"
+        ).save()
+
+
+def test_paged_api_to_snapshot_sink_stream(spark, tmp_path):
+    """The composed idiomatic pipeline: paged_api stream source (offset
+    log = cursor) -> snapshot_store stream sink (micro-batch = one
+    committed snapshot). All records land exactly once; snapshot ids
+    are epoch-stamped so a replay would overwrite itself, not
+    double-append."""
+    from snapflow_spark.incremental.store import SnapshotStore
+
+    root, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("paged_api")
+        .schema(SCHEMA)
+        .options(pager="synthetic", pages="3", page_size="5")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("snapshot_store")
+        .option("path", root)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    store = SnapshotStore(root)
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            ids = store.snapshot_ids()
+            if ids and store.read(spark).count() >= 15:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = store.read(spark).collect()
+    assert sorted(r.id for r in rows) == list(range(15))  # exactly once
+    assert all(i.endswith("-sink") for i in store.snapshot_ids())
+    # empty caught-up batches did not append empty snapshots
+    assert len(store.snapshot_ids()) <= 3
