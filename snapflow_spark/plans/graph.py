@@ -39,14 +39,22 @@ def _normalize_upstream(
 
 
 class GraphBuilder:
-    """Fluent wrapper over a Pipeline; ``produce`` runs to the reactive
-    fixed point (only unconsumed upstream snapshots are processed)."""
+    """Fluent wrapper over a Pipeline; ``produce`` runs importers (if
+    any), then the reactive fixed point (only unconsumed upstream
+    snapshots are processed)."""
 
     def __init__(self, pipeline: Pipeline):
         self.pipeline = pipeline
+        # importers run at the START of each produce() — the EP3 form
+        # of snapflow's importer nodes: pull new external data into a
+        # source store, then let the reactive loop consume it
+        self.importers: list[Callable[[SparkSession], None]] = []
 
     def source(self, name: str) -> SnapshotStore:
         return self.pipeline.add_source(name)
+
+    def add_importer(self, fn: Callable[[SparkSession], None]) -> None:
+        self.importers.append(fn)
 
     def create_node(
         self,
@@ -64,6 +72,8 @@ class GraphBuilder:
         return self.pipeline.add_node(node)
 
     def produce(self, spark: SparkSession) -> int:
+        for imp in self.importers:
+            imp(spark)
         return self.pipeline.produce(spark)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame | None:

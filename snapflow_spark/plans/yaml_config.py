@@ -5,7 +5,11 @@ A pipeline file declares sources, nodes, their wiring and functions:
 
     warehouse: .scratch/demo
     sources:
-      - events_src
+      - events_src                      # fed programmatically, or:
+      # - name: api_src                 # self-importing source —
+      #   pager: my_mod:make_pager      # connector loop runs at the
+      #   schema: "id bigint, v string" # start of every produce()
+      #   max_pages: 100
     nodes:
       - name: accumulated
         function: core.accumulate
@@ -259,7 +263,41 @@ def load_graph(config: dict | str | Path, warehouse: str | None = None) -> Graph
 
     for src in config.get("sources", []):
         name = src["name"] if isinstance(src, dict) else src
-        g.source(name)
+        store = g.source(name)
+        # a source may declare its own importer (snapflow's importer
+        # nodes, EP3-complete): `pager: module:callable` + `schema`
+        # runs the cursor-checkpointed connector loop at the start of
+        # every produce(), so the config alone pulls external data —
+        # resume/caught-up semantics come from import_api_pages
+        if isinstance(src, dict) and "pager" in src:
+            if "schema" not in src:
+                raise ValueError(
+                    f"source {name!r} declares a pager and must declare a "
+                    "schema (API records are schemaless dicts)"
+                )
+            pager_ref = src["pager"]
+            schema = src["schema"]
+            max_pages = src.get("max_pages")
+
+            def _import(
+                spark: SparkSession,
+                _store=store,
+                _ref=pager_ref,
+                _schema=schema,
+                _max=max_pages,
+            ) -> None:
+                from snapflow_spark.sources.connectors import import_api_pages
+                from snapflow_spark.sources.datasource import _resolve_pager
+
+                import_api_pages(
+                    spark,
+                    fetch_page=_resolve_pager({"pager": _ref}),
+                    schema=_schema,
+                    store=_store,
+                    max_pages=_max,
+                )
+
+            g.add_importer(_import)
 
     for node in config.get("nodes", []):
         fn = resolve_function(node["function"])

@@ -442,3 +442,41 @@ def test_yaml_builtin_round4_ops(spark, tmp_path):
     )
     assert got_hits == exp_hits
 
+
+
+def test_yaml_self_importing_source(spark, tmp_path):
+    """A source declaring `pager:` + `schema:` imports its own data at
+    the start of every produce() (EP3-complete: the config alone pulls
+    from the connector). The cursor checkpoint makes the second
+    produce a no-op — caught up, clean fixed point."""
+    from snapflow_spark.plans import load_graph
+
+    cfg = {
+        "warehouse": str(tmp_path / "wh_api"),
+        "sources": [
+            {
+                "name": "api_src",
+                "pager": "snapflow_spark.sources.datasource:synthetic_pager",
+                "schema": "id bigint, v string",
+            }
+        ],
+        "nodes": [
+            {"name": "history", "function": "core.accumulate", "upstream": "api_src"}
+        ],
+    }
+    g = load_graph(cfg)
+    assert g.produce(spark) > 0
+    got = g.read(spark, "history")
+    assert sorted(r.id for r in got.collect()) == list(range(15))
+
+    # second produce: pager caught up (cursor checkpointed in the
+    # store), nothing new to consume -> zero node executions
+    assert g.produce(spark) == 0
+    assert g.read(spark, "history").count() == 15
+
+    # pager without schema is rejected loudly
+    import pytest as _pytest
+
+    bad = {**cfg, "sources": [{"name": "x", "pager": "m:f"}], "warehouse": str(tmp_path / "wh_bad")}
+    with _pytest.raises(ValueError, match="schema"):
+        load_graph(bad)
