@@ -26,14 +26,17 @@ from snapflow_spark.registry import query
 @query(
     "q_window_rank",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rk, quartile, drk, top_orderkey
+    SELECT o_custkey, o_orderkey, o_totalprice, rk, quartile, drk,
+           top_orderkey, pct_rk, cume
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER w AS rk,
              ntile(4) OVER w AS quartile,
              dense_rank() OVER w AS drk,
              first_value(o_orderkey) OVER (
-               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_orderkey
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_orderkey,
+             round(percent_rank() OVER w, 6) AS pct_rk,
+             round(cume_dist() OVER w, 6) AS cume
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     ) WHERE rk <= 3
@@ -41,9 +44,12 @@ from snapflow_spark.registry import query
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window family in ONE window pass: row_number (top-3
-    filter), ntile quartile, dense_rank, first_value — all over the
-    same partition/order spec, so Catalyst plans a single shuffle+sort
-    (operators.grouped_topk is the rank-column-free form)."""
+    filter), ntile quartile, dense_rank, first_value, percent_rank,
+    cume_dist (round-4 additions; rounded to 6 — both are ratios of
+    ints, identical in IEEE, rounding is belt-and-braces) — all over
+    the same partition/order spec, so Catalyst plans a single
+    shuffle+sort (operators.grouped_topk is the rank-column-free
+    form)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
@@ -59,6 +65,8 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.dense_rank().over(w).alias("drk"),
         F.first("o_orderkey").over(wf).alias("top_orderkey"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
     return ranked.where(F.col("rk") <= 3)
 
