@@ -120,11 +120,14 @@ def filter_might_contain(df, col: str, bloom: BloomFilter, negate: bool = False)
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
-    payload = bloom.serialize()
+    # deserialize ONCE here: the pickled closure ships the ready
+    # BloomFilter (numpy bitmap) to each executor a single time —
+    # deserializing inside the UDF body would re-copy the m/8-byte
+    # bitmap on every Arrow batch for pure overhead
+    bf = BloomFilter.deserialize(bloom.serialize())
 
     @pandas_udf("boolean")
     def _member(keys: pd.Series) -> pd.Series:
-        bf = BloomFilter.deserialize(payload)
         return keys.map(lambda v: v is not None and bf.contains(str(v)))
 
     pred = _member(F.col(col))

@@ -200,6 +200,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data) - 1:
+            # -1: a lone trailing byte can't be entropy data (EOI is
+            # 2 bytes) — either way the scan ended mid-block
+            raise ValueError("truncated JPEG: entropy data ends mid-stream")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -239,11 +243,12 @@ class _BitReader:
         """Skip to just past the next RSTn marker and reset bit state."""
         self.acc = 0
         self.nbits = 0
-        while True:
+        while self.pos + 1 < len(self.data):
             if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
                 self.pos += 2
                 return
             self.pos += 1
+        raise ValueError("truncated JPEG: expected restart marker before EOF")
 
 
 class _RestartMarker(Exception):
@@ -504,8 +509,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:
             break
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: segment header cut short")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
+        if len(seg) < seglen - 2:
+            raise ValueError("truncated JPEG: segment body cut short")
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(seg):

@@ -142,7 +142,12 @@ def bm25_oracle_sql(
     """DuckDB replay of ``bm25_topk`` for a literal query list — the
     oracle twin (same tokenization, same idf/tf arithmetic, same
     round-then-rank determinism contract)."""
-    qvals = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in queries)
+    # SQL string literals: double any quote so a probe query like
+    # "what's a join" stays one literal instead of malformed SQL
+    qvals = ", ".join(
+        f"({int(qid)}, '{str(qtext).replace(chr(39), chr(39) * 2)}')"
+        for qid, qtext in queries
+    )
     return rf"""
     WITH q(query_id, query_text) AS (VALUES {qvals}),
     qt AS (

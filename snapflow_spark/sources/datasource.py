@@ -98,15 +98,29 @@ class PagedApiBatchReader(DataSourceReader):
         cursor = json.loads(self.options.get("start_cursor", "null"))
         max_pages = int(self.options.get("max_pages", 1000))
         names = self.schema_.fieldNames()
+        caught_up = False
         for _ in range(max_pages):
             records, next_cursor = fetch_page(cursor)
             if not records:
+                caught_up = True
                 break
             if next_cursor == cursor:
                 raise ValueError("pager did not advance its cursor")
             for r in records:
                 yield tuple(r.get(n) for n in names)
             cursor = next_cursor
+        if not caught_up:
+            # hitting the cap mid-stream must not look like a complete
+            # read: probe one more page and fail loudly if data remains
+            # (a silent partial batch load poisons every downstream
+            # snapshot/dedup baseline with missing rows)
+            records, _ = fetch_page(cursor)
+            if records:
+                raise ValueError(
+                    f"paged_api batch read stopped at max_pages={max_pages} "
+                    "with pages remaining; raise the max_pages option or "
+                    "use the streaming reader (which has no page cap)"
+                )
 
 
 class PagedApiStreamReader(SimpleDataSourceStreamReader):

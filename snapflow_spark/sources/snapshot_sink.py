@@ -72,7 +72,10 @@ _PA_TYPES = {
 def _to_arrow(rows: list[Row], schema: StructType):
     """Rows → pyarrow table with EXPLICIT types for the primitive
     columns (pandas inference would promote nullable ints to float and
-    silently change the stored schema)."""
+    silently change the stored schema). Nested/complex columns raise a
+    clear unsupported-type error instead of letting pyarrow guess from
+    Row tuples (pa.array infers a Row as a plain tuple and crashes
+    with an opaque ArrowInvalid — or worse, succeeds wrongly)."""
     import pyarrow as pa
 
     cols = {f.name: [r[f.name] for r in rows] for f in schema.fields}
@@ -81,7 +84,20 @@ def _to_arrow(rows: list[Row], schema: StructType):
         simple = f.dataType.simpleString()
         pa_t = _PA_TYPES.get(simple)
         if simple == "timestamp":
-            pa_t = pa.timestamp("us", tz=None)
+            # Row datetimes are naive wall-clock in the SESSION tz,
+            # which this engine pins to UTC (session.tune). tz="UTC"
+            # writes isAdjustedToUTC=true — the same annotation
+            # Spark's own parquet writer uses, so sink-written and
+            # append-written snapshots union cleanly and re-read as
+            # TimestampType (not timestamp_ntz) in any session.
+            pa_t = pa.timestamp("us", tz="UTC")
+        elif pa_t is None and simple not in ("date",):
+            raise ValueError(
+                f"snapshot_store sink supports primitive columns only; "
+                f"column {f.name!r} has unsupported type {simple!r} — "
+                "flatten structs/arrays before the sink or use "
+                "SnapshotStore.append (Spark's writer) for nested data"
+            )
         arrays.append(pa.array(cols[f.name], type=pa_t))
         fields.append(f.name)
     return pa.table(dict(zip(fields, arrays)))
@@ -112,6 +128,7 @@ class _SnapshotWriterBase:
             for m in messages:
                 if m is not None and Path(m.path).exists():
                     Path(m.path).unlink()
+            self._sweep_staging()
             return
         target = self.root / sid
         tmp = self.root / f".{sid}.tmp"
@@ -121,6 +138,7 @@ class _SnapshotWriterBase:
         for i, m in enumerate(parts):
             os.rename(m.path, tmp / f"part-{i:05d}.parquet")
         (tmp / "_SUCCESS").touch()
+        self._sweep_staging()
         if target.exists():
             retired = self.root / f".{sid}.retired"
             if retired.exists():
@@ -130,6 +148,20 @@ class _SnapshotWriterBase:
             shutil.rmtree(retired)
         else:
             os.rename(tmp, target)
+
+    def _sweep_staging(self) -> None:
+        """Reclaim orphaned staged parts. Runs on the DRIVER at commit
+        time, after this job's parts were moved out: every task of the
+        committing job has finished, and the store's single-writer
+        contract means anything still in .staging is debris from a
+        crashed/retried earlier attempt — safe to delete (an in-flight
+        speculative duplicate keeps its fd; its output is unused)."""
+        if self.staging.exists():
+            for leftover in self.staging.glob("part-*.parquet"):
+                try:
+                    leftover.unlink()
+                except OSError:
+                    pass
 
     def abort(self, messages, batchId: int | None = None) -> None:
         for m in messages:

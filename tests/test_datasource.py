@@ -184,3 +184,67 @@ def test_paged_api_to_snapshot_sink_stream(spark, tmp_path):
     assert all(i.endswith("-sink") for i in store.snapshot_ids())
     # empty caught-up batches did not append empty snapshots
     assert len(store.snapshot_ids()) <= 3
+
+
+def test_snapshot_sink_timestamp_and_struct_contract(spark, tmp_path):
+    """Timestamps written through the sink read back as TimestampType
+    with the same instants as SnapshotStore.append (UTC-pinned session
+    -> isAdjustedToUTC annotation, matching Spark's writer); nested
+    columns are rejected with a clear message, not an opaque
+    ArrowInvalid from pyarrow's tuple inference."""
+    from snapflow_spark.incremental.store import SnapshotStore
+
+    root = str(tmp_path / "ts_store")
+    df = spark.sql(
+        "SELECT timestamp'2024-01-02 03:04:05.123456' AS ts, 7 AS id"
+    )
+    df.write.format("snapshot_store").option("path", root).mode("append").save()
+    store = SnapshotStore(root)
+    store.append(df)  # Spark-writer snapshot in the SAME store
+    back = store.read(spark)  # union of both — types must agree
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    vals = {str(r.ts) for r in back.collect()}
+    assert vals == {"2024-01-02 03:04:05.123456"}
+
+    nested = spark.sql("SELECT named_struct('a', 1) AS s, 1 AS id")
+    with pytest.raises(Exception, match="primitive columns only"):
+        nested.write.format("snapshot_store").option("path", root).mode(
+            "append"
+        ).save()
+
+
+def test_snapshot_sink_sweeps_orphaned_staging(spark, tmp_path):
+    """A staged part from a crashed earlier attempt is reclaimed by the
+    next successful commit (single-writer contract)."""
+    from pathlib import Path
+
+    root = tmp_path / "sweep_store"
+    staging = root / ".staging"
+    staging.mkdir(parents=True)
+    orphan = staging / "part-deadbeef.parquet"
+    orphan.write_bytes(b"crashed-task-debris")
+
+    spark.range(5).write.format("snapshot_store").option("path", str(root)).mode(
+        "append"
+    ).save()
+    assert not orphan.exists()
+
+
+def test_paged_api_max_pages_truncation_raises(spark):
+    """Hitting max_pages with data remaining must fail loudly, not
+    return a silently partial dataset."""
+    reader = (
+        spark.read.format("paged_api")
+        .schema(SCHEMA)
+        .options(pager="synthetic", pages="5", page_size="4", max_pages="2")
+    )
+    with pytest.raises(Exception, match="max_pages"):
+        reader.load().collect()
+    # cap >= page count: clean completion
+    ok = (
+        spark.read.format("paged_api")
+        .schema(SCHEMA)
+        .options(pager="synthetic", pages="5", page_size="4", max_pages="5")
+        .load()
+    )
+    assert ok.count() == 20

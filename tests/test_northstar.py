@@ -1102,3 +1102,24 @@ def test_jpeg_in_spark_blob_pipeline(spark, planted):
     for r in jpeg_rows:
         expect = image_features(decode_image_bytes(bytes(r.blob)))
         assert np.allclose(feats[r.doc_id], expect, atol=1e-6)
+
+
+def test_jpeg_truncated_streams_raise_valueerror():
+    """Truncated streams raise ValueError (the codec error contract
+    pipelines quarantine on), never raw IndexError/struct.error."""
+    import numpy as np
+
+    from snapflow_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([(xx * 9) % 256, (yy * 7) % 256, (xx + yy) % 256], -1).astype(
+        np.uint8
+    )
+    full = encode_jpeg(img)
+    for cut in (4, 20, len(full) // 2, len(full) - 3):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(full[:cut])
+    # restart-marker stream truncated mid-scan also fails cleanly
+    rst = encode_jpeg(img, restart_interval=1)
+    with pytest.raises(ValueError):
+        decode_jpeg(rst[: len(rst) - 5])

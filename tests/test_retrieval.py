@@ -151,3 +151,17 @@ def test_cap_per_domain(spark, docs):
     assert {r.doc_id for r in rows} == again
     # cap >= domain size keeps everything
     assert cap_per_domain(docs, cap=10).count() == len(DOCS)
+
+
+def test_bm25_oracle_sql_escapes_quotes():
+    import duckdb
+
+    from snapflow_spark.operators.retrieval import bm25_oracle_sql
+
+    sql = bm25_oracle_sql([(1, "what's a join")], k=3)
+    assert "what''s" in sql
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, 'a join is a join'), (2, 'nothing here')")
+    got = con.execute(sql).fetchall()
+    assert [r[1] for r in got] == [1]  # only the matching doc scores
