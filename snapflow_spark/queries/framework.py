@@ -90,13 +90,17 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'jsonl' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     UNION ALL
     SELECT 'orc' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT 'jdbc' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Format round-trips (SURVEY §2.A A6 import_csv + §2.B.1 JSONL and
-    ORC scans) in one tagged union: write the nation dim to CSV,
-    JSON-lines, and ORC, read each back (CSV with schema inference),
-    and prove all three round-trips are lossless."""
+    """Format round-trips (SURVEY §2.A A6 import_csv + §2.B.1 JSONL,
+    ORC, and JDBC scans) in one tagged union: write the nation dim to
+    CSV, JSON-lines, ORC, and an embedded-Derby JDBC table, read each
+    back (CSV with schema inference; JDBC as parallel range scans via
+    partitionColumn bounds — the at-scale shape), and prove all four
+    round-trips are lossless."""
     csv_path = str(_SCRATCH / "csv_roundtrip" / "nation")
     write_csv(load_table(spark, sf_dir, "nation"), csv_path)
     from_csv = read_csv(spark, csv_path).select(
@@ -121,7 +125,36 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").cast("string"),
         F.col("n_regionkey").cast("int"),
     )
-    return from_csv.unionByName(from_jsonl).unionByName(from_orc)
+    from snapflow_spark.sources.io import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{_SCRATCH}/jdbc_roundtrip;create=true"
+    write_jdbc(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ),
+        url,
+        "nation_rt",
+        mode="overwrite",
+    )
+    from_jdbc = read_jdbc(
+        spark,
+        url,
+        "nation_rt",
+        partitionColumn="n_nationkey",
+        lowerBound="0",
+        upperBound="25",
+        numPartitions="4",
+    ).select(
+        F.lit("jdbc").alias("fmt"),
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("int"),
+    )
+    return (
+        from_csv.unionByName(from_jsonl)
+        .unionByName(from_orc)
+        .unionByName(from_jdbc)
+    )
 
 
 @query(
