@@ -165,9 +165,21 @@ class Pipeline:
             self.ledger.replace_consumed(node_name, input_name, retired, sid)
         return sid
 
-    def produce(self, spark: SparkSession) -> int:
+    def produce(
+        self, spark: SparkSession, auto_compact_after: int | None = None
+    ) -> int:
         """Run the DAG to its reactive fixed point; returns the number
-        of node executions."""
+        of node executions.
+
+        ``auto_compact_after=N`` is the small-files policy for
+        long-lived pipelines: after the fixed point, any store whose
+        snapshot count exceeds N is compacted (one merged snapshot,
+        consumers' ledgers fixed up). At the fixed point every
+        consumer is fully caught up, which is exactly the
+        precondition ``compact_store`` demands — so the policy can
+        never force a lagging consumer to re-read. A daily-tick
+        accumulator otherwise grows one dir per tick forever, and
+        readers pay per-snapshot listing + many small files."""
         runs = 0
         while True:
             progressed = False
@@ -176,4 +188,9 @@ class Pipeline:
                     runs += 1
                     progressed = True
             if not progressed:
-                return runs
+                break
+        if auto_compact_after is not None:
+            for name in [*self.sources, *self.nodes]:
+                if len(self.store(name).snapshot_ids()) > auto_compact_after:
+                    self.compact_store(spark, name)
+        return runs

@@ -71,10 +71,12 @@ class GraphBuilder:
         )
         return self.pipeline.add_node(node)
 
-    def produce(self, spark: SparkSession) -> int:
+    def produce(
+        self, spark: SparkSession, auto_compact_after: int | None = None
+    ) -> int:
         for imp in self.importers:
             imp(spark)
-        return self.pipeline.produce(spark)
+        return self.pipeline.produce(spark, auto_compact_after=auto_compact_after)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame | None:
         return self.pipeline.store(name).read(spark)

@@ -299,3 +299,34 @@ def test_compact_crash_before_cleanup_never_double_counts(spark, tmp_path):
     assert store.read(spark).count() == 4
     on_disk = [p.name for p in store.path.iterdir() if p.name.startswith("snapshot-")]
     assert on_disk == [sid]
+
+
+def test_produce_auto_compact_policy(spark, tmp_path):
+    """produce(auto_compact_after=N) bounds every store's snapshot
+    count at the fixed point without changing any data or causing
+    reprocessing — the small-files policy for long-lived pipelines."""
+    from snapflow_spark.incremental.pipeline import Node, Pipeline
+
+    pipe = Pipeline(str(tmp_path / "wh"))
+    src = pipe.add_source("src")
+    pipe.add_node(
+        Node(
+            name="history",
+            fn=lambda spark, delta: delta,
+            upstream={"delta": ("src", "consumable")},
+        )
+    )
+    total = 0
+    for tick in range(6):
+        src.append(spark.createDataFrame([(tick * 10 + j,) for j in range(3)], "id long"))
+        total += 3
+        pipe.produce(spark, auto_compact_after=2)
+        # both the source and the accumulating node store stay bounded
+        assert len(src.snapshot_ids()) <= 3  # compacted + at most new
+        assert len(pipe.store("history").snapshot_ids()) <= 3
+        got = pipe.store("history").read(spark)
+        assert got.count() == total  # nothing lost, nothing doubled
+
+    # compaction fixed up the ledger: a no-new-data produce is a no-op
+    assert pipe.produce(spark, auto_compact_after=2) == 0
+    assert pipe.store("history").read(spark).count() == total
