@@ -1123,3 +1123,20 @@ def test_jpeg_truncated_streams_raise_valueerror():
     rst = encode_jpeg(img, restart_interval=1)
     with pytest.raises(ValueError):
         decode_jpeg(rst[: len(rst) - 5])
+
+
+def test_extract_features_arrow_parity(spark, planted):
+    """The mapInArrow featurizer returns exactly the mapInPandas
+    featurizer's rows — same decode, same statistics, no pandas
+    materialization in the worker."""
+    from snapflow_spark.multimodal import extract_features_arrow
+
+    df, _n, _e = planted
+    blobs = attach_image_blob(df.limit(8))
+    via_pandas = {r.doc_id: r for r in extract_features(blobs).collect()}
+    via_arrow = {r.doc_id: r for r in extract_features_arrow(blobs).collect()}
+    assert set(via_pandas) == set(via_arrow)
+    for doc_id, pr in via_pandas.items():
+        ar = via_arrow[doc_id]
+        assert ar.modality == pr.modality
+        assert ar.features == pr.features, doc_id
