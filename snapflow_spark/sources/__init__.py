@@ -19,6 +19,8 @@ from snapflow_spark.sources.io import (
     refresh_bucketed,
     write_bucketed,
     write_range_sorted,
+    write_zorder,
+    zorder_key,
     write_csv,
     write_jsonl,
     write_orc,
@@ -44,4 +46,6 @@ __all__ = [
     "refresh_bucketed",
     "write_bucketed",
     "write_range_sorted",
+    "write_zorder",
+    "zorder_key",
 ]

@@ -102,9 +102,9 @@ def write_range_sorted(
     a predicate on them skips whole row groups at the parquet footer
     (and whole files at planning) — on a 100 TB time-keyed table this
     is the difference between reading a day and reading the decade.
-    (The Z-order generalization for multi-column predicates would
-    interleave key bits into one sort key; single-key range layout is
-    the right default for time-series.)"""
+    (``write_zorder`` below is the multi-column generalization —
+    Morton-interleaved sort key, tight stats on BOTH keys per file;
+    single-key range layout stays the right default for time-series.)"""
     writer = df.repartitionByRange(
         *([n_ranges] if n_ranges else []), *sort_cols
     ).sortWithinPartitions(*sort_cols)
@@ -182,3 +182,67 @@ def write_parquet_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.partitionBy(*partition_by).parquet(path)
+
+
+def _spread_bits_32_to_64(c):
+    """Interleave-spread a 32-bit non-negative int into the even bit
+    positions of a 64-bit long — the classic 5-step mask ladder, pure
+    Column algebra (whole-stage codegen, no UDF)."""
+    from pyspark.sql import functions as F
+
+    c = c.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return c
+
+
+def zorder_key(col_a, col_b):
+    """64-bit Morton (Z-order) key of two non-negative 32-bit int
+    columns: bits of ``col_a`` land in even positions, ``col_b`` in
+    odd. Keys must be non-negative and < 2^32 (offset/bucket upstream
+    if not) — documented contract, not checked per row (a check would
+    add a branch to every row of a 100 TB write)."""
+    from pyspark.sql import functions as F
+
+    return _spread_bits_32_to_64(col_a).bitwiseOR(
+        F.shiftleft(_spread_bits_32_to_64(col_b), 1)
+    )
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_ranges: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ORDERED parquet layout — write_range_sorted's multi-column
+    generalization: rows are range-split and sorted on the Morton
+    interleave of TWO key columns, so every file carries tight min/max
+    ranges on BOTH keys simultaneously. A scan filtering on either key
+    (or a box on both — the time×tenant / lat×lon shape) skips most
+    files at the footer, where a single-key sort layout only skips for
+    its leading key and reads everything for the other.
+
+    The z-value is pure codegen (bit-mask ladder, no UDF), computed
+    for the shuffle and dropped before the write — the stored schema
+    is unchanged."""
+    if len(cols) != 2:
+        raise ValueError(
+            "write_zorder interleaves exactly 2 key columns; for 3+ "
+            "keys extend the mask ladder (21 bits x 3) or bucket to 2"
+        )
+    from pyspark.sql import functions as F
+
+    z = zorder_key(F.col(cols[0]), F.col(cols[1]))
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_ranges, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

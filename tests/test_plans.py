@@ -480,3 +480,68 @@ def test_yaml_self_importing_source(spark, tmp_path):
     bad = {**cfg, "sources": [{"name": "x", "pager": "m:f"}], "warehouse": str(tmp_path / "wh_bad")}
     with _pytest.raises(ValueError, match="schema"):
         load_graph(bad)
+
+
+def test_zorder_layout_skips_on_both_keys(spark, tmp_path):
+    """Z-order interleave: the codegen bit ladder matches a python
+    Morton reference, the layout round-trips losslessly, and every
+    file carries TIGHT min/max ranges on BOTH keys — a box predicate
+    on either key prunes most files, where an x-sorted layout has
+    full-domain y ranges in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from snapflow_spark.sources import write_range_sorted, write_zorder, zorder_key
+
+    def morton(a, b):
+        out = 0
+        for i in range(32):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    n = 1 << 7  # 128 x 128 grid
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    zdf = grid.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z"))
+    for r in zdf.where("x < 3 AND y < 3").collect():
+        assert r.z == morton(r.x, r.y), (r.x, r.y)
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder(grid, zpath, ["x", "y"], n_ranges=16)
+    back = spark.read.parquet(zpath)
+    assert back.count() == n * n and set(back.columns) == {"x", "y"}
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            out.append((min(los), max(his)))
+        return out
+
+    # a quarter-domain box touches a minority of z-ordered files on
+    # EACH axis; the x-sorted layout covers the full y domain per file
+    box_lo, box_hi = 0, n // 4 - 1
+    zx = file_ranges(zpath, "x")
+    zy = file_ranges(zpath, "y")
+    hit_z = sum(
+        1
+        for (xlo, xhi), (ylo, yhi) in zip(zx, zy)
+        if xlo <= box_hi and xhi >= box_lo and ylo <= box_hi and yhi >= box_lo
+    )
+    assert hit_z <= len(zx) // 2, (hit_z, len(zx))
+
+    spath = str(tmp_path / "xsorted")
+    write_range_sorted(grid, spath, ["x"], n_ranges=16)
+    sy = file_ranges(spath, "y")
+    # single-key sort: every file spans (almost) the whole y domain
+    assert all(yhi - ylo >= n - 2 for ylo, yhi in sy)
