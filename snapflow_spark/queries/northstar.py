@@ -46,8 +46,10 @@ from snapflow_spark.operators.dedup_text import (
 )
 from snapflow_spark.operators.similarity import (
     IVFIndex,
+    PQCodec,
     brute_force_topk,
     embedding_near_dup_pairs_int,
+    ivf_pq_topk,
 )
 from snapflow_spark.registry import query
 
@@ -445,15 +447,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_similarity_ann")  # rows-only: IVF approximate search
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 for 3 probe vectors (KMeans cells,
-    nprobe=4 of 16) — the 100 TB path; recall property-tested against
-    brute force."""
+    """Tagged union (round 4) of the two ANN tiers over one shared
+    coarse quantizer — rows-only by design (KMeans cells have no SQL
+    oracle; recall property-tested against brute force in pytest):
+    - 'ivf': IVF-flat approximate top-5 for 3 probes (nprobe=4 of 16)
+      — exact cosines within probed cells.
+    - 'ivfpq': the FAISS-shaped IVF-PQ cascade (operators.similarity
+      .ivf_pq_topk): same cell pruning, ADC scan over m-byte codes
+      (the 64x memory path), exact re-rank of rerank_factor*k
+      survivors."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     index = IVFIndex.build(emb, k_cells=16)
-    return index.search(probes, k=5, nprobe=4)
+    flat = index.search(probes, k=5, nprobe=4).select(
+        F.lit("ivf").alias("branch"), "probe_id", "vec_id",
+        F.round("cos", 6).alias("cos"),
+    )
+    pq = PQCodec.train(emb, m=4, n_codes=32)
+    pq_hits = ivf_pq_topk(index, pq, probes, k=5, nprobe=4).select(
+        F.lit("ivfpq").alias("branch"), "probe_id", "vec_id",
+        F.round("cos", 6).alias("cos"),
+    )
+    return flat.unionByName(pq_hits)
 
 
 _PLANT = 60  # planted near-dup copies; detected pairs ≈ this count
