@@ -215,7 +215,10 @@ def extract_features_arrow(
 
     def _featurize(batches):
         for batch in batches:
-            ids = batch.column(0)
+            # declared output schema says bigint; mapInArrow performs
+            # no coercion (unlike the pandas path), so an int32 id
+            # column must be cast here or the batch schema mismatches
+            ids = batch.column(0).cast(pa.int64())
             modality = batch.column(1)
             blobs = batch.column(2)
             feats = pa.array(

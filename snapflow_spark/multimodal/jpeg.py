@@ -503,6 +503,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: stream ends on a lone 0xFF")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

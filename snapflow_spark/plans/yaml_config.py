@@ -287,11 +287,11 @@ def load_graph(config: dict | str | Path, warehouse: str | None = None) -> Graph
                 _max=max_pages,
             ) -> None:
                 from snapflow_spark.sources.connectors import import_api_pages
-                from snapflow_spark.sources.datasource import _resolve_pager
+                from snapflow_spark.sources.datasource import resolve_pager
 
                 import_api_pages(
                     spark,
-                    fetch_page=_resolve_pager({"pager": _ref}),
+                    fetch_page=resolve_pager(_ref),
                     schema=_schema,
                     store=_store,
                     max_pages=_max,

@@ -52,19 +52,26 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
+def resolve_pager(ref: str):
+    """PUBLIC pager resolution: 'module:callable' -> fetch_page via
+    the zero-arg factory (the same import-path convention
+    plans/yaml_config uses — and yaml_config calls this directly)."""
+    mod, _, fn = ref.partition(":")
+    if not fn:
+        raise ValueError(f"pager must be 'module:callable', got {ref!r}")
+    return getattr(import_module(mod), fn)()
+
+
 def _resolve_pager(options: dict):
-    """options['pager'] = 'module:callable' -> fetch_page via the
-    zero-arg factory; 'synthetic' -> the built-in demo pager."""
+    """Reader-options form: 'synthetic' -> the built-in demo pager
+    (sized by the pages/page_size options), else resolve_pager."""
     spec = options.get("pager", "synthetic")
     if spec == "synthetic":
         return synthetic_pager(
             n_pages=int(options.get("pages", 3)),
             page_size=int(options.get("page_size", 5)),
         )
-    mod, _, fn = spec.partition(":")
-    if not fn:
-        raise ValueError(f"pager must be 'module:callable', got {spec!r}")
-    return getattr(import_module(mod), fn)()
+    return resolve_pager(spec)
 
 
 def synthetic_pager(n_pages: int = 3, page_size: int = 5):

@@ -204,12 +204,28 @@ def zorder_key(col_a, col_b):
     columns: bits of ``col_a`` land in even positions, ``col_b`` in
     odd. Keys must be non-negative and < 2^32 (offset/bucket upstream
     if not) — documented contract, not checked per row (a check would
-    add a branch to every row of a 100 TB write)."""
+    add a branch to every row of a 100 TB write).
+
+    NOTE: the returned long is the RAW interleave — when ``col_b``
+    >= 2^31 its top bit lands on bit 63, so SIGNED comparison of this
+    key is NOT unsigned Morton order. Sort/partition on
+    ``zorder_sort_key`` instead (write_zorder does)."""
     from pyspark.sql import functions as F
 
     return _spread_bits_32_to_64(col_a).bitwiseOR(
         F.shiftleft(_spread_bits_32_to_64(col_b), 1)
     )
+
+
+def zorder_sort_key(col_a, col_b):
+    """``zorder_key`` remapped for SIGNED comparison: XOR with the
+    sign bit makes long ordering equal unsigned Morton ordering over
+    the full 32-bit key domain. Without it a second key >= 2^31 flips
+    the z sign, range partitioning wraps, and the file straddling the
+    wrap spans the whole domain — silently defeating data skipping."""
+    from pyspark.sql import functions as F
+
+    return zorder_key(col_a, col_b).bitwiseXOR(F.lit(-(1 << 63)))
 
 
 def write_zorder(
@@ -237,7 +253,7 @@ def write_zorder(
         )
     from pyspark.sql import functions as F
 
-    z = zorder_key(F.col(cols[0]), F.col(cols[1]))
+    z = zorder_sort_key(F.col(cols[0]), F.col(cols[1]))
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_ranges, "__z")

@@ -78,6 +78,8 @@ def _to_arrow(rows: list[Row], schema: StructType):
     with an opaque ArrowInvalid — or worse, succeeds wrongly)."""
     import pyarrow as pa
 
+    import re
+
     cols = {f.name: [r[f.name] for r in rows] for f in schema.fields}
     arrays, fields = [], []
     for f in schema.fields:
@@ -91,11 +93,19 @@ def _to_arrow(rows: list[Row], schema: StructType):
             # append-written snapshots union cleanly and re-read as
             # TimestampType (not timestamp_ntz) in any session.
             pa_t = pa.timestamp("us", tz="UTC")
-        elif pa_t is None and simple not in ("date",):
+        elif simple == "timestamp_ntz":
+            pa_t = pa.timestamp("us", tz=None)
+        elif m := re.fullmatch(r"decimal\((\d+),(\d+)\)", simple):
+            pa_t = pa.decimal128(int(m.group(1)), int(m.group(2)))
+        elif pa_t is None and simple.startswith(("struct", "array", "map")):
+            # only genuinely NESTED types are out of scope: pa.array
+            # would infer a Row as a plain tuple and fail opaquely (or
+            # worse, succeed wrongly); every primitive has an explicit
+            # mapping above or safe inference (date) below
             raise ValueError(
                 f"snapshot_store sink supports primitive columns only; "
                 f"column {f.name!r} has unsupported type {simple!r} — "
-                "flatten structs/arrays before the sink or use "
+                "flatten structs/arrays/maps before the sink or use "
                 "SnapshotStore.append (Spark's writer) for nested data"
             )
         arrays.append(pa.array(cols[f.name], type=pa_t))

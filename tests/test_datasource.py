@@ -248,3 +248,22 @@ def test_paged_api_max_pages_truncation_raises(spark):
         .load()
     )
     assert ok.count() == 20
+
+
+def test_snapshot_sink_decimal_and_ntz(spark, tmp_path):
+    """Primitive-but-unmapped types (decimal, timestamp_ntz) write
+    with explicit arrow types and read back type-faithful — only
+    genuinely nested types are rejected."""
+    from snapflow_spark.incremental.store import SnapshotStore
+
+    root = str(tmp_path / "dec_store")
+    df = spark.sql(
+        "SELECT CAST(12.34 AS DECIMAL(12,2)) AS price, "
+        "timestamp_ntz'2024-03-04 05:06:07' AS tntz, 1 AS id"
+    )
+    df.write.format("snapshot_store").option("path", root).mode("append").save()
+    back = SnapshotStore(root).read(spark)
+    assert dict(back.dtypes)["price"] == "decimal(12,2)"
+    assert dict(back.dtypes)["tntz"] == "timestamp_ntz"
+    r = back.first()
+    assert str(r.price) == "12.34" and str(r.tntz) == "2024-03-04 05:06:07"

@@ -1140,3 +1140,23 @@ def test_extract_features_arrow_parity(spark, planted):
         ar = via_arrow[doc_id]
         assert ar.modality == pr.modality
         assert ar.features == pr.features, doc_id
+
+
+def test_jpeg_lone_ff_and_arrow_featurizer_int_ids(spark, planted):
+    import numpy as np
+
+    from snapflow_spark.multimodal import extract_features_arrow
+    from snapflow_spark.multimodal.jpeg import decode_jpeg
+
+    # header region ending on a lone 0xFF: ValueError, not IndexError
+    with pytest.raises(ValueError, match="lone 0xFF"):
+        decode_jpeg(b"\xff\xd8\xff")
+
+    # int32 id column: the arrow featurizer casts to the declared
+    # bigint schema instead of failing on batch-schema mismatch
+    df, _n, _e = planted
+    blobs = attach_image_blob(
+        df.withColumn("doc_id", F.col("doc_id").cast("int")).limit(4)
+    )
+    rows = extract_features_arrow(blobs).collect()
+    assert len(rows) == 4 and all(len(r.features) == 8 for r in rows)

@@ -545,3 +545,36 @@ def test_zorder_layout_skips_on_both_keys(spark, tmp_path):
     sy = file_ranges(spath, "y")
     # single-key sort: every file spans (almost) the whole y domain
     assert all(yhi - ylo >= n - 2 for ylo, yhi in sy)
+
+
+def test_zorder_sort_key_handles_sign_boundary(spark):
+    """Keys >= 2^31 in the second column flip the raw z sign bit;
+    zorder_sort_key's XOR remap keeps SIGNED ordering equal to
+    unsigned Morton ordering across the full 32-bit domain."""
+    from snapflow_spark.sources import zorder_key, zorder_sort_key
+
+    def morton(a, b):
+        out = 0
+        for i in range(32):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    vals = [0, 1, (1 << 31) - 1, 1 << 31, (1 << 32) - 1]
+    rows = [(a, b) for a in vals for b in vals]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b",
+        zorder_key(F.col("a"), F.col("b")).alias("z"),
+        zorder_sort_key(F.col("a"), F.col("b")).alias("zs"),
+    )
+    got = df.collect()
+    # raw key matches the python reference bit-for-bit (signed wrap ok)
+    for r in got:
+        expect = morton(r.a, r.b)
+        assert r.z == expect - (1 << 64) * (expect >> 63), (r.a, r.b)
+    # sort-key order == unsigned morton order
+    by_sort = [(r.a, r.b) for r in sorted(got, key=lambda r: r.zs)]
+    by_unsigned = [
+        (a, b) for a, b in sorted(rows, key=lambda p: morton(p[0], p[1]))
+    ]
+    assert by_sort == by_unsigned
