@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -107,8 +108,20 @@ class SnapshotStore:
                 return None
             try:
                 return spark.read.parquet(*[str(self.path / sid) for sid in cur])
-            except Exception as e:  # AnalysisException PATH_NOT_FOUND
-                if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+            except AnalysisException as e:
+                # Typed match on the error class, not message text
+                # (message wording shifts across Spark versions; the
+                # class is the stable contract). NOTE the retry covers
+                # PLANNING-TIME listing only — a directory vanishing
+                # between planning and the action surfaces as an
+                # execution-time FileNotFoundException and is not
+                # retried here.
+                cond = (
+                    e.getCondition()
+                    if hasattr(e, "getCondition")
+                    else e.getErrorClass()
+                )
+                if cond != "PATH_NOT_FOUND":
                     raise
                 if attempt == 4:
                     raise

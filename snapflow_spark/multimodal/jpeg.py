@@ -566,6 +566,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     if not scan_comps:
         raise ValueError("JPEG has no SOS scan")
+    if len(scan_comps) < len(comps):
+        # A first SOS covering fewer components than the frame means a
+        # multi-scan baseline file (one scan per component). Decoding
+        # just this scan would silently return e.g. a grayscale Y plane
+        # for a color image — keep the gap explicit like the other
+        # unsupported profiles.
+        raise NotImplementedError(
+            f"multi-scan baseline JPEG (first scan covers {len(scan_comps)}"
+            f"/{len(comps)} components) — single interleaved scan only"
+        )
 
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)

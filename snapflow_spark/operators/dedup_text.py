@@ -372,7 +372,11 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     changed = 1
-    for _ in range(max_iter):
+    # max_iter label-CHANGING rounds plus one confirming round:
+    # convergence is only observable as a zero-change round, so a graph
+    # needing exactly max_iter propagation rounds still gets its
+    # confirming pass instead of being misreported as non-converged.
+    for _ in range(max_iter + 1):
         # candidate labels flowing across edges, plus each node's own
         prop = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")

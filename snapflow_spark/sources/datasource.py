@@ -159,9 +159,35 @@ class PagedApiStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows(records)), {"cursor": next_cursor}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # replay of a committed batch after restart: re-fetch from the
-        # start cursor (monotonic pagers are replayable by cursor)
-        records, _ = self.fetch_page(start["cursor"])
+        """Replay of a committed batch after restart: re-fetch from the
+        start cursor and validate against the COMMITTED end offset —
+        a live API whose tail page grew since the original fetch must
+        not leak rows beyond the committed range into the replayed
+        batch (they belong to the next batch, and emitting them here
+        duplicates them). Positional (integer) cursors are trimmed
+        back to exactly the committed count; opaque cursors that no
+        longer replay to the committed end fail loudly — exactly-once
+        replay requires a deterministic or positional pager."""
+        records, next_cursor = self.fetch_page(start["cursor"])
+        committed = end["cursor"]
+        if next_cursor != committed:
+            s = start["cursor"]
+            if isinstance(committed, int) and isinstance(s, (int, type(None))):
+                n = committed - int(s or 0)
+                if not 0 <= n <= len(records):
+                    raise ValueError(
+                        f"paged_api replay from cursor {s!r} returned "
+                        f"{len(records)} rows but the committed range is "
+                        f"{n} — the pager is not replayable by cursor"
+                    )
+                records = records[:n]
+            else:
+                raise ValueError(
+                    f"paged_api replay drift: re-fetch from {s!r} advanced "
+                    f"to {next_cursor!r}, not the committed end "
+                    f"{committed!r}; exactly-once replay requires a "
+                    "deterministic (or positional-cursor) pager"
+                )
         return iter(self._rows(records))
 
 

@@ -26,9 +26,13 @@ commit protocol:
   files that the next writer of the same store reclaims.
 
 Streaming snapshot ids are ``snapshot-<batchId>-sink`` so epoch
-replay is IDEMPOTENT per micro-batch id; batch writes allocate the
-next free id under a driver-side lock (single writer per store —
-same contract as SnapshotStore.append).
+replay is IDEMPOTENT per micro-batch id. Batch writes allocate the
+next free id by listing committed dirs — NOT under any lock — so the
+single-writer-per-store contract is the caller's (same contract as
+SnapshotStore.append). It fails loudly rather than silently: only a
+REPLAYED STREAMING epoch may retire-swap an existing target; a batch
+publish onto an existing id raises, so two racing batch writers that
+pick the same id cannot silently replace each other's snapshot.
 """
 
 from __future__ import annotations
@@ -129,10 +133,14 @@ class _SnapshotWriterBase:
             pq.write_table(_to_arrow(rows, self.schema_), part)
         return PartWritten(str(part), len(rows))
 
-    def _publish(self, messages, sid: str) -> None:
+    def _publish(self, messages, sid: str, *, replayable: bool = False) -> None:
         """Move staged parts into a temp snapshot dir, mark _SUCCESS,
-        rename to publish; present target = replayed epoch → retire
-        swap (runner.write_batch's shape)."""
+        rename to publish. Only a ``replayable`` publish (a streaming
+        epoch whose id is the micro-batch id) may find its target
+        present and retire-swap it (runner.write_batch's shape); a
+        batch publish onto an existing target means two writers raced
+        to the same listed id — fail loudly instead of replacing the
+        first writer's committed snapshot."""
         parts = [m for m in messages if m is not None and m.rows > 0]
         if not parts:
             for m in messages:
@@ -150,6 +158,13 @@ class _SnapshotWriterBase:
         (tmp / "_SUCCESS").touch()
         self._sweep_staging()
         if target.exists():
+            if not replayable:
+                raise FileExistsError(
+                    f"snapshot_store batch publish target {target} already "
+                    "exists: a concurrent writer committed this id (the "
+                    "store is single-writer per store for batch appends; "
+                    "only streaming epoch replay may overwrite its own id)"
+                )
             retired = self.root / f".{sid}.retired"
             if retired.exists():
                 shutil.rmtree(retired)
@@ -191,7 +206,7 @@ class SnapshotBatchWriter(_SnapshotWriterBase, DataSourceWriter):
 class SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         # epoch-stamped id → a replayed micro-batch overwrites itself
-        self._publish(messages, f"snapshot-{batchId:06d}-sink")
+        self._publish(messages, f"snapshot-{batchId:06d}-sink", replayable=True)
 
 
 class SnapshotStoreDataSource(DataSource):

@@ -267,3 +267,77 @@ def test_snapshot_sink_decimal_and_ntz(spark, tmp_path):
     assert dict(back.dtypes)["tntz"] == "timestamp_ntz"
     r = back.first()
     assert str(r.price) == "12.34" and str(r.tntz) == "2024-03-04 05:06:07"
+
+
+def test_snapshot_sink_batch_publish_collision_raises(tmp_path):
+    """Two batch writers racing to the same listed id must not replace
+    each other's committed snapshot: a batch publish onto an existing
+    target fails loudly, while a STREAMING replay of its own epoch id
+    (the only legitimate present-target case) retire-swaps."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from snapflow_spark.sources.snapshot_sink import (
+        PartWritten,
+        SnapshotBatchWriter,
+    )
+
+    root = str(tmp_path / "race_store")
+    w = SnapshotBatchWriter(None, {"path": root})
+
+    def staged(val):
+        w.staging.mkdir(parents=True, exist_ok=True)
+        p = w.staging / f"part-{uuid.uuid4().hex}.parquet"
+        pq_.write_table(pa.table({"id": [val]}), p)
+        return PartWritten(str(p), 1)
+
+    w._publish([staged(1)], "snapshot-000000")
+    assert (tmp_path / "race_store" / "snapshot-000000" / "_SUCCESS").exists()
+
+    with pytest.raises(FileExistsError, match="already"):
+        w._publish([staged(2)], "snapshot-000000")
+    # the first writer's snapshot is untouched
+    tab = pq_.read_table(
+        sorted((tmp_path / "race_store" / "snapshot-000000").glob("part-*"))[0]
+    )
+    assert tab.column("id").to_pylist() == [1]
+
+    # streaming epoch replay on its own id swaps idempotently
+    w._publish([staged(3)], "snapshot-000000", replayable=True)
+    tab = pq_.read_table(
+        sorted((tmp_path / "race_store" / "snapshot-000000").glob("part-*"))[0]
+    )
+    assert tab.column("id").to_pylist() == [3]
+
+
+def test_paged_api_replay_respects_committed_end():
+    """readBetweenOffsets must replay exactly the committed range:
+    a positional (integer) cursor trims a since-grown page back to the
+    committed count; an opaque cursor that no longer replays to the
+    committed end fails loudly instead of duplicating rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from snapflow_spark.sources.datasource import PagedApiStreamReader
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    r = PagedApiStreamReader(schema, {"pages": "3", "page_size": "5"})
+
+    # faithful replay: committed end == what the pager returns
+    assert len(list(r.readBetweenOffsets({"cursor": None}, {"cursor": 5}))) == 5
+    # tail page grew after commit (end=3 < the 5 rows now served):
+    # trim to the committed 3, not the current 5
+    rows = list(r.readBetweenOffsets({"cursor": 0}, {"cursor": 3}))
+    assert [t[0] for t in rows] == [0, 1, 2]
+    # committed range larger than the page now served: not replayable
+    with pytest.raises(ValueError, match="not replayable"):
+        list(r.readBetweenOffsets({"cursor": 10}, {"cursor": 25}))
+
+    # opaque (string) cursor drift: no trimming possible -> loud error
+    r2 = PagedApiStreamReader(schema, {})
+    r2.fetch_page = lambda cursor: ([{"id": 1, "v": "x"}], "c")
+    with pytest.raises(ValueError, match="replay drift"):
+        list(r2.readBetweenOffsets({"cursor": "a"}, {"cursor": "b"}))

@@ -901,7 +901,12 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
-    # same graph converges with budget for the diameter
+    # a graph needing EXACTLY max_iter propagation rounds converges:
+    # the implementation runs one extra confirming (zero-change) round
+    # rather than misreporting the boundary case as non-converged
+    got = {r.id: r.component for r in connected_components(chain, max_iter=8).collect()}
+    assert set(got.values()) == {0}
+    # same graph converges with budget to spare
     got = {r.id: r.component for r in connected_components(chain, max_iter=10).collect()}
     assert set(got.values()) == {0}
 
@@ -1160,3 +1165,37 @@ def test_jpeg_lone_ff_and_arrow_featurizer_int_ids(spark, planted):
     )
     rows = extract_features_arrow(blobs).collect()
     assert len(rows) == 4 and all(len(r.features) == 8 for r in rows)
+
+
+def test_jpeg_multi_scan_raises():
+    """A multi-scan baseline JPEG (first SOS covering fewer components
+    than the frame declares) must raise like the other unsupported
+    profiles rather than silently decoding only the first scan's
+    component (e.g. returning a grayscale Y plane for a color image)."""
+    import struct
+
+    import numpy as np
+
+    from snapflow_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
+    data = bytes(encode_jpeg(img))
+    i = data.find(b"\xff\xda")
+    assert i > 0
+    # rewrite the interleaved 3-component SOS (len 0x000C, ns=3) into a
+    # single-component scan header (len 0x0008, ns=1) — the shape of the
+    # FIRST scan of a multi-scan file; entropy data kept as-is (the
+    # guard fires at parse time, before entropy decode)
+    comp0 = data[i + 5 : i + 7]
+    patched = (
+        data[:i]
+        + b"\xff\xda"
+        + struct.pack(">H", 8)
+        + b"\x01"
+        + comp0
+        + b"\x00\x3f\x00"
+        + data[i + 14 :]
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(patched)
