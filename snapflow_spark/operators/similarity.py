@@ -51,6 +51,45 @@ def brute_force_topk(
     )
 
 
+def _sampled_vectors(corpus: DataFrame, vec_col: str, train_sample: int, seed: int):
+    """One seeded uniform sample of the corpus vectors, collected to a
+    (n, dim) float64 array — the shared training input for IVF coarse
+    quantizers and PQ codebooks (IVFPQIndex.build collects it ONCE and
+    feeds both trainers). Not limit(): limit pulls whole leading
+    partitions, which biases the quantizer if the corpus is stored
+    clustered. count() on parquet is metadata-only. The sampled
+    fraction overshoots ~20% and is cut back to train_sample with a
+    seeded shuffle AFTER collect (a .limit() on the sampled stream
+    would reintroduce the leading-partition bias driver-side)."""
+    import numpy as np
+
+    n = corpus.count()
+    vecs = corpus.select(vec_col)
+    if n > train_sample:
+        vecs = vecs.sample(
+            withReplacement=False, fraction=min(1.0, 1.2 * train_sample / n), seed=seed
+        )
+    sample = np.asarray([r[0] for r in vecs.collect()], dtype=np.float64)
+    if sample.size == 0:
+        raise ValueError("cannot build a vector index on an empty corpus")
+    rng = np.random.default_rng(seed)
+    if len(sample) > train_sample:
+        sample = sample[rng.permutation(len(sample))[:train_sample]]
+    return sample
+
+
+def _nearest_cells(centers, vec, nprobe: int) -> list[int]:
+    """The nprobe cells whose centroids are cosine-closest to ``vec``.
+    Driver-side by design: centers is k_cells x dim, never
+    corpus-sized."""
+    import numpy as np
+
+    v = np.asarray(vec, dtype=np.float64)
+    norm = np.linalg.norm(v) * np.linalg.norm(centers, axis=1)
+    cos = (centers @ v) / np.where(norm == 0, 1, norm)
+    return [int(c) for c in np.argsort(-cos)[:nprobe]]
+
+
 def _cell_assign_udf(centers):
     """pandas UDF assigning each vector to its nearest centroid —
     ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2, so one (batch x dim) @
@@ -163,38 +202,29 @@ class IVFIndex:
         seed: int = 42,
         max_iter: int = 8,
         train_sample: int = 16384,
+        sample=None,
     ) -> "IVFIndex":
         """Coarse quantizer trained on a driver-side SAMPLE with numpy
-        Lloyd iterations, cells assigned to the full corpus by ONE
-        Arrow-batched matmul pass. This is the FAISS recipe — an IVF
-        quantizer needs rough cells from a representative sample, not
-        a converged distributed clustering: recall comes from nprobe.
+        Lloyd iterations (sampling rationale in _sampled_vectors),
+        cells assigned to the full corpus by ONE Arrow-batched matmul
+        pass. This is the FAISS recipe — an IVF quantizer needs rough
+        cells from a representative sample, not a converged
+        distributed clustering: recall comes from nprobe.
         (pyspark.ml KMeans.fit launches max_iter full-corpus jobs plus
         per-row ml.Vector conversion — measured 3-8 s of scheduler and
         conversion overhead at sf0.1 for identical recall; at 100 TB a
         sampled quantizer + one assignment pass is also the only shape
-        that does a single read of the corpus.)"""
+        that does a single read of the corpus.)
+
+        ``sample``: a pre-collected (n, dim) float64 training sample —
+        pass it to share ONE sampling pass across several trainers
+        (IVFPQIndex.build trains the coarse quantizer AND the PQ
+        codebooks from the same collect)."""
         import numpy as np
 
-        # uniform seeded sample, not limit(): limit pulls whole leading
-        # partitions, which biases the quantizer if the corpus is
-        # stored clustered. count() on parquet is metadata-only. The
-        # sampled fraction overshoots ~20% and is cut back to
-        # train_sample with a seeded shuffle AFTER collect (a .limit()
-        # on the sampled stream would reintroduce the leading-partition
-        # bias driver-side).
-        n = corpus.count()
-        vecs = corpus.select(vec_col)
-        if n > train_sample:
-            vecs = vecs.sample(
-                withReplacement=False, fraction=min(1.0, 1.2 * train_sample / n), seed=seed
-            )
-        sample = np.asarray([r[0] for r in vecs.collect()], dtype=np.float64)
-        if sample.size == 0:
-            raise ValueError("cannot build IVF index on an empty corpus")
+        if sample is None:
+            sample = _sampled_vectors(corpus, vec_col, train_sample, seed)
         rng = np.random.default_rng(seed)
-        if len(sample) > train_sample:
-            sample = sample[rng.permutation(len(sample))[:train_sample]]
         # a corpus smaller than k_cells gets one cell per vector
         k = min(int(k_cells), len(sample))
         centers = sample[rng.choice(len(sample), size=k, replace=False)]
@@ -244,21 +274,22 @@ class IVFIndex:
         return cls(centers, assigned, vec_col, id_col)
 
     def search(self, probes: DataFrame, k: int = 5, nprobe: int = 4,
-               probe_id_col: str = "probe_id") -> DataFrame:
-        import numpy as np
-
-        centers = self.centers
-        probe_rows = probes.select(probe_id_col, self.vec_col).collect()
+               probe_id_col: str = "probe_id", probe_rows=None) -> DataFrame:
+        # probe_rows: pre-collected probes (one collect shared across
+        # search tiers — IVFPQIndex threads it through)
+        if probe_rows is None:
+            probe_rows = probes.select(probe_id_col, self.vec_col).collect()
 
         # Driver-side nprobe selection is OK: #probes is small and
         # centers is k_cells × dim — never corpus-sized.
-        cells_per_probe = []
-        for r in probe_rows:
-            v = np.array(r[self.vec_col], dtype=np.float64)
-            norm = np.linalg.norm(v) * np.linalg.norm(centers, axis=1)
-            cos = (centers @ v) / np.where(norm == 0, 1, norm)
-            best = np.argsort(-cos)[:nprobe]
-            cells_per_probe.append((r[probe_id_col], [int(c) for c in best], list(r[self.vec_col])))
+        cells_per_probe = [
+            (
+                r[probe_id_col],
+                _nearest_cells(self.centers, r[self.vec_col], nprobe),
+                list(r[self.vec_col]),
+            )
+            for r in probe_rows
+        ]
 
         spark = probes.sparkSession
         probe_cells = spark.createDataFrame(
@@ -320,30 +351,26 @@ class PQCodec:
         seed: int = 42,
         max_iter: int = 10,
         train_sample: int = 16384,
+        sample=None,
     ) -> "PQCodec":
+        """``sample``: pre-collected (n, dim) float64 training sample,
+        shared with the IVF trainer by IVFPQIndex.build; default
+        collects one via _sampled_vectors. The sample is copied before
+        normalization so a shared array is not mutated."""
         import numpy as np
 
         if n_codes > 256:
             raise ValueError("n_codes must fit one byte (<= 256)")
-        n = corpus.count()
-        vecs = corpus.select(vec_col)
-        if n > train_sample:
-            vecs = vecs.sample(
-                withReplacement=False, fraction=min(1.0, 1.2 * train_sample / n), seed=seed
-            )
-        sample = np.asarray([r[0] for r in vecs.collect()], dtype=np.float64)
-        if sample.size == 0:
-            raise ValueError("cannot train a PQ codec on an empty corpus")
+        if sample is None:
+            sample = _sampled_vectors(corpus, vec_col, train_sample, seed)
         rng = np.random.default_rng(seed)
-        if len(sample) > train_sample:
-            sample = sample[rng.permutation(len(sample))[:train_sample]]
         dim = sample.shape[1]
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
         dsub = dim // m
         norms = np.linalg.norm(sample, axis=1)
         norms[norms == 0] = 1.0
-        sample = sample / norms[:, None]  # cosine -> inner product space
+        sample = sample / norms[:, None]  # cosine -> IP space (copies)
         codebooks = []
         for j in range(m):
             sub = sample[:, j * dsub : (j + 1) * dsub]
@@ -395,6 +422,7 @@ class PQCodec:
         probe_id_col: str = "probe_id",
         rerank_with: DataFrame | None = None,
         rerank_factor: int = 4,
+        probe_rows=None,
     ) -> DataFrame:
         """Approximate cosine top-k over the CODE column only. Same
         bounded-shuffle shape as brute_force_topk_matmul: each Arrow
@@ -402,17 +430,18 @@ class PQCodec:
         partitions * P * k' rows. With rerank_with (the raw corpus),
         the top rerank_factor*k ADC candidates per probe are re-scored
         exactly and the final top-k is exact-over-candidates — the
-        standard recall repair that reads only candidate raw vectors."""
+        standard recall repair that reads only candidate raw vectors.
+        ``probe_rows``: pre-collected probes (IVFPQIndex shares one
+        collect across cell selection and the ADC tables)."""
         import numpy as np
 
         pid_type = probes.schema[probe_id_col].dataType.simpleString()
         id_type = codes.schema[self.id_col].dataType.simpleString()
         kk = k * rerank_factor if rerank_with is not None else k
 
-        probe_rows = sorted(
-            probes.select(probe_id_col, self.vec_col).collect(),
-            key=lambda r: r[probe_id_col],
-        )
+        if probe_rows is None:
+            probe_rows = probes.select(probe_id_col, self.vec_col).collect()
+        probe_rows = sorted(probe_rows, key=lambda r: r[probe_id_col])
         pids = [r[probe_id_col] for r in probe_rows]
         pmat = np.vstack([np.asarray(r[self.vec_col], dtype=np.float64) for r in probe_rows])
         pnorm = np.linalg.norm(pmat, axis=1)
@@ -494,17 +523,17 @@ def ivf_pq_topk(
     those cells' m-byte codes, then exact-re-rank the survivors. At
     100 TB a probe touches nprobe/k_cells of the codes (themselves
     ~64x smaller than the raw vectors) and raw floats only for
-    rerank_factor*k candidate rows."""
-    import numpy as np
+    rerank_factor*k candidate rows.
 
-    centers = index.centers
+    This is the AD-HOC form: it encodes the pruned cells' raw vectors
+    on the fly (one encode pass per search). A standing index should
+    use IVFPQIndex — codes are encoded once, persisted
+    partitionBy(cell), and searches ADC-scan the STORED m-byte code
+    column without touching raw floats until the re-rank."""
     probe_rows = probes.select(probe_id_col, index.vec_col).collect()
     cells = set()
     for r in probe_rows:
-        v = np.array(r[index.vec_col], dtype=np.float64)
-        norm = np.linalg.norm(v) * np.linalg.norm(centers, axis=1)
-        cos = (centers @ v) / np.where(norm == 0, 1, norm)
-        cells.update(int(c) for c in np.argsort(-cos)[:nprobe])
+        cells.update(_nearest_cells(index.centers, r[index.vec_col], nprobe))
     pruned = index.assigned.where(F.col("cell").isin(sorted(cells)))
     codes = pq.encode(pruned)
     return pq.adc_topk(
@@ -515,6 +544,180 @@ def ivf_pq_topk(
         rerank_with=pruned,
         rerank_factor=rerank_factor,
     )
+
+
+class IVFPQIndex:
+    """The STANDING IVF-PQ index: codes encoded ONCE, persisted next to
+    their cell assignment, searches ADC-scan the stored m-byte code
+    column. This is the production shape ``ivf_pq_topk`` (the ad-hoc,
+    encode-per-search form) only approximates.
+
+    ``coded`` is one table — (id, pq_code, [raw vector,] cell) — laid
+    out partitionBy(cell) on save, so at 100 TB:
+
+    - a probe's scan prunes to nprobe/k_cells of the FILES (Hive
+      partition pruning on ``cell``), and
+    - the ADC scan projects only (id, pq_code) — parquet is columnar,
+      so the raw-vector column's pages are never read. The m-byte code
+      column is the ~64x-smaller scan; keeping the raw vectors in the
+      SAME table costs searches nothing and gives the exact re-rank
+      locality (candidate rows come from the already-pruned cells).
+
+    build() collects ONE training sample and trains both the coarse
+    quantizer and the PQ codebooks from it; encode+assign is a single
+    pass over the corpus (one Arrow-batched matmul chain per batch).
+    save()/load() round-trip the coded table + centroids + codebooks.
+    """
+
+    def __init__(self, ivf: IVFIndex, pq: PQCodec, coded: DataFrame):
+        self.ivf = ivf
+        self.pq = pq
+        self.coded = coded
+        self.vec_col = pq.vec_col
+        self.id_col = pq.id_col
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        k_cells: int = 16,
+        m: int = 8,
+        n_codes: int = 256,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 42,
+        train_sample: int = 16384,
+        keep_raw: bool = True,
+    ) -> "IVFPQIndex":
+        """``keep_raw=False`` drops the raw vector column from the
+        coded table (pure 64x-smaller index; searches must then pass
+        an external corpus for re-rank or rerank=False)."""
+        sample = _sampled_vectors(corpus, vec_col, train_sample, seed)
+        ivf = IVFIndex.build(
+            corpus, k_cells=k_cells, vec_col=vec_col, id_col=id_col,
+            seed=seed, train_sample=train_sample, sample=sample,
+        )
+        pq = PQCodec.train(
+            corpus, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col,
+            seed=seed, train_sample=train_sample, sample=sample,
+        )
+        keep = ([vec_col] if keep_raw else []) + ["cell"]
+        coded = pq.encode(ivf.assigned, keep_cols=keep)
+        return cls(ivf, pq, coded)
+
+    def save(self, path: str) -> None:
+        self.coded.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/coded"
+        )
+        spark = self.coded.sparkSession
+        crows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(self.ivf.centers)
+        ]
+        spark.createDataFrame(crows, "cell int, center array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        brows = [
+            (j, c, [float(x) for x in self.pq.codebooks[j][c]])
+            for j in range(self.pq.m)
+            for c in range(len(self.pq.codebooks[j]))
+        ]
+        spark.createDataFrame(
+            brows, "subspace int, code int, center array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        path: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "IVFPQIndex":
+        centers = [
+            r["center"]
+            for r in sorted(
+                spark.read.parquet(f"{path}/centroids").collect(),
+                key=lambda r: r["cell"],
+            )
+        ]
+        by_sub: dict[int, list] = {}
+        for r in spark.read.parquet(f"{path}/codebooks").collect():
+            by_sub.setdefault(r["subspace"], []).append((r["code"], r["center"]))
+        books = [
+            [c for _, c in sorted(by_sub[j])] for j in sorted(by_sub)
+        ]
+        coded = spark.read.parquet(f"{path}/coded")
+        pq = PQCodec(books, vec_col, id_col)
+        ivf = IVFIndex(centers, coded, vec_col, id_col)
+        return cls(ivf, pq, coded)
+
+    def search(
+        self,
+        probes: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        probe_id_col: str = "probe_id",
+        rerank_factor: int = 4,
+        rerank: bool | DataFrame = True,
+        probe_rows=None,
+    ) -> DataFrame:
+        """Prune to the probes' nprobe nearest cells, ADC-scan the
+        STORED codes (projection: id, pq_code — no raw floats), then
+        exact-re-rank the rerank_factor*k survivors against the raw
+        column of the same pruned cells (or a DataFrame passed as
+        ``rerank``; ``rerank=False`` returns the ADC ranking)."""
+        if probe_rows is None:
+            probe_rows = probes.select(probe_id_col, self.vec_col).collect()
+        cells: set[int] = set()
+        for r in probe_rows:
+            cells.update(_nearest_cells(self.ivf.centers, r[self.vec_col], nprobe))
+        pruned = self.coded.where(F.col("cell").isin(sorted(cells)))
+        if rerank is True:
+            if self.vec_col not in self.coded.columns:
+                raise ValueError(
+                    "index was built/saved without raw vectors "
+                    "(keep_raw=False); pass rerank=<raw corpus DataFrame> "
+                    "or rerank=False"
+                )
+            rerank_with = pruned
+        elif rerank is False:
+            rerank_with = None
+        else:
+            rerank_with = rerank
+        return self.pq.adc_topk(
+            pruned,
+            probes,
+            k=k,
+            probe_id_col=probe_id_col,
+            rerank_with=rerank_with,
+            rerank_factor=rerank_factor,
+            probe_rows=probe_rows,
+        )
+
+    def search_flat(
+        self,
+        probes: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        probe_id_col: str = "probe_id",
+        probe_rows=None,
+    ) -> DataFrame:
+        """IVF-flat over the same coded table (exact cosines within
+        the probed cells, ignoring the code column) — the higher-recall
+        tier when reading raw vectors is acceptable."""
+        if self.vec_col not in self.coded.columns:
+            raise ValueError(
+                "flat search needs the raw vector column; this index was "
+                "built/saved with keep_raw=False"
+            )
+        # search over the CODED table (not ivf.assigned) so both tiers
+        # share one lineage — a persist() on self.coded serves flat and
+        # PQ searches from the same materialization
+        flat = IVFIndex(self.ivf.centers, self.coded, self.vec_col, self.id_col)
+        return flat.search(
+            probes, k=k, nprobe=nprobe, probe_id_col=probe_id_col,
+            probe_rows=probe_rows,
+        )
 
 
 def embedding_near_dup_pairs(

@@ -45,11 +45,9 @@ from snapflow_spark.operators.dedup_text import (
     simhash_sha_candidates,
 )
 from snapflow_spark.operators.similarity import (
-    IVFIndex,
-    PQCodec,
+    IVFPQIndex,
     brute_force_topk,
     embedding_near_dup_pairs_int,
-    ivf_pq_topk,
 )
 from snapflow_spark.registry import query
 
@@ -447,26 +445,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_similarity_ann")  # rows-only: IVF approximate search
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged union (round 4) of the two ANN tiers over one shared
-    coarse quantizer — rows-only by design (KMeans cells have no SQL
-    oracle; recall property-tested against brute force in pytest):
+    """Tagged union (round 4; restructured round 5) of the two ANN
+    tiers over ONE shared IVFPQIndex — rows-only by design (KMeans
+    cells have no SQL oracle; recall property-tested against brute
+    force in pytest):
     - 'ivf': IVF-flat approximate top-5 for 3 probes (nprobe=4 of 16)
       — exact cosines within probed cells.
-    - 'ivfpq': the FAISS-shaped IVF-PQ cascade (operators.similarity
-      .ivf_pq_topk): same cell pruning, ADC scan over m-byte codes
-      (the 64x memory path), exact re-rank of rerank_factor*k
-      survivors."""
+    - 'ivfpq': the FAISS-shaped IVF-PQ cascade: same cell pruning, ADC
+      scan over the STORED m-byte code column (the 64x memory path),
+      exact re-rank of rerank_factor*k survivors.
+
+    One training-sample collect feeds both the coarse quantizer and
+    the PQ codebooks, and assign+encode is a single pass over the
+    corpus; the coded table is persisted for the run so both branches
+    (and the re-rank) read one materialization instead of re-running
+    the assignment/encode UDF chain per branch (the round-4 shape
+    rebuilt the index per branch — measured ~2x the warm time)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    index = IVFIndex.build(emb, k_cells=16)
-    flat = index.search(probes, k=5, nprobe=4).select(
+    idx = IVFPQIndex.build(emb, k_cells=16, m=4, n_codes=32)
+    idx.coded = idx.coded.persist()
+    rows = probes.collect()  # ONE probe collect shared by both tiers
+    flat = idx.search_flat(probes, k=5, nprobe=4, probe_rows=rows).select(
         F.lit("ivf").alias("branch"), "probe_id", "vec_id",
         F.round("cos", 6).alias("cos"),
     )
-    pq = PQCodec.train(emb, m=4, n_codes=32)
-    pq_hits = ivf_pq_topk(index, pq, probes, k=5, nprobe=4).select(
+    pq_hits = idx.search(probes, k=5, nprobe=4, probe_rows=rows).select(
         F.lit("ivfpq").alias("branch"), "probe_id", "vec_id",
         F.round("cos", 6).alias("cos"),
     )

@@ -1199,3 +1199,76 @@ def test_jpeg_multi_scan_raises():
     )
     with pytest.raises(NotImplementedError, match="multi-scan"):
         decode_jpeg(patched)
+
+
+def test_ivfpq_index_save_load_and_stored_code_scan(embeddings, tmp_path):
+    """The STANDING IVF-PQ index: save/load round-trips the coded
+    table + centroids + codebooks; a search on the loaded index ADC-
+    scans the STORED pq_code column (the scan's ReadSchema carries no
+    raw-vector column when rerank is off), prunes to the probed cell
+    partitions, and returns the same neighbors as the in-memory build
+    with recall matching the ad-hoc encode-per-search path."""
+    from snapflow_spark.operators.similarity import (
+        IVFPQIndex,
+        PQCodec,
+        ivf_pq_topk,
+    )
+
+    spark = embeddings.sparkSession
+    probes = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    idx = IVFPQIndex.build(embeddings, k_cells=8, m=4, n_codes=32)
+    before = {
+        (r.probe_id, r.vec_id)
+        for r in idx.search(probes, k=5, nprobe=3, rerank_factor=6).collect()
+    }
+    # parity with the ad-hoc form at identical parameters: same cells,
+    # same codebooks (shared seed/sample), same re-rank
+    pq_same = PQCodec.train(embeddings, m=4, n_codes=32)
+    adhoc = {
+        (r.probe_id, r.vec_id)
+        for r in ivf_pq_topk(
+            idx.ivf, pq_same, probes, k=5, nprobe=3, rerank_factor=6
+        ).collect()
+    }
+    assert before == adhoc
+
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    loaded = IVFPQIndex.load(spark, path)
+    after = {
+        (r.probe_id, r.vec_id)
+        for r in loaded.search(probes, k=5, nprobe=3, rerank_factor=6).collect()
+    }
+    assert after == before
+
+    # the ADC stage of a loaded-index search reads ONLY (id, code):
+    # with rerank off the whole plan's parquet ReadSchema must contain
+    # pq_code and must NOT contain the raw embedding column
+    adc_only = loaded.search(probes, k=5, nprobe=3, rerank=False)
+    plan = adc_only._jdf.queryExecution().executedPlan().toString()
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("pq_code" in ln for ln in schemas)
+    assert all("embedding" not in ln for ln in schemas)
+
+    # partition pruning on the stored layout: one cell -> one cell dir
+    one = loaded.coded.where(F.col("cell") == 2)
+    files = {r[0] for r in one.select(F.input_file_name()).distinct().collect()}
+    assert files and all("cell=2" in f for f in files)
+
+    # keep_raw=False builds a pure code index; flat/rerank demand raw
+    lean = IVFPQIndex.build(embeddings, k_cells=8, m=4, n_codes=32, keep_raw=False)
+    assert "embedding" not in lean.coded.columns
+    with pytest.raises(ValueError, match="keep_raw"):
+        lean.search_flat(probes)
+    with pytest.raises(ValueError, match="rerank"):
+        lean.search(probes)
+    # external-corpus re-rank still works on the lean index
+    ext = {
+        (r.probe_id, r.vec_id)
+        for r in lean.search(
+            probes, k=5, nprobe=3, rerank_factor=6, rerank=embeddings
+        ).collect()
+    }
+    assert ext == before
