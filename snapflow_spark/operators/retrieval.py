@@ -59,6 +59,123 @@ def doc_terms(
     )
 
 
+def _query_terms(
+    queries: DataFrame, query_id_col: str, query_text_col: str
+) -> DataFrame:
+    return queries.select(
+        F.col(query_id_col), F.explode(word_tokens_expr(query_text_col)).alias("term")
+    ).distinct()
+
+
+def word_tokens_py(text: str) -> list[str]:
+    """Pure-Python twin of ``word_tokens_expr``: maximal runs of
+    Unicode LETTERS (category L*) of the lowercased text — exactly
+    Java regex ``[\\p{L}]+`` (the class matches Unicode general
+    category L). Python's ``re`` has no ``\\p{L}``, and ``[^\\W\\d_]``
+    is NOT equivalent (Python ``\\w`` admits combining marks and
+    letter-numbers), so the category test is explicit. Parity with
+    the Spark expression is pinned in tests over multilingual input."""
+    import unicodedata
+
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in (text or "").lower():
+        if unicodedata.category(ch).startswith("L"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _query_terms_local(
+    queries: DataFrame, query_id_col: str, query_text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-materialized query terms: distinct (query_id, term)
+    pairs plus the distinct term list, tokenized driver-side with
+    ``word_tokens_py`` (pinned equal to the corpus-side Spark regex).
+    Query sets are small by contract — they broadcast into every
+    search join anyway — so resolving them locally (zero Spark jobs;
+    only the collect of the tiny queries frame) keeps the SEARCH plan
+    corpus-only: the per-run DAG carries two LocalTableScans instead
+    of two distinct exchanges, and no blocking tokenize job runs per
+    search (measured: an eager Spark-side distinct+collect cost ~0.5 s
+    per invocation at local[32] — pure scheduler overhead)."""
+    spark = queries.sparkSession
+    pid_type = queries.schema[query_id_col].dataType.simpleString()
+    pairs = {
+        (r[0], t)
+        for r in queries.select(query_id_col, query_text_col).collect()
+        for t in word_tokens_py(r[1])
+    }
+    q_terms = spark.createDataFrame(
+        sorted(pairs), f"{query_id_col} {pid_type}, term string"
+    )
+    term_list = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, t in pairs})], "term string"
+    )
+    return q_terms, term_list
+
+
+def _candidates_with_df(terms: DataFrame, term_list: DataFrame) -> DataFrame:
+    """Candidate postings (docs containing >=1 query term) with the
+    per-term document frequency attached AS A WINDOW over the SAME
+    subtree. This is what makes the search single-pass: computing df
+    as a separate aggregate would reference the postings twice and
+    Spark would evaluate the corpus-sized explode+groupBy build once
+    per reference (the round-4 shape — its q_similarity_topk plan
+    showed 10 scans / 10 exchanges and 2.08 s warm; a persist() fixes
+    the double build but pays cache-write + eviction pressure and
+    measured SLOWER than this form at sf0.1: 2.4 s vs 1.4 s). The
+    window shuffles only the CANDIDATE set — already pruned by the
+    broadcast query-term join — and over a term-bucketed standing
+    index it needs no exchange at all (scan partitioning satisfies
+    partitionBy(term); plan-asserted in tests)."""
+    from pyspark.sql import Window
+
+    return terms.join(F.broadcast(term_list), "term").withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("bigint")
+    )
+
+
+def _bm25_rank(
+    terms: DataFrame,
+    q_terms: DataFrame,
+    term_list: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared scoring tail over any postings source (freshly built or
+    a standing bucketed index): broadcast query terms prune to the
+    candidate set, df rides along as a window (see _candidates_with_df),
+    the one-row corpus stats broadcast in, and aggregation/ranking run
+    on candidates only. The corpus-sized postings are referenced
+    exactly once and never shuffle for a search."""
+    cand = _candidates_with_df(terms, term_list)
+    avgdl = F.col("__sum_dl").cast("double") / F.col("__n")
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (1.0 + k1)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    scored = (
+        cand.join(F.broadcast(q_terms), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    return grouped_topk(
+        scored, [query_id_col], [F.col("score").desc(), F.col(id_col).asc()], k
+    ).select(query_id_col, id_col, "score")
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -70,7 +187,9 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
 ) -> DataFrame:
-    """Okapi BM25 top-k documents per query.
+    """Okapi BM25 top-k documents per query (ad-hoc form: index built
+    in-query; ``build_postings_index`` + ``bm25_topk_indexed`` is the
+    standing-index form that skips the build entirely).
 
     ``score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
     over the DISTINCT terms of the query, with the standard
@@ -80,54 +199,86 @@ def bm25_topk(
     exact int64 sum divided once, and the final score is rounded to 6
     decimals BEFORE ranking — the determinism contract above.
 
-    Scale shape: postings (corpus-sized) are built with one shuffle
-    and then joined to the BROADCAST query-term list, so the search
-    itself never shuffles the corpus; the per-(query, doc) sum and the
-    top-k window run on the candidate set only (docs containing at
-    least one query term). For a standing index, persist ``doc_terms``
-    bucketed by term and this plan reads only matching buckets.
-    """
+    Scale shape: the postings build (explode + one shuffle) appears
+    exactly ONCE in the plan — document frequencies ride the candidate
+    set as a window instead of re-aggregating the postings subtree
+    (_candidates_with_df has the measurements). The corpus stats are a
+    second, map-only tokenize pass (count + sum, no shuffle; zero-token
+    docs count toward N but never appear in postings), folded in as a
+    BROADCAST one-row join so the whole query stays one lazy plan —
+    an eager .first() would cost a separate job per invocation.
+    avgdl = exact int64 sum / exact count — deterministic."""
     terms = doc_terms(docs, text_col, id_col)
-    # N and avgdl from the docs scan itself (zero-token docs count
-    # toward N but never appear in postings), folded in as a BROADCAST
-    # one-row join so the whole query stays one lazy plan — an eager
-    # .first() here would cost a separate job per invocation.
-    # avgdl = exact int64 sum / exact count — deterministic.
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum(F.size(word_tokens_expr(text_col)).cast("bigint")).alias("__sum_dl"),
     )
+    q_terms, term_list = _query_terms_local(queries, query_id_col, query_text_col)
+    return _bm25_rank(
+        terms, q_terms, term_list, stats, k, k1, b, id_col, query_id_col
+    )
 
-    q_terms = queries.select(
-        F.col(query_id_col), F.explode(word_tokens_expr(query_text_col)).alias("term")
-    ).distinct()
-    # document frequencies only for the (broadcast) query terms — the
-    # full corpus vocabulary is never broadcast
-    df_q = (
-        terms.join(F.broadcast(q_terms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+
+def build_postings_index(
+    docs: DataFrame,
+    table: str,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the STANDING inverted index: ``doc_terms`` written
+    as a parquet table BUCKETED (and sorted) BY TERM, plus a one-row
+    ``{table}_stats`` companion (N, Σdl) so searches never touch the
+    raw corpus at all.
+
+    Why bucketed by term: a search's first corpus-side operation is
+    the per-term document-frequency aggregate. On a term-bucketed
+    table the scan's output partitioning already satisfies
+    ``groupBy(term)``, so the df aggregate — and the scoring join,
+    also keyed on term — run with ZERO exchanges over the postings
+    (plan-asserted in tests). At 100 TB the index is paid once at
+    write; every search after that is broadcast-join + candidate-set
+    work only."""
+    from snapflow_spark.sources.io import drop_table_and_location, refresh_bucketed
+
+    spark = docs.sparkSession
+    terms = doc_terms(docs, text_col, id_col).persist()
+    refresh_bucketed(terms, table, ["term"], n_buckets, sort_cols=["term"])
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    sum_dl = (
+        terms.select(id_col, "dl")
+        .groupBy(id_col)
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.sum("dl").alias("__sum_dl"))
     )
-    avgdl = F.col("__sum_dl").cast("double") / F.col("__n")
-    idf = F.log(
-        F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    stats_table = f"{table}_stats"
+    drop_table_and_location(spark, stats_table)
+    n_docs.crossJoin(sum_dl).write.saveAsTable(stats_table)
+    terms.unpersist()
+
+
+def bm25_topk_indexed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """BM25 search against a ``build_postings_index`` table: identical
+    scores/ranking to ``bm25_topk`` (parity-tested), but the plan
+    reads the PERSISTED postings — no tokenization, no index build,
+    and no exchange over the postings (bucketed-by-term scan feeds
+    the df aggregate and scoring join directly)."""
+    terms = spark.table(table)
+    stats = spark.table(f"{table}_stats")
+    q_terms, term_list = _query_terms_local(queries, query_id_col, query_text_col)
+    return _bm25_rank(
+        terms, q_terms, term_list, stats, k, k1, b, id_col, query_id_col
     )
-    tf_part = (F.col("tf") * (1.0 + k1)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
-    )
-    # ONE broadcast side: per-term df × the one-row corpus stats —
-    # broadcasting them separately costs an extra broadcast-exchange
-    # job per query run for no benefit (both are tiny)
-    df_q_stats = df_q.crossJoin(stats)
-    scored = (
-        terms.join(F.broadcast(q_terms), "term")
-        .join(F.broadcast(df_q_stats), "term")
-        .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
-    )
-    return grouped_topk(
-        scored, [query_id_col], [F.col("score").desc(), F.col(id_col).asc()], k
-    ).select(query_id_col, id_col, "score")
 
 
 def bm25_oracle_sql(

@@ -31,11 +31,18 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
+    single_probe: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every probe row. The probe set
     is broadcast (it is small by construction); the corpus never
     shuffles. Returns (probe_id, vec_id, cos) with deterministic
-    tie-break on vec_id."""
+    tie-break on vec_id.
+
+    ``single_probe=True`` (caller guarantees exactly one probe row)
+    plans the ranking as global top-k — TakeOrderedAndProject: each
+    partition keeps its local k, the driver merges N_partitions×k —
+    instead of a one-group window that shuffles every scored row to a
+    single task. Same rows, strictly better plan for one probe."""
     p = F.broadcast(
         probes.select(
             F.col(probe_id_col), F.col(vec_col).alias("__probe_vec")
@@ -46,6 +53,8 @@ def brute_force_topk(
         id_col,
         cosine_similarity(vec_col, "__probe_vec").alias("cos"),
     )
+    if single_probe:
+        return topk(scored, [F.col("cos").desc(), F.col(id_col).asc()], k)
     return grouped_topk(
         scored, [probe_id_col], [F.col("cos").desc(), F.col(id_col).asc()], k
     )

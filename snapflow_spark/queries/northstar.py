@@ -112,7 +112,9 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("probe_id"), "embedding"
     )
     corpus = emb.where(F.col("vec_id") != 0)
-    cos = brute_force_topk(corpus, probes, k=5).select(
+    # single_probe: the probe set is the one vec_id=0 row by
+    # construction -> TakeOrderedAndProject instead of a window shuffle
+    cos = brute_force_topk(corpus, probes, k=5, single_probe=True).select(
         F.lit("cos").alias("branch"),
         F.lit(0).cast("bigint").alias("qid"),
         F.col("vec_id").alias("item_id"),

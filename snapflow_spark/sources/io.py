@@ -152,18 +152,25 @@ def refresh_bucketed(
     LOCATION_ALREADY_EXISTS on create even though the catalog has no
     such table. Drop the catalog entry AND clear the orphaned
     location, then write, then return the bucketed scan."""
+    spark = df.sparkSession
+    drop_table_and_location(spark, table)
+    write_bucketed(df, table, bucket_cols, n_buckets, sort_cols=sort_cols)
+    return spark.table(table)
+
+
+def drop_table_and_location(spark, table: str) -> None:
+    """Drop a managed table AND its (possibly orphaned) warehouse dir —
+    required before any managed-table overwrite in a fresh-metastore
+    session (see refresh_bucketed's docstring)."""
     import shutil
     from pathlib import Path
     from urllib.parse import urlparse
 
-    spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     leftover = Path(warehouse) / table.lower()
     if leftover.exists():
         shutil.rmtree(leftover)
-    write_bucketed(df, table, bucket_cols, n_buckets, sort_cols=sort_cols)
-    return spark.table(table)
 
 
 def write_parquet_partitioned(

@@ -165,3 +165,84 @@ def test_bm25_oracle_sql_escapes_quotes():
     con.execute("INSERT INTO documents VALUES (1, 'a join is a join'), (2, 'nothing here')")
     got = con.execute(sql).fetchall()
     assert [r[1] for r in got] == [1]  # only the matching doc scores
+
+
+def test_bm25_standing_index_parity_and_plan(spark, docs):
+    """build_postings_index + bm25_topk_indexed: identical results to
+    the ad-hoc bm25_topk, and the search plan runs ZERO exchanges over
+    the postings — the bucketed-by-term scan directly satisfies the
+    document-frequency aggregate's distribution (the standing-index
+    promise: searches never shuffle or re-tokenize the corpus)."""
+    from snapflow_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_postings_index,
+    )
+
+    qdf = spark.createDataFrame(
+        [(1, "spark join"), (2, "hash aggregation")],
+        "query_id bigint, query_text string",
+    )
+    adhoc = {
+        (r.query_id, r.doc_id, r.score)
+        for r in bm25_topk(docs, qdf, k=3).collect()
+    }
+    build_postings_index(docs, "bm25_postings_t", n_buckets=4)
+    indexed_df = bm25_topk_indexed(spark, "bm25_postings_t", qdf, k=3)
+    indexed = {(r.query_id, r.doc_id, r.score) for r in indexed_df.collect()}
+    assert indexed == adhoc and indexed
+
+    # plan hygiene: the candidate+df window over the bucketed postings
+    # needs no shuffle (scan output partitioning satisfies the window's
+    # partitionBy(term) demand)
+    from snapflow_spark.operators.retrieval import (
+        _candidates_with_df,
+        _query_terms,
+    )
+
+    terms = spark.table("bm25_postings_t")
+    q_terms = _query_terms(qdf, "query_id", "query_text")
+    cand = _candidates_with_df(terms, q_terms)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # the tiny query-term list may shuffle/broadcast (it is rows, not
+    # the corpus); what must NOT appear is any shuffle on the POSTINGS
+    # side — everything printed before the BroadcastExchange branch is
+    # the streamed postings subtree
+    postings_side = plan.split("BroadcastExchange")[0]
+    assert "FileScan" in postings_side and "Bucketed: true" in postings_side, plan
+    assert "Window" in postings_side, plan
+    assert "Exchange hashpartitioning" not in postings_side, plan
+    assert "Exchange rangepartitioning" not in postings_side, plan
+    # and no tokenization anywhere in the full indexed search plan
+    full = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_extract_all(lower(text" not in full
+
+
+def test_word_tokens_py_matches_spark_expr(spark):
+    """word_tokens_py (driver-side query tokenizer) must agree with
+    word_tokens_expr (the corpus-side Java regex [\\p{L}]+) on
+    multilingual, mark-bearing, digit-mixed and empty input — the
+    BM25 oracle contract depends on both sides tokenizing alike."""
+    from snapflow_spark.operators.retrieval import (
+        word_tokens_expr,
+        word_tokens_py,
+    )
+
+    samples = [
+        "Hash JOIN scan",
+        "наïve café построение план",   # latin+cyrillic+diacritics
+        "日本語のトークン化 テスト",        # CJK + katakana, no spaces
+        "mixed42numbers and_under_scores",
+        "étude",                  # combining acute: mark splits the run
+        "ΐ ϊ Ϊ",                        # greek with diacritics
+        "½ ² ℓ №",                      # number-letters & symbols
+        "",
+        "...!!!",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i bigint, t string")
+    got = {
+        r.i: list(r.toks)
+        for r in df.select("i", word_tokens_expr("t").alias("toks")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == word_tokens_py(s), (s, got[i], word_tokens_py(s))
