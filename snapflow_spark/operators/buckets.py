@@ -29,22 +29,49 @@ def bucketed_pairs(
     member_struct: Column,
     pair_fn: Callable[[Column, Column], Column],
     max_bucket: int = 64,
+    observation=None,
 ) -> DataFrame:
     """``df`` has one row per (bucket key, member). Returns one row per
     in-bucket ordered pair, shaped by ``pair_fn(a, b) -> struct``.
 
     ``member_struct``'s FIRST field must be the unique id — members are
     sorted on it, so pair_fn always sees id_a < id_b. Callers dedupe
-    across buckets afterwards (dropDuplicates on the pair ids)."""
-    buckets = (
-        df.groupBy(*bucket_cols)
-        .agg(
-            F.slice(F.array_sort(F.collect_list(member_struct)), 1, max_bucket).alias(
-                "members"
-            )
-        )
-        .where(F.size("members") > 1)
+    across buckets afterwards (dropDuplicates on the pair ids).
+
+    ``observation`` (a ``pyspark.sql.Observation``): the max_bucket
+    truncation is a RECALL loss by design — degenerate buckets are cut
+    after an id-sort rather than exploding N² — but in production that
+    loss must be measurable, not silent. When an Observation is
+    passed, truncation counters accumulate on it during whatever
+    action the caller runs anyway (zero extra scans, same contract as
+    quality.observe_expectations): ``buckets`` (all), ``pair_buckets``
+    (>1 member), ``truncated_buckets`` (> max_bucket members),
+    ``dropped_members`` (members cut), ``dropped_pairs`` (candidate
+    pairs lost: C(n,2) − C(max_bucket,2) summed over truncated
+    buckets), ``max_bucket_size``. Read ``observation.get`` AFTER the
+    first action."""
+    grouped = df.groupBy(*bucket_cols).agg(
+        F.collect_list(member_struct).alias("__all")
     )
+    sized = grouped.select(
+        *bucket_cols,
+        F.size("__all").alias("__n"),
+        F.slice(F.array_sort("__all"), 1, max_bucket).alias("members"),
+    )
+    if observation is not None:
+        n, m = F.col("__n"), F.lit(max_bucket)
+        sized = sized.observe(
+            observation,
+            F.count(F.lit(1)).alias("buckets"),
+            F.sum((n > 1).cast("long")).alias("pair_buckets"),
+            F.sum((n > m).cast("long")).alias("truncated_buckets"),
+            F.sum(F.greatest(n - m, F.lit(0)).cast("long")).alias("dropped_members"),
+            F.sum(
+                F.when(n > m, (n * (n - 1) - m * (m - 1)) / 2).otherwise(0)
+            ).cast("long").alias("dropped_pairs"),
+            F.max(n).alias("max_bucket_size"),
+        )
+    buckets = sized.where(F.size("members") > 1)
     pair_structs = F.flatten(
         F.transform(
             F.col("members"),

@@ -178,6 +178,7 @@ def cap_per_domain(
     domain_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "cap-v1",
+    observation=None,
 ) -> DataFrame:
     """Per-domain document cap — the anti-domination sampler every web
     corpus runs (one crawl-happy domain must not become 30% of the
@@ -194,11 +195,25 @@ def cap_per_domain(
     cuts to ``cap`` rows; for caps ≪ domain size a cheaper two-phase
     variant (hash-bucket pre-filter to ~2·cap, then the window) drops
     the sorted volume — same result, worth it only when domains run to
-    billions of rows."""
+    billions of rows.
+
+    ``observation`` (``pyspark.sql.Observation``): the cap drops rows
+    BY DESIGN; in production that loss must be measurable. When given,
+    counters accumulate during the caller's own action (zero extra
+    scans): ``rows_in``, ``rows_kept``, ``rows_dropped``, and
+    ``capped_domains`` (domains that actually hit the cap — counted
+    exactly as rows with rank cap+1, which exists once per such
+    domain). Read ``observation.get`` AFTER the first action."""
     order = F.sha2(F.concat(F.lit(salt), F.col(id_col).cast("string")), 256)
     w = Window.partitionBy(domain_col).orderBy(order.asc(), F.col(id_col).asc())
-    return (
-        df.withColumn("__cap_rn", F.row_number().over(w))
-        .where(F.col("__cap_rn") <= cap)
-        .drop("__cap_rn")
-    )
+    ranked = df.withColumn("__cap_rn", F.row_number().over(w))
+    if observation is not None:
+        rn = F.col("__cap_rn")
+        ranked = ranked.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum((rn <= cap).cast("long")).alias("rows_kept"),
+            F.sum((rn > cap).cast("long")).alias("rows_dropped"),
+            F.sum((rn == cap + 1).cast("long")).alias("capped_domains"),
+        )
+    return ranked.where(F.col("__cap_rn") <= cap).drop("__cap_rn")

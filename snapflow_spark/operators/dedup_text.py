@@ -76,6 +76,7 @@ def simhash_candidates(
     n_bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int = 64,
+    observation=None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded SimHash: ONE shuffle on the
     band key, in-bucket pair generation with higher-order fns, exact
@@ -95,6 +96,7 @@ def simhash_candidates(
             F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
         ),
         max_bucket=max_bucket,
+        observation=observation,
     )
     return pairs.where(F.col("hamming") <= max_hamming).dropDuplicates(["id_a", "id_b"])
 
@@ -105,6 +107,7 @@ def simhash_sha_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 64,
+    observation=None,
 ) -> DataFrame:
     """SimHash near-dup candidates in the ORACLE-REPRODUCIBLE form: the
     64-bit signature is built from sha256 token hashes with pure
@@ -153,6 +156,7 @@ def simhash_sha_candidates(
             ).cast("bigint").alias("hamming"),
         ),
         max_bucket=max_bucket,
+        observation=observation,
     )
     return pairs.where(F.col("hamming") <= max_hamming).dropDuplicates(["id_a", "id_b"])
 
@@ -199,6 +203,7 @@ def minhash_candidates(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     max_bucket: int = 64,
+    observation=None,
     seed: int = 42,  # noqa: ARG001 — hashing is xxhash64-fixed; kept for API stability
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs, hand-rolled banding
@@ -251,6 +256,7 @@ def minhash_candidates(
             _sig_match_fraction(x["sig"], y["sig"], k).alias("est_jaccard"),
         ),
         max_bucket=max_bucket,
+        observation=observation,
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
 
@@ -260,6 +266,7 @@ def minhash_sha_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 64,
+    observation=None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates in the ORACLE-REPRODUCIBLE
     form: k=32 universal-hash permutations (a_i*h + b_i mod 2^31-1,
@@ -289,6 +296,7 @@ def minhash_sha_candidates(
         F.struct("id"),
         lambda x, y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b")),
         max_bucket=max_bucket,
+        observation=observation,
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
 
@@ -299,6 +307,7 @@ def mingram_candidates(
     id_col: str = "doc_id",
     n: int = 3,
     max_bucket: int = 64,
+    observation=None,
 ) -> DataFrame:
     """Deterministic near-dup candidate pairs via min-gram blocking —
     a 1-permutation MinHash: each doc's block key is the minimum
@@ -324,6 +333,7 @@ def mingram_candidates(
         F.struct("id"),
         lambda x, y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b")),
         max_bucket=max_bucket,
+        observation=observation,
     )
     # one block per doc -> no cross-bucket duplicates to drop
     return pairs

@@ -738,6 +738,7 @@ def embedding_near_dup_pairs(
     bits_per_band: int = 12,
     max_bucket: int = 64,
     seed: int = 42,
+    observation=None,
 ) -> DataFrame:
     """Cosine-near-duplicate pairs via signed-random-projection LSH:
     each vector gets n_bands*bits_per_band hyperplane sign bits
@@ -792,6 +793,7 @@ def embedding_near_dup_pairs(
             cosine_similarity(x["__vec"], y["__vec"]).alias("cos"),
         ),
         max_bucket=max_bucket,
+        observation=observation,
     )
     return pairs.where(F.col("cos") >= cos_threshold).dropDuplicates(["id_a", "id_b"])
 
@@ -805,6 +807,7 @@ def embedding_near_dup_pairs_int(
     bits_per_band: int | None = 6,
     max_bucket: int = 128,
     quant: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """embedding_near_dup_pairs in the ORACLE-REPRODUCIBLE form: the
     SRP hyperplanes are ±1 Rademacher weights derived from a
@@ -880,5 +883,6 @@ def embedding_near_dup_pairs_int(
             cosine_similarity(x["__vec"], y["__vec"]).alias("cos"),
         ),
         max_bucket=max_bucket,
+        observation=observation,
     )
     return pairs.where(F.col("cos") >= cos_threshold).dropDuplicates(["id_a", "id_b"])

@@ -383,13 +383,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256 gram hashes, b=16 x r=2 banding, packed-bigint band keys,
     id-sorted bucket truncation) — upgraded from rows-only in round 3,
     completing the LSH family: every dedup tier (exact, min-gram,
-    simhash, minhash) is now hash-matched cross-engine."""
+    simhash, minhash) is now hash-matched cross-engine.
+
+    Truncation observability (round 5): the band-bucket truncation is
+    the cascade's only silent recall loss, so the query attaches an
+    Observation to the candidate generator — counters (truncated
+    buckets, dropped members/pairs, max bucket size) accumulate during
+    the driver's own action at zero extra cost and are exposed on the
+    returned DataFrame as ``lsh_observation`` (read ``.get`` after the
+    action; tests/test_northstar.py plants a mega-bucket and checks
+    the loss is reported)."""
+    from pyspark.sql import Observation
+
     d = load_table(spark, sf_dir, "documents")
-    cands = minhash_sha_candidates(d)
+    obs = Observation("minhash_truncation")
+    cands = minhash_sha_candidates(d, observation=obs)
     verified = ngram_jaccard_pairs(d, cands.select("id_a", "id_b"), n=3)
-    return verified.where(F.col("jaccard") >= 0.4).select(
+    out = verified.where(F.col("jaccard") >= 0.4).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+    out.lsh_observation = obs
+    return out
 
 
 @query(

@@ -1272,3 +1272,58 @@ def test_ivfpq_index_save_load_and_stored_code_scan(embeddings, tmp_path):
         ).collect()
     }
     assert ext == before
+
+
+def test_lsh_truncation_observability(spark):
+    """bucketed_pairs' max_bucket cut is a designed recall loss; with
+    an Observation attached the loss is MEASURED during the caller's
+    own action. Plant a mega-bucket (many identical docs collapse into
+    one band bucket) and check the counters report exactly what was
+    dropped; a clean corpus reports zero truncation."""
+    from pyspark.sql import Observation
+
+    from snapflow_spark.operators.dedup_text import minhash_sha_candidates
+
+    n_copies, cap = 24, 8
+    rows = [(i, "the exact same sentence repeated everywhere") for i in range(n_copies)]
+    rows += [(1000 + j, f"unique filler document number {j} talking about topic {j}") for j in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    obs = Observation("trunc")
+    cands = minhash_sha_candidates(df, max_bucket=cap, observation=obs)
+    cands.count()  # the action the pipeline would run anyway
+    m = obs.get
+    # identical docs share ALL 16 band buckets -> every one truncated
+    assert m["truncated_buckets"] == 16
+    assert m["max_bucket_size"] == n_copies
+    assert m["dropped_members"] == 16 * (n_copies - cap)
+    expect_lost = (n_copies * (n_copies - 1) - cap * (cap - 1)) // 2
+    assert m["dropped_pairs"] == 16 * expect_lost
+    assert m["pair_buckets"] >= 16
+
+    # clean corpus: counters exist and report zero loss
+    clean = spark.createDataFrame(
+        [(j, f"totally distinct text {j} about theme {j * 7}") for j in range(20)],
+        "doc_id bigint, text string",
+    )
+    obs2 = Observation("trunc2")
+    minhash_sha_candidates(clean, max_bucket=cap, observation=obs2).count()
+    m2 = obs2.get
+    assert m2["truncated_buckets"] == 0 and m2["dropped_members"] == 0
+    assert m2["dropped_pairs"] == 0
+
+
+def test_q_dedup_minhash_surfaces_truncation_metrics(spark):
+    """The declared query exposes the cascade's truncation Observation
+    on its returned DataFrame — recall loss is inspectable after the
+    driver's action with zero extra scans."""
+    import snapflow_spark.queries  # noqa: F401 — register
+    from snapflow_spark.registry import all_queries
+
+    df = all_queries()["q_dedup_minhash"](spark, "/root/testdata/sf0.001")
+    assert hasattr(df, "lsh_observation")
+    df.count()
+    m = df.lsh_observation.get
+    assert m["buckets"] > 0 and m["max_bucket_size"] >= 1
+    assert m["dropped_members"] >= 0  # counters present and consistent
+    assert m["truncated_buckets"] <= m["buckets"]

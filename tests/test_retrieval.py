@@ -246,3 +246,24 @@ def test_word_tokens_py_matches_spark_expr(spark):
     }
     for i, s in enumerate(samples):
         assert got[i] == word_tokens_py(s), (s, got[i], word_tokens_py(s))
+
+
+def test_cap_per_domain_observability(spark, docs):
+    """cap_per_domain drops rows by design; with an Observation the
+    drop is measured during the caller's own action: rows in/kept/
+    dropped plus the number of domains that actually hit the cap."""
+    from pyspark.sql import Observation
+
+    obs = Observation("cap")
+    capped = cap_per_domain(docs, cap=1, domain_col="source", observation=obs)
+    assert capped.count() == 3
+    m = obs.get
+    assert m["rows_in"] == len(DOCS)
+    assert m["rows_kept"] == 3
+    assert m["rows_dropped"] == len(DOCS) - 3
+    assert m["capped_domains"] == 3  # every source has 2 docs, cap=1
+
+    obs2 = Observation("cap2")
+    cap_per_domain(docs, cap=10, domain_col="source", observation=obs2).count()
+    m2 = obs2.get
+    assert m2["rows_dropped"] == 0 and m2["capped_domains"] == 0
