@@ -97,3 +97,145 @@ def test_api_to_curated_stats_incremental_equals_batch(spark, tmp_path):
     assert got["en"] == (4, 31)  # docs 0,2,4,6 = 9+7+8+7 tokens
     # nothing new -> fixed point, no node runs
     assert g.produce(spark) == 0
+
+
+def test_full_curation_chain_incremental_equals_batch(spark, tmp_path):
+    """The COMPLETE q_pipeline_docs chain — exact dedup -> quality
+    gate -> per-domain cap -> sha256 split -> sequence packing ->
+    per-lang stats — run incrementally over ticks must equal the
+    one-shot batch. The cap stage is the interesting one: 'at most
+    cap docs per domain' is a property of the ACCUMULATED corpus, so
+    the node must be REFERENCE over the full history (recompute-on-
+    delta-arrival); a per-tick cap admits up to cap docs per domain
+    PER TICK and over-admits — demonstrated by the consumable-mode
+    control at the end."""
+    from snapflow_spark.operators.curation import (
+        cap_per_domain,
+        pack_sequences,
+        split_by_hash,
+    )
+
+    # 16 docs, 3 sources; s0 has 7 gated survivors (> cap) spread
+    # across both ticks so the accumulated-cap selection must be
+    # revised when tick 2 lands; dup pairs span the tick boundary;
+    # 'nope' fails the 4-token floor
+    def t(i, words, lang, src):
+        return (i, " ".join(words), lang, src)
+
+    docs = [
+        t(0, ["alpha", "beta", "gamma", "delta", "epsilon"], "en", "s0"),
+        t(1, ["zeta", "eta", "theta", "iota"], "en", "s0"),
+        t(2, ["kappa", "la", "mu", "nu", "xi"], "de", "s1"),
+        t(3, ["omicron", "pi", "rho", "sigma"], "en", "s0"),
+        t(4, ["tau", "upsilon", "phi", "chi", "psi"], "en", "s2"),
+        t(5, ["nope"], "en", "s0"),
+        t(6, ["alef", "bet", "gimel", "dalet"], "de", "s1"),
+        t(7, ["he", "vav", "zayin", "het", "tet"], "en", "s0"),
+        # --- tick boundary (page size 4, 2 pages per tick) ---
+        t(8, ["alpha", "beta", "gamma", "delta", "epsilon"], "en", "s0"),  # dup of 0
+        t(9, ["yod", "kaf", "lamed", "mem"], "en", "s0"),
+        t(10, ["nun", "samekh", "ayin", "pe"], "en", "s0"),
+        t(11, ["tsadi", "qof", "resh", "shin"], "de", "s1"),
+        t(12, ["kappa", "la", "mu", "nu", "xi"], "de", "s1"),  # dup of 2
+        t(13, ["tav", "aleph", "two", "three", "four"], "en", "s2"),
+        t(14, ["five", "six", "seven", "eight"], "en", "s2"),
+        t(15, ["nine", "ten", "eleven", "twelve"], "en", "s0"),
+    ]
+    schema = "doc_id bigint, text string, lang string, source string"
+    CAP, FLOOR, FRAC, BUDGET = 3, 4, 0.25, 16
+
+    def curate(spark, history):
+        keep = exact_dedup(history, "text", "doc_id").select("doc_id")
+        gated = history.join(keep, "doc_id", "left_semi").where(
+            token_count_expr("text") >= FLOOR
+        )
+        capped = cap_per_domain(gated, cap=CAP, domain_col="source")
+        return split_by_hash(
+            capped.withColumn("n_toks", token_count_expr("text")),
+            test_frac=FRAC,
+        )
+
+    def stats(spark, curated):
+        packed = pack_sequences(
+            curated.where(F.col("split") == "train"),
+            budget=BUDGET, token_col="n_toks", partition_col="lang",
+        )
+        bagg = curated.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_toks").cast("bigint")).alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("bigint").alias("n_train"),
+        )
+        pagg = packed.groupBy("lang").agg(
+            F.countDistinct("chunk_id").alias("n_chunks"),
+            F.sum(F.col("chunk_spans").cast("int")).cast("bigint").alias("n_spanning"),
+        )
+        return bagg.join(pagg, "lang", "left").select(
+            "lang", "n_docs", "total_tokens", "first_doc", "n_train",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_spanning", F.lit(0)).alias("n_spanning"),
+        )
+
+    def batch_stats(rows):
+        df = spark.createDataFrame(rows, schema)
+        return {tuple(r) for r in stats(spark, curate(spark, df)).collect()}
+
+    g = graph(str(tmp_path / "wh2"))
+    src = g.source("api_docs")
+
+    def pager(cursor, page_size=4):
+        start = int(cursor or 0)
+        page = docs[start : start + page_size]
+        return (
+            [dict(zip(("doc_id", "text", "lang", "source"), d)) for d in page],
+            start + len(page),
+        )
+
+    g.create_node(
+        "curated", curate, upstream={"history": ("api_docs", REFERENCE)},
+        overwrite=True,
+    )
+    g.create_node(
+        "pipe_stats", stats, upstream={"curated": ("curated", REFERENCE)},
+        overwrite=True,
+    )
+
+    # tick 1: first 8 docs — fixed point must equal batch over tick-1 data
+    import_api_pages(spark, pager, schema, src, max_pages=2)
+    assert g.produce(spark) == 2
+    got1 = {tuple(r) for r in g.read(spark, "pipe_stats").collect()}
+    assert got1 == batch_stats(docs[:8])
+
+    # tick 2: the rest (dups + new s0 docs that revise the cap choice)
+    import_api_pages(spark, pager, schema, src)
+    assert g.produce(spark) == 2
+    got2 = {tuple(r) for r in g.read(spark, "pipe_stats").collect()}
+    assert got2 == batch_stats(docs)
+    # the revision actually happened: tick-1 state is not a subset fix
+    assert got1 != got2
+    assert g.produce(spark) == 0  # fixed point
+
+    # cap correctness at the store level: no source exceeds CAP
+    curated = g.read(spark, "curated")
+    per_src = {r.source: r["count"] for r in curated.groupBy("source").count().collect()}
+    assert all(n <= CAP for n in per_src.values())
+    assert per_src["s0"] == CAP  # s0 genuinely hit the cap
+
+    # CONTROL: a consumable-mode (per-tick delta) cap over-admits —
+    # why the cap stage needs the accumulated store, not the tick
+    g2 = graph(str(tmp_path / "wh3"))
+    src2 = g2.source("api_docs")
+
+    def cap_delta(spark, delta):
+        return cap_per_domain(delta, cap=CAP, domain_col="source")
+
+    g2.create_node("capped", cap_delta, upstream={"delta": "api_docs"})
+    import_api_pages(spark, pager, schema, src2, max_pages=2)
+    g2.produce(spark)
+    import_api_pages(spark, pager, schema, src2)
+    g2.produce(spark)
+    per_src2 = {
+        r.source: r["count"]
+        for r in g2.read(spark, "capped").groupBy("source").count().collect()
+    }
+    assert per_src2["s0"] > CAP  # per-tick cap over-admitted s0
