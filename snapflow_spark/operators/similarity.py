@@ -760,20 +760,25 @@ def embedding_near_dup_pairs(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    rng = np.random.default_rng(seed)
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_row["d"])
+    n_planes = n_bands * bits_per_band
+    powers = (1 << np.arange(bits_per_band - 1, -1, -1)).astype(np.int64)
     # dim x n_planes projection matrix; the sign bits come from one
     # numpy matmul per Arrow batch. (A higher-order-fn formulation —
     # 72 aggregate(zip_with(...)) per row — is interpreted, not
-    # codegen'd, and measured ~4s vs <1s for the matmul.)
-    planes_t = rng.standard_normal((n_bands * bits_per_band, dim)).T.copy()
-    powers = (1 << np.arange(bits_per_band - 1, -1, -1)).astype(np.int64)
+    # codegen'd, and measured ~4s vs <1s for the matmul.) The matrix
+    # is built lazily INSIDE the UDF from the first batch's width —
+    # a driver-side dim probe would cost one extra Spark job per call;
+    # the seeded generator makes every worker derive identical planes.
+    state: dict = {}
 
     @pandas_udf(ArrayType(LongType()))
     def band_keys(vecs: pd.Series) -> pd.Series:
         m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-        bits = (m @ planes_t) > 0  # (n, n_planes)
+        if state.get("dim") != m.shape[1]:
+            rng = np.random.default_rng(seed)
+            state["dim"] = m.shape[1]
+            state["planes_t"] = rng.standard_normal((n_planes, m.shape[1])).T.copy()
+        bits = (m @ state["planes_t"]) > 0  # (n, n_planes)
         keys = bits.reshape(len(m), n_bands, bits_per_band).astype(np.int64) @ powers
         return pd.Series(list(keys))
 

@@ -224,6 +224,39 @@ def zorder_key(col_a, col_b):
     )
 
 
+def _spread_bits_21_to_63(c):
+    """Interleave-spread a 21-bit non-negative int so its bits land at
+    positions 0, 3, 6, … of a 64-bit long — the Morton-3D mask ladder
+    (same pure Column algebra as the 2-key ladder; whole-stage
+    codegen, no UDF)."""
+    from pyspark.sql import functions as F
+
+    c = c.cast("long").bitwiseAND(F.lit(0x1FFFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 32)).bitwiseAND(F.lit(0x001F00000000FFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 16)).bitwiseAND(F.lit(0x001F0000FF0000FF))
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x100F00F00F00F00F))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x10C30C30C30C30C3))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x1249249249249249))
+    return c
+
+
+def zorder_key3(col_a, col_b, col_c):
+    """63-bit Morton key of THREE non-negative 21-bit int columns:
+    ``col_a`` lands at bit positions ≡0 (mod 3), ``col_b`` ≡1,
+    ``col_c`` ≡2. Keys must be non-negative and < 2^21 (offset/bucket
+    upstream if not) — the same documented, unchecked contract as
+    ``zorder_key``. Unlike the 2-key interleave, the top bit is 62,
+    so SIGNED long comparison IS unsigned Morton order — no sort-key
+    sign remap needed."""
+    from pyspark.sql import functions as F
+
+    return (
+        _spread_bits_21_to_63(col_a)
+        .bitwiseOR(F.shiftleft(_spread_bits_21_to_63(col_b), 1))
+        .bitwiseOR(F.shiftleft(_spread_bits_21_to_63(col_c), 2))
+    )
+
+
 def zorder_sort_key(col_a, col_b):
     """``zorder_key`` remapped for SIGNED comparison: XOR with the
     sign bit makes long ordering equal unsigned Morton ordering over
@@ -252,15 +285,26 @@ def write_zorder(
 
     The z-value is pure codegen (bit-mask ladder, no UDF), computed
     for the shuffle and dropped before the write — the stored schema
-    is unchanged."""
-    if len(cols) != 2:
+    is unchanged.
+
+    2 keys interleave the full 32-bit domain each (``zorder_key``,
+    sign-remapped for signed sorting); 3 keys interleave 21 bits each
+    (``zorder_key3`` — a 63-bit key, so no sign remap is needed).
+    Beyond 3, each key's resolution (16 bits at 4 keys) skips too
+    coarsely to be worth the write — bucket the extra dimensions or
+    pick the 3 most-filtered columns."""
+    if len(cols) not in (2, 3):
         raise ValueError(
-            "write_zorder interleaves exactly 2 key columns; for 3+ "
-            "keys extend the mask ladder (21 bits x 3) or bucket to 2"
+            "write_zorder interleaves 2 or 3 key columns; for more, "
+            "bucket the extra dimensions into one key or choose the 3 "
+            "most-selective columns"
         )
     from pyspark.sql import functions as F
 
-    z = zorder_sort_key(F.col(cols[0]), F.col(cols[1]))
+    if len(cols) == 3:
+        z = zorder_key3(F.col(cols[0]), F.col(cols[1]), F.col(cols[2]))
+    else:
+        z = zorder_sort_key(F.col(cols[0]), F.col(cols[1]))
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_ranges, "__z")

@@ -578,3 +578,92 @@ def test_zorder_sort_key_handles_sign_boundary(spark):
         (a, b) for a, b in sorted(rows, key=lambda p: morton(p[0], p[1]))
     ]
     assert by_sort == by_unsigned
+
+
+def test_zorder3_layout_skips_on_all_three_keys(spark, tmp_path):
+    """3-key Morton interleave (21 bits/key): the codegen ladder
+    matches a python reference, write_zorder lays files out with tight
+    min/max on ALL THREE keys (a box predicate prunes most files on
+    any axis), and the single-key control spans the full domain of the
+    non-sorted keys in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from snapflow_spark.sources import (
+        write_range_sorted,
+        write_zorder,
+        zorder_key3,
+    )
+
+    def morton3(a, b, c):
+        out = 0
+        for i in range(21):
+            out |= ((a >> i) & 1) << (3 * i)
+            out |= ((b >> i) & 1) << (3 * i + 1)
+            out |= ((c >> i) & 1) << (3 * i + 2)
+        return out
+
+    n = 1 << 5  # 32^3 = 32768 points
+    grid = spark.range(n * n * n).select(
+        (F.col("id") % n).alias("x"),
+        ((F.col("id") / n).cast("long") % n).alias("y"),
+        (F.col("id") / (n * n)).cast("long").alias("z"),
+    )
+    zdf = grid.select(
+        "x", "y", "z", zorder_key3(F.col("x"), F.col("y"), F.col("z")).alias("m")
+    )
+    # key parity incl. the 21-bit boundary values
+    for r in zdf.where("x < 3 AND y < 3 AND z < 3").collect():
+        assert r.m == morton3(r.x, r.y, r.z), (r.x, r.y, r.z)
+    big = spark.createDataFrame(
+        [(0, 0, 0), (1, 2, 3), ((1 << 21) - 1, (1 << 21) - 1, (1 << 21) - 1)],
+        "x long, y long, z long",
+    ).select(zorder_key3(F.col("x"), F.col("y"), F.col("z")).alias("m"), "x", "y", "z")
+    for r in big.collect():
+        assert r.m == morton3(r.x, r.y, r.z)
+        assert r.m >= 0  # 63-bit key: signed order == unsigned order
+
+    zpath = str(tmp_path / "zorder3")
+    write_zorder(grid, zpath, ["x", "y", "z"], n_ranges=16)
+    back = spark.read.parquet(zpath)
+    assert back.count() == n * n * n and set(back.columns) == {"x", "y", "z"}
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            out.append((min(los), max(his)))
+        return out
+
+    # an eighth-domain box (half per axis... quarter per axis) touches
+    # a minority of z-ordered files
+    box_lo, box_hi = 0, n // 4 - 1
+    rx, ry, rz = (file_ranges(zpath, c) for c in ("x", "y", "z"))
+    hit = sum(
+        1
+        for (xl, xh), (yl, yh), (zl, zh) in zip(rx, ry, rz)
+        if xl <= box_hi and xh >= box_lo
+        and yl <= box_hi and yh >= box_lo
+        and zl <= box_hi and zh >= box_lo
+    )
+    assert hit <= len(rx) // 2, (hit, len(rx))
+
+    # control: x-sorted layout spans the full y and z domains per file
+    spath = str(tmp_path / "xsorted3")
+    write_range_sorted(grid, spath, ["x"], n_ranges=16)
+    for col in ("y", "z"):
+        assert all(hi - lo >= n - 2 for lo, hi in file_ranges(spath, col))
+
+    # >3 keys stays a loud error with guidance
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="2 or 3"):
+        write_zorder(grid, str(tmp_path / "nope"), ["x", "y", "z", "x"])
