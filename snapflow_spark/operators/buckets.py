@@ -49,7 +49,12 @@ def bucketed_pairs(
     ``dropped_members`` (members cut), ``dropped_pairs`` (candidate
     pairs lost: C(n,2) − C(max_bucket,2) summed over truncated
     buckets), ``max_bucket_size``. Read ``observation.get`` AFTER the
-    first action."""
+    first action. Exactness caveat (inherent to Spark observed
+    metrics): counters are exact when the observed subtree
+    materializes once — persist()/checkpoint the downstream candidate
+    frame if it is referenced multiple times (ngram_jaccard_pairs
+    does); cache eviction or concurrently-scheduled sibling stages
+    recompute the subtree and recount."""
     grouped = df.groupBy(*bucket_cols).agg(
         F.collect_list(member_struct).alias("__all")
     )
@@ -59,13 +64,18 @@ def bucketed_pairs(
         F.slice(F.array_sort("__all"), 1, max_bucket).alias("members"),
     )
     if observation is not None:
-        n, m = F.col("__n"), F.lit(max_bucket)
+        # n cast to LONG before any product: F.size is IntegerType and
+        # n*(n-1) overflows 32 bits at ~46k members — exactly the
+        # mega-bucket case these counters exist to measure (ANSI mode,
+        # Spark 4's default, would turn that into a query-killing
+        # ARITHMETIC_OVERFLOW instead of a metric).
+        n, m = F.col("__n").cast("long"), F.lit(int(max_bucket)).cast("long")
         sized = sized.observe(
             observation,
             F.count(F.lit(1)).alias("buckets"),
             F.sum((n > 1).cast("long")).alias("pair_buckets"),
             F.sum((n > m).cast("long")).alias("truncated_buckets"),
-            F.sum(F.greatest(n - m, F.lit(0)).cast("long")).alias("dropped_members"),
+            F.sum(F.greatest(n - m, F.lit(0).cast("long"))).alias("dropped_members"),
             F.sum(
                 F.when(n > m, (n * (n - 1) - m * (m - 1)) / 2).otherwise(0)
             ).cast("long").alias("dropped_pairs"),

@@ -456,15 +456,19 @@ def ngram_jaccard_pairs(
     computing grams (at 100 TB the candidate set is tiny relative to
     the corpus), then set algebra in codegen.
 
-    The pair set is persisted: it is referenced three times below
-    (both sides of the id union + the final join) and without a cache
-    each reference re-runs the whole upstream LSH DAG (measured 2-3x
-    the runtime). At 100 TB candidates would be written to a table
-    between the stages — same idea."""
+    The pair set is persisted: it is referenced twice below (the
+    wanted-id explode + the final join) and without a cache each
+    reference re-runs the whole upstream LSH DAG (measured 2-3x the
+    runtime). The cache also keeps any upstream truncation Observation
+    exact (bucketed_pairs' counters recount if the observed subtree
+    recomputes). At 100 TB candidates would be written to a table
+    between the stages — same idea. ``wanted`` is one explode over the
+    pair set, not a two-select union — one reference instead of two."""
     candidate_pairs = candidate_pairs.persist()
     wanted = (
-        candidate_pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(candidate_pairs.select(F.col("id_b").alias(id_col)))
+        candidate_pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+        )
         .distinct()
     )
     grams = ensure_parallelism(df.join(wanted, id_col, "left_semi")).select(

@@ -301,9 +301,14 @@ class IVFIndex:
         ]
 
         spark = probes.sparkSession
+        # types derived from the INPUT schemas (string probe ids and
+        # double vectors work the same as bigint/float — the sibling
+        # adc_topk path already does this)
+        pid_type = probes.schema[probe_id_col].dataType.simpleString()
+        vec_type = probes.schema[self.vec_col].dataType.simpleString()
         probe_cells = spark.createDataFrame(
             [(pid, cell, vec) for pid, cells, vec in cells_per_probe for cell in cells],
-            f"{probe_id_col} bigint, cell int, __probe_vec array<float>",
+            f"{probe_id_col} {pid_type}, cell int, __probe_vec {vec_type}",
         )
         pruned = self.assigned.join(F.broadcast(probe_cells), "cell")
         scored = pruned.select(
@@ -774,10 +779,21 @@ def embedding_near_dup_pairs(
     @pandas_udf(ArrayType(LongType()))
     def band_keys(vecs: pd.Series) -> pd.Series:
         m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-        if state.get("dim") != m.shape[1]:
+        if "dim" not in state:
             rng = np.random.default_rng(seed)
             state["dim"] = m.shape[1]
             state["planes_t"] = rng.standard_normal((n_planes, m.shape[1])).T.copy()
+        elif state["dim"] != m.shape[1]:
+            # a mixed-width corpus must fail LOUDLY: regenerating
+            # planes per width would hash the widths into disjoint,
+            # incomparable bucket spaces — silent zero recall across
+            # widths (worker state is per-process, so the check is
+            # per-worker; np.vstack above already rejects a mix
+            # WITHIN a batch)
+            raise ValueError(
+                f"embedding dim changed {state['dim']} -> {m.shape[1]}: "
+                "near-dup LSH requires one vector width per corpus"
+            )
         bits = (m @ state["planes_t"]) > 0  # (n, n_planes)
         keys = bits.reshape(len(m), n_bands, bits_per_band).astype(np.int64) @ powers
         return pd.Series(list(keys))

@@ -392,7 +392,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's own action at zero extra cost and are exposed on the
     returned DataFrame as ``lsh_observation`` (read ``.get`` after the
     action; tests/test_northstar.py plants a mega-bucket and checks
-    the loss is reported)."""
+    the loss is reported). The attribute lives on THIS DataFrame
+    object only — any wrapping transformation returns a new frame
+    without it (the driver contract allows returning only a
+    DataFrame, so a typed (df, observation) pair is not an option
+    here; operator-level callers should use the ``observation=``
+    parameter directly and own the object)."""
     from pyspark.sql import Observation
 
     d = load_table(spark, sf_dir, "documents")
@@ -482,7 +487,15 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     idx = IVFPQIndex.build(emb, k_cells=16, m=4, n_codes=32)
+    # release the PREVIOUS invocation's cache before pinning a new one:
+    # bench/test harnesses call each query many times per session, and
+    # an un-released persist per call would accumulate stale coded
+    # tables until LRU pressure squeezes other queries' working sets
+    prev = _ANN_CODED_CACHE.pop("coded", None)
+    if prev is not None:
+        prev.unpersist()
     idx.coded = idx.coded.persist()
+    _ANN_CODED_CACHE["coded"] = idx.coded
     rows = probes.collect()  # ONE probe collect shared by both tiers
     flat = idx.search_flat(probes, k=5, nprobe=4, probe_rows=rows).select(
         F.lit("ivf").alias("branch"), "probe_id", "vec_id",
@@ -497,6 +510,10 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLANT = 60  # planted near-dup copies; detected pairs ≈ this count
 _PLANT_OFFSET = 1_000_000
+
+# q_similarity_ann's per-invocation coded-table cache slot (the
+# previous call's persist is released on the next call)
+_ANN_CODED_CACHE: dict = {}
 
 
 @query(

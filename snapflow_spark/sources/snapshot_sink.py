@@ -159,6 +159,11 @@ class _SnapshotWriterBase:
         self._sweep_staging()
         if target.exists():
             if not replayable:
+                # reclaim the loser's tmp dir BEFORE raising: its parts
+                # were already moved out of .staging (so _sweep_staging
+                # and abort() can't reach them) and the id is never
+                # reused, so an orphaned .{sid}.tmp would leak forever
+                shutil.rmtree(tmp)
                 raise FileExistsError(
                     f"snapshot_store batch publish target {target} already "
                     "exists: a concurrent writer committed this id (the "

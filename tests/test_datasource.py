@@ -303,6 +303,9 @@ def test_snapshot_sink_batch_publish_collision_raises(tmp_path):
         sorted((tmp_path / "race_store" / "snapshot-000000").glob("part-*"))[0]
     )
     assert tab.column("id").to_pylist() == [1]
+    # the loser's tmp dir is reclaimed (the id is never reused, so an
+    # orphan would leak forever)
+    assert not list((tmp_path / "race_store").glob(".*.tmp"))
 
     # streaming epoch replay on its own id swaps idempotently
     w._publish([staged(3)], "snapshot-000000", replayable=True)

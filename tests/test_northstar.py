@@ -1327,3 +1327,60 @@ def test_q_dedup_minhash_surfaces_truncation_metrics(spark):
     assert m["buckets"] > 0 and m["max_bucket_size"] >= 1
     assert m["dropped_members"] >= 0  # counters present and consistent
     assert m["truncated_buckets"] <= m["buckets"]
+
+
+def test_ivfpq_search_flat_string_probe_ids(spark):
+    """Both IVFPQIndex tiers must accept the same probe schemas: the
+    flat tier (via IVFIndex.search) derives probe-id/vector types from
+    the input schema rather than hardcoding bigint/float (the ADC tier
+    already did), so string document ids work end to end."""
+    import random
+
+    from snapflow_spark.operators.similarity import IVFPQIndex
+
+    rng = random.Random(3)
+    rows = [
+        (f"doc-{i:03d}", [float(rng.gauss(0, 1)) for _ in range(16)])
+        for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    probes = corpus.where(F.col("vec_id") < "doc-003").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    idx = IVFPQIndex.build(corpus, k_cells=4, m=4, n_codes=16)
+    flat = idx.search_flat(probes, k=3, nprobe=2).collect()
+    pqr = idx.search(probes, k=3, nprobe=2).collect()
+    assert flat and pqr
+    # every probe finds itself as its own nearest neighbor in both tiers
+    for res in (flat, pqr):
+        best = {}
+        for r in res:
+            if r.probe_id not in best or r.cos > best[r.probe_id][1]:
+                best[r.probe_id] = (r.vec_id, r.cos)
+        assert all(pid == vid for pid, (vid, _) in best.items())
+
+
+def test_embedding_near_dup_mixed_dim_raises(spark):
+    """A corpus mixing vector widths must fail loudly, not silently
+    hash the widths into disjoint bucket spaces (zero cross-width
+    recall). Two guards cover the two physical cases: np.vstack
+    rejects a mix WITHIN one Arrow batch; the per-worker dim check
+    rejects a width change ACROSS batches (which would otherwise
+    regenerate planes per width). Either way: a loud error, never
+    silently-empty pairs."""
+    from snapflow_spark.operators.similarity import embedding_near_dup_pairs
+
+    a = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 2.0, 3.0]) for i in range(50)],
+        "vec_id bigint, embedding array<float>",
+    ).repartition(1)
+    b = spark.createDataFrame(
+        [(1000 + i, [float(i % 5)] * 8) for i in range(50)],
+        "vec_id bigint, embedding array<float>",
+    ).repartition(1)
+    mixed = a.unionByName(b)
+    with pytest.raises(
+        Exception,
+        match="dim changed|one vector width|input array dimensions",
+    ):
+        embedding_near_dup_pairs(mixed, cos_threshold=0.9).count()

@@ -119,15 +119,99 @@ def main() -> None:
             flush=True,
         )
 
+    standing = standing_index_bench(spark, args.base, args.scaled)
+
     doc = {
         "metric": "scale_ratio_heavy_tail",
         "factor": args.factor,
         "base": args.base,
         "scaled": args.scaled,
         "queries": results,
+        "standing_index": standing,
     }
     Path(args.out).write_text(json.dumps(doc, indent=2) + "\n")
     print(f"wrote {args.out}", flush=True)
+
+
+def standing_index_bench(spark, base: str, scaled: str) -> dict:
+    """The AMORTIZED-index story (round 5): pay the build once, search
+    the persisted structure many times. For each corpus size this
+    times (a) the ad-hoc search that builds in-plan, (b) the one-time
+    index build+save, (c) the search against the STORED structure —
+    the number a standing deployment actually pays per query. The
+    scaled/base ratio of (c) is the scale claim: BM25 searches stay
+    candidate-bound (no tokenize, no build) and IVF-PQ searches scan
+    only pruned cells' m-byte codes."""
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_postings_index,
+    )
+    from snapflow_spark.operators.similarity import IVFPQIndex, ivf_pq_topk
+
+    from pyspark.sql import functions as F
+
+    def timed(fn):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        df = fn()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    qdf = spark.createDataFrame(
+        [(1, "join hash scan"), (2, "customer filter merge")],
+        "query_id bigint, query_text string",
+    )
+    out: dict[str, dict] = {"bm25": {}, "ivfpq": {}}
+    for key, sf_dir in (("base", base), ("scaled", scaled)):
+        d = load_table(spark, sf_dir, "documents")
+        table = f"bm25_scale_{key}"
+        # warm each path once, report the second run
+        timed(lambda: bm25_topk(d, qdf, k=10))
+        adhoc = timed(lambda: bm25_topk(d, qdf, k=10))
+        t0 = time.time()
+        build_postings_index(d, table, n_buckets=16)
+        build_s = round(time.time() - t0, 3)
+        timed(lambda: bm25_topk_indexed(spark, table, qdf, k=10))
+        indexed = timed(lambda: bm25_topk_indexed(spark, table, qdf, k=10))
+        out["bm25"][key] = {
+            "adhoc_search_sec": adhoc,
+            "index_build_sec": build_s,
+            "indexed_search_sec": indexed,
+        }
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        probes = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        t0 = time.time()
+        idx = IVFPQIndex.build(emb, k_cells=16, m=4, n_codes=32)
+        path = f".scratch/ivfpq_scale_{key}"
+        idx.save(path)
+        build_s = round(time.time() - t0, 3)
+        timed(lambda: ivf_pq_topk(idx.ivf, idx.pq, probes, k=5, nprobe=4))
+        adhoc = timed(lambda: ivf_pq_topk(idx.ivf, idx.pq, probes, k=5, nprobe=4))
+        loaded = IVFPQIndex.load(spark, path)
+        timed(lambda: loaded.search(probes, k=5, nprobe=4))
+        stored = timed(lambda: loaded.search(probes, k=5, nprobe=4))
+        out["ivfpq"][key] = {
+            "encode_per_search_sec": adhoc,
+            "index_build_save_sec": build_s,
+            "stored_code_search_sec": stored,
+        }
+    for fam, metric in (
+        ("bm25", "indexed_search_sec"),
+        ("ivfpq", "stored_code_search_sec"),
+    ):
+        b, s = out[fam]["base"][metric], out[fam]["scaled"][metric]
+        out[fam]["search_ratio"] = round(s / b, 2) if b else None
+        print(
+            f"standing {fam:6s} base search {b:6.2f}s scaled {s:6.2f}s "
+            f"ratio {out[fam]['search_ratio']}",
+            flush=True,
+        )
+    return out
 
 
 if __name__ == "__main__":
