@@ -347,6 +347,7 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    interleave: bool = True,
 ) -> bytes:
     """(H, W, 3) or (H, W) uint8 -> baseline JFIF bytes.
 
@@ -355,13 +356,22 @@ def encode_jpeg(
     the two layouts that cover virtually all real files.
     ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none) —
     the error-resilience feature real encoders use, and the test
-    hook for the decoder's resync path."""
+    hook for the decoder's resync path.
+    ``interleave=False`` emits the MULTI-SCAN baseline layout: one
+    non-interleaved SOS per component, blocks in the component's own
+    raster order with an independent DC prediction chain and restart
+    numbering per scan (T.81 §A.2.2) — the layout some baseline
+    encoders produce and the decoder's multi-scan test hook. 444 and
+    grayscale only (the 420 encoder pads to 16, which would disagree
+    with §A.2.2's ceil(x_i/8) block count at some widths)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"encode_jpeg expects (H,W,3) or (H,W), got {a.shape}")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if not interleave and not gray and subsampling != "444":
+        raise ValueError("interleave=False supports 444 or grayscale only")
     h, w = a.shape[:2]
     qlum = _quality_scale(_QUANT_LUM, quality)
     qchrom = _quality_scale(_QUANT_CHROM, quality)
@@ -390,15 +400,47 @@ def encode_jpeg(
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc]) + bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    out += bytes([1, 0x00]) if gray else bytes([1, 0x00, 2, 0x11, 3, 0x11])
-    out += bytes([0, 63, 0])
 
     dc_lum = _build_encode_table(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_lum = _build_encode_table(_AC_LUM_BITS, _AC_LUM_VALS)
     dc_chrom = _build_encode_table(_DC_CHROM_BITS, _DC_CHROM_VALS)
     ac_chrom = _build_encode_table(_AC_CHROM_BITS, _AC_CHROM_VALS)
+
+    if not interleave and not gray:
+        # multi-scan: one non-interleaved SOS per component
+        ycc = _rgb_to_ycbcr(a)
+        planes = [_pad_to(ycc[..., i], 8, 8) - 128.0 for i in range(3)]
+        zzs = [
+            _fdct_quant(_to_blocks(p), qlum if i == 0 else qchrom)
+            for i, p in enumerate(planes)
+        ]
+        for ci in range(3):
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0])
+            writer = _BitWriter()
+            pred, rst = 0, 0
+            zz = zzs[ci]
+            for m in range(zz.shape[0]):
+                if restart_interval and m and m % restart_interval == 0:
+                    writer.restart(rst)
+                    rst += 1
+                    pred = 0
+                pred = _encode_blocks(
+                    writer,
+                    zz[m : m + 1],
+                    pred,
+                    dc_lum if ci == 0 else dc_chrom,
+                    ac_lum if ci == 0 else ac_chrom,
+                )
+            out += writer.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # SOS (single interleaved scan)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    out += bytes([1, 0x00]) if gray else bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    out += bytes([0, 63, 0])
+
     writer = _BitWriter()
 
     ri = int(restart_interval)
@@ -483,10 +525,31 @@ def encode_jpeg(
 # ---- decoder ----
 
 
+def _skip_entropy_data(data: bytes, start: int) -> int:
+    """Index of the next true marker after entropy-coded data: skips
+    stuffed 0xFF00 pairs and RSTn markers (both live inside scan
+    data). Returns len(data) if the stream just ends."""
+    p = start
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (H, W, 3) RGB or (H, W) gray uint8.
 
-    Tables and sampling factors come from the stream; progressive
+    Tables and sampling factors come from the stream. BOTH baseline
+    scan layouts decode: the common single interleaved scan AND
+    multi-scan files (one or more components per scan, T.81 §A.2 —
+    non-interleaved scans traverse the component's own block raster,
+    ceil(x_i/8) × ceil(y_i/8) per §A.2.2, NOT the MCU-padded grid).
+    Huffman tables and the restart interval are captured per scan at
+    its SOS (later DHT/DRI segments may redefine them). Progressive
     (SOF2) and arithmetic-coded files raise with a clear message."""
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
@@ -497,7 +560,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
-    scan_comps: list[dict] = []
+    scans: list[dict] = []
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -553,81 +616,118 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            scan_comps = []
+            sc = []
             for ci in range(ns):
                 cs, tds = seg[1 + ci * 2 : 3 + ci * 2]
                 comp = next(c for c in comps if c["id"] == cs)
-                scan_comps.append(
-                    {**comp, "dc": tds >> 4, "ac": tds & 0xF, "pred": 0}
+                # snapshot the TABLE OBJECTS (a later DHT replaces the
+                # htabs entry, not the dict this scan decodes with)
+                sc.append(
+                    {
+                        "frame": comp,
+                        "dc_tab": htabs[(0, tds >> 4)],
+                        "ac_tab": htabs[(1, tds & 0xF)],
+                        "pred": 0,
+                    }
                 )
-            pos = pos + seglen
-            break
+            scans.append(
+                {"comps": sc, "start": pos + seglen, "ri": restart_interval}
+            )
+            pos = _skip_entropy_data(data, pos + seglen)
+            continue
         pos += seglen
 
-    if not scan_comps:
+    if not scans:
         raise ValueError("JPEG has no SOS scan")
-    if len(scan_comps) < len(comps):
-        # A first SOS covering fewer components than the frame means a
-        # multi-scan baseline file (one scan per component). Decoding
-        # just this scan would silently return e.g. a grayscale Y plane
-        # for a color image — keep the gap explicit like the other
-        # unsupported profiles.
-        raise NotImplementedError(
-            f"multi-scan baseline JPEG (first scan covers {len(scan_comps)}"
-            f"/{len(comps)} components) — single interleaved scan only"
-        )
 
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    for c in scan_comps:
-        c["bw"] = mcux * c["h"]  # blocks per row
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # blocks per row (MCU-padded grid)
         c["bh"] = mcuy * c["v"]
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
 
-    reader = _BitReader(data, pos)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                for c in scan_comps:
-                    c["pred"] = 0
-            try:
-                for c in scan_comps:
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            blk = np.zeros(64, dtype=np.int64)
-                            dc_tab = htabs[(0, c["dc"])]
-                            ac_tab = htabs[(1, c["ac"])]
-                            s = reader.decode_symbol(dc_tab)
-                            diff = _extend(reader.read_bits(s), s) if s else 0
-                            c["pred"] += diff
-                            blk[0] = c["pred"]
-                            k = 1
-                            while k < 64:
-                                rs = reader.decode_symbol(ac_tab)
-                                r, s = rs >> 4, rs & 0xF
-                                if rs == 0x00:  # EOB
-                                    break
-                                if rs == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC run past block end")
-                                blk[k] = _extend(reader.read_bits(s), s)
-                                k += 1
-                            bi = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
-                            c["coef"][bi] = blk
-            except _RestartMarker:
-                raise ValueError("restart marker inside MCU (corrupt stream)")
-            mcu_count += 1
+    def _decode_block(reader: _BitReader, sc: dict) -> np.ndarray:
+        blk = np.zeros(64, dtype=np.int64)
+        s = reader.decode_symbol(sc["dc_tab"])
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        sc["pred"] += diff
+        blk[0] = sc["pred"]
+        k = 1
+        while k < 64:
+            rs = reader.decode_symbol(sc["ac_tab"])
+            r, s = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            blk[k] = _extend(reader.read_bits(s), s)
+            k += 1
+        return blk
+
+    covered: set[int] = set()
+    for scan in scans:
+        sc_list = scan["comps"]
+        ri = scan["ri"]
+        reader = _BitReader(data, scan["start"])
+        for sc in sc_list:
+            sc["pred"] = 0
+            covered.add(sc["frame"]["id"])
+        try:
+            if len(sc_list) > 1:
+                # interleaved: MCU raster, h×v blocks per comp per MCU
+                unit = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if ri and unit and unit % ri == 0:
+                            reader.sync_restart()
+                            for sc in sc_list:
+                                sc["pred"] = 0
+                        for sc in sc_list:
+                            fc = sc["frame"]
+                            for by in range(fc["v"]):
+                                for bx in range(fc["h"]):
+                                    bi = (my * fc["v"] + by) * fc["bw"] + mx * fc[
+                                        "h"
+                                    ] + bx
+                                    fc["coef"][bi] = _decode_block(reader, sc)
+                        unit += 1
+            else:
+                # non-interleaved (T.81 §A.2.2): the component's OWN
+                # block raster — ceil(x_i/8) × ceil(y_i/8) data units,
+                # x_i = ceil(w·h_i/hmax) — not the MCU-padded grid;
+                # the restart interval counts single blocks here
+                sc = sc_list[0]
+                fc = sc["frame"]
+                xi = (w * fc["h"] + hmax - 1) // hmax
+                yi = (h * fc["v"] + vmax - 1) // vmax
+                nbx, nby = (xi + 7) // 8, (yi + 7) // 8
+                unit = 0
+                for by in range(nby):
+                    for bx in range(nbx):
+                        if ri and unit and unit % ri == 0:
+                            reader.sync_restart()
+                            sc["pred"] = 0
+                        fc["coef"][by * fc["bw"] + bx] = _decode_block(reader, sc)
+                        unit += 1
+        except _RestartMarker:
+            raise ValueError("restart marker inside MCU (corrupt stream)")
+
+    missing = [c["id"] for c in comps if c["id"] not in covered]
+    if missing:
+        raise ValueError(
+            f"multi-scan JPEG is missing scans for component ids {missing}"
+        )
 
     # dequant + de-zigzag + IDCT, vectorized per component
     planes = []
-    for c in scan_comps:
+    for c in comps:
         deq = np.zeros_like(c["coef"], dtype=np.float64)
         deq[:, ZIGZAG] = c["coef"] * qtabs[c["tq"]][ZIGZAG]
         blocks = deq.reshape(-1, 8, 8)

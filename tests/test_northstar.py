@@ -1167,38 +1167,44 @@ def test_jpeg_lone_ff_and_arrow_featurizer_int_ids(spark, planted):
     assert len(rows) == 4 and all(len(r.features) == 8 for r in rows)
 
 
-def test_jpeg_multi_scan_raises():
-    """A multi-scan baseline JPEG (first SOS covering fewer components
-    than the frame declares) must raise like the other unsupported
-    profiles rather than silently decoding only the first scan's
-    component (e.g. returning a grayscale Y plane for a color image)."""
-    import struct
-
+def test_jpeg_multi_scan_decode():
+    """Multi-scan baseline JPEG (one non-interleaved SOS per component,
+    T.81 §A.2.2): decodes bit-identically to the single-interleaved-
+    scan encoding of the same image — same coefficients, different
+    scan layout — with per-scan DC chains and restart numbering, at
+    non-multiple-of-8 dims too. A multi-scan file MISSING a
+    component's scan fails loudly (never a silent Y-only plane)."""
     import numpy as np
 
     from snapflow_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
 
     rng = np.random.default_rng(0)
-    img = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
-    data = bytes(encode_jpeg(img))
-    i = data.find(b"\xff\xda")
-    assert i > 0
-    # rewrite the interleaved 3-component SOS (len 0x000C, ns=3) into a
-    # single-component scan header (len 0x0008, ns=1) — the shape of the
-    # FIRST scan of a multi-scan file; entropy data kept as-is (the
-    # guard fires at parse time, before entropy decode)
-    comp0 = data[i + 5 : i + 7]
-    patched = (
-        data[:i]
-        + b"\xff\xda"
-        + struct.pack(">H", 8)
-        + b"\x01"
-        + comp0
-        + b"\x00\x3f\x00"
-        + data[i + 14 :]
+    base = rng.integers(40, 215, size=(5, 7, 3)).astype(np.float64)
+    img = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)[:37, :51]
+
+    one = decode_jpeg(encode_jpeg(img, quality=95))
+    multi_bytes = encode_jpeg(img, quality=95, interleave=False)
+    assert multi_bytes.count(b"\xff\xda") >= 3  # three SOS segments
+    multi = decode_jpeg(multi_bytes)
+    assert np.array_equal(one, multi)
+
+    # restart markers within non-interleaved scans resync per scan
+    with_rst = decode_jpeg(
+        encode_jpeg(img, quality=95, interleave=False, restart_interval=3)
     )
-    with pytest.raises(NotImplementedError, match="multi-scan"):
-        decode_jpeg(patched)
+    assert np.array_equal(one, with_rst)
+
+    # truncate the file at the LAST scan's SOS: component 3 never gets
+    # a scan -> loud error naming the missing component
+    last_sos = multi_bytes.rfind(b"\xff\xda")
+    truncated = multi_bytes[:last_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="missing scans"):
+        decode_jpeg(truncated)
+
+    # 420 stays interleave-only on the ENCODER (padding disagreement
+    # documented); the decoder handles any layout
+    with pytest.raises(ValueError, match="444 or grayscale"):
+        encode_jpeg(img, subsampling="420", interleave=False)
 
 
 def test_ivfpq_index_save_load_and_stored_code_scan(embeddings, tmp_path):

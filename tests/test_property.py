@@ -96,3 +96,23 @@ def test_hash_bucket_oracle_fold_matches_int_parse(doc_id, salt):
         % _BUCKETS
     )
     assert folded == direct
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_word_tokens_py_matches_duckdb_regex(text):
+    """word_tokens_py (the driver-side BM25 query tokenizer) must
+    agree with the `[\\p{L}]+` regex class the SQL oracle runs — the
+    cross-engine determinism triangle: Spark expr == python scanner
+    (pinned on samples in test_retrieval) and python scanner == DuckDB
+    (property-tested here, Spark-free) imply all three tokenize alike
+    over arbitrary unicode."""
+    import duckdb
+
+    from snapflow_spark.operators.retrieval import word_tokens_py
+
+    con = duckdb.connect()
+    duck = con.execute(
+        r"SELECT regexp_extract_all(lower(?), '[\p{L}]+')", [text]
+    ).fetchone()[0]
+    assert word_tokens_py(text) == duck, text

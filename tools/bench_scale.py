@@ -86,10 +86,23 @@ def main() -> None:
     ap.add_argument("--scaled", default=".scratch/sf1")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default="SCALE_BENCH.json")
+    ap.add_argument(
+        "--standing-only",
+        action="store_true",
+        help="re-run only the standing-index section, merging into --out",
+    )
     args = ap.parse_args()
 
     spark = build_session("bench-scale")
     queries = all_queries()
+
+    if args.standing_only:
+        standing = standing_index_bench(spark, args.base, args.scaled)
+        doc = json.loads(Path(args.out).read_text()) if Path(args.out).exists() else {}
+        doc["standing_index"] = standing
+        Path(args.out).write_text(json.dumps(doc, indent=2) + "\n")
+        print(f"wrote {args.out} (standing only)", flush=True)
+        return
 
     # Warm the session before timing anything: JVM codegen paths and
     # the 32 Python UDF workers cost ~5-20 s on first touch, and
@@ -152,12 +165,18 @@ def standing_index_bench(spark, base: str, scaled: str) -> dict:
 
     from pyspark.sql import functions as F
 
-    def timed(fn):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        df = fn()
-        df.write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 3)
+    def timed(fn, reps: int = 3):
+        """min of ``reps`` warm materializations — searches here are
+        1-2 s absolute, where single-shot wall-clock swings 2x under
+        host contention; the min is the robust statistic for the
+        'how much work does a search do' question."""
+        best = None
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best or 1e9, time.time() - t0)
+        return round(best, 3)
 
     qdf = spark.createDataFrame(
         [(1, "join hash scan"), (2, "customer filter merge")],
