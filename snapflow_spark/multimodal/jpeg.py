@@ -522,7 +522,401 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _prog_ac_table() -> tuple[list[int], list[int]]:
+    """AC Huffman table for the PROGRESSIVE encoder: the Annex-K
+    tables define only EOB (0x00) and ZRL (0xF0) among the zero-size
+    symbols, but progressive AC scans also emit EOBn run symbols
+    (r<<4, r>=1). One flat 9-bit canonical table over every symbol we
+    can emit — (r<<4)|s for s 1..10, EOB0..EOB7 (EOBRUN capped at
+    255), ZRL — keeps the encoder simple; real encoders optimize per
+    scan, and the decoder reads whatever DHT the stream carries."""
+    vals = sorted(
+        [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        + [r << 4 for r in range(8)]
+        + [0xF0]
+    )
+    bits = [0] * 16
+    bits[8] = len(vals)  # every code 9 bits long (169 < 2^9 leaves)
+    return bits, vals
+
+
+def _enc_ac_first(writer: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                  al: int, tab: dict) -> None:
+    """Progressive AC first pass over a component's blocks (T.81
+    §G.1.2.2 / jcphuff structure): point-transformed magnitudes
+    (toward-zero shift), run-length + EOBn with the run carried
+    across blocks."""
+    eobrun = 0
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, ln = tab[nbits << 4]
+            writer.write(code, ln)
+            if nbits:
+                writer.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for m in range(zz.shape[0]):
+        blk = zz[m]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            mag = abs(v) >> al
+            if mag == 0:
+                r += 1
+                continue
+            emit_eobrun()
+            while r > 15:
+                code, ln = tab[0xF0]
+                writer.write(code, ln)
+                r -= 16
+            s, bits = _magnitude(mag if v > 0 else -mag)
+            code, ln = tab[(r << 4) | s]
+            writer.write(code, ln)
+            writer.write(bits, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 255:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _enc_ac_refine(writer: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                   al: int, tab: dict) -> None:
+    """Progressive AC refinement pass (T.81 §G.1.2.3, mirroring the
+    jcphuff control flow exactly — the decoder mirrors jdphuff, and
+    the two must interleave correction bits identically): newly-
+    significant coefficients emit (run,1)+sign; already-significant
+    ones buffer one magnitude bit, flushed after the next symbol;
+    whole-block runs fold into EOBn with their bits pending."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits owned by the pending EOBn
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, ln = tab[nbits << 4]
+            writer.write(code, ln)
+            if nbits:
+                writer.write(eobrun & ((1 << nbits) - 1), nbits)
+            for b in pending:
+                writer.write(b, 1)
+            pending.clear()
+            eobrun = 0
+
+    for m in range(zz.shape[0]):
+        blk = zz[m]
+        mags = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob_i = -1
+        for i, t in enumerate(mags):
+            if t == 1:
+                eob_i = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(mags):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_i:
+                emit_eobrun()
+                code, ln = tab[0xF0]
+                writer.write(code, ln)
+                r -= 16
+                for b in br:
+                    writer.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            emit_eobrun()
+            code, ln = tab[(r << 4) | 1]
+            writer.write(code, ln)
+            writer.write(1 if int(blk[ss + i]) > 0 else 0, 1)
+            for b in br:
+                writer.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 255:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 3) or (H, W) uint8 -> PROGRESSIVE (SOF2) JFIF bytes,
+    spectral selection + successive approximation, Huffman-coded —
+    the libjpeg-style scan script: DC first at Al=1 (interleaved),
+    split luma AC bands at Al=2, chroma AC at Al=1, then the
+    refinement ladder down to Al=0, DC refinement included. 4:4:4 /
+    grayscale. Lossless vs the baseline encoding of the same image:
+    the successive-approximation ladder ends at Al=0, so the decoded
+    coefficients are bit-identical to ``encode_jpeg``'s (tested)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"encode_jpeg_progressive expects (H,W,3) or (H,W), got {a.shape}")
+    h, w = a.shape[:2]
+    qlum = _quality_scale(_QUANT_LUM, quality)
+    qchrom = _quality_scale(_QUANT_CHROM, quality)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, tab in ((0, qlum),) + (() if gray else ((1, qchrom),)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(x) for x in tab[ZIGZAG]
+        )
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)  # SOF2
+    if gray:
+        out += bytes([1, 0x11, 0])
+    else:
+        out += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    huff = [(0x00, _DC_LUM_BITS, _DC_LUM_VALS)]
+    if not gray:
+        huff.append((0x01, _DC_CHROM_BITS, _DC_CHROM_VALS))
+    pbits, pvals = _prog_ac_table()
+    huff.append((0x10, pbits, pvals))
+    for tc, bits, vals in huff:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc]) + bytes(bits) + bytes(vals)
+
+    if gray:
+        plane = _pad_to(a.astype(np.float64), 8, 8) - 128.0
+        zzs = [_fdct_quant(_to_blocks(plane), qlum)]
+    else:
+        ycc = _rgb_to_ycbcr(a)
+        planes = [_pad_to(ycc[..., i], 8, 8) - 128.0 for i in range(3)]
+        zzs = [
+            _fdct_quant(_to_blocks(p), qlum if i == 0 else qchrom)
+            for i, p in enumerate(planes)
+        ]
+
+    dc_enc = [
+        _build_encode_table(_DC_LUM_BITS, _DC_LUM_VALS),
+        _build_encode_table(_DC_CHROM_BITS, _DC_CHROM_VALS),
+    ]
+    ac_enc = _build_encode_table(pbits, pvals)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> None:
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids)))
+        for ci in comp_ids:
+            dc_id = 0 if ci == 0 else 1
+            out.extend(bytes([ci + 1, (dc_id << 4) | 0]))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+
+    def dc_first(comp_ids: list[int], al: int) -> None:
+        sos(comp_ids, 0, 0, 0, al)
+        writer = _BitWriter()
+        preds = [0] * len(comp_ids)
+        nb = zzs[0].shape[0]  # 4:4:4/gray: one block per comp per MCU
+        for m in range(nb):
+            for j, ci in enumerate(comp_ids):
+                v = int(zzs[ci][m, 0]) >> al  # ARITHMETIC shift (G.1.2.1)
+                s, bits = _magnitude(v - preds[j])
+                preds[j] = v
+                code, ln = dc_enc[0 if ci == 0 else 1][s]
+                writer.write(code, ln)
+                if s:
+                    writer.write(bits, s)
+        out.extend(writer.flush())
+
+    def dc_refine(comp_ids: list[int], al: int) -> None:
+        sos(comp_ids, 0, 0, al + 1, al)
+        writer = _BitWriter()
+        nb = zzs[0].shape[0]
+        for m in range(nb):
+            for ci in comp_ids:
+                writer.write((int(zzs[ci][m, 0]) >> al) & 1, 1)
+        out.extend(writer.flush())
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> None:
+        sos([ci], ss, se, ah, al)
+        writer = _BitWriter()
+        if ah == 0:
+            _enc_ac_first(writer, zzs[ci], ss, se, al, ac_enc)
+        else:
+            _enc_ac_refine(writer, zzs[ci], ss, se, al, ac_enc)
+        out.extend(writer.flush())
+
+    all_comps = list(range(ncomp))
+    if gray:
+        dc_first(all_comps, 1)
+        ac_scan(0, 1, 63, 0, 1)
+        dc_refine(all_comps, 0)
+        ac_scan(0, 1, 63, 1, 0)
+    else:
+        dc_first(all_comps, 1)
+        ac_scan(0, 1, 5, 0, 2)
+        ac_scan(0, 6, 63, 0, 2)
+        ac_scan(1, 1, 63, 0, 1)
+        ac_scan(2, 1, 63, 0, 1)
+        ac_scan(0, 1, 63, 2, 1)
+        dc_refine(all_comps, 0)
+        ac_scan(1, 1, 63, 1, 0)
+        ac_scan(2, 1, 63, 1, 0)
+        ac_scan(0, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---- decoder ----
+
+
+def _decode_dc_scan(reader, sc_list, mcux, mcuy, comp_blocks, ri, ah, al):
+    """Progressive DC scan (T.81 §G.2): first pass (Ah=0) is baseline
+    DPCM of the point-transformed DC, stored << Al; refinement passes
+    (Ah>0) read ONE bit per block, OR-ed into bit Al — exact because
+    the encoder's point transform is an ARITHMETIC (floor) shift, so
+    two's-complement OR reconstructs negative DCs bit-for-bit."""
+
+    def dc_unit(sc, bi):
+        fc = sc["frame"]
+        if ah == 0:
+            s = reader.decode_symbol(sc["dc_tab"])
+            diff = _extend(reader.read_bits(s), s) if s else 0
+            sc["pred"] += diff
+            fc["coef"][bi, 0] = sc["pred"] << al
+        elif reader.read_bit():
+            fc["coef"][bi, 0] |= 1 << al
+
+    if len(sc_list) > 1:
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and unit and unit % ri == 0:
+                    reader.sync_restart()
+                    for sc in sc_list:
+                        sc["pred"] = 0
+                for sc in sc_list:
+                    fc = sc["frame"]
+                    for by in range(fc["v"]):
+                        for bx in range(fc["h"]):
+                            dc_unit(
+                                sc,
+                                (my * fc["v"] + by) * fc["bw"] + mx * fc["h"] + bx,
+                            )
+                unit += 1
+    else:
+        sc = sc_list[0]
+        fc = sc["frame"]
+        nbx, nby = comp_blocks(fc)
+        unit = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if ri and unit and unit % ri == 0:
+                    reader.sync_restart()
+                    sc["pred"] = 0
+                dc_unit(sc, by * fc["bw"] + bx)
+                unit += 1
+
+
+def _ac_first_block(reader, sc, blk, ss, se, al, state):
+    """Progressive AC first pass for one block (T.81 §G.2.1.2): the
+    baseline run-length code extended with EOBn — an EOB symbol with
+    category r ends 2^r + extra(r) blocks at once (state['eobrun']
+    carries the remainder across blocks)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(sc["ac_tab"])
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(reader, sc, blk, ss, se, al, state):
+    """Progressive AC refinement for one block (T.81 §G.2.2, the
+    jdphuff.c control flow): newly-significant coefficients arrive as
+    ±1<<Al after a run over ZERO-HISTORY positions; every NONZERO-
+    history coefficient passed on the way (and through EOB runs)
+    carries a correction bit that may add ±1<<Al toward larger
+    magnitude."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(sc["ac_tab"])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                newval = 0  # ZRL: pass 16 zero-history slots, no new coef
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement coefficient past band end")
+                blk[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and reader.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_progressive_scan(reader, scan, mcux, mcuy, comp_blocks, ri):
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    sc_list = scan["comps"]
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        _decode_dc_scan(reader, sc_list, mcux, mcuy, comp_blocks, ri, ah, al)
+        return
+    if len(sc_list) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    sc = sc_list[0]
+    fc = sc["frame"]
+    nbx, nby = comp_blocks(fc)
+    state = {"eobrun": 0}
+    unit = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if ri and unit and unit % ri == 0:
+                reader.sync_restart()
+                state["eobrun"] = 0
+            blk = fc["coef"][by * fc["bw"] + bx]
+            if ah == 0:
+                _ac_first_block(reader, sc, blk, ss, se, al, state)
+            else:
+                _ac_refine_block(reader, sc, blk, ss, se, al, state)
+            unit += 1
 
 
 def _skip_entropy_data(data: bytes, start: int) -> int:
@@ -560,6 +954,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
     scans: list[dict] = []
 
     while pos < len(data):
@@ -590,7 +985,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tab[ZIGZAG] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
                 qtabs[tq] = tab
                 i += 65
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline-decodable)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for ci in range(nc):
@@ -598,10 +994,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
-                "arithmetic/lossless) — baseline sequential only"
+                f"unsupported JPEG (SOF marker 0xFF{marker:02X}: "
+                "arithmetic/lossless/differential) — baseline sequential "
+                "and Huffman progressive only"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -621,17 +1018,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tds = seg[1 + ci * 2 : 3 + ci * 2]
                 comp = next(c for c in comps if c["id"] == cs)
                 # snapshot the TABLE OBJECTS (a later DHT replaces the
-                # htabs entry, not the dict this scan decodes with)
+                # htabs entry, not the dict this scan decodes with);
+                # .get: a progressive DC scan may name an AC table id
+                # that is never defined, and vice versa
                 sc.append(
                     {
                         "frame": comp,
-                        "dc_tab": htabs[(0, tds >> 4)],
-                        "ac_tab": htabs[(1, tds & 0xF)],
+                        "dc_tab": htabs.get((0, tds >> 4)),
+                        "ac_tab": htabs.get((1, tds & 0xF)),
                         "pred": 0,
                     }
                 )
+            ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
             scans.append(
-                {"comps": sc, "start": pos + seglen, "ri": restart_interval}
+                {
+                    "comps": sc,
+                    "start": pos + seglen,
+                    "ri": restart_interval,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahl >> 4,
+                    "al": ahl & 0xF,
+                }
             )
             pos = _skip_entropy_data(data, pos + seglen)
             continue
@@ -671,6 +1079,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             k += 1
         return blk
 
+    def _comp_blocks(fc: dict) -> tuple[int, int]:
+        """Non-interleaved data-unit grid (T.81 §A.2.2): ceil(x_i/8) ×
+        ceil(y_i/8) with x_i = ceil(w·h_i/hmax) — NOT the MCU-padded
+        grid."""
+        xi = (w * fc["h"] + hmax - 1) // hmax
+        yi = (h * fc["v"] + vmax - 1) // vmax
+        return (xi + 7) // 8, (yi + 7) // 8
+
     covered: set[int] = set()
     for scan in scans:
         sc_list = scan["comps"]
@@ -678,8 +1094,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         reader = _BitReader(data, scan["start"])
         for sc in sc_list:
             sc["pred"] = 0
-            covered.add(sc["frame"]["id"])
         try:
+            if progressive:
+                _decode_progressive_scan(
+                    reader, scan, mcux, mcuy, _comp_blocks, ri
+                )
+                if scan["ss"] == 0:  # DC scan establishes coverage
+                    for sc in sc_list:
+                        covered.add(sc["frame"]["id"])
+                continue
+            for sc in sc_list:
+                covered.add(sc["frame"]["id"])
             if len(sc_list) > 1:
                 # interleaved: MCU raster, h×v blocks per comp per MCU
                 unit = 0
@@ -699,15 +1124,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                     fc["coef"][bi] = _decode_block(reader, sc)
                         unit += 1
             else:
-                # non-interleaved (T.81 §A.2.2): the component's OWN
-                # block raster — ceil(x_i/8) × ceil(y_i/8) data units,
-                # x_i = ceil(w·h_i/hmax) — not the MCU-padded grid;
-                # the restart interval counts single blocks here
+                # non-interleaved — the restart interval counts single
+                # blocks here
                 sc = sc_list[0]
                 fc = sc["frame"]
-                xi = (w * fc["h"] + hmax - 1) // hmax
-                yi = (h * fc["v"] + vmax - 1) // vmax
-                nbx, nby = (xi + 7) // 8, (yi + 7) // 8
+                nbx, nby = _comp_blocks(fc)
                 unit = 0
                 for by in range(nby):
                     for bx in range(nbx):
@@ -722,7 +1143,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     missing = [c["id"] for c in comps if c["id"] not in covered]
     if missing:
         raise ValueError(
-            f"multi-scan JPEG is missing scans for component ids {missing}"
+            ("progressive" if progressive else "multi-scan")
+            + f" JPEG is missing scans for component ids {missing}"
         )
 
     # dequant + de-zigzag + IDCT, vectorized per component

@@ -74,7 +74,12 @@ def word_tokens_py(text: str) -> list[str]:
     category L). Python's ``re`` has no ``\\p{L}``, and ``[^\\W\\d_]``
     is NOT equivalent (Python ``\\w`` admits combining marks and
     letter-numbers), so the category test is explicit. Parity with
-    the Spark expression is pinned in tests over multilingual input."""
+    the Spark expression is pinned in tests over multilingual input,
+    and with DuckDB's regex property-tested over arbitrary ASSIGNED
+    codepoints — codepoints newly assigned between the engines' own
+    Unicode table versions (Java 13.0 / Python 14.0 / RE2 newer) can
+    legitimately differ, a divergence that exists between Spark and
+    any SQL oracle independent of this scanner."""
     import unicodedata
 
     out: list[str] = []

@@ -1080,11 +1080,17 @@ def test_jpeg_restart_markers_and_error_paths():
     ):
         decode_jpeg(enc)  # no exception, resync works
 
-    # progressive (SOF2) raises explicitly: flip the SOF0 marker
+    # progressive (SOF2) is SUPPORTED as of round 5 — but a baseline
+    # body mislabeled SOF2 is malformed: its full-band Ss=0,Se=63 scan
+    # is illegal in progressive (a scan is DC Se=0 or AC Ss>=1)
     sof0 = plain.find(b"\xff\xc0")
-    progressive = plain[:sof0] + b"\xff\xc2" + plain[sof0 + 2 :]
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(progressive)
+    mislabeled = plain[:sof0] + b"\xff\xc2" + plain[sof0 + 2 :]
+    with _pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(mislabeled)
+    # arithmetic coding (SOF9) still raises explicitly
+    arith = plain[:sof0] + b"\xff\xc9" + plain[sof0 + 2 :]
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
 
@@ -1390,3 +1396,69 @@ def test_embedding_near_dup_mixed_dim_raises(spark):
         match="dim changed|one vector width|input array dimensions",
     ):
         embedding_near_dup_pairs(mixed, cos_threshold=0.9).count()
+
+
+def test_jpeg_progressive_codec():
+    """Progressive (SOF2) JPEG: spectral selection + successive
+    approximation, Huffman-coded. Decoded progressive == decoded
+    BASELINE of the same image bit-for-bit (the successive-
+    approximation ladder ends at Al=0, so coefficients reconstruct
+    exactly — crossing two different entropy layers, which catches
+    one-sided bugs). And the defining progressive property holds:
+    decoding only a PREFIX of the scans yields a coarse approximation
+    whose error shrinks as scans are added."""
+    import numpy as np
+
+    from snapflow_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    # smooth-ish content: block-structured base + noise exercises both
+    # long zero runs (EOBn/ZRL) and dense refinement bits
+    base = np.kron(
+        rng.integers(30, 226, size=(6, 8, 3)).astype(np.float64),
+        np.ones((8, 8, 1)),
+    )
+    noise = rng.normal(0, 12, size=base.shape)
+    img = np.clip(base + noise, 0, 255).astype(np.uint8)[:45, :61]
+
+    for q in (50, 85, 95):
+        expect = decode_jpeg(encode_jpeg(img, quality=q))
+        data = encode_jpeg_progressive(img, quality=q)
+        header = data[: data.find(b"\xff\xda")]
+        assert b"\xff\xc2" in header and b"\xff\xc0" not in header  # SOF2
+        got = decode_jpeg(data)
+        assert np.array_equal(expect, got), f"q={q}"
+
+    # gray too
+    g = img[..., 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=85)),
+        decode_jpeg(encode_jpeg_progressive(g, quality=85)),
+    )
+
+    # progressive refinement: decode prefixes of the scan sequence
+    # (cut before the k-th SOS, append EOI) — every prefix with a DC
+    # scan is a viewable approximation and error is (weakly) shrinking
+    data = encode_jpeg_progressive(img, quality=85)
+    full = decode_jpeg(data).astype(np.float64)
+    sos_positions = []
+    p = 0
+    while True:
+        p = data.find(b"\xff\xda", p + 1)
+        if p < 0:
+            break
+        sos_positions.append(p)
+    assert len(sos_positions) == 10  # the color scan script
+    errs = []
+    for cut in sos_positions[1:] + [len(data) - 2]:
+        partial = decode_jpeg(data[:cut] + b"\xff\xd9")
+        errs.append(float(np.abs(partial.astype(np.float64) - full).mean()))
+    # DC-only is a real approximation of the image, not garbage
+    assert errs[0] < 64
+    # error at the end is 0 and the refinement trend is downward
+    assert errs[-1] == 0.0
+    assert errs[-1] <= errs[len(errs) // 2] <= errs[0] + 1e-9

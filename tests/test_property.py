@@ -99,14 +99,26 @@ def test_hash_bucket_oracle_fold_matches_int_parse(doc_id, salt):
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.text(max_size=120))
+@given(
+    st.text(
+        # Unicode-VERSION caveat, found by this very test: each engine
+        # ships its own Unicode tables (Python 3.11 = 14.0, DuckDB's
+        # RE2 newer, Java 17 = 13.0), so codepoints ASSIGNED between
+        # versions (e.g. U+31350, new in 15.0: letter to RE2,
+        # unassigned to Python) legitimately tokenize differently —
+        # that divergence exists Spark<->DuckDB with or without the
+        # python scanner. The contract is over assigned codepoints.
+        alphabet=st.characters(exclude_categories=("Cs", "Cn")),
+        max_size=120,
+    )
+)
 def test_word_tokens_py_matches_duckdb_regex(text):
     """word_tokens_py (the driver-side BM25 query tokenizer) must
     agree with the `[\\p{L}]+` regex class the SQL oracle runs — the
     cross-engine determinism triangle: Spark expr == python scanner
     (pinned on samples in test_retrieval) and python scanner == DuckDB
     (property-tested here, Spark-free) imply all three tokenize alike
-    over arbitrary unicode."""
+    over assigned unicode."""
     import duckdb
 
     from snapflow_spark.operators.retrieval import word_tokens_py
