@@ -63,16 +63,20 @@ def attach_image_blob(
 ) -> DataFrame:
     """Deterministic REAL image payload per row: pixels synthesized
     from the text bytes (codec.synthesize_image), encoded round-robin
-    by id as P6 PPM / 24-bit BMP / 8-bit PNG / baseline JPEG — so
-    every downstream op exercises all four decoders (PNG added round
-    3: stdlib-zlib codec; JPEG added round 4: pure-numpy baseline
-    codec, the one LOSSY member — features downstream are statistics
-    of the decoded pixels, deterministic either way). Real pipelines
-    replace this with a parquet binary column or URI; everything
-    downstream is unchanged."""
+    by id as P6 PPM / 24-bit BMP / 8-bit PNG / baseline JPEG /
+    PROGRESSIVE JPEG — so every downstream op exercises every decoder
+    (PNG added round 3: stdlib-zlib codec; JPEG added round 4,
+    progressive round 5: pure-numpy codecs, the LOSSY members —
+    features downstream are statistics of the decoded pixels,
+    deterministic either way). Real pipelines replace this with a
+    parquet binary column or URI; everything downstream is
+    unchanged."""
 
     def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from snapflow_spark.multimodal.jpeg import encode_jpeg
+        from snapflow_spark.multimodal.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
         for pdf in batches:
             out = pdf.copy()
@@ -82,7 +86,7 @@ def attach_image_blob(
                 arr = synthesize_image(
                     str(text or "").encode("utf-8"), width=width, height=height
                 )
-                pick = int(doc_id) % 4
+                pick = int(doc_id) % 5
                 if pick == 0:
                     blobs.append(encode_ppm(arr))
                     mimes.append(_MIME["ppm"])
@@ -92,8 +96,11 @@ def attach_image_blob(
                 elif pick == 2:
                     blobs.append(encode_png(arr))
                     mimes.append(_MIME["png"])
-                else:
+                elif pick == 3:
                     blobs.append(encode_jpeg(arr, quality=95))
+                    mimes.append(_MIME["jpeg"])
+                else:
+                    blobs.append(encode_jpeg_progressive(arr, quality=95))
                     mimes.append(_MIME["jpeg"])
             out["blob"] = blobs
             out["mime"] = mimes

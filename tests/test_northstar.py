@@ -241,9 +241,13 @@ def test_multimodal_real_decode(spark, planted):
     blobs = attach_image_blob(df.limit(10))
     assert dict(blobs.dtypes)["blob"] == "binary"
     raw = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
-    # all four formats present (id % 4 -> PPM / BMP / PNG / JPEG)
+    # all formats present (id % 5 -> PPM / BMP / PNG / baseline JPEG /
+    # progressive JPEG; both JPEG flavors share the FFD8 magic)
     magics = {b[:2] for b in raw.values()}
     assert magics == {b"P6", b"BM", b"\x89P", b"\xff\xd8"}
+    # the progressive member really is SOF2
+    prog = [b for i, b in raw.items() if i % 5 == 4]
+    assert prog and all(b"\xff\xc2" in b for b in prog)
     rows = extract_features(blobs).collect()
     assert len(rows) == 10
     for r in rows:

@@ -54,6 +54,27 @@ def test_jpeg_decodes_any_image_shape(img, sub):
     assert err < 64.0, (img.shape, sub, err)
 
 
+@settings(max_examples=25, deadline=None)
+@given(_rgb_images())
+def test_jpeg_scan_layouts_agree_any_image(img):
+    """The three scan layouts of the same coefficients — single
+    interleaved baseline, multi-scan baseline, progressive
+    (spectral selection + successive approximation) — decode to
+    IDENTICAL pixels on arbitrary content and any dimensions: the
+    entropy layer must never change the image."""
+    from snapflow_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    multi = decode_jpeg(encode_jpeg(img, quality=90, interleave=False))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    assert np.array_equal(base, multi)
+    assert np.array_equal(base, prog)
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(st.text(min_size=0, max_size=20), max_size=60),
