@@ -2,10 +2,12 @@
 opaque BINARY columns + typed metadata, processed in mapInPandas —
 the audio twin of the image path in columns.py.
 
-The codec is REAL: RIFF/WAVE PCM16 is a pure header-plus-samples
-format, so encode/decode need only stdlib struct + numpy (the same
-honesty bar the image side sets with PPM/BMP/PNG). Compressed audio
-(MP3/AAC/OGG) raises NotImplementedError explicitly.
+The codecs are REAL: RIFF/WAVE PCM16 is a pure header-plus-samples
+format, and FLAC (round 5, multimodal/flac.py) is lossless entropy
+coding implementable with numpy alone — the format LibriSpeech-style
+speech corpora actually ship. ``decode_audio_bytes`` dispatches on
+magic; DSP-decoder formats (MP3/AAC/OGG) raise NotImplementedError
+explicitly.
 
 At 100 TB the shape matches images: blobs ride in parquet binary
 columns, decode FUSES with featurization in one Arrow-batched
@@ -28,7 +30,7 @@ from snapflow_spark.multimodal.columns import BLOB_META_SCHEMA
 # [duration_ms, n_channels, rms, peak, mean, zero_crossing_rate]
 AUDIO_FEATURE_DIM = 6
 
-_COMPRESSED_MAGIC = (b"ID3", b"\xff\xfb", b"\xff\xf3", b"OggS", b"fLaC")
+_COMPRESSED_MAGIC = (b"ID3", b"\xff\xfb", b"\xff\xf3", b"OggS")
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -53,12 +55,17 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     only; float/ADPCM/compressed raise with a clear message."""
     data = bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        if data[:4] == b"fLaC":
+            raise ValueError(
+                "FLAC stream: decode via decode_audio_bytes (the "
+                "dispatching entry point) or multimodal.flac.decode_flac"
+            )
         # compare each magic at its own length — the prefixes range
-        # from 2 bytes (MP3 frame sync) to 4 (OggS/fLaC)
+        # from 2 bytes (MP3 frame sync) to 4 (OggS)
         if any(data[: len(m)] == m for m in _COMPRESSED_MAGIC):
             raise NotImplementedError(
-                "compressed audio (MP3/OGG/FLAC) needs a codec library "
-                "not present in this environment"
+                "compressed audio (MP3/AAC/OGG) needs a DSP decoder "
+                "not implementable with numpy alone"
             )
         raise ValueError("not a RIFF/WAVE file")
     i = 12
@@ -83,6 +90,19 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         )
     frames = np.frombuffer(pcm, dtype="<i2", count=len(pcm) // 2)
     return frames.reshape(-1, ch).copy(), sample_rate
+
+
+def decode_audio_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Magic-sniffing audio decode: RIFF/WAVE -> decode_wav, fLaC ->
+    flac.decode_flac (int32 PCM; 16-bit streams fit int16 exactly).
+    The single entry point the feature/resample stages use, mirroring
+    the image side's decode_image_bytes."""
+    data = bytes(data)
+    if data[:4] == b"fLaC":
+        from snapflow_spark.multimodal.flac import decode_flac
+
+        return decode_flac(data)
+    return decode_wav(data)
 
 
 def synthesize_audio(
@@ -135,11 +155,15 @@ def attach_audio_blob(
     n_samples: int = 1600,
     sample_rate: int = 16000,
 ) -> DataFrame:
-    """Deterministic REAL WAV payload per row (synthesized PCM from
+    """Deterministic REAL audio payload per row (synthesized PCM from
     the text bytes; stereo for every third id so both channel layouts
-    are exercised), plus the shared metadata struct."""
+    are exercised; every fifth id encodes as FLAC instead of WAV so
+    downstream ops decode both containers), plus the shared metadata
+    struct."""
 
     def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from snapflow_spark.multimodal.flac import encode_flac
+
         for pdf in batches:
             out = pdf.copy()
             blobs = []
@@ -148,7 +172,10 @@ def attach_audio_blob(
                 pcm = synthesize_audio(
                     str(text or "").encode("utf-8"), n_samples=n_samples, channels=ch
                 )
-                blobs.append(encode_wav(pcm, sample_rate))
+                if int(doc_id) % 5 == 4:
+                    blobs.append(encode_flac(pcm, sample_rate))
+                else:
+                    blobs.append(encode_wav(pcm, sample_rate))
             out["blob"] = blobs
             yield out
 
@@ -162,7 +189,9 @@ def attach_audio_blob(
         "meta",
         F.struct(
             F.lit("audio").alias("modality"),
-            F.lit("audio/wav").alias("mime"),
+            F.when(F.col(id_col) % 5 == 4, F.lit("audio/flac"))
+            .otherwise(F.lit("audio/wav"))
+            .alias("mime"),
             F.lit(0).cast("int").alias("width"),
             F.lit(0).cast("int").alias("height"),
             F.lit(duration_ms).cast("int").alias("duration_ms"),
@@ -184,7 +213,7 @@ def extract_audio_features(
         for pdf in batches:
             ids, rates, feats = [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                samples, rate = decode_wav(bytes(blob))
+                samples, rate = decode_audio_bytes(bytes(blob))
                 ids.append(doc_id)
                 rates.append(rate)
                 feats.append(audio_features(samples, rate))
@@ -210,7 +239,7 @@ def resample_audio(
             out = pdf.copy()
             blobs = []
             for b in pdf[blob_col]:
-                samples, rate = decode_wav(bytes(b))
+                samples, rate = decode_audio_bytes(bytes(b))
                 n = samples.shape[0]
                 m = max(1, int(round(n * target_rate / rate)))
                 idx = np.minimum((np.arange(m) * n) // m, n - 1)

@@ -786,8 +786,14 @@ def test_wav_codec_roundtrip_and_features():
     # dead and they fell through to the generic ValueError)
     with pytest.raises(NotImplementedError):
         decode_wav(b"OggS\x00\x02rest-of-an-ogg")
-    with pytest.raises(NotImplementedError):
+    # FLAC is DECODABLE as of round 5 — decode_wav points at the
+    # dispatcher, and a truncated stream fails loudly in decode_flac
+    with pytest.raises(ValueError, match="decode_audio_bytes"):
         decode_wav(b"fLaC\x00\x00\x00\x22rest-of-a-flac")
+    from snapflow_spark.multimodal.flac import decode_flac
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac(b"fLaC\x00\x00\x00\x22rest-of-a-flac")
     with pytest.raises(NotImplementedError):
         decode_wav(b"\xff\xfbmp3-frame-sync")
     with pytest.raises(ValueError, match="RIFF"):
@@ -810,6 +816,7 @@ def test_audio_blob_pipeline_spark(spark, planted):
     from snapflow_spark.multimodal import (
         attach_audio_blob,
         audio_features,
+        decode_audio_bytes,
         decode_wav,
         extract_audio_features,
         resample_audio,
@@ -818,15 +825,22 @@ def test_audio_blob_pipeline_spark(spark, planted):
     df, _n, _e = planted
     blobs = attach_audio_blob(df.limit(9), n_samples=320)
     raw = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
-    chans = {decode_wav(b)[0].shape[1] for b in raw.values()}
+    chans = {decode_audio_bytes(b)[0].shape[1] for b in raw.values()}
     assert chans == {1, 2}
-    meta = blobs.select("meta.modality", "meta.mime", "meta.duration_ms").first()
-    assert (meta[0], meta[1], meta[2]) == ("audio", "audio/wav", 20)
+    # the rotation ships BOTH containers: id%5==4 is FLAC, rest WAV
+    assert {b[:4] for b in raw.values()} == {b"RIFF", b"fLaC"}
+    assert raw[4][:4] == b"fLaC"
+    metas = {
+        r.doc_id: (r.modality, r.mime, r.duration_ms)
+        for r in blobs.select("doc_id", "meta.modality", "meta.mime", "meta.duration_ms").collect()
+    }
+    assert metas[0] == ("audio", "audio/wav", 20)
+    assert metas[4] == ("audio", "audio/flac", 20)
 
     rows = extract_audio_features(blobs).collect()
     assert len(rows) == 9
     for r in rows:
-        samples, rate = decode_wav(raw[r.doc_id])
+        samples, rate = decode_audio_bytes(raw[r.doc_id])
         assert rate == r.sample_rate == 16000
         assert np.allclose(r.features, audio_features(samples, rate), atol=1e-12)
 
@@ -1466,3 +1480,53 @@ def test_jpeg_progressive_codec():
     # error at the end is 0 and the refinement trend is downward
     assert errs[-1] == 0.0
     assert errs[-1] <= errs[len(errs) // 2] <= errs[0] + 1e-9
+
+
+def test_flac_codec_roundtrip_all_paths():
+    """Pure-numpy FLAC codec: encode->decode is BIT-EXACT (FLAC is
+    lossless) across every subframe/stereo path the decoder has —
+    CONSTANT (silence), FIXED orders 0-4, LPC, rice AND rice2
+    residuals (noise needs >14-bit params), mid/side and independent
+    stereo, odd/tiny lengths — and the compressed size actually
+    shrinks on predictable signals."""
+    import numpy as np
+
+    from snapflow_spark.multimodal.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(3)
+    t = np.arange(9000)
+    sine = (3000 * np.sin(t / 40)).astype(np.int16)
+    noise = rng.integers(-32768, 32768, size=(5000, 2)).astype(np.int16)
+
+    def rt(samples, **kw):
+        dec, rate = decode_flac(encode_flac(samples, 16000, **kw))
+        want = np.asarray(samples, dtype=np.int64)
+        if want.ndim == 1:
+            want = want[:, None]
+        assert rate == 16000
+        assert np.array_equal(dec.astype(np.int64), want), kw
+        return len(encode_flac(samples, 16000, **kw))
+
+    sz_sine = rt(sine)
+    rt(noise)                      # mid/side + rice2
+    rt(noise, mid_side=False)      # independent channels
+    rt(np.zeros(10000, dtype=np.int16))            # CONSTANT
+    rt(np.full(700, -1234, dtype=np.int16))        # CONSTANT, negative
+    rt(sine[:4097], block_size=1024)               # partial last block
+    rt(sine[:1])
+    rt(sine, lpc=True)                             # LPC decode path
+    for o in range(5):
+        rt(sine[:2000], order=o)                   # all FIXED orders
+    rt(np.array([32767, -32768] * 500, dtype=np.int16))
+    # real compression on the predictable signal (9000*2 bytes raw)
+    assert sz_sine < 9000
+    # silence compresses to almost nothing
+    assert len(encode_flac(np.zeros(10000, dtype=np.int16), 16000)) < 200
+
+    # malformed streams fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_flac(b"not flac")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_flac(b"fLaC\x00\x00\x00\x22" + b"\x00" * 10)

@@ -149,3 +149,26 @@ def test_word_tokens_py_matches_duckdb_regex(text):
         r"SELECT regexp_extract_all(lower(?), '[\p{L}]+')", [text]
     ).fetchone()[0]
     assert word_tokens_py(text) == duck, text
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=700),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=0, max_value=4),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+def test_flac_lossless_any_pcm(n, ch, order, mid_side, rnd):
+    """FLAC is LOSSLESS by construction: arbitrary int16 PCM (any
+    length, mono/stereo, any fixed order, either stereo mode)
+    round-trips bit-exactly through the from-scratch codec."""
+    from snapflow_spark.multimodal.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    pcm = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+    dec, rate = decode_flac(
+        encode_flac(pcm, 8000, block_size=256, order=order, mid_side=mid_side)
+    )
+    assert rate == 8000
+    assert np.array_equal(dec.astype(np.int64), pcm.astype(np.int64))
