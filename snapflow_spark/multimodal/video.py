@@ -7,8 +7,12 @@ raw-planes format, so encode/decode need only stdlib + numpy (the
 same honesty bar as PPM/BMP/PNG and RIFF/WAVE). We support C444
 (3 full-resolution planes) and Cmono (luma only) — both round-trip
 bit-exactly; the codec parses containers, it does not do colorimetry,
-so the three planes are carried as-is. Compressed video (MP4/MKV/
-WebM/AVI) raises NotImplementedError explicitly.
+so the three planes are carried as-is. MJPEG-in-AVI (round 5) is
+also REAL: the AVI RIFF container parses with stdlib struct and every
+'00dc' chunk is a JPEG our from-scratch T.81 codec decodes — a true
+compressed-video format with no codec library. ``decode_video_bytes``
+dispatches on magic; inter-frame codecs (MP4/MKV/WebM, non-MJPG AVI)
+raise NotImplementedError explicitly.
 
 Frame sampling is the scale-relevant op: ``sample_frames`` decodes
 inside one mapInPandas stage, keeps every Nth frame, and EXPLODES to
@@ -37,7 +41,6 @@ VIDEO_FEATURE_DIM = 8
 
 _COMPRESSED_MAGIC = {
     b"\x1aE\xdf\xa3": "MKV/WebM (EBML)",
-    b"RIFF": "AVI",  # RIFF but not WAVE — checked after Y4M magic
 }
 
 
@@ -75,6 +78,11 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError(
                 "compressed video (MP4) needs a codec library not "
                 "present in this environment"
+            )
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            raise ValueError(
+                "AVI container: decode via decode_video_bytes (MJPEG "
+                "streams decode; other codecs raise there)"
             )
         for magic, name in _COMPRESSED_MAGIC.items():
             if data.startswith(magic):
@@ -124,6 +132,136 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
         )
         i += frame_bytes
     return np.stack(frames).copy(), fps
+
+
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: int = 25, quality: int = 90
+) -> bytes:
+    """(T, H, W, 3) or (T, H, W, 1) uint8 -> AVI bytes with an MJPEG
+    video stream: the RIFF container (avih + strl headers, movi list
+    of '00dc' chunks, old-style idx1 index) written with stdlib
+    struct, each frame a JPEG from the from-scratch T.81 encoder —
+    a REAL compressed-video file any player opens."""
+    import struct as _struct
+
+    from snapflow_spark.multimodal.jpeg import encode_jpeg
+
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[3] not in (1, 3):
+        raise ValueError(f"encode_avi_mjpeg expects (T,H,W,1|3), got {a.shape}")
+    t, h, w, c = a.shape
+    jpegs = [
+        encode_jpeg(a[f, :, :, 0] if c == 1 else a[f], quality=quality)
+        for f in range(t)
+    ]
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + _struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = _struct.pack(
+        "<10I4x4x4x4x",
+        int(round(1_000_000 / max(fps, 1))),  # dwMicroSecPerFrame
+        0, 0, 0x10,  # maxbytes, padding, flags (HASINDEX)
+        t, 0, 1, 0, w, h,
+    )
+    strh = _struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, max(fps, 1),  # dwScale, dwRate -> fps = rate/scale
+        0, t, 0, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = _struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_payload)
+    # idx1: one entry per frame (offset relative to 'movi' fourcc)
+    idx = bytearray()
+    off = 4
+    for j in jpegs:
+        idx += b"00dc" + _struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[np.ndarray, int]:
+    """AVI/MJPEG -> ((T, H, W, C) uint8, fps). Walks the RIFF tree
+    for the stream headers (fps from strh's rate/scale, falling back
+    to avih's µs-per-frame) and decodes every video chunk with the
+    T.81 JPEG decoder. A non-MJPG video stream raises with the codec
+    name — inter-frame codecs genuinely need a DSP library."""
+    import struct as _struct
+
+    from snapflow_spark.multimodal.jpeg import decode_jpeg
+
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ') container")
+    fps = None
+    compression = None
+    frames_bytes: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal fps, compression
+        i = start
+        while i + 8 <= end:
+            fourcc = data[i : i + 4]
+            (size,) = _struct.unpack("<I", data[i + 4 : i + 8])
+            payload_start = i + 8
+            if fourcc == b"LIST":
+                walk(payload_start + 4, payload_start + size)
+            elif fourcc == b"strh" and size >= 36:
+                fcc_type = data[payload_start : payload_start + 4]
+                if fcc_type == b"vids":
+                    scale, rate = _struct.unpack(
+                        "<II", data[payload_start + 20 : payload_start + 28]
+                    )
+                    if scale:
+                        fps = int(round(rate / scale))
+            elif fourcc == b"strf" and size >= 16 and compression is None:
+                compression = data[payload_start + 16 : payload_start + 20]
+            elif fourcc == b"avih" and fps is None and size >= 4:
+                (us_per_frame,) = _struct.unpack(
+                    "<I", data[payload_start : payload_start + 4]
+                )
+                if us_per_frame:
+                    fps = int(round(1_000_000 / us_per_frame))
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                frames_bytes.append(data[payload_start : payload_start + size])
+            i = payload_start + size + (size & 1)
+
+    walk(12, 8 + _struct.unpack("<I", data[4:8])[0])
+    if compression not in (b"MJPG", b"mjpg"):
+        name = (compression or b"?").decode("ascii", "replace")
+        raise NotImplementedError(
+            f"AVI video codec {name!r}: only MJPEG decodes without a "
+            "codec library (every frame is a standalone JPEG)"
+        )
+    if not frames_bytes:
+        raise ValueError("AVI has no video frames")
+    decoded = [decode_jpeg(fb) for fb in frames_bytes]
+    arrs = [d[..., None] if d.ndim == 2 else d for d in decoded]
+    return np.stack(arrs), fps or 25
+
+
+def decode_video_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Magic-sniffing video decode: YUV4MPEG2 -> decode_y4m, AVI ->
+    decode_avi_mjpeg. The single entry point the frame-sampling and
+    feature stages use, mirroring decode_image_bytes /
+    decode_audio_bytes."""
+    data = bytes(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi_mjpeg(data)
+    return decode_y4m(data)
 
 
 def synthesize_video(
@@ -200,9 +338,12 @@ def attach_video_blob(
     height: int = 8,
     fps: int = 25,
 ) -> DataFrame:
-    """Deterministic REAL Y4M payload per row (synthesized frames from
-    the text bytes; mono for every third id so both colorspaces are
-    exercised), plus the shared metadata struct."""
+    """Deterministic REAL video payload per row (synthesized frames
+    from the text bytes; mono for every third id so both colorspaces
+    are exercised; every fifth id ships as MJPEG-AVI instead of raw
+    Y4M so downstream ops decode both containers — the AVI member is
+    the LOSSY one, like JPEG on the image side), plus the shared
+    metadata struct."""
 
     def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -217,7 +358,10 @@ def attach_video_blob(
                     height=height,
                     channels=ch,
                 )
-                blobs.append(encode_y4m(frames, fps))
+                if int(doc_id) % 5 == 4:
+                    blobs.append(encode_avi_mjpeg(frames, fps, quality=95))
+                else:
+                    blobs.append(encode_y4m(frames, fps))
             out["blob"] = blobs
             yield out
 
@@ -231,7 +375,9 @@ def attach_video_blob(
         "meta",
         F.struct(
             F.lit("video").alias("modality"),
-            F.lit("video/x-yuv4mpeg").alias("mime"),
+            F.when(F.col(id_col) % 5 == 4, F.lit("video/x-msvideo"))
+            .otherwise(F.lit("video/x-yuv4mpeg"))
+            .alias("mime"),
             F.lit(width).cast("int").alias("width"),
             F.lit(height).cast("int").alias("height"),
             F.lit(duration_ms).cast("int").alias("duration_ms"),
@@ -260,7 +406,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, tss, blobs, mimes, ws, hs = [], [], [], [], [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                frames, fps = decode_y4m(bytes(blob))
+                frames, fps = decode_video_bytes(bytes(blob))
                 for idx in range(0, frames.shape[0], every_n):
                     frame = frames[idx]
                     if frame.shape[2] == 1:
@@ -326,7 +472,7 @@ def extract_video_features(
         for pdf in batches:
             ids, fpss, feats = [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                frames, fps = decode_y4m(bytes(blob))
+                frames, fps = decode_video_bytes(bytes(blob))
                 ids.append(doc_id)
                 fpss.append(fps)
                 feats.append(video_features(frames, fps))

@@ -688,7 +688,7 @@ def test_video_frame_sampling_feeds_image_pipeline(spark, planted):
 
     from snapflow_spark.multimodal import (
         attach_video_blob,
-        decode_y4m,
+        decode_video_bytes,
         extract_features,
         extract_video_features,
         image_features,
@@ -699,10 +699,19 @@ def test_video_frame_sampling_feeds_image_pipeline(spark, planted):
     df, _n, _e = planted
     blobs = attach_video_blob(df.limit(9), n_frames=6, fps=25)
     raw = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
-    chans = {decode_y4m(b)[0].shape[3] for b in raw.values()}
+    chans = {decode_video_bytes(b)[0].shape[3] for b in raw.values()}
     assert chans == {1, 3}
-    meta = blobs.select("meta.modality", "meta.mime", "meta.duration_ms").first()
-    assert (meta[0], meta[1], meta[2]) == ("video", "video/x-yuv4mpeg", 240)
+    # both containers ship: id%5==4 is MJPEG-AVI (the lossy member)
+    assert {b[:4] for b in raw.values()} == {b"YUV4", b"RIFF"}
+    assert raw[4][:4] == b"RIFF"
+    metas = {
+        r.doc_id: (r.modality, r.mime, r.duration_ms)
+        for r in blobs.select(
+            "doc_id", "meta.modality", "meta.mime", "meta.duration_ms"
+        ).collect()
+    }
+    assert metas[0] == ("video", "video/x-yuv4mpeg", 240)
+    assert metas[4] == ("video", "video/x-msvideo", 240)
 
     frames = sample_frames(blobs, every_n=2)
     rows = frames.collect()
@@ -717,7 +726,7 @@ def test_video_frame_sampling_feeds_image_pipeline(spark, planted):
     from snapflow_spark.multimodal import decode_image_bytes
 
     for r in frames.collect():
-        clip, _fps = decode_y4m(raw[r.doc_id])
+        clip, _fps = decode_video_bytes(raw[r.doc_id])
         src = clip[r.frame_idx]
         still = decode_image_bytes(bytes(r.blob))
         if still.ndim == 2:  # PGM decodes to (h, w); source is (h, w, 1)
@@ -733,7 +742,7 @@ def test_video_frame_sampling_feeds_image_pipeline(spark, planted):
     vrows = extract_video_features(blobs).collect()
     assert len(vrows) == 9
     for r in vrows:
-        clip, fps = decode_y4m(raw[r.doc_id])
+        clip, fps = decode_video_bytes(raw[r.doc_id])
         assert fps == r.fps == 25
         assert np.allclose(r.features, video_features(clip, fps), atol=1e-12)
 
@@ -1530,3 +1539,54 @@ def test_flac_codec_roundtrip_all_paths():
         decode_flac(b"not flac")
     with _pytest.raises(ValueError, match="truncated"):
         decode_flac(b"fLaC\x00\x00\x00\x22" + b"\x00" * 10)
+
+
+def test_avi_mjpeg_codec_roundtrip():
+    """MJPEG-in-AVI: a REAL compressed-video format with no codec
+    library — the RIFF container parses with struct and every frame
+    is a JPEG the from-scratch T.81 codec decodes. Round trip bounds
+    the per-frame JPEG error; fps comes from strh rate/scale; a
+    non-MJPG stream raises naming the codec; decode_video_bytes
+    dispatches both containers."""
+    import numpy as np
+
+    from snapflow_spark.multimodal.video import (
+        decode_avi_mjpeg,
+        decode_video_bytes,
+        decode_y4m,
+        encode_avi_mjpeg,
+        encode_y4m,
+        synthesize_video,
+    )
+
+    color = synthesize_video(b"avi", n_frames=5, width=24, height=16, channels=3)
+    avi = encode_avi_mjpeg(color, fps=12, quality=95)
+    dec, fps = decode_avi_mjpeg(avi)
+    assert dec.shape == color.shape and fps == 12
+    # JPEG is lossy but bounded; frame count and order preserved
+    err = np.abs(dec.astype(int) - color.astype(int)).mean()
+    assert err < 24.0, err
+    # frames decode in order: frame 0 matches frame 0's JPEG, not a shuffle
+    per_frame = [
+        np.abs(dec[f].astype(int) - color[f].astype(int)).mean() for f in range(5)
+    ]
+    assert all(e < 24.0 for e in per_frame)
+
+    mono = synthesize_video(b"m", n_frames=3, width=16, height=8, channels=1)
+    dmono, mfps = decode_video_bytes(encode_avi_mjpeg(mono, fps=10))
+    assert dmono.shape == mono.shape and mfps == 10
+
+    # dispatcher handles Y4M unchanged
+    y, yfps = decode_video_bytes(encode_y4m(color, 25))
+    assert np.array_equal(y, color) and yfps == 25
+
+    # a foreign codec raises with its name, not a JPEG decode error
+    i = avi.find(b"MJPG", avi.find(b"strf"))
+    h264 = avi[:i] + b"H264" + avi[i + 4 :]
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_avi_mjpeg(h264)
+    # decode_y4m redirects AVI input to the dispatcher
+    with pytest.raises(ValueError, match="decode_video_bytes"):
+        decode_y4m(avi)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"nope")
