@@ -239,11 +239,22 @@ def resample_audio(
             out = pdf.copy()
             blobs = []
             for b in pdf[blob_col]:
-                samples, rate = decode_audio_bytes(bytes(b))
+                raw = bytes(b)
+                samples, rate = decode_audio_bytes(raw)
                 n = samples.shape[0]
                 m = max(1, int(round(n * target_rate / rate)))
                 idx = np.minimum((np.arange(m) * n) // m, n - 1)
-                blobs.append(encode_wav(samples[idx], target_rate))
+                if raw[:4] == b"fLaC":
+                    # re-encode in the SOURCE container so the row's
+                    # mime metadata stays truthful (16-bit streams:
+                    # int32 decode values fit int16 exactly)
+                    from snapflow_spark.multimodal.flac import encode_flac
+
+                    blobs.append(
+                        encode_flac(samples[idx].astype(np.int16), target_rate)
+                    )
+                else:
+                    blobs.append(encode_wav(samples[idx], target_rate))
             out[blob_col] = blobs
             yield out
 

@@ -410,6 +410,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         out: list[int] = []
         for part in range(nparts):
             cnt = bs // nparts - (o if part == 0 else 0)
+            if cnt < 0:
+                raise ValueError(
+                    "first residual partition smaller than predictor order"
+                )
             p = r.read(pbits)
             if p == escape:
                 nb = r.read(5)
@@ -418,8 +422,16 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
                 out.extend(_rice_read(r, cnt, p))
         return out
 
-    while sum(len(c) for c in channels) < total * ch:
+    # total == 0 means UNKNOWN length (RFC 9639 — streamed captures):
+    # decode frames until the byte stream runs out rather than
+    # trusting the count
+    while (total == 0 and r.byte < len(data) - 1) or (
+        total > 0 and sum(len(c) for c in channels) < total * ch
+    ):
         r.align()
+        if total == 0 and r.byte >= len(data) - 1:
+            break
+        frame_start = r.byte
         sync = r.read(14)
         if sync != 0b11111111111110:
             raise ValueError("lost FLAC frame sync")
@@ -445,8 +457,18 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             r.read(16)
         elif sr_code == 15:
             raise ValueError("invalid sample rate code")
+        elif sr_code and _SAMPLE_RATES[sr_code] != rate:
+            raise ValueError(
+                "frame sample-rate code disagrees with STREAMINFO"
+            )
+        if ss_code == 3:
+            raise ValueError("reserved sample size code")
         sbits = bits if ss_code == 0 else _SAMPLE_SIZES[ss_code]
-        r.read(8)  # header CRC-8 (content validated by frame CRC-16)
+        # the CRC-8 field is byte-aligned by header construction and
+        # covers every header byte before it
+        expect_crc8 = r.read(8)
+        if _crc8(data[frame_start : r.byte - 1]) != expect_crc8:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
 
         if assign <= 7:
             n_sub = assign + 1
@@ -474,7 +496,12 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         for c, sig in enumerate(sigs):
             channels[c].extend(sig)
         r.align()
-        r.read(16)  # frame CRC-16
+        expect_crc16 = r.read(16)
+        if _crc16(data[frame_start : r.byte - 2]) != expect_crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
 
-    arr = np.stack([np.asarray(c[:total], dtype=np.int32) for c in channels], axis=1)
+    n_out = total if total else len(channels[0])
+    arr = np.stack(
+        [np.asarray(c[:n_out], dtype=np.int32) for c in channels], axis=1
+    )
     return arr, rate

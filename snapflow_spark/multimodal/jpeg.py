@@ -1092,6 +1092,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         sc_list = scan["comps"]
         ri = scan["ri"]
         reader = _BitReader(data, scan["start"])
+        # validate table presence per scan TYPE (the SOS lookup is
+        # .get because progressive scans legitimately omit one class;
+        # a scan that needs a table its stream never defined must
+        # fail with a clear error, not an AttributeError mid-decode)
+        needs_dc = not progressive or (scan["ss"] == 0 and scan["ah"] == 0)
+        needs_ac = not progressive or scan["ss"] > 0
+        for sc in sc_list:
+            if (needs_dc and sc["dc_tab"] is None) or (
+                needs_ac and sc["ac_tab"] is None
+            ):
+                raise ValueError(
+                    "SOS references a Huffman table the stream never "
+                    "defined (missing DHT)"
+                )
         for sc in sc_list:
             sc["pred"] = 0
         try:

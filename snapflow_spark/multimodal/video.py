@@ -207,11 +207,13 @@ def decode_avi_mjpeg(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ') container")
     fps = None
+    avih_fps = None
     compression = None
+    last_strh_type = None  # ties each strf to ITS stream's strh
     frames_bytes: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal fps, compression
+        nonlocal fps, avih_fps, compression, last_strh_type
         i = start
         while i + 8 <= end:
             fourcc = data[i : i + 4]
@@ -220,21 +222,25 @@ def decode_avi_mjpeg(data: bytes) -> tuple[np.ndarray, int]:
             if fourcc == b"LIST":
                 walk(payload_start + 4, payload_start + size)
             elif fourcc == b"strh" and size >= 36:
-                fcc_type = data[payload_start : payload_start + 4]
-                if fcc_type == b"vids":
+                last_strh_type = data[payload_start : payload_start + 4]
+                if last_strh_type == b"vids":
                     scale, rate = _struct.unpack(
                         "<II", data[payload_start + 20 : payload_start + 28]
                     )
-                    if scale:
-                        fps = int(round(rate / scale))
-            elif fourcc == b"strf" and size >= 16 and compression is None:
-                compression = data[payload_start + 16 : payload_start + 20]
-            elif fourcc == b"avih" and fps is None and size >= 4:
+                    if scale and rate:
+                        fps = rate / scale
+            elif fourcc == b"strf" and size >= 20:
+                # a VIDEO stream's strf is a BITMAPINFOHEADER; an audio
+                # stream's strf (WAVEFORMATEX) must not be misread as
+                # one, so only take the strf following a 'vids' strh
+                if last_strh_type == b"vids" and compression is None:
+                    compression = data[payload_start + 16 : payload_start + 20]
+            elif fourcc == b"avih" and size >= 4:
                 (us_per_frame,) = _struct.unpack(
                     "<I", data[payload_start : payload_start + 4]
                 )
                 if us_per_frame:
-                    fps = int(round(1_000_000 / us_per_frame))
+                    avih_fps = 1_000_000 / us_per_frame
             elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
                 frames_bytes.append(data[payload_start : payload_start + size])
             i = payload_start + size + (size & 1)
@@ -248,9 +254,14 @@ def decode_avi_mjpeg(data: bytes) -> tuple[np.ndarray, int]:
         )
     if not frames_bytes:
         raise ValueError("AVI has no video frames")
+    true_fps = fps if fps is not None else avih_fps
+    if not true_fps:
+        raise ValueError("AVI carries no frame rate (strh/avih both absent)")
     decoded = [decode_jpeg(fb) for fb in frames_bytes]
     arrs = [d[..., None] if d.ndim == 2 else d for d in decoded]
-    return np.stack(arrs), fps or 25
+    # sub-1fps streams (slideshows) round UP to 1 rather than to a
+    # silent 0-or-default — the int contract matches decode_y4m's
+    return np.stack(arrs), max(1, int(round(true_fps)))
 
 
 def decode_video_bytes(data: bytes) -> tuple[np.ndarray, int]:

@@ -1590,3 +1590,111 @@ def test_avi_mjpeg_codec_roundtrip():
         decode_y4m(avi)
     with pytest.raises(ValueError, match="RIFF"):
         decode_avi_mjpeg(b"nope")
+
+
+def test_flac_unknown_total_and_crc_validation():
+    """RFC 9639 edge cases: total-samples=0 means UNKNOWN (streamed
+    captures) — frames decode until EOF instead of silently returning
+    an empty array; and the header CRC-8 / frame CRC-16 are actually
+    VALIDATED (corruption fails loudly, not as garbage PCM)."""
+    import numpy as np
+
+    from snapflow_spark.multimodal.flac import decode_flac, encode_flac
+
+    pcm = (2000 * np.sin(np.arange(500) / 11)).astype(np.int16)
+    data = bytearray(encode_flac(pcm, 8000, block_size=256))
+
+    # zero the 36-bit total-samples field (STREAMINFO bits 108..143 =
+    # byte 13 low nibble through byte 17; STREAMINFO body starts at 8)
+    unknown = bytearray(data)
+    unknown[8 + 13] &= 0xF0
+    unknown[8 + 14 : 8 + 18] = b"\x00\x00\x00\x00"
+    dec, rate = decode_flac(bytes(unknown))
+    assert rate == 8000
+    assert np.array_equal(dec[:, 0].astype(np.int64), pcm.astype(np.int64))
+
+    # frame CRC-16: flipping the trailing CRC byte fails loudly
+    bad16 = bytearray(data)
+    bad16[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-16"):
+        decode_flac(bytes(bad16))
+
+    # header CRC-8: the first frame header is 4 fixed bytes + 1-byte
+    # UTF-8 number + 2-byte blocksize, CRC-8 at frame_start+7
+    # (frame_start = 4 magic + 4 block header + 34 STREAMINFO = 42)
+    bad8 = bytearray(data)
+    bad8[42 + 7] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-8"):
+        decode_flac(bytes(bad8))
+
+
+def test_avi_audio_stream_before_video():
+    """An AVI that lists an AUDIO stream before the video stream must
+    still detect the video codec from the 'vids' stream's strf — an
+    audio strf is a WAVEFORMATEX, and reading its bytes as a
+    BITMAPINFOHEADER misdetects the codec (regression: the decoder
+    took the FIRST strf it saw)."""
+    import struct as _s
+
+    import numpy as np
+
+    from snapflow_spark.multimodal.video import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        synthesize_video,
+    )
+
+    frames = synthesize_video(b"a", n_frames=3, width=16, height=8, channels=3)
+    avi = encode_avi_mjpeg(frames, fps=15)
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + _s.pack("<I", len(payload)) + payload + pad
+
+    astrh = _s.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 8000,
+        0, 0xFFFFFFFF, 0, 0, 0, 0, 0,
+    )
+    astrf = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)  # WAVEFORMATEX
+    astrl_payload = b"strl" + chunk(b"strh", astrh) + chunk(b"strf", astrf)
+    astrl = b"LIST" + _s.pack("<I", len(astrl_payload)) + astrl_payload
+
+    # insert the audio strl before the video strl, fix up sizes
+    vids_strl = avi.find(b"strl")
+    insert_at = vids_strl - 8  # the video strl's LIST header
+    patched = bytearray(avi[:insert_at] + astrl + avi[insert_at:])
+    patched[4:8] = _s.pack("<I", _s.unpack("<I", bytes(patched[4:8]))[0] + len(astrl))
+    h = bytes(patched).find(b"hdrl")
+    patched[h - 4 : h] = _s.pack(
+        "<I", _s.unpack("<I", bytes(patched[h - 4 : h]))[0] + len(astrl)
+    )
+    dec, fps = decode_avi_mjpeg(bytes(patched))
+    assert dec.shape == frames.shape and fps == 15
+    err = np.abs(dec.astype(int) - frames.astype(int)).mean()
+    assert err < 24.0
+
+
+def test_audio_resample_preserves_container(spark, planted):
+    """resample_audio re-encodes each blob in its SOURCE container, so
+    a FLAC row's mime metadata stays truthful after resampling
+    (regression: everything came back as WAV under a FLAC mime)."""
+    import numpy as np
+
+    from snapflow_spark.multimodal import (
+        attach_audio_blob,
+        decode_audio_bytes,
+        resample_audio,
+    )
+
+    df, _n, _e = planted
+    blobs = attach_audio_blob(df.limit(9), n_samples=320)
+    halved = resample_audio(blobs, 8000)
+    rows = halved.select("doc_id", "blob", "meta.mime").collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert bytes(by_id[4].blob[:4]) == b"fLaC"
+    assert by_id[4].mime == "audio/flac"
+    assert bytes(by_id[0].blob[:4]) == b"RIFF"
+    for r in rows:
+        samples, rate = decode_audio_bytes(bytes(r.blob))
+        assert rate == 8000 and samples.shape[0] == 160
