@@ -1698,3 +1698,52 @@ def test_audio_resample_preserves_container(spark, planted):
     for r in rows:
         samples, rate = decode_audio_bytes(bytes(r.blob))
         assert rate == 8000 and samples.shape[0] == 160
+
+
+def test_embedding_semantic_dedup_end_to_end(embeddings):
+    """SemDeDup-shaped EMBEDDING dedup, composed from the in-repo
+    pieces: SRP-LSH near-dup pairs -> connected components ->
+    one representative per cluster. Chained plants (A~B, B~C with no
+    direct A~C pair) must collapse to ONE cluster, and the corpus
+    keep-set drops exactly the non-representative members."""
+    import numpy as np
+
+    from snapflow_spark.operators.dedup_text import (
+        dedup_cluster_representatives,
+    )
+    from snapflow_spark.operators.similarity import embedding_near_dup_pairs
+
+    spark = embeddings.sparkSession
+    # plant a CHAIN off vec 0: two perturbed copies (0~600, 0~601 via
+    # near-identical vectors) — with the three existing planted pairs
+    # (j, 500+j), components are {0,500,600,601}, {1,501}, {2,502}
+    base = embeddings.where(F.col("vec_id") == 0).first().embedding
+    rng = np.random.default_rng(5)
+    extra = spark.createDataFrame(
+        [
+            (600, [float(x + rng.normal(0, 0.008)) for x in base]),
+            (601, [float(x + rng.normal(0, 0.008)) for x in base]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    corpus = embeddings.unionByName(extra)
+    pairs = embedding_near_dup_pairs(corpus, cos_threshold=0.95)
+    decision = dedup_cluster_representatives(
+        corpus, pairs.select("id_a", "id_b"), id_col="vec_id"
+    )
+    rows = {r.vec_id: (r.component, r.is_rep) for r in decision.collect()}
+    # every corpus vector got a decision
+    assert len(rows) == corpus.count()
+    # the chain collapsed: all four near-copies share component 0 and
+    # only vec 0 represents it
+    for vid in (0, 500, 600, 601):
+        assert rows[vid][0] == 0, (vid, rows[vid])
+    assert rows[0][1] and not rows[500][1] and not rows[600][1]
+    for j in (1, 2):
+        assert rows[500 + j][0] == j and not rows[500 + j][1]
+        assert rows[j][1]
+    # untouched vectors represent themselves
+    assert rows[42] == (42, True)
+    # keep-set = corpus minus the 5 non-representative near-dups
+    kept = decision.where(F.col("is_rep")).count()
+    assert kept == corpus.count() - 5
