@@ -12,8 +12,8 @@ Implements the ITU-T T.81 BASELINE profile from the public spec:
   markers, and JFIF YCbCr→RGB.
 - ``encode_jpeg``: quality-scaled Annex-K quant tables, the Annex-K
   "typical" Huffman tables (emitted in DHT — a decoder never has to
-  assume them), 4:4:4 or 4:2:0 subsampling, grayscale, 0xFF byte
-  stuffing.
+  assume them), 4:4:4 / 4:2:0 / 4:2:2 subsampling, grayscale, 0xFF
+  byte stuffing.
 
 Perf note for 100 TB honesty: the DCT/dequant/color math is
 vectorized over all blocks at once (one einsum per plane), but
@@ -351,9 +351,10 @@ def encode_jpeg(
 ) -> bytes:
     """(H, W, 3) or (H, W) uint8 -> baseline JFIF bytes.
 
-    ``subsampling``: '444' (one block per component per MCU) or '420'
-    (2x2 luma blocks per MCU, chroma averaged 2x2 then encoded once) —
-    the two layouts that cover virtually all real files.
+    ``subsampling``: '444' (one block per component per MCU), '420'
+    (2x2 luma blocks per MCU, chroma averaged 2x2) or '422' (2x1 luma
+    blocks per MCU, chroma averaged horizontally) — the layouts that
+    cover virtually all real files.
     ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none) —
     the error-resilience feature real encoders use, and the test
     hook for the decoder's resync path.
@@ -368,8 +369,8 @@ def encode_jpeg(
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"encode_jpeg expects (H,W,3) or (H,W), got {a.shape}")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError("subsampling must be '444', '420' or '422'")
     if not interleave and not gray and subsampling != "444":
         raise ValueError("interleave=False supports 444 or grayscale only")
     h, w = a.shape[:2]
@@ -390,6 +391,8 @@ def encode_jpeg(
         out += bytes([1, 0x11, 0])
     elif subsampling == "444":
         out += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    elif subsampling == "422":
+        out += bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1])
     else:
         out += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
     # DHT (tables emitted, not assumed)
@@ -482,6 +485,40 @@ def encode_jpeg(
                         preds[ci],
                         dc_lum if ci == 0 else dc_chrom,
                         ac_lum if ci == 0 else ac_chrom,
+                    )
+        elif subsampling == "422":
+            # MCU = 16x8 px: 2 luma blocks side by side + 1 Cb + 1 Cr
+            # (chroma averaged 2:1 horizontally)
+            y = _pad_to(ycc[..., 0], 8, 16) - 128.0
+            cb_full = _pad_to(ycc[..., 1], 8, 16)
+            cr_full = _pad_to(ycc[..., 2], 8, 16)
+
+            def _downh(p):
+                return p.reshape(p.shape[0], p.shape[1] // 2, 2).mean(axis=2) - 128.0
+
+            cb, cr = _downh(cb_full), _downh(cr_full)
+            ph, pw = y.shape
+            mby, mbx = ph // 8, pw // 16
+            y_zz = _fdct_quant(_to_blocks(y), qlum)
+            cb_zz = _fdct_quant(_to_blocks(cb), qchrom)
+            cr_zz = _fdct_quant(_to_blocks(cr), qchrom)
+            yw = pw // 8
+            cw = pw // 16
+            preds = [0, 0, 0]
+            for my in range(mby):
+                for mx in range(mbx):
+                    _mcu_boundary(preds)
+                    for dx in range(2):
+                        bi = my * yw + mx * 2 + dx
+                        preds[0] = _encode_blocks(
+                            writer, y_zz[bi : bi + 1], preds[0], dc_lum, ac_lum
+                        )
+                    ci = my * cw + mx
+                    preds[1] = _encode_blocks(
+                        writer, cb_zz[ci : ci + 1], preds[1], dc_chrom, ac_chrom
+                    )
+                    preds[2] = _encode_blocks(
+                        writer, cr_zz[ci : ci + 1], preds[2], dc_chrom, ac_chrom
                     )
         else:  # 420
             y = _pad_to(ycc[..., 0], 16, 16) - 128.0

@@ -1747,3 +1747,39 @@ def test_embedding_semantic_dedup_end_to_end(embeddings):
     # keep-set = corpus minus the 5 non-representative near-dups
     kept = decision.where(F.col("is_rep")).count()
     assert kept == corpus.count() - 5
+
+
+def test_jpeg_422_subsampling_roundtrip():
+    """4:2:2 (2x1 luma per MCU, horizontally-averaged chroma): the
+    decoder's generic MCU loop claimed this layout — now the encoder
+    can produce it, so the claim is round-trip-exercised, including
+    non-multiple-of-16 widths and restart markers. Horizontal-only
+    chroma averaging should lose LESS than 4:2:0 on the same image."""
+    import numpy as np
+
+    from snapflow_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    base = np.kron(
+        rng.integers(40, 216, size=(5, 7, 3)).astype(np.float64),
+        np.ones((8, 8, 1)),
+    )
+    img = np.clip(base + rng.normal(0, 8, base.shape), 0, 255).astype(np.uint8)
+
+    for im in (img, img[:37, :51]):
+        out = decode_jpeg(encode_jpeg(im, quality=92, subsampling="422"))
+        assert out.shape == im.shape
+        err422 = np.abs(out.astype(int) - im.astype(int)).mean()
+        assert err422 < 16, err422
+    # restart markers resync in the 2-luma-block MCU layout too
+    with_rst = decode_jpeg(
+        encode_jpeg(img, quality=92, subsampling="422", restart_interval=3)
+    )
+    plain = decode_jpeg(encode_jpeg(img, quality=92, subsampling="422"))
+    assert np.array_equal(with_rst, plain)
+    # chroma fidelity ordering: 444 <= 422 <= 420 mean error
+    errs = {}
+    for sub in ("444", "422", "420"):
+        d = decode_jpeg(encode_jpeg(img, quality=92, subsampling=sub))
+        errs[sub] = float(np.abs(d.astype(int) - img.astype(int)).mean())
+    assert errs["444"] <= errs["422"] <= errs["420"] + 0.5, errs
