@@ -187,14 +187,18 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """8-bit non-interlaced gray/RGB PNG -> (H, W)/(H, W, 3) uint8.
+    """8-bit non-interlaced PNG -> (H, W)/(H, W, 3) uint8. All five
+    8-bit color types decode: gray (0), RGB (2), PALETTE (3 — PLTE
+    lookup to RGB), gray+alpha (4) and RGBA (6); the alpha channel is
+    DROPPED after un-filtering (the feature pipeline consumes opaque
+    pixels; compositing policy belongs to the caller). 16-bit and
+    interlaced (Adam7) variants raise with a clear message.
 
     Stdlib zlib inflates the IDAT stream; scanline un-filtering is
     numpy: None/Up are vectorized whole-row ops, Sub is a per-pixel
     cumsum (mod-256 addition distributes over the prefix sum), and
     Average/Paeth — which depend on left AND upper neighbors — fall
-    back to a per-pixel loop vectorized over channels. Palette/alpha/
-    16-bit/interlaced variants raise with a clear message."""
+    back to a per-pixel loop vectorized over channels."""
     import struct
     import zlib
 
@@ -202,6 +206,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     i = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     n = len(data)
     while i + 8 <= n:
@@ -210,6 +215,8 @@ def decode_png(data: bytes) -> np.ndarray:
         payload = data[i + 8 : i + 8 + ln]
         if tag == b"IHDR":
             ihdr = payload
+        elif tag == b"PLTE":
+            plte = bytes(payload)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -218,12 +225,15 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", bytes(ihdr))
-    if depth != 8 or color_type not in (0, 2) or interlace != 0:
+    _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    if depth != 8 or color_type not in _CHANNELS or interlace != 0:
         raise ValueError(
-            f"only 8-bit non-interlaced gray/RGB PNG supported "
+            f"only 8-bit non-interlaced PNG supported "
             f"(depth={depth}, color_type={color_type}, interlace={interlace})"
         )
-    channels = 3 if color_type == 2 else 1
+    if color_type == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing/malformed PLTE chunk")
+    channels = _CHANNELS[color_type]
     stride = w * channels
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
@@ -262,15 +272,29 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[r] = (recon % 256).astype(np.uint8)
-    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, 3)
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx]
+    px = out.reshape(h, w, channels)
+    if color_type == 0:
+        return px.reshape(h, w)
+    if color_type == 4:  # gray + alpha: drop alpha
+        return px[:, :, 0]
+    if color_type == 6:  # RGBA: drop alpha
+        return px[:, :, :3].copy()
+    return px
 
 
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Sniff the magic and decode: PNM -> (H,W,3)/(H,W), BMP ->
-    (H,W,3), PNG (8-bit gray/RGB) -> (H,W)/(H,W,3), baseline JPEG
-    (4:4:4 / 4:2:0 / 4:2:2 / gray, restart markers) -> (H,W,3)/(H,W),
-    uint8. Progressive/arithmetic JPEG raises NotImplementedError
-    (from the jpeg module) so the gap stays explicit."""
+    (H,W,3), PNG (all five 8-bit color types; alpha dropped) ->
+    (H,W)/(H,W,3), JPEG (baseline, MULTI-SCAN and PROGRESSIVE;
+    4:4:4 / 4:2:0 / 4:2:2 / gray, restart markers) -> (H,W,3)/(H,W),
+    uint8. Arithmetic/lossless JPEG raises NotImplementedError (from
+    the jpeg module) so the gap stays explicit."""
     head = bytes(data[:4])
     if head[:2] in (b"P6", b"P3", b"P5", b"P2"):
         return decode_pnm(data)

@@ -1783,3 +1783,59 @@ def test_jpeg_422_subsampling_roundtrip():
         d = decode_jpeg(encode_jpeg(img, quality=92, subsampling=sub))
         errs[sub] = float(np.abs(d.astype(int) - img.astype(int)).mean())
     assert errs["444"] <= errs["422"] <= errs["420"] + 0.5, errs
+
+
+def test_png_palette_and_alpha_color_types():
+    """All five 8-bit PNG color types decode: palette (PLTE lookup to
+    RGB), RGBA and gray+alpha (alpha dropped after un-filtering),
+    alongside the existing gray/RGB — with filtered scanlines, since
+    real palette PNGs filter the INDEX bytes. Malformed palettes fail
+    loudly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from snapflow_spark.multimodal.codec import _png_chunk, decode_png
+
+    def make_png(w, h, ct, raw_rows, plte=None, filters=None):
+        sig = b"\x89PNG\r\n\x1a\n"
+        out = sig + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+        )
+        if plte is not None:
+            out += _png_chunk(b"PLTE", plte)
+        fts = filters or [0] * len(raw_rows)
+        body = b"".join(bytes([ft]) + r for ft, r in zip(fts, raw_rows))
+        return out + _png_chunk(b"IDAT", zlib.compress(body)) + _png_chunk(b"IEND", b"")
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    img = decode_png(make_png(4, 2, 3, [bytes([0, 1, 2, 3]), bytes([3, 2, 1, 0])], pal))
+    assert img.shape == (2, 4, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0) and tuple(img[1, 0]) == (9, 9, 9)
+
+    # Up-filtered index rows: second row stored as deltas vs first
+    row0 = bytes([0, 1, 2, 3])
+    row1_delta = bytes([(3 - 0) % 256, (2 - 1) % 256, (1 - 2) % 256, (0 - 3) % 256])
+    img_f = decode_png(
+        make_png(4, 2, 3, [row0, row1_delta], pal, filters=[0, 2])
+    )
+    assert np.array_equal(img_f, img)
+
+    rgba = decode_png(make_png(2, 1, 6, [bytes([10, 20, 30, 255, 40, 50, 60, 0])]))
+    assert rgba.shape == (1, 2, 3) and tuple(rgba[0, 1]) == (40, 50, 60)
+
+    graya = decode_png(make_png(2, 1, 4, [bytes([7, 255, 9, 0])]))
+    assert graya.shape == (1, 2) and graya[0, 0] == 7 and graya[0, 1] == 9
+
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(make_png(2, 1, 3, [bytes([0, 1])]))  # no palette
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png(make_png(2, 1, 3, [bytes([0, 200])], pal))
+    # 16-bit still raises
+    sig = b"\x89PNG\r\n\x1a\n"
+    deep = sig + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="only 8-bit"):
+        decode_png(deep)
