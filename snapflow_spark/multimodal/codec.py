@@ -125,24 +125,44 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """24-bit uncompressed BMP -> (H, W, 3) uint8 RGB."""
+    """Uncompressed BMP -> (H, W, 3) uint8 RGB. 24-bit (BGR), 32-bit
+    (BGRA/BGRX — the 4th byte dropped) and 8-bit PALETTE rows decode
+    (round 5; the three layouts real uncompressed BMPs use); RLE and
+    1/4-bit depths raise with a clear message."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     offset = int.from_bytes(data[10:14], "little")
+    hdr_size = int.from_bytes(data[14:18], "little")
     w = int.from_bytes(data[18:22], "little", signed=True)
     h = int.from_bytes(data[22:26], "little", signed=True)
     bpp = int.from_bytes(data[28:30], "little")
     compression = int.from_bytes(data[30:34], "little")
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    # BI_BITFIELDS (3) on 32-bit data is byte-aligned BGRA in practice
+    if bpp not in (8, 24, 32) or compression not in (0,) + ((3,) if bpp == 32 else ()):
+        raise ValueError(
+            f"only uncompressed 8/24/32-bit BMP supported "
+            f"(bpp={bpp}, compression={compression})"
+        )
     top_down = h < 0
     h = abs(h)
-    row_size = (w * 3 + 3) // 4 * 4
+    nbytes = bpp // 8
+    row_size = (w * nbytes + 3) // 4 * 4
     rows = np.frombuffer(data, dtype=np.uint8, count=h * row_size, offset=offset)
-    rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    rows = rows.reshape(h, row_size)[:, : w * nbytes].reshape(h, w, nbytes)
     if not top_down:
         rows = rows[::-1]
-    return rows[:, :, ::-1].copy()  # BGR -> RGB
+    if bpp == 8:
+        # palette (BGRX quads) sits between the info header and pixels
+        n_colors = int.from_bytes(data[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        idx = rows.reshape(h, w)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        return pal[idx].copy()
+    return rows[:, :, 2::-1].copy()  # BGR(A) -> RGB, alpha dropped
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

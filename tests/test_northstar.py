@@ -1839,3 +1839,49 @@ def test_png_palette_and_alpha_color_types():
     ) + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + _png_chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="only 8-bit"):
         decode_png(deep)
+
+
+def test_bmp_32bit_and_palette():
+    """BMP variants beyond 24-bit: 32-bit BGRA (alpha dropped) and
+    8-bit palette rows — the other two layouts real uncompressed BMPs
+    use — plus loud failures for RLE and sub-8-bit depths."""
+    import struct
+
+    import numpy as np
+
+    from snapflow_spark.multimodal.codec import decode_bmp, encode_bmp
+
+    def bmp(w, h, bpp, pixel_rows, palette=b"", compression=0, n_colors=0):
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, 0, 0, 0, n_colors, 0
+        )
+        body = palette + b"".join(pixel_rows)
+        offset = 14 + 40 + len(palette)
+        fh = b"BM" + struct.pack("<IHHI", offset + len(body) - len(palette), 0, 0, offset)
+        return fh + info + body
+
+    # 32-bit, bottom-up, 2x1: pixels stored BGRA
+    rows = [bytes([30, 20, 10, 255, 60, 50, 40, 0])]
+    img = decode_bmp(bmp(2, 1, 32, rows))
+    assert img.shape == (1, 2, 3)
+    assert tuple(img[0, 0]) == (10, 20, 30) and tuple(img[0, 1]) == (40, 50, 60)
+
+    # 8-bit palette, 2 rows of 2 px (rows padded to 4 bytes), bottom-up
+    pal = bytes([0, 0, 255, 0,   0, 255, 0, 0,   255, 0, 0, 0])  # BGRX quads
+    prows = [bytes([2, 1, 0, 0]), bytes([0, 2, 0, 0])]  # bottom row first
+    img = decode_bmp(bmp(2, 2, 8, prows, palette=pal, n_colors=3))
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0)   # top row = second stored row
+    assert tuple(img[0, 1]) == (0, 0, 255)
+    assert tuple(img[1, 0]) == (0, 0, 255) and tuple(img[1, 1]) == (0, 255, 0)
+
+    with pytest.raises(ValueError, match="palette index"):
+        decode_bmp(bmp(2, 1, 8, [bytes([9, 0, 0, 0])], palette=pal, n_colors=3))
+    with pytest.raises(ValueError, match="only uncompressed"):
+        decode_bmp(bmp(2, 1, 8, [bytes([0, 0, 0, 0])], palette=pal, compression=1))
+    with pytest.raises(ValueError, match="only uncompressed"):
+        decode_bmp(bmp(2, 1, 4, [bytes([0, 0, 0, 0])]))
+
+    # 24-bit round-trip through our encoder still exact
+    a = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(a)), a)
