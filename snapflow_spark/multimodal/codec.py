@@ -7,9 +7,10 @@ That makes the multimodal dataflow honest end-to-end: blobs are real
 encoded images, ``decode_image_bytes`` parses actual headers and
 pixel data, and features/resizes are computed from decoded pixels.
 
-Compressed formats (JPEG/PNG/WAV) still need external codec
-libraries; ``decode_image_bytes`` raises NotImplementedError for
-their signatures so the gap is explicit, not silent.
+PNG (round 3+5: all five 8-bit color types, Adam7 interlace) and
+JPEG (rounds 4-5, multimodal/jpeg.py: baseline/multi-scan/
+progressive) are also implemented from scratch; only formats needing
+true DSP decoders raise NotImplementedError so gaps stay explicit.
 
 These run INSIDE mapInPandas batches (see columns.py) — per-blob
 numpy work on Arrow-shipped bytes, never driver-side.
@@ -179,11 +180,20 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray) -> bytes:
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     """(H, W, 3) uint8 -> 8-bit RGB PNG; (H, W) uint8 -> 8-bit gray
     PNG. Stdlib zlib deflate, filter type 0 on every scanline (the
     always-valid choice; optimal filtering is a size optimization,
-    not a correctness one)."""
+    not a correctness one). ``interlace=True`` writes the Adam7
+    seven-pass layout (each pass its own filtered sub-image) — the
+    decoder's interlaced path's test twin."""
     import struct
     import zlib
 
@@ -195,9 +205,20 @@ def encode_png(arr: np.ndarray) -> bytes:
     else:
         raise ValueError(f"encode_png expects (H, W) or (H, W, 3), got {a.shape}")
     h, w = a.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    flat = a.reshape(h, -1)
-    raw = b"".join(b"\x00" + flat[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    if interlace:
+        img = a if a.ndim == 3 else a[..., None]
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            flat = sub.reshape(sub.shape[0], -1)
+            parts.extend(b"\x00" + flat[r].tobytes() for r in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        flat = a.reshape(h, -1)
+        raw = b"".join(b"\x00" + flat[r].tobytes() for r in range(h))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -211,8 +232,11 @@ def decode_png(data: bytes) -> np.ndarray:
     8-bit color types decode: gray (0), RGB (2), PALETTE (3 — PLTE
     lookup to RGB), gray+alpha (4) and RGBA (6); the alpha channel is
     DROPPED after un-filtering (the feature pipeline consumes opaque
-    pixels; compositing policy belongs to the caller). 16-bit and
-    interlaced (Adam7) variants raise with a clear message.
+    pixels; compositing policy belongs to the caller). Adam7
+    INTERLACED files decode too (round 5): each of the seven passes is
+    an independently-filtered sub-image, un-filtered with the same
+    helper and scattered onto its pass grid. 16-bit raises with a
+    clear message.
 
     Stdlib zlib inflates the IDAT stream; scanline un-filtering is
     numpy: None/Up are vectorized whole-row ops, Sub is a per-pixel
@@ -246,9 +270,9 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", bytes(ihdr))
     _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-    if depth != 8 or color_type not in _CHANNELS or interlace != 0:
+    if depth != 8 or color_type not in _CHANNELS or interlace not in (0, 1):
         raise ValueError(
-            f"only 8-bit non-interlaced PNG supported "
+            f"only 8-bit PNG supported "
             f"(depth={depth}, color_type={color_type}, interlace={interlace})"
         )
     if color_type == 3 and (plte is None or len(plte) % 3):
@@ -256,42 +280,70 @@ def decode_png(data: bytes) -> np.ndarray:
     channels = _CHANNELS[color_type]
     stride = w * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"PNG pixel data truncated: {len(raw)} != {h * (stride + 1)}")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes = rows[:, 0]
-    filt = rows[:, 1:].astype(np.int32)
-    out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels
-    for r in range(h):
-        ft = int(ftypes[r])
-        row = filt[r]
-        prior = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
-        if ft == 0:
-            recon = row
-        elif ft == 1:  # Sub: prefix sum over pixels, per channel
-            recon = np.cumsum(row.reshape(w, bpp), axis=0, dtype=np.int64).reshape(stride)
-        elif ft == 2:  # Up
-            recon = row + prior
-        elif ft in (3, 4):  # Average / Paeth: left-dependent, loop pixels
-            recon = np.zeros(stride, np.int64)
-            for px in range(w):
-                lo = px * bpp
-                left = recon[lo - bpp : lo] % 256 if px else np.zeros(bpp, np.int64)
-                up = prior[lo : lo + bpp]
-                if ft == 3:
-                    pred = (left + up) // 2
-                else:
-                    ul = prior[lo - bpp : lo] if px else np.zeros(bpp, np.int64)
-                    p = left + up - ul
-                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
-                    )
-                recon[lo : lo + bpp] = row[lo : lo + bpp] + pred
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[r] = (recon % 256).astype(np.uint8)
+
+    def unfilter(block: bytes, bh: int, bw: int) -> np.ndarray:
+        """(bh, bw*channels) pixels from bh filtered scanlines."""
+        bstride = bw * bpp
+        if len(block) != bh * (bstride + 1):
+            raise ValueError(
+                f"PNG pixel data truncated: {len(block)} != {bh * (bstride + 1)}"
+            )
+        rows = np.frombuffer(block, dtype=np.uint8).reshape(bh, bstride + 1)
+        ftypes = rows[:, 0]
+        filt = rows[:, 1:].astype(np.int32)
+        out = np.zeros((bh, bstride), dtype=np.uint8)
+        for r in range(bh):
+            ft = int(ftypes[r])
+            row = filt[r]
+            prior = out[r - 1].astype(np.int32) if r else np.zeros(bstride, np.int32)
+            if ft == 0:
+                recon = row
+            elif ft == 1:  # Sub: prefix sum over pixels, per channel
+                recon = np.cumsum(
+                    row.reshape(bw, bpp), axis=0, dtype=np.int64
+                ).reshape(bstride)
+            elif ft == 2:  # Up
+                recon = row + prior
+            elif ft in (3, 4):  # Average / Paeth: left-dependent, loop pixels
+                recon = np.zeros(bstride, np.int64)
+                for px in range(bw):
+                    lo = px * bpp
+                    left = recon[lo - bpp : lo] % 256 if px else np.zeros(bpp, np.int64)
+                    up = prior[lo : lo + bpp]
+                    if ft == 3:
+                        pred = (left + up) // 2
+                    else:
+                        ul = prior[lo - bpp : lo] if px else np.zeros(bpp, np.int64)
+                        p = left + up - ul
+                        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                        )
+                    recon[lo : lo + bpp] = row[lo : lo + bpp] + pred
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+            out[r] = (recon % 256).astype(np.uint8)
+        return out
+
+    if interlace == 0:
+        out = unfilter(raw, h, w)
+    else:
+        composed = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            take = ph * (pw * bpp + 1)
+            composed[y0::dy, x0::dx] = unfilter(
+                raw[pos : pos + take], ph, pw
+            ).reshape(ph, pw, bpp)
+            pos += take
+        if pos != len(raw):
+            raise ValueError("interlaced PNG data length mismatch")
+        out = composed.reshape(h, stride)
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = out.reshape(h, w)

@@ -172,3 +172,17 @@ def test_flac_lossless_any_pcm(n, ch, order, mid_side, rnd):
     )
     assert rate == 8000
     assert np.array_equal(dec.astype(np.int64), pcm.astype(np.int64))
+
+
+@settings(max_examples=50, deadline=None)
+@given(_rgb_images(), st.booleans())
+def test_png_adam7_interlace_roundtrip(img, gray):
+    """Adam7 interlaced PNG decodes bit-exactly for arbitrary content
+    and any dimensions (sub-8px images drop whole passes), matching
+    the sequential encoding of the same pixels."""
+    from snapflow_spark.multimodal.codec import decode_png, encode_png
+
+    src = img[:, :, 0] if gray else img
+    a = decode_png(encode_png(src, interlace=True))
+    b = decode_png(encode_png(src))
+    assert np.array_equal(a, src) and np.array_equal(b, src)
