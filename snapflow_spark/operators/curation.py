@@ -27,12 +27,12 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000
 
 
-def _hash_bucket(key: Column, salt: str) -> Column:
-    """Deterministic bucket in [0, _BUCKETS) from sha256(salt || key).
+def _hash_bucket(key: Column, salt: str, buckets: int = _BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from sha256(salt || key).
     The 32-bit hex prefix parse (conv base 16) is exactly what the SQL
     oracle replays; no engine-private hash, no RNG."""
     h = F.sha2(F.concat(F.lit(salt), key.cast("string")), 256)
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
 
 
 def split_by_hash(

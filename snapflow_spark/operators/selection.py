@@ -1,0 +1,199 @@
+"""Data selection via importance resampling (DSIR — Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS; SURVEY.md §2.B.11 north-star: choosing WHICH raw documents
+to train on, given a small trusted target corpus).
+
+Method: featurize every document as a bag of HASHED n-grams
+(unigrams + bigrams of the word tokenizer both engines share), fit
+two smoothed multinomial bucket models — one on the target corpus,
+one on the raw pool — and score each raw document with its log
+importance weight ``log w(x) = Σ_b n_b(x)·(ln p̂_tgt(b) − ln p̂_raw(b))``.
+Selection resamples ∝ w(x) WITHOUT replacement via the Gumbel-top-k
+trick, with the Gumbel noise derived from a sha256 hash of the
+document id — fully deterministic, replayable on any engine, stable
+across repartitions (the same contract as curation.split_by_hash).
+
+Plan shape (the BM25 single-pass lesson, operators/retrieval.py):
+
+- One MAP-ONLY pass computes the two corpora's total gram counts
+  (``sum(size(grams))`` — no explode, no shuffle) and broadcasts the
+  1-row totals.
+- One exploded pass computes per-bucket counts AS A WINDOW over the
+  occurrences themselves (partitionBy(bucket) — per-bucket raw and
+  target counts ride each occurrence row), so the corpus is never
+  tokenized twice on the heavy path and there is no side table to
+  join: smoothing + the log-ratio weight are computed per occurrence
+  and summed per document in the SAME subtree. Two shuffles total
+  (bucket window, per-doc sum), both map-side combinable... the
+  window one is a true repartition; at 100 TB the bucket key has
+  ``num_buckets`` distinct values, so AQE coalesces it into a
+  bounded-width exchange (buckets are uniform by construction —
+  sha256 output).
+- Selection is ``orderBy(key).limit(n)`` — Spark plans
+  TakeOrderedAndProject (per-partition top-n + driver merge of n·P
+  rows), never a global sort.
+
+Determinism contract (hash-matchability): buckets come from the
+sha256 nibble-fold `curation._hash_bucket` both engines replay
+digit-for-digit; ln/round(…,6) before ranking with id tie-break is
+the same FP contract BM25's hash-matched scoring established.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from snapflow_spark.operators.curation import _BUCKETS, _hash_bucket
+from snapflow_spark.operators.retrieval import word_tokens_expr
+
+__all__ = ["dsir_log_weights", "dsir_select", "grams_expr"]
+
+
+def grams_expr(tokens: Column) -> Column:
+    """Unigrams + bigrams from a MATERIALIZED token-array column (the
+    DSIR paper's feature set). Like winnow_fingerprints_expr, the
+    token column must be staged in its own select first — the lambda
+    references it once per bigram and an inline regexp subtree would
+    re-tokenize per element. Fewer than 2 tokens contribute unigrams
+    only (no degenerate whole-text gram — that would alias distinct
+    short docs into one feature)."""
+    bigrams = F.when(
+        F.size(tokens) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - 2),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(tokens, bigrams)
+
+
+def _tagged_grams(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, is_target, grams) — the union of both corpora with the
+    side tagged. `target` is usually small (a trusted corpus) or a
+    filter of `raw`; either way the tag lets every downstream count
+    split by side in one pass."""
+    def side(df: DataFrame, is_target: bool) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.lit(is_target).alias("__is_target"),
+            word_tokens_expr(text_col).alias("__toks"),
+        ).select(
+            "__id", "__is_target", grams_expr(F.col("__toks")).alias("__grams")
+        )
+
+    return side(raw, False).unionByName(side(target, True))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = _BUCKETS,
+    alpha: float = 1.0,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Per-raw-document log importance weight ``(id_col, log_w)``,
+    rounded to 6 decimals (the cross-engine ranking contract).
+
+    ``log_w(x) = Σ_b n_b(x) · [ln (tc_b+α)/(T+αB) − ln (rc_b+α)/(R+αB)]``
+
+    with tc/rc the per-bucket target/raw occurrence counts, T/R the
+    corpus totals, B ``num_buckets`` and ``alpha`` Laplace smoothing.
+    Documents with zero letter tokens have no features and no row —
+    they cannot be selected (same convention as BM25's postings).
+
+    Scale: totals are a map-only tokenize pass broadcast as one row;
+    bucket counts ride the occurrences as a window (module docstring
+    has the full plan-shape rationale)."""
+    tagged = _tagged_grams(raw, target, text_col, id_col)
+
+    totals = tagged.agg(
+        F.sum(
+            F.when(~F.col("__is_target"), F.size("__grams")).otherwise(F.lit(0))
+        ).cast("double").alias("__R"),
+        F.sum(
+            F.when(F.col("__is_target"), F.size("__grams")).otherwise(F.lit(0))
+        ).cast("double").alias("__T"),
+    )
+
+    occ = tagged.select(
+        "__id", "__is_target", F.explode("__grams").alias("__g")
+    ).withColumn("__b", _hash_bucket(F.col("__g"), salt, num_buckets))
+
+    w = Window.partitionBy("__b")
+    ab = float(alpha) * num_buckets
+    counted = (
+        occ.withColumn(
+            "__rc",
+            F.sum(F.when(~F.col("__is_target"), 1).otherwise(0)).over(w)
+            .cast("double"),
+        )
+        .withColumn(
+            "__tc",
+            F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).over(w)
+            .cast("double"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__w",
+            F.log((F.col("__tc") + alpha) / (F.col("__T") + ab))
+            - F.log((F.col("__rc") + alpha) / (F.col("__R") + ab)),
+        )
+    )
+    return (
+        counted.where(~F.col("__is_target"))
+        .groupBy("__id")
+        .agg(F.round(F.sum("__w"), 6).alias("log_w"))
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n_keep: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = _BUCKETS,
+    alpha: float = 1.0,
+    salt: str = "dsir-v1",
+    resample_salt: str = "dsir-gumbel-v1",
+    gumbel: bool = True,
+) -> DataFrame:
+    """Select ``n_keep`` raw documents by importance resampling:
+    ``(id_col, log_w, key, rank)`` with rank 1..n_keep.
+
+    ``gumbel=True`` (the paper's sampler): key = log_w + G(id) where
+    G = −ln(−ln(u)) and u = (hash_bucket(id, resample_salt)+0.5)/B —
+    a deterministic uniform in (0,1), so the selection IS a sample
+    ∝ w(x) without replacement (Gumbel-top-k) yet bit-stable across
+    runs, engines, and repartitions. ``gumbel=False`` degrades to
+    plain top-k by weight (the paper's "top-k heuristic" baseline).
+
+    The final order-by-limit plans as TakeOrderedAndProject — no
+    global sort at any scale."""
+    scores = dsir_log_weights(
+        raw, target, text_col, id_col, num_buckets, alpha, salt
+    )
+    if gumbel:
+        u = (
+            _hash_bucket(F.col(id_col), resample_salt, num_buckets).cast("double")
+            + 0.5
+        ) / num_buckets
+        key = F.round(F.col("log_w") - F.log(-F.log(u)), 6)
+    else:
+        key = F.col("log_w")
+    ranked = (
+        scores.withColumn("key", key)
+        .orderBy(F.col("key").desc(), F.col(id_col).asc())
+        .limit(n_keep)
+    )
+    win = Window.orderBy(F.col("key").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(win).cast("bigint"))

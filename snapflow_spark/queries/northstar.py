@@ -32,6 +32,7 @@ from snapflow_spark.operators.curation import (
     pack_sequences,
     split_by_hash,
 )
+from snapflow_spark.operators.selection import dsir_select
 from snapflow_spark.operators.retrieval import (
     bm25_oracle_sql,
     bm25_topk,
@@ -222,7 +223,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], lower(x)))) AS n_stop
       FROM t
     )
-    SELECT doc_id, lang,
+    SELECT 'quality' AS branch, doc_id, lang,
            CASE WHEN s_zh > greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
                 WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
                 WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
@@ -239,14 +240,72 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
            CAST(len(toks) AS BIGINT) AS n_tokens
     FROM scored
+    UNION ALL
+    -- 'dsir' branch: importance-resampling selection (target = the
+    -- lang='en' slice, raw = the whole corpus), replayed exactly —
+    -- hashed-gram buckets (the sha256 nibble fold), smoothed
+    -- log-ratio weights, deterministic Gumbel keys, top-20
+    SELECT 'dsir' AS branch, doc_id, d.lang, CAST(NULL AS VARCHAR) AS lang_pred,
+           key AS quality, CAST(NULL AS VARCHAR) AS fingerprint,
+           CAST(rn AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, key, row_number() OVER (ORDER BY key DESC, doc_id) AS rn
+      FROM (
+      SELECT s.doc_id, round(s.log_w - ln(-ln(
+               (CAST(CAST(list_sum(list_transform(range(0, 8), j ->
+                  (CAST(instr('0123456789abcdef',
+                        substr(sha256('dsir-gumbel-v1' || CAST(s.doc_id AS VARCHAR)), j + 1, 1))
+                   AS BIGINT) - 1) << (4 * (7 - CAST(j AS INT))))) AS BIGINT) % 10000 AS DOUBLE)
+                + 0.5) / 10000.0)), 6) AS key
+      FROM (
+        WITH dtoks AS (
+          SELECT doc_id, lang = 'en' AS is_t,
+                 regexp_extract_all(lower(text), '[\p{L}]+') AS t
+          FROM documents
+        ), dgrams AS (
+          SELECT doc_id, is_t, unnest(t) AS g FROM dtoks
+          UNION ALL
+          SELECT doc_id, is_t,
+                 unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+          FROM dtoks
+        ), dgb AS (
+          SELECT g, CAST(list_sum(list_transform(range(0, 8), j ->
+              (CAST(instr('0123456789abcdef', substr(sha256('dsir-v1' || g), j + 1, 1)) AS BIGINT) - 1)
+              << (4 * (7 - CAST(j AS INT))))) AS BIGINT) % 10000 AS b
+          FROM (SELECT DISTINCT g FROM dgrams)
+        ), docc AS (
+          SELECT doc_id, is_t, b FROM dgrams JOIN dgb USING (g)
+        ), dtot AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS R,
+                 CAST(COUNT(*) FILTER (WHERE is_t) AS DOUBLE) AS T
+          FROM docc
+        ), dbc AS (
+          SELECT b, CAST(COUNT(*) AS DOUBLE) AS rc,
+                 CAST(COUNT(*) FILTER (WHERE is_t) AS DOUBLE) AS tc
+          FROM docc GROUP BY b
+        )
+        SELECT doc_id, round(SUM(ln((tc + 1.0) / (T + 10000.0))
+                                 - ln((rc + 1.0) / (R + 10000.0))), 6) AS log_w
+        FROM docc JOIN dbc USING (b) CROSS JOIN dtot
+        GROUP BY doc_id
+      ) s
+      ) keyed
+    ) sel JOIN documents d USING (doc_id)
+    WHERE rn <= 20
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-analysis sweep: language-ID heuristic, quality score,
-    fingerprint, token count — one codegen projection, no UDF; every
-    heuristic hash-matched against its SQL replay."""
+    """Tagged union (round 5): per-document text-analysis sweep
+    ('quality' branch — language-ID heuristic, quality score,
+    fingerprint, token count, one codegen projection) ∪ DSIR
+    importance-resampling selection ('dsir' branch —
+    operators.selection.dsir_select with target = the lang='en'
+    slice: hashed-gram log-ratio weights + deterministic Gumbel
+    top-20, every step replayed by the SQL oracle)."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    return d.select(
+    null_s = F.lit(None).cast("string")
+    quality = d.select(
+        F.lit("quality").alias("branch"),
         "doc_id",
         "lang",
         lang_id_expr("text").alias("lang_pred"),
@@ -254,6 +313,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_expr("text").alias("fingerprint"),
         token_count_expr("text").cast("bigint").alias("n_tokens"),
     )
+    sel = dsir_select(d, d.where(F.col("lang") == "en"), 20)
+    dsir = d.select("doc_id", "lang").join(F.broadcast(sel), "doc_id").select(
+        F.lit("dsir").alias("branch"),
+        "doc_id",
+        "lang",
+        null_s.alias("lang_pred"),
+        F.col("key").alias("quality"),
+        null_s.alias("fingerprint"),
+        F.col("rank").alias("n_tokens"),
+    )
+    return quality.unionByName(dsir)
 
 
 @query(
