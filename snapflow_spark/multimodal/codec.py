@@ -365,8 +365,10 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     (H,W,3), PNG (all five 8-bit color types; alpha dropped) ->
     (H,W)/(H,W,3), JPEG (baseline, MULTI-SCAN and PROGRESSIVE;
     4:4:4 / 4:2:0 / 4:2:2 / gray, restart markers) -> (H,W,3)/(H,W),
-    uint8. Arithmetic/lossless JPEG raises NotImplementedError (from
-    the jpeg module) so the gap stays explicit."""
+    GIF (LZW, global/local palettes, interlace; first composited
+    frame) -> (H,W,3), uint8. Arithmetic/lossless JPEG raises
+    NotImplementedError (from the jpeg module) so the gap stays
+    explicit."""
     head = bytes(data[:4])
     if head[:2] in (b"P6", b"P3", b"P5", b"P2"):
         return decode_pnm(data)
@@ -378,6 +380,10 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         from snapflow_spark.multimodal.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if head.startswith(b"GIF8"):
+        from snapflow_spark.multimodal.gif import decode_gif
+
+        return decode_gif(data)
     raise ValueError(f"unrecognized image format (magic {head!r})")
 
 

@@ -50,6 +50,7 @@ _MIME = {
     "bmp": "image/bmp",
     "png": "image/png",
     "jpeg": "image/jpeg",
+    "gif": "image/gif",
 }
 
 
@@ -64,15 +65,16 @@ def attach_image_blob(
     """Deterministic REAL image payload per row: pixels synthesized
     from the text bytes (codec.synthesize_image), encoded round-robin
     by id as P6 PPM / 24-bit BMP / 8-bit PNG / baseline JPEG /
-    PROGRESSIVE JPEG — so every downstream op exercises every decoder
-    (PNG added round 3: stdlib-zlib codec; JPEG added round 4,
-    progressive round 5: pure-numpy codecs, the LOSSY members —
+    PROGRESSIVE JPEG / GIF — so every downstream op exercises every
+    decoder (PNG added round 3: stdlib-zlib codec; JPEG added round
+    4, progressive + GIF round 5; the JPEGs are the LOSSY members —
     features downstream are statistics of the decoded pixels,
     deterministic either way). Real pipelines replace this with a
     parquet binary column or URI; everything downstream is
     unchanged."""
 
     def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from snapflow_spark.multimodal.gif import encode_gif
         from snapflow_spark.multimodal.jpeg import (
             encode_jpeg,
             encode_jpeg_progressive,
@@ -86,7 +88,7 @@ def attach_image_blob(
                 arr = synthesize_image(
                     str(text or "").encode("utf-8"), width=width, height=height
                 )
-                pick = int(doc_id) % 5
+                pick = int(doc_id) % 6
                 if pick == 0:
                     blobs.append(encode_ppm(arr))
                     mimes.append(_MIME["ppm"])
@@ -99,9 +101,14 @@ def attach_image_blob(
                 elif pick == 3:
                     blobs.append(encode_jpeg(arr, quality=95))
                     mimes.append(_MIME["jpeg"])
-                else:
+                elif pick == 4:
                     blobs.append(encode_jpeg_progressive(arr, quality=95))
                     mimes.append(_MIME["jpeg"])
+                else:
+                    # lossless here: an 8x8 synthesized tile has
+                    # <=64 distinct colors, inside GIF's palette
+                    blobs.append(encode_gif(arr))
+                    mimes.append(_MIME["gif"])
             out["blob"] = blobs
             out["mime"] = mimes
             yield out

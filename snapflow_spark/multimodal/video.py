@@ -10,9 +10,11 @@ bit-exactly; the codec parses containers, it does not do colorimetry,
 so the three planes are carried as-is. MJPEG-in-AVI (round 5) is
 also REAL: the AVI RIFF container parses with stdlib struct and every
 '00dc' chunk is a JPEG our from-scratch T.81 codec decodes — a true
-compressed-video format with no codec library. ``decode_video_bytes``
-dispatches on magic; inter-frame codecs (MP4/MKV/WebM, non-MJPG AVI)
-raise NotImplementedError explicitly.
+compressed-video format with no codec library. Animated GIF (round
+5, multimodal/gif.py: from-scratch LZW + palette compositing) is the
+third container. ``decode_video_bytes`` dispatches on magic;
+inter-frame codecs (MP4/MKV/WebM, non-MJPG AVI) raise
+NotImplementedError explicitly.
 
 Frame sampling is the scale-relevant op: ``sample_frames`` decodes
 inside one mapInPandas stage, keeps every Nth frame, and EXPLODES to
@@ -266,12 +268,16 @@ def decode_avi_mjpeg(data: bytes) -> tuple[np.ndarray, int]:
 
 def decode_video_bytes(data: bytes) -> tuple[np.ndarray, int]:
     """Magic-sniffing video decode: YUV4MPEG2 -> decode_y4m, AVI ->
-    decode_avi_mjpeg. The single entry point the frame-sampling and
-    feature stages use, mirroring decode_image_bytes /
-    decode_audio_bytes."""
+    decode_avi_mjpeg, animated GIF -> decode_gif_frames. The single
+    entry point the frame-sampling and feature stages use, mirroring
+    decode_image_bytes / decode_audio_bytes."""
     data = bytes(data)
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return decode_avi_mjpeg(data)
+    if data[:4] == b"GIF8":
+        from snapflow_spark.multimodal.gif import decode_gif_frames
+
+        return decode_gif_frames(data)
     return decode_y4m(data)
 
 
@@ -351,12 +357,15 @@ def attach_video_blob(
 ) -> DataFrame:
     """Deterministic REAL video payload per row (synthesized frames
     from the text bytes; mono for every third id so both colorspaces
-    are exercised; every fifth id ships as MJPEG-AVI instead of raw
-    Y4M so downstream ops decode both containers — the AVI member is
-    the LOSSY one, like JPEG on the image side), plus the shared
-    metadata struct."""
+    are exercised; every fifth id ships as MJPEG-AVI and every
+    5k+2 id as an ANIMATED GIF instead of raw Y4M, so downstream ops
+    decode all three containers — AVI is the lossy member (JPEG
+    frames) and GIF quantizes to its 256-color palette when the
+    synthesized frames exceed it), plus the shared metadata struct."""
 
     def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from snapflow_spark.multimodal.gif import encode_gif
+
         for pdf in batches:
             out = pdf.copy()
             blobs = []
@@ -371,6 +380,13 @@ def attach_video_blob(
                 )
                 if int(doc_id) % 5 == 4:
                     blobs.append(encode_avi_mjpeg(frames, fps, quality=95))
+                elif int(doc_id) % 5 == 2:
+                    rgb = (
+                        np.repeat(frames[..., None], 3, axis=-1)
+                        if frames.ndim == 3
+                        else frames
+                    )
+                    blobs.append(encode_gif(rgb, fps))
                 else:
                     blobs.append(encode_y4m(frames, fps))
             out["blob"] = blobs
@@ -387,6 +403,7 @@ def attach_video_blob(
         F.struct(
             F.lit("video").alias("modality"),
             F.when(F.col(id_col) % 5 == 4, F.lit("video/x-msvideo"))
+            .when(F.col(id_col) % 5 == 2, F.lit("image/gif"))
             .otherwise(F.lit("video/x-yuv4mpeg"))
             .alias("mime"),
             F.lit(width).cast("int").alias("width"),

@@ -241,12 +241,12 @@ def test_multimodal_real_decode(spark, planted):
     blobs = attach_image_blob(df.limit(10))
     assert dict(blobs.dtypes)["blob"] == "binary"
     raw = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
-    # all formats present (id % 5 -> PPM / BMP / PNG / baseline JPEG /
-    # progressive JPEG; both JPEG flavors share the FFD8 magic)
+    # all formats present (id % 6 -> PPM / BMP / PNG / baseline JPEG /
+    # progressive JPEG / GIF; both JPEG flavors share the FFD8 magic)
     magics = {b[:2] for b in raw.values()}
-    assert magics == {b"P6", b"BM", b"\x89P", b"\xff\xd8"}
+    assert magics == {b"P6", b"BM", b"\x89P", b"\xff\xd8", b"GI"}
     # the progressive member really is SOF2
-    prog = [b for i, b in raw.items() if i % 5 == 4]
+    prog = [b for i, b in raw.items() if i % 6 == 4]
     assert prog and all(b"\xff\xc2" in b for b in prog)
     rows = extract_features(blobs).collect()
     assert len(rows) == 10
@@ -701,9 +701,11 @@ def test_video_frame_sampling_feeds_image_pipeline(spark, planted):
     raw = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
     chans = {decode_video_bytes(b)[0].shape[3] for b in raw.values()}
     assert chans == {1, 3}
-    # both containers ship: id%5==4 is MJPEG-AVI (the lossy member)
-    assert {b[:4] for b in raw.values()} == {b"YUV4", b"RIFF"}
+    # all three containers ship: id%5==4 is MJPEG-AVI (the lossy
+    # member), id%5==2 is an animated GIF (round 5)
+    assert {b[:4] for b in raw.values()} == {b"YUV4", b"RIFF", b"GIF8"}
     assert raw[4][:4] == b"RIFF"
+    assert raw[2][:4] == b"GIF8"
     metas = {
         r.doc_id: (r.modality, r.mime, r.duration_ms)
         for r in blobs.select(
@@ -712,6 +714,7 @@ def test_video_frame_sampling_feeds_image_pipeline(spark, planted):
     }
     assert metas[0] == ("video", "video/x-yuv4mpeg", 240)
     assert metas[4] == ("video", "video/x-msvideo", 240)
+    assert metas[2] == ("video", "image/gif", 240)
 
     frames = sample_frames(blobs, every_n=2)
     rows = frames.collect()

@@ -186,3 +186,33 @@ def test_png_adam7_interlace_roundtrip(img, gray):
     a = decode_png(encode_png(src, interlace=True))
     b = decode_png(encode_png(src))
     assert np.array_equal(a, src) and np.array_equal(b, src)
+
+
+@st.composite
+def _paletted_animations(draw):
+    t = draw(st.integers(min_value=1, max_value=4))
+    h, w = draw(_dims), draw(_dims)
+    n = draw(st.integers(min_value=1, max_value=256))
+    pal = np.frombuffer(
+        draw(st.binary(min_size=n * 3, max_size=n * 3)), dtype=np.uint8
+    ).reshape(n, 3)
+    idx = np.frombuffer(
+        draw(st.binary(min_size=t * h * w, max_size=t * h * w)), dtype=np.uint8
+    ) % n
+    return pal[idx].reshape(t, h, w, 3).copy()
+
+
+@settings(max_examples=40, deadline=None)
+@given(_paletted_animations(), st.booleans())
+def test_gif_roundtrips_any_paletted_animation(frames, interlace):
+    """GIF is bit-exact on any <=256-color content, any dimensions,
+    any frame count, sequential or interlaced (interlace applies to
+    stills; animations exercise the multi-image composition path)."""
+    from snapflow_spark.multimodal.gif import decode_gif_frames, encode_gif
+
+    single = frames.shape[0] == 1
+    data = encode_gif(frames, fps=20, interlace=interlace and single)
+    out, fps = decode_gif_frames(data)
+    assert np.array_equal(out, frames)
+    # stills carry no GCE delay -> decoder's default 10 fps applies
+    assert fps == (10 if single else 20)
