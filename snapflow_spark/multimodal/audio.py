@@ -49,10 +49,59 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "mulaw"
+) -> bytes:
+    """(n,) or (n, ch) int16 -> RIFF/WAVE with G.711 companding
+    (format 7 µ-law / 6 A-law, 8 bits per sample): the telephony WAV
+    flavor. Includes the fact chunk compressed formats require."""
+    from snapflow_spark.multimodal.g711 import alaw_encode, mulaw_encode
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    tag, enc = (7, mulaw_encode) if law == "mulaw" else (6, alaw_encode)
+    data = enc(a.reshape(-1))
+    fmt = struct.pack("<HHIIHHH", tag, ch, sample_rate, sample_rate * ch, ch, 8, 0)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, samples_per_block: int = 257
+) -> bytes:
+    """(n,) or (n, ch) int16 -> RIFF/WAVE IMA ADPCM (format 0x11,
+    4 bits per sample): block headers + nibble words, the fact chunk
+    carrying the true frame count (the tail block is zero-padded)."""
+    from snapflow_spark.multimodal.g711 import ima_adpcm_encode
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data, block_align = ima_adpcm_encode(a, samples_per_block)
+    avg = max(1, (sample_rate * block_align + samples_per_block - 1) // samples_per_block)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate, avg, block_align, 4, 2, samples_per_block
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 -> ((n, channels) int16, sample_rate). Walks
-    the chunk list (extra chunks like LIST/fact are skipped), PCM16
-    only; float/ADPCM/compressed raise with a clear message."""
+    """RIFF/WAVE -> ((n, channels) int16, sample_rate). Walks the
+    chunk list (extra chunks like LIST are skipped). Formats: PCM16
+    (1), G.711 A-law (6) / µ-law (7), IMA ADPCM (0x11) — round 5;
+    float/other-compressed raise with a clear message."""
     data = bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         if data[:4] == b"fLaC":
@@ -71,6 +120,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     i = 12
     fmt = None
     pcm = None
+    n_frames = None
     n = len(data)
     while i + 8 <= n:
         tag = data[i : i + 4]
@@ -80,16 +130,43 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             fmt = payload
         elif tag == b"data":
             pcm = payload
+        elif tag == b"fact" and size >= 4:
+            n_frames = int.from_bytes(payload[:4], "little")
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, ch, sample_rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
-    if audio_format != 1 or bits != 16:
-        raise ValueError(
-            f"only PCM16 WAV supported (format={audio_format}, bits={bits})"
-        )
-    frames = np.frombuffer(pcm, dtype="<i2", count=len(pcm) // 2)
-    return frames.reshape(-1, ch).copy(), sample_rate
+    audio_format, ch, sample_rate, _br, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format == 1 and bits == 16:
+        frames = np.frombuffer(pcm, dtype="<i2", count=len(pcm) // 2)
+        return frames.reshape(-1, ch).copy(), sample_rate
+    if audio_format in (6, 7) and bits == 8:
+        from snapflow_spark.multimodal.g711 import alaw_decode, mulaw_decode
+
+        dec = mulaw_decode if audio_format == 7 else alaw_decode
+        flat = dec(pcm[: (len(pcm) // ch) * ch])
+        out = flat.reshape(-1, ch)
+        return (out[:n_frames] if n_frames is not None else out).copy(), sample_rate
+    if audio_format == 0x11:
+        from snapflow_spark.multimodal.g711 import ima_adpcm_decode_block
+
+        if len(fmt) < 20:
+            raise ValueError("IMA ADPCM fmt chunk missing samples_per_block")
+        spb = int.from_bytes(fmt[18:20], "little")
+        blocks = [
+            ima_adpcm_decode_block(pcm[j : j + block_align], ch, spb)
+            for j in range(0, (len(pcm) // block_align) * block_align, block_align)
+        ]
+        if not blocks:
+            raise ValueError("IMA ADPCM data shorter than one block")
+        out = np.concatenate(blocks, axis=0)
+        return (out[:n_frames] if n_frames is not None else out).copy(), sample_rate
+    raise ValueError(
+        "unsupported WAV codec (format="
+        f"{audio_format}, bits={bits}); supported: PCM16, G.711 "
+        "A-law/µ-law, IMA ADPCM"
+    )
 
 
 def decode_audio_bytes(data: bytes) -> tuple[np.ndarray, int]:
@@ -157,9 +234,11 @@ def attach_audio_blob(
 ) -> DataFrame:
     """Deterministic REAL audio payload per row (synthesized PCM from
     the text bytes; stereo for every third id so both channel layouts
-    are exercised; every fifth id encodes as FLAC instead of WAV so
-    downstream ops decode both containers), plus the shared metadata
-    struct."""
+    are exercised; the container/codec rotation ships every fifth id
+    as FLAC, 5k+1 as G.711 µ-law WAV and 5k+3 as IMA ADPCM WAV
+    (round 5, the lossy telephony members — features downstream are
+    statistics of the decoded PCM, deterministic either way), the
+    rest as PCM16 WAV), plus the shared metadata struct."""
 
     def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from snapflow_spark.multimodal.flac import encode_flac
@@ -172,8 +251,13 @@ def attach_audio_blob(
                 pcm = synthesize_audio(
                     str(text or "").encode("utf-8"), n_samples=n_samples, channels=ch
                 )
-                if int(doc_id) % 5 == 4:
+                pick = int(doc_id) % 5
+                if pick == 4:
                     blobs.append(encode_flac(pcm, sample_rate))
+                elif pick == 1:
+                    blobs.append(encode_wav_g711(pcm, sample_rate, law="mulaw"))
+                elif pick == 3:
+                    blobs.append(encode_wav_adpcm(pcm, sample_rate))
                 else:
                     blobs.append(encode_wav(pcm, sample_rate))
             out["blob"] = blobs
