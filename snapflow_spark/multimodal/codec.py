@@ -384,6 +384,10 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         from snapflow_spark.multimodal.gif import decode_gif
 
         return decode_gif(data)
+    if head in (b"II*\x00", b"MM\x00*"):
+        from snapflow_spark.multimodal.tiff import decode_tiff
+
+        return decode_tiff(data)
     raise ValueError(f"unrecognized image format (magic {head!r})")
 
 

@@ -51,6 +51,7 @@ _MIME = {
     "png": "image/png",
     "jpeg": "image/jpeg",
     "gif": "image/gif",
+    "tiff": "image/tiff",
 }
 
 
@@ -65,9 +66,10 @@ def attach_image_blob(
     """Deterministic REAL image payload per row: pixels synthesized
     from the text bytes (codec.synthesize_image), encoded round-robin
     by id as P6 PPM / 24-bit BMP / 8-bit PNG / baseline JPEG /
-    PROGRESSIVE JPEG / GIF — so every downstream op exercises every
-    decoder (PNG added round 3: stdlib-zlib codec; JPEG added round
-    4, progressive + GIF round 5; the JPEGs are the LOSSY members —
+    PROGRESSIVE JPEG / GIF / LZW TIFF — so every downstream op
+    exercises every decoder (PNG added round 3: stdlib-zlib codec;
+    JPEG added round 4; progressive, GIF and TIFF round 5; the JPEGs
+    are the LOSSY members —
     features downstream are statistics of the decoded pixels,
     deterministic either way). Real pipelines replace this with a
     parquet binary column or URI; everything downstream is
@@ -79,6 +81,7 @@ def attach_image_blob(
             encode_jpeg,
             encode_jpeg_progressive,
         )
+        from snapflow_spark.multimodal.tiff import encode_tiff
 
         for pdf in batches:
             out = pdf.copy()
@@ -88,7 +91,7 @@ def attach_image_blob(
                 arr = synthesize_image(
                     str(text or "").encode("utf-8"), width=width, height=height
                 )
-                pick = int(doc_id) % 6
+                pick = int(doc_id) % 7
                 if pick == 0:
                     blobs.append(encode_ppm(arr))
                     mimes.append(_MIME["ppm"])
@@ -104,11 +107,14 @@ def attach_image_blob(
                 elif pick == 4:
                     blobs.append(encode_jpeg_progressive(arr, quality=95))
                     mimes.append(_MIME["jpeg"])
-                else:
+                elif pick == 5:
                     # lossless here: an 8x8 synthesized tile has
                     # <=64 distinct colors, inside GIF's palette
                     blobs.append(encode_gif(arr))
                     mimes.append(_MIME["gif"])
+                else:
+                    blobs.append(encode_tiff(arr, compression="lzw"))
+                    mimes.append(_MIME["tiff"])
             out["blob"] = blobs
             out["mime"] = mimes
             yield out

@@ -241,12 +241,13 @@ def test_multimodal_real_decode(spark, planted):
     blobs = attach_image_blob(df.limit(10))
     assert dict(blobs.dtypes)["blob"] == "binary"
     raw = {r.doc_id: bytes(r.blob) for r in blobs.select("doc_id", "blob").collect()}
-    # all formats present (id % 6 -> PPM / BMP / PNG / baseline JPEG /
-    # progressive JPEG / GIF; both JPEG flavors share the FFD8 magic)
+    # all formats present (id % 7 -> PPM / BMP / PNG / baseline JPEG /
+    # progressive JPEG / GIF / LZW TIFF; both JPEG flavors share the
+    # FFD8 magic)
     magics = {b[:2] for b in raw.values()}
-    assert magics == {b"P6", b"BM", b"\x89P", b"\xff\xd8", b"GI"}
+    assert magics == {b"P6", b"BM", b"\x89P", b"\xff\xd8", b"GI", b"II"}
     # the progressive member really is SOF2
-    prog = [b for i, b in raw.items() if i % 6 == 4]
+    prog = [b for i, b in raw.items() if i % 7 == 4]
     assert prog and all(b"\xff\xc2" in b for b in prog)
     rows = extract_features(blobs).collect()
     assert len(rows) == 10

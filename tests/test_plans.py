@@ -327,12 +327,14 @@ def test_all_declared_queries_plan_quality(spark):
     # widest base tables: lineitem=11 cols, events=6; any scan reading
     # more than 9 columns has lost pruning
     MAX_READ_COLS = 9
-    # the single documented nested-loop plan: q_similarity_topk
-    # crossJoins the corpus with a BROADCAST probe set (a one-row build
-    # side — BNLJ is exactly the right physical plan there).
-    # q_embed_near_exact is cell-blocked since round 3 and must NOT
-    # appear here.
-    CARTESIAN_OK = {"q_similarity_topk"}
+    # the documented nested-loop plans, all one-row-build-side
+    # broadcasts where BNLJ is exactly the right physical plan:
+    # q_similarity_topk crossJoins the corpus with a BROADCAST probe
+    # set; q_text_quality's dsir branch (round 5) crossJoins the
+    # occurrence rows with the BROADCAST one-row corpus-totals agg
+    # (the bm25-stats shape). q_embed_near_exact is cell-blocked
+    # since round 3 and must NOT appear here.
+    CARTESIAN_OK = {"q_similarity_topk", "q_text_quality"}
     MAX_EXCHANGES = 12
 
     failures = []

@@ -1,0 +1,151 @@
+"""TIFF codec (multimodal/tiff.py): LZW-with-early-change and
+PackBits round-trips, predictor, multi-strip, byte orders, palette /
+MinIsWhite decode, explicit raises, dispatch. Spark-free."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from snapflow_spark.multimodal.tiff import (
+    _lzw_decode_tiff,
+    _lzw_encode_tiff,
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=800))
+def test_tiff_lzw_roundtrip(data):
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data)) == data
+
+
+def test_tiff_lzw_width_boundaries_and_reset():
+    # long low-entropy + high-entropy streams cross the 511/1023/2047
+    # early-change boundaries and force an in-stream CLEAR reset
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, size=40_000, dtype=np.uint8).tobytes()
+    assert _lzw_decode_tiff(_lzw_encode_tiff(noisy)) == noisy
+    runs = bytes(np.repeat(np.arange(256, dtype=np.uint8), 64))
+    assert _lzw_decode_tiff(_lzw_encode_tiff(runs)) == runs
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=500))
+def test_packbits_roundtrip(data):
+    assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+
+def _img(h, w, ch, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, 3)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def test_roundtrips_all_compressions_gray_rgb():
+    for ch in (1, 3):
+        src = _img(13, 9, ch, seed=ch)
+        for comp in ("none", "lzw", "packbits"):
+            out = decode_tiff(encode_tiff(src, compression=comp))
+            assert np.array_equal(out, src), (ch, comp)
+
+
+def test_lzw_predictor_roundtrip():
+    for ch in (1, 3):
+        # smooth gradient: the case predictor actually compresses
+        base = np.arange(16 * 12, dtype=np.uint8).reshape(16, 12)
+        src = base if ch == 1 else np.stack([base, base + 3, base + 7], axis=-1)
+        blob = encode_tiff(src, compression="lzw", predictor=True)
+        assert np.array_equal(decode_tiff(blob), src)
+
+
+def test_multi_strip_roundtrip():
+    src = _img(21, 6, 3, seed=4)
+    for comp in ("none", "lzw", "packbits"):
+        blob = encode_tiff(src, compression=comp, rows_per_strip=4)
+        assert np.array_equal(decode_tiff(blob), src)
+
+
+def test_big_endian_and_min_is_white():
+    # hand-build a tiny big-endian MinIsWhite gray TIFF
+    pix = bytes([0, 100, 200, 255])
+
+    def entry(tag, typ, count, value4):
+        return struct.pack(">HHI", tag, typ, count) + value4
+
+    entries = [
+        entry(256, 4, 1, struct.pack(">I", 2)),
+        entry(257, 4, 1, struct.pack(">I", 2)),
+        entry(258, 3, 1, struct.pack(">HH", 8, 0)),
+        entry(259, 3, 1, struct.pack(">HH", 1, 0)),
+        entry(262, 3, 1, struct.pack(">HH", 0, 0)),  # MinIsWhite
+        entry(273, 4, 1, struct.pack(">I", 8)),
+        entry(277, 3, 1, struct.pack(">HH", 1, 0)),
+        entry(279, 4, 1, struct.pack(">I", 4)),
+    ]
+    ifd = struct.pack(">H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    blob = b"MM\x00*" + struct.pack(">I", 12) + pix + ifd
+    out = decode_tiff(blob)
+    assert out.tolist() == [[255, 155], [55, 0]]
+
+
+def test_palette_decode():
+    # little-endian palette TIFF: 4 colors, 16-bit colormap
+    idx = bytes([0, 1, 2, 3])
+    cmap = struct.pack(
+        "<" + "H" * 12,
+        *[0, 257 * 10, 257 * 20, 257 * 255],  # R plane
+        *[257 * 1, 257 * 11, 257 * 21, 0],  # G plane
+        *[257 * 2, 257 * 12, 257 * 22, 257 * 128],  # B plane
+    )
+
+    def entry(tag, typ, count, value4):
+        return struct.pack("<HHI", tag, typ, count) + value4
+
+    cmap_off = 12 + len(idx)
+    ifd_off = cmap_off + len(cmap)
+    entries = [
+        entry(256, 4, 1, struct.pack("<I", 2)),
+        entry(257, 4, 1, struct.pack("<I", 2)),
+        entry(258, 3, 1, struct.pack("<HH", 8, 0)),
+        entry(259, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(262, 3, 1, struct.pack("<HH", 3, 0)),
+        entry(273, 4, 1, struct.pack("<I", 12)),
+        entry(277, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(279, 4, 1, struct.pack("<I", 4)),
+        entry(320, 3, 12, struct.pack("<I", cmap_off)),
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    blob = b"II*\x00" + struct.pack("<I", ifd_off) + b"\x00" * 4 + idx + cmap + ifd
+    # strip offset 12 points at the 4 index bytes after the 8-byte
+    # header + 4 pad bytes
+    out = decode_tiff(blob)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [0, 1, 2]
+    assert out[1, 1].tolist() == [255, 0, 128]
+
+
+def test_explicit_raises():
+    src = _img(4, 4, 1)
+    blob = bytearray(encode_tiff(src))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"PK\x03\x04")
+    # flip compression tag to an unsupported value (JPEG-in-TIFF = 7)
+    i = blob.find(struct.pack("<HHI", 259, 3, 1))
+    blob[i + 8 : i + 10] = struct.pack("<H", 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        decode_tiff(bytes(blob))
+
+
+def test_dispatch_and_both_byte_order_magics():
+    from snapflow_spark.multimodal.codec import decode_image_bytes
+
+    src = _img(6, 5, 3, seed=8)
+    assert np.array_equal(decode_image_bytes(encode_tiff(src, "lzw")), src)
