@@ -70,21 +70,43 @@ def grams_expr(tokens: Column) -> Column:
 
 def _tagged_grams(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
+    target_pred: Column | None,
     text_col: str,
     id_col: str,
 ) -> DataFrame:
-    """(id, is_target, grams) — the union of both corpora with the
-    side tagged. `target` is usually small (a trusted corpus) or a
-    filter of `raw`; either way the tag lets every downstream count
-    split by side in one pass."""
+    """(id, w_raw, w_tgt, grams): each row's gram occurrences count
+    ``w_raw`` times toward the raw model and ``w_tgt`` toward the
+    target model.
+
+    Two forms. With a separate ``target`` DataFrame, the corpora
+    union with one side flagged (two scans — unavoidable, they are
+    different data). With ``target_pred`` — the common "target is a
+    slice of the pool" case — ONE scan of ``raw`` serves both models
+    (w_raw=1 always, w_tgt=predicate), halving the tokenize work;
+    the counts are identical to the union form by construction."""
+    if (target is None) == (target_pred is None):
+        raise ValueError("exactly one of target / target_pred required")
+    if target_pred is not None:
+        return raw.select(
+            F.col(id_col).alias("__id"),
+            F.lit(1).alias("__w_raw"),
+            target_pred.cast("int").alias("__w_tgt"),
+            word_tokens_expr(text_col).alias("__toks"),
+        ).select(
+            "__id", "__w_raw", "__w_tgt",
+            grams_expr(F.col("__toks")).alias("__grams"),
+        )
+
     def side(df: DataFrame, is_target: bool) -> DataFrame:
         return df.select(
             F.col(id_col).alias("__id"),
-            F.lit(is_target).alias("__is_target"),
+            F.lit(0 if is_target else 1).alias("__w_raw"),
+            F.lit(1 if is_target else 0).alias("__w_tgt"),
             word_tokens_expr(text_col).alias("__toks"),
         ).select(
-            "__id", "__is_target", grams_expr(F.col("__toks")).alias("__grams")
+            "__id", "__w_raw", "__w_tgt",
+            grams_expr(F.col("__toks")).alias("__grams"),
         )
 
     return side(raw, False).unionByName(side(target, True))
@@ -92,12 +114,13 @@ def _tagged_grams(
 
 def dsir_log_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = _BUCKETS,
     alpha: float = 1.0,
     salt: str = "dsir-v1",
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Per-raw-document log importance weight ``(id_col, log_w)``,
     rounded to 6 decimals (the cross-engine ranking contract).
@@ -111,35 +134,25 @@ def dsir_log_weights(
 
     Scale: totals are a map-only tokenize pass broadcast as one row;
     bucket counts ride the occurrences as a window (module docstring
-    has the full plan-shape rationale)."""
-    tagged = _tagged_grams(raw, target, text_col, id_col)
+    has the full plan-shape rationale). Prefer ``target_pred`` when
+    the target is a slice of the pool — one corpus scan serves both
+    models instead of the two the union form needs."""
+    tagged = _tagged_grams(raw, target, target_pred, text_col, id_col)
 
     totals = tagged.agg(
-        F.sum(
-            F.when(~F.col("__is_target"), F.size("__grams")).otherwise(F.lit(0))
-        ).cast("double").alias("__R"),
-        F.sum(
-            F.when(F.col("__is_target"), F.size("__grams")).otherwise(F.lit(0))
-        ).cast("double").alias("__T"),
+        F.sum(F.col("__w_raw") * F.size("__grams")).cast("double").alias("__R"),
+        F.sum(F.col("__w_tgt") * F.size("__grams")).cast("double").alias("__T"),
     )
 
     occ = tagged.select(
-        "__id", "__is_target", F.explode("__grams").alias("__g")
+        "__id", "__w_raw", "__w_tgt", F.explode("__grams").alias("__g")
     ).withColumn("__b", _hash_bucket(F.col("__g"), salt, num_buckets))
 
     w = Window.partitionBy("__b")
     ab = float(alpha) * num_buckets
     counted = (
-        occ.withColumn(
-            "__rc",
-            F.sum(F.when(~F.col("__is_target"), 1).otherwise(0)).over(w)
-            .cast("double"),
-        )
-        .withColumn(
-            "__tc",
-            F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).over(w)
-            .cast("double"),
-        )
+        occ.withColumn("__rc", F.sum("__w_raw").over(w).cast("double"))
+        .withColumn("__tc", F.sum("__w_tgt").over(w).cast("double"))
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "__w",
@@ -148,7 +161,7 @@ def dsir_log_weights(
         )
     )
     return (
-        counted.where(~F.col("__is_target"))
+        counted.where(F.col("__w_raw") == 1)
         .groupBy("__id")
         .agg(F.round(F.sum("__w"), 6).alias("log_w"))
         .withColumnRenamed("__id", id_col)
@@ -157,7 +170,7 @@ def dsir_log_weights(
 
 def dsir_select(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     n_keep: int,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -166,6 +179,7 @@ def dsir_select(
     salt: str = "dsir-v1",
     resample_salt: str = "dsir-gumbel-v1",
     gumbel: bool = True,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Select ``n_keep`` raw documents by importance resampling:
     ``(id_col, log_w, key, rank)`` with rank 1..n_keep.
@@ -180,7 +194,8 @@ def dsir_select(
     The final order-by-limit plans as TakeOrderedAndProject — no
     global sort at any scale."""
     scores = dsir_log_weights(
-        raw, target, text_col, id_col, num_buckets, alpha, salt
+        raw, target, text_col, id_col, num_buckets, alpha, salt,
+        target_pred=target_pred,
     )
     if gumbel:
         u = (

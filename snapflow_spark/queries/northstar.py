@@ -313,7 +313,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_expr("text").alias("fingerprint"),
         token_count_expr("text").cast("bigint").alias("n_tokens"),
     )
-    sel = dsir_select(d, d.where(F.col("lang") == "en"), 20)
+    # target_pred form: one documents scan serves both models (the
+    # union form would scan+tokenize the en slice separately)
+    sel = dsir_select(d, None, 20, target_pred=F.col("lang") == "en")
     dsir = d.select("doc_id", "lang").join(F.broadcast(sel), "doc_id").select(
         F.lit("dsir").alias("branch"),
         "doc_id",

@@ -178,3 +178,24 @@ def test_duckdb_replay_of_log_weights(raw, target, spark):
     duck = {i: w for i, w in con.execute(sql).fetchall()}
     got = {r["doc_id"]: r["log_w"] for r in dsir_log_weights(raw, target).collect()}
     assert duck == got
+
+
+def test_target_pred_path_equals_union_path(raw, target, spark):
+    """The single-scan target_pred form computes identical weights to
+    the two-corpus union form when target == raw.filter(pred)."""
+    en = raw.where(F.col("lang") == "en").select("doc_id", "text")
+    a = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_log_weights(raw, en).collect()
+    }
+    b = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_log_weights(
+            raw, target_pred=F.col("lang") == "en"
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_log_weights(raw, en, target_pred=F.col("lang") == "en").collect()
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_log_weights(raw).collect()
