@@ -274,7 +274,9 @@ def resize_images(
     from snapflow_spark.multimodal.codec import encode_pgm
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from snapflow_spark.multimodal.gif import encode_gif
         from snapflow_spark.multimodal.jpeg import encode_jpeg
+        from snapflow_spark.multimodal.tiff import encode_tiff
 
         for pdf in batches:
             out = pdf.copy()
@@ -289,6 +291,10 @@ def resize_images(
                     blobs.append(encode_png(small))
                 elif raw[:3] == b"\xff\xd8\xff":  # JPEG stays JPEG
                     blobs.append(encode_jpeg(small, quality=95))
+                elif raw[:4] == b"GIF8":  # GIF stays GIF
+                    blobs.append(encode_gif(small))
+                elif raw[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF stays TIFF
+                    blobs.append(encode_tiff(small, compression="lzw"))
                 elif small.ndim == 2:  # grayscale PGM stays grayscale
                     blobs.append(encode_pgm(small))
                 else:
@@ -306,6 +312,8 @@ def resize_images(
         F.when(magic == F.lit("424D"), F.lit("image/bmp"))  # "BM"
         .when(magic == F.lit("8950"), F.lit("image/png"))  # \x89"P"
         .when(magic == F.lit("FFD8"), F.lit("image/jpeg"))
+        .when(magic == F.lit("4749"), F.lit("image/gif"))  # "GI"
+        .when(magic.isin("4949", "4D4D"), F.lit("image/tiff"))  # II / MM
         .when(magic.isin("5035", "5032"), F.lit("image/x-portable-graymap"))  # P5/P2
         .otherwise(F.lit("image/x-portable-pixmap"))
     )

@@ -325,23 +325,48 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sql_passthrough",
     oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n,
+    SELECT 'sql' AS branch, o_orderpriority, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'pipe' AS branch, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'O'
     GROUP BY o_orderpriority
     """,
 )
 def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL snap (SURVEY §2.A A2): SQL text over named inputs through
-    operators.sql_snap — Spark SQL is the storage engine."""
-    return sql_snap(
+    operators.sql_snap — Spark SQL is the storage engine. Tagged
+    union (round 5): the classic SELECT form ('sql' branch) ∪ the
+    same snap written in Spark 4's SQL PIPE syntax ('pipe' branch:
+    ``FROM t |> WHERE … |> AGGREGATE … GROUP BY …`` over the 'O'
+    slice) — both resolve through the identical sql_snap plumbing and
+    hash against plain-SQL oracles."""
+    orders = load_table(spark, sf_dir, "orders")
+    classic = sql_snap(
         spark,
         """
-        SELECT o_orderpriority, COUNT(*) AS n,
+        SELECT 'sql' AS branch, o_orderpriority, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM {orders_view} WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority
         """,
-        inputs={"orders_snap_input": load_table(spark, sf_dir, "orders")},
+        inputs={"orders_snap_input": orders},
         params={"orders_view": "orders_snap_input"},
     )
+    piped = sql_snap(
+        spark,
+        """
+        FROM {orders_view}
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           GROUP BY o_orderpriority
+        |> SELECT 'pipe' AS branch, o_orderpriority, n, total
+        """,
+        inputs={"orders_pipe_input": orders},
+        params={"orders_view": "orders_pipe_input"},
+    )
+    return classic.unionByName(piped)

@@ -181,20 +181,29 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
            json_extract_string(props, '$.k') AS k_str,
-           CAST(len(json_keys(props::JSON)) AS INT) AS n_keys
+           CAST(len(json_keys(props::JSON)) AS INT) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_variant,
+           json_extract_string(props, '$.k') IS NULL AS k_missing
     FROM events
     """,
 )
 def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family: snapflow rode nested data in Json fields (SURVEY
-    §1.2); here both path extraction and full map parsing are native."""
+    §1.2); here both path extraction and full map parsing are native.
+    Round 5 adds the Spark 4 VARIANT path — ``parse_json`` to the
+    binary semi-structured type, ``try_variant_get`` typed extraction
+    — asserting it agrees value-for-value with the string-path
+    functions (the oracle replays both from the same JSON)."""
     e = load_table(spark, sf_dir, "events")
     parsed = F.from_json("props", "map<string,string>")
+    v = F.parse_json("props")
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
         F.get_json_object("props", "$.k").alias("k_str"),
         F.size(F.map_keys(parsed)).alias("n_keys"),
+        F.try_variant_get(v, "$.k", "int").alias("k_variant"),
+        F.try_variant_get(v, "$.k", "string").isNull().alias("k_missing"),
     )
 
 
