@@ -40,14 +40,27 @@ BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
 
 def ngram_expr(tokens: Column, n: int = 3) -> Column:
     """Sliding word n-grams as an array column (codegen, no UDF);
-    fewer than n tokens degrade to one whole-text gram."""
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    fewer than n tokens degrade to one whole-text gram.
+
+    Built as a fold of ``zip_with`` over n shifted O(len) slices —
+    ONE pass over the token array per doc. The per-position
+    alternatives both lose badly at corpus scale (round-5 DSIR
+    profiling, sf0.1): ``transform + concat_ws(slice(i, n))`` copies
+    a fresh n-array per position (~5x slower), ``transform +
+    element_at`` pays ANSI-checked per-element lookups (~9x slower).
+    Same family of lesson as winnow_fingerprints_expr's staging
+    note: array expressions that look O(1) per element often aren't."""
+    m = F.size(tokens) - (n - 1)
+    acc = F.slice(tokens, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(tokens, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(tokens) >= n, acc).otherwise(
+        F.array(F.concat_ws(" ", tokens))
+    )
 
 
 def bpe_tokens_expr(col: str | Column) -> Column:

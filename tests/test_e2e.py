@@ -239,3 +239,67 @@ def test_full_curation_chain_incremental_equals_batch(spark, tmp_path):
         for r in g2.read(spark, "capped").groupBy("source").count().collect()
     }
     assert per_src2["s0"] > CAP  # per-tick cap over-admitted s0
+
+
+def test_dsir_selection_incremental_equals_batch(spark, tmp_path):
+    """DSIR selection is a WHOLE-CORPUS property: the raw/target
+    bucket models, the totals, and therefore every document's
+    importance weight move whenever new data lands — so the selection
+    node consumes the accumulated history as REFERENCE and revises
+    its picks each tick. Final state == one-shot batch, and the
+    tick-1 selection is genuinely revised by tick 2 (a doc selected
+    early drops out once better-matching documents arrive)."""
+    from snapflow_spark.operators.selection import dsir_select
+
+    dd = [
+        (0, "spark shuffle partitions broadcast join plan", "en"),
+        (1, "simmer garlic butter in the pan", "en"),
+        (2, "catalyst plan rewrites and shuffle pruning", "en"),
+        (3, "roast the vegetables with olive oil", "en"),
+        (4, "whisk the eggs and fold the flour", "de"),
+        (5, "broadcast join avoids the shuffle plan", "de"),
+        # --- tick boundary ---
+        (6, "spark plan shuffle partitions and pruning", "en"),
+        (7, "shuffle plan broadcast partitions spark join", "en"),
+        (8, "slow cooked lamb with garlic butter", "de"),
+        (9, "partitions pruning plan shuffle spark", "de"),
+    ]
+    schema = "doc_id bigint, text string, lang string"
+    K = 4
+
+    def select(spark, history):
+        return dsir_select(
+            history, None, K, target_pred=F.col("lang") == "en"
+        )
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, schema)
+        return [tuple(r) for r in select(spark, df).collect()]
+
+    g = graph(str(tmp_path / "wh_dsir"))
+    src = g.source("api_docs")
+
+    def pager(cursor, page_size=3):
+        start = int(cursor or 0)
+        page = dd[start : start + page_size]
+        return (
+            [dict(zip(("doc_id", "text", "lang"), d)) for d in page],
+            start + len(page),
+        )
+
+    g.create_node(
+        "selected", select, upstream={"history": ("api_docs", REFERENCE)},
+        overwrite=True,
+    )
+
+    import_api_pages(spark, pager, schema, src, max_pages=2)
+    assert g.produce(spark) == 1
+    got1 = [tuple(r) for r in g.read(spark, "selected").collect()]
+    assert got1 == batch(dd[:6])
+
+    import_api_pages(spark, pager, schema, src)
+    assert g.produce(spark) == 1
+    got2 = [tuple(r) for r in g.read(spark, "selected").collect()]
+    assert got2 == batch(dd)
+    assert got1 != got2  # the selection was revised, not appended
+    assert g.produce(spark) == 0  # fixed point
