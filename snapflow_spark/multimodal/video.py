@@ -77,9 +77,11 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
     data = bytes(data)
     if not data.startswith(b"YUV4MPEG2"):
         if data[4:8] == b"ftyp":
+            from snapflow_spark.multimodal.probe import probe_summary
+
             raise NotImplementedError(
-                "compressed video (MP4) needs a codec library not "
-                "present in this environment"
+                f"compressed video ({probe_summary(data)}) needs a "
+                "codec library not present in this environment"
             )
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
             raise ValueError(
@@ -88,9 +90,12 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
             )
         for magic, name in _COMPRESSED_MAGIC.items():
             if data.startswith(magic):
+                from snapflow_spark.multimodal.probe import probe_summary
+
                 raise NotImplementedError(
-                    f"compressed video ({name}) needs a codec library "
-                    "not present in this environment"
+                    f"compressed video ({name}: {probe_summary(data)}) "
+                    "needs a codec library not present in this "
+                    "environment"
                 )
         raise ValueError("not a YUV4MPEG2 stream")
     nl = data.index(b"\n")

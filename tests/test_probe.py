@@ -1,0 +1,77 @@
+"""Container probes (multimodal/probe.py): hand-built minimal
+ISO-BMFF and EBML streams, defensive behavior on garbage, and the
+codec-naming error path through decode_y4m. Spark-free."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from snapflow_spark.multimodal.probe import probe_container, probe_summary
+
+
+def box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+
+def _mini_mp4() -> bytes:
+    # ftyp(isom) + moov > trak > mdia(hdlr vide + minf > stbl > stsd avc1)
+    #                  + trak > mdia(hdlr soun + minf > stbl > stsd mp4a)
+    def stsd(fmt: bytes) -> bytes:
+        entry = struct.pack(">I4s", 8, fmt)
+        return box(b"stsd", struct.pack(">II", 0, 1) + entry)
+
+    def hdlr(handler: bytes) -> bytes:
+        return box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
+
+    def trak(handler: bytes, fmt: bytes) -> bytes:
+        stbl = box(b"stbl", stsd(fmt))
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", hdlr(handler) + minf)
+        return box(b"trak", mdia)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    moov = box(b"moov", trak(b"vide", b"avc1") + trak(b"soun", b"mp4a"))
+    return ftyp + moov
+
+
+def _mini_webm() -> bytes:
+    # EBML header (id 1A45DFA3) containing DocType (id 4282) = "webm"
+    doctype = b"\x42\x82" + bytes([0x80 | 4]) + b"webm"
+    return b"\x1aE\xdf\xa3" + bytes([0x80 | len(doctype)]) + doctype
+
+
+def test_mp4_probe_tracks_and_brand():
+    info = probe_container(_mini_mp4())
+    assert info["container"] == "mp4"
+    assert info["brand"] == "isom"
+    assert info["tracks"] == [("video", "avc1"), ("audio", "mp4a")]
+    assert probe_summary(_mini_mp4()) == "MP4/isom (video: avc1; audio: mp4a)"
+
+
+def test_webm_probe_doctype():
+    info = probe_container(_mini_webm())
+    assert info == {"container": "ebml", "doctype": "webm"}
+    assert probe_summary(_mini_webm()) == "EBML/webm"
+
+
+def test_probe_defensive_on_garbage():
+    assert probe_container(b"") == {}
+    assert probe_container(b"\x00" * 64) == {}
+    assert probe_summary(b"nonsense") == "unknown container"
+    # truncated mp4: keeps what it parsed, never raises
+    trunc = _mini_mp4()[:30]
+    info = probe_container(trunc)
+    assert info["container"] == "mp4" and info.get("brand") == "isom"
+    # truncated ebml
+    assert probe_container(_mini_webm()[:6]) == {"container": "ebml"}
+
+
+def test_decode_error_names_the_codec():
+    from snapflow_spark.multimodal.video import decode_video_bytes
+
+    with pytest.raises(NotImplementedError, match=r"video: avc1"):
+        decode_video_bytes(_mini_mp4())
+    with pytest.raises(NotImplementedError, match="EBML/webm"):
+        decode_video_bytes(_mini_webm())
