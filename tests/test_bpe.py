@@ -230,3 +230,36 @@ def test_id_table_join(spark, corpus):
     )
     # every emitted token is in the vocab (training saw all chars)
     assert ids["n"] == ids["n_mapped"] > 0
+
+
+def test_bpe_feeds_curation_packing(spark, corpus):
+    """Composition: a TRAINED tokenizer supplies the token counts
+    that sequence packing budgets by — the real pipeline hand-off
+    (train tokenizer -> encode corpus -> pack training contexts),
+    replacing q_pipeline_docs' regex counter with learned-BPE
+    counts."""
+    from snapflow_spark.operators.curation import pack_sequences
+
+    tok = train_bpe(corpus, num_merges=60)
+    counted = corpus.select(
+        "doc_id",
+        F.size(tok.encode_col(spark, "text")).alias("n_bpe"),
+    )
+    packed = pack_sequences(
+        counted, budget=32, token_col="n_bpe", id_col="doc_id"
+    )
+    rows = packed.collect()
+    assert len(rows) == corpus.count()
+    # chunk assignment is the running-sum layout over the BPE counts
+    by_id = {r["doc_id"]: r for r in rows}
+    cum = 0
+    for i in sorted(by_id):
+        r = by_id[i]
+        assert r["chunk_id"] == cum // 32
+        cum += r["n_bpe"]
+    # BPE tokens are pieces of pre-tokens: bounded below by the
+    # pre-token count, and the merges compress well under chars
+    pre = corpus.select(F.sum(F.size(bpe_tokens_expr("text")))).first()[0]
+    chars = corpus.select(F.sum(F.length("text"))).first()[0]
+    bpe_total = counted.select(F.sum("n_bpe")).first()[0]
+    assert pre <= bpe_total < chars
