@@ -195,6 +195,50 @@ def _bm25(
     return bm25_topk(input, qdf, k=k, text_col=text_col, id_col=id_col)
 
 
+def _dsir(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    n_keep: int,
+    target_where: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gumbel: bool = True,
+) -> DataFrame:
+    """core.dsir: importance-resampling data selection against the
+    target slice ``target_where`` (a SQL boolean over the input's
+    columns) — operators.selection.dsir_select's single-scan form."""
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.operators.selection import dsir_select
+
+    return dsir_select(
+        input,
+        None,
+        int(n_keep),
+        text_col=text_col,
+        id_col=id_col,
+        gumbel=gumbel,
+        target_pred=F.expr(target_where),
+    )
+
+
+def _frequent_items(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    column: str,
+    k: int = 64,
+) -> DataFrame:
+    """core.frequent_items: Misra-Gries heavy hitters over a column
+    (functions.heavyhitters.frequent_items) — emitted as rows
+    (item, est_lo, est_hi) sorted by estimate desc."""
+    from snapflow_spark.functions.heavyhitters import frequent_items
+
+    s = frequent_items(input, column, k=int(k))
+    return spark.createDataFrame(
+        s.intervals(), f"{column} string, est_lo long, est_hi long"
+    )
+
+
 BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.accumulate": _accumulate,
     "core.dedupe_keep_latest": _dedupe_keep_latest,
@@ -207,6 +251,8 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.cap": _cap,
     "core.dedup_lines": _dedup_lines,
     "core.bm25": _bm25,
+    "core.dsir": _dsir,
+    "core.frequent_items": _frequent_items,
 }
 
 

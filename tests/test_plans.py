@@ -669,3 +669,48 @@ def test_zorder3_layout_skips_on_all_three_keys(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="2 or 3"):
         write_zorder(grid, str(tmp_path / "nope"), ["x", "y", "z", "x"])
+
+
+def test_yaml_builtin_round5_ops(spark, tmp_path):
+    """core.dsir / core.frequent_items wire the round-5 selection and
+    heavy-hitter operators into YAML pipelines, matching direct calls."""
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.functions.heavyhitters import frequent_items
+    from snapflow_spark.operators.selection import dsir_select
+    from snapflow_spark.plans import load_graph
+
+    rows = [
+        (i, "en" if i % 3 else "de", f"spark plan shuffle doc {i} " + "word " * (i % 4))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    cfg = {
+        "warehouse": str(tmp_path / "wh_r5"),
+        "sources": [{"name": "docs"}],
+        "nodes": [
+            {
+                "name": "selected",
+                "function": "core.dsir",
+                "upstream": "docs",
+                "params": {"n_keep": 5, "target_where": "lang = 'en'"},
+            },
+            {
+                "name": "top_langs",
+                "function": "core.frequent_items",
+                "upstream": {"input": {"node": "docs", "mode": "reference"}},
+                "params": {"column": "lang", "k": 4},
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["docs"].append(df)
+    assert g.produce(spark) == 2
+
+    exp = dsir_select(df, None, 5, target_pred=F.col("lang") == "en")
+    assert sorted(tuple(r) for r in g.read(spark, "selected").collect()) == sorted(
+        tuple(r) for r in exp.collect()
+    )
+    hh = {r.lang: (r.est_lo, r.est_hi) for r in g.read(spark, "top_langs").collect()}
+    s = frequent_items(df, "lang", k=4)
+    assert hh == {i: (lo, hi) for i, lo, hi in s.intervals()}
