@@ -344,3 +344,49 @@ def test_paged_api_replay_respects_committed_end():
     r2.fetch_page = lambda cursor: ([{"id": 1, "v": "x"}], "c")
     with pytest.raises(ValueError, match="replay drift"):
         list(r2.readBetweenOffsets({"cursor": "a"}, {"cursor": "b"}))
+
+
+def test_jdbc_cursor_pager_incremental_import(spark, tmp_path):
+    """The first CONCRETE fetch_page: paged incremental import from a
+    JDBC table (embedded Derby) through the generic connector loop —
+    initial backfill pages through the table, a second run imports
+    only rows that arrived since the checkpointed cursor, and a
+    caught-up run is a no-op."""
+    import pyspark.sql.functions as F
+
+    from snapflow_spark.incremental.store import SnapshotStore
+    from snapflow_spark.sources import import_api_pages, jdbc_cursor_pager
+    from snapflow_spark.sources.io import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdb_pager;create=true"
+    df = spark.range(0, 25).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    write_jdbc(df, url, "t_incr", mode="overwrite")
+
+    pager = jdbc_cursor_pager(spark, url, "t_incr", "k", page_size=10)
+    store = SnapshotStore(str(tmp_path / "snap"))
+    res = import_api_pages(spark, pager, "k bigint, v bigint", store)
+    assert res.n_pages == 3 and res.n_records == 25  # 10+10+5
+    assert res.cursor == 24
+    got = {r.k: r.v for r in store.read(spark).collect()}
+    assert got == {i: i * 10 for i in range(25)}
+
+    # rows arrive later -> only the delta imports, resuming at k>24
+    late = spark.range(25, 32).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    write_jdbc(late, url, "t_incr", mode="append")
+    res2 = import_api_pages(spark, pager, "k bigint, v bigint", store)
+    assert res2.n_pages == 1 and res2.n_records == 7 and res2.cursor == 31
+    assert store.read(spark).count() == 32
+
+    # caught up: empty page, cursor unchanged, no snapshot appended
+    res3 = import_api_pages(spark, pager, "k bigint, v bigint", store)
+    assert res3.n_pages == 0 and res3.cursor == 31
+
+    # identifier guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="plain identifier"):
+        jdbc_cursor_pager(spark, url, "t_incr", "k; DROP TABLE x")
