@@ -48,6 +48,10 @@ HEAVY = {
         " post-cap stages by DESIGN, so ~constant beyond the scan"
     ),
     "q_tokenize_bpe": "documents; Arrow-batched tokenizer",
+    "q_text_quality": (
+        "documents; quality sweep + DSIR selection (hashed-gram window, "
+        "round 5) — selection output fixed at 20 by design"
+    ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
     "q_stream_windows": "events; tumbling+sliding agg",
