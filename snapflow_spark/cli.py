@@ -43,7 +43,38 @@ def main(argv: list[str] | None = None) -> int:
     sql.add_argument("--sf", default=DEFAULT_SF_DIR)
     sql.add_argument("--limit", type=int, default=20)
     sql.add_argument("--explain", action="store_true")
+    tb = sub.add_parser(
+        "train-bpe",
+        help="train a BPE tokenizer on the documents table, save tokenizer.json",
+    )
+    tb.add_argument("out", help="output path for the tokenizer artifact (JSON)")
+    tb.add_argument("--sf", default=DEFAULT_SF_DIR)
+    tb.add_argument("--merges", type=int, default=4000)
+    tb.add_argument("--min-count", type=int, default=1)
+    tb.add_argument("--max-word-types", type=int, default=1_000_000)
     args = ap.parse_args(argv)
+
+    if args.cmd == "train-bpe":
+        from snapflow_spark.catalog import load_table
+        from snapflow_spark.functions.bpe import train_bpe
+        from snapflow_spark.session import build_session, tune
+
+        spark = build_session("cli-train-bpe")
+        spark.sparkContext.setLogLevel("ERROR")
+        tune(spark)
+        docs = load_table(spark, args.sf, "documents")
+        tok = train_bpe(
+            docs,
+            num_merges=args.merges,
+            min_count=args.min_count,
+            max_word_types=args.max_word_types,
+        )
+        tok.save(args.out)
+        print(
+            f"trained: {len(tok.merges)} merges, vocab {len(tok.vocab)} "
+            f"-> {args.out}"
+        )
+        return 0
 
     if args.cmd == "sql":
         from snapflow_spark.catalog import TABLES, load_table

@@ -40,6 +40,7 @@ from snapflow_spark.operators.similarity import (
     brute_force_topk_matmul,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_int,
+    semantic_dedup,
     ivf_pq_topk,
 )
 from snapflow_spark.operators.skew import salted_count_by_key, salted_join
@@ -67,6 +68,7 @@ __all__ = [
     "brute_force_topk_matmul",
     "dedupe_keep_latest",
     "embedding_near_dup_pairs",
+    "semantic_dedup",
     "embedding_near_dup_pairs_int",
     "exact_dedup",
     "grouped_topk",

@@ -907,3 +907,45 @@ def embedding_near_dup_pairs_int(
         observation=observation,
     )
     return pairs.where(F.col("cos") >= cos_threshold).dropDuplicates(["id_a", "id_b"])
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    cos_threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 20,
+    observation=None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication") as ONE named operator over the in-repo pieces:
+    SRP-LSH cosine near-dup candidate pairs (embedding_near_dup_pairs
+    — the bucketed one-shuffle shape, never all-pairs) -> connected
+    components -> one representative per cluster (min id).
+
+    Returns the corpus ids + (component, is_rep): semi-join
+    ``is_rep`` to keep one document per semantic cluster. Differences
+    vs the paper, chosen for engine fit: candidate generation is LSH
+    bands rather than k-means cells (same within-cluster cosine
+    test, but the blocking structure is data-independent and
+    one-shuffle; the IVFIndex quantizer provides the paper's k-means
+    form when a standing index already exists), and the
+    representative is the deterministic min id rather than the
+    lowest-similarity-to-centroid member (engine determinism
+    contract). ``observation`` surfaces the LSH truncation counters
+    (designed data loss) like every other bucketed generator."""
+    from snapflow_spark.operators.dedup_text import dedup_cluster_representatives
+
+    pairs = embedding_near_dup_pairs(
+        corpus,
+        cos_threshold=cos_threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        observation=observation,
+        **lsh_kwargs,
+    )
+    return dedup_cluster_representatives(
+        corpus, pairs.select("id_a", "id_b"), id_col=id_col, max_iter=max_iter
+    )

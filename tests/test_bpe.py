@@ -263,3 +263,19 @@ def test_bpe_feeds_curation_packing(spark, corpus):
     chars = corpus.select(F.sum(F.length("text"))).first()[0]
     bpe_total = counted.select(F.sum("n_bpe")).first()[0]
     assert pre <= bpe_total < chars
+
+
+def test_cli_train_bpe(spark, tmp_path, capsys):
+    """CLI surface: `python -m snapflow_spark train-bpe out.json`
+    trains on the documents fixture and writes a loadable artifact."""
+    from snapflow_spark.cli import main
+
+    out = str(tmp_path / "tok.json")
+    assert main([
+        "train-bpe", out, "--sf", "/root/testdata/sf0.001", "--merges", "50",
+    ]) == 0
+    printed = capsys.readouterr().out
+    assert "trained:" in printed and "vocab" in printed
+    tok = BPETokenizer.load(out)
+    assert 1 <= len(tok.merges) <= 50
+    assert tok.encode_text("the quick fox")  # usable artifact

@@ -1712,10 +1712,7 @@ def test_embedding_semantic_dedup_end_to_end(embeddings):
     keep-set drops exactly the non-representative members."""
     import numpy as np
 
-    from snapflow_spark.operators.dedup_text import (
-        dedup_cluster_representatives,
-    )
-    from snapflow_spark.operators.similarity import embedding_near_dup_pairs
+    from snapflow_spark.operators import semantic_dedup
 
     spark = embeddings.sparkSession
     # plant a CHAIN off vec 0: two perturbed copies (0~600, 0~601 via
@@ -1731,10 +1728,7 @@ def test_embedding_semantic_dedup_end_to_end(embeddings):
         "vec_id bigint, embedding array<float>",
     )
     corpus = embeddings.unionByName(extra)
-    pairs = embedding_near_dup_pairs(corpus, cos_threshold=0.95)
-    decision = dedup_cluster_representatives(
-        corpus, pairs.select("id_a", "id_b"), id_col="vec_id"
-    )
+    decision = semantic_dedup(corpus, cos_threshold=0.95, id_col="vec_id")
     rows = {r.vec_id: (r.component, r.is_rep) for r in decision.collect()}
     # every corpus vector got a decision
     assert len(rows) == corpus.count()
