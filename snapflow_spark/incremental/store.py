@@ -127,6 +127,26 @@ class SnapshotStore:
                     raise
                 time.sleep(0.02 * (attempt + 1))
 
+    def read_as_of(
+        self, spark: SparkSession, snapshot_id: str
+    ) -> DataFrame | None:
+        """TIME TRAVEL: the store's state as of (and including)
+        ``snapshot_id`` — the union of every live snapshot committed
+        up to it. Ids are zero-padded monotone (`snapshot-000042`),
+        so commit order IS lexicographic order and the cut is a
+        string compare; compaction rewrites history into a single
+        combined snapshot, so time travel reaches back only to the
+        last compact (the same horizon Delta's VACUUM imposes —
+        documented, not accidental). Unknown ids raise rather than
+        silently returning a nearby state."""
+        ids = self.snapshot_ids()
+        if snapshot_id not in ids:
+            raise ValueError(
+                f"unknown or retired snapshot {snapshot_id!r}; "
+                f"live ids: {ids[:3]}...{ids[-3:] if len(ids) > 3 else ids}"
+            )
+        return self.read(spark, [s for s in ids if s <= snapshot_id])
+
     def read_latest(self, spark: SparkSession) -> DataFrame | None:
         """Stream op ``latest`` (SURVEY §2.A A7): most recent snapshot only."""
         ids = self.snapshot_ids()

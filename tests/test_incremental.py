@@ -330,3 +330,35 @@ def test_produce_auto_compact_policy(spark, tmp_path):
     # compaction fixed up the ledger: a no-new-data produce is a no-op
     assert pipe.produce(spark, auto_compact_after=2) == 0
     assert pipe.store("history").read(spark).count() == total
+
+
+def test_read_as_of_time_travel(spark, tmp_path):
+    """Time travel: read_as_of(id) reconstructs the store state as of
+    any committed snapshot; compaction truncates the horizon (like
+    VACUUM) and unknown ids raise."""
+    import pytest as _pytest
+
+    from snapflow_spark.incremental import SnapshotStore
+
+    store = SnapshotStore(tmp_path / "tt")
+    ids = []
+    for lo in (0, 10, 20):
+        ids.append(
+            store.append(spark.range(lo, lo + 10).selectExpr("id AS v"))
+        )
+    # as-of each commit: exactly the prefix of history
+    for i, sid in enumerate(ids):
+        got = sorted(r.v for r in store.read_as_of(spark, sid).collect())
+        assert got == list(range(0, (i + 1) * 10)), sid
+    # latest as-of == full read
+    assert store.read_as_of(spark, ids[-1]).count() == store.read(spark).count()
+
+    with _pytest.raises(ValueError, match="unknown or retired"):
+        store.read_as_of(spark, "snapshot-999999")
+
+    # compaction rewrites history -> old ids become unreachable, the
+    # combined snapshot is the new horizon
+    combined, _old = store.compact(spark)
+    with _pytest.raises(ValueError, match="unknown or retired"):
+        store.read_as_of(spark, ids[0])
+    assert store.read_as_of(spark, combined).count() == 30
