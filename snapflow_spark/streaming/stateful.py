@@ -116,3 +116,96 @@ def running_user_stats_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+FREQ_SCHEMA = "grp int, item string, est bigint, err bigint, n bigint"
+FREQ_STATE_SCHEMA = "items array<string>, counts array<bigint>, err bigint, n bigint"
+
+
+def streaming_frequent_items(
+    stream: DataFrame,
+    item_col: str = "item",
+    k: int = 64,
+    n_groups: int = 8,
+    salt: str = "hh-v1",
+) -> DataFrame:
+    """Heavy hitters over an UNBOUNDED stream (functions/heavyhitters'
+    Misra-Gries, streaming form): items route to one of ``n_groups``
+    state keys by the deterministic sha256 bucket (the curation hash
+    shape), each key holds a bounded MG(k) summary in the state store,
+    and every micro-batch folds its exact value_counts in by the merge
+    rule (prune subtractions accumulate into that group's ``err`` —
+    the same exact error accounting as the batch build).
+
+    Because the groups PARTITION the item space, an item's entire
+    true count lives in one group: its certain interval is
+    [est, est + that group's err], and the global answer is the plain
+    union of group summaries — no cross-group error addition. State
+    is O(n_groups * k) regardless of stream length or cardinality.
+
+    Emits each group's full summary per micro-batch (output mode
+    'update'); the final emission per group (max n) is the live
+    answer — ``final_frequent_intervals`` assembles it."""
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.functions.heavyhitters import _prune
+    from snapflow_spark.operators.curation import _hash_bucket
+
+    keyed = stream.withColumn(
+        "__g", _hash_bucket(F.col(item_col), salt, n_groups).cast("int")
+    )
+
+    def update(
+        key_tuple: Any, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (g,) = key_tuple
+        if state.exists:
+            items, counts, err, n = state.get
+            total = dict(zip(items, counts))
+        else:
+            total, err, n = {}, 0, 0
+        for pdf in batches:
+            vc = pdf[item_col].dropna().astype(str).value_counts()
+            n += int(vc.sum())
+            for item, c in vc.items():
+                total[item] = total.get(item, 0) + int(c)
+        pruned, sub = _prune(total, k)
+        err += sub
+        state.update(
+            (list(pruned.keys()), [int(v) for v in pruned.values()], err, n)
+        )
+        yield pd.DataFrame(
+            {
+                "grp": [g] * len(pruned),
+                "item": list(pruned.keys()),
+                "est": [int(v) for v in pruned.values()],
+                "err": [err] * len(pruned),
+                "n": [n] * len(pruned),
+            }
+        )
+
+    return keyed.groupBy("__g").applyInPandasWithState(
+        update,
+        outputStructType=FREQ_SCHEMA,
+        stateStructType=FREQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_frequent_intervals(emissions: DataFrame) -> list[tuple[str, int, int]]:
+    """Assemble the live global answer from a bounded run's emitted
+    rows: keep each group's final emission (max n), union the
+    summaries. Returns (item, lo, hi) sorted by estimate desc, item —
+    hi uses the owning group's err (certain bound; see
+    streaming_frequent_items)."""
+    rows = emissions.collect()
+    latest_n: dict[int, int] = {}
+    for r in rows:
+        latest_n[r.grp] = max(latest_n.get(r.grp, -1), r.n)
+    out = [
+        (r.item, r.est, r.est + r.err)
+        for r in rows
+        if r.n == latest_n[r.grp]
+    ]
+    return sorted(out, key=lambda t: (-t[1], t[0]))

@@ -434,3 +434,49 @@ def test_enrich_latest_respects_max_age_horizon(spark, tmp_path):
         out, output_mode="append", checkpoint=str(tmp_path / "enr_ckpt")
     )
     assert {tuple(r) for r in result.collect()} == {(1, 202, 2.0)}
+
+
+def test_streaming_frequent_items_bounds_and_state(spark, tmp_path):
+    """Streaming Misra-Gries: MG(k) summaries live in the state store
+    partitioned by item-hash group; after a bounded multi-micro-batch
+    run, every reported interval contains the exact count, planted
+    heavies are guaranteed present, and the answer composes from each
+    group's FINAL emission."""
+    import collections
+
+    from snapflow_spark.streaming.stateful import (
+        final_frequent_intervals,
+        streaming_frequent_items,
+    )
+
+    # zipf-ish: 3 heavies + a tail, split across two snapshots so
+    # state must survive micro-batches
+    items1 = ["hot1"] * 40 + ["hot2"] * 30 + [f"t{i}" for i in range(25)]
+    items2 = ["hot1"] * 20 + ["hot3"] * 35 + [f"u{i}" for i in range(25)]
+    store = SnapshotStore(tmp_path / "hh")
+    for chunk in (items1, items2):
+        store.append(
+            spark.createDataFrame(
+                [(i, v) for i, v in enumerate(chunk)], "i bigint, item string"
+            )
+        )
+
+    stream = stream_from_snapshots(
+        spark, str(store.path), "i bigint, item string", max_files_per_trigger=1
+    )
+    out = run_stream_to_batch(
+        streaming_frequent_items(stream, "item", k=8, n_groups=4),
+        output_mode="update",
+        checkpoint=str(tmp_path / "hh_ck"),
+    )
+    intervals = final_frequent_intervals(out)
+    true = collections.Counter(items1 + items2)
+    got = {item: (lo, hi) for item, lo, hi in intervals}
+    for item, (lo, hi) in got.items():
+        assert lo <= true[item] <= hi, (item, lo, true[item], hi)
+    # the heavies survive with exact-or-bounded estimates
+    for h in ("hot1", "hot2", "hot3"):
+        assert h in got
+    assert got["hot1"][0] >= 40  # est is a lower bound; hot1 true = 60
+    # top of the ranking is the true top
+    assert intervals[0][0] == "hot1"
