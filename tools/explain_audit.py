@@ -29,7 +29,21 @@ from snapflow_spark.registry import all_queries  # noqa: E402
 from snapflow_spark.session import build_session  # noqa: E402
 
 
-def flag(a: PlanFacts) -> list[str]:
+# Queries whose raw exchange count exceeds the threshold for a
+# DOCUMENTED structural reason (reviewed, not an action item). The
+# note replaces the bare warning so a regression BEYOND the reviewed
+# count still flags.
+EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
+    "q_text_quality": (
+        7,
+        "3 corpus-side (gram-bucket window, per-doc weight sum, 1-row "
+        "totals agg) + 4 over <=20-row post-selection data (top-k, "
+        "rank window, union tail) — the dsir branch, reviewed round 5",
+    ),
+}
+
+
+def flag(a: PlanFacts, name: str = "") -> list[str]:
     flags = []
     for s in a.read_schemas:
         # a scan reading >8 columns for any query is suspicious pruning
@@ -42,7 +56,11 @@ def flag(a: PlanFacts) -> list[str]:
         # formatted explain re-prints a cached subtree's plan at every
         # InMemoryTableScan reference, so raw counts overcount when a
         # query persists an intermediate — skip the flag then
-        flags.append(f"⚠ {a.exchanges} exchanges")
+        allowed, why = EXCHANGES_REVIEWED.get(name, (0, ""))
+        if a.exchanges <= allowed:
+            flags.append(f"note: {a.exchanges} exchanges reviewed — {why}")
+        else:
+            flags.append(f"⚠ {a.exchanges} exchanges")
     return flags
 
 
@@ -72,7 +90,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             lines.append(f"## {name}\nERROR building plan: {exc}\n")
             continue
-        flags = flag(a)
+        flags = flag(a, name)
         lines.append(f"## {name}")
         lines.append(
             f"- scans={a.n_scans} exchanges={a.exchanges} "
@@ -83,7 +101,7 @@ def main() -> None:
             lines.append(f"- pushed=[{p[:110]}] read={s[:110]}")
         lines.extend(flags)
         lines.append("")
-        status = "⚠" if flags else "ok"
+        status = "⚠" if any(f.startswith("⚠") for f in flags) else "ok"
         print(f"{name:28s} {status:2s} exch={a.exchanges} joins={','.join(a.joins) or '-'}")
 
     report = "\n".join(lines)
