@@ -97,11 +97,34 @@ def encode_wav_adpcm(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_float(
+    samples: np.ndarray, sample_rate: int = 16000, bits: int = 32
+) -> bytes:
+    """(n,) or (n, ch) int16 -> IEEE-float WAV (format 3, 32/64-bit),
+    samples scaled to [-1, 1] — the DAW/scientific flavor."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    dt = np.float32 if bits == 32 else np.float64
+    data = (a.reshape(-1).astype(dt) / dt(32767.0)).tobytes()
+    width = bits // 8
+    fmt = struct.pack(
+        "<HHIIHHH", 3, ch, sample_rate, sample_rate * ch * width, ch * width, bits, 0
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE -> ((n, channels) int16, sample_rate). Walks the
     chunk list (extra chunks like LIST are skipped). Formats: PCM16
-    (1), G.711 A-law (6) / µ-law (7), IMA ADPCM (0x11) — round 5;
-    float/other-compressed raise with a clear message."""
+    (1), IEEE float 32/64 (3, scaled+clipped to int16), G.711 A-law
+    (6) / µ-law (7), IMA ADPCM (0x11), and the WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) wrapper resolving to any of these — rounds 5;
+    other-compressed raise naming the format code."""
     data = bytes(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         if data[:4] == b"fLaC":
@@ -138,6 +161,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_format, ch, sample_rate, _br, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
+    if audio_format == 0xFFFE and len(fmt) >= 40:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first two
+        # bytes of the SubFormat GUID (the rest is the fixed KSDATA
+        # media-subtype suffix) — modern writers emit this wrapper
+        # for anything beyond vanilla mono/stereo PCM
+        audio_format = struct.unpack("<H", fmt[24:26])[0]
+    if audio_format == 3 and bits in (32, 64):
+        # IEEE float WAV: normalized [-1, 1] floats -> int16 (the
+        # engine-wide PCM carrier), clipping out-of-range samples
+        # like every converter does
+        dt = "<f4" if bits == 32 else "<f8"
+        width = bits // 8
+        flat = np.frombuffer(pcm, dtype=dt, count=len(pcm) // width)
+        scaled = np.clip(np.round(flat * 32767.0), -32768, 32767).astype(np.int16)
+        out = scaled.reshape(-1, ch)
+        return (out[:n_frames] if n_frames is not None else out).copy(), sample_rate
     if audio_format == 1 and bits == 16:
         frames = np.frombuffer(pcm, dtype="<i2", count=len(pcm) // 2)
         return frames.reshape(-1, ch).copy(), sample_rate

@@ -126,10 +126,10 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed BMP -> (H, W, 3) uint8 RGB. 24-bit (BGR), 32-bit
-    (BGRA/BGRX — the 4th byte dropped) and 8-bit PALETTE rows decode
-    (round 5; the three layouts real uncompressed BMPs use); RLE and
-    1/4-bit depths raise with a clear message."""
+    """BMP -> (H, W, 3) uint8 RGB. 24-bit (BGR), 32-bit (BGRA/BGRX —
+    the 4th byte dropped), 8-bit PALETTE rows, and RLE8-compressed
+    8-bit (round 5; the layouts real BMPs use); RLE4 and 1/4-bit
+    depths raise with a clear message."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     offset = int.from_bytes(data[10:14], "little")
@@ -138,20 +138,60 @@ def decode_bmp(data: bytes) -> np.ndarray:
     h = int.from_bytes(data[22:26], "little", signed=True)
     bpp = int.from_bytes(data[28:30], "little")
     compression = int.from_bytes(data[30:34], "little")
-    # BI_BITFIELDS (3) on 32-bit data is byte-aligned BGRA in practice
-    if bpp not in (8, 24, 32) or compression not in (0,) + ((3,) if bpp == 32 else ()):
+    # BI_BITFIELDS (3) on 32-bit data is byte-aligned BGRA in practice;
+    # BI_RLE8 (1) is the classic run-length 8-bit form (round 5)
+    ok = (
+        compression == 0
+        and bpp in (8, 24, 32)
+        or (compression == 3 and bpp == 32)
+        or (compression == 1 and bpp == 8)
+    )
+    if not ok:
         raise ValueError(
-            f"only uncompressed 8/24/32-bit BMP supported "
+            f"only uncompressed 8/24/32-bit or RLE8 BMP supported "
             f"(bpp={bpp}, compression={compression})"
         )
     top_down = h < 0
     h = abs(h)
     nbytes = bpp // 8
-    row_size = (w * nbytes + 3) // 4 * 4
-    rows = np.frombuffer(data, dtype=np.uint8, count=h * row_size, offset=offset)
-    rows = rows.reshape(h, row_size)[:, : w * nbytes].reshape(h, w, nbytes)
-    if not top_down:
-        rows = rows[::-1]
+    if compression == 1:
+        # RLE8: (count, value) runs; count 0 escapes to EOL(0) /
+        # EOB(1) / delta(2, dx, dy) / absolute(n literals, word-pad).
+        # Pixels never written stay index 0 (the conventional fill).
+        idx8 = np.zeros((h, w), np.uint8)
+        x = y = 0
+        i = offset
+        n_data = len(data)
+        while i + 1 < n_data and y < h:
+            c, v = data[i], data[i + 1]
+            i += 2
+            if c:
+                run = min(c, w - x)
+                idx8[y, x : x + run] = v
+                x += c
+            elif v == 0:
+                y += 1
+                x = 0
+            elif v == 1:
+                break
+            elif v == 2:
+                x += data[i]
+                y += data[i + 1]
+                i += 2
+            else:
+                lit = np.frombuffer(data, np.uint8, min(v, max(w - x, 0)), i)
+                idx8[y, x : x + len(lit)] = lit
+                x += v
+                i += v + (v & 1)
+        rows = idx8[:, :, None]
+        if not top_down:  # RLE rows are stored bottom-up like raw BMP
+            rows = rows[::-1]
+    else:
+        row_size = (w * nbytes + 3) // 4 * 4
+        rows = np.frombuffer(data, dtype=np.uint8, count=h * row_size, offset=offset)
+        rows = rows.reshape(h, row_size)[:, : w * nbytes].reshape(h, w, nbytes)
+        if not top_down:
+            rows = rows[::-1]
     if bpp == 8:
         # palette (BGRX quads) sits between the info header and pixels
         n_colors = int.from_bytes(data[46:50], "little") or 256
@@ -270,17 +310,20 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", bytes(ihdr))
     _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-    if depth != 8 or color_type not in _CHANNELS or interlace not in (0, 1):
+    ok_depth = depth == 8 or (depth == 16 and color_type != 3)
+    if not ok_depth or color_type not in _CHANNELS or interlace not in (0, 1):
         raise ValueError(
-            f"only 8-bit PNG supported "
+            f"only 8-bit (and 16-bit non-palette) PNG supported "
             f"(depth={depth}, color_type={color_type}, interlace={interlace})"
         )
     if color_type == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette PNG missing/malformed PLTE chunk")
     channels = _CHANNELS[color_type]
-    stride = w * channels
     raw = zlib.decompress(bytes(idat))
-    bpp = channels
+    # PNG filtering is BYTE-wise with bpp = bytes per pixel — the
+    # same un-filter code serves 8- and 16-bit depths
+    bpp = channels * (depth // 8)
+    stride = w * bpp
 
     def unfilter(block: bytes, bh: int, bw: int) -> np.ndarray:
         """(bh, bw*channels) pixels from bh filtered scanlines."""
@@ -344,6 +387,11 @@ def decode_png(data: bytes) -> np.ndarray:
         if pos != len(raw):
             raise ValueError("interlaced PNG data length mismatch")
         out = composed.reshape(h, stride)
+    if depth == 16:
+        # network byte order: the high byte is sample>>8 — the
+        # canonical 16->8 downscale (features consume uint8; a
+        # full-precision consumer would keep both bytes)
+        out = out.reshape(h, w, channels, 2)[:, :, :, 0].reshape(h, w * channels)
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = out.reshape(h, w)

@@ -1,0 +1,169 @@
+"""Round-5 continuation codec robustness: IEEE-float + extensible
+WAV, 16-bit PNG, RLE8 BMP. Spark-free."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from snapflow_spark.multimodal.audio import (
+    decode_wav,
+    encode_wav_float,
+    synthesize_audio,
+)
+from snapflow_spark.multimodal.codec import _png_chunk, decode_bmp, decode_png
+
+
+# ------------------------------------------------------------------ #
+# float WAV + WAVE_FORMAT_EXTENSIBLE
+# ------------------------------------------------------------------ #
+def test_float_wav_roundtrip_32_and_64():
+    for ch in (1, 2):
+        pcm = synthesize_audio(b"fw", n_samples=211, channels=ch)
+        for bits in (32, 64):
+            out, rate = decode_wav(encode_wav_float(pcm, 22050, bits=bits))
+            assert rate == 22050 and out.shape == pcm.shape
+            # scale to [-1,1] and back: off by at most 1 lsb (f32)
+            err = np.abs(out.astype(np.int32) - pcm.astype(np.int32))
+            assert int(err.max()) <= (1 if bits == 32 else 0)
+
+
+def test_float_wav_clips_out_of_range():
+    # raw float payload with samples beyond ±1 must clip, not wrap
+    vals = np.array([2.0, -3.0, 0.5], dtype=np.float32)
+    fmt = struct.pack("<HHIIHHH", 3, 1, 8000, 32000, 4, 32, 0)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 12) + vals.tobytes()
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, _ = decode_wav(blob)
+    assert out[:, 0].tolist() == [32767, -32768, 16384]
+
+
+def test_wave_format_extensible_resolves_subformat():
+    pcm = synthesize_audio(b"ext", n_samples=64, channels=2)
+    # hand-build an EXTENSIBLE wrapper around plain PCM16
+    guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, 2, 16000, 64000, 4, 16, 22, 16, 0x3
+    ) + struct.pack("<H", 1) + guid_tail
+    data = pcm.reshape(-1).tobytes()
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, rate = decode_wav(blob)
+    assert rate == 16000
+    assert np.array_equal(out, pcm)
+
+
+# ------------------------------------------------------------------ #
+# 16-bit PNG
+# ------------------------------------------------------------------ #
+def _png16(arr16: np.ndarray, color_type: int) -> bytes:
+    h, w = arr16.shape[:2]
+    ch = 1 if arr16.ndim == 2 else arr16.shape[2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+    raw = bytearray()
+    be = arr16.astype(">u2").reshape(h, w * ch)
+    for r in range(h):
+        raw += b"\x00" + be[r].tobytes()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_gray_and_rgb_decode():
+    rng = np.random.default_rng(3)
+    g16 = rng.integers(0, 65536, size=(9, 7), dtype=np.uint16)
+    out = decode_png(_png16(g16, 0))
+    assert out.shape == (9, 7) and out.dtype == np.uint8
+    assert np.array_equal(out, (g16 >> 8).astype(np.uint8))
+
+    c16 = rng.integers(0, 65536, size=(5, 6, 3), dtype=np.uint16)
+    out = decode_png(_png16(c16, 2))
+    assert out.shape == (5, 6, 3)
+    assert np.array_equal(out, (c16 >> 8).astype(np.uint8))
+
+
+def test_png_16bit_rgba_drops_alpha():
+    rng = np.random.default_rng(4)
+    a16 = rng.integers(0, 65536, size=(4, 4, 4), dtype=np.uint16)
+    out = decode_png(_png16(a16, 6))
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out, (a16[:, :, :3] >> 8).astype(np.uint8))
+
+
+def test_png_16bit_palette_still_raises():
+    with pytest.raises(ValueError, match="16-bit non-palette"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+            + _png_chunk(b"IEND", b"")
+        )
+
+
+# ------------------------------------------------------------------ #
+# RLE8 BMP
+# ------------------------------------------------------------------ #
+def _rle8_bmp(w, h, pal, stream: bytes) -> bytes:
+    pal_bytes = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+    offset = 14 + 40 + len(pal_bytes)
+    hdr = (
+        b"BM"
+        + (offset + len(stream)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + (1).to_bytes(4, "little")  # BI_RLE8
+        + len(stream).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 2
+        + len(pal).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return hdr + pal_bytes + stream
+
+
+def test_bmp_rle8_runs_absolute_delta_eol():
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    # 6x3 bottom-up: row0(file) = bottom row
+    stream = bytes(
+        [
+            4, 1,        # run: 4x green
+            0, 3, 2, 0, 2, 0,  # absolute: [2, 0] + pad
+            0, 0,        # EOL
+            0, 2, 2, 0,  # delta: skip right to x=2 (same row 1)
+            3, 2,        # 3x blue at (1, 2..4)
+            0, 0,        # EOL
+            6, 3,        # full row of color 3 (top row in image)
+            0, 1,        # EOB
+        ]
+    )
+    out = decode_bmp(_rle8_bmp(6, 3, pal, stream))
+    assert out.shape == (3, 6, 3)
+    # image top row = file row 2
+    assert out[0].tolist() == [[9, 9, 9]] * 6
+    # file row 1: default fill (idx 0) except blue at 2..4
+    assert out[1].tolist() == [
+        [255, 0, 0], [255, 0, 0], [0, 0, 255], [0, 0, 255], [0, 0, 255], [255, 0, 0]
+    ]
+    # file row 0 (image bottom): 4 green, then absolute [blue, red]
+    assert out[2].tolist() == [
+        [0, 255, 0], [0, 255, 0], [0, 255, 0], [0, 255, 0], [0, 0, 255], [255, 0, 0]
+    ]
+
+
+def test_bmp_rle4_still_raises():
+    blob = bytearray(_rle8_bmp(4, 2, [(0, 0, 0)], b"\x00\x01"))
+    blob[28:30] = (4).to_bytes(2, "little")  # bpp 4
+    blob[30:34] = (2).to_bytes(4, "little")  # BI_RLE4
+    with pytest.raises(ValueError, match="RLE8"):
+        decode_bmp(bytes(blob))

@@ -140,7 +140,8 @@ def test_g711_wav_roundtrip_mono_stereo():
 def test_unsupported_wav_format_still_raises():
     import struct
 
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    # GSM 6.10 (0x31): a true DSP codec, out of honest numpy reach
+    fmt = struct.pack("<HHIIHH", 0x31, 1, 8000, 1625, 65, 0)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
     blob = b"RIFF" + struct.pack("<I", len(body)) + body
