@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from snapflow_spark.operators.curation import _BUCKETS, _hash_bucket
 from snapflow_spark.operators.retrieval import word_tokens_expr
 
-__all__ = ["dsir_log_weights", "dsir_select", "grams_expr"]
+__all__ = ["dsir_log_weights", "dsir_select", "grams_expr", "lm_cross_entropy"]
 
 
 def grams_expr(tokens: Column) -> Column:
@@ -219,3 +219,51 @@ def dsir_select(
     )
     win = Window.orderBy(F.col("key").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(win).cast("bigint"))
+
+
+def lm_cross_entropy(
+    raw: DataFrame,
+    ref: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = _BUCKETS,
+    alpha: float = 1.0,
+    salt: str = "dsir-v1",
+    ref_pred: Column | None = None,
+) -> DataFrame:
+    """Per-document cross-entropy under a smoothed hashed-gram
+    language model fit on a REFERENCE corpus — the CCNet-style
+    quality signal (Wenzek et al. 2020 rank documents by LM
+    perplexity against a trusted corpus; here the LM is the same
+    hashed unigram+bigram multinomial the DSIR scorer fits, so the
+    whole machinery is shared and equally oracle-replayable).
+
+    Returns ``(id_col, n_grams, cross_entropy, ppl)`` with
+    ``cross_entropy = round(-(1/n)·Σ ln p_ref(bucket), 6)`` and
+    ``ppl = round(exp(cross_entropy), 6)``. Lower = more
+    reference-like; filter or rank on it to keep the head of the
+    distribution. Plan shape identical to dsir_log_weights (one
+    corpus pass with ``ref_pred``, window-attached bucket counts,
+    broadcast totals)."""
+    tagged = _tagged_grams(raw, ref, ref_pred, text_col, id_col)
+    totals = tagged.agg(
+        F.sum(F.col("__w_tgt") * F.size("__grams")).cast("double").alias("__T"),
+    )
+    occ = tagged.select(
+        "__id", "__w_raw", "__w_tgt", F.explode("__grams").alias("__g")
+    ).withColumn("__b", _hash_bucket(F.col("__g"), salt, num_buckets))
+    w = Window.partitionBy("__b")
+    ab = float(alpha) * num_buckets
+    scored = (
+        occ.withColumn("__tc", F.sum("__w_tgt").over(w).cast("double"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("__lp", F.log((F.col("__tc") + alpha) / (F.col("__T") + ab)))
+        .where(F.col("__w_raw") == 1)
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(-F.avg("__lp"), 6).alias("cross_entropy"),
+        )
+        .withColumn("ppl", F.round(F.exp("cross_entropy"), 6))
+    )
+    return scored.withColumnRenamed("__id", id_col)

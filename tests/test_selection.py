@@ -199,3 +199,46 @@ def test_target_pred_path_equals_union_path(raw, target, spark):
         dsir_log_weights(raw, en, target_pred=F.col("lang") == "en").collect()
     with pytest.raises(ValueError, match="exactly one"):
         dsir_log_weights(raw).collect()
+
+
+def test_lm_cross_entropy_reference_and_replay(raw, target, spark):
+    """CCNet-style perplexity scoring: matches a from-scratch python
+    reference; reference-like docs score lower; single-scan ref_pred
+    path == two-corpus path."""
+    from snapflow_spark.operators.selection import lm_cross_entropy
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["cross_entropy"], r["ppl"])
+        for r in lm_cross_entropy(raw, target).collect()
+    }
+    # python reference
+    tc, T = {}, 0
+    for _, text in TARGET:
+        for g in _grams(text):
+            b = _bucket(g, "dsir-v1")
+            tc[b] = tc.get(b, 0) + 1
+            T += 1
+    for i, text, _ in RAW:
+        gs = _grams(text)
+        if not gs:
+            assert i not in got
+            continue
+        lps = [
+            math.log((tc.get(_bucket(g, "dsir-v1"), 0) + 1.0) / (T + 10000.0))
+            for g in gs
+        ]
+        ce = round(-sum(lps) / len(lps), 6)
+        n, gce, ppl = got[i]
+        assert n == len(gs)
+        assert abs(gce - ce) <= 2e-6, (i, gce, ce)
+        assert abs(ppl - round(math.exp(gce), 6)) <= 1e-6
+    # topical signal: spark-topic docs are closer to the target LM
+    assert got[0][1] < got[2][1]  # doc 0 (spark) beats doc 2 (cooking)
+    # predicate path parity
+    en = raw.where(F.col("lang") == "en").select("doc_id", "text")
+    a = {r["doc_id"]: r["cross_entropy"] for r in lm_cross_entropy(raw, en).collect()}
+    b = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_cross_entropy(raw, ref_pred=F.col("lang") == "en").collect()
+    }
+    assert a == b
