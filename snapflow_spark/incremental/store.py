@@ -87,10 +87,25 @@ class SnapshotStore:
         self._write_snapshot(df, sid)
         return sid
 
-    def read(self, spark: SparkSession, ids: list[str] | None = None) -> DataFrame | None:
+    def read(
+        self,
+        spark: SparkSession,
+        ids: list[str] | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame | None:
         """Union of the given snapshots (default: all). None if empty —
         a node with no unconsumed input simply does not run, mirroring
         snapflow's reactive fixed point.
+
+        ``merge_schema=True`` unions the snapshots' parquet schemas
+        (new columns arriving mid-history read as NULL for older
+        snapshots) — the schema-EVOLUTION read for sources that grow
+        fields over time, mapping snapflow's Schema `implementations`
+        drift onto Spark's mergeSchema. Default off: it costs a
+        footer read per file, and WITHOUT it Spark silently serves
+        the first-listed footer's schema — so a store whose producer
+        may evolve should either always pass merge_schema or conform
+        blocks through schema.SchemaSpec first (the explicit path).
 
         Retries when a listed dir has vanished under us: a replayed
         stream epoch swaps its snapshot via two renames (runner.py
@@ -107,7 +122,10 @@ class SnapshotStore:
             if not cur:
                 return None
             try:
-                return spark.read.parquet(*[str(self.path / sid) for sid in cur])
+                reader = spark.read
+                if merge_schema:
+                    reader = reader.option("mergeSchema", "true")
+                return reader.parquet(*[str(self.path / sid) for sid in cur])
             except AnalysisException as e:
                 # Typed match on the error class, not message text
                 # (message wording shifts across Spark versions; the

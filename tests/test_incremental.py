@@ -362,3 +362,22 @@ def test_read_as_of_time_travel(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown or retired"):
         store.read_as_of(spark, ids[0])
     assert store.read_as_of(spark, combined).count() == 30
+
+
+def test_read_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution across snapshots: merge_schema=True unions
+    parquet schemas (old snapshots read the new column as NULL); the
+    default read keeps the cheap single-footer behavior."""
+    from snapflow_spark.incremental import SnapshotStore
+
+    store = SnapshotStore(tmp_path / "evo")
+    store.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    store.append(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double")
+    )
+    merged = store.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: (r.v, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # default read still returns both rows (schema from one footer)
+    assert store.read(spark).count() == 2
