@@ -297,29 +297,56 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_collect",
     oracle="""
-    SELECT c.c_custkey,
+    SELECT 'collect' AS branch, c.c_custkey,
            string_agg(DISTINCT o.o_orderpriority, ',' ORDER BY o.o_orderpriority) AS priorities,
            COUNT(*) AS n_orders
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     WHERE c.c_custkey < 50
     GROUP BY c.c_custkey
+    UNION ALL
+    SELECT 'listagg' AS branch, c.c_custkey,
+           string_agg(DISTINCT o.o_orderpriority, ',' ORDER BY o.o_orderpriority) AS priorities,
+           COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey >= 50 AND c.c_custkey < 100
+    GROUP BY c.c_custkey
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set → sorted → joined to a string (deterministic
-    serialization of a collected aggregate, SURVEY §5.3)."""
-    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 50)
+    """Tagged union: collect_set → sorted → joined to a string
+    ('collect' branch — deterministic serialization of a collected
+    aggregate, SURVEY §5.3) ∪ the SQL-standard LISTAGG ... WITHIN
+    GROUP (ORDER BY ...) Spark 4 added ('listagg' branch on the next
+    custkey slice — ordered aggregation without the collect/sort/join
+    detour; DuckDB replays both via ordered string_agg)."""
     o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .groupBy("c_custkey")
-        .agg(
-            F.array_join(
-                F.array_sort(F.collect_set("o_orderpriority")), ","
-            ).alias("priorities"),
-            F.count(F.lit(1)).alias("n_orders"),
+
+    def slice_agg(lo, hi, branch, agg_col):
+        c = load_table(spark, sf_dir, "customer").where(
+            (F.col("c_custkey") >= lo) & (F.col("c_custkey") < hi)
         )
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .groupBy("c_custkey")
+            .agg(agg_col.alias("priorities"), F.count(F.lit(1)).alias("n_orders"))
+            .select(
+                F.lit(branch).alias("branch"),
+                "c_custkey", "priorities", "n_orders",
+            )
+        )
+
+    collected = slice_agg(
+        0, 50, "collect",
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ","),
     )
+    listagged = slice_agg(
+        50, 100, "listagg",
+        F.expr(
+            "listagg(DISTINCT o_orderpriority, ',') "
+            "WITHIN GROUP (ORDER BY o_orderpriority)"
+        ),
+    )
+    return collected.unionByName(listagged)
 
 
 @query(
