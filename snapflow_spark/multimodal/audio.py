@@ -61,6 +61,8 @@ def encode_wav_g711(
     if a.ndim == 1:
         a = a[:, None]
     n, ch = a.shape
+    if law not in ("mulaw", "alaw"):
+        raise ValueError(f"law must be 'mulaw' or 'alaw', got {law!r}")
     tag, enc = (7, mulaw_encode) if law == "mulaw" else (6, alaw_encode)
     data = enc(a.reshape(-1))
     fmt = struct.pack("<HHIIHHH", tag, ch, sample_rate, sample_rate * ch, ch, 8, 0)
@@ -165,8 +167,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         # WAVE_FORMAT_EXTENSIBLE: the real format is the first two
         # bytes of the SubFormat GUID (the rest is the fixed KSDATA
         # media-subtype suffix) — modern writers emit this wrapper
-        # for anything beyond vanilla mono/stereo PCM
+        # for anything beyond vanilla mono/stereo PCM. The Samples
+        # field at fmt[18:20] is a UNION (wValidBitsPerSample for
+        # PCM, wSamplesPerBlock for block codecs), which is exactly
+        # where the ADPCM branch below reads samples_per_block.
         audio_format = struct.unpack("<H", fmt[24:26])[0]
+    if ch < 1:
+        raise ValueError("WAV fmt chunk declares zero channels")
     if audio_format == 3 and bits in (32, 64):
         # IEEE float WAV: normalized [-1, 1] floats -> int16 (the
         # engine-wide PCM carrier), clipping out-of-range samples
@@ -193,6 +200,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if len(fmt) < 20:
             raise ValueError("IMA ADPCM fmt chunk missing samples_per_block")
         spb = int.from_bytes(fmt[18:20], "little")
+        if spb < 2 or block_align < 4 * ch + 4:
+            raise ValueError(
+                f"implausible IMA ADPCM layout (samples_per_block={spb}, "
+                f"block_align={block_align}, channels={ch})"
+            )
         blocks = [
             ima_adpcm_decode_block(pcm[j : j + block_align], ch, spb)
             for j in range(0, (len(pcm) // block_align) * block_align, block_align)

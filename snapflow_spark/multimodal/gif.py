@@ -127,16 +127,15 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _interlace_order(h: int) -> list[int]:
+    return [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+
+
 def _deinterlace(rows: np.ndarray) -> np.ndarray:
-    h = rows.shape[0]
-    order = [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+    order = _interlace_order(rows.shape[0])
     out = np.empty_like(rows)
     out[np.asarray(order, dtype=np.int64)] = rows
     return out
-
-
-def _interlace_order(h: int) -> list[int]:
-    return [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
 
 
 # ------------------------------------------------------------------ #
@@ -229,7 +228,11 @@ def decode_gif_frames(
                 region[:] = rgb
             frames.append(canvas.copy())
             if disposal == 2:
-                region[:] = table[bg_idx % len(table)] if gct is not None else 0
+                # background color is defined against the GLOBAL
+                # table (the bg index is a logical-screen property);
+                # using a frame's local table here paints the wrong
+                # color into every later frame
+                region[:] = gct[bg_idx % len(gct)] if gct is not None else 0
             elif disposal == 3:
                 raise NotImplementedError(
                     "GIF disposal 3 (restore previous) not supported"

@@ -119,6 +119,29 @@ def _tagged_grams(
     return side(raw, False).unionByName(side(target, True))
 
 
+def _occ_with_model(
+    tagged: DataFrame, salt: str, num_buckets: int
+) -> DataFrame:
+    """The shared model-fitting subtree (dsir_log_weights AND
+    lm_cross_entropy): explode grams, bucket via the sha256
+    nibble-fold, attach per-bucket raw/target counts as a window over
+    the occurrences, broadcast the 1-row corpus totals. Output
+    columns: __id, __w_raw, __w_tgt, __b, __rc, __tc, __R, __T."""
+    totals = tagged.agg(
+        F.sum(F.col("__w_raw") * F.size("__grams")).cast("double").alias("__R"),
+        F.sum(F.col("__w_tgt") * F.size("__grams")).cast("double").alias("__T"),
+    )
+    occ = tagged.select(
+        "__id", "__w_raw", "__w_tgt", F.explode("__grams").alias("__g")
+    ).withColumn("__b", _hash_bucket(F.col("__g"), salt, num_buckets))
+    w = Window.partitionBy("__b")
+    return (
+        occ.withColumn("__rc", F.sum("__w_raw").over(w).cast("double"))
+        .withColumn("__tc", F.sum("__w_tgt").over(w).cast("double"))
+        .crossJoin(F.broadcast(totals))
+    )
+
+
 def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame | None = None,
@@ -145,27 +168,11 @@ def dsir_log_weights(
     the target is a slice of the pool — one corpus scan serves both
     models instead of the two the union form needs."""
     tagged = _tagged_grams(raw, target, target_pred, text_col, id_col)
-
-    totals = tagged.agg(
-        F.sum(F.col("__w_raw") * F.size("__grams")).cast("double").alias("__R"),
-        F.sum(F.col("__w_tgt") * F.size("__grams")).cast("double").alias("__T"),
-    )
-
-    occ = tagged.select(
-        "__id", "__w_raw", "__w_tgt", F.explode("__grams").alias("__g")
-    ).withColumn("__b", _hash_bucket(F.col("__g"), salt, num_buckets))
-
-    w = Window.partitionBy("__b")
     ab = float(alpha) * num_buckets
-    counted = (
-        occ.withColumn("__rc", F.sum("__w_raw").over(w).cast("double"))
-        .withColumn("__tc", F.sum("__w_tgt").over(w).cast("double"))
-        .crossJoin(F.broadcast(totals))
-        .withColumn(
-            "__w",
-            F.log((F.col("__tc") + alpha) / (F.col("__T") + ab))
-            - F.log((F.col("__rc") + alpha) / (F.col("__R") + ab)),
-        )
+    counted = _occ_with_model(tagged, salt, num_buckets).withColumn(
+        "__w",
+        F.log((F.col("__tc") + alpha) / (F.col("__T") + ab))
+        - F.log((F.col("__rc") + alpha) / (F.col("__R") + ab)),
     )
     return (
         counted.where(F.col("__w_raw") == 1)
@@ -246,17 +253,9 @@ def lm_cross_entropy(
     corpus pass with ``ref_pred``, window-attached bucket counts,
     broadcast totals)."""
     tagged = _tagged_grams(raw, ref, ref_pred, text_col, id_col)
-    totals = tagged.agg(
-        F.sum(F.col("__w_tgt") * F.size("__grams")).cast("double").alias("__T"),
-    )
-    occ = tagged.select(
-        "__id", "__w_raw", "__w_tgt", F.explode("__grams").alias("__g")
-    ).withColumn("__b", _hash_bucket(F.col("__g"), salt, num_buckets))
-    w = Window.partitionBy("__b")
     ab = float(alpha) * num_buckets
     scored = (
-        occ.withColumn("__tc", F.sum("__w_tgt").over(w).cast("double"))
-        .crossJoin(F.broadcast(totals))
+        _occ_with_model(tagged, salt, num_buckets)
         .withColumn("__lp", F.log((F.col("__tc") + alpha) / (F.col("__T") + ab)))
         .where(F.col("__w_raw") == 1)
         .groupBy("__id")

@@ -146,9 +146,19 @@ def jdbc_cursor_pager(
     def fetch_page(cursor):
         # ANSI-quoted identifier: Spark's JDBC writer creates quoted
         # (case-preserved) columns, so an unquoted name would fold to
-        # uppercase in Derby/Postgres/Oracle and miss the column
+        # uppercase in Derby/Postgres/Oracle and miss the column.
+        # NULL cursors are excluded explicitly: a NULL can never
+        # satisfy `> last` on later pages (such rows would silently
+        # never import) and ASC sorts place NULLs last, so the page
+        # tail would poison the checkpoint — require NOT NULL and
+        # surface offenders to the caller's attention via the count
+        # mismatch rather than a mid-import TypeError.
         qc = f'"{cursor_col}"'
-        pred = f"{qc} > {int(cursor)}" if cursor is not None else "1=1"
+        pred = (
+            f"{qc} IS NOT NULL AND {qc} > {int(cursor)}"
+            if cursor is not None
+            else f"{qc} IS NOT NULL"
+        )
         sub = (
             f"(SELECT * FROM {table} WHERE {pred} "
             f"ORDER BY {qc} FETCH FIRST {int(page_size)} ROWS ONLY) page"

@@ -174,13 +174,18 @@ def streaming_frequent_items(
         state.update(
             (list(pruned.keys()), [int(v) for v in pruned.values()], err, n)
         )
+        # ALWAYS emit a NULL-item marker row: _prune can legally
+        # return an empty summary (all counts tie at the (k+1)-th
+        # largest), and without a marker the reader would mistake the
+        # previous batch's rows for the group's final state — stale
+        # estimates would break the certain-interval contract
         yield pd.DataFrame(
             {
-                "grp": [g] * len(pruned),
-                "item": list(pruned.keys()),
-                "est": [int(v) for v in pruned.values()],
-                "err": [err] * len(pruned),
-                "n": [n] * len(pruned),
+                "grp": [g] * (len(pruned) + 1),
+                "item": list(pruned.keys()) + [None],
+                "est": [int(v) for v in pruned.values()] + [0],
+                "err": [err] * (len(pruned) + 1),
+                "n": [n] * (len(pruned) + 1),
             }
         )
 
@@ -195,9 +200,11 @@ def streaming_frequent_items(
 
 def final_frequent_intervals(emissions: DataFrame) -> list[tuple[str, int, int]]:
     """Assemble the live global answer from a bounded run's emitted
-    rows: keep each group's final emission (max n), union the
-    summaries. Returns (item, lo, hi) sorted by estimate desc, item —
-    hi uses the owning group's err (certain bound; see
+    rows: keep each group's final emission (max n, located via the
+    always-present NULL-item marker so an empty final summary
+    correctly erases the group's earlier rows), union the summaries.
+    Returns (item, lo, hi) sorted by estimate desc, item — hi uses
+    the owning group's err (certain bound; see
     streaming_frequent_items)."""
     rows = emissions.collect()
     latest_n: dict[int, int] = {}
@@ -206,6 +213,6 @@ def final_frequent_intervals(emissions: DataFrame) -> list[tuple[str, int, int]]
     out = [
         (r.item, r.est, r.est + r.err)
         for r in rows
-        if r.n == latest_n[r.grp]
+        if r.n == latest_n[r.grp] and r.item is not None
     ]
     return sorted(out, key=lambda t: (-t[1], t[0]))

@@ -197,3 +197,42 @@ def test_video_dispatch_animated():
     out, fps = decode_video_bytes(encode_gif(frames, fps=25))
     assert fps == 25
     assert np.array_equal(out, frames)
+
+
+def test_disposal2_restores_global_background_with_local_table():
+    """Regression: a frame with a LOCAL color table and disposal=2
+    must restore its region to the GLOBAL background color, not the
+    local table's color at the background index."""
+    import struct
+
+    gpal = b"\xff\xff\xff\x11\x22\x33\x00\x00\x00\x00\x00\x00"  # bg = white
+    lpal = b"\xff\x00\x00\x00\x00\xff\x00\x00\x00\x00\x00\x00"  # red, blue
+    mcs = 2
+
+    def gce(disposal):
+        return b"\x21\xf9\x04" + bytes([disposal << 2]) + struct.pack("<H", 10) + b"\x00\x00"
+
+    c1 = _lzw_encode(bytes([1]), mcs)  # local idx 1 = blue
+    f1 = (
+        gce(2)  # disposal 2: restore to background after emitting
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0x80 | 0x01)  # local table
+        + lpal
+        + bytes([mcs, len(c1)]) + c1 + b"\x00"
+    )
+    c2 = _lzw_encode(bytes([1]), mcs)  # global idx 1 = 0x112233
+    # frame 2 covers only... the same 1x1 region; composite shows it
+    f2 = (
+        gce(0)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+        + bytes([mcs, len(c2)]) + c2 + b"\x00"
+    )
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80 | 0x01, 0, 0) + gpal
+        + f1 + f2 + b"\x3b"
+    )
+    frames, _ = decode_gif_frames(gif)
+    # frame 1: blue pixel from the local table, white elsewhere
+    assert frames[0].tolist() == [[[0, 0, 255], [255, 255, 255]]]
+    # after disposal 2 the region is WHITE (global bg), then frame 2
+    # draws global idx 1 over it; the untouched column stays white
+    assert frames[1].tolist() == [[[0x11, 0x22, 0x33], [255, 255, 255]]]

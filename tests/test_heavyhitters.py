@@ -137,3 +137,26 @@ def test_build_cms_spark_bit_identical_to_local(spark):
         local.add(it)
     assert np.array_equal(got.counts, local.counts)
     assert got.n == local.n == len(items)
+
+
+def test_final_frequent_intervals_empty_final_summary(spark):
+    """Regression: when a group's FINAL micro-batch legally prunes to
+    an empty summary (all counts tie at the (k+1)-th largest), the
+    NULL-item marker row must erase the group's earlier, now-stale
+    estimates from the assembled answer."""
+    from snapflow_spark.streaming.stateful import final_frequent_intervals
+
+    rows = [
+        # group 0, batch 1: item X reported (n=5), marker
+        (0, "X", 5, 0, 5), (0, None, 0, 0, 5),
+        # group 0, batch 2: prune emptied the summary (n=9), marker only
+        (0, None, 0, 9, 9),
+        # group 1: normal final state
+        (1, "Y", 7, 1, 8), (1, None, 0, 1, 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp int, item string, est long, err long, n long"
+    )
+    out = final_frequent_intervals(df)
+    # X's stale batch-1 row must NOT appear; Y's final state must
+    assert out == [("Y", 7, 8)]
