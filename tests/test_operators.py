@@ -520,3 +520,76 @@ def test_observe_expectations_piggybacks_on_action(spark):
     # NULL passes in_range by design (not_null owns null-counting,
     # so a null row isn't double-counted across expectations)
     assert got["v_in_range_failures"] == 1
+
+
+def test_asof_join_directions_and_tolerance_match_pandas(spark):
+    """merge_asof parity oracle: backward/forward/nearest with and
+    without tolerance, checked directly against pandas.merge_asof on
+    the same data (the library snapflow users called inside snaps)."""
+    import numpy as np
+    import pandas as pd
+
+    from snapflow_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 120, 60
+    lpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_l),
+            "ts": rng.integers(0, 500, n_l).astype("int64"),
+            "lv": np.arange(n_l),
+        }
+    ).sort_values("ts").reset_index(drop=True)
+    rpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_r),
+            "ts": (rng.integers(0, 250, n_r) * 2).astype("int64"),
+            "rv": np.arange(n_r).astype("int64") * 10,
+        }
+    )
+    # merge_asof demands unique-ish sorted input; drop (k, ts) dups so
+    # the tie-break convention can't differ between implementations
+    rpdf = (
+        rpdf.drop_duplicates(["k", "ts"]).sort_values("ts").reset_index(drop=True)
+    )
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 20):
+            exp = pd.merge_asof(
+                lpdf, rpdf, on="ts", by="k", direction=direction,
+                tolerance=tol,
+            )
+            got = asof_join(
+                ldf, rdf, keys=["k"], left_ts="ts",
+                payload={"rv": "rv"}, direction=direction, tolerance=tol,
+            ).toPandas().sort_values("lv").reset_index(drop=True)
+            exp = exp.sort_values("lv").reset_index(drop=True)
+            assert got["rv"].equals(exp["rv"]), (
+                direction, tol,
+                got.loc[got["rv"] != exp["rv"], ["k", "ts"]].head(),
+            )
+
+
+def test_asof_join_tolerance_interval_on_timestamps(spark):
+    """INTERVAL-string tolerance on real timestamps: matches farther
+    than the gap are voided (NULL payload)."""
+    from datetime import datetime, timedelta
+
+    from snapflow_spark.operators.asof import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + timedelta(minutes=m)) for m in (10, 60)], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, "old")], "k int, ts timestamp, tag string"
+    )
+    out = {
+        r.ts.minute: r.tag
+        for r in asof_join(
+            left, right, ["k"], "ts", tolerance="30 minutes"
+        ).collect()
+    }
+    assert out == {10: "old", 0: None}
