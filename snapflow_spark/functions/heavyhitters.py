@@ -123,10 +123,18 @@ def mg_merge(summaries: list[FreqSummary], k: int | None = None) -> FreqSummary:
 
 def frequent_items(df, col: str, k: int = 64) -> FreqSummary:
     """Distributed build: one <=k-row partial per Arrow batch
-    (value_counts -> prune, vectorized), one driver fold. The
-    guarantee survives both levels because the merge rule's error
-    accounting is exact — parity with a local misra_gries build is
-    bounds-exact, not just approximate (tested)."""
+    (value_counts -> prune, vectorized), merged IN SPARK — the
+    merge rule is 'pointwise sum, subtract the (k+1)-th largest':
+    a groupBy(item).sum over the partial rows plus a deterministic
+    top-(k+1) limit gives everything the rule needs, so the driver
+    collects exactly k+1 rows + one totals row regardless of batch
+    count (a raw partial collect would be O(#batches * k) — the
+    100 TB version of this op cannot ship that to the driver). The
+    guarantee survives both levels because the error accounting is
+    exact — parity with a local misra_gries build is bounds-exact,
+    not just approximate (tested)."""
+    from pyspark.sql import functions as F
+
     kk = int(k)
 
     def _partials(batches):
@@ -142,22 +150,34 @@ def frequent_items(df, col: str, k: int = 64) -> FreqSummary:
                 }
             )
 
-    rows = (
-        df.select(col)
-        .mapInPandas(_partials, schema="item string, est long, err long, n long")
-        .collect()
+    part = df.select(col).mapInPandas(
+        _partials, schema="item string, est long, err long, n long"
     )
-    total: dict[str, int] = {}
-    err = 0
-    n = 0
-    for r in rows:
-        if r.item is None:
-            err += r.err
-            n += r.n
-        else:
-            total[r.item] = total.get(r.item, 0) + r.est
-    counts, sub = _prune(total, kk)
-    return FreqSummary(counts, err + sub, n, kk)
+    # the partial frame is referenced twice (totals + summed); both
+    # are tiny aggregations but each re-runs the corpus-sized
+    # mapInPandas without a cache — persist the <=k-per-batch rows
+    part = part.persist()
+    try:
+        tot = part.where(F.col("item").isNull()).agg(
+            F.sum("err").alias("err"), F.sum("n").alias("n")
+        ).first()
+        top = (
+            part.where(F.col("item").isNotNull())
+            .groupBy("item")
+            .agg(F.sum("est").alias("est"))
+            .orderBy(F.col("est").desc(), F.col("item").asc())
+            .limit(kk + 1)
+            .collect()
+        )
+    finally:
+        part.unpersist()
+    thresh = int(top[kk].est) if len(top) > kk else 0
+    counts = {
+        r.item: int(r.est) - thresh for r in top[:kk] if int(r.est) > thresh
+    }
+    return FreqSummary(
+        counts, int(tot.err or 0) + thresh, int(tot.n or 0), kk
+    )
 
 
 # ------------------------------------------------------------------ #
