@@ -237,21 +237,33 @@ class CountMinSketch:
 
 def build_cms(df, col: str, depth: int = 5, width: int = 2048) -> CountMinSketch:
     """Distributed build, bit-identical to a local build over the
-    same multiset: per-batch partial matrices (value_counts once,
-    np.add.at per distinct key), summed on the driver over #batches
-    rows of depth*width*8 bytes."""
+    same multiset: ONE partial matrix per PARTITION (the mapInPandas
+    iterator spans the whole partition — value_counts per Arrow
+    batch, np.add.at per distinct key into a single accumulator),
+    then a treeReduce fold of the matrices IN THE EXECUTORS — the
+    driver receives exactly one depth*width*8-byte matrix however
+    many partitions the corpus has (collecting per-partition
+    partials would be O(#partitions * matrix) driver memory — not a
+    100 TB shape). uint64 addition is associative-commutative, so
+    the tree fold is order-independent and exact."""
     d, w = int(depth), int(width)
 
     def _partials(batches):
+        cms = CountMinSketch(d, w)
+        seen = False
         for pdf in batches:
-            cms = CountMinSketch(d, w)
+            seen = True
             for key, cnt in pdf[col].dropna().astype(str).value_counts().items():
                 cms.add(key, int(cnt))
+        if seen:
             yield pd.DataFrame({"m": [cms.counts.tobytes()]})
 
-    rows = df.select(col).mapInPandas(_partials, schema="m binary").collect()
+    parts = df.select(col).mapInPandas(_partials, schema="m binary")
+    mats = parts.rdd.map(
+        lambda r: np.frombuffer(bytes(r.m), dtype=np.uint64).reshape(d, w)
+    )
     out = CountMinSketch(d, w)
-    for r in rows:
-        out.counts += np.frombuffer(r.m, dtype=np.uint64).reshape(d, w)
+    if not mats.isEmpty():
+        out.counts = mats.treeReduce(lambda a, b: a + b, depth=2).copy()
     out.n = int(out.counts.sum() // max(d, 1))
     return out
