@@ -89,24 +89,34 @@ class BloomFilter:
 
 
 def build_bloom(df, col: str, m_bits: int = 1 << 20, k: int = 5) -> BloomFilter:
-    """Distributed build: one bitmap per Arrow batch via mapInPandas
-    (the batch's keys never leave the worker), OR-folded on the driver
-    over #batches rows of m/8 bytes each. Deterministic — bit-identical
-    to a local from_items build over the same key set."""
+    """Distributed build: ONE bitmap per PARTITION via mapInPandas
+    (the iterator spans the partition; keys never leave the worker),
+    OR-folded in the EXECUTORS with treeReduce — the driver receives
+    a single m/8-byte bitmap however many partitions the corpus has
+    (per-batch driver collects were O(#batches × m/8), round-5
+    continuation fix). OR is associative-commutative, so the tree
+    fold stays bit-identical to a local from_items build over the
+    same key set."""
     m, kk = int(m_bits), int(k)
 
     def _bitmaps(batches):
+        bf = BloomFilter(m, kk)
+        seen = False
         for pdf in batches:
-            bf = BloomFilter(m, kk)
+            seen = True
             for v in pdf[col]:
                 if v is not None:
                     bf.add(str(v))
+        if seen:
             yield pd.DataFrame({"bitmap": [bf.bits.tobytes()]})
 
-    rows = df.select(col).mapInPandas(_bitmaps, schema="bitmap binary").collect()
+    parts = df.select(col).mapInPandas(_bitmaps, schema="bitmap binary")
+    bitmaps = parts.rdd.map(
+        lambda r: np.frombuffer(bytes(r.bitmap), dtype=np.uint8)
+    )
     out = BloomFilter(m, kk)
-    for r in rows:
-        out.bits |= np.frombuffer(r.bitmap, dtype=np.uint8)
+    if not bitmaps.isEmpty():
+        out.bits = bitmaps.treeReduce(lambda a, b: a | b, depth=2).copy()
     return out
 
 
