@@ -360,10 +360,11 @@ def test_png_codec_roundtrip_and_filters():
     )
     assert np.array_equal(decode_png(blob), img.astype(np.uint8))
 
-    # unsupported variants are loud
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    # unsupported variants are loud (16-bit non-palette decodes
+    # since round-5 continuation, so the loud case is 16-bit PALETTE)
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="only 8-bit"):
+    with pytest.raises(ValueError, match="non-palette"):
         decode_png(bad)
     with pytest.raises(ValueError, match="IHDR"):
         decode_png(_PNG_SIG + b"000")
@@ -811,10 +812,17 @@ def test_wav_codec_roundtrip_and_features():
         decode_wav(b"\xff\xfbmp3-frame-sync")
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"\x00\x01not-audio-at-all")
-    with pytest.raises(ValueError, match="PCM16"):
-        # format tag 3 = IEEE float
-        float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
-        body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + float_fmt
+    # format tag 3 = IEEE float decodes since round-5 continuation
+    # (empty data -> zero frames); a genuinely-unsupported DSP codec
+    # (GSM 6.10) still raises naming the format code
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + float_fmt
+    body += b"data" + struct.pack("<I", 0)
+    got, rate = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 8000 and got.shape[0] == 0
+    with pytest.raises(ValueError, match="unsupported WAV codec"):
+        gsm_fmt = struct.pack("<HHIIHH", 0x31, 1, 8000, 1625, 65, 0)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + gsm_fmt
         body += b"data" + struct.pack("<I", 0)
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
 
@@ -1830,13 +1838,18 @@ def test_png_palette_and_alpha_color_types():
         decode_png(make_png(2, 1, 3, [bytes([0, 1])]))  # no palette
     with pytest.raises(ValueError, match="index out of range"):
         decode_png(make_png(2, 1, 3, [bytes([0, 200])], pal))
-    # 16-bit still raises
+    # 16-bit non-palette DECODES since round-5 continuation (high
+    # byte taken); 16-bit palette still raises
     sig = b"\x89PNG\r\n\x1a\n"
     deep = sig + _png_chunk(
         b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
-    ) + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + _png_chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="only 8-bit"):
-        decode_png(deep)
+    ) + _png_chunk(b"IDAT", zlib.compress(b"\x00\xAB\xCD")) + _png_chunk(b"IEND", b"")
+    assert decode_png(deep).tolist() == [[0xAB]]
+    deep_pal = sig + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="non-palette"):
+        decode_png(deep_pal)
 
 
 def test_bmp_32bit_and_palette():
@@ -1875,9 +1888,13 @@ def test_bmp_32bit_and_palette():
 
     with pytest.raises(ValueError, match="palette index"):
         decode_bmp(bmp(2, 1, 8, [bytes([9, 0, 0, 0])], palette=pal, n_colors=3))
-    with pytest.raises(ValueError, match="only uncompressed"):
-        decode_bmp(bmp(2, 1, 8, [bytes([0, 0, 0, 0])], palette=pal, compression=1))
-    with pytest.raises(ValueError, match="only uncompressed"):
+    # RLE8 DECODES since round-5 continuation (the stream here is
+    # run(2x idx1) + EOB)
+    rle = decode_bmp(
+        bmp(2, 1, 8, [bytes([2, 1, 0, 1])], palette=pal, compression=1, n_colors=3)
+    )
+    assert rle.tolist() == [[[0, 255, 0], [0, 255, 0]]]
+    with pytest.raises(ValueError, match="RLE8"):
         decode_bmp(bmp(2, 1, 4, [bytes([0, 0, 0, 0])]))
 
     # 24-bit round-trip through our encoder still exact
