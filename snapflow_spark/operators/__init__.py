@@ -33,6 +33,11 @@ from snapflow_spark.operators.retrieval import (
     doc_terms,
 )
 from snapflow_spark.operators.schema_translate import schema_translate
+from snapflow_spark.operators.selection import (
+    dsir_log_weights,
+    dsir_select,
+    lm_cross_entropy,
+)
 from snapflow_spark.operators.similarity import (
     IVFIndex,
     PQCodec,
@@ -69,6 +74,9 @@ __all__ = [
     "dedupe_keep_latest",
     "embedding_near_dup_pairs",
     "semantic_dedup",
+    "dsir_log_weights",
+    "dsir_select",
+    "lm_cross_entropy",
     "embedding_near_dup_pairs_int",
     "exact_dedup",
     "grouped_topk",
