@@ -160,3 +160,29 @@ def test_final_frequent_intervals_empty_final_summary(spark):
     out = final_frequent_intervals(df)
     # X's stale batch-1 row must NOT appear; Y's final state must
     assert out == [("Y", 7, 8)]
+
+
+def test_frequent_items_on_corpus_tokens(spark):
+    """Composition against the real fixture corpus: heavy hitters
+    over the exploded token stream carry certain intervals that
+    agree with exact token counts — the bounded-state vocabulary
+    audit for corpora too wide to groupBy exactly."""
+    import pyspark.sql.functions as F
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.operators.retrieval import word_tokens_expr
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select(F.explode(word_tokens_expr("text")).alias("tok"))
+    s = frequent_items(toks, "tok", k=32)
+    exact = {
+        r.tok: r.cnt
+        for r in toks.groupBy("tok").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert s.n == sum(exact.values())
+    for item, lo, hi in s.intervals():
+        assert lo <= exact[item] <= hi, item
+    # the corpus's true top token is reported and certainly ranked
+    top_tok, top_cnt = max(exact.items(), key=lambda kv: (kv[1], kv[0]))
+    assert top_tok in s.counts
+    assert top_cnt > s.err  # guaranteed-present regime
