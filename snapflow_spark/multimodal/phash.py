@@ -7,12 +7,13 @@ transformations that make byte-level image dedup useless — and its
 Hamming distance measures perceptual similarity.
 
 Candidate generation reuses the engine's one-shuffle LSH machinery
-verbatim: the 64 bits pack into 4 16-bit band values (the simhash
-banding), `bucketed_pairs` emits bounded in-bucket pairs, and the
-exact Hamming verify runs in codegen over the packed bands — an
-image pair within ``max_hamming`` shares at least one identical
-16-bit band whenever hamming <= 3 per the pigeonhole bound (larger
-radii trade recall, same as text simhash).
+verbatim: the 64 bits pack into equal band values (`split_bands` —
+default 8x8-bit for the pairs path, which GUARANTEES a shared band
+for any pair within hamming 7 by pigeonhole), `bucketed_pairs` emits
+bounded in-bucket pairs, and the exact Hamming verify runs in
+codegen over the packed bands. Fewer, wider bands (4x16) widen the
+per-band value space for very large corpora at the cost of the
+guarantee radius — the text-simhash trade, parameterized.
 
 Determinism: grayscale is the BT.601 integer luma, resize is the
 codec's nearest-neighbor, the DCT matrix is the closed-form
@@ -34,6 +35,7 @@ from snapflow_spark.multimodal.codec import decode_image_bytes, resize_nearest
 
 __all__ = [
     "attach_phash",
+    "split_bands",
     "image_near_dup_pairs",
     "phash64",
     "phash_bands",
@@ -79,15 +81,29 @@ def phash64(arr: np.ndarray) -> int:
     return h
 
 
-def phash_bands(arr: np.ndarray) -> list[int]:
-    """The 64-bit pHash packed as 4 16-bit band values (MSB band
-    first) — the simhash banding layout `bucketed_pairs` consumes."""
-    h = phash64(arr)
-    return [(h >> shift) & 0xFFFF for shift in (48, 32, 16, 0)]
+def split_bands(h: int, n_bands: int = 4) -> list[int]:
+    """A 64-bit hash as n_bands equal band values, MSB band first.
+    Banding trade (pigeonhole): pairs within hamming <= n_bands-1
+    are GUARANTEED to share an exact band; more/narrower bands raise
+    recall but shrink the per-band value space (64/n_bands bits), so
+    very large corpora want fewer, wider bands plus max_bucket
+    truncation observation."""
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64: {n_bands}")
+    w = 64 // n_bands
+    mask = (1 << w) - 1
+    return [(h >> (64 - w * (i + 1))) & mask for i in range(n_bands)]
+
+
+def phash_bands(arr: np.ndarray, n_bands: int = 4) -> list[int]:
+    """The 64-bit pHash packed as band values (MSB band first) — the
+    simhash banding layout `bucketed_pairs` consumes."""
+    return split_bands(phash64(arr), n_bands)
 
 
 def attach_phash(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
+    n_bands: int = 4,
 ) -> DataFrame:
     """(id, phash bands) per image blob, decoded + hashed in one
     Arrow-batched mapInPandas pass (the fused decode+featurize shape
@@ -99,7 +115,7 @@ def attach_phash(
                 {
                     id_col: pdf[id_col],
                     "bvals": [
-                        phash_bands(decode_image_bytes(bytes(b)))
+                        phash_bands(decode_image_bytes(bytes(b)), n_bands)
                         for b in pdf[blob_col]
                     ],
                 }
@@ -110,23 +126,27 @@ def attach_phash(
     )
 
 
-def image_near_dup_pairs(
-    df: DataFrame,
-    max_hamming: int = 6,
-    blob_col: str = "blob",
-    id_col: str = "doc_id",
+def banded_hamming_pairs(
+    hashed: DataFrame,
+    max_hamming: int,
+    id_col: str = "id",
+    bands_col: str = "bvals",
     max_bucket: int = 64,
     observation=None,
 ) -> DataFrame:
-    """Perceptual near-duplicate image pairs: pHash bands -> ONE
-    shuffle on (band_idx, band_val) -> bounded in-bucket pairs ->
-    exact 64-bit Hamming verify in codegen (the simhash_sha plan
-    shape; `observation` surfaces bucket-truncation loss like every
-    LSH generator here). Returns (id_a < id_b, hamming)."""
+    """Near-dup pairs from ANY banded 64-bit signature
+    column (image pHash, audio spectral fingerprint, video frame-hash
+    majority — the shared tail of every perceptual-dedup path):
+    ONE shuffle on (band_idx, band_val) -> bounded in-bucket pairs ->
+    exact Hamming verify in codegen (the simhash_sha plan shape;
+    ``observation`` surfaces bucket-truncation loss like every LSH
+    generator here). Returns (id_a < id_b, hamming)."""
     from snapflow_spark.operators.buckets import bucketed_pairs
 
-    hashed = attach_phash(df, blob_col, id_col).withColumnRenamed(id_col, "id")
-    banded = hashed.select(
+    src = hashed.select(
+        F.col(id_col).alias("id"), F.col(bands_col).alias("bvals")
+    )
+    banded = src.select(
         "id", "bvals", F.posexplode("bvals").alias("band_idx", "band_val")
     )
     pairs = bucketed_pairs(
@@ -151,4 +171,24 @@ def image_near_dup_pairs(
         pairs.where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+    observation=None,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: pHash bands through the
+    shared banded-Hamming tail. The default 8x8-bit banding
+    GUARANTEES recall at the default max_hamming=6 (pigeonhole:
+    <= n_bands-1); see split_bands for the corpus-size trade."""
+    hashed = attach_phash(df, blob_col, id_col, n_bands=n_bands)
+    return banded_hamming_pairs(
+        hashed, max_hamming, id_col=id_col,
+        max_bucket=max_bucket, observation=observation,
     )

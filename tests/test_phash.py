@@ -79,6 +79,12 @@ def test_phash_bands_pack_the_hash():
     bands = phash_bands(src)
     assert len(bands) == 4 and all(0 <= b <= 0xFFFF for b in bands)
     assert ((bands[0] << 48) | (bands[1] << 32) | (bands[2] << 16) | bands[3]) == h
+    b8 = phash_bands(src, n_bands=8)
+    assert len(b8) == 8 and all(0 <= b <= 0xFF for b in b8)
+    acc = 0
+    for b in b8:
+        acc = (acc << 8) | b
+    assert acc == h
 
 
 def test_image_near_dup_pairs_spark(spark):
