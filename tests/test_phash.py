@@ -112,3 +112,40 @@ def test_image_near_dup_pairs_spark(spark):
     # unrelated images never pair
     for bad in ((0, 3), (0, 4), (3, 4), (1, 3), (2, 4)):
         assert bad not in pairs
+
+
+def test_image_near_dup_recovers_text_dups_in_blob_rotation(spark):
+    """Composition across modalities: attach_image_blob synthesizes
+    pixels FROM TEXT and encodes round-robin by id (7 formats), so
+    documents with identical text produce identical pixels in
+    DIFFERENT formats — exactly what byte dedup misses and
+    perceptual dedup must recover. The pHash pairs over the rotation
+    corpus equal the text-duplicate pairs."""
+    import itertools
+
+    from snapflow_spark.multimodal import attach_image_blob
+
+    texts = {
+        0: "alpha beta gamma", 1: "delta epsilon zeta", 2: "alpha beta gamma",
+        3: "eta theta iota", 4: "delta epsilon zeta", 5: "kappa lambda mu",
+        9: "alpha beta gamma",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    blobs = attach_image_blob(df, width=16, height=16)
+    got = {
+        (r.id_a, r.id_b)
+        for r in image_near_dup_pairs(blobs, max_hamming=4).collect()
+    }
+    by_text = {}
+    for i, t in texts.items():
+        by_text.setdefault(t, []).append(i)
+    expected = {
+        tuple(sorted(p))
+        for ids in by_text.values()
+        for p in itertools.combinations(ids, 2)
+    }
+    assert expected <= got  # every text-dup found across formats
+    # and nothing outside the planted groups
+    assert got == expected
