@@ -239,6 +239,40 @@ def _frequent_items(
     )
 
 
+def _semantic_dedup(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    cos_threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """core.semantic_dedup: SemDeDup-shaped embedding dedup decision
+    frame (operators.similarity.semantic_dedup) — semi-join is_rep
+    downstream to keep one doc per semantic cluster."""
+    from snapflow_spark.operators import semantic_dedup
+
+    return semantic_dedup(
+        input, cos_threshold=cos_threshold, vec_col=vec_col, id_col=id_col
+    )
+
+
+def _image_dedup(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    max_hamming: int = 6,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """core.image_dedup: perceptual near-duplicate image pairs
+    (multimodal.phash.image_near_dup_pairs) over a binary blob
+    column."""
+    from snapflow_spark.multimodal import image_near_dup_pairs
+
+    return image_near_dup_pairs(
+        input, max_hamming=max_hamming, blob_col=blob_col, id_col=id_col
+    )
+
+
 BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.accumulate": _accumulate,
     "core.dedupe_keep_latest": _dedupe_keep_latest,
@@ -253,6 +287,8 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.bm25": _bm25,
     "core.dsir": _dsir,
     "core.frequent_items": _frequent_items,
+    "core.semantic_dedup": _semantic_dedup,
+    "core.image_dedup": _image_dedup,
 }
 
 

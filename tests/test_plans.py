@@ -714,3 +714,37 @@ def test_yaml_builtin_round5_ops(spark, tmp_path):
     hh = {r.lang: (r.est_lo, r.est_hi) for r in g.read(spark, "top_langs").collect()}
     s = frequent_items(df, "lang", k=4)
     assert hh == {i: (lo, hi) for i, lo, hi in s.intervals()}
+
+
+def test_yaml_builtin_perceptual_dedup(spark, tmp_path):
+    """core.image_dedup wires perceptual image dedup into YAML
+    pipelines; pairs match the direct operator call."""
+    from snapflow_spark.multimodal import attach_image_blob, image_near_dup_pairs
+    from snapflow_spark.plans import load_graph
+
+    texts = {0: "same text", 1: "same text", 2: "other words"}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    blobs = attach_image_blob(docs, width=16, height=16).select("doc_id", "blob")
+    cfg = {
+        "warehouse": str(tmp_path / "wh_pd"),
+        "sources": [{"name": "imgs"}],
+        "nodes": [
+            {
+                "name": "dups",
+                "function": "core.image_dedup",
+                "upstream": {"input": {"node": "imgs", "mode": "reference"}},
+                "params": {"max_hamming": 4},
+            }
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["imgs"].append(blobs)
+    assert g.produce(spark) == 1
+    got = sorted((r.id_a, r.id_b) for r in g.read(spark, "dups").collect())
+    exp = sorted(
+        (r.id_a, r.id_b)
+        for r in image_near_dup_pairs(blobs, max_hamming=4).collect()
+    )
+    assert got == exp == [(0, 1)]
