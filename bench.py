@@ -58,16 +58,27 @@ def run(sf_dir: str, names: list[str]) -> dict:
     with tempfile.TemporaryDirectory() as td:
         spark.range(2).write.mode("overwrite").parquet(f"{td}/warm")
 
-    def one_pass() -> dict[str, float]:
+    def one_pass(repeats: int = 1) -> dict[str, float]:
+        # repeats>1 takes the MIN of `repeats` back-to-back runs per
+        # query: this box has external CPU steal (BENCH_r05's warm
+        # total read 91 s vs a 45 s idle reproduction of the same
+        # code), and a single-shot sample under contention corrupts
+        # the driver's cross-round trend signal. Min-of-N is the same
+        # protocol tools/bench_scale.py already uses for that reason.
         timings: dict[str, float] = {}
         for name in names:
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            # queries are independent; drop any persist() a query left
-            # behind so later timings aren't skewed by storage-memory
-            # eviction of accumulated cache segments
-            spark.catalog.clearCache()
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+                # queries are independent; drop any persist() a query
+                # left behind so later timings aren't skewed by
+                # storage-memory eviction of accumulated cache segments
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
         return timings
 
     # Two passes: pass 1 includes residual first-touch costs (file
@@ -79,8 +90,12 @@ def run(sf_dir: str, names: list[str]) -> dict:
     # late queries via storage eviction), while this harness clears
     # cache between queries — the r01 comparison is indicative, the
     # warm pass is the number to trend.
+    # Cold pass stays single-shot: first-touch costs (file listing,
+    # per-query codegen compile) only happen once, so a min-of-N cold
+    # pass would just be a second warm pass. The warm pass is min-of-3
+    # so one contended sample can't inflate the steady-state number.
     timings = one_pass()
-    warm = one_pass()
+    warm = one_pass(repeats=3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Key order matters for capture robustness: the driver records a
@@ -95,6 +110,10 @@ def run(sf_dir: str, names: list[str]) -> dict:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "cpus": int(cpus),
+        # 1-minute loadavg at end of run: >~4 means external steal was
+        # present and absolutes (esp. the single-shot cold pass) are
+        # inflated — trend the warm min-of-3 numbers instead.
+        "loadavg_1m": round(os.getloadavg()[0], 2),
         "value": round(sum(timings.values()), 3),
         "value_warm": round(sum(warm.values()), 3),
     }
@@ -120,6 +139,8 @@ def main() -> None:
         "sf": result["sf"],
         "n_queries": result["n_queries"],
         "cpus": result["cpus"],
+        "loadavg_1m": result["loadavg_1m"],
+        "warm_protocol": "min_of_3",
         "slowest_warm": slowest,
         "value": result["value"],
         "value_warm": result["value_warm"],

@@ -115,8 +115,14 @@ def build_bloom(df, col: str, m_bits: int = 1 << 20, k: int = 5) -> BloomFilter:
         lambda r: np.frombuffer(bytes(r.bitmap), dtype=np.uint8)
     )
     out = BloomFilter(m, kk)
-    if not bitmaps.isEmpty():
-        out.bits = bitmaps.treeReduce(lambda a, b: a | b, depth=2).copy()
+    # treeAggregate with a zero bitmap instead of isEmpty()+treeReduce:
+    # isEmpty() executed the corpus-sized mapInPandas scan a second
+    # time just to probe for the empty case; the aggregate's zeroValue
+    # handles empty input for free, so the keys are hashed exactly once.
+    zero = np.zeros(m // 8, dtype=np.uint8)
+    out.bits = bitmaps.treeAggregate(
+        zero, lambda a, b: a | b, lambda a, b: a | b, depth=2
+    ).copy()
     return out
 
 

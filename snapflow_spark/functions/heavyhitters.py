@@ -263,7 +263,12 @@ def build_cms(df, col: str, depth: int = 5, width: int = 2048) -> CountMinSketch
         lambda r: np.frombuffer(bytes(r.m), dtype=np.uint64).reshape(d, w)
     )
     out = CountMinSketch(d, w)
-    if not mats.isEmpty():
-        out.counts = mats.treeReduce(lambda a, b: a + b, depth=2).copy()
+    # treeAggregate with a zero matrix instead of isEmpty()+treeReduce:
+    # isEmpty() re-executed the corpus scan just to probe emptiness;
+    # the zeroValue covers the empty case in a single scan.
+    zero = np.zeros((d, w), dtype=np.uint64)
+    out.counts = mats.treeAggregate(
+        zero, lambda a, b: a + b, lambda a, b: a + b, depth=2
+    ).copy()
     out.n = int(out.counts.sum() // max(d, 1))
     return out

@@ -126,8 +126,10 @@ def _attach(df: DataFrame, blob_col: str, id_col: str, one) -> DataFrame:
                 }
             )
 
+    # array<bigint> for the same reason as phash.attach_phash: bands
+    # wider than 32 bits (n_bands < 4) overflow a signed int at runtime.
     return df.select(id_col, blob_col).mapInPandas(
-        _hash, schema=f"{id_col} bigint, bvals array<int>"
+        _hash, schema=f"{id_col} bigint, bvals array<bigint>"
     )
 
 

@@ -167,7 +167,12 @@ def ima_adpcm_decode_block(
     body = np.frombuffer(data, np.uint8, offset=4 * ch)
     # per-channel nibble streams from the 4-byte interleave
     words = body.reshape(-1, ch, 4)  # (groups, ch, 4 bytes)
-    out = np.empty((samples_per_block, ch), np.int16)
+    # A malformed fmt chunk can declare more samples_per_block than
+    # block_align supplies nibbles for; size the output by what the
+    # block actually carries (docstring: "samples_per_block_or_fewer")
+    # so no row is ever returned uninitialized.
+    n_rows = min(samples_per_block, words.shape[0] * 8 + 1)
+    out = np.empty((n_rows, ch), np.int16)
     for c in range(ch):
         stream = words[:, c, :].reshape(-1)
         nibs = np.empty(stream.size * 2, np.uint8)
@@ -175,9 +180,8 @@ def ima_adpcm_decode_block(
         nibs[1::2] = stream >> 4
         pred, index = preds[c], idxs[c]
         out[0, c] = pred
-        n_out = min(samples_per_block - 1, nibs.size)
         col = out[:, c]
-        for k in range(n_out):
+        for k in range(n_rows - 1):
             pred, index = _adpcm_step(pred, index, int(nibs[k]))
             col[k + 1] = pred
     return out

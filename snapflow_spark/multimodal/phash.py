@@ -92,7 +92,11 @@ def split_bands(h: int, n_bands: int = 4) -> list[int]:
         raise ValueError(f"n_bands must divide 64: {n_bands}")
     w = 64 // n_bands
     mask = (1 << w) - 1
-    return [(h >> (64 - w * (i + 1))) & mask for i in range(n_bands)]
+    vals = [(h >> (64 - w * (i + 1))) & mask for i in range(n_bands)]
+    # Band values are opaque join keys, so represent them in SIGNED
+    # 64-bit space (two's complement wrap) — n_bands=1 yields the full
+    # unsigned hash, which would overflow Arrow's int64 at attach time.
+    return [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
 
 
 def phash_bands(arr: np.ndarray, n_bands: int = 4) -> list[int]:
@@ -121,8 +125,12 @@ def attach_phash(
                 }
             )
 
+    # array<bigint>: split_bands accepts any n_bands dividing 64, and
+    # bands wider than 32 bits (n_bands 1-2, the documented "fewer,
+    # wider bands" corpus knob) overflow a signed int only at runtime
+    # inside the Arrow batch; the Hamming verify already runs on bigint.
     return df.select(id_col, blob_col).mapInPandas(
-        _hash, schema=f"{id_col} bigint, bvals array<int>"
+        _hash, schema=f"{id_col} bigint, bvals array<bigint>"
     )
 
 

@@ -142,6 +142,17 @@ def jdbc_cursor_pager(
     the ``paged_api`` DataSource via a zero-arg factory wrapper."""
     if not str(cursor_col).replace("_", "").isalnum():
         raise ValueError(f"cursor_col must be a plain identifier: {cursor_col!r}")
+    # `table` is interpolated into the pushed-down subquery below, and
+    # it often arrives from config (the YAML/plan layer) — hold it to
+    # the same identifier discipline as cursor_col (allowing one
+    # schema.table dot) so a hostile config string cannot inject SQL.
+    if not all(
+        part and part.replace("_", "").isalnum()
+        for part in str(table).split(".")
+    ) or str(table).count(".") > 1:
+        raise ValueError(
+            f"table must be a plain identifier or schema.table: {table!r}"
+        )
 
     def fetch_page(cursor):
         # ANSI-quoted identifier: Spark's JDBC writer creates quoted

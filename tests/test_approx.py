@@ -151,3 +151,17 @@ def test_bloom_spark_build_and_filter(spark):
     new = {r.key for r in filter_might_contain(incoming, "key", bf, negate=True).collect()}
     assert new <= {f"k{i}" for i in range(2000, 4000)}  # only genuinely-new keys
     assert len(new) >= 1900  # few false positives stole at most a handful
+
+
+def test_bloom_and_cms_empty_corpus(spark):
+    """Empty input yields an all-zero filter/sketch (the treeAggregate
+    zeroValue path — the build no longer double-scans with isEmpty)."""
+    from snapflow_spark.functions.bloom import build_bloom
+    from snapflow_spark.functions.heavyhitters import build_cms
+
+    empty = spark.range(0).selectExpr("cast(id as string) as key")
+    bf = build_bloom(empty, "key", m_bits=1 << 12, k=3)
+    assert not bf.bits.any() and bf.fill_ratio() == 0.0
+    cms = build_cms(empty, "key", depth=3, width=64)
+    assert cms.n == 0 and not cms.counts.any()
+    assert cms.estimate("anything") == 0

@@ -390,3 +390,10 @@ def test_jdbc_cursor_pager_incremental_import(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="plain identifier"):
         jdbc_cursor_pager(spark, url, "t_incr", "k; DROP TABLE x")
+    # table gets the same discipline (config-sourced in the YAML layer)
+    with _pytest.raises(ValueError, match="schema.table"):
+        jdbc_cursor_pager(spark, url, "t_incr WHERE 1=1; --", "k")
+    with _pytest.raises(ValueError, match="schema.table"):
+        jdbc_cursor_pager(spark, url, "a.b.c", "k")
+    # schema-qualified plain identifiers stay accepted
+    jdbc_cursor_pager(spark, url, "app.t_incr", "k")

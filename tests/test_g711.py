@@ -119,6 +119,23 @@ def test_adpcm_bad_index_raises():
         ima_adpcm_decode_block(blk, 1, 9)
 
 
+def test_adpcm_oversized_samples_per_block_truncates_not_garbage():
+    """A malformed fmt chunk declaring more samples_per_block than the
+    block's nibbles can supply must yield only decoded rows (the
+    docstring's 'or fewer'), never uninitialized memory."""
+    import struct
+
+    # header + 4 data bytes = 8 nibbles -> at most 9 samples
+    blk = struct.pack("<hBB", 100, 0, 0) + b"\x11\x22\x33\x44"
+    out = ima_adpcm_decode_block(blk, 1, samples_per_block=1000)
+    assert out.shape == (9, 1)
+    assert out[0, 0] == 100
+    # deterministic: decoding twice is bit-identical (np.empty garbage
+    # would differ across runs/allocations)
+    again = ima_adpcm_decode_block(blk, 1, samples_per_block=1000)
+    assert np.array_equal(out, again)
+
+
 # ------------------------------------------------------------------ #
 # WAV container forms
 # ------------------------------------------------------------------ #

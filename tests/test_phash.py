@@ -87,6 +87,28 @@ def test_phash_bands_pack_the_hash():
     assert acc == h
 
 
+def test_phash_wide_bands_signed64_and_attach(spark):
+    """n_bands 1-2 (the documented large-corpus 'fewer, wider bands'
+    knob) must survive the Arrow int64 boundary: band values wider
+    than 32 bits go through as bigint, and the full-hash n_bands=1
+    case wraps into signed-64 space instead of overflowing."""
+    from snapflow_spark.multimodal.phash import attach_phash, split_bands
+
+    # a hash with the top bit set exercises the two's-complement wrap
+    h = 0xF123_4567_89AB_CDEF
+    (b1,) = split_bands(h, n_bands=1)
+    assert b1 == h - (1 << 64) and -(1 << 63) <= b1 < (1 << 63)
+    b2 = split_bands(h, n_bands=2)
+    assert b2 == [0xF1234567, 0x89ABCDEF]  # 32-bit bands: unwrapped
+    # attach end-to-end at each width; identical images share all bands
+    img = _structured(9)
+    rows = [(0, bytearray(encode_png(img))), (1, bytearray(encode_ppm(img)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    for nb in (1, 2, 4):
+        got = {r.doc_id: r.bvals for r in attach_phash(df, n_bands=nb).collect()}
+        assert len(got[0]) == nb and got[0] == got[1]
+
+
 def test_image_near_dup_pairs_spark(spark):
     """Planted perceptual dups across FORMATS and a compressed copy
     are recovered; unrelated images are not paired."""
