@@ -15,9 +15,12 @@ across repartitions (the same contract as curation.split_by_hash).
 
 Plan shape (the BM25 single-pass lesson, operators/retrieval.py):
 
-- One MAP-ONLY pass computes the two corpora's total gram counts
-  (``sum(size(grams))`` — no explode, no shuffle) and broadcasts the
-  1-row totals.
+- Corpus totals R/T are DEFERRED to a 1-row aggregate over the
+  per-document rows (round 6): ln((c+α)/(Tot+αB)) splits into
+  ln(c+α) − ln(Tot+αB) with a per-corpus-constant subtrahend, and
+  R = Σ_docs w_raw·n(x) is recoverable after the per-doc groupBy —
+  so the corpus is scanned and tokenized exactly ONCE (the previous
+  design paid a second map-only tokenize pass just for the totals).
 - One exploded pass computes per-bucket counts AS A WINDOW over the
   occurrences themselves (partitionBy(bucket) — per-bucket raw and
   target counts ride each occurrence row), so the corpus is never
@@ -125,21 +128,24 @@ def _occ_with_model(
     """The shared model-fitting subtree (dsir_log_weights AND
     lm_cross_entropy): explode grams, bucket via the sha256
     nibble-fold, attach per-bucket raw/target counts as a window over
-    the occurrences, broadcast the 1-row corpus totals. Output
-    columns: __id, __w_raw, __w_tgt, __b, __rc, __tc, __R, __T."""
-    totals = tagged.agg(
-        F.sum(F.col("__w_raw") * F.size("__grams")).cast("double").alias("__R"),
-        F.sum(F.col("__w_tgt") * F.size("__grams")).cast("double").alias("__T"),
-    )
+    the occurrences. Output columns: __id, __w_raw, __w_tgt, __b,
+    __rc, __tc.
+
+    Corpus totals R/T are deliberately NOT computed here (round 6):
+    the old 1-row totals agg was a SECOND full scan+tokenize of the
+    corpus. Because ln((c+α)/(Tot+αB)) = ln(c+α) − ln(Tot+αB) and the
+    subtrahend is a per-corpus constant, both consumers can defer the
+    totals to a tiny aggregate over their per-DOCUMENT rows
+    (R = Σ_docs w_raw·n(x)) — the shuffle feeding that per-doc agg is
+    byte-identical to the main path's, so ReuseExchange runs the
+    heavy scan→tokenize→explode→window stage exactly once."""
     occ = tagged.select(
         "__id", "__w_raw", "__w_tgt", F.explode("__grams").alias("__g")
     ).withColumn("__b", _hash_bucket(F.col("__g"), salt, num_buckets))
     w = Window.partitionBy("__b")
-    return (
-        occ.withColumn("__rc", F.sum("__w_raw").over(w).cast("double"))
-        .withColumn("__tc", F.sum("__w_tgt").over(w).cast("double"))
-        .crossJoin(F.broadcast(totals))
-    )
+    return occ.withColumn(
+        "__rc", F.sum("__w_raw").over(w).cast("double")
+    ).withColumn("__tc", F.sum("__w_tgt").over(w).cast("double"))
 
 
 def dsir_log_weights(
@@ -169,16 +175,34 @@ def dsir_log_weights(
     models instead of the two the union form needs."""
     tagged = _tagged_grams(raw, target, target_pred, text_col, id_col)
     ab = float(alpha) * num_buckets
-    counted = _occ_with_model(tagged, salt, num_buckets).withColumn(
-        "__w",
-        F.log((F.col("__tc") + alpha) / (F.col("__T") + ab))
-        - F.log((F.col("__rc") + alpha) / (F.col("__R") + ab)),
+    counted = _occ_with_model(tagged, salt, num_buckets)
+    # Per-doc partial sum with the corpus-constant term factored out:
+    #   log_w(x) = Σ_occ [ln(tc+α) − ln(rc+α)]  −  n(x)·[ln(T+αB) − ln(R+αB)]
+    # so R/T come from a 1-row agg over the per-DOC rows (not a second
+    # corpus pass); the group keys include the side weights so the
+    # union form keeps raw/target sides separate under id collisions.
+    per_doc = counted.groupBy("__id", "__w_raw", "__w_tgt").agg(
+        F.sum(
+            F.log(F.col("__tc") + alpha) - F.log(F.col("__rc") + alpha)
+        ).alias("__s"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    totals = per_doc.agg(
+        F.sum(F.col("__w_raw") * F.col("__n")).alias("__R"),
+        F.sum(F.col("__w_tgt") * F.col("__n")).alias("__T"),
     )
     return (
-        counted.where(F.col("__w_raw") == 1)
-        .groupBy("__id")
-        .agg(F.round(F.sum("__w"), 6).alias("log_w"))
-        .withColumnRenamed("__id", id_col)
+        per_doc.where(F.col("__w_raw") == 1)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.col("__s")
+                - F.col("__n")
+                * (F.log(F.col("__T") + ab) - F.log(F.col("__R") + ab)),
+                6,
+            ).alias("log_w"),
+        )
     )
 
 
@@ -254,15 +278,27 @@ def lm_cross_entropy(
     broadcast totals)."""
     tagged = _tagged_grams(raw, ref, ref_pred, text_col, id_col)
     ab = float(alpha) * num_buckets
+    counted = _occ_with_model(tagged, salt, num_buckets)
+    # Same deferred-totals shape as dsir_log_weights:
+    #   ce(x) = ln(T+αB) − avg_occ ln(tc+α)
+    # with T from a 1-row agg over the per-doc rows.
+    per_doc = counted.groupBy("__id", "__w_raw", "__w_tgt").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.avg(F.log(F.col("__tc") + alpha)).alias("__alp"),
+    )
+    totals = per_doc.agg(
+        F.sum(F.col("__w_tgt") * F.col("n_grams")).cast("double").alias("__T")
+    )
     scored = (
-        _occ_with_model(tagged, salt, num_buckets)
-        .withColumn("__lp", F.log((F.col("__tc") + alpha) / (F.col("__T") + ab)))
-        .where(F.col("__w_raw") == 1)
-        .groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.round(-F.avg("__lp"), 6).alias("cross_entropy"),
+        per_doc.where(F.col("__w_raw") == 1)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.round(
+                F.log(F.col("__T") + ab) - F.col("__alp"), 6
+            ).alias("cross_entropy"),
         )
         .withColumn("ppl", F.round(F.exp("cross_entropy"), 6))
     )
-    return scored.withColumnRenamed("__id", id_col)
+    return scored
