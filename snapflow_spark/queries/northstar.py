@@ -9,6 +9,8 @@ tests/test_northstar.py (SURVEY §5.2(3)).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -563,11 +565,11 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench/test harnesses call each query many times per session, and
     # an un-released persist per call would accumulate stale coded
     # tables until LRU pressure squeezes other queries' working sets
-    prev = _ANN_CODED_CACHE.pop("coded", None)
+    prev = _ANN_CODED_CACHE.pop(spark, None)
     if prev is not None:
         prev.unpersist()
     idx.coded = idx.coded.persist()
-    _ANN_CODED_CACHE["coded"] = idx.coded
+    _ANN_CODED_CACHE[spark] = idx.coded
     rows = probes.collect()  # ONE probe collect shared by both tiers
     flat = idx.search_flat(probes, k=5, nprobe=4, probe_rows=rows).select(
         F.lit("ivf").alias("branch"), "probe_id", "vec_id",
@@ -583,9 +585,13 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANT = 60  # planted near-dup copies; detected pairs ≈ this count
 _PLANT_OFFSET = 1_000_000
 
-# q_similarity_ann's per-invocation coded-table cache slot (the
-# previous call's persist is released on the next call)
-_ANN_CODED_CACHE: dict = {}
+# q_similarity_ann's per-invocation coded-table cache, keyed by
+# SparkSession via weak references (round 6): the previous call's
+# persist is released on the SAME session's next call, two sessions
+# in one process no longer unpersist each other's cache, and a
+# session's final pinned table is dropped with the session object
+# instead of leaking until process end.
+_ANN_CODED_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 @query(

@@ -1252,6 +1252,45 @@ def test_jpeg_multi_scan_decode():
         encode_jpeg(img, subsampling="420", interleave=False)
 
 
+def test_ann_coded_cache_is_per_session(spark):
+    """The q_similarity_ann coded-table cache is keyed by SparkSession
+    (weakly): a second session in the same process must not unpersist
+    the first session's pinned table, and each session's own repeat
+    call releases only its own previous pin."""
+    from snapflow_spark.queries import northstar as ns
+
+    sf = "/root/testdata/sf0.001"
+    q = ns.q_similarity_ann
+    spark.catalog.clearCache()
+
+    def pinned() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    q(spark, sf).write.format("noop").mode("overwrite").save()
+    first = ns._ANN_CODED_CACHE[spark]
+    assert first.storageLevel.useMemory  # pinned
+
+    # a second session over DIFFERENT data (distinct plan, so the
+    # shared plan-keyed cache manager can't alias the two entries)
+    other = spark.newSession()
+    q(other, "/root/testdata/sf0.01").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # the other session got its own slot; ours is untouched
+    assert ns._ANN_CODED_CACHE[other] is not first
+    assert first.storageLevel.useMemory
+    assert pinned() == 2
+
+    # a repeat call in OUR session releases its own previous pin —
+    # entries don't accumulate and the other session's stays pinned
+    q(spark, sf).write.format("noop").mode("overwrite").save()
+    assert pinned() == 2
+    assert ns._ANN_CODED_CACHE[other].storageLevel.useMemory
+    # cleanup: drop both sessions' pins
+    for s in (spark, other):
+        ns._ANN_CODED_CACHE.pop(s).unpersist()
+
+
 def test_ivfpq_index_save_load_and_stored_code_scan(embeddings, tmp_path):
     """The STANDING IVF-PQ index: save/load round-trips the coded
     table + centroids + codebooks; a search on the loaded index ADC-
