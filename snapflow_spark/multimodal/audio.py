@@ -7,7 +7,19 @@ format, and FLAC (round 5, multimodal/flac.py) is lossless entropy
 coding implementable with numpy alone — the format LibriSpeech-style
 speech corpora actually ship. ``decode_audio_bytes`` dispatches on
 magic; DSP-decoder formats (MP3/AAC/OGG) raise NotImplementedError
-explicitly.
+explicitly UNLESS the caller supplies an external decoder for the
+sniffed format (round 6): ``external={"mp3": fn}`` with
+``fn(bytes) -> ((n[, ch]) int16 ndarray, sample_rate)`` — the hook
+the jpeg.py perf note promises for images. The callable ships to
+executors inside each mapInPandas closure, so it must RESOLVE
+there: either a function from a library importable on the workers
+(the production case — an ffmpeg/miniaudio binding), or a
+self-contained closure cloudpickle serializes by value; a
+module-level function from a driver-only script fails with
+ModuleNotFoundError on the executors. This shipping constraint is
+also why registration is an explicit argument threaded through the
+operators — a module-global registry mutated on the driver would
+silently not exist in the worker interpreters.
 
 At 100 TB the shape matches images: blobs ride in parquet binary
 columns, decode FUSES with featurization in one Arrow-batched
@@ -31,6 +43,51 @@ from snapflow_spark.multimodal.columns import BLOB_META_SCHEMA
 AUDIO_FEATURE_DIM = 6
 
 _COMPRESSED_MAGIC = (b"ID3", b"\xff\xfb", b"\xff\xf3", b"OggS")
+
+
+def sniff_audio_format(data: bytes) -> str:
+    """Best-effort format name from magic bytes: 'wav', 'flac',
+    'mp3' (ID3 tag or MPEG frame sync), 'aac' (ADTS sync), 'ogg',
+    else 'unknown'. The name doubles as the ``external`` decoder
+    registry key in decode_audio_bytes."""
+    data = bytes(data[:12])
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:4] == b"fLaC":
+        return "flac"
+    if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+        return "mp3"
+    if data[:2] in (b"\xff\xf1", b"\xff\xf9"):
+        return "aac"
+    if data[:4] == b"OggS":
+        return "ogg"
+    return "unknown"
+
+
+def _validate_external_audio(
+    out, fmt: str
+) -> tuple[np.ndarray, int]:
+    """Normalize an external decoder's return to the engine-wide
+    ((n, ch) int16, rate) PCM contract, failing with the format name
+    on malformed output (garbage from a plugged-in decoder must not
+    flow silently into features/fingerprints)."""
+    try:
+        samples, rate = out
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"external {fmt!r} decoder must return (samples, sample_rate)"
+        ) from None
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2 or a.size == 0 or not np.issubdtype(a.dtype, np.number):
+        raise ValueError(
+            f"external {fmt!r} decoder returned shape {a.shape}: "
+            "expected non-empty (n,) or (n, ch) numeric samples"
+        )
+    if a.dtype != np.int16:
+        a = np.clip(np.round(a), -32768, 32767).astype(np.int16)
+    return a, int(rate)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -220,12 +277,26 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     )
 
 
-def decode_audio_bytes(data: bytes) -> tuple[np.ndarray, int]:
+def decode_audio_bytes(
+    data: bytes, external: dict | None = None
+) -> tuple[np.ndarray, int]:
     """Magic-sniffing audio decode: RIFF/WAVE -> decode_wav, fLaC ->
     flac.decode_flac (int32 PCM; 16-bit streams fit int16 exactly).
     The single entry point the feature/resample stages use, mirroring
-    the image side's decode_image_bytes."""
+    the image side's decode_image_bytes.
+
+    ``external`` maps sniff_audio_format names to user decoders
+    (``fn(bytes) -> (samples, rate)``, e.g. an ffmpeg/miniaudio
+    binding) and is consulted FIRST for its registered formats — so
+    production can route MP3/OGG/AAC (or even swap the WAV/FLAC
+    paths for a C decoder) while unregistered compressed formats
+    keep raising the explicit NotImplementedError."""
     data = bytes(data)
+    if external:
+        fmt = sniff_audio_format(data)
+        fn = external.get(fmt)
+        if fn is not None:
+            return _validate_external_audio(fn(data), fmt)
     if data[:4] == b"fLaC":
         from snapflow_spark.multimodal.flac import decode_flac
 
@@ -338,17 +409,20 @@ def attach_audio_blob(
 
 
 def extract_audio_features(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
+    external: dict | None = None,
 ) -> DataFrame:
     """Fused decode+featurize in ONE mapInPandas stage (the image
     extract_features contract): decoded samples never leave the
-    worker; output is (id, modality, sample_rate, features)."""
+    worker; output is (id, modality, sample_rate, features).
+    ``external``: per-format decoder hooks (decode_audio_bytes),
+    captured by the closure and shipped to executors."""
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, rates, feats = [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                samples, rate = decode_audio_bytes(bytes(blob))
+                samples, rate = decode_audio_bytes(bytes(blob), external)
                 ids.append(doc_id)
                 rates.append(rate)
                 feats.append(audio_features(samples, rate))
@@ -363,11 +437,14 @@ def extract_audio_features(
 
 
 def resample_audio(
-    df: DataFrame, target_rate: int, blob_col: str = "blob"
+    df: DataFrame, target_rate: int, blob_col: str = "blob",
+    external: dict | None = None,
 ) -> DataFrame:
     """Nearest-neighbor resample to target_rate inside mapInPandas,
     re-encoded as WAV — the audio twin of resize_images. Schema- and
-    meta-preserving except duration-invariant rate change."""
+    meta-preserving except duration-invariant rate change.
+    ``external``: per-format decoder hooks (decode_audio_bytes);
+    externally-decoded formats re-encode as PCM WAV."""
 
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -375,7 +452,7 @@ def resample_audio(
             blobs = []
             for b in pdf[blob_col]:
                 raw = bytes(b)
-                samples, rate = decode_audio_bytes(raw)
+                samples, rate = decode_audio_bytes(raw, external)
                 n = samples.shape[0]
                 m = max(1, int(round(n * target_rate / rate)))
                 idx = np.minimum((np.arange(m) * n) // m, n - 1)

@@ -135,10 +135,10 @@ def _attach(df: DataFrame, blob_col: str, id_col: str, one) -> DataFrame:
 
 def attach_audio_fingerprint(
     df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
-    n_bands: int = 8,
+    n_bands: int = 8, external: dict | None = None,
 ) -> DataFrame:
     def one(raw: bytes) -> list[int]:
-        samples, rate = decode_audio_bytes(raw)
+        samples, rate = decode_audio_bytes(raw, external)
         return split_bands(audio_fingerprint64(samples, rate), n_bands)
 
     return _attach(df, blob_col, id_col, one)
@@ -146,10 +146,10 @@ def attach_audio_fingerprint(
 
 def attach_video_fingerprint(
     df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
-    n_bands: int = 8,
+    n_bands: int = 8, external: dict | None = None,
 ) -> DataFrame:
     def one(raw: bytes) -> list[int]:
-        frames, _fps = decode_video_bytes(raw)
+        frames, _fps = decode_video_bytes(raw, external)
         return split_bands(video_fingerprint64(frames), n_bands)
 
     return _attach(df, blob_col, id_col, one)
@@ -163,12 +163,18 @@ def audio_near_dup_pairs(
     max_bucket: int = 64,
     observation=None,
     n_bands: int = 8,
+    external: dict | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate audio pairs through the shared
     banded-Hamming tail; 8x8-bit bands guarantee recall to hamming 7
-    and probabilistically beyond (see phash.split_bands)."""
+    and probabilistically beyond (see phash.split_bands). ``external``
+    routes DSP formats (MP3/OGG/AAC) through user decoders
+    (audio.decode_audio_bytes) so real speech corpora run the full
+    cascade instead of dead-ending at the format raise."""
     return banded_hamming_pairs(
-        attach_audio_fingerprint(df, blob_col, id_col, n_bands=n_bands),
+        attach_audio_fingerprint(
+            df, blob_col, id_col, n_bands=n_bands, external=external
+        ),
         max_hamming, id_col=id_col,
         max_bucket=max_bucket, observation=observation,
     )
@@ -182,11 +188,16 @@ def video_near_dup_pairs(
     max_bucket: int = 64,
     observation=None,
     n_bands: int = 8,
+    external: dict | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate video pairs through the shared
-    banded-Hamming tail (banding trade: phash.split_bands)."""
+    banded-Hamming tail (banding trade: phash.split_bands).
+    ``external`` routes MP4/WebM through user decoders
+    (video.decode_video_bytes)."""
     return banded_hamming_pairs(
-        attach_video_fingerprint(df, blob_col, id_col, n_bands=n_bands),
+        attach_video_fingerprint(
+            df, blob_col, id_col, n_bands=n_bands, external=external
+        ),
         max_hamming, id_col=id_col,
         max_bucket=max_bucket, observation=observation,
     )

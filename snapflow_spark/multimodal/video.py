@@ -271,12 +271,68 @@ def decode_avi_mjpeg(data: bytes) -> tuple[np.ndarray, int]:
     return np.stack(arrs), max(1, int(round(true_fps)))
 
 
-def decode_video_bytes(data: bytes) -> tuple[np.ndarray, int]:
+def _external_video_keys(data: bytes) -> list[str]:
+    """Lookup keys for an external decoder registry, most specific
+    first, derived from the container probes: for MP4 the video-track
+    codec fourccs (e.g. 'avc1', 'vp09', 'av01') then 'mp4'; for EBML
+    the doctype ('webm'/'matroska') then 'ebml'."""
+    from snapflow_spark.multimodal.probe import probe_container
+
+    info = probe_container(data)
+    if not info:
+        return []
+    if info["container"] == "mp4":
+        keys = [c for k, c in info.get("tracks", []) if k == "video"]
+        return keys + ["mp4"]
+    keys = [info["doctype"]] if info.get("doctype") else []
+    return keys + ["ebml"]
+
+
+def _validate_external_video(out, key: str) -> tuple[np.ndarray, int]:
+    """Normalize an external decoder's return to the engine-wide
+    ((T, H, W, C) uint8, fps) contract, failing with the registry key
+    on malformed output."""
+    try:
+        frames, fps = out
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"external {key!r} decoder must return (frames, fps)"
+        ) from None
+    a = np.asarray(frames)
+    if a.ndim == 3:  # (T, H, W) mono -> explicit channel axis
+        a = a[..., None]
+    if a.ndim != 4 or a.size == 0:
+        raise ValueError(
+            f"external {key!r} decoder returned shape {a.shape}: "
+            "expected non-empty (T, H, W[, C]) frames"
+        )
+    if a.dtype != np.uint8:
+        a = np.clip(np.round(a), 0, 255).astype(np.uint8)
+    return a, int(fps)
+
+
+def decode_video_bytes(
+    data: bytes, external: dict | None = None
+) -> tuple[np.ndarray, int]:
     """Magic-sniffing video decode: YUV4MPEG2 -> decode_y4m, AVI ->
     decode_avi_mjpeg, animated GIF -> decode_gif_frames. The single
     entry point the frame-sampling and feature stages use, mirroring
-    decode_image_bytes / decode_audio_bytes."""
+    decode_image_bytes / decode_audio_bytes.
+
+    ``external`` (round 6) maps probe-derived names to user decoders
+    (``fn(bytes) -> (frames, fps)``, e.g. a PyAV/ffmpeg binding),
+    checked most-specific-first: MP4 video-track fourcc ('avc1',
+    'vp09', 'av01'), then container ('mp4'; EBML doctype 'webm' /
+    'matroska', then 'ebml'). Same shipping caveat as the audio hook:
+    the mapping is captured in each mapInPandas closure, so callables
+    must be picklable. Unregistered compressed containers keep
+    raising the probe-labeled NotImplementedError."""
     data = bytes(data)
+    if external:
+        for key in _external_video_keys(data):
+            fn = external.get(key)
+            if fn is not None:
+                return _validate_external_video(fn(data), key)
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return decode_avi_mjpeg(data)
     if data[:4] == b"GIF8":
@@ -426,6 +482,7 @@ def sample_frames(
     every_n: int = 2,
     blob_col: str = "blob",
     id_col: str = "doc_id",
+    external: dict | None = None,
 ) -> DataFrame:
     """Frame sampling fused with decode in ONE mapInPandas stage:
     keep every Nth frame and EXPLODE to one row per sampled frame,
@@ -439,7 +496,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, tss, blobs, mimes, ws, hs = [], [], [], [], [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                frames, fps = decode_video_bytes(bytes(blob))
+                frames, fps = decode_video_bytes(bytes(blob), external)
                 for idx in range(0, frames.shape[0], every_n):
                     frame = frames[idx]
                     if frame.shape[2] == 1:
@@ -496,16 +553,18 @@ def sample_frames(
 
 
 def extract_video_features(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
+    external: dict | None = None,
 ) -> DataFrame:
     """Fused decode+featurize in ONE mapInPandas stage (the image/
-    audio contract): output is (id, modality, fps, features)."""
+    audio contract): output is (id, modality, fps, features).
+    ``external``: per-format decoder hooks (decode_video_bytes)."""
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fpss, feats = [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                frames, fps = decode_video_bytes(bytes(blob))
+                frames, fps = decode_video_bytes(bytes(blob), external)
                 ids.append(doc_id)
                 fpss.append(fps)
                 feats.append(video_features(frames, fps))
