@@ -5,12 +5,18 @@ uncompressed (1), TIFF-LZW (5, the MSB-first variant WITH the spec's
 "early change" code-width bump and optional horizontal-differencing
 predictor) and PackBits (32773, the Macintosh RLE). Photometric
 gray (0/1, MinIsWhite inverted), RGB (2) and palette (3, 16-bit
-colormap scaled to 8). 8-bit samples, chunky planar config.
+colormap scaled to 8). 8- and 16-bit samples (16-bit downscales via
+the high byte, the PNG path's convention), chunky planar config, and
+both STRIP and TILE layouts (round 6: a tile is a strip with a 2-D
+geometry — one shared segment decoder assembles either; edge tiles
+are padded to full size per TIFF 6.0 §15, the layout scanned-document
+archives actually use).
 
-Encoder twin writes gray/RGB with any of the three compressions,
-multi-strip, optional predictor — so every decode path round-trips
-bit-exactly (TIFF is lossless). Tiled TIFFs, 16-bit samples and
-planar=2 raise explicitly with the tag value named.
+Encoder twin writes gray/RGB, uint8 or uint16, with any of the three
+compressions, multi-strip or tiled, optional predictor (per-sample
+differencing at both depths) — so every decode path round-trips
+bit-exactly (TIFF is lossless; 16-bit round-trips are exact on the
+high byte). planar=2 raises explicitly with the tag value named.
 
 Note the LZW here is NOT the GIF one (multimodal/gif.py): GIF packs
 codes LSB-first with the width bump a code later; TIFF packs
@@ -208,8 +214,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if w is None or h is None:
         raise ValueError("TIFF missing width/height tags")
     bits = vals(258, [8])
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"only 8-bit TIFF samples supported (got {bits})")
+    if any(b != bits[0] for b in bits) or bits[0] not in (8, 16):
+        raise NotImplementedError(
+            f"only uniform 8- or 16-bit TIFF samples supported (got {bits})"
+        )
+    depth = bits[0]
+    sample_dt = np.dtype("u1") if depth == 8 else np.dtype(bo + "u2")
+    acc_dt = np.uint8 if depth == 8 else np.uint16  # native, for cumsum/paste
     comp = val(259, 1)
     photo = val(262, 1)
     spp = val(277, 1)
@@ -217,33 +228,67 @@ def decode_tiff(data: bytes) -> np.ndarray:
     predictor = val(317, 1)
     if planar != 1:
         raise NotImplementedError(f"TIFF planar configuration {planar} unsupported")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF unsupported (strips only)")
-    offsets = vals(273)
-    counts = vals(279)
-    if offsets is None or counts is None:
-        raise ValueError("TIFF missing strip offsets/byte counts")
-    rows_per_strip = val(278, h)
 
-    raw = bytearray()
-    for s, (o, c) in enumerate(zip(offsets, counts)):
-        strip = data[o : o + c]
-        n_rows = min(rows_per_strip, h - s * rows_per_strip)
-        expected = n_rows * w * spp
+    def _segment(seg: bytes, rows: int, cols: int) -> np.ndarray:
+        """One strip/tile -> (rows, cols, spp) samples. A tile is just
+        a strip with a 2-D layout: same compression, same per-row
+        predictor, only the (rows, cols) geometry differs."""
+        expected = rows * cols * spp * (depth // 8)
         if comp == 1:
-            raw += strip[:expected]
+            dec = seg[:expected]
         elif comp == 5:
-            dec = _lzw_decode_tiff(strip)[:expected]
-            if predictor == 2:
-                a = np.frombuffer(dec, np.uint8).reshape(n_rows, w, spp)
-                dec = np.cumsum(a, axis=1, dtype=np.uint8).tobytes()
-            raw += dec
+            dec = _lzw_decode_tiff(seg)[:expected]
         elif comp == 32773:
-            raw += _packbits_decode(strip, expected)
+            dec = _packbits_decode(seg, expected)
         else:
             raise NotImplementedError(f"TIFF compression {comp} unsupported")
+        a = np.frombuffer(dec, sample_dt, count=rows * cols * spp).reshape(
+            rows, cols, spp
+        )
+        if comp == 5 and predictor == 2:
+            # horizontal differencing is per SAMPLE VALUE, so for
+            # 16-bit it accumulates mod 65536 on the byte-order-decoded
+            # values, not on raw bytes (TIFF 6.0 §14)
+            a = np.cumsum(a, axis=1, dtype=acc_dt)
+        return a.astype(acc_dt)
 
-    a = np.frombuffer(bytes(raw), np.uint8, count=h * w * spp).reshape(h, w, spp)
+    if 322 in tags or 323 in tags:
+        # tiled layout (TIFF 6.0 §15): a grid of fixed-size tiles,
+        # each padded to full (tl, tw) at the right/bottom edges
+        tw, tl = val(322), val(323)
+        offsets, counts = vals(324), vals(325)
+        if not tw or not tl or offsets is None or counts is None:
+            raise ValueError("tiled TIFF missing tile geometry/offsets")
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offsets) < across * down:
+            raise ValueError("tiled TIFF missing tiles")
+        a = np.zeros((h, w, spp), dtype=acc_dt)
+        for idx in range(across * down):
+            ty, tx = divmod(idx, across)
+            seg = _segment(data[offsets[idx] : offsets[idx] + counts[idx]], tl, tw)
+            y0, x0 = ty * tl, tx * tw
+            a[y0 : y0 + tl, x0 : x0 + tw] = seg[: h - y0, : w - x0]
+    else:
+        offsets = vals(273)
+        counts = vals(279)
+        if offsets is None or counts is None:
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        rows_per_strip = val(278, h)
+        parts = []
+        for s, (o, c) in enumerate(zip(offsets, counts)):
+            n_rows = min(rows_per_strip, h - s * rows_per_strip)
+            parts.append(_segment(data[o : o + c], n_rows, w))
+        a = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    if depth == 16:
+        if photo == 3:
+            # a palette lookup needs the raw index, and 16-bit palette
+            # TIFFs are not a thing scanners produce
+            raise NotImplementedError("16-bit palette TIFF unsupported")
+        # high-byte downscale (sample >> 8) — the same canonical 16->8
+        # conversion the PNG path uses; features consume uint8
+        a = (a >> 8).astype(np.uint8)
     if photo == 3:  # palette: 16-bit colormap, R then G then B planes
         cm = tags.get(320)
         if cm is None:
@@ -271,11 +316,20 @@ def encode_tiff(
     compression: str = "none",
     rows_per_strip: int | None = None,
     predictor: bool = False,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """(H, W) gray or (H, W, 3) RGB uint8 -> little-endian TIFF.
-    compression: 'none' | 'lzw' | 'packbits'; predictor applies
-    horizontal differencing (LZW only, like libtiff)."""
-    a = np.asarray(arr, np.uint8)
+    """(H, W) gray or (H, W, 3) RGB, uint8 or uint16 (16-bit samples
+    written little-endian, the archival scanner depth), ->
+    little-endian TIFF. compression: 'none' | 'lzw' | 'packbits';
+    predictor applies horizontal differencing (LZW only, like
+    libtiff). ``tile=(tile_width, tile_length)`` writes the TIFF 6.0
+    §15 tiled layout instead of strips (both dimensions must be
+    multiples of 16 per the spec; edge tiles are zero-padded to full
+    size) — the layout large scanned-document corpora actually use."""
+    a = np.asarray(arr)
+    if a.dtype not in (np.uint8, np.uint16):
+        a = a.astype(np.uint8)
+    depth = 16 if a.dtype == np.uint16 else 8
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"encode_tiff expects (H,W) or (H,W,3), got {a.shape}")
@@ -284,43 +338,63 @@ def encode_tiff(
     comp = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     if predictor and comp != 5:
         raise ValueError("predictor is a TIFF-LZW feature")
-    rps = rows_per_strip or h
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+            raise ValueError("TIFF tile dimensions must be positive multiples of 16")
+        if rows_per_strip is not None:
+            raise ValueError("tile and rows_per_strip are mutually exclusive")
     flat = a.reshape(h, w, spp)
 
-    strips = []
-    for s0 in range(0, h, rps):
-        block = flat[s0 : s0 + rps]
+    def _pack(block: np.ndarray) -> bytes:
         if comp == 5 and predictor:
-            d = block.astype(np.int16)
-            d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
-            payload = _lzw_encode_tiff(d.astype(np.uint8).tobytes())
-        elif comp == 5:
-            payload = _lzw_encode_tiff(block.tobytes())
-        elif comp == 32773:
-            payload = _packbits_encode(block.tobytes())
+            # difference per sample value; uint arithmetic wraps mod
+            # 2^depth exactly as the decoder's cumsum un-wraps it
+            d = block.astype(np.uint32)
+            d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) % (1 << depth)
+            raw = d.astype("<u2" if depth == 16 else np.uint8).tobytes()
         else:
-            payload = block.tobytes()
-        strips.append(payload)
+            raw = block.astype("<u2" if depth == 16 else np.uint8).tobytes()
+        if comp == 5:
+            return _lzw_encode_tiff(raw)
+        if comp == 32773:
+            return _packbits_encode(raw)
+        return raw
 
-    # layout: header(8) | strip data | bits-per-sample array (RGB) |
-    # strip offset/count arrays | IFD
+    segments = []
+    if tile is not None:
+        for y0 in range(0, h, tl):
+            for x0 in range(0, w, tw):
+                block = flat[y0 : y0 + tl, x0 : x0 + tw]
+                if block.shape[0] != tl or block.shape[1] != tw:
+                    padded = np.zeros((tl, tw, spp), dtype=a.dtype)
+                    padded[: block.shape[0], : block.shape[1]] = block
+                    block = padded
+                segments.append(_pack(block))
+    else:
+        rps = rows_per_strip or h
+        for s0 in range(0, h, rps):
+            segments.append(_pack(flat[s0 : s0 + rps]))
+
+    # layout: header(8) | segment data | bits-per-sample array (RGB) |
+    # segment offset/count arrays | IFD
     pos = 8
-    strip_offsets = []
-    for p in strips:
-        strip_offsets.append(pos)
+    seg_offsets = []
+    for p in segments:
+        seg_offsets.append(pos)
         pos += len(p)
     extra = b""
     bps_off = None
     if spp == 3:
         bps_off = pos + len(extra)
-        extra += struct.pack("<HHH", 8, 8, 8) + b"\x00\x00"  # pad to word
+        extra += struct.pack("<HHH", depth, depth, depth) + b"\x00\x00"
     offs_off = counts_off = None
-    n_strips = len(strips)
-    if n_strips > 1:
+    n_segs = len(segments)
+    if n_segs > 1:
         offs_off = pos + len(extra)
-        extra += struct.pack("<" + "I" * n_strips, *strip_offsets)
+        extra += struct.pack("<" + "I" * n_segs, *seg_offsets)
         counts_off = pos + len(extra)
-        extra += struct.pack("<" + "I" * n_strips, *(len(p) for p in strips))
+        extra += struct.pack("<" + "I" * n_segs, *(len(p) for p in segments))
     ifd_off = pos + len(extra)
 
     def entry(tag, typ, count, value_bytes):
@@ -337,21 +411,27 @@ def encode_tiff(
         entry(257, 4, 1, long_(h)),
         entry(
             258, 3, spp,
-            short(8) if spp == 1 else long_(bps_off),
+            short(depth) if spp == 1 else long_(bps_off),
         ),
         entry(259, 3, 1, short(comp)),
         entry(262, 3, 1, short(1 if gray else 2)),
-        entry(
-            273, 4, n_strips,
-            long_(strip_offsets[0]) if n_strips == 1 else long_(offs_off),
-        ),
         entry(277, 3, 1, short(spp)),
-        entry(278, 4, 1, long_(rps)),
+    ]
+    off_tag, count_tag = (324, 325) if tile is not None else (273, 279)
+    entries += [
         entry(
-            279, 4, n_strips,
-            long_(len(strips[0])) if n_strips == 1 else long_(counts_off),
+            off_tag, 4, n_segs,
+            long_(seg_offsets[0]) if n_segs == 1 else long_(offs_off),
+        ),
+        entry(
+            count_tag, 4, n_segs,
+            long_(len(segments[0])) if n_segs == 1 else long_(counts_off),
         ),
     ]
+    if tile is not None:
+        entries += [entry(322, 4, 1, long_(tw)), entry(323, 4, 1, long_(tl))]
+    else:
+        entries.append(entry(278, 4, 1, long_(rows_per_strip or h)))
     if predictor:
         entries.append(entry(317, 3, 1, short(2)))
     entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
@@ -359,7 +439,7 @@ def encode_tiff(
     return (
         b"II*\x00"
         + struct.pack("<I", ifd_off)
-        + b"".join(strips)
+        + b"".join(segments)
         + extra
         + ifd
     )

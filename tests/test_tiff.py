@@ -132,6 +132,73 @@ def test_palette_decode():
     assert out[1, 1].tolist() == [255, 0, 128]
 
 
+def test_tiled_roundtrip_all_compressions():
+    """Tiles are strips with a 2-D layout: edge tiles pad to full
+    (tl, tw) and the decoder clips them back — dimensions chosen NOT
+    multiples of the tile size to exercise both edges."""
+    for ch in (1, 3):
+        src = _img(37, 23, ch, seed=5 + ch)
+        for comp in ("none", "lzw", "packbits"):
+            blob = encode_tiff(src, compression=comp, tile=(16, 16))
+            assert np.array_equal(decode_tiff(blob), src), (ch, comp)
+    # predictor over tiles, gradient content
+    base = (np.arange(40 * 20, dtype=np.uint8) % 251).reshape(40, 20)
+    blob = encode_tiff(base, compression="lzw", predictor=True, tile=(16, 32))
+    assert np.array_equal(decode_tiff(blob), base)
+
+
+def test_16bit_roundtrip_strips_and_tiles():
+    """16-bit samples decode via high-byte downscale (the PNG
+    convention): (v16 >> 8) survives every compression, layout, and
+    the per-sample (not per-byte) predictor."""
+    rng = np.random.default_rng(9)
+    hi = rng.integers(0, 256, size=(21, 17), dtype=np.uint16)
+    lo = rng.integers(0, 256, size=(21, 17), dtype=np.uint16)
+    src16 = (hi << 8) | lo  # low bytes are noise the downscale drops
+    for comp in ("none", "lzw", "packbits"):
+        out = decode_tiff(encode_tiff(src16, compression=comp))
+        assert out.dtype == np.uint8 and np.array_equal(out, hi.astype(np.uint8))
+    # multi-strip + predictor (per-VALUE differencing mod 65536)
+    blob = encode_tiff(src16, compression="lzw", predictor=True, rows_per_strip=5)
+    assert np.array_equal(decode_tiff(blob), hi.astype(np.uint8))
+    # tiled 16-bit RGB
+    rgb16 = rng.integers(0, 1 << 16, size=(19, 33, 3), dtype=np.uint16)
+    blob = encode_tiff(rgb16, compression="lzw", tile=(16, 16))
+    assert np.array_equal(decode_tiff(blob), (rgb16 >> 8).astype(np.uint8))
+
+
+def test_16bit_big_endian_foreign_layout():
+    """Hand-built MM (big-endian) 16-bit gray: the sample dtype must
+    follow the FILE byte order, not the host's."""
+    vals = np.array([[0x1234, 0xFF00], [0x0080, 0xABCD]], dtype=np.uint16)
+    pix = vals.astype(">u2").tobytes()
+
+    def entry(tag, typ, count, value4):
+        return struct.pack(">HHI", tag, typ, count) + value4
+
+    entries = [
+        entry(256, 4, 1, struct.pack(">I", 2)),
+        entry(257, 4, 1, struct.pack(">I", 2)),
+        entry(258, 3, 1, struct.pack(">HH", 16, 0)),
+        entry(259, 3, 1, struct.pack(">HH", 1, 0)),
+        entry(262, 3, 1, struct.pack(">HH", 1, 0)),
+        entry(273, 4, 1, struct.pack(">I", 8)),
+        entry(277, 3, 1, struct.pack(">HH", 1, 0)),
+        entry(279, 4, 1, struct.pack(">I", 8)),
+    ]
+    ifd = struct.pack(">H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    blob = b"MM\x00*" + struct.pack(">I", 8 + len(pix)) + pix + ifd
+    assert decode_tiff(blob).tolist() == [[0x12, 0xFF], [0x00, 0xAB]]
+
+
+def test_tile_geometry_validation():
+    src = _img(20, 20, 1)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(src, tile=(10, 16))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_tiff(src, tile=(16, 16), rows_per_strip=4)
+
+
 def test_explicit_raises():
     src = _img(4, 4, 1)
     blob = bytearray(encode_tiff(src))
