@@ -910,42 +910,88 @@ def embedding_near_dup_pairs_int(
 
 
 def semantic_dedup(
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     cos_threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_iter: int = 20,
     observation=None,
+    index: "IVFIndex | None" = None,
+    cell_max_bucket: int = 512,
     **lsh_kwargs,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication") as ONE named operator over the in-repo pieces:
-    SRP-LSH cosine near-dup candidate pairs (embedding_near_dup_pairs
-    — the bucketed one-shuffle shape, never all-pairs) -> connected
-    components -> one representative per cluster (min id).
+    cosine near-dup candidate pairs -> connected components -> one
+    representative per cluster (min id).
+
+    Candidate blocking, two forms:
+    - default: SRP-LSH bands (embedding_near_dup_pairs — data-
+      independent, one-shuffle, recall guaranteed by the banding
+      pigeonhole even across cluster boundaries);
+    - ``index=IVFIndex``: the PAPER's k-means-cell form (round 6) —
+      the index's cell assignment IS SemDeDup's cluster structure, so
+      candidates are in-CELL pairs with exact cosine verify, one
+      shuffle on the cell id and zero signature computation. Use it
+      when a standing index already exists (the corpus is already
+      assigned, or save/load'ed partitionBy(cell)); its known paper
+      limitation applies — a near-dup pair straddling a cell boundary
+      is missed, where LSH bands would still catch it (the parity
+      property test plants only tight clusters). ``cell_max_bucket``
+      bounds the in-cell quadratic exactly like every bucketed
+      generator (id-sorted truncation, loss surfaced via
+      ``observation``); cells are corpus_size/k_cells big, so size
+      k_cells to keep cells under it — the paper's own regime (50k
+      clusters over 100M points).
 
     Returns the corpus ids + (component, is_rep): semi-join
-    ``is_rep`` to keep one document per semantic cluster. Differences
-    vs the paper, chosen for engine fit: candidate generation is LSH
-    bands rather than k-means cells (same within-cluster cosine
-    test, but the blocking structure is data-independent and
-    one-shuffle; the IVFIndex quantizer provides the paper's k-means
-    form when a standing index already exists), and the
+    ``is_rep`` to keep one document per semantic cluster. The
     representative is the deterministic min id rather than the
-    lowest-similarity-to-centroid member (engine determinism
-    contract). ``observation`` surfaces the LSH truncation counters
-    (designed data loss) like every other bucketed generator."""
+    paper's lowest-similarity-to-centroid member (engine determinism
+    contract). With ``index`` given, ``corpus`` may be omitted — the
+    decision frame is computed over ``index.assigned``."""
+    from snapflow_spark.operators.buckets import bucketed_pairs
     from snapflow_spark.operators.dedup_text import dedup_cluster_representatives
 
-    pairs = embedding_near_dup_pairs(
-        corpus,
-        cos_threshold=cos_threshold,
-        vec_col=vec_col,
-        id_col=id_col,
-        observation=observation,
-        **lsh_kwargs,
-    )
+    if index is not None:
+        if lsh_kwargs:
+            raise ValueError(
+                f"LSH options {sorted(lsh_kwargs)} do not apply to the "
+                "index-cell blocking form"
+            )
+        if corpus is None:
+            corpus = index.assigned
+        id_col = index.id_col  # the index's contract wins over defaults
+        blocked = index.assigned.select(
+            F.col(index.id_col).alias("id"),
+            F.col(index.vec_col).alias("__vec"),
+            "cell",
+        )
+        pairs = bucketed_pairs(
+            blocked,
+            ["cell"],
+            F.struct("id", "__vec"),
+            lambda x, y: F.struct(
+                x["id"].alias("id_a"),
+                y["id"].alias("id_b"),
+                cosine_similarity(x["__vec"], y["__vec"]).alias("cos"),
+            ),
+            max_bucket=cell_max_bucket,
+            observation=observation,
+        ).where(F.col("cos") >= cos_threshold)
+        # one cell per doc -> no cross-bucket duplicate pairs to drop
+    else:
+        if corpus is None:
+            raise ValueError("semantic_dedup needs a corpus or an index")
+        pairs = embedding_near_dup_pairs(
+            corpus,
+            cos_threshold=cos_threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            observation=observation,
+            **lsh_kwargs,
+        )
     return dedup_cluster_representatives(
         corpus, pairs.select("id_a", "id_b"), id_col=id_col, max_iter=max_iter
     )

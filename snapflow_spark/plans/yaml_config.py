@@ -245,12 +245,32 @@ def _semantic_dedup(
     cos_threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    blocking: str = "lsh",
+    k_cells: int = 16,
+    cell_max_bucket: int = 512,
 ) -> DataFrame:
     """core.semantic_dedup: SemDeDup-shaped embedding dedup decision
     frame (operators.similarity.semantic_dedup) — semi-join is_rep
-    downstream to keep one doc per semantic cluster."""
+    downstream to keep one doc per semantic cluster.
+    ``blocking: cells`` (round 6) builds an IVF quantizer over the
+    input and blocks candidates by k-means cell — the paper's own
+    cluster structure (size ``k_cells`` so cells stay under
+    ``cell_max_bucket``); default ``lsh`` keeps the band blocking
+    that also catches cell-straddling pairs."""
     from snapflow_spark.operators import semantic_dedup
 
+    if blocking == "cells":
+        from snapflow_spark.operators.similarity import IVFIndex
+
+        idx = IVFIndex.build(
+            input, k_cells=int(k_cells), vec_col=vec_col, id_col=id_col
+        )
+        return semantic_dedup(
+            input, cos_threshold=cos_threshold, index=idx,
+            cell_max_bucket=int(cell_max_bucket),
+        )
+    if blocking != "lsh":
+        raise ValueError(f"semantic_dedup blocking must be lsh|cells: {blocking!r}")
     return semantic_dedup(
         input, cos_threshold=cos_threshold, vec_col=vec_col, id_col=id_col
     )

@@ -1794,6 +1794,94 @@ def test_embedding_semantic_dedup_end_to_end(embeddings):
     assert kept == corpus.count() - 5
 
 
+def test_semantic_dedup_cell_blocking_matches_lsh(embeddings):
+    """The paper-faithful k-means-cell variant (round 6): with a
+    standing IVFIndex, candidate blocking is the quantizer's cell
+    assignment. On planted TIGHT clusters (near-identical vectors land
+    in the same cell) the cell form must produce the SAME components
+    and keep-set as the LSH form."""
+    import numpy as np
+
+    from snapflow_spark.operators import semantic_dedup
+    from snapflow_spark.operators.similarity import IVFIndex
+
+    spark = embeddings.sparkSession
+    base = embeddings.where(F.col("vec_id") == 0).first().embedding
+    rng = np.random.default_rng(6)
+    extra = spark.createDataFrame(
+        [
+            (600, [float(x + rng.normal(0, 0.008)) for x in base]),
+            (601, [float(x + rng.normal(0, 0.008)) for x in base]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    corpus = embeddings.unionByName(extra)
+
+    def decisions(df):
+        return {r.vec_id: (r.component, r.is_rep) for r in df.collect()}
+
+    via_lsh = decisions(semantic_dedup(corpus, cos_threshold=0.95))
+    idx = IVFIndex.build(corpus, k_cells=8)
+    via_cells = decisions(
+        semantic_dedup(corpus, cos_threshold=0.95, index=idx)
+    )
+    assert via_cells == via_lsh
+    # corpus may be omitted: the decision frame comes from the
+    # index's own assignment
+    assert decisions(semantic_dedup(cos_threshold=0.95, index=idx)) == via_lsh
+    # guards: LSH knobs don't silently apply to cell blocking, and
+    # the no-input form fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="do not apply"):
+        semantic_dedup(corpus, index=idx, n_bands=8)
+    with _pytest.raises(ValueError, match="corpus or an index"):
+        semantic_dedup(cos_threshold=0.95)
+
+
+def test_semantic_dedup_cells_yaml_builtin(embeddings, tmp_path):
+    """core.semantic_dedup blocking=cells runs end-to-end from a YAML
+    pipeline graph (the paper's k-means-cell form as a config knob)."""
+    from snapflow_spark.plans import load_graph
+
+    spark = embeddings.sparkSession
+    cfg = {
+        "warehouse": str(tmp_path / "wh_sd"),
+        "sources": [{"name": "emb"}],
+        "nodes": [
+            {
+                "name": "decision",
+                "function": "core.semantic_dedup",
+                "upstream": {"input": {"node": "emb", "mode": "reference"}},
+                "params": {
+                    "blocking": "cells",
+                    "k_cells": 8,
+                    "cos_threshold": 0.95,
+                },
+            }
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["emb"].append(embeddings)
+    assert g.produce(spark) == 1
+    rows = {
+        r.vec_id: (r.component, r.is_rep)
+        for r in g.read(spark, "decision").collect()
+    }
+    # the three planted (j, 500+j) near-dup pairs collapse
+    for j in (0, 1, 2):
+        assert rows[500 + j][0] == j and not rows[500 + j][1]
+        assert rows[j] == (j, True)
+    # unknown blocking fails loudly
+    import pytest as _pytest
+
+    cfg["nodes"][0]["params"]["blocking"] = "typo"
+    g2 = load_graph({**cfg, "warehouse": str(tmp_path / "wh_sd2")})
+    g2.pipeline.sources["emb"].append(embeddings)
+    with _pytest.raises(ValueError, match="lsh|cells"):
+        g2.produce(spark)
+
+
 def test_jpeg_422_subsampling_roundtrip():
     """4:2:2 (2x1 luma per MCU, horizontally-averaged chroma): the
     decoder's generic MCU loop claimed this layout — now the encoder
