@@ -33,8 +33,25 @@ class SplitSentences:
                 yield i, s
 
 
+@udtf(returnType="tok_idx int, token string")
+class SplitTokens:
+    """text -> one row per single-space-delimited token (index,
+    token), matching ``F.split(col, ' ')`` element-for-element
+    (python ``str.split(' ')`` has the same empty-string and
+    consecutive-delimiter semantics) — so a LATERAL join over this
+    UDTF re-derives exactly what the array-expression form computes,
+    which is what q_scalar_array's 'lateral' branch hash-proves."""
+
+    def eval(self, text: str):  # noqa: A002
+        if text is None:
+            return
+        for i, t in enumerate(text.split(" ")):
+            yield i, t
+
+
 def register_udtfs(spark: SparkSession) -> None:
     """Expose UDTFs to SQL: ``SELECT s.* FROM docs, LATERAL
     split_sentences(text) s`` — the SQL-snap form of a row-generating
-    python snap."""
+    python snap. Idempotent per session (re-registration replaces)."""
     spark.udtf.register("split_sentences", SplitSentences)
+    spark.udtf.register("split_tokens", SplitTokens)

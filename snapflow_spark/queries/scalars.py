@@ -145,7 +145,16 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_scalar_array",
     oracle="""
-    SELECT p_partkey,
+    SELECT 'array' AS branch, p_partkey,
+           CAST(len(string_split(p_type, ' ')) AS INT) AS n_tokens,
+           array_to_string(list_sort(string_split(p_type, ' ')), ',') AS sorted_tokens,
+           CAST(list_contains(string_split(p_type, ' '), 'the') AS INT) AS has_the,
+           list_element(string_split(p_type, ' '), 1) AS first_tok,
+           CAST(list_aggregate(list_transform(string_split(p_type, ' '),
+                x -> length(x)), 'sum') AS INT) AS total_len
+    FROM part
+    UNION ALL
+    SELECT 'lateral' AS branch, p_partkey,
            CAST(len(string_split(p_type, ' ')) AS INT) AS n_tokens,
            array_to_string(list_sort(string_split(p_type, ' ')), ',') AS sorted_tokens,
            CAST(list_contains(string_split(p_type, ' '), 'the') AS INT) AS has_the,
@@ -158,10 +167,22 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family incl. higher-order transform/aggregate lambdas —
     snapflow had no array columns (SURVEY §1.2); this engine exposes
-    them natively and keeps the lambdas inside codegen."""
+    them natively and keeps the lambdas inside codegen.
+
+    Tagged union (round 6): the codegen array-expression form
+    ('array' branch) ∪ the same six values RE-DERIVED through a SQL
+    ``LATERAL split_tokens(p_type)`` python-UDTF join + GROUP BY
+    re-aggregation ('lateral' branch, functions/udtfs.py) — the SQL
+    registration surface of B.9's UDTF row that was previously only
+    pytest-exercised. The oracle replays both branches from the same
+    array semantics, so a hash match proves the UDTF explode +
+    regroup path is value-identical to the codegen expressions."""
+    from snapflow_spark.functions.udtfs import register_udtfs
+
     p = load_table(spark, sf_dir, "part")
     toks = F.split("p_type", " ")
-    return p.select(
+    arr = p.select(
+        F.lit("array").alias("branch"),
         "p_partkey",
         F.size(toks).alias("n_tokens"),
         F.array_join(F.sort_array(toks), ",").alias("sorted_tokens"),
@@ -173,6 +194,22 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("total_len"),
     )
+    register_udtfs(spark)
+    p.createOrReplaceTempView("part_scalar_array_input")
+    lateral = spark.sql(
+        """
+        SELECT 'lateral' AS branch, p_partkey,
+               CAST(COUNT(*) AS INT) AS n_tokens,
+               array_join(sort_array(collect_list(s.token)), ',') AS sorted_tokens,
+               CAST(MAX(CASE WHEN s.token = 'the' THEN 1 ELSE 0 END) AS INT)
+                 AS has_the,
+               min_by(s.token, s.tok_idx) AS first_tok,
+               CAST(SUM(length(s.token)) AS INT) AS total_len
+        FROM part_scalar_array_input, LATERAL split_tokens(p_type) s
+        GROUP BY p_partkey
+        """
+    )
+    return arr.unionByName(lateral)
 
 
 @query(
