@@ -33,6 +33,12 @@ from snapflow_spark.operators.retrieval import (
     doc_terms,
 )
 from snapflow_spark.operators.schema_translate import schema_translate
+from snapflow_spark.operators.classifier import (
+    QualityClassifier,
+    featurize_docs,
+    score_quality,
+    train_quality_classifier,
+)
 from snapflow_spark.operators.selection import (
     dsir_log_weights,
     dsir_select,
@@ -74,6 +80,10 @@ __all__ = [
     "dedupe_keep_latest",
     "embedding_near_dup_pairs",
     "semantic_dedup",
+    "QualityClassifier",
+    "featurize_docs",
+    "score_quality",
+    "train_quality_classifier",
     "dsir_log_weights",
     "dsir_select",
     "lm_cross_entropy",

@@ -222,6 +222,47 @@ def _dsir(
     )
 
 
+def _quality_filter(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    positive_where: str,
+    threshold: float | None = None,
+    num_buckets: int = 4096,
+    iters: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """core.quality_filter: the GPT-3-style TRAINED quality filter
+    (operators.classifier) — logistic regression over hashed-gram
+    frequencies with positives defined by ``positive_where`` (a SQL
+    boolean over the input's columns, the core.dsir convention) and
+    the rest of the input as the reject class. Every row comes back
+    with a ``quality_prob`` column; a ``threshold`` turns the node
+    into the filter itself (WHERE quality_prob >= threshold)."""
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    labeled = input.withColumn(
+        "__label", F.expr(positive_where).cast("boolean").cast("int")
+    )
+    clf = train_quality_classifier(
+        labeled.where(F.col("__label").isNotNull()),
+        label_col="__label",
+        text_col=text_col,
+        id_col=id_col,
+        num_buckets=int(num_buckets),
+        iters=int(iters),
+    )
+    scored = score_quality(input, clf, text_col=text_col, id_col=id_col)
+    if threshold is not None:
+        scored = scored.where(F.col("quality_prob") >= float(threshold))
+    return scored
+
+
 def _frequent_items(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -307,6 +348,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.bm25": _bm25,
     "core.dsir": _dsir,
     "core.frequent_items": _frequent_items,
+    "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,
     "core.image_dedup": _image_dedup,
 }

@@ -1,0 +1,197 @@
+"""Trained quality classifier (operators/classifier.py): separable
+synthetic corpora train to high accuracy, Spark-trained weights match
+a single-process numpy reference implementation, featurization is
+bit-stable, save/load round-trips, and the labels/empty guards fire."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.operators.classifier import (
+    QualityClassifier,
+    featurize_docs,
+    score_quality,
+    train_quality_classifier,
+)
+
+GOOD = ["measured", "verified", "coherent", "sourced", "edited", "review"]
+BAD = ["spam", "click", "casino", "winner", "free", "pills"]
+
+
+def _docs(spark, n=120, seed=3):
+    """Separable corpora: positives draw from GOOD, negatives from
+    BAD, with a shared neutral filler vocabulary."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    filler = ["the", "and", "of", "data", "with"]
+    for i in range(n):
+        label = i % 2
+        vocab = GOOD if label else BAD
+        words = list(rng.choice(vocab, size=8)) + list(rng.choice(filler, size=4))
+        rng.shuffle(words)
+        rows.append((i, " ".join(words), label))
+    return spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+
+
+def _ref_hash_bucket(gram: str, salt: str, buckets: int) -> int:
+    """The curation._hash_bucket contract in plain python."""
+    h = hashlib.sha256((salt + gram).encode()).hexdigest()
+    return int(h[:8], 16) % buckets
+
+
+def _ref_features(texts, salt, buckets):
+    """Reference featurization: lowercase word tokens (letters only,
+    the shared WORD_RE semantics), unigrams+bigrams, sha256 buckets,
+    L1-normalized counts."""
+    import re
+
+    out = []
+    for t in texts:
+        toks = re.findall(r"[a-z]+", t.lower())
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        counts: dict[int, float] = {}
+        for g in grams:
+            k = _ref_hash_bucket(g, salt, buckets)
+            counts[k] = counts.get(k, 0.0) + 1.0
+        tot = max(len(grams), 1)
+        out.append({k: v / tot for k, v in sorted(counts.items())})
+    return out
+
+
+def _ref_train(feat_dicts, ys, d, iters, lr, l2):
+    """The exact GD loop of train_quality_classifier, single-process."""
+    w = np.zeros(d + 1)
+    for _ in range(iters):
+        grad = np.zeros(d + 1)
+        for fd, y in zip(feat_dicts, ys):
+            z = w[-1] + sum(w[k] * v for k, v in fd.items())
+            p = 1.0 / (1.0 + np.exp(-z))
+            err = p - y
+            for k, v in fd.items():
+                grad[k] += err * v
+            grad[-1] += err
+        grad /= len(ys)
+        grad[:d] += l2 * w[:d]
+        w = w - lr * grad
+    return w
+
+
+def test_featurization_matches_reference(spark):
+    df = _docs(spark, n=12)
+    got = {
+        r.doc_id: dict(zip(r.idx, r.val))
+        for r in featurize_docs(df, num_buckets=256, salt="t-v1").collect()
+    }
+    texts = {r.doc_id: r.text for r in df.collect()}
+    for did, text in texts.items():
+        (ref,) = _ref_features([text], "t-v1", 256)
+        assert got[did] == pytest.approx(ref), did
+
+
+def test_train_matches_numpy_reference_and_separates(spark):
+    df = _docs(spark, n=120)
+    clf = train_quality_classifier(
+        df.repartition(8), num_buckets=512, iters=20, lr=1.0, l2=1e-4
+    )
+    rows = df.orderBy("doc_id").collect()
+    feats = _ref_features([r.text for r in rows], "qclf-v1", 512)
+    ref_w = _ref_train(
+        feats, [r.label for r in rows], 512, iters=20, lr=1.0, l2=1e-4
+    )
+    # executor tree-fold order jitters the float64 sums only in the
+    # last ulps; the learned model must match the reference closely
+    assert np.allclose(clf.weights, ref_w, rtol=1e-8, atol=1e-10)
+
+    scored = score_quality(df, clf).select("doc_id", "label", "quality_prob")
+    got = [(r.label, r.quality_prob) for r in scored.collect()]
+    acc = np.mean([(p >= 0.5) == bool(y) for y, p in got])
+    assert acc >= 0.95
+    # scores and reference predictions agree row-for-row
+    for r in scored.orderBy("doc_id").collect():
+        fd = feats[r.doc_id]
+        z = ref_w[-1] + sum(ref_w[k] * v for k, v in fd.items())
+        assert r.quality_prob == pytest.approx(1 / (1 + np.exp(-z)), rel=1e-9)
+
+
+def test_scoring_generalizes_and_filters(spark):
+    train = _docs(spark, n=120, seed=3)
+    clf = train_quality_classifier(train, num_buckets=512, iters=20)
+    unseen = _docs(spark, n=40, seed=99)  # same vocabularies, new draws
+    scored = score_quality(unseen, clf)
+    acc = np.mean(
+        [(r.quality_prob >= 0.5) == bool(r.label) for r in scored.collect()]
+    )
+    assert acc >= 0.9
+    kept = scored.where(F.col("quality_prob") >= 0.5)
+    assert 0 < kept.count() < unseen.count()
+    # schema: original columns preserved, one appended probability
+    assert scored.columns[-1] == "quality_prob"
+    assert set(unseen.columns) <= set(scored.columns)
+
+
+def test_quality_filter_yaml_builtin(spark, tmp_path):
+    """core.quality_filter end-to-end from a YAML graph: positives via
+    a SQL predicate (the core.dsir convention), threshold turns the
+    node into the filter itself."""
+    from snapflow_spark.plans import load_graph
+
+    docs = _docs(spark, n=120)
+    cfg = {
+        "warehouse": str(tmp_path / "wh_qf"),
+        "sources": [{"name": "docs"}],
+        "nodes": [
+            {
+                "name": "kept",
+                "function": "core.quality_filter",
+                "upstream": {"input": {"node": "docs", "mode": "reference"}},
+                "params": {
+                    "positive_where": "label = 1",
+                    "threshold": 0.5,
+                    "num_buckets": 512,
+                    "iters": 20,
+                },
+            }
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["docs"].append(docs)
+    assert g.produce(spark) == 1
+    kept = g.read(spark, "kept").collect()
+    assert kept and all(r.quality_prob >= 0.5 for r in kept)
+    # the filter keeps (nearly) only the positive class
+    acc = np.mean([r.label == 1 for r in kept])
+    assert acc >= 0.95
+
+
+def test_save_load_roundtrip_and_guards(spark, tmp_path):
+    df = _docs(spark, n=40)
+    clf = train_quality_classifier(df, num_buckets=128, iters=5)
+    path = str(tmp_path / "qclf.json")
+    clf.save(path)
+    loaded = QualityClassifier.load(path)
+    assert np.array_equal(loaded.weights, clf.weights)
+    assert (loaded.num_buckets, loaded.salt) == (clf.num_buckets, clf.salt)
+    a = {r.doc_id: r.quality_prob for r in score_quality(df, clf).collect()}
+    b = {r.doc_id: r.quality_prob for r in score_quality(df, loaded).collect()}
+    assert a == b
+    # zero-token docs score the prior sigmoid(bias), never crash
+    odd = spark.createDataFrame(
+        [(0, "!!! 123 ???", 1)], "doc_id bigint, text string, label int"
+    )
+    (row,) = score_quality(odd, clf).collect()
+    assert row.quality_prob == pytest.approx(
+        1 / (1 + np.exp(-clf.weights[-1]))
+    )
+    # guards
+    with pytest.raises(ValueError, match="labels must be 0/1"):
+        train_quality_classifier(
+            df.withColumn("label", F.col("label") + 1), iters=1, num_buckets=64
+        )
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_quality_classifier(df.where(F.lit(False)), iters=1, num_buckets=64)
+    with pytest.raises(ValueError, match="weights must be"):
+        QualityClassifier(np.zeros(5), num_buckets=8, salt="s")

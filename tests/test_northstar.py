@@ -1264,8 +1264,12 @@ def test_ann_coded_cache_is_per_session(spark):
     spark.catalog.clearCache()
 
     def pinned() -> int:
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        # relative to the suite's baseline: clearCache drops DataFrame
+        # cache entries but earlier tests may hold raw RDD persists in
+        # the shared context, so count GROWTH, not absolutes
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) - base
 
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     q(spark, sf).write.format("noop").mode("overwrite").save()
     first = ns._ANN_CODED_CACHE[spark]
     assert first.storageLevel.useMemory  # pinned
