@@ -294,6 +294,43 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) keyed
     ) sel JOIN documents d USING (doc_id)
     WHERE rn <= 20
+    UNION ALL
+    -- 'clf' branch (round 6): the trained-quality-classifier SCORING
+    -- path with deterministic formula weights (training itself is
+    -- float GD and stays pytest-verified; scoring is exact arithmetic
+    -- both engines replay): hashed-gram L1 frequencies, w[b] =
+    -- ((b * 2654435761) % 4096 - 2048) / 4096, bias 0.1, sigmoid
+    SELECT 'clf' AS branch, doc_id, d.lang, CAST(NULL AS VARCHAR) AS lang_pred,
+           round(1.0 / (1.0 + exp(-(0.1 + COALESCE(s, 0.0)))), 6) AS quality,
+           CAST(NULL AS VARCHAR) AS fingerprint,
+           CAST(COALESCE(tot, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN (
+      WITH ctoks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}]+') AS t
+        FROM documents
+      ), cgrams AS (
+        SELECT doc_id, unnest(t) AS g FROM ctoks
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        FROM ctoks
+      ), cgb AS (
+        SELECT g, CAST(list_sum(list_transform(range(0, 8), j ->
+            (CAST(instr('0123456789abcdef', substr(sha256('qclf-v1' || g), j + 1, 1)) AS BIGINT) - 1)
+            << (4 * (7 - CAST(j AS INT))))) AS BIGINT) % 4096 AS b
+        FROM (SELECT DISTINCT g FROM cgrams)
+      ), cbc AS (
+        SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM cgrams JOIN cgb USING (g) GROUP BY doc_id, b
+      ), ctot AS (
+        SELECT doc_id, SUM(c) AS tot FROM cbc GROUP BY doc_id
+      )
+      SELECT doc_id, tot,
+             SUM(((CAST((b * 2654435761) % 4096 AS DOUBLE)) - 2048.0)
+                 / 4096.0 * (c / tot)) AS s
+      FROM cbc JOIN ctot USING (doc_id)
+      GROUP BY doc_id, tot
+    ) sc USING (doc_id)
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,7 +340,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance-resampling selection ('dsir' branch —
     operators.selection.dsir_select with target = the lang='en'
     slice: hashed-gram log-ratio weights + deterministic Gumbel
-    top-20, every step replayed by the SQL oracle)."""
+    top-20, every step replayed by the SQL oracle) ∪ the trained
+    quality classifier's SCORING path ('clf' branch, round 6 —
+    operators.classifier.score_quality with deterministic FORMULA
+    weights w[b] = ((b*2654435761) % 4096 - 2048)/4096, bias 0.1:
+    training is float GD and stays reference-parity-tested in pytest,
+    but scoring — featurize, bucket, L1 frequencies, dot product,
+    sigmoid — is exact arithmetic the oracle replays, so the whole
+    corpus-facing inference pipeline is hash-proven)."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     null_s = F.lit(None).cast("string")
     quality = d.select(
@@ -327,7 +371,36 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_s.alias("fingerprint"),
         F.col("rank").alias("n_tokens"),
     )
-    return quality.unionByName(dsir)
+    import numpy as np
+
+    from snapflow_spark.operators.classifier import (
+        QualityClassifier,
+        score_quality,
+    )
+
+    k = np.arange(4096, dtype=np.int64)
+    weights = np.append(((k * 2654435761) % 4096 - 2048) / 4096.0, 0.1)
+    clf_model = QualityClassifier(weights, 4096, "qclf-v1")
+    from snapflow_spark.operators.retrieval import word_tokens_expr
+
+    # gram count without a second gram build: unigrams + bigrams of n
+    # tokens = n + max(n-1, 0) = max(2n-1, 0)
+    staged = d.select(
+        "doc_id", "lang", "text",
+        F.greatest(
+            F.size(word_tokens_expr("text")) * 2 - 1, F.lit(0)
+        ).cast("bigint").alias("__ng"),
+    )
+    clf = score_quality(staged, clf_model).select(
+        F.lit("clf").alias("branch"),
+        "doc_id",
+        "lang",
+        null_s.alias("lang_pred"),
+        F.round("quality_prob", 6).alias("quality"),
+        null_s.alias("fingerprint"),
+        F.col("__ng").alias("n_tokens"),
+    )
+    return quality.unionByName(dsir.unionByName(clf))
 
 
 @query(
