@@ -16,6 +16,7 @@ from snapflow_spark.operators.dedup_text import (
     connected_components,
     dedup_cluster_representatives,
     dedup_lines_global,
+    shared_span_pairs,
     exact_dedup,
     mingram_candidates,
     minhash_candidates,
@@ -64,6 +65,7 @@ __all__ = [
     "cap_per_domain",
     "doc_terms",
     "dedup_lines_global",
+    "shared_span_pairs",
     "connected_components",
     "dedup_cluster_representatives",
     "contamination_pairs",

@@ -451,25 +451,64 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE [list_min(h)] END) AS fps
       FROM hashed
     )
-    SELECT doc_id,
+    SELECT 'winnow' AS branch, doc_id, CAST(NULL AS BIGINT) AS other_id,
            CAST(len(fps) AS BIGINT) AS n_fps,
            list_min(fps) AS min_fp
     FROM winnowed
+    UNION ALL
+    -- 'spans' branch (round 6): cross-doc copied-span pairs from
+    -- fingerprint collisions, replaying the id-sorted max_bucket=64
+    -- truncation of bucketed_pairs before pairing
+    SELECT 'spans' AS branch, id_a AS doc_id, id_b AS other_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fps, MIN(fp) AS min_fp
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp
+      FROM (
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, unnest(fps) AS fp FROM winnowed
+        ) e QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) <= 64
+      ) a JOIN (
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, unnest(fps) AS fp FROM winnowed
+        ) e QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) <= 64
+      ) b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ) p
+    GROUP BY id_a, id_b HAVING COUNT(*) >= 2
     """,
 )
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing over token
     3-gram sha256 hashes, window 4) — functions.text
-    winnow_fingerprints_expr; sha256 makes it oracle-hashable."""
+    winnow_fingerprints_expr; sha256 makes it oracle-hashable.
+
+    Tagged union (round 6): per-doc fingerprint summary ('winnow'
+    branch) ∪ cross-document COPIED-SPAN pairs from fingerprint
+    collisions ('spans' branch — operators.dedup_text
+    shared_span_pairs: >= 2 shared winnow fingerprints, the MOSS
+    plagiarism/contamination shape whole-doc MinHash misses; the
+    oracle replays the max_bucket truncation exactly)."""
+    from snapflow_spark.operators.dedup_text import shared_span_pairs
+
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     staged = d.select(
         "doc_id", gram_hashes_expr(tokens_expr("text"), n=3).alias("h")
     ).select("doc_id", winnow_fingerprints_expr(F.col("h"), w=4).alias("fps"))
-    return staged.select(
+    null_l = F.lit(None).cast("bigint")
+    winnow = staged.select(
+        F.lit("winnow").alias("branch"),
         "doc_id",
+        null_l.alias("other_id"),
         F.size("fps").cast("bigint").alias("n_fps"),
         F.array_min("fps").alias("min_fp"),
     )
+    spans = shared_span_pairs(d, n=3, w=4, min_shared=2, max_bucket=64).select(
+        F.lit("spans").alias("branch"),
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("other_id"),
+        F.col("n_shared").alias("n_fps"),
+        "min_fp",
+    )
+    return winnow.unionByName(spans)
 
 
 @query(

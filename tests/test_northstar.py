@@ -401,6 +401,60 @@ def test_winnow_fingerprints_overlap_for_near_dups(spark, planted):
     assert len(fps[0] & fps[10]) / len(fps[0] | fps[10]) < 0.2
 
 
+def test_shared_span_pairs_detects_copied_spans(spark):
+    """Copied-span detection (MOSS collisions): two documents that are
+    DISSIMILAR as wholes but share one verbatim span pair up; unrelated
+    docs don't; whole-doc near-copies pair with a high count. Also:
+    truncation counters fire on a boilerplate fingerprint carried by
+    every doc when max_bucket is small."""
+    from pyspark.sql import Observation
+
+    from snapflow_spark.operators.dedup_text import shared_span_pairs
+
+    span = (
+        "the quick brown fox jumps over the lazy dog near the wide river"
+    )
+    rows = [
+        (0, "alpha beta gamma " + span + " delta epsilon zeta eta theta"),
+        (1, "one two three four " + span + " five six seven eight nine"),
+        (2, "totally unrelated words such that nothing collides here at all"),
+        (3, "alpha beta gamma " + span + " delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): r.n_shared for r in shared_span_pairs(df).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 2  # span-only overlap
+    assert (0, 3) in got and got[(0, 3)] > got[(0, 1)]  # near-copy: more
+    assert not any(2 in p for p in got)  # unrelated doc pairs with nobody
+    # min_fp is a witness shared by both docs' fingerprint sets
+    from snapflow_spark.functions.text import (
+        gram_hashes_expr,
+        tokens_expr,
+        winnow_fingerprints_expr,
+    )
+
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", gram_hashes_expr(tokens_expr("text"), n=3).alias("h")
+        )
+        .select("doc_id", winnow_fingerprints_expr(F.col("h"), w=4).alias("fps"))
+        .collect()
+    }
+    wit = {
+        (r.id_a, r.id_b): r.min_fp for r in shared_span_pairs(df).collect()
+    }
+    assert wit[(0, 1)] in (fps[0] & fps[1])
+    # designed loss is observable: max_bucket=2 truncates the span
+    # fingerprints' 3-doc buckets
+    obs = Observation()
+    pairs = shared_span_pairs(df, max_bucket=2, observation=obs).persist()
+    pairs.count()
+    assert obs.get["truncated_buckets"] > 0 and obs.get["dropped_pairs"] > 0
+    pairs.unpersist()
+
+
 def test_bpe_tokens_shape(spark):
     from snapflow_spark.functions.text import bpe_tokens_expr
 
