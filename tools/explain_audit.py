@@ -35,10 +35,15 @@ from snapflow_spark.session import build_session  # noqa: E402
 # count still flags.
 EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
     "q_text_quality": (
-        7,
-        "3 corpus-side (gram-bucket window, per-doc weight sum, 1-row "
-        "totals agg) + 4 over <=20-row post-selection data (top-k, "
-        "rank window, union tail) — the dsir branch, reviewed round 5",
+        9,
+        "reviewed round 6: the dsir deferred-totals rewrite makes the "
+        "per-doc agg subtree appear TWICE in the STATIC plan (main "
+        "path + 1-row totals) — at runtime AQE ReuseExchange collapses "
+        "the twins (2 ReusedExchange nodes in the final adaptive plan, "
+        "so corpus-side work is 2 exchanges: gram-bucket window + "
+        "per-doc sum); the rest are <=20-row post-selection shuffles "
+        "(top-k, rank window, union tail). The round-6 'clf' branch "
+        "is map-only and adds none",
     ),
 }
 
