@@ -52,7 +52,47 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--merges", type=int, default=4000)
     tb.add_argument("--min-count", type=int, default=1)
     tb.add_argument("--max-word-types", type=int, default=1_000_000)
+    tq = sub.add_parser(
+        "train-quality",
+        help="train the LR quality classifier on the documents table "
+        "(positives via a SQL predicate), save the model JSON",
+    )
+    tq.add_argument("out", help="output path for the model artifact (JSON)")
+    tq.add_argument(
+        "--positive-where",
+        default="lang = 'en'",
+        help="SQL boolean over documents defining the positive class",
+    )
+    tq.add_argument("--sf", default=DEFAULT_SF_DIR)
+    tq.add_argument("--buckets", type=int, default=4096)
+    tq.add_argument("--iters", type=int, default=30)
     args = ap.parse_args(argv)
+
+    if args.cmd == "train-quality":
+        from pyspark.sql import functions as F
+
+        from snapflow_spark.catalog import load_table
+        from snapflow_spark.operators.classifier import train_quality_classifier
+        from snapflow_spark.session import build_session, tune
+
+        spark = build_session("cli-train-quality")
+        spark.sparkContext.setLogLevel("ERROR")
+        tune(spark)
+        docs = load_table(spark, args.sf, "documents").withColumn(
+            "__label", F.expr(args.positive_where).cast("boolean").cast("int")
+        )
+        clf = train_quality_classifier(
+            docs.where(F.col("__label").isNotNull()),
+            label_col="__label",
+            num_buckets=args.buckets,
+            iters=args.iters,
+        )
+        clf.save(args.out)
+        print(
+            f"trained: {args.buckets} buckets, {args.iters} iters, "
+            f"bias {clf.weights[-1]:+.4f} -> {args.out}"
+        )
+        return 0
 
     if args.cmd == "train-bpe":
         from snapflow_spark.catalog import load_table

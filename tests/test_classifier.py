@@ -167,6 +167,30 @@ def test_quality_filter_yaml_builtin(spark, tmp_path):
     assert acc >= 0.95
 
 
+def test_cli_train_quality(spark, tmp_path, capsys):
+    """CLI surface: `python -m snapflow_spark train-quality out.json`
+    trains on the documents fixture (positives via a SQL predicate)
+    and writes a loadable model that scores that predicate well."""
+    from snapflow_spark.cli import main
+
+    out = str(tmp_path / "qclf.json")
+    assert main([
+        "train-quality", out, "--sf", "/root/testdata/sf0.001",
+        "--positive-where", "lang = 'en'", "--buckets", "512",
+        "--iters", "10",
+    ]) == 0
+    assert "trained:" in capsys.readouterr().out
+    clf = QualityClassifier.load(out)
+    from snapflow_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    scored = score_quality(docs, clf).select("lang", "quality_prob")
+    rows = scored.collect()
+    en = np.mean([r.quality_prob for r in rows if r.lang == "en"])
+    rest = np.mean([r.quality_prob for r in rows if r.lang != "en"])
+    assert en > rest  # the model learned the positive slice
+
+
 def test_save_load_roundtrip_and_guards(spark, tmp_path):
     df = _docs(spark, n=40)
     clf = train_quality_classifier(df, num_buckets=128, iters=5)
