@@ -1022,20 +1022,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tab[ZIGZAG] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
                 qtabs[tq] = tab
                 i += 65
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless (round 6)
             progressive = marker == 0xC2
-            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            lossless = marker == 0xC3
+            precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3 : 9 + ci * 3]
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG (SOF marker 0xFF{marker:02X}: "
-                "arithmetic/lossless/differential) — baseline sequential "
-                "and Huffman progressive only"
+                "arithmetic/differential) — baseline sequential, Huffman "
+                "progressive (SOF2), and Huffman lossless (SOF3) only"
             )
         elif marker == 0xC4:  # DHT
             i = 0

@@ -457,8 +457,9 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM winnowed
     UNION ALL
     -- 'spans' branch (round 6): cross-doc copied-span pairs from
-    -- fingerprint collisions, replaying the id-sorted max_bucket=64
-    -- truncation of bucketed_pairs before pairing
+    -- fingerprint collisions, replaying the max_df=32 boilerplate
+    -- stoplist (fingerprints in >32 docs are dropped, not paired;
+    -- the residual max_bucket=64 truncation is vacuous under it)
     SELECT 'spans' AS branch, id_a AS doc_id, id_b AS other_id,
            CAST(COUNT(*) AS BIGINT) AS n_fps, MIN(fp) AS min_fp
     FROM (
@@ -466,11 +467,11 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT doc_id, fp FROM (
           SELECT doc_id, unnest(fps) AS fp FROM winnowed
-        ) e QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) <= 64
+        ) e QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 32
       ) a JOIN (
         SELECT doc_id, fp FROM (
           SELECT doc_id, unnest(fps) AS fp FROM winnowed
-        ) e QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) <= 64
+        ) e QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 32
       ) b ON a.fp = b.fp AND a.doc_id < b.doc_id
     ) p
     GROUP BY id_a, id_b HAVING COUNT(*) >= 2
@@ -486,7 +487,7 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions ('spans' branch — operators.dedup_text
     shared_span_pairs: >= 2 shared winnow fingerprints, the MOSS
     plagiarism/contamination shape whole-doc MinHash misses; the
-    oracle replays the max_bucket truncation exactly)."""
+    oracle replays the max_df=32 boilerplate stoplist exactly)."""
     from snapflow_spark.operators.dedup_text import shared_span_pairs
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
@@ -501,7 +502,9 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fps").cast("bigint").alias("n_fps"),
         F.array_min("fps").alias("min_fp"),
     )
-    spans = shared_span_pairs(d, n=3, w=4, min_shared=2, max_bucket=64).select(
+    spans = shared_span_pairs(
+        d, n=3, w=4, min_shared=2, max_df=32, max_bucket=64
+    ).select(
         F.lit("spans").alias("branch"),
         F.col("id_a").alias("doc_id"),
         F.col("id_b").alias("other_id"),

@@ -33,6 +33,21 @@ def tune(spark: SparkSession) -> SparkSession:
     # skew story depends on AQE splitting oversized join partitions
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0` under every
+    # explode(), and predicate pushdown then SUBSTITUTES the full array
+    # expression into a Filter at the FileScan — for this engine's
+    # exploded arrays (gram hashes, winnow fingerprints, LSH bands:
+    # expensive to compute, never empty by construction) that evaluates
+    # the whole tokenize/sha256 subtree TWICE per row, with the filter
+    # copy running on the raw scan partitions BEFORE ensure_parallelism
+    # (measured: q_fingerprint_winnow's span branch 31 s -> 2 s at
+    # sf0.1 with the rule excluded; q_text_quality carried four such
+    # pushed filters). The rule only ever saves work when exploded
+    # arrays are frequently empty, which none of ours are.
+    conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
     # default; read as long nanos, converted in catalog.load_table.
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

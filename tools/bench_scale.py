@@ -50,7 +50,13 @@ HEAVY = {
     "q_tokenize_bpe": "documents; Arrow-batched tokenizer",
     "q_text_quality": (
         "documents; quality sweep + DSIR selection (hashed-gram window, "
-        "round 5) — selection output fixed at 20 by design"
+        "round 5; deferred totals + hash-matched classifier scoring "
+        "branch round 6) — selection output fixed at 20 by design"
+    ),
+    "q_fingerprint_winnow": (
+        "documents; winnow fingerprints + copied-span pairs (round 6): "
+        "explode -> one fp shuffle -> pair groupBy; span pairs scale "
+        "with real collisions, buckets truncated at 64"
     ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
