@@ -1,8 +1,11 @@
 """Baseline JPEG codec in pure numpy + stdlib (SURVEY.md §2.B.11
 multimodal; closes the round-2 verdict's "JPEG decode" missing item).
 
-Implements the ITU-T T.81 BASELINE profile from the public spec:
-8-bit samples, sequential DCT, Huffman entropy coding.
+Implements the ITU-T T.81 BASELINE profile from the public spec
+(8-bit samples, sequential DCT, Huffman entropy coding), Huffman
+PROGRESSIVE (SOF2, round 5), and Huffman LOSSLESS (SOF3, Annex H,
+round 6 — the archival/DICOM predictor profile, encoder twin
+included; arithmetic-coded and hierarchical remain explicit raises).
 
 - ``decode_jpeg``: parses DQT/SOF0/DHT/DRI/SOS from the stream (the
   Huffman and quant tables are read from the file, NOT assumed), does
@@ -971,6 +974,173 @@ def _skip_entropy_data(data: bytes, start: int) -> int:
     return n
 
 
+# Fixed Huffman table for lossless difference categories 0..16
+# (T.81 H.1.2.2 uses the DC coding model with SSSS up to 16; SSSS=16
+# carries NO appended bits and means diff = 32768). Canonical code
+# lengths chosen to satisfy Kraft with all 17 symbols present.
+_LL_BITS = [0, 2, 2, 2, 2, 2, 2, 2, 2, 1, 0, 0, 0, 0, 0, 0]
+_LL_VALS = list(range(17))
+
+# T.81 H.1: selected predictor applies to interior samples; the first
+# sample of the scan predicts 2^(P-Pt-1), the rest of the first line
+# predicts Ra, and the first sample of later lines predicts Rb.
+_LL_PREDICTORS = frozenset(range(1, 8))
+
+
+def _ll_predict(plane: np.ndarray, r: int, col: int, sel: int, default: int) -> int:
+    if r == 0 and col == 0:
+        return default
+    if r == 0:
+        return int(plane[0, col - 1])
+    if col == 0:
+        return int(plane[r - 1, 0])
+    ra = int(plane[r, col - 1])
+    rb = int(plane[r - 1, col])
+    rc = int(plane[r - 1, col - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def _decode_lossless(
+    data: bytes, scans: list, comps: list, h: int, w: int, precision: int
+) -> np.ndarray:
+    """Lossless JPEG (SOF3, T.81 Annex H) — the archival/DICOM
+    profile: no DCT, no quantization; each sample is a Huffman-coded
+    difference (the DC coding model, SSSS categories 0..16) from one
+    of seven neighbor predictors, arithmetic mod 2^16. Sample loop is
+    honest python (entropy decoding is bit-serial anyway); the
+    jpeg.py:19-26 production note about swapping in a C decoder
+    applies here unchanged. Scope: 1x1 sampling (the profile real
+    lossless writers use — subsampling would defeat losslessness),
+    2..16-bit precision, no restart intervals."""
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError(
+            "lossless JPEG with subsampled components unsupported"
+        )
+    if not 2 <= precision <= 16:
+        raise ValueError(f"lossless precision {precision} out of range")
+    planes = {c["id"]: np.zeros((h, w), np.int64) for c in comps}
+    for scan in scans:
+        sel = scan["ss"]
+        pt = scan["al"]
+        if sel not in _LL_PREDICTORS:
+            raise ValueError(f"lossless predictor selector {sel} invalid")
+        if scan["ri"]:
+            raise NotImplementedError(
+                "restart intervals in lossless scans unsupported"
+            )
+        for sc in scan["comps"]:
+            if sc["dc_tab"] is None:
+                raise ValueError(
+                    "lossless SOS references a Huffman table the stream "
+                    "never defined"
+                )
+        reader = _BitReader(data, scan["start"])
+        planes_l = [planes[sc["frame"]["id"]] for sc in scan["comps"]]
+        tabs = [sc["dc_tab"] for sc in scan["comps"]]
+        default = 1 << (precision - pt - 1)
+        for r in range(h):
+            for col in range(w):
+                for plane, tab in zip(planes_l, tabs):
+                    s = reader.decode_symbol(tab)
+                    if s == 16:
+                        diff = 32768
+                    else:
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                    px = _ll_predict(plane, r, col, sel, default)
+                    plane[r, col] = (px + diff) & 0xFFFF
+        for plane, sc in zip(planes_l, scan["comps"]):
+            if pt:
+                # point transform: decoder outputs Rx << Pt (H.2.2)
+                np.left_shift(plane, pt, out=plane)
+    out = [planes[c["id"]] for c in comps]
+    if precision > 8:
+        # high-byte downscale onto the engine's uint8 contract (the
+        # PNG/TIFF 16-bit convention); a full-precision consumer
+        # would keep the raw planes
+        out = [p >> (precision - 8) for p in out]
+    arr = np.stack(out, axis=-1).astype(np.uint8)
+    # lossless components are stored VERBATIM (no YCbCr mandate
+    # outside JFIF): 3 components are RGB as-is, 1 is grayscale
+    return arr[:, :, 0] if len(comps) == 1 else arr
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray, predictor: int = 4, point_transform: int = 0
+) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB, uint8 (precision 8) or uint16
+    (precision 16, the DICOM shape) -> lossless JPEG (SOF3) bytes.
+    Components are stored verbatim (no color transform), one
+    interleaved scan, predictor 1-7 per T.81 H.1; decode_jpeg
+    round-trips bit-exactly at point_transform=0 (16-bit input
+    round-trips on the high byte through the engine's uint8
+    contract)."""
+    a = np.asarray(arr)
+    precision = 16 if a.dtype == np.uint16 else 8
+    if a.dtype not in (np.uint8, np.uint16):
+        a = np.clip(a, 0, 255).astype(np.uint8)
+    if predictor not in _LL_PREDICTORS:
+        raise ValueError(f"predictor must be 1..7: {predictor}")
+    pt = int(point_transform)
+    if not 0 <= pt < precision:
+        raise ValueError(f"point_transform {pt} out of range")
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(
+            f"encode_jpeg_lossless expects (H,W) or (H,W,3), got {a.shape}"
+        )
+    h, w = a.shape[:2]
+    planes = [a.astype(np.int64) >> pt] if gray else [
+        a[:, :, i].astype(np.int64) >> pt for i in range(3)
+    ]
+    enc = _build_encode_table(_LL_BITS, _LL_VALS)
+    writer = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    for r in range(h):
+        for col in range(w):
+            for plane in planes:
+                px = _ll_predict(plane, r, col, predictor, default)
+                diff = (int(plane[r, col]) - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:
+                    code, length = enc[16]  # SSSS=16: no appended bits
+                    writer.write(code, length)
+                    continue
+                s, bits = _magnitude(diff)
+                code, length = enc[s]
+                writer.write(code, length)
+                if s:
+                    writer.write(bits, s)
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_LL_VALS), 0x00)
+    out += bytes(_LL_BITS) + bytes(_LL_VALS)
+    out += b"\xff\xc3" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp
+    )
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah<<4|Al=Pt
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (H, W, 3) RGB or (H, W) gray uint8.
 
@@ -980,8 +1150,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     non-interleaved scans traverse the component's own block raster,
     ceil(x_i/8) × ceil(y_i/8) per §A.2.2, NOT the MCU-padded grid).
     Huffman tables and the restart interval are captured per scan at
-    its SOS (later DHT/DRI segments may redefine them). Progressive
-    (SOF2) and arithmetic-coded files raise with a clear message."""
+    its SOS (later DHT/DRI segments may redefine them). Lossless
+    (SOF3) files decode via _decode_lossless; arithmetic-coded and
+    differential/hierarchical files raise with a clear message."""
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -992,6 +1163,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = 0
     restart_interval = 0
     progressive = False
+    lossless = False
+    precision = 8
     scans: list[dict] = []
 
     while pos < len(data):
@@ -1086,6 +1259,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     if not scans:
         raise ValueError("JPEG has no SOS scan")
+
+    if lossless:
+        return _decode_lossless(data, scans, comps, h, w, precision)
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

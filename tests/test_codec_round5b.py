@@ -167,3 +167,66 @@ def test_bmp_rle4_still_raises():
     blob[30:34] = (2).to_bytes(4, "little")  # BI_RLE4
     with pytest.raises(ValueError, match="RLE8"):
         decode_bmp(bytes(blob))
+
+
+# ------------------------------------------------------------------ #
+# Lossless JPEG (SOF3) — round 6
+# ------------------------------------------------------------------ #
+def _structured_img(seed: int, h: int = 24, w: int = 17, ch: int = 3):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = 120 + 60 * np.sin(x / 3) + 40 * np.cos(y / 4) + rng.normal(0, 12, (h, w))
+    g = np.clip(img, 0, 255).astype(np.uint8)
+    if ch == 1:
+        return g
+    return np.stack([g, np.roll(g, 3, axis=1), 255 - g], axis=-1)
+
+
+def test_lossless_jpeg_roundtrip_all_predictors():
+    """SOF3 is LOSSLESS: every predictor 1-7 round-trips bit-exactly,
+    gray and RGB (components stored verbatim, no color transform)."""
+    from snapflow_spark.multimodal.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    for ch in (1, 3):
+        src = _structured_img(ch, ch=ch)
+        for pred in range(1, 8):
+            blob = encode_jpeg_lossless(src, predictor=pred)
+            out = decode_jpeg(blob)
+            assert out.dtype == np.uint8 and out.shape == src.shape
+            assert np.array_equal(out, src), (ch, pred)
+
+
+def test_lossless_jpeg_16bit_and_point_transform():
+    """16-bit precision (the DICOM shape) decodes via the engine's
+    high-byte downscale; point transform drops Pt low bits and the
+    decoder restores the << Pt scale."""
+    from snapflow_spark.multimodal.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    rng = np.random.default_rng(11)
+    hi = _structured_img(5, ch=1).astype(np.uint16)
+    src16 = (hi << 8) | rng.integers(0, 256, hi.shape, dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless(src16, predictor=2))
+    assert np.array_equal(out, hi.astype(np.uint8))
+    # point transform: lossy by exactly the dropped low bits
+    src = _structured_img(6, ch=1)
+    out = decode_jpeg(encode_jpeg_lossless(src, predictor=1, point_transform=2))
+    assert np.array_equal(out, (src >> 2) << 2)
+
+
+def test_lossless_jpeg_dispatch_and_scope_gates():
+    """decode_image_bytes routes SOF3 by magic; wrong-decoder inputs
+    and out-of-scope parameters fail loudly."""
+    import pytest as _pytest
+
+    from snapflow_spark.multimodal.codec import decode_image_bytes
+    from snapflow_spark.multimodal.jpeg import encode_jpeg_lossless
+
+    src = _structured_img(7)
+    assert np.array_equal(decode_image_bytes(encode_jpeg_lossless(src)), src)
+    with _pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(src, predictor=0)
+    with _pytest.raises(ValueError, match="point_transform"):
+        encode_jpeg_lossless(src, point_transform=8)
+    # single-pixel edge: only the default prediction is exercised
+    one = np.array([[137]], dtype=np.uint8)
+    assert np.array_equal(decode_image_bytes(encode_jpeg_lossless(one)), one)
