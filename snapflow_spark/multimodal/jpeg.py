@@ -1060,8 +1060,8 @@ def _decode_lossless(
                         diff = _extend(reader.read_bits(s), s) if s else 0
                     px = _ll_predict(plane, r, col, sel, default)
                     plane[r, col] = (px + diff) & 0xFFFF
-        for plane, sc in zip(planes_l, scan["comps"]):
-            if pt:
+        if pt:
+            for plane in planes_l:
                 # point transform: decoder outputs Rx << Pt (H.2.2)
                 np.left_shift(plane, pt, out=plane)
     out = [planes[c["id"]] for c in comps]
@@ -1207,6 +1207,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # Arithmetic profiles stay OUT deliberately (round 6): the
+            # QM-coder needs T.81 Table D.3's 113-row Qe transition
+            # table verbatim, and a transcription error there would
+            # STILL round-trip against this file's own encoder twin —
+            # only a reference bitstream from a conformant codec could
+            # catch it, and this environment has none. An unverifiable
+            # decoder is worse than this explicit raise; production
+            # routes such files through an external-decoder callable
+            # exactly like MP3/H.264 (multimodal/audio.py hook docs).
             raise NotImplementedError(
                 f"unsupported JPEG (SOF marker 0xFF{marker:02X}: "
                 "arithmetic/differential) — baseline sequential, Huffman "

@@ -116,6 +116,11 @@ def featurize_docs(
     Arrow batch pass. Docs with zero letter tokens get an empty
     feature list (they score sigmoid(bias) — the prior)."""
     extra = list(extra_cols or [])
+    if {"idx", "val"} & {id_col, *extra}:
+        raise ValueError(
+            "featurize_docs writes 'idx'/'val' feature columns; rename "
+            "the input columns that collide"
+        )
     staged = docs.select(
         F.col(id_col), *extra, word_tokens_expr(text_col).alias("__toks")
     ).select(

@@ -216,3 +216,51 @@ def test_gif_roundtrips_any_paletted_animation(frames, interlace):
     assert np.array_equal(out, frames)
     # stills carry no GCE delay -> decoder's default 10 fps applies
     assert fps == (10 if single else 20)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    _rgb_images(),
+    st.sampled_from(["none", "lzw", "packbits"]),
+    st.booleans(),
+)
+def test_tiled_tiff_roundtrip_any_image(img, comp, gray):
+    """Round 6: the tiled TIFF layout is bit-exact on arbitrary pixel
+    content at every compression, including edge tiles narrower/
+    shorter than the 16x16 grid."""
+    from snapflow_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    src = img[:, :, 0] if gray else img
+    blob = encode_tiff(src, compression=comp, tile=(16, 16))
+    assert np.array_equal(decode_tiff(blob), src)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_rgb_images(), st.integers(min_value=1, max_value=7), st.booleans())
+def test_lossless_jpeg_roundtrip_any_image(img, predictor, gray):
+    """Round 6: SOF3 lossless JPEG is bit-exact on arbitrary pixel
+    content for every predictor, gray and RGB."""
+    from snapflow_spark.multimodal.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    src = img[:, :, 0] if gray else img
+    blob = encode_jpeg_lossless(src, predictor=predictor)
+    assert np.array_equal(decode_jpeg(blob), src)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=48), st.integers(0, 3))
+def test_adpcm_never_returns_uninitialized(seed, extra_declared):
+    """Round 6 (advice fix): a block whose declared samples_per_block
+    exceeds its nibble capacity decodes deterministically — same bytes
+    in, same samples out, output height bounded by the data."""
+    import struct as _struct
+
+    from snapflow_spark.multimodal.g711 import ima_adpcm_decode_block
+
+    body = seed + b"\x00" * ((4 - len(seed) % 4) % 4)  # word-align
+    blk = _struct.pack("<hBB", 12, 3, 0) + body
+    declared = len(body) * 2 + 1 + extra_declared * 7
+    a = ima_adpcm_decode_block(blk, 1, declared)
+    b = ima_adpcm_decode_block(blk, 1, declared)
+    assert np.array_equal(a, b)
+    assert a.shape[0] <= declared and a.shape[0] <= len(body) * 2 + 1
