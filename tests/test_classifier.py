@@ -219,3 +219,35 @@ def test_save_load_roundtrip_and_guards(spark, tmp_path):
         train_quality_classifier(df.where(F.lit(False)), iters=1, num_buckets=64)
     with pytest.raises(ValueError, match="weights must be"):
         QualityClassifier(np.zeros(5), num_buckets=8, salt="s")
+
+
+def test_score_quality_streams(spark, tmp_path):
+    """The scoring stage is map-only (featurize + broadcast-weights
+    dot product in one mapInPandas), so it runs UNCHANGED on a
+    Structured Streaming source — the streaming quality filter a
+    live ingest pipeline applies before landing documents."""
+    from snapflow_spark.incremental.store import SnapshotStore
+    from snapflow_spark.streaming.runner import (
+        run_stream_to_batch,
+        stream_from_snapshots,
+    )
+
+    train = _docs(spark, n=120, seed=3)
+    clf = train_quality_classifier(train, num_buckets=512, iters=15)
+
+    unseen = _docs(spark, n=30, seed=77)
+    store = SnapshotStore(tmp_path / "docs")
+    store.append(unseen)
+    stream = stream_from_snapshots(
+        spark, str(store.path), store.read(spark).schema
+    )
+    scored = score_quality(stream, clf)
+    got = run_stream_to_batch(
+        scored, checkpoint=str(tmp_path / "ckpt")
+    ).collect()
+    batch = {
+        r.doc_id: r.quality_prob for r in score_quality(unseen, clf).collect()
+    }
+    assert {r.doc_id: r.quality_prob for r in got} == batch
+    acc = np.mean([(r.quality_prob >= 0.5) == bool(r.label) for r in got])
+    assert acc >= 0.9

@@ -320,3 +320,31 @@ def test_video_near_dup_pairs_spark(spark):
     }
     assert (0, 1) in pairs and (0, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_external_decoders_thread_through_feature_stages(spark):
+    """The hook reaches every fused stage, not just the dedup cascade:
+    extract_audio_features and sample_frames decode registered formats
+    through the same closure-shipped mapping."""
+    from snapflow_spark.multimodal.audio import (
+        AUDIO_FEATURE_DIM,
+        extract_audio_features,
+    )
+    from snapflow_spark.multimodal.video import sample_frames
+
+    ext_a = {"mp3": _make_mp3_decoder()}
+    df = spark.createDataFrame(
+        [(0, bytearray(_fake_mp3(21)))], "doc_id bigint, blob binary"
+    )
+    (row,) = extract_audio_features(df, external=ext_a).collect()
+    assert row.sample_rate == 16000 and len(row.features) == AUDIO_FEATURE_DIM
+    assert row.modality == "audio" and row.features[0] == 500.0  # 8000/16k ms
+
+    ext_v = {"mp4": _make_mp4_decoder()}
+    vdf = spark.createDataFrame(
+        [(1, bytearray(_fake_mp4(22)))], "doc_id bigint, blob binary"
+    )
+    frames = sample_frames(vdf, every_n=2, external=ext_v).collect()
+    # 6-frame clip sampled every 2nd -> 3 first-class image rows
+    assert [r.frame_idx for r in frames] == [0, 2, 4]
+    assert all(r.meta.modality == "image" and r.meta.width == 32 for r in frames)
