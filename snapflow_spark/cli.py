@@ -69,21 +69,17 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.cmd == "train-quality":
-        from pyspark.sql import functions as F
-
         from snapflow_spark.catalog import load_table
-        from snapflow_spark.operators.classifier import train_quality_classifier
+        from snapflow_spark.operators.classifier import train_from_predicate
         from snapflow_spark.session import build_session, tune
 
         spark = build_session("cli-train-quality")
         spark.sparkContext.setLogLevel("ERROR")
         tune(spark)
-        docs = load_table(spark, args.sf, "documents").withColumn(
-            "__label", F.expr(args.positive_where).cast("boolean").cast("int")
-        )
-        clf = train_quality_classifier(
-            docs.where(F.col("__label").isNotNull()),
-            label_col="__label",
+        docs = load_table(spark, args.sf, "documents")
+        clf = train_from_predicate(
+            docs,
+            args.positive_where,
             num_buckets=args.buckets,
             iters=args.iters,
         )

@@ -55,12 +55,17 @@ def sniff_audio_format(data: bytes) -> str:
         return "wav"
     if data[:4] == b"fLaC":
         return "flac"
-    if data[:3] == b"ID3" or data[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+    if data[:3] == b"ID3":
         return "mp3"
-    if data[:2] in (b"\xff\xf1", b"\xff\xf9"):
-        return "aac"
     if data[:4] == b"OggS":
         return "ogg"
+    # MPEG audio frame sync: 0xFF then top-3 bits set. The layer
+    # field (bits 2-1 of the second byte) separates the families:
+    # layer 00 is ADTS AAC, anything else is MPEG-1/2/2.5 audio
+    # ("mp3") — this covers CRC-protected frames (0xFFFA, 0xFFF0/F8)
+    # that a fixed byte list missed.
+    if len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
+        return "aac" if (data[1] >> 1) & 0x3 == 0 else "mp3"
     return "unknown"
 
 
@@ -85,8 +90,16 @@ def _validate_external_audio(
             f"external {fmt!r} decoder returned shape {a.shape}: "
             "expected non-empty (n,) or (n, ch) numeric samples"
         )
-    if a.dtype != np.int16:
-        a = np.clip(np.round(a), -32768, 32767).astype(np.int16)
+    if np.issubdtype(a.dtype, np.floating):
+        # float samples are NORMALIZED [-1, 1] by near-universal
+        # convention (soundfile/librosa/miniaudio — and decode_wav's
+        # own IEEE-float branch): scale onto the engine's int16 PCM
+        # carrier. Clip-rounding raw floats instead would collapse
+        # every such clip to {-1,0,1} near-silence and near-identical
+        # fingerprints — silent mass false-dup territory.
+        a = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int16)
+    elif a.dtype != np.int16:
+        a = np.clip(a, -32768, 32767).astype(np.int16)
     return a, int(rate)
 
 

@@ -306,8 +306,17 @@ def _validate_external_video(out, key: str) -> tuple[np.ndarray, int]:
             f"external {key!r} decoder returned shape {a.shape}: "
             "expected non-empty (T, H, W[, C]) frames"
         )
-    if a.dtype != np.uint8:
+    if np.issubdtype(a.dtype, np.floating):
+        # float frames in [0, 1] (the skimage/torch convention) scale
+        # onto uint8; float frames already in [0, 255] round. Without
+        # the scale, normalized output would collapse to near-black
+        # frames and identical pHashes — the audio validator's silent
+        # false-dup failure mode, video edition.
+        if a.size and float(np.nanmax(a)) <= 1.0:
+            a = a * 255.0
         a = np.clip(np.round(a), 0, 255).astype(np.uint8)
+    elif a.dtype != np.uint8:
+        a = np.clip(a, 0, 255).astype(np.uint8)
     return a, int(fps)
 
 

@@ -60,6 +60,7 @@ __all__ = [
     "QualityClassifier",
     "featurize_docs",
     "score_quality",
+    "train_from_predicate",
     "train_quality_classifier",
 ]
 
@@ -125,9 +126,16 @@ def featurize_docs(
         F.col(id_col), *extra, word_tokens_expr(text_col).alias("__toks")
     ).select(
         id_col, *extra,
-        F.transform(
-            grams_expr(F.col("__toks")),
-            lambda g: _hash_bucket(g, salt, num_buckets).cast("int"),
+        # coalesce: a NULL text yields NULL tokens/grams — treat as a
+        # zero-feature doc (scores the bias prior), matching how the
+        # DSIR/CE explode paths silently drop NULL-text rows instead
+        # of dying in the Arrow batch
+        F.coalesce(
+            F.transform(
+                grams_expr(F.col("__toks")),
+                lambda g: _hash_bucket(g, salt, num_buckets).cast("int"),
+            ),
+            F.array().cast("array<int>"),
         ).alias("__bkts"),
     )
 
@@ -249,7 +257,11 @@ def train_quality_classifier(
             raise ValueError("cannot train on an empty corpus")
         distinct = {r[0] for r in feats.select(label_col).distinct().collect()}
         if not distinct <= {0, 1}:
-            raise ValueError(f"labels must be 0/1, got {sorted(distinct)}")
+            # key=str: NULL/mixed-type labels must not crash the error
+            # message itself with an unorderable-types TypeError
+            raise ValueError(
+                f"labels must be 0/1, got {sorted(distinct, key=str)}"
+            )
         d = int(num_buckets)
         weights = np.zeros(d + 1, dtype=np.float64)
         zero = np.zeros(d + 3, dtype=np.float64)
@@ -269,6 +281,37 @@ def train_quality_classifier(
         feats.unpersist()
 
 
+def train_from_predicate(
+    docs: DataFrame,
+    positive_where: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    iters: int = 30,
+    lr: float = 1.0,
+    l2: float = 1e-4,
+) -> QualityClassifier:
+    """Train with positives defined by a SQL boolean over the input's
+    columns (the core.dsir ``target_where`` convention): rows where
+    the predicate is TRUE are the positive class, FALSE the reject
+    class, NULL excluded from training. The one labeling rule shared
+    by the ``core.quality_filter`` YAML builtin and the
+    ``train-quality`` CLI so the two can never drift."""
+    labeled = docs.withColumn(
+        "__label", F.expr(positive_where).cast("boolean").cast("int")
+    )
+    return train_quality_classifier(
+        labeled.where(F.col("__label").isNotNull()),
+        label_col="__label",
+        text_col=text_col,
+        id_col=id_col,
+        num_buckets=num_buckets,
+        iters=iters,
+        lr=lr,
+        l2=l2,
+    )
+
+
 def score_quality(
     df: DataFrame,
     clf: QualityClassifier,
@@ -280,6 +323,12 @@ def score_quality(
     one-scan featurization fused with a broadcast-weights dot product
     (the weights ride the UDF closure once per executor). Filtering
     is then ``df.where(F.col(out_col) >= t)`` — plain codegen."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"score_quality output column {out_col!r} already exists on "
+            "the input; drop or rename it (re-scoring after a model "
+            "refresh should drop the stale column first)"
+        )
     w = clf.weights[:-1].copy()
     b = float(clf.weights[-1])
 

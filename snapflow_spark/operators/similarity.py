@@ -950,7 +950,11 @@ def semantic_dedup(
     representative is the deterministic min id rather than the
     paper's lowest-similarity-to-centroid member (engine determinism
     contract). With ``index`` given, ``corpus`` may be omitted — the
-    decision frame is computed over ``index.assigned``."""
+    decision frame is computed over ``index.assigned``; a corpus
+    passed alongside must share the index's id space, and any of its
+    rows NOT in the index cannot pair (candidates come from the
+    index's assignment) so they become their own representatives —
+    re-assign new rows into the index before deduping them."""
     from snapflow_spark.operators.buckets import bucketed_pairs
     from snapflow_spark.operators.dedup_text import dedup_cluster_representatives
 
@@ -962,6 +966,14 @@ def semantic_dedup(
             )
         if corpus is None:
             corpus = index.assigned
+        if id_col != "vec_id" and id_col != index.id_col:
+            # an explicit id_col that contradicts the index would be
+            # silently discarded — the pairs can only come from the
+            # index's own id space
+            raise ValueError(
+                f"id_col {id_col!r} conflicts with the index's "
+                f"{index.id_col!r}; the standing index defines the id space"
+            )
         id_col = index.id_col  # the index's contract wins over defaults
         blocked = index.assigned.select(
             F.col(index.id_col).alias("id"),

@@ -243,15 +243,12 @@ def _quality_filter(
 
     from snapflow_spark.operators.classifier import (
         score_quality,
-        train_quality_classifier,
+        train_from_predicate,
     )
 
-    labeled = input.withColumn(
-        "__label", F.expr(positive_where).cast("boolean").cast("int")
-    )
-    clf = train_quality_classifier(
-        labeled.where(F.col("__label").isNotNull()),
-        label_col="__label",
+    clf = train_from_predicate(
+        input,
+        positive_where,
         text_col=text_col,
         id_col=id_col,
         num_buckets=int(num_buckets),

@@ -44,10 +44,16 @@ def tune(spark: SparkSession) -> SparkSession:
     # sf0.1 with the rule excluded; q_text_quality carried four such
     # pushed filters). The rule only ever saves work when exploded
     # arrays are frequently empty, which none of ours are.
-    conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    # MERGE with (never overwrite) any exclusions the deployment set
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    try:
+        existing = conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        existing = None
+    if existing and rule not in existing:
+        conf.set("spark.sql.optimizer.excludedRules", f"{existing},{rule}")
+    elif not existing:
+        conf.set("spark.sql.optimizer.excludedRules", rule)
     # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
     # default; read as long nanos, converted in catalog.load_table.
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -251,3 +251,32 @@ def test_score_quality_streams(spark, tmp_path):
     assert {r.doc_id: r.quality_prob for r in got} == batch
     acc = np.mean([(r.quality_prob >= 0.5) == bool(r.label) for r in got])
     assert acc >= 0.9
+
+
+def test_null_text_and_collision_guards(spark):
+    """NULL text featurizes as a zero-feature doc (bias prior) instead
+    of dying in the Arrow batch; stale-output and bad-label guards
+    fail with the intended messages."""
+    df = _docs(spark, n=20)
+    clf = train_quality_classifier(df, num_buckets=128, iters=3)
+    withnull = spark.createDataFrame(
+        [(0, None, 1), (1, "measured verified", 1)],
+        "doc_id bigint, text string, label int",
+    )
+    rows = {r.doc_id: r.quality_prob for r in score_quality(withnull, clf).collect()}
+    assert rows[0] == pytest.approx(1 / (1 + np.exp(-clf.weights[-1])))
+    # NULL labels excluded from training via the shared predicate rule
+    from snapflow_spark.operators.classifier import train_from_predicate
+
+    docs2 = _docs(spark, n=40).withColumn(
+        "label", F.when(F.col("doc_id") < 30, F.col("label"))
+    )
+    clf2 = train_from_predicate(docs2, "label = 1", num_buckets=128, iters=3)
+    assert clf2.weights.shape == (129,)
+    # direct training on NULL-bearing labels raises the INTENDED error
+    with pytest.raises(ValueError, match="labels must be 0/1"):
+        train_quality_classifier(docs2, num_buckets=64, iters=1)
+    # re-scoring guard: stale quality_prob must be dropped first
+    scored = score_quality(df, clf)
+    with pytest.raises(ValueError, match="already exists"):
+        score_quality(scored, clf)

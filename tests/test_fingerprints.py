@@ -296,11 +296,30 @@ def test_external_decoder_output_validation():
         decode_video_bytes(
             _fake_mp4(1), {"mp4": lambda b: (np.zeros((2, 2)), 10)}
         )
-    # float samples normalize onto the int16 PCM contract
+    # float samples are NORMALIZED [-1,1] by convention (soundfile/
+    # librosa) and scale onto int16 — clip-rounding raw floats would
+    # collapse every clip to near-silence and mass false dups
     from snapflow_spark.multimodal.audio import decode_audio_bytes as dab
 
-    s, r = dab(_fake_mp3(1), {"mp3": lambda b: (np.array([0.4, 1e9]), 8000)})
-    assert s.dtype == np.int16 and s[1, 0] == 32767 and r == 8000
+    s, r = dab(_fake_mp3(1), {"mp3": lambda b: (np.array([0.5, -1.0, 2.0]), 8000)})
+    assert s.dtype == np.int16 and r == 8000
+    assert s[:, 0].tolist() == [16384, -32767, 32767]  # scaled + clipped
+    # int samples pass through with clipping only
+    s, _ = dab(_fake_mp3(1), {"mp3": lambda b: (np.array([100, 70000]), 8000)})
+    assert s[:, 0].tolist() == [100, 32767]
+    # float frames in [0,1] scale onto uint8 (skimage/torch convention)
+    from snapflow_spark.multimodal.video import decode_video_bytes as dvb
+
+    f, fps = dvb(
+        _fake_mp4(1), {"mp4": lambda b: (np.full((2, 4, 4, 3), 0.5), 10)}
+    )
+    assert f.dtype == np.uint8 and int(f[0, 0, 0, 0]) == 128
+    # CRC-protected MPEG sync bytes route to the registered decoders
+    from snapflow_spark.multimodal.audio import sniff_audio_format
+
+    assert sniff_audio_format(b"\xff\xfaXX") == "mp3"  # L3 + CRC
+    assert sniff_audio_format(b"\xff\xf0XX") == "aac"  # ADTS + CRC
+    assert sniff_audio_format(b"\xff\xf8XX") == "aac"
 
 
 def test_video_near_dup_pairs_spark(spark):
