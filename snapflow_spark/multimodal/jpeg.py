@@ -1031,7 +1031,9 @@ def _decode_lossless(
     if not 2 <= precision <= 16:
         raise ValueError(f"lossless precision {precision} out of range")
     planes = {c["id"]: np.zeros((h, w), np.int64) for c in comps}
+    covered: set[int] = set()
     for scan in scans:
+        covered.update(sc["frame"]["id"] for sc in scan["comps"])
         sel = scan["ss"]
         pt = scan["al"]
         if sel not in _LL_PREDICTORS:
@@ -1064,6 +1066,11 @@ def _decode_lossless(
             for plane in planes_l:
                 # point transform: decoder outputs Rx << Pt (H.2.2)
                 np.left_shift(plane, pt, out=plane)
+    missing = [c["id"] for c in comps if c["id"] not in covered]
+    if missing:
+        # same contract as the DCT path: a truncated/malformed file
+        # must not return silent all-zero planes
+        raise ValueError(f"JPEG is missing scans for component ids {missing}")
     out = [planes[c["id"]] for c in comps]
     if precision > 8:
         # high-byte downscale onto the engine's uint8 contract (the
@@ -1174,6 +1181,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if pos + 1 >= len(data):
             raise ValueError("truncated JPEG: stream ends on a lone 0xFF")
         marker = data[pos + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede
+            # a marker code — skip them, don't parse 0xFF as a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -1200,6 +1212,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             progressive = marker == 0xC2
             lossless = marker == 0xC3
             precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if not lossless and precision != 8:
+                # 12-bit extended-sequential/progressive would run the
+                # 8-bit level shift + clip and return silently
+                # saturated garbage — only lossless handles P != 8
+                raise NotImplementedError(
+                    f"{precision}-bit DCT JPEG unsupported (8-bit "
+                    "baseline/progressive; lossless SOF3 takes 2-16)"
+                )
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3 : 9 + ci * 3]
@@ -1404,6 +1424,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        # 4-component Adobe CMYK/YCCK (or 2-component oddities) need
+        # the APP14 transform logic — name the profile instead of
+        # crashing on the RGB unpack below
+        raise NotImplementedError(
+            f"{len(planes)}-component JPEG unsupported (grayscale and "
+            "3-component YCbCr only; Adobe CMYK/YCCK needs the APP14 "
+            "inverse transform)"
+        )
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -245,10 +245,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
         a = np.frombuffer(dec, sample_dt, count=rows * cols * spp).reshape(
             rows, cols, spp
         )
-        if comp == 5 and predictor == 2:
+        if predictor == 2:
             # horizontal differencing is per SAMPLE VALUE, so for
             # 16-bit it accumulates mod 65536 on the byte-order-decoded
-            # values, not on raw bytes (TIFF 6.0 §14)
+            # values, not on raw bytes (TIFF 6.0 §14). The tag is NOT
+            # tied to LZW — a Predictor=2 file with uncompressed or
+            # PackBits data must un-difference too (round-6 review:
+            # the old comp==5 gate returned raw deltas as pixels).
             a = np.cumsum(a, axis=1, dtype=acc_dt)
         return a.astype(acc_dt)
 
@@ -377,12 +380,18 @@ def encode_tiff(
             segments.append(_pack(flat[s0 : s0 + rps]))
 
     # layout: header(8) | segment data | bits-per-sample array (RGB) |
-    # segment offset/count arrays | IFD
+    # segment offset/count arrays | IFD. TIFF 6.0 requires the IFD and
+    # every value offset to sit on a WORD boundary, so odd-length
+    # compressed segments are padded with one byte (byte counts record
+    # the true unpadded length; strict readers reject odd offsets).
     pos = 8
     seg_offsets = []
+    padded_segments = []
     for p in segments:
         seg_offsets.append(pos)
-        pos += len(p)
+        pad = len(p) & 1
+        padded_segments.append(p + b"\x00" * pad)
+        pos += len(p) + pad
     extra = b""
     bps_off = None
     if spp == 3:
@@ -439,7 +448,7 @@ def encode_tiff(
     return (
         b"II*\x00"
         + struct.pack("<I", ifd_off)
-        + b"".join(segments)
+        + b"".join(padded_segments)
         + extra
         + ifd
     )

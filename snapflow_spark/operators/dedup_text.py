@@ -463,7 +463,16 @@ def ngram_jaccard_pairs(
     exact (bucketed_pairs' counters recount if the observed subtree
     recomputes). At 100 TB candidates would be written to a table
     between the stages — same idea. ``wanted`` is one explode over the
-    pair set, not a two-select union — one reference instead of two."""
+    pair set, not a two-select union — one reference instead of two.
+
+    The persisted candidate frame is exposed as ``candidate_cache``
+    on the RETURNED DataFrame (the lsh_observation attribute
+    convention): a driver looping over many corpora should call
+    ``result.candidate_cache.unpersist()`` after materializing each
+    result, or the dead pair caches accumulate until storage-memory
+    eviction (which would also make the Observation counters inexact
+    again). Single-shot queries can ignore it — session teardown
+    releases the cache."""
     candidate_pairs = candidate_pairs.persist()
     wanted = (
         candidate_pairs.select(
@@ -477,7 +486,7 @@ def ngram_jaccard_pairs(
     )
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
-    return (
+    out = (
         candidate_pairs.join(ga, "id_a")
         .join(gb, "id_b")
         .select(
@@ -489,6 +498,8 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+    out.candidate_cache = candidate_pairs  # release handle (docstring)
+    return out
 
 
 def dedup_lines_global(

@@ -230,3 +230,86 @@ def test_lossless_jpeg_dispatch_and_scope_gates():
     # single-pixel edge: only the default prediction is exercised
     one = np.array([[137]], dtype=np.uint8)
     assert np.array_equal(decode_image_bytes(encode_jpeg_lossless(one)), one)
+
+
+def test_jpeg_fill_bytes_and_profile_gates():
+    """Round-6 review fixes: legal 0xFF fill bytes before markers
+    parse (T.81 B.1.1.2); 12-bit DCT frames and 4-component frames
+    raise with the profile named instead of garbage/crashes."""
+    import struct as _struct
+
+    from snapflow_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    src = _structured_img(3)
+    blob = encode_jpeg(src, quality=90)
+    # inject fill bytes: after SOI and before EOI
+    padded = blob[:2] + b"\xff" + blob[2:-2] + b"\xff\xff" + blob[-2:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(blob))
+    # 12-bit SOF0: precision byte patched in a copy of the frame header
+    i = blob.find(b"\xff\xc0")
+    twelve = bytearray(blob)
+    twelve[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit DCT"):
+        decode_jpeg(bytes(twelve))
+    # 4-component (Adobe CMYK-shaped) stream: gray encode re-headered
+    # to declare 4 components would be malformed; instead assert the
+    # plane-count gate directly on the smallest well-formed shape —
+    # a 2-component frame built by duplicating the gray channel's SOS
+    # would still decode entropy fine and must hit the named raise,
+    # which the unit below exercises through the public entry point.
+    two = bytearray(encode_jpeg(src[:8, :8, 0]))  # gray: 1 component
+    i = two.find(b"\xff\xc0")
+    # declare a phantom second component reusing table/quant ids
+    seglen = _struct.unpack_from(">H", two, i + 2)[0]
+    frame = two[i + 4 : i + 2 + seglen]
+    patched = bytearray(frame)
+    patched[5] = 2  # nc = 2
+    patched += bytes([2, 0x11, 0])
+    two[i + 2 : i + 2 + seglen] = _struct.pack(">H", len(patched) + 2) + patched
+    with pytest.raises(Exception) as ei:
+        decode_jpeg(bytes(two))
+    # either the missing-scan check or the component gate names it —
+    # never a bare unpack crash
+    assert "missing scans" in str(ei.value) or "component JPEG" in str(ei.value)
+
+
+def test_tiff_predictor_without_lzw_and_even_offsets():
+    """Predictor=2 un-differences regardless of compression, and every
+    emitted offset (IFD, value arrays, segments) is word-aligned."""
+    import struct as _struct
+
+    from snapflow_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    # hand-build: uncompressed gray 1x4 with predictor 2 - samples are
+    # deltas [10, +5, -3, +1] -> pixels [10, 15, 12, 13]
+    pix = bytes([10, 5, 253, 1])
+
+    def entry(tag, typ, count, value4):
+        return _struct.pack("<HHI", tag, typ, count) + value4
+
+    entries = [
+        entry(256, 4, 1, _struct.pack("<I", 4)),
+        entry(257, 4, 1, _struct.pack("<I", 1)),
+        entry(258, 3, 1, _struct.pack("<HH", 8, 0)),
+        entry(259, 3, 1, _struct.pack("<HH", 1, 0)),  # uncompressed
+        entry(262, 3, 1, _struct.pack("<HH", 1, 0)),
+        entry(273, 4, 1, _struct.pack("<I", 8)),
+        entry(277, 3, 1, _struct.pack("<HH", 1, 0)),
+        entry(279, 4, 1, _struct.pack("<I", 4)),
+        entry(317, 3, 1, _struct.pack("<HH", 2, 0)),  # predictor 2
+    ]
+    ifd = _struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    blob = b"II*\x00" + _struct.pack("<I", 12) + pix + ifd
+    assert decode_tiff(blob).tolist() == [[10, 15, 12, 13]]
+
+    # word alignment: odd-length compressed segments must not shift
+    # the IFD or value arrays onto odd offsets
+    rng = np.random.default_rng(4)
+    for _ in range(6):
+        h, w = int(rng.integers(3, 40)), int(rng.integers(3, 40))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        for comp in ("none", "lzw", "packbits"):
+            b = encode_tiff(img, compression=comp, rows_per_strip=5)
+            (ifd_off,) = _struct.unpack_from("<I", b, 4)
+            assert ifd_off % 2 == 0, (h, w, comp)
+            assert np.array_equal(decode_tiff(b), img)
