@@ -109,21 +109,31 @@ def featurize_docs(
     num_buckets: int = 4096,
     salt: str = "qclf-v1",
     extra_cols: list[str] | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """One corpus scan -> (id [, extra], idx array<int>, val
     array<double>): sparse per-doc hashed-gram L1-normalized
     frequencies. Bucketing runs in codegen (sha2/conv exprs over the
     zip_with gram arrays); only the final bincount-collapse is an
     Arrow batch pass. Docs with zero letter tokens get an empty
-    feature list (they score sigmoid(bias) — the prior)."""
+    feature list (they score sigmoid(bias) — the prior).
+
+    ``tokens_col``: a PRE-TOKENIZED array column to featurize instead
+    of tokenizing ``text_col`` — pass it when the surrounding query
+    already pays word_tokens_expr for something else, so the corpus
+    is tokenized once (the q_text_quality clf branch does)."""
     extra = list(extra_cols or [])
     if {"idx", "val"} & {id_col, *extra}:
         raise ValueError(
             "featurize_docs writes 'idx'/'val' feature columns; rename "
             "the input columns that collide"
         )
+    toks = (
+        F.col(tokens_col) if tokens_col is not None
+        else word_tokens_expr(text_col)
+    )
     staged = docs.select(
-        F.col(id_col), *extra, word_tokens_expr(text_col).alias("__toks")
+        F.col(id_col), *extra, toks.alias("__toks")
     ).select(
         id_col, *extra,
         # coalesce: a NULL text yields NULL tokens/grams — treat as a
@@ -318,11 +328,14 @@ def score_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "quality_prob",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = P(high quality) per document: the same
     one-scan featurization fused with a broadcast-weights dot product
     (the weights ride the UDF closure once per executor). Filtering
-    is then ``df.where(F.col(out_col) >= t)`` — plain codegen."""
+    is then ``df.where(F.col(out_col) >= t)`` — plain codegen.
+    ``tokens_col`` forwards to featurize_docs (share a pre-tokenized
+    column; it is consumed, not passed through)."""
     if out_col in df.columns:
         raise ValueError(
             f"score_quality output column {out_col!r} already exists on "
@@ -342,10 +355,13 @@ def score_quality(
             out[out_col] = 1.0 / (1.0 + np.exp(-z))
             yield out
 
-    passthrough = [c for c in df.columns]
+    passthrough = [
+        c for c in df.columns if c != id_col and c != tokens_col
+    ]
     feats = featurize_docs(
         df, text_col, id_col, clf.num_buckets, clf.salt,
-        extra_cols=[c for c in passthrough if c != id_col],
+        extra_cols=passthrough,
+        tokens_col=tokens_col,
     )
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"

@@ -383,15 +383,16 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     clf_model = QualityClassifier(weights, 4096, "qclf-v1")
     from snapflow_spark.operators.retrieval import word_tokens_expr
 
-    # gram count without a second gram build: unigrams + bigrams of n
-    # tokens = n + max(n-1, 0) = max(2n-1, 0)
+    # one tokenize for the whole branch: featurize consumes the staged
+    # token column (tokens_col) and the gram count derives from it as
+    # max(2n-1, 0) — no second word_tokens_expr pass
     staged = d.select(
-        "doc_id", "lang", "text",
-        F.greatest(
-            F.size(word_tokens_expr("text")) * 2 - 1, F.lit(0)
-        ).cast("bigint").alias("__ng"),
+        "doc_id", "lang", word_tokens_expr("text").alias("__toks")
+    ).withColumn(
+        "__ng",
+        F.greatest(F.size("__toks") * 2 - 1, F.lit(0)).cast("bigint"),
     )
-    clf = score_quality(staged, clf_model).select(
+    clf = score_quality(staged, clf_model, tokens_col="__toks").select(
         F.lit("clf").alias("branch"),
         "doc_id",
         "lang",
