@@ -42,8 +42,6 @@ from snapflow_spark.multimodal.columns import BLOB_META_SCHEMA
 # [duration_ms, n_channels, rms, peak, mean, zero_crossing_rate]
 AUDIO_FEATURE_DIM = 6
 
-_COMPRESSED_MAGIC = (b"ID3", b"\xff\xfb", b"\xff\xf3", b"OggS")
-
 
 def sniff_audio_format(data: bytes) -> str:
     """Best-effort format name from magic bytes: 'wav', 'flac',
@@ -99,8 +97,26 @@ def _validate_external_audio(
         # fingerprints — silent mass false-dup territory.
         a = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int16)
     elif a.dtype != np.int16:
-        a = np.clip(a, -32768, 32767).astype(np.int16)
+        # integer PCM wider than int16 (an ffmpeg s32 binding):
+        # requantize with a uniform shift — clipping full-scale int32
+        # would saturate every sample into a ±32767 square wave, the
+        # same false-dup failure the float branch guards against
+        a = _requantize_int16(a.astype(np.int64))
     return a, int(rate)
+
+
+def _requantize_int16(a: np.ndarray) -> np.ndarray:
+    """Integer samples of any width -> int16 by the minimal uniform
+    right-shift that fits (shape-preserving gain step, never
+    saturation); already-in-range input (including -32768, whose
+    absolute value alone would mislead a plain peak check) passes
+    through unchanged."""
+    lo = int(a.min(initial=0))
+    hi = int(a.max(initial=0))
+    if lo >= -32768 and hi <= 32767:
+        return a.astype(np.int16)
+    shift = max(hi, -lo - 1).bit_length() - 15
+    return (a >> shift).astype(np.int16)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -174,6 +190,10 @@ def encode_wav_float(
 ) -> bytes:
     """(n,) or (n, ch) int16 -> IEEE-float WAV (format 3, 32/64-bit),
     samples scaled to [-1, 1] — the DAW/scientific flavor."""
+    if bits not in (32, 64):
+        # anything else would write float64 payload under a lying
+        # header (decode_wav and every external reader misparse it)
+        raise ValueError(f"IEEE-float WAV bits must be 32 or 64: {bits}")
     a = np.asarray(samples, dtype=np.int16)
     if a.ndim == 1:
         a = a[:, None]
@@ -206,10 +226,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             )
         # compare each magic at its own length — the prefixes range
         # from 2 bytes (MP3 frame sync) to 4 (OggS)
-        if any(data[: len(m)] == m for m in _COMPRESSED_MAGIC):
+        fmt_name = sniff_audio_format(data)
+        if fmt_name in ("mp3", "aac", "ogg"):
+            # the ONE sniffing rule (frame-sync + layer bits) — a
+            # stale magic list here mislabeled ADTS AAC / CRC MP3 as
+            # "not a RIFF/WAVE file" instead of the promised
+            # NotImplementedError naming the format
             raise NotImplementedError(
-                "compressed audio (MP3/AAC/OGG) needs a DSP decoder "
-                "not implementable with numpy alone"
+                f"compressed audio ({fmt_name}) needs a DSP decoder not "
+                "implementable with numpy alone; register an external "
+                "decoder via decode_audio_bytes(data, external=...)"
             )
         raise ValueError("not a RIFF/WAVE file")
     i = 12
@@ -343,7 +369,17 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
     """AUDIO_FEATURE_DIM stats of one decoded clip, on float samples
     normalized to [-1, 1]: duration_ms, n_channels, rms, peak, mean,
     zero-crossing rate (channel-mean, sign changes per sample)."""
-    a = np.asarray(samples, dtype=np.float64) / 32768.0
+    a = np.asarray(samples, dtype=np.float64)
+    # full-scale normalization by CARRIER WIDTH, not blindly int16:
+    # decode_flac returns int32 for 20/24-bit streams (its documented
+    # contract), and dividing those by 32768 put rms/peak up to 256x
+    # outside the [-1, 1] feature scale. Width ladder in whole bytes
+    # (16 -> 24 -> 32 bit) keeps 16-bit features bit-identical.
+    peak = float(np.abs(a).max(initial=0.0))
+    scale = 32768.0
+    while peak >= scale and scale < 2147483648.0:
+        scale *= 256.0
+    a = a / scale
     if a.ndim == 1:
         a = a[:, None]
     n, ch = a.shape
@@ -408,7 +444,7 @@ def attach_audio_blob(
         "meta",
         F.struct(
             F.lit("audio").alias("modality"),
-            F.when(F.col(id_col) % 5 == 4, F.lit("audio/flac"))
+            F.when(F.pmod(F.col(id_col), F.lit(5)) == 4, F.lit("audio/flac"))
             .otherwise(F.lit("audio/wav"))
             .alias("mime"),
             F.lit(0).cast("int").alias("width"),
@@ -469,15 +505,17 @@ def resample_audio(
                 n = samples.shape[0]
                 m = max(1, int(round(n * target_rate / rate)))
                 idx = np.minimum((np.arange(m) * n) // m, n - 1)
+                # decode_flac yields int32 for 20/24-bit streams; a
+                # bare astype(int16) would WRAP those mod 2^16 into
+                # garbage — requantize with a uniform shift instead
+                samples = _requantize_int16(np.asarray(samples, np.int64))
                 if raw[:4] == b"fLaC":
                     # re-encode in the SOURCE container so the row's
                     # mime metadata stays truthful (16-bit streams:
                     # int32 decode values fit int16 exactly)
                     from snapflow_spark.multimodal.flac import encode_flac
 
-                    blobs.append(
-                        encode_flac(samples[idx].astype(np.int16), target_rate)
-                    )
+                    blobs.append(encode_flac(samples[idx], target_rate))
                 else:
                     blobs.append(encode_wav(samples[idx], target_rate))
             out[blob_col] = blobs

@@ -109,11 +109,17 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
             h = int(tok[1:])
         elif tok[:1] == b"F":
             num, den = tok[1:].split(b":")
+            if int(den) <= 0 or int(num) <= 0:
+                raise ValueError(
+                    f"Y4M frame rate invalid: F{tok[1:].decode()!r}"
+                )
             fps = int(round(int(num) / int(den)))
         elif tok[:1] == b"C":
             cs = tok
-    if w is None or h is None or fps is None:
-        raise ValueError("Y4M header missing W/H/F")
+    if w is None or h is None or not fps:
+        # fps=0 would pass a bare None-check and later crash frame
+        # timing (1000*idx/fps) deep inside a mapInPandas stage
+        raise ValueError("Y4M header missing or invalid W/H/F")
     if cs == b"Cmono":
         channels = 1
     elif cs == b"C444":
@@ -451,9 +457,13 @@ def attach_video_blob(
                 if int(doc_id) % 5 == 4:
                     blobs.append(encode_avi_mjpeg(frames, fps, quality=95))
                 elif int(doc_id) % 5 == 2:
+                    # synthesize_video returns (T,H,W,C) with C=1 for
+                    # mono — expand on the LAST axis (the old ndim==3
+                    # guard never fired and mono hit encode_gif's
+                    # (-1,3) palette reshape as a crash)
                     rgb = (
-                        np.repeat(frames[..., None], 3, axis=-1)
-                        if frames.ndim == 3
+                        np.repeat(frames, 3, axis=-1)
+                        if frames.shape[-1] == 1
                         else frames
                     )
                     blobs.append(encode_gif(rgb, fps))
@@ -472,8 +482,8 @@ def attach_video_blob(
         "meta",
         F.struct(
             F.lit("video").alias("modality"),
-            F.when(F.col(id_col) % 5 == 4, F.lit("video/x-msvideo"))
-            .when(F.col(id_col) % 5 == 2, F.lit("image/gif"))
+            F.when(F.pmod(F.col(id_col), F.lit(5)) == 4, F.lit("video/x-msvideo"))
+            .when(F.pmod(F.col(id_col), F.lit(5)) == 2, F.lit("image/gif"))
             .otherwise(F.lit("video/x-yuv4mpeg"))
             .alias("mime"),
             F.lit(width).cast("int").alias("width"),

@@ -304,9 +304,13 @@ def test_external_decoder_output_validation():
     s, r = dab(_fake_mp3(1), {"mp3": lambda b: (np.array([0.5, -1.0, 2.0]), 8000)})
     assert s.dtype == np.int16 and r == 8000
     assert s[:, 0].tolist() == [16384, -32767, 32767]  # scaled + clipped
-    # int samples pass through with clipping only
+    # wide-int samples requantize with a uniform shift (never
+    # saturate — see test_wide_pcm_requantizes_never_wraps_or_saturates)
     s, _ = dab(_fake_mp3(1), {"mp3": lambda b: (np.array([100, 70000]), 8000)})
-    assert s[:, 0].tolist() == [100, 32767]
+    assert s[:, 0].tolist() == [25, 17500]  # >> 2, shape preserved
+    # in-range ints pass through bit-identical
+    s, _ = dab(_fake_mp3(1), {"mp3": lambda b: (np.array([100, -32768]), 8000)})
+    assert s[:, 0].tolist() == [100, -32768]
     # float frames in [0,1] scale onto uint8 (skimage/torch convention)
     from snapflow_spark.multimodal.video import decode_video_bytes as dvb
 

@@ -164,3 +164,55 @@ def test_unsupported_wav_format_still_raises():
     blob = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="unsupported WAV codec"):
         decode_wav(blob)
+
+
+# ------------------------------------------------------------------ #
+# Round-6 review fixes (audio-side)
+# ------------------------------------------------------------------ #
+def test_wide_pcm_requantizes_never_wraps_or_saturates():
+    """int32 PCM (decode_flac's 20/24-bit contract, ffmpeg s32
+    bindings) requantizes with a uniform shift: no mod-2^16 wrap, no
+    square-wave saturation, features stay on the [-1, 1] scale."""
+    from snapflow_spark.multimodal.audio import (
+        _requantize_int16,
+        _validate_external_audio,
+        audio_features,
+    )
+
+    wave = (100_000 * np.sin(0.05 * np.arange(2000))).astype(np.int64)
+    q = _requantize_int16(wave)
+    assert q.dtype == np.int16
+    # shape preserved (correlation ~1), not wrapped/saturated
+    c = np.corrcoef(q.astype(np.float64), wave.astype(np.float64))[0, 1]
+    assert c > 0.999 and int(np.abs(q).max()) <= 32767
+    assert (np.abs(q) >= 32700).mean() < 0.05  # not a clipped square
+    # int16-range input passes through bit-identical
+    small = np.arange(-100, 100, dtype=np.int64)
+    assert np.array_equal(_requantize_int16(small), small.astype(np.int16))
+    # feature scaling: 24-bit-scale samples stay within [-1, 1]
+    feats = audio_features(wave.reshape(-1, 1) * 64, 16000)  # ~23-bit peak
+    assert feats[3] <= 1.0  # peak
+    # external int decoder path uses the same requantize
+    s, _ = _validate_external_audio((wave * 20000, 16000), "mp3")
+    assert int(np.abs(s).max()) <= 32767 and (np.abs(s) >= 32700).mean() < 0.05
+
+
+def test_compressed_audio_raise_names_the_format():
+    """decode_wav's unsupported-format path shares sniff_audio_format:
+    ADTS AAC and CRC MP3 sync variants get the promised
+    NotImplementedError, not 'not a RIFF/WAVE file'."""
+    from snapflow_spark.multimodal.audio import decode_audio_bytes
+
+    for blob, name in ((b"\xff\xf1AAC?", "aac"), (b"\xff\xfaMP3?", "mp3"),
+                       (b"OggSxxxx", "ogg"), (b"ID3\x04rest", "mp3")):
+        with pytest.raises(NotImplementedError, match=name):
+            decode_audio_bytes(blob)
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_audio_bytes(b"garbage!")
+
+
+def test_float_wav_bits_validated():
+    from snapflow_spark.multimodal.audio import encode_wav_float
+
+    with pytest.raises(ValueError, match="32 or 64"):
+        encode_wav_float(np.zeros(8, np.int16), bits=16)

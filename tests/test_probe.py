@@ -75,3 +75,31 @@ def test_decode_error_names_the_codec():
         decode_video_bytes(_mini_mp4())
     with pytest.raises(NotImplementedError, match="EBML/webm"):
         decode_video_bytes(_mini_webm())
+
+
+def test_mono_gif_video_blob_and_y4m_fps_guards():
+    """Round-6 review fixes (video-side): mono clips route through the
+    GIF branch without the palette reshape crash (doc_id % 15 == 12),
+    and zero/invalid Y4M frame rates fail at parse, not deep inside a
+    frame-timing division."""
+    import numpy as np
+    import pytest as _pytest
+
+    from snapflow_spark.multimodal.gif import decode_gif_frames
+    from snapflow_spark.multimodal.video import decode_y4m, synthesize_video
+
+    # replicate attach_video_blob's mono-GIF branch directly
+    frames = synthesize_video(b"seed", n_frames=4, width=8, height=8, channels=1)
+    assert frames.shape[-1] == 1
+    from snapflow_spark.multimodal.gif import encode_gif
+
+    rgb = np.repeat(frames, 3, axis=-1)
+    dec, _delay = decode_gif_frames(encode_gif(rgb, 10))
+    assert dec.shape[0] == 4
+
+    hdr_ok = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\nFRAME\n" + b"\x00" * 12
+    assert decode_y4m(hdr_ok)[1] == 25
+    for bad in (b"F0:1", b"F25:0"):
+        blob = b"YUV4MPEG2 W2 H2 " + bad + b" C444\nFRAME\n" + b"\x00" * 12
+        with _pytest.raises(ValueError, match="frame rate|invalid W/H/F"):
+            decode_y4m(blob)
