@@ -377,7 +377,11 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
     # (16 -> 24 -> 32 bit) keeps 16-bit features bit-identical.
     peak = float(np.abs(a).max(initial=0.0))
     scale = 32768.0
-    while peak >= scale and scale < 2147483648.0:
+    # strict > : the full-scale NEGATIVE sample (-32768 int16, -2^23
+    # int24) has abs() exactly equal to the carrier scale and must stay
+    # on its rung (normalizing to exactly -1.0), not bump to the next
+    # width and shrink every feature 256x.
+    while peak > scale and scale < 2147483648.0:
         scale *= 256.0
     a = a / scale
     if a.ndim == 1:

@@ -264,7 +264,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise ValueError("tiled TIFF missing tile geometry/offsets")
         across = -(-w // tw)
         down = -(-h // tl)
-        if len(offsets) < across * down:
+        if min(len(offsets), len(counts)) < across * down:
             raise ValueError("tiled TIFF missing tiles")
         a = np.zeros((h, w, spp), dtype=acc_dt)
         for idx in range(across * down):

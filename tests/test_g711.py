@@ -216,3 +216,22 @@ def test_float_wav_bits_validated():
 
     with pytest.raises(ValueError, match="32 or 64"):
         encode_wav_float(np.zeros(8, np.int16), bits=16)
+
+
+def test_full_scale_negative_sample_stays_on_its_carrier_rung():
+    """ADVICE r6: abs(-32768) == the 16-bit scale exactly; the carrier
+    ladder must use strict >, else a clip containing int16 min is
+    normalized as 24-bit and every feature shrinks 256x, so
+    near-identical loud clips land far apart in feature space."""
+    from snapflow_spark.multimodal.audio import audio_features
+
+    hot = np.array([-32768, 100, -5, 7], dtype=np.int64)
+    near = np.array([-32767, 100, -5, 7], dtype=np.int64)
+    f_hot = audio_features(hot, 16000)
+    f_near = audio_features(near, 16000)
+    assert f_hot[3] == 1.0  # peak normalizes to exactly |-1.0|
+    assert abs(f_hot[3] - f_near[3]) < 1e-4
+    assert abs(f_hot[2] - f_near[2]) < 1e-4  # rms agrees too
+    # 24-bit full-scale negative stays on the 24-bit rung the same way
+    hot24 = np.array([-(2**23), 1000], dtype=np.int64)
+    assert audio_features(hot24, 16000)[3] == 1.0

@@ -216,3 +216,17 @@ def test_dispatch_and_both_byte_order_magics():
 
     src = _img(6, 5, 3, seed=8)
     assert np.array_equal(decode_image_bytes(encode_tiff(src, "lzw")), src)
+
+
+def test_truncated_tile_byte_counts_raises_clean_valueerror():
+    """ADVICE r6: a malformed tiled TIFF whose TileByteCounts array is
+    shorter than TileOffsets must hit the documented ValueError, not a
+    bare IndexError at counts[idx]."""
+    src = (np.arange(32 * 48, dtype=np.uint8).reshape(32, 48) % 251)
+    blob = bytearray(encode_tiff(src, tile=(16, 16)))
+    i = blob.find(struct.pack("<H", 325))  # TileByteCounts IFD entry
+    tag, typ, cnt = struct.unpack_from("<HHI", blob, i)
+    assert (tag, cnt) == (325, 6)
+    struct.pack_into("<I", blob, i + 4, cnt - 2)  # shorten counts array
+    with pytest.raises(ValueError, match="missing tiles"):
+        decode_tiff(bytes(blob))
