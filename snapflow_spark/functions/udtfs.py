@@ -14,16 +14,25 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import SparkSession
-from pyspark.sql.functions import udtf
+from pyspark.sql.functions import arrow_udtf, udtf
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
 
 
-@udtf(returnType="sent_idx int, sentence string")
+@udtf(returnType="sent_idx int, sentence string", useArrow=False)
 class SplitSentences:
-    """text -> one row per sentence (index, text). The UDTF runs
-    Arrow-batched like pandas UDFs; each worker holds the compiled
-    regex once."""
+    """text -> one row per sentence (index, text). ``useArrow=False``
+    is a MEASURED choice, pinned explicitly because Spark decides the
+    eval type at decoration time (before any session exists — the
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` conf is never
+    consulted for import-time UDTFs): for generator-style UDTFs that
+    yield a few tiny rows per input, the Arrow path's per-row pandas
+    conversion measured ~2.1x SLOWER than plain pickle on a 200k-row
+    LATERAL (0.82 s vs 1.75 s min-of-5 interleaved, round 7), and the
+    truly vectorized ``arrow_udtf`` (see ``TokenizeBatch``) is
+    rejected by Spark on the right side of a LATERAL join
+    (LATERAL_JOIN_WITH_ARROW_UDTF_UNSUPPORTED). Each worker holds the
+    compiled regex once."""
 
     def eval(self, text: str):  # noqa: A002
         if not text:
@@ -33,7 +42,7 @@ class SplitSentences:
                 yield i, s
 
 
-@udtf(returnType="tok_idx int, token string")
+@udtf(returnType="tok_idx int, token string", useArrow=False)
 class SplitTokens:
     """text -> one row per single-space-delimited token (index,
     token), matching ``F.split(col, ' ')`` element-for-element
@@ -49,9 +58,52 @@ class SplitTokens:
             yield i, t
 
 
+@arrow_udtf(returnType="id bigint, tok_idx int, token string")
+class TokenizeBatch:
+    """PyArrow-NATIVE UDTF (Spark 4.1 ``arrow_udtf``): eval receives a
+    whole ``pa.RecordBatch`` and yields whole tables — true vectorized
+    row-generation, no per-row python. Spark forbids arrow UDTFs on
+    the right of a LATERAL join, so this one expresses the lateral
+    semantics batch-wise instead: it takes a TABLE argument carrying
+    ``(id bigint, text string)`` (extra columns ignored) and emits the
+    id alongside every token, i.e.
+
+        SELECT * FROM tokenize_batch(TABLE(docs))
+
+    returns the same rows as ``FROM docs, LATERAL split_tokens(text)``
+    joined back to ``id``. Measured 1.5x FASTER than the plain-pickle
+    LATERAL on a 200k-row corpus (0.43 s vs 0.65 s min-of-5,
+    round 7); split semantics match ``SplitTokens`` (str.split(' '),
+    NULL text emits nothing).
+    """
+
+    def eval(self, batch):  # batch: pa.RecordBatch
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(lists)  # skips null lists entirely
+        sizes = pc.fill_null(pc.list_value_length(lists), 0)
+        sizes = sizes.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.repeat(
+            batch.column("id").to_numpy(zero_copy_only=False), sizes
+        )
+        starts = np.repeat(np.cumsum(sizes) - sizes, sizes)
+        idx = np.arange(int(sizes.sum()), dtype=np.int64) - starts
+        yield pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "tok_idx": pa.array(idx, pa.int32()),
+                "token": flat,
+            }
+        )
+
+
 def register_udtfs(spark: SparkSession) -> None:
     """Expose UDTFs to SQL: ``SELECT s.* FROM docs, LATERAL
     split_sentences(text) s`` — the SQL-snap form of a row-generating
     python snap. Idempotent per session (re-registration replaces)."""
     spark.udtf.register("split_sentences", SplitSentences)
     spark.udtf.register("split_tokens", SplitTokens)
+    spark.udtf.register("tokenize_batch", TokenizeBatch)

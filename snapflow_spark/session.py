@@ -33,6 +33,12 @@ def tune(spark: SparkSession) -> SparkSession:
     # skew story depends on AQE splitting oversized join partitions
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # spark.sql.execution.pythonUDTF.arrow.enabled is deliberately NOT
+    # set: each UDTF in functions/udtfs.py pins useArrow explicitly at
+    # the decorator (the conf is only consulted at decoration time
+    # anyway, i.e. before any session exists for import-time UDTFs),
+    # and the Arrow eval path measured ~2x SLOWER than plain pickle
+    # for generator-style UDTFs — see the SplitSentences docstring.
     # InferFiltersFromGenerate synthesizes `size(arr) > 0` under every
     # explode(), and predicate pushdown then SUBSTITUTES the full array
     # expression into a Filter at the FileScan — for this engine's

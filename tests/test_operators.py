@@ -593,3 +593,35 @@ def test_asof_join_tolerance_interval_on_timestamps(spark):
         ).collect()
     }
     assert out == {10: "old", 0: None}
+
+
+def test_pyarrow_native_udtf_table_arg_parity(spark):
+    """Spark 4.1 arrow_udtf: eval sees whole RecordBatches (true
+    vectorized row generation). Spark forbids arrow UDTFs in LATERAL,
+    so tokenize_batch takes a TABLE argument and carries the id
+    through; its output must match both the plain-UDTF LATERAL form
+    and the JVM explode form row-for-row, including NULL/empty text
+    and consecutive-delimiter semantics."""
+    from snapflow_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b  c"), (2, None), (3, ""), (4, "solo")],
+        "id long, text string",
+    ).createOrReplaceTempView("tokba_docs")
+    batch = spark.sql(
+        "SELECT * FROM tokenize_batch(TABLE(tokba_docs)) ORDER BY id, tok_idx"
+    ).collect()
+    lateral = spark.sql(
+        "SELECT id, t.tok_idx, t.token FROM tokba_docs, "
+        "LATERAL split_tokens(text) t ORDER BY id, tok_idx"
+    ).collect()
+    exploded = spark.sql(
+        "SELECT id, CAST(pos AS int) AS tok_idx, tok AS token FROM tokba_docs "
+        "LATERAL VIEW posexplode(split(text, ' ')) AS pos, tok ORDER BY id, tok_idx"
+    ).collect()
+    as_tuples = lambda rows: [(r.id, r.tok_idx, r.token) for r in rows]  # noqa: E731
+    assert as_tuples(batch) == as_tuples(lateral) == as_tuples(exploded)
+    # '' splits to [''], consecutive delimiters produce an empty token
+    assert as_tuples(batch)[:4] == [(1, 0, "a"), (1, 1, "b"), (1, 2, ""), (1, 3, "c")]
+    assert (3, 0, "") in as_tuples(batch) and all(t[0] != 2 for t in as_tuples(batch))
