@@ -6,7 +6,11 @@ Runs every declared query from ``snapflow_spark.registry`` at
 followed by a compact bounded-size summary line:
 
     {"metric": "...", "unit": "sec", "queries": {...}, ..., "value": N}
-    {"metric": "...", ..., "slowest_warm": {...}, "value": N, "value_warm": N}
+    {"metric": "...", ..., "slowest_warm": {...}, "value_cold": N, "value": N}
+
+``value`` (the driver headline) is the min-of-3 WARM total — the
+contention-proof steady-state number; the single-shot cold pass is
+reported as ``value_cold`` (round-7 change, see run()).
 
 (the driver records a bounded tail of stdout and parses the LAST
 line — r02/r03 both lost the head of a too-long last line, so the
@@ -83,18 +87,17 @@ def run(sf_dir: str, names: list[str]) -> dict:
 
     # Two passes: pass 1 includes residual first-touch costs (file
     # listing, codegen compiles for each query shape); pass 2 is the
-    # steady state a long-running cluster sees. Headline value stays
-    # the COLD pass total; `queries_warm`/`value_warm` carry the
-    # honest steady-state numbers. Caveat vs BENCH_r01: r01 let
-    # persisted candidate sets accumulate across queries (skewing its
-    # late queries via storage eviction), while this harness clears
-    # cache between queries — the r01 comparison is indicative, the
-    # warm pass is the number to trend.
-    # Cold pass stays single-shot: first-touch costs (file listing,
-    # per-query codegen compile) only happen once, so a min-of-N cold
-    # pass would just be a second warm pass. The warm pass is min-of-3
-    # so one contended sample can't inflate the steady-state number.
-    timings = one_pass()
+    # steady state a long-running cluster sees. HEADLINE `value` is
+    # the WARM min-of-3 total (round-7 change, per the round-6
+    # verdict): the single-shot cold pass absorbs host steal directly
+    # — BENCH_r06's cold read +28% over r05 purely from loadavg 9.4
+    # while the warm total IMPROVED in the same run — so trending cold
+    # lets a contended box fake a 2x regression. Cold stays reported
+    # as `value_cold`/`queries_cold` (first-touch costs are real, they
+    # just happen once and shouldn't headline). Cold stays single-shot:
+    # a min-of-N cold pass would just be a second warm pass.
+    cold_loadavg = round(os.getloadavg()[0], 2)
+    cold = one_pass()
     warm = one_pass(repeats=3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -105,17 +108,22 @@ def run(sf_dir: str, names: list[str]) -> dict:
     return {
         "metric": "total_wall_sec_all_declared_queries",
         "unit": "sec",
-        "queries": timings,
-        "queries_warm": warm,
+        "queries": warm,
+        "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "n_queries": len(timings),
+        "n_queries": len(warm),
         "cpus": int(cpus),
-        # 1-minute loadavg at end of run: >~4 means external steal was
-        # present and absolutes (esp. the single-shot cold pass) are
-        # inflated — trend the warm min-of-3 numbers instead.
+        # 1-minute loadavg before the cold pass / at end of run: >~4
+        # means external steal was present and the single-shot cold
+        # numbers are inflated; the min-of-3 warm headline resists it.
+        "loadavg_cold_1m": cold_loadavg,
         "loadavg_1m": round(os.getloadavg()[0], 2),
-        "value": round(sum(timings.values()), 3),
+        "value_cold": round(sum(cold.values()), 3),
+        # value == value_warm: `value` is what the driver headlines,
+        # `value_warm` is kept so r04-r06 cross-round warm trends keep
+        # a stable key to read.
         "value_warm": round(sum(warm.values()), 3),
+        "value": round(sum(warm.values()), 3),
     }
 
 
@@ -131,7 +139,7 @@ def main() -> None:
     # + the 8 slowest warm queries) so the final line always parses.
     print(json.dumps(result))
     slowest = dict(
-        sorted(result["queries_warm"].items(), key=lambda kv: -kv[1])[:8]
+        sorted(result["queries"].items(), key=lambda kv: -kv[1])[:8]
     )
     summary = {
         "metric": result["metric"],
@@ -140,10 +148,11 @@ def main() -> None:
         "n_queries": result["n_queries"],
         "cpus": result["cpus"],
         "loadavg_1m": result["loadavg_1m"],
-        "warm_protocol": "min_of_3",
+        "headline_protocol": "warm_min_of_3",
         "slowest_warm": slowest,
-        "value": result["value"],
+        "value_cold": result["value_cold"],
         "value_warm": result["value_warm"],
+        "value": result["value"],
     }
     print(json.dumps(summary))
 
