@@ -175,6 +175,30 @@ def _dedup_lines(
     return dedup_lines_global(input, text_col=text_col, id_col=id_col)
 
 
+def _excise_spans(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    n: int = 8,
+    min_span_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """core.excise_spans: span-level removal of cross-document
+    verbatim duplication — cut the copied token span, keep the rest
+    (operators.dedup_text.excise_shared_spans, ExactSubstr shape)."""
+    from snapflow_spark.operators.dedup_text import excise_shared_spans
+
+    return excise_shared_spans(
+        input,
+        text_col=text_col,
+        id_col=id_col,
+        n=int(n),
+        min_span_tokens=None if min_span_tokens is None else int(min_span_tokens),
+        priority_col=priority_col,
+    )
+
+
 def _bm25(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -342,6 +366,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.pack": _pack,
     "core.cap": _cap,
     "core.dedup_lines": _dedup_lines,
+    "core.excise_spans": _excise_spans,
     "core.bm25": _bm25,
     "core.dsir": _dsir,
     "core.frequent_items": _frequent_items,

@@ -205,3 +205,125 @@ def test_split_and_sample_threshold_consistency(docs):
         ).collect()
     }
     assert test_ids == sampled
+
+
+def _excised(spark, rows, **kw):
+    from snapflow_spark.operators.dedup_text import excise_shared_spans
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return {
+        r.doc_id: (r.text, r.n_excised_spans, r.n_excised_tokens)
+        for r in excise_shared_spans(df, n=4, **kw).collect()
+    }
+
+
+def test_excise_shared_spans_planted_leak(spark):
+    """ExactSubstr shape (Lee et al. 2022): a verbatim leak planted
+    inside a longer doc is cut from the lower-priority doc while the
+    SURROUNDING text survives byte-exact; the keeper and clean docs
+    come back untouched."""
+    leak = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    rows = [
+        (1, "benchmark item: " + leak),  # keeper (min doc_id)
+        (2, "intro   words here " + leak + " trailing  tail text"),
+        (3, "completely unrelated document with no overlap at all here"),
+    ]
+    got = _excised(spark, rows)
+    assert got[1] == ("benchmark item: " + leak, 0, 0)  # keeper untouched
+    assert got[3][0] == rows[2][1] and got[3][1:] == (0, 0)  # clean untouched
+    # victim: leak gone, surroundings byte-exact incl. original runs
+    # of whitespace ("intro   words", "trailing  tail")
+    assert got[2] == ("intro   words here trailing  tail text", 1, 10)
+
+
+def test_excise_trailing_span_and_whole_doc(spark):
+    leak = "alpha beta gamma delta epsilon zeta"  # 6 toks
+    rows = [
+        (1, leak),                      # keeper holds the whole text
+        (2, "prefix words stay " + leak),  # trailing cut
+        (3, leak),                      # duplicated WHOLE doc -> empty
+    ]
+    got = _excised(spark, rows)
+    assert got[1] == (leak, 0, 0)
+    assert got[2] == ("prefix words stay", 1, 6)  # no trailing whitespace
+    assert got[3] == ("", 1, 6)
+
+
+def test_excise_min_span_threshold_and_priority(spark):
+    """min_span_tokens drops short merged spans AFTER merging; a
+    priority column (not doc_id) picks the keeper."""
+    leak = "one two three four five"  # 5 tokens: spans of 5 with n=4
+    rows = [
+        (1, "aa bb " + leak + " cc dd"),
+        (2, leak + " unrelated trailing words here"),
+    ]
+    # threshold above the span length -> nothing excised anywhere
+    got = _excised(spark, rows, min_span_tokens=6)
+    assert got[1][1:] == (0, 0) and got[2][1:] == (0, 0)
+    assert got[1][0] == rows[0][1] and got[2][0] == rows[1][1]
+    # priority flips the keeper: doc 2 outranks doc 1
+    from snapflow_spark.operators.dedup_text import excise_shared_spans
+
+    df = spark.createDataFrame(
+        [r + (9 - r[0],) for r in rows], "doc_id bigint, text string, rank bigint"
+    )
+    got2 = {
+        r.doc_id: (r.text, r.n_excised_spans)
+        for r in excise_shared_spans(df, n=4, priority_col="rank").collect()
+    }
+    assert got2[2][0] == rows[1][1]  # keeper now doc 2 (rank 7 < 8)
+    assert got2[1] == ("aa bb cc dd", 1)
+
+
+def test_excise_composes_into_curation_pipeline(spark):
+    """Excision slots between dedup and the split/pack stages of the
+    curation pipeline: exact dedup -> span excision -> deterministic
+    split -> packing, over the documents table plus one planted
+    contaminated pair; schema and determinism survive the composition."""
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.functions.text import token_count_expr
+    from snapflow_spark.operators.dedup_text import (
+        exact_dedup,
+        excise_shared_spans,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    leak = " ".join(f"leaked{i}" for i in range(12))
+    extra = spark.createDataFrame(
+        [
+            (900001, "en", "keeper doc carrying " + leak),
+            (900002, "en", "victim prefix " + leak + " victim suffix"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    base = d.unionByName(extra)
+    keep = exact_dedup(base, text_col="text", id_col="doc_id").select("doc_id")
+    surg = excise_shared_spans(
+        base.join(keep, "doc_id", "left_semi"), n=8
+    )
+    out = split_by_hash(
+        surg.withColumn("n_toks", token_count_expr("text")), test_frac=0.1
+    )
+    packed = pack_sequences(
+        out.where(F.col("split") == "train"),
+        budget=512,
+        token_col="n_toks",
+        partition_col="lang",
+    )
+    assert packed.count() > 0
+    vict = {r.doc_id: r for r in surg.where(F.col("doc_id") > 900000).collect()}
+    assert vict[900002].text == "victim prefix victim suffix"
+    assert vict[900002].n_excised_tokens == 12
+    assert vict[900001].text.endswith(leak)  # keeper intact
+    # determinism: a second run assigns identical splits + texts
+    again = split_by_hash(
+        excise_shared_spans(
+            base.join(keep, "doc_id", "left_semi"), n=8
+        ).withColumn("n_toks", token_count_expr("text")),
+        test_frac=0.1,
+    )
+    a = {(r.doc_id, r.split, r.text) for r in out.collect()}
+    b = {(r.doc_id, r.split, r.text) for r in again.collect()}
+    assert a == b

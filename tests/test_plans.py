@@ -748,3 +748,41 @@ def test_yaml_builtin_perceptual_dedup(spark, tmp_path):
         for r in image_near_dup_pairs(blobs, max_hamming=4).collect()
     )
     assert got == exp == [(0, 1)]
+
+
+def test_yaml_builtin_excise_spans(spark, tmp_path):
+    """core.excise_spans wires ExactSubstr span removal into a YAML
+    pipeline: the planted leak is cut from the lower-priority doc,
+    surroundings byte-exact, keeper untouched, counters populated."""
+    from snapflow_spark.plans import load_graph
+
+    leak = " ".join(f"tok{i}" for i in range(9))
+    cfg = {
+        "warehouse": str(tmp_path / "wh_excise"),
+        "sources": [{"name": "docs"}],
+        "nodes": [
+            {
+                "name": "surgical",
+                "function": "core.excise_spans",
+                "upstream": "docs",
+                "params": {"n": 6, "priority_col": "rank"},
+                "overwrite": True,
+            },
+        ],
+    }
+    df = spark.createDataFrame(
+        [
+            (1, 5, "front matter " + leak + " back matter"),
+            (2, 1, "the keeper holds " + leak + " forever"),
+            (3, 9, "clean doc with nothing shared at all here ok"),
+        ],
+        "doc_id long, rank long, text string",
+    )
+    g = load_graph(cfg)
+    g.pipeline.sources["docs"].append(df)
+    assert g.produce(spark) == 1
+    got = {r.doc_id: r for r in g.read(spark, "surgical").collect()}
+    assert got[2].text == "the keeper holds " + leak + " forever"
+    assert got[1].text == "front matter back matter"
+    assert (got[1].n_excised_spans, got[1].n_excised_tokens) == (1, 9)
+    assert got[3].text.startswith("clean doc") and got[3].n_excised_tokens == 0
