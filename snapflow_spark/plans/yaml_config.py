@@ -338,6 +338,95 @@ def _semantic_dedup(
     )
 
 
+class _ImportedDecoder:
+    """A ``module:function`` import path as a callable that resolves
+    LAZILY on whatever process calls it. This is the executor-shipping
+    contract for YAML-declared decoders: pickling an instance carries
+    only the path string (this class lives in the engine package,
+    which every worker can import), and the user's module is imported
+    at first call INSIDE the worker — so config-declared decoders need
+    the module importable on executors (``--py-files`` /
+    ``sc.addPyFile``), never pickled by value. Resolution errors name
+    the path."""
+
+    def __init__(self, path: str) -> None:
+        if ":" not in path:
+            raise ValueError(
+                f"decoder path must be 'module:function': {path!r}"
+            )
+        self.path = path
+        self._fn = None
+
+    def __call__(self, raw):
+        if self._fn is None:
+            import importlib
+
+            mod, _, attr = self.path.partition(":")
+            try:
+                self._fn = getattr(importlib.import_module(mod), attr)
+            except (ImportError, AttributeError) as e:
+                raise ImportError(
+                    f"cannot resolve YAML decoder {self.path!r} on this "
+                    f"worker (is the module shipped via --py-files?): {e}"
+                ) from e
+        return self._fn(raw)
+
+
+def _resolve_decoders(spec: dict | None) -> dict | None:
+    """``decoders: {mp3: mymod:decode_mp3}`` -> the ``external=``
+    dict the multimodal fused stages take (keys: audio =
+    sniff_audio_format names; video = probe fourcc then container)."""
+    if not spec:
+        return None
+    return {str(fmt): _ImportedDecoder(str(path)) for fmt, path in spec.items()}
+
+
+def _audio_dedup(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    max_hamming: int = 10,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    decoders: dict | None = None,
+) -> DataFrame:
+    """core.audio_dedup: perceptual near-duplicate audio pairs
+    (multimodal.fingerprints.audio_near_dup_pairs). ``decoders``
+    routes compressed formats (mp3/aac/ogg) through user decode
+    functions declared as import paths — see _ImportedDecoder."""
+    from snapflow_spark.multimodal import audio_near_dup_pairs
+
+    return audio_near_dup_pairs(
+        input,
+        max_hamming=int(max_hamming),
+        blob_col=blob_col,
+        id_col=id_col,
+        external=_resolve_decoders(decoders),
+    )
+
+
+def _video_dedup(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    max_hamming: int = 8,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    decoders: dict | None = None,
+) -> DataFrame:
+    """core.video_dedup: perceptual near-duplicate video pairs
+    (multimodal.fingerprints.video_near_dup_pairs); ``decoders`` keys
+    are probe keys, most specific first (track fourcc like avc1, then
+    container like mp4/webm)."""
+    from snapflow_spark.multimodal import video_near_dup_pairs
+
+    return video_near_dup_pairs(
+        input,
+        max_hamming=int(max_hamming),
+        blob_col=blob_col,
+        id_col=id_col,
+        external=_resolve_decoders(decoders),
+    )
+
+
 def _image_dedup(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -373,6 +462,8 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,
     "core.image_dedup": _image_dedup,
+    "core.audio_dedup": _audio_dedup,
+    "core.video_dedup": _video_dedup,
 }
 
 

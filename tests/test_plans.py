@@ -786,3 +786,84 @@ def test_yaml_builtin_excise_spans(spark, tmp_path):
     assert got[1].text == "front matter back matter"
     assert (got[1].n_excised_spans, got[1].n_excised_tokens) == (1, 9)
     assert got[3].text.startswith("clean doc") and got[3].n_excised_tokens == 0
+
+
+def test_yaml_declared_external_decoders(spark, tmp_path):
+    """VERDICT r6 #5: `decoders: {mp3: module:function}` in a node
+    config threads into the fused multimodal stages without python
+    glue. The decoder is declared as an IMPORT PATH, shipped to
+    executors via addPyFile (the --py-files production story), and
+    resolved lazily inside the worker; a bad path fails loudly naming
+    the module."""
+    import numpy as np
+    import pytest
+
+    from snapflow_spark.multimodal.audio import encode_wav
+    from snapflow_spark.plans import load_graph
+    from snapflow_spark.plans.yaml_config import _ImportedDecoder
+
+    # the user decoder module: a deterministic DSP that reproduces the
+    # seeded tone carried in the fake-MP3 blob (seed in bytes 3:11)
+    mod = tmp_path / "yamldec_audio.py"
+    mod.write_text(
+        "import numpy as np\n\n"
+        "def decode_mp3(raw):\n"
+        "    rng = np.random.default_rng(int.from_bytes(bytes(raw)[3:11], 'little'))\n"
+        "    t = np.arange(8000) / 16000.0\n"
+        "    x = np.zeros(8000)\n"
+        "    for _ in range(4):\n"
+        "        f = rng.uniform(300, 3500)\n"
+        "        amp = rng.uniform(2000, 6000)\n"
+        "        am = rng.uniform(1, 5)\n"
+        "        x += amp * np.sin(2*np.pi*f*t) * (1 + 0.3*np.sin(2*np.pi*am*t))\n"
+        "    return np.clip(x, -32768, 32767).astype(np.int16), 16000\n"
+    )
+    spark.sparkContext.addPyFile(str(mod))
+
+    def tone(seed):
+        rng = np.random.default_rng(seed)
+        t = np.arange(8000) / 16000.0
+        x = np.zeros(8000)
+        for _ in range(4):
+            f = rng.uniform(300, 3500)
+            amp = rng.uniform(2000, 6000)
+            am = rng.uniform(1, 5)
+            x += amp * np.sin(2 * np.pi * f * t) * (1 + 0.3 * np.sin(2 * np.pi * am * t))
+        return np.clip(x, -32768, 32767).astype(np.int16)
+
+    fake_mp3 = lambda seed: b"ID3" + int(seed).to_bytes(8, "little")  # noqa: E731
+    rows = [
+        (0, bytearray(encode_wav(tone(10), 16000))),
+        (1, bytearray(fake_mp3(10))),   # same material, MP3 container
+        (2, bytearray(fake_mp3(10))),   # exact MP3 dup
+        (3, bytearray(fake_mp3(11))),   # different material
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    cfg = {
+        "warehouse": str(tmp_path / "wh_dec"),
+        "sources": [{"name": "clips"}],
+        "nodes": [
+            {
+                "name": "dups",
+                "function": "core.audio_dedup",
+                "upstream": {"input": {"node": "clips", "mode": "reference"}},
+                "params": {
+                    "max_hamming": 10,
+                    "decoders": {"mp3": "yamldec_audio:decode_mp3"},
+                },
+            }
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["clips"].append(df)
+    assert g.produce(spark) == 1
+    pairs = {(r.id_a, r.id_b) for r in g.read(spark, "dups").collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    assert not any(3 in p for p in pairs)
+    # validation: malformed path fails at config time, unresolvable
+    # module fails at call time naming the path
+    with pytest.raises(ValueError, match="module:function"):
+        _ImportedDecoder("no_colon_here")
+    bad = _ImportedDecoder("definitely_missing_module:fn")
+    with pytest.raises(ImportError, match="definitely_missing_module"):
+        bad(b"xx")
