@@ -49,7 +49,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from snapflow_spark.operators.curation import _hash_bucket
@@ -369,3 +369,47 @@ def score_quality(
         if f.name not in ("idx", "val")
     )
     return feats.mapInPandas(_score, schema=f"{fields}, {out_col} double")
+
+
+def pareto_noise_keep(
+    score_col: str = "quality_prob",
+    id_col: str = "doc_id",
+    alpha: float = 9.0,
+    salt: str = "pareto",
+) -> Column:
+    """The GPT-3 document-filtering rule (Appendix A): rather than a
+    hard cliff at a score threshold, keep a document iff
+
+        score > 1 - X,   X ~ Pareto(alpha)
+
+    (numpy.random.pareto's Lomax form, survival (1+x)^-alpha) — so
+    high-score docs are almost always kept, boundary docs are admitted
+    at a smoothly-decaying rate P(keep) = (2 - score)^-alpha, and even
+    low-score docs keep a heavy-tailed trickle (the paper's stated
+    reason: some in-distribution docs score poorly and a cliff would
+    systematically exclude whole genres).
+
+    Deterministic in the engine's standard way: the noise draw derives
+    from sha256(salt || id) — u = first-8-hex / 2^32, X by inverse CDF
+    (1-u)^(-1/alpha) - 1 — never rand(), so the keep DECISION is
+    bit-stable across repartitions, reruns, and engines (a SQL oracle
+    replays the identical expression). All codegen, no UDF. Returns a
+    boolean Column to pass to ``where``."""
+    if alpha <= 0:
+        raise ValueError(f"pareto alpha must be > 0: {alpha}")
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit(salt), F.col(id_col).cast("string")), 256
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    x = F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0)
+    return F.col(score_col) > (F.lit(1.0) - x)

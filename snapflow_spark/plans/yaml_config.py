@@ -251,6 +251,7 @@ def _quality_filter(
     input: DataFrame,  # noqa: A002
     positive_where: str,
     threshold: float | None = None,
+    pareto_alpha: float | None = None,
     num_buckets: int = 4096,
     iters: int = 30,
     text_col: str = "text",
@@ -262,13 +263,24 @@ def _quality_filter(
     boolean over the input's columns, the core.dsir convention) and
     the rest of the input as the reject class. Every row comes back
     with a ``quality_prob`` column; a ``threshold`` turns the node
-    into the filter itself (WHERE quality_prob >= threshold)."""
+    into the filter itself (WHERE quality_prob >= threshold), while
+    ``pareto_alpha`` instead applies the paper's OWN keep rule —
+    score > 1 - Pareto(alpha) noise, deterministic from sha256(id)
+    (classifier.pareto_noise_keep) — which admits boundary docs at a
+    smoothly-decaying rate instead of a cliff. Mutually exclusive."""
     from pyspark.sql import functions as F
 
     from snapflow_spark.operators.classifier import (
+        pareto_noise_keep,
         score_quality,
         train_from_predicate,
     )
+
+    if threshold is not None and pareto_alpha is not None:
+        raise ValueError(
+            "quality_filter: threshold and pareto_alpha are mutually "
+            "exclusive keep rules"
+        )
 
     clf = train_from_predicate(
         input,
@@ -281,6 +293,10 @@ def _quality_filter(
     scored = score_quality(input, clf, text_col=text_col, id_col=id_col)
     if threshold is not None:
         scored = scored.where(F.col("quality_prob") >= float(threshold))
+    elif pareto_alpha is not None:
+        scored = scored.where(
+            pareto_noise_keep(id_col=id_col, alpha=float(pareto_alpha))
+        )
     return scored
 
 

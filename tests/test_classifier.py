@@ -280,3 +280,85 @@ def test_null_text_and_collision_guards(spark):
     scored = score_quality(df, clf)
     with pytest.raises(ValueError, match="already exists"):
         score_quality(scored, clf)
+
+
+def test_pareto_noise_keep_rates_and_stability(spark):
+    """The GPT-3 keep rule score > 1 - Pareto(alpha): boundary docs
+    are admitted at the closed-form rate P = (2 - score)^-alpha, the
+    decision is bit-stable across repartition (noise from sha256(id),
+    not rand()), and monotone in score."""
+    from snapflow_spark.operators.classifier import pareto_noise_keep
+
+    n = 20_000
+    base = spark.range(n).withColumnRenamed("id", "doc_id")
+    for score, alpha in ((0.5, 2.0), (0.9, 9.0), (0.2, 9.0)):
+        df = base.withColumn("quality_prob", F.lit(float(score)))
+        kept = df.where(pareto_noise_keep(alpha=alpha)).count()
+        expected = (2.0 - score) ** (-alpha)
+        assert abs(kept / n - expected) < 0.02, (score, alpha, kept / n)
+    # bit-stable: same keep SET regardless of partitioning, twice
+    df = base.withColumn("quality_prob", F.lit(0.5))
+    a = {r.doc_id for r in df.where(pareto_noise_keep(alpha=2.0)).collect()}
+    b = {
+        r.doc_id
+        for r in df.repartition(7)
+        .where(pareto_noise_keep(alpha=2.0))
+        .collect()
+    }
+    assert a == b and len(a) > 0
+    # monotone: a doc kept at score s stays kept at any higher score
+    lo = {r.doc_id for r in base.withColumn("quality_prob", F.lit(0.3))
+          .where(pareto_noise_keep(alpha=9.0)).collect()}
+    hi = {r.doc_id for r in base.withColumn("quality_prob", F.lit(0.8))
+          .where(pareto_noise_keep(alpha=9.0)).collect()}
+    assert lo <= hi
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        pareto_noise_keep(alpha=0.0)
+
+
+def test_quality_filter_yaml_pareto(spark, tmp_path):
+    """pareto_alpha on core.quality_filter: no hard cliff — some docs
+    below any fixed cutoff survive, high scorers almost all survive,
+    and the node output is deterministic across two produces."""
+    from snapflow_spark.plans import load_graph
+
+    docs = _docs(spark, n=160)
+
+    def graph(wh):
+        cfg = {
+            "warehouse": str(tmp_path / wh),
+            "sources": [{"name": "docs"}],
+            "nodes": [
+                {
+                    "name": "kept",
+                    "function": "core.quality_filter",
+                    "upstream": {"input": {"node": "docs", "mode": "reference"}},
+                    "params": {
+                        "positive_where": "label = 1",
+                        "pareto_alpha": 9.0,
+                        "num_buckets": 512,
+                        "iters": 20,
+                    },
+                }
+            ],
+        }
+        g = load_graph(cfg)
+        g.pipeline.sources["docs"].append(docs)
+        assert g.produce(spark) == 1
+        return {(r.doc_id, round(r.quality_prob, 12)) for r in g.read(spark, "kept").collect()}
+
+    kept1 = graph("wh_par1")
+    kept2 = graph("wh_par2")
+    assert kept1 == kept2 and len(kept1) > 0
+    # mutually exclusive knobs raise loudly
+    import pytest
+
+    from snapflow_spark.plans.yaml_config import _quality_filter
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _quality_filter(
+            spark, docs, positive_where="label = 1",
+            threshold=0.5, pareto_alpha=9.0,
+        )
