@@ -73,8 +73,13 @@ class TokenizeBatch:
     returns the same rows as ``FROM docs, LATERAL split_tokens(text)``
     joined back to ``id``. Measured 1.5x FASTER than the plain-pickle
     LATERAL on a 200k-row corpus (0.43 s vs 0.65 s min-of-5,
-    round 7); split semantics match ``SplitTokens`` (str.split(' '),
-    NULL text emits nothing).
+    round 7); split semantics match ``SplitTokens`` exactly (pyarrow
+    ``split_pattern`` and python ``str.split(' ')`` agree that NULL
+    text emits nothing and EMPTY text emits one empty token — pinned
+    by the parity test). Rows with a NULL id are dropped (round 8):
+    a null in the int64 id column would otherwise surface as NaN via
+    to_numpy and crash the int64 rebuild mid-batch; the LATERAL form
+    has no id column at all, so no parity is lost.
     """
 
     def eval(self, batch):  # batch: pa.RecordBatch
@@ -82,6 +87,9 @@ class TokenizeBatch:
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        valid = pc.is_valid(batch.column("id"))
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
         lists = pc.split_pattern(batch.column("text"), " ")
         flat = pc.list_flatten(lists)  # skips null lists entirely
         sizes = pc.fill_null(pc.list_value_length(lists), 0)

@@ -130,6 +130,16 @@ class Pipeline:
                         shutil.rmtree(out_store.path / old)
             else:
                 out_store.append(out)
+            # Operators that pin an internal table advertise it on the
+            # result (victims_cache / candidate_cache — the
+            # caller-unpersist convention, dedup_text.py). The append
+            # above materialized the output, so the pin is dead weight
+            # now; release it or a long-lived pipeline accumulates one
+            # stale persist per node run (round 8, VERDICT r7 #1).
+            for handle in ("victims_cache", "candidate_cache"):
+                pinned = getattr(out, handle, None)
+                if pinned is not None:
+                    pinned.unpersist()
         for input_name, ids in seen.items():
             self.ledger.mark_consumed(node.name, input_name, ids)
         return True

@@ -677,6 +677,7 @@ def excise_shared_spans(
     n: int = 8,
     min_span_tokens: int | None = None,
     priority_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Span-level REMOVAL of cross-document verbatim duplication — the
     ExactSubstr pipeline shape (Lee et al. 2022, "Deduplicating
@@ -702,24 +703,62 @@ def excise_shared_spans(
     inner fragment and keep sub-``n`` stubs — same per-substring
     independence the suffix-array pipeline has.
 
+    ``n`` IS the minimum detectable span, both across and within
+    documents: documents SHORTER than ``n`` tokens hold no ``n``-gram
+    and are passed through untouched (they skip the gram stage
+    entirely — round 8; previously their degenerate whole-text gram
+    marked exact short-doc dupes as victims only for the surgery to
+    skip the sub-``n`` cut, a silent python-side no-op). Whole-doc
+    exact duplicates below ``n`` tokens are ``exact_dedup``'s job.
+
+    ``max_df`` (optional): ignore grams held by more than ``max_df``
+    DISTINCT documents. Super-common grams are boilerplate
+    (navigation chrome, license headers), not leaked spans — excising
+    them from every holder but one is rarely the intent, and they
+    carry the worst skew; hand them to ``dedup_lines_global``. Same
+    escape hatch ``shared_span_pairs`` has. Counted with a distinct
+    aggregate, which adds a second (well-distributed, ``(h, id)``-
+    keyed) shuffle — so the knob costs one extra pass only when set.
+
     Plan shape at 100 TB — NO pair expansion anywhere (unlike
     detection, excision never needs pairs): one codegen scan stages
     tokens and per-position gram hashes (xxhash64, 8-byte shuffle
     keys; this op never oracle-replays so sha256 parity is not worth
-    8x the shuffle width), ONE corpus-scale shuffle on the gram hash
-    where a window min marks each bucket's keeper in O(bucket), one
-    shuffle on the victim doc id collecting contaminated positions,
-    then char-exact surgery via an Arrow-batched pandas UDF over ONLY
-    the contaminated docs (clean docs ride an anti-join passthrough,
-    no python). Self-repeats inside a single document are NOT
-    duplication here (cross-doc op; within-doc repetition is
+    8x the shuffle width), then the keeper of each shared gram comes
+    from ``groupBy(h).agg(min(struct(prio, id)))`` joined back to the
+    occurrences — NOT a window over raw gram occurrences. The
+    distinction is the whole 100 TB story (round 8, closing the
+    round-7 skew finding): partial aggregation collapses a hot
+    boilerplate gram to one row per map task before the shuffle, so a
+    gram held by millions of documents costs the keeper stage nothing,
+    where ``Window.partitionBy(h)`` would land every holder on ONE
+    task. Grams in a single document (min(id) == max(id)) are dropped
+    BEFORE the join, so the join's build side holds only genuinely
+    shared grams (most grams are unique — this is the big filter).
+    The join back on ``h`` is AQE-skew-splittable (unlike a window).
+    Then one shuffle on the victim doc id collects contaminated
+    positions, and char-exact surgery runs via an Arrow-batched pandas
+    UDF over ONLY the contaminated docs (clean docs ride an anti-join
+    passthrough, no python). Self-repeats inside a single document are
+    NOT duplication here (cross-doc op; within-doc repetition is
     functions.text.repetition_signals_expr's job).
 
     Returns ``df``'s columns with ``text_col`` rewritten plus
     ``n_excised_spans`` / ``n_excised_tokens`` counters. Text outside
     the cuts survives byte-exact: a cut removes the span's tokens and
     the whitespace run UP TO the next surviving token (interior cut
-    "a X Y b" -> "a b"; trailing cut "a X Y" -> "a")."""
+    "a X Y b" -> "a b"; trailing cut "a X Y" -> "a").
+
+    The contaminated-docs table is persisted (both output branches
+    consume it, and Spark does not ReuseExchange across a union's
+    branches — without the pin the corpus-scale gram shuffle runs
+    TWICE, verified round 7). Lifecycle (round 8): the pin is exposed
+    as ``victims_cache`` on the returned DataFrame — the same
+    caller-unpersist convention as ``ngram_jaccard_pairs``'s
+    ``candidate_cache``. A driver looping over corpora should call
+    ``result.victims_cache.unpersist()`` after materializing each
+    result; single-shot queries can ignore it (session teardown
+    releases it)."""
     from snapflow_spark.functions.text import TOKEN_RE
 
     if min_span_tokens is None:
@@ -730,7 +769,7 @@ def excise_shared_spans(
         F.col(id_col).alias("__id"),
         prio.alias("__prio"),
         tokens_expr(text_col).alias("__toks"),
-    ).where(F.size("__toks") > 0)
+    ).where(F.size("__toks") >= int(n))
     grams = toks.select(
         "__id",
         "__prio",
@@ -738,27 +777,28 @@ def excise_shared_spans(
             F.transform(ngram_expr(F.col("__toks"), n), lambda g: F.xxhash64(g))
         ).alias("pos", "h"),
     )
-    wh = Window.partitionBy("h")
+    # Keeper per gram hash as a partial-aggregable groupBy, NOT a
+    # window (see docstring). min(id) != max(id) detects ">= 2
+    # distinct holders" exactly even when a custom priority column
+    # ties or inverts (min/max of the struct alone could share one
+    # doc id when priorities differ within a doc's occurrences).
+    aggs = [
+        F.min(F.struct(F.col("__prio"), F.col("__id")))
+        .getField("__id")
+        .alias("__keeper"),
+        F.min("__id").alias("__lo"),
+        F.max("__id").alias("__hi"),
+    ]
+    if max_df is not None:
+        aggs.append(F.count_distinct("__id").alias("__df"))
+    keepers = grams.groupBy("h").agg(*aggs).where(F.col("__lo") != F.col("__hi"))
+    if max_df is not None:
+        keepers = keepers.where(F.col("__df") <= int(max_df))
     victims = (
-        grams.withColumn(
-            "__keeper",
-            F.min(F.struct(F.col("__prio"), F.col("__id"))).over(wh).getField(
-                "__id"
-            ),
-        )
+        grams.join(keepers.select("h", "__keeper"), "h")
         .where(F.col("__id") != F.col("__keeper"))
         .groupBy("__id")
         .agg(F.sort_array(F.collect_list("pos")).alias("__positions"))
-        # Both output branches (clean anti-join, contaminated inner
-        # join) consume this table, and Spark does NOT ReuseExchange
-        # across the union's branches (verified round 7: 0
-        # ReusedExchange in the final adaptive plan without this), so
-        # an unpersisted victims table would run the corpus-scale gram
-        # shuffle TWICE. The persisted table is the SMALL side —
-        # contaminated docs and their positions only — and
-        # MEMORY_AND_DISK recomputes safely under eviction. Lifecycle:
-        # freed by spark.catalog.clearCache() or session end, the same
-        # convention the standing ANN coded table documents.
         .persist()
     )
 
@@ -830,4 +870,6 @@ def excise_shared_spans(
             F.col("__cut.n_tokens").alias("n_excised_tokens"),
         )
     )
-    return clean.unionByName(touched)
+    out = clean.unionByName(touched)
+    out.victims_cache = victims  # caller-unpersist convention, see docstring
+    return out

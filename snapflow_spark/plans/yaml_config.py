@@ -183,10 +183,12 @@ def _excise_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     priority_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """core.excise_spans: span-level removal of cross-document
     verbatim duplication — cut the copied token span, keep the rest
-    (operators.dedup_text.excise_shared_spans, ExactSubstr shape)."""
+    (operators.dedup_text.excise_shared_spans, ExactSubstr shape).
+    ``max_df`` ignores boilerplate grams held by more documents."""
     from snapflow_spark.operators.dedup_text import excise_shared_spans
 
     return excise_shared_spans(
@@ -196,6 +198,7 @@ def _excise_spans(
         n=int(n),
         min_span_tokens=None if min_span_tokens is None else int(min_span_tokens),
         priority_col=priority_col,
+        max_df=None if max_df is None else int(max_df),
     )
 
 
@@ -371,6 +374,19 @@ class _ImportedDecoder:
                 f"decoder path must be 'module:function': {path!r}"
             )
         self.path = path
+        self._fn = None
+
+    def __getstate__(self):
+        # Only the path crosses the wire EVEN IF the instance was
+        # already called on the driver (round 8, ADVICE r7): without
+        # this, a resolved _fn lands in __dict__ and gets pickled too
+        # — by value under cloudpickle for __main__ functions, which
+        # is exactly the executor-shipping failure this class exists
+        # to prevent.
+        return {"path": self.path}
+
+    def __setstate__(self, state):
+        self.path = state["path"]
         self._fn = None
 
     def __call__(self, raw):

@@ -207,14 +207,18 @@ def test_split_and_sample_threshold_consistency(docs):
     assert test_ids == sampled
 
 
-def _excised(spark, rows, **kw):
+def _excised(spark, rows, n=4, **kw):
     from snapflow_spark.operators.dedup_text import excise_shared_spans
 
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
-    return {
-        r.doc_id: (r.text, r.n_excised_spans, r.n_excised_tokens)
-        for r in excise_shared_spans(df, n=4, **kw).collect()
-    }
+    out = excise_shared_spans(df, n=n, **kw)
+    try:
+        return {
+            r.doc_id: (r.text, r.n_excised_spans, r.n_excised_tokens)
+            for r in out.collect()
+        }
+    finally:
+        out.victims_cache.unpersist()
 
 
 def test_excise_shared_spans_planted_leak(spark):
@@ -267,12 +271,76 @@ def test_excise_min_span_threshold_and_priority(spark):
     df = spark.createDataFrame(
         [r + (9 - r[0],) for r in rows], "doc_id bigint, text string, rank bigint"
     )
-    got2 = {
-        r.doc_id: (r.text, r.n_excised_spans)
-        for r in excise_shared_spans(df, n=4, priority_col="rank").collect()
-    }
+    out = excise_shared_spans(df, n=4, priority_col="rank")
+    got2 = {r.doc_id: (r.text, r.n_excised_spans) for r in out.collect()}
+    out.victims_cache.unpersist()
     assert got2[2][0] == rows[1][1]  # keeper now doc 2 (rank 7 < 8)
     assert got2[1] == ("aa bb cc dd", 1)
+
+
+def test_excise_keeper_is_partial_agg_not_window(spark):
+    """VERDICT r7 #2 (de-skew): a boilerplate gram planted in EVERY
+    doc must not route through a window over raw gram occurrences —
+    the keeper comes from a partial-aggregable groupBy + join, so the
+    physical plan contains NO Window node; output semantics are the
+    window form's (every holder but the min-(prio,id) doc loses the
+    span)."""
+    from snapflow_spark.operators.dedup_text import excise_shared_spans
+
+    boiler = "all rights reserved by the example site"  # 7 toks
+    rows = [
+        (i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} " + boiler)
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = excise_shared_spans(df, n=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = {r.doc_id: r for r in out.collect()}
+    out.victims_cache.unpersist()
+    assert got[1].text == rows[0][1]  # keeper (min id) untouched
+    for i in range(2, 9):
+        assert got[i].text == f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        assert got[i].n_excised_tokens == 7
+
+
+def test_excise_max_df_skips_boilerplate(spark):
+    """max_df: a gram held by more distinct docs than the cap is
+    boilerplate — left in place everywhere — while a rarer leak is
+    still excised. Doc frequency is DISTINCT docs: within-doc repeats
+    don't count toward the cap."""
+    boiler = "standard footer text appears on every page"  # 7 toks
+    leak = "rare leaked span of unique tokens here"        # 7 toks
+    rows = [(i, f"body {i} " + boiler) for i in range(1, 7)]  # 6 distinct docs
+    # the leak occurs 6 times across the corpus (5 in the keeper, 1 in
+    # the victim) but in only 2 DISTINCT docs: with max_df=5 the boiler
+    # (df=6) is skipped while the leak (df=2) is excised — and an
+    # occurrence-counting implementation would wrongly skip the leak
+    # too (6 occurrences > 5)
+    rows += [
+        (7, "keeper carries " + " ".join([leak] * 5)),
+        (8, "victim has " + leak + " tail word"),
+    ]
+    got = _excised(spark, rows, max_df=5)
+    for i in range(1, 7):
+        assert got[i][1:] == (0, 0) and boiler in got[i][0]
+    assert got[7][1:] == (0, 0)
+    assert got[8] == ("victim has tail word", 1, 7)
+
+
+def test_excise_short_docs_pass_through(spark):
+    """Docs shorter than n tokens hold no n-gram: exact short-doc
+    duplicates pass through UNTOUCHED (no victim marking, no python) —
+    'n is the minimum detectable span' (ADVICE r7; whole-doc dupes
+    below n are exact_dedup's job)."""
+    rows = [
+        (1, "tiny duplicate doc"),   # 3 toks < n=4, duplicated
+        (2, "tiny duplicate doc"),
+        (3, "a long enough document with many unique tokens inside"),
+    ]
+    got = _excised(spark, rows)
+    for i, text in ((1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1])):
+        assert got[i] == (text, 0, 0)
 
 
 def test_excise_composes_into_curation_pipeline(spark):
@@ -303,6 +371,7 @@ def test_excise_composes_into_curation_pipeline(spark):
     surg = excise_shared_spans(
         base.join(keep, "doc_id", "left_semi"), n=8
     )
+    pins = [surg.victims_cache]
     out = split_by_hash(
         surg.withColumn("n_toks", token_count_expr("text")), test_frac=0.1
     )
@@ -318,12 +387,13 @@ def test_excise_composes_into_curation_pipeline(spark):
     assert vict[900002].n_excised_tokens == 12
     assert vict[900001].text.endswith(leak)  # keeper intact
     # determinism: a second run assigns identical splits + texts
+    surg2 = excise_shared_spans(base.join(keep, "doc_id", "left_semi"), n=8)
+    pins.append(surg2.victims_cache)
     again = split_by_hash(
-        excise_shared_spans(
-            base.join(keep, "doc_id", "left_semi"), n=8
-        ).withColumn("n_toks", token_count_expr("text")),
-        test_frac=0.1,
+        surg2.withColumn("n_toks", token_count_expr("text")), test_frac=0.1
     )
     a = {(r.doc_id, r.split, r.text) for r in out.collect()}
     b = {(r.doc_id, r.split, r.text) for r in again.collect()}
     assert a == b
+    for p in pins:
+        p.unpersist()

@@ -606,22 +606,27 @@ def test_pyarrow_native_udtf_table_arg_parity(spark):
 
     register_udtfs(spark)
     spark.createDataFrame(
-        [(1, "a b  c"), (2, None), (3, ""), (4, "solo")],
+        [(1, "a b  c"), (2, None), (3, ""), (4, "solo"), (None, "x y")],
         "id long, text string",
     ).createOrReplaceTempView("tokba_docs")
     batch = spark.sql(
         "SELECT * FROM tokenize_batch(TABLE(tokba_docs)) ORDER BY id, tok_idx"
     ).collect()
+    # NULL-id rows are dropped by tokenize_batch (documented: the id
+    # column must identify the row; a null would NaN-poison the int64
+    # rebuild) — filter them from the reference forms for the compare
     lateral = spark.sql(
         "SELECT id, t.tok_idx, t.token FROM tokba_docs, "
-        "LATERAL split_tokens(text) t ORDER BY id, tok_idx"
+        "LATERAL split_tokens(text) t WHERE id IS NOT NULL ORDER BY id, tok_idx"
     ).collect()
     exploded = spark.sql(
         "SELECT id, CAST(pos AS int) AS tok_idx, tok AS token FROM tokba_docs "
-        "LATERAL VIEW posexplode(split(text, ' ')) AS pos, tok ORDER BY id, tok_idx"
+        "LATERAL VIEW posexplode(split(text, ' ')) AS pos, tok "
+        "WHERE id IS NOT NULL ORDER BY id, tok_idx"
     ).collect()
     as_tuples = lambda rows: [(r.id, r.tok_idx, r.token) for r in rows]  # noqa: E731
     assert as_tuples(batch) == as_tuples(lateral) == as_tuples(exploded)
+    assert all(t[0] is not None for t in as_tuples(batch))
     # '' splits to [''], consecutive delimiters produce an empty token
     assert as_tuples(batch)[:4] == [(1, 0, "a"), (1, 1, "b"), (1, 2, ""), (1, 3, "c")]
     assert (3, 0, "") in as_tuples(batch) and all(t[0] != 2 for t in as_tuples(batch))

@@ -788,6 +788,24 @@ def test_yaml_builtin_excise_spans(spark, tmp_path):
     assert got[3].text.startswith("clean doc") and got[3].n_excised_tokens == 0
 
 
+def test_imported_decoder_pickles_path_only():
+    """ADVICE r7: an _ImportedDecoder that has ALREADY been called on
+    the driver (resolved _fn cached in __dict__) must still serialize
+    as just its path — the resolved function is re-imported lazily on
+    the deserializing process, never shipped by value."""
+    import pickle
+
+    from snapflow_spark.plans.yaml_config import _ImportedDecoder
+
+    d = _ImportedDecoder("json:loads")
+    assert d('{"a": 1}') == {"a": 1}  # resolve on the "driver"
+    assert d._fn is not None
+    assert d.__getstate__() == {"path": "json:loads"}
+    clone = pickle.loads(pickle.dumps(d))
+    assert clone._fn is None and clone.path == "json:loads"
+    assert clone('{"b": 2}') == {"b": 2}  # lazy re-resolve still works
+
+
 def test_yaml_declared_external_decoders(spark, tmp_path):
     """VERDICT r6 #5: `decoders: {mp3: module:function}` in a node
     config threads into the fused multimodal stages without python
