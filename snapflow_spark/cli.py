@@ -52,6 +52,18 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--merges", type=int, default=4000)
     tb.add_argument("--min-count", type=int, default=1)
     tb.add_argument("--max-word-types", type=int, default=1_000_000)
+    tu = sub.add_parser(
+        "train-unigram",
+        help="train a unigram-LM (SentencePiece-style) tokenizer on the "
+        "documents table, save tokenizer.json",
+    )
+    tu.add_argument("out", help="output path for the tokenizer artifact (JSON)")
+    tu.add_argument("--sf", default=DEFAULT_SF_DIR)
+    tu.add_argument("--vocab-size", type=int, default=8000)
+    tu.add_argument("--min-count", type=int, default=1)
+    tu.add_argument("--max-word-types", type=int, default=1_000_000)
+    tu.add_argument("--max-piece-len", type=int, default=8)
+    tu.add_argument("--seed-size", type=int, default=100_000)
     tq = sub.add_parser(
         "train-quality",
         help="train the LR quality classifier on the documents table "
@@ -87,6 +99,30 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"trained: {args.buckets} buckets, {args.iters} iters, "
             f"bias {clf.weights[-1]:+.4f} -> {args.out}"
+        )
+        return 0
+
+    if args.cmd == "train-unigram":
+        from snapflow_spark.catalog import load_table
+        from snapflow_spark.functions.unigram import train_unigram
+        from snapflow_spark.session import build_session, tune
+
+        spark = build_session("cli-train-unigram")
+        spark.sparkContext.setLogLevel("ERROR")
+        tune(spark)
+        docs = load_table(spark, args.sf, "documents")
+        tok = train_unigram(
+            docs,
+            vocab_size=args.vocab_size,
+            min_count=args.min_count,
+            max_word_types=args.max_word_types,
+            max_piece_len=args.max_piece_len,
+            seed_size=args.seed_size,
+        )
+        tok.save(args.out)
+        print(
+            f"trained: unigram vocab {len(tok.vocab)} "
+            f"(max piece {tok.max_piece_len}) -> {args.out}"
         )
         return 0
 

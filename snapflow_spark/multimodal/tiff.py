@@ -5,18 +5,22 @@ uncompressed (1), TIFF-LZW (5, the MSB-first variant WITH the spec's
 "early change" code-width bump and optional horizontal-differencing
 predictor) and PackBits (32773, the Macintosh RLE). Photometric
 gray (0/1, MinIsWhite inverted), RGB (2) and palette (3, 16-bit
-colormap scaled to 8). 8- and 16-bit samples (16-bit downscales via
-the high byte, the PNG path's convention), chunky planar config, and
-both STRIP and TILE layouts (round 6: a tile is a strip with a 2-D
-geometry — one shared segment decoder assembles either; edge tiles
-are padded to full size per TIFF 6.0 §15, the layout scanned-document
-archives actually use).
+colormap scaled to 8 — with 8- OR 16-bit indices, round 8). 8- and
+16-bit samples (16-bit non-palette downscales via the high byte, the
+PNG path's convention; palette indices stay raw for the lookup),
+BOTH planar configurations (chunky 1 and the plane-major separate
+layout 2, round 8 — each strip/tile carries one component plane,
+segments ordered all-of-plane-0 first), and both STRIP and TILE
+layouts (round 6: a tile is a strip with a 2-D geometry — one shared
+segment decoder assembles either; edge tiles are padded to full size
+per TIFF 6.0 §15, the layout scanned-document archives actually use).
 
-Encoder twin writes gray/RGB, uint8 or uint16, with any of the three
-compressions, multi-strip or tiled, optional predictor (per-sample
-differencing at both depths) — so every decode path round-trips
-bit-exactly (TIFF is lossless; 16-bit round-trips are exact on the
-high byte). planar=2 raises explicitly with the tag value named.
+Encoder twin writes gray/RGB/palette, uint8 or uint16, with any of
+the three compressions, multi-strip or tiled, chunky or planar=2,
+optional predictor (per-sample differencing at both depths) — so
+every decode path round-trips bit-exactly (TIFF is lossless; 16-bit
+round-trips are exact on the high byte; palette round-trips exact
+through the v*257 // 257 colormap scaling).
 
 Note the LZW here is NOT the GIF one (multimodal/gif.py): GIF packs
 codes LSB-first with the width bump a code later; TIFF packs
@@ -226,14 +230,21 @@ def decode_tiff(data: bytes) -> np.ndarray:
     spp = val(277, 1)
     planar = val(284, 1)
     predictor = val(317, 1)
-    if planar != 1:
-        raise NotImplementedError(f"TIFF planar configuration {planar} unsupported")
+    if planar not in (1, 2):
+        raise ValueError(f"invalid TIFF planar configuration {planar}")
+    # planar=2 (round 8): each strip/tile carries ONE component plane;
+    # the segment sequence is plane-major (all of sample 0's segments,
+    # then sample 1's, ... — TIFF 6.0 §"PlanarConfiguration": for
+    # planar=2 StripOffsets holds SamplesPerPixel * StripsPerImage
+    # entries). Decode per-plane with 1 channel and stack.
+    nchan = spp if planar == 1 else 1
 
     def _segment(seg: bytes, rows: int, cols: int) -> np.ndarray:
-        """One strip/tile -> (rows, cols, spp) samples. A tile is just
-        a strip with a 2-D layout: same compression, same per-row
-        predictor, only the (rows, cols) geometry differs."""
-        expected = rows * cols * spp * (depth // 8)
+        """One strip/tile -> (rows, cols, nchan) samples. A tile is
+        just a strip with a 2-D layout: same compression, same per-row
+        predictor, only the (rows, cols) geometry differs; under
+        planar=2 a segment holds one plane (nchan=1)."""
+        expected = rows * cols * nchan * (depth // 8)
         if comp == 1:
             dec = seg[:expected]
         elif comp == 5:
@@ -242,8 +253,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
             dec = _packbits_decode(seg, expected)
         else:
             raise NotImplementedError(f"TIFF compression {comp} unsupported")
-        a = np.frombuffer(dec, sample_dt, count=rows * cols * spp).reshape(
-            rows, cols, spp
+        a = np.frombuffer(dec, sample_dt, count=rows * cols * nchan).reshape(
+            rows, cols, nchan
         )
         if predictor == 2:
             # horizontal differencing is per SAMPLE VALUE, so for
@@ -252,9 +263,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
             # tied to LZW — a Predictor=2 file with uncompressed or
             # PackBits data must un-difference too (round-6 review:
             # the old comp==5 gate returned raw deltas as pixels).
+            # Under planar=2 the row holds ONE plane's samples, so the
+            # same per-value cumsum is the per-plane differencing.
             a = np.cumsum(a, axis=1, dtype=acc_dt)
         return a.astype(acc_dt)
 
+    n_planes = spp if planar == 2 else 1
     if 322 in tags or 323 in tags:
         # tiled layout (TIFF 6.0 §15): a grid of fixed-size tiles,
         # each padded to full (tl, tw) at the right/bottom edges
@@ -264,33 +278,47 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise ValueError("tiled TIFF missing tile geometry/offsets")
         across = -(-w // tw)
         down = -(-h // tl)
-        if min(len(offsets), len(counts)) < across * down:
+        per_plane = across * down
+        if min(len(offsets), len(counts)) < per_plane * n_planes:
             raise ValueError("tiled TIFF missing tiles")
         a = np.zeros((h, w, spp), dtype=acc_dt)
-        for idx in range(across * down):
-            ty, tx = divmod(idx, across)
-            seg = _segment(data[offsets[idx] : offsets[idx] + counts[idx]], tl, tw)
-            y0, x0 = ty * tl, tx * tw
-            a[y0 : y0 + tl, x0 : x0 + tw] = seg[: h - y0, : w - x0]
+        for p_i in range(n_planes):
+            for idx in range(per_plane):
+                ty, tx = divmod(idx, across)
+                si = p_i * per_plane + idx
+                seg = _segment(
+                    data[offsets[si] : offsets[si] + counts[si]], tl, tw
+                )
+                y0, x0 = ty * tl, tx * tw
+                ch = slice(None) if planar == 1 else slice(p_i, p_i + 1)
+                a[y0 : y0 + tl, x0 : x0 + tw, ch] = seg[: h - y0, : w - x0]
     else:
         offsets = vals(273)
         counts = vals(279)
         if offsets is None or counts is None:
             raise ValueError("TIFF missing strip offsets/byte counts")
         rows_per_strip = val(278, h)
-        parts = []
-        for s, (o, c) in enumerate(zip(offsets, counts)):
-            n_rows = min(rows_per_strip, h - s * rows_per_strip)
-            parts.append(_segment(data[o : o + c], n_rows, w))
-        a = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        per_plane = -(-h // rows_per_strip)
+        if len(offsets) < per_plane * n_planes:
+            raise ValueError("TIFF missing strips")
+        planes = []
+        for p_i in range(n_planes):
+            parts = []
+            for s in range(per_plane):
+                si = p_i * per_plane + s
+                o, c = offsets[si], counts[si]
+                n_rows = min(rows_per_strip, h - s * rows_per_strip)
+                parts.append(_segment(data[o : o + c], n_rows, w))
+            planes.append(
+                np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            )
+        a = planes[0] if n_planes == 1 else np.concatenate(planes, axis=2)
 
-    if depth == 16:
-        if photo == 3:
-            # a palette lookup needs the raw index, and 16-bit palette
-            # TIFFs are not a thing scanners produce
-            raise NotImplementedError("16-bit palette TIFF unsupported")
+    if depth == 16 and photo != 3:
         # high-byte downscale (sample >> 8) — the same canonical 16->8
-        # conversion the PNG path uses; features consume uint8
+        # conversion the PNG path uses; features consume uint8.
+        # Palette samples are exempt: they are INDICES, and the lookup
+        # below needs them raw (round 8 — 16-bit palette support).
         a = (a >> 8).astype(np.uint8)
     if photo == 3:  # palette: 16-bit colormap, R then G then B planes
         cm = tags.get(320)
@@ -299,8 +327,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
         typ, count, payload = cm
         m = struct.unpack(bo + "H" * count, payload)
         n = count // 3
+        idx = a[:, :, 0]
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError(
+                f"palette TIFF index {int(idx.max())} outside colormap ({n})"
+            )
         table = (np.array(m, np.uint32).reshape(3, n).T // 257).astype(np.uint8)
-        return table[a[:, :, 0]]
+        return table[idx]
     if photo in (0, 1):
         g = a[:, :, 0]
         return (255 - g) if photo == 0 else g.copy()
@@ -320,6 +353,8 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     predictor: bool = False,
     tile: tuple[int, int] | None = None,
+    palette: np.ndarray | None = None,
+    planar: int = 1,
 ) -> bytes:
     """(H, W) gray or (H, W, 3) RGB, uint8 or uint16 (16-bit samples
     written little-endian, the archival scanner depth), ->
@@ -328,16 +363,36 @@ def encode_tiff(
     libtiff). ``tile=(tile_width, tile_length)`` writes the TIFF 6.0
     §15 tiled layout instead of strips (both dimensions must be
     multiples of 16 per the spec; edge tiles are zero-padded to full
-    size) — the layout large scanned-document corpora actually use."""
+    size) — the layout large scanned-document corpora actually use.
+
+    ``palette`` (round 8): an (n, 3) uint8 colormap turning a 2-D
+    ``arr`` of INDICES (uint8 or uint16 — the 16-bit palette form)
+    into a photometric-3 file; the ColorMap tag is written 16-bit
+    scaled (v*257) with the full 2**depth entries the spec mandates,
+    unused entries zero. ``planar=2`` writes each RGB component as
+    its own plane-major run of strips/tiles (PlanarConfiguration 2),
+    the layout some scanner pipelines emit; only meaningful for RGB."""
     a = np.asarray(arr)
     if a.dtype not in (np.uint8, np.uint16):
         a = a.astype(np.uint8)
     depth = 16 if a.dtype == np.uint16 else 8
     gray = a.ndim == 2
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if not gray or pal.ndim != 2 or pal.shape[1] != 3:
+            raise ValueError(
+                "palette encode expects 2-D indices and an (n, 3) colormap"
+            )
+        if int(a.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index outside colormap")
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"encode_tiff expects (H,W) or (H,W,3), got {a.shape}")
     h, w = a.shape[:2]
     spp = 1 if gray else 3
+    if planar not in (1, 2):
+        raise ValueError(f"planar must be 1 or 2, got {planar}")
+    if planar == 2 and spp == 1:
+        planar = 1  # one plane IS chunky; tag omitted
     comp = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     if predictor and comp != 5:
         raise ValueError("predictor is a TIFF-LZW feature")
@@ -364,20 +419,27 @@ def encode_tiff(
             return _packbits_encode(raw)
         return raw
 
+    # planar=2: segments are plane-major (all of component 0's
+    # strips/tiles, then component 1's, ...), each carrying 1 channel
+    planes = (
+        [flat] if planar == 1 else [flat[:, :, i : i + 1] for i in range(spp)]
+    )
+    seg_ch = spp if planar == 1 else 1
     segments = []
-    if tile is not None:
-        for y0 in range(0, h, tl):
-            for x0 in range(0, w, tw):
-                block = flat[y0 : y0 + tl, x0 : x0 + tw]
-                if block.shape[0] != tl or block.shape[1] != tw:
-                    padded = np.zeros((tl, tw, spp), dtype=a.dtype)
-                    padded[: block.shape[0], : block.shape[1]] = block
-                    block = padded
-                segments.append(_pack(block))
-    else:
-        rps = rows_per_strip or h
-        for s0 in range(0, h, rps):
-            segments.append(_pack(flat[s0 : s0 + rps]))
+    for plane in planes:
+        if tile is not None:
+            for y0 in range(0, h, tl):
+                for x0 in range(0, w, tw):
+                    block = plane[y0 : y0 + tl, x0 : x0 + tw]
+                    if block.shape[0] != tl or block.shape[1] != tw:
+                        padded = np.zeros((tl, tw, seg_ch), dtype=a.dtype)
+                        padded[: block.shape[0], : block.shape[1]] = block
+                        block = padded
+                    segments.append(_pack(block))
+        else:
+            rps = rows_per_strip or h
+            for s0 in range(0, h, rps):
+                segments.append(_pack(plane[s0 : s0 + rps]))
 
     # layout: header(8) | segment data | bits-per-sample array (RGB) |
     # segment offset/count arrays | IFD. TIFF 6.0 requires the IFD and
@@ -397,6 +459,16 @@ def encode_tiff(
     if spp == 3:
         bps_off = pos + len(extra)
         extra += struct.pack("<HHH", depth, depth, depth) + b"\x00\x00"
+    cmap_off = n_cm = None
+    if palette is not None:
+        # ColorMap: 3 * 2**depth SHORTs, R plane then G then B, values
+        # 16-bit scaled (v*257 maps 255 -> 65535 exactly); unused
+        # entries zero — the spec-mandated full-size table
+        n_cm = 1 << depth
+        cm = np.zeros((3, n_cm), np.uint16)
+        cm[:, : pal.shape[0]] = pal.T.astype(np.uint32) * 257
+        cmap_off = pos + len(extra)
+        extra += cm.astype("<u2").tobytes()
     offs_off = counts_off = None
     n_segs = len(segments)
     if n_segs > 1:
@@ -423,9 +495,16 @@ def encode_tiff(
             short(depth) if spp == 1 else long_(bps_off),
         ),
         entry(259, 3, 1, short(comp)),
-        entry(262, 3, 1, short(1 if gray else 2)),
+        entry(
+            262, 3, 1,
+            short(3 if palette is not None else (1 if gray else 2)),
+        ),
         entry(277, 3, 1, short(spp)),
     ]
+    if palette is not None:
+        entries.append(entry(320, 3, 3 * n_cm, long_(cmap_off)))
+    if planar == 2:
+        entries.append(entry(284, 3, 1, short(2)))
     off_tag, count_tag = (324, 325) if tile is not None else (273, 279)
     entries += [
         entry(

@@ -141,10 +141,18 @@ def test_word_tokens_py_matches_duckdb_regex(text):
     (property-tested here, Spark-free) imply all three tokenize alike
     over assigned unicode."""
     import duckdb
+    from hypothesis import assume
 
     from snapflow_spark.operators.retrieval import word_tokens_py
 
     con = duckdb.connect()
+    # The CASE-MAPPING tables skew the same way the assignment tables
+    # do (round 8, found by this test: Python 3.11 lowercases U+10570
+    # VITHKUQI A — new in 14.0 — to U+10597; DuckDB's table leaves it
+    # unmapped). Where the engines' lower() disagree the property is
+    # out of contract, same as for newly-assigned codepoints.
+    duck_lower = con.execute("SELECT lower(?)", [text]).fetchone()[0]
+    assume(duck_lower == text.lower())
     duck = con.execute(
         r"SELECT regexp_extract_all(lower(?), '[\p{L}]+')", [text]
     ).fetchone()[0]

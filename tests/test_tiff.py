@@ -230,3 +230,129 @@ def test_truncated_tile_byte_counts_raises_clean_valueerror():
     struct.pack_into("<I", blob, i + 4, cnt - 2)  # shorten counts array
     with pytest.raises(ValueError, match="missing tiles"):
         decode_tiff(bytes(blob))
+
+
+# ------------------------------------------------------------------ #
+# round 8: palette encoder/16-bit indices + planar=2
+# ------------------------------------------------------------------ #
+def test_palette_roundtrip_8_and_16bit_indices():
+    """Palette (photometric 3) round-trips through the encoder twin:
+    8-bit indices AND the 16-bit-index form (indices stay raw — no
+    high-byte downscale — so colormaps beyond 256 entries resolve);
+    v*257 // 257 colormap scaling is exact."""
+    rng = np.random.default_rng(7)
+    pal8 = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    idx8 = rng.integers(0, 5, size=(9, 7), dtype=np.uint8)
+    for comp in ("none", "lzw", "packbits"):
+        out = decode_tiff(encode_tiff(idx8, compression=comp, palette=pal8))
+        assert np.array_equal(out, pal8[idx8]), comp
+
+    # >256 colors forces 16-bit indices — the case the old code
+    # refused; index 300 must survive the (no-)downscale intact
+    pal16 = rng.integers(0, 256, size=(400, 3), dtype=np.uint8)
+    idx16 = rng.integers(0, 400, size=(6, 8), dtype=np.uint16)
+    idx16[0, 0] = 300
+    for comp in ("none", "lzw"):
+        out = decode_tiff(encode_tiff(idx16, compression=comp, palette=pal16))
+        assert np.array_equal(out, pal16[idx16]), comp
+    # multi-strip + predictor on 16-bit indices
+    blob = encode_tiff(
+        idx16, compression="lzw", predictor=True, rows_per_strip=2,
+        palette=pal16,
+    )
+    assert np.array_equal(decode_tiff(blob), pal16[idx16])
+
+
+def test_palette_validation():
+    pal = np.zeros((4, 3), np.uint8)
+    with pytest.raises(ValueError, match="2-D indices"):
+        encode_tiff(_img(4, 4, 3), palette=pal)
+    with pytest.raises(ValueError, match="outside colormap"):
+        encode_tiff(np.full((2, 2), 9, np.uint8), palette=pal)
+    # decoder: an index past the colormap is loud, not a wrap
+    blob = bytearray(encode_tiff(np.full((2, 2), 3, np.uint8), palette=pal))
+    i = blob.find(struct.pack("<HHI", 320, 3, 12 * 64))  # ColorMap entry
+    assert i > 0
+    blob[i + 2 : i + 8] = struct.pack("<HI", 3, 6)  # shrink count to 2 colors
+    with pytest.raises(ValueError, match="outside colormap"):
+        decode_tiff(bytes(blob))
+
+
+def test_planar2_roundtrip_strips_tiles_depths():
+    """PlanarConfiguration=2 (plane-major separate planes): strips,
+    multi-strip, tiles, all compressions, predictor, 8- and 16-bit —
+    every combination decodes identically to its chunky twin."""
+    src = _img(21, 13, 3, seed=11)
+    for comp in ("none", "lzw", "packbits"):
+        for kw in ({}, {"rows_per_strip": 4}, {"tile": (16, 16)}):
+            blob = encode_tiff(src, compression=comp, planar=2, **kw)
+            assert np.array_equal(decode_tiff(blob), src), (comp, kw)
+    # predictor differs per-plane under planar=2
+    grad = np.arange(16 * 12, dtype=np.uint8).reshape(16, 12)
+    smooth = np.stack([grad, grad + 3, grad + 7], axis=-1)
+    blob = encode_tiff(smooth, compression="lzw", predictor=True, planar=2)
+    assert np.array_equal(decode_tiff(blob), smooth)
+    # 16-bit planar=2: high-byte downscale after plane assembly
+    deep = (src.astype(np.uint16) << 8) | 0x5A
+    blob = encode_tiff(deep, compression="lzw", planar=2, rows_per_strip=8)
+    assert np.array_equal(decode_tiff(blob), src)
+    # chunky and planar files of the same pixels decode identically
+    assert np.array_equal(
+        decode_tiff(encode_tiff(src, planar=2)),
+        decode_tiff(encode_tiff(src)),
+    )
+
+
+def test_planar2_big_endian_foreign_layout():
+    """Hand-built MM (big-endian) planar=2 RGB, one strip per plane:
+    plane-major strip order and the file byte order must both be
+    honored."""
+    r = np.array([[1, 2], [3, 4]], np.uint8)
+    g = r + 10
+    b = r + 20
+
+    def entry(tag, typ, count, value4):
+        return struct.pack(">HHI", tag, typ, count) + value4
+
+    pix = r.tobytes() + g.tobytes() + b.tobytes()  # plane-major
+    # value arrays for 3 strips must live out-of-line
+    offs_off = 8 + len(pix)
+    counts_off = offs_off + 12
+    bps_off = counts_off + 12
+    ifd_off = bps_off + 6
+    entries = [
+        entry(256, 4, 1, struct.pack(">I", 2)),
+        entry(257, 4, 1, struct.pack(">I", 2)),
+        entry(258, 3, 3, struct.pack(">I", bps_off)),
+        entry(259, 3, 1, struct.pack(">HH", 1, 0)),
+        entry(262, 3, 1, struct.pack(">HH", 2, 0)),
+        entry(273, 4, 3, struct.pack(">I", offs_off)),
+        entry(277, 3, 1, struct.pack(">HH", 3, 0)),
+        entry(278, 4, 1, struct.pack(">I", 2)),
+        entry(279, 4, 3, struct.pack(">I", counts_off)),
+        entry(284, 3, 1, struct.pack(">HH", 2, 0)),
+    ]
+    ifd = struct.pack(">H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    blob = (
+        b"MM\x00*" + struct.pack(">I", ifd_off) + pix[: len(pix)]
+        + struct.pack(">III", 8, 12, 16)        # per-plane strip offsets
+        + struct.pack(">III", 4, 4, 4)          # byte counts
+        + struct.pack(">HHH", 8, 8, 8)          # bits per sample
+        + ifd
+    )
+    out = decode_tiff(blob)
+    assert np.array_equal(out, np.stack([r, g, b], axis=-1))
+
+
+def test_planar_validation():
+    with pytest.raises(ValueError, match="planar"):
+        encode_tiff(_img(4, 4, 3), planar=3)
+    # gray planar=2 degenerates to chunky (one plane) and round-trips
+    g = _img(5, 5, 1)
+    assert np.array_equal(decode_tiff(encode_tiff(g, planar=2)), g)
+    # decoder rejects planar values outside the spec
+    blob = bytearray(encode_tiff(_img(4, 4, 3), planar=2))
+    i = blob.find(struct.pack("<HHI", 284, 3, 1))
+    blob[i + 8 : i + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="planar configuration 5"):
+        decode_tiff(bytes(blob))
