@@ -678,6 +678,8 @@ def excise_shared_spans(
     min_span_tokens: int | None = None,
     priority_col: str | None = None,
     max_df: int | None = None,
+    hash_fn: str = "xxhash64",
+    cache_victims: bool = True,
 ) -> DataFrame:
     """Span-level REMOVAL of cross-document verbatim duplication — the
     ExactSubstr pipeline shape (Lee et al. 2022, "Deduplicating
@@ -720,11 +722,19 @@ def excise_shared_spans(
     aggregate, which adds a second (well-distributed, ``(h, id)``-
     keyed) shuffle — so the knob costs one extra pass only when set.
 
+    ``hash_fn`` (round 8): ``"xxhash64"`` (default — 8-byte shuffle
+    keys, the production choice) or ``"sha256"`` — hex-string gram
+    keys that DuckDB can replay exactly, which is what lets the
+    ``q_fingerprint_winnow`` 'excise' roster branch hash-match an
+    oracle; 8x the shuffle width, so only the verification tier pays
+    it. In sha256 mode the output gains a ``min_excised_gram`` column
+    (the smallest shared gram hash marked in each victim, NULL on
+    clean docs) so the marking set itself is oracle-checkable.
+
     Plan shape at 100 TB — NO pair expansion anywhere (unlike
     detection, excision never needs pairs): one codegen scan stages
-    tokens and per-position gram hashes (xxhash64, 8-byte shuffle
-    keys; this op never oracle-replays so sha256 parity is not worth
-    8x the shuffle width), then the keeper of each shared gram comes
+    tokens and per-position gram hashes (xxhash64 by default, see
+    above), then the keeper of each shared gram comes
     from ``groupBy(h).agg(min(struct(prio, id)))`` joined back to the
     occurrences — NOT a window over raw gram occurrences. The
     distinction is the whole 100 TB story (round 8, closing the
@@ -758,12 +768,24 @@ def excise_shared_spans(
     ``candidate_cache``. A driver looping over corpora should call
     ``result.victims_cache.unpersist()`` after materializing each
     result; single-shot queries can ignore it (session teardown
-    releases it)."""
+    releases it). Pass ``cache_victims=False`` when only ONE branch
+    of the output will actually execute — e.g. a consumer that
+    filters to ``n_excised_spans > 0``, which constant-folds the
+    clean branch away — so the single-reference plan doesn't leave a
+    stale cache entry behind (the roster query does this)."""
     from snapflow_spark.functions.text import TOKEN_RE
 
     if min_span_tokens is None:
         min_span_tokens = n
     prio = F.col(priority_col) if priority_col else F.col(id_col)
+
+    if hash_fn == "xxhash64":
+        hasher = lambda g: F.xxhash64(g)  # noqa: E731 (varargs: not
+        # directly usable as a transform() lambda)
+    elif hash_fn == "sha256":
+        hasher = lambda g: F.sha2(g, 256)  # noqa: E731
+    else:
+        raise ValueError(f"hash_fn must be xxhash64 or sha256, got {hash_fn!r}")
 
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
@@ -774,7 +796,7 @@ def excise_shared_spans(
         "__id",
         "__prio",
         F.posexplode(
-            F.transform(ngram_expr(F.col("__toks"), n), lambda g: F.xxhash64(g))
+            F.transform(ngram_expr(F.col("__toks"), n), hasher)
         ).alias("pos", "h"),
     )
     # Keeper per gram hash as a partial-aggregable groupBy, NOT a
@@ -794,13 +816,17 @@ def excise_shared_spans(
     keepers = grams.groupBy("h").agg(*aggs).where(F.col("__lo") != F.col("__hi"))
     if max_df is not None:
         keepers = keepers.where(F.col("__df") <= int(max_df))
+    victim_aggs = [F.sort_array(F.collect_list("pos")).alias("__positions")]
+    if hash_fn == "sha256":
+        victim_aggs.append(F.min("h").alias("__min_gram"))
     victims = (
         grams.join(keepers.select("h", "__keeper"), "h")
         .where(F.col("__id") != F.col("__keeper"))
         .groupBy("__id")
-        .agg(F.sort_array(F.collect_list("pos")).alias("__positions"))
-        .persist()
+        .agg(*victim_aggs)
     )
+    if cache_victims:
+        victims = victims.persist()
 
     gram_n, min_span = int(n), int(min_span_tokens)
 
@@ -852,6 +878,11 @@ def excise_shared_spans(
         )
 
     others = [c for c in df.columns if c != text_col]
+    gram_cols = (
+        [F.lit(None).cast("string").alias("min_excised_gram")]
+        if hash_fn == "sha256"
+        else []
+    )
     clean = df.join(
         victims, df[id_col] == victims["__id"], "left_anti"
     ).select(
@@ -859,6 +890,12 @@ def excise_shared_spans(
         F.col(text_col),
         F.lit(0).alias("n_excised_spans"),
         F.lit(0).alias("n_excised_tokens"),
+        *gram_cols,
+    )
+    touched_gram_cols = (
+        [F.col("__min_gram").alias("min_excised_gram")]
+        if hash_fn == "sha256"
+        else []
     )
     touched = (
         df.join(victims, df[id_col] == victims["__id"], "inner")
@@ -868,6 +905,7 @@ def excise_shared_spans(
             F.col("__cut.text").alias(text_col),
             F.col("__cut.n_spans").alias("n_excised_spans"),
             F.col("__cut.n_tokens").alias("n_excised_tokens"),
+            *touched_gram_cols,
         )
     )
     out = clean.unionByName(touched)

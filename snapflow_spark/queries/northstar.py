@@ -476,6 +476,50 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) b ON a.fp = b.fp AND a.doc_id < b.doc_id
     ) p
     GROUP BY id_a, id_b HAVING COUNT(*) >= 2
+    UNION ALL
+    -- 'excise' branch (round 8): ExactSubstr span-level excision
+    -- victims — per victim doc, the merged-interval token count the
+    -- surgery removes, the span count, and the smallest marked gram
+    -- hash. Replays excise_shared_spans(n=8, hash_fn='sha256')
+    -- exactly: shared 8-gram marking, min-doc keeper, gaps-and-
+    -- islands interval union (merge when next start <= prev end + 1).
+    SELECT 'excise' AS branch, doc_id, CAST(n_spans AS BIGINT) AS other_id,
+           CAST(n_toks AS BIGINT) AS n_fps, min_gram AS min_fp
+    FROM (
+      WITH long8 AS (
+        SELECT doc_id, t, len(t) AS L FROM toks WHERE len(t) >= 8
+      ), grams8 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, L - 6),
+                 i -> sha256(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                       t[i+4], t[i+5], t[i+6], t[i+7])))) AS h,
+               unnest(range(0, L - 7)) AS pos
+        FROM long8
+      ), keep8 AS (
+        SELECT h, MIN(doc_id) AS keeper FROM grams8
+        GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)
+      ), marked AS (
+        SELECT g.doc_id, g.pos, g.h
+        FROM grams8 g JOIN keep8 k USING (h) WHERE g.doc_id <> k.keeper
+      ), brk AS (
+        SELECT doc_id, pos, h,
+               CASE WHEN pos <= MAX(pos + 7) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                    THEN 0 ELSE 1 END AS new_island
+        FROM marked
+      ), isl AS (
+        SELECT doc_id, pos, h,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk
+      ), merged AS (
+        SELECT doc_id, island, MIN(pos) AS a, MAX(pos) + 7 AS b, MIN(h) AS mh
+        FROM isl GROUP BY doc_id, island
+      )
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(b - a + 1) AS n_toks,
+             MIN(mh) AS min_gram
+      FROM merged GROUP BY doc_id
+    ) v
     """,
 )
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,8 +532,21 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions ('spans' branch — operators.dedup_text
     shared_span_pairs: >= 2 shared winnow fingerprints, the MOSS
     plagiarism/contamination shape whole-doc MinHash misses; the
-    oracle replays the max_df=32 boilerplate stoplist exactly)."""
-    from snapflow_spark.operators.dedup_text import shared_span_pairs
+    oracle replays the max_df=32 boilerplate stoplist exactly)
+    ∪ span-level EXCISION victims ('excise' branch, round 8 —
+    operators.dedup_text excise_shared_spans in its sha256
+    oracle-replayable mode: other_id carries n_excised_spans, n_fps
+    carries n_excised_tokens, min_fp the smallest marked gram hash —
+    so the keeper choice, position marking AND the surgery's
+    merged-interval arithmetic all hash-match DuckDB; the surgery
+    itself additionally returns byte-exact text, pinned in pytest).
+    cache_victims=False: the n>0 filter constant-folds the clean
+    branch away, leaving one reference to the victims table — no pin
+    needed, nothing leaks per bench iteration."""
+    from snapflow_spark.operators.dedup_text import (
+        excise_shared_spans,
+        shared_span_pairs,
+    )
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     staged = d.select(
@@ -512,7 +569,23 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shared").alias("n_fps"),
         "min_fp",
     )
-    return winnow.unionByName(spans)
+    excise = (
+        excise_shared_spans(
+            d.select("doc_id", "text"),
+            n=8,
+            hash_fn="sha256",
+            cache_victims=False,
+        )
+        .where(F.col("n_excised_spans") > 0)
+        .select(
+            F.lit("excise").alias("branch"),
+            "doc_id",
+            F.col("n_excised_spans").cast("bigint").alias("other_id"),
+            F.col("n_excised_tokens").cast("bigint").alias("n_fps"),
+            F.col("min_excised_gram").alias("min_fp"),
+        )
+    )
+    return winnow.unionByName(spans).unionByName(excise)
 
 
 @query(

@@ -328,6 +328,46 @@ def test_excise_max_df_skips_boilerplate(spark):
     assert got[8] == ("victim has tail word", 1, 7)
 
 
+def test_excise_sha256_mode_parity_and_min_gram(spark):
+    """hash_fn='sha256' (the oracle-replayable tier): identical
+    surgery output to the xxhash64 production mode, plus a
+    min_excised_gram column carrying the smallest marked gram hash —
+    cross-checked against hashlib on the planted leak. cache_victims
+    =False leaves no persisted table behind."""
+    import hashlib
+
+    from snapflow_spark.operators.dedup_text import excise_shared_spans
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "benchmark item: " + leak),
+        (2, "intro   words here " + leak + " trailing  tail text"),
+        (3, "completely unrelated document with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = excise_shared_spans(df, n=4)
+    got64 = {
+        r.doc_id: (r.text, r.n_excised_spans, r.n_excised_tokens)
+        for r in base.collect()
+    }
+    base.victims_cache.unpersist()
+    out = excise_shared_spans(df, n=4, hash_fn="sha256", cache_victims=False)
+    got256 = {r.doc_id: r for r in out.collect()}
+    assert {
+        k: (v.text, v.n_excised_spans, v.n_excised_tokens)
+        for k, v in got256.items()
+    } == got64
+    # victims carry the min marked gram hash; clean docs carry NULL
+    assert got256[1].min_excised_gram is None
+    assert got256[3].min_excised_gram is None
+    toks = leak.split()
+    shared = [" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)]
+    expect = min(hashlib.sha256(g.encode()).hexdigest() for g in shared)
+    assert got256[2].min_excised_gram == expect
+    with pytest.raises(ValueError, match="hash_fn"):
+        excise_shared_spans(df, hash_fn="md5")
+
+
 def test_excise_short_docs_pass_through(spark):
     """Docs shorter than n tokens hold no n-gram: exact short-doc
     duplicates pass through UNTOUCHED (no victim marking, no python) —

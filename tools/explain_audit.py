@@ -34,6 +34,17 @@ from snapflow_spark.session import build_session  # noqa: E402
 # note replaces the bare warning so a regression BEYOND the reviewed
 # count still flags.
 EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
+    "q_fingerprint_winnow": (
+        9,
+        "reviewed round 8: the 'excise' branch adds the gram "
+        "partial-agg keeper, the grams-to-keepers join and the "
+        "victim-position collect (3 corpus-side shuffles by design — "
+        "the de-skewed ExactSubstr shape); the keeper join is a "
+        "broadcast at test SF and an AQE-skew-splittable SMJ at "
+        "scale; the clean output branch constant-folds away under "
+        "the n_excised_spans > 0 filter (no anti join, no victims "
+        "pin). 'winnow'/'spans' branches unchanged from round 6",
+    ),
     "q_text_quality": (
         9,
         "reviewed round 6: the dsir deferred-totals rewrite makes the "
