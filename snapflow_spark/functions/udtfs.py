@@ -80,6 +80,29 @@ class TokenizeBatch:
     a null in the int64 id column would otherwise surface as NaN via
     to_numpy and crash the int64 rebuild mid-batch; the LATERAL form
     has no id column at all, so no parity is lost.
+
+    ADOPTION ADJUDICATION (round 8, closing VERDICT r7 #6): should the
+    engine's tokenize-heavy paths (vocab, BM25 doc_terms, DSIR
+    features, BPE word counts) run through this UDTF? Measured on the
+    vocab shape (explode -> groupBy count) at sf0.1, interleaved
+    min-of-5 in one session at loadavg 1.5:
+
+        codegen split+explode   0.153 s   <- engine paths keep this
+        tokenize_batch (arrow)  0.300 s   (2.0x slower)
+        plain-pickle LATERAL    0.505 s   (3.3x slower)
+
+    The JVM codegen expression wins — explode of a split array never
+    leaves Tungsten rows, while the arrow UDTF pays Arrow
+    serialization both ways plus a python process hop. There is also
+    a SEMANTICS blocker: the real pipeline tokenizers are regex
+    EXTRACTION classes (`\\p{L}+` for vocab/BM25, the GPT-2 BPE_RE
+    for BPE/DSIR) and pyarrow compute has no extract-all kernel
+    (only split_pattern/split_pattern_regex), so an arrow-native twin
+    could not reproduce them without a per-row python re loop —
+    which is exactly the slow path this UDTF exists to avoid. So the
+    UDTF's role stays: the SQL-facing python row-generation surface
+    (1.5x faster than the pickle LATERAL it shadows), not an engine
+    internal.
     """
 
     def eval(self, batch):  # batch: pa.RecordBatch

@@ -56,7 +56,15 @@ HEAVY = {
     "q_fingerprint_winnow": (
         "documents; winnow fingerprints + copied-span pairs (round 6): "
         "explode -> one fp shuffle -> pair groupBy; span pairs scale "
-        "with real collisions, buckets truncated at 64"
+        "with real collisions, buckets truncated at 64; round 8 adds "
+        "the 'excise' branch (sha256 oracle tier)"
+    ),
+    "op_excise_spans": (
+        "documents; ExactSubstr span excision, PRODUCTION mode "
+        "(xxhash64 keys, de-skewed partial-agg keeper, round 8) — "
+        "full op incl. both output branches and the pandas surgery; "
+        "not a standalone roster query (the roster carries its sha256 "
+        "tier inside q_fingerprint_winnow), benched here directly"
     ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
@@ -69,6 +77,18 @@ HEAVY = {
         " so work is constant regardless of corpus size"
     ),
 }
+
+
+def _op_excise_spans(spark, sf_dir: str):
+    """Direct bench wrapper for the non-roster production form of
+    excise_shared_spans (xxhash64 keys); the noop sink + count
+    materialize BOTH output branches, so the victims pin earns its
+    keep and the next run's clearCache releases it."""
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.operators.dedup_text import excise_shared_spans
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return excise_shared_spans(d, n=8)
 
 
 def run_once(spark, fn, sf_dir: str) -> tuple[float, int]:
@@ -104,7 +124,8 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = build_session("bench-scale")
-    queries = all_queries()
+    queries = dict(all_queries())
+    queries["op_excise_spans"] = _op_excise_spans
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)
