@@ -521,14 +521,19 @@ def dedup_lines_global(
     Deterministic (first occurrence is a total order over
     (doc_id, line_no)), so a SQL oracle can replay it exactly.
 
-    Scale shape: posexplode lines -> ONE shuffle keyed on sha256 of the
-    normalized line (the window partitions by the 64-hex digest, never
-    the raw line text, so long lines don't inflate shuffle keys) ->
-    groupBy doc to reassemble (second shuffle). State per key is the
-    occurrence list of one distinct line — bounded by occurrence count,
-    not corpus size; a pathological mega-line (empty string, "")
-    is its own key and can skew — ``normalize`` drops whitespace-only
-    lines up front for exactly that reason.
+    Scale shape (de-skewed round 8, same fix as the excise keeper):
+    posexplode lines -> the first occurrence of each distinct line
+    comes from ``groupBy(sha256(line)).agg(min(struct(doc, line_no)))``
+    joined back to the occurrences — NOT ``row_number() over
+    (partition by hash)``: partial aggregation collapses a nav-bar
+    line held by millions of documents to one row per map task before
+    the shuffle, where the window form would land the whole bucket on
+    ONE task; the join back on the digest is AQE-skew-splittable. The
+    keeper table is one row per DISTINCT line (not per occurrence).
+    The hash key is the 64-hex digest, never the raw line text, so
+    long lines don't inflate shuffle keys; groupBy doc reassembles
+    (second shuffle). ``normalize`` drops whitespace-only lines up
+    front (the pathological mega-key).
 
     Returns (id, text, n_lines, n_kept) — one row per input doc, text
     rebuilt from surviving lines (empty string if none survived).
@@ -547,15 +552,21 @@ def dedup_lines_global(
         # rlike(\S), not trim() != '': Spark's trim strips only
         # 0x20 spaces, so a tab-only line would sneak through
         lines = lines.where(F.col("line").rlike(r"\S"))
-    w = Window.partitionBy(F.sha2(F.col("line"), 256)).orderBy(
-        F.col(id_col).asc(), F.col("line_no").asc()
+    lines = lines.withColumn("__h", F.sha2(F.col("line"), 256))
+    first = lines.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("__fid"), F.col("line_no")))
+        .alias("__keep")
     )
-    marked = lines.withColumn("__rn", F.row_number().over(w))
+    marked = lines.join(first, "__h").withColumn(
+        "__is_first",
+        (F.col(id_col) == F.col("__keep.__fid"))
+        & (F.col("line_no") == F.col("__keep.line_no")),
+    )
     rebuilt = (
         marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+            F.sum(F.when(F.col("__is_first"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_kept"),
             F.array_join(
@@ -563,7 +574,7 @@ def dedup_lines_global(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("__rn") == 1,
+                                F.col("__is_first"),
                                 F.struct(F.col("line_no"), F.col("line")),
                             )
                         )

@@ -139,6 +139,26 @@ def test_dedup_lines_global(spark):
     assert len(got) == 4  # every input doc comes back
 
 
+def test_dedup_lines_keeper_is_partial_agg_not_window(spark):
+    """Round 8 (same fix as the excise keeper): the first-occurrence
+    choice must come from a partial-aggregable groupBy + join, not a
+    window over raw line occurrences — a nav-bar line held by every
+    doc must not land its whole bucket on one task. Plan is
+    Window-free; semantics identical on a planted hot line."""
+    hot = "home | about | contact"
+    docs = spark.createDataFrame(
+        [(i, f"{hot}\nbody line {i}") for i in range(1, 40)],
+        "doc_id bigint, text string",
+    )
+    out = dedup_lines_global(docs)
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].text == f"{hot}\nbody line 1"  # first occurrence keeps
+    for i in range(2, 40):
+        assert got[i].text == f"body line {i}", i
+        assert (got[i].n_lines, got[i].n_kept) == (2, 1)
+
+
 def test_cap_per_domain(spark, docs):
     capped = cap_per_domain(docs, cap=1, domain_col="source")
     rows = capped.collect()
