@@ -66,6 +66,7 @@ from snapflow_spark.functions.bpe import bpe_pretokens_py, word_type_counts
 __all__ = [
     "UnigramTokenizer",
     "learn_unigram",
+    "sample_segment",
     "substring_seed",
     "train_unigram",
     "viterbi_segment",
@@ -189,6 +190,92 @@ def viterbi_segment(
         j = back[i]
         out.append(word[j:i])
         i = j
+    out.reverse()
+    return out
+
+
+def sample_segment(
+    word: str,
+    logp: dict[str, float],
+    max_len: int,
+    floor: float,
+    alpha: float = 0.2,
+    salt: str = "",
+) -> list[str]:
+    """Forward-filtering backward-sampling over the segmentation
+    lattice — the subword-REGULARIZATION sampler that is the unigram
+    model's whole point (Kudo 2018 §3.2: training on sampled
+    segmentations instead of the 1-best makes downstream models
+    robust to tokenization noise). Draws a segmentation with
+    probability proportional to ``P(seg)^alpha`` (``alpha`` is the
+    paper's smoothing exponent: 1 = true lattice posterior, -> 0 =
+    uniform over segmentations, large = approaches Viterbi).
+
+    DETERMINISTIC: the randomness is seeded from
+    ``sha256(salt, word)`` — the same (word, salt) always samples the
+    same segmentation, on the driver or any executor, under any
+    partitioning (the engine's standard no-``rand()`` contract; vary
+    ``salt`` per epoch to resample). Unknown single characters ride
+    the ``floor`` score exactly as in ``viterbi_segment``, so
+    sampling is total and lossless for any input."""
+    import hashlib
+    import random
+
+    L = len(word)
+    if L == 0:
+        return []
+    a = float(alpha)
+    # forward pass with tempered scores
+    alpha_log = [_NEG_INF] * (L + 1)
+    alpha_log[0] = 0.0
+    for i in range(1, L + 1):
+        acc = _NEG_INF
+        for j in range(max(0, i - max_len), i):
+            if alpha_log[j] == _NEG_INF:
+                continue
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j > 1:
+                    continue
+                lp = floor
+            x = alpha_log[j] + a * lp
+            acc = x if acc == _NEG_INF else (
+                max(acc, x) + math.log1p(math.exp(-abs(acc - x)))
+            )
+        alpha_log[i] = acc
+    rng = random.Random(
+        hashlib.sha256((salt + "\x00" + word).encode()).digest()
+    )
+    # backward sampling: from position i, pick the last piece with
+    # probability alpha[j] * score(piece)^a / alpha[i]
+    out: list[str] = []
+    i = L
+    while i > 0:
+        cands: list[tuple[int, str, float]] = []
+        for j in range(max(0, i - max_len), i):
+            if alpha_log[j] == _NEG_INF:
+                continue
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j > 1:
+                    continue
+                lp = floor
+            cands.append((j, piece, alpha_log[j] + a * lp))
+        m = max(w for _, _, w in cands)
+        weights = [math.exp(w - m) for _, _, w in cands]
+        tot = sum(weights)
+        r = rng.random() * tot
+        acc = 0.0
+        pick = cands[-1]
+        for cand, wt in zip(cands, weights):
+            acc += wt
+            if r <= acc:
+                pick = cand
+                break
+        out.append(pick[1])
+        i = pick[0]
     out.reverse()
     return out
 
@@ -369,6 +456,53 @@ class UnigramTokenizer:
         for w in bpe_pretokens_py(text):
             out.extend(self.encode_word(w))
         return out
+
+    # ---- subword-regularization sampling (Kudo 2018 §3.2) ----
+    def sample_word(
+        self, word: str, alpha: float = 0.2, salt: str = ""
+    ) -> list[str]:
+        return sample_segment(
+            word, self.logp, self.max_piece_len, self._floor, alpha, salt
+        )
+
+    def sample_text(
+        self, text: str, alpha: float = 0.2, salt: str = ""
+    ) -> list[str]:
+        out: list[str] = []
+        for w in bpe_pretokens_py(text):
+            out.extend(self.sample_word(w, alpha, salt))
+        return out
+
+    def sample_udf(self, spark: SparkSession, alpha: float = 0.2, salt: str = ""):
+        """Sampled-segmentation encode, Arrow-batched — vary ``salt``
+        per training epoch to draw fresh segmentations corpus-wide
+        while staying deterministic under any partitioning (the seed
+        is sha256(salt, word), so the per-batch word cache stays
+        VALID: same word + salt -> same sample)."""
+        from pyspark.sql.functions import pandas_udf
+
+        bc = spark.sparkContext.broadcast(
+            (dict(self.logp), self.max_piece_len, self._floor)
+        )
+        a, s = float(alpha), str(salt)
+
+        def _encode(texts: pd.Series) -> pd.Series:
+            logp, max_len, floor = bc.value
+            cache: dict[str, list[str]] = {}
+
+            def one(t):
+                toks: list[str] = []
+                for w in bpe_pretokens_py(t or ""):
+                    got = cache.get(w)
+                    if got is None:
+                        got = sample_segment(w, logp, max_len, floor, a, s)
+                        cache[w] = got
+                    toks.extend(got)
+                return toks
+
+            return texts.map(one)
+
+        return pandas_udf(_encode, "array<string>")
 
     # ---- Spark-side encode ----
     def encode_udf(self, spark: SparkSession):

@@ -280,3 +280,88 @@ def test_cli_train_unigram(spark, tmp_path, capsys):
     tok = UnigramTokenizer.load(out)
     assert tok.encode_text("the quick fox")  # usable artifact
     assert "".join(tok.encode_text("the quick fox")) == "the quick fox"
+
+
+# ---------------------------------------------------------------- #
+# subword-regularization sampling (Kudo 2018 §3.2)
+# ---------------------------------------------------------------- #
+def test_sample_matches_lattice_posterior():
+    """FFBS correctness: at alpha=1 the empirical segmentation
+    frequencies over many salts converge to the true lattice
+    posterior P(seg) = exp(score) / Z from brute-force enumeration."""
+    from collections import Counter
+
+    from snapflow_spark.functions.unigram import sample_segment
+
+    word = "abc"
+    segs = _all_segmentations(word, VOCAB, max_len=3)
+    z = sum(math.exp(s) for _, s in segs)
+    want = {tuple(p): math.exp(s) / z for p, s in segs}
+    n = 4000
+    got = Counter(
+        tuple(sample_segment(word, VOCAB, 3, FLOOR, alpha=1.0, salt=str(i)))
+        for i in range(n)
+    )
+    assert set(got) <= set(want)
+    for seg, p in want.items():
+        if p > 0.02:  # observable mass
+            assert abs(got[seg] / n - p) < 0.035, (seg, p, got[seg] / n)
+
+
+def test_sample_deterministic_and_lossless():
+    from snapflow_spark.functions.unigram import sample_segment
+
+    for w in ("abcabc", "cabba", "xyzq"):
+        s1 = sample_segment(w, VOCAB, 3, FLOOR, salt="e1")
+        assert sample_segment(w, VOCAB, 3, FLOOR, salt="e1") == s1
+        assert "".join(s1) == w  # lossless incl. unseen chars
+    # different salt resamples (some word must differ across 10 salts)
+    diffs = {
+        tuple(sample_segment("abcabc", VOCAB, 3, FLOOR, alpha=0.2, salt=str(i)))
+        for i in range(10)
+    }
+    assert len(diffs) > 1
+
+
+def test_sample_alpha_limits():
+    from snapflow_spark.functions.unigram import (
+        sample_segment,
+        viterbi_segment,
+    )
+
+    vit = viterbi_segment("abcabc", VOCAB, 3, FLOOR)
+    # alpha -> large approaches Viterbi
+    big = [
+        sample_segment("abcabc", VOCAB, 3, FLOOR, alpha=50.0, salt=str(i))
+        for i in range(20)
+    ]
+    assert all(s == vit for s in big)
+    # alpha=0 is uniform over segmentations: the worst segmentation
+    # appears with roughly 1/N frequency (here N=len(segs))
+    segs = _all_segmentations("abc", VOCAB, max_len=3)
+    n = 2000
+    from collections import Counter
+
+    got = Counter(
+        tuple(sample_segment("abc", VOCAB, 3, FLOOR, alpha=0.0, salt=str(i)))
+        for i in range(n)
+    )
+    for seg in got:
+        assert abs(got[seg] / n - 1 / len(segs)) < 0.05
+
+
+def test_sample_spark_udf_matches_driver(spark, corpus):
+    tok = train_unigram(corpus, vocab_size=80, seed_size=300)
+    enc = corpus.select(
+        "doc_id", tok.sample_udf(spark, alpha=0.3, salt="ep1")(F.col("text")).alias("toks")
+    ).collect()
+    for r in enc:
+        assert r["toks"] == tok.sample_text(CORPUS[r["doc_id"]], 0.3, "ep1")
+        assert "".join(r["toks"]) == CORPUS[r["doc_id"]]
+    # repartitioning does not change the draw
+    again = corpus.repartition(7).select(
+        "doc_id", tok.sample_udf(spark, alpha=0.3, salt="ep1")(F.col("text")).alias("toks")
+    ).collect()
+    assert {r["doc_id"]: tuple(r["toks"]) for r in again} == {
+        r["doc_id"]: tuple(r["toks"]) for r in enc
+    }
