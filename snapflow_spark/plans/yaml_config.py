@@ -222,6 +222,57 @@ def _bm25(
     return bm25_topk(input, qdf, k=k, text_col=text_col, id_col=id_col)
 
 
+def _tokenize(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    artifact: str,
+    text_col: str = "text",
+    out_col: str = "tokens",
+    counts_only: bool = False,
+    sample_alpha: float | None = None,
+    sample_salt: str = "",
+) -> DataFrame:
+    """core.tokenize: encode a text column with a TRAINED tokenizer
+    artifact (functions.bpe / functions.unigram JSON, as written by
+    the `train-bpe` / `train-unigram` CLIs) — the pipeline hand-off
+    that turns curation output into model-ready tokens. The artifact
+    kind is sniffed from its `model_type` field (unigram) vs `merges`
+    (BPE), so one builtin serves both trainers. ``counts_only``
+    emits an int token count instead of the array (the packing
+    budget column); ``sample_alpha`` switches a unigram artifact to
+    the subword-regularization sampler at that temperature
+    (deterministic via sha256(sample_salt, word) — vary the salt per
+    epoch). The artifact loads DRIVER-side; only the broadcast piece
+    table ships to executors."""
+    import json as _json
+
+    with open(artifact, encoding="utf-8") as f:
+        head = _json.load(f)
+    if head.get("model_type") == "unigram":
+        from snapflow_spark.functions.unigram import UnigramTokenizer
+
+        tok = UnigramTokenizer.load(artifact)
+        if sample_alpha is not None:
+            col = tok.sample_udf(
+                spark, alpha=float(sample_alpha), salt=str(sample_salt)
+            )(F.col(text_col))
+        else:
+            col = tok.encode_col(spark, text_col)
+    else:
+        if sample_alpha is not None:
+            raise ValueError(
+                "sample_alpha is a unigram-artifact feature (BPE encoding "
+                "is deterministic merges, nothing to sample)"
+            )
+        from snapflow_spark.functions.bpe import BPETokenizer
+
+        tok = BPETokenizer.load(artifact)
+        col = tok.encode_col(spark, text_col)
+    if counts_only:
+        col = F.size(col)
+    return input.withColumn(out_col, col)
+
+
 def _dsir(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -489,6 +540,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.dedup_lines": _dedup_lines,
     "core.excise_spans": _excise_spans,
     "core.bm25": _bm25,
+    "core.tokenize": _tokenize,
     "core.dsir": _dsir,
     "core.frequent_items": _frequent_items,
     "core.quality_filter": _quality_filter,

@@ -885,3 +885,65 @@ def test_yaml_declared_external_decoders(spark, tmp_path):
     bad = _ImportedDecoder("definitely_missing_module:fn")
     with pytest.raises(ImportError, match="definitely_missing_module"):
         bad(b"xx")
+
+
+def test_yaml_builtin_tokenize(spark, tmp_path):
+    """core.tokenize: a TRAINED tokenizer artifact (BPE or unigram,
+    kind sniffed from the JSON) encodes a text column inside a YAML
+    pipeline; counts_only yields the packing-budget column; a unigram
+    artifact can run the subword-regularization sampler."""
+    import pytest as _pytest
+
+    from snapflow_spark.functions.bpe import train_bpe
+    from snapflow_spark.functions.unigram import train_unigram
+    from snapflow_spark.plans import load_graph
+    from snapflow_spark.plans.yaml_config import _tokenize
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick onyx goblin jumps over the lazy dwarf"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    bpe = train_bpe(df, num_merges=30)
+    uni = train_unigram(df, vocab_size=60, seed_size=300)
+    bpe_path = str(tmp_path / "bpe.json")
+    uni_path = str(tmp_path / "uni.json")
+    bpe.save(bpe_path)
+    uni.save(uni_path)
+
+    cfg = {
+        "warehouse": str(tmp_path / "wh_tok"),
+        "sources": [{"name": "docs"}],
+        "nodes": [
+            {
+                "name": "bpe_counts",
+                "function": "core.tokenize",
+                "upstream": "docs",
+                "params": {"artifact": bpe_path, "counts_only": True,
+                           "out_col": "n_bpe"},
+                "overwrite": True,
+            },
+            {
+                "name": "uni_sampled",
+                "function": "core.tokenize",
+                "upstream": "docs",
+                "params": {"artifact": uni_path, "sample_alpha": 0.3,
+                           "sample_salt": "ep1"},
+                "overwrite": True,
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["docs"].append(df)
+    assert g.produce(spark) == 2
+    counts = {r.doc_id: r.n_bpe for r in g.read(spark, "bpe_counts").collect()}
+    for i, t in texts:
+        assert counts[i] == len(bpe.encode_text(t)), i
+    sampled = {r.doc_id: r.tokens for r in g.read(spark, "uni_sampled").collect()}
+    for i, t in texts:
+        assert sampled[i] == uni.sample_text(t, 0.3, "ep1"), i
+        assert "".join(sampled[i]) == t
+    # BPE has nothing to sample — loud error
+    with _pytest.raises(ValueError, match="unigram-artifact"):
+        _tokenize(spark, df, artifact=bpe_path, sample_alpha=0.5)
