@@ -365,3 +365,53 @@ def test_sample_spark_udf_matches_driver(spark, corpus):
     assert {r["doc_id"]: tuple(r["toks"]) for r in again} == {
         r["doc_id"]: tuple(r["toks"]) for r in enc
     }
+
+
+# ---------------------------------------------------------------- #
+# tokenizer evaluation (functions/tokenizer_eval.py)
+# ---------------------------------------------------------------- #
+def test_tokenizer_stats_matches_driver_reference(spark, corpus):
+    from snapflow_spark.functions.bpe import train_bpe
+    from snapflow_spark.functions.tokenizer_eval import tokenizer_stats
+
+    for tok in (
+        train_bpe(corpus, num_merges=40),
+        train_unigram(corpus, vocab_size=80, seed_size=300),
+    ):
+        row = tokenizer_stats(spark, corpus, tok).first()
+        # driver-side reference over the same texts
+        enc = [tok.encode_text(t) for t in CORPUS]
+        n_toks = sum(len(e) for e in enc)
+        assert row.n_docs == len(CORPUS)
+        assert row.n_tokens == n_toks
+        assert row.n_oov_tokens == 0  # training saw every char
+        assert row.n_chars == sum(len(t) for t in CORPUS)
+        assert row.n_bytes == sum(len(t.encode()) for t in CORPUS)
+        assert row.chars_per_token == round(row.n_chars / n_toks, 4)
+        assert row.tokens_per_doc == round(n_toks / len(CORPUS), 4)
+        assert row.oov_frac == 0.0
+
+
+def test_tokenizer_stats_oov_groups_and_empty_docs(spark):
+    from snapflow_spark.functions.tokenizer_eval import tokenizer_stats
+
+    # train WITH the space-prefixed pre-token (GPT-2 convention) so
+    # "hello help" is fully in-vocab for the en group
+    tok = learn_unigram({"hello": 5, " help": 3}, vocab_size=14)
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "hello help"),
+            (2, "en", ""),                # token-less doc still counted
+            (3, "zz", "héllo"),      # é unseen -> OOV + 2-byte utf8
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    got = {r.lang: r for r in tokenizer_stats(spark, docs, tok, by="lang").collect()}
+    assert got["en"].n_docs == 2 and got["en"].n_oov_tokens == 0
+    assert got["en"].n_chars == 10
+    zz = got["zz"]
+    ref = tok.encode_text("héllo")
+    assert zz.n_tokens == len(ref)
+    assert zz.n_oov_tokens == 1  # the é fallback char
+    assert zz.n_bytes == len("héllo".encode()) == 6
+    assert zz.oov_frac == round(1 / len(ref), 6)
