@@ -9,6 +9,7 @@ from snapflow_spark.operators.curation import (
     cap_per_domain,
     contamination_pairs,
     pack_sequences,
+    pack_sequences_bfd,
     split_by_hash,
     stratified_sample_by_hash,
 )
@@ -70,6 +71,7 @@ __all__ = [
     "dedup_cluster_representatives",
     "contamination_pairs",
     "pack_sequences",
+    "pack_sequences_bfd",
     "split_by_hash",
     "stratified_sample_by_hash",
     "IVFIndex",

@@ -437,3 +437,73 @@ def test_excise_composes_into_curation_pipeline(spark):
     assert a == b
     for p in pins:
         p.unpersist()
+
+
+def _naive_ffd(items, budget):
+    """O(n^2) first-fit-decreasing reference: items = [(id, size)]."""
+    order = sorted(items, key=lambda t: (-t[1], t[0]))
+    bins, assign = [], {}
+    for i, s in order:
+        if s > budget:
+            assign[i] = len(bins)
+            bins.append(0)  # closed oversize bin
+            continue
+        for b, rem in enumerate(bins):
+            if rem >= s:
+                bins[b] -= s
+                assign[i] = b
+                break
+        else:
+            assign[i] = len(bins)
+            bins.append(budget - s)
+    return assign
+
+
+def test_pack_bfd_matches_naive_reference_and_caps(spark):
+    from snapflow_spark.operators.curation import pack_sequences_bfd
+
+    rng = __import__("random").Random(7)
+    items = [(i, rng.randint(1, 90)) for i in range(200)]
+    df = spark.createDataFrame(items, "doc_id bigint, n_tokens long")
+    out = pack_sequences_bfd(df, budget=100).collect()
+    got = {r.doc_id: r.chunk_bin for r in out}
+    assert got == _naive_ffd(items, 100)
+    # no bin overflows; every doc assigned
+    fill = {}
+    for i, s in items:
+        fill[got[i]] = fill.get(got[i], 0) + s
+    assert all(v <= 100 for v in fill.values())
+    assert not any(r.chunk_oversize for r in out)
+    # FFD packs tighter than sequential running-sum chunk count
+    n_bins = len(fill)
+    seq_bins = 0
+    acc = 0
+    for i, s in sorted(items):
+        if acc + s > 100:
+            seq_bins += 1
+            acc = 0
+        acc += s
+    assert n_bins <= seq_bins + 1
+
+
+def test_pack_bfd_oversize_shards_and_determinism(spark):
+    from snapflow_spark.operators.curation import pack_sequences_bfd
+
+    rows = [
+        (1, "en", 150),  # oversize: own bin
+        (2, "en", 60), (3, "en", 50), (4, "en", 40),
+        (5, "de", 80), (6, "de", 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens long")
+    out = {r.doc_id: r for r in pack_sequences_bfd(
+        df, budget=100, partition_col="lang").collect()}
+    assert out[1].chunk_oversize and not out[2].chunk_oversize
+    # en: oversize bin + (60+40) + (50): sizes desc = 150,60,50,40 ->
+    # bins: [150closed], [60], [50] then 40 first-fits into the 60-bin
+    assert out[2].chunk_bin == out[4].chunk_bin != out[3].chunk_bin
+    # de packs independently (its own bin ids start at 0): 80+30=110
+    # exceeds the budget, so the two docs take bins 0 and 1
+    assert (out[5].chunk_bin, out[6].chunk_bin) == (0, 1)
+    again = {r.doc_id: r.chunk_bin for r in pack_sequences_bfd(
+        df.repartition(5), budget=100, partition_col="lang").collect()}
+    assert again == {k: v.chunk_bin for k, v in out.items()}
