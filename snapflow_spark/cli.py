@@ -64,6 +64,14 @@ def main(argv: list[str] | None = None) -> int:
     tu.add_argument("--max-word-types", type=int, default=1_000_000)
     tu.add_argument("--max-piece-len", type=int, default=8)
     tu.add_argument("--seed-size", type=int, default=100_000)
+    ts = sub.add_parser(
+        "tokenizer-stats",
+        help="compression/coverage metrics for a trained tokenizer "
+        "artifact over the documents table (optionally per group)",
+    )
+    ts.add_argument("artifact", help="tokenizer JSON (BPE or unigram)")
+    ts.add_argument("--sf", default=DEFAULT_SF_DIR)
+    ts.add_argument("--by", default=None, help="group column, e.g. lang")
     tq = sub.add_parser(
         "train-quality",
         help="train the LR quality classifier on the documents table "
@@ -100,6 +108,30 @@ def main(argv: list[str] | None = None) -> int:
             f"trained: {args.buckets} buckets, {args.iters} iters, "
             f"bias {clf.weights[-1]:+.4f} -> {args.out}"
         )
+        return 0
+
+    if args.cmd == "tokenizer-stats":
+        import json as _json
+
+        from snapflow_spark.catalog import load_table
+        from snapflow_spark.functions.tokenizer_eval import tokenizer_stats
+        from snapflow_spark.session import build_session, tune
+
+        with open(args.artifact, encoding="utf-8") as f:
+            head = _json.load(f)
+        if head.get("model_type") == "unigram":
+            from snapflow_spark.functions.unigram import UnigramTokenizer
+
+            tok = UnigramTokenizer.load(args.artifact)
+        else:
+            from snapflow_spark.functions.bpe import BPETokenizer
+
+            tok = BPETokenizer.load(args.artifact)
+        spark = build_session("cli-tokenizer-stats")
+        spark.sparkContext.setLogLevel("ERROR")
+        tune(spark)
+        docs = load_table(spark, args.sf, "documents")
+        tokenizer_stats(spark, docs, tok, by=args.by).show(50, truncate=False)
         return 0
 
     if args.cmd == "train-unigram":

@@ -131,12 +131,18 @@ def _pack(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     partition_col: str | None = None,
+    mode: str = "chunk",
 ) -> DataFrame:
-    """core.pack: concat-and-chunk sequence packing
-    (operators.curation.pack_sequences)."""
-    from snapflow_spark.operators import pack_sequences
+    """core.pack: sequence packing. ``mode: chunk`` (default —
+    concat-and-chunk, operators.curation.pack_sequences) or
+    ``mode: bins`` (whole-doc first-fit-decreasing bin packing,
+    pack_sequences_bfd, round 8)."""
+    from snapflow_spark.operators import pack_sequences, pack_sequences_bfd
 
-    return pack_sequences(
+    if mode not in ("chunk", "bins"):
+        raise ValueError(f"core.pack mode must be chunk|bins, got {mode!r}")
+    fn = pack_sequences if mode == "chunk" else pack_sequences_bfd
+    return fn(
         input,
         budget=budget,
         token_col=token_col,

@@ -415,3 +415,19 @@ def test_tokenizer_stats_oov_groups_and_empty_docs(spark):
     assert zz.n_oov_tokens == 1  # the é fallback char
     assert zz.n_bytes == len("héllo".encode()) == 6
     assert zz.oov_frac == round(1 / len(ref), 6)
+
+
+def test_cli_tokenizer_stats(spark, tmp_path, capsys):
+    from snapflow_spark.cli import main
+
+    out = str(tmp_path / "uni2.json")
+    assert main([
+        "train-unigram", out, "--sf", "/root/testdata/sf0.001",
+        "--vocab-size", "300", "--seed-size", "1500", "--max-word-types",
+        "1500",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["tokenizer-stats", out, "--sf", "/root/testdata/sf0.001",
+                 "--by", "lang"]) == 0
+    printed = capsys.readouterr().out
+    assert "chars_per_token" in printed and "oov_frac" in printed
