@@ -56,6 +56,77 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def _with_corrupt_col(schema: StructType | str, corrupt_col: str) -> StructType:
+    from pyspark.sql.types import StringType, StructField
+
+    base = (
+        schema
+        if isinstance(schema, StructType)
+        else StructType.fromDDL(schema)
+    )
+    return StructType([*base.fields, StructField(corrupt_col, StringType())])
+
+
+def read_jsonl_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL scan that SURVIVES bad records — the 100 TB ingest
+    reality (web-scraped corpora carry truncated lines, stray bytes,
+    schema drift): PERMISSIVE mode parses what it can, nulls the
+    fields it can't, and lands each unparseable/ill-typed raw line in
+    ``corrupt_col`` for quarantine instead of failing the job
+    (FAILFAST) or silently shrinking it (DROPMALFORMED). A declared
+    schema is REQUIRED — corrupt-record capture plus inference would
+    re-scan and can widen types around the bad rows nondeterministically.
+    Split the result with ``quarantine_corrupt``."""
+    full = _with_corrupt_col(schema, corrupt_col)
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """CSV twin of ``read_jsonl_permissive`` (same contract): rows
+    with the wrong column count or un-castable values keep their raw
+    line in ``corrupt_col``."""
+    full = _with_corrupt_col(schema, corrupt_col)
+    return (
+        spark.read.schema(full)
+        .options(header="true", **options)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
+def quarantine_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(good, bad) split of a permissive scan: ``good`` drops the
+    corrupt column; ``bad`` keeps EVERY column (Spark disallows
+    queries referencing ONLY the internal corrupt-record column of a
+    raw file scan, so the quarantine side deliberately carries the
+    parsed-as-null fields alongside the raw line — which is also what
+    you want in a quarantine table: partial parses aid triage)."""
+    from pyspark.sql import functions as F
+
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull())
+    return good, bad
+
+
 def read_orc(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
     """ORC scan (§2.B.1) — the other columnar warehouse format. Spark's
     native ORC reader is vectorized and pushes predicates/column pruning

@@ -630,3 +630,45 @@ def test_pyarrow_native_udtf_table_arg_parity(spark):
     # '' splits to [''], consecutive delimiters produce an empty token
     assert as_tuples(batch)[:4] == [(1, 0, "a"), (1, 1, "b"), (1, 2, ""), (1, 3, "c")]
     assert (3, 0, "") in as_tuples(batch) and all(t[0] != 2 for t in as_tuples(batch))
+
+
+def test_permissive_scans_quarantine_corrupt_records(spark, tmp_path):
+    """round 8 ingest robustness: PERMISSIVE jsonl/csv scans survive
+    malformed lines — bad records land in the corrupt column and
+    quarantine_corrupt splits them out, instead of the job failing
+    (FAILFAST) or silently shrinking (DROPMALFORMED)."""
+    from snapflow_spark.sources import (
+        quarantine_corrupt,
+        read_csv_permissive,
+        read_jsonl_permissive,
+    )
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        '{"id": 1, "text": "good one"}\n'
+        '{"id": 2, "text": "also good"}\n'
+        '{"id": 3, "text": "truncated...\n'          # malformed JSON
+        '{"id": "not a number", "text": "bad type"}\n'  # ill-typed field
+    )
+    df = read_jsonl_permissive(spark, str(jl), "id bigint, text string")
+    good, bad = quarantine_corrupt(df)
+    assert {r.id for r in good.collect()} == {1, 2}
+    assert "_corrupt_record" not in good.columns
+    raws = [r._corrupt_record for r in bad.collect()]
+    assert len(raws) == 2 and all(raw for raw in raws)
+    assert any("truncated" in raw for raw in raws)
+    assert any("not a number" in raw for raw in raws)
+
+    cs = tmp_path / "docs.csv"
+    cs.write_text(
+        "id,n\n"
+        "1,10\n"
+        "2,not_an_int\n"   # un-castable
+        "3,30\n"
+    )
+    cdf = read_csv_permissive(spark, str(cs), "id bigint, n bigint")
+    cgood, cbad = quarantine_corrupt(cdf)
+    assert {(r.id, r.n) for r in cgood.collect()} == {(1, 10), (3, 30)}
+    assert [r._corrupt_record for r in cbad.collect()] == ["2,not_an_int"]
+    # the partial parse rides along for triage (id parsed, n nulled)
+    assert cbad.first().id == 2 and cbad.first().n is None
