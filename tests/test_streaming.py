@@ -480,3 +480,49 @@ def test_streaming_frequent_items_bounds_and_state(spark, tmp_path):
     assert got["hot1"][0] >= 40  # est is a lower bound; hot1 true = 60
     # top of the ranking is the true top
     assert intervals[0][0] == "hot1"
+
+
+def test_map_only_curation_ops_run_on_streams(spark, tmp_path):
+    """Composability (round 8): the map-only curation surfaces —
+    trained-classifier scoring (broadcast weights), trained-tokenizer
+    encode (broadcast pieces), quality signals, deterministic split —
+    run UNCHANGED on a Structured Streaming source and match their
+    batch outputs row-for-row. This is the 100 TB ingest shape:
+    score/tokenize/split documents as they arrive, no batch rerun."""
+    from snapflow_spark.functions.text import quality_score_expr
+    from snapflow_spark.functions.unigram import train_unigram
+    from snapflow_spark.operators.classifier import score_quality, train_from_predicate
+    from snapflow_spark.operators.curation import split_by_hash
+    from snapflow_spark.streaming import stream_from_snapshots
+
+    store = SnapshotStore(tmp_path / "docs")
+    rows = [
+        (i, "en" if i % 2 else "de",
+         f"document number {i} with some body text tokens " * (1 + i % 3))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    store.append(docs)
+
+    clf = train_from_predicate(docs, "lang = 'en'", num_buckets=256, iters=5)
+    tok = train_unigram(docs, vocab_size=120, seed_size=400)
+
+    def curate(df):
+        scored = score_quality(df, clf, text_col="text")
+        return split_by_hash(
+            scored.withColumn("toks", tok.encode_col(spark, "text"))
+            .withColumn("q", quality_score_expr("text")),
+            test_frac=0.2,
+        ).select(
+            "doc_id", "split", F.round("quality_prob", 6).alias("p"),
+            F.size("toks").alias("n_toks"), "q",
+        )
+
+    batch_out = {tuple(r) for r in curate(store.read(spark)).collect()}
+    stream = stream_from_snapshots(spark, str(store.path), docs.schema)
+    got = run_stream_to_batch(
+        curate(stream), output_mode="append",
+        checkpoint=str(tmp_path / "ckpt_curate"),
+    )
+    assert {tuple(r) for r in got.collect()} == batch_out
+    assert len(batch_out) == 30
