@@ -228,6 +228,84 @@ def _bm25(
     return bm25_topk(input, qdf, k=k, text_col=text_col, id_col=id_col)
 
 
+def _expect(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    expectations: list,
+    on_fail: str = "quarantine",
+) -> DataFrame:
+    """core.expect: data-quality gate (operators.quality — snapflow's
+    commonmodel field validators as a declared pipeline node). Each
+    list entry is one of::
+
+        - {not_null: col}
+        - {in_range: {col: c, lo: 0, hi: 100}}     # bounds optional
+        - {matches: {col: c, pattern: "^[a-z]+$"}}
+        - {one_of: {col: c, allowed: [a, b]}}
+        - {predicate: "c >= 0 AND d IS NOT NULL", name: my_rule}
+
+    ``on_fail``: ``quarantine`` (default — pass only conforming rows
+    downstream; NULL predicate = fail, quality.py contract),
+    ``flag`` (keep every row, add a ``failed_checks`` array naming
+    what broke — empty for clean rows), or ``fail`` (ONE aggregate
+    pass counts failures and raises naming each failing rule — the
+    hard gate)."""
+    from snapflow_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+        in_range,
+        matches,
+        not_null,
+        one_of,
+        quarantine,
+    )
+
+    exps: list[Expectation] = []
+    for spec in expectations:
+        if not isinstance(spec, dict) or len(spec) > 2:
+            raise ValueError(f"core.expect: bad expectation spec {spec!r}")
+        if "not_null" in spec:
+            exps.append(not_null(str(spec["not_null"])))
+        elif "in_range" in spec:
+            d = spec["in_range"]
+            exps.append(in_range(str(d["col"]), d.get("lo"), d.get("hi")))
+        elif "matches" in spec:
+            d = spec["matches"]
+            exps.append(matches(str(d["col"]), str(d["pattern"])))
+        elif "one_of" in spec:
+            d = spec["one_of"]
+            exps.append(one_of(str(d["col"]), list(d["allowed"])))
+        elif "predicate" in spec:
+            exps.append(
+                Expectation(
+                    str(spec.get("name", f"rule_{len(exps)}")),
+                    F.expr(str(spec["predicate"])),
+                )
+            )
+        else:
+            raise ValueError(f"core.expect: unknown expectation {spec!r}")
+    if on_fail == "fail":
+        counts = check_expectations(input, exps)
+        bad = {
+            k: v for k, v in counts.items() if k != "rows" and v > 0
+        }
+        if bad:
+            raise ValueError(f"core.expect gate failed: {bad}")
+        return input
+    passed, failed = quarantine(input, exps)
+    if on_fail == "quarantine":
+        return passed
+    if on_fail == "flag":
+        import pyspark.sql.functions as _F
+
+        return passed.withColumn(
+            "failed_checks", _F.array().cast("array<string>")
+        ).unionByName(failed)
+    raise ValueError(
+        f"core.expect on_fail must be quarantine|flag|fail, got {on_fail!r}"
+    )
+
+
 def _tokenize(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -546,6 +624,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.dedup_lines": _dedup_lines,
     "core.excise_spans": _excise_spans,
     "core.bm25": _bm25,
+    "core.expect": _expect,
     "core.tokenize": _tokenize,
     "core.dsir": _dsir,
     "core.frequent_items": _frequent_items,

@@ -975,3 +975,61 @@ def test_pipeline_releases_advertised_cache_handles(spark, tmp_path):
     # the write materialized the output; the advertised pin is gone
     assert not pinned.storageLevel.useMemory
     assert g.read(spark, "n").count() == 1
+
+
+def test_yaml_builtin_expect(spark, tmp_path):
+    """core.expect: commonmodel-validator semantics as a YAML node —
+    quarantine keeps only conforming rows, flag annotates every row,
+    fail raises naming each broken rule."""
+    import pytest as _pytest
+
+    from snapflow_spark.plans import load_graph
+    from snapflow_spark.plans.yaml_config import _expect
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 10),
+            (2, None, 20),          # not_null(lang) fails
+            (3, "english", 30),     # matches fails
+            (4, "de", -7),          # in_range + predicate fail
+        ],
+        "doc_id bigint, lang string, n bigint",
+    )
+    exps = [
+        {"not_null": "lang"},
+        {"matches": {"col": "lang", "pattern": "^[a-z]{2}$"}},
+        {"in_range": {"col": "n", "lo": 0}},
+        {"predicate": "n % 5 = 0", "name": "n_mult5"},
+    ]
+    cfg = {
+        "warehouse": str(tmp_path / "wh_expect"),
+        "sources": [{"name": "raw"}],
+        "nodes": [
+            {
+                "name": "gated",
+                "function": "core.expect",
+                "upstream": "raw",
+                "params": {"expectations": exps},
+                "overwrite": True,
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["raw"].append(df)
+    assert g.produce(spark) == 1
+    assert [r.doc_id for r in g.read(spark, "gated").collect()] == [1]
+
+    flagged = {r.doc_id: sorted(r.failed_checks)
+               for r in _expect(spark, df, exps, on_fail="flag").collect()}
+    assert flagged[1] == []
+    # NULL passes matches/in_range (those check non-null values only;
+    # not_null owns nullness — the quality.py contract)
+    assert flagged[2] == ["lang_not_null"]
+    assert flagged[3] == ["lang_matches"]
+    assert flagged[4] == ["n_in_range", "n_mult5"]
+
+    with _pytest.raises(ValueError, match="lang_not_null_failures"):
+        _expect(spark, df, exps, on_fail="fail")
+    assert _expect(spark, df.where("doc_id = 1"), exps, on_fail="fail").count() == 1
+    with _pytest.raises(ValueError, match="unknown expectation"):
+        _expect(spark, df, [{"bogus": "x"}])
