@@ -619,6 +619,57 @@ class IVFPQIndex:
         coded = pq.encode(ivf.assigned, keep_cols=keep)
         return cls(ivf, pq, coded)
 
+    def append(self, new: DataFrame) -> "IVFPQIndex":
+        """Incremental ingest into the STANDING index: assign the new
+        vectors to the EXISTING cells (frozen coarse quantizer) and
+        encode them with the EXISTING codebooks — the standard IVF
+        append (FAISS `add`): no retraining, one Arrow-batched pass
+        over just the new rows. Returns a new index whose coded table
+        is the union; ids are the caller's contract (append does not
+        dedup). The quantizer staying frozen is the documented trade:
+        if the data distribution drifts, cell occupancy skews and
+        recall at fixed nprobe degrades — monitor cell counts and
+        rebuild when skewed (quantizer retraining re-encodes
+        everything by design)."""
+        assigned = new.withColumn(
+            "cell", _cell_assign_udf(self.ivf.centers)(F.col(self.vec_col))
+        )
+        keep = (
+            [self.vec_col] if self.vec_col in self.coded.columns else []
+        ) + ["cell"]
+        coded_new = self.pq.encode(assigned, keep_cols=keep)
+        coded = self.coded.unionByName(coded_new)
+        return IVFPQIndex(
+            IVFIndex(self.ivf.centers, coded, self.vec_col, self.id_col),
+            self.pq,
+            coded,
+        )
+
+    @classmethod
+    def append_to_saved(
+        cls,
+        spark,
+        path: str,
+        new: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        """Append new vectors DIRECTLY into a saved index's
+        partitioned layout: loads only the tiny centroid/codebook
+        tables (never the coded corpus), encodes the new rows, and
+        append-writes them into ``path/coded``'s Hive cell partitions
+        — the streaming-embedding-ingest shape: a 100 TB standing
+        index absorbs a delta batch at delta cost, searches keep
+        pruning to nprobe cells and see the new rows on next load."""
+        idx = cls.load(spark, path, vec_col=vec_col, id_col=id_col)
+        assigned = new.withColumn(
+            "cell", _cell_assign_udf(idx.ivf.centers)(F.col(vec_col))
+        )
+        keep = ([vec_col] if vec_col in idx.coded.columns else []) + ["cell"]
+        idx.pq.encode(assigned, keep_cols=keep).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(f"{path}/coded")
+
     def save(self, path: str) -> None:
         self.coded.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/coded"

@@ -2093,3 +2093,48 @@ def test_bmp_32bit_and_palette():
     # 24-bit round-trip through our encoder still exact
     a = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
     assert np.array_equal(decode_bmp(encode_bmp(a)), a)
+
+
+def test_ivfpq_append_frozen_quantizer_and_saved_layout(embeddings, tmp_path):
+    """Round 8 incremental ingest: append() assigns new vectors to the
+    EXISTING cells and encodes with the EXISTING codebooks (no
+    retraining — FAISS-add semantics); append_to_saved() writes a
+    delta batch straight into the saved Hive cell partitions at delta
+    cost. An appended vector is findable at top-1; the original rows'
+    codes and the quantizer are byte-identical before and after."""
+    from snapflow_spark.operators.similarity import IVFPQIndex
+
+    spark = embeddings.sparkSession
+    base = embeddings.where(F.col("vec_id") < 250)
+    delta = embeddings.where(F.col("vec_id") >= 250)
+    n_base, n_delta = base.count(), delta.count()
+
+    idx = IVFPQIndex.build(base, k_cells=8, m=4, n_codes=32)
+    before_codes = {
+        r.vec_id: bytes(r.pq_code) for r in idx.coded.collect()
+    }
+    grown = idx.append(delta)
+    assert grown.coded.count() == n_base + n_delta
+    # original rows untouched; quantizer and codebooks are THE SAME
+    after_codes = {r.vec_id: bytes(r.pq_code) for r in grown.coded.collect()}
+    for vid, code in before_codes.items():
+        assert after_codes[vid] == code
+    assert grown.ivf.centers is idx.ivf.centers
+    assert grown.pq is idx.pq
+    # an appended vector is its own nearest neighbor (rerank on raws)
+    probe_row = delta.where(F.col("vec_id") == 500).select(
+        F.lit(0).alias("probe_id"), "embedding"
+    )
+    hits = grown.search(probe_row, k=3, nprobe=8, rerank_factor=8).collect()
+    assert hits[0].vec_id in (500, 0)  # 500 is a planted near-dup of 0
+    assert {r.vec_id for r in hits} >= {500}
+
+    # saved-layout append: delta lands in the cell partitions without
+    # touching the base files; the loaded index sees everything
+    path = str(tmp_path / "ivfpq_grow")
+    idx.save(path)
+    IVFPQIndex.append_to_saved(spark, path, delta)
+    loaded = IVFPQIndex.load(spark, path)
+    assert loaded.coded.count() == n_base + n_delta
+    lhits = loaded.search(probe_row, k=3, nprobe=8, rerank_factor=8).collect()
+    assert {r.vec_id for r in lhits} == {r.vec_id for r in hits}
