@@ -645,6 +645,33 @@ class IVFPQIndex:
             coded,
         )
 
+    def cell_stats(self) -> dict:
+        """Occupancy snapshot for the frozen-quantizer drift monitor
+        (see ``append``): one aggregate pass over the coded table ->
+        ``{'n_rows', 'n_cells', 'min', 'max', 'mean', 'skew'}`` where
+        ``skew`` = max/mean cell occupancy (1.0 = perfectly even).
+        Rising skew after appends means the data distribution has
+        drifted off the trained cells — recall at fixed nprobe decays
+        — and a rebuild re-trains the quantizer."""
+        counts = self.coded.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        row = counts.agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("n").alias("mn"),
+            F.max("n").alias("mx"),
+            F.avg("n").alias("avg"),
+        ).first()
+        return {
+            "n_rows": row["n_rows"],
+            "n_cells": row["n_cells"],
+            "min": row["mn"],
+            "max": row["mx"],
+            "mean": round(row["avg"], 2),
+            "skew": round(row["mx"] / row["avg"], 3) if row["avg"] else 0.0,
+        }
+
     @classmethod
     def append_to_saved(
         cls,

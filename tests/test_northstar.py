@@ -2138,3 +2138,26 @@ def test_ivfpq_append_frozen_quantizer_and_saved_layout(embeddings, tmp_path):
     assert loaded.coded.count() == n_base + n_delta
     lhits = loaded.search(probe_row, k=3, nprobe=8, rerank_factor=8).collect()
     assert {r.vec_id for r in lhits} == {r.vec_id for r in hits}
+
+
+def test_ivfpq_cell_stats_drift_monitor(embeddings):
+    """cell_stats: the append-drift monitor — totals reconcile, and a
+    deliberately off-distribution append raises the skew reading."""
+    from snapflow_spark.operators.similarity import IVFPQIndex
+
+    spark = embeddings.sparkSession
+    idx = IVFPQIndex.build(
+        embeddings.where(F.col("vec_id") < 250), k_cells=8, m=4, n_codes=32
+    )
+    s0 = idx.cell_stats()
+    assert s0["n_rows"] == 250 and s0["n_cells"] <= 8
+    assert s0["min"] <= s0["mean"] <= s0["max"]
+    assert s0["skew"] >= 1.0
+    # a shifted blob lands (mostly) in few cells -> skew rises
+    shifted = spark.createDataFrame(
+        [(9000 + i, [7.0] * 16) for i in range(300)],
+        "vec_id bigint, embedding array<double>",
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    s1 = idx.append(shifted.select("vec_id", F.col("embedding"))).cell_stats()
+    assert s1["n_rows"] == 550
+    assert s1["skew"] > s0["skew"]
