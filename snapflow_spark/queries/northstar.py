@@ -58,19 +58,70 @@ from snapflow_spark.registry import query
 @query(
     "q_dedup_exact",
     oracle=r"""
-    SELECT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+    SELECT 'exact' AS branch,
+           sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
            MIN(doc_id) AS doc_id,
            COUNT(*) AS n_copies
     FROM documents
-    GROUP BY 1
+    GROUP BY 2
+    UNION ALL
+    -- 'lines' branch (round 8): cross-document line dedup (CCNet
+    -- boilerplate kill) replayed end-to-end — first corpus-wide
+    -- occurrence of each line survives (min (doc_id, line_no)),
+    -- documents are REBUILT from surviving lines in order, and the
+    -- sha256 of the rebuilt text hash-proves the byte-exact
+    -- reconstruction; n_copies carries the per-doc kept-line count
+    SELECT 'lines' AS branch, sha256(rebuilt) AS fingerprint,
+           doc_id, CAST(n_kept AS BIGINT) AS n_copies
+    FROM (
+      WITH rawl AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS line,
+               unnest(range(len(string_split(text, chr(10))))) AS line_no
+        FROM documents
+      ), norm AS (
+        SELECT * FROM rawl WHERE regexp_matches(line, '\S')
+      ), kept AS (
+        SELECT doc_id, line, line_no,
+               row_number() OVER (
+                 PARTITION BY line ORDER BY doc_id, line_no
+               ) AS rn
+        FROM norm
+      )
+      SELECT d.doc_id,
+             coalesce(string_agg(CASE WHEN k.rn = 1 THEN k.line END,
+                                 chr(10) ORDER BY k.line_no), '') AS rebuilt,
+             coalesce(sum(CASE WHEN k.rn = 1 THEN 1 ELSE 0 END), 0) AS n_kept
+      FROM documents d LEFT JOIN kept k USING (doc_id)
+      GROUP BY d.doc_id
+    ) v
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via operators.dedup_text.exact_dedup: group on the
-    sha256 fingerprint of normalized text, keep min doc_id."""
+    sha256 fingerprint of normalized text, keep min doc_id.
+
+    Tagged union (round 8): ∪ 'lines' — cross-document LINE dedup
+    (operators.dedup_text.dedup_lines_global, the CCNet boilerplate
+    kill, de-skewed partial-agg keeper): per doc, the sha256 of the
+    text REBUILT from corpus-wide first-occurrence lines (the hash
+    proves byte-exact reconstruction against DuckDB's replay) with
+    the kept-line count in n_copies."""
     d = load_table(spark, sf_dir, "documents")
-    out = exact_dedup(d, text_col="text", id_col="doc_id")
-    return out.select("fingerprint", "doc_id", "n_copies")
+    exact = exact_dedup(d, text_col="text", id_col="doc_id").select(
+        F.lit("exact").alias("branch"), "fingerprint", "doc_id", "n_copies"
+    )
+    from snapflow_spark.operators.dedup_text import dedup_lines_global
+
+    lines = dedup_lines_global(
+        ensure_parallelism(d.select("doc_id", "text"))
+    ).select(
+        F.lit("lines").alias("branch"),
+        F.sha2(F.col("text"), 256).alias("fingerprint"),
+        "doc_id",
+        F.col("n_kept").alias("n_copies"),
+    )
+    return exact.unionByName(lines)
 
 
 _BM25_QUERIES = [(1, "join hash scan"), (2, "customer filter merge")]
