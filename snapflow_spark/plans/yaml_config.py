@@ -611,6 +611,30 @@ def _image_dedup(
     )
 
 
+def _scan_warc(
+    spark: SparkSession,
+    path: str,
+    types: str | None = None,
+    max_record_bytes: int | None = None,
+    truncated: str = "fail",
+    wet: bool = False,
+) -> DataFrame:
+    """core.scan_warc: zero-input source node over WARC/WET archives
+    (sources.warc — the Common Crawl on-ramp). ``wet: true`` narrows
+    to ``conversion`` records decoded to a ``text`` column, i.e. the
+    shape every downstream text builtin (dedup, quality, tokenize)
+    expects."""
+    from snapflow_spark.sources.warc import read_warc, wet_text
+
+    opts: dict[str, object] = {"truncated": truncated}
+    if types is not None:
+        opts["types"] = types
+    if max_record_bytes is not None:
+        opts["max_record_bytes"] = max_record_bytes
+    df = read_warc(spark, path, **opts)
+    return wet_text(df) if wet else df
+
+
 BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.accumulate": _accumulate,
     "core.dedupe_keep_latest": _dedupe_keep_latest,
@@ -631,6 +655,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,
     "core.image_dedup": _image_dedup,
+    "core.scan_warc": _scan_warc,
     "core.audio_dedup": _audio_dedup,
     "core.video_dedup": _video_dedup,
 }

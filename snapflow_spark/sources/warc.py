@@ -1,0 +1,433 @@
+"""WARC / WET ingestion (web-archive format, ISO 28500) — the
+Common Crawl on-ramp for an LLM training-data pipeline.
+
+Common Crawl — the canonical ~100 TB-per-crawl text corpus — ships as
+WARC files (raw HTTP captures), WET files (extracted plain text), and
+WAT files (metadata JSON); all three are the same WARC record framing
+with different payloads. This module implements that framing from the
+public spec (ISO 28500 / IIPC warc-specifications) with no external
+parser library:
+
+- ``iter_warc_records`` — a STREAMING record parser over any binary
+  file object. Gzip is detected by magic and handled member-by-member
+  the way Common Crawl writes it (each record an independent gzip
+  member, concatenated), but a whole-file single-member gzip or an
+  uncompressed ``.warc`` parses identically. Memory is bounded by one
+  record, never one file.
+- ``WarcDataSource`` — a Spark 4 Python DataSource (format "warc"):
+  ONE input partition per file, so a 90 000-file crawl fans out across
+  the cluster with no driver funnel; the fixed schema means no
+  inference pass over petabytes. Oversized records (option
+  ``max_record_bytes``) keep their headers and NULL the payload —
+  triage metadata survives, memory stays bounded. Truncated tails
+  (``truncated: stop``) end the file cleanly instead of failing the
+  job — the Common Crawl reality where a transfer died mid-object.
+- ``http_response_parts`` — Arrow-batched split of a response
+  record's HTTP payload into (status, content-type, body). HTTP
+  headers are bytes, not UTF-8; this must not go through a string
+  column.
+- ``wet_text`` — WET ``conversion`` records to a text column with
+  invalid-UTF-8 replacement (web text is never all valid).
+- ``write_warc`` — the mirror writer (per-record gzip members, the
+  layout that makes record-level random access possible), used by the
+  test fixtures and as a foreachPartition-able shard sink.
+
+Scale notes. The unit of parallelism is the FILE (Common Crawl's own
+unit: ~1 GiB gzip per file); within a file the format is inherently
+sequential (variable-length records, gzip members), which is exactly
+why the upstream corpus is sharded into many files. Planning lists
+files on the driver (cheap: one listing of ~1e5 names); reading
+streams record-at-a-time inside executors. Everything downstream
+(dedup, quality, tokenize) is ordinary distributed DataFrame work.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import os
+
+import pandas as pd
+from datetime import datetime, timezone
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+#: Fixed scan schema — fieldNames drive the reader's tuple layout too.
+WARC_SCHEMA_DDL = (
+    "record_id string, warc_type string, target_uri string, "
+    "warc_date timestamp, content_type string, content_length bigint, "
+    "payload binary, warc_file string, record_index bigint"
+)
+
+
+class WarcFormatError(ValueError):
+    """Malformed WARC framing (bad version line, missing blank line,
+    short payload). Carries enough context to find the bad record."""
+
+
+def open_warc_stream(path: str):
+    """Binary stream over ``path``, transparently de-gzipped.
+
+    ``gzip.GzipFile`` natively resumes across concatenated members, so
+    the Common Crawl member-per-record layout and a single-member
+    whole-file gzip both read as one continuous byte stream."""
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == GZIP_MAGIC:
+        return gzip.GzipFile(fileobj=f)
+    return f
+
+
+def _read_headers(stream, where: str) -> dict[str, str] | None:
+    """Header block after the version line: ``Name: value`` lines up
+    to a blank line; RFC-style continuation lines (leading SP/HT)
+    append to the previous value. Returns None on clean EOF."""
+    headers: dict[str, str] = {}
+    last_key: str | None = None
+    while True:
+        line = stream.readline()
+        if not line:
+            return None  # EOF inside a header block — truncated
+        if line in (b"\r\n", b"\n"):
+            return headers
+        text = line.decode("utf-8", "replace").rstrip("\r\n")
+        if text[:1] in (" ", "\t") and last_key is not None:
+            headers[last_key] += " " + text.strip()
+            continue
+        key, sep, value = text.partition(":")
+        if not sep:
+            raise WarcFormatError(f"malformed WARC header line {text!r} in {where}")
+        last_key = key.strip().lower()
+        headers[last_key] = value.strip()
+
+
+def _discard(stream, n: int) -> int:
+    """Skip n payload bytes in bounded chunks; returns bytes skipped."""
+    seen = 0
+    while seen < n:
+        chunk = stream.read(min(1 << 20, n - seen))
+        if not chunk:
+            break
+        seen += len(chunk)
+    return seen
+
+
+def iter_warc_records(
+    stream,
+    *,
+    max_record_bytes: int | None = None,
+    truncated: str = "fail",
+    where: str = "<stream>",
+) -> Iterator[tuple[dict[str, str], bytes | None]]:
+    """Yield ``(headers, payload)`` per WARC record, streaming.
+
+    headers keys are lowercased (the spec says field names are
+    case-insensitive); the version line is kept under ``"warc-version"``.
+    A record whose Content-Length exceeds ``max_record_bytes`` is
+    yielded with ``payload=None`` (headers are the valuable part for
+    triage; the skip keeps worker memory bounded on pathological
+    captures). ``truncated="stop"`` treats a mid-record EOF as the end
+    of the file — the pragmatic choice for crawl archives with torn
+    tails — while ``"fail"`` raises :class:`WarcFormatError`.
+    """
+    if truncated not in ("fail", "stop"):
+        raise ValueError(f"truncated must be 'fail' or 'stop', got {truncated!r}")
+
+    def torn(msg: str):
+        if truncated == "fail":
+            raise WarcFormatError(f"{msg} in {where}")
+        return None
+
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n"):
+            continue  # inter-record separator
+        if not line.startswith(b"WARC/"):
+            raise WarcFormatError(
+                f"expected WARC version line, got {line[:40]!r} in {where}"
+            )
+        headers = _read_headers(stream, where)
+        if headers is None:
+            torn("EOF inside WARC header block")
+            return
+        headers["warc-version"] = line.strip().decode("ascii", "replace")
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            raise WarcFormatError(
+                f"bad Content-Length {headers.get('content-length')!r} in {where}"
+            ) from None
+        if max_record_bytes is not None and length > max_record_bytes:
+            if _discard(stream, length) < length:
+                torn("EOF inside oversized WARC payload")
+                return
+            yield headers, None
+            continue
+        payload = stream.read(length)
+        if len(payload) < length:
+            torn(
+                f"EOF inside WARC payload (wanted {length}, got {len(payload)})"
+            )
+            return
+        yield headers, payload
+
+
+def _parse_warc_date(value: str | None) -> datetime | None:
+    """WARC-Date is ISO-8601 UTC ('2017-03-22T17:01:03Z', optionally
+    fractional). Unparseable dates become NULL, not a failed file."""
+    if not value:
+        return None
+    try:
+        return datetime.fromisoformat(value.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+
+
+def _list_warc_files(path: str) -> list[str]:
+    """Driver-side planning: directory -> every regular file inside
+    (sorted, so partition ids are stable run-to-run), else a glob."""
+    if os.path.isdir(path):
+        names = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if os.path.isfile(os.path.join(path, n))
+        )
+    else:
+        names = sorted(_glob.glob(path))
+    if not names:
+        raise FileNotFoundError(f"warc scan matched no files: {path}")
+    return names
+
+
+class WarcInputPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WarcBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.names = schema.fieldNames()
+        self.options = options
+
+    def partitions(self):
+        return [WarcInputPartition(p) for p in _list_warc_files(self.options["path"])]
+
+    def read(self, partition: WarcInputPartition) -> Iterator[tuple]:
+        opts = self.options
+        keep = opts.get("types")
+        keep_types = (
+            {t.strip().lower() for t in keep.split(",") if t.strip()} if keep else None
+        )
+        cap = opts.get("max_record_bytes")
+        path = partition.path
+        stream = open_warc_stream(path)
+        try:
+            for idx, (headers, payload) in enumerate(
+                iter_warc_records(
+                    stream,
+                    max_record_bytes=int(cap) if cap is not None else None,
+                    truncated=opts.get("truncated", "fail"),
+                    where=path,
+                )
+            ):
+                wtype = headers.get("warc-type", "").lower()
+                if keep_types is not None and wtype not in keep_types:
+                    continue
+                row = {
+                    "record_id": headers.get("warc-record-id"),
+                    "warc_type": wtype or None,
+                    "target_uri": headers.get("warc-target-uri"),
+                    "warc_date": _parse_warc_date(headers.get("warc-date")),
+                    "content_type": headers.get("content-type"),
+                    "content_length": int(headers.get("content-length", "0")),
+                    "payload": payload,
+                    "warc_file": path,
+                    "record_index": idx,
+                }
+                yield tuple(row[n] for n in self.names)
+        finally:
+            stream.close()
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc").load(path)`` after
+    ``spark.dataSource.register(WarcDataSource)``.
+
+    Options: ``types`` (comma list of WARC-Types to keep, e.g.
+    ``"response,conversion"``), ``max_record_bytes`` (larger payloads
+    land as NULL with headers intact), ``truncated`` (``fail`` |
+    ``stop``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return WARC_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> WarcBatchReader:
+        return WarcBatchReader(schema, dict(self.options))
+
+
+def read_warc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Convenience scan: register (idempotent — re-registration just
+    replaces the builder) and load."""
+    spark.dataSource.register(WarcDataSource)
+    reader = spark.read.format("warc")
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load(path)
+
+
+# --- payload decoding ------------------------------------------------
+
+_HTTP_PARTS_DDL = "http_status int, http_content_type string, http_body binary"
+
+
+def _split_http_payload(payload: bytes | None):
+    """(status, content-type, body) from one raw HTTP response.
+    Returns (None, None, None) for NULL/non-HTTP payloads rather than
+    poisoning the batch — a crawl always contains garbage."""
+    if payload is None:
+        return None, None, None
+    head, sep, body = payload.partition(b"\r\n\r\n")
+    if not sep:  # torn or bodyless response: tolerate bare LF framing
+        head, sep, body = payload.partition(b"\n\n")
+        if not sep:
+            return None, None, None
+    lines = head.split(b"\r\n") if b"\r\n" in head else head.split(b"\n")
+    status = None
+    first = lines[0].split(b" ", 2)
+    if len(first) >= 2 and first[0][:5] == b"HTTP/":
+        try:
+            status = int(first[1])
+        except ValueError:
+            status = None
+    if status is None:
+        return None, None, None
+    ctype = None
+    for line in lines[1:]:
+        key, s, value = line.partition(b":")
+        if s and key.strip().lower() == b"content-type":
+            ctype = value.strip().decode("latin-1")
+            break
+    return status, ctype, body
+
+
+def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Split WARC ``response`` payloads (raw HTTP bytes) into
+    ``http_status``/``http_content_type``/``http_body`` columns via an
+    Arrow-batched pandas UDF — HTTP header bytes are latin-1-ish and
+    the body is arbitrary binary, so no string-column detour exists.
+    Non-response / unparseable rows get NULLs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_HTTP_PARTS_DDL)
+    def split_http(payload: pd.Series) -> pd.DataFrame:
+        rows = [_split_http_payload(p) for p in payload]
+        return pd.DataFrame(
+            rows, columns=["http_status", "http_content_type", "http_body"]
+        )
+
+    # one struct column materializes the UDF exactly once, then the
+    # field reads are free codegen GetStructField projections
+    tagged = df.withColumn("__http", split_http(F.col(payload_col)))
+    return tagged.withColumns(
+        {
+            "http_status": F.col("__http.http_status"),
+            "http_content_type": F.col("__http.http_content_type"),
+            "http_body": F.col("__http.http_body"),
+        }
+    ).drop("__http")
+
+
+def wet_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """WET view: keep ``conversion`` records and decode payloads to a
+    ``text`` column with U+FFFD replacement (web-extracted text is
+    routinely not valid UTF-8; a strict decode would fail whole
+    files). Arrow-batched; drops the binary column after decode."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def decode_utf8(payload: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if p is None else p.decode("utf-8", "replace") for p in payload],
+            dtype=object,
+        )
+
+    return (
+        df.where(F.col("warc_type") == "conversion")
+        .withColumn("text", decode_utf8(F.col(payload_col)))
+        .drop(payload_col)
+    )
+
+
+# --- writer (fixtures + shard sink) ----------------------------------
+
+
+def warc_record_bytes(headers: dict[str, str], payload: bytes) -> bytes:
+    """One serialized record: version line, headers (Content-Length
+    computed from the payload, overriding any stale value), blank
+    line, payload, record separator."""
+    buf = io.BytesIO()
+    buf.write(b"WARC/1.0\r\n")
+    wrote_len = False
+    for key, value in headers.items():
+        k = key.strip()
+        if k.lower() == "warc-version":
+            continue
+        if k.lower() == "content-length":
+            value = str(len(payload))
+            wrote_len = True
+        buf.write(f"{k}: {value}\r\n".encode("utf-8"))
+    if not wrote_len:
+        buf.write(f"Content-Length: {len(payload)}\r\n".encode("ascii"))
+    buf.write(b"\r\n")
+    buf.write(payload)
+    buf.write(b"\r\n\r\n")
+    return buf.getvalue()
+
+
+def write_warc(
+    path: str,
+    records: Iterator[tuple[dict[str, str], bytes]] | list,
+    *,
+    gzip_members: bool | None = None,
+    date: datetime | None = None,
+) -> int:
+    """Write records to one WARC file; returns the record count.
+
+    ``gzip_members`` defaults from the filename (``.gz`` → True) and
+    writes each record as its OWN gzip member — Common Crawl's layout,
+    which is what keeps per-record random access and streaming
+    re-split possible downstream. Missing WARC-Date headers are
+    stamped with ``date`` (explicit, because executors must not read
+    the wall clock for deterministic re-runs)."""
+    if gzip_members is None:
+        gzip_members = path.endswith(".gz")
+    n = 0
+    with open(path, "wb") as out:
+        for headers, payload in records:
+            headers = dict(headers)
+            if date is not None and not any(
+                k.lower() == "warc-date" for k in headers
+            ):
+                headers["WARC-Date"] = (
+                    date.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+                )
+            blob = warc_record_bytes(headers, payload)
+            if gzip_members:
+                blob = gzip.compress(blob, mtime=0)
+            out.write(blob)
+            n += 1
+    return n

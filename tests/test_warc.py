@@ -1,0 +1,235 @@
+"""WARC / WET ingestion (sources/warc.py): streaming record parser
+over plain / member-gzip / whole-file-gzip layouts, the Spark "warc"
+DataSource (file-per-partition, type filter, oversize skip, torn-tail
+handling), HTTP payload split, and WET text decode."""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.sources.warc import (
+    WarcDataSource,
+    WarcFormatError,
+    http_response_parts,
+    iter_warc_records,
+    open_warc_stream,
+    read_warc,
+    warc_record_bytes,
+    wet_text,
+    write_warc,
+)
+
+HTTP_BODY = b"<html><body>hello \xe2\x82\xac page</body></html>"
+HTTP_PAYLOAD = (
+    b"HTTP/1.1 200 OK\r\n"
+    b"Content-Type: text/html; charset=utf-8\r\n"
+    b"X-Junk: \xff\xfe\r\n"  # header bytes are NOT utf-8 — by design
+    b"\r\n" + HTTP_BODY
+)
+WET_TEXT = "hello € page\nsecond line"
+
+
+def _records():
+    mk = lambda i, t, uri, ctype, payload: (  # noqa: E731
+        {
+            "WARC-Type": t,
+            "WARC-Record-ID": f"<urn:uuid:rec-{i}>",
+            "WARC-Target-URI": uri,
+            "WARC-Date": "2026-08-14T12:00:00Z",
+            "Content-Type": ctype,
+        },
+        payload,
+    )
+    return [
+        (
+            {
+                "WARC-Type": "warcinfo",
+                "WARC-Record-ID": "<urn:uuid:info>",
+                "WARC-Date": "2026-08-14T12:00:00Z",
+                "Content-Type": "application/warc-fields",
+            },
+            b"software: snapflow-spark-test\r\n",
+        ),
+        mk(1, "request", "http://a.example/x", "application/http; msgtype=request",
+           b"GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n"),
+        mk(2, "response", "http://a.example/x",
+           "application/http; msgtype=response", HTTP_PAYLOAD),
+        mk(3, "conversion", "http://a.example/x", "text/plain",
+           WET_TEXT.encode("utf-8") + b" \xff tail"),  # invalid utf-8 byte
+        mk(4, "response", "http://b.example/y",
+           "application/http; msgtype=response",
+           b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\ngone"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    recs = _records()
+    write_warc(str(d / "a.warc"), recs, gzip_members=False)
+    write_warc(str(d / "b.warc.gz"), recs)  # member-per-record gzip
+    # whole-file single-member gzip (the non-CC layout that must also work)
+    blob = b"".join(warc_record_bytes(h, p) for h, p in recs)
+    (d / "c.warc.gz").write_bytes(gzip.compress(blob, mtime=0))
+    return d
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(WarcDataSource)
+
+
+def test_parser_all_layouts(warc_dir):
+    for name in ("a.warc", "b.warc.gz", "c.warc.gz"):
+        with open_warc_stream(str(warc_dir / name)) as s:
+            got = list(iter_warc_records(s, where=name))
+        assert [h["warc-type"] for h, _ in got] == [
+            "warcinfo", "request", "response", "conversion", "response",
+        ]
+        assert got[2][1] == HTTP_PAYLOAD  # payload byte-exact through gzip
+        assert all(h["warc-version"] == "WARC/1.0" for h, _ in got)
+
+
+def test_scan_schema_and_partitioning(spark, warc_dir):
+    df = read_warc(spark, str(warc_dir))
+    assert [f.name for f in df.schema.fields] == [
+        "record_id", "warc_type", "target_uri", "warc_date", "content_type",
+        "content_length", "payload", "warc_file", "record_index",
+    ]
+    # one partition per file — the scale contract
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 15  # 5 records × 3 files
+    by_file = {r.warc_file for r in rows}
+    assert len(by_file) == 3
+    one = [r for r in rows if r.warc_file.endswith("b.warc.gz")]
+    assert [r.record_index for r in sorted(one, key=lambda r: r.record_index)] == [
+        0, 1, 2, 3, 4,
+    ]
+    resp = next(r for r in one if r.record_index == 2)
+    assert resp.warc_type == "response"
+    assert resp.target_uri == "http://a.example/x"
+    assert bytes(resp.payload) == HTTP_PAYLOAD
+    assert resp.content_length == len(HTTP_PAYLOAD)
+    assert resp.warc_date == datetime(2026, 8, 14, 12, 0, 0)
+
+
+def test_scan_type_filter(spark, warc_dir):
+    df = read_warc(spark, str(warc_dir / "a.warc"), types="response,conversion")
+    counts = dict(df.groupBy("warc_type").count().collect())
+    assert counts == {"response": 2, "conversion": 1}
+
+
+def test_scan_oversize_keeps_headers_nulls_payload(spark, warc_dir):
+    cap = len(HTTP_PAYLOAD) - 1
+    df = read_warc(spark, str(warc_dir / "b.warc.gz"), max_record_bytes=cap)
+    rows = {r.record_index: r for r in df.collect()}
+    assert len(rows) == 5  # nothing dropped
+    assert rows[2].payload is None  # the 200 response exceeded the cap
+    assert rows[2].content_length == len(HTTP_PAYLOAD)  # triage metadata kept
+    assert rows[4].payload is not None  # smaller records unaffected
+
+
+def test_torn_tail_stop_vs_fail(spark, warc_dir, tmp_path):
+    whole = (warc_dir / "a.warc").read_bytes()
+    torn = tmp_path / "torn.warc"
+    torn.write_bytes(whole[: len(whole) - 40])  # cut inside the last payload
+    with open_warc_stream(str(torn)) as s:
+        got = list(iter_warc_records(s, truncated="stop", where="torn"))
+    assert len(got) == 4  # clean records preserved, torn tail dropped
+    with open_warc_stream(str(torn)) as s:
+        with pytest.raises(WarcFormatError, match="EOF inside"):
+            list(iter_warc_records(s, where="torn"))
+    # DataSource surface: truncated=stop reads the salvageable prefix
+    df = read_warc(spark, str(torn), truncated="stop")
+    assert df.count() == 4
+
+
+def test_http_response_parts(spark, warc_dir):
+    df = http_response_parts(
+        read_warc(spark, str(warc_dir / "a.warc"), types="response")
+    )
+    rows = {r.record_index: r for r in df.collect()}
+    ok = rows[2]
+    assert ok.http_status == 200
+    assert ok.http_content_type == "text/html; charset=utf-8"
+    assert bytes(ok.http_body) == HTTP_BODY
+    nf = rows[4]
+    assert nf.http_status == 404
+    assert bytes(nf.http_body) == b"gone"
+
+
+def test_wet_text_decode(spark, warc_dir):
+    df = wet_text(read_warc(spark, str(warc_dir / "b.warc.gz")))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].text.startswith(WET_TEXT)
+    assert "�" in rows[0].text  # invalid byte replaced, not fatal
+    assert "payload" not in df.columns
+
+
+def test_writer_stamps_date_and_length(tmp_path):
+    p = str(tmp_path / "d.warc.gz")
+    n = write_warc(
+        p,
+        [({"WARC-Type": "resource", "Content-Length": "999"}, b"abc")],
+        date=datetime(2026, 8, 14, 9, 30, tzinfo=timezone.utc),
+    )
+    assert n == 1
+    with open_warc_stream(p) as s:
+        [(h, payload)] = list(iter_warc_records(s))
+    assert payload == b"abc"
+    assert h["content-length"] == "3"  # stale declared length overridden
+    assert h["warc-date"] == "2026-08-14T09:30:00Z"
+
+
+def test_downstream_composition(spark, warc_dir):
+    """WET records feed the ordinary text pipeline: decode -> exact
+    dedup across the three replica files collapses to one doc."""
+    from snapflow_spark.operators.dedup_text import exact_dedup
+
+    docs = (
+        wet_text(read_warc(spark, str(warc_dir)))
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("text"),
+        )
+    )
+    kept = exact_dedup(docs, text_col="text", id_col="doc_id")
+    assert docs.count() == 3
+    assert kept.count() == 1
+
+
+def test_yaml_builtin_scan_warc(spark, warc_dir, tmp_path):
+    """core.scan_warc is a zero-input source node: WET text lands in
+    the pipeline store and composes with downstream text builtins."""
+    from snapflow_spark.plans import load_graph
+
+    cfg = {
+        "warehouse": str(tmp_path / "wh_warc"),
+        "nodes": [
+            {
+                "name": "crawl",
+                "function": "core.scan_warc",
+                "params": {"path": str(warc_dir / "b.warc.gz"), "wet": True},
+                "overwrite": True,
+            },
+            {
+                "name": "long_docs",
+                "function": "core.filter",
+                "upstream": {"input": "crawl"},
+                "params": {"predicate": "length(text) > 5"},
+                "overwrite": True,
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    assert g.produce(spark) == 2
+    rows = g.read(spark, "long_docs").collect()
+    assert len(rows) == 1
+    assert rows[0].warc_type == "conversion"
+    assert rows[0].text.startswith("hello")
