@@ -19,6 +19,13 @@ from snapflow_spark.functions.text import (
     token_count_udf,
     tokens_expr,
 )
+from snapflow_spark.functions.urls import (
+    filter_url_blocklist,
+    host_expr,
+    normalize_url_expr,
+    registered_domain_expr,
+    url_dedup,
+)
 from snapflow_spark.functions.vectors import cosine_similarity, l2_norm
 
 __all__ = [
@@ -31,7 +38,12 @@ __all__ = [
     "kll_quantile_partials",
     "kll_rollup_quantiles",
     "l2_norm",
+    "filter_url_blocklist",
+    "host_expr",
     "lang_id_expr",
+    "normalize_url_expr",
+    "registered_domain_expr",
+    "url_dedup",
     "quality_score_expr",
     "simhash_udf",
     "theta_overlap",

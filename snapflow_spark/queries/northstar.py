@@ -95,6 +95,77 @@ from snapflow_spark.registry import query
       FROM documents d LEFT JOIN kept k USING (doc_id)
       GROUP BY d.doc_id
     ) v
+    UNION ALL
+    -- 'url' branch (round 8): URL-level dedup (the FIRST pass of a
+    -- Common Crawl pipeline — functions/urls.py). URLs are built
+    -- deterministically from doc_id so both engines construct the
+    -- same inputs; the oracle then independently REPLAYS the full
+    -- normalization contract (fragment, scheme/host lowercase,
+    -- default-port strip, www. strip, tracking-param filter + sort,
+    -- trailing slash) and the eTLD+1 heuristic — the fingerprint
+    -- string 'registered_domain|canonical_url' is char-for-char the
+    -- whole pipeline's output.
+    SELECT 'url' AS branch, rd || '|' || canon AS fingerprint,
+           MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (
+      WITH urls AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+               (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+               'Data-' || (doc_id % 200) ||
+               (CASE (doc_id % 200) % 3 WHEN 0 THEN '.Example.CO.UK'
+                     WHEN 1 THEN '.example.com' ELSE '.EXAMPLE.org' END) ||
+               (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+               '/corpus/item-' || (doc_id % 200) ||
+               (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+               (CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2&utm_source=feed'
+                     ELSE '?b=2&utm_campaign=x&a=1&fbclid=abc' END) ||
+               (CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END) AS url
+        FROM documents
+      ), defrag AS (
+        SELECT doc_id, trim(regexp_replace(url, '#.*$', '')) AS u FROM urls
+      ), parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(u, '^[^:/?#]+://([^/?#]+)', 1)) AS hostport,
+               regexp_extract(u, '^[^:/?#]+://[^/?#]+([^?#]*)', 1) AS rawpath,
+               regexp_extract(u, '\?([^#]*)', 1) AS rawq
+        FROM defrag
+      ), np AS (
+        SELECT doc_id, scheme,
+               regexp_replace(
+                 CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                      ELSE hostport END,
+                 '^www\.', '') AS host,
+               regexp_replace(rawpath, '/$', '') AS path,
+               array_to_string(
+                 list_sort(list_filter(string_split(rawq, '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                     '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)(=|$)'))),
+                 '&') AS q
+        FROM parts
+      ), rdom AS (
+        SELECT doc_id, host,
+               scheme || '://' || host || path ||
+               CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon,
+               string_split(host, '.') AS labels
+        FROM np
+      )
+      SELECT doc_id, canon,
+             CASE WHEN len(labels) >= 3
+                       AND labels[-2] || '.' || labels[-1] IN
+                           ('co.uk','ac.uk','gov.uk','org.uk','me.uk','net.uk',
+                            'com.au','net.au','org.au','co.jp','ne.jp','or.jp',
+                            'co.nz','net.nz','org.nz','co.in','net.in','org.in',
+                            'com.br','com.mx','com.ar','com.cn','com.tw','com.hk',
+                            'co.kr','com.sg','co.za','com.tr','co.il','com.pl')
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+                  ELSE host END AS rd
+      FROM rdom
+    ) u
+    GROUP BY 1, 2
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,7 +177,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     kill, de-skewed partial-agg keeper): per doc, the sha256 of the
     text REBUILT from corpus-wide first-occurrence lines (the hash
     proves byte-exact reconstruction against DuckDB's replay) with
-    the kept-line count in n_copies."""
+    the kept-line count in n_copies. ∪ 'url' (round 8) — URL-level
+    dedup, the cheapest/first pass of a web-corpus pipeline
+    (functions/urls.py): deterministic doc_id-derived URLs carrying
+    every cosmetic variation the canonicalizer must collapse (case,
+    www., default ports, tracking params, param order, trailing
+    slash, fragments) are normalized + eTLD+1-extracted by pure
+    codegen expressions; the fingerprint 'registered_domain|canonical
+    _url' hash-matches DuckDB's independent SQL replay of the whole
+    normalization contract."""
     d = load_table(spark, sf_dir, "documents")
     exact = exact_dedup(d, text_col="text", id_col="doc_id").select(
         F.lit("exact").alias("branch"), "fingerprint", "doc_id", "n_copies"
@@ -121,7 +200,44 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_kept").alias("n_copies"),
     )
-    return exact.unionByName(lines)
+    from snapflow_spark.functions.urls import (
+        host_expr,
+        normalize_url_expr,
+        registered_domain_expr,
+    )
+
+    i = F.col("doc_id")
+    g = (i % 200).cast("string")
+    synth_url = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Data-"), g,
+        F.when((i % 200) % 3 == 0, F.lit(".Example.CO.UK"))
+        .when((i % 200) % 3 == 1, F.lit(".example.com"))
+        .otherwise(F.lit(".EXAMPLE.org")),
+        F.when(i % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/corpus/item-"), g,
+        F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 2 == 0, F.lit("?a=1&b=2&utm_source=feed"))
+        .otherwise(F.lit("?b=2&utm_campaign=x&a=1&fbclid=abc")),
+        F.when(i % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    urls = (
+        d.select("doc_id", synth_url.alias("url"))
+        .select(
+            "doc_id",
+            F.concat(
+                registered_domain_expr(host_expr("url")),
+                F.lit("|"),
+                normalize_url_expr("url"),
+            ).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(F.lit("url").alias("branch"), "fingerprint", "doc_id", "n_copies")
+    )
+    return exact.unionByName(lines).unionByName(urls)
 
 
 _BM25_QUERIES = [(1, "join hash scan"), (2, "customer filter merge")]

@@ -34,6 +34,16 @@ from snapflow_spark.session import build_session  # noqa: E402
 # note replaces the bare warning so a regression BEYOND the reviewed
 # count still flags.
 EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
+    "q_dedup_exact": (
+        7,
+        "reviewed round 8: three independent dedup tiers in one "
+        "tagged union — 'exact' (1 fingerprint groupBy), 'lines' "
+        "(de-skewed line-keeper partial agg + join-back + doc "
+        "rebuild), 'url' (1 canonical-url groupBy — the new URL "
+        "branch's only shuffle; everything before it is codegen "
+        "string algebra). Each shuffle IS the dedup key exchange; "
+        "none is removable without undoing the operator",
+    ),
     "q_fingerprint_winnow": (
         9,
         "reviewed round 8: the 'excise' branch adds the gram "
