@@ -611,6 +611,36 @@ def _image_dedup(
     )
 
 
+def _url_dedup(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """core.url_dedup: one representative per canonical URL
+    (functions.urls.url_dedup — the cheapest dedup tier)."""
+    from snapflow_spark.functions.urls import url_dedup
+
+    return url_dedup(input, url_col=url_col, id_col=id_col)
+
+
+def _url_filter(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    url_col: str = "url",
+    domains: list[str] | None = None,
+    phrases: list[str] | None = None,
+) -> DataFrame:
+    """core.url_filter: drop blocklisted registered domains and/or
+    URLs containing blocked phrases (functions.urls
+    .filter_url_blocklist, the C4 recipe)."""
+    from snapflow_spark.functions.urls import filter_url_blocklist
+
+    return filter_url_blocklist(
+        input, url_col=url_col, domains=domains, phrases=phrases
+    )
+
+
 def _scan_warc(
     spark: SparkSession,
     path: str,
@@ -656,6 +686,8 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.semantic_dedup": _semantic_dedup,
     "core.image_dedup": _image_dedup,
     "core.scan_warc": _scan_warc,
+    "core.url_dedup": _url_dedup,
+    "core.url_filter": _url_filter,
     "core.audio_dedup": _audio_dedup,
     "core.video_dedup": _video_dedup,
 }

@@ -131,3 +131,44 @@ def test_host_expr(spark):
     )
     got = [r.h for r in df.select(host_expr("url").alias("h")).collect()]
     assert got == ["user.site.org:8443", ""]
+
+
+def test_yaml_builtins_url_filter_then_dedup(spark, tmp_path):
+    """core.url_filter -> core.url_dedup compose in a YAML pipeline:
+    blocklisted domain dropped, cosmetic URL variants collapsed."""
+    from snapflow_spark.plans import load_graph
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Site.COM:80/a/?b=2&utm_source=x&a=1#f"),
+            (2, "http://site.com/a?a=1&b=2"),
+            (3, "https://spam.example.com/x"),
+        ],
+        "doc_id long, url string",
+    )
+    cfg = {
+        "warehouse": str(tmp_path / "wh_url"),
+        "sources": [{"name": "pages"}],
+        "nodes": [
+            {
+                "name": "clean",
+                "function": "core.url_filter",
+                "upstream": "pages",
+                "params": {"domains": ["example.com"]},
+                "overwrite": True,
+            },
+            {
+                "name": "unique",
+                "function": "core.url_dedup",
+                "upstream": "clean",
+                "overwrite": True,
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["pages"].append(df)
+    assert g.produce(spark) == 2
+    rows = g.read(spark, "unique").collect()
+    assert len(rows) == 1
+    assert rows[0].canonical_url == "http://site.com/a?a=1&b=2"
+    assert (rows[0].doc_id, rows[0].n_copies) == (1, 2)
