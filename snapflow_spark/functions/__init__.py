@@ -19,6 +19,12 @@ from snapflow_spark.functions.text import (
     token_count_udf,
     tokens_expr,
 )
+from snapflow_spark.functions.html import (
+    decode_html_bytes,
+    extract_html,
+    html_extract,
+    html_to_text_expr,
+)
 from snapflow_spark.functions.urls import (
     filter_url_blocklist,
     host_expr,
@@ -38,7 +44,11 @@ __all__ = [
     "kll_quantile_partials",
     "kll_rollup_quantiles",
     "l2_norm",
+    "decode_html_bytes",
+    "extract_html",
     "filter_url_blocklist",
+    "html_extract",
+    "html_to_text_expr",
     "host_expr",
     "lang_id_expr",
     "normalize_url_expr",

@@ -611,6 +611,38 @@ def _image_dedup(
     )
 
 
+def _html_text(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    from_http_payload: bool = False,
+    body_col: str = "http_body",
+    content_type_col: str | None = "http_content_type",
+    base_url_col: str | None = "target_uri",
+) -> DataFrame:
+    """core.html_text: HTML binary -> title/text/links columns
+    (functions.html.html_extract — the WET-production step).
+    ``from_http_payload: true`` first splits raw WARC response
+    payloads (``body_col`` then names the RAW payload column fed to
+    sources.warc.http_response_parts; extraction reads the split-out
+    ``http_body``/``http_content_type``), so ``core.scan_warc``
+    (types: response) pipes straight in."""
+    from snapflow_spark.functions.html import html_extract
+
+    df = input
+    if from_http_payload:
+        from snapflow_spark.sources.warc import http_response_parts
+
+        df = http_response_parts(df, payload_col=body_col)
+        body_col = "http_body"
+        content_type_col = "http_content_type"
+    return html_extract(
+        df,
+        body_col=body_col,
+        content_type_col=content_type_col,
+        base_url_col=base_url_col,
+    )
+
+
 def _url_dedup(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -687,6 +719,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.image_dedup": _image_dedup,
     "core.scan_warc": _scan_warc,
     "core.url_dedup": _url_dedup,
+    "core.html_text": _html_text,
     "core.url_filter": _url_filter,
     "core.audio_dedup": _audio_dedup,
     "core.video_dedup": _video_dedup,
