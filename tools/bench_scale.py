@@ -66,6 +66,18 @@ HEAVY = {
         "not a standalone roster query (the roster carries its sha256 "
         "tier inside q_fingerprint_winnow), benched here directly"
     ),
+    "op_url_dedup": (
+        "documents; URL canonicalize + dedup (round 8, functions/urls) "
+        "over doc_id-synthesized URLs (the q_dedup_exact 'url' "
+        "construction at corpus width) — codegen normalize + ONE "
+        "groupBy; expected ~linear"
+    ),
+    "op_html_extract": (
+        "documents; HTML->text extraction (round 8, functions/html) "
+        "over codegen-wrapped markup of each doc's text — map-only "
+        "Arrow-batched python parse; expected ~linear (the honest "
+        "python cost of the WET-production step)"
+    ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
     "q_stream_windows": "events; tumbling+sliding agg",
@@ -89,6 +101,66 @@ def _op_excise_spans(spark, sf_dir: str):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return excise_shared_spans(d, n=8)
+
+
+def _synth_urls(spark, sf_dir: str):
+    """The q_dedup_exact 'url' construction (doc_id-derived cosmetic
+    variants) at full corpus width — shared by op_url_dedup."""
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    g = (i % 200).cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("Data-"), g,
+            F.when((i % 200) % 3 == 0, F.lit(".Example.CO.UK"))
+            .when((i % 200) % 3 == 1, F.lit(".example.com"))
+            .otherwise(F.lit(".EXAMPLE.org")),
+            F.when(i % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/corpus/item-"), g,
+            F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(i % 2 == 0, F.lit("?a=1&b=2&utm_source=feed"))
+            .otherwise(F.lit("?b=2&utm_campaign=x&a=1&fbclid=abc")),
+            F.when(i % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+def _op_url_dedup(spark, sf_dir: str):
+    from snapflow_spark.functions.urls import url_dedup
+
+    return url_dedup(_synth_urls(spark, sf_dir))
+
+
+def _op_html_extract(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.functions.html import html_extract
+
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.lit("https://ex.com/p").alias("target_uri"),
+        F.lit("text/html; charset=utf-8").alias("http_content_type"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>doc</title><style>.x{}</style>"
+                      "</head><body><h1>t</h1><p>"),
+                F.regexp_replace("text", "\n", "</p><p>"),
+                F.lit("</p><a href='/next'>more</a></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("http_body"),
+    )
+    return html_extract(pages).select("doc_id", "title", "text", "links")
 
 
 def run_once(spark, fn, sf_dir: str) -> tuple[float, int]:
@@ -121,11 +193,20 @@ def main() -> None:
         action="store_true",
         help="re-run only the standing-index section, merging into --out",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated HEAVY row names: run just these and MERGE "
+        "their rows into an existing --out (for adding a new op's row "
+        "without re-measuring the whole table)",
+    )
     args = ap.parse_args()
 
     spark = build_session("bench-scale")
     queries = dict(all_queries())
     queries["op_excise_spans"] = _op_excise_spans
+    queries["op_url_dedup"] = _op_url_dedup
+    queries["op_html_extract"] = _op_html_extract
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)
@@ -142,8 +223,16 @@ def main() -> None:
     for sf_dir in (args.base, args.scaled):
         run_once(spark, queries["q_tokenize_bpe"], sf_dir)
 
+    heavy = HEAVY
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in HEAVY]
+        if unknown:
+            raise SystemExit(f"--only names not in HEAVY: {unknown}")
+        heavy = {n: HEAVY[n] for n in wanted}
+
     results: dict[str, dict] = {}
-    for name, note in HEAVY.items():
+    for name, note in heavy.items():
         fn = queries[name]
         row: dict = {"note": note}
         for key, sf_dir in (("base", args.base), ("scaled", args.scaled)):
@@ -162,6 +251,19 @@ def main() -> None:
             f"rows {row['base_rows']} -> {row['scaled_rows']}",
             flush=True,
         )
+
+    if args.only:
+        doc = json.loads(Path(args.out).read_text()) if Path(args.out).exists() else {
+            "metric": "scale_ratio_heavy_tail",
+            "factor": args.factor,
+            "base": args.base,
+            "scaled": args.scaled,
+            "queries": {},
+        }
+        doc.setdefault("queries", {}).update(results)
+        Path(args.out).write_text(json.dumps(doc, indent=2) + "\n")
+        print(f"wrote {args.out} (merged {list(results)})", flush=True)
+        return
 
     standing = standing_index_bench(spark, args.base, args.scaled)
 
