@@ -13,6 +13,11 @@ from snapflow_spark.operators.curation import (
     split_by_hash,
     stratified_sample_by_hash,
 )
+from snapflow_spark.operators.linkgraph import (
+    domain_degrees,
+    link_graph_edges,
+    pagerank,
+)
 from snapflow_spark.operators.dedup_text import (
     connected_components,
     dedup_cluster_representatives,
@@ -106,4 +111,7 @@ __all__ = [
     "simhash_sha_candidates",
     "sql_snap",
     "topk",
+    "domain_degrees",
+    "link_graph_edges",
+    "pagerank",
 ]

@@ -643,6 +643,41 @@ def _html_text(
     )
 
 
+def _link_graph(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    url_col: str = "target_uri",
+    links_col: str = "links",
+    drop_self: bool = True,
+) -> DataFrame:
+    """core.link_graph: weighted domain edges from per-page outlinks
+    (operators.linkgraph.link_graph_edges)."""
+    from snapflow_spark.operators.linkgraph import link_graph_edges
+
+    return link_graph_edges(
+        input, url_col=url_col, links_col=links_col, drop_self=drop_self
+    )
+
+
+def _pagerank(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    damping: float = 0.85,
+    iterations: int = 10,
+    weighted: bool = True,
+) -> DataFrame:
+    """core.pagerank: domain authority over (src, dst, weight) edges
+    (operators.linkgraph.pagerank)."""
+    from snapflow_spark.operators.linkgraph import pagerank
+
+    return pagerank(
+        input,
+        damping=damping,
+        iterations=iterations,
+        weight_col="weight" if weighted else None,
+    )
+
+
 def _url_dedup(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -720,6 +755,8 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.scan_warc": _scan_warc,
     "core.url_dedup": _url_dedup,
     "core.html_text": _html_text,
+    "core.link_graph": _link_graph,
+    "core.pagerank": _pagerank,
     "core.url_filter": _url_filter,
     "core.audio_dedup": _audio_dedup,
     "core.video_dedup": _video_dedup,
