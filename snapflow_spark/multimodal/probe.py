@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["probe_container", "probe_summary"]
+__all__ = ["probe_container", "probe_ogg", "probe_summary"]
 
 # boxes that only contain other boxes (walk into, no payload header)
 _ISO_CONTAINERS = {
@@ -97,9 +97,10 @@ def _walk_ebml(data: bytes, out: dict) -> None:
 
 def probe_container(data: bytes) -> dict:
     """Identify an un-decodable media container. Returns {} for
-    unrecognized input; otherwise keys: ``container`` ('mp4'/'ebml'),
-    ``brand`` / ``doctype``, and for ISO-BMFF ``tracks`` as
-    (kind, codec-fourcc) pairs."""
+    unrecognized input; otherwise keys: ``container``
+    ('mp4'/'ebml'/'ogg'), ``brand`` / ``doctype``, for ISO-BMFF
+    ``tracks`` as (kind, codec-fourcc) pairs, for OGG the
+    ``probe_ogg`` stream list (round 8)."""
     data = bytes(data)
     out: dict = {}
     if len(data) >= 12 and data[4:8] == b"ftyp":
@@ -109,6 +110,8 @@ def probe_container(data: bytes) -> dict:
     elif data[:4] == b"\x1aE\xdf\xa3":
         out["container"] = "ebml"
         _walk_ebml(data, out)
+    elif data[:4] == b"OggS":
+        out = probe_ogg(data)
     return out
 
 
@@ -125,4 +128,117 @@ def probe_summary(data: bytes) -> str:
             parts = [f"{k}: {c}" for k, c in tracks]
             s += " (" + "; ".join(parts) + ")"
         return s
+    if info["container"] == "ogg":
+        parts = []
+        for st in info.get("streams", []):
+            p = st["codec"]
+            if st.get("sample_rate"):
+                p += f" {st['sample_rate']} Hz"
+            if st.get("channels"):
+                p += f" {st['channels']}ch"
+            if st.get("duration_sec") is not None:
+                p += f" {st['duration_sec']}s"
+            parts.append(p)
+        return "OGG (" + "; ".join(parts) + ")" if parts else "OGG"
     return "EBML/" + info.get("doctype", "?")
+
+
+# --- OGG (RFC 3533) ---------------------------------------------------
+
+#: BOS-payload prefixes -> codec names (public mapping-media specs)
+_OGG_ID_PREFIXES = (
+    (b"\x01vorbis", "vorbis"),
+    (b"OpusHead", "opus"),
+    (b"\x80theora", "theora"),
+    (b"\x7fFLAC", "flac"),
+    (b"Speex   ", "speex"),
+)
+
+
+def _ogg_page(data: bytes, pos: int):
+    """One page at ``pos``: (header_type, granule, serial, payload,
+    next_pos) or None if the bytes there are not a complete page.
+    CRC deliberately unchecked — a probe triages, it does not decode."""
+    if data[pos : pos + 4] != b"OggS" or pos + 27 > len(data):
+        return None
+    if data[pos + 4] != 0:  # stream_structure_version must be 0
+        return None
+    htype = data[pos + 5]
+    granule, serial = struct.unpack_from("<qI", data, pos + 6)
+    nseg = data[pos + 26]
+    seg_end = pos + 27 + nseg
+    if seg_end > len(data):
+        return None
+    plen = sum(data[pos + 27 : seg_end])
+    if seg_end + plen > len(data):
+        return None
+    return htype, granule, serial, data[seg_end : seg_end + plen], seg_end + plen
+
+
+def probe_ogg(data: bytes) -> dict:
+    """Walk every OGG page (RFC 3533); returns {} unless the input
+    starts with a capture pattern. Per logical stream (serial):
+    ``codec`` (vorbis/opus/theora/flac/speex from the BOS id header),
+    ``channels``/``sample_rate`` where the id header carries them,
+    ``pages``, ``eos`` (saw the end page), and ``duration_sec`` from
+    the LAST granule position (vorbis: PCM samples at sample_rate;
+    opus: 48 kHz ticks minus pre-skip — per their mapping specs).
+    Defensive: a corrupt page resyncs to the next capture pattern;
+    truncation degrades to partial info, never an exception."""
+    data = bytes(data)
+    if data[:4] != b"OggS":
+        return {}
+    streams: dict[int, dict] = {}
+    pos = 0
+    n_pages = 0
+    while pos + 27 <= len(data):
+        page = _ogg_page(data, pos)
+        if page is None:
+            nxt = data.find(b"OggS", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        htype, granule, serial, payload, nxt = page
+        n_pages += 1
+        st = streams.setdefault(
+            serial,
+            {"serial": serial, "codec": "unknown", "pages": 0, "eos": False},
+        )
+        st["pages"] += 1
+        if htype & 0x04:
+            st["eos"] = True
+        if htype & 0x02:  # BOS: the codec identification header
+            for prefix, name in _OGG_ID_PREFIXES:
+                if payload.startswith(prefix):
+                    st["codec"] = name
+                    break
+            if st["codec"] == "vorbis" and len(payload) >= 16:
+                st["channels"] = payload[11]
+                (st["sample_rate"],) = struct.unpack_from("<I", payload, 12)
+            elif st["codec"] == "opus" and len(payload) >= 14:
+                st["channels"] = payload[9]
+                (st["_pre_skip"],) = struct.unpack_from("<H", payload, 10)
+                (st["sample_rate"],) = struct.unpack_from("<I", payload, 12)
+            elif st["codec"] == "speex" and len(payload) >= 52:
+                (st["sample_rate"],) = struct.unpack_from("<I", payload, 36)
+                (st["channels"],) = struct.unpack_from("<I", payload, 48)
+        if granule >= 0:  # -1 = no packet finishes on this page
+            st["_last_granule"] = granule
+        pos = nxt
+    for st in streams.values():
+        lg = st.pop("_last_granule", None)
+        pre = st.pop("_pre_skip", 0)
+        if lg is None:
+            continue
+        if st["codec"] == "vorbis" and st.get("sample_rate"):
+            st["duration_sec"] = round(lg / st["sample_rate"], 3)
+        elif st["codec"] == "opus":
+            # opus granules tick at 48 kHz regardless of input rate
+            st["duration_sec"] = round(max(0, lg - pre) / 48000.0, 3)
+    return {
+        "container": "ogg",
+        "streams": sorted(streams.values(), key=lambda s: s["serial"]),
+        "n_pages": n_pages,
+        "trailing_bytes": len(data) - pos,
+    }

@@ -103,3 +103,85 @@ def test_mono_gif_video_blob_and_y4m_fps_guards():
         blob = b"YUV4MPEG2 W2 H2 " + bad + b" C444\nFRAME\n" + b"\x00" * 12
         with _pytest.raises(ValueError, match="frame rate|invalid W/H/F"):
             decode_y4m(blob)
+
+
+# --- OGG probe (round 8) ---------------------------------------------
+
+def ogg_page(serial: int, granule: int, payload: bytes,
+             bos: bool = False, eos: bool = False, seq: int = 0) -> bytes:
+    """Minimal RFC 3533 page; CRC left 0 (the probe triages, it does
+    not validate)."""
+    htype = (0x02 if bos else 0) | (0x04 if eos else 0)
+    segs = []
+    rest = payload
+    while len(rest) >= 255:
+        segs.append(255)
+        rest = rest[255:]
+    segs.append(len(rest))
+    head = (b"OggS" + bytes([0, htype])
+            + struct.pack("<qIII", granule, serial, seq, 0)
+            + bytes([len(segs)]) + bytes(segs))
+    return head + payload
+
+
+def _vorbis_id(channels: int, rate: int) -> bytes:
+    return (b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+            + struct.pack("<IiiI", rate, 0, 0, 0) + b"\x01")
+
+
+def _opus_id(channels: int, pre_skip: int, rate: int) -> bytes:
+    return (b"OpusHead" + bytes([1, channels])
+            + struct.pack("<HIhB", pre_skip, rate, 0, 0))
+
+
+def test_probe_ogg_vorbis_duration():
+    from snapflow_spark.multimodal.probe import probe_ogg
+
+    blob = (ogg_page(7, 0, _vorbis_id(2, 44100), bos=True)
+            + ogg_page(7, 22050, b"\xaa" * 10, seq=1)
+            + ogg_page(7, 88200, b"\xbb" * 10, eos=True, seq=2))
+    info = probe_ogg(blob)
+    assert info["container"] == "ogg" and info["n_pages"] == 3
+    [st] = info["streams"]
+    assert (st["codec"], st["channels"], st["sample_rate"]) == ("vorbis", 2, 44100)
+    assert st["duration_sec"] == 2.0  # 88200 samples / 44100 Hz
+    assert st["eos"] and st["pages"] == 3
+    assert "vorbis 44100 Hz 2ch 2.0s" in probe_summary(blob)
+
+
+def test_probe_ogg_opus_preskip_and_multiplex():
+    from snapflow_spark.multimodal.probe import probe_ogg
+
+    blob = (ogg_page(1, 0, _opus_id(1, 312, 48000), bos=True)
+            + ogg_page(2, 0, _vorbis_id(1, 8000), bos=True)
+            + ogg_page(1, 48312, b"x", seq=1)       # 1 s of opus + preskip
+            + ogg_page(2, 4000, b"y", seq=1))       # 0.5 s of vorbis
+    info = probe_ogg(blob)
+    by_serial = {s["serial"]: s for s in info["streams"]}
+    assert by_serial[1]["codec"] == "opus"
+    assert by_serial[1]["duration_sec"] == 1.0  # (48312-312)/48000
+    assert by_serial[2]["duration_sec"] == 0.5
+
+
+def test_probe_ogg_resync_and_truncation():
+    from snapflow_spark.multimodal.probe import probe_ogg
+
+    good = ogg_page(9, 0, _vorbis_id(2, 48000), bos=True)
+    tail = ogg_page(9, 4800, b"z" * 20, seq=1)
+    # garbage between pages -> resync; truncated final page -> dropped
+    blob = good + b"JUNKJUNK" + tail + ogg_page(9, 9600, b"w" * 50, seq=2)[:30]
+    info = probe_ogg(blob)
+    [st] = info["streams"]
+    assert st["pages"] == 2 and st["duration_sec"] == 0.1
+    assert info["trailing_bytes"] > 0
+    # -1 granule (no packet ends) never regresses the duration
+    blob2 = good + ogg_page(9, -1, b"q", seq=1) + tail
+    assert probe_ogg(blob2)["streams"][0]["duration_sec"] == 0.1
+
+
+def test_probe_ogg_foreign_input_and_container_dispatch():
+    from snapflow_spark.multimodal.probe import probe_ogg
+
+    assert probe_ogg(b"RIFF....WAVE") == {}
+    blob = ogg_page(3, 0, _opus_id(2, 0, 48000), bos=True)
+    assert probe_container(blob)["container"] == "ogg"
