@@ -232,8 +232,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             # stale magic list here mislabeled ADTS AAC / CRC MP3 as
             # "not a RIFF/WAVE file" instead of the promised
             # NotImplementedError naming the format
+            detail = fmt_name
+            if fmt_name == "ogg":
+                # round 8: the OGG probe names the ACTUAL codec inside
+                # the container ('ogg: opus 48000 Hz 2ch 12.5s') so
+                # triage knows WHICH external decoder to register
+                from snapflow_spark.multimodal.probe import probe_summary
+
+                detail = f"ogg: {probe_summary(data)}"
             raise NotImplementedError(
-                f"compressed audio ({fmt_name}) needs a DSP decoder not "
+                f"compressed audio ({detail}) needs a DSP decoder not "
                 "implementable with numpy alone; register an external "
                 "decoder via decode_audio_bytes(data, external=...)"
             )

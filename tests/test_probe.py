@@ -185,3 +185,11 @@ def test_probe_ogg_foreign_input_and_container_dispatch():
     assert probe_ogg(b"RIFF....WAVE") == {}
     blob = ogg_page(3, 0, _opus_id(2, 0, 48000), bos=True)
     assert probe_container(blob)["container"] == "ogg"
+
+
+def test_ogg_decode_error_names_inner_codec():
+    from snapflow_spark.multimodal.audio import decode_audio_bytes
+
+    blob = ogg_page(3, 0, _opus_id(2, 0, 48000), bos=True)
+    with pytest.raises(NotImplementedError, match=r"ogg: OGG \(opus 48000 Hz 2ch"):
+        decode_audio_bytes(blob)
