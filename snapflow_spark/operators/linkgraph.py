@@ -111,9 +111,12 @@ def pagerank(
     dangling total rides a broadcast one-row aggregate, not a driver
     collect."""
     w = F.col(weight_col) if weight_col else F.lit(1).cast("bigint")
+    # non-positive weights would poison the out-weight normalization
+    # (share = w / Σw, division by zero for an all-zero src); they
+    # carry no link semantics either — drop them up front
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
-    )
+    ).where(F.col("w") > 0)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

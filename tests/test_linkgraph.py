@@ -148,3 +148,17 @@ def test_yaml_builtins_link_graph_pagerank(spark, tmp_path):
     ranks = {r.id: r.rank for r in g.read(spark, "ranks").collect()}
     assert set(ranks) == {"one.com", "two.com"}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_drops_nonpositive_weights(spark):
+    """Zero-weight edges carry no link mass and must not divide-by-
+    zero the share normalization; they are dropped BEFORE node
+    collection, so a node appearing only in zero-weight edges leaves
+    the graph entirely (consistent: no link semantics, no node)."""
+    edges = [("a", "b", 1), ("b", "a", 0), ("z", "a", 0)]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r.id: r.rank for r in pagerank(df, iterations=8).collect()}
+    want = _reference_pagerank([("a", "b", 1)], 0.85, 8)
+    assert set(got) == {"a", "b"}  # z vanished with its weightless edge
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
