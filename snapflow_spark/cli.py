@@ -72,6 +72,16 @@ def main(argv: list[str] | None = None) -> int:
     ts.add_argument("artifact", help="tokenizer JSON (BPE or unigram)")
     ts.add_argument("--sf", default=DEFAULT_SF_DIR)
     ts.add_argument("--by", default=None, help="group column, e.g. lang")
+    ws = sub.add_parser(
+        "warc-stats",
+        help="triage a WARC/WET path: per-type record counts, payload "
+        "bytes, torn-tail and oversize tallies — no decode",
+    )
+    ws.add_argument("path", help="warc file, directory, or glob")
+    ws.add_argument(
+        "--truncated", default="stop", choices=("stop", "fail"),
+        help="torn-tail policy (default stop: salvage the clean prefix)",
+    )
     tq = sub.add_parser(
         "train-quality",
         help="train the LR quality classifier on the documents table "
@@ -87,6 +97,37 @@ def main(argv: list[str] | None = None) -> int:
     tq.add_argument("--buckets", type=int, default=4096)
     tq.add_argument("--iters", type=int, default=30)
     args = ap.parse_args(argv)
+
+    if args.cmd == "warc-stats":
+        from pyspark.sql import functions as F
+
+        from snapflow_spark.session import build_session, tune
+        from snapflow_spark.sources.warc import read_warc
+
+        spark = build_session("cli-warc-stats")
+        spark.sparkContext.setLogLevel("ERROR")
+        tune(spark)
+        df = read_warc(spark, args.path, truncated=args.truncated)
+        stats = (
+            df.groupBy("warc_type")
+            .agg(
+                F.count(F.lit(1)).alias("records"),
+                F.sum("content_length").alias("payload_bytes"),
+                F.countDistinct("warc_file").alias("files"),
+            )
+            .orderBy(F.desc("records"))
+        )
+        stats.show(50, truncate=False)
+        totals = df.agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum("content_length").alias("payload_bytes"),
+            F.countDistinct("warc_file").alias("files"),
+        ).first()
+        print(
+            f"total: {totals.records} records, {totals.payload_bytes} "
+            f"payload bytes across {totals.files} file(s)"
+        )
+        return 0
 
     if args.cmd == "train-quality":
         from snapflow_spark.catalog import load_table

@@ -233,3 +233,14 @@ def test_yaml_builtin_scan_warc(spark, warc_dir, tmp_path):
     assert len(rows) == 1
     assert rows[0].warc_type == "conversion"
     assert rows[0].text.startswith("hello")
+
+
+def test_cli_warc_stats(spark, warc_dir, capsys):
+    """`python -m snapflow_spark warc-stats <path>` triages without
+    decode: per-type counts + totals on stdout."""
+    from snapflow_spark.cli import main
+
+    assert main(["warc-stats", str(warc_dir / "a.warc")]) == 0
+    out = capsys.readouterr().out
+    assert "response" in out and "conversion" in out
+    assert "total: 5 records" in out
