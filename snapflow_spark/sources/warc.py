@@ -431,3 +431,59 @@ def write_warc(
             out.write(blob)
             n += 1
     return n
+
+
+def write_warc_shards(
+    df,
+    out_dir: str,
+    url_col: str = "target_uri",
+    text_col: str = "text",
+    date: datetime | None = None,
+    warc_type: str = "conversion",
+) -> int:
+    """DISTRIBUTED mirror of the WET layout: every partition writes
+    its own ``part-NNNNN.warc.gz`` shard of ``conversion`` records
+    (UTF-8 payloads from ``text_col``, ``WARC-Target-URI`` from
+    ``url_col``) — the re-emit direction of a curation pipeline
+    (clean a crawl, publish it back in the format the next consumer
+    already reads). Executors never funnel through the driver; shard
+    names come from the partition id, so a re-run overwrites
+    deterministically. Returns the number of shards written.
+
+    Each record is its own gzip member (write_warc), keeping the
+    record-level random access the Common Crawl layout guarantees.
+    NULL texts are skipped (they carry no payload to archive).
+
+    ``out_dir`` must be a filesystem every executor can write
+    (local[n], NFS, a fuse-mounted object store); a pure object-store
+    deployment would lift this into a DataSource writer with a commit
+    protocol — the snapshot_store sink (sources/snapshot_sink.py) is
+    the in-repo template for that shape."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.select(url_col, text_col)
+
+    def write_partition(rows):
+        pid = TaskContext.get().partitionId()
+        records = (
+            (
+                {
+                    "WARC-Type": warc_type,
+                    "WARC-Target-URI": url,
+                    "Content-Type": "text/plain",
+                },
+                text.encode("utf-8"),
+            )
+            for url, text in rows
+            if text is not None
+        )
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        n = write_warc(path, records, date=date)
+        if n == 0 and os.path.exists(path):
+            os.remove(path)  # empty partitions leave no empty shard
+
+    cols.foreachPartition(write_partition)
+    return len([n for n in os.listdir(out_dir) if n.startswith("part-")])

@@ -244,3 +244,36 @@ def test_cli_warc_stats(spark, warc_dir, capsys):
     out = capsys.readouterr().out
     assert "response" in out and "conversion" in out
     assert "total: 5 records" in out
+
+
+def test_write_warc_shards_round_trip(spark, tmp_path):
+    """Distributed WET re-emit: per-partition shards, read back by the
+    warc scan byte-exact; NULL texts skipped; empty partitions leave
+    no shard."""
+    from datetime import timezone as _tz
+
+    from snapflow_spark.sources.warc import read_warc, write_warc_shards
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/1", "alpha doc"),
+            ("https://a.com/2", "beta doc"),
+            ("https://a.com/3", None),
+            ("https://a.com/4", "gamma € doc"),
+        ],
+        "target_uri string, text string",
+    ).repartition(8)  # more partitions than rows -> empty ones exist
+    out = str(tmp_path / "wet_out")
+    n_shards = write_warc_shards(
+        df, out, date=datetime(2026, 8, 14, tzinfo=_tz.utc)
+    )
+    assert 1 <= n_shards <= 3  # only non-empty partitions shard
+    back = wet_text(read_warc(spark, out))
+    got = {r.target_uri: r.text for r in back.collect()}
+    assert got == {
+        "https://a.com/1": "alpha doc",
+        "https://a.com/2": "beta doc",
+        "https://a.com/4": "gamma € doc",
+    }
+    rows = read_warc(spark, out).collect()
+    assert all(r.warc_date == datetime(2026, 8, 14) for r in rows)
