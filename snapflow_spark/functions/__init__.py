@@ -22,8 +22,10 @@ from snapflow_spark.functions.text import (
 from snapflow_spark.functions.html import (
     decode_html_bytes,
     extract_html,
+    extract_main_text,
     html_extract,
     html_to_text_expr,
+    main_text_expr,
 )
 from snapflow_spark.functions.urls import (
     filter_url_blocklist,
@@ -46,9 +48,11 @@ __all__ = [
     "l2_norm",
     "decode_html_bytes",
     "extract_html",
+    "extract_main_text",
     "filter_url_blocklist",
     "html_extract",
     "html_to_text_expr",
+    "main_text_expr",
     "host_expr",
     "lang_id_expr",
     "normalize_url_expr",

@@ -212,3 +212,124 @@ def html_to_text_expr(html: Column | str) -> Column:
         )
 
     return to_text(F.col(html) if isinstance(html, str) else html)
+
+
+# --- main-content extraction (boilerplate removal) --------------------
+
+
+class _BlockParser(_HtmlTextParser):
+    """Block-granular variant: accumulates (text, link_chars) per
+    block-bounded region so a jusText/trafilatura-style density rule
+    can classify boilerplate. Link depth tracks chars that live
+    inside <a> — nav bars and footers are link-dense, prose is not."""
+
+    def __init__(self, base_url: str | None = None):
+        super().__init__(base_url)
+        self.blocks: list[tuple[str, int]] = []
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._a_depth = 0
+
+    def _flush(self):
+        text = " ".join("".join(self._buf).split())
+        if text:
+            self.blocks.append((text, self._link_chars))
+        self._buf = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._a_depth += 1
+        super().handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a" and self._a_depth:
+            self._a_depth -= 1
+        super().handle_endtag(tag)
+
+    def handle_data(self, data):
+        super().handle_data(data)
+        if not self._skip_depth and not self._in_title:
+            self._buf.append(data)
+            if self._a_depth:
+                self._link_chars += len(data)
+
+    def main_blocks(self, min_chars: int, max_link_density: float) -> list[str]:
+        self._flush()
+        return [
+            text
+            for text, link_chars in self.blocks
+            if len(text) >= min_chars
+            and link_chars / len(text) <= max_link_density
+            and not _is_boilerplate_phrase_block(text)
+        ]
+
+
+#: Phrases that mark a SHORT block as chrome, not content (the
+#: pragmatic stand-in for jusText's stopword-density "bad" class;
+#: long blocks are exempt so an article QUOTING a privacy policy
+#: survives).
+_BOILERPLATE_PHRASES = (
+    "all rights reserved", "privacy policy", "terms of service",
+    "terms of use", "cookie", "sign in", "log in", "subscribe",
+    "newsletter", "copyright ©", "© 20", "follow us",
+)
+_BOILERPLATE_MAX_CHARS = 200
+
+
+def _is_boilerplate_phrase_block(text: str) -> bool:
+    if len(text) > _BOILERPLATE_MAX_CHARS:
+        return False
+    low = text.lower()
+    return any(p in low for p in _BOILERPLATE_PHRASES)
+
+
+def extract_main_text(
+    html: str | None,
+    min_block_chars: int = 60,
+    max_link_density: float = 0.30,
+) -> str | None:
+    """Boilerplate-stripped page text — the jusText/trafilatura
+    heuristic core with no language model: split the page at block
+    boundaries, keep blocks that are LONG (>= min_block_chars after
+    whitespace collapse) and LINK-SPARSE (chars inside <a> at most
+    max_link_density of the block), and drop SHORT blocks carrying
+    classic chrome phrases (copyright lines, cookie banners, signup
+    prompts — the pragmatic stand-in for jusText's stopword-density
+    "bad" class; blocks over 200 chars are exempt so prose QUOTING a
+    privacy policy survives). Nav bars, footers, tag clouds and
+    related-links rails are short, link-dense or phrase-marked;
+    article prose is none of those. Returns None for NULL/unparseable input; '' when nothing
+    qualifies (the honest 'this page has no prose' signal C4-style
+    length filters key on)."""
+    if html is None:
+        return None
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return None
+    return "\n".join(p.main_blocks(min_block_chars, max_link_density))
+
+
+def main_text_expr(
+    html: Column | str,
+    min_block_chars: int = 60,
+    max_link_density: float = 0.30,
+) -> Column:
+    """Column form of :func:`extract_main_text` (Arrow-batched)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def to_main(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_main_text(h, min_block_chars, max_link_density) for h in s],
+            dtype=object,
+        )
+
+    return to_main(F.col(html) if isinstance(html, str) else html)

@@ -193,3 +193,54 @@ def test_yaml_builtin_html_text_from_warc(spark, tmp_path):
     rows = g.read(spark, "pages").collect()
     assert len(rows) == 1
     assert rows[0].title == "Y" and rows[0].text == "yaml text"
+
+
+BOILER_PAGE = (
+    "<html><body>"
+    "<div><a href='/'>Home</a> | <a href='/news'>News</a> | "
+    "<a href='/sport'>Sport</a></div>"
+    "<p>This is the actual article paragraph with plenty of prose "
+    "content, long enough to clear the block threshold easily.</p>"
+    "<p>Short.</p>"
+    "<p>A second real paragraph follows here with more than sixty "
+    "characters of continuous editorial text, including an inline "
+    "<a href='/ref'>reference link</a> under the density cap.</p>"
+    "<div><a href='/t1'>tag</a> <a href='/t2'>cloud</a> "
+    "<a href='/t3'>links</a></div>"
+    "<footer>Copyright 2026 Example Corp. All rights reserved.</footer>"
+    "</body></html>"
+)
+
+
+def test_extract_main_text_density_rules():
+    from snapflow_spark.functions.html import extract_main_text
+
+    got = extract_main_text(BOILER_PAGE)
+    lines = got.split("\n")
+    assert len(lines) == 2  # exactly the two prose paragraphs
+    assert lines[0].startswith("This is the actual article")
+    assert "reference link" in lines[1]  # inline link kept inside prose
+    assert "Home" not in got and "tag" not in got  # link-dense chrome out
+    assert "Short." not in got  # sub-threshold block out
+    assert "rights reserved" not in got  # phrase-marked footer out
+
+
+def test_extract_main_text_edges():
+    from snapflow_spark.functions.html import extract_main_text
+
+    assert extract_main_text(None) is None
+    assert extract_main_text("<div><a href='/x'>only links</a></div>") == ""
+    # a LONG block quoting a chrome phrase is exempt from the rule
+    quote = "<p>" + (
+        "The policy document, which among many other provisions "
+        "describes the privacy policy obligations of the controller, "
+    ) * 3 + "</p>"
+    assert "privacy policy" in extract_main_text(quote)
+
+
+def test_main_text_expr_spark(spark):
+    from snapflow_spark.functions.html import main_text_expr
+
+    df = spark.createDataFrame([(BOILER_PAGE,), (None,)], "h string")
+    got = [r.t for r in df.select(main_text_expr("h").alias("t")).collect()]
+    assert got[0].count("\n") == 1 and got[1] is None
