@@ -851,6 +851,30 @@ def load_graph(config: dict | str | Path, warehouse: str | None = None) -> Graph
                 )
 
             g.add_importer(_import)
+        # round 8: `warc: path` sources run the incremental file
+        # importer — each produce() ingests only files not yet in the
+        # checkpointed cursor (crawl dumps arrive as batches of
+        # immutable files; presence in the cursor IS done-ness)
+        elif isinstance(src, dict) and "warc" in src:
+            warc_path = src["warc"]
+            warc_opts = {
+                "types": src.get("types"),
+                "wet": bool(src.get("wet", False)),
+                "truncated": src.get("truncated", "fail"),
+                "max_files": src.get("max_files"),
+            }
+
+            def _import_warc(
+                spark: SparkSession,
+                _store=store,
+                _path=warc_path,
+                _opts=warc_opts,
+            ) -> None:
+                from snapflow_spark.sources.warc import import_warc_files
+
+                import_warc_files(spark, _path, _store, **_opts)
+
+            g.add_importer(_import_warc)
 
     for node in config.get("nodes", []):
         fn = resolve_function(node["function"])

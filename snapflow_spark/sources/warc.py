@@ -487,3 +487,54 @@ def write_warc_shards(
 
     cols.foreachPartition(write_partition)
     return len([n for n in os.listdir(out_dir) if n.startswith("part-")])
+
+
+def import_warc_files(
+    spark: SparkSession,
+    path: str,
+    store,
+    types: str | None = None,
+    wet: bool = False,
+    truncated: str = "fail",
+    max_files: int | None = None,
+):
+    """INCREMENTAL WARC ingest (the A11/A12 shape for crawl dumps,
+    which arrive as batches of immutable files): each run lists
+    ``path``, imports only files not yet in the checkpointed cursor,
+    appends ONE SnapshotStore snapshot per new file, and advances the
+    cursor AFTER each snapshot commits — a crash re-imports at most
+    one file (at-least-once; per-file commit granularity is exactly
+    the connector loop's page contract, connectors.import_api_pages).
+    ``wet: true`` stores decoded conversion text (the doc shape);
+    otherwise raw records land with their binary payloads.
+
+    The cursor is the sorted list of imported file paths — crawl
+    files are immutable, so presence IS done-ness; a mutated file is
+    a new file (name it accordingly). Returns a connectors
+    .ImportResult (snapshot ids, file count as n_pages, cursor)."""
+    from snapflow_spark.sources.connectors import (
+        ImportResult,
+        load_cursor,
+        save_cursor,
+    )
+
+    done = set(load_cursor(store) or [])
+    files = [f for f in _list_warc_files(path) if f not in done]
+    if max_files is not None:
+        files = files[:max_files]
+    result = ImportResult(cursor=sorted(done))
+    opts: dict[str, object] = {"truncated": truncated}
+    if types is not None:
+        opts["types"] = types
+    for f in files:
+        df = read_warc(spark, f, **opts)
+        if wet:
+            df = wet_text(df)
+        n = df.count()
+        result.snapshot_ids.append(store.append(df))
+        result.n_pages += 1
+        result.n_records += n
+        done.add(f)
+        result.cursor = sorted(done)
+        save_cursor(store, result.cursor)
+    return result

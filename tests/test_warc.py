@@ -277,3 +277,58 @@ def test_write_warc_shards_round_trip(spark, tmp_path):
     }
     rows = read_warc(spark, out).collect()
     assert all(r.warc_date == datetime(2026, 8, 14) for r in rows)
+
+
+def test_import_warc_files_incremental(spark, warc_dir, tmp_path):
+    """File-level incremental ingest: first run imports every file (one
+    snapshot each), a new file later imports ALONE, a clean re-run is a
+    no-op — crash-safe per-file cursor commits."""
+    import shutil
+
+    from snapflow_spark.incremental.store import SnapshotStore
+    from snapflow_spark.sources.warc import import_warc_files
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    for name in ("a.warc", "b.warc.gz"):
+        shutil.copy(warc_dir / name, src / name)
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    r1 = import_warc_files(spark, str(src), store, wet=True)
+    assert r1.n_pages == 2 and len(r1.snapshot_ids) == 2
+    assert r1.n_records == 2  # one conversion record per file
+
+    r2 = import_warc_files(spark, str(src), store, wet=True)
+    assert r2.n_pages == 0 and r2.snapshot_ids == []  # caught up
+
+    shutil.copy(warc_dir / "c.warc.gz", src / "c.warc.gz")
+    r3 = import_warc_files(spark, str(src), store, wet=True)
+    assert r3.n_pages == 1  # only the new file
+    assert len(r3.cursor) == 3
+
+
+def test_yaml_warc_source_incremental(spark, warc_dir, tmp_path):
+    """`warc:` source in YAML: produce() ingests the drop directory
+    incrementally; second produce with no new files is a no-op."""
+    import shutil
+
+    from snapflow_spark.plans import load_graph
+
+    src = tmp_path / "drop2"
+    src.mkdir()
+    shutil.copy(warc_dir / "a.warc", src / "a.warc")
+    cfg = {
+        "warehouse": str(tmp_path / "wh_warcsrc"),
+        "sources": [{"name": "crawl", "warc": str(src), "wet": True}],
+        "nodes": [
+            {"name": "history", "function": "core.accumulate", "upstream": "crawl"}
+        ],
+    }
+    g = load_graph(cfg)
+    assert g.produce(spark) > 0
+    assert g.read(spark, "history").count() == 1
+    assert g.produce(spark) == 0  # caught up
+
+    shutil.copy(warc_dir / "b.warc.gz", src / "b.warc.gz")
+    assert g.produce(spark) > 0
+    assert g.read(spark, "history").count() == 2
