@@ -26,6 +26,7 @@ from snapflow_spark.functions.html import (
     html_extract,
     html_to_text_expr,
     main_text_expr,
+    main_text_from_bytes,
 )
 from snapflow_spark.functions.urls import (
     filter_url_blocklist,
@@ -53,6 +54,7 @@ __all__ = [
     "html_extract",
     "html_to_text_expr",
     "main_text_expr",
+    "main_text_from_bytes",
     "host_expr",
     "lang_id_expr",
     "normalize_url_expr",

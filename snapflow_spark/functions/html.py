@@ -333,3 +333,36 @@ def main_text_expr(
         )
 
     return to_main(F.col(html) if isinstance(html, str) else html)
+
+
+def main_text_from_bytes(
+    df: DataFrame,
+    body_col: str = "http_body",
+    content_type_col: str | None = "http_content_type",
+    out_col: str = "main_text",
+    min_block_chars: int = 60,
+    max_link_density: float = 0.30,
+) -> DataFrame:
+    """Binary-column form of :func:`extract_main_text`: decode (same
+    charset priority as ``html_extract``) + boilerplate-strip fused in
+    one Arrow batch; adds ``out_col``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def main_from_bytes(body: pd.Series, ct: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                extract_main_text(
+                    decode_html_bytes(b, c), min_block_chars, max_link_density
+                )
+                for b, c in zip(body, ct)
+            ],
+            dtype=object,
+        )
+
+    ctype = (
+        F.col(content_type_col)
+        if content_type_col
+        else F.lit(None).cast("string")
+    )
+    return df.withColumn(out_col, main_from_bytes(F.col(body_col), ctype))

@@ -618,6 +618,9 @@ def _html_text(
     body_col: str = "http_body",
     content_type_col: str | None = "http_content_type",
     base_url_col: str | None = "target_uri",
+    main_text: bool = False,
+    min_block_chars: int = 60,
+    max_link_density: float = 0.30,
 ) -> DataFrame:
     """core.html_text: HTML binary -> title/text/links columns
     (functions.html.html_extract — the WET-production step).
@@ -625,7 +628,10 @@ def _html_text(
     payloads (``body_col`` then names the RAW payload column fed to
     sources.warc.http_response_parts; extraction reads the split-out
     ``http_body``/``http_content_type``), so ``core.scan_warc``
-    (types: response) pipes straight in."""
+    (types: response) pipes straight in. ``main_text: true``
+    additionally adds a boilerplate-stripped ``main_text`` column
+    (functions.html.extract_main_text — block density + chrome-phrase
+    rules, knobs ``min_block_chars``/``max_link_density``)."""
     from snapflow_spark.functions.html import html_extract
 
     df = input
@@ -635,12 +641,23 @@ def _html_text(
         df = http_response_parts(df, payload_col=body_col)
         body_col = "http_body"
         content_type_col = "http_content_type"
-    return html_extract(
+    out = html_extract(
         df,
         body_col=body_col,
         content_type_col=content_type_col,
         base_url_col=base_url_col,
     )
+    if main_text:
+        from snapflow_spark.functions.html import main_text_from_bytes
+
+        out = main_text_from_bytes(
+            out,
+            body_col=body_col,
+            content_type_col=content_type_col,
+            min_block_chars=min_block_chars,
+            max_link_density=max_link_density,
+        )
+    return out
 
 
 def _link_graph(

@@ -244,3 +244,40 @@ def test_main_text_expr_spark(spark):
     df = spark.createDataFrame([(BOILER_PAGE,), (None,)], "h string")
     got = [r.t for r in df.select(main_text_expr("h").alias("t")).collect()]
     assert got[0].count("\n") == 1 and got[1] is None
+
+
+def test_yaml_html_text_main_text_option(spark, tmp_path):
+    """core.html_text main_text: true adds the boilerplate-stripped
+    column alongside the full extraction."""
+    from snapflow_spark.plans import load_graph
+
+    body = (
+        "<div><a href='/'>Home</a> | <a href='/x'>News</a> | "
+        "<a href='/y'>More</a></div>"
+        "<p>Real article prose, definitely long enough to clear the "
+        "sixty character block threshold for main content.</p>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://m.com/", "text/html; charset=utf-8", body)],
+        "target_uri string, http_content_type string, http_body binary",
+    )
+    cfg = {
+        "warehouse": str(tmp_path / "wh_main"),
+        "sources": [{"name": "pages"}],
+        "nodes": [
+            {
+                "name": "extracted",
+                "function": "core.html_text",
+                "upstream": "pages",
+                "params": {"main_text": True},
+                "overwrite": True,
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["pages"].append(df)
+    assert g.produce(spark) == 1
+    [row] = g.read(spark, "extracted").collect()
+    assert "Home" in row.text  # full extraction keeps nav text
+    assert row.main_text.startswith("Real article prose")
+    assert "Home" not in row.main_text  # chrome stripped in main_text
