@@ -172,3 +172,15 @@ def test_yaml_builtins_url_filter_then_dedup(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].canonical_url == "http://site.com/a?a=1&b=2"
     assert (rows[0].doc_id, rows[0].n_copies) == (1, 2)
+
+
+def test_normalization_idempotent(spark):
+    """A canonicalizer must be a projection: running it on its own
+    output changes nothing (otherwise dedup keys drift across
+    pipeline stages that normalize at different times)."""
+    canon = [want for _, want in NORM_CASES]
+    df = spark.createDataFrame([(u,) for u in canon], "url string")
+    again = [
+        r.n for r in df.select(normalize_url_expr("url").alias("n")).collect()
+    ]
+    assert again == canon
