@@ -530,10 +530,13 @@ def import_warc_files(
         df = read_warc(spark, f, **opts)
         if wet:
             df = wet_text(df)
-        n = df.count()
-        result.snapshot_ids.append(store.append(df))
+        sid = store.append(df)
+        result.snapshot_ids.append(sid)
         result.n_pages += 1
-        result.n_records += n
+        # count the WRITTEN snapshot, not the source DataFrame: a
+        # pre-append count() would parse the whole gzip file twice
+        # (2x ingest cost), while a parquet count is footer metadata
+        result.n_records += store.read(spark, ids=[sid]).count()
         done.add(f)
         result.cursor = sorted(done)
         save_cursor(store, result.cursor)
