@@ -96,6 +96,10 @@ def _read_headers(stream, where: str) -> dict[str, str] | None:
         line = stream.readline()
         if not line:
             return None  # EOF inside a header block — truncated
+        if not line.endswith(b"\n"):
+            # a header line without its terminator is a torn tail (the
+            # cut landed mid-line), not malformed input
+            return None
         if line in (b"\r\n", b"\n"):
             return headers
         text = line.decode("utf-8", "replace").rstrip("\r\n")
@@ -146,6 +150,29 @@ def iter_warc_records(
             raise WarcFormatError(f"{msg} in {where}")
         return None
 
+    yield from _iter_records(stream, torn, max_record_bytes, truncated, where)
+
+
+def _iter_records(stream, torn, max_record_bytes, truncated, where):
+    import zlib
+
+    try:
+        yield from _iter_records_raw(stream, torn, max_record_bytes, where)
+    except (EOFError, zlib.error) as exc:
+        # a torn GZIP MEMBER surfaces as a stream error, not a short
+        # read — same truncation semantics apply
+        if truncated == "fail":
+            raise WarcFormatError(
+                f"stream error mid-record: {exc} in {where}"
+            ) from exc
+        return
+    except OSError as exc:
+        if type(exc).__module__ == "gzip" and truncated == "stop":
+            return  # gzip.BadGzipFile on a torn member under 'stop'
+        raise
+
+
+def _iter_records_raw(stream, torn, max_record_bytes, where):
     while True:
         line = stream.readline()
         if not line:
@@ -153,9 +180,11 @@ def iter_warc_records(
         if line in (b"\r\n", b"\n"):
             continue  # inter-record separator
         if not line.startswith(b"WARC/"):
-            raise WarcFormatError(
-                f"expected WARC version line, got {line[:40]!r} in {where}"
-            )
+            # under 'stop' a non-version line means the salvageable
+            # prefix has ended (corruption or a torn tail); 'fail'
+            # raises as before
+            torn(f"expected WARC version line, got {line[:40]!r}")
+            return
         headers = _read_headers(stream, where)
         if headers is None:
             torn("EOF inside WARC header block")

@@ -332,3 +332,76 @@ def test_yaml_warc_source_incremental(spark, warc_dir, tmp_path):
     shutil.copy(warc_dir / "b.warc.gz", src / "b.warc.gz")
     assert g.produce(spark) > 0
     assert g.read(spark, "history").count() == 2
+
+
+# --- hypothesis fuzz (Spark-free, test_property.py conventions) ------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_header_name = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=127),
+    min_size=1, max_size=12,
+).map(lambda s: "X-" + s)
+_header_value = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=30
+).map(str.strip)
+_record = st.tuples(
+    st.dictionaries(_header_name, _header_value, max_size=4),
+    st.binary(max_size=400),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_record, min_size=1, max_size=6), st.booleans())
+def test_fuzz_warc_round_trip(tmp_path_factory, records, gz):
+    """Any record set round-trips byte-exact through write_warc →
+    iter_warc_records in both gzip layouts."""
+    d = tmp_path_factory.mktemp("fuzz")
+    p = str(d / ("f.warc.gz" if gz else "f.warc"))
+    recs = [
+        ({**h, "WARC-Type": "resource"}, payload) for h, payload in records
+    ]
+    assert write_warc(p, recs) == len(recs)
+    with open_warc_stream(p) as s:
+        got = list(iter_warc_records(s))
+    assert len(got) == len(recs)
+    for (h_in, payload_in), (h_out, payload_out) in zip(recs, got):
+        assert payload_out == payload_in
+        for k, v in h_in.items():
+            if k.lower() == "content-length":
+                continue  # writer overrides with the real length
+            assert h_out[k.lower()] == v
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(_record, min_size=1, max_size=4),
+    st.integers(min_value=0, max_value=1_000_000),
+    st.booleans(),
+)
+def test_fuzz_truncation_never_raises_with_stop(
+    tmp_path_factory, records, cut, gz
+):
+    """truncated='stop' over ANY prefix of a valid warc file — plain
+    OR member-gzip (where a cut tears a gzip member, surfacing as a
+    stream error, not a short read) — yields a prefix of the records
+    and never raises."""
+    import gzip as _gzip
+    import io as _io
+
+    d = tmp_path_factory.mktemp("fuzztr")
+    p = str(d / ("t.warc.gz" if gz else "t.warc"))
+    recs = [({**h, "WARC-Type": "resource"}, pl) for h, pl in records]
+    write_warc(p, recs)
+    whole = open(p, "rb").read()
+    cut_bytes = whole[: cut % (len(whole) + 1)]
+    stream = (
+        _gzip.GzipFile(fileobj=_io.BytesIO(cut_bytes))
+        if gz and cut_bytes[:2] == b"\x1f\x8b"
+        else _io.BytesIO(cut_bytes)
+    )
+    got = list(iter_warc_records(stream, truncated="stop"))
+    assert len(got) <= len(recs)
+    for (h_in, payload_in), (h_out, payload_out) in zip(recs, got):
+        assert payload_out == payload_in  # salvaged prefix is intact
