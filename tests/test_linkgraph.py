@@ -162,3 +162,23 @@ def test_pagerank_drops_nonpositive_weights(spark):
     assert set(got) == {"a", "b"}  # z vanished with its weightless edge
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_pagerank_plan_shape(spark):
+    """Plan gate for the iterative op: localCheckpoint truncates each
+    round (the final plan must not contain the whole iteration
+    history), the only nested-loop join is the documented one-row
+    broadcast dangling-mass crossJoin of the LAST round, and no
+    un-broadcast CartesianProduct exists anywhere."""
+    from snapflow_spark.plans.introspect import plan_facts
+
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)] * 5
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    ranks = pagerank(df, iterations=6)
+    facts = plan_facts(ranks)
+    assert not facts.has_cartesian
+    # one BNLJ (the 1-row dangling broadcast of the final round);
+    # earlier rounds are checkpointed away, so the count must not
+    # scale with iterations
+    assert facts.joins.count("BroadcastNestedLoopJoin") <= 1
+    assert facts.exchanges <= 4  # final round's join+agg, not 6 rounds'
