@@ -136,6 +136,7 @@ def filter_url_blocklist(
     url_col: str = "url",
     domains: DataFrame | list[str] | None = None,
     phrases: list[str] | None = None,
+    observation=None,
 ) -> DataFrame:
     """C4-style URL filtering: drop rows whose REGISTERED DOMAIN is
     blocklisted and/or whose URL contains any blocked phrase
@@ -145,25 +146,45 @@ def filter_url_blocklist(
     a broadcast LEFT ANTI join — the scale path for real blocklists
     (UT1 is ~4M lines: still MBs, still broadcastable); a small
     literal list compiles to an ``isin`` filter with no join at all.
-    """
+
+    ``observation`` (``pyspark.sql.Observation``): a filter that
+    silently eats 40% of a crawl is a production incident, so when
+    given, ``rows_in``/``rows_kept``/``rows_dropped`` accumulate on
+    the caller's own action (the cap_per_domain convention,
+    operators/curation.py — zero extra scans). To make drop a
+    row-local flag, the DataFrame-blocklist path switches from a
+    LEFT ANTI join to a broadcast left join + marker (same cost,
+    same broadcast). Read ``observation.get`` AFTER the first
+    action."""
     out = df
+    drop = F.lit(False)
     if domains is not None:
         rd = registered_domain_expr(host_expr(url_col))
         if isinstance(domains, DataFrame):
             block = F.broadcast(
-                domains.select(F.lower(F.col("domain")).alias("__block_domain")).distinct()
+                domains.select(
+                    F.lower(F.col("domain")).alias("__block_domain")
+                ).distinct()
             )
-            out = (
-                out.withColumn("__rd", rd)
-                .join(block, F.col("__rd") == F.col("__block_domain"), "left_anti")
-                .drop("__rd")
+            out = out.withColumn("__rd", rd).join(
+                block, F.col("__rd") == F.col("__block_domain"), "left"
             )
+            drop = drop | F.col("__block_domain").isNotNull()
         else:
-            out = out.where(~rd.isin(*[d.lower() for d in domains]))
+            drop = drop | rd.isin(*[d.lower() for d in domains])
     if phrases:
         lowered = F.lower(_c(url_col))
-        cond = F.lit(False)
         for p in phrases:
-            cond = cond | lowered.contains(p.lower())
-        out = out.where(~cond)
-    return out
+            drop = drop | lowered.contains(p.lower())
+    out = out.withColumn("__url_drop", F.coalesce(drop, F.lit(False)))
+    if observation is not None:
+        d = F.col("__url_drop")
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum((~d).cast("long")).alias("rows_kept"),
+            F.sum(d.cast("long")).alias("rows_dropped"),
+        )
+    return out.where(~F.col("__url_drop")).drop(
+        "__url_drop", "__rd", "__block_domain"
+    )

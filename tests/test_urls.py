@@ -122,7 +122,30 @@ def test_blocklist_plan_is_broadcast(spark):
     df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
     bl = spark.createDataFrame([("a.com",)], "domain string")
     plan = filter_url_blocklist(df, domains=bl)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # broadcast left join + row-local drop flag (NOT a shuffle join);
+    # the flag form is what lets the observation count kept/dropped
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_blocklist_observation(spark):
+    from pyspark.sql import Observation
+
+    rows = [
+        (1, "https://news.bbc.co.uk/story"),
+        (2, "https://spam.example.com/x"),
+        (3, "https://ok.org/casino-bonus-now"),
+        (4, "https://fine.org/page"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    obs = Observation()
+    kept = filter_url_blocklist(
+        df, domains=bl, phrases=["casino-bonus"], observation=obs
+    )
+    assert {r.doc_id for r in kept.collect()} == {1, 4}
+    got = obs.get
+    assert (got["rows_in"], got["rows_kept"], got["rows_dropped"]) == (4, 2, 2)
 
 
 def test_host_expr(spark):
