@@ -732,21 +732,32 @@ def _scan_warc(
     max_record_bytes: int | None = None,
     truncated: str = "fail",
     wet: bool = False,
+    wat: bool = False,
 ) -> DataFrame:
-    """core.scan_warc: zero-input source node over WARC/WET archives
-    (sources.warc — the Common Crawl on-ramp). ``wet: true`` narrows
-    to ``conversion`` records decoded to a ``text`` column, i.e. the
-    shape every downstream text builtin (dedup, quality, tokenize)
-    expects."""
+    """core.scan_warc: zero-input source node over WARC/WET/WAT
+    archives (sources.warc — the Common Crawl on-ramp). ``wet: true``
+    narrows to ``conversion`` records decoded to a ``text`` column
+    (the shape every downstream text builtin expects); ``wat: true``
+    narrows to ``metadata`` records parsed to
+    ``target_uri``/``title``/``links`` (the link-graph-without-HTML
+    path — pipe straight into core.link_graph)."""
     from snapflow_spark.sources.warc import read_warc, wet_text
 
+    if wet and wat:
+        raise ValueError("core.scan_warc: wet and wat are mutually exclusive")
     opts: dict[str, object] = {"truncated": truncated}
     if types is not None:
         opts["types"] = types
     if max_record_bytes is not None:
         opts["max_record_bytes"] = max_record_bytes
     df = read_warc(spark, path, **opts)
-    return wet_text(df) if wet else df
+    if wet:
+        return wet_text(df)
+    if wat:
+        from snapflow_spark.sources.wat import parse_wat
+
+        return parse_wat(df)
+    return df
 
 
 BUILTINS: dict[str, Callable[..., DataFrame | None]] = {

@@ -109,3 +109,36 @@ def test_parse_wat_plan_is_codegen(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_yaml_scan_warc_wat_to_pagerank(spark, tmp_path):
+    """core.scan_warc (wat: true) -> core.link_graph -> core.pagerank:
+    the whole cheap link-graph pipeline declared in YAML."""
+    from snapflow_spark.plans import load_graph
+
+    pages = spark.createDataFrame(
+        [
+            ("https://one.com/p", "t", ["https://two.com/a"]),
+            ("https://two.com/q", "t", ["https://one.com/"]),
+        ],
+        "target_uri string, title string, links array<string>",
+    )
+    wat_dir = str(tmp_path / "watsrc")
+    write_wat_shards(pages, wat_dir)
+    cfg = {
+        "warehouse": str(tmp_path / "wh_watscan"),
+        "nodes": [
+            {"name": "meta", "function": "core.scan_warc",
+             "params": {"path": wat_dir, "wat": True}, "overwrite": True},
+            {"name": "edges", "function": "core.link_graph",
+             "upstream": {"input": "meta"}, "overwrite": True},
+            {"name": "ranks", "function": "core.pagerank",
+             "upstream": {"input": "edges"},
+             "params": {"iterations": 6}, "overwrite": True},
+        ],
+    }
+    g = load_graph(cfg)
+    assert g.produce(spark) == 3
+    ranks = {r.id: r.rank for r in g.read(spark, "ranks").collect()}
+    assert set(ranks) == {"one.com", "two.com"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
