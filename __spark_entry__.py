@@ -8,7 +8,7 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 EMPIRICAL (round 1): the driver records at most 50 correctness rows,
 walking ``queries()`` in dict-insertion order — CORRECTNESS_r01 held
 exactly the first 50 registry entries. The registry therefore
-declares EXACTLY 50 queries (45 with oracles + 5 rows-only), ordered
+declares EXACTLY 50 queries (48 with oracles + 2 rows-only), ordered
 cheap/previously-unrecorded first; do not register more without
 re-measuring the cap.
 
