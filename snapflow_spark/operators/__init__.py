@@ -13,6 +13,7 @@ from snapflow_spark.operators.curation import (
     split_by_hash,
     stratified_sample_by_hash,
 )
+from snapflow_spark.operators.mixing import mix_corpora, mix_report
 from snapflow_spark.operators.linkgraph import (
     domain_degrees,
     link_graph_edges,
@@ -114,4 +115,6 @@ __all__ = [
     "domain_degrees",
     "link_graph_edges",
     "pagerank",
+    "mix_corpora",
+    "mix_report",
 ]

@@ -1,0 +1,121 @@
+"""Dataset mixing — combine corpora to target weights under a token
+budget (the Pile/Dolma/LLaMA recipe step that turns cleaned corpora
+into a training mix).
+
+Given sources with mixing weights and a total token budget, each
+source must contribute ``weight/Σweights × budget`` tokens. Sources
+with more tokens than their target are DOWN-sampled; sources with
+fewer are UP-sampled by whole epochs plus a fractional epoch (the
+standard repeat-factor scheme — e.g. Wikipedia at 3.3 epochs in
+GPT-3's table). Both directions use the engine's deterministic
+sha256 predicate (operators/curation.py conventions): selection is a
+pure function of (salt, epoch, id), so the mix is bit-stable across
+engines, repartitions and reruns — never ``rand()``.
+
+Scale shape: ONE metadata aggregate per source (its token total — a
+1-row agg, the only driver-side scalars), then a map-only filter per
+epoch and a unionByName. No shuffles at all beyond what the caller
+already has; the union is plan-level. Epoch copies are lazy plan
+branches over the same scan — Spark reads the source once per
+surviving epoch filter, which is the honest cost of an N-epoch
+repeat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: sha256-derived uniform in [0,1) — the same construction
+#: split_by_hash/stratified_sample_by_hash use (curation.py): first
+#: 15 hex nibbles = 60 bits, exact in a double.
+def _unit_hash(id_col: str, salt: str, epoch: int) -> F.Column:
+    h = F.sha2(
+        F.concat_ws("|", F.lit(salt), F.lit(str(epoch)), F.col(id_col).cast("string")),
+        256,
+    )
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / float(1 << 60)
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    token_budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    max_epochs: int = 20,
+) -> DataFrame:
+    """Weighted token-budget mix of named corpora.
+
+    Returns the union of all selected documents with two added
+    columns: ``mix_source`` (the source name) and ``epoch`` (0-based
+    repeat index — 0 for down-sampled sources; up-sampled sources
+    carry complete epochs 0..k-1 plus a hash-sampled fractional epoch
+    k). Document selection within a fractional epoch is the sha256
+    unit-interval predicate keyed by (salt, epoch, id) — deterministic
+    and unbiased, with achieved token mass concentrating on the
+    target by the law of large numbers (exact-subset-sum selection is
+    NP-hard and order-dependent; nobody runs it at corpus scale).
+
+    Raises when a source would need more than ``max_epochs`` repeats
+    — that is a recipe error (a tiny corpus given a huge weight), not
+    something to paper over silently.
+    """
+    missing = set(sources) ^ set(weights)
+    if missing:
+        raise ValueError(f"sources and weights disagree on: {sorted(missing)}")
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive number")
+
+    parts: list[DataFrame] = []
+    for name, df in sources.items():
+        target = token_budget * float(weights[name]) / total_w
+        # the ONE driver scalar per source: its token total
+        row = df.agg(F.sum(F.col(token_col).cast("double")).alias("t")).first()
+        have = float(row.t or 0.0)
+        if have <= 0:
+            raise ValueError(f"source {name!r} has no tokens in {token_col!r}")
+        ratio = target / have
+        if ratio > max_epochs:
+            raise ValueError(
+                f"source {name!r} needs {ratio:.1f} epochs to meet its "
+                f"weight (cap {max_epochs}) — the recipe oversamples a "
+                "tiny corpus; lower its weight or raise max_epochs"
+            )
+        full_epochs = int(ratio)  # complete copies
+        frac = ratio - full_epochs
+        tagged = df.withColumn("mix_source", F.lit(name))
+        for e in range(full_epochs):
+            parts.append(tagged.withColumn("epoch", F.lit(e)))
+        if frac > 0:
+            parts.append(
+                tagged.where(_unit_hash(id_col, salt, full_epochs) < frac)
+                .withColumn("epoch", F.lit(full_epochs))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mix_report(mixed: DataFrame, token_col: str = "n_tokens") -> DataFrame:
+    """Achieved composition of a mix: per source, documents, tokens,
+    epochs used, and token share — the audit table a recipe review
+    reads next to its target weights. One groupBy."""
+    per = mixed.groupBy("mix_source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("tokens"),
+        (F.max("epoch") + 1).alias("epochs"),
+    )
+    total = F.sum("tokens").over(Window.partitionBy())
+    return per.select(
+        "mix_source",
+        "n_docs",
+        "tokens",
+        "epochs",
+        F.round(F.col("tokens") / total, 4).alias("token_share"),
+    )

@@ -660,6 +660,33 @@ def _html_text(
     return out
 
 
+def _mix(
+    spark: SparkSession,
+    weights: dict[str, float],
+    token_budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    max_epochs: int = 20,
+    **inputs: DataFrame,
+) -> DataFrame:
+    """core.mix: weighted token-budget dataset mixing over MULTIPLE
+    named upstream corpora (operators.mixing.mix_corpora — the
+    Pile/Dolma recipe step). The upstream mapping's input names are
+    the source names the weights refer to."""
+    from snapflow_spark.operators.mixing import mix_corpora
+
+    return mix_corpora(
+        inputs,
+        {k: float(v) for k, v in weights.items()},
+        token_budget=int(token_budget),
+        token_col=token_col,
+        id_col=id_col,
+        salt=salt,
+        max_epochs=int(max_epochs),
+    )
+
+
 def _link_graph(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -784,6 +811,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.url_dedup": _url_dedup,
     "core.html_text": _html_text,
     "core.link_graph": _link_graph,
+    "core.mix": _mix,
     "core.pagerank": _pagerank,
     "core.url_filter": _url_filter,
     "core.audio_dedup": _audio_dedup,

@@ -1,0 +1,108 @@
+"""Dataset mixing (operators/mixing.py): achieved token shares track
+target weights, up-sampling repeats whole epochs exactly plus a
+hash-sampled fraction, determinism under repartition, recipe-error
+guards, and the audit report."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.operators.mixing import mix_corpora, mix_report
+
+
+def _corpus(spark, name: str, n_docs: int, tokens_per_doc: int):
+    return spark.range(n_docs).select(
+        F.concat(F.lit(name + "-"), F.col("id")).alias("doc_id"),
+        F.lit(tokens_per_doc).alias("n_tokens"),
+    )
+
+
+def test_downsample_shares_track_weights(spark):
+    # web: 200k tokens, books: 50k tokens; 3:1 weights over a 40k budget
+    web = _corpus(spark, "w", 2000, 100)
+    books = _corpus(spark, "b", 500, 100)
+    mixed = mix_corpora(
+        {"web": web, "books": books},
+        {"web": 3.0, "books": 1.0},
+        token_budget=40_000,
+    )
+    got = {r.mix_source: r for r in mix_report(mixed).collect()}
+    # targets: web 30k, books 10k; hash sampling concentrates within a
+    # few percent at 2000/500-doc scale
+    assert got["web"].tokens == pytest.approx(30_000, rel=0.10)
+    assert got["books"].tokens == pytest.approx(10_000, rel=0.15)
+    assert got["web"].epochs == 1 and got["books"].epochs == 1
+    assert got["web"].token_share == pytest.approx(0.75, abs=0.05)
+
+
+def test_upsample_whole_epochs_plus_fraction(spark):
+    # tiny corpus, big weight: 10k tokens asked to fill 25k -> 2 full
+    # epochs + 0.5 fractional
+    tiny = _corpus(spark, "t", 100, 100)
+    mixed = mix_corpora({"tiny": tiny}, {"tiny": 1.0}, token_budget=25_000)
+    per_epoch = dict(
+        (r.epoch, r.n)
+        for r in mixed.groupBy("epoch").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert per_epoch[0] == 100 and per_epoch[1] == 100  # complete copies
+    assert 25 <= per_epoch[2] <= 75  # ~50% hash-sampled fraction
+    # every doc appears in both full epochs exactly once
+    dups = (
+        mixed.where(F.col("epoch") < 2)
+        .groupBy("doc_id", "epoch").count().where("count != 1").count()
+    )
+    assert dups == 0
+
+
+def test_mix_deterministic_under_repartition(spark):
+    web = _corpus(spark, "w", 800, 50)
+    a = mix_corpora({"web": web}, {"web": 1.0}, token_budget=20_000)
+    b = mix_corpora(
+        {"web": web.repartition(13)}, {"web": 1.0}, token_budget=20_000
+    )
+    ka = sorted((r.doc_id, r.epoch) for r in a.collect())
+    kb = sorted((r.doc_id, r.epoch) for r in b.collect())
+    assert ka == kb
+
+
+def test_recipe_guards(spark):
+    c = _corpus(spark, "c", 10, 10)
+    with pytest.raises(ValueError, match="disagree"):
+        mix_corpora({"a": c}, {"b": 1.0}, token_budget=100)
+    with pytest.raises(ValueError, match="epochs"):
+        mix_corpora({"a": c}, {"a": 1.0}, token_budget=10_000, max_epochs=5)
+    empty = c.where("n_tokens < 0")
+    with pytest.raises(ValueError, match="no tokens"):
+        mix_corpora({"a": empty}, {"a": 1.0}, token_budget=100)
+
+
+def test_yaml_builtin_mix(spark, tmp_path):
+    """core.mix over two named upstream corpora, declared in YAML."""
+    from snapflow_spark.plans import load_graph
+
+    cfg = {
+        "warehouse": str(tmp_path / "wh_mix"),
+        "sources": [{"name": "web_src"}, {"name": "book_src"}],
+        "nodes": [
+            {
+                "name": "train_mix",
+                "function": "core.mix",
+                "upstream": {"web": "web_src", "books": "book_src"},
+                "params": {
+                    "weights": {"web": 1.0, "books": 1.0},
+                    "token_budget": 10_000,
+                },
+                "overwrite": True,
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["web_src"].append(_corpus(spark, "w", 500, 100))
+    g.pipeline.sources["book_src"].append(_corpus(spark, "b", 500, 100))
+    assert g.produce(spark) == 1
+    got = {r.mix_source: r for r in mix_report(g.read(spark, "train_mix")).collect()}
+    # plumbing test: concentration is pinned at 2000-doc scale above;
+    # at 500 docs the (deterministic) hash draw can sit ~2 sigma out
+    assert got["web"].tokens == pytest.approx(5_000, rel=0.3)
+    assert got["books"].tokens == pytest.approx(5_000, rel=0.3)
