@@ -67,6 +67,9 @@ def mix_corpora(
         raise ValueError(f"sources and weights disagree on: {sorted(missing)}")
     if not sources:
         raise ValueError("mix_corpora needs at least one source")
+    bad_w = {k: v for k, v in weights.items() if float(v) < 0}
+    if bad_w:
+        raise ValueError(f"negative mixing weights: {bad_w}")
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive number")

@@ -75,6 +75,8 @@ def test_recipe_guards(spark):
     empty = c.where("n_tokens < 0")
     with pytest.raises(ValueError, match="no tokens"):
         mix_corpora({"a": empty}, {"a": 1.0}, token_budget=100)
+    with pytest.raises(ValueError, match="negative"):
+        mix_corpora({"a": c}, {"a": -1.0}, token_budget=100)
 
 
 def test_yaml_builtin_mix(spark, tmp_path):
