@@ -54,7 +54,12 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 GZIP_MAGIC = b"\x1f\x8b"
@@ -306,6 +311,62 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WarcBatchReader:
         return WarcBatchReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> "WarcStreamReader":
+        return WarcStreamReader(schema, dict(self.options))
+
+
+class WarcStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING WARC source: ``spark.readStream.format("warc")`` over
+    a drop directory — one FILE per micro-batch, with Spark's own
+    offset log as the only state (the paged_api pattern,
+    sources/datasource.py: no cursor file anywhere; crash/restart
+    replays from the last committed offset).
+
+    The offset is a lexicographic WATERMARK (``{"last": path}``):
+    each batch takes the first not-yet-consumed file in sorted order.
+    That keeps offsets O(1) regardless of how many files ever
+    arrived, and replay is trivially exactly-once because crawl files
+    are immutable — but it REQUIRES file names that sort after the
+    watermark (Common Crawl's timestamped names do). A producer that
+    back-fills earlier-sorting names needs ``import_warc_files``
+    (explicit done-set cursor) instead; that trade-off is the
+    documented difference between the two ingest modes."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.options = options
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _pending(self, after: str) -> list[str]:
+        try:
+            files = _list_warc_files(self.path)
+        except FileNotFoundError:
+            return []  # empty drop dir: caught up, not an error
+        return [f for f in files if f > after]
+
+    def _rows(self, path: str):
+        reader = WarcBatchReader(self.schema_, {**self.options, "path": path})
+        return list(reader.read(WarcInputPartition(path)))
+
+    def read(self, start: dict):
+        pending = self._pending(start.get("last", ""))
+        if not pending:
+            return iter([]), start
+        nxt = pending[0]
+        return iter(self._rows(nxt)), {"last": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end["last"]
+        rows: list = []
+        for f in self._pending(lo):
+            if f > hi:
+                break
+            rows.extend(self._rows(f))
+        return iter(rows)
 
 
 def read_warc(spark: SparkSession, path: str, **options) -> DataFrame:

@@ -405,3 +405,60 @@ def test_fuzz_truncation_never_raises_with_stop(
     assert len(got) <= len(recs)
     for (h_in, payload_in), (h_out, payload_out) in zip(recs, got):
         assert payload_out == payload_in  # salvaged prefix is intact
+
+
+def test_warc_readstream_file_per_batch(spark, warc_dir, tmp_path):
+    """spark.readStream.format('warc'): one file per micro-batch,
+    Spark's offset log is the only state; a file dropped mid-stream
+    lands in a later batch; restart resumes past committed files."""
+    import shutil
+    import time
+
+    src = tmp_path / "streamdrop"
+    src.mkdir()
+    shutil.copy(warc_dir / "a.warc", src / "0001.warc")
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    def run_until(want, seconds=45):
+        stream = (
+            spark.readStream.format("warc")
+            .option("path", str(src))
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + seconds
+            n = 0
+            while time.time() < deadline:
+                try:
+                    n = spark.read.parquet(out).count()
+                except Exception:
+                    n = 0
+                if n >= want:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        return spark.read.parquet(out)
+
+    got = run_until(want=5)
+    assert got.count() == 5  # first file's records
+
+    # second file arrives; the SAME checkpoint resumes past file one
+    shutil.copy(warc_dir / "b.warc.gz", src / "0002.warc.gz")
+    got = run_until(want=10)
+    assert got.count() == 10
+    assert got.select("warc_file").distinct().count() == 2
+    # no duplicates: (file, record_index) unique
+    assert (
+        got.groupBy("warc_file", "record_index").count().where("count > 1").count()
+        == 0
+    )
