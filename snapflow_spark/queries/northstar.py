@@ -1045,6 +1045,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 60-bit sha256 unit-interval fold, UNROLLED for DuckDB: lambdas there
+# cannot bind unnest-derived columns (internal binder error), so the
+# mix oracle splices this generated 15-term sum instead of
+# list_transform. Mirrors operators.mixing._unit_hash exactly.
+_MIX_UNIT_FOLD = "(" + " + ".join(
+    f"((CAST(instr('0123456789abcdef', substr(h, {k + 1}, 1)) AS BIGINT) - 1)"
+    f" << {4 * (14 - k)})"
+    for k in range(15)
+) + ")"
+
+
 @query(
     "q_pipeline_docs",
     oracle=r"""
@@ -1094,10 +1105,71 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
       FROM kept GROUP BY lang
     )
-    SELECT b.lang, b.n_docs, b.total_tokens, b.first_doc, b.n_train, b.n_test,
+    SELECT 'pipeline' AS branch,
+           b.lang, b.n_docs, b.total_tokens, b.first_doc, b.n_train, b.n_test,
            COALESCE(p.n_chunks, 0) AS n_chunks,
            COALESCE(p.n_spanning, 0) AS n_spanning
     FROM bagg b LEFT JOIN pagg p USING (lang)
+    UNION ALL
+    -- 'mix' branch (round 8): dataset mixing replayed end-to-end —
+    -- budget = total corpus tokens, weights en:5 rest:1, ratio =
+    -- target/have in the same IEEE double expressions, whole epochs
+    -- replicated via unnest(range(floor(ratio)+1)), the fractional
+    -- epoch selected by the 60-bit sha256(salt|epoch|id) unit
+    -- predicate. n_train = epoch-0 instances, n_test = repeats,
+    -- n_chunks = epochs used.
+    SELECT 'mix' AS branch, mix_source AS lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN epoch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(MAX(epoch) + 1 AS BIGINT) AS n_chunks,
+           CAST(0 AS BIGINT) AS n_spanning
+    FROM (
+      WITH mix_src AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS mix_source,
+               len(regexp_extract_all(text, '\S+')) AS n_toks
+        FROM documents
+      ), mix_ratio AS (
+        SELECT mix_source,
+               ((SELECT CAST(CAST(SUM(n_toks) AS BIGINT) AS DOUBLE) FROM mix_src)
+                * CASE WHEN mix_source = 'en' THEN 5.0 ELSE 1.0 END / 6.0)
+               / CAST(SUM(n_toks) AS DOUBLE) AS ratio
+        FROM mix_src GROUP BY mix_source
+      ), mix_epochs AS (
+        -- static 0..31 relation (margin over max_epochs=20): DuckDB's
+        -- binder loses an unnest-derived column once it flows through
+        -- later filters (internal error), so the epoch fan-out is an
+        -- UNCORRELATED cross join filtered by floor(ratio) instead of
+        -- a correlated range() unnest
+        SELECT unnest(range(0, 32)) AS epoch
+      ), mix_exp AS (
+        SELECT s.doc_id, s.mix_source, s.n_toks, r.ratio, e.epoch
+        FROM mix_src s
+        JOIN mix_ratio r USING (mix_source)
+        CROSS JOIN mix_epochs e
+        WHERE e.epoch <= CAST(floor(r.ratio) AS BIGINT)
+      ), mix_h AS (
+        SELECT *,
+               sha256('mix-v1' || '|' || CAST(epoch AS VARCHAR)
+                      || '|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM mix_exp
+      ), mix_unit AS (
+        SELECT *,
+               CAST("""
+    + _MIX_UNIT_FOLD
+    + r""" AS DOUBLE)
+               / 1152921504606846976.0 AS unit
+        FROM mix_h
+      )
+      SELECT * FROM mix_unit
+      WHERE epoch < CAST(floor(ratio) AS BIGINT)
+         OR (epoch = CAST(floor(ratio) AS BIGINT)
+             AND unit < ratio - floor(ratio))
+    ) sel
+    GROUP BY mix_source
     """,
 )
 def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,7 +1219,8 @@ def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("chunk_id").alias("n_chunks"),
         F.sum(F.col("chunk_spans").cast("int")).cast("bigint").alias("n_spanning"),
     )
-    return bagg.join(pagg, "lang", "left").select(
+    pipeline = bagg.join(pagg, "lang", "left").select(
+        F.lit("pipeline").alias("branch"),
         "lang",
         "n_docs",
         "total_tokens",
@@ -1157,6 +1230,57 @@ def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
         F.coalesce("n_spanning", F.lit(0)).alias("n_spanning"),
     )
+    # 'mix' branch (round 8): the Pile/Dolma dataset-mixing step
+    # (operators.mixing.mix_corpora) as a hash-matched row — two
+    # corpora (en vs rest), weights 5:1, budget = total corpus tokens,
+    # so en UP-samples (~2 full epochs + a fraction) and rest
+    # DOWN-samples (~0.28), exercising both paths. All arithmetic is
+    # IEEE-replayable: integer token sums are exact doubles, the
+    # sha256(salt|epoch|id) 60-bit unit-interval predicate is the
+    # engine's standard construction, and the oracle recomputes
+    # budget/ratio/epochs from the same expressions. Column mapping
+    # into the shared schema: n_train = epoch-0 instances, n_test =
+    # repeat instances (epoch > 0), n_chunks = epochs used.
+    from snapflow_spark.operators.mixing import mix_corpora
+
+    toks = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", "en").otherwise("rest").alias("mix_source0"),
+        token_count_expr("text").alias("n_toks"),
+    )
+    budget = int(toks.agg(F.sum("n_toks")).first()[0])
+    mixed = mix_corpora(
+        {
+            "en": toks.where(F.col("mix_source0") == "en").drop("mix_source0"),
+            "rest": toks.where(F.col("mix_source0") == "rest").drop("mix_source0"),
+        },
+        {"en": 5.0, "rest": 1.0},
+        token_budget=budget,
+        token_col="n_toks",
+    )
+    mixb = mixed.groupBy("mix_source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_toks").cast("bigint")).alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("epoch") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+        (F.max("epoch") + 1).cast("bigint").alias("n_chunks"),
+    ).select(
+        F.lit("mix").alias("branch"),
+        F.col("mix_source").alias("lang"),
+        "n_docs",
+        "total_tokens",
+        "first_doc",
+        "n_train",
+        "n_test",
+        "n_chunks",
+        F.lit(0).cast("bigint").alias("n_spanning"),
+    )
+    return pipeline.unionByName(mixb)
 
 
 @query(

@@ -44,6 +44,17 @@ EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
         "string algebra). Each shuffle IS the dedup key exchange; "
         "none is removable without undoing the operator",
     ),
+    "q_pipeline_docs": (
+        7,
+        "reviewed round 8: the 'mix' branch adds the dataset-mixing "
+        "tier — each surviving epoch is a plan-level filter branch "
+        "over the documents scan unioned in (the honest cost of an "
+        "N-epoch repeat), plus ONE groupBy(mix_source) agg; the "
+        "original pipeline branch keeps its dedup/cap/split/pack "
+        "shuffles unchanged. Per-source token totals and the budget "
+        "are construction-time 1-row aggregates (bounded driver "
+        "work, the mix_corpora contract)",
+    ),
     "q_fingerprint_winnow": (
         9,
         "reviewed round 8: the 'excise' branch adds the gram "
