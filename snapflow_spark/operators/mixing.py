@@ -45,6 +45,7 @@ def mix_corpora(
     id_col: str = "doc_id",
     salt: str = "mix-v1",
     max_epochs: int = 20,
+    totals: dict[str, float] | None = None,
 ) -> DataFrame:
     """Weighted token-budget mix of named corpora.
 
@@ -61,6 +62,13 @@ def mix_corpora(
     Raises when a source would need more than ``max_epochs`` repeats
     — that is a recipe error (a tiny corpus given a huge weight), not
     something to paper over silently.
+
+    ``totals`` (optional): precomputed per-source token totals. The
+    default runs one 1-row aggregate PER SOURCE; a caller that
+    already aggregated them (e.g. one groupBy over a tagged union of
+    its sources) passes the dict and the mix plans with ZERO extra
+    jobs. Token sums are integers, so a caller-computed total is
+    exactly what the internal aggregate would produce.
     """
     missing = set(sources) ^ set(weights)
     if missing:
@@ -77,9 +85,12 @@ def mix_corpora(
     parts: list[DataFrame] = []
     for name, df in sources.items():
         target = token_budget * float(weights[name]) / total_w
-        # the ONE driver scalar per source: its token total
-        row = df.agg(F.sum(F.col(token_col).cast("double")).alias("t")).first()
-        have = float(row.t or 0.0)
+        if totals is not None and name in totals:
+            have = float(totals[name])
+        else:
+            # the ONE driver scalar per source: its token total
+            row = df.agg(F.sum(F.col(token_col).cast("double")).alias("t")).first()
+            have = float(row.t or 0.0)
         if have <= 0:
             raise ValueError(f"source {name!r} has no tokens in {token_col!r}")
         ratio = target / have

@@ -1248,7 +1248,14 @@ def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", "en").otherwise("rest").alias("mix_source0"),
         token_count_expr("text").alias("n_toks"),
     )
-    budget = int(toks.agg(F.sum("n_toks")).first()[0])
+    # ONE construction-time job: per-source token totals (exact
+    # integer sums); the budget is their sum and `totals=` hands the
+    # figures to mix_corpora so it plans with zero extra aggregates
+    totals = {
+        r.mix_source0: int(r.t)
+        for r in toks.groupBy("mix_source0").agg(F.sum("n_toks").alias("t")).collect()
+    }
+    budget = sum(totals.values())
     mixed = mix_corpora(
         {
             "en": toks.where(F.col("mix_source0") == "en").drop("mix_source0"),
@@ -1257,6 +1264,7 @@ def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 5.0, "rest": 1.0},
         token_budget=budget,
         token_col="n_toks",
+        totals=totals,
     )
     mixb = mixed.groupBy("mix_source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -108,3 +108,21 @@ def test_yaml_builtin_mix(spark, tmp_path):
     # at 500 docs the (deterministic) hash draw can sit ~2 sigma out
     assert got["web"].tokens == pytest.approx(5_000, rel=0.3)
     assert got["books"].tokens == pytest.approx(5_000, rel=0.3)
+
+
+def test_totals_shortcut_matches_internal_aggregates(spark):
+    """Passing precomputed totals= plans with zero extra jobs and
+    selects the IDENTICAL document set (integer token sums are exact
+    either way)."""
+    web = _corpus(spark, "w", 600, 70)
+    books = _corpus(spark, "b", 150, 70)
+    kw = dict(weights={"web": 3.0, "books": 1.0}, token_budget=30_000)
+    a = mix_corpora({"web": web, "books": books}, **kw)
+    b = mix_corpora(
+        {"web": web, "books": books},
+        totals={"web": 600 * 70, "books": 150 * 70},
+        **kw,
+    )
+    ka = sorted((r.doc_id, r.epoch) for r in a.collect())
+    kb = sorted((r.doc_id, r.epoch) for r in b.collect())
+    assert ka == kb and len(ka) > 0
