@@ -207,3 +207,36 @@ def test_normalization_idempotent(spark):
         r.n for r in df.select(normalize_url_expr("url").alias("n")).collect()
     ]
     assert again == canon
+
+
+def test_normalization_exhaustive_variant_product(spark):
+    """Every combination of cosmetic variations (scheme case × www ×
+    default port × param order × tracking params × trailing slash ×
+    fragment — 192 URLs) collapses to exactly ONE canonical form per
+    content identity; non-default ports stay distinct. One Spark job."""
+    import itertools
+
+    schemes = ["https", "HTTPS"]
+    wwws = ["", "www."]
+    ports = ["", ":443", ":8443"]  # default strips, non-default stays
+    param_orders = ["?a=1&b=2", "?b=2&a=1"]
+    trackings = ["", "&utm_source=x&fbclid=y"]
+    trails = ["", "/"]
+    frags = ["", "#frag"]
+    urls = [
+        f"{sch}://{w}Example.COM{port}/p/x{trail}{params}{trk}{frag}"
+        for sch, w, port, params, trk, trail, frag in itertools.product(
+            schemes, wwws, ports, param_orders, trackings, trails, frags
+        )
+    ]
+    assert len(urls) == 192
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.n for r in df.select(normalize_url_expr("url").alias("n")).collect()]
+    # exactly two canonical identities: default-port family and :8443
+    assert set(got) == {
+        "https://example.com/p/x?a=1&b=2",
+        "https://example.com:8443/p/x?a=1&b=2",
+    }
+    # and the split is exactly 2:1 (two port variants collapse, one stays)
+    assert got.count("https://example.com/p/x?a=1&b=2") == 128
+    assert got.count("https://example.com:8443/p/x?a=1&b=2") == 64
