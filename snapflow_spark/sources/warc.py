@@ -348,7 +348,14 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
             return []  # empty drop dir: caught up, not an error
         return [f for f in files if f > after]
 
-    def _rows(self, path: str):
+    def _rows(self, path: str) -> list[tuple]:
+        # a LIST by API contract: the SimpleDataSourceStreamReader
+        # wrapper PICKLES the returned rows to ship them (a generator
+        # raises "cannot pickle 'generator' object" at planPartitions)
+        # — so the memory bound of this source is ONE file per batch,
+        # the documented Simple-reader trade-off; a pipeline whose
+        # individual files exceed worker memory should use the batch
+        # `warc` scan (true streaming read) with import_warc_files
         reader = WarcBatchReader(self.schema_, {**self.options, "path": path})
         return list(reader.read(WarcInputPartition(path)))
 

@@ -114,26 +114,25 @@ def parse_wat(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     schema; malformed JSON rows get NULLs. Keeps every input column,
     drops the binary payload."""
     env = F.from_json(F.col(payload_col).cast("string"), WAT_SCHEMA)
-    meta = env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
-        "HTML-Metadata"
-    ]
-    out = (
-        df.where(F.col("warc_type") == "metadata")
-        .withColumn("__env", env)
-        .withColumns(
-            {
-                "target_uri": F.coalesce(
-                    F.col("target_uri"),
-                    F.col("__env")["Envelope"]["WARC-Header-Metadata"][
-                        "WARC-Target-URI"
-                    ],
-                ),
-                "title": meta["Head"]["Title"],
-                "links": F.transform(
-                    meta["Links"], lambda link: link["url"]
-                ),
-            }
-        )
+    # materialize from_json ONCE as a column; every field read below is
+    # a free GetStructField over it (the html_extract lesson — three
+    # separate `env[...]` expressions would each re-parse the JSON
+    # unless Catalyst happens to CSE them)
+    tagged = df.where(F.col("warc_type") == "metadata").withColumn("__env", env)
+    meta = F.col("__env")["Envelope"]["Payload-Metadata"][
+        "HTTP-Response-Metadata"
+    ]["HTML-Metadata"]
+    out = tagged.withColumns(
+        {
+            "target_uri": F.coalesce(
+                F.col("target_uri"),
+                F.col("__env")["Envelope"]["WARC-Header-Metadata"][
+                    "WARC-Target-URI"
+                ],
+            ),
+            "title": meta["Head"]["Title"],
+            "links": F.transform(meta["Links"], lambda link: link["url"]),
+        }
     )
     return out.drop("__env", payload_col)
 
