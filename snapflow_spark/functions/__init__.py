@@ -28,6 +28,14 @@ from snapflow_spark.functions.html import (
     main_text_expr,
     main_text_from_bytes,
 )
+from snapflow_spark.functions.psl import (
+    CompiledPSL,
+    compile_psl,
+    default_psl,
+    load_psl,
+    parse_psl,
+    registered_domain_py,
+)
 from snapflow_spark.functions.urls import (
     filter_url_blocklist,
     host_expr,
@@ -58,7 +66,13 @@ __all__ = [
     "host_expr",
     "lang_id_expr",
     "normalize_url_expr",
+    "CompiledPSL",
+    "compile_psl",
+    "default_psl",
+    "load_psl",
+    "parse_psl",
     "registered_domain_expr",
+    "registered_domain_py",
     "url_dedup",
     "quality_score_expr",
     "simhash_udf",

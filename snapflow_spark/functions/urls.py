@@ -44,10 +44,11 @@ TRACKING_PARAM_RE = (
     "^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)(=|$)"
 )
 
-#: Bounded public-suffix heuristic: second-level suffixes under which
-#: registration happens one label deeper. The full PSL is ~9k rules;
-#: this subset covers the dominant crawl TLDs, and `extra_suffixes`
-#: lets a deployment broadcast the full list.
+#: Historical bounded heuristic (rounds ≤8): second-level suffixes
+#: under which registration happens one label deeper. Superseded by
+#: the full vendored PSL (functions/psl.py) as of round 9 — kept as
+#: the documented zero-table fallback for `registered_domain_expr
+#: (..., psl="heuristic")` and for back-compat imports.
 TWO_LEVEL_SUFFIXES = (
     "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk",
     "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
@@ -66,20 +67,34 @@ def host_expr(url: Column | str) -> Column:
     return F.lower(F.regexp_extract(F.trim(_c(url)), r"^[^:/?#]+://([^/?#]+)", 1))
 
 
-def registered_domain_expr(host: Column | str) -> Column:
+def registered_domain_expr(host: Column | str, psl=None) -> Column:
     """eTLD+1 ('registered domain') of a lowercase host: the unit C4
-    blocklists and per-domain caps operate on. Heuristic PSL (see
-    TWO_LEVEL_SUFFIXES); hosts with fewer labels pass through."""
-    h = F.regexp_replace(_c(host), r":\d+$", "")  # ignore any port
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    last3 = F.concat_ws(".", F.element_at(labels, -3), last2)
-    return (
-        F.when((n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3)
-        .when(n >= 2, last2)
-        .otherwise(h)
-    )
+    blocklists, per-domain caps, link-graph edges and PageRank nodes
+    operate on.
+
+    Round 9: full publicsuffix.org longest-match over the vendored
+    snapshot (functions/psl.py — exact + wildcard ``*.ck`` +
+    exception ``!www.ck`` rules, InSet hash probes in codegen).
+    ``psl=`` accepts a ``CompiledPSL`` (e.g. ``load_psl(path)`` with
+    the full current file) or the string ``"heuristic"`` for the
+    pre-round-9 two-level table; hosts that are themselves public
+    suffixes (or shorter) pass through unchanged."""
+    if psl == "heuristic":
+        h = F.regexp_replace(_c(host), r":\d+$", "")  # ignore any port
+        labels = F.split(h, r"\.")
+        n = F.size(labels)
+        last2 = F.concat_ws(
+            ".", F.element_at(labels, -2), F.element_at(labels, -1)
+        )
+        last3 = F.concat_ws(".", F.element_at(labels, -3), last2)
+        return (
+            F.when((n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3)
+            .when(n >= 2, last2)
+            .otherwise(h)
+        )
+    from snapflow_spark.functions import psl as _psl_mod
+
+    return _psl_mod.registered_domain_expr(_c(host), psl)
 
 
 def normalize_url_expr(url: Column | str) -> Column:

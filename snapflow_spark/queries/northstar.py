@@ -55,6 +55,15 @@ from snapflow_spark.operators.similarity import (
 from snapflow_spark.registry import query
 
 
+def _psl_select_items() -> str:
+    """DuckDB select-item fragment replaying the vendored PSL over the
+    'url' oracle branch's `host` column (generated from the rule
+    table, independent algorithm — functions/psl.py)."""
+    from snapflow_spark.functions.psl import registered_domain_select_items
+
+    return registered_domain_select_items("host")
+
+
 @query(
     "q_dedup_exact",
     oracle=r"""
@@ -96,15 +105,21 @@ from snapflow_spark.registry import query
       GROUP BY d.doc_id
     ) v
     UNION ALL
-    -- 'url' branch (round 8): URL-level dedup (the FIRST pass of a
-    -- Common Crawl pipeline — functions/urls.py). URLs are built
+    -- 'url' branch (rounds 8-9): URL-level dedup (the FIRST pass of
+    -- a Common Crawl pipeline — functions/urls.py). URLs are built
     -- deterministically from doc_id so both engines construct the
     -- same inputs; the oracle then independently REPLAYS the full
     -- normalization contract (fragment, scheme/host lowercase,
     -- default-port strip, www. strip, tracking-param filter + sort,
-    -- trailing slash) and the eTLD+1 heuristic — the fingerprint
-    -- string 'registered_domain|canonical_url' is char-for-char the
-    -- whole pipeline's output.
+    -- trailing slash) and — round 9 — the full publicsuffix.org
+    -- longest-match over the vendored PSL snapshot (exact, wildcard
+    -- `*.ck`/`*.kawasaki.jp`, exception `!www.ck`/`!city.kawasaki.jp`
+    -- and 3-label `k12.ca.us` rules all exercised by the host
+    -- variants below; the PSL replay SQL is generated from the same
+    -- rule DATA by functions/psl.py:registered_domain_select_items,
+    -- independent CODE). The fingerprint string
+    -- 'registered_domain|canonical_url' is char-for-char the whole
+    -- pipeline's output.
     SELECT 'url' AS branch, rd || '|' || canon AS fingerprint,
            MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
     FROM (
@@ -113,8 +128,15 @@ from snapflow_spark.registry import query
                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
                (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
                'Data-' || (doc_id % 200) ||
-               (CASE (doc_id % 200) % 3 WHEN 0 THEN '.Example.CO.UK'
-                     WHEN 1 THEN '.example.com' ELSE '.EXAMPLE.org' END) ||
+               (CASE (doc_id % 200) % 8
+                     WHEN 0 THEN '.Example.CO.UK'
+                     WHEN 1 THEN '.example.com'
+                     WHEN 2 THEN '.EXAMPLE.org'
+                     WHEN 3 THEN '.site.Example.CK'
+                     WHEN 4 THEN '.WWW.CK'
+                     WHEN 5 THEN '.schools.K12.CA.US'
+                     WHEN 6 THEN '.city.Kawasaki.JP'
+                     ELSE '.blog.Kawasaki.jp' END) ||
                (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
                '/corpus/item-' || (doc_id % 200) ||
                (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
@@ -146,27 +168,16 @@ from snapflow_spark.registry import query
                  '&') AS q
         FROM parts
       ), rdom AS (
-        SELECT doc_id, host,
+        SELECT doc_id,
                scheme || '://' || host || path ||
                CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon,
-               string_split(host, '.') AS labels
+               __PSL_ITEMS__
         FROM np
       )
-      SELECT doc_id, canon,
-             CASE WHEN len(labels) >= 3
-                       AND labels[-2] || '.' || labels[-1] IN
-                           ('co.uk','ac.uk','gov.uk','org.uk','me.uk','net.uk',
-                            'com.au','net.au','org.au','co.jp','ne.jp','or.jp',
-                            'co.nz','net.nz','org.nz','co.in','net.in','org.in',
-                            'com.br','com.mx','com.ar','com.cn','com.tw','com.hk',
-                            'co.kr','com.sg','co.za','com.tr','co.il','com.pl')
-                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-                  WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
-                  ELSE host END AS rd
-      FROM rdom
+      SELECT doc_id, canon, rd FROM rdom
     ) u
     GROUP BY 1, 2
-    """,
+    """.replace("__PSL_ITEMS__", _psl_select_items()),
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via operators.dedup_text.exact_dedup: group on the
@@ -177,15 +188,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     kill, de-skewed partial-agg keeper): per doc, the sha256 of the
     text REBUILT from corpus-wide first-occurrence lines (the hash
     proves byte-exact reconstruction against DuckDB's replay) with
-    the kept-line count in n_copies. ∪ 'url' (round 8) — URL-level
+    the kept-line count in n_copies. ∪ 'url' (rounds 8-9) — URL-level
     dedup, the cheapest/first pass of a web-corpus pipeline
     (functions/urls.py): deterministic doc_id-derived URLs carrying
     every cosmetic variation the canonicalizer must collapse (case,
     www., default ports, tracking params, param order, trailing
     slash, fragments) are normalized + eTLD+1-extracted by pure
-    codegen expressions; the fingerprint 'registered_domain|canonical
-    _url' hash-matches DuckDB's independent SQL replay of the whole
-    normalization contract."""
+    codegen expressions. Round 9: the eTLD+1 step runs the FULL
+    publicsuffix.org longest-match over the vendored PSL snapshot
+    (functions/psl.py), and the host variants deliberately hit exact
+    2-level (co.uk), wildcard (`*.ck`, `*.kawasaki.jp`), exception
+    (`!www.ck`, `!city.kawasaki.jp`) and 3-level exact (`k12.ca.us`)
+    rules; the fingerprint 'registered_domain|canonical_url'
+    hash-matches DuckDB's independent SQL replay of the whole
+    normalization + PSL contract."""
     d = load_table(spark, sf_dir, "documents")
     exact = exact_dedup(d, text_col="text", id_col="doc_id").select(
         F.lit("exact").alias("branch"), "fingerprint", "doc_id", "n_copies"
@@ -213,9 +229,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("://"),
         F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
         F.lit("Data-"), g,
-        F.when((i % 200) % 3 == 0, F.lit(".Example.CO.UK"))
-        .when((i % 200) % 3 == 1, F.lit(".example.com"))
-        .otherwise(F.lit(".EXAMPLE.org")),
+        F.when((i % 200) % 8 == 0, F.lit(".Example.CO.UK"))
+        .when((i % 200) % 8 == 1, F.lit(".example.com"))
+        .when((i % 200) % 8 == 2, F.lit(".EXAMPLE.org"))
+        .when((i % 200) % 8 == 3, F.lit(".site.Example.CK"))
+        .when((i % 200) % 8 == 4, F.lit(".WWW.CK"))
+        .when((i % 200) % 8 == 5, F.lit(".schools.K12.CA.US"))
+        .when((i % 200) % 8 == 6, F.lit(".city.Kawasaki.JP"))
+        .otherwise(F.lit(".blog.Kawasaki.jp")),
         F.when(i % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
         F.lit("/corpus/item-"), g,
         F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
