@@ -58,7 +58,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
+    DataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -312,24 +312,34 @@ class WarcDataSource(DataSource):
     def reader(self, schema: StructType) -> WarcBatchReader:
         return WarcBatchReader(schema, dict(self.options))
 
-    def simpleStreamReader(self, schema: StructType) -> "WarcStreamReader":
+    def streamReader(self, schema: StructType) -> "WarcStreamReader":
         return WarcStreamReader(schema, dict(self.options))
 
 
-class WarcStreamReader(SimpleDataSourceStreamReader):
+class WarcStreamReader(DataSourceStreamReader):
     """STREAMING WARC source: ``spark.readStream.format("warc")`` over
-    a drop directory — one FILE per micro-batch, with Spark's own
-    offset log as the only state (the paged_api pattern,
-    sources/datasource.py: no cursor file anywhere; crash/restart
-    replays from the last committed offset).
+    a drop directory, with Spark's own offset log as the only state
+    (no cursor file anywhere; crash/restart replays from the last
+    committed offset).
 
-    The offset is a lexicographic WATERMARK (``{"last": path}``):
-    each batch takes the first not-yet-consumed file in sorted order.
-    That keeps offsets O(1) regardless of how many files ever
-    arrived, and replay is trivially exactly-once because crawl files
-    are immutable — but it REQUIRES file names that sort after the
-    watermark (Common Crawl's timestamped names do). A producer that
-    back-fills earlier-sorting names needs ``import_warc_files``
+    Partition-based (round 9 — replaced the Simple reader): each
+    micro-batch plans ONE InputPartition PER NEW FILE and executors
+    stream records straight off the file through the same generator
+    the batch scan uses — no driver-side row materialization at all,
+    so a 1 GiB-gzipped Common Crawl WARC (3-5 GiB of payloads) flows
+    through bounded memory, and a batch with N pending files reads
+    them N-wide in parallel. (The Simple API pickles a whole batch's
+    rows through the driver by contract — that was the documented
+    memory bound this class replaces.)
+
+    The offset is a lexicographic WATERMARK (``{"last": path}``): a
+    batch covers every file in ``(start, end]`` sorted order. That
+    keeps offsets O(1) regardless of how many files ever arrived, and
+    replay is trivially exactly-once because crawl files are
+    immutable — but it REQUIRES file names that sort after the
+    watermark (Common Crawl's timestamped names do), and the drop
+    directory must be append-only while the stream runs. A producer
+    that back-fills earlier-sorting names needs ``import_warc_files``
     (explicit done-set cursor) instead; that trade-off is the
     documented difference between the two ingest modes."""
 
@@ -337,43 +347,37 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         self.schema_ = schema
         self.options = options
         self.path = options["path"]
+        self._seen = ""  # driver-side monotonic guard for latestOffset
 
     def initialOffset(self) -> dict:
         return {"last": ""}
 
-    def _pending(self, after: str) -> list[str]:
+    def latestOffset(self) -> dict:
         try:
             files = _list_warc_files(self.path)
         except FileNotFoundError:
-            return []  # empty drop dir: caught up, not an error
-        return [f for f in files if f > after]
+            files = []  # empty drop dir: caught up, not an error
+        if files and files[-1] > self._seen:
+            self._seen = files[-1]
+        return {"last": self._seen}
 
-    def _rows(self, path: str) -> list[tuple]:
-        # a LIST by API contract: the SimpleDataSourceStreamReader
-        # wrapper PICKLES the returned rows to ship them (a generator
-        # raises "cannot pickle 'generator' object" at planPartitions)
-        # — so the memory bound of this source is ONE file per batch,
-        # the documented Simple-reader trade-off; a pipeline whose
-        # individual files exceed worker memory should use the batch
-        # `warc` scan (true streaming read) with import_warc_files
-        reader = WarcBatchReader(self.schema_, {**self.options, "path": path})
-        return list(reader.read(WarcInputPartition(path)))
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        try:
+            files = _list_warc_files(self.path)
+        except FileNotFoundError:
+            files = []
+        return [WarcInputPartition(f) for f in files if lo < f <= hi]
 
-    def read(self, start: dict):
-        pending = self._pending(start.get("last", ""))
-        if not pending:
-            return iter([]), start
-        nxt = pending[0]
-        return iter(self._rows(nxt)), {"last": nxt}
+    def read(self, partition: WarcInputPartition) -> Iterator[tuple]:
+        # executor-side: the batch reader's record-streaming generator
+        reader = WarcBatchReader(
+            self.schema_, {**self.options, "path": partition.path}
+        )
+        return reader.read(partition)
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        lo, hi = start.get("last", ""), end["last"]
-        rows: list = []
-        for f in self._pending(lo):
-            if f > hi:
-                break
-            rows.extend(self._rows(f))
-        return iter(rows)
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's log; files are immutable
 
 
 def read_warc(spark: SparkSession, path: str, **options) -> DataFrame:

@@ -462,3 +462,40 @@ def test_warc_readstream_file_per_batch(spark, warc_dir, tmp_path):
         got.groupBy("warc_file", "record_index").count().where("count > 1").count()
         == 0
     )
+
+
+def test_warc_stream_reader_partition_based_and_executor_lazy(warc_dir):
+    """Round 9: the streaming source is a partition-based
+    DataSourceStreamReader — one InputPartition per new file, and
+    read() hands executors the SAME record-streaming generator the
+    batch scan uses (never a driver-side pickled row list, which was
+    the Simple reader's documented OOM hazard at CC record sizes)."""
+    import glob
+    import inspect
+
+    from pyspark.sql.datasource import DataSourceStreamReader
+    from pyspark.sql.types import _parse_datatype_string
+
+    from snapflow_spark.sources.warc import WARC_SCHEMA_DDL, WarcStreamReader
+
+    schema = _parse_datatype_string(WARC_SCHEMA_DDL)
+    r = WarcStreamReader(schema, {"path": str(warc_dir)})
+    assert isinstance(r, DataSourceStreamReader)
+
+    files = sorted(glob.glob(str(warc_dir / "*.warc*")))
+    start, end = r.initialOffset(), r.latestOffset()
+    assert end == {"last": files[-1]}
+    parts = r.partitions(start, end)
+    assert [p.path for p in parts] == files  # one partition PER file
+
+    it = r.read(parts[0])
+    assert inspect.isgenerator(it)  # records stream lazily executor-side
+    first = next(it)
+    assert len(first) == len(schema.fieldNames())
+    assert sum(1 for _ in it) == 4  # the remaining records of file one
+
+    # a committed watermark excludes consumed files from later batches
+    parts2 = r.partitions({"last": files[0]}, end)
+    assert [p.path for p in parts2] == files[1:]
+    # caught-up: empty plan, offset stays monotonic, no error
+    assert r.partitions(end, r.latestOffset()) == []
