@@ -322,6 +322,43 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cos.unionByName(bm25)
 
 
+_PR_ITERS = 4
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle_ctes() -> str:
+    """Unrolled power-iteration replay for the 'pagerank' branch —
+    one CTE per iteration, generated so the SQL stays in lockstep
+    with _PR_ITERS/_PR_DAMPING. Arithmetic mirrors
+    operators/linkgraph.py:pagerank exactly: rank' = (1-d)/N +
+    d*(Σ incoming rank·share + dangling_mass/N), everything in IEEE
+    doubles (0.85::DOUBLE — a bare literal would be DECIMAL in
+    DuckDB and drift)."""
+    steps = []
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""r{k} AS (
+      SELECT n.id,
+             (CAST(1 AS DOUBLE) - {_PR_DAMPING}::DOUBLE) / nn.n
+             + {_PR_DAMPING}::DOUBLE *
+               (COALESCE(c.contrib, 0::DOUBLE) + dg.mass / nn.n) AS rank
+      FROM nodes n
+      CROSS JOIN ncount nn
+      LEFT JOIN (
+        SELECT ne.dst AS id, SUM(r.rank * ne.share) AS contrib
+        FROM ne JOIN {prev} r ON ne.src = r.id GROUP BY 1
+      ) c ON n.id = c.id
+      CROSS JOIN (
+        SELECT COALESCE(SUM(r.rank), 0::DOUBLE) AS mass
+        FROM {prev} r WHERE r.id NOT IN (SELECT src FROM e)
+      ) dg
+    )"""
+        )
+        prev = f"r{k}"
+    return ",\n    ".join(steps)
+
+
 @query(
     "q_text_stats",
     oracle=r"""
@@ -352,7 +389,45 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
            term, term_count
     FROM ranked WHERE rn <= 5
-    """,
+    UNION ALL
+    -- 'pagerank' branch (round 9): power iteration over a
+    -- deterministic doc_id-synthesized domain graph (nodes d17-d19
+    -- are DANGLING — dst-only — so the uniform-redistribution term is
+    -- exercised, not just the contrib join). The replay unrolls
+    -- _PR_ITERS steps of exactly linkgraph.pagerank's arithmetic;
+    -- round(rank, 6) absorbs summation-order double noise. Node id
+    -- rides the 'term' column, rank rides 'avg_chars'.
+    SELECT 'pagerank' AS branch, CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           round(rank, 6) AS avg_chars, CAST(NULL AS BIGINT),
+           id AS term, CAST(NULL AS BIGINT) AS term_count
+    FROM (
+      WITH e AS (
+        SELECT 'd' || CAST(doc_id % 17 AS VARCHAR) AS src,
+               'd' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM documents GROUP BY 1, 2
+      ), outw AS (
+        SELECT src, SUM(w) AS out_w FROM e GROUP BY 1
+      ), ne AS (
+        SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS share
+        FROM e JOIN outw o ON e.src = o.src
+      ), nodes AS (
+        SELECT DISTINCT id FROM (
+          SELECT src AS id FROM e UNION ALL SELECT dst FROM e
+        )
+      ), ncount AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+      ), r0 AS (
+        SELECT id, CAST(1 AS DOUBLE) / nn.n AS rank
+        FROM nodes CROSS JOIN ncount nn
+      ),
+    __PR_STEPS__
+      SELECT id, rank FROM __PR_LAST__
+    ) pr
+    """.replace("__PR_STEPS__", _pagerank_oracle_ctes()).replace(
+        "__PR_LAST__", f"r{_PR_ITERS}"
+    ),
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union (round 4): per-language corpus statistics
@@ -360,7 +435,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines implement identically) ∪ the per-language top-5 token
     vocabulary ('vocab' branch — operators.retrieval.build_vocab, the
     tokenizer-budget audit; ranking count desc / term asc is
-    deterministic in both engines)."""
+    deterministic in both engines) ∪ 'pagerank' (round 9) — the
+    link-graph authority prior (operators/linkgraph.py:pagerank,
+    Page et al. 1999) over a deterministic doc_id-synthesized domain
+    graph with dangling nodes, fixed 4-iteration power iteration,
+    hash-matched against DuckDB's unrolled-step replay; node id in
+    'term', round(rank, 6) in 'avg_chars'."""
     d = load_table(spark, sf_dir, "documents")
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("bigint")
@@ -384,7 +464,27 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("total_tokens"),
         "term", "term_count",
     )
-    return stats.unionByName(vocab)
+    from snapflow_spark.operators.linkgraph import pagerank
+
+    i = F.col("doc_id")
+    edges = (
+        d.select(
+            F.concat(F.lit("d"), (i % 17).cast("string")).alias("src"),
+            F.concat(F.lit("d"), ((i * 7 + 3) % 20).cast("string")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    pr = pagerank(edges, damping=_PR_DAMPING, iterations=_PR_ITERS).select(
+        F.lit("pagerank").alias("branch"),
+        null_s.alias("lang"),
+        null_l.alias("n_docs"), null_l.alias("n_sources"),
+        null_l.alias("total_chars"),
+        F.round("rank", 6).alias("avg_chars"),
+        null_l.alias("total_tokens"),
+        F.col("id").alias("term"), null_l.alias("term_count"),
+    )
+    return stats.unionByName(vocab).unionByName(pr)
 
 
 @query(
