@@ -96,6 +96,16 @@ def main(argv: list[str] | None = None) -> int:
     tq.add_argument("--sf", default=DEFAULT_SF_DIR)
     tq.add_argument("--buckets", type=int, default=4096)
     tq.add_argument("--iters", type=int, default=30)
+    tl = sub.add_parser(
+        "train-langid",
+        help="train the char-n-gram language-id model on the documents "
+        "table (labels from --label-col), save the model JSON",
+    )
+    tl.add_argument("out", help="output path for the model artifact (JSON)")
+    tl.add_argument("--sf", default=DEFAULT_SF_DIR)
+    tl.add_argument("--label-col", default="lang")
+    tl.add_argument("--buckets", type=int, default=4096)
+    tl.add_argument("--iters", type=int, default=40)
     args = ap.parse_args(argv)
 
     if args.cmd == "warc-stats":
@@ -148,6 +158,28 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"trained: {args.buckets} buckets, {args.iters} iters, "
             f"bias {clf.weights[-1]:+.4f} -> {args.out}"
+        )
+        return 0
+
+    if args.cmd == "train-langid":
+        from snapflow_spark.catalog import load_table
+        from snapflow_spark.operators.langid import train_lang_id
+        from snapflow_spark.session import build_session, tune
+
+        spark = build_session("cli-train-langid")
+        spark.sparkContext.setLogLevel("ERROR")
+        tune(spark)
+        docs = load_table(spark, args.sf, "documents")
+        model = train_lang_id(
+            docs,
+            label_col=args.label_col,
+            num_buckets=args.buckets,
+            iters=args.iters,
+        )
+        model.save(args.out)
+        print(
+            f"trained: {len(model.labels)} languages {model.labels}, "
+            f"{args.buckets} buckets, {args.iters} iters -> {args.out}"
         )
         return 0
 

@@ -438,6 +438,50 @@ def _quality_filter(
     return scored
 
 
+def _lang_id(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    model: str,
+    threshold: float | None = None,
+    fallback: str = "und",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "lang_pred",
+    prob_col: str = "lang_prob",
+    drop_undetermined: bool = False,
+) -> DataFrame:
+    """core.lang_id: TRAINED language identification (operators.
+    langid — multinomial LR over hashed char n-grams, the CCNet/C4
+    pipeline's first text gate). ``model`` is a train_lang_id JSON
+    artifact (``train-langid`` CLI); every row comes back with
+    (``lang_pred``, ``lang_prob``). A ``threshold`` routes
+    low-confidence rows to ``fallback`` ('und'), making quarantine a
+    plain WHERE; ``drop_undetermined: true`` applies that filter in
+    the node itself (requires a threshold — otherwise nothing is ever
+    'und' and the flag would silently do nothing)."""
+    from snapflow_spark.operators.langid import LangIdModel, predict_lang
+
+    if drop_undetermined and threshold is None:
+        raise ValueError(
+            "lang_id: drop_undetermined requires a threshold (without "
+            "one no row is ever routed to the fallback class)"
+        )
+    m = LangIdModel.load(model)
+    out = predict_lang(
+        input,
+        m,
+        text_col=text_col,
+        id_col=id_col,
+        out_col=out_col,
+        prob_col=prob_col,
+        threshold=float(threshold) if threshold is not None else None,
+        fallback=fallback,
+    )
+    if drop_undetermined:
+        out = out.where(F.col(out_col) != fallback)
+    return out
+
+
 def _frequent_items(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -804,6 +848,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.tokenize": _tokenize,
     "core.dsir": _dsir,
     "core.frequent_items": _frequent_items,
+    "core.lang_id": _lang_id,
     "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,
     "core.image_dedup": _image_dedup,
