@@ -804,6 +804,8 @@ def _scan_warc(
     truncated: str = "fail",
     wet: bool = False,
     wat: bool = False,
+    index: str | None = None,
+    index_filename_col: str = "warc_filename",
 ) -> DataFrame:
     """core.scan_warc: zero-input source node over WARC/WET/WAT
     archives (sources.warc — the Common Crawl on-ramp). ``wet: true``
@@ -811,7 +813,10 @@ def _scan_warc(
     (the shape every downstream text builtin expects); ``wat: true``
     narrows to ``metadata`` records parsed to
     ``target_uri``/``title``/``links`` (the link-graph-without-HTML
-    path — pipe straight into core.link_graph)."""
+    path — pipe straight into core.link_graph). ``index`` (round 9):
+    path to a cc-index-style parquet table whose
+    ``index_filename_col`` PRUNES the scan to matching files only —
+    filter the index upstream, never open the rest."""
     from snapflow_spark.sources.warc import read_warc, wet_text
 
     if wet and wat:
@@ -821,7 +826,10 @@ def _scan_warc(
         opts["types"] = types
     if max_record_bytes is not None:
         opts["max_record_bytes"] = max_record_bytes
-    df = read_warc(spark, path, **opts)
+    idx = spark.read.parquet(index) if index is not None else None
+    df = read_warc(
+        spark, path, index=idx, index_filename_col=index_filename_col, **opts
+    )
     if wet:
         return wet_text(df)
     if wat:
@@ -964,16 +972,26 @@ def load_graph(config: dict | str | Path, warehouse: str | None = None) -> Graph
                 "truncated": src.get("truncated", "fail"),
                 "max_files": src.get("max_files"),
             }
+            warc_index = src.get("index")  # cc-index parquet path (r9)
+            warc_index_col = src.get("index_filename_col", "warc_filename")
 
             def _import_warc(
                 spark: SparkSession,
                 _store=store,
                 _path=warc_path,
                 _opts=warc_opts,
+                _index=warc_index,
+                _index_col=warc_index_col,
             ) -> None:
                 from snapflow_spark.sources.warc import import_warc_files
 
-                import_warc_files(spark, _path, _store, **_opts)
+                idx = (
+                    spark.read.parquet(_index) if _index is not None else None
+                )
+                import_warc_files(
+                    spark, _path, _store,
+                    index=idx, index_filename_col=_index_col, **_opts,
+                )
 
             g.add_importer(_import_warc)
 

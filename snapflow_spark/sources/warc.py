@@ -243,6 +243,52 @@ def _list_warc_files(path: str) -> list[str]:
     return names
 
 
+def prune_files_by_index(files: list[str], names: set[str]) -> list[str]:
+    """CDX/columnar-index pruning: keep only files the index names.
+    Common Crawl's cc-index stores RELATIVE names
+    (``crawl-data/.../file.warc.gz``), so a file survives when its
+    full path, its basename, or any '/'-suffix of it is in ``names``
+    — the pruning happens BEFORE any file is opened, which is the
+    whole point (CC users filter the parquet index by
+    url/mime/status first and touch only matching WARCs)."""
+    keep = []
+    for f in files:
+        if f in names or os.path.basename(f) in names:
+            keep.append(f)
+            continue
+        parts = f.replace("\\", "/").split("/")
+        if any("/".join(parts[i:]) in names for i in range(len(parts))):
+            keep.append(f)
+    return keep
+
+
+def _index_filenames(index, filename_col: str = "warc_filename") -> set[str]:
+    """Distinct file names out of an index (DataFrame or list). The
+    collect is bounded by the FILE count (~1e5 names for a full
+    monthly crawl — driver-trivial), never the record count."""
+    if isinstance(index, DataFrame):
+        return {
+            r[0] for r in index.select(filename_col).distinct().collect()
+        }
+    return set(index)
+
+
+def _warc_row(headers: dict[str, str], payload, path: str, idx: int) -> dict:
+    """One scan-schema row from a parsed record — shared by the batch
+    partition reader and the index range reader."""
+    return {
+        "record_id": headers.get("warc-record-id"),
+        "warc_type": headers.get("warc-type", "").lower() or None,
+        "target_uri": headers.get("warc-target-uri"),
+        "warc_date": _parse_warc_date(headers.get("warc-date")),
+        "content_type": headers.get("content-type"),
+        "content_length": int(headers.get("content-length", "0")),
+        "payload": payload,
+        "warc_file": path,
+        "record_index": idx,
+    }
+
+
 class WarcInputPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -253,8 +299,16 @@ class WarcBatchReader(DataSourceReader):
         self.names = schema.fieldNames()
         self.options = options
 
+    def _files(self) -> list[str]:
+        # `files`: an explicit newline-joined list (the index-pruned
+        # path — set by read_warc(index=...)); otherwise list `path`
+        explicit = self.options.get("files")
+        if explicit:
+            return [f for f in explicit.split("\n") if f]
+        return _list_warc_files(self.options["path"])
+
     def partitions(self):
-        return [WarcInputPartition(p) for p in _list_warc_files(self.options["path"])]
+        return [WarcInputPartition(p) for p in self._files()]
 
     def read(self, partition: WarcInputPartition) -> Iterator[tuple]:
         opts = self.options
@@ -277,17 +331,7 @@ class WarcBatchReader(DataSourceReader):
                 wtype = headers.get("warc-type", "").lower()
                 if keep_types is not None and wtype not in keep_types:
                     continue
-                row = {
-                    "record_id": headers.get("warc-record-id"),
-                    "warc_type": wtype or None,
-                    "target_uri": headers.get("warc-target-uri"),
-                    "warc_date": _parse_warc_date(headers.get("warc-date")),
-                    "content_type": headers.get("content-type"),
-                    "content_length": int(headers.get("content-length", "0")),
-                    "payload": payload,
-                    "warc_file": path,
-                    "record_index": idx,
-                }
+                row = _warc_row(headers, payload, path, idx)
                 yield tuple(row[n] for n in self.names)
         finally:
             stream.close()
@@ -380,14 +424,109 @@ class WarcStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's log; files are immutable
 
 
-def read_warc(spark: SparkSession, path: str, **options) -> DataFrame:
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    index=None,
+    index_filename_col: str = "warc_filename",
+    **options,
+) -> DataFrame:
     """Convenience scan: register (idempotent — re-registration just
-    replaces the builder) and load."""
+    replaces the builder) and load.
+
+    ``index``: a cc-index-style DataFrame (or plain file-name list)
+    that PRUNES the scan to only the files it names — filter the
+    columnar index by url/mime/status first, then touch only matching
+    WARCs (prune_files_by_index; the scan plans one partition per
+    SURVIVING file and never opens the rest). For record-level
+    offset pruning use ``read_warc_ranges``."""
     spark.dataSource.register(WarcDataSource)
     reader = spark.read.format("warc")
+    if index is not None:
+        names = _index_filenames(index, index_filename_col)
+        pruned = prune_files_by_index(_list_warc_files(path), names)
+        reader = reader.option("files", "\n".join(pruned))
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.load(path)
+
+
+#: read_warc_ranges output: the scan schema + the byte offset the
+#: record was fetched from (its identity in the cc-index).
+WARC_RANGE_SCHEMA_DDL = WARC_SCHEMA_DDL + ", record_offset long"
+
+
+def read_warc_ranges(
+    index: DataFrame,
+    base_path: str | None = None,
+    filename_col: str = "warc_filename",
+    offset_col: str = "warc_record_offset",
+    length_col: str = "warc_record_length",
+    max_record_bytes: int | None = None,
+) -> DataFrame:
+    """RECORD-level index pruning — the actual Common Crawl access
+    pattern: the columnar index carries (warc_filename,
+    warc_record_offset, warc_record_length) per captured URL, and a
+    filtered index row set is fetched as byte-range reads of
+    member-gzip WARCs, never whole files.
+
+    Spark shape: repartition the surviving index rows BY FILE, then
+    one Arrow pass per partition opens each file once, seeks each
+    (offset, length) range in offset order, inflates the single gzip
+    member (or reads it plain) and parses exactly one record — all
+    executor-side, memory bounded by one record, no driver funnel.
+    ``base_path`` joins relative index names onto a local mirror root.
+    A range that fails to parse raises with the file+offset named
+    (an index/archive mismatch is data corruption, not noise).
+
+    Returns the scan schema plus ``record_offset`` (``record_index``
+    is -1: ordinal position is unknowable without reading the whole
+    file, and the offset IS the record's identity here)."""
+    cap = int(max_record_bytes) if max_record_bytes is not None else None
+
+    idx = index.select(
+        F.col(filename_col).cast("string").alias("__file"),
+        F.col(offset_col).cast("long").alias("__off"),
+        F.col(length_col).cast("long").alias("__len"),
+    ).repartition(F.col("__file"))
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.split()[0] for f in WARC_RANGE_SCHEMA_DDL.split(",")]
+        for pdf in batches:
+            rows = []
+            for fname, grp in pdf.groupby("__file", sort=True):
+                path = (
+                    os.path.join(base_path, fname) if base_path else fname
+                )
+                with open(path, "rb") as fh:
+                    pairs = sorted(
+                        zip(grp["__off"].tolist(), grp["__len"].tolist())
+                    )
+                    for off, ln in pairs:
+                        fh.seek(off)
+                        blob = fh.read(ln)
+                        if blob[:2] == GZIP_MAGIC:
+                            blob = gzip.decompress(blob)
+                        got = list(
+                            iter_warc_records(
+                                io.BytesIO(blob),
+                                max_record_bytes=cap,
+                                truncated="fail",
+                                where=f"{path}@{off}",
+                            )
+                        )
+                        if len(got) != 1:
+                            raise WarcFormatError(
+                                f"{path}@{off}: index range holds "
+                                f"{len(got)} records, expected exactly 1"
+                            )
+                        headers, payload = got[0]
+                        row = _warc_row(headers, payload, path, -1)
+                        row["record_offset"] = int(off)
+                        rows.append(tuple(row[n] for n in names))
+            yield pd.DataFrame(rows, columns=names)
+
+    return idx.mapInPandas(_fetch, schema=WARC_RANGE_SCHEMA_DDL)
 
 
 # --- payload decoding ------------------------------------------------
@@ -598,6 +737,8 @@ def import_warc_files(
     wet: bool = False,
     truncated: str = "fail",
     max_files: int | None = None,
+    index=None,
+    index_filename_col: str = "warc_filename",
 ):
     """INCREMENTAL WARC ingest (the A11/A12 shape for crawl dumps,
     which arrive as batches of immutable files): each run lists
@@ -612,7 +753,12 @@ def import_warc_files(
     The cursor is the sorted list of imported file paths — crawl
     files are immutable, so presence IS done-ness; a mutated file is
     a new file (name it accordingly). Returns a connectors
-    .ImportResult (snapshot ids, file count as n_pages, cursor)."""
+    .ImportResult (snapshot ids, file count as n_pages, cursor).
+
+    ``index``: cc-index-style DataFrame (or file-name list) pruning
+    the import to only the files the filtered index names (round 9 —
+    prune_files_by_index; unlisted files are never opened and never
+    enter the cursor, so a later index widening imports them then)."""
     from snapflow_spark.sources.connectors import (
         ImportResult,
         load_cursor,
@@ -621,6 +767,10 @@ def import_warc_files(
 
     done = set(load_cursor(store) or [])
     files = [f for f in _list_warc_files(path) if f not in done]
+    if index is not None:
+        files = prune_files_by_index(
+            files, _index_filenames(index, index_filename_col)
+        )
     if max_files is not None:
         files = files[:max_files]
     result = ImportResult(cursor=sorted(done))

@@ -499,3 +499,138 @@ def test_warc_stream_reader_partition_based_and_executor_lazy(warc_dir):
     assert [p.path for p in parts2] == files[1:]
     # caught-up: empty plan, offset stays monotonic, no error
     assert r.partitions(end, r.latestOffset()) == []
+
+
+# --- CDX / columnar-index pruning (round 9) --------------------------
+
+
+def test_prune_files_by_index_matching_forms():
+    from snapflow_spark.sources.warc import prune_files_by_index
+
+    files = [
+        "/mirror/crawl-data/CC-X/warc/f1.warc.gz",
+        "/mirror/crawl-data/CC-X/warc/f2.warc.gz",
+        "/mirror/other/f3.warc.gz",
+    ]
+    # cc-index stores RELATIVE names; basenames and full paths also match
+    assert prune_files_by_index(files, {"crawl-data/CC-X/warc/f1.warc.gz"}) == files[:1]
+    assert prune_files_by_index(files, {"f2.warc.gz"}) == [files[1]]
+    assert prune_files_by_index(files, {files[2]}) == [files[2]]
+    assert prune_files_by_index(files, {"nope.warc.gz"}) == []
+
+
+def test_read_warc_index_prunes_file_partitions(spark, warc_dir):
+    from pyspark.sql.types import _parse_datatype_string
+
+    from snapflow_spark.sources.warc import (
+        WARC_SCHEMA_DDL,
+        WarcBatchReader,
+        read_warc,
+    )
+
+    idx = spark.createDataFrame([("a.warc",), ("c.warc.gz",)], "warc_filename string")
+    got = read_warc(spark, str(warc_dir), index=idx)
+    assert {r.warc_file.rsplit("/", 1)[-1] for r in got.select("warc_file").distinct().collect()} == {
+        "a.warc", "c.warc.gz"
+    }
+    # plan-level: the reader's partition list IS the pruned file list —
+    # the unlisted file is never opened, not just filtered after read
+    reader = WarcBatchReader(
+        _parse_datatype_string(WARC_SCHEMA_DDL),
+        {"files": f"{warc_dir}/a.warc\n{warc_dir}/c.warc.gz"},
+    )
+    assert [p.path.rsplit("/", 1)[-1] for p in reader.partitions()] == [
+        "a.warc", "c.warc.gz"
+    ]
+
+
+def _write_member_gzip_with_index(path, recs):
+    """Member-per-record gzip file + the cc-index rows (relative name,
+    offset, length, uri) recorded while writing."""
+    import gzip as _gz
+
+    from snapflow_spark.sources.warc import warc_record_bytes
+
+    rows, off = [], 0
+    with open(path, "wb") as f:
+        for h, payload in recs:
+            member = _gz.compress(warc_record_bytes(h, payload), mtime=0)
+            rows.append(
+                (path.name, off, len(member), h.get("WARC-Target-URI"))
+            )
+            f.write(member)
+            off += len(member)
+    return rows
+
+
+def test_read_warc_ranges_member_gzip(spark, tmp_path):
+    from snapflow_spark.sources.warc import read_warc_ranges
+
+    recs = _records()
+    rows = _write_member_gzip_with_index(tmp_path / "idx.warc.gz", recs)
+    # the filtered index: responses only (rows 2 and 4)
+    want = [rows[2], rows[4]]
+    idx = spark.createDataFrame(
+        want,
+        "warc_filename string, warc_record_offset long, "
+        "warc_record_length long, url string",
+    )
+    got = read_warc_ranges(idx, base_path=str(tmp_path)).collect()
+    assert len(got) == 2
+    by_off = {r.record_offset: r for r in sorted(got, key=lambda r: r.record_offset)}
+    for fname, off, ln, url in want:
+        r = by_off[off]
+        assert r.target_uri == url
+        assert r.warc_type == "response"
+        assert r.record_index == -1
+    # payload byte-exact vs the source records
+    assert by_off[want[0][1]].payload == bytes(recs[2][1])
+
+
+def test_read_warc_ranges_plain_layout_and_mismatch(spark, tmp_path):
+    import pytest as _pytest
+
+    from snapflow_spark.sources.warc import (
+        WarcFormatError,
+        read_warc_ranges,
+        warc_record_bytes,
+    )
+
+    recs = _records()
+    p = tmp_path / "plain.warc"
+    rows, off = [], 0
+    with open(p, "wb") as f:
+        for h, payload in recs:
+            blob = warc_record_bytes(h, payload)
+            rows.append((str(p), off, len(blob), h.get("WARC-Target-URI")))
+            f.write(blob)
+            off += len(blob)
+    ddl = (
+        "warc_filename string, warc_record_offset long, "
+        "warc_record_length long, url string"
+    )
+    idx = spark.createDataFrame([rows[1]], ddl)
+    got = read_warc_ranges(idx).collect()
+    assert len(got) == 1 and got[0].target_uri == rows[1][3]
+    # a wrong length (index/archive mismatch) fails loudly, naming the site
+    bad = spark.createDataFrame([(str(p), 5, 40, "x")], ddl)
+    with _pytest.raises(Exception, match="plain.warc@5"):
+        read_warc_ranges(bad).collect()
+
+
+def test_import_warc_files_index_pruning(spark, warc_dir, tmp_path):
+    from snapflow_spark.incremental.store import SnapshotStore
+    from snapflow_spark.sources.warc import import_warc_files
+
+    store = SnapshotStore(str(tmp_path / "wh" / "crawl"))
+    idx1 = spark.createDataFrame([("a.warc",)], "warc_filename string")
+    r1 = import_warc_files(spark, str(warc_dir), store, index=idx1)
+    assert r1.n_pages == 1
+    assert [c.rsplit("/", 1)[-1] for c in r1.cursor] == ["a.warc"]
+    # widening the index later imports the previously-unlisted file
+    idx2 = spark.createDataFrame(
+        [("a.warc",), ("b.warc.gz",)], "warc_filename string"
+    )
+    r2 = import_warc_files(spark, str(warc_dir), store, index=idx2)
+    assert r2.n_pages == 1  # only the newly-listed file
+    assert [c.rsplit("/", 1)[-1] for c in r2.cursor] == ["a.warc", "b.warc.gz"]
