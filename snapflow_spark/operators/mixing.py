@@ -69,6 +69,17 @@ def mix_corpora(
     its sources) passes the dict and the mix plans with ZERO extra
     jobs. Token sums are integers, so a caller-computed total is
     exactly what the internal aggregate would produce.
+
+    AT SCALE, MIX METADATA — NOT RAW TEXT (round 9): each surviving
+    epoch is a lazy plan branch over the same source, so an N-epoch
+    repeat re-scans its source ~N times. That is fine over a
+    materialized ``(id, n_tokens)`` table (integers; MBs per billion
+    docs) and ruinous over 100 TB of raw text with the token count
+    computed inline — the tokenizer re-runs per epoch. Checkpoint
+    token counts upstream (one pass), mix the metadata, then join the
+    selection back to text ONCE; selection is a pure function of
+    (salt, epoch, id) + totals, so the metadata mix picks bit-for-bit
+    the same documents (pinned by test, measured in SCALE.md).
     """
     missing = set(sources) ^ set(weights)
     if missing:

@@ -126,3 +126,38 @@ def test_totals_shortcut_matches_internal_aggregates(spark):
     ka = sorted((r.doc_id, r.epoch) for r in a.collect())
     kb = sorted((r.doc_id, r.epoch) for r in b.collect())
     assert ka == kb and len(ka) > 0
+
+
+def test_mix_over_materialized_token_counts_matches_raw(spark):
+    """The 100 TB shape (round 9): mix a materialized (id, n_tokens)
+    metadata table, join text back ONCE — selection must be
+    bit-identical to mixing the raw text tables (it is a pure
+    function of (salt, epoch, id) + totals), while the per-epoch
+    re-scan touches integers instead of text."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"src{'ab'[i % 2]}", "tok " * (5 + i % 7)) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, corpus string, text string")
+    docs = docs.withColumn("n_tokens", F.size(F.split(F.trim("text"), " ")))
+    a = docs.where("corpus = 'srca'")
+    b = docs.where("corpus = 'srcb'")
+    weights = {"a": 3.0, "b": 1.0}
+    budget = 6000  # srca must up-sample, srcb down-samples
+
+    raw = mix_corpora({"a": a, "b": b}, weights, budget)
+    meta = mix_corpora(
+        {
+            "a": a.select("doc_id", "n_tokens"),
+            "b": b.select("doc_id", "n_tokens"),
+        },
+        weights,
+        budget,
+    )
+    key = lambda r: (r.mix_source, r.doc_id, r.epoch)  # noqa: E731
+    raw_sel = sorted(key(r) for r in raw.collect())
+    meta_sel = sorted(key(r) for r in meta.collect())
+    assert raw_sel == meta_sel and len(raw_sel) > 0
+    # text joins back once, by id (ids unique within the corpus)
+    joined = meta.join(docs.select("doc_id", "text"), "doc_id")
+    assert joined.count() == len(meta_sel)
+    assert joined.where(F.col("text").isNull()).count() == 0

@@ -78,6 +78,18 @@ HEAVY = {
         "Arrow-batched python parse; expected ~linear (the honest "
         "python cost of the WET-production step)"
     ),
+    "op_mix_text": (
+        "documents; mix_corpora DIRECTLY over raw text with n_tokens "
+        "computed inline (round 9 A/B) — every surviving epoch branch "
+        "re-scans parquet AND re-runs the tokenizer: the documented "
+        "anti-pattern at scale, measured here as the baseline"
+    ),
+    "op_mix_meta": (
+        "documents; the recommended shape (round 9): materialize "
+        "(doc_id, n_tokens) once, mix the METADATA, join text back a "
+        "single time — epoch re-scans touch integers, the tokenizer "
+        "runs once; selection bit-identical to op_mix_text by test"
+    ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
     "q_stream_windows": "events; tumbling+sliding agg",
@@ -163,6 +175,53 @@ def _op_html_extract(spark, sf_dir: str):
     return html_extract(pages).select("doc_id", "title", "text", "links")
 
 
+def _mix_inputs(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.functions.text import token_count_expr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", token_count_expr("text").cast("long").alias("n_tokens")
+    )
+    return d
+
+
+def _op_mix_text(spark, sf_dir: str):
+    """Anti-pattern baseline: mix raw text; each epoch branch re-reads
+    parquet and re-tokenizes (weights force source 'a' to ~3 epochs)."""
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.operators.mixing import mix_corpora
+
+    d = _mix_inputs(spark, sf_dir)
+    total = int(d.agg(F.sum("n_tokens")).first()[0])
+    return mix_corpora(
+        {"a": d.where("doc_id % 2 = 0"), "b": d.where("doc_id % 2 = 1")},
+        {"a": 3.0, "b": 1.0},
+        2 * total,
+    )
+
+
+def _op_mix_meta(spark, sf_dir: str):
+    """Recommended shape: tokenize once into a persisted (id,
+    n_tokens) table, mix the metadata, join text back once."""
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.operators.mixing import mix_corpora
+
+    meta = _mix_inputs(spark, sf_dir).select("doc_id", "n_tokens").persist()
+    total = int(meta.agg(F.sum("n_tokens")).first()[0])  # materializes
+    mixed = mix_corpora(
+        {"a": meta.where("doc_id % 2 = 0"), "b": meta.where("doc_id % 2 = 1")},
+        {"a": 3.0, "b": 1.0},
+        2 * total,
+    )
+    text = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return mixed.join(text, "doc_id")
+
+
 def run_once(spark, fn, sf_dir: str) -> tuple[float, int]:
     """Materialize through the same noop-sink protocol bench.py uses.
 
@@ -207,6 +266,8 @@ def main() -> None:
     queries["op_excise_spans"] = _op_excise_spans
     queries["op_url_dedup"] = _op_url_dedup
     queries["op_html_extract"] = _op_html_extract
+    queries["op_mix_text"] = _op_mix_text
+    queries["op_mix_meta"] = _op_mix_meta
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)
