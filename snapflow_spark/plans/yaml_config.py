@@ -438,6 +438,30 @@ def _quality_filter(
     return scored
 
 
+def _gopher_filter(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict | None = None,
+    keep_signals: bool = False,
+) -> DataFrame:
+    """core.gopher_filter: the Gopher rule battery (operators.gopher,
+    Rae et al. 2021 Appendix A) — word/line shape rules + repetition
+    rules, paper thresholds by default, per-key overrides via
+    ``thresholds:`` (e.g. ``{min_words: 30}``). ``keep_signals: true``
+    leaves every signal column on the output for auditing."""
+    from snapflow_spark.operators.gopher import gopher_quality_filter
+
+    return gopher_quality_filter(
+        input,
+        text_col=text_col,
+        id_col=id_col,
+        thresholds=thresholds,
+        keep_signals=bool(keep_signals),
+    )
+
+
 def _lang_id(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -856,6 +880,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.tokenize": _tokenize,
     "core.dsir": _dsir,
     "core.frequent_items": _frequent_items,
+    "core.gopher_filter": _gopher_filter,
     "core.lang_id": _lang_id,
     "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,

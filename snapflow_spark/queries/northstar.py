@@ -487,6 +487,146 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(vocab).unionByName(pr)
 
 
+def _gopher_oracle_branch() -> str:
+    """The q_text_quality 'gopher' branch oracle, generated from the
+    SAME constants the operator uses (operators/gopher.py:
+    SIGNAL_COLUMNS, PASS_RULES, GOPHER_DEFAULTS, stopword list, n-gram
+    sizes) so the replay can never drift from the rule set. Every
+    signal is packed into the fingerprint as round(x*1e6) integers
+    (double→VARCHAR formatting differs across engines; integers
+    don't), and the keep decision rides `quality` as 1.0/0.0."""
+    from snapflow_spark.operators.gopher import (
+        _DUP_NS,
+        _TOP_NS,
+        GOPHER_DEFAULTS,
+        GOPHER_STOPWORDS,
+        PASS_RULES,
+        SIGNAL_COLUMNS,
+    )
+
+    gram_units = "\n    UNION ALL\n".join(
+        f"""    SELECT doc_id, 'g{n}' AS kind,
+           unnest(CASE WHEN len(toks) >= {n}
+                  THEN list_transform(range(1, len(toks) - {n} + 2),
+                         i -> array_to_string(toks[i:i+{n}-1], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS unit
+    FROM gsig1"""
+        for n in (*_TOP_NS, *_DUP_NS)
+    )
+
+    def kmax(kind: str, metric: str) -> str:
+        return f"MAX(CASE WHEN kind = '{kind}' THEN {metric} END)"
+
+    def frac(kind: str, num: str, den: str) -> str:
+        return (
+            f"COALESCE(CAST({kmax(kind, num)} AS DOUBLE) / "
+            f"NULLIF({kmax(kind, den)}, 0), 0.0)"
+        )
+
+    rep_cols = [
+        frac("line", "eu", "tu") + " AS dup_line_frac",
+        frac("line", "ec", "tc") + " AS dup_line_char_frac",
+        frac("para", "eu", "tu") + " AS dup_para_frac",
+        frac("para", "ec", "tc") + " AS dup_para_char_frac",
+    ]
+    for n in _TOP_NS:
+        rep_cols.append(frac(f"g{n}", "topc", "tc") + f" AS top{n}_char_frac")
+    for n in _DUP_NS:
+        rep_cols.append(frac(f"g{n}", "dac", "tc") + f" AS dup{n}_char_frac")
+
+    stop_hits = " + ".join(
+        f"CASE WHEN list_contains(lw, '{sw}') THEN 1 ELSE 0 END"
+        for sw in GOPHER_STOPWORDS
+    )
+
+    def lit(v) -> str:
+        return repr(v) + "::DOUBLE" if isinstance(v, float) else repr(v)
+
+    conds = " AND ".join(
+        f"{col} {op} {lit(GOPHER_DEFAULTS[key])}" for col, op, key in PASS_RULES
+    )
+    fp = ", ".join(
+        f"COALESCE(CAST(round({c} * 1000000) AS BIGINT), -1)"
+        for c in SIGNAL_COLUMNS
+    )
+    return f"""
+    UNION ALL
+    -- 'gopher' branch (round 9): the full Rae et al. 2021 rule
+    -- battery — every signal replayed and packed into the
+    -- fingerprint, keep decision in `quality`
+    SELECT 'gopher' AS branch, doc_id, lang, CAST(NULL AS VARCHAR) AS lang_pred,
+           CASE WHEN COALESCE({conds}, FALSE) THEN 1.0 ELSE 0.0 END AS quality,
+           concat_ws('|', {fp}) AS fingerprint,
+           CAST(n_words AS BIGINT) AS n_tokens
+    FROM (
+      WITH gsig1 AS (
+        SELECT doc_id, lang, text,
+               regexp_extract_all(text, '\\S+') AS toks,
+               string_split(text, chr(10)) AS rawlines
+        FROM documents
+      ), gsig2 AS (
+        SELECT doc_id, lang, toks,
+               len(toks) AS n_words,
+               list_filter(rawlines, x -> regexp_matches(x, '\\S')) AS nb,
+               list_transform(toks, x -> lower(x)) AS lw,
+               length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell
+        FROM gsig1
+      ), gsig3 AS (
+        SELECT doc_id, lang, n_words,
+               CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words END AS mean_word_len,
+               CASE WHEN n_words > 0 THEN CAST(n_hash AS DOUBLE) / n_words END AS hash_word_ratio,
+               CASE WHEN n_words > 0 THEN n_ell / n_words END AS ellipsis_word_ratio,
+               CASE WHEN len(nb) > 0 THEN CAST(len(list_filter(nb,
+                 x -> regexp_matches(x, '^\\s*[-*•‣▪]'))) AS DOUBLE) / len(nb) END AS bullet_line_frac,
+               CASE WHEN len(nb) > 0 THEN CAST(len(list_filter(nb,
+                 x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / len(nb) END AS ellipsis_line_frac,
+               CASE WHEN n_words > 0 THEN CAST(len(list_filter(toks,
+                 x -> regexp_matches(x, '[\\p{{L}}]'))) AS DOUBLE) / n_words END AS alpha_word_frac,
+               {stop_hits} AS stop_hits
+        FROM gsig2
+      ), gunits AS (
+        SELECT doc_id, 'line' AS kind,
+               unnest(list_filter(list_transform(rawlines, x -> trim(x)),
+                                  x -> x <> '')) AS unit
+        FROM gsig1
+        UNION ALL
+        SELECT doc_id, 'para' AS kind,
+               unnest(list_filter(list_transform(
+                 string_split_regex(text, '\\n{{2,}}'), x -> trim(x)),
+                 x -> x <> '')) AS unit
+        FROM gsig1
+        UNION ALL
+{gram_units}
+      ), gucnt AS (
+        SELECT doc_id, kind, unit, COUNT(*) AS c
+        FROM gunits GROUP BY 1, 2, 3
+      ), gperk AS (
+        SELECT doc_id, kind,
+               SUM(c) AS tu,
+               SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS eu,
+               SUM(c * length(unit)) AS tc,
+               SUM(CASE WHEN c > 1 THEN (c - 1) * length(unit) ELSE 0 END) AS ec,
+               SUM(CASE WHEN c > 1 THEN c * length(unit) ELSE 0 END) AS dac,
+               MAX(c * length(unit)) AS topc
+        FROM gucnt GROUP BY 1, 2
+      ), grep AS (
+        SELECT doc_id, {', '.join(rep_cols)}
+        FROM gperk GROUP BY doc_id
+      )
+      SELECT gsig3.*,
+             COALESCE(dup_line_frac, 0.0) AS dup_line_frac,
+             COALESCE(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+             COALESCE(dup_para_frac, 0.0) AS dup_para_frac,
+             COALESCE(dup_para_char_frac, 0.0) AS dup_para_char_frac,
+             {', '.join(f'COALESCE(top{n}_char_frac, 0.0) AS top{n}_char_frac' for n in _TOP_NS)},
+             {', '.join(f'COALESCE(dup{n}_char_frac, 0.0) AS dup{n}_char_frac' for n in _DUP_NS)}
+      FROM gsig3 LEFT JOIN grep USING (doc_id)
+    ) gsig
+    """
+
+
 @query(
     "q_text_quality",
     # the heuristics are deterministic arithmetic, so the oracle
@@ -619,7 +759,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cbc JOIN ctot USING (doc_id)
       GROUP BY doc_id, tot
     ) sc USING (doc_id)
-    """,
+    """
+    + _gopher_oracle_branch(),
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union (round 5): per-document text-analysis sweep
@@ -689,7 +830,35 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_s.alias("fingerprint"),
         F.col("__ng").alias("n_tokens"),
     )
-    return quality.unionByName(dsir.unionByName(clf))
+    # 'gopher' branch (round 9): the full Rae et al. 2021 rule battery
+    # — every signal packed into the fingerprint as round(x*1e6)
+    # integers (double->string formats differ across engines; integer
+    # strings don't), keep decision as quality 1.0/0.0
+    from snapflow_spark.operators.gopher import (
+        SIGNAL_COLUMNS,
+        gopher_pass_expr,
+        gopher_signals,
+    )
+
+    def _ival(c: str) -> F.Column:
+        return F.coalesce(
+            F.round(F.col(c) * 1000000.0, 0).cast("long"), F.lit(-1)
+        ).cast("string")
+
+    gopher = gopher_signals(d.select("doc_id", "lang", "text")).select(
+        F.lit("gopher").alias("branch"),
+        "doc_id",
+        "lang",
+        null_s.alias("lang_pred"),
+        F.when(gopher_pass_expr(), F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+            "quality"
+        ),
+        F.concat_ws("|", *[_ival(c) for c in SIGNAL_COLUMNS]).alias(
+            "fingerprint"
+        ),
+        F.col("n_words").cast("bigint").alias("n_tokens"),
+    )
+    return quality.unionByName(dsir.unionByName(clf)).unionByName(gopher)
 
 
 @query(
