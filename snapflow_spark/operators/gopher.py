@@ -17,15 +17,23 @@ Two signal tiers, two plan shapes:
   python.
 - REPETITION RULES — duplicate line/paragraph fractions (by count
   and by character mass) and top/duplicated word-n-gram character
-  fractions for n = 2..10 — need per-document unit counts. Shape:
-  ONE explode of all units (lines, paragraphs, and every n-gram
-  size, each tagged with its kind) → ONE groupBy(id, kind, unit)
-  count → ONE groupBy(id, kind) aggregate → conditional-aggregation
-  pivot back to a row per document → broadcast-free equi-join with
-  the per-row tier. Cost is O(total units) ≈ (2 + Σn) × words with
-  two keyed shuffles regardless of how many rules are on — the same
-  explode→count shape as the line-dedup/winnowing family, AQE-skew
-  safe, no driver participation.
+  fractions for n = 2..10 — are PER-DOCUMENT statistics, so they need
+  NO shuffle at all: each kind's unit array is ``array_sort``-ed and
+  folded once with ``F.aggregate`` (duplicates are adjacent after the
+  sort; the accumulator carries the current run and the four dup/top
+  tallies), making the whole operator ONE map-only projection chain.
+  Two alternatives were measured and rejected (sf0.1, warm min-of-3,
+  same session): (a) exploding units into a groupBy(id, kind, unit)
+  count — at 100 TB that shuffles ~11× the corpus's token bytes to
+  compute numbers every row can compute locally (the explode→count
+  shape is the right tool only for CROSS-document stats: line dedup,
+  winnowing); (b) splitting the fold into many light zip_with/
+  aggregate passes over shifted slices — 3.47 s vs 2.94 s for the
+  single fold: ten interpreted lambda passes per kind cost more than
+  one fold's per-element struct, so the one-fold form stands. Fold
+  inputs are staged through named columns (winnowing's
+  materialization lesson) so each unit array is built once, not once
+  per reference.
 
 Definitional choices (implementations differ; these are pinned here
 and replayed verbatim by the DuckDB oracle): duplicate line/paragraph
@@ -126,6 +134,68 @@ def _nz(x: Column) -> Column:
     return F.coalesce(x, F.lit(0.0))
 
 
+def _L(x) -> Column:
+    return x.cast("long") if isinstance(x, Column) else F.lit(x).cast("long")
+
+
+def _rep_stats(arr: Column) -> Column:
+    """struct(extra_units, extra_chars, dupall_chars, top_chars,
+    total_chars) for one unit array — sort, then ONE F.aggregate fold
+    (duplicates are adjacent after the sort; the accumulator carries
+    the open run). All codegen, no shuffle: per-document repetition
+    stats are row-local by definition.
+
+    extra_* = occurrences beyond the first of each duplicated unit;
+    dupall_chars = chars of ALL occurrences of duplicated units;
+    top_chars = max over distinct units of count·len (the definitions
+    pinned in the module doc). An empty array yields all zeros."""
+    s = F.array_sort(arr)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        _L(0).alias("run"),
+        _L(0).alias("extra_u"),
+        _L(0).alias("extra_c"),
+        _L(0).alias("dupall_c"),
+        _L(0).alias("top_c"),
+        _L(0).alias("total_c"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = (acc["run"] > 0) & (x == acc["prev"])
+        closing = (~same) & (acc["run"] > 1)
+        run_chars = acc["run"] * F.length(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(_L(1)).cast("long").alias("run"),
+            (acc["extra_u"] + F.when(same, 1).otherwise(0)).cast("long").alias("extra_u"),
+            (acc["extra_c"] + F.when(same, F.length(x)).otherwise(0))
+            .cast("long")
+            .alias("extra_c"),
+            (acc["dupall_c"] + F.when(closing, run_chars).otherwise(0))
+            .cast("long")
+            .alias("dupall_c"),
+            F.greatest(
+                acc["top_c"],
+                F.when(~same, run_chars).otherwise(_L(0)).cast("long"),
+            ).alias("top_c"),
+            (acc["total_c"] + F.length(x)).cast("long").alias("total_c"),
+        )
+
+    def finish(acc: Column) -> Column:
+        run_chars = acc["run"] * F.length(acc["prev"])
+        return F.struct(
+            acc["extra_u"].alias("extra_units"),
+            acc["extra_c"].alias("extra_chars"),
+            (acc["dupall_c"] + F.when(acc["run"] > 1, run_chars).otherwise(0))
+            .cast("long")
+            .alias("dupall_chars"),
+            F.greatest(acc["top_c"], run_chars.cast("long")).alias("top_chars"),
+            acc["total_c"].alias("total_chars"),
+        )
+
+    return F.aggregate(s, zero, step, finish)
+
+
 def gopher_signals(
     df: DataFrame,
     text_col: str = "text",
@@ -136,8 +206,10 @@ def gopher_signals(
     ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
     alpha_word_frac, stop_hits, dup_line_frac, dup_line_char_frac,
     dup_para_frac, dup_para_char_frac, top{2,3,4}_char_frac,
-    dup{5..10}_char_frac. Plan: one codegen projection + one
-    explode/count/agg chain joined back on ``id_col`` (module doc)."""
+    dup{5..10}_char_frac. Plan: a staged map-only projection chain —
+    per-row rules + one sorted ``F.aggregate`` fold per unit kind; no
+    shuffle, no python (module doc). ``id_col`` is part of the stable
+    API but unused here: nothing leaves the row."""
     text = F.col(text_col)
     words = tokens_expr(text)
     lw = F.transform(words, F.lower)
@@ -161,6 +233,7 @@ def gopher_signals(
     fl = "double"
     base = df.select(
         "*",
+        words.alias("__w"),
         n_words.alias("n_words"),
         (word_chars / F.nullif(n_words, F.lit(0))).cast(fl).alias("mean_word_len"),
         (n_hash / F.nullif(n_words, F.lit(0))).cast(fl).alias("hash_word_ratio"),
@@ -177,85 +250,55 @@ def gopher_signals(
         stop_hits.alias("stop_hits"),
     )
 
-    # --- repetition tier: one explode over tagged units ------------
+    # --- repetition tier: per-kind sorted folds, map-only ----------
     trimmed_lines = F.filter(
         F.transform(lines_all, F.trim), lambda x: x != ""
     )
     paras = F.filter(
         F.transform(F.split(text, r"\n{2,}"), F.trim), lambda x: x != ""
     )
-
-    def tag(kind: str, arr: Column) -> Column:
-        return F.transform(
-            arr, lambda u: F.struct(F.lit(kind).alias("kind"), u.alias("unit"))
-        )
-
-    unit_arrays = [tag("line", trimmed_lines), tag("para", paras)]
+    kinds: dict[str, Column] = {"line": trimmed_lines, "para": paras}
     for n in (*_TOP_NS, *_DUP_NS):
-        unit_arrays.append(tag(f"g{n}", ngram_expr(words, n)))
-    units = df.select(
-        F.col(id_col).alias("__gid"),
-        F.explode(F.flatten(F.array(*unit_arrays))).alias("__u"),
-    ).select("__gid", F.col("__u.kind").alias("__kind"), F.col("__u.unit").alias("__unit"))
-
-    counts = units.groupBy("__gid", "__kind", "__unit").agg(
-        F.count(F.lit(1)).alias("cnt")
+        kinds[f"g{n}"] = ngram_expr(F.col("__w"), n)
+    # stage each unit array, then each fold, as NAMED columns so every
+    # array is built exactly once (winnowing's materialization lesson)
+    with_units = base.select(
+        "*", *[arr.alias(f"__u_{k}") for k, arr in kinds.items()]
     )
-    ulen = F.length("__unit")
-    per_kind = counts.groupBy("__gid", "__kind").agg(
-        F.sum("cnt").alias("total_units"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0)).alias(
-            "extra_units"
-        ),
-        F.sum(F.col("cnt") * ulen).alias("total_chars"),
-        F.sum(
-            F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * ulen).otherwise(0)
-        ).alias("extra_chars"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * ulen).otherwise(0)).alias(
-            "dupall_chars"
-        ),
-        F.max(F.col("cnt") * ulen).alias("top_chars"),
+    with_stats = with_units.select(
+        "*",
+        *[_rep_stats(F.col(f"__u_{k}")).alias(f"__r_{k}") for k in kinds],
     )
 
-    def k(kind: str, metric: str) -> Column:
-        return F.max(F.when(F.col("__kind") == kind, F.col(metric)))
+    def fr(k: str, num: Column, den: Column) -> Column:
+        return _nz(num / F.nullif(den, F.lit(0)))
 
-    rep_cols = [
-        (k("line", "extra_units") / F.nullif(k("line", "total_units"), F.lit(0)))
+    r = {k: F.col(f"__r_{k}") for k in kinds}
+    u = {k: F.col(f"__u_{k}") for k in kinds}
+    frac_cols = [
+        fr("line", r["line"]["extra_units"], F.size(u["line"]))
         .alias("dup_line_frac"),
-        (k("line", "extra_chars") / F.nullif(k("line", "total_chars"), F.lit(0)))
+        fr("line", r["line"]["extra_chars"], r["line"]["total_chars"])
         .alias("dup_line_char_frac"),
-        (k("para", "extra_units") / F.nullif(k("para", "total_units"), F.lit(0)))
+        fr("para", r["para"]["extra_units"], F.size(u["para"]))
         .alias("dup_para_frac"),
-        (k("para", "extra_chars") / F.nullif(k("para", "total_chars"), F.lit(0)))
+        fr("para", r["para"]["extra_chars"], r["para"]["total_chars"])
         .alias("dup_para_char_frac"),
     ]
     for n in _TOP_NS:
-        rep_cols.append(
-            (k(f"g{n}", "top_chars") / F.nullif(k(f"g{n}", "total_chars"), F.lit(0)))
+        g = f"g{n}"
+        frac_cols.append(
+            fr(g, r[g]["top_chars"], r[g]["total_chars"])
             .alias(f"top{n}_char_frac")
         )
     for n in _DUP_NS:
-        rep_cols.append(
-            (
-                k(f"g{n}", "dupall_chars")
-                / F.nullif(k(f"g{n}", "total_chars"), F.lit(0))
-            ).alias(f"dup{n}_char_frac")
+        g = f"g{n}"
+        frac_cols.append(
+            fr(g, r[g]["dupall_chars"], r[g]["total_chars"])
+            .alias(f"dup{n}_char_frac")
         )
-    rep = per_kind.groupBy("__gid").agg(*rep_cols)
-
-    out = base.join(rep, base[id_col] == rep["__gid"], "left").drop("__gid")
-    # NULL-safe all fraction columns (docs with no lines/paras/grams)
-    fixes = {
-        c: _nz(F.col(c))
-        for c in (
-            "dup_line_frac", "dup_line_char_frac",
-            "dup_para_frac", "dup_para_char_frac",
-            *(f"top{n}_char_frac" for n in _TOP_NS),
-            *(f"dup{n}_char_frac" for n in _DUP_NS),
-        )
-    }
-    return out.withColumns(fixes)
+    out = with_stats.select("*", *frac_cols)
+    return out.drop("__w", *[f"__u_{k}" for k in kinds], *[f"__r_{k}" for k in kinds])
 
 
 def gopher_pass_expr(thresholds: dict[str, float] | None = None) -> Column:
