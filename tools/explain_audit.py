@@ -67,15 +67,21 @@ EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
         "pin). 'winnow'/'spans' branches unchanged from round 6",
     ),
     "q_text_quality": (
-        9,
-        "reviewed round 6: the dsir deferred-totals rewrite makes the "
-        "per-doc agg subtree appear TWICE in the STATIC plan (main "
-        "path + 1-row totals) — at runtime AQE ReuseExchange collapses "
-        "the twins (2 ReusedExchange nodes in the final adaptive plan, "
-        "so corpus-side work is 2 exchanges: gram-bucket window + "
+        10,
+        "reviewed round 6, re-reviewed round 9: the dsir "
+        "deferred-totals rewrite makes the per-doc agg subtree appear "
+        "TWICE in the STATIC plan (main path + 1-row totals) — at "
+        "runtime AQE ReuseExchange collapses the twins (2 "
+        "ReusedExchange nodes in the final adaptive plan, so "
+        "corpus-side work is 2 exchanges: gram-bucket window + "
         "per-doc sum); the rest are <=20-row post-selection shuffles "
         "(top-k, rank window, union tail). The round-6 'clf' branch "
-        "is map-only and adds none",
+        "is map-only and adds none. The round-9 'gopher' branch is "
+        "also map-only (sorted per-doc folds, zero shuffles of its "
+        "own); its +1 exchange is the branch's ensure_parallelism "
+        "coarse-scan repartition — the local[32] shim every "
+        "documents-consuming branch carries, map-side round-robin, "
+        "not an operator shuffle",
     ),
 }
 
