@@ -127,6 +127,13 @@ def test_cc_pipeline_end_to_end(spark, tmp_path, crawl_dir):
                for t in docs.values())
 
     # cross-doc line dedup keeps the shared boilerplate line ONCE
+    # the Gopher gate (relaxed word floor for the tiny demo corpus)
+    # keeps every real article — nothing here trips the repetition or
+    # shape rules, so the battery must not eat the corpus silently
+    assert len(g.read(spark, "quality_docs").collect()) == len(
+        g.read(spark, "docs").collect()
+    )
+
     dd = latest("split")
     boiler_hits = sum(
         1 for r in dd if "Shared boilerplate line" in (r.text or "")
