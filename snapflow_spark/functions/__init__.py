@@ -36,6 +36,11 @@ from snapflow_spark.functions.psl import (
     parse_psl,
     registered_domain_py,
 )
+from snapflow_spark.functions.robots import (
+    filter_robots_disallowed,
+    parse_robots_rules,
+    parse_robots_txt,
+)
 from snapflow_spark.functions.urls import (
     filter_url_blocklist,
     host_expr,
@@ -73,6 +78,9 @@ __all__ = [
     "parse_psl",
     "registered_domain_expr",
     "registered_domain_py",
+    "filter_robots_disallowed",
+    "parse_robots_rules",
+    "parse_robots_txt",
     "url_dedup",
     "quality_score_expr",
     "simhash_udf",

@@ -438,6 +438,37 @@ def _quality_filter(
     return scored
 
 
+def _robots_filter(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    robots: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+    keep_flag: str | None = None,
+) -> DataFrame:
+    """core.robots_filter: RFC 9309 crawl-permission filtering
+    (functions.robots) — a TWO-input node: ``input`` carries the URL
+    rows, ``robots`` the per-host robots bodies (``host_col`` +
+    ``body_col``, exactly what scan_warc of a robots capture +
+    html-free decode yields). Rules are parsed once per produce
+    (Arrow pass), matching is join+LIKE+longest-match codegen; hosts
+    without robots pass. ``keep_flag`` returns all rows with a
+    boolean audit column instead of filtering."""
+    from snapflow_spark.functions.robots import (
+        filter_robots_disallowed,
+        parse_robots_rules,
+    )
+
+    rules = parse_robots_rules(
+        robots, host_col=host_col, body_col=body_col, user_agent=user_agent
+    )
+    return filter_robots_disallowed(
+        input, rules, url_col=url_col, keep_flag=keep_flag
+    )
+
+
 def _gopher_filter(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -881,6 +912,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.dsir": _dsir,
     "core.frequent_items": _frequent_items,
     "core.gopher_filter": _gopher_filter,
+    "core.robots_filter": _robots_filter,
     "core.lang_id": _lang_id,
     "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,
