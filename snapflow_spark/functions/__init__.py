@@ -41,6 +41,11 @@ from snapflow_spark.functions.robots import (
     parse_robots_rules,
     parse_robots_txt,
 )
+from snapflow_spark.functions.sitemaps import (
+    parse_sitemap,
+    parse_sitemaps,
+    robots_sitemaps,
+)
 from snapflow_spark.functions.urls import (
     filter_url_blocklist,
     host_expr,
@@ -81,6 +86,9 @@ __all__ = [
     "filter_robots_disallowed",
     "parse_robots_rules",
     "parse_robots_txt",
+    "parse_sitemap",
+    "parse_sitemaps",
+    "robots_sitemaps",
     "url_dedup",
     "quality_score_expr",
     "simhash_udf",

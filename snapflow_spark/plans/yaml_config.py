@@ -438,6 +438,27 @@ def _quality_filter(
     return scored
 
 
+def _sitemap_urls(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    url_col: str = "url",
+    body_col: str = "body",
+    kinds: str = "urlset,text",
+) -> DataFrame:
+    """core.sitemap_urls: explode fetched sitemap bodies
+    (functions.sitemaps — XML urlset/sitemapindex, plain-text, gzip,
+    malformed salvage) into entry rows. ``kinds`` filters the output
+    ('sitemapindex' rows are the next fetch frontier; the default
+    keeps page URLs)."""
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.functions.sitemaps import parse_sitemaps
+
+    out = parse_sitemaps(input, url_col=url_col, body_col=body_col)
+    keep = [k.strip() for k in kinds.split(",") if k.strip()]
+    return out.where(F.col("kind").isin(keep)) if keep else out
+
+
 def _robots_filter(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -913,6 +934,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.frequent_items": _frequent_items,
     "core.gopher_filter": _gopher_filter,
     "core.robots_filter": _robots_filter,
+    "core.sitemap_urls": _sitemap_urls,
     "core.lang_id": _lang_id,
     "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,
