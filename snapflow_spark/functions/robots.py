@@ -203,7 +203,18 @@ def filter_robots_disallowed(
     max(struct(plen, allow)) + left join back — module doc."""
     from snapflow_spark.functions.urls import host_expr
 
-    u = urls.withColumn("__rb_host", host_expr(F.col(url_col)))
+    # default ports are the same origin as the bare host (robots
+    # scope is the origin): https://h:443/x must match h's rules
+    scheme = F.lower(
+        F.regexp_extract(F.trim(F.col(url_col)), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = host_expr(F.col(url_col))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    u = urls.withColumn("__rb_host", host)
     # the LIKE with a per-row pattern + escape goes through expr():
     # Column.like takes only literal patterns
     cand = (

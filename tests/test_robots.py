@@ -196,3 +196,22 @@ def test_yaml_builtin_two_input(spark):
         spark, urls, robots=robots_df, keep_flag="crawl_ok"
     )
     assert {r.doc_id: r.crawl_ok for r in audited.collect()} == {1: False, 2: True}
+
+
+def test_default_ports_match_bare_host_rules(spark):
+    robots_df = spark.createDataFrame(
+        [("p.example", "User-agent: *\nDisallow: /no/")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots_df)
+    urls = spark.createDataFrame(
+        [
+            (1, "https://p.example:443/no/x"),  # default port: same origin
+            (2, "http://p.example:80/no/x"),
+            (3, "https://p.example:8443/no/x"),  # NON-default: distinct
+            (4, "https://p.example:443/ok"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(r.doc_id for r in filter_robots_disallowed(urls, rules).collect())
+    assert kept == [3, 4]

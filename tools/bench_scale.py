@@ -90,6 +90,24 @@ HEAVY = {
         "single time — epoch re-scans touch integers, the tokenizer "
         "runs once; selection bit-identical to op_mix_text by test"
     ),
+    "op_gopher_signals": (
+        "documents; the full Gopher rule battery (round 9, "
+        "operators/gopher.py) — per-row codegen rules + 11 sorted "
+        "per-doc repetition folds, map-only (zero shuffles); "
+        "expected ~linear in corpus text bytes"
+    ),
+    "op_langid_predict": (
+        "documents; trained lang-id scoring (round 9, "
+        "operators/langid.py) — fused char-n-gram featurize + softmax "
+        "in one Arrow pass over a fixture-trained 6-language model; "
+        "map-only, expected ~linear"
+    ),
+    "op_robots_filter": (
+        "documents; RFC 9309 permission filtering (round 9, "
+        "functions/robots.py) over doc_id-synthesized URLs against a "
+        "200-host rules table — host hash join + per-candidate LIKE + "
+        "one groupBy(url) winner agg"
+    ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
     "q_stream_windows": "events; tumbling+sliding agg",
@@ -222,6 +240,62 @@ def _op_mix_meta(spark, sf_dir: str):
     return mixed.join(text, "doc_id")
 
 
+def _op_gopher_signals(spark, sf_dir: str):
+    # ensure_parallelism matters here: the per-doc folds are the work,
+    # and a single-file local scan would run them on 1-2 cores
+    from snapflow_spark.catalog import ensure_parallelism, load_table
+    from snapflow_spark.operators.gopher import gopher_signals
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return gopher_signals(d)
+
+
+_LANGID_MODEL = None
+
+
+def _op_langid_predict(spark, sf_dir: str):
+    """Scoring cost only: the model trains ONCE per process on the
+    base corpus's lang labels (training is a separate, already
+    pytest-covered path) — the 10x row then measures the fused
+    featurize+softmax pass."""
+    global _LANGID_MODEL
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.operators.langid import predict_lang, train_lang_id
+
+    if _LANGID_MODEL is None:
+        base = load_table(spark, "/root/testdata/sf0.1", "documents")
+        _LANGID_MODEL = train_lang_id(base, iters=10)
+    from snapflow_spark.catalog import ensure_parallelism
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return predict_lang(d, _LANGID_MODEL)
+
+
+def _op_robots_filter(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.functions.robots import (
+        filter_robots_disallowed,
+        parse_robots_rules,
+    )
+
+    urls = _synth_urls(spark, sf_dir)
+    hosts = spark.range(200).select(
+        F.concat(F.lit("data-"), F.col("id").cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.lit(
+            "User-agent: *\nDisallow: /private/\nAllow: /corpus/\n"
+            "Disallow: /corpus/item-1*$\nDisallow: /tmp\n"
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots_rules(hosts)
+    return filter_robots_disallowed(urls, rules, keep_flag="crawl_ok")
+
+
 def run_once(spark, fn, sf_dir: str) -> tuple[float, int]:
     """Materialize through the same noop-sink protocol bench.py uses.
 
@@ -268,6 +342,9 @@ def main() -> None:
     queries["op_html_extract"] = _op_html_extract
     queries["op_mix_text"] = _op_mix_text
     queries["op_mix_meta"] = _op_mix_meta
+    queries["op_gopher_signals"] = _op_gopher_signals
+    queries["op_langid_predict"] = _op_langid_predict
+    queries["op_robots_filter"] = _op_robots_filter
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)
