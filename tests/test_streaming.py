@@ -526,3 +526,57 @@ def test_map_only_curation_ops_run_on_streams(spark, tmp_path):
     )
     assert {tuple(r) for r in got.collect()} == batch_out
     assert len(batch_out) == 30
+
+
+def test_gopher_and_langid_run_on_streams(spark, tmp_path):
+    """Round 9: the new map-only gates — the full Gopher battery
+    (sorted per-doc folds, zero shuffles) and trained lang-id scoring
+    (one fused Arrow pass) — run UNCHANGED on a Structured Streaming
+    source and match their batch outputs row-for-row. Together with
+    the round-8 curation test this closes the streaming ingest gate:
+    language-route, rule-filter, score, tokenize, split — all as
+    documents arrive."""
+    from snapflow_spark.operators.gopher import gopher_pass_expr, gopher_signals
+    from snapflow_spark.operators.langid import predict_lang, train_lang_id
+
+    store = SnapshotStore(tmp_path / "gl_docs")
+    vocab = {
+        "en": "the and with house water light great people from".split(),
+        "de": "der und nicht haus wasser licht straße über schön".split(),
+    }
+    import random as _random
+
+    rows = []
+    for i in range(24):
+        lang = "en" if i % 2 else "de"
+        rng = _random.Random(i)
+        rows.append((i, lang, " ".join(rng.choices(vocab[lang], k=60))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    store.append(docs)
+
+    model = train_lang_id(docs, iters=12)
+
+    def gate(df):
+        sig = gopher_signals(df.drop("lang"))
+        routed = predict_lang(
+            sig.withColumn("gopher_ok", gopher_pass_expr({"min_words": 10})),
+            model,
+            threshold=0.5,
+        )
+        return routed.select(
+            "doc_id", "gopher_ok", "lang_pred",
+            F.round("lang_prob", 6).alias("p"),
+            F.round("dup5_char_frac", 6).alias("d5"),
+            "stop_hits",
+        )
+
+    batch_out = {tuple(r) for r in gate(store.read(spark)).collect()}
+    stream = stream_from_snapshots(spark, str(store.path), docs.schema)
+    got = run_stream_to_batch(
+        gate(stream), output_mode="append",
+        checkpoint=str(tmp_path / "ckpt_gl"),
+    )
+    assert {tuple(r) for r in got.collect()} == batch_out
+    assert len(batch_out) == 24
+    # sanity: predictions are real, not all-und
+    assert sum(1 for r in batch_out if r[2] in ("en", "de")) == 24
