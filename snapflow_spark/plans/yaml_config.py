@@ -438,6 +438,51 @@ def _quality_filter(
     return scored
 
 
+def _dedup_incremental(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    artifacts: str,
+    mode: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    num_hash_tables: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """core.dedup_incremental: dedup the INPUT BATCH against corpus
+    history (operators.dedup_incremental) — history lives in standing
+    artifact stores under ``artifacts`` (fingerprints for
+    ``mode: exact``; MinHash sigs + band keys for ``mode: minhash``),
+    never as text. Pair with a delta-consuming upstream so each
+    produce() gates only the newly arrived documents."""
+    from snapflow_spark.incremental import SnapshotStore
+    from snapflow_spark.operators.dedup_incremental import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+    )
+
+    root = Path(artifacts)
+    if mode == "exact":
+        return incremental_exact_dedup(
+            spark, input, SnapshotStore(root / "fingerprints"),
+            text_col=text_col, id_col=id_col,
+        )
+    if mode == "minhash":
+        return incremental_minhash_dedup(
+            spark, input,
+            SnapshotStore(root / "sigs"), SnapshotStore(root / "bands"),
+            text_col=text_col, id_col=id_col,
+            jaccard_threshold=float(jaccard_threshold),
+            num_hash_tables=int(num_hash_tables),
+            rows_per_band=int(rows_per_band),
+            shingle_n=int(shingle_n),
+        )
+    raise ValueError(
+        f"core.dedup_incremental mode must be exact|minhash, got {mode!r}"
+    )
+
+
 def _sitemap_urls(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -935,6 +980,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.gopher_filter": _gopher_filter,
     "core.robots_filter": _robots_filter,
     "core.sitemap_urls": _sitemap_urls,
+    "core.dedup_incremental": _dedup_incremental,
     "core.lang_id": _lang_id,
     "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,
