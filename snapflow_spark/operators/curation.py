@@ -322,3 +322,47 @@ def cap_per_domain(
             F.sum((rn == cap + 1).cast("long")).alias("capped_domains"),
         )
     return ranked.where(F.col("__cap_rn") <= cap).drop("__cap_rn")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    salt: str = "shuffle-v1",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Deterministic global pseudo-random ORDER for training output —
+    the step between packing/mixing and writing shards: sequence
+    models need documents well-mixed across sources, and the order
+    must be reproducible (resume a run, re-emit a shard, compare two
+    engines) — so never ``rand()`` and never orderBy(rand()).
+
+    The sort key is sha256(salt || id) — uniformly distributed and a
+    pure function of (salt, id), so the TOTAL order is bit-stable
+    across repartitions, reruns, and engines (the split/sample/cap
+    convention of this module; a different salt — e.g. one per epoch
+    — yields an independent order). ``repartitionByRange`` over the
+    key + ``sortWithinPartitions`` gives globally ordered output
+    partitions (partition i entirely precedes i+1), which is exactly
+    the property shard writers need: ONE range-shuffle, no global
+    single-task sort. ``key_col`` keeps the hex key on the output
+    (resume bookkeeping / verification); otherwise it is dropped.
+
+    At 100 TB: the range partitioner samples the key distribution —
+    sha256 keys are uniform, so ranges balance without skew handling;
+    output size per partition is governed by ``num_partitions``
+    (default: spark.sql.shuffle.partitions)."""
+    key = F.sha2(
+        F.concat(F.lit(salt), F.col(id_col).cast("string")), 256
+    ).alias("__shuffle_key")
+    keyed = df.select("*", key)
+    n = int(num_partitions) if num_partitions else None
+    parts = (
+        keyed.repartitionByRange(n, "__shuffle_key")
+        if n
+        else keyed.repartitionByRange("__shuffle_key")
+    )
+    out = parts.sortWithinPartitions("__shuffle_key")
+    if key_col is not None:
+        return out.withColumnRenamed("__shuffle_key", key_col)
+    return out.drop("__shuffle_key")

@@ -438,6 +438,25 @@ def _quality_filter(
     return scored
 
 
+def _shuffle(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    salt: str = "shuffle-v1",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """core.shuffle: deterministic global pseudo-random training
+    order (operators.curation.deterministic_shuffle — sha256(salt ||
+    id) range sort; one shuffle, bit-stable across reruns; a per-epoch
+    salt yields independent orders)."""
+    from snapflow_spark.operators.curation import deterministic_shuffle
+
+    return deterministic_shuffle(
+        input, salt=salt, id_col=id_col,
+        num_partitions=int(num_partitions) if num_partitions else None,
+    )
+
+
 def _dedup_incremental(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -981,6 +1000,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.robots_filter": _robots_filter,
     "core.sitemap_urls": _sitemap_urls,
     "core.dedup_incremental": _dedup_incremental,
+    "core.shuffle": _shuffle,
     "core.lang_id": _lang_id,
     "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,
