@@ -203,15 +203,32 @@ PSL_SNAPSHOT += (
 PSL_SNAPSHOT += "// ===END ICANN DOMAINS===\n"
 
 
-def parse_psl(text: str) -> list[str]:
+def parse_psl(text: str, icann_only: bool = False) -> list[str]:
     """PSL file format → rule list: ``//`` comments and blank lines
     dropped, one rule per whitespace-run (the official file is
     one-per-line; the vendored snapshot packs several per line),
-    lowercased. Works on the real publicsuffix.org file unchanged."""
+    lowercased. Works on the real publicsuffix.org file unchanged.
+
+    ``icann_only``: honor the file's section markers and keep only
+    rules between ``===BEGIN ICANN DOMAINS===`` and its END — the
+    PRIVATE section holds hosting-platform suffixes (useful for URL
+    dedup keys, wrong for e.g. per-OWNER domain caps); most
+    deployments want one or the other deliberately."""
     rules: list[str] = []
+    # a file without section markers keeps everything either way
+    has_markers = "BEGIN ICANN DOMAINS" in text.upper()
+    in_icann = not (icann_only and has_markers)
     for line in text.splitlines():
         line = line.strip()
-        if not line or line.startswith("//"):
+        if line.startswith("//"):
+            if icann_only:
+                marker = line.upper()
+                if "BEGIN ICANN DOMAINS" in marker:
+                    in_icann = True
+                elif "END ICANN DOMAINS" in marker:
+                    in_icann = False
+            continue
+        if not line or not in_icann:
             continue
         for tok in line.split():
             rules.append(tok.lower())
@@ -269,12 +286,13 @@ def compile_psl(rules: list[str]) -> CompiledPSL:
     )
 
 
-def load_psl(path: str) -> CompiledPSL:
+def load_psl(path: str, icann_only: bool = False) -> CompiledPSL:
     """Compile a full publicsuffix.org ``public_suffix_list.dat``
     (or any file in the same format) for use as the ``psl=``
-    argument of the expressions below."""
+    argument of the expressions below. ``icann_only`` drops the
+    PRIVATE-section rules (see parse_psl)."""
     with open(path, encoding="utf-8") as f:
-        return compile_psl(parse_psl(f.read()))
+        return compile_psl(parse_psl(f.read(), icann_only=icann_only))
 
 
 @lru_cache(maxsize=1)

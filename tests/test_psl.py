@@ -185,3 +185,26 @@ def test_expression_python_parity_generated_hosts(spark):
     rows = df.select("h", registered_domain_expr("h").alias("d")).collect()
     for r in rows:
         assert r.d == registered_domain_py(r.h), r.h
+
+
+def test_icann_only_section_filtering(tmp_path):
+    text = (
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\nco.uk\n"
+        "// ===END ICANN DOMAINS===\n"
+        "// ===BEGIN PRIVATE DOMAINS===\n"
+        "github.io\nblogspot.com\n"
+        "// ===END PRIVATE DOMAINS===\n"
+    )
+    assert parse_psl(text) == ["com", "co.uk", "github.io", "blogspot.com"]
+    assert parse_psl(text, icann_only=True) == ["com", "co.uk"]
+    # marker-less input keeps everything either way
+    assert parse_psl("com\nco.uk", icann_only=True) == ["com", "co.uk"]
+    p = tmp_path / "full.dat"
+    p.write_text(text)
+    c = load_psl(str(p), icann_only=True)
+    # private-suffix host groups at the REGISTERED domain, not the
+    # platform suffix, once the private section is dropped
+    assert registered_domain_py("user.github.io", c) == "github.io"
+    c_all = load_psl(str(p))
+    assert registered_domain_py("user.github.io", c_all) == "user.github.io"
