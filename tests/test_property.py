@@ -272,3 +272,36 @@ def test_adpcm_never_returns_uninitialized(seed, extra_declared):
     b = ima_adpcm_decode_block(blk, 1, declared)
     assert np.array_equal(a, b)
     assert a.shape[0] <= declared and a.shape[0] <= len(body) * 2 + 1
+
+
+@given(st.text(max_size=400), st.text(min_size=1, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_robots_parser_total_on_arbitrary_text(body, ua):
+    """parse_robots_txt is TOTAL: any text yields a rule list, and
+    robots_allowed_py is total over its own output for any path — a
+    crawl feeds these parsers garbage constantly (round 9)."""
+    from snapflow_spark.functions.robots import (
+        parse_robots_txt,
+        robots_allowed_py,
+        robots_pattern_to_like,
+    )
+
+    rules = parse_robots_txt(body, ua)
+    assert isinstance(rules, list)
+    for allow, pattern in rules:
+        assert isinstance(allow, bool) and isinstance(pattern, str)
+        robots_pattern_to_like(pattern)  # LIKE compile is total too
+    assert robots_allowed_py(rules, "/any/path") in (True, False)
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=200, deadline=None)
+def test_sitemap_parser_total_on_arbitrary_bytes(raw):
+    """parse_sitemap is TOTAL on arbitrary bytes (truncated gzip,
+    broken XML, binary junk) — entries always come back loc-bearing."""
+    from snapflow_spark.functions.sitemaps import parse_sitemap
+
+    kind, entries = parse_sitemap(raw)
+    assert isinstance(kind, str)
+    for e in entries:
+        assert e["loc"]
