@@ -251,11 +251,15 @@ def gopher_signals(
     )
 
     # --- repetition tier: per-kind sorted folds, map-only ----------
+    # NB: the trim must be wrapped in a lambda — F.trim's optional
+    # second parameter makes F.transform pass (element, index), which
+    # silently turns the index into the trim-character set
     trimmed_lines = F.filter(
-        F.transform(lines_all, F.trim), lambda x: x != ""
+        F.transform(lines_all, lambda x: F.trim(x)), lambda x: x != ""
     )
     paras = F.filter(
-        F.transform(F.split(text, r"\n{2,}"), F.trim), lambda x: x != ""
+        F.transform(F.split(text, r"\n{2,}"), lambda x: F.trim(x)),
+        lambda x: x != "",
     )
     kinds: dict[str, Column] = {"line": trimmed_lines, "para": paras}
     for n in (*_TOP_NS, *_DUP_NS):

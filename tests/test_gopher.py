@@ -212,3 +212,15 @@ def test_defaults_cover_every_threshold_key():
         *(f"max_top{n}_char_frac" for n in TOP_NS),
         *(f"max_dup{n}_char_frac" for n in DUP_NS),
     }
+
+
+def test_line_units_are_space_trimmed(spark):
+    # regression: F.transform(arr, F.trim) silently no-ops (F.trim's
+    # optional 2nd param makes transform pass (element, index), the
+    # index becoming the trim-character set) — "a." and "  a.  " must
+    # count as the SAME duplicate line unit, like the oracle's trim
+    text = "a.\n  a.  \nb."
+    row = gopher_signals(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()[0]
+    assert row.dup_line_frac == pytest.approx(1 / 3)
