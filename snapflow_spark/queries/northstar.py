@@ -627,6 +627,57 @@ def _gopher_oracle_branch() -> str:
     """
 
 
+def _c4_oracle_branch() -> str:
+    """The q_text_quality 'c4' branch oracle, generated from the SAME
+    constants the operator uses (operators/c4.py: C4_DEFAULTS,
+    C4_POLICY_SUBSTRINGS) so the replay can never drift. The roster
+    branch runs with an empty badwords list (nothing is silently
+    censored), so badword_hits is the literal 0 in both engines."""
+    from snapflow_spark.operators.c4 import C4_DEFAULTS, C4_POLICY_SUBSTRINGS
+
+    mw = int(C4_DEFAULTS["min_words_per_line"])
+    ms = int(C4_DEFAULTS["min_num_sentences"])
+    policy = " OR ".join(
+        f"contains(lower(x), '{p}')" for p in C4_POLICY_SUBSTRINGS
+    )
+    kept = (
+        "list_filter(list_transform(string_split_regex(text, '\\r?\\n'),"
+        " x -> trim(x)),"
+        " x -> regexp_matches(x, '[.!?\"]$')"
+        " AND NOT regexp_matches(x, '\\.\\.\\.$')"
+        f" AND len(regexp_extract_all(x, '[^ \\t\\f\\r]+')) >= {mw}"
+        " AND NOT contains(lower(x), 'javascript')"
+        f" AND NOT ({policy}))"
+    )
+    return f"""
+    UNION ALL
+    -- 'c4' branch (round 9): the Raffel et al. 2020 line/page
+    -- cleaning battery — kept-line set, pinned sentence counter, and
+    -- the cleaned text's sha256 all packed into the fingerprint
+    SELECT 'c4' AS branch, doc_id, lang, CAST(NULL AS VARCHAR) AS lang_pred,
+           CASE WHEN has_li = 0 AND has_cb = 0 AND n_sent >= {ms}
+                THEN 1.0 ELSE 0.0 END AS quality,
+           concat_ws('|', n_lines, n_kept, n_sent, has_li, has_cb, 0,
+                     sha256(joined)) AS fingerprint,
+           CAST(len(regexp_extract_all(joined, '\\S+')) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT *, len(regexp_extract_all(joined,
+                 '[.!?]"?([ \\t\\f\\r\\n]|$)')) AS n_sent
+      FROM (
+        SELECT doc_id, lang,
+               len(string_split_regex(text, '\\r?\\n')) AS n_lines,
+               len(kept) AS n_kept,
+               -- DuckDB's array_to_string([]) is NULL; Spark's
+               -- array_join([]) is '' — pin the Spark behavior
+               COALESCE(array_to_string(kept, chr(10)), '') AS joined,
+               CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_li,
+               CAST(contains(text, '{{') AS INT) AS has_cb
+        FROM (SELECT doc_id, lang, text, {kept} AS kept FROM documents)
+      )
+    ) c4s
+    """
+
+
 @query(
     "q_text_quality",
     # the heuristics are deterministic arithmetic, so the oracle
@@ -760,7 +811,8 @@ def _gopher_oracle_branch() -> str:
       GROUP BY doc_id, tot
     ) sc USING (doc_id)
     """
-    + _gopher_oracle_branch(),
+    + _gopher_oracle_branch()
+    + _c4_oracle_branch(),
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union (round 5): per-document text-analysis sweep
@@ -776,7 +828,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     training is float GD and stays reference-parity-tested in pytest,
     but scoring — featurize, bucket, L1 frequencies, dot product,
     sigmoid — is exact arithmetic the oracle replays, so the whole
-    corpus-facing inference pipeline is hash-proven)."""
+    corpus-facing inference pipeline is hash-proven) ∪ the Gopher rule
+    battery ('gopher' branch, round 9 — every Rae et al. 2021 signal
+    packed into the fingerprint) ∪ the C4 cleaning battery ('c4'
+    branch, round 9 — operators.c4: line-level keep rules + page
+    rules, the CLEANED text's sha256 in the fingerprint so the edit
+    itself is hash-proven, not just the keep decision)."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     null_s = F.lit(None).cast("string")
     quality = d.select(
@@ -858,7 +915,40 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_words").cast("bigint").alias("n_tokens"),
     )
-    return quality.unionByName(dsir.unionByName(clf)).unionByName(gopher)
+    # 'c4' branch (round 9): the Raffel et al. 2020 cleaning battery —
+    # kept-line counts, pinned sentence counter, and the CLEANED
+    # text's sha256 packed into the fingerprint, so the oracle proves
+    # the edit itself, not just the keep decision
+    from snapflow_spark.operators.c4 import (
+        SIGNAL_COLUMNS as C4_SIGNALS,
+        c4_pass_expr,
+        c4_signals,
+    )
+
+    c4 = c4_signals(d.select("doc_id", "lang", "text")).select(
+        F.lit("c4").alias("branch"),
+        "doc_id",
+        "lang",
+        null_s.alias("lang_pred"),
+        F.when(c4_pass_expr(), F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+            "quality"
+        ),
+        F.concat_ws(
+            "|",
+            *[F.col(c).cast("string") for c in C4_SIGNALS],
+            F.sha2("c4_text", 256),
+        ).alias("fingerprint"),
+        F.size(
+            F.regexp_extract_all(F.col("c4_text"), F.lit(r"\S+"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return (
+        quality.unionByName(dsir.unionByName(clf))
+        .unionByName(gopher)
+        .unionByName(c4)
+    )
 
 
 @query(

@@ -67,7 +67,7 @@ EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
         "pin). 'winnow'/'spans' branches unchanged from round 6",
     ),
     "q_text_quality": (
-        10,
+        11,
         "reviewed round 6, re-reviewed round 9: the dsir "
         "deferred-totals rewrite makes the per-doc agg subtree appear "
         "TWICE in the STATIC plan (main path + 1-row totals) — at "
@@ -81,7 +81,10 @@ EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
         "own); its +1 exchange is the branch's ensure_parallelism "
         "coarse-scan repartition — the local[32] shim every "
         "documents-consuming branch carries, map-side round-robin, "
-        "not an operator shuffle",
+        "not an operator shuffle. The round-9 'c4' branch is pure "
+        "line/array algebra: map-only, zero exchanges of its own — "
+        "its +1 is its union-branch copy of the same "
+        "ensure_parallelism repartition",
     ),
 }
 
