@@ -844,6 +844,28 @@ def _html_text(
     return out
 
 
+def _pdf_text(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    from_http_payload: bool = False,
+    body_col: str = "http_body",
+) -> DataFrame:
+    """core.pdf_text: PDF binary -> title/text/n_pages columns
+    (multimodal.pdf.pdf_extract — the application/pdf twin of
+    core.html_text, same output column names so a content-type-routed
+    pipeline unions the two). ``from_http_payload: true`` first splits
+    raw WARC response payloads like core.html_text does."""
+    from snapflow_spark.multimodal.pdf import pdf_extract
+
+    df = input
+    if from_http_payload:
+        from snapflow_spark.sources.warc import http_response_parts
+
+        df = http_response_parts(df, payload_col=body_col)
+        body_col = "http_body"
+    return pdf_extract(df, body_col=body_col)
+
+
 def _mix(
     spark: SparkSession,
     weights: dict[str, float],
@@ -1008,6 +1030,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.scan_warc": _scan_warc,
     "core.url_dedup": _url_dedup,
     "core.html_text": _html_text,
+    "core.pdf_text": _pdf_text,
     "core.link_graph": _link_graph,
     "core.mix": _mix,
     "core.pagerank": _pagerank,

@@ -305,3 +305,28 @@ def test_sitemap_parser_total_on_arbitrary_bytes(raw):
     assert isinstance(kind, str)
     for e in entries:
         assert e["loc"]
+
+
+@given(st.binary(max_size=400), st.integers(0, 3))
+@settings(max_examples=150, deadline=None)
+def test_pdf_extractor_total_on_arbitrary_bytes(junk, mode):
+    """extract_pdf is TOTAL: arbitrary bytes, spliced-into-valid-PDF
+    bytes, and truncated valid PDFs all yield a (title, text, n_pages)
+    tuple, never an exception — crawled PDFs are routinely torn."""
+    from snapflow_spark.multimodal.pdf import extract_pdf, make_pdf_bytes
+
+    good = make_pdf_bytes(["One line.", "Two lines.\nhere."], filt="flate")
+    if mode == 0:
+        data = junk
+    elif mode == 1:
+        cut = len(junk) % max(1, len(good))
+        data = good[:cut] + junk
+    elif mode == 2:
+        pos = len(junk) % max(1, len(good))
+        data = good[:pos] + junk + good[pos:]
+    else:
+        data = good[: len(junk) % (len(good) + 1)]
+    title, text, n = extract_pdf(data)
+    assert title is None or isinstance(title, str)
+    assert text is None or isinstance(text, str)
+    assert n is None or isinstance(n, int)
