@@ -866,6 +866,31 @@ def _pdf_text(
     return pdf_extract(df, body_col=body_col)
 
 
+def _normalize_text(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    text_col: str = "text",
+    form: str = "NFKC",
+    fix_encoding: bool = True,
+    clean: bool = True,
+) -> DataFrame:
+    """core.normalize_text: codegen hygiene (controls/zero-width/space
+    zoo) + mojibake repair + a unicode normalization form over a text
+    column (functions.normalize.normalize_text_column) — the cleanup
+    pass between extraction and every op keyed on text bytes. With
+    ``form: ''`` and ``fix_encoding: false`` the node stays entirely
+    JVM-side."""
+    from snapflow_spark.functions.normalize import normalize_text_column
+
+    return normalize_text_column(
+        input,
+        text_col=text_col,
+        form=form,
+        fix_encoding=fix_encoding,
+        clean=clean,
+    )
+
+
 def _mix(
     spark: SparkSession,
     weights: dict[str, float],
@@ -1031,6 +1056,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.url_dedup": _url_dedup,
     "core.html_text": _html_text,
     "core.pdf_text": _pdf_text,
+    "core.normalize_text": _normalize_text,
     "core.link_graph": _link_graph,
     "core.mix": _mix,
     "core.pagerank": _pagerank,
