@@ -64,6 +64,16 @@ def main(argv: list[str] | None = None) -> int:
     tu.add_argument("--max-word-types", type=int, default=1_000_000)
     tu.add_argument("--max-piece-len", type=int, default=8)
     tu.add_argument("--seed-size", type=int, default=100_000)
+    tw = sub.add_parser(
+        "train-wordpiece",
+        help="train a WordPiece (BERT-style) tokenizer on the documents "
+        "table, save tokenizer.json",
+    )
+    tw.add_argument("out", help="output path for the tokenizer artifact (JSON)")
+    tw.add_argument("--sf", default=DEFAULT_SF_DIR)
+    tw.add_argument("--merges", type=int, default=4000)
+    tw.add_argument("--min-count", type=int, default=1)
+    tw.add_argument("--max-word-types", type=int, default=1_000_000)
     ts = sub.add_parser(
         "tokenizer-stats",
         help="compression/coverage metrics for a trained tokenizer "
@@ -196,6 +206,10 @@ def main(argv: list[str] | None = None) -> int:
             from snapflow_spark.functions.unigram import UnigramTokenizer
 
             tok = UnigramTokenizer.load(args.artifact)
+        elif head.get("kind") == "wordpiece":
+            from snapflow_spark.functions.wordpiece import WordPieceTokenizer
+
+            tok = WordPieceTokenizer.load(args.artifact)
         else:
             from snapflow_spark.functions.bpe import BPETokenizer
 
@@ -251,6 +265,25 @@ def main(argv: list[str] | None = None) -> int:
             f"trained: {len(tok.merges)} merges, vocab {len(tok.vocab)} "
             f"-> {args.out}"
         )
+        return 0
+
+    if args.cmd == "train-wordpiece":
+        from snapflow_spark.catalog import load_table
+        from snapflow_spark.functions.wordpiece import train_wordpiece
+        from snapflow_spark.session import build_session, tune
+
+        spark = build_session("cli-train-wordpiece")
+        spark.sparkContext.setLogLevel("ERROR")
+        tune(spark)
+        docs = load_table(spark, args.sf, "documents")
+        tok = train_wordpiece(
+            docs,
+            num_merges=args.merges,
+            min_count=args.min_count,
+            max_word_types=args.max_word_types,
+        )
+        tok.save(args.out)
+        print(f"trained: vocab {len(tok.vocab)} -> {args.out}")
         return 0
 
     if args.cmd == "sql":

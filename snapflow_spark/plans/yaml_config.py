@@ -317,11 +317,13 @@ def _tokenize(
     sample_salt: str = "",
 ) -> DataFrame:
     """core.tokenize: encode a text column with a TRAINED tokenizer
-    artifact (functions.bpe / functions.unigram JSON, as written by
-    the `train-bpe` / `train-unigram` CLIs) — the pipeline hand-off
-    that turns curation output into model-ready tokens. The artifact
-    kind is sniffed from its `model_type` field (unigram) vs `merges`
-    (BPE), so one builtin serves both trainers. ``counts_only``
+    artifact (functions.bpe / functions.unigram / functions.wordpiece
+    JSON, as written by the `train-bpe` / `train-unigram` /
+    `train-wordpiece` CLIs) — the pipeline hand-off that turns
+    curation output into model-ready tokens. The artifact kind is
+    sniffed from its `model_type` field (unigram) vs `kind` field
+    (wordpiece) vs `merges` (BPE), so one builtin serves all three
+    trainers. ``counts_only``
     emits an int token count instead of the array (the packing
     budget column); ``sample_alpha`` switches a unigram artifact to
     the subword-regularization sampler at that temperature
@@ -345,12 +347,17 @@ def _tokenize(
     else:
         if sample_alpha is not None:
             raise ValueError(
-                "sample_alpha is a unigram-artifact feature (BPE encoding "
-                "is deterministic merges, nothing to sample)"
+                "sample_alpha is a unigram-artifact feature (BPE/WordPiece "
+                "encoding is deterministic, nothing to sample)"
             )
-        from snapflow_spark.functions.bpe import BPETokenizer
+        if head.get("kind") == "wordpiece":
+            from snapflow_spark.functions.wordpiece import WordPieceTokenizer
 
-        tok = BPETokenizer.load(artifact)
+            tok = WordPieceTokenizer.load(artifact)
+        else:
+            from snapflow_spark.functions.bpe import BPETokenizer
+
+            tok = BPETokenizer.load(artifact)
         col = tok.encode_col(spark, text_col)
     if counts_only:
         col = F.size(col)
