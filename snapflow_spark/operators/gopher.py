@@ -52,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from snapflow_spark.functions.text import ngram_expr, tokens_expr
+from snapflow_spark.functions.text import tokens_expr
 
 __all__ = [
     "GOPHER_DEFAULTS",
@@ -140,10 +140,19 @@ def _L(x) -> Column:
 
 def _rep_stats(arr: Column) -> Column:
     """struct(extra_units, extra_chars, dupall_chars, top_chars,
-    total_chars) for one unit array — sort, then ONE F.aggregate fold
+    total_chars) for one unit array of ``struct<h: long, l: long>``
+    (unit hash + unit char length) — sort, then ONE F.aggregate fold
     (duplicates are adjacent after the sort; the accumulator carries
     the open run). All codegen, no shuffle: per-document repetition
     stats are row-local by definition.
+
+    Units are HASHES, not strings (round 9): the stats only need
+    equality (any total order makes equal units adjacent) and each
+    unit's char length, so sorting 16-byte structs replaces sorting —
+    and for n-grams even MATERIALIZING — the unit strings; xxhash64
+    collisions within one document are the usual negligible tier
+    (same convention as dedup_text's production tier, and the
+    string-unit parity is pinned by test).
 
     extra_* = occurrences beyond the first of each duplicated unit;
     dupall_chars = chars of ALL occurrences of duplicated units;
@@ -151,7 +160,8 @@ def _rep_stats(arr: Column) -> Column:
     pinned in the module doc). An empty array yields all zeros."""
     s = F.array_sort(arr)
     zero = F.struct(
-        F.lit("").alias("prev"),
+        _L(0).alias("prev_h"),
+        _L(0).alias("prev_l"),
         _L(0).alias("run"),
         _L(0).alias("extra_u"),
         _L(0).alias("extra_c"),
@@ -161,14 +171,15 @@ def _rep_stats(arr: Column) -> Column:
     )
 
     def step(acc: Column, x: Column) -> Column:
-        same = (acc["run"] > 0) & (x == acc["prev"])
+        same = (acc["run"] > 0) & (x["h"] == acc["prev_h"])
         closing = (~same) & (acc["run"] > 1)
-        run_chars = acc["run"] * F.length(acc["prev"])
+        run_chars = acc["run"] * acc["prev_l"]
         return F.struct(
-            x.alias("prev"),
+            x["h"].alias("prev_h"),
+            x["l"].cast("long").alias("prev_l"),
             F.when(same, acc["run"] + 1).otherwise(_L(1)).cast("long").alias("run"),
             (acc["extra_u"] + F.when(same, 1).otherwise(0)).cast("long").alias("extra_u"),
-            (acc["extra_c"] + F.when(same, F.length(x)).otherwise(0))
+            (acc["extra_c"] + F.when(same, x["l"]).otherwise(0))
             .cast("long")
             .alias("extra_c"),
             (acc["dupall_c"] + F.when(closing, run_chars).otherwise(0))
@@ -178,11 +189,11 @@ def _rep_stats(arr: Column) -> Column:
                 acc["top_c"],
                 F.when(~same, run_chars).otherwise(_L(0)).cast("long"),
             ).alias("top_c"),
-            (acc["total_c"] + F.length(x)).cast("long").alias("total_c"),
+            (acc["total_c"] + x["l"]).cast("long").alias("total_c"),
         )
 
     def finish(acc: Column) -> Column:
-        run_chars = acc["run"] * F.length(acc["prev"])
+        run_chars = acc["run"] * acc["prev_l"]
         return F.struct(
             acc["extra_u"].alias("extra_units"),
             acc["extra_c"].alias("extra_chars"),
@@ -194,6 +205,49 @@ def _rep_stats(arr: Column) -> Column:
         )
 
     return F.aggregate(s, zero, step, finish)
+
+
+def _hl(x: Column) -> Column:
+    """string unit -> struct(h, l)."""
+    return F.struct(
+        F.xxhash64(x).alias("h"), F.length(x).cast("long").alias("l")
+    )
+
+
+def _gram_hl_expr(word_hashes: Column, word_lens: Column, n: int) -> Column:
+    """The struct<h,l> n-gram array WITHOUT materializing gram
+    strings: hash = xxhash64-fold over the window's word hashes,
+    len = sum of word lens + (n-1) joiner spaces. Built as zip_with
+    folds over shifted slices — ngram_expr's one-pass shape on longs
+    instead of strings. Degenerate case (fewer than n words) matches
+    ngram_expr: ONE whole-text gram — only its LENGTH matters (a
+    single unit is never duplicated; top/total read its chars), so
+    its hash is pinned to the fold of all word hashes."""
+    m = F.size(word_hashes) - (n - 1)
+    h = F.slice(word_hashes, 1, F.greatest(m, F.lit(1)))
+    ln = F.slice(word_lens, 1, F.greatest(m, F.lit(1)))
+    for k in range(1, n):
+        nh = F.slice(word_hashes, 1 + k, F.greatest(m, F.lit(1)))
+        nl = F.slice(word_lens, 1 + k, F.greatest(m, F.lit(1)))
+        h = F.zip_with(h, nh, lambda a, b: F.xxhash64(a, b))
+        ln = F.zip_with(ln, nl, lambda a, b: a + b + 1)
+    grams = F.zip_with(
+        h, ln, lambda a, b: F.struct(a.alias("h"), b.cast("long").alias("l"))
+    )
+    # degenerate: one whole-text unit — len = sum(word lens) + gaps
+    whole_len = (
+        F.aggregate(word_lens, _L(0), lambda acc, x: acc + x)
+        + F.greatest(F.size(word_lens) - 1, F.lit(0))
+    ).cast("long")
+    whole = F.array(
+        F.struct(
+            F.aggregate(
+                word_hashes, _L(0), lambda acc, x: F.xxhash64(acc, x)
+            ).alias("h"),
+            whole_len.alias("l"),
+        )
+    )
+    return F.when(m >= 1, grams).otherwise(whole)
 
 
 def gopher_signals(
@@ -261,12 +315,25 @@ def gopher_signals(
         F.transform(F.split(text, r"\n{2,}"), lambda x: F.trim(x)),
         lambda x: x != "",
     )
-    kinds: dict[str, Column] = {"line": trimmed_lines, "para": paras}
+    # units are struct<h,l> hashes (round 9): per-word hash/len arrays
+    # are built ONCE and every n-gram tier derives from them — no gram
+    # strings are ever materialized (see _rep_stats / _gram_hl_expr)
+    staged = base.select(
+        "*",
+        F.transform(F.col("__w"), lambda w: F.xxhash64(w)).alias("__wh"),
+        F.transform(
+            F.col("__w"), lambda w: F.length(w).cast("long")
+        ).alias("__wl"),
+    )
+    kinds: dict[str, Column] = {
+        "line": F.transform(trimmed_lines, _hl),
+        "para": F.transform(paras, _hl),
+    }
     for n in (*_TOP_NS, *_DUP_NS):
-        kinds[f"g{n}"] = ngram_expr(F.col("__w"), n)
+        kinds[f"g{n}"] = _gram_hl_expr(F.col("__wh"), F.col("__wl"), n)
     # stage each unit array, then each fold, as NAMED columns so every
     # array is built exactly once (winnowing's materialization lesson)
-    with_units = base.select(
+    with_units = staged.select(
         "*", *[arr.alias(f"__u_{k}") for k, arr in kinds.items()]
     )
     with_stats = with_units.select(
@@ -302,7 +369,11 @@ def gopher_signals(
             .alias(f"dup{n}_char_frac")
         )
     out = with_stats.select("*", *frac_cols)
-    return out.drop("__w", *[f"__u_{k}" for k in kinds], *[f"__r_{k}" for k in kinds])
+    return out.drop(
+        "__w", "__wh", "__wl",
+        *[f"__u_{k}" for k in kinds],
+        *[f"__r_{k}" for k in kinds],
+    )
 
 
 def gopher_pass_expr(thresholds: dict[str, float] | None = None) -> Column:
