@@ -50,7 +50,13 @@ from pyspark.sql import functions as F
 from snapflow_spark.operators.curation import _BUCKETS, _hash_bucket
 from snapflow_spark.operators.retrieval import word_tokens_expr
 
-__all__ = ["dsir_log_weights", "dsir_select", "grams_expr", "lm_cross_entropy"]
+__all__ = [
+    "dsir_log_weights",
+    "dsir_select",
+    "grams_expr",
+    "lm_cross_entropy",
+    "perplexity_buckets",
+]
 
 
 def grams_expr(tokens: Column) -> Column:
@@ -302,3 +308,67 @@ def lm_cross_entropy(
         .withColumn("ppl", F.round(F.exp("cross_entropy"), 6))
     )
     return scored
+
+
+def perplexity_buckets(
+    raw: DataFrame,
+    ref: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str | None = None,
+    fractions: tuple[float, float] = (1 / 3, 2 / 3),
+    exact: bool = False,
+    accuracy: int = 10_000,
+    num_buckets: int = _BUCKETS,
+    alpha: float = 1.0,
+    salt: str = "dsir-v1",
+    ref_pred: Column | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4):
+    score every document's LM perplexity against the reference
+    (``lm_cross_entropy``), compute the ``fractions`` quantile
+    thresholds — per ``by`` group (CCNet: per language) or globally —
+    and tag each document ``head`` (most reference-like), ``middle``
+    or ``tail``. Returns ``(id_col[, by], n_grams, cross_entropy,
+    ppl, ppl_bucket)``.
+
+    Thresholds come from ONE tiny aggregate over the scored rows,
+    broadcast back — so the op is the scoring scan plus a
+    bounded-size join, no corpus-wide sort. ``exact=True`` switches
+    ``percentile_approx`` (relative-rank accuracy ``accuracy``; the
+    100 TB path) to the exact ``percentile`` aggregate, which
+    materializes each group's values — use it for oracles and tests,
+    not for corpora that don't fit a task."""
+    lo, hi = fractions
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError(f"fractions must satisfy 0 < lo < hi < 1: {fractions}")
+    scored = lm_cross_entropy(
+        raw, ref, text_col, id_col, num_buckets, alpha, salt, ref_pred
+    )
+    if by is not None:
+        scored = scored.join(
+            raw.select(F.col(id_col), F.col(by)), id_col
+        )
+    fn = F.percentile if exact else F.percentile_approx
+    args = (F.col("ppl"), F.array(F.lit(float(lo)), F.lit(float(hi))))
+    agg = fn(*args) if exact else fn(*args, F.lit(int(accuracy)))
+    thresholds = (
+        scored.groupBy(*( [by] if by is not None else [] ))
+        .agg(agg.alias("__qs"))
+        .select(
+            *([by] if by is not None else []),
+            F.col("__qs")[0].alias("__q_lo"),
+            F.col("__qs")[1].alias("__q_hi"),
+        )
+    )
+    joined = (
+        scored.join(F.broadcast(thresholds), on=by)
+        if by is not None
+        else scored.crossJoin(F.broadcast(thresholds))
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("__q_lo"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("__q_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.withColumn("ppl_bucket", bucket).drop("__q_lo", "__q_hi")

@@ -391,6 +391,46 @@ def _dsir(
     )
 
 
+def _ppl_buckets(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    ref_where: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str | None = None,
+    fractions: list[float] | None = None,
+    keep: str | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """core.ppl_buckets: CCNet's head/middle/tail perplexity split
+    (operators.selection.perplexity_buckets) — LM fit on the
+    ``ref_where`` slice, thresholds per ``by`` group (CCNet: lang) or
+    global, ``keep`` optionally filters to e.g. 'head' or
+    'head,middle' and joins the bucket back onto the input rows."""
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.operators.selection import perplexity_buckets
+
+    fr = tuple(fractions) if fractions else (1 / 3, 2 / 3)
+    out = perplexity_buckets(
+        input,
+        None,
+        text_col=text_col,
+        id_col=id_col,
+        by=by,
+        fractions=fr,  # type: ignore[arg-type]
+        exact=exact,
+        ref_pred=F.expr(ref_where),
+    )
+    if keep is None:
+        return out
+    wanted = [k.strip() for k in keep.split(",") if k.strip()]
+    kept = out.where(F.col("ppl_bucket").isin(wanted)).select(
+        id_col, "ppl", "ppl_bucket"
+    )
+    return input.join(kept, id_col)
+
+
 def _quality_filter(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -1049,6 +1089,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.expect": _expect,
     "core.tokenize": _tokenize,
     "core.dsir": _dsir,
+    "core.ppl_buckets": _ppl_buckets,
     "core.frequent_items": _frequent_items,
     "core.gopher_filter": _gopher_filter,
     "core.robots_filter": _robots_filter,

@@ -242,3 +242,88 @@ def test_lm_cross_entropy_reference_and_replay(raw, target, spark):
         for r in lm_cross_entropy(raw, ref_pred=F.col("lang") == "en").collect()
     }
     assert a == b
+
+
+def test_perplexity_buckets_match_numpy_quantiles(raw, spark):
+    """head/middle/tail assignment matches numpy linear-interpolation
+    quantiles over the exact scored ppl values, per-lang and global;
+    exact mode is repartition-stable; keep-join composition works via
+    the YAML builtin."""
+    import numpy as np
+
+    from snapflow_spark.operators.selection import (
+        lm_cross_entropy,
+        perplexity_buckets,
+    )
+
+    ref_pred = F.col("lang") == "en"
+    scored = {
+        r["doc_id"]: r["ppl"]
+        for r in lm_cross_entropy(raw, ref_pred=ref_pred).collect()
+    }
+
+    def want_buckets(ppls):
+        lo, hi = np.quantile(list(ppls.values()), [1 / 3, 2 / 3])
+        return {
+            i: ("head" if p <= lo else "middle" if p <= hi else "tail")
+            for i, p in ppls.items()
+        }
+
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(raw, ref_pred=ref_pred, exact=True).collect()
+    }
+    assert got == want_buckets(scored)
+
+    # per-lang thresholds: each group gets its own quantiles
+    lang_of = {r[0]: r[2] for r in RAW}
+    by_lang = {
+        r["doc_id"]: (r["lang"], r["ppl_bucket"])
+        for r in perplexity_buckets(
+            raw, ref_pred=ref_pred, by="lang", exact=True
+        ).collect()
+    }
+    for lang in {lang_of[i] for i in scored}:
+        group = {i: p for i, p in scored.items() if lang_of[i] == lang}
+        want = want_buckets(group)
+        got_g = {i: b for i, (lg, b) in by_lang.items() if lg == lang}
+        assert got_g == want, lang
+
+    # exact mode repartition determinism
+    again = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(
+            raw.repartition(5), ref_pred=ref_pred, exact=True
+        ).collect()
+    }
+    assert again == got
+
+
+def test_ppl_buckets_yaml_keep(spark, tmp_path):
+    from snapflow_spark.plans import load_graph
+
+    cfg = {
+        "warehouse": str(tmp_path / "wh_ppl"),
+        "sources": ["docs_src"],
+        "nodes": [
+            {
+                "name": "head_docs",
+                "function": "core.ppl_buckets",
+                "upstream": {"input": "docs_src"},
+                "params": {
+                    "ref_where": "lang = 'en'",
+                    "keep": "head",
+                    "exact": True,
+                },
+                "overwrite": True,
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.source("docs_src").append(
+        spark.createDataFrame(RAW, "doc_id bigint, text string, lang string")
+    )
+    assert g.produce(spark) == 1
+    rows = g.read(spark, "head_docs").collect()
+    assert rows and all(r.ppl_bucket == "head" for r in rows)
+    assert {"doc_id", "text", "lang", "ppl", "ppl_bucket"} <= set(rows[0].asDict())

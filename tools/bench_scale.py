@@ -108,6 +108,35 @@ HEAVY = {
         "200-host rules table — host hash join + per-candidate LIKE + "
         "one groupBy(url) winner agg"
     ),
+    "op_c4_clean": (
+        "documents; the C4 line/page cleaning battery (round 9, "
+        "operators/c4.py) — one map-only codegen projection (line "
+        "split/filter/rejoin + sentence counting); expected ~linear "
+        "in corpus text bytes"
+    ),
+    "op_normalize_clean": (
+        "documents; codegen hygiene tier ONLY (round 9, "
+        "functions/normalize.py clean_text_expr) — 4 regexp_replace "
+        "passes, zero python; the 100 TB-path configuration"
+    ),
+    "op_normalize_full": (
+        "documents; clean + mojibake repair + NFKC (round 9) — the "
+        "Arrow tier added on top; the delta vs op_normalize_clean is "
+        "the honest python cost of unicode normalization"
+    ),
+    "op_pdf_extract": (
+        "documents; PDF->text extraction (round 9, multimodal/pdf.py) "
+        "over per-doc PDFs synthesized ONCE per sf into .scratch by "
+        "the encoder twin (cold run absorbs the build, warm run "
+        "measures extraction) — map-only Arrow-batched parse; "
+        "expected ~linear like op_html_extract"
+    ),
+    "op_wordpiece_encode": (
+        "documents; WordPiece greedy MaxMatch encode (round 9, "
+        "functions/wordpiece.py) with a base-corpus-trained vocab "
+        "(trained once per process, like op_langid_predict) — "
+        "map-only Arrow pass with the per-batch Zipf cache"
+    ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
     "q_stream_windows": "events; tumbling+sliding agg",
@@ -296,6 +325,102 @@ def _op_robots_filter(spark, sf_dir: str):
     return filter_robots_disallowed(urls, rules, keep_flag="crawl_ok")
 
 
+def _op_c4_clean(spark, sf_dir: str):
+    from snapflow_spark.catalog import ensure_parallelism, load_table
+    from snapflow_spark.operators.c4 import c4_clean
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return c4_clean(d, min_num_sentences=1)
+
+
+def _op_normalize_clean(spark, sf_dir: str):
+    from snapflow_spark.catalog import ensure_parallelism, load_table
+    from snapflow_spark.functions.normalize import normalize_text_column
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return normalize_text_column(d, form="", fix_encoding=False)
+
+
+def _op_normalize_full(spark, sf_dir: str):
+    from snapflow_spark.catalog import ensure_parallelism, load_table
+    from snapflow_spark.functions.normalize import normalize_text_column
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return normalize_text_column(d)
+
+
+_PDF_TABLES: dict[str, str] = {}
+
+
+def _op_pdf_extract(spark, sf_dir: str):
+    """Extraction cost: per-doc PDFs are synthesized ONCE per sf dir
+    (encoder twin over the doc text, 40-line pages) into .scratch —
+    the cold run absorbs the build like op_langid_predict absorbs
+    training; the warm run measures the parse."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from snapflow_spark.catalog import ensure_parallelism, load_table
+    from snapflow_spark.multimodal.pdf import pdf_extract
+
+    path = _PDF_TABLES.get(sf_dir)
+    if path is None:
+        path = f".scratch/pdfbench-{abs(hash(sf_dir)) % 10**8}"
+
+        @pandas_udf("binary")
+        def to_pdf(texts: pd.Series) -> pd.Series:
+            from snapflow_spark.multimodal.pdf import make_pdf_bytes
+
+            def one(t):
+                words = (t or "").split()
+                lines = [
+                    " ".join(words[i : i + 12]) + "."
+                    for i in range(0, len(words), 12)
+                ]
+                pages = [
+                    "\n".join(lines[j : j + 40])
+                    for j in range(0, max(len(lines), 1), 40)
+                ]
+                return make_pdf_bytes(pages or ["empty."])
+
+            return texts.map(one)
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        d.select("doc_id", to_pdf(F.col("text")).alias("http_body")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _PDF_TABLES[sf_dir] = path
+    pdfs = ensure_parallelism(spark.read.parquet(path))
+    return pdf_extract(pdfs).select("doc_id", "text", "n_pages")
+
+
+_WORDPIECE_TOK = None
+
+
+def _op_wordpiece_encode(spark, sf_dir: str):
+    global _WORDPIECE_TOK
+    from snapflow_spark.catalog import ensure_parallelism, load_table
+
+    if _WORDPIECE_TOK is None:
+        from snapflow_spark.functions.wordpiece import train_wordpiece
+
+        base = load_table(spark, "/root/testdata/sf0.1", "documents")
+        _WORDPIECE_TOK = train_wordpiece(base, num_merges=2000, min_count=2)
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return d.select(
+        "doc_id", _WORDPIECE_TOK.encode_col(spark, "text").alias("pieces")
+    )
+
+
 def run_once(spark, fn, sf_dir: str) -> tuple[float, int]:
     """Materialize through the same noop-sink protocol bench.py uses.
 
@@ -345,6 +470,11 @@ def main() -> None:
     queries["op_gopher_signals"] = _op_gopher_signals
     queries["op_langid_predict"] = _op_langid_predict
     queries["op_robots_filter"] = _op_robots_filter
+    queries["op_c4_clean"] = _op_c4_clean
+    queries["op_normalize_clean"] = _op_normalize_clean
+    queries["op_normalize_full"] = _op_normalize_full
+    queries["op_pdf_extract"] = _op_pdf_extract
+    queries["op_wordpiece_encode"] = _op_wordpiece_encode
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)
