@@ -625,6 +625,34 @@ def _gopher_filter(
     )
 
 
+def _c4_clean(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    badwords: list[str] | None = None,
+    min_words_per_line: int | None = None,
+    min_num_sentences: int | None = None,
+    keep_signals: bool = False,
+) -> DataFrame:
+    """core.c4_clean: the C4 line/page cleaning battery (operators.c4,
+    Raffel et al. 2020 §2.2) — boilerplate lines drop individually,
+    pages that stop reading like prose drop whole, and ``text_col`` is
+    REPLACED with the kept lines. ``badwords:`` is the caller's list
+    (empty by default — nothing silently censored)."""
+    from snapflow_spark.operators.c4 import c4_clean
+
+    return c4_clean(
+        input,
+        text_col=text_col,
+        id_col=id_col,
+        badwords=tuple(badwords or ()),
+        min_words_per_line=min_words_per_line,
+        min_num_sentences=min_num_sentences,
+        keep_signals=bool(keep_signals),
+    )
+
+
 def _lang_id(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -1092,6 +1120,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.ppl_buckets": _ppl_buckets,
     "core.frequent_items": _frequent_items,
     "core.gopher_filter": _gopher_filter,
+    "core.c4_clean": _c4_clean,
     "core.robots_filter": _robots_filter,
     "core.sitemap_urls": _sitemap_urls,
     "core.dedup_incremental": _dedup_incremental,

@@ -29,6 +29,10 @@ import sys
 import time
 from pathlib import Path
 
+# module-level so pandas_udf string hints resolve under
+# `from __future__ import annotations` (the UNSUPPORTED_SIGNATURE trap)
+import pandas as pd  # noqa: F401
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from snapflow_spark.registry import all_queries
@@ -108,11 +112,14 @@ HEAVY = {
         "200-host rules table — host hash join + per-candidate LIKE + "
         "one groupBy(url) winner agg"
     ),
-    "op_c4_clean": (
-        "documents; the C4 line/page cleaning battery (round 9, "
-        "operators/c4.py) — one map-only codegen projection (line "
-        "split/filter/rejoin + sentence counting); expected ~linear "
-        "in corpus text bytes"
+    "op_c4_signals": (
+        "documents; the C4 line/page battery's signal computation "
+        "(round 9, operators/c4.py) — one map-only codegen projection "
+        "(line split/filter/rejoin + sentence counting); measured as "
+        "SIGNALS like op_gopher_signals because the fixtures' "
+        "word-salad text has no terminal punctuation, so the filter "
+        "form keeps 0 rows and would measure nothing; expected "
+        "~linear in corpus text bytes"
     ),
     "op_normalize_clean": (
         "documents; codegen hygiene tier ONLY (round 9, "
@@ -325,14 +332,14 @@ def _op_robots_filter(spark, sf_dir: str):
     return filter_robots_disallowed(urls, rules, keep_flag="crawl_ok")
 
 
-def _op_c4_clean(spark, sf_dir: str):
+def _op_c4_signals(spark, sf_dir: str):
     from snapflow_spark.catalog import ensure_parallelism, load_table
-    from snapflow_spark.operators.c4 import c4_clean
+    from snapflow_spark.operators.c4 import c4_signals
 
     d = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    return c4_clean(d, min_num_sentences=1)
+    return c4_signals(d)
 
 
 def _op_normalize_clean(spark, sf_dir: str):
@@ -363,7 +370,6 @@ def _op_pdf_extract(spark, sf_dir: str):
     (encoder twin over the doc text, 40-line pages) into .scratch —
     the cold run absorbs the build like op_langid_predict absorbs
     training; the warm run measures the parse."""
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -470,7 +476,7 @@ def main() -> None:
     queries["op_gopher_signals"] = _op_gopher_signals
     queries["op_langid_predict"] = _op_langid_predict
     queries["op_robots_filter"] = _op_robots_filter
-    queries["op_c4_clean"] = _op_c4_clean
+    queries["op_c4_signals"] = _op_c4_signals
     queries["op_normalize_clean"] = _op_normalize_clean
     queries["op_normalize_full"] = _op_normalize_full
     queries["op_pdf_extract"] = _op_pdf_extract
