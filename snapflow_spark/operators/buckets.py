@@ -92,3 +92,58 @@ def bucketed_pairs(
         )
     )
     return buckets.select(F.explode(pair_structs).alias("p")).select("p.*")
+
+
+def lsh_candidate_prob(s: float, b: int, r: int) -> float:
+    """P(pair with Jaccard similarity ``s`` becomes a candidate) under
+    b bands of r rows: the classic S-curve 1 - (1 - s^r)^b (Leskovec,
+    Rajaraman & Ullman, Mining of Massive Datasets §3.4.2)."""
+    return 1.0 - (1.0 - s**r) ** b
+
+
+def lsh_threshold(b: int, r: int) -> float:
+    """The S-curve's inflection-point approximation (1/b)^(1/r) — the
+    similarity at which candidacy becomes more likely than not."""
+    return (1.0 / b) ** (1.0 / r)
+
+
+def optimal_bands(
+    num_hashes: int,
+    threshold: float,
+    fp_weight: float = 0.5,
+    steps: int = 1000,
+) -> tuple[int, int]:
+    """Choose (bands, rows) for a MinHash signature of ``num_hashes``
+    values targeting Jaccard ``threshold``: minimize
+    ``fp_weight · ∫₀ᵗ P(s) ds + (1-fp_weight) · ∫ᵗ¹ (1-P(s)) ds``
+    (the false-positive mass below the threshold plus the
+    false-negative mass above it, trapezoid-integrated in ``steps``)
+    over every (b, r) with b·r ≤ num_hashes. Deterministic; ties
+    break toward more bands (recall). The standard parameter-tuning
+    rule every LSH library applies — exposed so callers sizing a
+    custom banding (minhash_sha_candidates pins its own oracle-
+    reproducible 16×2) can derive one from a target threshold."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1): {threshold}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_hashes + 1):
+        b = num_hashes // r
+        if b < 1:
+            break
+        fp = fn = 0.0
+        for k in range(steps + 1):
+            s = k / steps
+            w = 0.5 if k in (0, steps) else 1.0
+            p = lsh_candidate_prob(s, b, r)
+            if s < threshold:
+                fp += w * p
+            else:
+                fn += w * (1.0 - p)
+        err = (fp_weight * fp + (1.0 - fp_weight) * fn) / steps
+        key = (err, -b, r)
+        if best is None or key < (best[0], -best[1], best[2]):
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]

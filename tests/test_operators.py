@@ -672,3 +672,48 @@ def test_permissive_scans_quarantine_corrupt_records(spark, tmp_path):
     assert [r._corrupt_record for r in cbad.collect()] == ["2,not_an_int"]
     # the partial parse rides along for triage (id parsed, n nulled)
     assert cbad.first().id == 2 and cbad.first().n is None
+
+
+def test_lsh_optimal_bands_properties():
+    """optimal_bands: exhaustive-minimum parity via an independent
+    error recomputation, S-curve threshold tracks the target, budget
+    respected, monotone r in threshold, guards raise."""
+    import pytest
+
+    from snapflow_spark.operators.buckets import (
+        lsh_candidate_prob,
+        lsh_threshold,
+        optimal_bands,
+    )
+
+    def err(b, r, t, w=0.5, steps=1000):
+        fp = fn = 0.0
+        for k in range(steps + 1):
+            s = k / steps
+            ww = 0.5 if k in (0, steps) else 1.0
+            p = lsh_candidate_prob(s, b, r)
+            if s < t:
+                fp += ww * p
+            else:
+                fn += ww * (1.0 - p)
+        return (w * fp + (1 - w) * fn) / steps
+
+    for h, t in ((32, 0.3), (64, 0.5), (128, 0.8), (100, 0.6)):
+        b, r = optimal_bands(h, t)
+        assert b * r <= h and b >= 1 and r >= 1
+        e = err(b, r, t)
+        for rr in range(1, h + 1):
+            bb = h // rr
+            if bb < 1:
+                break
+            assert e <= err(bb, rr, t) + 1e-12, (h, t, bb, rr)
+        # the chosen curve's inflection sits near the target
+        assert abs(lsh_threshold(b, r) - t) < 0.15
+
+    rs = [optimal_bands(128, t)[1] for t in (0.2, 0.5, 0.8)]
+    assert rs == sorted(rs)  # higher threshold -> more rows per band
+
+    with pytest.raises(ValueError):
+        optimal_bands(128, 1.5)
+    with pytest.raises(ValueError):
+        optimal_bands(0, 0.5)
