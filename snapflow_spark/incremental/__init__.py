@@ -9,6 +9,7 @@ JSON run-ledger, and the reactive loop is ``Pipeline.produce``.
 
 from snapflow_spark.incremental.store import SnapshotStore
 from snapflow_spark.incremental.ledger import RunLedger
+from snapflow_spark.incremental.table_ledger import TableLedger
 from snapflow_spark.incremental.pipeline import Node, Pipeline
 
-__all__ = ["SnapshotStore", "RunLedger", "Node", "Pipeline"]
+__all__ = ["SnapshotStore", "RunLedger", "TableLedger", "Node", "Pipeline"]

@@ -46,11 +46,20 @@ class Pipeline:
     each node gets its own output store under ``<warehouse>/<name>``.
     """
 
-    def __init__(self, warehouse: str):
+    def __init__(self, warehouse: str, ledger=None):
         self.warehouse = Path(warehouse)
         self.nodes: dict[str, Node] = {}
         self.sources: dict[str, SnapshotStore] = {}
-        self.ledger = RunLedger(str(self.warehouse / "ledger.json"))
+        # Ledger backend is pluggable: default is the single-JSON
+        # RunLedger (right size for a pipeline's node count); pass a
+        # TableLedger (incremental/table_ledger.py) for the
+        # commit-log/metastore shape — O(delta) commits, concurrent
+        # producers, checkpointed recovery, auditable as a DataFrame.
+        self.ledger = (
+            ledger
+            if ledger is not None
+            else RunLedger(str(self.warehouse / "ledger.json"))
+        )
 
     def add_source(self, name: str) -> SnapshotStore:
         store = SnapshotStore(self.warehouse / name)
