@@ -14,6 +14,11 @@ from snapflow_spark.operators.curation import (
     stratified_sample_by_hash,
 )
 from snapflow_spark.operators.mixing import mix_corpora, mix_report
+from snapflow_spark.operators.profile import (
+    corpus_profile,
+    profile_partials,
+    profile_report,
+)
 from snapflow_spark.operators.linkgraph import (
     domain_degrees,
     link_graph_edges,
@@ -117,4 +122,7 @@ __all__ = [
     "pagerank",
     "mix_corpora",
     "mix_report",
+    "corpus_profile",
+    "profile_partials",
+    "profile_report",
 ]

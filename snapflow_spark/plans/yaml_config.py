@@ -549,6 +549,33 @@ def _dedup_incremental(
     )
 
 
+def _profile(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    text_col: str = "text",
+    by: str = "",
+    mode: str = "report",
+) -> DataFrame:
+    """core.profile: the corpus data card (operators.profile).
+    ``mode: report`` (default) emits the card (counts, token/char
+    quantiles, dup_rate, mean quality) in one plan; ``mode: partials``
+    emits the MERGEABLE per-group sketch rows instead — the form to
+    accumulate per ingest batch so the dashboard never rescans text
+    (roll up later with profile_report). ``by`` is a comma-separated
+    grouping column list (e.g. ``lang``)."""
+    from snapflow_spark.operators.profile import (
+        corpus_profile,
+        profile_partials,
+    )
+
+    group = [c.strip() for c in by.split(",") if c.strip()]
+    if mode == "report":
+        return corpus_profile(input, text_col=text_col, by=group or None)
+    if mode == "partials":
+        return profile_partials(input, text_col=text_col, by=group or None)
+    raise ValueError(f"core.profile mode must be report|partials, got {mode!r}")
+
+
 def _sitemap_urls(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -1119,6 +1146,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.dsir": _dsir,
     "core.ppl_buckets": _ppl_buckets,
     "core.frequent_items": _frequent_items,
+    "core.profile": _profile,
     "core.gopher_filter": _gopher_filter,
     "core.c4_clean": _c4_clean,
     "core.robots_filter": _robots_filter,

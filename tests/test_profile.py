@@ -1,0 +1,120 @@
+"""Corpus profiler (operators/profile.py): the card's counters match
+exact computation, sketch estimates are tight at test sizes, partials
+MERGE (two batches rolled up == one pass over the union — the
+incremental data-card contract), grouping works at both layers, and
+the plan is one aggregation over the text scan (no UDFs).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.functions.text import token_count_expr
+from snapflow_spark.operators.profile import (
+    corpus_profile,
+    profile_partials,
+    profile_report,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(200):
+        lang = "en" if i % 3 else "de"
+        body = f"the quick brown fox {i % 40} jumps over the lazy dog " * (
+            1 + i % 7
+        )
+        rows.append((i, lang, body))
+    for i in range(200, 210):  # exact duplicates of doc 0's text
+        rows.append((i, "en", rows[0][2]))
+    rows.append((210, "en", "   "))  # whitespace-only doc
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_card_counters_match_exact(spark, docs):
+    card = corpus_profile(docs).collect()[0]
+    exact = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(token_count_expr("text")).alias("toks"),
+    ).collect()[0]
+    assert card.n_docs == exact.n
+    assert card.n_chars == exact.chars
+    assert card.n_tokens == exact.toks
+    assert card.pct_empty == round(1 / exact.n, 6)
+    assert card.mean_tokens == round(exact.toks / exact.n, 2)
+    # 40 distinct texts among the repeated bodies + dups + empty doc:
+    # HLL at lgk=12 is exact-ish at this cardinality
+    n_exact_distinct = docs.select(
+        F.countDistinct(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    ).collect()[0][0]
+    assert abs(card.n_distinct_docs - n_exact_distinct) <= 2
+    assert card.dup_rate == pytest.approx(
+        1 - card.n_distinct_docs / card.n_docs, abs=1e-6
+    )
+
+
+def test_quantiles_bracket_exact(spark, docs):
+    card = corpus_profile(docs).collect()[0]
+    toks = sorted(
+        r[0] for r in docs.select(token_count_expr("text")).collect()
+    )
+    # KLL at k=200 over 211 points is exact; allow rank slack of 2
+    for p, col in [(0.5, "tokens_p50"), (0.9, "tokens_p90")]:
+        lo = toks[max(0, int(p * len(toks)) - 2)]
+        hi = toks[min(len(toks) - 1, int(p * len(toks)) + 2)]
+        assert lo <= getattr(card, col) <= hi
+
+
+def _cards_equal(merged, onepass):
+    """Counters must match exactly; quantile columns only within a
+    small relative tolerance — KLL is a compaction sketch, so merging
+    two sketches is not bit-identical to building one (both answers
+    carry the same rank guarantee)."""
+    m, o = merged.asDict(), onepass.asDict()
+    assert set(m) == set(o)
+    for k in m:
+        if k.startswith(("tokens_p", "chars_p")):
+            assert m[k] == pytest.approx(o[k], rel=0.06), k
+        else:
+            assert m[k] == o[k], k
+
+
+def test_partials_merge_across_batches(spark, docs):
+    a = docs.where("doc_id < 100")
+    b = docs.where("doc_id >= 100")
+    merged = profile_report(
+        profile_partials(a, "text").unionByName(profile_partials(b, "text"))
+    ).collect()[0]
+    _cards_equal(merged, corpus_profile(docs).collect()[0])
+
+
+def test_grouped_card_and_coarser_rollup(spark, docs):
+    by_lang = {
+        r.lang: r for r in corpus_profile(docs, by=["lang"]).collect()
+    }
+    assert set(by_lang) == {"en", "de"}
+    exact_en = docs.where("lang = 'en'").count()
+    assert by_lang["en"].n_docs == exact_en
+    # partials grouped by lang, report rolled up to GLOBAL: equals the
+    # ungrouped card (merge algebra is grouping-invariant)
+    rolled = profile_report(profile_partials(docs, "text", by=["lang"])).collect()[0]
+    _cards_equal(rolled, corpus_profile(docs).collect()[0])
+
+
+def test_plan_is_one_codegen_agg_no_udf(spark, docs):
+    plan = profile_partials(docs, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") <= 2  # partial + final, one agg pair
+
+
+def test_yaml_builtin_modes(spark, docs):
+    from snapflow_spark.plans.yaml_config import BUILTINS
+
+    fn = BUILTINS["core.profile"]
+    card = fn(spark, docs).collect()
+    assert len(card) == 1 and card[0].n_docs == 211
+    partials = fn(spark, docs, by="lang", mode="partials")
+    assert partials.count() == 2 and "kll_tokens" in partials.columns
+    with pytest.raises(ValueError, match="report|partials"):
+        fn(spark, docs, mode="nope")
