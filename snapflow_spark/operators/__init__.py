@@ -66,6 +66,8 @@ from snapflow_spark.operators.similarity import (
     embedding_near_dup_pairs_int,
     semantic_dedup,
     ivf_pq_topk,
+    prototype_filter,
+    d4_select,
 )
 from snapflow_spark.operators.skew import salted_count_by_key, salted_join
 from snapflow_spark.operators.sql_snap import sql_snap
@@ -125,4 +127,6 @@ __all__ = [
     "corpus_profile",
     "profile_partials",
     "profile_report",
+    "prototype_filter",
+    "d4_select",
 ]

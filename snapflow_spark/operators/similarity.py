@@ -1085,3 +1085,128 @@ def semantic_dedup(
     return dedup_cluster_representatives(
         corpus, pairs.select("id_a", "id_b"), id_col=id_col, max_iter=max_iter
     )
+
+
+def prototype_filter(
+    index: "IVFIndex",
+    drop_frac: float = 0.2,
+    among: DataFrame | None = None,
+) -> DataFrame:
+    """SSL-prototype diversification (the second stage of D4 —
+    Tirumala et al. 2023, "D4: Improving LLM Pretraining via Document
+    De-Duplication and Diversification"): within each k-means cluster,
+    DROP the ``drop_frac`` most PROTOTYPICAL points (highest cosine to
+    their own centroid — the redundant template-like members) and keep
+    the diverse remainder.
+
+    Decision frame: (id, cell, proto, is_kept) — semi-join
+    ``is_kept`` downstream, the semantic_dedup convention.
+
+    Plan shape at scale: the centroid table is k_cells rows
+    (driver-side numpy already, KBs) broadcast-joined onto the
+    assignment, so proto scoring is map-only; ranking is one window
+    per cell (ONE shuffle on the cell id — the same key the standing
+    index is already partitioned by, so a save()'d index prunes and
+    re-shuffles nothing). Determinism: ties break by id ascending.
+
+    ``among``: optional id frame restricting RANKING to a subset
+    (e.g. semantic-dedup survivors) — the paper applies
+    diversification AFTER dedup, and ranking among survivors is not
+    the same as filtering ranked-among-everyone results.
+    """
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
+    spark = index.assigned.sparkSession
+    id_col, vec_col = index.id_col, index.vec_col
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(index.centers)],
+        f"cell int, __centroid array<double>",
+    )
+    scored = index.assigned.select(id_col, vec_col, "cell")
+    if among is not None:
+        scored = scored.join(
+            among.select(F.col(id_col)).distinct(), id_col, "semi"
+        )
+    scored = scored.join(F.broadcast(centroids), "cell").select(
+        id_col,
+        "cell",
+        F.round(cosine_similarity(vec_col, "__centroid"), 8).alias("proto"),
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell").orderBy(
+        F.col("proto").desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("cell")
+    # drop the ceil(drop_frac * n) most prototypical members per cell:
+    # exact-count semantics (percent_rank's (r-1)/(n-1) misbehaves at
+    # n=1 and rounds differently), deterministic under ties
+    return scored.select(
+        id_col,
+        "cell",
+        "proto",
+        (
+            F.row_number().over(w)
+            > F.ceil(F.count(F.lit(1)).over(wc) * F.lit(float(drop_frac)))
+        ).alias("is_kept"),
+    )
+
+
+def d4_select(
+    corpus: DataFrame | None = None,
+    index: "IVFIndex | None" = None,
+    cos_threshold: float = 0.95,
+    drop_frac: float = 0.2,
+    k_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_max_bucket: int = 512,
+    observation=None,
+) -> DataFrame:
+    """The full D4 recipe (Tirumala et al. 2023) as one operator:
+    SemDeDup (drop near-duplicate embeddings, keep one representative
+    per semantic cluster) THEN SSL-prototype diversification (drop
+    the most prototypical ``drop_frac`` of the SURVIVORS per k-means
+    cell).
+
+    ONE IVFIndex serves both stages — a single sample + assignment
+    pass over the corpus supplies SemDeDup's cluster blocking AND the
+    prototype centroids, which is the paper's own structure (both
+    stages read the same k-means geometry) and the only shape that
+    scans a 100 TB corpus once.
+
+    Decision frame: (id, component, is_rep, proto, is_kept) where
+    ``is_kept`` = survived BOTH stages. Dropped duplicates carry
+    ``proto`` NULL (they never enter the ranking — the paper
+    diversifies among dedup survivors)."""
+    if index is None:
+        if corpus is None:
+            raise ValueError("d4_select needs a corpus or an index")
+        index = IVFIndex.build(
+            corpus, k_cells=k_cells, vec_col=vec_col, id_col=id_col
+        )
+    id_col = index.id_col
+    sd = semantic_dedup(
+        cos_threshold=cos_threshold,
+        index=index,
+        cell_max_bucket=cell_max_bucket,
+        observation=observation,
+    ).select(id_col, "component", "is_rep")
+    reps = sd.where("is_rep").select(id_col)
+    pf = prototype_filter(index, drop_frac=drop_frac, among=reps).select(
+        id_col, "proto", F.col("is_kept").alias("__pf_kept")
+    )
+    return (
+        sd.join(pf, id_col, "left")
+        .select(
+            id_col,
+            "component",
+            "is_rep",
+            "proto",
+            (F.col("is_rep") & F.coalesce("__pf_kept", F.lit(False))).alias(
+                "is_kept"
+            ),
+        )
+    )

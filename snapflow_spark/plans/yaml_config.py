@@ -778,6 +778,34 @@ def _semantic_dedup(
     )
 
 
+def _d4(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    cos_threshold: float = 0.95,
+    drop_frac: float = 0.2,
+    k_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_max_bucket: int = 512,
+) -> DataFrame:
+    """core.d4: the D4 curation recipe (operators.similarity.
+    d4_select — SemDeDup then per-cell prototype diversification over
+    ONE shared k-means assignment). Emits the decision frame
+    (id, component, is_rep, proto, is_kept) — semi-join ``is_kept``
+    downstream to keep the deduped, diversified subset."""
+    from snapflow_spark.operators import d4_select
+
+    return d4_select(
+        input,
+        cos_threshold=float(cos_threshold),
+        drop_frac=float(drop_frac),
+        k_cells=int(k_cells),
+        vec_col=vec_col,
+        id_col=id_col,
+        cell_max_bucket=int(cell_max_bucket),
+    )
+
+
 class _ImportedDecoder:
     """A ``module:function`` import path as a callable that resolves
     LAZILY on whatever process calls it. This is the executor-shipping
@@ -1156,6 +1184,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.lang_id": _lang_id,
     "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,
+    "core.d4": _d4,
     "core.image_dedup": _image_dedup,
     "core.scan_warc": _scan_warc,
     "core.url_dedup": _url_dedup,
