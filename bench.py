@@ -41,8 +41,25 @@ from snapflow_spark.registry import all_queries  # noqa: E402
 from snapflow_spark.session import build_session  # noqa: E402
 
 
+def _cpu_spin_ms() -> float:
+    """Fixed single-core python spin, reported in ms — a DIRECT host
+    steal/contention stamp. Loadavg conflates our own local[32] work
+    with external steal; this spin is a constant amount of work, so
+    the ratio between two rounds' readings multiplies every
+    single-threaded section of the bench. Measured at start AND end
+    of the run; the idle-window reference reading for this box is
+    recorded in SCALE.md (§host-noise) — a reading 2x that means the
+    round's wall numbers are inflated by the host, not the code."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def run(sf_dir: str, names: list[str]) -> dict:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spin_start_ms = _cpu_spin_ms()
     queries = all_queries()
     spark = build_session("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -62,6 +79,8 @@ def run(sf_dir: str, names: list[str]) -> dict:
     with tempfile.TemporaryDirectory() as td:
         spark.range(2).write.mode("overwrite").parquet(f"{td}/warm")
 
+    mid_spins: list[float] = []
+
     def one_pass(repeats: int = 1) -> dict[str, float]:
         # repeats>1 takes the MIN of `repeats` back-to-back runs per
         # query: this box has external CPU steal (BENCH_r05's warm
@@ -71,6 +90,12 @@ def run(sf_dir: str, names: list[str]) -> dict:
         # protocol tools/bench_scale.py already uses for that reason.
         timings: dict[str, float] = {}
         for name in names:
+            # per-query steal sample: the endpoint spins miss mid-run
+            # bursts (observed: one run's endpoints read 63/75 ms
+            # while q_similarity_ann sat at 10x its usual warm time —
+            # the burst hit in the middle); ~65 ms per query is noise
+            # next to any query's runtime
+            mid_spins.append(_cpu_spin_ms())
             best = float("inf")
             for _ in range(repeats):
                 t0 = time.perf_counter()
@@ -118,6 +143,21 @@ def run(sf_dir: str, names: list[str]) -> dict:
         # numbers are inflated; the min-of-3 warm headline resists it.
         "loadavg_cold_1m": cold_loadavg,
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        # fixed-work single-core spin at start/end (ms): the direct
+        # steal stamp — idle reference ~170 ms; 2x that means host
+        # contention inflated this round's wall numbers (see
+        # _cpu_spin_ms)
+        "cpu_spin_start_ms": spin_start_ms,
+        "cpu_spin_end_ms": _cpu_spin_ms(),
+        # mid-run coverage: one spin sample before every query's rep
+        # block (cold + warm passes) — median = the run's typical
+        # steal level, max = the worst burst any query may have eaten
+        "cpu_spin_mid_med_ms": round(
+            sorted(mid_spins)[len(mid_spins) // 2], 1
+        )
+        if mid_spins
+        else None,
+        "cpu_spin_mid_max_ms": max(mid_spins) if mid_spins else None,
         "value_cold": round(sum(cold.values()), 3),
         # value == value_warm: `value` is what the driver headlines,
         # `value_warm` is kept so r04-r06 cross-round warm trends keep
@@ -148,6 +188,10 @@ def main() -> None:
         "n_queries": result["n_queries"],
         "cpus": result["cpus"],
         "loadavg_1m": result["loadavg_1m"],
+        "cpu_spin_start_ms": result["cpu_spin_start_ms"],
+        "cpu_spin_end_ms": result["cpu_spin_end_ms"],
+        "cpu_spin_mid_med_ms": result["cpu_spin_mid_med_ms"],
+        "cpu_spin_mid_max_ms": result["cpu_spin_mid_max_ms"],
         "headline_protocol": "warm_min_of_3",
         "slowest_warm": slowest,
         "value_cold": result["value_cold"],
