@@ -330,3 +330,41 @@ def test_pdf_extractor_total_on_arbitrary_bytes(junk, mode):
     assert title is None or isinstance(title, str)
     assert text is None or isinstance(text, str)
     assert n is None or isinstance(n, int)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["consume", "replace"]),
+            st.sampled_from(["n1", "n2"]),
+            st.sampled_from(["in", "aux"]),
+            st.lists(st.integers(min_value=0, max_value=9), max_size=4),
+        ),
+        max_size=16,
+    ),
+    ckpt_interval=st.integers(min_value=0, max_value=5),
+)
+def test_table_ledger_folds_like_json_ledger(ops, ckpt_interval, tmp_path_factory):
+    """Any op sequence folds identically through the JSON blob ledger
+    and the commit-log ledger — including mid-sequence checkpoints
+    (interval > 0) and a fresh reader bootstrapping from log+checkpoint
+    at the end."""
+    from snapflow_spark.incremental import RunLedger, TableLedger
+
+    tmp = tmp_path_factory.mktemp("ledgers")
+    jl = RunLedger(str(tmp / "ledger.json"))
+    tl = TableLedger(tmp / "log", checkpoint_interval=ckpt_interval)
+    for op, node, inp, ids in ops:
+        sids = [f"s-{i}" for i in ids]
+        if op == "consume":
+            jl.mark_consumed(node, inp, sids)
+            tl.mark_consumed(node, inp, sids)
+        else:
+            jl.replace_consumed(node, inp, sids, "s-R")
+            tl.replace_consumed(node, inp, sids, "s-R")
+    keys = [(n, i) for n in ("n1", "n2") for i in ("in", "aux")]
+    fresh = TableLedger(tmp / "log")
+    for n, i in keys:
+        assert tl.consumed(n, i) == jl.consumed(n, i), (n, i)
+        assert fresh.consumed(n, i) == jl.consumed(n, i), (n, i)

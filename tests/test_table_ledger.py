@@ -169,3 +169,35 @@ def test_pipeline_compact_fixes_table_ledger(spark, tmp_path):
     # consumer ledger now points at the compacted snapshot: no re-read
     assert pipe.produce(spark) == 0
     assert pipe.store("sink").read(spark).count() == 3
+
+
+def _writer(args):
+    """Top-level so it pickles to worker processes."""
+    path, tag, n = args
+    from snapflow_spark.incremental import TableLedger
+
+    tl = TableLedger(path, checkpoint_interval=7)
+    for i in range(n):
+        tl.mark_consumed("node", "in", [f"{tag}-{i}"])
+    return tag
+
+
+def test_concurrent_writers_lose_nothing(tmp_path):
+    """Two real processes racing mark_consumed on one log: the
+    create-exclusive publish must serialize them without losing a
+    single commit (and mixed-in auto-checkpoints must not corrupt the
+    fold)."""
+    import multiprocessing as mp
+
+    log = str(tmp_path / "log")
+    with mp.Pool(2) as pool:
+        pool.map(_writer, [(log, "a", 40), (log, "b", 40)])
+    final = TableLedger(log)
+    got = final.consumed("node", "in")
+    assert sorted(got) == sorted(
+        [f"a-{i}" for i in range(40)] + [f"b-{i}" for i in range(40)]
+    )
+    # each writer's own marks stay in its issue order within the fold
+    for tag in ("a", "b"):
+        own = [s for s in got if s.startswith(tag)]
+        assert own == [f"{tag}-{i}" for i in range(40)]
