@@ -580,3 +580,43 @@ def test_gopher_and_langid_run_on_streams(spark, tmp_path):
     assert len(batch_out) == 24
     # sanity: predictions are real, not all-und
     assert sum(1 for r in batch_out if r[2] in ("en", "de")) == 24
+
+
+def test_profile_partials_accumulate_on_streams(spark, tmp_path):
+    """Round 9: the corpus data card's sketch aggregation (KLL + HLL +
+    additive counters) runs as a Structured Streaming aggregation in
+    complete mode — the live-dashboard shape: partials update as
+    snapshots arrive, and the final streamed card matches the batch
+    card over the same corpus (counters exactly; KLL quantiles within
+    sketch tolerance, same rank guarantee either way)."""
+    from snapflow_spark.operators.profile import (
+        corpus_profile,
+        profile_partials,
+        profile_report,
+    )
+
+    store = SnapshotStore(tmp_path / "docs")
+    rows = [
+        (i, f"streaming corpus doc {i % 7} body tokens " * (1 + i % 5))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # two ingest batches, as a crawl would deliver them
+    store.append(docs.where("doc_id < 25"))
+    store.append(docs.where("doc_id >= 25"))
+
+    stream = stream_from_snapshots(spark, str(store.path), docs.schema)
+    streamed = run_stream_to_batch(
+        profile_partials(stream, "text"),
+        output_mode="complete",
+        checkpoint=str(tmp_path / "ckpt_profile"),
+    )
+    card = profile_report(streamed).collect()[0]
+    batch = corpus_profile(docs).collect()[0]
+    m, o = card.asDict(), batch.asDict()
+    assert set(m) == set(o)
+    for k in m:
+        if k.startswith(("tokens_p", "chars_p")):
+            assert m[k] == pytest.approx(o[k], rel=0.06), k
+        else:
+            assert m[k] == o[k], k

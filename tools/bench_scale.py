@@ -144,6 +144,19 @@ HEAVY = {
         "(trained once per process, like op_langid_predict) — "
         "map-only Arrow pass with the per-batch Zipf cache"
     ),
+    "op_profile": (
+        "documents; corpus data card (round 9, operators/profile.py) "
+        "— ONE codegen-feature scan folded map-side into counters + "
+        "KLL/HLL sketches, then the merge-only report; shuffle is "
+        "O(groups)=1 row, so cost is the feature scan: expected "
+        "~linear in text bytes"
+    ),
+    "op_d4": (
+        "embeddings; full D4 recipe (round 9, similarity.py d4_select) "
+        "— one IVFIndex build+assign serving SemDeDup cell pairs AND "
+        "prototype ranking; in-cell quadratic bounded by "
+        "cell_max_bucket, ranking one window on the cell key"
+    ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
     "q_stream_windows": "events; tumbling+sliding agg",
@@ -427,6 +440,25 @@ def _op_wordpiece_encode(spark, sf_dir: str):
     )
 
 
+def _op_profile(spark, sf_dir: str):
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.operators.profile import corpus_profile
+
+    return corpus_profile(load_table(spark, sf_dir, "documents"))
+
+
+def _op_d4(spark, sf_dir: str):
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.operators.similarity import d4_select
+
+    return d4_select(
+        load_table(spark, sf_dir, "embeddings"),
+        cos_threshold=0.95,
+        drop_frac=0.2,
+        k_cells=16,
+    )
+
+
 def run_once(spark, fn, sf_dir: str) -> tuple[float, int]:
     """Materialize through the same noop-sink protocol bench.py uses.
 
@@ -481,6 +513,8 @@ def main() -> None:
     queries["op_normalize_full"] = _op_normalize_full
     queries["op_pdf_extract"] = _op_pdf_extract
     queries["op_wordpiece_encode"] = _op_wordpiece_encode
+    queries["op_profile"] = _op_profile
+    queries["op_d4"] = _op_d4
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)
