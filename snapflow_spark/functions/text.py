@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType, LongType
+from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType
 
 TOKEN_RE = r"\S+"
 
@@ -394,3 +394,78 @@ def minhash_sha_bands_udf(col: str | Column) -> Column:
     operators.dedup_text.minhash_sha_candidates)."""
     c = F.col(col) if isinstance(col, str) else col
     return pandas_udf(_minhash_sha_bands_batch, ArrayType(LongType()))(c)
+
+
+_EMB_FNV = np.uint64(1099511628211)
+_EMB_MIX = np.uint64(2654435761)
+
+
+def _hashed_embedding_batch(
+    texts: pd.Series, dim: int, ns: tuple[int, ...], seed: np.uint64
+) -> pd.Series:
+    """Feature-hashing text embedding (Weinberger et al. 2009's
+    hashing trick): every char n-gram Horner-folds to a uint64, the
+    low bits pick a dimension, one high bit picks the sign, counts
+    accumulate, the vector L2-normalizes. Deterministic (salt-seeded
+    integer arithmetic, no model), vectorized per doc (n multiplies
+    per n-gram ORDER, not per gram). NULL/empty texts embed as the
+    zero vector (cosine 0 with everything — never a spurious match)."""
+    out = []
+    zero = np.zeros(dim, dtype=np.float32)
+    for t in texts:
+        if not isinstance(t, str) or not t.strip():
+            out.append(zero)
+            continue
+        norm = " " + " ".join(t.lower().split()) + " "
+        a = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        v = np.zeros(dim, dtype=np.float64)
+        with np.errstate(over="ignore"):
+            for n in ns:
+                if a.size < n:
+                    continue
+                m = a.size - n + 1
+                h = np.zeros(m, dtype=np.uint64)
+                for j in range(n):
+                    h = h * _EMB_FNV + a[j : j + m]
+                h = (h ^ seed) * _EMB_MIX
+                idx = (h % np.uint64(dim)).astype(np.int64)
+                sign = np.where(
+                    (h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0
+                )
+                np.add.at(v, idx, sign)
+        nrm = float(np.linalg.norm(v))
+        out.append((v / nrm).astype(np.float32) if nrm > 0 else zero)
+    return pd.Series(out)
+
+
+def hashed_embedding_udf(
+    col: str | Column,
+    dim: int = 64,
+    ngrams: tuple[int, ...] = (2, 3),
+    salt: str = "embed-v1",
+) -> Column:
+    """`array<float>` hashed char-n-gram embedding of a text column —
+    the model-free bridge from a TEXT-ONLY corpus into the embedding
+    family (semantic_dedup / d4_select / IVF-PQ ANN all consume it
+    directly). Near-identical texts land near cosine 1 because their
+    gram multisets almost coincide; it is a lexical embedding, not a
+    semantic one — use real model embeddings when available, this
+    when they are not (the engine's multimodal decode-stub stance).
+    One Arrow-batched pass, weights-free; built at call time
+    (pandas_udf registration needs an active session)."""
+    import hashlib
+
+    c = F.col(col) if isinstance(col, str) else col
+    seed = np.uint64(
+        int.from_bytes(hashlib.sha256(salt.encode()).digest()[:8], "big")
+    )
+    ns = tuple(int(n) for n in ngrams)
+    d = int(dim)
+
+    @pandas_udf(ArrayType(FloatType()))
+    def emb(texts: pd.Series) -> pd.Series:
+        return _hashed_embedding_batch(texts, d, ns, seed)
+
+    return emb(c)

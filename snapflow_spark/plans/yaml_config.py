@@ -778,6 +778,25 @@ def _semantic_dedup(
     )
 
 
+def _text_embed(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = 64,
+    salt: str = "embed-v1",
+) -> DataFrame:
+    """core.text_embed: model-free hashed char-n-gram embedding
+    (functions.text.hashed_embedding_udf) — attaches `out_col`
+    array<float> so a text-only corpus can flow into core.d4 /
+    core.semantic_dedup / the ANN family."""
+    from snapflow_spark.functions.text import hashed_embedding_udf
+
+    return input.withColumn(
+        out_col, hashed_embedding_udf(text_col, dim=int(dim), salt=salt)
+    )
+
+
 def _d4(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -1185,6 +1204,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,
     "core.d4": _d4,
+    "core.text_embed": _text_embed,
     "core.image_dedup": _image_dedup,
     "core.scan_warc": _scan_warc,
     "core.url_dedup": _url_dedup,
