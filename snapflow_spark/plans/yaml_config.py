@@ -778,6 +778,24 @@ def _semantic_dedup(
     )
 
 
+def _sniff_format(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    payload_col: str = "payload",
+    out_col: str = "format",
+    sniff_bytes: int = 256,
+) -> DataFrame:
+    """core.sniff_format: magic-byte format label for a binary payload
+    column (functions.sniff) — route rows by BYTES, not by the lying
+    Content-Type header; filter per label downstream (html →
+    core.html_text, pdf → core.pdf_text, media → probes)."""
+    from snapflow_spark.functions.sniff import sniff_format_expr
+
+    return input.withColumn(
+        out_col, sniff_format_expr(payload_col, sniff_bytes=int(sniff_bytes))
+    )
+
+
 def _text_embed(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -1205,6 +1223,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.semantic_dedup": _semantic_dedup,
     "core.d4": _d4,
     "core.text_embed": _text_embed,
+    "core.sniff_format": _sniff_format,
     "core.image_dedup": _image_dedup,
     "core.scan_warc": _scan_warc,
     "core.url_dedup": _url_dedup,
