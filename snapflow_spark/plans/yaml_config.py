@@ -778,6 +778,22 @@ def _semantic_dedup(
     )
 
 
+def _http_parts(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    payload_col: str = "payload",
+) -> DataFrame:
+    """core.http_parts: split raw WARC response payloads into
+    ``http_status``/``http_content_type``/``http_body`` ONCE
+    (sources.warc.http_response_parts), so a router pipeline can
+    sniff + branch on the body without each branch re-splitting —
+    core.html_text/core.pdf_text then consume ``http_body`` directly
+    (from_http_payload stays false)."""
+    from snapflow_spark.sources.warc import http_response_parts
+
+    return http_response_parts(input, payload_col=payload_col)
+
+
 def _sniff_format(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -1224,6 +1240,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.d4": _d4,
     "core.text_embed": _text_embed,
     "core.sniff_format": _sniff_format,
+    "core.http_parts": _http_parts,
     "core.image_dedup": _image_dedup,
     "core.scan_warc": _scan_warc,
     "core.url_dedup": _url_dedup,

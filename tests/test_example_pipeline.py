@@ -31,6 +31,27 @@ def _resp(url, html):
     )
 
 
+def _pdf_resp(url, page_text):
+    """A PDF response whose Content-Type LIES (octet-stream): the
+    pipeline's magic-byte router must classify it by bytes."""
+    from snapflow_spark.multimodal.pdf import make_pdf_bytes
+
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n\r\n"
+        + make_pdf_bytes([page_text])
+    )
+    return (
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": f"<urn:uuid:{abs(hash(url))}>",
+            "WARC-Target-URI": url,
+            "WARC-Date": "2026-08-14T12:00:00Z",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        payload,
+    )
+
+
 ARTICLE = (
     "<div><a href='/'>Home</a> | <a href='/about'>About</a></div>"
     "<p>{body} This sentence pads the paragraph well past the sixty "
@@ -81,6 +102,14 @@ def crawl_dir(tmp_path):
                 ARTICLE.format(body="Beta article prose entirely different.",
                                link="https://news.example/a"),
             ),
+            # served with a LYING octet-stream header: only magic-byte
+            # routing gets this to the PDF extractor
+            _pdf_resp(
+                "https://docs.example/report.pdf",
+                "Delta report prose arrives inside of a portable document "
+                "and it should survive all of the downstream text gates "
+                "with room to spare. The report body reads like prose.",
+            ),
         ],
     )
     return d
@@ -104,14 +133,18 @@ def test_cc_pipeline_end_to_end(spark, tmp_path, crawl_dir):
         # overwrite-nodes hold exactly one (current) snapshot
         return g.read(spark, name).collect()
 
-    # spam domain + phrase filtered before anything else counts
-    clean = g.read(spark, "clean_pages").collect()
+    # spam domain + phrase filtered before anything else counts;
+    # the sniffer labeled every kept row by its BYTES
+    clean = g.read(spark, "clean").collect()
     assert all("spam-mill" not in r.target_uri for r in clean)
-    assert len(clean) == 3  # 2x news (tracking variant) + 1 blog
+    assert len(clean) == 4  # 2x news (tracking variant) + 1 blog + 1 pdf
+    fmts = {r.target_uri: r.format for r in clean}
+    assert fmts["https://docs.example/report.pdf"] == "pdf"  # header lied
+    assert fmts["https://blog.example/x"] == "html"
 
     # canonical-url dedup collapses the tracking variant
     uniq = latest("unique_urls")
-    assert len(uniq) == 2
+    assert len(uniq) == 3
     by_url = {r.canonical_url: r.n_copies for r in uniq}
     assert by_url["https://news.example/a"] == 2
 
@@ -120,11 +153,13 @@ def test_cc_pipeline_end_to_end(spark, tmp_path, crawl_dir):
     assert set(ranks) == {"news.example", "blog.example"}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
 
-    # main_text made it into docs; chrome did not
+    # main_text made it into docs; chrome did not; the byte-routed
+    # PDF branch converged into the same corpus schema
     docs = {r.url: r.text for r in g.read(spark, "docs").collect()}
     assert any("Alpha article prose" in t for t in docs.values())
     assert all("Home" not in t and "rights reserved" not in t
                for t in docs.values())
+    assert "Delta report prose" in docs["https://docs.example/report.pdf"]
 
     # cross-doc line dedup keeps the shared boilerplate line ONCE
     # the Gopher gate (relaxed word floor for the tiny demo corpus)
@@ -159,4 +194,4 @@ def test_cc_pipeline_end_to_end(spark, tmp_path, crawl_dir):
                               link="https://news.example/a"))],
     )
     assert g.produce(spark) > 0
-    assert len(latest("unique_urls")) == 3
+    assert len(latest("unique_urls")) == 4
