@@ -96,18 +96,30 @@ def run(sf_dir: str, names: list[str]) -> dict:
             # the burst hit in the middle); ~65 ms per query is noise
             # next to any query's runtime
             mid_spins.append(_cpu_spin_ms())
-            best = float("inf")
-            for _ in range(repeats):
+            samples: list[float] = []
+            # ADAPTIVE reps (round 9): a steal burst during one
+            # query's rep block can inflate all `repeats` samples at
+            # once — min-of-3 then reports a number that is pure host
+            # noise. When the samples disagree by >2x, take up to two
+            # extra reps: either the burst has passed (the min
+            # recovers) or the extra minutes were genuinely not
+            # available and the spread stays on record via the spin
+            # samples. Bounded: worst case 5 reps per query.
+            max_reps = repeats + 2 if repeats > 1 else repeats
+            while len(samples) < repeats or (
+                len(samples) < max_reps
+                and max(samples) > 2 * min(samples)
+            ):
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.perf_counter() - t0)
+                samples.append(time.perf_counter() - t0)
                 # queries are independent; drop any persist() a query
                 # left behind so later timings aren't skewed by
                 # storage-memory eviction of accumulated cache segments
                 spark.catalog.clearCache()
-            timings[name] = round(best, 3)
+            timings[name] = round(min(samples), 3)
         return timings
 
     # Two passes: pass 1 includes residual first-touch costs (file
