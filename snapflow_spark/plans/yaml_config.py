@@ -560,12 +560,16 @@ def _profile(
     ``mode: report`` (default) emits the card (counts, token/char
     quantiles, dup_rate, mean quality) in one plan; ``mode: partials``
     emits the MERGEABLE per-group sketch rows instead — the form to
-    accumulate per ingest batch so the dashboard never rescans text
-    (roll up later with profile_report). ``by`` is a comma-separated
+    accumulate per ingest batch so the dashboard never rescans text;
+    ``mode: rollup`` consumes ACCUMULATED partial rows (counters add,
+    sketches merge) and emits the card without touching text — pair a
+    delta-consuming partials node with a reference-consuming rollup
+    node for the incremental data card. ``by`` is a comma-separated
     grouping column list (e.g. ``lang``)."""
     from snapflow_spark.operators.profile import (
         corpus_profile,
         profile_partials,
+        profile_report,
     )
 
     group = [c.strip() for c in by.split(",") if c.strip()]
@@ -573,7 +577,11 @@ def _profile(
         return corpus_profile(input, text_col=text_col, by=group or None)
     if mode == "partials":
         return profile_partials(input, text_col=text_col, by=group or None)
-    raise ValueError(f"core.profile mode must be report|partials, got {mode!r}")
+    if mode == "rollup":
+        return profile_report(input, by=group or None)
+    raise ValueError(
+        f"core.profile mode must be report|partials|rollup, got {mode!r}"
+    )
 
 
 def _sitemap_urls(

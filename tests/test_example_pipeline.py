@@ -176,11 +176,12 @@ def test_cc_pipeline_end_to_end(spark, tmp_path, crawl_dir):
     assert boiler_hits == 1
     assert {r.split for r in dd} <= {"train", "test"}
 
-    # the data card profiles the deduped corpus: one global row whose
-    # doc count matches the store it profiled
+    # the INCREMENTAL data card: per-batch partial rows accumulated
+    # from deltas, report rolled up from partials alone — doc count
+    # matches the full docs corpus without any re-profiling scan
     card = latest("datacard")
     assert len(card) == 1
-    assert card[0].n_docs == len(g.read(spark, "deduped").collect())
+    assert card[0].n_docs == len(g.read(spark, "docs").collect())
     assert card[0].n_tokens > 0 and 0.0 <= card[0].dup_rate <= 1.0
 
     # incremental: nothing new -> no-op produce

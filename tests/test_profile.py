@@ -116,5 +116,9 @@ def test_yaml_builtin_modes(spark, docs):
     assert len(card) == 1 and card[0].n_docs == 211
     partials = fn(spark, docs, by="lang", mode="partials")
     assert partials.count() == 2 and "kll_tokens" in partials.columns
+    # rollup consumes partials (not text) and reproduces the card
+    rolled = fn(spark, partials, mode="rollup").collect()[0]
+    assert rolled.n_docs == card[0].n_docs
+    assert rolled.n_tokens == card[0].n_tokens
     with pytest.raises(ValueError, match="report|partials"):
         fn(spark, docs, mode="nope")
