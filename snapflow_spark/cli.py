@@ -116,7 +116,34 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--label-col", default="lang")
     tl.add_argument("--buckets", type=int, default=4096)
     tl.add_argument("--iters", type=int, default=40)
+    pf = sub.add_parser(
+        "profile",
+        help="corpus data card over a parquet path (counts, token/char "
+        "quantiles, dup_rate, mean quality) — one JSON line per group",
+    )
+    pf.add_argument("path", help="parquet file/dir with a text column")
+    pf.add_argument("--text-col", default="text")
+    pf.add_argument("--by", default="", help="comma-separated group columns")
     args = ap.parse_args(argv)
+
+    if args.cmd == "profile":
+        import json as _json
+
+        from snapflow_spark.operators.profile import corpus_profile
+        from snapflow_spark.session import build_session, tune
+
+        spark = build_session("cli-profile")
+        spark.sparkContext.setLogLevel("ERROR")
+        tune(spark)
+        group = [c.strip() for c in args.by.split(",") if c.strip()]
+        card = corpus_profile(
+            spark.read.parquet(args.path),
+            text_col=args.text_col,
+            by=group or None,
+        )
+        for row in card.collect():
+            print(_json.dumps(row.asDict(), sort_keys=True, default=str))
+        return 0
 
     if args.cmd == "warc-stats":
         from pyspark.sql import functions as F

@@ -16,6 +16,7 @@ from snapflow_spark.operators.curation import (
 from snapflow_spark.operators.mixing import mix_corpora, mix_report
 from snapflow_spark.operators.profile import (
     corpus_profile,
+    profile_diff,
     profile_partials,
     profile_report,
 )
@@ -125,6 +126,7 @@ __all__ = [
     "mix_corpora",
     "mix_report",
     "corpus_profile",
+    "profile_diff",
     "profile_partials",
     "profile_report",
     "prototype_filter",

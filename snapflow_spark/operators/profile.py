@@ -169,3 +169,53 @@ def corpus_profile(
         by,
         quantiles,
     )
+
+
+def profile_diff(
+    card_a: DataFrame,
+    card_b: DataFrame,
+    by: list[str] | None = None,
+    tolerance: float = 0.25,
+) -> DataFrame:
+    """Drift between two data cards (e.g. this ingest batch vs the
+    corpus to date): one row per (group,) metric with both values,
+    the b/a ratio, and a breach flag when the ratio leaves
+    [1-tolerance, 1/(1-tolerance)]. The ingest-monitoring primitive —
+    a batch whose mean_tokens halves or dup_rate quadruples is a
+    crawler or extractor incident, and this surfaces it from two
+    1-row-per-group frames (no corpus access at all).
+
+    Count metrics (n_docs/n_chars/n_tokens/n_distinct_docs) are
+    EXCLUDED from breach flagging by default reasoning: batch sizes
+    legitimately vary; shape metrics (means, quantiles, rates) are
+    what drift watches. They still appear in the output with ratios.
+    """
+    keys = list(by or [])
+    shape_prefixes = ("mean_", "pct_", "dup_", "tokens_p", "chars_p")
+    metrics = [c for c in card_a.columns if c not in keys]
+    lo = 1.0 - tolerance
+    hi = 1.0 / lo
+
+    def melt(card: DataFrame, side: str) -> DataFrame:
+        pairs = []
+        for m in metrics:
+            pairs.append(F.struct(F.lit(m).alias("metric"),
+                                  F.col(m).cast("double").alias(side)))
+        return card.select(
+            *keys, F.explode(F.array(*pairs)).alias("__kv")
+        ).select(*keys, "__kv.metric", f"__kv.{side}")
+
+    joined = melt(card_a, "a").join(melt(card_b, "b"), [*keys, "metric"])
+    ratio = F.when(F.col("a") != 0, F.col("b") / F.col("a"))
+    is_shape = F.col("metric").rlike("^(" + "|".join(shape_prefixes) + ")")
+    return joined.select(
+        *keys,
+        "metric",
+        "a",
+        "b",
+        F.round(ratio, 6).alias("ratio"),
+        (
+            is_shape
+            & F.coalesce((ratio < lo) | (ratio > hi), F.lit(True))
+        ).alias("breach"),
+    )

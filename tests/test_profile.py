@@ -122,3 +122,42 @@ def test_yaml_builtin_modes(spark, docs):
     assert rolled.n_tokens == card[0].n_tokens
     with pytest.raises(ValueError, match="report|partials"):
         fn(spark, docs, mode="nope")
+
+
+def test_profile_diff_flags_shape_drift_only(spark, docs):
+    from snapflow_spark.operators.profile import profile_diff
+
+    base = corpus_profile(docs)
+    # a drifted batch: half the docs (counts legitimately shrink) but
+    # texts doubled in length (shape drift that MUST flag)
+    drifted = corpus_profile(
+        docs.where("doc_id % 2 = 0").selectExpr(
+            "doc_id", "lang", "concat(text, ' ', text) AS text"
+        )
+    )
+    diff = {r.metric: r for r in profile_diff(base, drifted).collect()}
+    # counts changed but are never breaches
+    assert diff["n_docs"].ratio < 0.6 and not diff["n_docs"].breach
+    # mean tokens ~doubled: a breach
+    assert diff["mean_tokens"].ratio > 1.8 and diff["mean_tokens"].breach
+    # mean quality barely moves: no breach
+    assert not diff["mean_quality"].breach
+    # every card metric is represented
+    assert len(diff) == len(base.columns)
+
+
+def test_profile_cli_prints_card(spark, docs, tmp_path, capsys):
+    import json as _json
+
+    from snapflow_spark.cli import main
+
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+    assert main(["profile", p, "--by", "lang"]) == 0
+    lines = [
+        _json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert {d["lang"] for d in lines} == {"en", "de"}
+    assert all(d["n_docs"] > 0 for d in lines)
