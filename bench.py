@@ -57,9 +57,38 @@ def _cpu_spin_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+_MEM_BUFS = []
+
+
+def _mem_copy_ms() -> float:
+    """64 MB numpy copyto, min of 3, in ms — the MEMORY-BANDWIDTH
+    steal stamp. This box's decisive noise source turned out to be
+    bandwidth, not cycles: the single-core ALU spin read a calm
+    65-80 ms while the same 64 MB copy swung 13 ms ↔ 590 ms and
+    memory-bound queries (the Gopher folds) swung 5x in lockstep.
+    Buffers are preallocated and first-touched once so page faults
+    never pollute the reading; healthy reference ~13 ms (≈10 GB/s),
+    a contended window reads 10-40x that."""
+    import numpy as np
+
+    if not _MEM_BUFS:
+        a = np.ones(64 * 1024 * 1024 // 8)
+        b = np.empty_like(a)
+        np.copyto(b, a)  # first-touch b's pages outside the clock
+        _MEM_BUFS.extend((a, b))
+    a, b = _MEM_BUFS
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 1)
+
+
 def run(sf_dir: str, names: list[str]) -> dict:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spin_start_ms = _cpu_spin_ms()
+    mem_start_ms = _mem_copy_ms()
     queries = all_queries()
     spark = build_session("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,6 +109,7 @@ def run(sf_dir: str, names: list[str]) -> dict:
         spark.range(2).write.mode("overwrite").parquet(f"{td}/warm")
 
     mid_spins: list[float] = []
+    mid_mems: list[float] = []
 
     def one_pass(repeats: int = 1) -> dict[str, float]:
         # repeats>1 takes the MIN of `repeats` back-to-back runs per
@@ -96,6 +126,7 @@ def run(sf_dir: str, names: list[str]) -> dict:
             # the burst hit in the middle); ~65 ms per query is noise
             # next to any query's runtime
             mid_spins.append(_cpu_spin_ms())
+            mid_mems.append(_mem_copy_ms())
             samples: list[float] = []
             # ADAPTIVE reps (round 9): a steal burst during one
             # query's rep block can inflate all `repeats` samples at
@@ -170,6 +201,16 @@ def run(sf_dir: str, names: list[str]) -> dict:
         if mid_spins
         else None,
         "cpu_spin_mid_max_ms": max(mid_spins) if mid_spins else None,
+        # memory-bandwidth stamps (the stronger signal on this box —
+        # see _mem_copy_ms): healthy ~13 ms, contended 10-40x that
+        "mem_copy_start_ms": mem_start_ms,
+        "mem_copy_end_ms": _mem_copy_ms(),
+        "mem_copy_mid_med_ms": round(
+            sorted(mid_mems)[len(mid_mems) // 2], 1
+        )
+        if mid_mems
+        else None,
+        "mem_copy_mid_max_ms": max(mid_mems) if mid_mems else None,
         "value_cold": round(sum(cold.values()), 3),
         # value == value_warm: `value` is what the driver headlines,
         # `value_warm` is kept so r04-r06 cross-round warm trends keep
@@ -204,6 +245,8 @@ def main() -> None:
         "cpu_spin_end_ms": result["cpu_spin_end_ms"],
         "cpu_spin_mid_med_ms": result["cpu_spin_mid_med_ms"],
         "cpu_spin_mid_max_ms": result["cpu_spin_mid_max_ms"],
+        "mem_copy_mid_med_ms": result["mem_copy_mid_med_ms"],
+        "mem_copy_mid_max_ms": result["mem_copy_mid_max_ms"],
         "headline_protocol": "warm_min_of_3",
         "slowest_warm": slowest,
         "value_cold": result["value_cold"],
