@@ -16,6 +16,7 @@ from snapflow_spark.operators.curation import (
 from snapflow_spark.operators.mixing import mix_corpora, mix_report
 from snapflow_spark.operators.profile import (
     corpus_profile,
+    embedding_profile,
     profile_diff,
     profile_partials,
     profile_report,
@@ -126,6 +127,7 @@ __all__ = [
     "mix_corpora",
     "mix_report",
     "corpus_profile",
+    "embedding_profile",
     "profile_diff",
     "profile_partials",
     "profile_report",

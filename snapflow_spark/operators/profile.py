@@ -219,3 +219,75 @@ def profile_diff(
             & F.coalesce((ratio < lo) | (ratio > hi), F.lit(True))
         ).alias("breach"),
     )
+
+
+def embedding_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    by: list[str] | None = None,
+    quantiles: tuple[float, ...] = PROFILE_QUANTILES,
+    kll_k: int = 200,
+) -> DataFrame:
+    """The VECTOR-table data card — the health check run before any
+    similarity/ANN/D4 job, because every one of them silently
+    degrades on the pathologies this surfaces: NULL or empty vectors
+    (match nothing), mixed dimensions (crash or worse, broadcast-side
+    truncation), zero vectors (cosine 0 with everything — planted by
+    the text-embedder's NULL policy, so COUNT them, don't discover
+    them pair-by-pair), non-finite components (poison every dot
+    product downstream), and un-normalized norms when cosine assumed
+    unit length.
+
+    One codegen scan -> one aggregation row per group: n_vecs,
+    n_null, n_empty, dim_min/dim_max (equal = consistent), n_zero,
+    n_nonfinite, mean_norm + norm quantiles (KLL). All Column
+    algebra (higher-order aggregate for the norm), no python."""
+    v = F.col(vec_col)
+    norm_sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x.cast("double")) | (F.abs(x) == float("inf"))
+    )
+    feat = df.select(
+        *(by or []),
+        v.isNull().cast("long").alias("__null"),
+        F.when(v.isNull(), None).otherwise(F.size(v)).alias("__dim"),
+        F.when(v.isNull() | nonfinite, None)
+        .otherwise(F.sqrt(norm_sq))
+        .alias("__norm"),
+        F.coalesce(nonfinite, F.lit(False)).cast("long").alias("__nonfin"),
+    )
+    agg = feat.groupBy(*(by or [])).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("__null").alias("n_null"),
+        F.sum((F.col("__dim") == 0).cast("long")).alias("n_empty"),
+        F.min("__dim").alias("dim_min"),
+        F.max("__dim").alias("dim_max"),
+        F.sum("__nonfin").alias("n_nonfinite"),
+        # zero VECTORS only — empties are already counted in n_empty,
+        # and their norm is also 0 (double-counting would overstate)
+        F.sum(
+            ((F.col("__norm") == 0.0) & (F.col("__dim") > 0)).cast("long")
+        ).alias("n_zero"),
+        F.round(F.avg("__norm"), 6).alias("mean_norm"),
+        F.kll_sketch_agg_double("__norm", F.lit(kll_k)).alias("__kll"),
+    )
+    return agg.select(
+        *(by or []),
+        "n_vecs",
+        "n_null",
+        "n_empty",
+        "dim_min",
+        "dim_max",
+        (F.col("dim_min") == F.col("dim_max")).alias("dim_consistent"),
+        "n_zero",
+        "n_nonfinite",
+        "mean_norm",
+        *[
+            F.kll_sketch_get_quantile_double("__kll", F.lit(p)).alias(
+                "norm_" + _plabel(p)
+            )
+            for p in quantiles
+        ],
+    )

@@ -161,3 +161,39 @@ def test_profile_cli_prints_card(spark, docs, tmp_path, capsys):
     ]
     assert {d["lang"] for d in lines} == {"en", "de"}
     assert all(d["n_docs"] > 0 for d in lines)
+
+
+def test_embedding_profile_surfaces_pathologies(spark):
+    from snapflow_spark.operators.profile import embedding_profile
+
+    rows = [
+        (0, [3.0, 4.0]),          # norm 5
+        (1, [1.0, 0.0]),          # unit
+        (2, [0.0, 0.0]),          # zero vector
+        (3, None),                # NULL
+        (4, []),                  # empty
+        (5, [float("nan"), 1.0]), # non-finite
+        (6, [1.0, 2.0, 2.0]),     # dim mismatch (norm 3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    card = embedding_profile(df).collect()[0]
+    assert card.n_vecs == 7
+    assert card.n_null == 1
+    assert card.n_empty == 1
+    assert card.n_zero == 1
+    assert card.n_nonfinite == 1
+    assert (card.dim_min, card.dim_max) == (0, 3)
+    assert not card.dim_consistent
+    # norms over the finite, non-null vectors: 5, 1, 0, 0(empty), 3
+    assert card.mean_norm == pytest.approx((5 + 1 + 0 + 0 + 3) / 5, abs=1e-6)
+    assert card.norm_p99 == pytest.approx(5.0, abs=1e-6)
+
+    clean = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    c2 = embedding_profile(clean).collect()[0]
+    assert c2.dim_consistent and c2.n_zero == 0 and c2.n_nonfinite == 0
+    assert c2.mean_norm == pytest.approx(1.0, abs=1e-9)
+
+    plan = embedding_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
