@@ -87,8 +87,10 @@ def sniff_format_expr(payload: Column | str, sniff_bytes: int = 256) -> Column:
     # spec fixes at zero — bare 'BM' alone would claim text like
     # "BMW review"
     add(pre(b"BM") & (F.substring(s, 7, 4) == "\x00\x00\x00\x00"), "bmp")
-    # textual formats over the lowercased, left-trimmed head
-    t = F.ltrim(low)
+    # textual formats over the lowercased, left-trimmed head.  ltrim
+    # only strips spaces; real crawls routinely prefix HTML/JSON with
+    # \n or \t, so strip the full whitespace class
+    t = F.regexp_replace(low, r"^\s+", "")
     add(t.startswith("<?xml"), "xml")
     add(t.startswith("<!doctype html") | t.startswith("<html"), "html")
     add(

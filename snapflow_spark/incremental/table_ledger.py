@@ -120,15 +120,30 @@ class TableLedger:
     def refresh(self) -> None:
         """Fold any commits this instance has not seen yet. A fresh
         instance bootstraps from the latest checkpoint (if newer than
-        its fold) and replays only the tail."""
-        commits, ckpts = self._scan()
-        if ckpts and ckpts[-1] > self._version:
-            ck = json.loads(
-                (self.path / _fname(_CKPT_PREFIX, ckpts[-1])).read_text()
-            )
-            self._data = ck["state"]
-            self._version = ck["version"]
-        self._replay([v for v in commits if v > self._version])
+        its fold) and replays only the tail.
+
+        Concurrent-vacuum safe: a file listed by ``_scan`` can be
+        deleted by another process's checkpoint+vacuum between the
+        scan and the read. Any such ``FileNotFoundError`` means a
+        NEWER covering checkpoint now exists, so re-scan and retry —
+        bounded, because each retry is caused by a vacuum that only
+        happens after forward progress (a new checkpoint version)."""
+        for _ in range(100):
+            try:
+                commits, ckpts = self._scan()
+                if ckpts and ckpts[-1] > self._version:
+                    ck = json.loads(
+                        (self.path / _fname(_CKPT_PREFIX, ckpts[-1])).read_text()
+                    )
+                    self._data = ck["state"]
+                    self._version = ck["version"]
+                self._replay([v for v in commits if v > self._version])
+                return
+            except FileNotFoundError:
+                continue
+        raise RuntimeError(
+            f"ledger refresh lost 100 consecutive vacuum races in {self.path}"
+        )
 
     # ---------------------------------------------------- RunLedger API
     def consumed(self, node: str, input_name: str) -> list[str]:

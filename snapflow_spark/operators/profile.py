@@ -215,8 +215,12 @@ def profile_diff(
         "b",
         F.round(ratio, 6).alias("ratio"),
         (
+            # NULL ratio (a == 0) is only a breach when the values
+            # actually differ — 0 vs 0 (clean corpus vs clean corpus)
+            # must not alarm
             is_shape
-            & F.coalesce((ratio < lo) | (ratio > hi), F.lit(True))
+            & F.coalesce((ratio < lo) | (ratio > hi),
+                         F.col("b") != F.col("a"))
         ).alias("breach"),
     )
 

@@ -1140,17 +1140,19 @@ def prototype_filter(
         F.col("proto").desc(), F.col(id_col).asc()
     )
     wc = Window.partitionBy("cell")
-    # drop the ceil(drop_frac * n) most prototypical members per cell:
-    # exact-count semantics (percent_rank's (r-1)/(n-1) misbehaves at
-    # n=1 and rounds differently), deterministic under ties
+    # drop min(ceil(drop_frac * n), n-1) most prototypical members per
+    # cell: exact-count semantics (percent_rank's (r-1)/(n-1)
+    # misbehaves at n=1 and rounds differently), deterministic under
+    # ties, and NEVER empties a cell — a cell's sole member is its own
+    # semantic region's only representative (the paper diversifies
+    # within clusters but never erases one)
+    n = F.count(F.lit(1)).over(wc)
+    n_drop = F.least(F.ceil(n * F.lit(float(drop_frac))), n - F.lit(1))
     return scored.select(
         id_col,
         "cell",
         "proto",
-        (
-            F.row_number().over(w)
-            > F.ceil(F.count(F.lit(1)).over(wc) * F.lit(float(drop_frac)))
-        ).alias("is_kept"),
+        (F.row_number().over(w) > n_drop).alias("is_kept"),
     )
 
 

@@ -38,7 +38,8 @@ def clustered(spark):
 
 def _numpy_keep_set(index, vecs, ids, drop_frac):
     """Reference: rank by cosine-to-own-centroid desc (ties id asc)
-    per cell, drop the top ceil(drop_frac * n)."""
+    per cell, drop the top min(ceil(drop_frac * n), n-1) — a cell
+    never empties."""
     cells = {}
     for i in ids:
         v = vecs[i]
@@ -51,7 +52,7 @@ def _numpy_keep_set(index, vecs, ids, drop_frac):
     kept = set()
     for members in cells.values():
         members.sort()
-        n_drop = math.ceil(drop_frac * len(members))
+        n_drop = min(math.ceil(drop_frac * len(members)), len(members) - 1)
         kept.update(i for _, i in members[n_drop:])
     return kept
 
@@ -79,9 +80,39 @@ def test_drop_counts_are_exact_per_cell(clustered):
             .collect()
         )
         for r in out:
-            assert r.n - r.kept == math.ceil(frac * r.n), (frac, r)
+            assert r.n - r.kept == min(math.ceil(frac * r.n), r.n - 1), (
+                frac,
+                r,
+            )
     with pytest.raises(ValueError, match="drop_frac"):
         prototype_filter(index, drop_frac=1.0)
+
+
+def test_singleton_cell_keeps_its_only_member(spark):
+    """A cell with one member must keep it for ANY drop_frac — the
+    sole representative of a semantic region cannot be erased — and
+    small cells are capped at n-1 drops (n=2 at frac 0.9 drops 1,
+    not 2)."""
+    rows = [(0, [10.0] * 4)]  # blob A: singleton
+    rows += [(i, [-10.0 + 0.01 * i] * 4) for i in range(1, 3)]  # blob B: n=2
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    index = IVFIndex.build(df, k_cells=2, vec_col="embedding", id_col="vec_id")
+    for frac in (0.2, 0.9):
+        out = {
+            r.cell: r
+            for r in prototype_filter(index, drop_frac=frac)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("is_kept").cast("long")).alias("kept"),
+            )
+            .collect()
+        }
+        for r in out.values():
+            assert r.kept >= 1, (frac, r)
+            assert r.n - r.kept == min(math.ceil(frac * r.n), r.n - 1)
 
 
 def test_among_restricts_ranking(clustered):

@@ -146,6 +146,33 @@ def test_profile_diff_flags_shape_drift_only(spark, docs):
     assert len(diff) == len(base.columns)
 
 
+def test_profile_diff_self_is_breach_free(spark):
+    """A CLEAN corpus diffed against itself must report ZERO breaches —
+    pct_empty and dup_rate are 0 on both sides, so the b/a ratio is
+    NULL; a 0-vs-0 NULL ratio is only a breach when the values
+    actually differ."""
+    from snapflow_spark.operators.profile import profile_diff
+
+    clean = spark.createDataFrame(
+        [(i, f"unique document body number {i} with words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    card = corpus_profile(clean)
+    rows = profile_diff(card, card).collect()
+    zeros = [r.metric for r in rows if r.a == 0 and r.b == 0]
+    assert "pct_empty" in zeros and "dup_rate" in zeros
+    assert [r.metric for r in rows if r.breach] == []
+    # a genuinely-moved zero metric still flags: plant empty docs
+    dirty = corpus_profile(
+        clean.selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 3 = 0 THEN '' ELSE text END AS text",
+        )
+    )
+    diff2 = {r.metric: r for r in profile_diff(card, dirty).collect()}
+    assert diff2["pct_empty"].breach
+
+
 def test_profile_cli_prints_card(spark, docs, tmp_path, capsys):
     import json as _json
 

@@ -46,6 +46,12 @@ def _real_payloads():
         ("html", b"<HtMl lang='en'><p>y</p>"),
         ("html", b"  <div class='frag'>no doctype</div>"),
         ("json", json.dumps({"a": [1, 2]}).encode()),
+        # whitespace-prefixed textual payloads: real crawls routinely
+        # lead with \n or \t, which space-only ltrim would misroute
+        ("html", b"\n<!doctype html>\n<html><body>x</body></html>"),
+        ("html", b"\r\n\t<html lang='en'><p>y</p>"),
+        ("json", b'\t{"a": 1}'),
+        ("xml", b'\n\n<?xml version="1.0"?><urlset/>'),
         ("plain", "ordinary prose, no magic at all — even unicode ü".encode()),
         ("unknown", b"\x00\x01\x02\x03 binary gibberish"),
         ("plain", b"BMW review: not a bitmap"),

@@ -93,6 +93,39 @@ def test_version_race_retries_and_loses_nothing(tmp_path):
     assert a.consumed("n", "in") == ["s-0", "s-1"]
 
 
+def test_refresh_survives_concurrent_vacuum(tmp_path, monkeypatch):
+    """A reader's _scan can list commit files that another process's
+    checkpoint+vacuum deletes before the reader opens them. The
+    FileNotFoundError must trigger a re-scan that bootstraps from the
+    new covering checkpoint — not crash the reader."""
+    w = TableLedger(tmp_path / "log", checkpoint_interval=0)
+    for i in range(5):
+        w.mark_consumed("n", "in", [f"s-{i}"])
+    r = TableLedger(tmp_path / "log")  # folded to version 4
+    w.mark_consumed("n", "in", ["s-5"])  # commit 5, unseen by r
+    real_scan = TableLedger._scan
+    raced = {"done": False}
+
+    def racing_scan(self):
+        out = real_scan(self)
+        if self is r and not raced["done"]:
+            raced["done"] = True
+            # between r's scan and its read of commit-5: the writer
+            # checkpoints at v5 and vacuums every covered commit file
+            w.checkpoint()
+            w.vacuum()
+        return out
+
+    monkeypatch.setattr(TableLedger, "_scan", racing_scan)
+    r.refresh()
+    assert raced["done"]
+    assert r.consumed("n", "in") == [f"s-{i}" for i in range(6)]
+    # the reader keeps working after the race
+    r.mark_consumed("n", "in", ["s-6"])
+    w.refresh()
+    assert w.consumed("n", "in") == [f"s-{i}" for i in range(7)]
+
+
 def test_crash_leftover_tmp_is_ignored(tmp_path):
     tl = TableLedger(tmp_path / "log", checkpoint_interval=0)
     tl.mark_consumed("n", "in", ["s-0"])
