@@ -52,6 +52,16 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--merges", type=int, default=4000)
     tb.add_argument("--min-count", type=int, default=1)
     tb.add_argument("--max-word-types", type=int, default=1_000_000)
+    tbb = sub.add_parser(
+        "train-byte-bpe",
+        help="train a byte-level BPE tokenizer (GPT-2 recipe: 256-byte "
+        "base alphabet, no OOV possible) on the documents table",
+    )
+    tbb.add_argument("out", help="output path for the tokenizer artifact (JSON)")
+    tbb.add_argument("--sf", default=DEFAULT_SF_DIR)
+    tbb.add_argument("--merges", type=int, default=4000)
+    tbb.add_argument("--min-count", type=int, default=1)
+    tbb.add_argument("--max-word-types", type=int, default=1_000_000)
     tu = sub.add_parser(
         "train-unigram",
         help="train a unigram-LM (SentencePiece-style) tokenizer on the "
@@ -237,6 +247,10 @@ def main(argv: list[str] | None = None) -> int:
             from snapflow_spark.functions.wordpiece import WordPieceTokenizer
 
             tok = WordPieceTokenizer.load(args.artifact)
+        elif head.get("kind") == "byte_bpe":
+            from snapflow_spark.functions.byte_bpe import ByteBPETokenizer
+
+            tok = ByteBPETokenizer.load(args.artifact)
         else:
             from snapflow_spark.functions.bpe import BPETokenizer
 
@@ -246,6 +260,28 @@ def main(argv: list[str] | None = None) -> int:
         tune(spark)
         docs = load_table(spark, args.sf, "documents")
         tokenizer_stats(spark, docs, tok, by=args.by).show(50, truncate=False)
+        return 0
+
+    if args.cmd == "train-byte-bpe":
+        from snapflow_spark.catalog import load_table
+        from snapflow_spark.functions.byte_bpe import train_byte_bpe
+        from snapflow_spark.session import build_session, tune
+
+        spark = build_session("cli-train-byte-bpe")
+        spark.sparkContext.setLogLevel("ERROR")
+        tune(spark)
+        docs = load_table(spark, args.sf, "documents")
+        tok = train_byte_bpe(
+            docs,
+            num_merges=args.merges,
+            min_count=args.min_count,
+            max_word_types=args.max_word_types,
+        )
+        tok.save(args.out)
+        print(
+            f"trained: byte-level, {len(tok.merges)} merges, "
+            f"vocab {len(tok.vocab)} -> {args.out}"
+        )
         return 0
 
     if args.cmd == "train-unigram":

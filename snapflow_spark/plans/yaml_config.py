@@ -322,8 +322,8 @@ def _tokenize(
     `train-wordpiece` CLIs) — the pipeline hand-off that turns
     curation output into model-ready tokens. The artifact kind is
     sniffed from its `model_type` field (unigram) vs `kind` field
-    (wordpiece) vs `merges` (BPE), so one builtin serves all three
-    trainers. ``counts_only``
+    (wordpiece / byte_bpe) vs `merges` (char BPE), so one builtin
+    serves all four trainers. ``counts_only``
     emits an int token count instead of the array (the packing
     budget column); ``sample_alpha`` switches a unigram artifact to
     the subword-regularization sampler at that temperature
@@ -354,6 +354,10 @@ def _tokenize(
             from snapflow_spark.functions.wordpiece import WordPieceTokenizer
 
             tok = WordPieceTokenizer.load(artifact)
+        elif head.get("kind") == "byte_bpe":
+            from snapflow_spark.functions.byte_bpe import ByteBPETokenizer
+
+            tok = ByteBPETokenizer.load(artifact)
         else:
             from snapflow_spark.functions.bpe import BPETokenizer
 
