@@ -64,6 +64,7 @@ from snapflow_spark.operators.similarity import (
     PQCodec,
     brute_force_topk,
     brute_force_topk_matmul,
+    derive_k_cells,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_int,
     semantic_dedup,
@@ -98,6 +99,7 @@ __all__ = [
     "brute_force_topk_matmul",
     "dedupe_keep_latest",
     "embedding_near_dup_pairs",
+    "derive_k_cells",
     "semantic_dedup",
     "QualityClassifier",
     "featurize_docs",

@@ -87,6 +87,23 @@ def _sampled_vectors(corpus: DataFrame, vec_col: str, train_sample: int, seed: i
     return sample
 
 
+def derive_k_cells(n_rows: int, target_cell_size: int) -> int:
+    """Cells needed so the MEAN cell holds ~``target_cell_size``
+    vectors: ceil(n / target). The deployment rule that keeps
+    SemDeDup/D4's in-cell quadratic bounded as the corpus grows —
+    with FIXED k_cells, cells grow linearly with the corpus and
+    silently cross ``cell_max_bucket`` (truncation cliff: the 3.13x
+    SCALE row of round 9); with a fixed TARGET, cell size stays flat
+    and the pair stage scales linearly. ~2k members/cell is the D4
+    paper's own regime (Tirumala et al. 2023: 50k clusters / 100M
+    points)."""
+    if target_cell_size < 1:
+        raise ValueError(
+            f"target_cell_size must be >= 1, got {target_cell_size}"
+        )
+    return max(1, -(-int(n_rows) // int(target_cell_size)))
+
+
 def _nearest_cells(centers, vec, nprobe: int) -> list[int]:
     """The nprobe cells whose centroids are cosine-closest to ``vec``.
     Driver-side by design: centers is k_cells x dim, never
@@ -212,6 +229,7 @@ class IVFIndex:
         max_iter: int = 8,
         train_sample: int = 16384,
         sample=None,
+        target_cell_size: int | None = None,
     ) -> "IVFIndex":
         """Coarse quantizer trained on a driver-side SAMPLE with numpy
         Lloyd iterations (sampling rationale in _sampled_vectors),
@@ -228,9 +246,29 @@ class IVFIndex:
         ``sample``: a pre-collected (n, dim) float64 training sample —
         pass it to share ONE sampling pass across several trainers
         (IVFPQIndex.build trains the coarse quantizer AND the PQ
-        codebooks from the same collect)."""
+        codebooks from the same collect).
+
+        ``target_cell_size``: AUTO-SCALE the cell count from the
+        corpus instead of fixing it — k_cells becomes
+        ceil(count/target) (one metadata-cheap count), and
+        train_sample is raised to 4x the derived k so the quantizer
+        can place that many centroids. This is the knob a 100x user
+        should set: a fixed k_cells means cells grow with the corpus
+        until the in-cell quadratic crosses cell_max_bucket; a fixed
+        TARGET keeps cells flat (see derive_k_cells). Overrides
+        k_cells when both are given; incompatible with a
+        pre-collected ``sample`` (the sample was sized before k was
+        known)."""
         import numpy as np
 
+        if target_cell_size is not None:
+            if sample is not None:
+                raise ValueError(
+                    "target_cell_size derives k_cells AND the sample size; "
+                    "pass one or the other"
+                )
+            k_cells = derive_k_cells(corpus.count(), target_cell_size)
+            train_sample = max(int(train_sample), 4 * k_cells)
         if sample is None:
             sample = _sampled_vectors(corpus, vec_col, train_sample, seed)
         rng = np.random.default_rng(seed)
@@ -244,10 +282,23 @@ class IVFIndex:
             # (n, k, dim) broadcast difference tensor (25 GB at
             # 16k x 256 x 768 — driver OOM territory)
             labels = (sample @ centers.T - 0.5 * c_sq).argmax(axis=1)
-            for c in range(k):
-                members = sample[labels == c]
-                if len(members):
-                    centers[c] = members.mean(axis=0)
+            # segmented center update via per-dimension bincount:
+            # O(n*dim) per iteration INDEPENDENT of k (the per-cell
+            # boolean-mask loop was O(k*n) and dominated the build
+            # once target_cell_size derived k in the hundreds;
+            # np.add.at's buffered scatter measured ~100x slower than
+            # bincount's C loop). Empty cells keep their previous
+            # centroid, as before.
+            sums = np.stack(
+                [
+                    np.bincount(labels, weights=sample[:, d], minlength=k)
+                    for d in range(sample.shape[1])
+                ],
+                axis=1,
+            )
+            counts = np.bincount(labels, minlength=k).astype(np.float64)
+            occupied = counts > 0
+            centers[occupied] = sums[occupied] / counts[occupied, None]
             c_sq = (centers**2).sum(axis=1)
         assigned = corpus.withColumn(
             "cell", _cell_assign_udf(centers)(F.col(vec_col))
@@ -602,10 +653,17 @@ class IVFPQIndex:
         seed: int = 42,
         train_sample: int = 16384,
         keep_raw: bool = True,
+        target_cell_size: int | None = None,
     ) -> "IVFPQIndex":
         """``keep_raw=False`` drops the raw vector column from the
         coded table (pure 64x-smaller index; searches must then pass
-        an external corpus for re-rank or rerank=False)."""
+        an external corpus for re-rank or rerank=False).
+        ``target_cell_size`` auto-scales k_cells from the corpus count
+        (see IVFIndex.build) — the sample shared by both trainers is
+        sized AFTER the derivation."""
+        if target_cell_size is not None:
+            k_cells = derive_k_cells(corpus.count(), target_cell_size)
+            train_sample = max(int(train_sample), 4 * k_cells)
         sample = _sampled_vectors(corpus, vec_col, train_sample, seed)
         ivf = IVFIndex.build(
             corpus, k_cells=k_cells, vec_col=vec_col, id_col=id_col,
@@ -996,6 +1054,7 @@ def semantic_dedup(
     observation=None,
     index: "IVFIndex | None" = None,
     cell_max_bucket: int = 512,
+    target_cell_size: int | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
@@ -1021,7 +1080,10 @@ def semantic_dedup(
       generator (id-sorted truncation, loss surfaced via
       ``observation``); cells are corpus_size/k_cells big, so size
       k_cells to keep cells under it — the paper's own regime (50k
-      clusters over 100M points).
+      clusters over 100M points). ``target_cell_size`` (round 10)
+      enforces that rule by code: with no index given it builds one
+      whose k_cells derives from the corpus count (derive_k_cells),
+      so cells stay ~target no matter the scale.
 
     Returns the corpus ids + (component, is_rep): semi-join
     ``is_rep`` to keep one document per semantic cluster. The
@@ -1036,6 +1098,24 @@ def semantic_dedup(
     from snapflow_spark.operators.buckets import bucketed_pairs
     from snapflow_spark.operators.dedup_text import dedup_cluster_representatives
 
+    if index is None and target_cell_size is not None:
+        # auto-scaled paper form: build the blocking index with
+        # k_cells derived from the corpus count so cells stay ~target
+        # sized at any scale (derive_k_cells) — the safe default for a
+        # corpus whose size the caller doesn't know in advance
+        if corpus is None:
+            raise ValueError("semantic_dedup needs a corpus or an index")
+        if lsh_kwargs:
+            raise ValueError(
+                f"LSH options {sorted(lsh_kwargs)} do not apply to the "
+                "index-cell blocking form target_cell_size selects"
+            )
+        index = IVFIndex.build(
+            corpus,
+            target_cell_size=target_cell_size,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
     if index is not None:
         if lsh_kwargs:
             raise ValueError(
@@ -1166,6 +1246,7 @@ def d4_select(
     id_col: str = "vec_id",
     cell_max_bucket: int = 512,
     observation=None,
+    target_cell_size: int | None = None,
 ) -> DataFrame:
     """The full D4 recipe (Tirumala et al. 2023) as one operator:
     SemDeDup (drop near-duplicate embeddings, keep one representative
@@ -1187,7 +1268,11 @@ def d4_select(
         if corpus is None:
             raise ValueError("d4_select needs a corpus or an index")
         index = IVFIndex.build(
-            corpus, k_cells=k_cells, vec_col=vec_col, id_col=id_col
+            corpus,
+            k_cells=k_cells,
+            vec_col=vec_col,
+            id_col=id_col,
+            target_cell_size=target_cell_size,
         )
     id_col = index.id_col
     sd = semantic_dedup(

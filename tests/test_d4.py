@@ -115,6 +115,105 @@ def test_singleton_cell_keeps_its_only_member(spark):
             assert r.n - r.kept == min(math.ceil(frac * r.n), r.n - 1)
 
 
+def _blob_corpus(spark, n_rows, dim=6, noise=0.1):
+    """n_rows vectors in well-separated deterministic blobs of ~50,
+    plus 3 planted near-copies of row 0."""
+    rng = random.Random(11)
+    rows = []
+    for i in range(n_rows):
+        b = i // 50
+        base = [20.0 * ((b * (d + 3)) % 7) for d in range(dim)]
+        rows.append((i, [x + rng.gauss(0, noise) for x in base]))
+    base0 = rows[0][1]
+    for j in range(3):
+        rows.append((10_000 + j, [x + rng.gauss(0, 0.001) for x in base0]))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def test_target_cell_size_autoscales_cells_with_corpus(spark):
+    """The deployment rule (~target members/cell) enforced by code:
+    k_cells derives from the corpus count, so a 4x corpus gets 4x the
+    cells and cell size stays flat — instead of silently growing
+    toward the cell_max_bucket truncation cliff."""
+    from snapflow_spark.operators.similarity import derive_k_cells
+
+    assert derive_k_cells(100_000_000, 2000) == 50_000  # the paper regime
+    assert derive_k_cells(1, 2000) == 1
+    assert derive_k_cells(2001, 2000) == 2
+    with pytest.raises(ValueError, match="target_cell_size"):
+        derive_k_cells(10, 0)
+
+    small = _blob_corpus(spark, 150)
+    big = _blob_corpus(spark, 600)
+    i_small = IVFIndex.build(small, target_cell_size=50, id_col="vec_id")
+    i_big = IVFIndex.build(big, target_cell_size=50, id_col="vec_id")
+    assert len(i_small.centers) == (150 + 3 + 49) // 50
+    assert len(i_big.centers) == (600 + 3 + 49) // 50
+    # an explicit pre-collected sample contradicts the derivation
+    with pytest.raises(ValueError, match="sample"):
+        IVFIndex.build(
+            big, target_cell_size=50, id_col="vec_id",
+            sample=i_small.centers,
+        )
+
+
+def test_target_cell_size_keeps_truncation_zero(spark):
+    """On the planted blob geometry, auto-scaled cells stay under
+    cell_max_bucket (zero truncation, dedup exact), while a FIXED
+    k_cells=1 on the same corpus and cap visibly truncates — the
+    cliff the auto-scaling exists to prevent."""
+    from pyspark.sql import Observation
+
+    from snapflow_spark.operators import semantic_dedup
+
+    corpus = _blob_corpus(spark, 600)
+    obs = Observation("auto")
+    sd = semantic_dedup(
+        corpus,
+        cos_threshold=0.999,
+        target_cell_size=50,
+        cell_max_bucket=128,
+        observation=obs,
+    )
+    rows = {r.vec_id: r for r in sd.collect()}
+    m = obs.get
+    assert m["truncated_buckets"] == 0 and m["dropped_members"] == 0
+    # the 3 planted copies of row 0 deduped into row 0's component
+    for j in (10_000, 10_001, 10_002):
+        assert rows[j].component == rows[0].component and not rows[j].is_rep
+    # contrast: one fixed cell at the same cap -> everything in one
+    # bucket, truncation fires
+    obs_fixed = Observation("fixed")
+    fixed_index = IVFIndex.build(corpus, k_cells=1, id_col="vec_id")
+    semantic_dedup(
+        index=fixed_index, cell_max_bucket=128, observation=obs_fixed
+    ).count()
+    assert obs_fixed.get["dropped_members"] > 0
+
+
+def test_d4_select_accepts_target_cell_size(spark):
+    corpus = _blob_corpus(spark, 150)
+    decision = d4_select(
+        corpus, cos_threshold=0.999, drop_frac=0.2,
+        target_cell_size=50, id_col="vec_id",
+    )
+    rows = {r.vec_id: r for r in decision.collect()}
+    assert len(rows) == 153
+    # planted copies deduped (blob members are cosine-near at this
+    # geometry, so components span blobs — the copies specifically
+    # must be non-reps of row 0's component)
+    for j in (10_000, 10_001, 10_002):
+        assert rows[j].component == rows[0].component and not rows[j].is_rep
+    # survivors diversified per cell: some rep was dropped by the
+    # prototype stage, and every kept row is a rep
+    assert any(r.is_rep and not r.is_kept for r in rows.values())
+    assert all(r.is_rep for r in rows.values() if r.is_kept)
+    assert any(r.is_kept for r in rows.values())
+
+
 def test_among_restricts_ranking(clustered):
     df, vecs = clustered
     index = IVFIndex.build(df, k_cells=2, vec_col="embedding", id_col="vec_id")

@@ -451,11 +451,17 @@ def _op_d4(spark, sf_dir: str):
     from snapflow_spark.catalog import load_table
     from snapflow_spark.operators.similarity import d4_select
 
+    # target_cell_size (round 10) derives k_cells from the corpus
+    # count, so the 10x corpus gets 10x the cells and the in-cell
+    # quadratic stays flat — the fixed-k_cells form measured 3.13x
+    # at 10x (round 9) because cells crossed cell_max_bucket. 125 =
+    # the r9 base geometry (2000 rows / 16 cells), so base cost is
+    # comparable round-over-round and only the scaling law changes.
     return d4_select(
         load_table(spark, sf_dir, "embeddings"),
         cos_threshold=0.95,
         drop_frac=0.2,
-        k_cells=16,
+        target_cell_size=125,
     )
 
 
