@@ -378,8 +378,79 @@ class _PdfDoc:
     def __init__(self, data: bytes):
         self.objects: dict[tuple[int, int], object] = {}
         self.trailers: list[dict] = []
+        self.encrypted = False  # an /Encrypt dict was found
+        self.locked = False  # ...and the empty user password failed
         self._scan(data)
+        self._decrypt_all()
         self._expand_objstm()
+
+    # --- standard security handler (ISO 32000 §7.6) -------------------
+
+    def _decrypt_all(self) -> None:
+        """Detect /Encrypt; with the EMPTY user password (the common
+        crawl case: owner-locked files every reader opens silently)
+        decrypt all strings and streams in place BEFORE ObjStm
+        expansion (object streams are themselves encrypted; objects
+        inside them are NOT re-encrypted, which falls out of running
+        this first). A failed authentication sets ``locked`` so
+        extraction NULLs out instead of emitting keystream garbage."""
+        from snapflow_spark.multimodal.pdf_crypt import PdfCrypt
+
+        enc_ref = None
+        enc = id0 = None
+        for t in self.trailers:
+            e = t.get("Encrypt")
+            if e is not None:
+                enc_ref = e if isinstance(e, _Ref) else None
+                enc = self.resolve(e)
+                ids = self.resolve(t.get("ID"))
+                if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                    id0 = ids[0]
+                break
+        if not isinstance(enc, dict):
+            return
+        self.encrypted = True
+        if str(enc.get("Filter") or "Standard") != "Standard":
+            self.locked = True  # custom handlers: flag, don't guess
+            return
+        resolved = {k: self.resolve(v) for k, v in enc.items()}
+        cf = resolved.get("CF")
+        if isinstance(cf, dict):
+            resolved["CF"] = {
+                k: self.resolve(v) for k, v in cf.items()
+            }
+        crypt = PdfCrypt(resolved, id0 or b"")
+        if not crypt.authenticate(b""):
+            self.locked = True
+            return
+        meta_plain = resolved.get("EncryptMetadata") is False
+        skip_keys = {(enc_ref.num, enc_ref.gen)} if enc_ref else set()
+        for key, v in self.objects.items():
+            if key in skip_keys:
+                continue
+            num, gen = key
+            if isinstance(v, _Stream):
+                v.d = self._dec_strings(v.d, crypt, num, gen)
+                t = str(v.d.get("Type"))
+                if t == "XRef" or (t == "Metadata" and meta_plain):
+                    continue  # never encrypted per spec
+                v.raw = crypt.decrypt_stream(num, gen, v.raw)
+            else:
+                self.objects[key] = self._dec_strings(v, crypt, num, gen)
+
+    def _dec_strings(self, x, crypt, num: int, gen: int, depth: int = 0):
+        if depth > 64:
+            return x
+        if isinstance(x, bytes):
+            return crypt.decrypt_string(num, gen, x)
+        if isinstance(x, list):
+            return [self._dec_strings(i, crypt, num, gen, depth + 1) for i in x]
+        if isinstance(x, dict):
+            return {
+                k: self._dec_strings(v, crypt, num, gen, depth + 1)
+                for k, v in x.items()
+            }
+        return x
 
     def _scan(self, data: bytes) -> None:
         for m in _OBJ_RE.finditer(data):
@@ -670,13 +741,23 @@ def _doc_title(doc: _PdfDoc) -> str | None:
     return None
 
 
-def extract_pdf(data: bytes | None) -> tuple[str | None, str | None, int | None]:
-    """(title, text, n_pages) from one PDF byte string; all-NULL for
-    NULL/hopeless input — one bad file must not kill a 100 TB job."""
+def extract_pdf(
+    data: bytes | None,
+) -> tuple[str | None, str | None, int | None, bool | None]:
+    """(title, text, n_pages, encrypted) from one PDF byte string;
+    all-NULL for NULL/hopeless input — one bad file must not kill a
+    100 TB job. ``encrypted`` is True whenever an /Encrypt dictionary
+    was found: empty-user-password files (the common crawl case)
+    still yield their text transparently via the standard-security-
+    handler decrypt (pdf_crypt.py — RC4-40/128, AES-128, AES-256);
+    files needing a real password come back text-NULL + flag True
+    (the triage signal) instead of keystream garbage."""
     if data is None:
-        return None, None, None
+        return None, None, None, None
     try:
         doc = _PdfDoc(data)
+        if doc.locked:
+            return None, None, None, True
         pages = doc.pages()
         texts = []
         for pg in pages:
@@ -700,10 +781,10 @@ def extract_pdf(data: bytes | None) -> tuple[str | None, str | None, int | None]
             texts.append(_page_text(b"\n".join(chunks), fonts))
         text = "\n".join(t for t in texts if t)
         if not pages and not text:
-            return None, None, None
-        return _doc_title(doc), text, len(pages)
+            return None, None, None, doc.encrypted or None
+        return _doc_title(doc), text, len(pages), doc.encrypted
     except Exception:
-        return None, None, None
+        return None, None, None, None
 
 
 # --- encoder twin -------------------------------------------------------
@@ -727,12 +808,37 @@ def _filter_encode(data: bytes, filt: str | None) -> tuple[bytes, bytes]:
     return data, b""
 
 
+def _ser_pdf(v) -> bytes:
+    """Serialize an /Encrypt-dict value to PDF syntax (bytes → hex
+    string, str → name — matching how PdfCrypt reads them back)."""
+    if isinstance(v, bytes):
+        return b"<" + binascii.hexlify(v) + b">"
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if isinstance(v, int):
+        return str(v).encode()
+    if isinstance(v, str):
+        return b"/" + v.encode()
+    if isinstance(v, dict):
+        return (
+            b"<< "
+            + b" ".join(
+                b"/" + k.encode() + b" " + _ser_pdf(x) for k, x in v.items()
+            )
+            + b" >>"
+        )
+    raise TypeError(type(v))
+
+
 def make_pdf_bytes(
     pages: list[str],
     filt: str | None = "flate",
     objstm: bool = False,
     unicode_font: bool = False,
     title: str | None = None,
+    encrypt: str | None = None,
+    user_password: bytes = b"",
+    owner_password: bytes = b"",
 ) -> bytes:
     """Encoder twin: a spec-valid PDF whose page texts round-trip
     through ``extract_pdf``. ``filt`` ∈ {None, 'flate', 'hex', 'a85'}
@@ -740,7 +846,39 @@ def make_pdf_bytes(
     non-stream objects into a predictor-12 Flate object stream with an
     xref stream; ``unicode_font=True`` uses a Type0/Identity-H font
     with a generated ToUnicode CMap and 2-byte hex show strings
-    (required for non-cp1252 text)."""
+    (required for non-cp1252 text); ``encrypt`` ∈ {'rc4-40',
+    'rc4-128', 'aes-128', 'aes-256'} writes a standard-security-
+    handler file (streams AND strings encrypted, deterministic
+    salts/IVs) — empty passwords by default, the crawl norm."""
+    if encrypt and objstm:
+        raise ValueError("encrypt + objstm twin form not supported")
+    crypt = None
+    id0 = b""
+    if encrypt:
+        import hashlib
+
+        from snapflow_spark.multimodal.pdf_crypt import (
+            build_standard_encryption,
+        )
+
+        id0 = hashlib.md5("\n".join(pages).encode()).digest()
+        enc_entries, crypt = build_standard_encryption(
+            encrypt, id0, user_password, owner_password
+        )
+
+    def _iv(num: int) -> bytes:
+        import hashlib
+
+        return hashlib.md5(b"iv%d" % num + id0).digest()
+
+    def stream_obj(num: int, dict_frag: bytes, payload: bytes) -> bytes:
+        if crypt is not None:
+            payload = crypt.encrypt_stream(num, 0, payload, iv=_iv(num))
+        return (
+            b"<< " + dict_frag + b"/Length " + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream"
+        )
+
     objs: dict[int, bytes] = {}
     n_pg = len(pages)
     font_ref = 3 + 2 * n_pg
@@ -766,10 +904,7 @@ def make_pdf_bytes(
             "endcmap end end"
         ).encode()
         enc, ffrag = _filter_encode(cmap, filt)
-        objs[font_ref + 1] = (
-            b"<< " + ffrag + b"/Length " + str(len(enc)).encode()
-            + b" >>\nstream\n" + enc + b"\nendstream"
-        )
+        objs[font_ref + 1] = stream_obj(font_ref + 1, ffrag, enc)
         objs[font_ref + 2] = (
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth "
             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
@@ -808,15 +943,23 @@ def make_pdf_bytes(
             f"/Resources << /Font << /F1 {font_ref} 0 R >> >> "
             f"/Contents {ct_ref} 0 R >>".encode()
         )
-        objs[ct_ref] = (
-            b"<< " + ffrag + b"/Length " + str(len(enc)).encode()
-            + b" >>\nstream\n" + enc + b"\nendstream"
-        )
+        objs[ct_ref] = stream_obj(ct_ref, ffrag, enc)
 
     if title is not None:
-        objs[info_ref] = (
-            b"<< /Title (" + _esc_lit(title) + b") >>"
-        )
+        if crypt is not None:
+            # strings are encrypted too; hex form avoids escaping the
+            # ciphertext
+            ct = crypt.encrypt_string(
+                info_ref, 0, title.encode("cp1252", "replace"), iv=_iv(info_ref)
+            )
+            objs[info_ref] = b"<< /Title <" + binascii.hexlify(ct) + b"> >>"
+        else:
+            objs[info_ref] = b"<< /Title (" + _esc_lit(title) + b") >>"
+
+    enc_ref = None
+    if crypt is not None:
+        enc_ref = max(objs) + 1
+        objs[enc_ref] = _ser_pdf({"Filter": "Standard", **enc_entries})
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     if not objstm:
@@ -837,6 +980,12 @@ def make_pdf_bytes(
         out += b"trailer\n<< /Size " + str(maxn).encode() + b" /Root 1 0 R"
         if title is not None:
             out += b" /Info " + str(info_ref).encode() + b" 0 R"
+        if enc_ref is not None:
+            hx = binascii.hexlify(id0)
+            out += (
+                b" /Encrypt " + str(enc_ref).encode() + b" 0 R /ID [ <"
+                + hx + b"> <" + hx + b"> ]"
+            )
         out += b" >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF"
         return bytes(out)
 
@@ -902,21 +1051,27 @@ def make_pdf_bytes(
 
 # --- Spark surface -------------------------------------------------------
 
-_PDF_DDL = "title string, text string, n_pages int"
+_PDF_DDL = "title string, text string, n_pages int, encrypted boolean"
 
 
 def pdf_extract(df: DataFrame, body_col: str = "http_body") -> DataFrame:
-    """Add ``title``/``text``/``n_pages`` extracted from a PDF binary
-    column in ONE Arrow-batched pass — the ``application/pdf`` twin of
-    functions/html.py's ``html_extract`` (same output column names, so
-    a content-type-routed pipeline unions the two branches). Map-only:
-    no shuffle, no driver work; hopeless inputs yield NULLs."""
+    """Add ``title``/``text``/``n_pages``/``encrypted`` extracted from
+    a PDF binary column in ONE Arrow-batched pass — the
+    ``application/pdf`` twin of functions/html.py's ``html_extract``
+    (same output column names, so a content-type-routed pipeline
+    unions the two branches). Map-only: no shuffle, no driver work;
+    hopeless inputs yield NULLs. ``encrypted`` flags /Encrypt files —
+    empty-user-password ones still carry text (decrypted in the same
+    pass); text-NULL + encrypted=True means a real password is needed
+    (route to quarantine, not the corpus)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(_PDF_DDL)
     def extract(body: pd.Series) -> pd.DataFrame:
         rows = [extract_pdf(b) for b in body]
-        return pd.DataFrame(rows, columns=["title", "text", "n_pages"])
+        return pd.DataFrame(
+            rows, columns=["title", "text", "n_pages", "encrypted"]
+        )
 
     tagged = df.withColumn("__pdf", extract(F.col(body_col)))
     return tagged.withColumns(
@@ -924,5 +1079,6 @@ def pdf_extract(df: DataFrame, body_col: str = "http_body") -> DataFrame:
             "title": F.col("__pdf.title"),
             "text": F.col("__pdf.text"),
             "n_pages": F.col("__pdf.n_pages"),
+            "encrypted": F.col("__pdf.encrypted"),
         }
     ).drop("__pdf")

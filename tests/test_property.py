@@ -326,7 +326,7 @@ def test_pdf_extractor_total_on_arbitrary_bytes(junk, mode):
         data = good[:pos] + junk + good[pos:]
     else:
         data = good[: len(junk) % (len(good) + 1)]
-    title, text, n = extract_pdf(data)
+    title, text, n, _enc = extract_pdf(data)
     assert title is None or isinstance(title, str)
     assert text is None or isinstance(text, str)
     assert n is None or isinstance(n, int)
