@@ -100,12 +100,19 @@ _BLANK = r"[ \t\f\r]"
 _SENT_RE = '[.!?]"?([ \\t\\f\\r\\n]|$)'
 
 
-def _line_kept_expr(x: Column, min_words: int) -> Column:
-    """Boolean: one trimmed line survives the C4 line rules."""
+def _line_kept_expr(
+    x: Column,
+    min_words: int,
+    policy: tuple[str, ...] = C4_POLICY_SUBSTRINGS,
+) -> Column:
+    """Boolean: one trimmed line survives the C4 line rules.
+    ``policy`` retargets the boilerplate substrings (the published
+    list is English; a non-English pipeline passes its own — e.g.
+    'politique de confidentialité', 'Datenschutzerklärung')."""
     lx = F.lower(x)
     policy_hit = F.lit(False)
-    for sub in C4_POLICY_SUBSTRINGS:
-        policy_hit = policy_hit | lx.contains(sub)
+    for sub in policy:
+        policy_hit = policy_hit | lx.contains(sub.lower())
     # word count = non-blank runs (a split-based count diverges across
     # engines on trailing blanks: Java split drops trailing empties,
     # RE2/python keep them)
@@ -124,28 +131,72 @@ def c4_signals(
     id_col: str = "doc_id",
     badwords: tuple[str, ...] = (),
     min_words_per_line: int | None = None,
+    policy_substrings: tuple[str, ...] | None = None,
+    badwords_by_lang: dict[str, tuple[str, ...]] | None = None,
+    policy_by_lang: dict[str, tuple[str, ...]] | None = None,
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Append the C4 signal columns plus ``c4_text`` (the kept lines
     re-joined with ``\\n``) to ``df``. One codegen projection, no
     shuffle, no python. ``id_col`` is part of the stable operator API
-    but unused: nothing leaves the row."""
+    but unused: nothing leaves the row.
+
+    Language retargeting (the published badword/boilerplate lists are
+    English-shaped): ``policy_substrings`` replaces the boilerplate
+    list corpus-wide; ``badwords_by_lang`` / ``policy_by_lang`` route
+    PER ROW on ``lang_col`` (``core.lang_id``'s output) via one
+    codegen when-chain — no join, no shuffle, no python; unrouted rows
+    fall back to the corpus-wide lists. Line structure, sentence
+    counting, and the lorem-ipsum/curly page rules are list-free and
+    unchanged."""
     mw = int(
         C4_DEFAULTS["min_words_per_line"]
         if min_words_per_line is None
         else min_words_per_line
     )
     text = F.col(text_col)
+    default_policy = (
+        tuple(policy_substrings)
+        if policy_substrings is not None
+        else C4_POLICY_SUBSTRINGS
+    )
     # the trim is wrapped in a lambda on purpose: F.trim's optional
     # second parameter makes F.transform pass (element, index), which
     # silently turns the index into the trim-character set
     lines = F.transform(F.split(text, r"\r?\n"), lambda x: F.trim(x))
-    kept = F.filter(lines, lambda x: _line_kept_expr(x, mw))
+
+    # NB: the per-list lambda must take exactly ONE parameter — a
+    # bound default (lambda x, _p=pol) makes F.filter pass
+    # (element, index) and the list silently becomes the index column
+    def _kept_for(pol: tuple[str, ...]) -> Column:
+        return F.filter(lines, lambda x: _line_kept_expr(x, mw, pol))
+
+    kept = _kept_for(default_policy)
+    if policy_by_lang:
+        routed = None
+        for lang in sorted(policy_by_lang):
+            k = _kept_for(tuple(policy_by_lang[lang]))
+            cond = F.col(lang_col) == lang
+            routed = F.when(cond, k) if routed is None else routed.when(cond, k)
+        kept = routed.otherwise(kept)
     lower_words = F.regexp_extract_all(F.lower(text), F.lit(r"\S+"), 0)
-    if badwords:
-        bad = [b.lower() for b in badwords]
-        bad_hits = F.size(F.filter(lower_words, lambda w: w.isin(*bad)))
-    else:
-        bad_hits = F.lit(0)
+
+    def _bad_hits(bws: tuple[str, ...]) -> Column:
+        if not bws:
+            return F.lit(0)
+        bad = [b.lower() for b in bws]
+        return F.size(F.filter(lower_words, lambda w: w.isin(*bad)))
+
+    bad_hits = _bad_hits(tuple(badwords))
+    if badwords_by_lang:
+        routed = None
+        for lang in sorted(badwords_by_lang):
+            cnt = _bad_hits(tuple(badwords_by_lang[lang]))
+            cond = F.col(lang_col) == lang
+            routed = (
+                F.when(cond, cnt) if routed is None else routed.when(cond, cnt)
+            )
+        bad_hits = routed.otherwise(bad_hits)
     staged = df.select(
         "*", lines.alias("__c4_lines"), kept.alias("__c4_kept")
     )
@@ -191,17 +242,26 @@ def c4_clean(
     min_words_per_line: int | None = None,
     min_num_sentences: int | None = None,
     keep_signals: bool = False,
+    policy_substrings: tuple[str, ...] | None = None,
+    badwords_by_lang: dict[str, tuple[str, ...]] | None = None,
+    policy_by_lang: dict[str, tuple[str, ...]] | None = None,
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Apply the full C4 battery: drop failing lines, reject failing
     pages, and REPLACE ``text_col`` with the cleaned text. Output has
     the input's columns (plus the signal columns when
-    ``keep_signals``), one row per surviving page."""
+    ``keep_signals``), one row per surviving page. Language
+    retargeting knobs pass through to ``c4_signals``."""
     sig = c4_signals(
         df,
         text_col=text_col,
         id_col=id_col,
         badwords=badwords,
         min_words_per_line=min_words_per_line,
+        policy_substrings=policy_substrings,
+        badwords_by_lang=badwords_by_lang,
+        policy_by_lang=policy_by_lang,
+        lang_col=lang_col,
     )
     kept = sig.where(c4_pass_expr(min_num_sentences))
     cleaned = kept.withColumn(text_col, F.col("c4_text")).drop("c4_text")

@@ -250,10 +250,20 @@ def _gram_hl_expr(word_hashes: Column, word_lens: Column, n: int) -> Column:
     return F.when(m >= 1, grams).otherwise(whole)
 
 
+def _stop_hits_expr(lw: Column, stopwords: tuple[str, ...]) -> Column:
+    return sum(
+        (F.array_contains(lw, sw.lower()).cast("int") for sw in stopwords),
+        F.lit(0),
+    )
+
+
 def gopher_signals(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stopwords: tuple[str, ...] | None = None,
+    stopwords_by_lang: dict[str, tuple[str, ...]] | None = None,
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Append every Gopher signal column to ``df`` (one row per input
     row): n_words, mean_word_len, hash_word_ratio,
@@ -263,7 +273,18 @@ def gopher_signals(
     dup{5..10}_char_frac. Plan: a staged map-only projection chain —
     per-row rules + one sorted ``F.aggregate`` fold per unit kind; no
     shuffle, no python (module doc). ``id_col`` is part of the stable
-    API but unused here: nothing leaves the row."""
+    API but unused here: nothing leaves the row.
+
+    The required-stopword rule is the ONE language-coupled signal in
+    the battery (the paper's list is English; on any other language it
+    rejects everything). Retarget it with ``stopwords=`` (one list for
+    the whole corpus) or ``stopwords_by_lang=`` (a dict keyed by the
+    values of ``lang_col`` — e.g. ``core.lang_id``'s output — compiled
+    to ONE codegen when-chain, so per-language routing costs no join,
+    no shuffle, no python; rows whose language has no entry fall back
+    to ``stopwords``/the paper list). Every other signal is
+    script-agnostic as published (``\\p{L}`` alpha classes, character
+    fractions)."""
     text = F.col(text_col)
     words = tokens_expr(text)
     lw = F.transform(words, F.lower)
@@ -279,10 +300,17 @@ def gopher_signals(
     bullets = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•‣▪]")))
     ell_lines = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
     alpha_words = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
-    stop_hits = sum(
-        (F.array_contains(lw, sw).cast("int") for sw in GOPHER_STOPWORDS),
-        F.lit(0),
-    )
+    default_stops = tuple(stopwords) if stopwords else GOPHER_STOPWORDS
+    stop_hits = _stop_hits_expr(lw, default_stops)
+    if stopwords_by_lang:
+        routed = None
+        for lang in sorted(stopwords_by_lang):
+            cnt = _stop_hits_expr(lw, tuple(stopwords_by_lang[lang]))
+            cond = F.col(lang_col) == lang
+            routed = (
+                F.when(cond, cnt) if routed is None else routed.when(cond, cnt)
+            )
+        stop_hits = routed.otherwise(stop_hits)
 
     fl = "double"
     base = df.select(
@@ -397,11 +425,23 @@ def gopher_quality_filter(
     id_col: str = "doc_id",
     thresholds: dict[str, float] | None = None,
     keep_signals: bool = False,
+    stopwords: tuple[str, ...] | None = None,
+    stopwords_by_lang: dict[str, tuple[str, ...]] | None = None,
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Apply the full Gopher battery: compute signals, keep passing
     rows. ``keep_signals`` leaves the signal columns on the output for
-    auditing (default drops them, returning the input shape)."""
-    sig = gopher_signals(df, text_col=text_col, id_col=id_col)
+    auditing (default drops them, returning the input shape).
+    ``stopwords`` / ``stopwords_by_lang`` retarget the one
+    language-coupled rule for non-English corpora (gopher_signals)."""
+    sig = gopher_signals(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        stopwords=stopwords,
+        stopwords_by_lang=stopwords_by_lang,
+        lang_col=lang_col,
+    )
     kept = sig.where(gopher_pass_expr(thresholds))
     if keep_signals:
         return kept

@@ -647,12 +647,19 @@ def _gopher_filter(
     id_col: str = "doc_id",
     thresholds: dict | None = None,
     keep_signals: bool = False,
+    stopwords: list[str] | None = None,
+    stopwords_by_lang: dict | None = None,
+    lang_col: str = "lang",
 ) -> DataFrame:
     """core.gopher_filter: the Gopher rule battery (operators.gopher,
     Rae et al. 2021 Appendix A) — word/line shape rules + repetition
     rules, paper thresholds by default, per-key overrides via
     ``thresholds:`` (e.g. ``{min_words: 30}``). ``keep_signals: true``
-    leaves every signal column on the output for auditing."""
+    leaves every signal column on the output for auditing.
+    Non-English corpora: ``stopwords:`` replaces the paper's English
+    required-stopword list; ``stopwords_by_lang:`` (a YAML map of
+    lang value -> word list) routes per row on ``lang_col`` — compose
+    after a ``core.lang_id`` node."""
     from snapflow_spark.operators.gopher import gopher_quality_filter
 
     return gopher_quality_filter(
@@ -661,6 +668,13 @@ def _gopher_filter(
         id_col=id_col,
         thresholds=thresholds,
         keep_signals=bool(keep_signals),
+        stopwords=tuple(stopwords) if stopwords else None,
+        stopwords_by_lang=(
+            {k: tuple(v) for k, v in stopwords_by_lang.items()}
+            if stopwords_by_lang
+            else None
+        ),
+        lang_col=lang_col,
     )
 
 
@@ -673,12 +687,20 @@ def _c4_clean(
     min_words_per_line: int | None = None,
     min_num_sentences: int | None = None,
     keep_signals: bool = False,
+    policy_substrings: list[str] | None = None,
+    badwords_by_lang: dict | None = None,
+    policy_by_lang: dict | None = None,
+    lang_col: str = "lang",
 ) -> DataFrame:
     """core.c4_clean: the C4 line/page cleaning battery (operators.c4,
     Raffel et al. 2020 §2.2) — boilerplate lines drop individually,
     pages that stop reading like prose drop whole, and ``text_col`` is
     REPLACED with the kept lines. ``badwords:`` is the caller's list
-    (empty by default — nothing silently censored)."""
+    (empty by default — nothing silently censored). Non-English
+    corpora: ``policy_substrings:`` replaces the English boilerplate
+    list; ``badwords_by_lang:`` / ``policy_by_lang:`` (YAML maps of
+    lang value -> list) route per row on ``lang_col`` — compose after
+    a ``core.lang_id`` node."""
     from snapflow_spark.operators.c4 import c4_clean
 
     return c4_clean(
@@ -689,6 +711,20 @@ def _c4_clean(
         min_words_per_line=min_words_per_line,
         min_num_sentences=min_num_sentences,
         keep_signals=bool(keep_signals),
+        policy_substrings=(
+            tuple(policy_substrings) if policy_substrings is not None else None
+        ),
+        badwords_by_lang=(
+            {k: tuple(v) for k, v in badwords_by_lang.items()}
+            if badwords_by_lang
+            else None
+        ),
+        policy_by_lang=(
+            {k: tuple(v) for k, v in policy_by_lang.items()}
+            if policy_by_lang
+            else None
+        ),
+        lang_col=lang_col,
     )
 
 

@@ -191,3 +191,116 @@ def test_plan_is_map_only_no_python(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+# --- non-English retargeting (round 10) ---------------------------------
+
+FR_POLICY = ("politique de confidentialité", "conditions d'utilisation")
+FR_PAGE = "\n".join(
+    [
+        "Voici la première phrase correcte de la page entière.",
+        "Voici la deuxième phrase correcte de la page entière!",
+        "Et voici une troisième phrase pour le plancher requis?",
+        "Consultez notre politique de confidentialité pour détails.",
+    ]
+)
+
+
+def test_policy_substrings_retarget(spark):
+    """The English boilerplate list misses French policy lines; a
+    corpus-wide policy_substrings= drops them. Defaults unchanged:
+    no kwargs == the published list (pinned by equality)."""
+    df = _df(spark, [FR_PAGE])
+    base = c4_signals(df).collect()[0]
+    assert base.c4_n_kept_lines == 4  # English list: policy line kept
+    fr = c4_signals(df, policy_substrings=FR_POLICY).collect()[0]
+    assert fr.c4_n_kept_lines == 3  # French list drops it
+    assert "politique" not in fr.c4_text
+    # explicit default == implicit default, line for line
+    same = c4_signals(df, policy_substrings=C4_POLICY_SUBSTRINGS).collect()[0]
+    assert same == base
+
+
+def test_per_lang_policy_and_badwords_route_per_row(spark):
+    en_page = "\n".join(
+        [
+            GOOD_PAGE,
+            "Please read our privacy policy before continuing today.",
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            ("e1", "en", en_page),
+            ("f1", "fr", FR_PAGE),
+            ("x1", "it", FR_PAGE),  # unrouted: corpus-wide default
+        ],
+        "doc_id string, lang string, text string",
+    )
+    sig = {
+        r.doc_id: r
+        for r in c4_signals(
+            df,
+            policy_by_lang={"en": C4_POLICY_SUBSTRINGS, "fr": FR_POLICY},
+            badwords_by_lang={"fr": ("page",), "en": ("zzz",)},
+        ).collect()
+    }
+    assert sig["e1"].c4_n_kept_lines == 3  # English policy line dropped
+    assert sig["f1"].c4_n_kept_lines == 3  # French policy line dropped
+    assert sig["x1"].c4_n_kept_lines == 4  # default list keeps it
+    assert sig["f1"].c4_badword_hits == 2  # 'page' counted in French
+    assert sig["e1"].c4_badword_hits == 0
+
+
+def test_multilingual_c4_plan_stays_map_only(spark):
+    df = spark.createDataFrame(
+        [("d", "fr", FR_PAGE)], "doc_id string, lang string, text string"
+    )
+    plan = (
+        c4_signals(
+            df,
+            policy_by_lang={"fr": FR_POLICY},
+            badwords_by_lang={"fr": ("mot",)},
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_yaml_c4_multilingual_e2e(spark, tmp_path):
+    from snapflow_spark.plans import load_graph
+
+    df = spark.createDataFrame(
+        [(1, "fr", FR_PAGE)], "doc_id long, lang string, text string"
+    )
+    df.createOrReplaceTempView("raw_c4_ml")
+    cfg = {
+        "warehouse": str(tmp_path / "wh_c4ml"),
+        "nodes": [
+            {
+                "name": "raw",
+                "function": "core.sql",
+                "params": {"sql": "SELECT * FROM raw_c4_ml"},
+                "overwrite": True,
+            },
+            {
+                "name": "clean",
+                "function": "core.c4_clean",
+                "upstream": {"input": "raw"},
+                "params": {
+                    "policy_by_lang": {"fr": list(FR_POLICY)},
+                    "keep_signals": True,
+                },
+                "overwrite": True,
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.produce(spark)
+    rows = g.read(spark, "clean").collect()
+    assert len(rows) == 1
+    assert rows[0].c4_n_kept_lines == 3
+    assert "politique" not in rows[0].text

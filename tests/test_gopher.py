@@ -224,3 +224,114 @@ def test_line_units_are_space_trimmed(spark):
         spark.createDataFrame([(1, text)], "doc_id long, text string")
     ).collect()[0]
     assert row.dup_line_frac == pytest.approx(1 / 3)
+
+
+# --- non-English retargeting (round 10) ---------------------------------
+
+GERMAN_STOPS = ("der", "die", "und", "das", "ist", "von", "mit", "auch")
+
+
+def _german_doc() -> str:
+    """A perfectly healthy German document: >=50 words, unique filler
+    words (no gram duplicates), stopwords from the GERMAN list, in-range
+    word lengths — everything passes EXCEPT the English stopword rule."""
+    uniq = [f"wort{i:02d}" for i in range(52)]
+    toks = [*GERMAN_STOPS, *uniq]
+    return "\n".join(" ".join(toks[i : i + 12]) for i in range(0, 60, 12))
+
+
+def test_english_stopword_rule_wrongly_rejects_german(spark):
+    """The documented failure the knob exists for: on a healthy
+    non-English corpus the paper's English list scores stop_hits 0 and
+    rejects EVERYTHING; retargeting stopwords= keeps everything."""
+    docs = spark.createDataFrame(
+        [(i, _german_doc()) for i in range(5)], "doc_id long, text string"
+    )
+    assert gopher_quality_filter(docs).count() == 0
+    assert (
+        gopher_quality_filter(docs, stopwords=GERMAN_STOPS).count() == 5
+    )
+    # the override touches ONLY stop_hits: every other signal is equal
+    a = gopher_signals(docs).drop("stop_hits").collect()
+    b = gopher_signals(docs, stopwords=GERMAN_STOPS).drop("stop_hits").collect()
+    assert a == b
+
+
+def test_stopwords_by_lang_routes_per_row(spark):
+    """A mixed en/de corpus with a lang column (core.lang_id's output
+    shape): per-language lists route per ROW; rows with an unrouted
+    lang fall back to the corpus-wide default."""
+    uniq = [f"word{i:02d}" for i in range(52)]
+    en = "\n".join(
+        " ".join(["the", "be", "to", "of", "and", "that", "have", "with", *uniq][i : i + 12])
+        for i in range(0, 60, 12)
+    )
+    de = _german_doc()
+    df = spark.createDataFrame(
+        [(1, "en", en), (2, "de", de), (3, "fr", de), (4, "de", en)],
+        "doc_id long, lang string, text string",
+    )
+    routed = gopher_signals(
+        df,
+        stopwords_by_lang={"en": GOPHER_STOPWORDS, "de": GERMAN_STOPS},
+    )
+    hits = {r.doc_id: r.stop_hits for r in routed.collect()}
+    assert hits[1] == 8  # English doc scored by the English list
+    assert hits[2] == 8  # German doc scored by the German list
+    assert hits[3] == 0  # unrouted lang falls back to the paper list
+    assert hits[4] == 0  # German list applied to the English doc: miss
+    kept = gopher_quality_filter(
+        df, stopwords_by_lang={"en": GOPHER_STOPWORDS, "de": GERMAN_STOPS}
+    )
+    assert {r.doc_id for r in kept.collect()} == {1, 2}
+
+
+def test_multilingual_plan_stays_python_free(spark):
+    df = spark.createDataFrame(
+        [(1, "de", "x")], "doc_id long, lang string, text string"
+    )
+    plan = (
+        gopher_signals(
+            df, stopwords_by_lang={"de": GERMAN_STOPS, "fr": ("le", "la")}
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_yaml_gopher_multilingual_e2e(spark, tmp_path):
+    """core.gopher_filter with stopwords_by_lang declared entirely in
+    YAML — the per-language config a lang_id-routed pipeline ships."""
+    from snapflow_spark.plans import load_graph
+
+    src = spark.createDataFrame(
+        [(1, "de", _german_doc())], "doc_id long, lang string, text string"
+    )
+    src.createOrReplaceTempView("raw_docs_ml")
+    cfg = {
+        "warehouse": str(tmp_path / "wh_ml"),
+        "nodes": [
+            {
+                "name": "raw",
+                "function": "core.sql",
+                "params": {"sql": "SELECT * FROM raw_docs_ml"},
+                "overwrite": True,
+            },
+            {
+                "name": "clean",
+                "function": "core.gopher_filter",
+                "upstream": {"input": "raw"},
+                "params": {
+                    "stopwords_by_lang": {"de": list(GERMAN_STOPS)},
+                    "keep_signals": True,
+                },
+                "overwrite": True,
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.produce(spark)
+    rows = g.read(spark, "clean").collect()
+    assert len(rows) == 1 and rows[0].stop_hits == 8
