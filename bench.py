@@ -110,6 +110,13 @@ def run(sf_dir: str, names: list[str]) -> dict:
 
     mid_spins: list[float] = []
     mid_mems: list[float] = []
+    # per-query self-adjudication (round 10): each warm delta carries
+    # its own noise verdict — the spin/mem stamps sampled around ITS
+    # rep block plus the rep spread (max/min of its samples). A +50%
+    # like r9's q_dedup_minhash then reads directly: spread ~1 + calm
+    # stamps = real; spread >2 or a hot stamp = the host, rerun.
+    query_stamps: dict[str, dict[str, float]] = {}
+    query_spread: dict[str, float] = {}
 
     def one_pass(repeats: int = 1) -> dict[str, float]:
         # repeats>1 takes the MIN of `repeats` back-to-back runs per
@@ -125,8 +132,10 @@ def run(sf_dir: str, names: list[str]) -> dict:
             # while q_similarity_ann sat at 10x its usual warm time —
             # the burst hit in the middle); ~65 ms per query is noise
             # next to any query's runtime
-            mid_spins.append(_cpu_spin_ms())
-            mid_mems.append(_mem_copy_ms())
+            spin_before = _cpu_spin_ms()
+            mem_before = _mem_copy_ms()
+            mid_spins.append(spin_before)
+            mid_mems.append(mem_before)
             samples: list[float] = []
             # ADAPTIVE reps (round 9): a steal burst during one
             # query's rep block can inflate all `repeats` samples at
@@ -151,6 +160,12 @@ def run(sf_dir: str, names: list[str]) -> dict:
                 # storage-memory eviction of accumulated cache segments
                 spark.catalog.clearCache()
             timings[name] = round(min(samples), 3)
+            if repeats > 1:  # warm pass: the trended number
+                query_spread[name] = round(max(samples) / min(samples), 2)
+                query_stamps[name] = {
+                    "spin_ms": spin_before,
+                    "mem_ms": mem_before,
+                }
         return timings
 
     # Two passes: pass 1 includes residual first-touch costs (file
@@ -178,6 +193,13 @@ def run(sf_dir: str, names: list[str]) -> dict:
         "unit": "sec",
         "queries": warm,
         "queries_cold": cold,
+        # per-query adjudication (round 10): rep spread (max/min of
+        # the query's own warm samples) + the spin/mem stamps sampled
+        # right before its rep block — a warm delta is real only if
+        # its spread is ~1 AND its stamps read calm (see SCALE.md
+        # §host-noise for this box's reference values)
+        "warm_spread": query_spread,
+        "warm_stamps": query_stamps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(warm),
         "cpus": int(cpus),
@@ -249,6 +271,8 @@ def main() -> None:
         "mem_copy_mid_max_ms": result["mem_copy_mid_max_ms"],
         "headline_protocol": "warm_min_of_3",
         "slowest_warm": slowest,
+        # bounded: adjudication stamps for the 8 slowest only
+        "slowest_spread": {k: result["warm_spread"].get(k) for k in slowest},
         "value_cold": result["value_cold"],
         "value_warm": result["value_warm"],
         "value": result["value"],
