@@ -74,10 +74,25 @@ class TableLedger:
     re-reading history.
     """
 
-    def __init__(self, path: str | os.PathLike, checkpoint_interval: int = 50):
+    def __init__(
+        self,
+        path: str | os.PathLike,
+        checkpoint_interval: int = 50,
+        publish=None,
+    ):
+        """``publish``: the create-exclusive commit primitive —
+        ``publish(tmp: Path, target: Path)`` must atomically make
+        ``target`` exist with tmp's content and raise
+        ``FileExistsError`` if target already exists (the lost race).
+        Default is ``os.link``, which needs a REAL filesystem
+        (local/NFS/EFS/HDFS-fuse). On an object store, pass a
+        conditional-PUT implementation (S3 ``If-None-Match: *`` /
+        GCS ``ifGenerationMatch=0``) — the same contract Delta's
+        commit coordinators use (SCALE.md §deploy)."""
         self.path = Path(path)
         self.path.mkdir(parents=True, exist_ok=True)
         self.checkpoint_interval = int(checkpoint_interval)
+        self._publish = publish if publish is not None else os.link
         self._data: dict[str, dict[str, list[str]]] = {}
         self._version = -1  # last folded commit version
         self.refresh()
@@ -193,7 +208,9 @@ class TableLedger:
             tmp.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
             target = self.path / _fname(_COMMIT_PREFIX, version)
             try:
-                os.link(tmp, target)  # create-exclusive: EEXIST = lost race
+                # create-exclusive: EEXIST = lost race (default
+                # os.link; object stores swap in conditional PUT)
+                self._publish(tmp, target)
             except FileExistsError:
                 tmp.unlink()
                 continue
@@ -225,7 +242,7 @@ class TableLedger:
         )
         target = self.path / _fname(_CKPT_PREFIX, version)
         try:
-            os.link(tmp, target)
+            self._publish(tmp, target)
         except FileExistsError:
             pass
         tmp.unlink()

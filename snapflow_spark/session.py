@@ -70,6 +70,107 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Confs that MUST be set at launch (spark-submit / cluster template)
+#: — core/Hadoop settings Spark rejects via spark.conf.set at runtime.
+#: tune_cluster() returns them so a deployment can diff its template
+#: against the engine's requirements instead of re-deriving them.
+CLUSTER_LAUNCH_CONFS: dict[str, str] = {
+    # --- elasticity: a 100 TB job's stage widths vary 100x between
+    # the scan (tens of thousands of tasks) and the final 1-row aggs;
+    # fixed executor counts either starve the scan or idle the tail
+    "spark.dynamicAllocation.enabled": "true",
+    "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+    "spark.dynamicAllocation.minExecutors": "2",
+    "spark.dynamicAllocation.maxExecutors": "1000",
+    # --- shuffle robustness: executor loss must not replay whole
+    # stages; zstd halves shuffle bytes vs lz4 at similar CPU on the
+    # text-heavy shuffles this engine runs (gram/band keys)
+    "spark.shuffle.service.enabled": "true",
+    "spark.io.compression.codec": "zstd",
+    "spark.shuffle.compress": "true",
+    # --- stragglers: external-storage hiccups at 1000 executors are
+    # routine; speculative re-attempts cap the tail
+    "spark.speculation": "true",
+    "spark.speculation.quantile": "0.9",
+    # --- object-store output: the 'magic' S3A committer commits via
+    # multipart-upload completion (atomic, no rename) — the ONLY safe
+    # committer on S3; classic FileOutputCommitter v1/v2 either
+    # renames (O(files) copies on S3) or exposes partial output
+    "spark.hadoop.fs.s3a.committer.name": "magic",
+    "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+    "spark.sql.sources.commitProtocolClass": (
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    ),
+    "spark.sql.parquet.output.committer.class": (
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    ),
+    # --- S3A throughput for the WARC/parquet scan tiers
+    "spark.hadoop.fs.s3a.connection.maximum": "256",
+    "spark.hadoop.fs.s3a.fast.upload": "true",
+    # --- driver safety: the engine's driver-side collects are bounded
+    # by construction (word-type dicts, centroids, index file lists),
+    # but the bound should be enforced, not assumed
+    "spark.driver.maxResultSize": "4g",
+}
+
+
+def tune_cluster(
+    spark: SparkSession,
+    target_partition_mb: int = 128,
+    scan_partition_mb: int = 256,
+    broadcast_mb: int = 64,
+    shuffle_partitions: int | None = 2000,
+) -> dict[str, dict[str, str]]:
+    """The 100 TB twin of :func:`tune`: applies every runtime-settable
+    cluster conf and returns ``{"applied": {...}, "launch_required":
+    CLUSTER_LAUNCH_CONFS}`` so the launch template can be diffed
+    against requirements the session API cannot set.
+
+    What the local[32] shim cannot exercise and this profile encodes:
+
+    - **Shuffle sizing**: ``shuffle_partitions`` starts HIGH (default
+      2000) and AQE coalesces down per stage
+      (``advisoryPartitionSizeInBytes`` = ``target_partition_mb``) —
+      the opposite of the local shim's fixed 32. Under-partitioning a
+      100 TB shuffle spills; over-partitioning is repaired free by AQE.
+    - **Scan splits**: ``files.maxPartitionBytes`` = ``scan_partition_mb``
+      — fewer, fuller scan tasks keep the task count at six figures,
+      not seven, for a 100 TB parquet layout.
+    - **Broadcast ceiling**: ``autoBroadcastJoinThreshold`` =
+      ``broadcast_mb`` — the dimension tables and standing artifacts
+      this engine broadcasts (centroid tables, blocklists, posting
+      vocabularies) are MBs; raising the ceiling keeps them off the
+      shuffle without risking an OOM-sized accidental broadcast.
+    - **Parquet output**: zstd compression for the snapshot/sink tier.
+
+    NOT settable here and therefore in ``launch_required``: dynamic
+    allocation, external shuffle service, speculation, the S3A magic
+    committer, and driver result caps (core/Hadoop confs are fixed at
+    launch). TableLedger caveat: its ``os.link`` create-exclusive
+    publish needs a real filesystem (NFS/EFS/HDFS-fuse); on S3-only
+    metadata layouts pass ``TableLedger(publish=...)`` with a
+    conditional-PUT (If-None-Match) implementation — the same
+    commit-coordination contract, different primitive (SCALE.md
+    §deploy)."""
+    tune(spark)
+    applied = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": (
+            f"{int(target_partition_mb)}m"
+        ),
+        "spark.sql.files.maxPartitionBytes": f"{int(scan_partition_mb)}m",
+        "spark.sql.autoBroadcastJoinThreshold": f"{int(broadcast_mb)}m",
+        "spark.sql.parquet.compression.codec": "zstd",
+    }
+    if shuffle_partitions:
+        applied["spark.sql.shuffle.partitions"] = str(int(shuffle_partitions))
+    for k, v in applied.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static in some deployments; report what we tried
+    return {"applied": applied, "launch_required": dict(CLUSTER_LAUNCH_CONFS)}
+
+
 def build_session(app_name: str = "snapflow-spark", master: str | None = None) -> SparkSession:
     """Build the engine's own session (tests, bench, CLI runs)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

@@ -234,3 +234,52 @@ def test_concurrent_writers_lose_nothing(tmp_path):
     for tag in ("a", "b"):
         own = [s for s in got if s.startswith(tag)]
         assert own == [f"{tag}-{i}" for i in range(40)]
+
+
+def test_custom_publish_conditional_put_backend(tmp_path):
+    """The object-store deployment path: a simulated conditional-PUT
+    (If-None-Match) publish honors the same lost-race contract as
+    os.link, and the ledger runs identically on it — including losing
+    a version race and retrying."""
+    import shutil
+
+    puts = {"n": 0}
+
+    def conditional_put(tmp, target):
+        puts["n"] += 1
+        if os.path.exists(target):  # If-None-Match: * -> 412
+            raise FileExistsError(target)
+        shutil.copyfile(tmp, target)
+
+    a = TableLedger(tmp_path / "log", checkpoint_interval=0,
+                    publish=conditional_put)
+    b = TableLedger(tmp_path / "log", checkpoint_interval=0,
+                    publish=conditional_put)
+    a.mark_consumed("n", "in", ["s-0"])
+    b.mark_consumed("n", "in", ["s-1"])
+    assert b.consumed("n", "in") == ["s-0", "s-1"]
+    a.refresh()
+    assert a.consumed("n", "in") == ["s-0", "s-1"]
+    assert puts["n"] == 2
+    # the lost-race contract holds: publishing onto an existing
+    # version raises FileExistsError (the 412 a conditional PUT maps)
+    import pytest
+
+    probe = tmp_path / "probe.tmp"
+    probe.write_text("z")
+    with pytest.raises(FileExistsError):
+        conditional_put(probe, tmp_path / "log" / _fname(_COMMIT_PREFIX, 0))
+    # ...and the retry loop exercises it end-to-end: plant the next
+    # version so b's first publish attempt loses and must re-target
+    planted = tmp_path / "log" / _fname(_COMMIT_PREFIX, 2)
+    planted.write_text(
+        '{"v": 2, "op": "consume", "node": "n", "input": "in", "ids": ["s-2"]}\n'
+    )
+    before = puts["n"]
+    b.mark_consumed("n", "in", ["s-3"])  # refresh folds v2, lands at v3
+    assert puts["n"] == before + 1
+    assert b.consumed("n", "in") == ["s-0", "s-1", "s-2", "s-3"]
+    a.checkpoint()
+    a.vacuum()
+    fresh = TableLedger(tmp_path / "log")  # reader needs no publisher
+    assert fresh.consumed("n", "in") == ["s-0", "s-1", "s-2", "s-3"]
