@@ -35,9 +35,12 @@ for what JVM expressions can't do:
   never forms valid multi-byte UTF-8, ASCII round-trips unchanged
   (equal length → no-op), and text with characters outside cp1252
   fails the encode and is correctly left alone. Up to 3 rounds
-  handles double/triple encoding. Whole-string repair only: a
-  half-corrupted string stays as-is (segment-level repair à la ftfy
-  is out of scope and documented as such).
+  handles double/triple encoding. The DEFAULT is whole-string repair (a
+  half-corrupted string stays as-is — the oracle-pinned form);
+  ``fix_mojibake_segments`` (round 10) is the opt-in ftfy-style tier
+  that repairs mixed-encoding documents span by span via UTF-8
+  resynchronization over the cp1252ish byte view
+  (``fix_encoding='segments'``).
 
 Both tiers are map-only projections; ``normalize_text_column``
 composes them in the canonical order (clean → fix → normalize).
@@ -54,6 +57,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "clean_text_expr",
     "fix_mojibake",
+    "fix_mojibake_segments",
     "normalize_text",
     "normalize_text_column",
     "normalize_udf",
@@ -102,6 +106,75 @@ def _to_cp1252ish(s: str) -> bytes | None:
         return bytes(out)
 
 
+def _char_byte(ch: str) -> int | None:
+    """The cp1252ish byte a character renders from, or None when it
+    cannot have come from a single byte (codepoint > 0xFF outside
+    cp1252)."""
+    try:
+        return ch.encode("cp1252")[0]
+    except UnicodeEncodeError:
+        cp = ord(ch)
+        return cp if cp <= 0xFF else None
+
+
+def fix_mojibake_segments(s: str | None, max_rounds: int = 3) -> str | None:
+    """SEGMENT-level mojibake repair (the ftfy-style tier the
+    whole-string rule deliberately refuses): a document where only
+    SOME spans are UTF-8-decoded-as-cp1252 — one pasted paragraph, a
+    scraped comment, a half-converted database column — repairs just
+    those spans and leaves every clean character byte-identical.
+
+    Algorithm (original, pinned): scan characters left to right; map
+    each to the cp1252ish byte it would have rendered from
+    (``_char_byte``; characters that cannot come from one byte — CJK,
+    emoji — are hard boundaries and pass through). Wherever a
+    UTF-8 LEAD byte (0xC2-0xF4) starts a sequence whose
+    lead-determined length decodes as STRICT valid UTF-8, that
+    sequence is replaced by its decoded character; every other
+    character passes through unchanged. Rounds repeat (``max_rounds``)
+    for nested double-encodings, stopping at the first no-change
+    round.
+
+    Trade vs the whole-string rule (which remains the default and the
+    oracle-pinned form): segment repair is strictly more aggressive —
+    a clean string that legitimately contains a lead-byte character
+    immediately followed by continuation-range characters (e.g. the
+    literal two-character text "Â«") is indistinguishable from
+    mojibake and gets repaired; natural language makes such runs
+    vanishingly rare, and crawl pipelines that want maximum salvage
+    opt in via ``fix_encoding='segments'``. Total — never raises;
+    ASCII and non-cp1252 scripts are structurally untouchable."""
+    if s is None:
+        return None
+    for _ in range(max_rounds):
+        out: list[str] = []
+        changed = False
+        i, n = 0, len(s)
+        while i < n:
+            b = _char_byte(s[i])
+            if b is None or b < 0xC2 or b > 0xF4:
+                out.append(s[i])
+                i += 1
+                continue
+            seq_len = 2 if b <= 0xDF else 3 if b <= 0xEF else 4
+            if i + seq_len <= n:
+                bs = [_char_byte(c) for c in s[i : i + seq_len]]
+                if all(x is not None for x in bs):
+                    try:
+                        out.append(bytes(bs).decode("utf-8"))
+                        i += seq_len
+                        changed = True
+                        continue
+                    except UnicodeDecodeError:
+                        pass
+            out.append(s[i])
+            i += 1
+        if not changed:
+            return s
+        s = "".join(out)
+    return s
+
+
 def fix_mojibake(s: str | None, max_rounds: int = 3) -> str | None:
     """Repair UTF-8-decoded-as-cp1252 mojibake (pinned acceptance rule
     in the module doc). Returns the input unchanged when no repair
@@ -125,14 +198,19 @@ def fix_mojibake(s: str | None, max_rounds: int = 3) -> str | None:
 def normalize_text(
     s: str | None,
     form: str = "NFKC",
-    fix_encoding: bool = True,
+    fix_encoding: bool | str = True,
 ) -> str | None:
     """One string through the python tier: mojibake repair (optional)
     then a unicode normalization form ('NFC', 'NFKC', 'NFD', 'NFKD',
-    or '' / None to skip)."""
+    or '' / None to skip). ``fix_encoding``: True = whole-string rule
+    (default, oracle-pinned), ``'segments'`` = segment-level repair
+    for mixed-encoding documents (fix_mojibake_segments), False =
+    skip."""
     if s is None:
         return None
-    if fix_encoding:
+    if fix_encoding == "segments":
+        s = fix_mojibake_segments(s)
+    elif fix_encoding:
         s = fix_mojibake(s)
     if form:
         s = unicodedata.normalize(form, s)
@@ -142,7 +220,7 @@ def normalize_text(
 def normalize_udf(
     col: str | Column,
     form: str = "NFKC",
-    fix_encoding: bool = True,
+    fix_encoding: bool | str = True,
 ) -> Column:
     """Arrow-batched column form of ``normalize_text``. Built at call
     time (pandas_udf registration needs an active session)."""
@@ -162,7 +240,7 @@ def normalize_text_column(
     df: DataFrame,
     text_col: str = "text",
     form: str = "NFKC",
-    fix_encoding: bool = True,
+    fix_encoding: bool | str = True,
     clean: bool = True,
     output_col: str | None = None,
 ) -> DataFrame:

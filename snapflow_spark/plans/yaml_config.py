@@ -1102,7 +1102,7 @@ def _normalize_text(
     input: DataFrame,  # noqa: A002
     text_col: str = "text",
     form: str = "NFKC",
-    fix_encoding: bool = True,
+    fix_encoding: bool | str = True,
     clean: bool = True,
 ) -> DataFrame:
     """core.normalize_text: codegen hygiene (controls/zero-width/space
@@ -1110,7 +1110,8 @@ def _normalize_text(
     column (functions.normalize.normalize_text_column) — the cleanup
     pass between extraction and every op keyed on text bytes. With
     ``form: ''`` and ``fix_encoding: false`` the node stays entirely
-    JVM-side."""
+    JVM-side. ``fix_encoding: segments`` opts into the ftfy-style
+    span-by-span repair for mixed-encoding documents."""
     from snapflow_spark.functions.normalize import normalize_text_column
 
     return normalize_text_column(

@@ -106,3 +106,81 @@ def test_yaml_builtin_normalize(spark, tmp_path):
     )
     assert g.produce(spark) == 1
     assert g.read(spark, "norm").collect()[0].text == "caf\u00e9 fine"
+
+
+# --- segment-level repair (round 10) ------------------------------------
+
+
+def test_segments_repair_mixed_document():
+    """The case the whole-string rule refuses BY DESIGN: one corrupted
+    span inside a clean document. Segment repair fixes the span and
+    leaves every clean character byte-identical."""
+    from snapflow_spark.functions.normalize import fix_mojibake_segments
+
+    mixed = (
+        "A clean naïve paragraph.\n"
+        "The cafÃ© serves crÃ¨me brÃ»lÃ©e â€” daily.\n"
+        "Another clean line."
+    )
+    assert fix_mojibake(mixed) == mixed  # documented refusal
+    got = fix_mojibake_segments(mixed)
+    assert got == (
+        "A clean naïve paragraph.\n"
+        "The café serves crème brûlée — daily.\n"
+        "Another clean line."
+    )
+    # mixed WITHIN one line, CJK hard boundaries pass through
+    assert fix_mojibake_segments("日本語 and cafÃ© together") == (
+        "日本語 and café together"
+    )
+
+
+def test_segments_double_encoding_and_parity_with_whole_string():
+    from snapflow_spark.functions.normalize import fix_mojibake_segments
+
+    twice = "é".encode().decode("cp1252").encode().decode("cp1252")
+    assert fix_mojibake_segments(f"x {twice} y") == "x é y"
+    # fully-mojibake strings: segment == whole-string repair
+    for s in ("cafÃ©", "â€™ quotes â€œhereâ€\x9d", "crÃ¨me brÃ»lÃ©e"):
+        assert fix_mojibake_segments(s) == fix_mojibake(s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=80))
+def test_segments_total_and_ascii_untouchable(s):
+    """Never raises on arbitrary text; ASCII characters can only ever
+    pass through (no repair sequence starts below 0xC2), so the ASCII
+    subsequence of the input survives in order."""
+    from snapflow_spark.functions.normalize import fix_mojibake_segments
+
+    got = fix_mojibake_segments(s)
+    assert got is not None
+    # repairs only ever consume chars >= 0x80 and only ever produce
+    # chars >= U+0080, so the ASCII subsequence is invariant
+    assert [c for c in s if ord(c) < 0x80] == [
+        c for c in got if ord(c) < 0x80
+    ]
+    # pure-ASCII inputs are exact no-ops
+    if all(ord(c) < 0x80 for c in s):
+        assert got == s
+    # stability: a second application at the same bound is a no-op
+    # unless a >3-deep nesting remains (bounded rounds, documented)
+    assert fix_mojibake_segments(got) == fix_mojibake_segments(got)
+
+
+def test_normalize_text_fix_encoding_modes_and_yaml(spark):
+    from snapflow_spark.functions.normalize import normalize_text_column
+    from snapflow_spark.plans.yaml_config import BUILTINS
+
+    mixed = "clean naïve line\nbad cafÃ© line"
+    df = spark.createDataFrame([(1, mixed)], "doc_id long, text string")
+    whole = normalize_text_column(df, form="").collect()[0].text
+    assert whole == mixed  # whole-string mode refuses the mixed doc
+    segs = normalize_text_column(
+        df, form="", fix_encoding="segments"
+    ).collect()[0].text
+    assert "café" in segs and segs.startswith("clean naïve line")
+    y = BUILTINS["core.normalize_text"](
+        spark, df, form="", fix_encoding="segments"
+    ).collect()[0].text
+    assert y == segs
