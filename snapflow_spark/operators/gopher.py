@@ -353,15 +353,62 @@ def gopher_signals(
             F.col("__w"), lambda w: F.length(w).cast("long")
         ).alias("__wl"),
     )
+    # incremental gram-hash chain (round 10): tier n's hash/len arrays
+    # extend tier n-1's with ONE zip_with against the n-shifted word
+    # arrays (identical values to the from-scratch fold — zip_with is
+    # elementwise, and tier n's prefix of tier n-1 is exactly its
+    # base). The from-scratch form rebuilt each tier independently:
+    # sum(n-1) = 45 zip passes for n=2..10 vs 9 here. Each tier is a
+    # NAMED staged column so it evaluates once (the winnowing lesson).
+    wh, wl = F.col("__wh"), F.col("__wl")
+    gram_ns = sorted((*_TOP_NS, *_DUP_NS))
+    chain = staged
+    prev_h, prev_l = wh, wl
+    for n in gram_ns:
+        m = F.greatest(F.size(wh) - (n - 1), F.lit(1))
+        h = F.zip_with(
+            F.slice(prev_h, 1, m), F.slice(wh, n, m),
+            lambda a, b: F.xxhash64(a, b),
+        )
+        ln = F.zip_with(
+            F.slice(prev_l, 1, m), F.slice(wl, n, m), lambda a, b: a + b + 1
+        )
+        chain = chain.select(
+            "*", h.alias(f"__gh{n}"), ln.alias(f"__gl{n}")
+        )
+        prev_h, prev_l = F.col(f"__gh{n}"), F.col(f"__gl{n}")
+
+    def _gram_units(n: int) -> Column:
+        """struct<h,l> array for tier n from the staged chain, with
+        _gram_hl_expr's exact degenerate contract (fewer than n words
+        -> ONE whole-text gram whose hash is the fold of all word
+        hashes and whose length includes the joiner gaps)."""
+        grams = F.zip_with(
+            F.col(f"__gh{n}"),
+            F.col(f"__gl{n}"),
+            lambda a, b: F.struct(a.alias("h"), b.cast("long").alias("l")),
+        )
+        whole_len = (
+            F.aggregate(wl, _L(0), lambda acc, x: acc + x)
+            + F.greatest(F.size(wl) - 1, F.lit(0))
+        ).cast("long")
+        whole = F.array(
+            F.struct(
+                F.aggregate(
+                    wh, _L(0), lambda acc, x: F.xxhash64(acc, x)
+                ).alias("h"),
+                whole_len.alias("l"),
+            )
+        )
+        return F.when(F.size(wh) - (n - 1) >= 1, grams).otherwise(whole)
+
     kinds: dict[str, Column] = {
         "line": F.transform(trimmed_lines, _hl),
         "para": F.transform(paras, _hl),
     }
-    for n in (*_TOP_NS, *_DUP_NS):
-        kinds[f"g{n}"] = _gram_hl_expr(F.col("__wh"), F.col("__wl"), n)
-    # stage each unit array, then each fold, as NAMED columns so every
-    # array is built exactly once (winnowing's materialization lesson)
-    with_units = staged.select(
+    for n in gram_ns:
+        kinds[f"g{n}"] = _gram_units(n)
+    with_units = chain.select(
         "*", *[arr.alias(f"__u_{k}") for k, arr in kinds.items()]
     )
     with_stats = with_units.select(
