@@ -397,3 +397,159 @@ def test_jdbc_cursor_pager_incremental_import(spark, tmp_path):
         jdbc_cursor_pager(spark, url, "a.b.c", "k")
     # schema-qualified plain identifiers stay accepted
     jdbc_cursor_pager(spark, url, "app.t_incr", "k")
+
+
+# --- concrete HTTP connector (round 10) ----------------------------------
+
+
+def _paged_api_server(items, page_size=3, flaky_429=0, require_token=None):
+    """A local in-process paged JSON API: cursor style at /cursor
+    (after=<id>, body {data: [...], next: id|null}) and page style at
+    /pages (page=N, body {results: [...]}); optional bearer-token gate
+    and N leading 429s (with Retry-After) to exercise the retry path."""
+    import http.server
+    import json as _json
+    import urllib.parse
+
+    state = {"remaining_429": flaky_429, "hits": 0}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _reply(self, code, body, extra=()):
+            raw = _json.dumps(body).encode()
+            self.send_response(code)
+            for k, v in extra:
+                self.send_header(k, v)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(raw)))
+            self.end_headers()
+            self.wfile.write(raw)
+
+        def do_GET(self):
+            state["hits"] += 1
+            if require_token and self.headers.get("Authorization") != (
+                f"Bearer {require_token}"
+            ):
+                return self._reply(401, {"error": "unauthorized"})
+            if state["remaining_429"] > 0:
+                state["remaining_429"] -= 1
+                return self._reply(
+                    429, {"error": "rate"}, extra=[("Retry-After", "0")]
+                )
+            parsed = urllib.parse.urlparse(self.path)
+            q = dict(urllib.parse.parse_qsl(parsed.query))
+            if parsed.path == "/cursor":
+                after = int(q["after"]) if "after" in q else -1
+                page = [x for x in items if x["id"] > after][:page_size]
+                nxt = page[-1]["id"] if page else None
+                return self._reply(200, {"data": page, "next": nxt})
+            if parsed.path == "/pages":
+                p = int(q.get("page", "1"))
+                page = items[(p - 1) * page_size : p * page_size]
+                return self._reply(200, {"results": page})
+            return self._reply(404, {"error": "nope"})
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    import threading
+
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, state
+
+
+def test_http_pager_cursor_style_end_to_end(spark, tmp_path):
+    """The full connector path on a REAL http request loop (local
+    loopback — everything but the WAN): cursor-style pagination with
+    auth headers, snapshots per page, checkpointed resume, live
+    append, exactly-once history downstream."""
+    from snapflow_spark.incremental.store import SnapshotStore
+    from snapflow_spark.sources import http_json_pager, import_api_pages
+
+    items = [{"id": i, "v": i * 10} for i in range(8)]
+    srv, state = _paged_api_server(items, page_size=3, require_token="tok")
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/cursor"
+        pager = http_json_pager(
+            url,
+            records_path="data",
+            cursor_param="after",
+            next_cursor_path="next",
+            headers={"Authorization": "Bearer tok"},
+        )
+        store = SnapshotStore(str(tmp_path / "api"))
+        res = import_api_pages(spark, pager, "id bigint, v bigint", store)
+        assert (res.n_pages, res.n_records, res.cursor) == (3, 8, 7)
+        got = store.read(spark).orderBy("id").collect()
+        assert [(r.id, r.v) for r in got] == [(i, i * 10) for i in range(8)]
+        # caught up: next run fetches nothing, cursor holds
+        res2 = import_api_pages(spark, pager, "id bigint, v bigint", store)
+        assert res2.n_pages == 0 and load_cursor_val(store) == 7
+        # the API grows; the next run imports ONLY the delta
+        items.extend({"id": i, "v": i * 10} for i in (8, 9))
+        res3 = import_api_pages(spark, pager, "id bigint, v bigint", store)
+        assert res3.n_records == 2
+        assert store.read(spark).count() == 10
+    finally:
+        srv.shutdown()
+
+
+def load_cursor_val(store):
+    from snapflow_spark.sources import load_cursor
+
+    return load_cursor(store)
+
+
+def test_http_pager_page_style_and_429_retry(spark, tmp_path):
+    from snapflow_spark.incremental.store import SnapshotStore
+    from snapflow_spark.sources import http_json_pager, import_api_pages
+
+    items = [{"id": i, "v": i} for i in range(5)]
+    srv, state = _paged_api_server(items, page_size=2, flaky_429=2)
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/pages"
+        slept = []
+        pager = http_json_pager(
+            url,
+            records_path="results",
+            page_param="page",
+            _sleep=slept.append,
+        )
+        store = SnapshotStore(str(tmp_path / "pages"))
+        res = import_api_pages(spark, pager, "id bigint, v bigint", store)
+        assert (res.n_pages, res.n_records, res.cursor) == (3, 5, 3)
+        # both 429s were absorbed by retries honoring Retry-After: 0
+        assert slept == [0.0, 0.0]
+        assert store.read(spark).count() == 5
+    finally:
+        srv.shutdown()
+
+
+def test_http_pager_auth_failure_is_not_retried(tmp_path):
+    import urllib.error
+
+    from snapflow_spark.sources import http_json_pager
+
+    srv, state = _paged_api_server([], require_token="tok")
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/cursor"
+        pager = http_json_pager(
+            url, records_path="data", cursor_param="after",
+            next_cursor_path="next", headers={"Authorization": "Bearer BAD"},
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            pager(None)
+        assert state["hits"] == 1  # one attempt: 401 never retries
+    finally:
+        srv.shutdown()
+
+
+def test_http_pager_contract_guards():
+    from snapflow_spark.sources import http_json_pager
+
+    with pytest.raises(ValueError, match="exactly one"):
+        http_json_pager("http://x", cursor_param="a", page_param="p")
+    with pytest.raises(ValueError, match="exactly one"):
+        http_json_pager("http://x")
+    with pytest.raises(ValueError, match="cursor style"):
+        http_json_pager("http://x", cursor_param="after")
