@@ -303,3 +303,143 @@ def test_dsir_selection_incremental_equals_batch(spark, tmp_path):
     assert got2 == batch(dd)
     assert got1 != got2  # the selection was revised, not appended
     assert g.produce(spark) == 0  # fixed point
+
+
+def test_crawl_to_training_data_round10(spark, tmp_path):
+    """Round-10 composition: the full crawl-to-training-data flow over
+    every new piece in one chain — a CDXJ index drives byte-range WARC
+    reads; payloads route by sniffed magic bytes; the PDF route
+    decrypts an owner-locked file transparently while a
+    password-locked one quarantines on the encrypted flag; HTML
+    extracts; mixed-encoding text repairs segment-wise; a German
+    corpus passes the Gopher gate only under its own stopword list;
+    and a byte-level BPE trained on the survivors encodes them
+    losslessly for packing."""
+    import gzip
+    import json
+
+    from snapflow_spark.functions.byte_bpe import train_byte_bpe
+    from snapflow_spark.functions.html import html_extract
+    from snapflow_spark.functions.normalize import normalize_text_column
+    from snapflow_spark.functions.sniff import sniff_format_expr
+    from snapflow_spark.multimodal.pdf import make_pdf_bytes, pdf_extract
+    from snapflow_spark.operators.curation import pack_sequences
+    from snapflow_spark.operators.gopher import gopher_quality_filter
+    from snapflow_spark.sources.cc_index import read_cc_cdxj
+    from snapflow_spark.sources.warc import (
+        read_warc_ranges,
+        warc_record_bytes,
+    )
+
+    de_words = ["der", "die", "und", "das", "ist", "von", "mit", "auch"] + [
+        f"wort{i:02d}" for i in range(52)
+    ]
+    de_text = "\n".join(
+        " ".join(de_words[i : i + 12]) for i in range(0, 60, 12)
+    )
+    # the mojibake'd rendering of one line (UTF-8 read as cp1252)
+    de_html_text = de_text.replace("wort00", "wört00")
+    corrupted = de_html_text.encode("utf-8").decode("cp1252")
+
+    pages = {
+        "/doc.pdf": make_pdf_bytes(
+            [de_text], encrypt="aes-128", owner_password=b"admin"
+        ),
+        "/locked.pdf": make_pdf_bytes(
+            ["should never surface"], encrypt="rc4-128",
+            user_password=b"secret",
+        ),
+        # leading newline exercises the round-10 sniff trim fix
+        "/page.html": (
+            "\n<!doctype html><html><body><p>"
+            + corrupted.replace("\n", "</p><p>")
+            + "</p></body></html>"
+        ).encode("cp1252"),
+    }
+    # one member-gzip WARC + its CDXJ index
+    recs, lines, off = [], [], 0
+    warc_path = tmp_path / "crawl.warc.gz"
+    with open(warc_path, "wb") as f:
+        for i, (path, body) in enumerate(sorted(pages.items())):
+            hdrs = {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:uuid:e2e-{i}>",
+                "WARC-Target-URI": f"https://de.example{path}",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+                "Content-Type": "application/http; msgtype=response",
+            }
+            payload = b"HTTP/1.1 200 OK\r\n\r\n" + body
+            member = gzip.compress(warc_record_bytes(hdrs, payload), mtime=0)
+            lines.append(
+                f"de,example){path} 2026081500000{i} " + json.dumps({
+                    "url": f"https://de.example{path}", "status": "200",
+                    "mime": "application/pdf" if path.endswith("pdf")
+                    else "text/html",
+                    "offset": str(off), "length": str(len(member)),
+                    "filename": warc_path.name,
+                })
+            )
+            f.write(member)
+            off += len(member)
+    (tmp_path / "cdx-0").write_text("\n".join(lines) + "\n")
+
+    # index -> byte-range reads -> sniffed routing
+    idx = read_cc_cdxj(spark, str(tmp_path / "cdx-0"), status=200)
+    fetched = read_warc_ranges(idx, base_path=str(tmp_path)).select(
+        "target_uri",
+        F.expr("substring(payload, instr(payload, x'0d0a0d0a') + 4)").alias(
+            "body"
+        ),
+    )
+    routed = fetched.select(
+        "target_uri", "body", sniff_format_expr("body").alias("fmt")
+    )
+    fmts = {r.target_uri.rsplit("/", 1)[-1]: r.fmt for r in routed.collect()}
+    assert fmts == {
+        "doc.pdf": "pdf", "locked.pdf": "pdf", "page.html": "html",
+    }
+
+    # PDF route: owner-locked decrypts, password-locked quarantines
+    pdfs = pdf_extract(routed.where("fmt = 'pdf'"), body_col="body")
+    ok_pdfs = pdfs.where("text IS NOT NULL")
+    quarantined = pdfs.where("text IS NULL AND encrypted")
+    assert ok_pdfs.count() == 1 and quarantined.count() == 1
+    # HTML route + segment mojibake repair restores the corrupted line
+    html = html_extract(
+        routed.where("fmt = 'html'"),
+        body_col="body",
+        content_type_col=None,
+    ).selectExpr("target_uri", "text")
+    html = normalize_text_column(html, form="", fix_encoding="segments")
+    docs = ok_pdfs.selectExpr("target_uri AS url", "text").unionByName(
+        html.selectExpr("target_uri AS url", "text")
+    ).withColumn("doc_id", F.xxhash64("url")).withColumn(
+        "lang", F.lit("de")
+    )
+    assert docs.where(F.col("text").contains("wört00")).count() == 1
+    assert docs.where(F.col("text").contains("Ã")).count() == 0
+
+    # per-language Gopher gate: the English list rejects everything,
+    # the routed German list keeps both documents
+    assert gopher_quality_filter(docs).count() == 0
+    kept = gopher_quality_filter(
+        docs, stopwords_by_lang={"de": ("der", "die", "und", "das")}
+    )
+    assert kept.count() == 2
+
+    # byte-BPE on the survivors: lossless encode feeding the packer
+    tok = train_byte_bpe(kept, num_merges=50)
+    encoded = kept.select(
+        "doc_id",
+        "text",
+        tok.encode_col(spark, "text").alias("toks"),
+    )
+    for r in encoded.collect():
+        assert tok.decode_text(r.toks) == r.text
+    packed = pack_sequences(
+        encoded.select("doc_id", F.size("toks").alias("n_tokens")),
+        budget=64,
+        token_col="n_tokens",
+        id_col="doc_id",
+    )
+    assert packed.count() == 2
