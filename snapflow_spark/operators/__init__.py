@@ -13,7 +13,12 @@ from snapflow_spark.operators.curation import (
     split_by_hash,
     stratified_sample_by_hash,
 )
-from snapflow_spark.operators.mixing import mix_corpora, mix_report
+from snapflow_spark.operators.mixing import (
+    language_balanced_mix,
+    mix_corpora,
+    mix_report,
+    temperature_weights,
+)
 from snapflow_spark.operators.profile import (
     corpus_profile,
     embedding_profile,
@@ -126,8 +131,10 @@ __all__ = [
     "domain_degrees",
     "link_graph_edges",
     "pagerank",
+    "language_balanced_mix",
     "mix_corpora",
     "mix_report",
+    "temperature_weights",
     "corpus_profile",
     "embedding_profile",
     "profile_diff",

@@ -144,3 +144,68 @@ def mix_report(mixed: DataFrame, token_col: str = "n_tokens") -> DataFrame:
         "epochs",
         F.round(F.col("tokens") / total, 4).alias("token_share"),
     )
+
+
+def temperature_weights(
+    totals: dict[str, float], alpha: float = 0.3
+) -> dict[str, float]:
+    """Exponentially-smoothed sampling weights over group token
+    totals — the multilingual rebalancing rule (Lample & Conneau
+    2019 §3.1, "Cross-lingual Language Model Pretraining"; mBERT and
+    every multilingual run since): with natural shares
+    p_g = total_g / Σ totals, sample group g with probability
+    q_g ∝ p_g^alpha. ``alpha=1`` preserves the natural distribution,
+    ``alpha=0`` is uniform across groups (maximum upweighting of
+    low-resource groups), the paper's 0.3 sits between. Pure driver
+    arithmetic over the 1-row-per-group totals."""
+    if not totals:
+        raise ValueError("temperature_weights needs at least one group")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    grand = float(sum(totals.values()))
+    if grand <= 0:
+        raise ValueError("group token totals must be positive")
+    q = {g: (v / grand) ** alpha for g, v in totals.items()}
+    z = sum(q.values())
+    return {g: v / z for g, v in q.items()}
+
+
+def language_balanced_mix(
+    df: DataFrame,
+    token_budget: int,
+    alpha: float = 0.3,
+    lang_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "langmix-v1",
+    max_epochs: int = 20,
+) -> DataFrame:
+    """Temperature-balanced multilingual mix: ONE groupBy computes
+    per-language token totals, ``temperature_weights`` turns them
+    into p^alpha sampling weights, and ``mix_corpora`` does the
+    deterministic epoch/fractional selection — low-resource languages
+    up-sample by whole epochs, dominant ones down-sample, bit-stable
+    across engines and repartitions. The totals pass through
+    ``totals=`` so planning adds ZERO extra jobs beyond that one
+    aggregate. Same metadata-not-text guidance as mix_corpora: at
+    100 TB run this over a materialized (id, lang, n_tokens) table
+    and join text back once."""
+    rows = (
+        df.groupBy(lang_col).agg(F.sum(token_col).alias("__t")).collect()
+    )
+    totals = {r[lang_col]: float(r["__t"] or 0) for r in rows}
+    totals = {g: v for g, v in totals.items() if v > 0}
+    weights = temperature_weights(totals, alpha)
+    sources = {
+        g: df.where(F.col(lang_col) == g) for g in totals
+    }
+    return mix_corpora(
+        sources,
+        weights,
+        token_budget,
+        token_col=token_col,
+        id_col=id_col,
+        salt=salt,
+        max_epochs=max_epochs,
+        totals=totals,
+    )

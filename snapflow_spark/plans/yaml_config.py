@@ -1150,6 +1150,38 @@ def _mix(
     )
 
 
+def _lang_balance(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    token_budget: int,
+    alpha: float = 0.3,
+    lang_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "langmix-v1",
+    max_epochs: int = 20,
+) -> DataFrame:
+    """core.lang_balance: temperature-smoothed multilingual
+    rebalancing (operators.mixing.language_balanced_mix — the XLM
+    p^alpha rule): per-language token shares are raised to ``alpha``
+    and renormalized, then the standard deterministic epoch/fractional
+    mix runs under ``token_budget``. alpha=1 preserves the natural
+    distribution, 0 is uniform across languages, 0.3 is the paper's
+    value."""
+    from snapflow_spark.operators.mixing import language_balanced_mix
+
+    return language_balanced_mix(
+        input,
+        token_budget=int(token_budget),
+        alpha=float(alpha),
+        lang_col=lang_col,
+        token_col=token_col,
+        id_col=id_col,
+        salt=salt,
+        max_epochs=int(max_epochs),
+    )
+
+
 def _link_graph(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -1298,6 +1330,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.normalize_text": _normalize_text,
     "core.link_graph": _link_graph,
     "core.mix": _mix,
+    "core.lang_balance": _lang_balance,
     "core.pagerank": _pagerank,
     "core.url_filter": _url_filter,
     "core.audio_dedup": _audio_dedup,

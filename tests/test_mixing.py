@@ -161,3 +161,113 @@ def test_mix_over_materialized_token_counts_matches_raw(spark):
     joined = meta.join(docs.select("doc_id", "text"), "doc_id")
     assert joined.count() == len(meta_sel)
     assert joined.where(F.col("text").isNull()).count() == 0
+
+
+# --- temperature language balancing (round 10) ---------------------------
+
+
+def _ml_corpus(spark, shares: dict[str, int], tokens_per_doc: int = 100):
+    parts = []
+    for lang, n in shares.items():
+        parts.append(
+            spark.range(n).select(
+                F.concat(F.lit(lang + "-"), F.col("id")).alias("doc_id"),
+                F.lit(lang).alias("lang"),
+                F.lit(tokens_per_doc).alias("n_tokens"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def test_temperature_weights_endpoints_and_paper_value():
+    from snapflow_spark.operators.mixing import temperature_weights
+
+    totals = {"en": 900.0, "sw": 100.0}
+    # alpha=1: the natural distribution
+    w1 = temperature_weights(totals, alpha=1.0)
+    assert w1["en"] == pytest.approx(0.9) and w1["sw"] == pytest.approx(0.1)
+    # alpha=0: uniform across languages
+    w0 = temperature_weights(totals, alpha=0.0)
+    assert w0["en"] == pytest.approx(0.5) and w0["sw"] == pytest.approx(0.5)
+    # alpha=0.3 (the XLM value): between, monotone in the share
+    w3 = temperature_weights(totals, alpha=0.3)
+    assert 0.5 < w3["en"] < 0.9 and w3["en"] + w3["sw"] == pytest.approx(1.0)
+    # q ∝ p^alpha exactly
+    assert w3["en"] / w3["sw"] == pytest.approx((9.0) ** 0.3)
+    with pytest.raises(ValueError):
+        temperature_weights({}, 0.3)
+    with pytest.raises(ValueError):
+        temperature_weights(totals, -1)
+
+
+def test_language_balanced_mix_rebalances_token_mass(spark):
+    from snapflow_spark.operators.mixing import language_balanced_mix
+
+    df = _ml_corpus(spark, {"en": 1800, "sw": 200})  # 90/10 natural
+    # alpha=0: equal token mass per language — sw up-samples by epochs
+    mixed = language_balanced_mix(
+        df, token_budget=80_000, alpha=0.0, max_epochs=20
+    )
+    got = {r.mix_source: r for r in mix_report(mixed).collect()}
+    assert got["en"].token_share == pytest.approx(0.5, abs=0.05)
+    assert got["sw"].token_share == pytest.approx(0.5, abs=0.05)
+    assert got["sw"].epochs == 2  # 40k target over a 20k corpus
+    # alpha=1: natural shares preserved
+    nat = {
+        r.mix_source: r
+        for r in mix_report(
+            language_balanced_mix(df, token_budget=80_000, alpha=1.0)
+        ).collect()
+    }
+    assert nat["en"].token_share == pytest.approx(0.9, abs=0.05)
+    # deterministic under repartition
+    a = sorted(
+        (r.doc_id, r.epoch)
+        for r in language_balanced_mix(
+            df, token_budget=80_000, alpha=0.3
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.epoch)
+        for r in language_balanced_mix(
+            df.repartition(17), token_budget=80_000, alpha=0.3
+        ).collect()
+    )
+    assert a == b
+
+
+def test_yaml_builtin_lang_balance(spark, tmp_path):
+    from snapflow_spark.plans import load_graph
+
+    _ml_corpus(spark, {"en": 900, "de": 100}).createOrReplaceTempView(
+        "ml_docs_lb"
+    )
+    cfg = {
+        "warehouse": str(tmp_path / "wh_lb"),
+        "nodes": [
+            {
+                "name": "docs",
+                "function": "core.sql",
+                "params": {"sql": "SELECT * FROM ml_docs_lb"},
+                "overwrite": True,
+            },
+            {
+                "name": "balanced",
+                "function": "core.lang_balance",
+                "upstream": {"input": "docs"},
+                "params": {"token_budget": 40000, "alpha": 0.0},
+                "overwrite": True,
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.produce(spark)
+    rows = g.read(spark, "balanced").groupBy("mix_source").agg(
+        F.sum("n_tokens").alias("t")
+    ).collect()
+    shares = {r.mix_source: r.t for r in rows}
+    total = sum(shares.values())
+    assert shares["de"] / total == pytest.approx(0.5, abs=0.06)
