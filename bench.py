@@ -85,10 +85,42 @@ def _mem_copy_ms() -> float:
     return round(best * 1000, 1)
 
 
+_GEMM_BUFS = []
+
+
+def _gemm_ms() -> float:
+    """Fixed 1200^3 float64 matmul, min of 3, in ms — the AGGREGATE
+    multi-core throughput stamp. The single-core spin misses N-way
+    steal: a co-tenant can leave one core fast (spin reads calm) while
+    stealing half the chip, which slows every 32-way Spark stage
+    uniformly (observed: spins 61-96 ms calm, mem copy healthy, yet
+    the warm total +11% with per-query spreads ~1.1 — sustained
+    wide contention is invisible to both existing stamps). BLAS gemm
+    uses all cores, so its ratio to the calm reference multiplies the
+    parallel sections the way the spin multiplies serial ones.
+    Buffers preallocated + first-touched outside the clock."""
+    import numpy as np
+
+    if not _GEMM_BUFS:
+        rng = np.random.default_rng(7)
+        a = rng.standard_normal((1200, 1200))
+        b = rng.standard_normal((1200, 1200))
+        a @ b  # warm BLAS thread pool outside the clock
+        _GEMM_BUFS.extend((a, b))
+    a, b = _GEMM_BUFS
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a @ b
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 1)
+
+
 def run(sf_dir: str, names: list[str]) -> dict:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spin_start_ms = _cpu_spin_ms()
     mem_start_ms = _mem_copy_ms()
+    gemm_start_ms = _gemm_ms()
     queries = all_queries()
     spark = build_session("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -227,6 +259,11 @@ def run(sf_dir: str, names: list[str]) -> dict:
         # see _mem_copy_ms): healthy ~13 ms, contended 10-40x that
         "mem_copy_start_ms": mem_start_ms,
         "mem_copy_end_ms": _mem_copy_ms(),
+        # aggregate multi-core throughput stamp (round 10 — the signal
+        # the single-core spin cannot see; _gemm_ms): record the calm
+        # reference on first use, then compare ratios
+        "gemm_start_ms": gemm_start_ms,
+        "gemm_end_ms": _gemm_ms(),
         "mem_copy_mid_med_ms": round(
             sorted(mid_mems)[len(mid_mems) // 2], 1
         )
@@ -269,6 +306,8 @@ def main() -> None:
         "cpu_spin_mid_max_ms": result["cpu_spin_mid_max_ms"],
         "mem_copy_mid_med_ms": result["mem_copy_mid_med_ms"],
         "mem_copy_mid_max_ms": result["mem_copy_mid_max_ms"],
+        "gemm_start_ms": result["gemm_start_ms"],
+        "gemm_end_ms": result["gemm_end_ms"],
         "headline_protocol": "warm_min_of_3",
         "slowest_warm": slowest,
         # bounded: adjudication stamps for the 8 slowest only
