@@ -7,6 +7,7 @@ scale story (shuffle/broadcast behavior at 100 TB).
 from snapflow_spark.operators.asof import asof_join
 from snapflow_spark.operators.curation import (
     cap_per_domain,
+    chunk_text,
     contamination_pairs,
     pack_sequences,
     pack_sequences_bfd,
@@ -85,6 +86,7 @@ __all__ = [
     "bm25_topk",
     "build_vocab",
     "cap_per_domain",
+    "chunk_text",
     "doc_terms",
     "dedup_lines_global",
     "shared_span_pairs",

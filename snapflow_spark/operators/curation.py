@@ -129,6 +129,76 @@ def pack_sequences(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-size TOKEN windows —
+    the long-document splitter every context-bounded consumer needs
+    (pretraining loaders cut at max sequence length; retrieval
+    pipelines embed overlapping passages). One row per window:
+    ``chunk_idx`` (0-based), ``chunk_text`` (the window's tokens
+    re-joined with single spaces), ``chunk_n_tokens``, plus
+    ``chunk_start`` (0-based token offset) for provenance.
+
+    Windows step by ``max_tokens - overlap``; the last window may be
+    shorter, and a document is never split into a window that adds no
+    NEW tokens (a 600-token doc at 512/64 yields exactly 2 windows).
+    Token-less documents keep ONE empty window so no document silently
+    disappears from a keyed pipeline.
+
+    Pure codegen — tokenize, ``sequence`` over window starts,
+    ``posexplode``, ``slice``, ``array_join`` — map-only except the
+    explode's row growth, which IS the output (~n_tokens/step rows per
+    doc). Windows are whitespace-token sequences: re-joining
+    normalizes intra-window whitespace; consumers needing byte-exact
+    source spans should slice by ``chunk_start`` against their own
+    offsets. Count windows against a TRAINED tokenizer budget by
+    encoding ``chunk_text`` downstream — whitespace tokens
+    over-estimate nothing (every trained tokenizer splits at least at
+    whitespace, so a window's trained-token count >= its whitespace
+    count only through subword growth, which the caller's budget
+    margin owns)."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    step = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array()).otherwise(toks)
+    n = F.size(toks)
+    # windows start at 0, step, 2*step, ... while start < n (always at
+    # least one window, even for empty docs)
+    n_windows = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)
+    ).cast("int")
+    staged = df.select(
+        "*", toks.alias("__ct_toks"), n_windows.alias("__ct_nw")
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), F.col("__ct_nw") - 1),
+        lambda i: i * step,
+    )
+    out = staged.select(
+        "*", F.posexplode(starts).alias("chunk_idx", "chunk_start")
+    )
+    window = F.slice(
+        F.col("__ct_toks"), F.col("chunk_start") + 1, max_tokens
+    )
+    return out.select(
+        *[c for c in df.columns if c != text_col],
+        "chunk_idx",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).cast("long").alias("chunk_n_tokens"),
+    )
+
+
 def pack_sequences_bfd(
     df: DataFrame,
     budget: int,

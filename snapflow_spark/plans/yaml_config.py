@@ -1150,6 +1150,29 @@ def _mix(
     )
 
 
+def _chunk_text(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """core.chunk_text: split documents into overlapping fixed-size
+    token windows (operators.curation.chunk_text) — the long-document
+    splitter feeding context-bounded consumers; one output row per
+    window with chunk_idx/chunk_start/chunk_text/chunk_n_tokens."""
+    from snapflow_spark.operators.curation import chunk_text
+
+    return chunk_text(
+        input,
+        max_tokens=int(max_tokens),
+        overlap=int(overlap),
+        text_col=text_col,
+        id_col=id_col,
+    )
+
+
 def _lang_balance(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -1331,6 +1354,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.link_graph": _link_graph,
     "core.mix": _mix,
     "core.lang_balance": _lang_balance,
+    "core.chunk_text": _chunk_text,
     "core.pagerank": _pagerank,
     "core.url_filter": _url_filter,
     "core.audio_dedup": _audio_dedup,

@@ -507,3 +507,92 @@ def test_pack_bfd_oversize_shards_and_determinism(spark):
     again = {r.doc_id: r.chunk_bin for r in pack_sequences_bfd(
         df.repartition(5), budget=100, partition_col="lang").collect()}
     assert again == {k: v.chunk_bin for k, v in out.items()}
+
+
+# --- document chunking (round 10) -----------------------------------------
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    from snapflow_spark.operators.curation import chunk_text
+
+    words = [f"t{i:03d}" for i in range(600)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b c"), (3, "   "), (4, "solo")],
+        "doc_id long, text string",
+    )
+    rows = chunk_text(df, max_tokens=512, overlap=64).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(r)
+    # 600 tokens at 512/64 (step 448): exactly windows [0:512), [448:600)
+    one = sorted(by[1], key=lambda r: r.chunk_idx)
+    assert [(r.chunk_idx, r.chunk_start, r.chunk_n_tokens) for r in one] == [
+        (0, 0, 512), (1, 448, 152),
+    ]
+    assert one[0].chunk_text.split() == words[:512]
+    assert one[1].chunk_text.split() == words[448:600]
+    # overlap: the second window repeats exactly `overlap` tokens
+    assert one[1].chunk_text.split()[:64] == words[448:512]
+    # short docs: one window; token-less docs keep ONE empty window
+    assert [(r.chunk_idx, r.chunk_n_tokens) for r in by[2]] == [(0, 3)]
+    assert [(r.chunk_idx, r.chunk_n_tokens, r.chunk_text) for r in by[3]] == [
+        (0, 0, "")
+    ]
+    assert [(r.chunk_idx, r.chunk_n_tokens) for r in by[4]] == [(0, 1)]
+
+
+def test_chunk_text_exact_boundaries_and_guards(spark):
+    import pytest
+
+    from snapflow_spark.operators.curation import chunk_text
+
+    # a doc exactly max_tokens long: ONE window, no empty tail
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(8)))], "doc_id long, text string"
+    )
+    assert chunk_text(df, max_tokens=8).count() == 1
+    # 9 tokens at 8/0: two windows, second of length 1
+    df9 = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(9)))], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.chunk_idx, r.chunk_n_tokens)
+        for r in chunk_text(df9, max_tokens=8).collect()
+    )
+    assert got == [(0, 8), (1, 1)]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, max_tokens=8, overlap=8)
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_text(df, max_tokens=0)
+
+
+def test_chunk_text_plan_and_composition(spark):
+    """Map-only codegen (no shuffle, no python) and the real hand-off:
+    windows feed pack_sequences on their own token counts."""
+    from snapflow_spark.operators.curation import chunk_text, pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(50 + i))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_text(df, max_tokens=16, overlap=4)
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    keyed = chunks.selectExpr(
+        "concat(doc_id, '#', chunk_idx) AS doc_id",
+        "chunk_n_tokens AS n_tokens",
+    )
+    packed = pack_sequences(keyed, budget=64)
+    assert packed.count() == chunks.count()
+
+
+def test_yaml_builtin_chunk_text(spark):
+    from snapflow_spark.plans.yaml_config import BUILTINS
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    out = BUILTINS["core.chunk_text"](spark, df, max_tokens=8, overlap=2)
+    assert out.count() == 3  # step 6: starts 0,6,12 cover all 20
