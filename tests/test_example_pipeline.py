@@ -196,3 +196,82 @@ def test_cc_pipeline_end_to_end(spark, tmp_path, crawl_dir):
     )
     assert g.produce(spark) > 0
     assert len(latest("unique_urls")) == 4
+
+
+# --- examples/multilingual_pipeline.yaml (round 10) ----------------------
+
+
+def test_multilingual_pipeline_end_to_end(spark, tmp_path):
+    """The shipped multilingual example: segment mojibake repair ->
+    trained lang routing -> per-lang Gopher/C4 -> byte-BPE counting ->
+    temperature balancing -> window chunking, every stage a core.*
+    builtin with real trained artifacts."""
+    import yaml
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.functions.byte_bpe import train_byte_bpe
+    from snapflow_spark.operators.langid import train_lang_id
+    from snapflow_spark.plans import load_graph
+
+    en_stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    de_stops = ["der", "die", "und", "das", "ist", "von", "mit", "auch"]
+
+    def doc(stops, prefix, i):
+        uniq = [f"{prefix}{i}word{j:02d}" for j in range(52)]
+        toks = [*stops, *uniq]
+        body = "\n".join(
+            " ".join(toks[k : k + 12]) + "." for k in range(0, 60, 12)
+        )
+        return body
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "en", doc(en_stops, "en", i)))
+    for i in range(8, 12):
+        rows.append((i, "de", doc(de_stops, "de", i)))
+    # one English doc arrives mojibake'd (UTF-8 read as cp1252) in one
+    # span: the segments repair must fix it before lang-id sees it
+    englishy = doc(en_stops, "mj", 99).replace("mj99word00", "naïve—start")
+    rows.append((99, "en", englishy.encode("utf-8").decode("cp1252")))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.createOrReplaceTempView("ml_docs_example")
+
+    # train the two artifacts the example references
+    langid_path = str(tmp_path / "langid.json")
+    train_lang_id(df, label_col="lang", iters=12).save(langid_path)
+    tok_path = str(tmp_path / "tok.json")
+    train_byte_bpe(df, num_merges=60).save(tok_path)
+
+    text = (REPO / "examples" / "multilingual_pipeline.yaml").read_text()
+    cfg = yaml.safe_load(
+        text.replace("{WAREHOUSE}", str(tmp_path / "wh"))
+        .replace("{DOCS_VIEW}", "ml_docs_example")
+        .replace("{LANGID_MODEL}", langid_path)
+        .replace("{TOKENIZER}", tok_path)
+    )
+    g = load_graph(cfg)
+    assert g.produce(spark) > 0
+
+    # the mojibake'd doc survived (repaired, then recognized as en)
+    routed = g.read(spark, "routed").collect()
+    assert {r.lang_pred for r in routed} == {"en", "de"}
+    fixed = [r for r in routed if r.doc_id == 99]
+    assert len(fixed) == 1 and "naïve—start" in fixed[0].text
+    # per-lang stopword routing kept BOTH languages (the English-only
+    # list would have rejected every German doc)
+    quality = g.read(spark, "quality").collect()
+    assert {r.lang_pred for r in quality} == {"en", "de"}
+    # balancing: alpha=0 -> roughly equal token mass per language
+    bal = (
+        g.read(spark, "balanced")
+        .groupBy("lang_pred")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    shares = {r.lang_pred: r.t for r in bal}
+    total = sum(shares.values())
+    assert abs(shares["de"] / total - 0.5) < 0.15
+    # contexts: every chunk fits the window and carries provenance
+    ctx = g.read(spark, "contexts").collect()
+    assert ctx and all(r.chunk_n_tokens <= 32 for r in ctx)
+    assert any(r.chunk_idx > 0 for r in ctx)  # long docs actually split
