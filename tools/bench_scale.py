@@ -151,6 +151,18 @@ HEAVY = {
         "O(groups)=1 row, so cost is the feature scan: expected "
         "~linear in text bytes"
     ),
+    "op_byte_bpe_encode": (
+        "documents; byte-level BPE encode (round 10, "
+        "functions/byte_bpe.py) with a base-corpus-trained 2k-merge "
+        "vocab — map-only Arrow pass, per-batch Zipf cache; training "
+        "excluded (one-time, own pytest tier)"
+    ),
+    "op_chunk_text": (
+        "documents; overlapping token-window chunking (round 10, "
+        "curation.chunk_text 64/8) — pure codegen "
+        "tokenize->sequence->posexplode->slice; row growth IS the "
+        "output, so wall should track output rows ~linearly"
+    ),
     "op_d4": (
         "embeddings; full D4 recipe (round 9, similarity.py d4_select) "
         "— one IVFIndex build+assign serving SemDeDup cell pairs AND "
@@ -447,6 +459,34 @@ def _op_profile(spark, sf_dir: str):
     return corpus_profile(load_table(spark, sf_dir, "documents"))
 
 
+_BYTE_BPE_TOK = None
+
+
+def _op_byte_bpe_encode(spark, sf_dir: str):
+    """Encoding cost only: the tokenizer trains ONCE per process on
+    the base corpus (training is measured by its own pytest tier);
+    the timed op is the map-only Arrow encode pass."""
+    global _BYTE_BPE_TOK
+    from snapflow_spark.catalog import ensure_parallelism, load_table
+    from snapflow_spark.functions.byte_bpe import train_byte_bpe
+
+    if _BYTE_BPE_TOK is None:
+        base = load_table(spark, "/root/testdata/sf0.1", "documents")
+        _BYTE_BPE_TOK = train_byte_bpe(base, num_merges=2000, min_count=2)
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", _BYTE_BPE_TOK.encode_col(spark, "text").alias("toks")
+    )
+
+
+def _op_chunk_text(spark, sf_dir: str):
+    from snapflow_spark.catalog import ensure_parallelism, load_table
+    from snapflow_spark.operators.curation import chunk_text
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return chunk_text(d, max_tokens=64, overlap=8)
+
+
 def _op_d4(spark, sf_dir: str):
     from snapflow_spark.catalog import load_table
     from snapflow_spark.operators.similarity import d4_select
@@ -520,6 +560,8 @@ def main() -> None:
     queries["op_pdf_extract"] = _op_pdf_extract
     queries["op_wordpiece_encode"] = _op_wordpiece_encode
     queries["op_profile"] = _op_profile
+    queries["op_byte_bpe_encode"] = _op_byte_bpe_encode
+    queries["op_chunk_text"] = _op_chunk_text
     queries["op_d4"] = _op_d4
 
     if args.standing_only:
