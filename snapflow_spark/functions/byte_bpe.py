@@ -136,16 +136,32 @@ class ByteBPETokenizer:
 
     merges: tuple[tuple[str, str], ...]
     vocab: dict[str, int]
+    specials: tuple[str, ...] = ()
 
     @staticmethod
-    def from_merges(merges: list[tuple[str, str]]) -> "ByteBPETokenizer":
+    def from_merges(
+        merges: list[tuple[str, str]], specials: tuple[str, ...] = ()
+    ) -> "ByteBPETokenizer":
+        """``specials``: reserved control tokens (the GPT-2
+        ``<|endoftext|>`` convention) appended AFTER the merge vocab
+        with dedicated ids. They are unreachable from bytes (encode
+        never emits one for ordinary text — their literal spelling
+        byte-encodes like any other text), and
+        ``encode_ids_with_specials`` splits on them explicitly, which
+        is the standard document-separator path."""
         table = bytes_to_unicode()
         vocab: dict[str, int] = {table[b]: b for b in range(256)}
         for a, b in merges:
             tok = a + b
             if tok not in vocab:
                 vocab[tok] = len(vocab)
-        return ByteBPETokenizer(tuple((a, b) for a, b in merges), vocab)
+        for sp in specials:
+            if sp in vocab:
+                raise ValueError(f"special token collides with vocab: {sp!r}")
+            vocab[sp] = len(vocab)
+        return ByteBPETokenizer(
+            tuple((a, b) for a, b in merges), vocab, tuple(specials)
+        )
 
     @property
     def ranks(self) -> dict[tuple[str, str], int]:
@@ -182,7 +198,37 @@ class ByteBPETokenizer:
 
     def decode_ids(self, ids: list[int]) -> bytes:
         by_id = {i: t for t, i in self.vocab.items()}
-        return self.decode_bytes([by_id[i] for i in ids])
+        special = set(self.specials)
+        out = bytearray()
+        for i in ids:
+            t = by_id[i]
+            if t in special:
+                # specials decode to their literal UTF-8 spelling —
+                # the lossless round trip includes the separators
+                out += t.encode("utf-8")
+            else:
+                out += self.decode_bytes([t])
+        return bytes(out)
+
+    def encode_ids_with_specials(self, text: str) -> list[int]:
+        """Encode ids, recognizing special-token SPELLINGS in the text
+        as their reserved ids (the document-separator path: join docs
+        with ``<|endoftext|>`` and the boundary stays one token).
+        Without specials this is exactly ``encode_ids``."""
+        if not self.specials:
+            return self.encode_ids(text)
+        import re
+
+        pattern = "|".join(re.escape(s) for s in self.specials)
+        v = self.vocab
+        out: list[int] = []
+        pos = 0
+        for m in re.finditer(pattern, text or ""):
+            out.extend(v[t] for t in self.encode_text(text[pos : m.start()]))
+            out.append(v[m.group(0)])
+            pos = m.end()
+        out.extend(v[t] for t in self.encode_text((text or "")[pos:]))
+        return out
 
     # ---- Spark-side encode ----
     def encode_udf(self, spark: SparkSession):
@@ -269,6 +315,7 @@ class ByteBPETokenizer:
                     "kind": "byte_bpe",
                     "merges": [list(p) for p in self.merges],
                     "vocab": self.vocab,
+                    "specials": list(self.specials),
                 },
                 f,
                 ensure_ascii=False,
@@ -281,7 +328,9 @@ class ByteBPETokenizer:
         if d.get("kind") != "byte_bpe":
             raise ValueError(f"not a byte_bpe artifact: {path}")
         return ByteBPETokenizer(
-            tuple((a, b) for a, b in d["merges"]), dict(d["vocab"])
+            tuple((a, b) for a, b in d["merges"]),
+            dict(d["vocab"]),
+            tuple(d.get("specials", ())),
         )
 
 
@@ -292,6 +341,7 @@ def train_byte_bpe(
     min_count: int = 1,
     min_pair_count: int = 2,
     max_word_types: int = 1_000_000,
+    specials: tuple[str, ...] = (),
 ) -> ByteBPETokenizer:
     """End-to-end trainer — the char trainer's exact architecture with
     the byte mapping inserted driver-side: corpus word-type counts
@@ -310,4 +360,4 @@ def train_byte_bpe(
     )
     word_counts = {r["word"]: r["count"] for r in rows}
     merges = learn_byte_bpe(word_counts, num_merges, min_pair_count)
-    return ByteBPETokenizer.from_merges(merges)
+    return ByteBPETokenizer.from_merges(merges, specials=specials)

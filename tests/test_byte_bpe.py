@@ -307,3 +307,38 @@ def test_cli_train_byte_bpe(spark, tmp_path, capsys):
     assert tok.decode_bytes(tok.encode_bytes(b"\xff any bytes")) == (
         b"\xff any bytes"
     )
+
+
+def test_special_tokens_reserved_and_round_trip(tmp_path):
+    """GPT-2-style specials: dedicated ids after the merge vocab,
+    unreachable from ordinary bytes, recognized as one token by the
+    splitting encoder, lossless through decode, persisted."""
+    tok = ByteBPETokenizer.from_merges(
+        learn_byte_bpe(dict(WC_FIXED), 20), specials=("<|endoftext|>",)
+    )
+    eot = tok.vocab["<|endoftext|>"]
+    assert eot == len(tok.vocab) - 1
+    # ordinary encode treats the spelling as plain text (multi-token),
+    # never emitting the reserved id
+    plain = tok.encode_ids("a<|endoftext|>b")
+    assert eot not in plain
+    # the splitting encoder emits exactly one id at the boundary
+    ids = tok.encode_ids_with_specials("newest<|endoftext|>low")
+    assert ids.count(eot) == 1
+    assert tok.decode_ids(ids) == b"newest<|endoftext|>low"
+    # leading/trailing/adjacent separators
+    ids2 = tok.encode_ids_with_specials("<|endoftext|><|endoftext|>")
+    assert ids2 == [eot, eot]
+    # persistence carries the specials
+    p = str(tmp_path / "sp.json")
+    tok.save(p)
+    tok2 = ByteBPETokenizer.load(p)
+    assert tok2.specials == ("<|endoftext|>",)
+    assert tok2.encode_ids_with_specials("x<|endoftext|>y") == (
+        tok.encode_ids_with_specials("x<|endoftext|>y")
+    )
+    # collision guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collides"):
+        ByteBPETokenizer.from_merges([], specials=("a",))
