@@ -618,17 +618,27 @@ def wet_text(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 def warc_record_bytes(headers: dict[str, str], payload: bytes) -> bytes:
     """One serialized record: version line, headers (Content-Length
     computed from the payload, overriding any stale value), blank
-    line, payload, record separator."""
+    line, payload, record separator.
+
+    WARC field names are case-insensitive (ISO 28500 §4), and the
+    reader folds them to lowercase last-wins — so input names that
+    collide only in case are merged here the same way (last value and
+    last casing win) rather than emitted as duplicate lines the
+    engine's own reader could not represent."""
     buf = io.BytesIO()
     buf.write(b"WARC/1.0\r\n")
     wrote_len = False
+    merged: dict[str, tuple[str, str]] = {}  # lower-name -> (name, value)
     for key, value in headers.items():
         k = key.strip()
-        if k.lower() == "warc-version":
+        lk = k.lower()
+        if lk == "warc-version":
             continue
-        if k.lower() == "content-length":
+        if lk == "content-length":
             value = str(len(payload))
             wrote_len = True
+        merged[lk] = (k, value)  # last-wins; dict keeps first position
+    for k, value in merged.values():
         buf.write(f"{k}: {value}\r\n".encode("utf-8"))
     if not wrote_len:
         buf.write(f"Content-Length: {len(payload)}\r\n".encode("ascii"))

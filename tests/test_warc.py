@@ -368,10 +368,16 @@ def test_fuzz_warc_round_trip(tmp_path_factory, records, gz):
     assert len(got) == len(recs)
     for (h_in, payload_in), (h_out, payload_out) in zip(recs, got):
         assert payload_out == payload_in
+        # WARC names are case-insensitive: the writer merges names that
+        # collide only in case (last value wins, matching the reader's
+        # lowercase last-wins fold), so expectations are keyed lowercase.
+        expected = {}
         for k, v in h_in.items():
             if k.lower() == "content-length":
                 continue  # writer overrides with the real length
-            assert h_out[k.lower()] == v
+            expected[k.lower()] = v
+        for lk, v in expected.items():
+            assert h_out[lk] == v
 
 
 @settings(max_examples=60, deadline=None)
