@@ -219,7 +219,12 @@ class ByteBPETokenizer:
             return self.encode_ids(text)
         import re
 
-        pattern = "|".join(re.escape(s) for s in self.specials)
+        # Longest first: regex alternation is first-match, so a special
+        # that is a prefix of another (e.g. '<|eot|>' vs '<|eot|>x')
+        # must not shadow the longer spelling.
+        pattern = "|".join(
+            re.escape(s) for s in sorted(self.specials, key=len, reverse=True)
+        )
         v = self.vocab
         out: list[int] = []
         pos = 0

@@ -400,6 +400,11 @@ class PdfCrypt:
     def authenticate(self, password: bytes = b"") -> bool:
         """Empty (or given) USER password, per revision. Sets
         ``self.key`` and ``self.ok`` on success."""
+        if self.stm_cfm is None or self.str_cfm is None:
+            # Unknown/unsupported V (e.g. the unpublished V=3) or an
+            # unrecognized crypt-filter name: decryption would fall
+            # through as Identity and emit ciphertext — report locked.
+            return False
         try:
             if self.r in (2, 3, 4):
                 return self._auth_rc4_family(password)

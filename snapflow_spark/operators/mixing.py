@@ -189,7 +189,15 @@ def language_balanced_mix(
     ``totals=`` so planning adds ZERO extra jobs beyond that one
     aggregate. Same metadata-not-text guidance as mix_corpora: at
     100 TB run this over a materialized (id, lang, n_tokens) table
-    and join text back once."""
+    and join text back once.
+
+    Rows with a NULL language are EXCLUDED before totals: a NULL
+    group would claim budget share in the weights while the per-group
+    equality filter could never select its rows, silently
+    under-delivering the token budget. Route unidentified docs
+    through ``core.lang_id`` (or an 'und' bucket) first if they
+    should participate."""
+    df = df.where(F.col(lang_col).isNotNull())
     rows = (
         df.groupBy(lang_col).agg(F.sum(token_col).alias("__t")).collect()
     )

@@ -103,14 +103,20 @@ def read_cc_index(
     if mime_detected is not None:
         df = df.where(F.col("content_mime_detected") == mime_detected)
     if url_host_suffix is not None:
-        host = F.coalesce(
-            F.col("url_host_registered_domain")
-            if "url_host_registered_domain" in df.columns
-            else F.lit(None).cast("string"),
-            F.col("url_host_name")
-            if "url_host_name" in df.columns
-            else F.lit(None).cast("string"),
-        )
+        host_cols = [
+            c
+            for c in ("url_host_registered_domain", "url_host_name")
+            if c in df.columns
+        ]
+        if not host_cols:
+            # A NULL host would silently drop every row — same
+            # fail-loudly contract as the offset columns above.
+            raise ValueError(
+                "read_cc_index: url_host_suffix= needs "
+                "url_host_registered_domain or url_host_name; "
+                f"table has neither (columns: {df.columns})"
+            )
+        host = F.coalesce(*[F.col(c) for c in host_cols])
         suffix = url_host_suffix.lstrip(".")
         df = df.where(
             (host == suffix) | host.endswith("." + suffix)

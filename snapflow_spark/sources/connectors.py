@@ -195,11 +195,21 @@ def http_json_pager(
                     raise  # auth/validation errors must surface, not retry
                 last_err = e
                 retry_after = e.headers.get("Retry-After") if e.headers else None
-                wait = (
-                    float(retry_after)
-                    if retry_after
-                    else backoff * (2**attempt)
-                )
+                wait = backoff * (2**attempt)
+                if retry_after:
+                    try:
+                        wait = float(retry_after)
+                    except ValueError:
+                        # RFC 9110 also allows an HTTP-date form
+                        try:
+                            from email.utils import parsedate_to_datetime
+
+                            dt = parsedate_to_datetime(retry_after)
+                            wait = max(
+                                0.0, dt.timestamp() - _time.time()
+                            )
+                        except (TypeError, ValueError):
+                            pass  # unparseable header: keep backoff
             except OSError as e:  # socket timeouts, conn resets
                 last_err = e
                 wait = backoff * (2**attempt)

@@ -342,3 +342,19 @@ def test_special_tokens_reserved_and_round_trip(tmp_path):
 
     with _pytest.raises(ValueError, match="collides"):
         ByteBPETokenizer.from_merges([], specials=("a",))
+
+
+def test_prefix_special_does_not_shadow_longer_special():
+    """A special that is a prefix of another must not shadow it in the
+    splitting encoder's alternation — the longer spelling wins
+    (longest-first match), regardless of declaration order."""
+    tok = ByteBPETokenizer.from_merges(
+        [], specials=("<|eot|>", "<|eot|>x")
+    )
+    short_id = tok.vocab["<|eot|>"]
+    long_id = tok.vocab["<|eot|>x"]
+    assert tok.encode_ids_with_specials("<|eot|>x") == [long_id]
+    assert tok.encode_ids_with_specials("<|eot|>") == [short_id]
+    ids = tok.encode_ids_with_specials("a<|eot|>xb<|eot|>c")
+    assert ids.count(long_id) == 1 and ids.count(short_id) == 1
+    assert tok.decode_ids(ids) == b"a<|eot|>xb<|eot|>c"

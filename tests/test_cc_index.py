@@ -202,3 +202,17 @@ def test_cdxj_drives_range_reads_end_to_end(spark, tmp_path):
     assert len(got) == 1
     assert got[0].target_uri == "https://x.org/p1"
     assert got[0].payload == bytes(recs[1][1])
+
+
+def test_host_suffix_without_host_columns_fails_loudly(spark, tmp_path):
+    """url_host_suffix= on a table with NEITHER host column must raise,
+    not silently filter every row against a NULL host (same
+    fail-loudly contract as the offset columns)."""
+    p = str(tmp_path / "no-host")
+    spark.createDataFrame(
+        [("u", 0, 10, "f.warc.gz")],
+        "url string, warc_record_offset int, warc_record_length int, "
+        "warc_filename string",
+    ).write.parquet(p)
+    with pytest.raises(ValueError, match="neither"):
+        read_cc_index(spark, p, url_host_suffix="example.com")

@@ -402,7 +402,9 @@ def test_jdbc_cursor_pager_incremental_import(spark, tmp_path):
 # --- concrete HTTP connector (round 10) ----------------------------------
 
 
-def _paged_api_server(items, page_size=3, flaky_429=0, require_token=None):
+def _paged_api_server(
+    items, page_size=3, flaky_429=0, require_token=None, retry_after="0"
+):
     """A local in-process paged JSON API: cursor style at /cursor
     (after=<id>, body {data: [...], next: id|null}) and page style at
     /pages (page=N, body {results: [...]}); optional bearer-token gate
@@ -436,7 +438,7 @@ def _paged_api_server(items, page_size=3, flaky_429=0, require_token=None):
             if state["remaining_429"] > 0:
                 state["remaining_429"] -= 1
                 return self._reply(
-                    429, {"error": "rate"}, extra=[("Retry-After", "0")]
+                    429, {"error": "rate"}, extra=[("Retry-After", retry_after)]
                 )
             parsed = urllib.parse.urlparse(self.path)
             q = dict(urllib.parse.parse_qsl(parsed.query))
@@ -523,6 +525,37 @@ def test_http_pager_page_style_and_429_retry(spark, tmp_path):
         assert store.read(spark).count() == 5
     finally:
         srv.shutdown()
+
+
+def test_http_pager_retry_after_http_date(tmp_path):
+    """RFC 9110 allows Retry-After as an HTTP-date, not just seconds —
+    the pager must back off (not crash on float()) and still succeed.
+    A past date waits 0; garbage falls back to exponential backoff."""
+    from snapflow_spark.sources import http_json_pager
+
+    for header, check in [
+        ("Wed, 21 Oct 2015 07:28:00 GMT", lambda w: w == 0.0),  # past→0
+        ("not-a-date-at-all", lambda w: w > 0),  # fallback backoff
+    ]:
+        items = [{"id": 1, "v": 1}]
+        srv, state = _paged_api_server(
+            items, flaky_429=1, retry_after=header
+        )
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/cursor"
+            slept = []
+            pager = http_json_pager(
+                url,
+                records_path="data",
+                cursor_param="after",
+                next_cursor_path="next",
+                _sleep=slept.append,
+            )
+            records, _cursor = pager(None)
+            assert [r["id"] for r in records] == [1]
+            assert len(slept) == 1 and check(slept[0]), (header, slept)
+        finally:
+            srv.shutdown()
 
 
 def test_http_pager_auth_failure_is_not_retried(tmp_path):

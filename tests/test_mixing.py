@@ -271,3 +271,21 @@ def test_yaml_builtin_lang_balance(spark, tmp_path):
     shares = {r.mix_source: r.t for r in rows}
     total = sum(shares.values())
     assert shares["de"] / total == pytest.approx(0.5, abs=0.06)
+
+
+def test_language_balanced_mix_excludes_null_lang(spark):
+    """NULL-lang rows must not claim budget share: the equality filter
+    can never select them, so counting their tokens in the weights
+    silently under-delivers the budget (advisor repro: 2 en + 2 null
+    at budget 200 used to yield 1 doc / 100 tokens)."""
+    from snapflow_spark.operators.mixing import language_balanced_mix
+
+    df = spark.createDataFrame(
+        [("e0", "en", 100), ("e1", "en", 100),
+         ("n0", None, 100), ("n1", None, 100)],
+        "doc_id string, lang string, n_tokens int",
+    )
+    mixed = language_balanced_mix(df, token_budget=200, alpha=1.0)
+    rows = mixed.collect()
+    assert sum(r.n_tokens for r in rows) == 200  # full budget delivered
+    assert all(r.lang == "en" for r in rows)

@@ -307,3 +307,16 @@ def test_encrypted_garbage_stays_total():
     for cut in (len(data) // 3, len(data) // 2, len(data) - 40):
         out = extract_pdf(data[:cut] + b"\xde\xad" * 8)
         assert len(out) == 4  # total, shape stable
+
+
+def test_unsupported_encrypt_v_is_locked_not_passthrough():
+    """An /Encrypt dict with an unsupported V (e.g. the unpublished
+    V=3) must report locked — Identity pass-through would emit
+    ciphertext garbage as 'extracted text'."""
+    from snapflow_spark.multimodal.pdf_crypt import PdfCrypt
+
+    enc = {"V": 3, "R": 3, "Length": 128, "O": b"\x00" * 32,
+           "U": b"\x00" * 32, "P": -44}
+    crypt = PdfCrypt(enc, b"\x01" * 16)
+    assert crypt.authenticate(b"") is False
+    assert crypt.ok is False
