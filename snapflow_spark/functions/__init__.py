@@ -19,6 +19,7 @@ from snapflow_spark.functions.text import (
     token_count_udf,
     tokens_expr,
 )
+from snapflow_spark.functions.embed import ImportedCallable, embed_with_model
 from snapflow_spark.functions.html import (
     decode_html_bytes,
     extract_html,
@@ -58,6 +59,8 @@ from snapflow_spark.functions.vectors import cosine_similarity, l2_norm
 __all__ = [
     "BloomFilter",
     "build_bloom",
+    "ImportedCallable",
+    "embed_with_model",
     "cosine_similarity",
     "filter_might_contain",
     "hll_partials",

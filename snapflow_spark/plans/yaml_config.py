@@ -44,6 +44,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from snapflow_spark.functions.embed import ImportedCallable
 from snapflow_spark.plans.graph import GraphBuilder, graph
 
 _MODES = {"consumable", "reference", "latest"}
@@ -867,11 +868,32 @@ def _text_embed(
     out_col: str = "embedding",
     dim: int = 64,
     salt: str = "embed-v1",
+    model: str | None = None,
+    batch_size: int = 1024,
 ) -> DataFrame:
-    """core.text_embed: model-free hashed char-n-gram embedding
-    (functions.text.hashed_embedding_udf) — attaches `out_col`
-    array<float> so a text-only corpus can flow into core.d4 /
-    core.semantic_dedup / the ANN family."""
+    """core.text_embed: attaches `out_col` array<float> so a
+    text-only corpus can flow into core.d4 / core.semantic_dedup /
+    the ANN family.  Two producers:
+
+    - default (no ``model:``): the model-free hashed char-n-gram
+      LEXICAL embedding (functions.text.hashed_embedding_udf);
+    - ``model: mymod:embed_batch``: a user batch-embedding function
+      declared as an import path, resolved lazily per worker and
+      mapInArrow-batched (functions.embed.embed_with_model) — the
+      real-model path for semantic vectors.  ``dim`` is then an
+      enforced contract (set it to the model's output width);
+      ``batch_size`` matches the model's optimal batch."""
+    if model is not None:
+        from snapflow_spark.functions.embed import embed_with_model
+
+        return embed_with_model(
+            input,
+            str(model),
+            text_col=text_col,
+            out_col=out_col,
+            dim=int(dim),
+            batch_size=int(batch_size),
+        )
     from snapflow_spark.functions.text import hashed_embedding_udf
 
     return input.withColumn(
@@ -907,51 +929,16 @@ def _d4(
     )
 
 
-class _ImportedDecoder:
-    """A ``module:function`` import path as a callable that resolves
-    LAZILY on whatever process calls it. This is the executor-shipping
-    contract for YAML-declared decoders: pickling an instance carries
-    only the path string (this class lives in the engine package,
-    which every worker can import), and the user's module is imported
-    at first call INSIDE the worker — so config-declared decoders need
-    the module importable on executors (``--py-files`` /
-    ``sc.addPyFile``), never pickled by value. Resolution errors name
-    the path."""
+class _ImportedDecoder(ImportedCallable):
+    """A YAML-declared decoder as a lazily-resolved import path —
+    the executor-shipping contract lives in
+    functions.embed.ImportedCallable (pickles the path only, resolves
+    at first call inside the worker; config-declared decoders need
+    the module importable on executors via ``--py-files`` /
+    ``sc.addPyFile``)."""
 
     def __init__(self, path: str) -> None:
-        if ":" not in path:
-            raise ValueError(
-                f"decoder path must be 'module:function': {path!r}"
-            )
-        self.path = path
-        self._fn = None
-
-    def __getstate__(self):
-        # Only the path crosses the wire EVEN IF the instance was
-        # already called on the driver (round 8, ADVICE r7): without
-        # this, a resolved _fn lands in __dict__ and gets pickled too
-        # — by value under cloudpickle for __main__ functions, which
-        # is exactly the executor-shipping failure this class exists
-        # to prevent.
-        return {"path": self.path}
-
-    def __setstate__(self, state):
-        self.path = state["path"]
-        self._fn = None
-
-    def __call__(self, raw):
-        if self._fn is None:
-            import importlib
-
-            mod, _, attr = self.path.partition(":")
-            try:
-                self._fn = getattr(importlib.import_module(mod), attr)
-            except (ImportError, AttributeError) as e:
-                raise ImportError(
-                    f"cannot resolve YAML decoder {self.path!r} on this "
-                    f"worker (is the module shipped via --py-files?): {e}"
-                ) from e
-        return self._fn(raw)
+        super().__init__(path, what="decoder")
 
 
 def _resolve_decoders(spec: dict | None) -> dict | None:

@@ -800,7 +800,8 @@ def test_imported_decoder_pickles_path_only():
     d = _ImportedDecoder("json:loads")
     assert d('{"a": 1}') == {"a": 1}  # resolve on the "driver"
     assert d._fn is not None
-    assert d.__getstate__() == {"path": "json:loads"}
+    state = d.__getstate__()
+    assert state["path"] == "json:loads" and "_fn" not in state
     clone = pickle.loads(pickle.dumps(d))
     assert clone._fn is None and clone.path == "json:loads"
     assert clone('{"b": 2}') == {"b": 2}  # lazy re-resolve still works
