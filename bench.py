@@ -279,10 +279,108 @@ def run(sf_dir: str, names: list[str]) -> dict:
     }
 
 
+def write_history(result: dict, here: Path) -> None:
+    """BENCH_HISTORY.json: the cross-round per-query record, built
+    MECHANICALLY from the driver-recorded BENCH_r*.json files plus
+    this live run — so adjudications like r9's q_dedup_minhash
+    ("+50% but spread 2.1 and a hot stamp → host, not code") are a
+    table lookup instead of prose archaeology in SCALE.md.
+
+    Shape: ``rounds`` = run-level stamps per round (spin/mem/gemm +
+    totals — the calm-or-contended verdict inputs), ``queries`` =
+    per query, per round: warm min-of-3 (the trended number), rep
+    spread, and the spin/mem stamps sampled before its rep block.
+
+    SELF-ACCUMULATING: the driver's recorded BENCH_r*.json keeps only
+    the bounded summary line (totals + the 8 slowest queries), so
+    full per-query rows for a past round survive only through the
+    history file each live run committed.  Merge order: previous
+    BENCH_HISTORY.json first (full live data), BENCH_r*.json
+    summaries fill gaps only, this run overwrites its own round —
+    tagged r<max recorded + 1>, matching the BENCH_r{N}.json the
+    driver is about to record for it."""
+    rounds: dict[str, dict] = {}
+    queries: dict[str, dict[str, dict]] = {}
+
+    def add(tag: str, rec: dict, overwrite: bool) -> None:
+        meta = {
+            k: rec.get(k)
+            for k in (
+                "value_warm",
+                "value_cold",
+                "loadavg_1m",
+                "cpu_spin_start_ms",
+                "cpu_spin_end_ms",
+                "cpu_spin_mid_med_ms",
+                "cpu_spin_mid_max_ms",
+                "mem_copy_mid_med_ms",
+                "mem_copy_mid_max_ms",
+                "gemm_start_ms",
+                "gemm_end_ms",
+                "sf",
+                "n_queries",
+            )
+            if rec.get(k) is not None
+        }
+        if overwrite or tag not in rounds:
+            rounds[tag] = meta
+        # full shape keys, else the bounded summary-line keys
+        warm = rec.get("queries") or rec.get("slowest_warm") or {}
+        spread = rec.get("warm_spread") or rec.get("slowest_spread") or {}
+        stamps = rec.get("warm_stamps") or {}
+        for q, sec in warm.items():
+            per_round = queries.setdefault(q, {})
+            if not overwrite and tag in per_round:
+                continue
+            row: dict = {"warm": sec}
+            if spread.get(q) is not None:
+                row["spread"] = spread[q]
+            if q in stamps:
+                row.update(stamps[q])
+            per_round[tag] = row
+
+    hist_path = here / "BENCH_HISTORY.json"
+    try:
+        prev = json.loads(hist_path.read_text())
+        rounds.update(prev.get("rounds") or {})
+        for q, per_round in (prev.get("queries") or {}).items():
+            queries.setdefault(q, {}).update(per_round)
+    except (OSError, json.JSONDecodeError, AttributeError):
+        pass
+    last = 0
+    for f in sorted(here.glob("BENCH_r*.json")):
+        tag = f.stem.split("_", 1)[1]  # r01..rNN
+        try:
+            rec = json.loads(f.read_text())
+            last = max(last, int(tag.lstrip("r")))
+        except (OSError, json.JSONDecodeError, ValueError):
+            continue
+        # driver capture shape: {"parsed": {...}} or the raw dict
+        rec = rec.get("parsed", rec) if isinstance(rec, dict) else {}
+        if isinstance(rec, dict) and (
+            rec.get("queries") or rec.get("value_warm") or rec.get("value")
+        ):
+            add(tag, rec, overwrite=False)
+    add(f"r{last + 1:02d}", result, overwrite=True)
+    for q in queries:
+        queries[q] = dict(sorted(queries[q].items()))
+    hist_path.write_text(
+        json.dumps(
+            {"rounds": dict(sorted(rounds.items())), "queries": queries},
+            indent=1,
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = sys.argv[1:] or sorted(all_queries())
     result = run(sf_dir, names)
+    if not sys.argv[1:]:  # full roster only: subsets would pollute
+        try:
+            write_history(result, Path(__file__).resolve().parent)
+        except OSError:
+            pass  # history is best-effort; never break the stdout contract
     # Line order matters: the driver records a bounded TAIL of stdout
     # and parses the last line (BENCH_r02 and _r03 both came back
     # parsed:null because the ~2.6 KB full per-query line sat last and

@@ -84,6 +84,20 @@ def main(argv: list[str] | None = None) -> int:
     tw.add_argument("--merges", type=int, default=4000)
     tw.add_argument("--min-count", type=int, default=1)
     tw.add_argument("--max-word-types", type=int, default=1_000_000)
+    tk = sub.add_parser(
+        "train-kn-lm",
+        help="train the interpolated Kneser-Ney bigram LM (CCNet's "
+        "perplexity-filter recipe) on the documents table, save JSON",
+    )
+    tk.add_argument("out", help="output path for the LM artifact (JSON)")
+    tk.add_argument("--sf", default=DEFAULT_SF_DIR)
+    tk.add_argument(
+        "--where", default=None,
+        help="SQL predicate picking the TRUSTED reference rows "
+        "(e.g. \"lang = 'en'\"); default: the whole table",
+    )
+    tk.add_argument("--min-word-count", type=int, default=1)
+    tk.add_argument("--max-vocab", type=int, default=None)
     ts = sub.add_parser(
         "tokenizer-stats",
         help="compression/coverage metrics for a trained tokenizer "
@@ -260,6 +274,29 @@ def main(argv: list[str] | None = None) -> int:
         tune(spark)
         docs = load_table(spark, args.sf, "documents")
         tokenizer_stats(spark, docs, tok, by=args.by).show(50, truncate=False)
+        return 0
+
+    if args.cmd == "train-kn-lm":
+        from snapflow_spark.catalog import load_table
+        from snapflow_spark.functions.kn_lm import train_kn_bigram
+        from snapflow_spark.session import build_session, tune
+
+        spark = build_session("cli-train-kn-lm")
+        spark.sparkContext.setLogLevel("ERROR")
+        tune(spark)
+        docs = load_table(spark, args.sf, "documents")
+        if args.where:
+            docs = docs.where(args.where)
+        lm = train_kn_bigram(
+            docs,
+            min_word_count=args.min_word_count,
+            max_vocab=args.max_vocab,
+        )
+        lm.save(args.out)
+        print(
+            f"trained: kn_bigram, D={lm.d:.4f}, vocab {lm.v}, "
+            f"{lm.n_cont} bigram types -> {args.out}"
+        )
         return 0
 
     if args.cmd == "train-byte-bpe":

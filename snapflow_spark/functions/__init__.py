@@ -20,6 +20,7 @@ from snapflow_spark.functions.text import (
     tokens_expr,
 )
 from snapflow_spark.functions.embed import ImportedCallable, embed_with_model
+from snapflow_spark.functions.kn_lm import KNBigramLM, train_kn_bigram
 from snapflow_spark.functions.html import (
     decode_html_bytes,
     extract_html,
@@ -61,6 +62,8 @@ __all__ = [
     "build_bloom",
     "ImportedCallable",
     "embed_with_model",
+    "KNBigramLM",
+    "train_kn_bigram",
     "cosine_similarity",
     "filter_might_contain",
     "hll_partials",

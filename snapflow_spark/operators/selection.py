@@ -323,6 +323,7 @@ def perplexity_buckets(
     alpha: float = 1.0,
     salt: str = "dsir-v1",
     ref_pred: Column | None = None,
+    lm=None,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4):
     score every document's LM perplexity against the reference
@@ -331,6 +332,16 @@ def perplexity_buckets(
     and tag each document ``head`` (most reference-like), ``middle``
     or ``tail``. Returns ``(id_col[, by], n_grams, cross_entropy,
     ppl, ppl_bucket)``.
+
+    ``lm=`` (a trained ``functions.kn_lm.KNBigramLM``, round 11)
+    swaps the scorer to the published interpolated Kneser-Ney
+    conditional model — CCNet's actual recipe (KenLM is modified
+    KN); ``ref``/``ref_pred``/``alpha``/``salt`` are then unused
+    (the reference corpus was consumed at TRAINING time).  The
+    default stays the hashed-gram bag model, which is
+    oracle-replayable and vocabulary-free; the two assign different
+    buckets exactly where word ORDER carries the signal (frequent
+    words in unseen order), tested in tests/test_kn_lm.py.
 
     Thresholds come from ONE tiny aggregate over the scored rows,
     broadcast back — so the op is the scoring scan plus a
@@ -342,9 +353,17 @@ def perplexity_buckets(
     lo, hi = fractions
     if not (0.0 < lo < hi < 1.0):
         raise ValueError(f"fractions must satisfy 0 < lo < hi < 1: {fractions}")
-    scored = lm_cross_entropy(
-        raw, ref, text_col, id_col, num_buckets, alpha, salt, ref_pred
-    )
+    if lm is not None:
+        if ref is not None or ref_pred is not None:
+            raise ValueError(
+                "perplexity_buckets: lm= carries its own trained "
+                "reference — pass either lm or ref/ref_pred, not both"
+            )
+        scored = lm.score(raw, text_col=text_col, id_col=id_col)
+    else:
+        scored = lm_cross_entropy(
+            raw, ref, text_col, id_col, num_buckets, alpha, salt, ref_pred
+        )
     if by is not None:
         scored = scored.join(
             raw.select(F.col(id_col), F.col(by)), id_col

@@ -1550,6 +1550,51 @@ _MIX_UNIT_FOLD = "(" + " + ".join(
              AND unit < ratio - floor(ratio))
     ) sel
     GROUP BY mix_source
+    UNION ALL
+    -- 'chunk' branch (round 11): overlapping token-window chunking
+    -- (operators.curation.chunk_text, max_tokens=24 overlap=8) is
+    -- pure window arithmetic — the oracle replays starts/slices/
+    -- re-joins exactly. Column mapping: total_tokens = window-token
+    -- mass (overlap double-counts BY DESIGN), n_train = full
+    -- windows, n_test = chunk_text char mass (verifies the joined
+    -- strings), n_chunks = windows, n_spanning = continuation
+    -- windows (chunk_idx > 0). Epoch fan-out is the uncorrelated
+    -- static-range cross join (the round-8 unnest binder trap).
+    SELECT 'chunk' AS branch, lang,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(chunk_n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(SUM(CASE WHEN chunk_n_tokens = 24 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_train,
+           CAST(SUM(length(chunk_text)) AS BIGINT) AS n_test,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN chunk_idx > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spanning
+    FROM (
+      WITH ctoks AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(text, '\S+') AS toks
+        FROM documents
+      ), cwin AS (
+        SELECT doc_id, lang, toks,
+               greatest(CAST(ceil((len(toks) - 8) / 16.0) AS BIGINT),
+                        1) AS nw
+        FROM ctoks
+      ), cidx AS (
+        SELECT unnest(range(0, 16)) AS chunk_idx
+      ), cexp AS (
+        SELECT w.doc_id, w.lang, w.toks, c.chunk_idx
+        FROM cwin w CROSS JOIN cidx c WHERE c.chunk_idx < w.nw
+      )
+      SELECT doc_id, lang, chunk_idx,
+             array_to_string(list_slice(toks, chunk_idx*16 + 1,
+                                        chunk_idx*16 + 24),
+                             ' ') AS chunk_text,
+             len(list_slice(toks, chunk_idx*16 + 1,
+                            chunk_idx*16 + 24)) AS chunk_n_tokens
+      FROM cexp
+    ) ch
+    GROUP BY lang
     """,
 )
 def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1668,7 +1713,44 @@ def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunks",
         F.lit(0).cast("bigint").alias("n_spanning"),
     )
-    return pipeline.unionByName(mixb)
+    # 'chunk' branch (round 11): overlapping token-window document
+    # chunking (operators.curation.chunk_text — pure codegen) as a
+    # hash-matched row; the oracle replays the window arithmetic and
+    # the re-joined window STRINGS (char mass in the n_test slot).
+    from snapflow_spark.operators.curation import chunk_text
+
+    ch = chunk_text(
+        d.select("doc_id", "lang", "text"), max_tokens=24, overlap=8
+    )
+    chb = ch.groupBy("lang").agg(
+        # every doc emits exactly ONE chunk_idx=0 window (empty docs
+        # included), so this is countDistinct(doc_id) without the
+        # distinct's expand + second exchange
+        F.sum(F.when(F.col("chunk_idx") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs"),
+        F.sum(F.col("chunk_n_tokens").cast("bigint")).alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.sum(F.when(F.col("chunk_n_tokens") == 24, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.length("chunk_text").cast("bigint")).alias("n_test"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("chunk_idx") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_spanning"),
+    ).select(
+        F.lit("chunk").alias("branch"),
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "first_doc",
+        "n_train",
+        "n_test",
+        "n_chunks",
+        "n_spanning",
+    )
+    return pipeline.unionByName(mixb).unionByName(chb)
 
 
 @query(

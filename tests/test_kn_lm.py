@@ -1,0 +1,213 @@
+"""Interpolated Kneser-Ney bigram LM (functions/kn_lm.py): parity
+against a FROM-SCRATCH python implementation of the published
+formulas, exact normalization at both levels, persistence, vocab
+pruning, and the bucket-divergence property — the conditional model
+orders documents differently from the hashed-gram bag model exactly
+where word order / continuation diversity carries the signal."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.functions.kn_lm import (
+    _SEP,
+    KNBigramLM,
+    train_kn_bigram,
+)
+
+REF_DOCS = [
+    "the cat sat on the mat",
+    "the dog sat on the rug",
+    "the cat ate the fish",
+    "a dog ran in the park",
+    "san francisco is foggy",
+    "san francisco is hilly",
+    "san francisco is pricey",
+]
+
+
+def _py_kn(docs):
+    """Independent from-scratch interpolated KN (Chen & Goodman
+    1998): returns (D, tables) built with plain dict arithmetic —
+    shares no code with the module under test."""
+    big = {}
+    for d in docs:
+        toks = ["<s>"] + d.split()
+        for u, w in zip(toks, toks[1:]):
+            big[(u, w)] = big.get((u, w), 0) + 1
+    n1 = sum(1 for c in big.values() if c == 1)
+    n2 = sum(1 for c in big.values() if c == 2)
+    D = n1 / (n1 + 2 * n2)
+    c_u, n1p_u, cont = {}, {}, {}
+    for (u, w), c in big.items():
+        c_u[u] = c_u.get(u, 0) + c
+        n1p_u[u] = n1p_u.get(u, 0) + 1
+        cont[w] = cont.get(w, 0) + 1
+    N = len(big)
+    V = len(cont)
+
+    def p(u, w):
+        t = len(cont)
+        pc = (max(cont.get(w, 0) - D, 0) + D * t / (V + 1)) / N
+        if c_u.get(u, 0) <= 0:
+            return pc
+        return max(big.get((u, w), 0) - D, 0) / c_u[u] + D * n1p_u[u] / c_u[u] * pc
+
+    def ce(doc):
+        toks = doc.split()
+        if not toks:
+            return 0, 0.0
+        tot, prev = 0.0, "<s>"
+        for w in toks:
+            tot -= math.log(p(prev, w))
+            prev = w
+        return len(toks), tot / len(toks)
+
+    return D, p, ce, (c_u, cont, V, N)
+
+
+def test_training_parity_with_from_scratch_python(spark):
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_bigram(ref)
+    D, p, ce, (c_u, cont, V, N) = _py_kn(REF_DOCS)
+    assert lm.d == pytest.approx(D, rel=1e-12)
+    assert lm.v == V and lm.n_cont == N
+    assert lm.c_u == c_u and lm.cont == cont
+    # pointwise probability parity, incl. unseen bigram and OOV word
+    for u, w in [
+        ("the", "cat"), ("san", "francisco"), ("cat", "francisco"),
+        ("the", "zebra"), ("neverseen", "cat"),
+    ]:
+        assert math.exp(lm.logp(u, w)) == pytest.approx(p(u, w), rel=1e-12)
+
+
+def test_both_levels_normalize_to_one(spark):
+    """Σ_w P(w|u) over seen types + (V+1-T)·P(unseen) == 1 exactly —
+    the interpolated-KN telescoping property, for every context and
+    for the continuation distribution itself."""
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_bigram(ref)
+    words = sorted(lm.cont)
+    # continuation level: seen types + (V+1 - T) unseen slots
+    t = len(lm.cont)
+    unseen_pc = (lm.d * t / (lm.v + 1)) / lm.n_cont
+    pc_sum = sum(
+        (max(lm.cont[w] - lm.d, 0) + lm.d * t / (lm.v + 1)) / lm.n_cont
+        for w in words
+    ) + (lm.v + 1 - t) * unseen_pc
+    assert pc_sum == pytest.approx(1.0, abs=1e-12)
+    for u in list(lm.c_u)[:8]:
+        s = sum(math.exp(lm.logp(u, w)) for w in words)
+        # plus the single aggregated unseen-word event
+        s += (lm.v + 1 - t) * math.exp(lm.logp(u, "§never§"))
+        assert s == pytest.approx(1.0, abs=1e-10), u
+
+
+def test_spark_scoring_matches_python_ce(spark):
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_bigram(ref)
+    _, _, ce, _ = _py_kn(REF_DOCS)
+    raw = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog ate the fish"),
+            (2, "zebra quark blimp"),  # all OOV
+            (3, ""),  # token-less
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in lm.score(raw).collect()}
+    for i, txt in [(0, "the cat sat on the mat"), (1, "the dog ate the fish"),
+                   (2, "zebra quark blimp")]:
+        n, c = ce(txt)
+        assert got[i].n_grams == n
+        assert got[i].cross_entropy == pytest.approx(round(c, 6), abs=1e-6)
+        assert got[i].ppl == pytest.approx(round(math.exp(round(c, 6)), 6), abs=1e-4)
+    assert got[3].n_grams == 0 and got[3].cross_entropy == 0.0
+
+
+def test_save_load_round_trip(spark, tmp_path):
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_bigram(ref)
+    p = str(tmp_path / "kn.json")
+    lm.save(p)
+    lm2 = KNBigramLM.load(p)
+    assert lm2.d == lm.d and lm2.c_uw == lm.c_uw and lm2.cont == lm.cont
+    assert lm2.logp("the", "cat") == lm.logp("the", "cat")
+    with pytest.raises(ValueError, match="not a kn_bigram"):
+        bad = str(tmp_path / "bad.json")
+        open(bad, "w").write("{}")
+        KNBigramLM.load(bad)
+
+
+def test_vocab_pruning_collapses_to_unk(spark):
+    """min_word_count prunes BEFORE bigram formation (KenLM-style):
+    rare words become <unk> in the model, and scoring maps OOV and
+    pruned words onto the same event."""
+    ref = spark.createDataFrame(
+        [(t,) for t in ["a a a b b rare", "a b a b unique"]], "text string"
+    )
+    lm = train_kn_bigram(ref, min_word_count=2)
+    assert "<unk>" in lm.cont
+    assert "rare" not in lm.c_u and "rare" not in lm.cont
+    # scoring treats a pruned word and a never-seen word identically
+    raw = spark.createDataFrame(
+        [(0, "a rare b"), (1, "a zebra b")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.cross_entropy for r in lm.score(raw).collect()}
+    assert got[0] == got[1]
+
+
+def test_kn_orders_differently_than_hashed_gram_where_it_should(spark):
+    """The published reason to prefer KN: 'francisco' is FREQUENT in
+    the reference but only ever continues 'san', so a document using
+    it after a novel context must score poorly — the conditional
+    model penalizes it below a document whose words have diverse
+    continuations, while the bag-of-grams model (which rewards raw
+    gram frequency mass) ranks the pair the other way."""
+    from snapflow_spark.operators.selection import (
+        lm_cross_entropy,
+        perplexity_buckets,
+    )
+
+    ref_docs = REF_DOCS + ["san francisco is big"] * 20
+    ref = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(ref_docs)],
+        "doc_id bigint, text string",
+    )
+    lm = train_kn_bigram(ref)
+    raw = spark.createDataFrame(
+        [
+            (0, "park francisco francisco francisco"),  # frequent word, novel context
+            (1, "the dog ran in the park"),  # modest words, seen transitions
+        ],
+        "doc_id bigint, text string",
+    )
+    kn = {r.doc_id: r.ppl for r in lm.score(raw).collect()}
+    hashed = {
+        r.doc_id: r.ppl
+        for r in lm_cross_entropy(raw, ref=ref).collect()
+    }
+    # KN: doc 1 (seen transitions) beats doc 0 (novel-context use of a
+    # frequent word). The bag model ranks doc 0 at or above doc 1 on
+    # raw gram-frequency mass — the orderings DISAGREE on this pair.
+    assert kn[1] < kn[0]
+    assert hashed[0] < hashed[1]
+    # and the lm= hook drives the same scorer through the CCNet bucketer
+    buckets = perplexity_buckets(
+        raw, lm=lm, fractions=(0.5, 0.75), exact=True
+    )
+    got = {r.doc_id: r.ppl_bucket for r in buckets.collect()}
+    assert got[1] == "head" and got[0] == "tail"
+    with pytest.raises(ValueError, match="not both"):
+        perplexity_buckets(raw, ref=ref, lm=lm)
+
+
+def test_from_counts_guards():
+    with pytest.raises(ValueError, match="no bigrams"):
+        KNBigramLM.from_counts({})
+    lm = KNBigramLM.from_counts({f"a{_SEP}b": 3, f"b{_SEP}a": 1})
+    assert lm.v == 2 and lm.n_cont == 2
