@@ -98,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     tk.add_argument("--min-word-count", type=int, default=1)
     tk.add_argument("--max-vocab", type=int, default=None)
+    tk.add_argument(
+        "--modified", action="store_true",
+        help="modified KN (KenLM's default: three count-conditioned "
+        "discounts per level) instead of single-discount interpolated",
+    )
     ts = sub.add_parser(
         "tokenizer-stats",
         help="compression/coverage metrics for a trained tokenizer "
@@ -291,10 +296,12 @@ def main(argv: list[str] | None = None) -> int:
             docs,
             min_word_count=args.min_word_count,
             max_vocab=args.max_vocab,
+            modified=args.modified,
         )
         lm.save(args.out)
+        kind = "modified" if lm.modified else f"D={lm.d:.4f}"
         print(
-            f"trained: kn_bigram, D={lm.d:.4f}, vocab {lm.v}, "
+            f"trained: kn_bigram ({kind}), vocab {lm.v}, "
             f"{lm.n_cont} bigram types -> {args.out}"
         )
         return 0

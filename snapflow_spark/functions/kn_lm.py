@@ -1,19 +1,31 @@
 """Interpolated Kneser-Ney bigram language model — the published
 CCNet-grade LM for perplexity filtering (Wenzek et al. 2020 rank
 documents by LM perplexity under a model trained on a trusted
-corpus; their LM is KenLM's modified Kneser-Ney).  This is the
-from-scratch interpolated-KN recipe (Kneser & Ney 1995; Chen &
-Goodman 1998 eq. 4.15-4.26, the standard public formulation):
+corpus; their LM is KenLM's modified Kneser-Ney).  Both published
+variants, from scratch:
+
+INTERPOLATED KN (Kneser & Ney 1995; Chen & Goodman 1998 eq.
+4.15-4.26), one absolute discount:
 
     P(w|u) = max(c(u,w) - D, 0)/c(u) + D·N1+(u,·)/c(u) · Pcont(w)
     Pcont(w) = (max(N1+(·,w) - D, 0) + D·T/(V+1)) / N1+(·,·)
+    D = n1 / (n1 + 2·n2)            (Ney, Essen & Kneser 1994)
 
-with ONE absolute discount D = n1/(n1 + 2·n2) estimated from the
-bigram counts-of-counts (Ney, Essen & Kneser 1994), T = distinct
-predicted types, V+1 events at the uniform floor (the +1 is the
-unseen-word bucket, so OOV words get non-zero mass through the
-continuation chain, never a hard zero).  Both levels telescope to
-exactly 1, checked in tests.
+MODIFIED KN (Chen & Goodman 1998 §5.2.2 eq. 26 — KenLM's default),
+three count-conditioned discounts per level:
+
+    Y  = n1 / (n1 + 2·n2)
+    D1 = 1 - 2·Y·n2/n1    D2 = 2 - 3·Y·n3/n2    D3+ = 3 - 4·Y·n4/n3
+    P(w|u) = max(c(u,w) - D(c(u,w)), 0)/c(u) + λ(u)·Pcont(w)
+    λ(u)   = (D1·N1(u,·) + D2·N2(u,·) + D3+·N3+(u,·)) / c(u)
+
+with the SAME construction applied to the continuation level (its
+own counts-of-counts over N1+(·,w)), and the lowest order floored
+uniformly over V+1 events (the +1 is the unseen-word bucket, so OOV
+gets non-zero mass, never a hard zero).  Every level telescopes to
+exactly 1 in both variants — asserted in tests; degenerate
+counts-of-counts (a tiny corpus with no count-2 bigrams, say) fall
+back per-discount to the single-D estimate, documented and tested.
 
 Relationship to the hashed-gram LM (operators/selection.py): that
 model is a BAG of hashed grams — order-insensitive, oracle-
@@ -42,7 +54,7 @@ from __future__ import annotations
 
 import json
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -68,37 +80,92 @@ def _bigram_pairs_expr(toks: Column) -> Column:
     )
 
 
+def _modified_discounts(nc: dict, fallback: float) -> tuple:
+    """(D1, D2, D3+) from counts-of-counts {1: n1, 2: n2, ...} —
+    Chen & Goodman eq. 26; any discount whose formula divides by a
+    missing count falls back to the single-D estimate (tiny-corpus
+    degeneracy, the same guard KenLM refuses on)."""
+    n1, n2, n3, n4 = (nc.get(i, 0) for i in (1, 2, 3, 4))
+    if n1 == 0 or (n1 + 2 * n2) == 0:
+        return (fallback, fallback, fallback)
+    y = n1 / (n1 + 2 * n2)
+    d1 = 1 - 2 * y * n2 / n1
+    d2 = 2 - 3 * y * n3 / n2 if n2 else fallback
+    d3 = 3 - 4 * y * n4 / n3 if n3 else fallback
+    # The eq.-26 estimates assume corpus-scale counts-of-counts and
+    # leave (0, level] on small data (3·Y·n3/n2 > 2 with many
+    # count-3 types gives a NEGATIVE D2) — a boundary clamp would
+    # zero a level's backoff mass (λ(u)=0 → P(unseen|u)=0 → -inf),
+    # so out-of-range discounts fall back to the single-D estimate,
+    # which is always in (0, 1) and keeps every level total.  The
+    # telescoping normalization holds for ANY 0 < D(c) <= c, so the
+    # fallback preserves exactness (KenLM instead refuses outright).
+    return tuple(
+        d if 0.0 < d <= lvl else min(fallback, lvl)
+        for d, lvl in ((d1, 1.0), (d2, 2.0), (d3, 3.0))
+    )
+
+
+def _disc(ds: tuple, c: int) -> float:
+    if c <= 0:
+        return 0.0
+    return ds[0] if c == 1 else ds[1] if c == 2 else ds[2]
+
+
 @dataclass(frozen=True)
 class KNBigramLM:
     """Frozen trained model: everything scoring needs, JSON-round-
     trippable.  ``c_uw`` keys are ``u\\x1fw``; ``<s>`` appears only
     as a context, ``<unk>`` (when pruning was active) on both
-    sides."""
+    sides.  ``modified=False``: single discount ``d``;
+    ``modified=True``: ``ds``/``cont_ds`` three-discount tuples,
+    ``lam_u`` the per-context discount mass, ``cont_mass`` the
+    continuation level's total discount mass."""
 
-    d: float  # the absolute discount
+    d: float  # the single absolute discount (also the fallback)
     c_u: dict  # context -> token count
     c_uw: dict  # "u<US>w" -> bigram count
     n1p_u: dict  # context -> N1+(u, ·) distinct continuations
     cont: dict  # word -> N1+(·, w) distinct left-contexts
     n_cont: int  # N1+(·,·) = total bigram types
     v: int  # distinct predicted word types (excl <s>)
+    modified: bool = False
+    ds: tuple = ()  # (D1, D2, D3+) bigram level
+    cont_ds: tuple = ()  # (D1, D2, D3+) continuation level
+    lam_u: dict = field(default_factory=dict)  # context -> Σ D(c(u,·))
+    cont_mass: float = 0.0  # Σ_w D(cont(w))
 
-    def logp(self, u: str, w: str) -> float:
-        """ln P(w|u), interpolated KN with uniform-floored
-        continuation — total, never -inf."""
+    def _p_cont(self, w: str) -> float:
+        if self.modified:
+            cw = self.cont.get(w, 0)
+            return (
+                max(cw - _disc(self.cont_ds, cw), 0.0)
+                + self.cont_mass / (self.v + 1)
+            ) / self.n_cont
         t = len(self.cont)
-        p_cont = (
+        return (
             max(self.cont.get(w, 0) - self.d, 0.0)
             + self.d * t / (self.v + 1)
         ) / self.n_cont
+
+    def logp(self, u: str, w: str) -> float:
+        """ln P(w|u), interpolated (or modified) KN with uniform-
+        floored continuation — total, never -inf."""
+        p_cont = self._p_cont(w)
         cu = self.c_u.get(u, 0)
         if cu <= 0:
             return math.log(p_cont)
         cuw = self.c_uw.get(u + _SEP + w, 0)
-        p = (
-            max(cuw - self.d, 0.0) / cu
-            + self.d * self.n1p_u[u] / cu * p_cont
-        )
+        if self.modified:
+            p = (
+                max(cuw - _disc(self.ds, cuw), 0.0) / cu
+                + self.lam_u[u] / cu * p_cont
+            )
+        else:
+            p = (
+                max(cuw - self.d, 0.0) / cu
+                + self.d * self.n1p_u[u] / cu * p_cont
+            )
         return math.log(p)
 
     def cross_entropy(self, tokens: list) -> tuple[int, float]:
@@ -124,9 +191,8 @@ class KNBigramLM:
                 {
                     "kind": "kn_bigram",
                     "d": self.d,
-                    "c_u": self.c_u,
+                    "modified": self.modified,
                     "c_uw": self.c_uw,
-                    "cont": self.cont,
                     "v": self.v,
                 },
                 f,
@@ -139,30 +205,53 @@ class KNBigramLM:
             d = json.load(f)
         if d.get("kind") != "kn_bigram":
             raise ValueError(f"not a kn_bigram artifact: {path}")
-        return KNBigramLM.from_counts(d["c_uw"], d=d["d"])
+        return KNBigramLM.from_counts(
+            d["c_uw"], d=d["d"], modified=bool(d.get("modified"))
+        )
 
     @staticmethod
-    def from_counts(c_uw: dict, d: float | None = None) -> "KNBigramLM":
+    def from_counts(
+        c_uw: dict, d: float | None = None, modified: bool = False
+    ) -> "KNBigramLM":
         """Derive every table from the bigram-count dict — the one
-        piece of trained state; discount estimated from counts of
-        counts unless given."""
+        piece of trained state; discounts estimated from counts of
+        counts unless the single ``d`` is given."""
         if not c_uw:
             raise ValueError("kn_bigram: no bigrams to train on")
         c_u: dict = {}
         n1p_u: dict = {}
         cont: dict = {}
-        n1 = n2 = 0
+        nc: dict = {}  # bigram counts-of-counts
         for key, c in c_uw.items():
             u, _, w = key.partition(_SEP)
             c_u[u] = c_u.get(u, 0) + c
             n1p_u[u] = n1p_u.get(u, 0) + 1
             cont[w] = cont.get(w, 0) + 1
-            if c == 1:
-                n1 += 1
-            elif c == 2:
-                n2 += 1
+            if c <= 4:
+                nc[c] = nc.get(c, 0) + 1
+        n1, n2 = nc.get(1, 0), nc.get(2, 0)
+        # n1 == 0 would make the estimate 0 and zero the backoff mass
+        single = n1 / (n1 + 2 * n2) if n1 > 0 else 0.5
         if d is None:
-            d = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.5
+            d = single
+        ds = cont_ds = ()
+        lam_u: dict = {}
+        cont_mass = 0.0
+        if modified:
+            ds = _modified_discounts(nc, single)
+            # per-context discount mass: λ(u)·c(u) = Σ_w D(c(u,w))
+            for key, c in c_uw.items():
+                u = key.partition(_SEP)[0]
+                lam_u[u] = lam_u.get(u, 0.0) + _disc(ds, c)
+            # continuation level: its own counts-of-counts
+            mc: dict = {}
+            for cw in cont.values():
+                if cw <= 4:
+                    mc[cw] = mc.get(cw, 0) + 1
+            m1, m2 = mc.get(1, 0), mc.get(2, 0)
+            cont_single = m1 / (m1 + 2 * m2) if m1 > 0 else single
+            cont_ds = _modified_discounts(mc, cont_single)
+            cont_mass = sum(_disc(cont_ds, cw) for cw in cont.values())
         return KNBigramLM(
             d=float(d),
             c_u=c_u,
@@ -171,6 +260,11 @@ class KNBigramLM:
             cont=cont,
             n_cont=len(c_uw),
             v=len(cont),
+            modified=bool(modified),
+            ds=ds,
+            cont_ds=cont_ds,
+            lam_u=lam_u,
+            cont_mass=cont_mass,
         )
 
     # ------------------------------------------------ Spark scoring
@@ -218,8 +312,10 @@ def train_kn_bigram(
     min_word_count: int = 1,
     max_vocab: int | None = None,
     min_bigram_count: int = 1,
+    modified: bool = False,
 ) -> KNBigramLM:
-    """Fit the interpolated-KN bigram model on a reference corpus.
+    """Fit the interpolated-KN (or, with ``modified=True``, the
+    modified-KN / KenLM-default) bigram model on a reference corpus.
 
     ONE corpus-scale stage when unpruned (bigram explode + counted
     groupBy, map-side combined); with ``min_word_count``/
@@ -267,4 +363,4 @@ def train_kn_bigram(
     if min_bigram_count > 1:
         counts = counts.where(F.col("c") >= int(min_bigram_count))
     c_uw = {r.uw: int(r.c) for r in counts.collect()}
-    return KNBigramLM.from_counts(c_uw)
+    return KNBigramLM.from_counts(c_uw, modified=modified)

@@ -157,15 +157,23 @@ def temperature_weights(
     q_g ∝ p_g^alpha. ``alpha=1`` preserves the natural distribution,
     ``alpha=0`` is uniform across groups (maximum upweighting of
     low-resource groups), the paper's 0.3 sits between. Pure driver
-    arithmetic over the 1-row-per-group totals."""
+    arithmetic over the 1-row-per-group totals.
+
+    BIT-STABLE (round 11): every float fold (grand, the q
+    normalizer, the returned dict's order) runs over groups sorted
+    by name — a dict in collect() order would make the sums depend
+    on task scheduling through float addition order, and the
+    downstream epoch/fraction selection must be replayable
+    digit-for-digit (q_pipeline_docs 'langmix' oracle)."""
     if not totals:
         raise ValueError("temperature_weights needs at least one group")
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    grand = float(sum(totals.values()))
+    items = sorted((str(g), v) for g, v in totals.items())
+    grand = float(sum(v for _, v in items))
     if grand <= 0:
         raise ValueError("group token totals must be positive")
-    q = {g: (v / grand) ** alpha for g, v in totals.items()}
+    q = {g: (v / grand) ** alpha for g, v in items}
     z = sum(q.values())
     return {g: v / z for g, v in q.items()}
 
@@ -201,7 +209,12 @@ def language_balanced_mix(
     rows = (
         df.groupBy(lang_col).agg(F.sum(token_col).alias("__t")).collect()
     )
-    totals = {r[lang_col]: float(r["__t"] or 0) for r in rows}
+    # sorted: collect() order varies with task scheduling, and the
+    # weight folds downstream must be bit-stable (temperature_weights)
+    totals = {
+        r[lang_col]: float(r["__t"] or 0)
+        for r in sorted(rows, key=lambda r: r[lang_col])
+    }
     totals = {g: v for g, v in totals.items() if v > 0}
     weights = temperature_weights(totals, alpha)
     sources = {

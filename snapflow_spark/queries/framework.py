@@ -92,6 +92,55 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'orc' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     UNION ALL
     SELECT 'jdbc' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    -- 'cc_index' branch (round 11): read_cc_index's whole filter
+    -- compilation replayed in SQL over the SAME nation-derived index
+    -- rows the Spark side writes/reads through parquet — crawl/subset
+    -- partition filters, fetch_status/mime equality, the
+    -- registered-domain-else-host coalesce + exact-or-dot-suffix host
+    -- rule, and the comma-string language split. Column mapping onto
+    -- the union schema: n_name carries the url (string passthrough),
+    -- n_regionkey the int32->bigint-normalized offset cast back.
+    SELECT 'cc_index' AS fmt,
+           n_nationkey,
+           url AS n_name,
+           CAST(warc_record_offset AS INT) AS n_regionkey
+    FROM (
+      SELECT n_nationkey,
+             'https://' || host || '/page/' || CAST(n_nationkey AS VARCHAR) AS url,
+             host AS url_host_name,
+             CASE WHEN n_nationkey % 4 != 2 THEN sfx END
+               AS url_host_registered_domain,
+             CAST(n_nationkey * 12345 AS BIGINT) AS warc_record_offset,
+             CASE WHEN n_nationkey % 11 = 0 THEN 301 ELSE 200 END
+               AS fetch_status,
+             CASE WHEN n_nationkey % 2 = 0 THEN 'text/html'
+                  ELSE 'application/pdf' END AS content_mime_type,
+             CASE WHEN n_nationkey % 4 = 3 THEN 'fra'
+                  ELSE 'eng,zho' END AS content_languages,
+             CASE WHEN n_nationkey < 22 THEN 'CC-MAIN-2026-33'
+                  ELSE 'CC-MAIN-2026-30' END AS crawl,
+             CASE WHEN n_nationkey % 13 = 0 THEN 'crawldiagnostics'
+                  ELSE 'warc' END AS subset
+      FROM (
+        SELECT n_nationkey,
+               lower(replace(n_name, ' ', '-')) || '.' || sfx AS host,
+               sfx
+        FROM (
+          SELECT n_nationkey, n_name,
+                 CASE WHEN n_nationkey % 3 != 1 THEN 'example.com'
+                      ELSE 'example.org' END AS sfx
+          FROM nation
+        )
+      )
+    )
+    WHERE crawl = 'CC-MAIN-2026-33' AND subset = 'warc'
+      AND fetch_status = 200 AND content_mime_type = 'text/html'
+      AND (COALESCE(url_host_registered_domain, url_host_name)
+             = 'example.com'
+           OR ends_with(COALESCE(url_host_registered_domain,
+                                 url_host_name), '.example.com'))
+      AND list_contains(string_split(content_languages, ','), 'eng')
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,10 +199,74 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").cast("string"),
         F.col("n_regionkey").cast("int"),
     )
+    # 'cc_index' branch (round 11): a deterministic nation-derived
+    # cc-index table round-trips through the partitioned parquet
+    # layout and read_cc_index's full filter stack (crawl/subset
+    # partition pruning, status/mime, coalesce host + suffix rule,
+    # comma-string language split, int32->long offset normalization)
+    # — the oracle recomputes the same rows and predicates in SQL.
+    # Union-schema mapping: n_name slot carries the url, n_regionkey
+    # the normalized offset cast back to int.
+    from snapflow_spark.sources.cc_index import read_cc_index
+
+    key = F.col("n_nationkey")
+    sfx = F.when(key % 3 != 1, F.lit("example.com")).otherwise(
+        F.lit("example.org")
+    )
+    host = F.concat(
+        F.lower(F.regexp_replace("n_name", " ", "-")), F.lit("."), sfx
+    )
+    idx = load_table(spark, sf_dir, "nation").select(
+        key.alias("n_nationkey"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/page/"), key.cast("string")
+        ).alias("url"),
+        host.alias("url_host_name"),
+        F.when(key % 4 != 2, sfx).alias("url_host_registered_domain"),
+        F.concat(
+            F.lit("crawl-data/seg-"), (key % 4).cast("string"),
+            F.lit(".warc.gz"),
+        ).alias("warc_filename"),
+        (key * 12345).cast("int").alias("warc_record_offset"),
+        (F.lit(1000) + key * 7).cast("int").alias("warc_record_length"),
+        F.when(key % 11 == 0, 301).otherwise(200).alias("fetch_status"),
+        F.when(key % 2 == 0, F.lit("text/html"))
+        .otherwise(F.lit("application/pdf"))
+        .alias("content_mime_type"),
+        F.when(key % 4 == 3, F.lit("fra"))
+        .otherwise(F.lit("eng,zho"))
+        .alias("content_languages"),
+        F.when(key < 22, F.lit("CC-MAIN-2026-33"))
+        .otherwise(F.lit("CC-MAIN-2026-30"))
+        .alias("crawl"),
+        F.when(key % 13 == 0, F.lit("crawldiagnostics"))
+        .otherwise(F.lit("warc"))
+        .alias("subset"),
+    )
+    cc_path = str(_SCRATCH / "cc_index_roundtrip")
+    idx.write.mode("overwrite").partitionBy("crawl", "subset").parquet(
+        cc_path
+    )
+    from_cc = read_cc_index(
+        spark,
+        cc_path,
+        crawl="CC-MAIN-2026-33",
+        subset="warc",
+        status=200,
+        mime="text/html",
+        url_host_suffix="example.com",
+        languages="eng",
+    ).select(
+        F.lit("cc_index").alias("fmt"),
+        F.col("n_nationkey").cast("int"),
+        F.col("url").alias("n_name"),
+        F.col("warc_record_offset").cast("int").alias("n_regionkey"),
+    )
     return (
         from_csv.unionByName(from_jsonl)
         .unionByName(from_orc)
         .unionByName(from_jdbc)
+        .unionByName(from_cc)
     )
 
 

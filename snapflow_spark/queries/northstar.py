@@ -1551,6 +1551,93 @@ _MIX_UNIT_FOLD = "(" + " + ".join(
     ) sel
     GROUP BY mix_source
     UNION ALL
+    -- 'langmix' branch (round 11): XLM temperature balancing
+    -- (language_balanced_mix alpha=0.3) replayed end-to-end. Weight
+    -- arithmetic mirrors the operator's round-11 bit-stability
+    -- contract: per-lang integer totals (exact doubles), p^alpha via
+    -- pow() (python ** and DuckDB pow bind the same libm on the
+    -- driver host — verified 0/20000 ulp mismatches), and every
+    -- float fold nested in SORTED-lang order exactly as the python
+    -- driver folds its sorted dicts; budget = grand, then
+    -- mix_corpora's ((budget·w)/Σw)/have ratio and the sha256
+    -- unit predicate, same shapes as the 'mix' branch.
+    SELECT 'langmix' AS branch, mix_source AS lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN epoch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(MAX(epoch) + 1 AS BIGINT) AS n_chunks,
+           CAST(0 AS BIGINT) AS n_spanning
+    FROM (
+      WITH lx_src AS (
+        SELECT doc_id, lang AS mix_source,
+               len(regexp_extract_all(text, '\S+')) AS n_toks
+        FROM documents WHERE lang IS NOT NULL
+      ), lx_tot AS (
+        SELECT mix_source, CAST(SUM(n_toks) AS BIGINT) AS t
+        FROM lx_src GROUP BY mix_source
+      ), lx_piv AS (
+        SELECT CAST(MAX(CASE WHEN mix_source = 'de' THEN t END) AS DOUBLE) AS t_de,
+               CAST(MAX(CASE WHEN mix_source = 'en' THEN t END) AS DOUBLE) AS t_en,
+               CAST(MAX(CASE WHEN mix_source = 'es' THEN t END) AS DOUBLE) AS t_es,
+               CAST(MAX(CASE WHEN mix_source = 'fr' THEN t END) AS DOUBLE) AS t_fr,
+               CAST(MAX(CASE WHEN mix_source = 'zh' THEN t END) AS DOUBLE) AS t_zh,
+               CAST(SUM(t) AS DOUBLE) AS grand
+        FROM lx_tot
+      ), lx_q AS (
+        SELECT *,
+               pow(t_de / grand, 0.3) AS q_de,
+               pow(t_en / grand, 0.3) AS q_en,
+               pow(t_es / grand, 0.3) AS q_es,
+               pow(t_fr / grand, 0.3) AS q_fr,
+               pow(t_zh / grand, 0.3) AS q_zh
+        FROM lx_piv
+      ), lx_z AS (
+        SELECT *, ((((q_de + q_en) + q_es) + q_fr) + q_zh) AS z FROM lx_q
+      ), lx_w AS (
+        SELECT *, q_de / z AS w_de, q_en / z AS w_en, q_es / z AS w_es,
+               q_fr / z AS w_fr, q_zh / z AS w_zh
+        FROM lx_z
+      ), lx_tw AS (
+        SELECT *, ((((w_de + w_en) + w_es) + w_fr) + w_zh) AS total_w
+        FROM lx_w
+      ), lx_ratio AS (
+        SELECT o.mix_source, o.t,
+               ((p.grand * (CASE o.mix_source
+                            WHEN 'de' THEN p.w_de WHEN 'en' THEN p.w_en
+                            WHEN 'es' THEN p.w_es WHEN 'fr' THEN p.w_fr
+                            WHEN 'zh' THEN p.w_zh END)) / p.total_w)
+                 / CAST(o.t AS DOUBLE) AS ratio
+        FROM lx_tot o CROSS JOIN lx_tw p
+      ), lx_epochs AS (
+        SELECT unnest(range(0, 32)) AS epoch
+      ), lx_exp AS (
+        SELECT s.doc_id, s.mix_source, s.n_toks, r.ratio, e.epoch
+        FROM lx_src s
+        JOIN lx_ratio r USING (mix_source)
+        CROSS JOIN lx_epochs e
+        WHERE e.epoch <= CAST(floor(r.ratio) AS BIGINT)
+      ), lx_h AS (
+        SELECT *,
+               sha256('langmix-v1' || '|' || CAST(epoch AS VARCHAR)
+                      || '|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM lx_exp
+      ), lx_unit AS (
+        SELECT *,
+               CAST("""
+    + _MIX_UNIT_FOLD
+    + r""" AS DOUBLE)
+               / 1152921504606846976.0 AS unit
+        FROM lx_h
+      )
+      SELECT * FROM lx_unit
+      WHERE epoch < CAST(floor(ratio) AS BIGINT)
+         OR (epoch = CAST(floor(ratio) AS BIGINT)
+             AND unit < ratio - floor(ratio))
+    ) sel
+    GROUP BY mix_source
+    UNION ALL
     -- 'chunk' branch (round 11): overlapping token-window chunking
     -- (operators.curation.chunk_text, max_tokens=24 overlap=8) is
     -- pure window arithmetic — the oracle replays starts/slices/
@@ -1750,7 +1837,48 @@ def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunks",
         "n_spanning",
     )
-    return pipeline.unionByName(mixb).unionByName(chb)
+    # 'langmix' branch (round 11): XLM temperature balancing
+    # (operators.mixing.language_balanced_mix, alpha=0.3) hash-matched
+    # end-to-end — per-lang integer token totals (exact doubles),
+    # p^alpha weights folded in SORTED-lang order (the operator's
+    # round-11 bit-stability contract), then mix_corpora's
+    # budget/ratio/epoch arithmetic and sha256 unit predicate, all
+    # replayed in DuckDB.  pow() parity between the engines holds
+    # because both bind the same libm on the driver host (verified:
+    # 0/20000 ulp mismatches); the oracle pins the identical nesting.
+    from snapflow_spark.operators.mixing import language_balanced_mix
+
+    lmix = language_balanced_mix(
+        d.select("doc_id", "lang", token_count_expr("text").alias("n_toks")),
+        token_budget=budget,
+        alpha=0.3,
+        token_col="n_toks",
+    )
+    lmixb = lmix.groupBy("mix_source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_toks").cast("bigint")).alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("epoch") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+        (F.max("epoch") + 1).cast("bigint").alias("n_chunks"),
+    ).select(
+        F.lit("langmix").alias("branch"),
+        F.col("mix_source").alias("lang"),
+        "n_docs",
+        "total_tokens",
+        "first_doc",
+        "n_train",
+        "n_test",
+        "n_chunks",
+        F.lit(0).cast("bigint").alias("n_spanning"),
+    )
+    return (
+        pipeline.unionByName(mixb).unionByName(chb).unionByName(lmixb)
+    )
 
 
 @query(

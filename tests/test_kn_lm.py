@@ -211,3 +211,107 @@ def test_from_counts_guards():
         KNBigramLM.from_counts({})
     lm = KNBigramLM.from_counts({f"a{_SEP}b": 3, f"b{_SEP}a": 1})
     assert lm.v == 2 and lm.n_cont == 2
+
+
+def _py_modified_kn(docs):
+    """Independent from-scratch MODIFIED KN (Chen & Goodman 1998
+    §5.2.2 eq. 26) — three discounts per level, both levels."""
+    big = {}
+    for d in docs:
+        toks = ["<s>"] + d.split()
+        for u, w in zip(toks, toks[1:]):
+            big[(u, w)] = big.get((u, w), 0) + 1
+    nc = {}
+    for c in big.values():
+        if c <= 4:
+            nc[c] = nc.get(c, 0) + 1
+    n1, n2, n3, n4 = (nc.get(i, 0) for i in (1, 2, 3, 4))
+    single = n1 / (n1 + 2 * n2)
+    y = n1 / (n1 + 2 * n2)
+    ok = lambda v, hi: v if 0.0 < v <= hi else min(single, hi)  # noqa: E731
+    D = (
+        ok(1 - 2 * y * n2 / n1, 1.0),
+        ok(2 - 3 * y * n3 / n2 if n2 else single, 2.0),
+        ok(3 - 4 * y * n4 / n3 if n3 else single, 3.0),
+    )
+    disc = lambda ds, c: 0.0 if c <= 0 else ds[min(c, 3) - 1]  # noqa: E731
+    c_u, cont, lam = {}, {}, {}
+    for (u, w), c in big.items():
+        c_u[u] = c_u.get(u, 0) + c
+        cont[w] = cont.get(w, 0) + 1
+        lam[u] = lam.get(u, 0.0) + disc(D, c)
+    N, V = len(big), len(cont)
+    mc = {}
+    for cw in cont.values():
+        if cw <= 4:
+            mc[cw] = mc.get(cw, 0) + 1
+    m1, m2, m3, m4 = (mc.get(i, 0) for i in (1, 2, 3, 4))
+    cs = m1 / (m1 + 2 * m2) if (m1 + 2 * m2) else single
+    yc = cs
+    okc = lambda v, hi: v if 0.0 < v <= hi else min(cs, hi)  # noqa: E731
+    Dc = (
+        okc(1 - 2 * yc * m2 / m1 if m1 else cs, 1.0),
+        okc(2 - 3 * yc * m3 / m2 if m2 else cs, 2.0),
+        okc(3 - 4 * yc * m4 / m3 if m3 else cs, 3.0),
+    )
+    mass = sum(disc(Dc, cw) for cw in cont.values())
+
+    def p1(w):
+        cw = cont.get(w, 0)
+        return (max(cw - disc(Dc, cw), 0.0) + mass / (V + 1)) / N
+
+    def p(u, w):
+        if c_u.get(u, 0) <= 0:
+            return p1(w)
+        c = big.get((u, w), 0)
+        return max(c - disc(D, c), 0.0) / c_u[u] + lam[u] / c_u[u] * p1(w)
+
+    return D, Dc, p
+
+
+def test_modified_kn_parity_with_from_scratch_python(spark):
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_bigram(ref, modified=True)
+    D, Dc, p = _py_modified_kn(REF_DOCS)
+    assert lm.modified and lm.ds == pytest.approx(D, rel=1e-12)
+    assert lm.cont_ds == pytest.approx(Dc, rel=1e-12)
+    for u, w in [
+        ("the", "cat"), ("san", "francisco"), ("cat", "francisco"),
+        ("the", "zebra"), ("neverseen", "cat"), ("is", "foggy"),
+    ]:
+        assert math.exp(lm.logp(u, w)) == pytest.approx(p(u, w), rel=1e-12)
+
+
+def test_modified_kn_normalizes_to_one(spark):
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_bigram(ref, modified=True)
+    words = sorted(lm.cont)
+    t_seen = len(lm.cont)
+    unseen = math.exp(lm.logp("neverseen-context", "§never§"))
+    pc_sum = sum(
+        math.exp(lm.logp("neverseen-context", w)) for w in words
+    ) + (lm.v + 1 - t_seen) * unseen
+    assert pc_sum == pytest.approx(1.0, abs=1e-10)
+    for u in list(lm.c_u)[:8]:
+        s = sum(math.exp(lm.logp(u, w)) for w in words)
+        s += (lm.v + 1 - t_seen) * math.exp(lm.logp(u, "§never§"))
+        assert s == pytest.approx(1.0, abs=1e-10), u
+
+
+def test_modified_kn_save_load_and_degenerate_fallback(spark, tmp_path):
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_bigram(ref, modified=True)
+    path = str(tmp_path / "mkn.json")
+    lm.save(path)
+    lm2 = KNBigramLM.load(path)
+    assert lm2.modified and lm2.ds == lm.ds and lm2.cont_ds == lm.cont_ds
+    assert lm2.logp("the", "cat") == lm.logp("the", "cat")
+    # degenerate counts-of-counts: all bigrams count 1 -> D2/D3 fall
+    # back to the single-D estimate instead of dividing by zero
+    tiny = KNBigramLM.from_counts(
+        {f"a{_SEP}b": 1, f"b{_SEP}c": 1}, modified=True
+    )
+    assert tiny.ds[1] == tiny.d and tiny.ds[2] == tiny.d
+    # scoring stays total
+    n, ce = tiny.cross_entropy(["a", "b", "zzz"])
+    assert n == 3 and math.isfinite(ce)

@@ -169,6 +169,25 @@ HEAVY = {
         "prototype ranking; in-cell quadratic bounded by "
         "cell_max_bucket, ranking one window on the cell key"
     ),
+    "op_dedup_incremental": (
+        "documents; FIXED 1000-doc batch near-deduped against a "
+        "STANDING MinHash history built from the whole corpus (round "
+        "11, dedup_incremental.incremental_minhash_dedup) — cold "
+        "includes the one-time history import, warm is the steady "
+        "state: batch fingerprints + band-key join against history "
+        "artifacts (~32 B/doc), never re-reading corpus text; the "
+        "warm ratio is the claim (history 10x, batch constant -> "
+        "history-side join growth only)"
+    ),
+    "op_ivfpq_append": (
+        "embeddings; FIXED 200-vector delta appended into a SAVED "
+        "IVF-PQ index of the whole corpus (round 11, "
+        "IVFPQIndex.append_to_saved) — cold includes the one-time "
+        "build+save, warm is the steady state: load centroids/"
+        "codebooks only (never the coded corpus), assign+encode the "
+        "delta, append-write its cell partitions; warm ratio ~1 is "
+        "the claim (delta cost independent of standing-index size)"
+    ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
     "q_stream_windows": "events; tumbling+sliding agg",
@@ -505,6 +524,90 @@ def _op_d4(spark, sf_dir: str):
     )
 
 
+_INC_STORES: dict = {}
+
+
+def _op_dedup_incremental(spark, sf_dir: str):
+    """Standing-history incremental near-dedup: history import happens
+    on FIRST call per sf_dir (the cold run absorbs it, matching the
+    one-time-cost convention op_byte_bpe_encode established); every
+    call then dedups the same deterministic 1000-doc batch — half
+    genuine near-dups of corpus docs (dropped via the history band
+    join), half novel (committed).  Artifacts accumulate across calls
+    by a bounded ~1000 rows/run — negligible against the corpus-scale
+    history and irrelevant to the base-vs-scaled ratio."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.incremental.store import SnapshotStore
+    from snapflow_spark.operators.dedup_incremental import (
+        incremental_minhash_dedup,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if sf_dir not in _INC_STORES:
+        root = tempfile.mkdtemp(prefix="incdedup_")
+        sig = SnapshotStore(f"{root}/sigs")
+        band = SnapshotStore(f"{root}/bands")
+        # one-time history import: the whole corpus becomes standing
+        # artifacts (this call is what the cold run pays for)
+        incremental_minhash_dedup(spark, d, sig, band)
+        _INC_STORES[sf_dir] = (sig, band)
+    sig, band = _INC_STORES[sf_dir]
+    batch = (
+        d.where(F.col("doc_id") % 97 < 19)
+        .limit(1000)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            # half the batch keeps corpus text verbatim (history
+            # near-dups -> dropped), half gets a novel prefix
+            F.when(
+                F.col("doc_id") % 2 == 0, F.col("text")
+            ).otherwise(F.concat(F.lit("novel batch doc "), F.col("text"))).alias("text"),
+        )
+    )
+    return incremental_minhash_dedup(spark, batch, sig, band)
+
+
+_IVFPQ_PATHS: dict = {}
+
+
+def _op_ivfpq_append(spark, sf_dir: str):
+    """Delta ingest into a SAVED standing IVF-PQ index: build+save on
+    first call per sf_dir (cold absorbs it), then every call appends
+    the same 200-vector delta via append_to_saved — which loads only
+    the centroid/codebook tables, so the warm cost is the delta's
+    assign+encode+partitioned append-write, independent of how big
+    the standing coded corpus is.  Returns the delta's coded rows for
+    the harness's row count (append_to_saved itself returns None)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.operators.similarity import IVFPQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVFPQ_PATHS:
+        path = tempfile.mkdtemp(prefix="ivfpq_idx_") + "/idx"
+        idx = IVFPQIndex.build(emb, target_cell_size=125, m=8)
+        idx.save(path)
+        _IVFPQ_PATHS[sf_dir] = path
+    path = _IVFPQ_PATHS[sf_dir]
+    # pushdown-pruned constant slice — an orderBy().limit() here would
+    # TakeOrdered over the whole corpus and scale the DELTA derivation
+    # with corpus size, polluting the append-cost claim
+    delta = emb.where(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    IVFPQIndex.append_to_saved(spark, path, delta)
+    # the measured work happened above; expose the delta rows so
+    # run_once's noop sink + count have a stable, tiny DataFrame
+    return delta
+
+
 def run_once(spark, fn, sf_dir: str) -> tuple[float, int]:
     """Materialize through the same noop-sink protocol bench.py uses.
 
@@ -563,6 +666,8 @@ def main() -> None:
     queries["op_byte_bpe_encode"] = _op_byte_bpe_encode
     queries["op_chunk_text"] = _op_chunk_text
     queries["op_d4"] = _op_d4
+    queries["op_dedup_incremental"] = _op_dedup_incremental
+    queries["op_ivfpq_append"] = _op_ivfpq_append
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)

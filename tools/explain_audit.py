@@ -45,18 +45,22 @@ EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
         "none is removable without undoing the operator",
     ),
     "q_pipeline_docs": (
-        8,
+        9,
         "reviewed round 11: the 'chunk' branch adds EXACTLY ONE "
         "exchange (its groupBy(lang) stats agg — chunk_text itself "
         "is map-only codegen; n_docs counts chunk_idx=0 windows "
         "instead of countDistinct, avoiding the distinct's expand + "
-        "second exchange). Round-8 review: the 'mix' branch's "
-        "epoch-filter branches over the documents scan unioned in "
-        "(the honest cost of an N-epoch repeat) plus ONE "
-        "groupBy(mix_source) agg; the original pipeline branch keeps "
-        "its dedup/cap/split/pack shuffles unchanged; per-source "
-        "token totals and the budget are construction-time 1-row "
-        "aggregates (bounded driver work, the mix_corpora contract)",
+        "second exchange) and the 'langmix' branch ONE more (its "
+        "groupBy(mix_source) agg — temperature weights are driver "
+        "arithmetic over a construction-time per-lang totals "
+        "collect, epoch copies are plan-level filter branches like "
+        "'mix'). Round-8 review: the 'mix' branch's epoch-filter "
+        "branches over the documents scan unioned in (the honest "
+        "cost of an N-epoch repeat) plus ONE groupBy(mix_source) "
+        "agg; the original pipeline branch keeps its dedup/cap/"
+        "split/pack shuffles unchanged; per-source token totals and "
+        "the budget are construction-time 1-row aggregates (bounded "
+        "driver work, the mix_corpora contract)",
     ),
     "q_fingerprint_winnow": (
         9,
