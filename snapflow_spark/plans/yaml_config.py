@@ -399,34 +399,66 @@ def _dsir(
 def _ppl_buckets(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
-    ref_where: str,
+    ref_where: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     by: str | None = None,
     fractions: list[float] | None = None,
     keep: str | None = None,
     exact: bool = False,
+    lm: str | None = None,
 ) -> DataFrame:
     """core.ppl_buckets: CCNet's head/middle/tail perplexity split
     (operators.selection.perplexity_buckets) — LM fit on the
     ``ref_where`` slice, thresholds per ``by`` group (CCNet: lang) or
     global, ``keep`` optionally filters to e.g. 'head' or
-    'head,middle' and joins the bucket back onto the input rows."""
+    'head,middle' and joins the bucket back onto the input rows.
+
+    ``lm:`` (round 11) — path to a TRAINED Kneser-Ney artifact
+    (``train-kn-lm`` CLI / functions.kn_lm), the core.tokenize
+    trained-artifact pattern: scoring then uses the published
+    conditional model instead of the hashed-gram bag, and
+    ``ref_where`` must be omitted (the reference corpus was consumed
+    at training time)."""
     from pyspark.sql import functions as F
 
     from snapflow_spark.operators.selection import perplexity_buckets
 
     fr = tuple(fractions) if fractions else (1 / 3, 2 / 3)
-    out = perplexity_buckets(
-        input,
-        None,
-        text_col=text_col,
-        id_col=id_col,
-        by=by,
-        fractions=fr,  # type: ignore[arg-type]
-        exact=exact,
-        ref_pred=F.expr(ref_where),
-    )
+    if lm is not None:
+        from snapflow_spark.functions.kn_lm import KNBigramLM
+
+        if ref_where:
+            raise ValueError(
+                "core.ppl_buckets: pass either lm (trained artifact) "
+                "or ref_where (fit-at-runtime), not both"
+            )
+        out = perplexity_buckets(
+            input,
+            None,
+            text_col=text_col,
+            id_col=id_col,
+            by=by,
+            fractions=fr,  # type: ignore[arg-type]
+            exact=exact,
+            lm=KNBigramLM.load(str(lm)),
+        )
+    else:
+        if not ref_where:
+            raise ValueError(
+                "core.ppl_buckets needs ref_where (fit-at-runtime) "
+                "or lm (trained Kneser-Ney artifact path)"
+            )
+        out = perplexity_buckets(
+            input,
+            None,
+            text_col=text_col,
+            id_col=id_col,
+            by=by,
+            fractions=fr,  # type: ignore[arg-type]
+            exact=exact,
+            ref_pred=F.expr(ref_where),
+        )
     if keep is None:
         return out
     wanted = [k.strip() for k in keep.split(",") if k.strip()]

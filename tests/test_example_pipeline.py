@@ -275,3 +275,79 @@ def test_multilingual_pipeline_end_to_end(spark, tmp_path):
     ctx = g.read(spark, "contexts").collect()
     assert ctx and all(r.chunk_n_tokens <= 32 for r in ctx)
     assert any(r.chunk_idx > 0 for r in ctx)  # long docs actually split
+
+
+# --- examples/semantic_curation.yaml (round 11) ---------------------------
+
+
+def test_semantic_curation_pipeline_end_to_end(spark, tmp_path):
+    """The shipped round-11 example: trained-KN perplexity gate ->
+    import-path model embeddings -> D4 dedup+diversify -> curated
+    join-back, every stage a core.* builtin with real artifacts."""
+    import yaml
+
+    from snapflow_spark.functions.kn_lm import train_kn_bigram
+    from snapflow_spark.plans import load_graph
+
+    # reference corpus: fluent "english-like" word chains the KN LM
+    # learns; tail docs will break the chains
+    ref_rows = [
+        "the cat sat on the mat and the dog ran in the park",
+        "the dog sat on the rug and the cat ran in the house",
+        "a cat ran in the park and a dog sat on the mat",
+    ] * 4
+    ref = spark.createDataFrame([(t,) for t in ref_rows], "text string")
+    lm_path = str(tmp_path / "kn.json")
+    train_kn_bigram(ref, modified=True).save(lm_path)
+
+    # the embedder module (shipped via addPyFile): vector depends only
+    # on the doc's FIRST word -> same-head docs are exact semantic dups
+    mod = tmp_path / "curation_embedder.py"
+    mod.write_text(
+        "import hashlib\n"
+        "import numpy as np\n\n"
+        "def embed_batch(texts):\n"
+        "    out = np.zeros((len(texts), 8))\n"
+        "    for i, t in enumerate(texts):\n"
+        "        head = (t.split() or [''])[0]\n"
+        "        seed = int.from_bytes(hashlib.sha256(head.encode()).digest()[:4], 'big')\n"
+        "        out[i] = np.random.default_rng(seed).normal(size=8)\n"
+        "    return out\n"
+    )
+    spark.sparkContext.addPyFile(str(mod))
+
+    rows = [
+        (0, "the cat sat on the mat"),        # fluent, head 'the'
+        (1, "the dog ran in the park"),       # fluent, head 'the' (dup of 0 semantically)
+        (2, "a dog sat on the rug"),          # fluent, head 'a'
+        (3, "mat park rug dog cat on in a"),  # scrambled -> ppl tail
+        (4, "zz qq ww ee rr tt yy uu"),       # OOV garbage -> ppl tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("sem_docs_example")
+
+    text = (REPO / "examples" / "semantic_curation.yaml").read_text()
+    cfg = yaml.safe_load(
+        text.replace("{WAREHOUSE}", str(tmp_path / "wh_sem"))
+        .replace("{DOCS_VIEW}", "sem_docs_example")
+        .replace("{KN_LM}", lm_path)
+        .replace("{EMBED_MODEL}", "curation_embedder:embed_batch")
+    )
+    g = load_graph(cfg)
+    assert g.produce(spark) > 0
+
+    gated = {r.doc_id for r in g.read(spark, "gated").collect()}
+    assert {0, 1, 2} <= gated  # fluent docs pass the ppl gate
+    # the p80 cutoff over 5 docs drops exactly the worst-ppl doc,
+    # which is one of the two junk docs (scrambled vs OOV — their
+    # relative ppl depends on the continuation floor, both far above
+    # the fluent three)
+    assert len(gated) == 4 and not {3, 4} <= gated
+    emb = g.read(spark, "embedded").collect()
+    assert all(len(r.embedding) == 8 for r in emb)
+    decisions = {r.doc_id: r.is_kept for r in g.read(spark, "decisions").collect()}
+    curated = {r.doc_id for r in g.read(spark, "curated").collect()}
+    # docs 0 and 1 embed identically (same head word): at most one
+    # survives the SemDeDup collapse into the curated output
+    assert len(curated & {0, 1}) <= 1
+    assert curated == {d for d, kept in decisions.items() if kept}

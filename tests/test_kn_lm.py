@@ -315,3 +315,46 @@ def test_modified_kn_save_load_and_degenerate_fallback(spark, tmp_path):
     # scoring stays total
     n, ce = tiny.cross_entropy(["a", "b", "zzz"])
     assert n == 3 and math.isfinite(ce)
+
+
+def test_yaml_ppl_buckets_with_trained_artifact(spark, tmp_path):
+    """core.ppl_buckets lm=: a trained KN artifact drives the CCNet
+    bucketer from YAML (the core.tokenize trained-artifact pattern);
+    ref_where and lm are mutually exclusive."""
+    from snapflow_spark.plans import load_graph
+    from snapflow_spark.plans.yaml_config import _ppl_buckets
+
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    path = str(tmp_path / "lm.json")
+    train_kn_bigram(ref, modified=True).save(path)
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "park francisco francisco"),
+         (2, "a dog ran in the park")],
+        "doc_id bigint, text string",
+    )
+    cfg = {
+        "warehouse": str(tmp_path / "wh_ppl"),
+        "sources": [{"name": "docs"}],
+        "nodes": [
+            {
+                "name": "bucketed",
+                "function": "core.ppl_buckets",
+                "upstream": {"input": {"node": "docs", "mode": "reference"}},
+                "params": {
+                    "lm": path,
+                    "fractions": [0.4, 0.7],
+                    "exact": True,
+                },
+            }
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["docs"].append(docs)
+    assert g.produce(spark) == 1
+    got = {r.doc_id: r.ppl_bucket for r in g.read(spark, "bucketed").collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[1] == "tail"  # novel-context francisco scores worst
+    with pytest.raises(ValueError, match="not both"):
+        _ppl_buckets(spark, docs, ref_where="1=1", lm=path)
+    with pytest.raises(ValueError, match="needs ref_where"):
+        _ppl_buckets(spark, docs)
