@@ -103,6 +103,11 @@ def main(argv: list[str] | None = None) -> int:
         help="modified KN (KenLM's default: three count-conditioned "
         "discounts per level) instead of single-discount interpolated",
     )
+    tk.add_argument(
+        "--order", type=int, default=2,
+        help="n-gram order (2 = the bigram model; 3+ = the general "
+        "continuation-count backoff chain, always modified)",
+    )
     ts = sub.add_parser(
         "tokenizer-stats",
         help="compression/coverage metrics for a trained tokenizer "
@@ -292,6 +297,24 @@ def main(argv: list[str] | None = None) -> int:
         docs = load_table(spark, args.sf, "documents")
         if args.where:
             docs = docs.where(args.where)
+        if args.order > 2:
+            from snapflow_spark.functions.kn_lm import train_kn_ngram
+
+            nlm = train_kn_ngram(
+                docs,
+                order=args.order,
+                min_word_count=args.min_word_count,
+                max_vocab=args.max_vocab,
+                modified=True,
+            )
+            nlm.save(args.out)
+            print(
+                f"trained: kn_ngram order {nlm.order} (modified), "
+                f"vocab {nlm.v}, "
+                f"{len(nlm.counts[nlm.order])} top-level types "
+                f"-> {args.out}"
+            )
+            return 0
         lm = train_kn_bigram(
             docs,
             min_word_count=args.min_word_count,

@@ -20,7 +20,13 @@ from snapflow_spark.functions.text import (
     tokens_expr,
 )
 from snapflow_spark.functions.embed import ImportedCallable, embed_with_model
-from snapflow_spark.functions.kn_lm import KNBigramLM, train_kn_bigram
+from snapflow_spark.functions.kn_lm import (
+    KNBigramLM,
+    KNGramLM,
+    load_lm,
+    train_kn_bigram,
+    train_kn_ngram,
+)
 from snapflow_spark.functions.html import (
     decode_html_bytes,
     extract_html,
@@ -64,6 +70,9 @@ __all__ = [
     "embed_with_model",
     "KNBigramLM",
     "train_kn_bigram",
+    "KNGramLM",
+    "load_lm",
+    "train_kn_ngram",
     "cosine_similarity",
     "filter_might_contain",
     "hll_partials",

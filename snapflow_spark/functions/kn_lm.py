@@ -60,7 +60,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["KNBigramLM", "train_kn_bigram"]
+__all__ = [
+    "KNBigramLM",
+    "KNGramLM",
+    "load_lm",
+    "train_kn_bigram",
+    "train_kn_ngram",
+]
 
 _BOS = "<s>"
 _UNK = "<unk>"
@@ -364,3 +370,283 @@ def train_kn_bigram(
         counts = counts.where(F.col("c") >= int(min_bigram_count))
     c_uw = {r.uw: int(r.c) for r in counts.collect()}
     return KNBigramLM.from_counts(c_uw, modified=modified)
+
+
+# --- general order-n Kneser-Ney (round 11) ---------------------------
+
+
+def _ngram_join_expr(toks: Column, n: int) -> Column:
+    """``w1␟w2␟…␟wn`` strings for every n-gram of the
+    (n-1)×<s>-prefixed token array — a fold of zip_with over n
+    shifted slices (never transform+slice, the round-5 lesson)."""
+    pad = F.array(*[F.lit(_BOS)] * (n - 1))
+    arr = F.concat(pad, toks)
+    m = F.size(arr) - (n - 1)  # number of n-grams = number of tokens
+    out = F.slice(arr, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(arr, j + 1, m),
+            lambda a, b: F.concat_ws(_SEP, a, b),
+        )
+    return out
+
+
+@dataclass(frozen=True)
+class KNGramLM:
+    """General order-n interpolated/modified Kneser-Ney — the full
+    KenLM construction (Chen & Goodman 1998 §4.1.6/§5.2.2): the
+    HIGHEST level uses raw n-gram counts; every LOWER level uses
+    CONTINUATION counts (c_k(g) = |{x : c_{k+1}(x·g) > 0}| — "how
+    many distinct words precede g"), each level carries its own
+    counts-of-counts-estimated discounts (one D per level, or the
+    modified D1/D2/D3+ triple), and the unigram level floors
+    uniformly over V+1 events so OOV stays total.  An unseen
+    context at level k backs off wholesale to level k-1 — the
+    recursion KenLM queries.  ``order=2`` reproduces KNBigramLM
+    EXACTLY (asserted in tests: same tables, same probabilities),
+    which cross-validates both constructions.
+
+    Tables live per level: ``counts[k]`` (``␟``-joined k-grams),
+    ``tot[k]`` (context totals), ``lam[k]`` (context discount mass),
+    ``ds[k]`` (that level's discounts).  Driver memory is bounded by
+    the same vocab-pruning contract as the bigram trainer; the
+    top-level n-gram type dict is the one corpus-scale collect."""
+
+    order: int
+    modified: bool
+    v: int  # distinct predicted word types
+    counts: dict  # level k -> {k-gram: count}
+    tot: dict  # level k (>=2) -> {context: Σ counts}
+    lam: dict  # level k (>=2) -> {context: Σ D_k(c)}
+    ds: dict  # level k -> (D1, D2, D3+) — degenerate triple if single
+    mass1: float  # Σ_w D_1(c_1(w))
+    tot1: int  # Σ_w c_1(w)
+
+    def _p(self, k: int, ctx: tuple, w: str) -> float:
+        if k == 1:
+            c = self.counts[1].get(w, 0)
+            return (
+                max(c - _disc(self.ds[1], c), 0.0)
+                + self.mass1 / (self.v + 1)
+            ) / self.tot1
+        key = _SEP.join(ctx)
+        tot = self.tot[k].get(key, 0)
+        lower = self._p(k - 1, ctx[1:], w)
+        if tot <= 0:
+            return lower
+        c = self.counts[k].get(key + _SEP + w, 0)
+        return (
+            max(c - _disc(self.ds[k], c), 0.0) / tot
+            + self.lam[k][key] / tot * lower
+        )
+
+    def logp(self, ctx: tuple, w: str) -> float:
+        """ln P(w | ctx) with ctx the previous order-1 words
+        (shorter tuples are <s>-padded on the left)."""
+        ctx = tuple(ctx)[-(self.order - 1):]
+        if len(ctx) < self.order - 1:
+            ctx = (_BOS,) * (self.order - 1 - len(ctx)) + ctx
+        return math.log(self._p(self.order, ctx, w))
+
+    def cross_entropy(self, tokens: list) -> tuple[int, float]:
+        if not tokens:
+            return 0, 0.0
+        if _UNK in self.counts[1]:
+            known = self.counts[1]
+            tokens = [t if t in known else _UNK for t in tokens]
+        total = 0.0
+        ctx = (_BOS,) * (self.order - 1)
+        for w in tokens:
+            total -= self.logp(ctx, w)
+            ctx = ctx[1:] + (w,)
+        return len(tokens), total / len(tokens)
+
+    # ------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "kind": "kn_ngram",
+                    "order": self.order,
+                    "modified": self.modified,
+                    "c_top": self.counts[self.order],
+                },
+                f,
+                ensure_ascii=False,
+            )
+
+    @staticmethod
+    def load(path: str) -> "KNGramLM":
+        with open(path, encoding="utf-8") as f:
+            d = json.load(f)
+        if d.get("kind") != "kn_ngram":
+            raise ValueError(f"not a kn_ngram artifact: {path}")
+        return KNGramLM.from_counts(
+            d["c_top"], int(d["order"]), modified=bool(d.get("modified"))
+        )
+
+    @staticmethod
+    def from_counts(
+        c_top: dict, order: int, modified: bool = True
+    ) -> "KNGramLM":
+        """Derive every level from the top-level n-gram count dict —
+        the one piece of trained state."""
+        if order < 2:
+            raise ValueError(f"kn_ngram needs order >= 2, got {order}")
+        if not c_top:
+            raise ValueError("kn_ngram: no n-grams to train on")
+        counts: dict = {order: dict(c_top)}
+        # continuation counts downward: distinct one-word-left
+        # extensions of each suffix
+        for k in range(order - 1, 0, -1):
+            lower: dict = {}
+            for key in counts[k + 1]:
+                suffix = key.split(_SEP, 1)[1]
+                lower[suffix] = lower.get(suffix, 0) + 1
+            counts[k] = lower
+        tot: dict = {}
+        lam: dict = {}
+        ds: dict = {}
+        for k in range(2, order + 1):
+            nc: dict = {}
+            for c in counts[k].values():
+                if c <= 4:
+                    nc[c] = nc.get(c, 0) + 1
+            n1, n2 = nc.get(1, 0), nc.get(2, 0)
+            single = n1 / (n1 + 2 * n2) if n1 > 0 else 0.5
+            ds[k] = (
+                _modified_discounts(nc, single)
+                if modified
+                else (single, single, single)
+            )
+            t_k: dict = {}
+            l_k: dict = {}
+            for key, c in counts[k].items():
+                ctx = key.rsplit(_SEP, 1)[0]
+                t_k[ctx] = t_k.get(ctx, 0) + c
+                l_k[ctx] = l_k.get(ctx, 0.0) + _disc(ds[k], c)
+            tot[k] = t_k
+            lam[k] = l_k
+        mc: dict = {}
+        for c in counts[1].values():
+            if c <= 4:
+                mc[c] = mc.get(c, 0) + 1
+        m1, m2 = mc.get(1, 0), mc.get(2, 0)
+        single1 = m1 / (m1 + 2 * m2) if m1 > 0 else 0.5
+        ds[1] = (
+            _modified_discounts(mc, single1)
+            if modified
+            else (single1, single1, single1)
+        )
+        mass1 = sum(_disc(ds[1], c) for c in counts[1].values())
+        return KNGramLM(
+            order=order,
+            modified=bool(modified),
+            v=len(counts[1]),
+            counts=counts,
+            tot=tot,
+            lam=lam,
+            ds=ds,
+            mass1=mass1,
+            tot1=sum(counts[1].values()),
+        )
+
+    # ------------------------------------------------ Spark scoring
+    def score(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Same contract as KNBigramLM.score — one Arrow-batched
+        map over Spark-tokenized arrays, model on an executor-wide
+        broadcast, (id, n_grams, cross_entropy, ppl) out."""
+        from pyspark.sql.functions import pandas_udf
+
+        from snapflow_spark.operators.retrieval import word_tokens_expr
+
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(self)
+
+        @pandas_udf("struct<n_grams: bigint, ce: double>")
+        def ce_udf(toks: pd.Series) -> pd.DataFrame:
+            lm = bc.value
+            rows = [
+                lm.cross_entropy([] if t is None else list(t)) for t in toks
+            ]
+            return pd.DataFrame(rows, columns=["n_grams", "ce"])
+
+        staged = df.select(
+            F.col(id_col), word_tokens_expr(text_col).alias("__toks")
+        ).withColumn("__s", ce_udf("__toks"))
+        return staged.select(
+            id_col,
+            F.col("__s.n_grams").alias("n_grams"),
+            F.round(F.col("__s.ce"), 6).alias("cross_entropy"),
+        ).withColumn("ppl", F.round(F.exp("cross_entropy"), 6))
+
+
+def load_lm(path: str):
+    """Artifact-kind dispatch: kn_bigram -> KNBigramLM, kn_ngram ->
+    KNGramLM — the one loader YAML (core.ppl_buckets lm:) and CLIs
+    go through."""
+    with open(path, encoding="utf-8") as f:
+        kind = json.load(f).get("kind")
+    if kind == "kn_bigram":
+        return KNBigramLM.load(path)
+    if kind == "kn_ngram":
+        return KNGramLM.load(path)
+    raise ValueError(f"not a known LM artifact kind ({kind!r}): {path}")
+
+
+def train_kn_ngram(
+    ref: DataFrame,
+    order: int = 3,
+    text_col: str = "text",
+    min_word_count: int = 1,
+    max_vocab: int | None = None,
+    modified: bool = True,
+) -> KNGramLM:
+    """Fit the order-n KN model: same contract as train_kn_bigram
+    (shared tokenizer, <s> padding, vocab pruning to <unk> BEFORE
+    gram formation, ONE corpus-scale counted-explode stage), with
+    the n-gram fold generalized via _ngram_join_expr."""
+    from snapflow_spark.operators.retrieval import word_tokens_expr
+
+    staged = ref.select(word_tokens_expr(text_col).alias("__toks"))
+    if min_word_count > 1 or max_vocab is not None:
+        wc = (
+            staged.select(F.explode("__toks").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= int(min_word_count))
+        )
+        if max_vocab is not None:
+            wc = wc.orderBy(F.col("c").desc(), F.col("w")).limit(
+                int(max_vocab)
+            )
+        kept = {r.w for r in wc.collect()}
+        bc_kept = ref.sparkSession.sparkContext.broadcast(kept)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def map_unk(toks: pd.Series) -> pd.Series:
+            k = bc_kept.value
+            return toks.apply(
+                lambda ts: [t if t in k else _UNK for t in ts]
+            )
+
+        staged = staged.select(map_unk("__toks").alias("__toks"))
+    counts = (
+        staged.where(F.size("__toks") > 0)
+        .select(
+            F.explode(_ngram_join_expr(F.col("__toks"), int(order))).alias(
+                "g"
+            )
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c_top = {r.g: int(r.c) for r in counts.collect()}
+    return KNGramLM.from_counts(c_top, int(order), modified=modified)

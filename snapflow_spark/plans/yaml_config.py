@@ -426,7 +426,7 @@ def _ppl_buckets(
 
     fr = tuple(fractions) if fractions else (1 / 3, 2 / 3)
     if lm is not None:
-        from snapflow_spark.functions.kn_lm import KNBigramLM
+        from snapflow_spark.functions.kn_lm import load_lm
 
         if ref_where:
             raise ValueError(
@@ -441,7 +441,7 @@ def _ppl_buckets(
             by=by,
             fractions=fr,  # type: ignore[arg-type]
             exact=exact,
-            lm=KNBigramLM.load(str(lm)),
+            lm=load_lm(str(lm)),
         )
     else:
         if not ref_where:

@@ -358,3 +358,182 @@ def test_yaml_ppl_buckets_with_trained_artifact(spark, tmp_path):
         _ppl_buckets(spark, docs, ref_where="1=1", lm=path)
     with pytest.raises(ValueError, match="needs ref_where"):
         _ppl_buckets(spark, docs)
+
+
+# --- general order-n KN (round 11) ----------------------------------
+
+
+def test_kngram_order2_reproduces_bigram_model_exactly(spark):
+    """The general construction at order 2 must equal KNBigramLM
+    (modified) table-for-table and probability-for-probability —
+    cross-validating both implementations."""
+    from snapflow_spark.functions.kn_lm import train_kn_ngram
+
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    big = train_kn_bigram(ref, modified=True)
+    gen = train_kn_ngram(ref, order=2, modified=True)
+    assert gen.counts[2] == big.c_uw
+    assert gen.counts[1] == big.cont
+    assert gen.ds[2] == big.ds and gen.ds[1] == big.cont_ds
+    assert gen.mass1 == pytest.approx(big.cont_mass, rel=1e-12)
+    assert gen.v == big.v and gen.tot1 == big.n_cont
+    for u, w in [
+        ("the", "cat"), ("san", "francisco"), ("cat", "francisco"),
+        ("the", "zebra"), ("neverseen", "cat"), ("is", "foggy"),
+    ]:
+        assert gen.logp((u,), w) == pytest.approx(
+            big.logp(u, w), rel=1e-12
+        )
+    # document-level CE identical too
+    toks = "the cat ate the fish near san francisco".split()
+    assert gen.cross_entropy(toks)[1] == pytest.approx(
+        big.cross_entropy(toks)[1], rel=1e-12
+    )
+
+
+def _py_kn3(docs):
+    """Independent from-scratch modified-KN TRIGRAM (continuation
+    counts downward, per-level discounts, uniform V+1 floor)."""
+    tri = {}
+    for d in docs:
+        toks = ["<s>", "<s>"] + d.split()
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    # continuation levels
+    bi = {}
+    for (a, b, c) in tri:
+        bi[(b, c)] = bi.get((b, c), 0) + 1
+    uni = {}
+    for (b, c) in bi:
+        uni[c] = uni.get(c, 0) + 1
+
+    def discounts(values):
+        nc = {}
+        for c in values:
+            if c <= 4:
+                nc[c] = nc.get(c, 0) + 1
+        n1, n2, n3, n4 = (nc.get(i, 0) for i in (1, 2, 3, 4))
+        single = n1 / (n1 + 2 * n2) if n1 > 0 else 0.5
+        if n1 == 0 or (n1 + 2 * n2) == 0:
+            return (single,) * 3
+        y = n1 / (n1 + 2 * n2)
+        raw = (
+            1 - 2 * y * n2 / n1,
+            2 - 3 * y * n3 / n2 if n2 else single,
+            3 - 4 * y * n4 / n3 if n3 else single,
+        )
+        return tuple(
+            v if 0.0 < v <= hi else min(single, hi)
+            for v, hi in zip(raw, (1.0, 2.0, 3.0))
+        )
+
+    D3, D2, D1 = discounts(tri.values()), discounts(bi.values()), discounts(uni.values())
+    dsc = lambda ds, c: 0.0 if c <= 0 else ds[min(c, 3) - 1]  # noqa: E731
+    tot3, lam3 = {}, {}
+    for (a, b, c), n in tri.items():
+        tot3[(a, b)] = tot3.get((a, b), 0) + n
+        lam3[(a, b)] = lam3.get((a, b), 0.0) + dsc(D3, n)
+    tot2, lam2 = {}, {}
+    for (b, c), n in bi.items():
+        tot2[b] = tot2.get(b, 0) + n
+        lam2[b] = lam2.get(b, 0.0) + dsc(D2, n)
+    N1 = sum(uni.values())
+    V = len(uni)
+    mass1 = sum(dsc(D1, c) for c in uni.values())
+
+    def p1(w):
+        c = uni.get(w, 0)
+        return (max(c - dsc(D1, c), 0.0) + mass1 / (V + 1)) / N1
+
+    def p2(b, w):
+        if tot2.get(b, 0) <= 0:
+            return p1(w)
+        c = bi.get((b, w), 0)
+        return max(c - dsc(D2, c), 0.0) / tot2[b] + lam2[b] / tot2[b] * p1(w)
+
+    def p3(a, b, w):
+        if tot3.get((a, b), 0) <= 0:
+            return p2(b, w)
+        c = tri.get((a, b, w), 0)
+        return (
+            max(c - dsc(D3, c), 0.0) / tot3[(a, b)]
+            + lam3[(a, b)] / tot3[(a, b)] * p2(b, w)
+        )
+
+    return p3, (D3, D2, D1), uni
+
+
+def test_kngram_trigram_parity_with_from_scratch_python(spark):
+    from snapflow_spark.functions.kn_lm import train_kn_ngram
+
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_ngram(ref, order=3)
+    p3, (D3, D2, D1), uni = _py_kn3(REF_DOCS)
+    assert lm.ds[3] == pytest.approx(D3, rel=1e-12)
+    assert lm.ds[2] == pytest.approx(D2, rel=1e-12)
+    assert lm.ds[1] == pytest.approx(D1, rel=1e-12)
+    assert lm.counts[1] == uni
+    cases = [
+        ("san", "francisco", "is"),     # seen trigram
+        ("<s>", "the", "cat"),          # BOS context
+        ("the", "cat", "ran"),          # unseen trigram, seen bigram
+        ("cat", "dog", "the"),          # unseen context -> backoff
+        ("a", "dog", "zebra"),          # OOV word
+        ("qq", "ww", "ee"),             # everything unseen
+    ]
+    for a, b, w in cases:
+        assert math.exp(lm.logp((a, b), w)) == pytest.approx(
+            p3(a, b, w), rel=1e-12
+        ), (a, b, w)
+
+
+def test_kngram_all_levels_normalize(spark):
+    from snapflow_spark.functions.kn_lm import train_kn_ngram
+
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_ngram(ref, order=3)
+    words = sorted(lm.counts[1])
+    t_seen = len(words)
+    # several contexts: seen (a,b), BOS, half-seen, fully unseen
+    for ctx in [("san", "francisco"), ("<s>", "<s>"), ("zz", "the"),
+                ("zz", "qq")]:
+        s = sum(math.exp(lm.logp(ctx, w)) for w in words)
+        s += (lm.v + 1 - t_seen) * math.exp(lm.logp(ctx, "§never§"))
+        assert s == pytest.approx(1.0, abs=1e-10), ctx
+
+
+def test_kngram_scoring_persistence_and_dispatch(spark, tmp_path):
+    from snapflow_spark.functions.kn_lm import (
+        load_lm,
+        train_kn_ngram,
+    )
+
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_ngram(ref, order=3)
+    raw = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "mat the on sat cat the"),
+         (2, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in lm.score(raw).collect()}
+    # Spark CE == driver CE
+    n, c = lm.cross_entropy("the cat sat on the mat".split())
+    assert got[0].n_grams == n
+    assert got[0].cross_entropy == pytest.approx(round(c, 6), abs=1e-6)
+    # word order matters MORE at order 3: the scrambled twin is worse
+    assert got[0].ppl < got[1].ppl
+    assert got[2].n_grams == 0
+    # persistence + kind dispatch
+    p = str(tmp_path / "kn3.json")
+    lm.save(p)
+    lm2 = load_lm(p)
+    assert lm2.order == 3 and lm2.logp(("san", "francisco"), "is") == (
+        lm.logp(("san", "francisco"), "is")
+    )
+    big_p = str(tmp_path / "kn2.json")
+    train_kn_bigram(ref).save(big_p)
+    assert load_lm(big_p).__class__.__name__ == "KNBigramLM"
+    bad = str(tmp_path / "junk.json")
+    open(bad, "w").write('{"kind": "nope"}')
+    with pytest.raises(ValueError, match="not a known LM"):
+        load_lm(bad)
