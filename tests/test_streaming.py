@@ -620,3 +620,68 @@ def test_profile_partials_accumulate_on_streams(spark, tmp_path):
             assert m[k] == pytest.approx(o[k], rel=0.06), k
         else:
             assert m[k] == o[k], k
+
+
+def test_kn_scoring_and_model_embedding_run_on_streams(spark, tmp_path):
+    """Round 11: the two new map-only surfaces — trained Kneser-Ney
+    perplexity scoring (broadcast model, one Arrow pass) and the
+    model-embedding hook (mapInArrow) — run UNCHANGED on a Structured
+    Streaming source and match their batch outputs row-for-row: the
+    CCNet-gate-and-embed ingest shape as documents arrive."""
+    from snapflow_spark.functions.embed import embed_with_model
+    from snapflow_spark.functions.kn_lm import train_kn_ngram
+    from snapflow_spark.streaming import stream_from_snapshots
+
+    store = SnapshotStore(tmp_path / "kn_docs")
+    rows = [
+        (i, f"document number {i} body text with tokens " * (1 + i % 3))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    store.append(docs)
+    lm = train_kn_ngram(docs, order=3)
+
+    def embedder():
+        def embed_batch(texts):
+            import hashlib
+
+            import numpy as np
+
+            out = np.zeros((len(texts), 4))
+            for i, t in enumerate(texts):
+                head = (t.split() or [""])[0]
+                seed = int.from_bytes(
+                    hashlib.sha256(head.encode()).digest()[:4], "big"
+                )
+                out[i] = np.random.default_rng(seed).normal(size=4)
+            return out
+
+        return embed_batch
+
+    model = embedder()
+
+    # scored and embedded streams are checked separately (a
+    # stream-stream join would need watermarks and is not the claim)
+    batch_ce = {tuple(r) for r in lm.score(store.read(spark)).collect()}
+    batch_e = {
+        tuple(r)
+        for r in embed_with_model(store.read(spark), model, dim=4)
+        .select("doc_id", F.round(F.element_at("embedding", 1), 5))
+        .collect()
+    }
+    stream = stream_from_snapshots(spark, str(store.path), docs.schema)
+    got_ce = run_stream_to_batch(
+        lm.score(stream), output_mode="append",
+        checkpoint=str(tmp_path / "ckpt_kn"),
+    )
+    assert {tuple(r) for r in got_ce.collect()} == batch_ce
+    stream2 = stream_from_snapshots(spark, str(store.path), docs.schema)
+    got_e = run_stream_to_batch(
+        embed_with_model(stream2, model, dim=4).select(
+            "doc_id", F.round(F.element_at("embedding", 1), 5)
+        ),
+        output_mode="append",
+        checkpoint=str(tmp_path / "ckpt_emb"),
+    )
+    assert {tuple(r) for r in got_e.collect()} == batch_e
+    assert len(batch_ce) == 20 and len(batch_e) == 20

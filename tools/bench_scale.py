@@ -169,6 +169,13 @@ HEAVY = {
         "prototype ranking; in-cell quadratic bounded by "
         "cell_max_bucket, ranking one window on the cell key"
     ),
+    "op_kn_score": (
+        "documents; round-11 Kneser-Ney perplexity scoring with a "
+        "base-corpus-trained order-3 modified-KN model (training "
+        "excluded: one-time, cold absorbs it) — ONE broadcast "
+        "Arrow-batched map over Spark-tokenized arrays, no shuffle; "
+        "expected ~linear in text"
+    ),
     "op_dedup_incremental": (
         "documents; FIXED 1000-doc batch near-deduped against a "
         "STANDING MinHash history built from the whole corpus (round "
@@ -524,6 +531,26 @@ def _op_d4(spark, sf_dir: str):
     )
 
 
+_KN_LM = None
+
+
+def _op_kn_score(spark, sf_dir: str):
+    """KN perplexity scoring at corpus scale; the order-3 model is
+    trained ONCE on the base corpus (module cache, the
+    op_byte_bpe_encode convention) so both scales score under the
+    same model — exactly the CCNet deployment shape (LM trained on a
+    bounded trusted slice, scoring the whole crawl)."""
+    global _KN_LM
+    from snapflow_spark.catalog import ensure_parallelism, load_table
+    from snapflow_spark.functions.kn_lm import train_kn_ngram
+
+    if _KN_LM is None:
+        base = load_table(spark, "/root/testdata/sf0.1", "documents")
+        _KN_LM = train_kn_ngram(base, order=3, min_word_count=2)
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return _KN_LM.score(d)
+
+
 _INC_STORES: dict = {}
 
 
@@ -666,6 +693,7 @@ def main() -> None:
     queries["op_byte_bpe_encode"] = _op_byte_bpe_encode
     queries["op_chunk_text"] = _op_chunk_text
     queries["op_d4"] = _op_d4
+    queries["op_kn_score"] = _op_kn_score
     queries["op_dedup_incremental"] = _op_dedup_incremental
     queries["op_ivfpq_append"] = _op_ivfpq_append
 
