@@ -175,10 +175,29 @@ def embed_with_model(
                             f"expected {seen_dim}"
                         )
                     vecs[i] = v
-            arr = pa.array(
-                [None if v is None else v.tolist() for v in vecs],
-                type=pa.list_(pa.float32()),
-            )
+            if vecs and all(v is not None for v in vecs):
+                # fast path (the 100 TB hot loop): one flat float32
+                # buffer + arithmetic offsets — no per-row python
+                # lists, no per-value boxing
+                flat = np.concatenate(vecs) if vecs else np.empty(
+                    0, np.float32
+                )
+                offsets = pa.array(
+                    np.arange(
+                        0,
+                        (len(vecs) + 1) * seen_dim,
+                        seen_dim,
+                        dtype=np.int32,
+                    )
+                )
+                arr = pa.ListArray.from_arrays(
+                    offsets, pa.array(flat, type=pa.float32())
+                )
+            else:
+                arr = pa.array(
+                    [None if v is None else v.tolist() for v in vecs],
+                    type=pa.list_(pa.float32()),
+                )
             yield pa.RecordBatch.from_arrays(
                 [*batch.columns, arr],
                 names=[*batch.schema.names, out_col],

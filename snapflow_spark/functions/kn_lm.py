@@ -255,7 +255,9 @@ class KNBigramLM:
                 if cw <= 4:
                     mc[cw] = mc.get(cw, 0) + 1
             m1, m2 = mc.get(1, 0), mc.get(2, 0)
-            cont_single = m1 / (m1 + 2 * m2) if m1 > 0 else single
+            # per-LEVEL degenerate fallback (0.5), matching KNGramLM's
+            # level-1 rule so order-2 parity holds on any corpus
+            cont_single = m1 / (m1 + 2 * m2) if m1 > 0 else 0.5
             cont_ds = _modified_discounts(mc, cont_single)
             cont_mass = sum(_disc(cont_ds, cw) for cw in cont.values())
         return KNBigramLM(

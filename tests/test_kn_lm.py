@@ -246,7 +246,7 @@ def _py_modified_kn(docs):
         if cw <= 4:
             mc[cw] = mc.get(cw, 0) + 1
     m1, m2, m3, m4 = (mc.get(i, 0) for i in (1, 2, 3, 4))
-    cs = m1 / (m1 + 2 * m2) if (m1 + 2 * m2) else single
+    cs = m1 / (m1 + 2 * m2) if m1 > 0 else 0.5
     yc = cs
     okc = lambda v, hi: v if 0.0 < v <= hi else min(cs, hi)  # noqa: E731
     Dc = (
@@ -537,3 +537,31 @@ def test_kngram_scoring_persistence_and_dispatch(spark, tmp_path):
     open(bad, "w").write('{"kind": "nope"}')
     with pytest.raises(ValueError, match="not a known LM"):
         load_lm(bad)
+
+
+def test_new_map_only_ops_plan_shape(spark):
+    """Plan gates (round 11): KN scoring and embed_with_model are
+    MAP-ONLY — no Exchange anywhere; the python boundary is exactly
+    one Arrow-batched node each (the honest model-call cost)."""
+    from snapflow_spark.functions.embed import embed_with_model
+    from snapflow_spark.functions.kn_lm import train_kn_ngram
+
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_ngram(ref, order=3)
+    docs = spark.createDataFrame(
+        [(0, "the cat sat")], "doc_id bigint, text string"
+    )
+    kn_plan = (
+        lm.score(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in kn_plan
+    assert kn_plan.count("ArrowEvalPython") == 1
+
+    emb_plan = (
+        embed_with_model(docs, lambda ts: [[1.0, 2.0]] * len(ts))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in emb_plan
+    assert "MapInArrow" in emb_plan or "ArrowEvalPython" in emb_plan

@@ -368,3 +368,76 @@ def test_table_ledger_folds_like_json_ledger(ops, ckpt_interval, tmp_path_factor
     for n, i in keys:
         assert tl.consumed(n, i) == jl.consumed(n, i), (n, i)
         assert fresh.consumed(n, i) == jl.consumed(n, i), (n, i)
+
+
+# --- Kneser-Ney LMs (round 11): totality + exact normalization ------
+
+_words = st.sampled_from(
+    ["a", "b", "c", "dd", "ee", "ff", "ggg", "hhh", "iii", "<s>x"]
+)
+_docs_kn = st.lists(
+    st.lists(_words, min_size=1, max_size=8), min_size=1, max_size=10
+)
+
+
+def _kn_counts(docs, n):
+    from snapflow_spark.functions.kn_lm import _SEP
+
+    counts = {}
+    for toks in docs:
+        padded = ["<s>"] * (n - 1) + toks
+        for i in range(len(toks)):
+            g = _SEP.join(padded[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+    return counts
+
+
+@settings(max_examples=120, deadline=None)
+@given(_docs_kn, st.integers(min_value=2, max_value=4), st.booleans())
+def test_kn_ngram_normalizes_and_stays_total_on_any_corpus(docs, order, modified):
+    """For ANY corpus, order 2-4, both discount modes: every level's
+    conditional distribution sums to exactly 1 (seen types + the
+    aggregated unseen mass over V+1 events) and log-probs are finite
+    for arbitrary contexts — including OOV words, unseen contexts,
+    and the degenerate counts-of-counts small corpora hit."""
+    import math
+
+    from snapflow_spark.functions.kn_lm import KNGramLM
+
+    lm = KNGramLM.from_counts(_kn_counts(docs, order), order, modified)
+    vocab = sorted(lm.counts[1])
+    t_seen = len(vocab)
+    contexts = [
+        ("<s>",) * (order - 1),
+        tuple((docs[0] * order)[: order - 1]),
+        ("zz",) * (order - 1),
+        ("zz",) + tuple((docs[0] * order)[: order - 2]),
+    ]
+    for ctx in contexts:
+        s = sum(math.exp(lm.logp(ctx, w)) for w in vocab)
+        s += (lm.v + 1 - t_seen) * math.exp(lm.logp(ctx, "§unseen§"))
+        assert abs(s - 1.0) < 1e-9, (ctx, s)
+    # cross-entropy total on arbitrary token lists incl. OOV
+    n, ce = lm.cross_entropy(["zz", *docs[0], "qq"])
+    assert n == len(docs[0]) + 2 and math.isfinite(ce) and ce > 0
+
+
+@settings(max_examples=80, deadline=None)
+@given(_docs_kn)
+def test_kn_order2_equals_bigram_on_any_corpus(docs):
+    """The general construction at order 2 reproduces KNBigramLM
+    (modified) on ANY corpus — probabilities at 1e-12."""
+    import math
+
+    from snapflow_spark.functions.kn_lm import KNBigramLM, KNGramLM
+
+    counts = _kn_counts(docs, 2)
+    gen = KNGramLM.from_counts(counts, 2, modified=True)
+    big = KNBigramLM.from_counts(counts, modified=True)
+    probes = sorted(gen.counts[1])[:5] + ["§oov§"]
+    ctxs = [docs[0][0], "<s>", "zz"]
+    for u in ctxs:
+        for w in probes:
+            a = gen.logp((u,), w)
+            b = big.logp(u, w)
+            assert math.isclose(a, b, rel_tol=1e-12), (u, w, a, b)
