@@ -171,3 +171,30 @@ def test_hashed_default_unchanged(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_embed_to_ivfpq_index_end_to_end(spark):
+    """The full real-model ANN pipeline the hook exists for:
+    text -> embed_with_model -> IVFPQIndex.build -> search. A probe
+    sharing a head word with a corpus doc embeds identically and must
+    come back as its own nearest neighbor."""
+    from snapflow_spark.operators.similarity import IVFPQIndex
+
+    rows = [(i, f"{head} document number {i}")
+            for i, head in enumerate(["alpha", "beta", "gamma", "delta",
+                                      "epsilon", "zeta", "eta", "theta"])]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    emb = embed_with_model(docs, _toy_model).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    idx = IVFPQIndex.build(
+        emb.select("vec_id", "embedding"), k_cells=2, m=4, n_codes=8
+    )
+    probes = embed_with_model(
+        spark.createDataFrame(
+            [(100, "gamma probe text")], "probe_id bigint, text string"
+        ),
+        _toy_model,
+    )
+    hits = idx.search(probes, k=1, nprobe=2).collect()
+    assert len(hits) == 1 and hits[0].vec_id == 2  # the gamma doc
