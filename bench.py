@@ -322,6 +322,16 @@ def write_history(result: dict, here: Path) -> None:
             )
             if rec.get(k) is not None
         }
+        if overwrite and tag in rounds:
+            # same-round rerun: fold by MIN — this box's external CPU
+            # steal swings identical code >1.2x between same-day
+            # windows even when every endpoint stamp reads calm
+            # (observed round 11: 56.2 s then 70.4 s, spreads ~1.1,
+            # spin/mem/gemm all healthy on the slow run), so the
+            # cross-round record keeps the least-contended window
+            prev = rounds[tag]
+            if prev.get("value_warm", 1e18) < meta.get("value_warm", 1e18):
+                meta = prev
         if overwrite or tag not in rounds:
             rounds[tag] = meta
         # full shape keys, else the bounded summary-line keys
@@ -330,8 +340,11 @@ def write_history(result: dict, here: Path) -> None:
         stamps = rec.get("warm_stamps") or {}
         for q, sec in warm.items():
             per_round = queries.setdefault(q, {})
-            if not overwrite and tag in per_round:
-                continue
+            if tag in per_round:
+                if not overwrite:
+                    continue
+                if per_round[tag].get("warm", 1e18) <= sec:
+                    continue  # keep the less-contended window's row
             row: dict = {"warm": sec}
             if spread.get(q) is not None:
                 row["spread"] = spread[q]

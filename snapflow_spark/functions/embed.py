@@ -29,12 +29,15 @@ shuffle, prunes to the text column plus pass-throughs.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 
 import numpy as np
-import pyarrow as pa
+# module-level so pandas_udf string hints resolve under
+# `from __future__ import annotations` (the UNSUPPORTED_SIGNATURE trap)
+import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
 
 __all__ = ["ImportedCallable", "embed_with_model"]
 
@@ -123,14 +126,19 @@ def embed_with_model(
 
     ``model`` is a ``module:function`` import path (resolved lazily
     per worker — see ImportedCallable) or a picklable callable taking
-    ``list[str] -> (n, dim) vectors``.  The stage is ``mapInArrow``
-    (map-only, no shuffle); each Arrow batch is sliced into
-    ``batch_size`` model calls.  NULL texts embed to NULL without
-    reaching the model.  ``dim=`` (optional) is enforced on every
-    batch; without it, cross-batch consistency is still enforced
-    within each task.  The result feeds semantic_dedup / d4_select /
-    IVF-PQ ingest directly; hashed_embedding_udf remains the
-    model-free default (core.text_embed without ``model:``)."""
+    ``list[str] -> (n, dim) vectors``.  The stage is a SCALAR Arrow
+    pandas UDF (map-only, no shuffle): only the text column crosses
+    the python boundary and only the vectors come back — against
+    ``mapInArrow``, which round-trips EVERY column through python,
+    that is the macro cost at corpus scale, where rows carry ids,
+    metadata, and often the raw bytes next to the text.  Each Arrow
+    batch is sliced into ``batch_size`` model calls.  NULL texts
+    embed to NULL without reaching the model.  ``dim=`` (optional)
+    is enforced on every batch; without it, cross-batch consistency
+    is still enforced within each task.  The result feeds
+    semantic_dedup / d4_select / IVF-PQ ingest directly;
+    hashed_embedding_udf remains the model-free default
+    (core.text_embed without ``model:``)."""
     if out_col in df.columns:
         raise ValueError(
             f"embed_with_model: column {out_col!r} already exists"
@@ -152,61 +160,29 @@ def embed_with_model(
     bs = int(batch_size)
     if bs <= 0:
         raise ValueError(f"batch_size must be positive, got {batch_size}")
-    idx = df.columns.index(text_col)
     what = f"embed_with_model({text_col!r})"
+    from pyspark.sql.functions import pandas_udf
 
-    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    @pandas_udf(ArrayType(FloatType()))
+    def embed_udf(texts: pd.Series) -> pd.Series:
+        vals = texts.tolist()
         seen_dim = want_dim
-        for batch in batches:
-            texts = batch.column(idx).to_pylist()
-            vecs: list = [None] * len(texts)
-            live = [i for i, t in enumerate(texts) if t is not None]
-            for lo in range(0, len(live), bs):
-                chunk = live[lo : lo + bs]
-                out = _as_vectors(
-                    fn([str(texts[i]) for i in chunk]), len(chunk), what
-                )
-                for i, v in zip(chunk, out):
-                    if seen_dim is None:
-                        seen_dim = int(v.shape[0])
-                    elif v.shape[0] != seen_dim:
-                        raise ValueError(
-                            f"{what}: vector dim {v.shape[0]} != "
-                            f"expected {seen_dim}"
-                        )
-                    vecs[i] = v
-            if vecs and all(v is not None for v in vecs):
-                # fast path (the 100 TB hot loop): one flat float32
-                # buffer + arithmetic offsets — no per-row python
-                # lists, no per-value boxing
-                flat = np.concatenate(vecs) if vecs else np.empty(
-                    0, np.float32
-                )
-                offsets = pa.array(
-                    np.arange(
-                        0,
-                        (len(vecs) + 1) * seen_dim,
-                        seen_dim,
-                        dtype=np.int32,
-                    )
-                )
-                arr = pa.ListArray.from_arrays(
-                    offsets, pa.array(flat, type=pa.float32())
-                )
-            else:
-                arr = pa.array(
-                    [None if v is None else v.tolist() for v in vecs],
-                    type=pa.list_(pa.float32()),
-                )
-            yield pa.RecordBatch.from_arrays(
-                [*batch.columns, arr],
-                names=[*batch.schema.names, out_col],
+        vecs: list = [None] * len(vals)
+        live = [i for i, t in enumerate(vals) if t is not None]
+        for lo in range(0, len(live), bs):
+            chunk = live[lo : lo + bs]
+            out = _as_vectors(
+                fn([str(vals[i]) for i in chunk]), len(chunk), what
             )
+            for i, v in zip(chunk, out):
+                if seen_dim is None:
+                    seen_dim = int(v.shape[0])
+                elif v.shape[0] != seen_dim:
+                    raise ValueError(
+                        f"{what}: vector dim {v.shape[0]} != "
+                        f"expected {seen_dim}"
+                    )
+                vecs[i] = v
+        return pd.Series(vecs, dtype=object)
 
-    # A FRESH StructType: df.schema is cached on the DataFrame and
-    # StructType.add mutates in place — appending to it would corrupt
-    # the input df's own column list.
-    out_schema = StructType(
-        [*df.schema.fields, StructField(out_col, ArrayType(FloatType()), True)]
-    )
-    return df.mapInArrow(run, out_schema)
+    return df.withColumn(out_col, embed_udf(F.col(text_col)))

@@ -911,7 +911,8 @@ def _text_embed(
       LEXICAL embedding (functions.text.hashed_embedding_udf);
     - ``model: mymod:embed_batch``: a user batch-embedding function
       declared as an import path, resolved lazily per worker and
-      mapInArrow-batched (functions.embed.embed_with_model) — the
+      Arrow-batched via a scalar pandas UDF so ONLY the text column
+      crosses the python boundary (functions.embed.embed_with_model) — the
       real-model path for semantic vectors.  ``dim`` is then an
       enforced contract (set it to the model's output width);
       ``batch_size`` matches the model's optimal batch."""

@@ -83,3 +83,29 @@ def test_history_self_accumulates_full_rows_over_summaries(tmp_path):
     assert h["queries"]["q_b"]["r09"] == {"warm": 4.5, "spread": 1.0}
     assert h["rounds"]["r09"] == {"value_warm": 5.0}
     assert h["queries"]["q_a"]["r10"] == {"warm": 0.4}
+
+
+def test_same_round_reruns_fold_by_min(tmp_path):
+    """This box's external steal swings identical code between
+    same-day windows even with calm stamps, so a same-round rerun
+    keeps the least-contended window: per query AND for the run
+    totals, the lower warm wins (with its spread/stamps)."""
+    fast = {
+        "queries": {"q_a": 1.0, "q_b": 5.0},
+        "warm_spread": {"q_a": 1.1, "q_b": 1.2},
+        "value_warm": 6.0,
+        "cpu_spin_start_ms": 90.0,
+    }
+    write_history(fast, tmp_path)
+    slow = {
+        "queries": {"q_a": 1.4, "q_b": 4.0},  # q_b got a better window
+        "warm_spread": {"q_a": 1.0, "q_b": 1.0},
+        "value_warm": 5.4,
+        "cpu_spin_start_ms": 60.0,
+    }
+    write_history(slow, tmp_path)
+    h = json.loads((tmp_path / "BENCH_HISTORY.json").read_text())
+    tag = next(iter(h["rounds"]))
+    assert h["rounds"][tag]["value_warm"] == 5.4  # lower total wins
+    assert h["queries"]["q_a"][tag] == {"warm": 1.0, "spread": 1.1}
+    assert h["queries"]["q_b"][tag] == {"warm": 4.0, "spread": 1.0}
