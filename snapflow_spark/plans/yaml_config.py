@@ -1290,6 +1290,30 @@ def _url_filter(
     )
 
 
+def _scan_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+    max_bytes: int | None = None,
+    blob_col: str = "content",
+) -> DataFrame:
+    """core.scan_files: zero-input source node over a DIRECTORY OF
+    FILES (sources.io.read_binary_files) — the multimodal on-ramp:
+    one row per file (path, modificationTime, length, <blob_col>
+    binary), ``glob`` pruned at listing time, ``max_bytes`` filtered
+    on catalog metadata only. Rename ``blob_col`` to whatever the
+    downstream decode/fingerprint node expects."""
+    from snapflow_spark.sources.io import read_binary_files
+
+    df = read_binary_files(
+        spark, path, glob=glob, recursive=recursive, max_bytes=max_bytes
+    )
+    if blob_col != "content":
+        df = df.withColumnRenamed("content", blob_col)
+    return df
+
+
 def _scan_warc(
     spark: SparkSession,
     path: str,
@@ -1362,6 +1386,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.quality_filter": _quality_filter,
     "core.semantic_dedup": _semantic_dedup,
     "core.d4": _d4,
+    "core.scan_files": _scan_files,
     "core.text_embed": _text_embed,
     "core.sniff_format": _sniff_format,
     "core.http_parts": _http_parts,

@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -140,6 +141,38 @@ def read_orc(spark: SparkSession, path: str, schema: StructType | str | None = N
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     df.write.mode(mode).options(**options).orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Directory-of-files ingest for the multimodal column model:
+    Spark's ``binaryFile`` source yields one row per file —
+    ``(path, modificationTime, length, content binary)`` — which is
+    exactly the opaque-binary + typed-metadata shape the decode /
+    fingerprint / dedup family consumes (rename ``content`` to your
+    blob column and go).  ``glob`` pushes a pathGlobFilter into the
+    FILE LISTING (e.g. ``*.jpg`` never lists the sidecars), and
+    ``max_bytes`` filters on the catalog ``length`` column — a
+    metadata-only predicate, so oversized blobs are skipped without
+    reading a byte of them.  At 100 TB the listing parallelizes over
+    the driver's InMemoryFileIndex exactly like parquet discovery;
+    one file = one row = one task unit, so millions of small files
+    want an upstream compaction into parquet binary columns (this
+    reader is the ON-RAMP that builds those)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= int(max_bytes))
+    return df
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:

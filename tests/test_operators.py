@@ -717,3 +717,89 @@ def test_lsh_optimal_bands_properties():
         optimal_bands(128, 1.5)
     with pytest.raises(ValueError):
         optimal_bands(0, 0.5)
+
+
+def test_read_binary_files_multimodal_onramp(spark, tmp_path):
+    """binaryFile ingest (round 11): a directory of media files
+    becomes opaque-binary rows — glob pushes into the LISTING,
+    max_bytes filters on catalog length only — and composes straight
+    into the multimodal decode family (PPM round-trips bit-exact)."""
+    import numpy as np
+
+    from snapflow_spark.multimodal.codec import decode_image_bytes, encode_ppm
+    from snapflow_spark.sources import read_binary_files
+
+    rng = np.random.default_rng(7)
+    imgs = {}
+    for i in range(3):
+        arr = rng.integers(0, 256, (4 + i, 5, 3), dtype=np.uint8)
+        blob = encode_ppm(arr)
+        (tmp_path / f"img_{i}.ppm").write_bytes(blob)
+        imgs[f"img_{i}.ppm"] = arr
+    (tmp_path / "sidecar.json").write_text("{}")  # must not be listed
+    (tmp_path / "huge.ppm").write_bytes(
+        encode_ppm(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    )
+
+    df = read_binary_files(
+        spark, str(tmp_path), glob="*.ppm", max_bytes=1000
+    )
+    rows = df.collect()
+    names = {r.path.rsplit("/", 1)[-1] for r in rows}
+    assert names == set(imgs)  # sidecar not listed, huge filtered
+    for r in rows:
+        got = decode_image_bytes(bytes(r.content))
+        assert (got == imgs[r.path.rsplit("/", 1)[-1]]).all()
+        assert r.length == len(bytes(r.content))
+    # the catalog length predicate is metadata-only: it must appear
+    # in the scan, not as a post-read java filter over content
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "length" in plan
+
+
+def test_yaml_scan_files_to_image_dedup(spark, tmp_path):
+    """core.scan_files (round 11): a directory of image files flows
+    through YAML into the perceptual image-dedup builtin — the
+    multimodal on-ramp wired end-to-end with zero python glue."""
+    import numpy as np
+
+    from snapflow_spark.multimodal.codec import encode_ppm
+    from snapflow_spark.plans import load_graph
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = (near[0, 0] + 3) % 256  # perceptual dup of base
+    far = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for name, arr in [("a.ppm", base), ("b.ppm", near), ("c.ppm", far)]:
+        (d / name).write_bytes(encode_ppm(arr))
+    cfg = {
+        "warehouse": str(tmp_path / "wh_files"),
+        "nodes": [
+            {"name": "files", "function": "core.scan_files",
+             "params": {"path": str(d), "glob": "*.ppm",
+                        "blob_col": "blob"}, "overwrite": True},
+            {"name": "ids", "function": "core.sql",
+             "upstream": {"files": "files"},
+             "params": {"sql": "SELECT row_number() OVER (ORDER BY path) "
+                               "AS doc_id, path, blob FROM {files}"},
+             "overwrite": True},
+            {"name": "dups", "function": "core.image_dedup",
+             "upstream": {"input": {"node": "ids", "mode": "reference"}},
+             "params": {"max_hamming": 10}, "overwrite": True},
+        ],
+    }
+    g = load_graph(cfg)
+    assert g.produce(spark) == 3
+    names = {
+        r.doc_id: r.path.rsplit("/", 1)[-1]
+        for r in g.read(spark, "ids").collect()
+    }
+    pairs = {
+        frozenset((names[r.id_a], names[r.id_b]))
+        for r in g.read(spark, "dups").collect()
+    }
+    assert frozenset(("a.ppm", "b.ppm")) in pairs
+    assert not any("c.ppm" in p for p in pairs)
