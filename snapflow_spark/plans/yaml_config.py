@@ -1297,13 +1297,31 @@ def _scan_files(
     recursive: bool = False,
     max_bytes: int | None = None,
     blob_col: str = "content",
+    text: bool = False,
+    whole: bool = False,
 ) -> DataFrame:
     """core.scan_files: zero-input source node over a DIRECTORY OF
-    FILES (sources.io.read_binary_files) — the multimodal on-ramp:
-    one row per file (path, modificationTime, length, <blob_col>
-    binary), ``glob`` pruned at listing time, ``max_bytes`` filtered
-    on catalog metadata only. Rename ``blob_col`` to whatever the
-    downstream decode/fingerprint node expects."""
+    FILES. Default = binary rows (sources.io.read_binary_files, the
+    multimodal on-ramp: path/modificationTime/length/<blob_col>
+    binary, ``glob`` pruned at listing time, ``max_bytes`` filtered
+    on catalog metadata only). ``text: true`` = the raw-text corpus
+    on-ramp instead (sources.io.read_text_files: (path, text), one
+    doc per line, or per FILE with ``whole: true``)."""
+    if text:
+        from snapflow_spark.sources.io import read_text_files
+
+        if max_bytes is not None:
+            raise ValueError(
+                "core.scan_files: max_bytes applies to the binary "
+                "form only (text rows have no catalog length)"
+            )
+        return read_text_files(
+            spark, path, whole=whole, glob=glob, recursive=recursive
+        )
+    if whole:
+        raise ValueError(
+            "core.scan_files: whole applies to text: true only"
+        )
     from snapflow_spark.sources.io import read_binary_files
 
     df = read_binary_files(

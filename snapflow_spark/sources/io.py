@@ -175,6 +175,39 @@ def read_binary_files(
     return df
 
 
+def read_text_files(
+    spark: SparkSession,
+    path: str,
+    whole: bool = False,
+    glob: str | None = None,
+    recursive: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw-text corpus on-ramp, the two classic layouts: one document
+    per LINE of the files (default — jsonl-less text shards), or one
+    document per FILE (``whole=True`` — the .txt-per-doc layout).
+    Emits ``(path, text)``: the source file rides along as provenance
+    (``input_file_name`` is free — it comes from the scan's own file
+    split, no extra read).  ``glob`` prunes the listing
+    (pathGlobFilter), ``line_sep`` overrides the record delimiter for
+    \0- or \x1e-delimited shards.  Compression (.gz/.bz2/.zst per
+    codec availability) inflates transparently — but note a gzip file
+    is ONE split, so thousands of small .gz shards parallelize and
+    one giant .gz does not (the WARC reader's member-gzip lesson)."""
+    reader = spark.read.format("text")
+    if whole:
+        reader = reader.option("wholetext", "true")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.load(path).select(
+        F.input_file_name().alias("path"), F.col("value").alias("text")
+    )
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC scan (snapflow's database storages). Partition options
     (partitionColumn/lowerBound/upperBound/numPartitions) turn one

@@ -803,3 +803,43 @@ def test_yaml_scan_files_to_image_dedup(spark, tmp_path):
     }
     assert frozenset(("a.ppm", "b.ppm")) in pairs
     assert not any("c.ppm" in p for p in pairs)
+
+
+def test_read_text_files_both_layouts(spark, tmp_path):
+    """Raw-text on-ramp (round 11): per-line shards and per-file docs
+    both land as (path, text) with provenance; glob prunes; the YAML
+    text mode guards its knobs."""
+    import gzip
+
+    import pytest
+
+    from snapflow_spark.plans.yaml_config import _scan_files
+    from snapflow_spark.sources import read_text_files
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("doc one line one\ndoc one line two\n")
+    (d / "b.txt").write_text("doc two\n")
+    (d / "skip.md").write_text("not listed\n")
+    # a gz shard inflates transparently
+    with gzip.open(d / "c.txt.gz", "wt") as f:
+        f.write("zipped line\n")
+
+    lines = read_text_files(spark, str(d), glob="*.txt*").collect()
+    assert {r.text for r in lines} == {
+        "doc one line one", "doc one line two", "doc two", "zipped line",
+    }
+    assert all(r.path.startswith("file:") for r in lines)
+
+    whole = read_text_files(spark, str(d), whole=True, glob="*.txt").collect()
+    got = {r.path.rsplit("/", 1)[-1]: r.text for r in whole}
+    assert got["a.txt"] == "doc one line one\ndoc one line two\n"
+    assert got["b.txt"] == "doc two\n"
+
+    # YAML form + guards
+    t = _scan_files(spark, str(d), glob="*.txt", text=True, whole=True)
+    assert t.count() == 2
+    with pytest.raises(ValueError, match="binary form only"):
+        _scan_files(spark, str(d), text=True, max_bytes=10)
+    with pytest.raises(ValueError, match="text: true only"):
+        _scan_files(spark, str(d), whole=True)
