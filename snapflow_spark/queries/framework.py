@@ -93,6 +93,11 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'jdbc' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     UNION ALL
+    -- 'text' branch (round 11): the raw-text on-ramp — nation rows
+    -- written as pipe-delimited lines, read back via the text scan
+    -- and split; the oracle just re-emits the table
+    SELECT 'text' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
     -- 'cc_index' branch (round 11): read_cc_index's whole filter
     -- compilation replayed in SQL over the SAME nation-derived index
     -- rows the Spark side writes/reads through parquet — crawl/subset
@@ -199,6 +204,28 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").cast("string"),
         F.col("n_regionkey").cast("int"),
     )
+    # 'text' branch (round 11): the raw-text on-ramp round trip —
+    # nation as pipe-delimited lines through write.text ->
+    # read_text_files -> split; n_name is free of '|' in TPC-H so the
+    # delimiter is safe, and the oracle just re-emits the table
+    from snapflow_spark.sources.io import read_text_files
+
+    text_path = str(_SCRATCH / "text_roundtrip" / "nation")
+    load_table(spark, sf_dir, "nation").select(
+        F.concat_ws(
+            "|",
+            F.col("n_nationkey").cast("string"),
+            "n_name",
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(text_path)
+    parts = F.split(F.col("text"), r"\|")
+    from_text = read_text_files(spark, text_path, glob="*.txt*").select(
+        F.lit("text").alias("fmt"),
+        parts.getItem(0).cast("int").alias("n_nationkey"),
+        parts.getItem(1).alias("n_name"),
+        parts.getItem(2).cast("int").alias("n_regionkey"),
+    )
     # 'cc_index' branch (round 11): a deterministic nation-derived
     # cc-index table round-trips through the partitioned parquet
     # layout and read_cc_index's full filter stack (crawl/subset
@@ -266,6 +293,7 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from_csv.unionByName(from_jsonl)
         .unionByName(from_orc)
         .unionByName(from_jdbc)
+        .unionByName(from_text)
         .unionByName(from_cc)
     )
 
