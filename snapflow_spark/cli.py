@@ -104,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
         "discounts per level) instead of single-discount interpolated",
     )
     tk.add_argument(
+        "--min-gram-count", type=int, default=1,
+        help="order 3+: drop n-gram TYPES below this count before the "
+        "driver collect (KenLM --prune)",
+    )
+    tk.add_argument(
         "--order", type=int, default=2,
         help="n-gram order (2 = the bigram model; 3+ = the general "
         "continuation-count backoff chain, always modified)",
@@ -306,6 +311,7 @@ def main(argv: list[str] | None = None) -> int:
                 min_word_count=args.min_word_count,
                 max_vocab=args.max_vocab,
                 modified=True,
+                min_gram_count=args.min_gram_count,
             )
             nlm.save(args.out)
             print(

@@ -609,11 +609,21 @@ def train_kn_ngram(
     min_word_count: int = 1,
     max_vocab: int | None = None,
     modified: bool = True,
+    min_gram_count: int = 1,
+    max_gram_types: int = 5_000_000,
 ) -> KNGramLM:
     """Fit the order-n KN model: same contract as train_kn_bigram
     (shared tokenizer, <s> padding, vocab pruning to <unk> BEFORE
     gram formation, ONE corpus-scale counted-explode stage), with
-    the n-gram fold generalized via _ngram_join_expr."""
+    the n-gram fold generalized via _ngram_join_expr.
+
+    The driver dict is n-gram TYPES, which vocab pruning alone does
+    not bound at order 3+ (V³ worst case) — so the collect is a
+    CONTRACT: ``min_gram_count`` drops rare gram types first
+    (KenLM's --prune; their mass reaches scoring through the
+    discount terms only), and if the surviving type count still
+    exceeds ``max_gram_types`` the trainer raises with the knobs to
+    turn instead of silently OOMing the driver."""
     from snapflow_spark.operators.retrieval import word_tokens_expr
 
     staged = ref.select(word_tokens_expr(text_col).alias("__toks"))
@@ -650,5 +660,15 @@ def train_kn_ngram(
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if min_gram_count > 1:
+        counts = counts.where(F.col("c") >= int(min_gram_count))
+    n_types = counts.count()
+    if n_types > int(max_gram_types):
+        raise ValueError(
+            f"train_kn_ngram: {n_types} order-{order} gram types exceed "
+            f"max_gram_types={max_gram_types} — raise min_gram_count / "
+            f"min_word_count / max_vocab (or max_gram_types if the "
+            f"driver really has the memory) before collecting"
+        )
     c_top = {r.g: int(r.c) for r in counts.collect()}
     return KNGramLM.from_counts(c_top, int(order), modified=modified)

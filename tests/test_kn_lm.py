@@ -565,3 +565,20 @@ def test_new_map_only_ops_plan_shape(spark):
     )
     assert "Exchange" not in emb_plan
     assert "MapInArrow" in emb_plan or "ArrowEvalPython" in emb_plan
+
+
+def test_kngram_trainer_driver_bound_is_a_contract(spark):
+    """The n-gram type collect is bounded BY CODE: min_gram_count
+    prunes first, and exceeding max_gram_types raises with the knobs
+    to turn instead of OOMing the driver."""
+    from snapflow_spark.functions.kn_lm import train_kn_ngram
+
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    with pytest.raises(ValueError, match="max_gram_types"):
+        train_kn_ngram(ref, order=3, max_gram_types=5)
+    # pruning rare grams shrinks the dict but keeps the model total
+    lm = train_kn_ngram(ref, order=3, min_gram_count=2)
+    full = train_kn_ngram(ref, order=3)
+    assert len(lm.counts[3]) < len(full.counts[3])
+    n, ce = lm.cross_entropy("the cat sat on the mat".split())
+    assert n == 6 and math.isfinite(ce)
