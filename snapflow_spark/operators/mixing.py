@@ -169,7 +169,7 @@ def temperature_weights(
         raise ValueError("temperature_weights needs at least one group")
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    items = sorted((str(g), v) for g, v in totals.items())
+    items = sorted(totals.items(), key=lambda kv: str(kv[0]))
     grand = float(sum(v for _, v in items))
     if grand <= 0:
         raise ValueError("group token totals must be positive")

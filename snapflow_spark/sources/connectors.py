@@ -210,6 +210,14 @@ def http_json_pager(
                             )
                         except (TypeError, ValueError):
                             pass  # unparseable header: keep backoff
+                    # a server saying 'inf'/'nan'/'1e30' must not hang
+                    # the pager: non-finite or negative falls back to
+                    # backoff, and any wait is capped at an hour
+                    import math as _math
+
+                    if not _math.isfinite(wait) or wait < 0:
+                        wait = backoff * (2**attempt)
+                    wait = min(wait, 3600.0)
             except OSError as e:  # socket timeouts, conn resets
                 last_err = e
                 wait = backoff * (2**attempt)

@@ -586,3 +586,34 @@ def test_http_pager_contract_guards():
         http_json_pager("http://x")
     with pytest.raises(ValueError, match="cursor style"):
         http_json_pager("http://x", cursor_param="after")
+
+
+def test_http_pager_hostile_retry_after_never_hangs(tmp_path):
+    """'inf', 'nan', negative, and absurd Retry-After values must not
+    hang the pager: non-finite/negative falls back to backoff and any
+    wait caps at an hour."""
+    import math
+
+    from snapflow_spark.sources import http_json_pager
+
+    for header, check in [
+        ("inf", lambda w: math.isfinite(w)),
+        ("nan", lambda w: math.isfinite(w)),
+        ("-5", lambda w: w >= 0),
+        ("99999999", lambda w: w <= 3600.0),
+    ]:
+        srv, state = _paged_api_server(
+            [{"id": 1}], flaky_429=1, retry_after=header
+        )
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/cursor"
+            slept = []
+            pager = http_json_pager(
+                url, records_path="data", cursor_param="after",
+                next_cursor_path="next", _sleep=slept.append,
+            )
+            records, _ = pager(None)
+            assert [r["id"] for r in records] == [1]
+            assert len(slept) == 1 and check(slept[0]), (header, slept)
+        finally:
+            srv.shutdown()
