@@ -98,6 +98,11 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- and split; the oracle just re-emits the table
     SELECT 'text' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     UNION ALL
+    -- 'warc' branch (round 11): the WARC writer->reader round trip
+    -- carries nation rows as conversion-record payloads (member-gzip
+    -- layout, the Common Crawl shape); the oracle re-emits the table
+    SELECT 'warc' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
     -- 'cc_index' branch (round 11): read_cc_index's whole filter
     -- compilation replayed in SQL over the SAME nation-derived index
     -- rows the Spark side writes/reads through parquet — crawl/subset
@@ -149,12 +154,15 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Format round-trips (SURVEY §2.A A6 import_csv + §2.B.1 JSONL,
-    ORC, and JDBC scans) in one tagged union: write the nation dim to
-    CSV, JSON-lines, ORC, and an embedded-Derby JDBC table, read each
-    back (CSV with schema inference; JDBC as parallel range scans via
-    partitionColumn bounds — the at-scale shape), and prove all four
-    round-trips are lossless."""
+    """Format round-trips (SURVEY §2.A A6 import_csv + §2.B.1 scans)
+    in one tagged union: the nation dim written to CSV, JSON-lines,
+    ORC, an embedded-Derby JDBC table, raw text lines, and a
+    member-gzip WARC file, each read back through the engine's own
+    scan (CSV with schema inference; JDBC as parallel range scans via
+    partitionColumn bounds — the at-scale shape; WARC through the
+    streaming DataSource reader), plus the cc-index filter-compilation
+    branch — every round trip proven lossless against the oracle's
+    re-emission of the table."""
     csv_path = str(_SCRATCH / "csv_roundtrip" / "nation")
     write_csv(load_table(spark, sf_dir, "nation"), csv_path)
     from_csv = read_csv(spark, csv_path).select(
@@ -226,6 +234,50 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(1).alias("n_name"),
         parts.getItem(2).cast("int").alias("n_regionkey"),
     )
+    # 'warc' branch (round 11): nation rows as WARC conversion
+    # records through write_warc (per-member gzip — CC's layout) and
+    # back through the streaming DataSource reader; payloads decode
+    # and split like the text branch. This puts driver-grade
+    # hash-matched correctness on the writer->reader pair the round-10
+    # fuzz failure lived in.
+    from datetime import datetime, timezone
+
+    from snapflow_spark.sources.warc import read_warc, write_warc
+
+    warc_dir = _SCRATCH / "warc_roundtrip"
+    warc_dir.mkdir(parents=True, exist_ok=True)
+    nation_rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )  # 25 rows: the dim table, bounded by construction
+    write_warc(
+        str(warc_dir / "nation.warc.gz"),
+        [
+            (
+                {
+                    "WARC-Type": "conversion",
+                    "WARC-Record-ID": f"<urn:uuid:nation-{r.n_nationkey}>",
+                    "WARC-Target-URI": f"https://example.com/nation/{r.n_nationkey}",
+                    "Content-Type": "text/plain",
+                },
+                f"{r.n_nationkey}|{r.n_name}|{r.n_regionkey}".encode(),
+            )
+            for r in nation_rows
+        ],
+        date=datetime(2026, 8, 14, tzinfo=timezone.utc),
+    )
+    wparts = F.split(F.col("payload").cast("string"), r"\|")
+    from_warc = (
+        read_warc(spark, str(warc_dir))
+        .where(F.col("warc_type") == "conversion")
+        .select(
+            F.lit("warc").alias("fmt"),
+            wparts.getItem(0).cast("int").alias("n_nationkey"),
+            wparts.getItem(1).alias("n_name"),
+            wparts.getItem(2).cast("int").alias("n_regionkey"),
+        )
+    )
     # 'cc_index' branch (round 11): a deterministic nation-derived
     # cc-index table round-trips through the partitioned parquet
     # layout and read_cc_index's full filter stack (crawl/subset
@@ -294,6 +346,7 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(from_orc)
         .unionByName(from_jdbc)
         .unionByName(from_text)
+        .unionByName(from_warc)
         .unionByName(from_cc)
     )
 
