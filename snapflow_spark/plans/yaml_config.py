@@ -822,6 +822,31 @@ def _frequent_items(
     )
 
 
+def _attach_model_embedding(
+    input: DataFrame,  # noqa: A002
+    model: str,
+    text_col: str,
+    vec_col: str,
+    dim: int | None,
+    batch_size: int,
+) -> DataFrame:
+    """Shared ``model:`` convenience for the embedding-family
+    builtins: attach ``vec_col`` from a user batch-embedding import
+    path (functions.embed.embed_with_model) so a TEXT corpus flows
+    straight into semantic_dedup / d4 without a separate
+    core.text_embed node."""
+    from snapflow_spark.functions.embed import embed_with_model
+
+    return embed_with_model(
+        input,
+        str(model),
+        text_col=text_col,
+        out_col=vec_col,
+        dim=dim,
+        batch_size=int(batch_size),
+    )
+
+
 def _semantic_dedup(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -831,6 +856,10 @@ def _semantic_dedup(
     blocking: str = "lsh",
     k_cells: int = 16,
     cell_max_bucket: int = 512,
+    model: str | None = None,
+    text_col: str = "text",
+    dim: int | None = None,
+    batch_size: int = 1024,
 ) -> DataFrame:
     """core.semantic_dedup: SemDeDup-shaped embedding dedup decision
     frame (operators.similarity.semantic_dedup) — semi-join is_rep
@@ -839,9 +868,15 @@ def _semantic_dedup(
     input and blocks candidates by k-means cell — the paper's own
     cluster structure (size ``k_cells`` so cells stay under
     ``cell_max_bucket``); default ``lsh`` keeps the band blocking
-    that also catches cell-straddling pairs."""
+    that also catches cell-straddling pairs.  ``model:`` (round 11)
+    embeds ``text_col`` first via the import-path hook — the full
+    real-model SemDeDup in ONE node."""
     from snapflow_spark.operators import semantic_dedup
 
+    if model is not None:
+        input = _attach_model_embedding(  # noqa: A001
+            input, model, text_col, vec_col, dim, batch_size
+        )
     if blocking == "cells":
         from snapflow_spark.operators.similarity import IVFIndex
 
@@ -943,13 +978,24 @@ def _d4(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_max_bucket: int = 512,
+    model: str | None = None,
+    text_col: str = "text",
+    dim: int | None = None,
+    batch_size: int = 1024,
 ) -> DataFrame:
     """core.d4: the D4 curation recipe (operators.similarity.
     d4_select — SemDeDup then per-cell prototype diversification over
     ONE shared k-means assignment). Emits the decision frame
     (id, component, is_rep, proto, is_kept) — semi-join ``is_kept``
-    downstream to keep the deduped, diversified subset."""
+    downstream to keep the deduped, diversified subset.
+    ``model:`` (round 11) embeds ``text_col`` first via the
+    import-path hook — the full real-model D4 recipe in ONE node."""
     from snapflow_spark.operators import d4_select
+
+    if model is not None:
+        input = _attach_model_embedding(  # noqa: A001
+            input, model, text_col, vec_col, dim, batch_size
+        )
 
     return d4_select(
         input,

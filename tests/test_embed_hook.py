@@ -198,3 +198,58 @@ def test_embed_to_ivfpq_index_end_to_end(spark):
     )
     hits = idx.search(probes, k=1, nprobe=2).collect()
     assert len(hits) == 1 and hits[0].vec_id == 2  # the gamma doc
+
+
+def test_yaml_semantic_dedup_and_d4_with_model_param(spark, tmp_path):
+    """core.semantic_dedup / core.d4 accept model: directly (round
+    11) — the full real-model recipe in ONE node, no separate
+    text_embed stage."""
+    from snapflow_spark.plans import load_graph
+
+    mod = tmp_path / "onenode_embedder.py"
+    mod.write_text(
+        "import hashlib\n"
+        "import numpy as np\n\n"
+        "def embed_batch(texts):\n"
+        "    out = np.zeros((len(texts), 6))\n"
+        "    for i, t in enumerate(texts):\n"
+        "        head = (t.split() or [''])[0]\n"
+        "        seed = int.from_bytes(hashlib.sha256(head.encode()).digest()[:4], 'big')\n"
+        "        out[i] = np.random.default_rng(seed).normal(size=6)\n"
+        "    return out\n"
+    )
+    spark.sparkContext.addPyFile(str(mod))
+    docs = spark.createDataFrame(
+        [(i, f"{h} doc {i}") for i, h in enumerate(
+            ["alpha", "alpha", "beta", "gamma", "delta", "epsilon"]
+        )],
+        "doc_id bigint, text string",
+    )
+    df_view = "onenode_docs"
+    docs.createOrReplaceTempView(df_view)
+    cfg = {
+        "warehouse": str(tmp_path / "wh_onenode"),
+        "nodes": [
+            {"name": "raw", "function": "core.sql",
+             "params": {"sql": f"SELECT * FROM {df_view}"},
+             "overwrite": True},
+            {"name": "sem", "function": "core.semantic_dedup",
+             "upstream": {"input": {"node": "raw", "mode": "reference"}},
+             "params": {"model": "onenode_embedder:embed_batch",
+                        "id_col": "doc_id", "dim": 6},
+             "overwrite": True},
+            {"name": "d4", "function": "core.d4",
+             "upstream": {"input": {"node": "raw", "mode": "reference"}},
+             "params": {"model": "onenode_embedder:embed_batch",
+                        "id_col": "doc_id", "dim": 6, "k_cells": 2,
+                        "drop_frac": 0.2},
+             "overwrite": True},
+        ],
+    }
+    g = load_graph(cfg)
+    assert g.produce(spark) == 3
+    sem = {r.doc_id: r.is_rep for r in g.read(spark, "sem").collect()}
+    assert sem[0] and not sem[1]  # the two alpha docs collapsed
+    assert all(sem[i] for i in (2, 3, 4, 5))
+    d4 = {r.doc_id: r.is_kept for r in g.read(spark, "d4").collect()}
+    assert not d4[1] and len(d4) == 6  # dup dropped there too
