@@ -582,3 +582,33 @@ def test_kngram_trainer_driver_bound_is_a_contract(spark):
     assert len(lm.counts[3]) < len(full.counts[3])
     n, ce = lm.cross_entropy("the cat sat on the mat".split())
     assert n == 6 and math.isfinite(ce)
+
+
+def test_kn_bucketer_per_group_thresholds(spark):
+    """perplexity_buckets(lm=, by=): thresholds computed PER GROUP —
+    each language's head/tail split uses its own quantiles, so a
+    group whose ppls are uniformly higher still gets heads."""
+    from snapflow_spark.operators.selection import perplexity_buckets
+
+    ref = spark.createDataFrame([(t,) for t in REF_DOCS], "text string")
+    lm = train_kn_bigram(ref)
+    raw = spark.createDataFrame(
+        [
+            (0, "en", "the cat sat on the mat"),
+            (1, "en", "the dog ran in the park"),
+            (2, "en", "zz qq ww"),
+            (3, "xx", "mat the on sat"),
+            (4, "xx", "park cat dog a"),
+            (5, "xx", "zz zz zz zz"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    out = perplexity_buckets(
+        raw, lm=lm, by="lang", fractions=(0.4, 0.8), exact=True
+    )
+    rows = {r.doc_id: (r.lang, r.ppl_bucket) for r in out.collect()}
+    assert len(rows) == 6
+    # every group has a head (per-group thresholds) even though all
+    # 'xx' ppls exceed every 'en' ppl
+    for g in ("en", "xx"):
+        assert any(v == (g, "head") for v in rows.values()), g

@@ -441,3 +441,33 @@ def test_kn_order2_equals_bigram_on_any_corpus(docs):
             a = gen.logp((u,), w)
             b = big.logp(u, w)
             assert math.isclose(a, b, rel_tol=1e-12), (u, w, a, b)
+
+
+# --- embed hook vector validation (round 11) -------------------------
+
+_model_out = st.one_of(
+    st.lists(
+        st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                           width=32), min_size=1, max_size=6),
+        min_size=0, max_size=8,
+    ),
+    st.integers(),  # not a sequence at all
+    st.text(max_size=4),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_model_out, st.integers(min_value=0, max_value=8))
+def test_embed_as_vectors_totality(out, n_in):
+    """_as_vectors either returns exactly n_in float32 1-D vectors or
+    raises ValueError naming the op — never silently mis-shapes, never
+    raises anything else."""
+    from snapflow_spark.functions.embed import _as_vectors
+
+    try:
+        vecs = _as_vectors(out, n_in, "fuzz")
+    except ValueError as e:
+        assert "fuzz" in str(e)
+        return
+    assert len(vecs) == n_in
+    assert all(v.dtype == np.float32 and v.ndim == 1 for v in vecs)
