@@ -208,12 +208,23 @@ def normalize_text(
     skip."""
     if s is None:
         return None
-    if fix_encoding == "segments":
-        s = fix_mojibake_segments(s)
-    elif fix_encoding:
-        s = fix_mojibake(s)
-    if form:
-        s = unicodedata.normalize(form, s)
+    # Iterate repair+normalize to a FIXED POINT (bounded): NFKC can
+    # CREATE repair opportunities — e.g. 'ªÂ»' is not repairable
+    # (0xAA starts no valid UTF-8 sequence) until NFKC folds ª→a,
+    # after which 'Â»' is textbook UTF-8-as-cp1252 — so a single
+    # repair→normalize pass is not idempotent (hypothesis-found,
+    # round 11). Two extra rounds bound the loop; real text converges
+    # in one.
+    for _ in range(3):
+        prev = s
+        if fix_encoding == "segments":
+            s = fix_mojibake_segments(s)
+        elif fix_encoding:
+            s = fix_mojibake(s)
+        if form:
+            s = unicodedata.normalize(form, s)
+        if s == prev:
+            break
     return s
 
 
