@@ -363,10 +363,16 @@ def write_history(result: dict, here: Path) -> None:
     last = 0
     for f in sorted(here.glob("BENCH_r*.json")):
         tag = f.stem.split("_", 1)[1]  # r01..rNN
+        # `last` derives from the filename tag alone, so an
+        # unreadable round still claims its number and the live run
+        # can't min-fold into a round it didn't run in
+        try:
+            last = max(last, int(tag.lstrip("r")))
+        except ValueError:
+            continue
         try:
             rec = json.loads(f.read_text())
-            last = max(last, int(tag.lstrip("r")))
-        except (OSError, json.JSONDecodeError, ValueError):
+        except (OSError, json.JSONDecodeError):
             continue
         # driver capture shape: {"parsed": {...}} or the raw dict
         rec = rec.get("parsed", rec) if isinstance(rec, dict) else {}

@@ -134,8 +134,11 @@ def embed_with_model(
     metadata, and often the raw bytes next to the text.  Each Arrow
     batch is sliced into ``batch_size`` model calls.  NULL texts
     embed to NULL without reaching the model.  ``dim=`` (optional)
-    is enforced on every batch; without it, cross-batch consistency
-    is still enforced within each task.  The result feeds
+    is enforced on every batch; without it, the first live vector's
+    width is pinned in worker-lifetime closure state, so a model
+    whose width drifts across Arrow batches (or across tasks served
+    by the same python worker) raises instead of silently producing
+    a ragged array<float> column.  The result feeds
     semantic_dedup / d4_select / IVF-PQ ingest directly;
     hashed_embedding_udf remains the model-free default
     (core.text_embed without ``model:``)."""
@@ -163,10 +166,14 @@ def embed_with_model(
     what = f"embed_with_model({text_col!r})"
     from pyspark.sql.functions import pandas_udf
 
+    # Mutable closure cell so the pinned width survives ACROSS Arrow
+    # batches: the worker deserializes the UDF once and reuses it for
+    # every batch it serves, so drift between batches raises here.
+    pinned_dim: list = [want_dim]
+
     @pandas_udf(ArrayType(FloatType()))
     def embed_udf(texts: pd.Series) -> pd.Series:
         vals = texts.tolist()
-        seen_dim = want_dim
         vecs: list = [None] * len(vals)
         live = [i for i, t in enumerate(vals) if t is not None]
         for lo in range(0, len(live), bs):
@@ -175,12 +182,12 @@ def embed_with_model(
                 fn([str(vals[i]) for i in chunk]), len(chunk), what
             )
             for i, v in zip(chunk, out):
-                if seen_dim is None:
-                    seen_dim = int(v.shape[0])
-                elif v.shape[0] != seen_dim:
+                if pinned_dim[0] is None:
+                    pinned_dim[0] = int(v.shape[0])
+                elif v.shape[0] != pinned_dim[0]:
                     raise ValueError(
                         f"{what}: vector dim {v.shape[0]} != "
-                        f"expected {seen_dim}"
+                        f"expected {pinned_dim[0]}"
                     )
                 vecs[i] = v
         return pd.Series(vecs, dtype=object)

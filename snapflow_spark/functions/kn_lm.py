@@ -662,13 +662,20 @@ def train_kn_ngram(
     )
     if min_gram_count > 1:
         counts = counts.where(F.col("c") >= int(min_gram_count))
-    n_types = counts.count()
-    if n_types > int(max_gram_types):
-        raise ValueError(
-            f"train_kn_ngram: {n_types} order-{order} gram types exceed "
-            f"max_gram_types={max_gram_types} — raise min_gram_count / "
-            f"min_word_count / max_vocab (or max_gram_types if the "
-            f"driver really has the memory) before collecting"
-        )
-    c_top = {r.g: int(r.c) for r in counts.collect()}
+    # persist across the guard-count + collect pair so the OOM guard
+    # doesn't pay the corpus-scale tokenize+explode+groupBy twice
+    counts = counts.persist()
+    try:
+        n_types = counts.count()
+        if n_types > int(max_gram_types):
+            raise ValueError(
+                f"train_kn_ngram: {n_types} order-{order} gram types "
+                f"exceed max_gram_types={max_gram_types} — raise "
+                f"min_gram_count / min_word_count / max_vocab (or "
+                f"max_gram_types if the driver really has the memory) "
+                f"before collecting"
+            )
+        c_top = {r.g: int(r.c) for r in counts.collect()}
+    finally:
+        counts.unpersist()
     return KNGramLM.from_counts(c_top, int(order), modified=modified)

@@ -933,7 +933,7 @@ def _text_embed(
     input: DataFrame,  # noqa: A002
     text_col: str = "text",
     out_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     salt: str = "embed-v1",
     model: str | None = None,
     batch_size: int = 1024,
@@ -948,9 +948,11 @@ def _text_embed(
       declared as an import path, resolved lazily per worker and
       Arrow-batched via a scalar pandas UDF so ONLY the text column
       crosses the python boundary (functions.embed.embed_with_model) — the
-      real-model path for semantic vectors.  ``dim`` is then an
-      enforced contract (set it to the model's output width);
-      ``batch_size`` matches the model's optimal batch."""
+      real-model path for semantic vectors.  ``dim`` defaults to the
+      model's own width there (validated only when declared — same
+      contract as core.semantic_dedup/core.d4's model path) and to 64
+      on the hashed producer; ``batch_size`` matches the model's
+      optimal batch."""
     if model is not None:
         from snapflow_spark.functions.embed import embed_with_model
 
@@ -959,13 +961,16 @@ def _text_embed(
             str(model),
             text_col=text_col,
             out_col=out_col,
-            dim=int(dim),
+            dim=None if dim is None else int(dim),
             batch_size=int(batch_size),
         )
     from snapflow_spark.functions.text import hashed_embedding_udf
 
     return input.withColumn(
-        out_col, hashed_embedding_udf(text_col, dim=int(dim), salt=salt)
+        out_col,
+        hashed_embedding_udf(
+            text_col, dim=64 if dim is None else int(dim), salt=salt
+        ),
     )
 
 
