@@ -324,6 +324,7 @@ def perplexity_buckets(
     salt: str = "dsir-v1",
     ref_pred: Column | None = None,
     lm=None,
+    keep_thresholds: bool = False,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4):
     score every document's LM perplexity against the reference
@@ -349,7 +350,10 @@ def perplexity_buckets(
     ``percentile_approx`` (relative-rank accuracy ``accuracy``; the
     100 TB path) to the exact ``percentile`` aggregate, which
     materializes each group's values — use it for oracles and tests,
-    not for corpora that don't fit a task."""
+    not for corpora that don't fit a task. ``keep_thresholds=True``
+    retains the group's quantile cut points as ``ppl_q_lo`` /
+    ``ppl_q_hi`` columns (audit / oracle use) instead of dropping
+    them."""
     lo, hi = fractions
     if not (0.0 < lo < hi < 1.0):
         raise ValueError(f"fractions must satisfy 0 < lo < hi < 1: {fractions}")
@@ -390,4 +394,9 @@ def perplexity_buckets(
         .when(F.col("ppl") <= F.col("__q_hi"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return joined.withColumn("ppl_bucket", bucket).drop("__q_lo", "__q_hi")
+    out = joined.withColumn("ppl_bucket", bucket)
+    if keep_thresholds:
+        return out.withColumnRenamed("__q_lo", "ppl_q_lo").withColumnRenamed(
+            "__q_hi", "ppl_q_hi"
+        )
+    return out.drop("__q_lo", "__q_hi")

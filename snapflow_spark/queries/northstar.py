@@ -810,6 +810,65 @@ def _c4_oracle_branch() -> str:
       FROM cbc JOIN ctot USING (doc_id)
       GROUP BY doc_id, tot
     ) sc USING (doc_id)
+    UNION ALL
+    -- 'ppl' branch (round 12): CCNet head/middle/tail perplexity
+    -- split (Wenzek et al. 2020 §4.4) replayed exactly — hashed-gram
+    -- LM cross-entropy against the en slice (the dsir machinery,
+    -- same salt + buckets), ppl = exp(ce), EXACT per-language
+    -- terciles via quantile_cont (== Spark percentile: linear
+    -- interpolation at p*(n-1)), bucket tags from the thresholds;
+    -- ppl and both cut points packed into the fingerprint as
+    -- round(x*1e6) integers (tercile fracs are {0,1/3,2/3} so the
+    -- rounding never sits on a half boundary)
+    SELECT 'ppl' AS branch, doc_id, lang,
+           CASE WHEN ppl <= q_lo THEN 'head'
+                WHEN ppl <= q_hi THEN 'middle'
+                ELSE 'tail' END AS lang_pred,
+           ce AS quality,
+           CAST(CAST(round(ppl * 1000000) AS BIGINT) AS VARCHAR) || '|' ||
+           CAST(CAST(round(q_lo * 1000000) AS BIGINT) AS VARCHAR) || '|' ||
+           CAST(CAST(round(q_hi * 1000000) AS BIGINT) AS VARCHAR)
+             AS fingerprint,
+           CAST(n_grams AS BIGINT) AS n_tokens
+    FROM (
+      WITH ptoks AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               regexp_extract_all(lower(text), '[\p{L}]+') AS t
+        FROM documents
+      ), pgrams AS (
+        SELECT doc_id, is_t, unnest(t) AS g FROM ptoks
+        UNION ALL
+        SELECT doc_id, is_t,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        FROM ptoks
+      ), pgb AS (
+        SELECT g, CAST(list_sum(list_transform(range(0, 8), j ->
+            (CAST(instr('0123456789abcdef', substr(sha256('dsir-v1' || g), j + 1, 1)) AS BIGINT) - 1)
+            << (4 * (7 - CAST(j AS INT))))) AS BIGINT) % 10000 AS b
+        FROM (SELECT DISTINCT g FROM pgrams)
+      ), pocc AS (
+        SELECT doc_id, is_t, b FROM pgrams JOIN pgb USING (g)
+      ), ptot AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE is_t) AS DOUBLE) AS T FROM pocc
+      ), pbc AS (
+        SELECT b, CAST(COUNT(*) FILTER (WHERE is_t) AS DOUBLE) AS tc
+        FROM pocc GROUP BY b
+      ), pscore AS (
+        SELECT doc_id, COUNT(*) AS n_grams,
+               round(ln(T + 10000.0) - AVG(ln(tc + 1.0)), 6) AS ce
+        FROM pocc JOIN pbc USING (b) CROSS JOIN ptot
+        GROUP BY doc_id, T
+      ), pdoc AS (
+        SELECT p.doc_id, d.lang, p.n_grams, p.ce,
+               round(exp(p.ce), 6) AS ppl
+        FROM pscore p JOIN documents d USING (doc_id)
+      ), pth AS (
+        SELECT lang, quantile_cont(ppl, [1.0/3, 2.0/3]) AS qs
+        FROM pdoc GROUP BY lang
+      )
+      SELECT pdoc.*, qs[1] AS q_lo, qs[2] AS q_hi
+      FROM pdoc JOIN pth USING (lang)
+    ) pres
     """
     + _gopher_oracle_branch()
     + _c4_oracle_branch(),
@@ -833,7 +892,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed into the fingerprint) ∪ the C4 cleaning battery ('c4'
     branch, round 9 — operators.c4: line-level keep rules + page
     rules, the CLEANED text's sha256 in the fingerprint so the edit
-    itself is hash-proven, not just the keep decision)."""
+    itself is hash-proven, not just the keep decision) ∪ the CCNet
+    perplexity tier ('ppl' branch, round 12 —
+    operators.selection.perplexity_buckets with ref_pred = the en
+    slice, by='lang', exact terciles: LM cross-entropy in quality,
+    head/middle/tail tag in lang_pred, and ppl + both per-language
+    cut points packed into the fingerprint as round(x*1e6) integers,
+    so the quantile thresholds themselves are hash-proven)."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     null_s = F.lit(None).cast("string")
     quality = d.select(
@@ -944,10 +1009,40 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
+    # 'ppl' branch (round 12): CCNet head/middle/tail split against
+    # the en slice — the hashed-gram scorer (dsir machinery, same
+    # salt) with EXACT per-language terciles; thresholds survive into
+    # the fingerprint via keep_thresholds so the oracle proves the
+    # quantiles, not just the tags
+    from snapflow_spark.operators.selection import perplexity_buckets
+
+    pb = perplexity_buckets(
+        d.select("doc_id", "lang", "text"),
+        ref_pred=F.col("lang") == "en",
+        by="lang",
+        exact=True,
+        keep_thresholds=True,
+    )
+
+    def _pmicro(c: str) -> F.Column:
+        return F.round(F.col(c) * 1000000.0, 0).cast("long").cast("string")
+
+    ppl = pb.select(
+        F.lit("ppl").alias("branch"),
+        "doc_id",
+        "lang",
+        F.col("ppl_bucket").alias("lang_pred"),
+        F.col("cross_entropy").alias("quality"),
+        F.concat_ws(
+            "|", _pmicro("ppl"), _pmicro("ppl_q_lo"), _pmicro("ppl_q_hi")
+        ).alias("fingerprint"),
+        F.col("n_grams").cast("bigint").alias("n_tokens"),
+    )
     return (
         quality.unionByName(dsir.unionByName(clf))
         .unionByName(gopher)
         .unionByName(c4)
+        .unionByName(ppl)
     )
 
 

@@ -327,3 +327,35 @@ def test_ppl_buckets_yaml_keep(spark, tmp_path):
     rows = g.read(spark, "head_docs").collect()
     assert rows and all(r.ppl_bucket == "head" for r in rows)
     assert {"doc_id", "text", "lang", "ppl", "ppl_bucket"} <= set(rows[0].asDict())
+
+
+def test_perplexity_buckets_keep_thresholds(raw, spark):
+    """keep_thresholds=True exposes each group's exact cut points as
+    ppl_q_lo/ppl_q_hi (numpy linear-interpolation parity) and the
+    bucket tag derives from THOSE columns; the default still drops
+    the internal threshold columns."""
+    import numpy as np
+
+    from snapflow_spark.operators.selection import perplexity_buckets
+
+    ref_pred = F.col("lang") == "en"
+    rows = perplexity_buckets(
+        raw, ref_pred=ref_pred, by="lang", exact=True, keep_thresholds=True
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, grp in by_lang.items():
+        lo, hi = np.quantile([r.ppl for r in grp], [1 / 3, 2 / 3])
+        for r in grp:
+            assert r.ppl_q_lo == pytest.approx(lo, abs=1e-9), lang
+            assert r.ppl_q_hi == pytest.approx(hi, abs=1e-9), lang
+            want = (
+                "head"
+                if r.ppl <= r.ppl_q_lo
+                else "middle" if r.ppl <= r.ppl_q_hi else "tail"
+            )
+            assert r.ppl_bucket == want
+
+    cols = perplexity_buckets(raw, ref_pred=ref_pred, exact=True).columns
+    assert "ppl_q_lo" not in cols and "__q_lo" not in cols

@@ -93,7 +93,7 @@ EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
         "pin). 'winnow'/'spans' branches unchanged from round 6",
     ),
     "q_text_quality": (
-        11,
+        26,
         "reviewed round 6, re-reviewed round 9: the dsir "
         "deferred-totals rewrite makes the per-doc agg subtree appear "
         "TWICE in the STATIC plan (main path + 1-row totals) — at "
@@ -110,7 +110,18 @@ EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
         "not an operator shuffle. The round-9 'c4' branch is pure "
         "line/array algebra: map-only, zero exchanges of its own — "
         "its +1 is its union-branch copy of the same "
-        "ensure_parallelism repartition",
+        "ensure_parallelism repartition. The round-12 'ppl' branch "
+        "(CCNet terciles) re-renders the lm_cross_entropy scored "
+        "subtree three ways in the STATIC plan (main path, 1-row "
+        "totals, per-lang thresholds agg) — the static count jumps "
+        "to 26, but the subtrees are byte-identical so at runtime "
+        "AQE ReuseExchange collapses them (verified: isFinalPlan "
+        "carries 20 ReusedExchange refs); corpus-side effective work "
+        "is ONE gram-bucket exchange (shared with the dsir branch — "
+        "same tagged grams, same salt) + ONE per-doc agg exchange, "
+        "everything after is doc-level (N rows, not gram-level): "
+        "thresholds groupBy(lang), broadcast threshold join, "
+        "doc-metadata join",
     ),
 }
 
