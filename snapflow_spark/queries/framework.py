@@ -151,6 +151,27 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
            OR ends_with(COALESCE(url_host_registered_domain,
                                  url_host_name), '.example.com'))
       AND list_contains(string_split(content_languages, ','), 'eng')
+    UNION ALL
+    -- 'binary' branch (round 12): the multimodal on-ramp
+    -- (read_binary_files) with its whole filter stack live — glob
+    -- prunes the .meta sidecars at LISTING time, max_bytes drops the
+    -- oversized blobs on the catalog length column — and the kept
+    -- files fingerprinted as sha256(content)|length, replayed here
+    -- over the same deterministic blob construction (unit line
+    -- repeated key+1 times; key%7==3 rows inflate to 4000 reps and
+    -- fall to the max_bytes=2000 filter)
+    SELECT 'binary' AS fmt, n_nationkey,
+           sha256(blob) || '|' || CAST(strlen(blob) AS VARCHAR) AS n_name,
+           CAST(strlen(blob) AS INT) AS n_regionkey
+    FROM (
+      SELECT n_nationkey,
+             repeat(CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|'
+                    || CAST(n_regionkey AS VARCHAR) || chr(10),
+                    CASE WHEN n_nationkey % 7 = 3 THEN 4000
+                         ELSE n_nationkey + 1 END) AS blob
+      FROM nation
+    )
+    WHERE strlen(blob) <= 2000
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,8 +182,10 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (CSV with schema inference; JDBC as parallel range scans via
     partitionColumn bounds — the at-scale shape; WARC through the
     streaming DataSource reader), plus the cc-index filter-compilation
-    branch — every round trip proven lossless against the oracle's
-    re-emission of the table."""
+    branch and the binaryFile on-ramp branch (round 12: glob sidecar
+    pruning + catalog-only max_bytes live, content proven bit-exact
+    via sha256|length fingerprints) — every round trip proven
+    lossless against the oracle's re-emission of the table."""
     csv_path = str(_SCRATCH / "csv_roundtrip" / "nation")
     write_csv(load_table(spark, sf_dir, "nation"), csv_path)
     from_csv = read_csv(spark, csv_path).select(
@@ -278,6 +301,42 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             wparts.getItem(2).cast("int").alias("n_regionkey"),
         )
     )
+    # 'binary' branch (round 12): the multimodal on-ramp live — one
+    # deterministic blob per nation row plus a .meta sidecar per row;
+    # read_binary_files' pathGlobFilter must prune every sidecar at
+    # LISTING time and max_bytes must drop the key%7==3 rows (their
+    # blob inflates to 4000 unit reps) on the catalog length column
+    # without reading a byte; kept files fingerprint as
+    # sha256(content)|length so the CONTENT round-trips bit-exactly,
+    # not just the row count
+    import shutil
+
+    bin_dir = _SCRATCH / "binary_roundtrip"
+    shutil.rmtree(bin_dir, ignore_errors=True)
+    bin_dir.mkdir(parents=True, exist_ok=True)
+    for r in nation_rows:  # 25 rows: the dim table, bounded
+        unit = f"{r.n_nationkey}|{r.n_name}|{r.n_regionkey}\n"
+        reps = 4000 if r.n_nationkey % 7 == 3 else r.n_nationkey + 1
+        (bin_dir / f"nation_{r.n_nationkey}.bin").write_bytes(
+            (unit * reps).encode()
+        )
+        (bin_dir / f"nation_{r.n_nationkey}.meta").write_bytes(b"sidecar")
+    from snapflow_spark.sources.io import read_binary_files
+
+    from_bin = read_binary_files(
+        spark, str(bin_dir), glob="*.bin", max_bytes=2000
+    ).select(
+        F.lit("binary").alias("fmt"),
+        F.regexp_extract(F.col("path"), r"nation_(\d+)\.bin$", 1)
+        .cast("int")
+        .alias("n_nationkey"),
+        F.concat(
+            F.sha2(F.col("content"), 256),
+            F.lit("|"),
+            F.col("length").cast("string"),
+        ).alias("n_name"),
+        F.col("length").cast("int").alias("n_regionkey"),
+    )
     # 'cc_index' branch (round 11): a deterministic nation-derived
     # cc-index table round-trips through the partitioned parquet
     # layout and read_cc_index's full filter stack (crawl/subset
@@ -347,6 +406,7 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(from_jdbc)
         .unionByName(from_text)
         .unionByName(from_warc)
+        .unionByName(from_bin)
         .unionByName(from_cc)
     )
 
