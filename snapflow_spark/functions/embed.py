@@ -39,7 +39,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
 
-__all__ = ["ImportedCallable", "embed_with_model"]
+__all__ = ["ImportedCallable", "embed_with_model", "stub_embed_batch"]
+
+
+def stub_embed_batch(texts: list) -> np.ndarray:
+    """Deterministic numpy stand-in encoder satisfying the model
+    contract — bench/test double for the embed hook (real encoders
+    aren't in this container).  Byte-histogram embedding: dim-32
+    float32 vectors of UTF-8 byte counts mod 32, L1-normalized, so
+    the per-text cost is a vectorized numpy pass with the same
+    batch-in/matrix-out shape a real model has.  Used by the
+    ``op_embed_model`` SCALE row via its import path
+    (``snapflow_spark.functions.embed:stub_embed_batch``)."""
+    out = np.zeros((len(texts), 32), dtype=np.float32)
+    for i, t in enumerate(texts):
+        b = np.frombuffer(str(t).encode("utf-8"), dtype=np.uint8)
+        if b.size:
+            np.add.at(out[i], b % 32, 1.0)
+            out[i] /= b.size
+    return out
 
 
 class ImportedCallable:

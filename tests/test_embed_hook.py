@@ -253,3 +253,26 @@ def test_yaml_semantic_dedup_and_d4_with_model_param(spark, tmp_path):
     assert all(sem[i] for i in (2, 3, 4, 5))
     d4 = {r.doc_id: r.is_kept for r in g.read(spark, "d4").collect()}
     assert not d4[1] and len(d4) == 6  # dup dropped there too
+
+
+def test_stub_embed_batch_via_import_path(spark):
+    """The bench stand-in encoder (op_embed_model's model) satisfies
+    the contract through the production wiring: import-path
+    resolution, dim enforcement, determinism, L1 normalization."""
+    import numpy as np
+
+    from snapflow_spark.functions.embed import stub_embed_batch
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "hello world"), (2, None), (3, "xyz")],
+        "doc_id bigint, text string",
+    )
+    out = embed_with_model(
+        docs, "snapflow_spark.functions.embed:stub_embed_batch", dim=32
+    )
+    got = {r.doc_id: r.embedding for r in out.collect()}
+    assert got[0] == got[1] and got[2] is None
+    assert len(got[0]) == 32
+    assert abs(sum(got[0]) - 1.0) < 1e-5  # L1-normalized histogram
+    want = stub_embed_batch(["hello world"])[0]
+    assert np.allclose(got[0], want)

@@ -195,6 +195,14 @@ HEAVY = {
         "delta, append-write its cell partitions; warm ratio ~1 is "
         "the claim (delta cost independent of standing-index size)"
     ),
+    "op_embed_model": (
+        "documents; round-11 model-embedding hook with the "
+        "deterministic numpy stand-in encoder "
+        "(embed.stub_embed_batch, resolved per worker via its import "
+        "path) — scalar Arrow pandas UDF, map-only: ONLY the text "
+        "column crosses the python boundary and only the vectors "
+        "come back; expected ~linear in text bytes"
+    ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
     "q_stream_windows": "events; tumbling+sliding agg",
@@ -551,6 +559,24 @@ def _op_kn_score(spark, sf_dir: str):
     return _KN_LM.score(d)
 
 
+def _op_embed_model(spark, sf_dir: str):
+    """The embed hook's scale row: the stand-in encoder embeds the
+    whole corpus through the scalar-UDF map-only stage.  doc_id rides
+    along as the pass-through column; text is the only column that
+    crosses the python boundary (scalar pandas UDF ships just its
+    argument), which is the claim this row measures."""
+    from snapflow_spark.catalog import ensure_parallelism, load_table
+    from snapflow_spark.functions.embed import embed_with_model
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return embed_with_model(
+        d.select("doc_id", "text"),
+        "snapflow_spark.functions.embed:stub_embed_batch",
+        dim=32,
+        batch_size=512,
+    )
+
+
 _INC_STORES: dict = {}
 
 
@@ -694,6 +720,7 @@ def main() -> None:
     queries["op_chunk_text"] = _op_chunk_text
     queries["op_d4"] = _op_d4
     queries["op_kn_score"] = _op_kn_score
+    queries["op_embed_model"] = _op_embed_model
     queries["op_dedup_incremental"] = _op_dedup_incremental
     queries["op_ivfpq_append"] = _op_ivfpq_append
 
