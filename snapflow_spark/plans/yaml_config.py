@@ -1383,6 +1383,27 @@ def _scan_files(
     return df
 
 
+def _scan_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """core.scan_delta: zero-input source node over a Delta-layout
+    table (sources.delta.read_delta — the open-table-format bridge):
+    commit-log replay, ``version:`` time travel, and
+    ``partition_filter:`` pruning the FILE LIST before any parquet is
+    opened."""
+    from snapflow_spark.sources.delta import read_delta
+
+    return read_delta(
+        spark,
+        path,
+        version=None if version is None else int(version),
+        partition_filter=partition_filter,
+    )
+
+
 def _scan_warc(
     spark: SparkSession,
     path: str,
@@ -1456,6 +1477,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.semantic_dedup": _semantic_dedup,
     "core.d4": _d4,
     "core.scan_files": _scan_files,
+    "core.scan_delta": _scan_delta,
     "core.text_embed": _text_embed,
     "core.sniff_format": _sniff_format,
     "core.http_parts": _http_parts,

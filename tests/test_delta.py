@@ -1,0 +1,279 @@
+"""Delta Lake layout bridge (sources/delta.py): commit-log replay,
+partition pruning on the file list, time travel, checkpoint seeding,
+loud guards for unimplemented reader features, SnapshotStore export —
+including a log synthesized BY HAND (an external producer, not our
+writer) so the reader is proven against the protocol, not against our
+own writer's habits."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapflow_spark.sources.delta import (
+    delta_snapshot,
+    read_delta,
+    snapshot_store_to_delta,
+    write_delta,
+    write_delta_checkpoint,
+)
+
+ROWS_V0 = [(0, "alpha", "en"), (1, "beta", "en"), (2, "gamma", "de")]
+ROWS_V1 = [(3, "delta", "fr"), (4, "epsilon", "de")]
+SCHEMA = "doc_id bigint, text string, lang string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return {(r.doc_id, r.text, r.lang) for r in df.collect()}
+
+
+def test_write_read_round_trip_partitioned(spark, tmp_path):
+    path = tmp_path / "tbl"
+    v = write_delta(_df(spark, ROWS_V0), path, partition_by=["lang"])
+    assert v == 0
+    out = read_delta(spark, path)
+    assert _rows(out) == set(ROWS_V0)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "text", "lang"]
+    # data files live in hive dirs and do NOT contain the partition col
+    snap = delta_snapshot(spark, path)
+    assert snap.partition_columns == ["lang"]
+    assert all(rel.startswith("lang=") for rel, _pv, _sz in snap.files)
+    one = Path(path) / snap.files[0][0]
+    direct = spark.read.parquet(str(one.parent))
+    assert "lang" not in direct.columns
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path, partition_by=["lang"])
+    v1 = write_delta(_df(spark, ROWS_V1), path, mode="append")
+    assert v1 == 1
+    assert _rows(read_delta(spark, path)) == set(ROWS_V0) | set(ROWS_V1)
+    assert _rows(read_delta(spark, path, version=0)) == set(ROWS_V0)
+    replacement = [(9, "omega", "zz")]
+    v2 = write_delta(_df(spark, replacement), path, mode="overwrite")
+    assert v2 == 2
+    assert _rows(read_delta(spark, path)) == set(replacement)
+    # old versions still readable: overwrite tombstones, never deletes
+    assert _rows(read_delta(spark, path, version=1)) == set(ROWS_V0) | set(
+        ROWS_V1
+    )
+    with pytest.raises(ValueError, match="version 3"):
+        read_delta(spark, path, version=3)
+
+
+def test_partition_pruning_on_file_list(spark, tmp_path):
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0 + ROWS_V1), path, partition_by=["lang"])
+    out = read_delta(spark, path, partition_filter={"lang": "de"})
+    assert _rows(out) == {r for r in ROWS_V0 + ROWS_V1 if r[2] == "de"}
+    # the pruning happened at the FILE LIST: no non-de file is scanned
+    assert out.count() and all("lang=de" in f for f in out.inputFiles())
+    with pytest.raises(ValueError, match="non-partition"):
+        read_delta(spark, path, partition_filter={"text": "alpha"})
+
+
+def test_null_partition_value_round_trips(spark, tmp_path):
+    path = tmp_path / "tbl"
+    rows = [(0, "a", "en"), (1, "b", None)]
+    write_delta(_df(spark, rows), path, partition_by=["lang"])
+    assert _rows(read_delta(spark, path)) == set(rows)
+    got = read_delta(spark, path, partition_filter={"lang": None})
+    assert _rows(got) == {(1, "b", None)}
+
+
+def test_reader_against_hand_synthesized_log(spark, tmp_path):
+    """An EXTERNAL producer's table: parquet files + JSON commits
+    written by hand (URL-encoded path, JSON-null partition value,
+    remove tombstone in a later commit). Proves the reader speaks the
+    protocol, not just our writer's output."""
+    table = tmp_path / "ext"
+    log = table / "_delta_log"
+    log.mkdir(parents=True)
+
+    def data_file(rel: str, rows):
+        p = table / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(str(p) + ".tmp")
+        part = next(Path(str(p) + ".tmp").glob("*.parquet"))
+        part.rename(p)
+        import shutil
+
+        shutil.rmtree(str(p) + ".tmp")
+
+    data_file("lang=en/f one.parquet", [(0, "a"), (1, "b")])
+    data_file("lang=de/f2.parquet", [(2, "c")])
+    data_file("f3.parquet", [(3, "d")])  # null-partition file
+    schema_str = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string"
+    ).schema.json()
+    meta = {
+        "metaData": {
+            "id": "ext-1",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str,
+            "partitionColumns": ["lang"],
+            "configuration": {},
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    adds = [
+        {"add": {"path": "lang=en/f%20one.parquet",
+                 "partitionValues": {"lang": "en"}, "size": 1,
+                 "dataChange": True}},
+        {"add": {"path": "lang=de/f2.parquet",
+                 "partitionValues": {"lang": "de"}, "size": 1,
+                 "dataChange": True}},
+        {"add": {"path": "f3.parquet",
+                 "partitionValues": {"lang": None}, "size": 1,
+                 "dataChange": True}},
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in [proto, meta, *adds]) + "\n"
+    )
+    got = read_delta(spark, table)
+    assert _rows(got) == {
+        (0, "a", "en"), (1, "b", "en"), (2, "c", "de"), (3, "d", None)
+    }
+    # commit 1: tombstone the de file
+    (log / f"{1:020d}.json").write_text(
+        json.dumps({"remove": {"path": "lang=de/f2.parquet",
+                               "dataChange": True}}) + "\n"
+    )
+    assert _rows(read_delta(spark, table)) == {
+        (0, "a", "en"), (1, "b", "en"), (3, "d", None)
+    }
+    assert _rows(read_delta(spark, table, version=0)) == {
+        (0, "a", "en"), (1, "b", "en"), (2, "c", "de"), (3, "d", None)
+    }
+
+
+def test_checkpoint_seeds_after_log_cleanup(spark, tmp_path):
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path, partition_by=["lang"])
+    write_delta(_df(spark, ROWS_V1), path, mode="append")
+    cp_v = write_delta_checkpoint(spark, path)
+    assert cp_v == 1
+    want = set(ROWS_V0) | set(ROWS_V1)
+    assert _rows(read_delta(spark, path)) == want
+    # simulate retention cleanup: drop every JSON commit <= checkpoint
+    log = Path(path) / "_delta_log"
+    for v in (0, 1):
+        (log / f"{v:020d}.json").unlink()
+    assert _rows(read_delta(spark, path)) == want  # checkpoint seeds
+    with pytest.raises(FileNotFoundError, match="commit 0 missing"):
+        read_delta(spark, path, version=0)
+    # commits after the checkpoint still replay on top of it
+    write_delta(_df(spark, [(7, "eta", "en")]), path, mode="append")
+    assert _rows(read_delta(spark, path)) == want | {(7, "eta", "en")}
+
+
+def test_loud_guards(spark, tmp_path):
+    table = tmp_path / "ext"
+    log = table / "_delta_log"
+    log.mkdir(parents=True)
+    schema_str = spark.createDataFrame([], SCHEMA).schema.json()
+
+    def commit(actions):
+        (log / f"{0:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+
+    base_meta = {
+        "id": "x", "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_str, "partitionColumns": [],
+        "configuration": {},
+    }
+    # column mapping
+    commit([
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**base_meta, "configuration":
+                      {"delta.columnMapping.mode": "name"}}},
+    ])
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        read_delta(spark, table)
+    # deletion vector on a live file
+    commit([
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": base_meta},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "dataChange": True,
+                 "deletionVector": {"storageType": "u"}}},
+    ])
+    with pytest.raises(NotImplementedError, match="deletion"):
+        read_delta(spark, table)
+    # reader features beyond this bridge
+    commit([
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        {"metaData": base_meta},
+    ])
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta(spark, table)
+
+
+def test_write_modes_and_contracts(spark, tmp_path):
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path, partition_by=["lang"])
+    with pytest.raises(FileExistsError):
+        write_delta(_df(spark, ROWS_V1), path, mode="error")
+    with pytest.raises(ValueError, match="partitioned by"):
+        write_delta(_df(spark, ROWS_V1), path, mode="append",
+                    partition_by=[])
+    with pytest.raises(ValueError, match="schema differs"):
+        write_delta(
+            _df(spark, ROWS_V1).withColumn("extra", F.lit(1)),
+            path, mode="append",
+        )
+    with pytest.raises(ValueError, match="not in"):
+        write_delta(_df(spark, ROWS_V0), tmp_path / "t2",
+                    partition_by=["nope"])
+
+
+def test_snapshot_store_export(spark, tmp_path):
+    from snapflow_spark.incremental.store import SnapshotStore
+
+    store = SnapshotStore(tmp_path / "store")
+    store.append(_df(spark, ROWS_V0))
+    store.append(_df(spark, ROWS_V1))
+    path = tmp_path / "delta_out"
+    v = snapshot_store_to_delta(store, spark, path)
+    assert v == 0
+    assert _rows(read_delta(spark, path)) == set(ROWS_V0) | set(ROWS_V1)
+    empty = SnapshotStore(tmp_path / "empty")
+    assert snapshot_store_to_delta(empty, spark, tmp_path / "d2") is None
+
+
+def test_yaml_scan_delta_builtin(spark, tmp_path):
+    """core.scan_delta as a zero-input graph source: time travel +
+    partition pruning through the YAML surface."""
+    from snapflow_spark.plans import load_graph
+
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0 + ROWS_V1), path, partition_by=["lang"])
+    cfg = {
+        "warehouse": str(tmp_path / "wh_delta"),
+        "nodes": [
+            {
+                "name": "de_docs",
+                "function": "core.scan_delta",
+                "params": {
+                    "path": str(path),
+                    "partition_filter": {"lang": "de"},
+                },
+                "overwrite": True,
+            }
+        ],
+    }
+    g = load_graph(cfg)
+    assert g.produce(spark) == 1
+    got = _rows(g.read(spark, "de_docs"))
+    assert got == {r for r in ROWS_V0 + ROWS_V1 if r[2] == "de"}
