@@ -281,6 +281,7 @@ class KNBigramLM:
         df: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
+        attach: bool = False,
     ) -> DataFrame:
         """(id_col, n_grams, cross_entropy, ppl) — same shape and
         rounding as operators.selection.lm_cross_entropy, so the two
@@ -288,7 +289,11 @@ class KNBigramLM:
         come from the engine's ``word_tokens_expr`` (the SAME
         tokenizer training used), the model rides an executor-wide
         broadcast, and the pass is one Arrow-batched map — no
-        shuffle, no corpus-side join."""
+        shuffle, no corpus-side join.  ``attach=True`` keeps every
+        input column and ADDS the three score columns instead of
+        projecting them out — the streaming-gate form (a later join
+        back would need watermarks; a map-only attach composes on
+        streams unchanged)."""
         from pyspark.sql.functions import pandas_udf
 
         from snapflow_spark.operators.retrieval import word_tokens_expr
@@ -304,14 +309,27 @@ class KNBigramLM:
             ]
             return pd.DataFrame(rows, columns=["n_grams", "ce"])
 
-        staged = df.select(
-            F.col(id_col), word_tokens_expr(text_col).alias("__toks")
-        ).withColumn("__s", ce_udf("__toks"))
-        return staged.select(
-            id_col,
-            F.col("__s.n_grams").alias("n_grams"),
-            F.round(F.col("__s.ce"), 6).alias("cross_entropy"),
-        ).withColumn("ppl", F.round(F.exp("cross_entropy"), 6))
+        base = (
+            df.withColumn("__toks", word_tokens_expr(text_col))
+            if attach
+            else df.select(
+                F.col(id_col), word_tokens_expr(text_col).alias("__toks")
+            )
+        )
+        staged = base.withColumn("__s", ce_udf("__toks"))
+        out = (
+            staged.withColumns(
+                {
+                    "n_grams": F.col("__s.n_grams"),
+                    "cross_entropy": F.round(F.col("__s.ce"), 6),
+                }
+            )
+            .drop("__toks", "__s")
+            .withColumn("ppl", F.round(F.exp("cross_entropy"), 6))
+        )
+        if attach:
+            return out
+        return out.select(id_col, "n_grams", "cross_entropy", "ppl")
 
 
 def train_kn_bigram(
@@ -560,10 +578,13 @@ class KNGramLM:
         df: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
+        attach: bool = False,
     ) -> DataFrame:
-        """Same contract as KNBigramLM.score — one Arrow-batched
-        map over Spark-tokenized arrays, model on an executor-wide
-        broadcast, (id, n_grams, cross_entropy, ppl) out."""
+        """Same contract as KNBigramLM.score (incl. ``attach=True``
+        keeping every input column — the streaming-gate form) — one
+        Arrow-batched map over Spark-tokenized arrays, model on an
+        executor-wide broadcast, (id, n_grams, cross_entropy, ppl)
+        out."""
         from pyspark.sql.functions import pandas_udf
 
         from snapflow_spark.operators.retrieval import word_tokens_expr
@@ -579,14 +600,27 @@ class KNGramLM:
             ]
             return pd.DataFrame(rows, columns=["n_grams", "ce"])
 
-        staged = df.select(
-            F.col(id_col), word_tokens_expr(text_col).alias("__toks")
-        ).withColumn("__s", ce_udf("__toks"))
-        return staged.select(
-            id_col,
-            F.col("__s.n_grams").alias("n_grams"),
-            F.round(F.col("__s.ce"), 6).alias("cross_entropy"),
-        ).withColumn("ppl", F.round(F.exp("cross_entropy"), 6))
+        base = (
+            df.withColumn("__toks", word_tokens_expr(text_col))
+            if attach
+            else df.select(
+                F.col(id_col), word_tokens_expr(text_col).alias("__toks")
+            )
+        )
+        staged = base.withColumn("__s", ce_udf("__toks"))
+        out = (
+            staged.withColumns(
+                {
+                    "n_grams": F.col("__s.n_grams"),
+                    "cross_entropy": F.round(F.col("__s.ce"), 6),
+                }
+            )
+            .drop("__toks", "__s")
+            .withColumn("ppl", F.round(F.exp("cross_entropy"), 6))
+        )
+        if attach:
+            return out
+        return out.select(id_col, "n_grams", "cross_entropy", "ppl")
 
 
 def load_lm(path: str):

@@ -1404,6 +1404,45 @@ def _scan_delta(
     )
 
 
+def _ingest_gate(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    langs: list[str] | None = None,
+    gopher: bool = True,
+    gopher_thresholds: dict | None = None,
+    lm: str | None = None,
+    ppl_max: float | None = None,
+    model: str | None = None,
+    dim: int | None = None,
+    batch_size: int = 1024,
+) -> DataFrame:
+    """core.ingest_gate: the live web-ingest curation composition
+    (streaming.ingest.web_ingest_gate) over WARC response rows —
+    HTTP split → sniff → HTML main text → lang-id → Gopher → trained
+    KN perplexity gate → embedding, every stage map-only so the node
+    body is stream-valid.  ``lm:`` is a trained artifact path (the
+    core.ppl_buckets convention) and requires a frozen ``ppl_max``;
+    ``model:`` is the embed hook's import path (hashed default
+    otherwise)."""
+    from snapflow_spark.streaming.ingest import web_ingest_gate
+
+    trained = None
+    if lm is not None:
+        from snapflow_spark.functions.kn_lm import load_lm
+
+        trained = load_lm(lm)
+    return web_ingest_gate(
+        input,
+        langs=tuple(langs) if langs is not None else ("en",),
+        gopher_thresholds=(gopher_thresholds if gopher else False),
+        lm=trained,
+        ppl_max=ppl_max,
+        embed_model=model,
+        embed_dim=dim,
+        embed_batch_size=int(batch_size),
+    )
+
+
 def _scan_warc(
     spark: SparkSession,
     path: str,
@@ -1464,6 +1503,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.tokenize": _tokenize,
     "core.dsir": _dsir,
     "core.ppl_buckets": _ppl_buckets,
+    "core.ingest_gate": _ingest_gate,
     "core.frequent_items": _frequent_items,
     "core.profile": _profile,
     "core.gopher_filter": _gopher_filter,

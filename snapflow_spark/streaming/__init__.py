@@ -10,6 +10,7 @@ from snapflow_spark.streaming.runner import (
     stream_to_snapshots,
     streaming_dedupe,
 )
+from snapflow_spark.streaming.ingest import web_ingest_gate
 from snapflow_spark.streaming.stateful import running_user_stats, running_user_stats_tws
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "streaming_dedupe",
     "running_user_stats",
     "running_user_stats_tws",
+    "web_ingest_gate",
 ]
