@@ -195,6 +195,16 @@ HEAVY = {
         "delta, append-write its cell partitions; warm ratio ~1 is "
         "the claim (delta cost independent of standing-index size)"
     ),
+    "op_ledger_commit": (
+        "documents-derived commit count; the snapshot-publish steady "
+        "state with a STANDING history (TableLedger commits + "
+        "SnapshotStore snapshot dirs, both ~n_docs/50): warm = a "
+        "FIXED 30-cycle batch of append+mark plus one checkpoint+"
+        "vacuum compaction — mark cost is O(delta) (one create-"
+        "exclusive file publish; the refresh listing is bounded by "
+        "vacuum), so warm should stay flat as the standing history "
+        "grows 10x"
+    ),
     "op_embed_model": (
         "documents; round-11 model-embedding hook with the "
         "deterministic numpy stand-in encoder "
@@ -577,6 +587,57 @@ def _op_embed_model(spark, sf_dir: str):
     )
 
 
+_LEDGER_ENVS: dict = {}
+
+
+def _op_ledger_commit(spark, sf_dir: str):
+    """Commit-path scale row: FIRST call per sf_dir synthesizes the
+    standing history (H = n_docs/50 ledger commits, checkpointed +
+    vacuumed, and H committed snapshot dirs — cold absorbs it, the
+    op_dedup_incremental convention); every call then runs the
+    steady state: 30 append+mark cycles plus one checkpoint+vacuum
+    compaction, returning a 1-row audit DataFrame so the noop-sink
+    protocol has something to materialize."""
+    import shutil
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.incremental.store import SnapshotStore
+    from snapflow_spark.incremental.table_ledger import TableLedger
+
+    env = _LEDGER_ENVS.get(sf_dir)
+    if env is None:
+        h = max(
+            load_table(spark, sf_dir, "documents").count() // 50, 10
+        )
+        root = Path(".scratch") / f"ledger_{h}"
+        shutil.rmtree(root, ignore_errors=True)
+        store = SnapshotStore(root / "store")
+        first = store.append(spark.range(1).toDF("v"))
+        src = store.path / first
+        for i in range(1, h):  # synthesized committed history dirs
+            shutil.copytree(src, store.path / f"snapshot-{i:06d}")
+        ledger = TableLedger(root / "ledger")
+        for i in range(h):
+            ledger.mark_consumed("node", "input", [f"snapshot-{i:06d}"])
+            if (i + 1) % 200 == 0:
+                ledger.vacuum()
+        ledger.checkpoint()
+        ledger.vacuum()
+        env = _LEDGER_ENVS[sf_dir] = (store, ledger, h)
+    store, ledger, h = env
+    delta = spark.range(1).toDF("v")
+    for _ in range(30):
+        sid = store.append(delta)
+        ledger.mark_consumed("node", "input", [sid])
+    ledger.checkpoint()
+    ledger.vacuum()
+    n = len(ledger.consumed("node", "input"))
+    return spark.createDataFrame(
+        [(h, n, len(store.snapshot_ids()))],
+        "history int, consumed int, snapshots int",
+    )
+
+
 _INC_STORES: dict = {}
 
 
@@ -721,6 +782,7 @@ def main() -> None:
     queries["op_d4"] = _op_d4
     queries["op_kn_score"] = _op_kn_score
     queries["op_embed_model"] = _op_embed_model
+    queries["op_ledger_commit"] = _op_ledger_commit
     queries["op_dedup_incremental"] = _op_dedup_incremental
     queries["op_ivfpq_append"] = _op_ivfpq_append
 
