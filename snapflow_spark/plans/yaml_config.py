@@ -1404,6 +1404,27 @@ def _scan_delta(
     )
 
 
+def _scan_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """core.scan_iceberg: zero-input source node over an
+    Iceberg-layout table (sources.iceberg.read_iceberg — metadata
+    JSON + Avro manifests parsed from scratch): ``snapshot_id:`` time
+    travel, ``partition_filter:`` pruning the file list on
+    identity-transform partition values."""
+    from snapflow_spark.sources.iceberg import read_iceberg
+
+    return read_iceberg(
+        spark,
+        path,
+        snapshot_id=None if snapshot_id is None else int(snapshot_id),
+        partition_filter=partition_filter,
+    )
+
+
 def _ingest_gate(
     spark: SparkSession,
     input: DataFrame,  # noqa: A002
@@ -1518,6 +1539,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.d4": _d4,
     "core.scan_files": _scan_files,
     "core.scan_delta": _scan_delta,
+    "core.scan_iceberg": _scan_iceberg,
     "core.text_embed": _text_embed,
     "core.sniff_format": _sniff_format,
     "core.http_parts": _http_parts,

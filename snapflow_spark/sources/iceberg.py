@@ -1,0 +1,548 @@
+"""Apache Iceberg table-layout bridge — read (and export) the open
+Iceberg metadata format from scratch, no iceberg-spark runtime.
+
+The second half of the open-table-format story (sources/delta.py is
+the first): Iceberg's metadata tree is JSON at the root and AVRO
+below —
+
+    metadata/v<N>.metadata.json   table metadata: schemas, partition
+                                  specs, snapshot list, current id
+      └─ snapshot.manifest-list   Avro: one entry per manifest file
+           └─ manifest .avro      Avro: one entry per DATA FILE with
+                                  status, partition values, stats
+
+so reading needs the from-scratch Avro object-container codec
+(functions/avro_codec.py).  ``read_iceberg`` resolves the current (or
+``snapshot_id=``-selected) snapshot, walks manifest-list → manifests,
+keeps live entries (status != DELETED), prunes the file list on
+``partition_filter`` against identity-transform partition values, and
+scans the surviving parquet with the schema mapped from Iceberg's
+JSON types.  Unlike Delta, Iceberg DATA FILES CONTAIN every column
+(partition columns included), so no literal re-attachment happens.
+
+``write_iceberg`` exports a DataFrame as a valid format-version-1
+table (unpartitioned spec — the export is an off-ramp, not a full
+writer): parquet data files, a manifest per commit, a manifest list
+per snapshot, ``v<N>.metadata.json`` + ``version-hint.text``.
+Append keeps previous manifests in the new snapshot's list;
+overwrite starts a fresh list (old snapshots stay readable — time
+travel, same contract as write_delta).
+
+Loud-guard scope (never silently wrong): delete manifests
+(manifest-list ``content=1``), non-data data-file content (position/
+equality deletes), format-version > 2, and partition filters naming
+non-identity-transform fields all raise with the feature named.
+Metadata is O(#files), driver-side — the same cost Iceberg's own
+planner pays before scan planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from snapflow_spark.functions.avro_codec import (
+    read_avro_file,
+    write_avro_file,
+)
+
+__all__ = [
+    "IcebergSnapshot",
+    "iceberg_snapshot",
+    "read_iceberg",
+    "write_iceberg",
+]
+
+_STATUS_DELETED = 2
+
+_PRIMITIVES = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "time": T.LongType(),  # µs since midnight — no Spark TIME type
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+}
+
+
+def _spark_type(t) -> T.DataType:
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        m = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        if re.fullmatch(r"fixed\[\d+\]", t):
+            return T.BinaryType()
+        raise NotImplementedError(f"read_iceberg: schema type {t!r}")
+    k = t["type"]
+    if k == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], _spark_type(f["type"]), not f["required"]
+                )
+                for f in t["fields"]
+            ]
+        )
+    if k == "list":
+        return T.ArrayType(
+            _spark_type(t["element"]), not t["element-required"]
+        )
+    if k == "map":
+        return T.MapType(
+            _spark_type(t["key"]),
+            _spark_type(t["value"]),
+            not t["value-required"],
+        )
+    raise NotImplementedError(f"read_iceberg: schema type {k!r}")
+
+
+@dataclass
+class IcebergSnapshot:
+    path: str
+    snapshot_id: int | None
+    schema: T.StructType
+    #: default-spec partition fields: [(name, transform)]
+    partition_fields: list[tuple[str, str]]
+    #: live data files: (resolved path, partition values dict, rows)
+    files: list[tuple[str, dict, int]]
+    metadata: dict = field(default_factory=dict)
+
+
+def _metadata_path(table: Path) -> Path:
+    md = table / "metadata"
+    hint = md / "version-hint.text"
+    if hint.exists():
+        v = hint.read_text().strip()
+        for cand in (md / f"v{v}.metadata.json", md / f"{v}.metadata.json"):
+            if cand.exists():
+                return cand
+    best: tuple[int, Path] | None = None
+    for p in md.glob("*.metadata.json") if md.is_dir() else ():
+        m = re.match(r"v?(\d+)", p.name)
+        n = int(m.group(1)) if m else -1
+        if best is None or n > best[0] or (n == best[0] and p.name > best[1].name):
+            best = (n, p)
+    if best is None:
+        raise FileNotFoundError(
+            f"read_iceberg: no metadata/*.metadata.json under {table}"
+        )
+    return best[1]
+
+
+def _localize(uri: str, location: str, table: Path) -> str:
+    """Map a metadata-recorded absolute URI onto this checkout: paths
+    under the recorded table ``location`` re-root onto ``table`` (the
+    table may have been copied), file:// URIs drop the scheme, plain
+    relative paths resolve against the table root."""
+    if location and uri.startswith(location.rstrip("/") + "/"):
+        rel = uri[len(location.rstrip("/")) + 1 :]
+        return str(table / rel)
+    if uri.startswith("file://"):
+        return uri[len("file://") :]
+    if "://" in uri:
+        return uri  # a genuinely remote URI: hand it to Spark as-is
+    if uri.startswith("/"):
+        return uri
+    return str(table / uri)
+
+
+def _schema_from_metadata(meta: dict) -> T.StructType:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id", 0) == sid:
+                return _spark_type(s)  # struct root
+        raise ValueError(f"read_iceberg: current-schema-id {sid} not found")
+    return _spark_type(meta["schema"])
+
+
+def _default_spec(meta: dict) -> list[tuple[str, str]]:
+    specs = meta.get("partition-specs")
+    if specs is not None:
+        sid = meta.get("default-spec-id", 0)
+        for s in specs:
+            if s.get("spec-id", 0) == sid:
+                return [(f["name"], f["transform"]) for f in s["fields"]]
+        raise ValueError(f"read_iceberg: default-spec-id {sid} not found")
+    return [
+        (f["name"], f["transform"])
+        for f in meta.get("partition-spec", [])
+    ]
+
+
+def iceberg_snapshot(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    snapshot_id: int | None = None,
+) -> IcebergSnapshot:
+    table = Path(path)
+    meta = json.loads(_metadata_path(table).read_text())
+    fv = int(meta.get("format-version", 1))
+    if fv > 2:
+        raise NotImplementedError(
+            f"read_iceberg: format-version {fv} (v1/v2 implemented; v3 "
+            "adds row lineage and new delete semantics)"
+        )
+    location = meta.get("location", "")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    want = (
+        snapshot_id
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    schema = _schema_from_metadata(meta)
+    part_fields = _default_spec(meta)
+    if want is None or want == -1 or not snaps:
+        return IcebergSnapshot(
+            str(table), None, schema, part_fields, [], meta
+        )
+    if want not in snaps:
+        raise ValueError(
+            f"read_iceberg: snapshot {want} not in metadata "
+            f"(have {sorted(snaps)})"
+        )
+    snap = snaps[want]
+
+    manifest_uris: list[str] = []
+    if "manifest-list" in snap:
+        ml_path = _localize(snap["manifest-list"], location, table)
+        _, entries = read_avro_file(ml_path)
+        for e in entries:
+            if int(e.get("content") or 0) != 0:
+                raise NotImplementedError(
+                    "read_iceberg: DELETE manifest in the manifest list "
+                    "(row-level deletes); reading naively would "
+                    "resurrect deleted rows"
+                )
+            manifest_uris.append(e["manifest_path"])
+    else:  # ancient v1 form: manifests inlined on the snapshot
+        manifest_uris = list(snap.get("manifests", []))
+
+    files: list[tuple[str, dict, int]] = []
+    for muri in manifest_uris:
+        _, entries = read_avro_file(_localize(muri, location, table))
+        for e in entries:
+            if int(e.get("status") or 0) == _STATUS_DELETED:
+                continue
+            df_rec = e["data_file"]
+            if int(df_rec.get("content") or 0) != 0:
+                raise NotImplementedError(
+                    "read_iceberg: position/equality delete file in a "
+                    "data manifest"
+                )
+            fmt = str(df_rec.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"read_iceberg: data file format {fmt} (PARQUET is "
+                    "implemented)"
+                )
+            files.append(
+                (
+                    _localize(df_rec["file_path"], location, table),
+                    dict(df_rec.get("partition") or {}),
+                    int(df_rec.get("record_count") or 0),
+                )
+            )
+    return IcebergSnapshot(
+        str(table), int(want), schema, part_fields, sorted(files), meta
+    )
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Read an Iceberg-layout table.  ``snapshot_id=`` time-travels;
+    ``partition_filter={field: value}`` prunes the FILE LIST against
+    the manifests' partition values — only identity-transform fields
+    qualify (a bucket/truncate/day transform would need the transform
+    applied to the probe value; naming one raises)."""
+    snap = iceberg_snapshot(spark, path, snapshot_id=snapshot_id)
+    if partition_filter:
+        by_name = dict(snap.partition_fields)
+        for k in partition_filter:
+            if k not in by_name:
+                raise ValueError(
+                    f"read_iceberg: partition_filter field {k!r} not in "
+                    f"the default spec {sorted(by_name)}"
+                )
+            if by_name[k] != "identity":
+                raise NotImplementedError(
+                    f"read_iceberg: partition_filter on {k!r} needs the "
+                    f"{by_name[k]!r} transform applied; only identity "
+                    "fields prune directly"
+                )
+
+    def keep(pv: dict) -> bool:
+        for k, want in (partition_filter or {}).items():
+            if pv.get(k) != want:
+                return False
+        return True
+
+    paths = [p for p, pv, _n in snap.files if keep(pv)]
+    if not paths:
+        return spark.createDataFrame([], snap.schema)
+    return spark.read.schema(snap.schema).parquet(*paths)
+
+
+# ------------------------------------------------------------- export
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+         "field-id": 1},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102",
+                                 "fields": []},
+                    },
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                    {"name": "block_size_in_bytes", "type": "long",
+                     "field-id": 105},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "added_snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 503},
+    ],
+}
+
+
+def _iceberg_schema(schema: T.StructType) -> dict:
+    """Spark → Iceberg JSON schema (v1 export scope: flat primitive
+    columns — the snapshot/export shapes this engine emits)."""
+    rev = {
+        T.BooleanType(): "boolean",
+        T.IntegerType(): "int",
+        T.LongType(): "long",
+        T.FloatType(): "float",
+        T.DoubleType(): "double",
+        T.StringType(): "string",
+        T.BinaryType(): "binary",
+        T.DateType(): "date",
+        T.TimestampType(): "timestamptz",
+        T.TimestampNTZType(): "timestamp",
+    }
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        if f.dataType not in rev:
+            raise NotImplementedError(
+                f"write_iceberg: column {f.name!r} type {f.dataType} "
+                "(flat primitive columns are the export scope)"
+            )
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": rev[f.dataType],
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str | os.PathLike,
+    mode: str = "append",
+) -> int:
+    """Export a DataFrame as one Iceberg format-version-1 commit
+    (unpartitioned spec); returns the new snapshot id.  ``append``
+    keeps previous manifests in the new snapshot's manifest list;
+    ``overwrite`` starts a fresh list (old snapshots stay readable by
+    ``snapshot_id=`` — the write_delta time-travel contract);
+    ``error`` refuses an existing table."""
+    import pyarrow.parquet as pq
+
+    if mode not in ("append", "overwrite", "error"):
+        raise ValueError(f"write_iceberg: unknown mode {mode!r}")
+    table = Path(path)
+    md = table / "metadata"
+    data = table / "data"
+    spark = df.sparkSession
+    prev_meta: dict | None = None
+    try:
+        prev_meta = json.loads(_metadata_path(table).read_text())
+    except FileNotFoundError:
+        pass
+    if prev_meta is not None and mode == "error":
+        raise FileExistsError(
+            f"write_iceberg: Iceberg table already exists at {table}"
+        )
+    if prev_meta is not None:
+        prev_schema = _schema_from_metadata(prev_meta)
+        if mode == "append" and prev_schema != df.schema:
+            raise ValueError(
+                "write_iceberg: append schema differs from the table "
+                "schema; use mode='overwrite' to replace it"
+            )
+    md.mkdir(parents=True, exist_ok=True)
+    data.mkdir(parents=True, exist_ok=True)
+
+    # stage data files, then move under data/ (the write_delta shape)
+    staging = table / f".staging-{uuid.uuid4().hex}"
+    df.write.mode("errorifexists").parquet(str(staging))
+    moved: list[tuple[str, int, int]] = []  # (rel path, bytes, rows)
+    import shutil
+
+    try:
+        for p in sorted(staging.glob("*.parquet")):
+            rows = pq.ParquetFile(p).metadata.num_rows
+            if rows == 0:
+                continue  # empty task output: never a manifest entry
+            target = data / p.name
+            os.rename(p, target)
+            moved.append((f"data/{p.name}", target.stat().st_size, rows))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + len(moved)
+    taken = {
+        s["snapshot-id"] for s in (prev_meta or {}).get("snapshots", [])
+    }
+    while snapshot_id in taken:  # same-ms double commit
+        snapshot_id += 1
+    location = str(table)
+
+    manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
+    write_avro_file(
+        md / manifest_name,
+        _MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": f"{location}/{rel}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                    "block_size_in_bytes": 67108864,
+                },
+            }
+            for rel, size, rows in moved
+        ],
+    )
+
+    prev_manifests: list[dict] = []
+    if prev_meta is not None and mode == "append":
+        cur = prev_meta.get("current-snapshot-id")
+        for s in prev_meta.get("snapshots", []):
+            if s["snapshot-id"] == cur and "manifest-list" in s:
+                _, prev_manifests = read_avro_file(
+                    _localize(
+                        s["manifest-list"],
+                        prev_meta.get("location", ""),
+                        table,
+                    )
+                )
+    ml_name = f"snap-{snapshot_id}-manifest-list.avro"
+    write_avro_file(
+        md / ml_name,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": e["manifest_path"],
+                "manifest_length": e["manifest_length"],
+                "partition_spec_id": 0,
+                "added_snapshot_id": e.get("added_snapshot_id"),
+            }
+            for e in prev_manifests
+        ]
+        + [
+            {
+                "manifest_path": f"{location}/metadata/{manifest_name}",
+                "manifest_length": (md / manifest_name).stat().st_size,
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+            }
+        ],
+    )
+
+    version = 1
+    if prev_meta is not None:
+        hint = md / "version-hint.text"
+        version = (
+            int(hint.read_text().strip()) + 1 if hint.exists() else 2
+        )
+    snapshots = list(prev_meta.get("snapshots", [])) if prev_meta else []
+    snapshots.append(
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now_ms,
+            "summary": {
+                "operation": "append" if mode == "append" else "overwrite"
+            },
+            "manifest-list": f"{location}/metadata/{ml_name}",
+        }
+    )
+    meta = {
+        "format-version": 1,
+        "table-uuid": (
+            prev_meta.get("table-uuid") if prev_meta else str(uuid.uuid4())
+        ),
+        "location": location,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(df.schema.fields),
+        "schema": _iceberg_schema(df.schema),
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots,
+    }
+    tmp = md / f".v{version}.tmp"
+    tmp.write_text(json.dumps(meta, indent=1))
+    final = md / f"v{version}.metadata.json"
+    with open(final, "x", encoding="utf-8") as fh:
+        fh.write(tmp.read_text())
+    tmp.unlink()
+    (md / "version-hint.text").write_text(str(version))
+    return snapshot_id

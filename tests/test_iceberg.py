@@ -1,0 +1,275 @@
+"""Iceberg table-layout bridge (sources/iceberg.py): export→read
+round trips, snapshot time travel, and a HAND-synthesized v2 table
+(metadata JSON + Avro manifest list + Avro manifests built from the
+spec, not by our writer) proving the reader against the format —
+including identity-transform partition pruning on the file list,
+DELETED-entry handling, and every loud guard."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from snapflow_spark.functions.avro_codec import write_avro_file
+from snapflow_spark.sources.iceberg import (
+    iceberg_snapshot,
+    read_iceberg,
+    write_iceberg,
+)
+
+ROWS_V0 = [(0, "alpha", "en"), (1, "beta", "en"), (2, "gamma", "de")]
+ROWS_V1 = [(3, "delta", "fr"), (4, "epsilon", "de")]
+SCHEMA = "doc_id bigint, text string, lang string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return {(r.doc_id, r.text, r.lang) for r in df.collect()}
+
+
+def test_write_read_round_trip(spark, tmp_path):
+    path = tmp_path / "tbl"
+    s0 = write_iceberg(_df(spark, ROWS_V0), path)
+    out = read_iceberg(spark, path)
+    assert _rows(out) == set(ROWS_V0)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "text", "lang"]
+    snap = iceberg_snapshot(spark, path)
+    assert snap.snapshot_id == s0
+    assert snap.files and all(n > 0 for _p, _pv, n in snap.files)
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    path = tmp_path / "tbl"
+    s0 = write_iceberg(_df(spark, ROWS_V0), path)
+    s1 = write_iceberg(_df(spark, ROWS_V1), path, mode="append")
+    assert _rows(read_iceberg(spark, path)) == set(ROWS_V0) | set(ROWS_V1)
+    assert _rows(read_iceberg(spark, path, snapshot_id=s0)) == set(ROWS_V0)
+    s2 = write_iceberg(
+        _df(spark, [(9, "omega", "zz")]), path, mode="overwrite"
+    )
+    assert _rows(read_iceberg(spark, path)) == {(9, "omega", "zz")}
+    assert _rows(read_iceberg(spark, path, snapshot_id=s1)) == set(
+        ROWS_V0
+    ) | set(ROWS_V1)
+    assert s0 != s1 != s2
+    with pytest.raises(ValueError, match="snapshot 12345"):
+        read_iceberg(spark, path, snapshot_id=12345)
+    with pytest.raises(FileExistsError):
+        write_iceberg(_df(spark, ROWS_V0), path, mode="error")
+    with pytest.raises(ValueError, match="schema differs"):
+        write_iceberg(
+            _df(spark, ROWS_V0).withColumnRenamed("text", "body"),
+            path,
+            mode="append",
+        )
+
+
+def _synthesize_v2(spark, table: Path, plant_delete_manifest=False,
+                   plant_delete_file=False, fmt_version=2):
+    """A partitioned v2 table written from the SPEC: identity
+    partition on lang, one data file per lang, one extra file
+    tombstoned by a DELETED manifest entry."""
+    md = table / "metadata"
+    md.mkdir(parents=True)
+    files = []
+    for lang, rows in (
+        ("en", [(0, "a", "en"), (1, "b", "en")]),
+        ("de", [(2, "c", "de")]),
+        ("fr", [(3, "dead", "fr")]),  # will be status=DELETED
+    ):
+        d = table / "data" / f"part-{lang}.parquet"
+        d.parent.mkdir(parents=True, exist_ok=True)
+        df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+        tmp = str(d) + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        next(Path(tmp).glob("*.parquet")).rename(d)
+        import shutil
+
+        shutil.rmtree(tmp)
+        files.append((lang, d))
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {"name": "lang",
+                                     "type": ["null", "string"],
+                                     "default": None}
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+
+    def entry(lang, p, status=1, content=0):
+        return {
+            "status": status,
+            "data_file": {
+                "content": content,
+                "file_path": f"file://{p}",  # exercise the scheme strip
+                "file_format": "parquet",
+                "partition": {"lang": lang},
+                "record_count": 1,
+                "file_size_in_bytes": p.stat().st_size,
+            },
+        }
+
+    entries = [
+        entry("en", files[0][1]),
+        entry("de", files[1][1]),
+        entry("fr", files[2][1], status=2),  # DELETED tombstone
+    ]
+    if plant_delete_file:
+        entries.append(entry("en", files[0][1], content=1))
+    write_avro_file(md / "m1.avro", entry_schema, entries)
+
+    ml_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+        ],
+    }
+    ml_entries = [
+        {
+            "manifest_path": str(md / "m1.avro"),
+            "manifest_length": (md / "m1.avro").stat().st_size,
+            "partition_spec_id": 0,
+            "content": 0,
+        }
+    ]
+    if plant_delete_manifest:
+        ml_entries.append({**ml_entries[0], "content": 1})
+    write_avro_file(md / "snap-1-ml.avro", ml_schema, ml_entries)
+
+    meta = {
+        "format-version": fmt_version,
+        "table-uuid": "ext-v2",
+        "location": str(table),
+        "last-updated-ms": 1,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "doc_id", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "text", "required": False,
+                     "type": "string"},
+                    {"id": 3, "name": "lang", "required": False,
+                     "type": "string"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "lang", "transform": "identity",
+                     "source-id": 3, "field-id": 1000},
+                    {"name": "id_bucket", "transform": "bucket[4]",
+                     "source-id": 1, "field-id": 1001},
+                ],
+            }
+        ],
+        "properties": {},
+        "current-snapshot-id": 77,
+        "snapshots": [
+            {
+                "snapshot-id": 77,
+                "timestamp-ms": 1,
+                "summary": {"operation": "append"},
+                "manifest-list": str(md / "snap-1-ml.avro"),
+            }
+        ],
+    }
+    (md / "v1.metadata.json").write_text(json.dumps(meta))
+    (md / "version-hint.text").write_text("1")
+
+
+def test_reader_against_hand_synthesized_v2(spark, tmp_path):
+    table = tmp_path / "ext"
+    _synthesize_v2(spark, table)
+    got = read_iceberg(spark, table)
+    # the fr file is tombstoned by its DELETED manifest entry
+    assert _rows(got) == {(0, "a", "en"), (1, "b", "en"), (2, "c", "de")}
+    # identity partition pruning hits the FILE LIST
+    en = read_iceberg(spark, table, partition_filter={"lang": "en"})
+    assert _rows(en) == {(0, "a", "en"), (1, "b", "en")}
+    assert all("part-en" in f for f in en.inputFiles())
+    # bucket-transform fields refuse to prune (transform not applied)
+    with pytest.raises(NotImplementedError, match="bucket"):
+        read_iceberg(spark, table, partition_filter={"id_bucket": 2})
+    with pytest.raises(ValueError, match="not in"):
+        read_iceberg(spark, table, partition_filter={"nope": 1})
+
+
+def test_loud_guards_on_synthesized_tables(spark, tmp_path):
+    t1 = tmp_path / "delmanifest"
+    _synthesize_v2(spark, t1, plant_delete_manifest=True)
+    with pytest.raises(NotImplementedError, match="DELETE manifest"):
+        read_iceberg(spark, t1)
+    t2 = tmp_path / "delfile"
+    _synthesize_v2(spark, t2, plant_delete_file=True)
+    with pytest.raises(NotImplementedError, match="delete file"):
+        read_iceberg(spark, t2)
+    t3 = tmp_path / "v3"
+    _synthesize_v2(spark, t3, fmt_version=3)
+    with pytest.raises(NotImplementedError, match="format-version 3"):
+        read_iceberg(spark, t3)
+    with pytest.raises(FileNotFoundError, match="metadata"):
+        read_iceberg(spark, tmp_path / "nothing")
+
+
+def test_yaml_scan_iceberg_builtin(spark, tmp_path):
+    from snapflow_spark.plans import load_graph
+
+    path = tmp_path / "tbl"
+    s0 = write_iceberg(_df(spark, ROWS_V0), path)
+    write_iceberg(_df(spark, ROWS_V1), path, mode="append")
+    cfg = {
+        "warehouse": str(tmp_path / "wh_ice"),
+        "nodes": [
+            {
+                "name": "first_commit",
+                "function": "core.scan_iceberg",
+                "params": {"path": str(path), "snapshot_id": s0},
+                "overwrite": True,
+            }
+        ],
+    }
+    g = load_graph(cfg)
+    assert g.produce(spark) == 1
+    assert _rows(g.read(spark, "first_commit")) == set(ROWS_V0)

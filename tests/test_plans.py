@@ -336,6 +336,14 @@ def test_all_declared_queries_plan_quality(spark):
     # since round 3 and must NOT appear here.
     CARTESIAN_OK = {"q_similarity_topk", "q_text_quality"}
     MAX_EXCHANGES = 12
+    # reviewed per-query budgets above the global cap — STATIC counts
+    # inflated by byte-identical subtree re-renders that AQE
+    # ReuseExchange collapses at runtime (tools/explain_audit.py
+    # EXCHANGES_REVIEWED carries the full justification):
+    # q_text_quality round 12 adds the 'ppl' branch, whose scored
+    # subtree renders three ways (main/totals/thresholds) on top of
+    # the dsir twins; corpus-side effective work stays 2 exchanges.
+    REVIEWED_EXCHANGES = {"q_text_quality": 26}
 
     failures = []
     for name, fn in all_queries().items():
@@ -345,7 +353,7 @@ def test_all_declared_queries_plan_quality(spark):
             failures.append(f"{name}: CartesianProduct")
         if "BroadcastNestedLoopJoin" in facts.joins and name not in CARTESIAN_OK:
             failures.append(f"{name}: BroadcastNestedLoopJoin")
-        if facts.exchanges > MAX_EXCHANGES:
+        if facts.exchanges > REVIEWED_EXCHANGES.get(name, MAX_EXCHANGES):
             failures.append(f"{name}: {facts.exchanges} exchanges")
         for s in facts.read_schemas:
             ncols = s.count(",") + 1 if s.strip() else 0
