@@ -34,7 +34,12 @@ import os
 import struct
 import zlib
 
-__all__ = ["read_avro_file", "write_avro_file"]
+__all__ = [
+    "read_avro_bytes",
+    "read_avro_file",
+    "read_avro_header",
+    "write_avro_file",
+]
 
 _MAGIC = b"Obj\x01"
 
@@ -171,12 +176,11 @@ def _resolve_names(schema, names: dict):
     return schema
 
 
-def read_avro_file(path: str | os.PathLike) -> tuple[dict, list]:
-    """(writer schema as parsed JSON, list of decoded records)."""
-    with open(path, "rb") as fh:
-        r = _Reader(fh.read())
+def _read_header(r: _Reader, what) -> tuple[dict, str, bytes]:
+    """(resolved writer schema, codec, sync marker) off a container's
+    head."""
     if r.take(4) != _MAGIC:
-        raise ValueError(f"not an Avro object container: {path}")
+        raise ValueError(f"not an Avro object container: {what}")
     meta = _decode(r, {"type": "map", "values": "bytes"})
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
@@ -186,7 +190,24 @@ def read_avro_file(path: str | os.PathLike) -> tuple[dict, list]:
     schema = _resolve_names(
         json.loads(meta["avro.schema"].decode()), {}
     )
-    sync = r.take(16)
+    return schema, codec, r.take(16)
+
+
+def read_avro_header(path: str | os.PathLike) -> dict:
+    """Writer schema only — one bounded header read, no block decode
+    (schema inference for the distributed data on-ramp)."""
+    with open(path, "rb") as fh:
+        head = fh.read(1 << 20)  # schema JSON lives in the first MB
+    schema, _codec, _sync = _read_header(_Reader(head), path)
+    return schema
+
+
+def read_avro_bytes(data: bytes, what: str = "<bytes>") -> tuple[dict, list]:
+    """(writer schema as parsed JSON, decoded records) from container
+    BYTES — the executor-side form (one binaryFile row in, rows
+    out)."""
+    r = _Reader(data)
+    schema, codec, sync = _read_header(r, what)
     out: list = []
     while r.pos < len(r.data):
         count = r.long()
@@ -204,6 +225,12 @@ def read_avro_file(path: str | os.PathLike) -> tuple[dict, list]:
         if r.take(16) != sync:
             raise ValueError("avro: sync marker mismatch (corrupt block)")
     return schema, out
+
+
+def read_avro_file(path: str | os.PathLike) -> tuple[dict, list]:
+    """(writer schema as parsed JSON, list of decoded records)."""
+    with open(path, "rb") as fh:
+        return read_avro_bytes(fh.read(), str(path))
 
 
 # -------------------------------------------------------------- write

@@ -1404,6 +1404,25 @@ def _scan_delta(
     )
 
 
+def _scan_avro(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "*.avro",
+    recursive: bool = False,
+    schema: str | None = None,
+) -> DataFrame:
+    """core.scan_avro: zero-input source node over a directory of
+    Avro object containers (sources.io.read_avro_files — one task per
+    file, executor-side decode through the from-scratch codec);
+    ``schema:`` (Spark DDL) pins the output type, else the first
+    file's writer schema infers it."""
+    from snapflow_spark.sources.io import read_avro_files
+
+    return read_avro_files(
+        spark, path, glob=glob, recursive=recursive, schema=schema
+    )
+
+
 def _scan_iceberg(
     spark: SparkSession,
     path: str,
@@ -1540,6 +1559,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.scan_files": _scan_files,
     "core.scan_delta": _scan_delta,
     "core.scan_iceberg": _scan_iceberg,
+    "core.scan_avro": _scan_avro,
     "core.text_embed": _text_embed,
     "core.sniff_format": _sniff_format,
     "core.http_parts": _http_parts,

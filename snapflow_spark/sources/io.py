@@ -208,6 +208,124 @@ def read_text_files(
     )
 
 
+def avro_to_spark_schema(schema) -> StructType:
+    """Writer-schema JSON (record root) → Spark StructType.  Unions
+    are the nullable encoding ``["null", X]`` (or ``[X, "null"]``);
+    anything with two non-null branches has no Spark column type and
+    raises loudly.  enum→string, fixed/bytes→binary, int→int."""
+    from pyspark.sql import types as T
+
+    prim = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "bytes": T.BinaryType(),
+        "string": T.StringType(),
+    }
+
+    def conv(s) -> tuple:
+        """(sparkType, nullable)."""
+        if isinstance(s, list):
+            branches = [b for b in s if b != "null"]
+            if len(branches) != 1:
+                raise NotImplementedError(
+                    f"avro union {s} has no single Spark column type"
+                )
+            t, _ = conv(branches[0])
+            return t, True
+        t = s if isinstance(s, str) else s["type"]
+        if t in prim:
+            return prim[t], False
+        if t in ("enum",):
+            return T.StringType(), False
+        if t == "fixed":
+            return T.BinaryType(), False
+        if t == "record":
+            return (
+                T.StructType(
+                    [_field(f["name"], f["type"]) for f in s["fields"]]
+                ),
+                False,
+            )
+        if t == "array":
+            it, inull = conv(s["items"])
+            return T.ArrayType(it, inull), False
+        if t == "map":
+            vt, vnull = conv(s["values"])
+            return T.MapType(T.StringType(), vt, vnull), False
+        raise NotImplementedError(f"avro type {t!r} has no Spark mapping")
+
+    def _field(name: str, s) -> "T.StructField":
+        t, nullable = conv(s)  # nullable iff the type is a null-union
+        return T.StructField(name, t, nullable)
+
+    root = schema
+    if isinstance(root, str) or root.get("type") != "record":
+        raise ValueError(
+            "read_avro_files: the writer schema root must be a record "
+            f"(got {root if isinstance(root, str) else root.get('type')!r})"
+        )
+    return StructType([_field(f["name"], f["type"]) for f in root["fields"]])
+
+
+def read_avro_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "*.avro",
+    recursive: bool = False,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Distributed Avro DATA on-ramp: one task per container file —
+    `binaryFile` lists (glob-pruned) and ships each file's bytes to an
+    executor, where the from-scratch codec (functions/avro_codec)
+    decodes blocks and `mapInPandas` rows them out under the mapped
+    Spark schema.  Schema: inferred from the FIRST file's writer
+    schema (ONE driver header read, no block decode) unless `schema=`
+    pins it.  The scale contract matches the WARC reader: a file is
+    one task unit, so thousands of small .avro shards parallelize and
+    one giant file does not; compact into parquet for anything hot
+    (this reader is the on-ramp).  Rows ride the Arrow boundary once,
+    at ingest."""
+    import pandas as pd
+
+    from snapflow_spark.functions.avro_codec import (
+        read_avro_bytes,
+        read_avro_header,
+    )
+
+    files = read_binary_files(spark, path, glob=glob, recursive=recursive)
+    if schema is None:
+        first = files.select("path").limit(1).collect()
+        if not first:
+            raise ValueError(
+                f"read_avro_files: no files match {glob!r} under {path} "
+                "(pass schema= to read a maybe-empty directory)"
+            )
+        local = first[0].path
+        local = local[len("file:") :] if local.startswith("file:") else local
+        out_schema = avro_to_spark_schema(read_avro_header(local))
+    elif isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        out_schema = _parse_datatype_string(schema)
+    else:
+        out_schema = schema
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches):
+        for pdf in batches:
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                _schema, recs = read_avro_bytes(bytes(blob), str(p))
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in recs] for n in names},
+                    columns=names,
+                )
+
+    return files.select("path", "content").mapInPandas(decode, out_schema)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC scan (snapflow's database storages). Partition options
     (partitionColumn/lowerBound/upperBound/numPartitions) turn one

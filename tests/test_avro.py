@@ -271,3 +271,92 @@ def test_fuzz_round_trip(tmp_path_factory, rows, codec):
     write_avro_file(p, schema, rows, codec=codec, records_per_block=7)
     _, got = read_avro_file(p)
     assert got == rows
+
+
+def test_read_avro_files_distributed(spark, tmp_path):
+    """The distributed DATA on-ramp: multi-file directory, executor-
+    side decode, schema inferred from one header read, nullable
+    unions, arrays; glob prunes sidecars; schema= pins the type for
+    an empty dir."""
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"], "default": None},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    rows_a = [
+        {"doc_id": 1, "text": "alpha", "tags": ["x", "y"]},
+        {"doc_id": 2, "text": None, "tags": []},
+    ]
+    rows_b = [{"doc_id": 3, "text": "beta", "tags": ["z"]}]
+    write_avro_file(tmp_path / "a.avro", schema, rows_a)
+    write_avro_file(tmp_path / "b.avro", schema, rows_b, codec="null")
+    (tmp_path / "junk.txt").write_text("not avro")
+
+    from snapflow_spark.sources.io import read_avro_files
+
+    out = read_avro_files(spark, str(tmp_path))
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,tags:array<string>>"
+    )
+    got = {
+        r.doc_id: (r.text, list(r.tags)) for r in out.collect()
+    }
+    assert got == {1: ("alpha", ["x", "y"]), 2: (None, []), 3: ("beta", ["z"])}
+
+    empty = tmp_path / "none"
+    empty.mkdir()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no files"):
+        read_avro_files(spark, str(empty))
+    pinned = read_avro_files(
+        spark, str(empty), schema="doc_id bigint, text string"
+    )
+    assert pinned.count() == 0 and pinned.columns == ["doc_id", "text"]
+
+
+def test_avro_to_spark_schema_guards():
+    from snapflow_spark.sources.io import avro_to_spark_schema
+
+    with pytest.raises(NotImplementedError, match="union"):
+        avro_to_spark_schema(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [{"name": "x", "type": ["long", "string"]}],
+            }
+        )
+    with pytest.raises(ValueError, match="must be a record"):
+        avro_to_spark_schema("long")
+
+
+def test_yaml_scan_avro_builtin(spark, tmp_path):
+    from snapflow_spark.plans import load_graph
+
+    write_avro_file(
+        tmp_path / "d.avro",
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "n", "type": "long"}],
+        },
+        [{"n": 1}, {"n": 2}],
+    )
+    cfg = {
+        "warehouse": str(tmp_path / "wh_avro"),
+        "nodes": [
+            {
+                "name": "navro",
+                "function": "core.scan_avro",
+                "params": {"path": str(tmp_path)},
+                "overwrite": True,
+            }
+        ],
+    }
+    g = load_graph(cfg)
+    assert g.produce(spark) == 1
+    assert {r.n for r in g.read(spark, "navro").collect()} == {1, 2}
