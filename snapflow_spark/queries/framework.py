@@ -172,6 +172,13 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nation
     )
     WHERE strlen(blob) <= 2000
+    UNION ALL
+    -- 'avro' branch (round 12): the distributed Avro data scan —
+    -- nation rows written as two object-container shards (one
+    -- deflate, one null codec) by the from-scratch writer, read back
+    -- through binaryFile + executor-side decode with the schema
+    -- inferred from one header read; the oracle re-emits the table
+    SELECT 'avro' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,10 +189,13 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (CSV with schema inference; JDBC as parallel range scans via
     partitionColumn bounds — the at-scale shape; WARC through the
     streaming DataSource reader), plus the cc-index filter-compilation
-    branch and the binaryFile on-ramp branch (round 12: glob sidecar
+    branch, the binaryFile on-ramp branch (round 12: glob sidecar
     pruning + catalog-only max_bytes live, content proven bit-exact
-    via sha256|length fingerprints) — every round trip proven
-    lossless against the oracle's re-emission of the table."""
+    via sha256|length fingerprints) and the distributed Avro scan
+    branch (round 12: both container codecs through the from-scratch
+    writer, executor-side decode, header-inferred schema) — every
+    round trip proven lossless against the oracle's re-emission of
+    the table."""
     csv_path = str(_SCRATCH / "csv_roundtrip" / "nation")
     write_csv(load_table(spark, sf_dir, "nation"), csv_path)
     from_csv = read_csv(spark, csv_path).select(
@@ -337,6 +347,44 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_name"),
         F.col("length").cast("int").alias("n_regionkey"),
     )
+    # 'avro' branch (round 12): nation through the from-scratch Avro
+    # object-container writer (two shards, BOTH codecs) and back via
+    # the distributed binaryFile + mapInPandas decode; the union
+    # int-casts replay the avro long->int narrowing
+    from snapflow_spark.functions.avro_codec import write_avro_file
+    from snapflow_spark.sources.io import read_avro_files
+
+    avro_dir = _SCRATCH / "avro_roundtrip"
+    shutil.rmtree(avro_dir, ignore_errors=True)
+    avro_dir.mkdir(parents=True, exist_ok=True)
+    avro_schema = {
+        "type": "record",
+        "name": "nation_row",
+        "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "n_name", "type": ["null", "string"], "default": None},
+            {"name": "n_regionkey", "type": "long"},
+        ],
+    }
+    recs = [
+        {
+            "n_nationkey": int(r.n_nationkey),
+            "n_name": r.n_name,
+            "n_regionkey": int(r.n_regionkey),
+        }
+        for r in nation_rows
+    ]
+    write_avro_file(avro_dir / "shard-a.avro", avro_schema, recs[:13])
+    write_avro_file(
+        avro_dir / "shard-b.avro", avro_schema, recs[13:], codec="null"
+    )
+    (avro_dir / "shard-a.meta").write_bytes(b"sidecar")
+    from_avro = read_avro_files(spark, str(avro_dir)).select(
+        F.lit("avro").alias("fmt"),
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("int"),
+    )
     # 'cc_index' branch (round 11): a deterministic nation-derived
     # cc-index table round-trips through the partitioned parquet
     # layout and read_cc_index's full filter stack (crawl/subset
@@ -407,6 +455,7 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(from_text)
         .unionByName(from_warc)
         .unionByName(from_bin)
+        .unionByName(from_avro)
         .unionByName(from_cc)
     )
 
