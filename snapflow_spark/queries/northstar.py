@@ -1016,8 +1016,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantiles, not just the tags
     from snapflow_spark.operators.selection import perplexity_buckets
 
+    # raw = d, NOT a narrower select: the dsir branch's tagged-gram
+    # subtree is built from the same d, so identical inputs keep the
+    # two branches' gram-scale explode+window exchanges byte-identical
+    # and AQE ReuseExchange runs that stage once for both
     pb = perplexity_buckets(
-        d.select("doc_id", "lang", "text"),
+        d,
         ref_pred=F.col("lang") == "en",
         by="lang",
         exact=True,
