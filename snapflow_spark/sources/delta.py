@@ -31,9 +31,13 @@ Delta transaction-log PROTOCOL (delta.io/PROTOCOL.md) directly:
 Loud-guard scope (never silently wrong): tables using column mapping
 (``delta.columnMapping.mode`` other than none), deletion vectors on
 any live file, or a reader protocol above what this module implements
-raise with the feature named.  Stats-based data skipping
-(``add.stats`` min/max) is not implemented — Spark's own parquet
-row-group pruning covers the data tier once the file list is pinned.
+raise with the feature named.  Stats-based DATA SKIPPING is in (round
+12): ``write_delta`` folds each file's parquet row-group statistics
+into ``add.stats`` JSON (numRecords + min/maxValues + nullCount for
+JSON-safe primitive columns), and ``read_delta(min_max_filter=...)``
+drops files whose recorded range provably misses the probe — files
+without stats are always kept, so skipping is an optimization, never
+a filter.
 
 Scale shape: the log is O(#files) metadata, never O(rows).  Reading
 is python-side log replay (bounded: one dict entry per live file —
@@ -83,8 +87,9 @@ class DeltaSnapshot:
     version: int
     schema: StructType
     partition_columns: list[str]
-    #: live files: (relative path, partitionValues dict, size bytes)
-    files: list[tuple[str, dict, int]]
+    #: live files: (relative path, partitionValues dict, size bytes,
+    #: parsed add.stats dict or None)
+    files: list[tuple[str, dict, int, dict | None]]
     metadata: dict = field(default_factory=dict)
     protocol: dict = field(default_factory=dict)
 
@@ -185,7 +190,7 @@ def delta_snapshot(
             f"read_delta: version {want} not in log (latest {latest})"
         )
 
-    adds: dict[str, tuple[dict, int]] = {}
+    adds: dict[str, tuple[dict, int, dict | None]] = {}
     metadata: dict = {}
     protocol: dict = {}
 
@@ -196,7 +201,17 @@ def delta_snapshot(
                 "vector; reading it naively would resurrect deleted rows"
             )
         p = unquote(a["path"])
-        adds[p] = (a.get("partitionValues") or {}, int(a.get("size") or 0))
+        st = a.get("stats")
+        if isinstance(st, str):
+            try:
+                st = json.loads(st)
+            except json.JSONDecodeError:
+                st = None
+        adds[p] = (
+            a.get("partitionValues") or {},
+            int(a.get("size") or 0),
+            st if isinstance(st, dict) else None,
+        )
 
     cp = _latest_checkpoint_version(log, want)
     if cp is not None:
@@ -259,7 +274,9 @@ def delta_snapshot(
         )
     schema = StructType.fromJson(json.loads(metadata["schemaString"]))
     part_cols = list(metadata.get("partitionColumns") or [])
-    files = [(p, pv, sz) for p, (pv, sz) in sorted(adds.items())]
+    files = [
+        (p, pv, sz, st) for p, (pv, sz, st) in sorted(adds.items())
+    ]
     return DeltaSnapshot(
         path=table,
         version=want,
@@ -276,6 +293,7 @@ def read_delta(
     path: str | os.PathLike,
     version: int | None = None,
     partition_filter: dict | None = None,
+    min_max_filter: dict | None = None,
 ) -> DataFrame:
     """Read a Delta-layout table as a DataFrame.
 
@@ -283,10 +301,15 @@ def read_delta(
     prunes the file list on the log's ``partitionValues`` BEFORE any
     parquet file is opened (values compare against Delta's string
     serialization — pass strings, or anything whose ``str()`` matches;
-    ``None`` matches null partitions).  Files group by partition
-    tuple; each group is one parquet relation with its partition
-    columns re-attached as typed literals, so data predicates and
-    column pruning still push into every scan."""
+    ``None`` matches null partitions).  ``min_max_filter={col: (lo,
+    hi)}`` is Delta DATA SKIPPING: a file is dropped when its
+    ``add.stats`` min/max prove the column disjoint from [lo, hi]
+    (either bound may be None = unbounded); files WITHOUT stats are
+    always kept — skipping is an optimization, never a filter, so
+    callers still apply the real predicate on the result.  Files
+    group by partition tuple; each group is one parquet relation with
+    its partition columns re-attached as typed literals, so data
+    predicates and column pruning still push into every scan."""
     snap = delta_snapshot(spark, path, version=version)
     fields = {f.name: f for f in snap.schema.fields}
     for c in snap.partition_columns:
@@ -304,6 +327,19 @@ def read_delta(
                 f"{snap.partition_columns}"
             )
 
+    if min_max_filter:
+        data_cols = {
+            f.name for f in snap.schema.fields
+            if f.name not in snap.partition_columns
+        }
+        bad = set(min_max_filter) - data_cols
+        if bad:
+            raise ValueError(
+                f"read_delta: min_max_filter names non-data columns "
+                f"{sorted(bad)} (partition columns prune via "
+                f"partition_filter)"
+            )
+
     def keep(pv: dict) -> bool:
         for c, want in (partition_filter or {}).items():
             got = pv.get(c)
@@ -314,12 +350,24 @@ def read_delta(
                 return False
         return True
 
+    def stats_keep(st: dict | None) -> bool:
+        if not st or not min_max_filter:
+            return True
+        for c, (lo, hi) in min_max_filter.items():
+            mn = (st.get("minValues") or {}).get(c)
+            mx = (st.get("maxValues") or {}).get(c)
+            if lo is not None and mx is not None and mx < lo:
+                return False
+            if hi is not None and mn is not None and mn > hi:
+                return False
+        return True
+
     data_schema = StructType(
         [f for f in snap.schema.fields if f.name not in snap.partition_columns]
     )
     groups: dict[tuple, list[str]] = {}
-    for rel, pv, _sz in snap.files:
-        if keep(pv):
+    for rel, pv, _sz, st in snap.files:
+        if keep(pv) and stats_keep(st):
             key = tuple(pv.get(c) for c in snap.partition_columns)
             groups.setdefault(key, []).append(
                 str(Path(snap.path) / rel)
@@ -340,6 +388,54 @@ def read_delta(
     for df in parts[1:]:
         result = result.unionByName(df)
     return result
+
+
+def _file_stats(p: Path) -> dict | None:
+    """Delta ``add.stats`` for one parquet file, folded from its
+    row-group statistics (one footer read, no data scan): numRecords,
+    min/maxValues and nullCount for top-level columns whose stats are
+    JSON-safe primitives (int/float/str/bool — binary and temporal
+    leaves are skipped; absent stats stay absent, and readers treat
+    absence as "cannot skip")."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(p).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    dead: set = set()
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            name = col.path_in_schema
+            if "." in name or name in dead:  # nested leaf / opted out
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            mn, mx = st.min, st.max
+            ok = (int, float, str, bool)
+            if not isinstance(mn, ok) or isinstance(mn, bytes):
+                dead.add(name)
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+            nulls[name] = nulls.get(name, 0) + int(st.null_count or 0)
+    for name in dead:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+        nulls.pop(name, None)
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
 
 
 def _live_state(
@@ -368,7 +464,7 @@ def _stage_and_move(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(staging))
-    out: list[tuple[str, dict, int]] = []
+    out: list[tuple[str, dict, int, dict | None]] = []
     try:
         for p in sorted(staging.rglob("*.parquet")):
             rel = p.relative_to(staging)
@@ -386,6 +482,7 @@ def _stage_and_move(
                     ),
                     pv,
                     target.stat().st_size,
+                    _file_stats(target),
                 )
             )
     finally:
@@ -464,7 +561,7 @@ def write_delta(
             }
         )
     if snap is not None and mode == "overwrite":
-        for rel, _pv, _sz in snap.files:
+        for rel, _pv, _sz, _st in snap.files:
             actions.append(
                 {
                     "remove": {
@@ -473,17 +570,16 @@ def write_delta(
                     }
                 }
             )
-    for rel, pv, sz in added:
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": pv,
-                    "size": sz,
-                    "dataChange": True,
-                }
-            }
-        )
+    for rel, pv, sz, st in added:
+        add: dict = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": sz,
+            "dataChange": True,
+        }
+        if st is not None:
+            add["stats"] = json.dumps(st, separators=(",", ":"))
+        actions.append({"add": add})
     commit = log / f"{next_v:020d}.json"
     with open(commit, "x", encoding="utf-8") as fh:
         for a in actions:
@@ -503,7 +599,7 @@ def write_delta_checkpoint(
     log = _log_path(table)
     add_t = (
         "struct<path:string,partitionValues:map<string,string>,"
-        "size:bigint,dataChange:boolean>"
+        "size:bigint,dataChange:boolean,stats:string>"
     )
     meta_t = (
         "struct<id:string,format:struct<provider:string>,"
@@ -534,8 +630,13 @@ def write_delta_checkpoint(
             ),
         ),
     ]
-    for rel, pv, sz in snap.files:
-        rows.append(((quote(rel, safe="/="), pv, sz, True), None, None))
+    for rel, pv, sz, st in snap.files:
+        stats_json = (
+            json.dumps(st, separators=(",", ":")) if st else None
+        )
+        rows.append(
+            ((quote(rel, safe="/="), pv, sz, True, stats_json), None, None)
+        )
     cp_df = spark.createDataFrame(rows, schema).coalesce(1)
     tmp = log / f".cp-{uuid.uuid4().hex}"
     cp_df.write.mode("errorifexists").parquet(str(tmp))

@@ -44,7 +44,7 @@ def test_write_read_round_trip_partitioned(spark, tmp_path):
     # data files live in hive dirs and do NOT contain the partition col
     snap = delta_snapshot(spark, path)
     assert snap.partition_columns == ["lang"]
-    assert all(rel.startswith("lang=") for rel, _pv, _sz in snap.files)
+    assert all(rel.startswith("lang=") for rel, _pv, _sz, _st in snap.files)
     one = Path(path) / snap.files[0][0]
     direct = spark.read.parquet(str(one.parent))
     assert "lang" not in direct.columns
@@ -277,3 +277,70 @@ def test_yaml_scan_delta_builtin(spark, tmp_path):
     assert g.produce(spark) == 1
     got = _rows(g.read(spark, "de_docs"))
     assert got == {r for r in ROWS_V0 + ROWS_V1 if r[2] == "de"}
+
+
+def test_stats_data_skipping(spark, tmp_path):
+    """write_delta folds parquet row-group stats into add.stats;
+    min_max_filter drops files whose range provably misses the probe,
+    keeps stat-less files, and never acts as a filter (callers still
+    predicate the result)."""
+    path = tmp_path / "tbl"
+    lo = [(i, f"t{i}", "en") for i in range(10)]
+    hi = [(i, f"t{i}", "en") for i in range(100, 110)]
+    write_delta(_df(spark, lo).coalesce(1), path)
+    write_delta(_df(spark, hi).coalesce(1), path, mode="append")
+    snap = delta_snapshot(spark, path)
+    stats = {rel: st for rel, _pv, _sz, st in snap.files}
+    assert all(st and st["numRecords"] == 10 for st in stats.values())
+    ranges = sorted(
+        (st["minValues"]["doc_id"], st["maxValues"]["doc_id"])
+        for st in stats.values()
+    )
+    assert ranges == [(0, 9), (100, 109)]
+
+    probe = read_delta(spark, path, min_max_filter={"doc_id": (100, None)})
+    assert len(probe.inputFiles()) == 1
+    assert {r.doc_id for r in probe.collect()} == set(range(100, 110))
+    both = read_delta(spark, path, min_max_filter={"doc_id": (5, 105)})
+    assert len(both.inputFiles()) == 2
+    none = read_delta(spark, path, min_max_filter={"doc_id": (50, 60)})
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="non-data"):
+        read_delta(spark, path, min_max_filter={"nope": (1, 2)})
+
+    # a file with NO stats (external producer) is always kept
+    log = Path(path) / "_delta_log"
+    commits = sorted(log.glob("*.json"))
+    rec = [
+        json.loads(ln)
+        for ln in commits[-1].read_text().splitlines()
+        if ln.strip()
+    ]
+    adds = [a for a in rec if "add" in a]
+    assert adds and all("stats" in a["add"] for a in adds)
+    stripped = [
+        {"add": {k: v for k, v in a["add"].items() if k != "stats"}}
+        for a in adds
+    ]
+    (log / f"{2:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in stripped) + "\n"
+    )  # v2 re-adds the hi file WITHOUT stats (add replaces by path)
+    again = read_delta(spark, path, min_max_filter={"doc_id": (0, 9)})
+    assert len(again.inputFiles()) == 2  # stat-less file survives
+
+
+def test_stats_survive_checkpoint(spark, tmp_path):
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, [(i, "x", "en") for i in range(10)]).coalesce(1),
+                path)
+    write_delta(
+        _df(spark, [(i, "y", "en") for i in range(100, 110)]).coalesce(1),
+        path, mode="append",
+    )
+    write_delta_checkpoint(spark, path)
+    log = Path(path) / "_delta_log"
+    for v in (0, 1):
+        (log / f"{v:020d}.json").unlink()
+    probe = read_delta(spark, path, min_max_filter={"doc_id": (100, None)})
+    assert len(probe.inputFiles()) == 1  # skipping still works off the cp
+    assert probe.count() == 10
