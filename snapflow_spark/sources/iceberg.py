@@ -58,6 +58,7 @@ __all__ = [
     "IcebergSnapshot",
     "iceberg_snapshot",
     "read_iceberg",
+    "snapshot_store_to_iceberg",
     "write_iceberg",
 ]
 
@@ -546,3 +547,21 @@ def write_iceberg(
     tmp.unlink()
     (md / "version-hint.text").write_text(str(version))
     return snapshot_id
+
+
+def snapshot_store_to_iceberg(
+    store,
+    spark: SparkSession,
+    path: str | os.PathLike,
+    mode: str = "overwrite",
+    latest_only: bool = False,
+) -> int | None:
+    """Export a SnapshotStore's state as an Iceberg commit — the
+    Iceberg twin of sources.delta.snapshot_store_to_delta, same
+    contract: accumulated state by default (union of all snapshots),
+    ``latest_only=True`` for the newest snapshot only; returns the
+    committed snapshot id, or None when the store is empty."""
+    df = store.read_latest(spark) if latest_only else store.read(spark)
+    if df is None:
+        return None
+    return write_iceberg(df, path, mode=mode)

@@ -273,3 +273,18 @@ def test_yaml_scan_iceberg_builtin(spark, tmp_path):
     g = load_graph(cfg)
     assert g.produce(spark) == 1
     assert _rows(g.read(spark, "first_commit")) == set(ROWS_V0)
+
+
+def test_snapshot_store_export(spark, tmp_path):
+    from snapflow_spark.incremental.store import SnapshotStore
+    from snapflow_spark.sources.iceberg import snapshot_store_to_iceberg
+
+    store = SnapshotStore(tmp_path / "store")
+    store.append(_df(spark, ROWS_V0))
+    store.append(_df(spark, ROWS_V1))
+    path = tmp_path / "ice_out"
+    sid = snapshot_store_to_iceberg(store, spark, path)
+    assert sid is not None
+    assert _rows(read_iceberg(spark, path)) == set(ROWS_V0) | set(ROWS_V1)
+    empty = SnapshotStore(tmp_path / "empty")
+    assert snapshot_store_to_iceberg(empty, spark, tmp_path / "i2") is None
