@@ -66,6 +66,7 @@ __all__ = [
     "delta_snapshot",
     "read_delta",
     "snapshot_store_to_delta",
+    "vacuum_delta",
     "write_delta",
     "write_delta_checkpoint",
 ]
@@ -648,6 +649,47 @@ def write_delta_checkpoint(
         json.dumps({"version": snap.version, "size": len(rows)})
     )
     return snap.version
+
+
+def vacuum_delta(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    dry_run: bool = False,
+) -> list[str]:
+    """Physically delete data files no longer referenced by the
+    CURRENT version — the storage-reclaim half of ``write_delta``'s
+    tombstone-only overwrite.  Returns the deleted relative paths.
+
+    Contract (the same trade Delta's own VACUUM makes): after a
+    vacuum, time travel to versions whose files were reclaimed FAILS
+    (here: loudly, at scan time — the log still replays, the parquet
+    is gone).  A checkpoint at the current version is written first
+    so readers seed from surviving state even if older JSON commits
+    are later cleaned.  ``dry_run=True`` lists without deleting.
+    Only files under the table root that look like data files are
+    candidates — the log directory is never touched."""
+    table = Path(path)
+    snap = delta_snapshot(spark, table)
+    live = {rel for rel, _pv, _sz, _st in snap.files}
+    candidates: list[str] = []
+    for p in table.rglob("*.parquet"):
+        rel = p.relative_to(table).as_posix()
+        if rel.startswith(f"{_LOG_DIR}/") or rel.startswith("."):
+            continue
+        if rel not in live:
+            candidates.append(rel)
+    if dry_run or not candidates:
+        return sorted(candidates)
+    write_delta_checkpoint(spark, table)
+    for rel in candidates:
+        (table / rel).unlink(missing_ok=True)
+    # prune now-empty hive partition dirs (cosmetic, never the root)
+    for p in sorted(
+        {(table / rel).parent for rel in candidates}, reverse=True
+    ):
+        if p != table and p.is_dir() and not any(p.iterdir()):
+            p.rmdir()
+    return sorted(candidates)
 
 
 def snapshot_store_to_delta(

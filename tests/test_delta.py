@@ -344,3 +344,30 @@ def test_stats_survive_checkpoint(spark, tmp_path):
     probe = read_delta(spark, path, min_max_filter={"doc_id": (100, None)})
     assert len(probe.inputFiles()) == 1  # skipping still works off the cp
     assert probe.count() == 10
+
+
+def test_vacuum_reclaims_tombstoned_files(spark, tmp_path):
+    """vacuum_delta deletes files only the tombstoned history
+    references, after checkpointing current state; current reads are
+    unaffected, reclaimed-version time travel fails loudly at scan,
+    and staged/log files are never touched."""
+    from snapflow_spark.sources.delta import vacuum_delta
+
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path, partition_by=["lang"])
+    write_delta(_df(spark, [(9, "omega", "zz")]), path, mode="overwrite")
+    before = read_delta(spark, path)
+    dry = vacuum_delta(spark, path, dry_run=True)
+    assert dry and all(Path(path, rel).exists() for rel in dry)
+    gone = vacuum_delta(spark, path)
+    assert gone == dry
+    assert not any(Path(path, rel).exists() for rel in gone)
+    assert _rows(read_delta(spark, path)) == _rows(before)
+    # vacuuming again is a no-op
+    assert vacuum_delta(spark, path) == []
+    # reclaimed version: the log replays but the scan fails loudly
+    # (Spark raises PATH_NOT_FOUND at relation-planning time)
+    with pytest.raises(Exception, match="(?i)path does not exist|FileNotFound"):
+        read_delta(spark, path, version=0).collect()
+    # the log dir survives intact
+    assert (Path(path) / "_delta_log").is_dir()
