@@ -59,10 +59,16 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 __all__ = [
     "DeltaSnapshot",
+    "DeltaStreamDataSource",
     "delta_snapshot",
     "read_delta",
     "snapshot_store_to_delta",
@@ -710,3 +716,192 @@ def snapshot_store_to_delta(
     if df is None:
         return None
     return write_delta(df, path, mode=mode)
+
+
+# ----------------------------------------------------- streaming source
+def _log_metadata_nospark(table: Path) -> dict:
+    """Last metaData action, pure-python (no SparkSession — the
+    DataSource.schema() hook runs before one is reachable): newest
+    JSON commit carrying metaData wins; a checkpoint-only log falls
+    back to the checkpoint parquet via pyarrow."""
+    log = _log_path(table)
+    for v in sorted(_json_versions(log), reverse=True):
+        with open(_json_versions(log)[v], encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line and '"metaData"' in line:
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        return action["metaData"]
+    cp = _latest_checkpoint_version(log, 1 << 62)
+    if cp is not None:
+        import pyarrow.parquet as pq
+
+        for part in _checkpoint_parts(log, cp):
+            t = pq.read_table(part)
+            if "metaData" in t.column_names:
+                for row in t.column("metaData").to_pylist():
+                    if row and row.get("schemaString"):
+                        return row
+    raise FileNotFoundError(
+        f"delta stream: no metaData action found under {log}"
+    )
+
+
+def _pv_converter(dt) -> "callable":
+    """Partition-value string → python object of the column's Spark
+    type (the subset Delta serializes as partition strings)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float
+    if isinstance(dt, T.BooleanType):
+        return lambda v: v == "true"
+    if isinstance(dt, T.StringType):
+        return lambda v: v
+    if isinstance(dt, T.DateType):
+        return datetime.date.fromisoformat
+    raise NotImplementedError(
+        f"delta stream: partition column type {dt} not supported"
+    )
+
+
+class DeltaStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_log").option("path", table)``
+    after ``spark.dataSource.register(DeltaStreamDataSource)`` — a
+    STREAMING source over a Delta table's commit log, from scratch
+    (no delta-spark).  The offset is the log VERSION; each micro-batch
+    covers versions ``(start, end]`` and plans one InputPartition per
+    ADDED file, decoded executor-side with pyarrow — the
+    change-data-feed-less append-stream semantics delta-spark's own
+    source has:
+
+    - append-only tables stream exactly-once (Spark's offset log is
+      the only state; commits are immutable);
+    - a version carrying ``remove`` actions with dataChange raises
+      loudly unless ``ignore_deletes=true`` (then adds still stream —
+      delta-spark's ignoreDeletes), because a row-level delete cannot
+      be expressed on an append stream;
+    - ``starting_version`` skips history (``"latest"`` = only commits
+      after stream start; an int = that version onward).  Replaying
+      from 0 requires the JSON commits to still exist — a log cleaned
+      past a checkpoint raises with the version named.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_log"
+
+    def schema(self) -> StructType:
+        table = Path(self.options["path"])
+        meta = _log_metadata_nospark(table)
+        return StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def streamReader(self, schema: StructType) -> "DeltaStreamReader":
+        return DeltaStreamReader(schema, dict(self.options))
+
+
+class _DeltaAddPartition(InputPartition):
+    def __init__(self, path: str, pv: dict):
+        self.path = path
+        self.pv = pv
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.options = options
+        self.table = Path(options["path"])
+        self.ignore_deletes = (
+            str(options.get("ignore_deletes", "false")).lower() == "true"
+        )
+        meta = _log_metadata_nospark(self.table)
+        self.part_cols = list(meta.get("partitionColumns") or [])
+
+    def _latest_version(self) -> int:
+        versions = _json_versions(_log_path(self.table))
+        cp = _latest_checkpoint_version(_log_path(self.table), 1 << 62)
+        return max(
+            max(versions) if versions else -1,
+            cp if cp is not None else -1,
+        )
+
+    def initialOffset(self) -> dict:
+        sv = self.options.get("starting_version")
+        if sv is None:
+            return {"version": -1}
+        if str(sv) == "latest":
+            return {"version": self._latest_version()}
+        return {"version": int(sv) - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        versions = _json_versions(_log_path(self.table))
+        out = []
+        for v in range(lo + 1, hi + 1):
+            p = versions.get(v)
+            if p is None:
+                raise FileNotFoundError(
+                    f"delta stream: commit {v} missing from the log — "
+                    "cleaned past a checkpoint? start the stream with "
+                    "starting_version instead of replaying history"
+                )
+            with open(p, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        if not self.ignore_deletes:
+                            raise ValueError(
+                                f"delta stream: commit {v} removes data "
+                                "(overwrite/delete); an append stream "
+                                "cannot express it — pass "
+                                "ignore_deletes=true to stream the adds "
+                                "anyway"
+                            )
+                    elif "add" in action:
+                        a = action["add"]
+                        if a.get("deletionVector"):
+                            raise NotImplementedError(
+                                "delta stream: deletion vectors"
+                            )
+                        out.append(
+                            _DeltaAddPartition(
+                                str(self.table / unquote(a["path"])),
+                                a.get("partitionValues") or {},
+                            )
+                        )
+        return out
+
+    def read(self, partition: _DeltaAddPartition):
+        import pyarrow.parquet as pq
+
+        fields = {f.name: f for f in self.schema_.fields}
+        pv = {
+            c: (
+                None
+                if partition.pv.get(c) is None
+                else _pv_converter(fields[c].dataType)(partition.pv[c])
+            )
+            for c in self.part_cols
+        }
+        names = [f.name for f in self.schema_.fields]
+        rows = pq.read_table(partition.path).to_pylist()
+        for r in rows:
+            yield tuple(
+                pv[n] if n in pv else r.get(n) for n in names
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's offset log is the only state

@@ -371,3 +371,79 @@ def test_vacuum_reclaims_tombstoned_files(spark, tmp_path):
         read_delta(spark, path, version=0).collect()
     # the log dir survives intact
     assert (Path(path) / "_delta_log").is_dir()
+
+
+def _run_stream_once(spark, table, out, ckpt, **opts):
+    from snapflow_spark.sources.delta import DeltaStreamDataSource
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    reader = spark.readStream.format("delta_log").option("path", str(table))
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_source_appends_exactly_once(spark, tmp_path):
+    """spark.readStream.format('delta_log'): the commit-log version is
+    the offset — restart from Spark's own offset log consumes ONLY the
+    commits that arrived while the stream was down."""
+    table = tmp_path / "tbl"
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    write_delta(_df(spark, ROWS_V0), table, partition_by=["lang"])
+    _run_stream_once(spark, table, out, ckpt)
+    assert _rows(spark.read.parquet(str(out))) == set(ROWS_V0)
+    # nothing new: a second run appends nothing
+    _run_stream_once(spark, table, out, ckpt)
+    assert spark.read.parquet(str(out)).count() == len(ROWS_V0)
+    # append a commit while the stream is down; restart consumes it
+    write_delta(_df(spark, ROWS_V1), table, mode="append")
+    _run_stream_once(spark, table, out, ckpt)
+    assert _rows(spark.read.parquet(str(out))) == set(ROWS_V0) | set(ROWS_V1)
+    assert spark.read.parquet(str(out)).count() == len(ROWS_V0) + len(ROWS_V1)
+
+
+def test_stream_source_partition_types_and_deletes(spark, tmp_path):
+    from snapflow_spark.sources.delta import DeltaStreamDataSource
+
+    table = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), table, partition_by=["lang"])
+    out, ckpt = tmp_path / "o1", tmp_path / "c1"
+    _run_stream_once(spark, table, out, ckpt)
+    got = spark.read.parquet(str(out))
+    assert dict(got.dtypes)["lang"] == "string"
+    assert _rows(got) == set(ROWS_V0)
+
+    # an overwrite (removes with dataChange) refuses by default ...
+    write_delta(_df(spark, [(9, "omega", "zz")]), table, mode="overwrite")
+    spark.dataSource.register(DeltaStreamDataSource)
+    q = (
+        spark.readStream.format("delta_log")
+        .option("path", str(table))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o2"))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignore_deletes"):
+        q.awaitTermination(120)
+        q.stop()
+    # ... and streams the adds with ignore_deletes=true. Fresh
+    # checkpoint AND fresh output dir: the parquet FileStreamSink
+    # dedupes by batch id in the OUTPUT's _spark_metadata log, so a
+    # new query writing batch 0 into an old sink dir is skipped.
+    out3 = tmp_path / "o3"
+    _run_stream_once(
+        spark, table, out3, tmp_path / "c2", ignore_deletes="true",
+        starting_version="1",
+    )
+    assert _rows(spark.read.parquet(str(out3))) == {(9, "omega", "zz")}
