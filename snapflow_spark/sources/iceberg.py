@@ -120,9 +120,58 @@ class IcebergSnapshot:
     schema: T.StructType
     #: default-spec partition fields: [(name, transform)]
     partition_fields: list[tuple[str, str]]
-    #: live data files: (resolved path, partition values dict, rows)
-    files: list[tuple[str, dict, int]]
+    #: live data files: (resolved path, partition values dict, rows,
+    #: decoded column bounds {name: (lo, hi)})
+    files: list[tuple[str, dict, int, dict]]
     metadata: dict = field(default_factory=dict)
+
+
+#: Iceberg single-value binary serialization decoders, by schema type
+#: (the manifest lower_bounds/upper_bounds value encoding).  Bounds of
+#: types outside this map are ignored — absence of a bound can only
+#: disable skipping, never change results.
+import struct as _struct
+
+
+def _decode_bound(type_str: str, raw: bytes):
+    if type_str == "long" and len(raw) == 8:
+        return _struct.unpack("<q", raw)[0]
+    if type_str == "int" and len(raw) == 4:
+        return _struct.unpack("<i", raw)[0]
+    if type_str == "double" and len(raw) == 8:
+        return _struct.unpack("<d", raw)[0]
+    if type_str == "float" and len(raw) == 4:
+        return _struct.unpack("<f", raw)[0]
+    if type_str == "string":
+        # spec: UTF-8; writers may TRUNCATE — a truncated lower is
+        # still <= every value, a truncated-and-incremented upper is
+        # still >= every value, so intersect logic stays safe
+        return raw.decode("utf-8", "replace")
+    return None
+
+
+def _encode_bound(type_str: str, v):
+    if type_str == "long":
+        return _struct.pack("<q", int(v))
+    if type_str == "int":
+        return _struct.pack("<i", int(v))
+    if type_str == "double":
+        return _struct.pack("<d", float(v))
+    if type_str == "string":
+        return str(v).encode("utf-8")
+    return None
+
+
+def _bounds_entries(entries) -> dict:
+    """lower/upper_bounds come off Avro as the Iceberg k/v-record
+    ARRAY form (Avro maps need string keys, manifests key by field
+    id); tolerate a plain dict too (hand-made fixtures)."""
+    if isinstance(entries, dict):
+        return {int(k): v for k, v in entries.items()}
+    out = {}
+    for e in entries or ():
+        out[int(e["key"])] = e["value"]
+    return out
 
 
 def _metadata_path(table: Path) -> Path:
@@ -161,6 +210,18 @@ def _localize(uri: str, location: str, table: Path) -> str:
     if uri.startswith("/"):
         return uri
     return str(table / uri)
+
+
+def _raw_schema_fields(meta: dict) -> list[dict]:
+    """The current schema's raw field dicts (id/name/type) — the
+    field-id -> (name, type) map bounds decoding needs."""
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for sc in meta["schemas"]:
+            if sc.get("schema-id", 0) == sid:
+                return list(sc["fields"])
+        return []
+    return list(meta.get("schema", {}).get("fields", []))
 
 
 def _schema_from_metadata(meta: dict) -> T.StructType:
@@ -235,7 +296,8 @@ def iceberg_snapshot(
     else:  # ancient v1 form: manifests inlined on the snapshot
         manifest_uris = list(snap.get("manifests", []))
 
-    files: list[tuple[str, dict, int]] = []
+    field_defs = _raw_schema_fields(meta)
+    files: list[tuple[str, dict, int, dict]] = []
     for muri in manifest_uris:
         _, entries = read_avro_file(_localize(muri, location, table))
         for e in entries:
@@ -253,11 +315,33 @@ def iceberg_snapshot(
                     f"read_iceberg: data file format {fmt} (PARQUET is "
                     "implemented)"
                 )
+            bounds: dict = {}
+            lo_by_id = _bounds_entries(df_rec.get("lower_bounds"))
+            hi_by_id = _bounds_entries(df_rec.get("upper_bounds"))
+            if lo_by_id or hi_by_id:
+                for fdef in field_defs:
+                    fid = fdef.get("id")
+                    tstr = fdef.get("type")
+                    if not isinstance(tstr, str):
+                        continue
+                    lo = (
+                        _decode_bound(tstr, lo_by_id[fid])
+                        if fid in lo_by_id
+                        else None
+                    )
+                    hi = (
+                        _decode_bound(tstr, hi_by_id[fid])
+                        if fid in hi_by_id
+                        else None
+                    )
+                    if lo is not None or hi is not None:
+                        bounds[fdef["name"]] = (lo, hi)
             files.append(
                 (
                     _localize(df_rec["file_path"], location, table),
                     dict(df_rec.get("partition") or {}),
                     int(df_rec.get("record_count") or 0),
+                    bounds,
                 )
             )
     return IcebergSnapshot(
@@ -270,12 +354,19 @@ def read_iceberg(
     path: str | os.PathLike,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    min_max_filter: dict | None = None,
 ) -> DataFrame:
     """Read an Iceberg-layout table.  ``snapshot_id=`` time-travels;
     ``partition_filter={field: value}`` prunes the FILE LIST against
     the manifests' partition values — only identity-transform fields
     qualify (a bucket/truncate/day transform would need the transform
-    applied to the probe value; naming one raises)."""
+    applied to the probe value; naming one raises).
+    ``min_max_filter={col: (lo, hi)}`` prunes on the manifests'
+    lower/upper_bounds (the spec's single-value binary serialization,
+    decoded for int/long/float/double/string): a file is dropped only
+    when its recorded range provably misses [lo, hi]; files without
+    bounds are always kept — skipping is an optimization, never a
+    filter (the same contract as read_delta)."""
     snap = iceberg_snapshot(spark, path, snapshot_id=snapshot_id)
     if partition_filter:
         by_name = dict(snap.partition_fields)
@@ -298,7 +389,20 @@ def read_iceberg(
                 return False
         return True
 
-    paths = [p for p, pv, _n in snap.files if keep(pv)]
+    def bounds_keep(bounds: dict) -> bool:
+        if not bounds or not min_max_filter:
+            return True
+        for c, (lo, hi) in min_max_filter.items():
+            mn, mx = bounds.get(c, (None, None))
+            if lo is not None and mx is not None and mx < lo:
+                return False
+            if hi is not None and mn is not None and mn > hi:
+                return False
+        return True
+
+    paths = [
+        p for p, pv, _n, bd in snap.files if keep(pv) and bounds_keep(bd)
+    ]
     if not paths:
         return spark.createDataFrame([], snap.schema)
     return spark.read.schema(snap.schema).parquet(*paths)
@@ -334,6 +438,42 @@ _MANIFEST_ENTRY_SCHEMA = {
                      "field-id": 104},
                     {"name": "block_size_in_bytes", "type": "long",
                      "field-id": 105},
+                    {
+                        "name": "lower_bounds",
+                        "field-id": 125,
+                        "default": None,
+                        "type": ["null", {
+                            "type": "array",
+                            "items": {
+                                "type": "record",
+                                "name": "k126_v127",
+                                "fields": [
+                                    {"name": "key", "type": "int",
+                                     "field-id": 126},
+                                    {"name": "value", "type": "bytes",
+                                     "field-id": 127},
+                                ],
+                            },
+                        }],
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "field-id": 128,
+                        "default": None,
+                        "type": ["null", {
+                            "type": "array",
+                            "items": {
+                                "type": "record",
+                                "name": "k129_v130",
+                                "fields": [
+                                    {"name": "key", "type": "int",
+                                     "field-id": 129},
+                                    {"name": "value", "type": "bytes",
+                                     "field-id": 130},
+                                ],
+                            },
+                        }],
+                    },
                 ],
             },
         },
@@ -450,11 +590,50 @@ def write_iceberg(
         snapshot_id += 1
     location = str(table)
 
+    ice_fields = _iceberg_schema(df.schema)["fields"]
+
+    def _file_bounds(rel: str) -> tuple:
+        """(lower_bounds, upper_bounds) k/v-record arrays from the
+        file's parquet footer, for exportable bound types."""
+        lo_out, hi_out = [], []
+        try:
+            fmeta = pq.ParquetFile(table / rel).metadata
+        except Exception:
+            return None, None
+        agg: dict = {}
+        for i in range(fmeta.num_row_groups):
+            rg = fmeta.row_group(i)
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    agg[col.path_in_schema] = None
+                    continue
+                cur = agg.get(col.path_in_schema)
+                if cur is None and col.path_in_schema in agg:
+                    continue
+                mn, mx = st.min, st.max
+                agg[col.path_in_schema] = (
+                    (mn, mx)
+                    if cur is None
+                    else (min(cur[0], mn), max(cur[1], mx))
+                )
+        for f in ice_fields:
+            pair = agg.get(f["name"])
+            if not pair:
+                continue
+            lo_b = _encode_bound(f["type"], pair[0])
+            hi_b = _encode_bound(f["type"], pair[1])
+            if lo_b is not None and hi_b is not None:
+                lo_out.append({"key": f["id"], "value": lo_b})
+                hi_out.append({"key": f["id"], "value": hi_b})
+        return (lo_out or None), (hi_out or None)
+
     manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
-    write_avro_file(
-        md / manifest_name,
-        _MANIFEST_ENTRY_SCHEMA,
-        [
+    entries = []
+    for rel, size, rows in moved:
+        lo_b, hi_b = _file_bounds(rel)
+        entries.append(
             {
                 "status": 1,  # ADDED
                 "snapshot_id": snapshot_id,
@@ -465,11 +644,12 @@ def write_iceberg(
                     "record_count": rows,
                     "file_size_in_bytes": size,
                     "block_size_in_bytes": 67108864,
+                    "lower_bounds": lo_b,
+                    "upper_bounds": hi_b,
                 },
             }
-            for rel, size, rows in moved
-        ],
-    )
+        )
+    write_avro_file(md / manifest_name, _MANIFEST_ENTRY_SCHEMA, entries)
 
     prev_manifests: list[dict] = []
     if prev_meta is not None and mode == "append":

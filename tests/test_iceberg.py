@@ -40,7 +40,7 @@ def test_write_read_round_trip(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == ["doc_id", "text", "lang"]
     snap = iceberg_snapshot(spark, path)
     assert snap.snapshot_id == s0
-    assert snap.files and all(n > 0 for _p, _pv, n in snap.files)
+    assert snap.files and all(n > 0 for _p, _pv, n, _bd in snap.files)
 
 
 def test_append_overwrite_time_travel(spark, tmp_path):
@@ -288,3 +288,47 @@ def test_snapshot_store_export(spark, tmp_path):
     assert _rows(read_iceberg(spark, path)) == set(ROWS_V0) | set(ROWS_V1)
     empty = SnapshotStore(tmp_path / "empty")
     assert snapshot_store_to_iceberg(empty, spark, tmp_path / "i2") is None
+
+
+def test_bounds_data_skipping(spark, tmp_path):
+    """write_iceberg emits lower/upper_bounds (the spec's k/v-record
+    arrays, single-value binary serialization) from parquet footers;
+    min_max_filter prunes the file list on the decoded ranges and
+    keeps bound-less files."""
+    import struct
+
+    path = tmp_path / "tbl"
+    lo = [(i, f"t{i:03d}", "en") for i in range(10)]
+    hi = [(i, f"t{i:03d}", "en") for i in range(100, 110)]
+    write_iceberg(_df(spark, lo).coalesce(1), path)
+    write_iceberg(_df(spark, hi).coalesce(1), path, mode="append")
+    snap = iceberg_snapshot(spark, path)
+    ranges = sorted(bd["doc_id"] for _p, _pv, _n, bd in snap.files)
+    assert ranges == [(0, 9), (100, 109)]
+    assert all("text" in bd for _p, _pv, _n, bd in snap.files)
+
+    probe = read_iceberg(spark, path, min_max_filter={"doc_id": (100, None)})
+    assert len(probe.inputFiles()) == 1
+    assert {r.doc_id for r in probe.collect()} == set(range(100, 110))
+    # string bounds prune too
+    sprobe = read_iceberg(
+        spark, path, min_max_filter={"text": ("t100", "t109")}
+    )
+    assert len(sprobe.inputFiles()) == 1
+    assert read_iceberg(
+        spark, path, min_max_filter={"doc_id": (50, 60)}
+    ).count() == 0
+
+    # hand-synthesized manifests without bounds: files always kept
+    t2 = tmp_path / "ext"
+    _synthesize_v2(spark, t2)
+    allkept = read_iceberg(spark, t2, min_max_filter={"doc_id": (999, None)})
+    assert len(allkept.inputFiles()) == 2  # no bounds -> cannot skip
+
+    # the binary encoding itself is pinned: 8-byte LE long
+    raw = struct.pack("<q", 109)
+    from snapflow_spark.sources.iceberg import _decode_bound
+
+    assert _decode_bound("long", raw) == 109
+    assert _decode_bound("string", b"abc") == "abc"
+    assert _decode_bound("uuid", b"x") is None  # unsupported -> no bound
