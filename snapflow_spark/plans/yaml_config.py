@@ -1463,7 +1463,9 @@ def _ingest_gate(
     body is stream-valid.  ``lm:`` is a trained artifact path (the
     core.ppl_buckets convention) and requires a frozen ``ppl_max``;
     ``model:`` is the embed hook's import path (hashed default
-    otherwise)."""
+    otherwise).  ``langs: []`` disables the language gate (keep
+    every language) — an empty allowlist that filtered everything
+    would be a silent pipeline-killer, so it means "all" here."""
     from snapflow_spark.streaming.ingest import web_ingest_gate
 
     trained = None
@@ -1473,7 +1475,7 @@ def _ingest_gate(
         trained = load_lm(lm)
     return web_ingest_gate(
         input,
-        langs=tuple(langs) if langs is not None else ("en",),
+        langs=(tuple(langs) or None) if langs is not None else ("en",),
         gopher_thresholds=(gopher_thresholds if gopher else False),
         lm=trained,
         ppl_max=ppl_max,

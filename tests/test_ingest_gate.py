@@ -299,3 +299,28 @@ def test_live_ingest_example_yaml(spark, warc_dir, lm, tmp_path):
         r.lang == "en" and r.ppl <= 100.0 and len(r.embedding) == 32
         for r in rows
     )
+
+
+def test_yaml_empty_langs_disables_the_gate(spark, warc_dir, tmp_path):
+    """core.ingest_gate langs: [] keeps every language — an empty
+    allowlist that filtered everything would be a silent
+    pipeline-killer."""
+    from snapflow_spark.plans import load_graph
+
+    cfg = {
+        "warehouse": str(tmp_path / "wh_langs"),
+        "sources": [{"name": "crawl", "warc": str(warc_dir),
+                     "types": "response"}],
+        "nodes": [
+            {
+                "name": "curated",
+                "function": "core.ingest_gate",
+                "upstream": "crawl",
+                "params": {"langs": [], "gopher": False, "dim": 8},
+            }
+        ],
+    }
+    g = load_graph(cfg)
+    assert g.produce(spark) > 0
+    langs = {r.lang for r in g.read(spark, "curated").collect()}
+    assert "de" in langs and "en" in langs
