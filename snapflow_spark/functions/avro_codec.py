@@ -38,6 +38,7 @@ __all__ = [
     "read_avro_bytes",
     "read_avro_file",
     "read_avro_header",
+    "read_avro_metadata",
     "write_avro_file",
 ]
 
@@ -202,6 +203,19 @@ def read_avro_header(path: str | os.PathLike) -> dict:
     return schema
 
 
+def read_avro_metadata(path: str | os.PathLike) -> dict:
+    """The container's full file-level key/value metadata map (bytes
+    values) — one bounded header read.  Iceberg keys its manifest and
+    manifest-list files here ('schema', 'partition-spec',
+    'format-version', ...)."""
+    with open(path, "rb") as fh:
+        head = fh.read(1 << 20)
+    r = _Reader(head)
+    if r.take(4) != _MAGIC:
+        raise ValueError(f"not an Avro object container: {path}")
+    return _decode(r, {"type": "map", "values": "bytes"})
+
+
 def read_avro_bytes(data: bytes, what: str = "<bytes>") -> tuple[dict, list]:
     """(writer schema as parsed JSON, decoded records) from container
     BYTES — the executor-side form (one binaryFile row in, rows
@@ -338,10 +352,15 @@ def write_avro_file(
     codec: str = "deflate",
     sync: bytes = b"\x00" * 16,
     records_per_block: int = 1000,
+    extra_metadata: dict | None = None,
 ) -> None:
     """Write an object container.  ``sync`` is deterministic by
     default (metadata files should be byte-reproducible; pass random
-    bytes if appending semantics ever matter)."""
+    bytes if appending semantics ever matter).  ``extra_metadata``
+    adds file-level key/value pairs to the header map (str or bytes
+    values) — Iceberg keys its manifests this way ('schema',
+    'partition-spec', 'format-version', ...); keys may not collide
+    with the reserved ``avro.*`` entries."""
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"avro codec {codec!r}")
     parsed = json.loads(schema) if isinstance(schema, str) else schema
@@ -352,6 +371,13 @@ def write_avro_file(
         "avro.schema": schema_json.encode(),
         "avro.codec": codec.encode(),
     }
+    for k, v in (extra_metadata or {}).items():
+        if k in meta:
+            raise ValueError(
+                f"write_avro_file: extra_metadata key {k!r} collides "
+                "with a reserved avro.* entry"
+            )
+        meta[k] = v.encode() if isinstance(v, str) else bytes(v)
     _encode(buf, {"type": "map", "values": "bytes"}, meta)
     buf += sync
     for lo in range(0, len(records), records_per_block) or (0,):

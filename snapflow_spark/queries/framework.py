@@ -179,6 +179,34 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- through binaryFile + executor-side decode with the schema
     -- inferred from one header read; the oracle re-emits the table
     SELECT 'avro' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    -- 'delta' branches (round 13): the from-scratch _delta_log bridge
+    -- with a REAL history — v0 full table, v1 overwrite (tombstones
+    -- live in the log: evens upper-cased), v2 append (odds
+    -- lower-cased). Latest = v1 survivors + v2 adds; 'delta_v0'
+    -- time-travels past the tombstones back to the original rows.
+    SELECT 'delta' AS fmt, n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN upper(n_name)
+                ELSE lower(n_name) END AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 'delta_v0' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    -- 'iceberg' branches (round 13): the metadata/manifest-list/
+    -- manifest walk over a two-snapshot table written by the v1
+    -- export twin — s0 full table, s1 appends a shifted copy
+    -- (key+100, name reversed); latest reads both, 'iceberg_s0'
+    -- time-travels by snapshot id to the first commit.
+    SELECT 'iceberg' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT 'iceberg' AS fmt,
+           n_nationkey + 100 AS n_nationkey,
+           reverse(n_name) AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 'iceberg_s0' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,9 +221,12 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning + catalog-only max_bytes live, content proven bit-exact
     via sha256|length fingerprints) and the distributed Avro scan
     branch (round 12: both container codecs through the from-scratch
-    writer, executor-side decode, header-inferred schema) — every
-    round trip proven lossless against the oracle's re-emission of
-    the table."""
+    writer, executor-side decode, header-inferred schema), and the
+    open-table bridges (round 13): a three-commit Delta history
+    (write → overwrite-with-tombstones → append) read at latest AND
+    version=0, and a two-snapshot Iceberg table read at latest AND by
+    snapshot id — every round trip proven lossless against the
+    oracle's re-emission of the table."""
     csv_path = str(_SCRATCH / "csv_roundtrip" / "nation")
     write_csv(load_table(spark, sf_dir, "nation"), csv_path)
     from_csv = read_csv(spark, csv_path).select(
@@ -393,6 +424,72 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — the oracle recomputes the same rows and predicates in SQL.
     # Union-schema mapping: n_name slot carries the url, n_regionkey
     # the normalized offset cast back to int.
+    # 'delta' branches (round 13): driver-grade correctness for the
+    # _delta_log bridge — a three-commit history so the replay walks
+    # protocol state, not just a single commit: v0 writes the full
+    # table partitioned by n_regionkey (typed partition re-attach
+    # live), v1 OVERWRITES with the upper-cased evens (every v0 file
+    # tombstoned by a remove action), v2 appends the lower-cased
+    # odds. The latest read must see exactly v1+v2; version=0 must
+    # time-travel past the tombstones to the original rows.
+    from snapflow_spark.sources.delta import read_delta, write_delta
+
+    delta_dir = _SCRATCH / "delta_roundtrip"
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    nation3 = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_delta(nation3, delta_dir, partition_by=["n_regionkey"])
+    write_delta(
+        nation3.where(F.col("n_nationkey") % 2 == 0).withColumn(
+            "n_name", F.upper("n_name")
+        ),
+        delta_dir,
+        mode="overwrite",
+    )
+    write_delta(
+        nation3.where(F.col("n_nationkey") % 2 == 1).withColumn(
+            "n_name", F.lower("n_name")
+        ),
+        delta_dir,
+        mode="append",
+    )
+
+    def _tag(df, fmt):
+        return df.select(
+            F.lit(fmt).alias("fmt"),
+            F.col("n_nationkey").cast("int"),
+            F.col("n_name").cast("string"),
+            F.col("n_regionkey").cast("int"),
+        )
+
+    from_delta = _tag(read_delta(spark, delta_dir), "delta")
+    from_delta_v0 = _tag(
+        read_delta(spark, delta_dir, version=0), "delta_v0"
+    )
+    # 'iceberg' branches (round 13): the v1 export twin writes two
+    # snapshots (s0 = full table, s1 appends a shifted copy:
+    # key+100, name reversed); the reader walks metadata → manifest
+    # list → Avro manifests for the latest state AND time-travels by
+    # snapshot id back to s0.
+    from snapflow_spark.sources.iceberg import read_iceberg, write_iceberg
+
+    ice_dir = _SCRATCH / "iceberg_roundtrip"
+    shutil.rmtree(ice_dir, ignore_errors=True)
+    s0 = write_iceberg(nation3, ice_dir)
+    write_iceberg(
+        nation3.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            F.reverse("n_name").alias("n_name"),
+            "n_regionkey",
+        ),
+        ice_dir,
+        mode="append",
+    )
+    from_ice = _tag(read_iceberg(spark, ice_dir), "iceberg")
+    from_ice_s0 = _tag(
+        read_iceberg(spark, ice_dir, snapshot_id=s0), "iceberg_s0"
+    )
     from snapflow_spark.sources.cc_index import read_cc_index
 
     key = F.col("n_nationkey")
@@ -456,6 +553,10 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(from_warc)
         .unionByName(from_bin)
         .unionByName(from_avro)
+        .unionByName(from_delta)
+        .unionByName(from_delta_v0)
+        .unionByName(from_ice)
+        .unionByName(from_ice_s0)
         .unionByName(from_cc)
     )
 

@@ -52,6 +52,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -464,14 +465,15 @@ def _stage_and_move(
     """Write data files via Spark's parquet writer into a staging dir
     (hive ``col=val/`` layout for partitioned tables — Delta's own
     file convention), then move each part file under the table root.
-    Returns (relative path, partitionValues, size) per file; Spark's
-    per-job UUID part names make the moves collision-free."""
+    Returns (relative path, partitionValues, size, mtime_ms, stats)
+    per file; Spark's per-job UUID part names make the moves
+    collision-free."""
     staging = table / f".staging-{uuid.uuid4().hex}"
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(staging))
-    out: list[tuple[str, dict, int, dict | None]] = []
+    out: list[tuple[str, dict, int, int, dict | None]] = []
     try:
         for p in sorted(staging.rglob("*.parquet")):
             rel = p.relative_to(staging)
@@ -482,13 +484,15 @@ def _stage_and_move(
             target = table / rel
             target.parent.mkdir(parents=True, exist_ok=True)
             os.rename(p, target)
+            st = target.stat()
             out.append(
                 (
                     "/".join(
                         quote(seg, safe="=") for seg in rel.parts
                     ),
                     pv,
-                    target.stat().st_size,
+                    st.st_size,
+                    int(st.st_mtime * 1000),
                     _file_stats(target),
                 )
             )
@@ -577,11 +581,14 @@ def write_delta(
                     }
                 }
             )
-    for rel, pv, sz, st in added:
+    for rel, pv, sz, mtime_ms, st in added:
         add: dict = {
             "path": rel,
             "partitionValues": pv,
             "size": sz,
+            # required by the Delta protocol's add action; real
+            # delta-spark readers reject commits without it
+            "modificationTime": mtime_ms,
             "dataChange": True,
         }
         if st is not None:
@@ -606,7 +613,8 @@ def write_delta_checkpoint(
     log = _log_path(table)
     add_t = (
         "struct<path:string,partitionValues:map<string,string>,"
-        "size:bigint,dataChange:boolean,stats:string>"
+        "size:bigint,modificationTime:bigint,dataChange:boolean,"
+        "stats:string>"
     )
     meta_t = (
         "struct<id:string,format:struct<provider:string>,"
@@ -641,8 +649,16 @@ def write_delta_checkpoint(
         stats_json = (
             json.dumps(st, separators=(",", ":")) if st else None
         )
+        try:  # protocol-required field; best-effort for gone files
+            mtime_ms = int((table / rel).stat().st_mtime * 1000)
+        except OSError:
+            mtime_ms = 0
         rows.append(
-            ((quote(rel, safe="/="), pv, sz, True, stats_json), None, None)
+            (
+                (quote(rel, safe="/="), pv, sz, mtime_ms, True, stats_json),
+                None,
+                None,
+            )
         )
     cp_df = spark.createDataFrame(rows, schema).coalesce(1)
     tmp = log / f".cp-{uuid.uuid4().hex}"
@@ -661,6 +677,7 @@ def vacuum_delta(
     spark: SparkSession,
     path: str | os.PathLike,
     dry_run: bool = False,
+    retention_hours: float = 168.0,
 ) -> list[str]:
     """Physically delete data files no longer referenced by the
     CURRENT version — the storage-reclaim half of ``write_delta``'s
@@ -673,16 +690,39 @@ def vacuum_delta(
     so readers seed from surviving state even if older JSON commits
     are later cleaned.  ``dry_run=True`` lists without deleting.
     Only files under the table root that look like data files are
-    candidates — the log directory is never touched."""
+    candidates — the log directory is never touched.
+
+    ``retention_hours`` (default 168 = 7 days, Delta's own default)
+    guards the write race: ``write_delta`` moves staged parquet under
+    the table root BEFORE publishing the commit JSON, so a file can
+    be unreferenced-but-about-to-be-committed.  Files whose mtime is
+    newer than ``now - retention_hours`` are never touched — with
+    the minimum ``retention_hours=0`` the cutoff is vacuum start, so
+    even then in-flight stages survive.  As with Delta's VACUUM,
+    shortening retention below any writer's stage→publish window
+    (or below the time-travel horizon you still need) is the
+    caller's risk; don't run vacuum concurrently with writers at
+    retention 0."""
+    if retention_hours < 0:
+        raise ValueError(
+            f"vacuum_delta: retention_hours must be >= 0, got "
+            f"{retention_hours}"
+        )
     table = Path(path)
     snap = delta_snapshot(spark, table)
     live = {rel for rel, _pv, _sz, _st in snap.files}
+    cutoff = time.time() - retention_hours * 3600.0
     candidates: list[str] = []
     for p in table.rglob("*.parquet"):
         rel = p.relative_to(table).as_posix()
         if rel.startswith(f"{_LOG_DIR}/") or rel.startswith("."):
             continue
         if rel not in live:
+            try:
+                if p.stat().st_mtime >= cutoff:
+                    continue  # inside the retention window: keep
+            except FileNotFoundError:
+                continue
             candidates.append(rel)
     if dry_run or not candidates:
         return sorted(candidates)
@@ -770,6 +810,15 @@ def _pv_converter(dt) -> "callable":
     )
 
 
+def _arrow_type(dt):
+    """Spark DataType → the pyarrow type Spark expects at its Arrow
+    boundary (delegates to pyspark's own mapping so RecordBatch yields
+    from the stream reader match what the JVM side validates)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(dt)
+
+
 class DeltaStreamDataSource(DataSource):
     """``spark.readStream.format("delta_log").option("path", table)``
     after ``spark.dataSource.register(DeltaStreamDataSource)`` — a
@@ -819,6 +868,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_deletes = (
             str(options.get("ignore_deletes", "false")).lower() == "true"
         )
+        # Rows per yielded RecordBatch — the per-task memory bound on
+        # large add files (iter_batches never holds more than this
+        # many rows, coalescing small row groups / splitting big ones).
+        self.batch_size = int(options.get("arrow_batch_size", 65536))
         meta = _log_metadata_nospark(self.table)
         self.part_cols = list(meta.get("partitionColumns") or [])
 
@@ -885,6 +938,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _DeltaAddPartition):
+        # Arrow-batched read path: rows cross the python<->JVM boundary
+        # as RecordBatch objects (the Python DataSource API accepts
+        # RecordBatch iterators), one row group at a time — bounded
+        # memory on large add files, no python-object inflation.
+        # Partition values are attached as constant Arrow columns.
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         fields = {f.name: f for f in self.schema_.fields}
@@ -897,10 +956,34 @@ class DeltaStreamReader(DataSourceStreamReader):
             for c in self.part_cols
         }
         names = [f.name for f in self.schema_.fields]
-        rows = pq.read_table(partition.path).to_pylist()
-        for r in rows:
-            yield tuple(
-                pv[n] if n in pv else r.get(n) for n in names
+        arrow_schema = pa.schema(
+            [
+                pa.field(n, _arrow_type(fields[n].dataType))
+                for n in names
+            ]
+        )
+        pf = pq.ParquetFile(partition.path)
+        file_cols = [n for n in names if n not in pv]
+        for batch in pf.iter_batches(
+            batch_size=self.batch_size, columns=file_cols
+        ):
+            arrays = []
+            for n in names:
+                typ = arrow_schema.field(n).type
+                if n in pv:
+                    arrays.append(
+                        pa.nulls(batch.num_rows, type=typ)
+                        if pv[n] is None
+                        else pa.array(
+                            [pv[n]] * batch.num_rows, type=typ
+                        )
+                    )
+                else:
+                    arrays.append(
+                        batch.column(n).cast(typ, safe=False)
+                    )
+            yield pa.RecordBatch.from_arrays(
+                arrays, schema=arrow_schema
             )
 
     def commit(self, end: dict) -> None:

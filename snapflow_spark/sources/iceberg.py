@@ -590,7 +590,29 @@ def write_iceberg(
         snapshot_id += 1
     location = str(table)
 
-    ice_fields = _iceberg_schema(df.schema)["fields"]
+    ice_schema = _iceberg_schema(df.schema)
+    last_column_id = len(df.schema.fields)
+    if prev_meta is not None and mode == "append":
+        # Reuse the TABLE's schema JSON verbatim: an externally
+        # created table (schema evolution) can carry non-sequential
+        # field ids, and prior manifests' lower/upper_bounds are keyed
+        # by those ids — regenerating 1..n would remap them and make
+        # min_max_filter decode bounds against the wrong columns.
+        # Name/type/nullability equality was checked above, so the
+        # only thing this preserves is the id mapping.
+        ice_schema = {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": _raw_schema_fields(prev_meta),
+        }
+        last_column_id = max(
+            int(prev_meta.get("last-column-id", 0) or 0),
+            max(
+                (int(f["id"]) for f in ice_schema["fields"]),
+                default=0,
+            ),
+        )
+    ice_fields = ice_schema["fields"]
 
     def _file_bounds(rel: str) -> tuple:
         """(lower_bounds, upper_bounds) k/v-record arrays from the
@@ -649,7 +671,21 @@ def write_iceberg(
                 },
             }
         )
-    write_avro_file(md / manifest_name, _MANIFEST_ENTRY_SCHEMA, entries)
+    # The spec-required manifest key/value metadata — pyiceberg and
+    # Spark's iceberg-runtime refuse manifests without these.
+    write_avro_file(
+        md / manifest_name,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        extra_metadata={
+            "schema": json.dumps(ice_schema, separators=(",", ":")),
+            "schema-id": "0",
+            "partition-spec": json.dumps([], separators=(",", ":")),
+            "partition-spec-id": "0",
+            "format-version": "1",
+            "content": "data",
+        },
+    )
 
     prev_manifests: list[dict] = []
     if prev_meta is not None and mode == "append":
@@ -663,6 +699,9 @@ def write_iceberg(
                         table,
                     )
                 )
+    parent_id = (
+        prev_meta.get("current-snapshot-id") if prev_meta else None
+    )
     ml_name = f"snap-{snapshot_id}-manifest-list.avro"
     write_avro_file(
         md / ml_name,
@@ -684,6 +723,13 @@ def write_iceberg(
                 "added_snapshot_id": snapshot_id,
             }
         ],
+        extra_metadata={
+            "snapshot-id": str(snapshot_id),
+            "parent-snapshot-id": (
+                str(parent_id) if parent_id is not None else "null"
+            ),
+            "format-version": "1",
+        },
     )
 
     version = 1
@@ -710,8 +756,8 @@ def write_iceberg(
         ),
         "location": location,
         "last-updated-ms": now_ms,
-        "last-column-id": len(df.schema.fields),
-        "schema": _iceberg_schema(df.schema),
+        "last-column-id": last_column_id,
+        "schema": ice_schema,
         "partition-spec": [],
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "default-spec-id": 0,

@@ -103,7 +103,11 @@ def web_ingest_gate(
         .where(F.col("text").isNotNull() & (F.length("text") > 0))
         .withColumn("lang", lang_id_expr("text"))
     )
-    if langs is not None:
+    # An EMPTY langs sequence means "keep every language", same as
+    # None — the YAML builtin (`core.ingest_gate langs: []`) already
+    # has that contract, and `isin([])` would silently drop every row,
+    # the exact pipeline-killer the YAML fix was written to remove.
+    if langs is not None and len(langs) > 0:
         docs = docs.where(F.col("lang").isin(list(langs)))
     docs = docs.withColumn(
         "n_tokens", token_count_expr("text").cast("bigint")

@@ -350,21 +350,43 @@ def test_vacuum_reclaims_tombstoned_files(spark, tmp_path):
     """vacuum_delta deletes files only the tombstoned history
     references, after checkpointing current state; current reads are
     unaffected, reclaimed-version time travel fails loudly at scan,
-    and staged/log files are never touched."""
+    staged/log files are never touched, and the retention window
+    (default 7 days, Delta's own) protects fresh files — including
+    just-staged parquet a concurrent writer hasn't committed yet."""
     from snapflow_spark.sources.delta import vacuum_delta
 
     path = tmp_path / "tbl"
     write_delta(_df(spark, ROWS_V0), path, partition_by=["lang"])
     write_delta(_df(spark, [(9, "omega", "zz")]), path, mode="overwrite")
     before = read_delta(spark, path)
-    dry = vacuum_delta(spark, path, dry_run=True)
+    # everything here was written seconds ago: the DEFAULT retention
+    # window keeps it all, dry or not
+    assert vacuum_delta(spark, path, dry_run=True) == []
+    assert vacuum_delta(spark, path) == []
+    assert _rows(read_delta(spark, path, version=0)) == set(ROWS_V0)
+    # retention_hours=0 moves the cutoff to vacuum start: the
+    # tombstoned files reclaim, but a file whose mtime is in the
+    # future (a writer staging RIGHT NOW) still survives
+    staged = Path(path) / "lang=zz" / "part-staged-now.parquet"
+    staged.write_bytes(b"not yet committed")
+    import os as _os
+    import time as _time
+
+    future = _time.time() + 3600
+    _os.utime(staged, (future, future))
+    dry = vacuum_delta(spark, path, dry_run=True, retention_hours=0)
     assert dry and all(Path(path, rel).exists() for rel in dry)
-    gone = vacuum_delta(spark, path)
+    assert "lang=zz/part-staged-now.parquet" not in dry
+    gone = vacuum_delta(spark, path, retention_hours=0)
     assert gone == dry
     assert not any(Path(path, rel).exists() for rel in gone)
+    assert staged.exists()
+    staged.unlink()
     assert _rows(read_delta(spark, path)) == _rows(before)
     # vacuuming again is a no-op
-    assert vacuum_delta(spark, path) == []
+    assert vacuum_delta(spark, path, retention_hours=0) == []
+    with pytest.raises(ValueError, match="retention_hours"):
+        vacuum_delta(spark, path, retention_hours=-1)
     # reclaimed version: the log replays but the scan fails loudly
     # (Spark raises PATH_NOT_FOUND at relation-planning time)
     with pytest.raises(Exception, match="(?i)path does not exist|FileNotFound"):
@@ -447,3 +469,54 @@ def test_stream_source_partition_types_and_deletes(spark, tmp_path):
         starting_version="1",
     )
     assert _rows(spark.read.parquet(str(out3))) == {(9, "omega", "zz")}
+
+
+def test_stream_reader_yields_arrow_batches(spark, tmp_path):
+    """The stream reader's read() crosses the python<->JVM boundary as
+    pyarrow RecordBatch objects of at most ``arrow_batch_size`` rows —
+    never inflated python row lists — with partition values attached
+    as constant Arrow columns of the Spark-schema types.  Bounded
+    memory on a large add file follows: at most one batch is resident."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    from snapflow_spark.sources.delta import (
+        DeltaStreamReader,
+        _DeltaAddPartition,
+        _log_metadata_nospark,
+    )
+
+    table = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), table, partition_by=["lang"])
+    schema = StructType.fromJson(
+        json.loads(_log_metadata_nospark(table)["schemaString"])
+    )
+    # a data file whose row count exceeds the batch size
+    multi = tmp_path / "multi.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(10), type=pa.int64()),
+                "text": pa.array([f"t{i}" for i in range(10)]),
+            }
+        ),
+        multi,
+    )
+    reader = DeltaStreamReader(
+        schema, {"path": str(table), "arrow_batch_size": "3"}
+    )
+    batches = list(
+        reader.read(_DeltaAddPartition(str(multi), {"lang": "en"}))
+    )
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert len(batches) == 4 and max(b.num_rows for b in batches) <= 3
+    got = pa.Table.from_batches(batches)
+    assert got.column_names == ["doc_id", "text", "lang"]
+    assert got.column("lang").to_pylist() == ["en"] * 10
+    assert got.column("doc_id").to_pylist() == list(range(10))
+    # a null partition value becomes a typed all-null Arrow column
+    nulls = list(
+        reader.read(_DeltaAddPartition(str(multi), {"lang": None}))
+    )
+    assert pa.Table.from_batches(nulls).column("lang").null_count == 10

@@ -332,3 +332,91 @@ def test_bounds_data_skipping(spark, tmp_path):
     assert _decode_bound("long", raw) == 109
     assert _decode_bound("string", b"abc") == "abc"
     assert _decode_bound("uuid", b"x") is None  # unsupported -> no bound
+
+
+def test_append_preserves_external_field_ids(spark, tmp_path):
+    """Appending to a table whose schema carries NON-sequential field
+    ids (schema evolution by an external writer) must reuse those ids:
+    regenerating 1..n would remap metadata ids while prior manifests'
+    bounds stay keyed by the originals, silently mis-pruning."""
+    from snapflow_spark.functions.avro_codec import read_avro_metadata
+
+    path = tmp_path / "tbl"
+    write_iceberg(_df(spark, ROWS_V0), path)
+    # simulate schema evolution: rewrite the metadata with ids 5/6/7
+    md = path / "metadata"
+    hint = int((md / "version-hint.text").read_text().strip())
+    meta = json.loads((md / f"v{hint}.metadata.json").read_text())
+    remap = {1: 5, 2: 6, 3: 7}
+    for f in meta["schema"]["fields"]:
+        f["id"] = remap[f["id"]]
+    meta["last-column-id"] = 7
+    (md / f"v{hint}.metadata.json").write_text(json.dumps(meta))
+
+    write_iceberg(_df(spark, ROWS_V1), path, mode="append")
+    meta2 = json.loads(
+        (md / f"v{hint + 1}.metadata.json").read_text()
+    )
+    assert [f["id"] for f in meta2["schema"]["fields"]] == [5, 6, 7]
+    assert meta2["last-column-id"] == 7
+    assert _rows(read_iceberg(spark, path)) == set(ROWS_V0) | set(ROWS_V1)
+    # the NEW manifest's bounds are keyed by the preserved ids, so
+    # min_max_filter decodes them against the right columns
+    probe = read_iceberg(spark, path, min_max_filter={"doc_id": (3, 4)})
+    assert _rows(probe) >= set(ROWS_V1)
+    # and the new manifest's own schema metadata carries the same ids
+    snaps = {s["snapshot-id"]: s for s in meta2["snapshots"]}
+    ml = snaps[meta2["current-snapshot-id"]]["manifest-list"]
+    ml_local = path / "metadata" / Path(ml).name
+    m_meta = read_avro_metadata(ml_local)
+    assert m_meta["format-version"] == b"1"
+
+
+def test_manifest_avro_key_metadata(spark, tmp_path):
+    """Manifests and manifest lists carry the Iceberg-required Avro
+    key/value metadata ('schema', 'partition-spec', ... on manifests;
+    'snapshot-id' lineage on manifest lists) so genuine Iceberg
+    readers can open the export."""
+    from snapflow_spark.functions.avro_codec import (
+        read_avro_file,
+        read_avro_metadata,
+    )
+
+    path = tmp_path / "tbl"
+    s0 = write_iceberg(_df(spark, ROWS_V0), path)
+    s1 = write_iceberg(_df(spark, ROWS_V1), path, mode="append")
+    md = path / "metadata"
+    hint = int((md / "version-hint.text").read_text().strip())
+    meta = json.loads((md / f"v{hint}.metadata.json").read_text())
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+
+    ml_path = md / Path(snaps[s1]["manifest-list"]).name
+    ml_meta = read_avro_metadata(ml_path)
+    assert ml_meta["snapshot-id"] == str(s1).encode()
+    assert ml_meta["parent-snapshot-id"] == str(s0).encode()
+    assert ml_meta["format-version"] == b"1"
+
+    _schema, manifests = read_avro_file(ml_path)
+    for m in manifests:
+        mpath = md / Path(m["manifest_path"]).name
+        mm = read_avro_metadata(mpath)
+        for k in (
+            "schema",
+            "schema-id",
+            "partition-spec",
+            "partition-spec-id",
+            "format-version",
+            "content",
+        ):
+            assert k in mm, f"manifest missing metadata key {k}"
+        sch = json.loads(mm["schema"].decode())
+        assert [f["name"] for f in sch["fields"]] == [
+            "doc_id",
+            "text",
+            "lang",
+        ]
+        assert json.loads(mm["partition-spec"].decode()) == []
+        assert mm["content"] == b"data"
+    # the first snapshot's manifest list has no parent
+    ml0 = read_avro_metadata(md / Path(snaps[s0]["manifest-list"]).name)
+    assert ml0["parent-snapshot-id"] == b"null"

@@ -182,6 +182,11 @@ def test_rejects_die_at_the_right_gate(spark, warc_dir, lm):
                                 embed_dim=8)
     ids = {r.doc_id for r in open_gate.select("doc_id").collect()}
     assert ids == {f"<urn:uuid:doc-{i}>" for i in (0, 1, 2, 12, 13, 14)}
+    # langs=() means keep-all too (the YAML builtin's `langs: []`
+    # contract) — NOT isin([]), which silently drops every row
+    empty_gate = web_ingest_gate(batch, langs=(), gopher_thresholds=False,
+                                 embed_dim=8)
+    assert {r.doc_id for r in empty_gate.select("doc_id").collect()} == ids
     # lang gate alone removes the German page
     lang_gate = web_ingest_gate(batch, gopher_thresholds=False, embed_dim=8)
     ids = {r.doc_id for r in lang_gate.select("doc_id").collect()}
