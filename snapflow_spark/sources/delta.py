@@ -28,10 +28,23 @@ Delta transaction-log PROTOCOL (delta.io/PROTOCOL.md) directly:
   checkpoint parquet + ``_last_checkpoint`` so readers skip the JSON
   replay.
 
+**Deletion vectors read** (round 13): an ``add.deletionVector``
+descriptor (inline / UUID sidecar / absolute path — the row-level
+delete sidecars current Databricks writers emit BY DEFAULT) decodes
+via sources/deletion_vectors.py (Z85 + portable RoaringBitmapArray,
+from the published specs) and applies as a broadcast anti-join on the
+parquet ``_metadata.row_index`` column, so the row filter runs
+distributed while the bitmap stays O(deleted-rows) metadata.  Reader
+protocol 3 with the ``deletionVectors`` feature is therefore
+supported.
+
 Loud-guard scope (never silently wrong): tables using column mapping
-(``delta.columnMapping.mode`` other than none), deletion vectors on
-any live file, or a reader protocol above what this module implements
-raise with the feature named.  Stats-based DATA SKIPPING is in (round
+(``delta.columnMapping.mode`` other than none) or a reader protocol
+above what this module implements raise with the feature named;
+``write_delta_checkpoint`` refuses a table with live DVs (its
+checkpoint schema carries no DV descriptors, and omitting them would
+resurrect deleted rows); the streaming source refuses DV'd adds (an
+append stream cannot express row-level deletes).  Stats-based DATA SKIPPING is in (round
 12): ``write_delta`` folds each file's parquet row-group statistics
 into ``add.stats`` JSON (numRecords + min/maxValues + nullCount for
 JSON-safe primitive columns), and ``read_delta(min_max_filter=...)``
@@ -58,6 +71,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from urllib.parse import quote, unquote
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
@@ -66,6 +80,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 from pyspark.sql.types import StructType
+
+from snapflow_spark.sources.deletion_vectors import deleted_row_indexes
 
 __all__ = [
     "DeltaSnapshot",
@@ -82,6 +98,8 @@ _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 #: protocol tiers this reader actually implements
 _MAX_READER_VERSION = 1
+#: reader version 3 features this bridge actually implements
+_SUPPORTED_READER_FEATURES = {"deletionVectors"}
 #: readerFeatures that change nothing for plain parquet scans
 _HARMLESS_READER_FEATURES = {"timestampNtz", "v2Checkpoint"}
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -100,6 +118,9 @@ class DeltaSnapshot:
     files: list[tuple[str, dict, int, dict | None]]
     metadata: dict = field(default_factory=dict)
     protocol: dict = field(default_factory=dict)
+    #: relative path -> add.deletionVector descriptor, for the live
+    #: files that carry one (row-level deletes; see deletion_vectors)
+    dvs: dict = field(default_factory=dict)
 
 
 def _log_path(table_path: str | os.PathLike) -> Path:
@@ -151,12 +172,15 @@ def _latest_checkpoint_version(log: Path, at_most: int) -> int | None:
 def _guard_protocol(protocol: dict, metadata: dict, what: str) -> None:
     mrv = int(protocol.get("minReaderVersion", 1) or 1)
     feats = set(protocol.get("readerFeatures") or [])
-    unsupported = feats - _HARMLESS_READER_FEATURES
+    unsupported = (
+        feats - _HARMLESS_READER_FEATURES - _SUPPORTED_READER_FEATURES
+    )
     if mrv > _MAX_READER_VERSION and unsupported:
         raise NotImplementedError(
             f"{what}: table requires reader protocol {mrv} with "
             f"features {sorted(unsupported)}; this bridge implements "
-            f"reader version {_MAX_READER_VERSION} (+ harmless "
+            f"reader version {_MAX_READER_VERSION} + "
+            f"{sorted(_SUPPORTED_READER_FEATURES)} (+ harmless "
             f"{sorted(_HARMLESS_READER_FEATURES)})"
         )
     mode = (metadata.get("configuration") or {}).get(
@@ -199,16 +223,19 @@ def delta_snapshot(
         )
 
     adds: dict[str, tuple[dict, int, dict | None]] = {}
+    dvs: dict[str, dict] = {}
     metadata: dict = {}
     protocol: dict = {}
 
     def apply_add(a: dict, what: str) -> None:
-        if a.get("deletionVector"):
-            raise NotImplementedError(
-                f"{what}: file {a.get('path')!r} carries a deletion "
-                "vector; reading it naively would resurrect deleted rows"
-            )
         p = unquote(a["path"])
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType"):
+            # re-adding a path REPLACES its entry, DV included (how
+            # delta-spark publishes an updated delete set for a file)
+            dvs[p] = {k: v for k, v in dv.items() if v is not None}
+        else:
+            dvs.pop(p, None)
         st = a.get("stats")
         if isinstance(st, str):
             try:
@@ -269,7 +296,9 @@ def delta_snapshot(
                 if "add" in action:
                     apply_add(action["add"], "read_delta")
                 elif "remove" in action:
-                    adds.pop(unquote(action["remove"]["path"]), None)
+                    rp = unquote(action["remove"]["path"])
+                    adds.pop(rp, None)
+                    dvs.pop(rp, None)
                 elif "metaData" in action:
                     metadata = action["metaData"]
                 elif "protocol" in action:
@@ -293,6 +322,7 @@ def delta_snapshot(
         files=files,
         metadata=metadata,
         protocol=protocol,
+        dvs=dvs,
     )
 
 
@@ -373,25 +403,52 @@ def read_delta(
     data_schema = StructType(
         [f for f in snap.schema.fields if f.name not in snap.partition_columns]
     )
-    groups: dict[tuple, list[str]] = {}
+    groups: dict[tuple, list[tuple[str, str]]] = {}
     for rel, pv, _sz, st in snap.files:
         if keep(pv) and stats_keep(st):
             key = tuple(pv.get(c) for c in snap.partition_columns)
             groups.setdefault(key, []).append(
-                str(Path(snap.path) / rel)
+                (rel, str(Path(snap.path) / rel))
             )
 
     out_cols = [f.name for f in snap.schema.fields]
     if not groups:
         return spark.createDataFrame([], snap.schema)
     parts = []
-    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*paths)
-        for c, raw in zip(snap.partition_columns, key):
-            df = df.withColumn(
-                c, F.lit(raw).cast(fields[c].dataType)
-            )
-        parts.append(df.select(*out_cols))
+    for key, entries in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        # files WITHOUT a deletion vector scan together as one
+        # relation; each DV'd file scans with its parquet-native
+        # _metadata.row_index and anti-joins its (broadcast) deleted
+        # index set — row-level deletes applied distributed, the
+        # bitmap itself decoded driver-side from O(deleted) metadata
+        # (the same per-file bitmaps delta-spark ships to scan tasks)
+        clean = [p for rel, p in entries if rel not in snap.dvs]
+        sub = []
+        if clean:
+            sub.append(spark.read.schema(data_schema).parquet(*clean))
+        for rel, p in entries:
+            if rel not in snap.dvs:
+                continue
+            idx = deleted_row_indexes(snap.path, snap.dvs[rel])
+            df = spark.read.schema(data_schema).parquet(p)
+            if idx:
+                deleted = spark.createDataFrame(
+                    pd.DataFrame({"__dv_row_idx": pd.array(idx, dtype="int64")})
+                )
+                df = (
+                    df.withColumn(
+                        "__dv_row_idx", F.col("_metadata.row_index")
+                    )
+                    .join(F.broadcast(deleted), "__dv_row_idx", "left_anti")
+                    .drop("__dv_row_idx")
+                )
+            sub.append(df)
+        for df in sub:
+            for c, raw in zip(snap.partition_columns, key):
+                df = df.withColumn(
+                    c, F.lit(raw).cast(fields[c].dataType)
+                )
+            parts.append(df.select(*out_cols))
     result = parts[0]
     for df in parts[1:]:
         result = result.unionByName(df)
@@ -610,6 +667,13 @@ def write_delta_checkpoint(
     JSON commit; returns the checkpointed version."""
     table = Path(path)
     snap = delta_snapshot(spark, table)
+    if snap.dvs:
+        raise NotImplementedError(
+            "write_delta_checkpoint: table has live deletion vectors "
+            f"on {sorted(snap.dvs)}; this checkpoint schema does not "
+            "carry DV descriptors, and writing one without them would "
+            "resurrect deleted rows for checkpoint-seeded readers"
+        )
     log = _log_path(table)
     add_t = (
         "struct<path:string,partitionValues:map<string,string>,"

@@ -48,6 +48,11 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from snapflow_spark.functions.avro_codec import (
     read_avro_file,
@@ -56,6 +61,7 @@ from snapflow_spark.functions.avro_codec import (
 
 __all__ = [
     "IcebergSnapshot",
+    "IcebergStreamDataSource",
     "iceberg_snapshot",
     "read_iceberg",
     "snapshot_store_to_iceberg",
@@ -791,3 +797,197 @@ def snapshot_store_to_iceberg(
     if df is None:
         return None
     return write_iceberg(df, path, mode=mode)
+
+
+# ----------------------------------------------------- streaming source
+class IcebergStreamDataSource(DataSource):
+    """``spark.readStream.format("iceberg_snaps").option("path", t)``
+    after ``spark.dataSource.register(IcebergStreamDataSource)`` — a
+    STREAMING source over an Iceberg table's snapshot lineage, the
+    twin of sources.delta.DeltaStreamDataSource (same option names,
+    same semantics, same Arrow-batch read path):
+
+    - the offset is the POSITION in the metadata's append-ordered
+      ``snapshots`` array, pinned to the snapshot id it saw there —
+      a table whose history is rewritten under a running stream
+      (snapshot expiry) raises loudly instead of replaying wrong
+      files;
+    - each micro-batch covers snapshots ``(start, end]`` and plans
+      one InputPartition per data file ADDED by those snapshots
+      (manifests whose ``added_snapshot_id`` matches, entries with
+      non-DELETED status) — Iceberg data files carry ALL columns,
+      identity partitions included, so no value re-attach is needed;
+    - a snapshot whose ``summary.operation`` is not ``append``
+      raises unless ``ignore_overwrites=true`` (then its added files
+      still stream — delta-spark's ignoreDeletes semantics), because
+      an append stream cannot express row-level removal;
+    - ``starting_snapshot`` skips history (``"latest"`` = only
+      snapshots after stream start; an int = that snapshot id
+      onward); ``arrow_batch_size`` bounds per-task memory.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_snaps"
+
+    def schema(self) -> T.StructType:
+        meta = json.loads(
+            _metadata_path(Path(self.options["path"])).read_text()
+        )
+        return _schema_from_metadata(meta)
+
+    def streamReader(self, schema: T.StructType) -> "IcebergStreamReader":
+        return IcebergStreamReader(schema, dict(self.options))
+
+
+class _IcebergFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema_ = schema
+        self.options = options
+        self.table = Path(options["path"])
+        self.ignore_overwrites = (
+            str(options.get("ignore_overwrites", "false")).lower()
+            == "true"
+        )
+        self.batch_size = int(options.get("arrow_batch_size", 65536))
+
+    def _meta(self) -> tuple[dict, list]:
+        meta = json.loads(_metadata_path(self.table).read_text())
+        return meta, list(meta.get("snapshots", []))
+
+    def _offset_at(self, snaps: list, index: int) -> dict:
+        return {
+            "index": index,
+            "snapshot_id": (
+                int(snaps[index]["snapshot-id"]) if index >= 0 else None
+            ),
+        }
+
+    def initialOffset(self) -> dict:
+        sv = self.options.get("starting_snapshot")
+        _meta, snaps = self._meta()
+        if sv is None:
+            return {"index": -1, "snapshot_id": None}
+        if str(sv) == "latest":
+            return self._offset_at(snaps, len(snaps) - 1)
+        sid = int(sv)
+        for i, s in enumerate(snaps):
+            if int(s["snapshot-id"]) == sid:
+                return self._offset_at(snaps, i - 1)
+        raise ValueError(
+            f"iceberg stream: starting_snapshot {sid} not in the "
+            f"snapshot lineage (have {[s['snapshot-id'] for s in snaps]})"
+        )
+
+    def latestOffset(self) -> dict:
+        _meta, snaps = self._meta()
+        return self._offset_at(snaps, len(snaps) - 1)
+
+    def _check_lineage(self, snaps: list, off: dict) -> None:
+        i, sid = int(off["index"]), off.get("snapshot_id")
+        if i < 0:
+            return
+        if i >= len(snaps) or int(snaps[i]["snapshot-id"]) != int(sid):
+            raise ValueError(
+                f"iceberg stream: offset pinned snapshot {sid} at "
+                f"position {i}, but the table's snapshot lineage has "
+                "changed (snapshot expiry / history rewrite?) — "
+                "restart the stream with starting_snapshot"
+            )
+
+    def partitions(self, start: dict, end: dict):
+        meta, snaps = self._meta()
+        self._check_lineage(snaps, start)
+        self._check_lineage(snaps, end)
+        location = meta.get("location", "")
+        out: list[_IcebergFilePartition] = []
+        for i in range(int(start["index"]) + 1, int(end["index"]) + 1):
+            snap = snaps[i]
+            sid = int(snap["snapshot-id"])
+            op = (snap.get("summary") or {}).get("operation", "append")
+            if op != "append" and not self.ignore_overwrites:
+                raise ValueError(
+                    f"iceberg stream: snapshot {sid} is a {op!r} "
+                    "(removes data); an append stream cannot express "
+                    "it — pass ignore_overwrites=true to stream the "
+                    "added files anyway"
+                )
+            if "manifest-list" not in snap:
+                raise NotImplementedError(
+                    "iceberg stream: snapshot without a manifest-list "
+                    "(ancient inline-manifests form)"
+                )
+            ml = _localize(snap["manifest-list"], location, self.table)
+            _, manifests = read_avro_file(ml)
+            for m in manifests:
+                if (
+                    m.get("added_snapshot_id") is not None
+                    and int(m["added_snapshot_id"]) != sid
+                ):
+                    continue  # carried over from a previous snapshot
+                if int(m.get("content") or 0) != 0:
+                    raise NotImplementedError(
+                        "iceberg stream: DELETE manifest (row-level "
+                        "deletes)"
+                    )
+                mpath = _localize(m["manifest_path"], location, self.table)
+                _, entries = read_avro_file(mpath)
+                for e in entries:
+                    if int(e.get("status") or 0) == _STATUS_DELETED:
+                        continue
+                    rec = e["data_file"]
+                    if int(rec.get("content") or 0) != 0:
+                        raise NotImplementedError(
+                            "iceberg stream: position/equality delete "
+                            "file in a data manifest"
+                        )
+                    fmt = str(rec.get("file_format", "PARQUET")).upper()
+                    if fmt != "PARQUET":
+                        raise NotImplementedError(
+                            f"iceberg stream: data file format {fmt}"
+                        )
+                    out.append(
+                        _IcebergFilePartition(
+                            _localize(
+                                rec["file_path"], location, self.table
+                            )
+                        )
+                    )
+        return out
+
+    def read(self, partition: _IcebergFilePartition):
+        # Arrow-batch read path (see DeltaStreamReader.read): one
+        # RecordBatch of at most arrow_batch_size rows crosses the
+        # boundary at a time; Iceberg data files carry every column,
+        # so this is a straight cast onto the table schema's types.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from snapflow_spark.sources.delta import _arrow_type
+
+        names = [f.name for f in self.schema_.fields]
+        arrow_schema = pa.schema(
+            [
+                pa.field(f.name, _arrow_type(f.dataType))
+                for f in self.schema_.fields
+            ]
+        )
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches(
+            batch_size=self.batch_size, columns=names
+        ):
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(n).cast(arrow_schema.field(n).type, safe=False)
+                    for n in names
+                ],
+                schema=arrow_schema,
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's offset log is the only state

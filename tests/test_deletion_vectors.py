@@ -1,0 +1,265 @@
+"""Delta deletion vectors (sources/deletion_vectors.py + the
+read_delta integration): the Z85 + portable-RoaringBitmapArray codec
+pinned to the published byte layouts, every descriptor storage type
+(inline / uuid sidecar / absolute path), DV replacement on re-add,
+time travel around deletes, and the loud checkpoint/stream guards."""
+
+from __future__ import annotations
+
+import json
+import uuid
+import zlib
+from pathlib import Path
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from snapflow_spark.sources.deletion_vectors import (
+    decode_dv_data,
+    deleted_row_indexes,
+    encode_dv_data,
+    inline_dv_descriptor,
+    write_dv_file,
+    z85_decode,
+    z85_encode,
+)
+
+# ------------------------------------------------------ codec (no spark)
+
+
+def test_z85_pinned_and_round_trip():
+    # the ZeroMQ spec 32 reference vector: "HelloWorld"
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    assert z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+    with pytest.raises(ValueError, match="multiple of 4"):
+        z85_encode(b"abc")
+    with pytest.raises(ValueError, match="multiple of 5"):
+        z85_decode("abcd")
+    with pytest.raises(ValueError, match="invalid character"):
+        z85_decode('"""""')
+
+
+def test_roaring_bytes_pinned_to_spec():
+    """encode_dv_data({1,3,7}) byte-for-byte: magic + one bitmap with
+    key 0 + no-run cookie + 1 array container + offset header."""
+    data = encode_dv_data([1, 3, 7])
+    want = (
+        (1681511377).to_bytes(4, "little")  # RoaringBitmapArray magic
+        + (1).to_bytes(8, "little")  # one 32-bit bitmap
+        + (0).to_bytes(4, "little")  # its key (high 32 bits)
+        + (12346).to_bytes(4, "little")  # SERIAL_COOKIE_NO_RUNCONTAINER
+        + (1).to_bytes(4, "little")  # one container
+        + (0).to_bytes(2, "little")  # container key
+        + (2).to_bytes(2, "little")  # cardinality - 1
+        + (16).to_bytes(4, "little")  # offset of container data
+        + (1).to_bytes(2, "little")
+        + (3).to_bytes(2, "little")
+        + (7).to_bytes(2, "little")
+    )
+    assert data == want
+    assert decode_dv_data(data) == [1, 3, 7]
+
+
+def test_roaring_decode_run_containers():
+    """The decoder also reads the SERIAL_COOKIE run-container form
+    (real writers emit it; our encoder doesn't)."""
+    n = 1  # one container, run flag set
+    cookie = 12347 | ((n - 1) << 16)
+    bitmap = (
+        cookie.to_bytes(4, "little")
+        + bytes([0b1])  # run flag bitset
+        + (0).to_bytes(2, "little")  # key
+        + (5).to_bytes(2, "little")  # cardinality-1 (6 values)
+        # n < 4 -> no offset header with the run cookie
+        + (2).to_bytes(2, "little")  # two runs
+        + (10).to_bytes(2, "little") + (2).to_bytes(2, "little")  # 10..12
+        + (20).to_bytes(2, "little") + (2).to_bytes(2, "little")  # 20..22
+    )
+    data = (
+        (1681511377).to_bytes(4, "little")
+        + (1).to_bytes(8, "little")
+        + (0).to_bytes(4, "little")
+        + bitmap
+    )
+    assert decode_dv_data(data) == [10, 11, 12, 20, 21, 22]
+
+
+def test_roaring_bitset_and_high_keys():
+    big = list(range(5000))  # > 4096 -> bitset container
+    assert decode_dv_data(encode_dv_data(big)) == big
+    spread = [0, 65536 + 3, (1 << 32) + 9]  # two 16-bit keys + 64-bit key
+    assert decode_dv_data(encode_dv_data(spread)) == spread
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sets(
+        st.integers(min_value=0, max_value=(1 << 33)), max_size=600
+    )
+)
+def test_roaring_round_trip_fuzz(idx):
+    assert decode_dv_data(encode_dv_data(idx)) == sorted(idx)
+
+
+def test_descriptor_validation(tmp_path):
+    desc = write_dv_file(tmp_path, [1, 2, 3])
+    # uuid sidecar exists under the table root with the spec name
+    u = uuid.UUID(bytes=z85_decode(desc["pathOrInlineDv"][-20:]))
+    p = tmp_path / f"deletion_vector_{u}.bin"
+    assert p.exists() and p.read_bytes()[0] == 1
+    assert deleted_row_indexes(tmp_path, desc) == [1, 2, 3]
+    # corrupt the payload: CRC catches it
+    blob = bytearray(p.read_bytes())
+    blob[8] ^= 0xFF
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="CRC-32"):
+        deleted_row_indexes(tmp_path, desc)
+    # cardinality lie is caught
+    good = write_dv_file(tmp_path, [5])
+    good["cardinality"] = 2
+    with pytest.raises(ValueError, match="cardinality"):
+        deleted_row_indexes(tmp_path, good)
+    with pytest.raises(NotImplementedError, match="storageType"):
+        deleted_row_indexes(tmp_path, {"storageType": "x"})
+
+
+# ---------------------------------------------------- read integration
+
+ROWS = [(i, f"t{i}", "en" if i % 2 == 0 else "de") for i in range(10)]
+SCHEMA = "doc_id bigint, text string, lang string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return {(r.doc_id, r.text, r.lang) for r in df.collect()}
+
+
+def _external_dv_table(spark, table: Path, dv_of):
+    """Hand-publish a Delta table (an EXTERNAL writer, not ours):
+    one data file, reader protocol 3 + deletionVectors, and an add
+    whose deletionVector comes from ``dv_of(table, indexes)``."""
+    from snapflow_spark.sources.delta import write_delta
+
+    # one data file (coalesce) so row indexes align with ROWS order
+    write_delta(_df(spark, ROWS).coalesce(1), table)  # v0
+    desc = dv_of(table, [1, 3, 7])
+    log = table / "_delta_log"
+    v0 = json.loads(
+        [
+            ln
+            for ln in (log / f"{0:020d}.json").read_text().splitlines()
+            if '"add"' in ln
+        ][0]
+    )["add"]
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"add": {**v0, "deletionVector": desc}},
+    ]
+    (log / f"{1:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+    return desc
+
+
+def test_read_delta_applies_uuid_sidecar_dv(spark, tmp_path):
+    from snapflow_spark.sources.delta import read_delta
+
+    table = tmp_path / "tbl"
+    _external_dv_table(spark, table, lambda t, idx: write_dv_file(t, idx))
+    got = read_delta(spark, table)
+    live = {i for i in range(10) if i not in (1, 3, 7)}
+    assert {r.doc_id for r in got.collect()} == live
+    assert _rows(got) == {r for r in ROWS if r[0] in live}
+    # time travel BEFORE the DV commit sees every row
+    assert {r.doc_id for r in read_delta(spark, table, version=0).collect()} == set(range(10))
+
+
+def test_read_delta_applies_inline_and_absolute_dv(spark, tmp_path):
+    from snapflow_spark.sources.delta import read_delta
+
+    t1 = tmp_path / "inline"
+    _external_dv_table(spark, t1, lambda t, idx: inline_dv_descriptor(idx))
+    assert {r.doc_id for r in read_delta(spark, t1).collect()} == {
+        0, 2, 4, 5, 6, 8, 9
+    }
+    t2 = tmp_path / "abs"
+
+    def absolute(t, idx):
+        d = write_dv_file(t, idx)
+        u = uuid.UUID(bytes=z85_decode(d["pathOrInlineDv"][-20:]))
+        return {**d, "storageType": "p",
+                "pathOrInlineDv": str(t / f"deletion_vector_{u}.bin")}
+
+    _external_dv_table(spark, t2, absolute)
+    assert {r.doc_id for r in read_delta(spark, t2).collect()} == {
+        0, 2, 4, 5, 6, 8, 9
+    }
+
+
+def test_dv_replacement_and_remove(spark, tmp_path):
+    """Re-adding a path replaces its DV (delta-spark's update shape);
+    removing the path clears it; a remove+re-add WITHOUT a DV
+    resurrects nothing it shouldn't."""
+    from snapflow_spark.sources.delta import read_delta
+
+    table = tmp_path / "tbl"
+    _external_dv_table(spark, table, lambda t, idx: write_dv_file(t, idx))
+    log = table / "_delta_log"
+    v1 = [
+        json.loads(ln)
+        for ln in (log / f"{1:020d}.json").read_text().splitlines()
+    ]
+    add = next(a for a in v1 if "add" in a)["add"]
+    # v2: same path, WIDER delete set
+    wider = write_dv_file(table, [1, 3, 7, 9])
+    (log / f"{2:020d}.json").write_text(
+        json.dumps({"add": {**add, "deletionVector": wider}}) + "\n"
+    )
+    assert {r.doc_id for r in read_delta(spark, table).collect()} == {
+        0, 2, 4, 5, 6, 8
+    }
+    # v3: re-add WITHOUT a DV -> all rows live again
+    plain = {k: v for k, v in add.items() if k != "deletionVector"}
+    (log / f"{3:020d}.json").write_text(
+        json.dumps({"add": plain}) + "\n"
+    )
+    assert {r.doc_id for r in read_delta(spark, table).collect()} == set(
+        range(10)
+    )
+    # and versioned reads still see each era
+    assert {r.doc_id for r in read_delta(spark, table, version=2).collect()} == {
+        0, 2, 4, 5, 6, 8
+    }
+
+
+def test_checkpoint_and_stream_refuse_dv_tables(spark, tmp_path):
+    from snapflow_spark.sources.delta import (
+        DeltaStreamDataSource,
+        write_delta_checkpoint,
+    )
+
+    table = tmp_path / "tbl"
+    _external_dv_table(spark, table, lambda t, idx: write_dv_file(t, idx))
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        write_delta_checkpoint(spark, table)
+    spark.dataSource.register(DeltaStreamDataSource)
+    q = (
+        spark.readStream.format("delta_log")
+        .option("path", str(table))
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="deletion vector"):
+        q.awaitTermination(120)
+        q.stop()

@@ -200,23 +200,29 @@ def test_loud_guards(spark, tmp_path):
     ])
     with pytest.raises(NotImplementedError, match="columnMapping"):
         read_delta(spark, table)
-    # deletion vector on a live file
+    # a deletion vector with an unknown storage type dies loudly, not
+    # by resurrecting rows (deletionVectors themselves READ since r13)
     commit([
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {"metaData": base_meta},
         {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
                  "dataChange": True,
-                 "deletionVector": {"storageType": "u"}}},
+                 "deletionVector": {"storageType": "z",
+                                    "pathOrInlineDv": "x",
+                                    "sizeInBytes": 1,
+                                    "cardinality": 1}}},
     ])
-    with pytest.raises(NotImplementedError, match="deletion"):
-        read_delta(spark, table)
-    # reader features beyond this bridge
+    with pytest.raises(NotImplementedError, match="storageType"):
+        read_delta(spark, table).collect()
+    # reader features beyond this bridge (DVs are supported now;
+    # column mapping as a v3 FEATURE still refuses)
     commit([
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}},
+                      "readerFeatures": ["deletionVectors",
+                                         "columnMapping"]}},
         {"metaData": base_meta},
     ])
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="columnMapping"):
         read_delta(spark, table)
 
 

@@ -420,3 +420,95 @@ def test_manifest_avro_key_metadata(spark, tmp_path):
     # the first snapshot's manifest list has no parent
     ml0 = read_avro_metadata(md / Path(snaps[s0]["manifest-list"]).name)
     assert ml0["parent-snapshot-id"] == b"null"
+
+
+def _run_ice_stream_once(spark, table, out, ckpt, **opts):
+    from snapflow_spark.sources.iceberg import IcebergStreamDataSource
+
+    spark.dataSource.register(IcebergStreamDataSource)
+    reader = spark.readStream.format("iceberg_snaps").option(
+        "path", str(table)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_source_appends_exactly_once(spark, tmp_path):
+    """readStream.format('iceberg_snaps'): the snapshot-lineage
+    position is the offset — restart from Spark's own offset log
+    consumes ONLY the snapshots that arrived while the stream was
+    down (the delta_log source's twin)."""
+    table = tmp_path / "tbl"
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    write_iceberg(_df(spark, ROWS_V0), table)
+    _run_ice_stream_once(spark, table, out, ckpt)
+    assert _rows(spark.read.parquet(str(out))) == set(ROWS_V0)
+    # nothing new: a second run appends nothing
+    _run_ice_stream_once(spark, table, out, ckpt)
+    assert spark.read.parquet(str(out)).count() == len(ROWS_V0)
+    # append while the stream is down; restart consumes ONLY the delta
+    write_iceberg(_df(spark, ROWS_V1), table, mode="append")
+    _run_ice_stream_once(spark, table, out, ckpt)
+    assert _rows(spark.read.parquet(str(out))) == set(ROWS_V0) | set(ROWS_V1)
+    assert spark.read.parquet(str(out)).count() == len(ROWS_V0) + len(
+        ROWS_V1
+    )
+
+
+def test_stream_source_overwrites_and_lineage(spark, tmp_path):
+    from snapflow_spark.sources.iceberg import IcebergStreamDataSource
+
+    table = tmp_path / "tbl"
+    write_iceberg(_df(spark, ROWS_V0), table)
+    out, ckpt = tmp_path / "o1", tmp_path / "c1"
+    _run_ice_stream_once(spark, table, out, ckpt)
+    assert _rows(spark.read.parquet(str(out))) == set(ROWS_V0)
+
+    # an overwrite snapshot refuses by default ...
+    write_iceberg(_df(spark, [(9, "omega", "zz")]), table, mode="overwrite")
+    spark.dataSource.register(IcebergStreamDataSource)
+    q = (
+        spark.readStream.format("iceberg_snaps")
+        .option("path", str(table))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o2"))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignore_overwrites"):
+        q.awaitTermination(120)
+        q.stop()
+    # ... and streams the overwrite's ADDED files with the flag, from
+    # a fresh checkpoint + output (FileStreamSink dedupes by batch id)
+    md = table / "metadata"
+    hint = int((md / "version-hint.text").read_text().strip())
+    meta = json.loads((md / f"v{hint}.metadata.json").read_text())
+    s_over = meta["current-snapshot-id"]
+    _run_ice_stream_once(
+        spark, table, tmp_path / "o3", tmp_path / "c2",
+        ignore_overwrites="true", starting_snapshot=str(s_over),
+    )
+    assert _rows(spark.read.parquet(str(tmp_path / "o3"))) == {
+        (9, "omega", "zz")
+    }
+    # starting_snapshot="latest" sees nothing until a NEW commit lands
+    _run_ice_stream_once(
+        spark, table, tmp_path / "o4", tmp_path / "c3",
+        starting_snapshot="latest",
+    )
+    import os
+
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(tmp_path / "o4")
+    ) or spark.read.parquet(str(tmp_path / "o4")).count() == 0
