@@ -516,6 +516,37 @@ def _live_state(
     return snap.version + 1, snap
 
 
+def _distributed_file_stats(
+    spark: SparkSession, paths: list[str]
+) -> dict[str, dict | None]:
+    """``_file_stats`` for many staged files in ONE Spark job —
+    executor-side footer reads via mapInPandas instead of O(#files)
+    serial driver I/O at export time (the iceberg bridge shares this
+    for its manifest bounds).  Returns {path: stats dict or None}."""
+    if not paths:
+        return {}
+    n = min(len(paths), spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for b in batches:
+            stats = []
+            for p in b["path"]:
+                st = _file_stats(Path(p))
+                stats.append(None if st is None else json.dumps(st))
+            yield pd.DataFrame({"path": b["path"], "stats": stats})
+
+    rows = (
+        spark.createDataFrame(pd.DataFrame({"path": paths}))
+        .repartition(n)
+        .mapInPandas(gen, "path string, stats string")
+        .collect()
+    )  # O(#files) metadata back to the committer, bounded
+    return {
+        r["path"]: (None if r["stats"] is None else json.loads(r["stats"]))
+        for r in rows
+    }
+
+
 def _stage_and_move(
     df: DataFrame, table: Path, partition_by: list[str]
 ) -> list[tuple[str, dict, int]]:
@@ -530,7 +561,7 @@ def _stage_and_move(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(staging))
-    out: list[tuple[str, dict, int, int, dict | None]] = []
+    staged: list[tuple[str, dict, Path]] = []
     try:
         for p in sorted(staging.rglob("*.parquet")):
             rel = p.relative_to(staging)
@@ -541,16 +572,28 @@ def _stage_and_move(
             target = table / rel
             target.parent.mkdir(parents=True, exist_ok=True)
             os.rename(p, target)
-            st = target.stat()
-            out.append(
+            staged.append(
                 (
                     "/".join(
                         quote(seg, safe="=") for seg in rel.parts
                     ),
                     pv,
+                    target,
+                )
+            )
+        stats = _distributed_file_stats(
+            df.sparkSession, [str(t) for _r, _pv, t in staged]
+        )
+        out: list[tuple[str, dict, int, int, dict | None]] = []
+        for rel_q, pv, target in staged:
+            st = target.stat()
+            out.append(
+                (
+                    rel_q,
+                    pv,
                     st.st_size,
                     int(st.st_mtime * 1000),
-                    _file_stats(target),
+                    stats.get(str(target)),
                 )
             )
     finally:

@@ -47,6 +47,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
@@ -130,6 +131,12 @@ class IcebergSnapshot:
     #: decoded column bounds {name: (lo, hi)})
     files: list[tuple[str, dict, int, dict]]
     metadata: dict = field(default_factory=dict)
+    #: resolved paths of v2 POSITION-delete parquet files live in this
+    #: snapshot (rows of (file_path, pos) naming deleted data rows)
+    position_deletes: list = field(default_factory=list)
+    #: resolved data-file path -> the metadata-recorded URI (what
+    #: position-delete rows key their file_path column by)
+    file_uris: dict = field(default_factory=dict)
 
 
 #: Iceberg single-value binary serialization decoders, by schema type
@@ -288,22 +295,62 @@ def iceberg_snapshot(
     snap = snaps[want]
 
     manifest_uris: list[str] = []
+    delete_manifest_uris: list[str] = []
     if "manifest-list" in snap:
         ml_path = _localize(snap["manifest-list"], location, table)
         _, entries = read_avro_file(ml_path)
         for e in entries:
-            if int(e.get("content") or 0) != 0:
+            content = int(e.get("content") or 0)
+            if content == 0:
+                manifest_uris.append(e["manifest_path"])
+            elif content == 1:  # v2 DELETE manifest: walked below
+                delete_manifest_uris.append(e["manifest_path"])
+            else:
                 raise NotImplementedError(
-                    "read_iceberg: DELETE manifest in the manifest list "
-                    "(row-level deletes); reading naively would "
-                    "resurrect deleted rows"
+                    f"read_iceberg: manifest content {content} in the "
+                    "manifest list (0=data and 1=deletes are the spec)"
                 )
-            manifest_uris.append(e["manifest_path"])
     else:  # ancient v1 form: manifests inlined on the snapshot
         manifest_uris = list(snap.get("manifests", []))
 
+    # v2 position-delete files: parquet rows of (file_path, pos)
+    # naming deleted data rows by the metadata-recorded URI + row
+    # index.  Applied in read_iceberg as a distributed anti-join;
+    # equality deletes (content=2 data files) stay a loud refusal.
+    # Scope note: deletes apply by exact file_path match — safe
+    # because Iceberg writers never reuse data-file paths (UUID
+    # names), so sequence-number scoping cannot change the result.
+    pos_deletes: list[str] = []
+    for muri in delete_manifest_uris:
+        _, entries = read_avro_file(_localize(muri, location, table))
+        for e in entries:
+            if int(e.get("status") or 0) == _STATUS_DELETED:
+                continue
+            rec = e["data_file"]
+            content = int(rec.get("content") or 0)
+            if content == 2:
+                raise NotImplementedError(
+                    "read_iceberg: equality delete file (position "
+                    "deletes are implemented; equality deletes need "
+                    "the match columns evaluated per data row)"
+                )
+            if content != 1:
+                raise ValueError(
+                    "read_iceberg: non-delete entry (content="
+                    f"{content}) inside a DELETE manifest"
+                )
+            fmt = str(rec.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"read_iceberg: delete file format {fmt}"
+                )
+            pos_deletes.append(
+                _localize(rec["file_path"], location, table)
+            )
+
     field_defs = _raw_schema_fields(meta)
     files: list[tuple[str, dict, int, dict]] = []
+    file_uris: dict[str, str] = {}
     for muri in manifest_uris:
         _, entries = read_avro_file(_localize(muri, location, table))
         for e in entries:
@@ -312,8 +359,9 @@ def iceberg_snapshot(
             df_rec = e["data_file"]
             if int(df_rec.get("content") or 0) != 0:
                 raise NotImplementedError(
-                    "read_iceberg: position/equality delete file in a "
-                    "data manifest"
+                    "read_iceberg: delete file inside a DATA manifest "
+                    "(the spec keys delete files by manifest "
+                    "content=1 in the manifest list)"
                 )
             fmt = str(df_rec.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
@@ -342,16 +390,25 @@ def iceberg_snapshot(
                     )
                     if lo is not None or hi is not None:
                         bounds[fdef["name"]] = (lo, hi)
+            local = _localize(df_rec["file_path"], location, table)
+            file_uris[local] = df_rec["file_path"]
             files.append(
                 (
-                    _localize(df_rec["file_path"], location, table),
+                    local,
                     dict(df_rec.get("partition") or {}),
                     int(df_rec.get("record_count") or 0),
                     bounds,
                 )
             )
     return IcebergSnapshot(
-        str(table), int(want), schema, part_fields, sorted(files), meta
+        str(table),
+        int(want),
+        schema,
+        part_fields,
+        sorted(files),
+        meta,
+        position_deletes=pos_deletes,
+        file_uris=file_uris,
     )
 
 
@@ -411,7 +468,42 @@ def read_iceberg(
     ]
     if not paths:
         return spark.createDataFrame([], snap.schema)
-    return spark.read.schema(snap.schema).parquet(*paths)
+    scan = spark.read.schema(snap.schema).parquet(*paths)
+    if not snap.position_deletes:
+        return scan
+    # v2 position deletes: delete rows key (metadata-recorded
+    # file_path URI, row position); translate the URIs onto the local
+    # file URIs the scan's _metadata.file_path column reports (one
+    # tiny mapping row per kept data file), then anti-join on
+    # (file, pos).  The join runs distributed; AQE broadcasts the
+    # delete side when it is small (the common shape — per-file row
+    # lists), and falls back to a shuffle join for huge delete sets,
+    # which is exactly the degradation a 100 TB read wants.
+    out_cols = [f.name for f in snap.schema.fields]
+    mapping = spark.createDataFrame(
+        [
+            # _metadata.file_path is the Hadoop URI form (file:/path,
+            # one slash), not RFC 8089's file:///path
+            (snap.file_uris.get(p, p), f"file:{Path(p).resolve()}")
+            for p in paths
+        ],
+        "file_path string, __pd_file string",
+    )
+    dels = (
+        spark.read.parquet(*snap.position_deletes)
+        .select("file_path", "pos")
+        .join(F.broadcast(mapping), "file_path")
+        .select(
+            F.col("__pd_file"),
+            F.col("pos").alias("__pd_pos"),
+        )
+    )
+    return (
+        scan.withColumn("__pd_file", F.col("_metadata.file_path"))
+        .withColumn("__pd_pos", F.col("_metadata.row_index"))
+        .join(dels, ["__pd_file", "__pd_pos"], "left_anti")
+        .select(*out_cols)
+    )
 
 
 # ------------------------------------------------------------- export
@@ -570,20 +662,37 @@ def write_iceberg(
     md.mkdir(parents=True, exist_ok=True)
     data.mkdir(parents=True, exist_ok=True)
 
-    # stage data files, then move under data/ (the write_delta shape)
+    # stage data files, then move under data/ (the write_delta shape);
+    # row counts + min/max stats come from ONE executor-side Spark job
+    # over the staged files (shared with write_delta), not O(#files)
+    # serial driver footer reads
+    from snapflow_spark.sources.delta import _distributed_file_stats
+
     staging = table / f".staging-{uuid.uuid4().hex}"
     df.write.mode("errorifexists").parquet(str(staging))
-    moved: list[tuple[str, int, int]] = []  # (rel path, bytes, rows)
+    # (rel path, bytes, rows, stats dict or None)
+    moved: list[tuple[str, int, int, dict | None]] = []
     import shutil
 
     try:
-        for p in sorted(staging.glob("*.parquet")):
-            rows = pq.ParquetFile(p).metadata.num_rows
+        staged = sorted(staging.glob("*.parquet"))
+        stats_map = _distributed_file_stats(
+            spark, [str(p) for p in staged]
+        )
+        for p in staged:
+            st = stats_map.get(str(p))
+            rows = (
+                int(st["numRecords"])
+                if st is not None
+                else pq.ParquetFile(p).metadata.num_rows
+            )
             if rows == 0:
                 continue  # empty task output: never a manifest entry
             target = data / p.name
             os.rename(p, target)
-            moved.append((f"data/{p.name}", target.stat().st_size, rows))
+            moved.append(
+                (f"data/{p.name}", target.stat().st_size, rows, st)
+            )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -620,38 +729,20 @@ def write_iceberg(
         )
     ice_fields = ice_schema["fields"]
 
-    def _file_bounds(rel: str) -> tuple:
+    def _file_bounds(st: dict | None) -> tuple:
         """(lower_bounds, upper_bounds) k/v-record arrays from the
-        file's parquet footer, for exportable bound types."""
-        lo_out, hi_out = [], []
-        try:
-            fmeta = pq.ParquetFile(table / rel).metadata
-        except Exception:
+        file's stats (already folded across row groups by the staging
+        job's footer read), for exportable bound types."""
+        if not st:
             return None, None
-        agg: dict = {}
-        for i in range(fmeta.num_row_groups):
-            rg = fmeta.row_group(i)
-            for j in range(rg.num_columns):
-                col = rg.column(j)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    agg[col.path_in_schema] = None
-                    continue
-                cur = agg.get(col.path_in_schema)
-                if cur is None and col.path_in_schema in agg:
-                    continue
-                mn, mx = st.min, st.max
-                agg[col.path_in_schema] = (
-                    (mn, mx)
-                    if cur is None
-                    else (min(cur[0], mn), max(cur[1], mx))
-                )
+        lo_out, hi_out = [], []
+        mins = st.get("minValues") or {}
+        maxs = st.get("maxValues") or {}
         for f in ice_fields:
-            pair = agg.get(f["name"])
-            if not pair:
+            if f["name"] not in mins or f["name"] not in maxs:
                 continue
-            lo_b = _encode_bound(f["type"], pair[0])
-            hi_b = _encode_bound(f["type"], pair[1])
+            lo_b = _encode_bound(f["type"], mins[f["name"]])
+            hi_b = _encode_bound(f["type"], maxs[f["name"]])
             if lo_b is not None and hi_b is not None:
                 lo_out.append({"key": f["id"], "value": lo_b})
                 hi_out.append({"key": f["id"], "value": hi_b})
@@ -659,8 +750,8 @@ def write_iceberg(
 
     manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
     entries = []
-    for rel, size, rows in moved:
-        lo_b, hi_b = _file_bounds(rel)
+    for rel, size, rows, st in moved:
+        lo_b, hi_b = _file_bounds(st)
         entries.append(
             {
                 "status": 1,  # ADDED

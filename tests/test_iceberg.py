@@ -70,10 +70,13 @@ def test_append_overwrite_time_travel(spark, tmp_path):
 
 
 def _synthesize_v2(spark, table: Path, plant_delete_manifest=False,
-                   plant_delete_file=False, fmt_version=2):
+                   plant_delete_file=False, fmt_version=2,
+                   position_deletes=None, plant_equality_delete=False):
     """A partitioned v2 table written from the SPEC: identity
     partition on lang, one data file per lang, one extra file
-    tombstoned by a DELETED manifest entry."""
+    tombstoned by a DELETED manifest entry.  ``position_deletes``
+    = [(lang, pos), ...] plants a real v2 position-delete file +
+    DELETE manifest naming those data rows."""
     md = table / "metadata"
     md.mkdir(parents=True)
     files = []
@@ -169,6 +172,37 @@ def _synthesize_v2(spark, table: Path, plant_delete_manifest=False,
     ]
     if plant_delete_manifest:
         ml_entries.append({**ml_entries[0], "content": 1})
+    if position_deletes or plant_equality_delete:
+        # a real v2 DELETE manifest: its entries carry content=1
+        # (position) / content=2 (equality) data_file records
+        by_lang = dict(files)
+        if position_deletes:
+            pd_file = table / "data" / "pos-deletes.parquet"
+            spark.createDataFrame(
+                [
+                    (f"file://{by_lang[lang]}", int(pos))
+                    for lang, pos in position_deletes
+                ],
+                "file_path string, pos long",
+            ).coalesce(1).write.mode("overwrite").parquet(str(pd_file) + ".tmp")
+            next(Path(str(pd_file) + ".tmp").glob("*.parquet")).rename(
+                pd_file
+            )
+            import shutil as _sh
+
+            _sh.rmtree(str(pd_file) + ".tmp")
+            del_entries = [entry(None, pd_file, content=1)]
+        else:
+            del_entries = [entry(None, by_lang["en"], content=2)]
+        write_avro_file(md / "m2-deletes.avro", entry_schema, del_entries)
+        ml_entries.append(
+            {
+                "manifest_path": str(md / "m2-deletes.avro"),
+                "manifest_length": (md / "m2-deletes.avro").stat().st_size,
+                "partition_spec_id": 0,
+                "content": 1,
+            }
+        )
     write_avro_file(md / "snap-1-ml.avro", ml_schema, ml_entries)
 
     meta = {
@@ -237,14 +271,20 @@ def test_reader_against_hand_synthesized_v2(spark, tmp_path):
 
 
 def test_loud_guards_on_synthesized_tables(spark, tmp_path):
+    # a "delete manifest" whose entries are plain DATA records is
+    # malformed — loud, not resurrecting or double-counting
     t1 = tmp_path / "delmanifest"
     _synthesize_v2(spark, t1, plant_delete_manifest=True)
-    with pytest.raises(NotImplementedError, match="DELETE manifest"):
+    with pytest.raises(ValueError, match="DELETE manifest"):
         read_iceberg(spark, t1)
     t2 = tmp_path / "delfile"
     _synthesize_v2(spark, t2, plant_delete_file=True)
-    with pytest.raises(NotImplementedError, match="delete file"):
+    with pytest.raises(NotImplementedError, match="DATA manifest"):
         read_iceberg(spark, t2)
+    t4 = tmp_path / "eqdelete"
+    _synthesize_v2(spark, t4, plant_equality_delete=True)
+    with pytest.raises(NotImplementedError, match="equality delete"):
+        read_iceberg(spark, t4)
     t3 = tmp_path / "v3"
     _synthesize_v2(spark, t3, fmt_version=3)
     with pytest.raises(NotImplementedError, match="format-version 3"):
@@ -512,3 +552,25 @@ def test_stream_source_overwrites_and_lineage(spark, tmp_path):
     assert not any(
         f.endswith(".parquet") for f in os.listdir(tmp_path / "o4")
     ) or spark.read.parquet(str(tmp_path / "o4")).count() == 0
+
+
+def test_position_deletes_applied(spark, tmp_path):
+    """A hand-synthesized v2 table with a REAL position-delete file
+    (DELETE manifest -> content=1 parquet of (file_path, pos)): the
+    named rows disappear, other files are untouched, and pruning
+    still composes."""
+    table = tmp_path / "pdel"
+    _synthesize_v2(spark, table, position_deletes=[("en", 1)])
+    got = read_iceberg(spark, table)
+    # en row at pos 1 == (1, "b", "en") is deleted; fr was tombstoned
+    assert _rows(got) == {(0, "a", "en"), (2, "c", "de")}
+    assert [f.name for f in got.schema.fields] == ["doc_id", "text", "lang"]
+    # partition pruning composes with delete application
+    en = read_iceberg(spark, table, partition_filter={"lang": "en"})
+    assert _rows(en) == {(0, "a", "en")}
+    de = read_iceberg(spark, table, partition_filter={"lang": "de"})
+    assert _rows(de) == {(2, "c", "de")}
+    # deleting EVERY row of a file leaves the others alone
+    t2 = tmp_path / "pdel_all"
+    _synthesize_v2(spark, t2, position_deletes=[("en", 0), ("en", 1)])
+    assert _rows(read_iceberg(spark, t2)) == {(2, "c", "de")}
