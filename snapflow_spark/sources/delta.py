@@ -38,9 +38,16 @@ distributed while the bitmap stays O(deleted-rows) metadata.  Reader
 protocol 3 with the ``deletionVectors`` feature is therefore
 supported.
 
-Loud-guard scope (never silently wrong): tables using column mapping
-(``delta.columnMapping.mode`` other than none) or a reader protocol
-above what this module implements raise with the feature named;
+**Column mapping read** (round 13): ``delta.columnMapping.mode=name``
+tables (what modern Databricks writers create) read correctly — the
+``physicalName`` uuids recorded in the schema's field metadata key
+the parquet columns, ``partitionValues`` and ``stats``, and the scan
+renames them back to logical columns; ``mode=id`` (parquet field-id
+binding) stays a loud refusal, as does APPENDING to a column-mapped
+table (the export writer stages logical-named parquet).
+
+Loud-guard scope (never silently wrong): a reader protocol
+above what this module implements raises with the feature named;
 ``write_delta_checkpoint`` refuses a table with live DVs (its
 checkpoint schema carries no DV descriptors, and omitting them would
 resurrect deleted rows); the streaming source refuses DV'd adds (an
@@ -79,7 +86,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from snapflow_spark.sources.deletion_vectors import deleted_row_indexes
 
@@ -99,7 +106,7 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 #: protocol tiers this reader actually implements
 _MAX_READER_VERSION = 1
 #: reader version 3 features this bridge actually implements
-_SUPPORTED_READER_FEATURES = {"deletionVectors"}
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
 #: readerFeatures that change nothing for plain parquet scans
 _HARMLESS_READER_FEATURES = {"timestampNtz", "v2Checkpoint"}
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -121,6 +128,10 @@ class DeltaSnapshot:
     #: relative path -> add.deletionVector descriptor, for the live
     #: files that carry one (row-level deletes; see deletion_vectors)
     dvs: dict = field(default_factory=dict)
+    #: logical -> physical column names when the table uses
+    #: delta.columnMapping.mode=name (empty otherwise); physical
+    #: names key the parquet columns, partitionValues, and stats
+    physical_names: dict = field(default_factory=dict)
 
 
 def _log_path(table_path: str | os.PathLike) -> Path:
@@ -186,12 +197,42 @@ def _guard_protocol(protocol: dict, metadata: dict, what: str) -> None:
     mode = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode not in (None, "none"):
+    if mode not in (None, "none", "name"):
         raise NotImplementedError(
-            f"{what}: delta.columnMapping.mode={mode!r} renames "
-            "physical parquet columns; reading it naively would "
-            "silently misbind columns"
+            f"{what}: delta.columnMapping.mode={mode!r} ('name' is "
+            "implemented; 'id' binds parquet columns by field id, "
+            "which this reader does not resolve)"
         )
+
+
+def _physical_names(schema: StructType, metadata: dict, what: str) -> dict:
+    """logical -> physical column names under
+    ``delta.columnMapping.mode=name`` (physical parquet columns are
+    the ``delta.columnMapping.physicalName`` uuids recorded in the
+    schema's field metadata; partitionValues and stats key by them
+    too).  Empty dict when the table doesn't use column mapping."""
+    mode = (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in (None, "none"):
+        return {}
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        if "struct" in f.dataType.simpleString():
+            raise NotImplementedError(
+                f"{what}: column mapping on nested column {f.name!r} "
+                "(inner parquet fields are renamed too; only flat "
+                "columns are implemented)"
+            )
+        pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        if not pn:
+            raise ValueError(
+                f"{what}: delta.columnMapping.mode=name but column "
+                f"{f.name!r} has no physicalName in the schema "
+                "metadata — malformed table"
+            )
+        out[f.name] = pn
+    return out
 
 
 def delta_snapshot(
@@ -310,6 +351,7 @@ def delta_snapshot(
             f"read_delta: no metaData.schemaString in the log at {log}"
         )
     schema = StructType.fromJson(json.loads(metadata["schemaString"]))
+    physical = _physical_names(schema, metadata, "read_delta")
     part_cols = list(metadata.get("partitionColumns") or [])
     files = [
         (p, pv, sz, st) for p, (pv, sz, st) in sorted(adds.items())
@@ -323,6 +365,7 @@ def delta_snapshot(
         metadata=metadata,
         protocol=protocol,
         dvs=dvs,
+        physical_names=physical,
     )
 
 
@@ -378,9 +421,16 @@ def read_delta(
                 f"partition_filter)"
             )
 
+    phys = snap.physical_names
+
+    def P(c: str) -> str:
+        """logical -> physical name (identity without column mapping);
+        partitionValues, stats and parquet columns all key physical."""
+        return phys.get(c, c) if phys else c
+
     def keep(pv: dict) -> bool:
         for c, want in (partition_filter or {}).items():
-            got = pv.get(c)
+            got = pv.get(P(c))
             if want is None:
                 if got is not None:
                     return False
@@ -392,21 +442,25 @@ def read_delta(
         if not st or not min_max_filter:
             return True
         for c, (lo, hi) in min_max_filter.items():
-            mn = (st.get("minValues") or {}).get(c)
-            mx = (st.get("maxValues") or {}).get(c)
+            mn = (st.get("minValues") or {}).get(P(c))
+            mx = (st.get("maxValues") or {}).get(P(c))
             if lo is not None and mx is not None and mx < lo:
                 return False
             if hi is not None and mn is not None and mn > hi:
                 return False
         return True
 
+    data_fields = [
+        f for f in snap.schema.fields
+        if f.name not in snap.partition_columns
+    ]
     data_schema = StructType(
-        [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+        [StructField(P(f.name), f.dataType, f.nullable) for f in data_fields]
     )
     groups: dict[tuple, list[tuple[str, str]]] = {}
     for rel, pv, _sz, st in snap.files:
         if keep(pv) and stats_keep(st):
-            key = tuple(pv.get(c) for c in snap.partition_columns)
+            key = tuple(pv.get(P(c)) for c in snap.partition_columns)
             groups.setdefault(key, []).append(
                 (rel, str(Path(snap.path) / rel))
             )
@@ -444,6 +498,13 @@ def read_delta(
                 )
             sub.append(df)
         for df in sub:
+            if phys:  # physical parquet names -> logical columns
+                df = df.select(
+                    *[
+                        F.col(P(f.name)).alias(f.name)
+                        for f in data_fields
+                    ]
+                )
             for c, raw in zip(snap.partition_columns, key):
                 df = df.withColumn(
                     c, F.lit(raw).cast(fields[c].dataType)
@@ -636,6 +697,14 @@ def write_delta(
             raise ValueError(
                 f"write_delta: append with partition_by={partition_by} "
                 f"onto a table partitioned by {snap.partition_columns}"
+            )
+        if snap.physical_names:
+            raise NotImplementedError(
+                "write_delta: append onto a column-mapped table "
+                "(delta.columnMapping.mode=name) would stage "
+                "logical-named parquet next to physical-named files; "
+                "use mode='overwrite' (drops the mapping) or export "
+                "to a fresh table"
             )
         if json.loads(snap.metadata["schemaString"]) != json.loads(
             df.schema.json()
@@ -981,6 +1050,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.batch_size = int(options.get("arrow_batch_size", 65536))
         meta = _log_metadata_nospark(self.table)
         self.part_cols = list(meta.get("partitionColumns") or [])
+        # columnMapping mode=name: parquet columns + partitionValues
+        # key by the physicalName uuids; logical names come back out
+        self.phys = _physical_names(self.schema_, meta, "delta stream")
 
     def _latest_version(self) -> int:
         versions = _json_versions(_log_path(self.table))
@@ -1054,11 +1126,18 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         fields = {f.name: f for f in self.schema_.fields}
+        phys = self.phys
+
+        def P(c: str) -> str:
+            return phys.get(c, c) if phys else c
+
         pv = {
             c: (
                 None
-                if partition.pv.get(c) is None
-                else _pv_converter(fields[c].dataType)(partition.pv[c])
+                if partition.pv.get(P(c)) is None
+                else _pv_converter(fields[c].dataType)(
+                    partition.pv[P(c)]
+                )
             )
             for c in self.part_cols
         }
@@ -1070,7 +1149,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             ]
         )
         pf = pq.ParquetFile(partition.path)
-        file_cols = [n for n in names if n not in pv]
+        file_cols = [P(n) for n in names if n not in pv]
         for batch in pf.iter_batches(
             batch_size=self.batch_size, columns=file_cols
         ):
@@ -1087,7 +1166,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                     )
                 else:
                     arrays.append(
-                        batch.column(n).cast(typ, safe=False)
+                        batch.column(P(n)).cast(typ, safe=False)
                     )
             yield pa.RecordBatch.from_arrays(
                 arrays, schema=arrow_schema

@@ -192,13 +192,22 @@ def test_loud_guards(spark, tmp_path):
         "schemaString": schema_str, "partitionColumns": [],
         "configuration": {},
     }
-    # column mapping
+    # column mapping mode=id binds by parquet field id: refused
+    commit([
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**base_meta, "configuration":
+                      {"delta.columnMapping.mode": "id"}}},
+    ])
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        read_delta(spark, table)
+    # mode=name WITHOUT physicalName metadata is malformed, not a
+    # silent logical-name scan
     commit([
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         {"metaData": {**base_meta, "configuration":
                       {"delta.columnMapping.mode": "name"}}},
     ])
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(ValueError, match="physicalName"):
         read_delta(spark, table)
     # a deletion vector with an unknown storage type dies loudly, not
     # by resurrecting rows (deletionVectors themselves READ since r13)
@@ -214,15 +223,15 @@ def test_loud_guards(spark, tmp_path):
     ])
     with pytest.raises(NotImplementedError, match="storageType"):
         read_delta(spark, table).collect()
-    # reader features beyond this bridge (DVs are supported now;
-    # column mapping as a v3 FEATURE still refuses)
+    # reader features beyond this bridge (DVs and columnMapping are
+    # supported now; an unknown v3 feature still refuses)
     commit([
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["deletionVectors",
-                                         "columnMapping"]}},
+                                         "typeWidening"]}},
         {"metaData": base_meta},
     ])
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, table)
 
 
@@ -526,3 +535,108 @@ def test_stream_reader_yields_arrow_batches(spark, tmp_path):
         reader.read(_DeltaAddPartition(str(multi), {"lang": None}))
     )
     assert pa.Table.from_batches(nulls).column("lang").null_count == 10
+
+
+def _column_mapped_table(spark, table: Path):
+    """Hand-publish a delta.columnMapping.mode=name table the way a
+    modern Databricks writer lays it out: parquet columns named by
+    physicalName uuids, partitionValues/stats keyed by them, logical
+    names only in the schemaString field metadata."""
+    from pyspark.sql.types import StructType
+
+    phys = {"doc_id": "col-aaaa", "text": "col-bbbb", "lang": "col-cccc"}
+    log = table / "_delta_log"
+    log.mkdir(parents=True)
+    # one physical-named data file per lang partition value
+    adds = []
+    for lang, rows in (("en", [(0, "a"), (1, "b")]), ("de", [(2, "c")])):
+        d = table / f"part-{lang}.parquet"
+        df = spark.createDataFrame(
+            rows, f"`{phys['doc_id']}` bigint, `{phys['text']}` string"
+        ).coalesce(1)
+        tmp = str(d) + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        next(Path(tmp).glob("*.parquet")).rename(d)
+        import shutil
+
+        shutil.rmtree(tmp)
+        adds.append(
+            {
+                "add": {
+                    "path": d.name,
+                    "partitionValues": {phys["lang"]: lang},
+                    "size": d.stat().st_size,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": len(rows),
+                            "minValues": {phys["doc_id"]: rows[0][0]},
+                            "maxValues": {phys["doc_id"]: rows[-1][0]},
+                            "nullCount": {phys["doc_id"]: 0},
+                        }
+                    ),
+                }
+            }
+        )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": n,
+                "type": t,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": phys[n],
+                },
+            }
+            for i, (n, t) in enumerate(
+                [("doc_id", "long"), ("text", "string"), ("lang", "string")]
+            )
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-tbl",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": ["lang"],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+    ] + adds
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+
+
+def test_column_mapping_name_mode_reads(spark, tmp_path):
+    table = tmp_path / "cm"
+    _column_mapped_table(spark, table)
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["doc_id", "text", "lang"]
+    assert _rows(got) == {(0, "a", "en"), (1, "b", "en"), (2, "c", "de")}
+    # partition + stats filters take LOGICAL names and prune the
+    # physical-keyed metadata
+    en = read_delta(spark, table, partition_filter={"lang": "en"})
+    assert _rows(en) == {(0, "a", "en"), (1, "b", "en")}
+    assert len(en.inputFiles()) == 1
+    probe = read_delta(spark, table, min_max_filter={"doc_id": (2, None)})
+    assert len(probe.inputFiles()) == 1
+    assert _rows(probe) == {(2, "c", "de")}
+    # appending would mix logical-named parquet into the table: loud
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        write_delta(_df(spark, [(9, "x", "zz")]), table, mode="append")
+
+
+def test_column_mapping_streams_too(spark, tmp_path):
+    table = tmp_path / "cm"
+    _column_mapped_table(spark, table)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    _run_stream_once(spark, table, out, ckpt)
+    got = spark.read.parquet(str(out))
+    assert set(got.columns) == {"doc_id", "text", "lang"}
+    assert _rows(got) == {(0, "a", "en"), (1, "b", "en"), (2, "c", "de")}
