@@ -239,11 +239,22 @@ def delta_snapshot(
     spark: SparkSession,
     path: str | os.PathLike,
     version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DeltaSnapshot:
     """Replay the log into the table state at ``version`` (default:
     latest).  Checkpoint adds seed the state (checkpoint ``remove``
     entries are expired-tombstone bookkeeping and are ignored); JSON
-    commits after it replay in order."""
+    commits after it replay in order.
+
+    ``timestamp_ms`` time-travels by time instead (delta-spark's
+    timestampAsOf): the newest commit whose timestamp — the commit
+    file's modification time, the protocol's pre-inCommitTimestamp
+    rule — is at or before the probe wins; a probe before the first
+    commit raises."""
+    if version is not None and timestamp_ms is not None:
+        raise ValueError(
+            "read_delta: pass version= OR timestamp_ms=, not both"
+        )
     table = str(path)
     log = _log_path(table)
     versions = _json_versions(log)
@@ -257,6 +268,19 @@ def delta_snapshot(
         max(versions) if versions else -1,
         newest_cp if newest_cp is not None else -1,
     )
+    if timestamp_ms is not None:
+        eligible = [
+            v
+            for v, p in versions.items()
+            if int(p.stat().st_mtime * 1000) <= int(timestamp_ms)
+        ]
+        if not eligible:
+            raise ValueError(
+                f"read_delta: no commit at or before timestamp_ms="
+                f"{timestamp_ms} (earliest commit is "
+                f"{min(versions) if versions else 'checkpoint-only'})"
+            )
+        version = max(eligible)
     want = latest if version is None else int(version)
     if want > latest or want < 0:
         raise ValueError(
@@ -375,10 +399,13 @@ def read_delta(
     version: int | None = None,
     partition_filter: dict | None = None,
     min_max_filter: dict | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read a Delta-layout table as a DataFrame.
 
-    ``version=`` time-travels; ``partition_filter={col: value}``
+    ``version=`` time-travels; ``timestamp_ms=`` time-travels by time
+    (newest commit at or before the probe — delta-spark's
+    timestampAsOf, commit-file mtime rule); ``partition_filter={col: value}``
     prunes the file list on the log's ``partitionValues`` BEFORE any
     parquet file is opened (values compare against Delta's string
     serialization — pass strings, or anything whose ``str()`` matches;
@@ -391,7 +418,9 @@ def read_delta(
     group by partition tuple; each group is one parquet relation with
     its partition columns re-attached as typed literals, so data
     predicates and column pruning still push into every scan."""
-    snap = delta_snapshot(spark, path, version=version)
+    snap = delta_snapshot(
+        spark, path, version=version, timestamp_ms=timestamp_ms
+    )
     fields = {f.name: f for f in snap.schema.fields}
     for c in snap.partition_columns:
         if c not in fields:

@@ -265,7 +265,12 @@ def iceberg_snapshot(
     spark: SparkSession,
     path: str | os.PathLike,
     snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
 ) -> IcebergSnapshot:
+    if snapshot_id is not None and as_of_ms is not None:
+        raise ValueError(
+            "read_iceberg: pass snapshot_id= OR as_of_ms=, not both"
+        )
     table = Path(path)
     meta = json.loads(_metadata_path(table).read_text())
     fv = int(meta.get("format-version", 1))
@@ -276,6 +281,23 @@ def iceberg_snapshot(
         )
     location = meta.get("location", "")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if as_of_ms is not None:
+        # time travel by time: the newest snapshot committed at or
+        # before the probe (Iceberg's own timestamp-ms lineage)
+        eligible = [
+            s
+            for s in meta.get("snapshots", [])
+            if int(s.get("timestamp-ms") or 0) <= int(as_of_ms)
+        ]
+        if not eligible:
+            raise ValueError(
+                f"read_iceberg: no snapshot at or before as_of_ms="
+                f"{as_of_ms} (earliest is "
+                f"{min((s.get('timestamp-ms') for s in snaps.values()), default=None)})"
+            )
+        snapshot_id = max(
+            eligible, key=lambda s: (int(s.get("timestamp-ms") or 0),)
+        )["snapshot-id"]
     want = (
         snapshot_id
         if snapshot_id is not None
@@ -418,8 +440,11 @@ def read_iceberg(
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     min_max_filter: dict | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Read an Iceberg-layout table.  ``snapshot_id=`` time-travels;
+    ``as_of_ms=`` time-travels by time (the newest snapshot whose
+    ``timestamp-ms`` is at or before the probe);
     ``partition_filter={field: value}`` prunes the FILE LIST against
     the manifests' partition values — only identity-transform fields
     qualify (a bucket/truncate/day transform would need the transform
@@ -430,7 +455,9 @@ def read_iceberg(
     when its recorded range provably misses [lo, hi]; files without
     bounds are always kept — skipping is an optimization, never a
     filter (the same contract as read_delta)."""
-    snap = iceberg_snapshot(spark, path, snapshot_id=snapshot_id)
+    snap = iceberg_snapshot(
+        spark, path, snapshot_id=snapshot_id, as_of_ms=as_of_ms
+    )
     if partition_filter:
         by_name = dict(snap.partition_fields)
         for k in partition_filter:

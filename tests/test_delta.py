@@ -640,3 +640,31 @@ def test_column_mapping_streams_too(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert set(got.columns) == {"doc_id", "text", "lang"}
     assert _rows(got) == {(0, "a", "en"), (1, "b", "en"), (2, "c", "de")}
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """read_delta(timestamp_ms=...) resolves the newest commit whose
+    file mtime is at or before the probe (the protocol's
+    pre-inCommitTimestamp rule delta-spark's timestampAsOf uses)."""
+    import os as _os
+
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path)
+    write_delta(_df(spark, ROWS_V1), path, mode="append")
+    log = Path(path) / "_delta_log"
+    # pin deterministic commit times: v0 at t=1000s, v1 at t=2000s
+    _os.utime(log / f"{0:020d}.json", (1000, 1000))
+    _os.utime(log / f"{1:020d}.json", (2000, 2000))
+    assert _rows(read_delta(spark, path, timestamp_ms=1_500_000)) == set(
+        ROWS_V0
+    )
+    assert _rows(read_delta(spark, path, timestamp_ms=2_000_000)) == set(
+        ROWS_V0
+    ) | set(ROWS_V1)
+    assert _rows(read_delta(spark, path, timestamp_ms=9_999_999_000)) == set(
+        ROWS_V0
+    ) | set(ROWS_V1)
+    with pytest.raises(ValueError, match="no commit at or before"):
+        read_delta(spark, path, timestamp_ms=999)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, path, version=0, timestamp_ms=1_500_000)

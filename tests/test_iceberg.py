@@ -574,3 +574,27 @@ def test_position_deletes_applied(spark, tmp_path):
     t2 = tmp_path / "pdel_all"
     _synthesize_v2(spark, t2, position_deletes=[("en", 0), ("en", 1)])
     assert _rows(read_iceberg(spark, t2)) == {(2, "c", "de")}
+
+
+def test_as_of_ms_time_travel(spark, tmp_path):
+    """read_iceberg(as_of_ms=...) picks the newest snapshot whose
+    timestamp-ms is at or before the probe."""
+    path = tmp_path / "tbl"
+    s0 = write_iceberg(_df(spark, ROWS_V0), path)
+    s1 = write_iceberg(_df(spark, ROWS_V1), path, mode="append")
+    md = path / "metadata"
+    hint = int((md / "version-hint.text").read_text().strip())
+    mpath = md / f"v{hint}.metadata.json"
+    meta = json.loads(mpath.read_text())
+    # pin deterministic commit times: s0 at 1000ms, s1 at 2000ms
+    for s in meta["snapshots"]:
+        s["timestamp-ms"] = 1000 if s["snapshot-id"] == s0 else 2000
+    mpath.write_text(json.dumps(meta))
+    assert _rows(read_iceberg(spark, path, as_of_ms=1500)) == set(ROWS_V0)
+    assert _rows(read_iceberg(spark, path, as_of_ms=2000)) == set(
+        ROWS_V0
+    ) | set(ROWS_V1)
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        read_iceberg(spark, path, as_of_ms=999)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg(spark, path, snapshot_id=s1, as_of_ms=1500)
