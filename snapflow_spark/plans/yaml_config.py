@@ -1388,12 +1388,16 @@ def _scan_delta(
     path: str,
     version: int | None = None,
     partition_filter: dict | None = None,
+    min_max_filter: dict | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """core.scan_delta: zero-input source node over a Delta-layout
     table (sources.delta.read_delta — the open-table-format bridge):
-    commit-log replay, ``version:`` time travel, and
+    commit-log replay, ``version:`` / ``timestamp_ms:`` time travel,
     ``partition_filter:`` pruning the FILE LIST before any parquet is
-    opened."""
+    opened, and ``min_max_filter:`` ``{col: [lo, hi]}`` stats-based
+    data skipping (an optimization, never a filter — callers still
+    apply the real predicate)."""
     from snapflow_spark.sources.delta import read_delta
 
     return read_delta(
@@ -1401,6 +1405,14 @@ def _scan_delta(
         path,
         version=None if version is None else int(version),
         partition_filter=partition_filter,
+        min_max_filter=(
+            None
+            if min_max_filter is None
+            else {k: tuple(v) for k, v in min_max_filter.items()}
+        ),
+        timestamp_ms=(
+            None if timestamp_ms is None else int(timestamp_ms)
+        ),
     )
 
 
@@ -1428,12 +1440,15 @@ def _scan_iceberg(
     path: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    min_max_filter: dict | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """core.scan_iceberg: zero-input source node over an
     Iceberg-layout table (sources.iceberg.read_iceberg — metadata
-    JSON + Avro manifests parsed from scratch): ``snapshot_id:`` time
-    travel, ``partition_filter:`` pruning the file list on
-    identity-transform partition values."""
+    JSON + Avro manifests parsed from scratch): ``snapshot_id:`` /
+    ``as_of_ms:`` time travel, ``partition_filter:`` pruning the file
+    list on identity-transform partition values, ``min_max_filter:``
+    ``{col: [lo, hi]}`` bounds-based data skipping."""
     from snapflow_spark.sources.iceberg import read_iceberg
 
     return read_iceberg(
@@ -1441,6 +1456,12 @@ def _scan_iceberg(
         path,
         snapshot_id=None if snapshot_id is None else int(snapshot_id),
         partition_filter=partition_filter,
+        min_max_filter=(
+            None
+            if min_max_filter is None
+            else {k: tuple(v) for k, v in min_max_filter.items()}
+        ),
+        as_of_ms=None if as_of_ms is None else int(as_of_ms),
     )
 
 

@@ -292,6 +292,26 @@ def test_yaml_scan_delta_builtin(spark, tmp_path):
     assert g.produce(spark) == 1
     got = _rows(g.read(spark, "de_docs"))
     assert got == {r for r in ROWS_V0 + ROWS_V1 if r[2] == "de"}
+    # min_max_filter + timestamp_ms flow through the YAML params too
+    cfg2 = {
+        "warehouse": str(tmp_path / "wh_delta2"),
+        "nodes": [
+            {
+                "name": "skipped",
+                "function": "core.scan_delta",
+                "params": {
+                    "path": str(path),
+                    "min_max_filter": {"doc_id": [100, None]},
+                    "timestamp_ms": 99_999_999_999_999,
+                },
+                "overwrite": True,
+            }
+        ],
+    }
+    g2 = load_graph(cfg2)
+    assert g2.produce(spark) == 1
+    # every file's doc_id range provably misses [100, ∞): all skipped
+    assert g2.read(spark, "skipped").count() == 0
 
 
 def test_stats_data_skipping(spark, tmp_path):
