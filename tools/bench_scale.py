@@ -213,6 +213,14 @@ HEAVY = {
         "column crosses the python boundary and only the vectors "
         "come back; expected ~linear in text bytes"
     ),
+    "op_delta_dv_read": (
+        "documents as a STANDING Delta table (cold absorbs the "
+        "export, round 13): warm = a stats-pruned single-file-range "
+        "read with a 500-row DELETION VECTOR applied — the file list "
+        "prunes driver-side from O(#files) log metadata and the DV "
+        "anti-join is O(deleted rows), so warm should stay ~flat as "
+        "the corpus (and its file count) grows 10x"
+    ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
     "q_stream_windows": "events; tumbling+sliding agg",
@@ -685,6 +693,59 @@ def _op_dedup_incremental(spark, sf_dir: str):
     return incremental_minhash_dedup(spark, batch, sig, band)
 
 
+_DELTA_DV_TABLES: dict = {}
+
+
+def _op_delta_dv_read(spark, sf_dir: str):
+    """Standing Delta table + deletion-vector read (round 13): the
+    corpus exports once per sf_dir (cold absorbs it — write_delta's
+    executor-side stats job included), then a commit re-adds the
+    first data file with a 500-row DV; every call reads with a
+    min_max_filter pinned to that file's doc_id range.  File-list
+    pruning happens driver-side on log metadata and the DV applies as
+    a broadcast anti-join on _metadata.row_index, so warm cost tracks
+    ONE file + 500 deleted rows regardless of corpus size."""
+    import tempfile
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.sources.delta import (
+        delta_snapshot,
+        read_delta,
+        write_delta,
+    )
+    from snapflow_spark.sources.deletion_vectors import write_dv_file
+
+    if sf_dir not in _DELTA_DV_TABLES:
+        path = tempfile.mkdtemp(prefix="delta_dv_") + "/tbl"
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        write_delta(d, path)
+        snap = delta_snapshot(spark, path)
+        rel, pv, sz, st = snap.files[0]
+        desc = write_dv_file(path, range(500))
+        add = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": sz,
+            "modificationTime": 0,
+            "dataChange": True,
+            "deletionVector": desc,
+        }
+        if st:
+            add["stats"] = json.dumps(st)
+        log = Path(path) / "_delta_log"
+        (log / f"{1:020d}.json").write_text(
+            json.dumps({"add": add}) + "\n"
+        )
+        lo = st["minValues"]["doc_id"] if st else 0
+        _DELTA_DV_TABLES[sf_dir] = (path, lo)
+    path, lo = _DELTA_DV_TABLES[sf_dir]
+    # a zero-width range probe: only files whose stats contain `lo`
+    # survive the driver-side skip — one file at any corpus size
+    return read_delta(spark, path, min_max_filter={"doc_id": (lo, lo)})
+
+
 _IVFPQ_PATHS: dict = {}
 
 
@@ -785,6 +846,7 @@ def main() -> None:
     queries["op_ledger_commit"] = _op_ledger_commit
     queries["op_dedup_incremental"] = _op_dedup_incremental
     queries["op_ivfpq_append"] = _op_ivfpq_append
+    queries["op_delta_dv_read"] = _op_delta_dv_read
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)
