@@ -60,7 +60,8 @@ def web_ingest_gate(
     Stages (each optional knob independently disables its gate):
     HTTP split + 2xx filter → byte-sniffed ``html`` rows only →
     ``extract_main_text`` boilerplate removal → ``lang_id_expr``
-    filter to ``langs`` (``langs=None`` disables) → Gopher pass
+    filter to ``langs`` (``None`` or an EMPTY sequence disables —
+    keep-all, the YAML ``langs: []`` contract) → Gopher pass
     filter (``gopher_thresholds`` dict overrides thresholds;
     ``False`` disables the gate) → KN perplexity gate (``lm`` + ``ppl_max``; scores
     attach map-only so the gate composes on streams) → embedding
