@@ -94,6 +94,7 @@ __all__ = [
     "DeltaSnapshot",
     "DeltaStreamDataSource",
     "delta_snapshot",
+    "delta_stream_sink",
     "read_delta",
     "snapshot_store_to_delta",
     "vacuum_delta",
@@ -132,6 +133,9 @@ class DeltaSnapshot:
     #: delta.columnMapping.mode=name (empty otherwise); physical
     #: names key the parquet columns, partitionValues, and stats
     physical_names: dict = field(default_factory=dict)
+    #: appId -> highest committed txn version (the protocol's
+    #: SetTransaction action — idempotent streaming writes key on it)
+    txns: dict = field(default_factory=dict)
 
 
 def _log_path(table_path: str | os.PathLike) -> Path:
@@ -289,6 +293,7 @@ def delta_snapshot(
 
     adds: dict[str, tuple[dict, int, dict | None]] = {}
     dvs: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     metadata: dict = {}
     protocol: dict = {}
 
@@ -337,6 +342,12 @@ def delta_snapshot(
                 protocol = {
                     k: v for k, v in d["protocol"].items() if v is not None
                 }
+            if "txn" in cols and d.get("txn") and d["txn"].get("appId"):
+                t = d["txn"]
+                txns[t["appId"]] = max(
+                    int(t.get("version") or 0),
+                    txns.get(t["appId"], -1),
+                )
         replay_from = cp + 1
     else:
         replay_from = 0
@@ -368,6 +379,13 @@ def delta_snapshot(
                     metadata = action["metaData"]
                 elif "protocol" in action:
                     protocol = action["protocol"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    if t.get("appId") is not None:
+                        txns[t["appId"]] = max(
+                            int(t.get("version") or 0),
+                            txns.get(t["appId"], -1),
+                        )
 
     _guard_protocol(protocol, metadata, "read_delta")
     if not metadata.get("schemaString"):
@@ -390,6 +408,7 @@ def delta_snapshot(
         protocol=protocol,
         dvs=dvs,
         physical_names=physical,
+        txns=txns,
     )
 
 
@@ -696,12 +715,19 @@ def write_delta(
     path: str | os.PathLike,
     mode: str = "append",
     partition_by: list[str] | None = None,
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Export a DataFrame as one Delta commit; returns the committed
     version.  ``append`` adds files; ``overwrite`` also tombstones
     every previously-live file (logical replace — old data stays on
     disk for time travel, exactly Delta's semantics); ``error``
     refuses to touch an existing table.
+
+    ``txn=(app_id, version)`` stamps the commit with the protocol's
+    SetTransaction action AND makes the write IDEMPOTENT: if the
+    table already records a txn for ``app_id`` at or past ``version``
+    the write is skipped and None returned — the exactly-once
+    contract streaming sinks key on (see ``delta_stream_sink``).
 
     The commit publish is ``open(log/N.json, 'x')`` — atomic against
     local concurrent writers (loser gets FileExistsError, retries on
@@ -712,6 +738,10 @@ def write_delta(
     table = Path(path)
     spark = df.sparkSession
     next_v, snap = _live_state(spark, table)
+    if txn is not None:
+        app_id, txn_v = str(txn[0]), int(txn[1])
+        if snap is not None and snap.txns.get(app_id, -1) >= txn_v:
+            return None  # already committed: idempotent replay
     if snap is not None and mode == "error":
         raise FileExistsError(
             f"write_delta: Delta table already exists at {table}"
@@ -755,6 +785,16 @@ def write_delta(
     added = _stage_and_move(df, table, partition_by)
 
     actions: list[dict] = []
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": app_id,
+                    "version": txn_v,
+                    "lastUpdated": int(time.time() * 1000),
+                }
+            }
+        )
     if snap is None or mode == "overwrite":
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
         actions.append(
@@ -961,6 +1001,40 @@ def snapshot_store_to_delta(
     if df is None:
         return None
     return write_delta(df, path, mode=mode)
+
+
+def delta_stream_sink(
+    path: str | os.PathLike,
+    app_id: str,
+    partition_by: list[str] | None = None,
+):
+    """EXACTLY-ONCE streaming writes INTO a Delta table: a
+    ``foreachBatch`` body keyed on the protocol's SetTransaction
+    action.  Every micro-batch commits ``{"txn": {appId, version:
+    batch_id}}`` alongside its adds; on restart, Spark replays the
+    last unacknowledged batch and the replay is SKIPPED because the
+    table already records that (appId, batch_id) — the same recipe
+    delta-spark's own streaming sink uses, with the table itself as
+    the idempotence ledger (no side state).
+
+    Usage::
+
+        q = (curated.writeStream
+             .foreachBatch(delta_stream_sink(table, "my-pipeline"))
+             .option("checkpointLocation", ckpt).start())
+    """
+    target = str(path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_delta(
+            batch_df,
+            target,
+            mode="append",
+            partition_by=partition_by,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return write_batch
 
 
 # ----------------------------------------------------- streaming source

@@ -688,3 +688,65 @@ def test_timestamp_time_travel(spark, tmp_path):
         read_delta(spark, path, timestamp_ms=999)
     with pytest.raises(ValueError, match="not both"):
         read_delta(spark, path, version=0, timestamp_ms=1_500_000)
+
+
+def test_txn_idempotent_writes(spark, tmp_path):
+    """write_delta(txn=) is the protocol's SetTransaction action: a
+    replayed (appId, version) pair is skipped, a newer one commits,
+    and the recorded high-water mark survives replay + time travel."""
+    path = tmp_path / "tbl"
+    v = write_delta(_df(spark, ROWS_V0), path, txn=("app", 0))
+    assert v == 0
+    # replaying the same batch id is a no-op
+    assert write_delta(_df(spark, ROWS_V0), path, mode="append",
+                       txn=("app", 0)) is None
+    assert _rows(read_delta(spark, path)) == set(ROWS_V0)
+    # a newer batch id commits; an OLDER one after it is also skipped
+    assert write_delta(_df(spark, ROWS_V1), path, mode="append",
+                       txn=("app", 1)) == 1
+    assert write_delta(_df(spark, ROWS_V1), path, mode="append",
+                       txn=("app", 0)) is None
+    # a DIFFERENT appId is independent
+    assert write_delta(_df(spark, [(9, "omega", "zz")]), path,
+                       mode="append", txn=("other", 0)) == 2
+    assert delta_snapshot(spark, path).txns == {"app": 1, "other": 0}
+    assert spark.read.parquet(str(path)).count() == len(ROWS_V0) + len(
+        ROWS_V1
+    ) + 1
+
+
+def test_delta_stream_sink_exactly_once(spark, tmp_path):
+    """foreachBatch -> delta_stream_sink: micro-batches land as txn-
+    stamped Delta commits; re-running the SAME batches from a fresh
+    checkpoint does not duplicate rows (the table itself is the
+    idempotence ledger)."""
+    from snapflow_spark.sources.delta import delta_stream_sink
+
+    src = tmp_path / "src"
+    table = tmp_path / "tbl"
+    _df(spark, ROWS_V0).write.parquet(str(src), mode="overwrite")
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                delta_stream_sink(table, "ingest-test")
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    assert _rows(read_delta(spark, table)) == set(ROWS_V0)
+    n1 = read_delta(spark, table).count()
+    # a FRESH checkpoint replays batch 0 from scratch: the txn high-
+    # water mark (appId 'ingest-test', version 0) suppresses the dup
+    run("ck2")
+    assert read_delta(spark, table).count() == n1
+    # new data arrives; the next batch id commits normally
+    _df(spark, ROWS_V1).write.parquet(str(src), mode="append")
+    run("ck1")
+    assert _rows(read_delta(spark, table)) == set(ROWS_V0) | set(ROWS_V1)
