@@ -193,6 +193,15 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'delta_v0' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
     UNION ALL
+    -- 'delta_dv' branch (round 13): DELETION VECTORS driver-grade —
+    -- an unpartitioned single-file copy of nation gets a commit
+    -- re-adding its data file with a DV naming the row indexes of
+    -- every n_nationkey % 3 = 0 row (indexes resolved by reading the
+    -- file's _metadata.row_index, so the assertion is logical); the
+    -- oracle replays the logical delete
+    SELECT 'delta_dv' AS fmt, n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey % 3 != 0
+    UNION ALL
     -- 'iceberg' branches (round 13): the metadata/manifest-list/
     -- manifest walk over a two-snapshot table written by the v1
     -- export twin — s0 full table, s1 appends a shifted copy
@@ -207,6 +216,20 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation
     UNION ALL
     SELECT 'iceberg_s0' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    -- 'iceberg_pdel' branch (round 13): v2 POSITION DELETES
+    -- driver-grade — a DELETE manifest + (file_path, pos) parquet
+    -- delete file names every n_nationkey % 4 = 1 row of the s0 data
+    -- file (positions resolved via _metadata.row_index); the oracle
+    -- replays the logical delete over the same two-snapshot table
+    SELECT 'iceberg_pdel' AS fmt, n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey % 4 != 1
+    UNION ALL
+    SELECT 'iceberg_pdel' AS fmt,
+           n_nationkey + 100 AS n_nationkey,
+           reverse(n_name) AS n_name,
+           n_regionkey
+    FROM nation
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +490,47 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from_delta_v0 = _tag(
         read_delta(spark, delta_dir, version=0), "delta_v0"
     )
+    # 'delta_dv' branch (round 13): deletion vectors driver-grade —
+    # a separate single-file copy of nation gets commit v1 re-adding
+    # its data file with a DV naming the row indexes of every
+    # n_nationkey % 3 == 0 row.  Indexes resolve through the SAME
+    # _metadata.row_index column the reader filters on, so the
+    # assertion is logical (the oracle replays `% 3 != 0`) while the
+    # bytes exercise the full Z85 + roaring + CRC sidecar machinery.
+    import json as _json
+
+    from snapflow_spark.sources.delta import delta_snapshot
+    from snapflow_spark.sources.deletion_vectors import write_dv_file
+
+    dv_dir = _SCRATCH / "delta_dv_roundtrip"
+    shutil.rmtree(dv_dir, ignore_errors=True)
+    write_delta(nation3.coalesce(1), dv_dir)
+    dv_snap = delta_snapshot(spark, dv_dir)
+    (dv_rel, dv_pv, dv_sz, dv_st) = dv_snap.files[0]
+    dv_idx = [
+        int(r.pos)
+        for r in spark.read.schema(nation3.schema)
+        .parquet(str(dv_dir / dv_rel))
+        .select(
+            F.col("_metadata.row_index").alias("pos"), "n_nationkey"
+        )
+        .where(F.col("n_nationkey") % 3 == 0)
+        .collect()  # 25-row dim, bounded by construction
+    ]
+    dv_add = {
+        "path": dv_rel,
+        "partitionValues": dv_pv,
+        "size": dv_sz,
+        "modificationTime": 0,
+        "dataChange": True,
+        "deletionVector": write_dv_file(dv_dir, dv_idx),
+    }
+    if dv_st:
+        dv_add["stats"] = _json.dumps(dv_st, separators=(",", ":"))
+    (dv_dir / "_delta_log" / f"{1:020d}.json").write_text(
+        _json.dumps({"add": dv_add}) + "\n"
+    )
+    from_delta_dv = _tag(read_delta(spark, dv_dir), "delta_dv")
     # 'iceberg' branches (round 13): the v1 export twin writes two
     # snapshots (s0 = full table, s1 appends a shifted copy:
     # key+100, name reversed); the reader walks metadata → manifest
@@ -490,6 +554,161 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from_ice_s0 = _tag(
         read_iceberg(spark, ice_dir, snapshot_id=s0), "iceberg_s0"
     )
+    # 'iceberg_pdel' branch (round 13): v2 position deletes
+    # driver-grade — a separate two-snapshot table (s0 full, s1 the
+    # shifted copy) gains a hand-published s2 whose manifest list
+    # re-lists s1's data manifests PLUS a DELETE manifest pointing at
+    # a (file_path, pos) parquet naming every n_nationkey % 4 == 1
+    # row of the s0 files.  Positions resolve through the same
+    # _metadata.row_index the reader anti-joins on; the oracle
+    # replays the logical delete.
+    from snapflow_spark.functions.avro_codec import (
+        read_avro_file,
+        write_avro_file,
+    )
+    from snapflow_spark.sources.iceberg import iceberg_snapshot
+
+    pdel_dir = _SCRATCH / "iceberg_pdel_roundtrip"
+    shutil.rmtree(pdel_dir, ignore_errors=True)
+    p0 = write_iceberg(nation3, pdel_dir)
+    write_iceberg(
+        nation3.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            F.reverse("n_name").alias("n_name"),
+            "n_regionkey",
+        ),
+        pdel_dir,
+        mode="append",
+    )
+    psnap = iceberg_snapshot(spark, pdel_dir, snapshot_id=p0)
+    del_rows = [
+        (
+            psnap.file_uris.get(r.sp[len("file:"):], r.sp),
+            int(r.pos),
+        )
+        for r in spark.read.schema(nation3.schema)
+        .parquet(*[p for p, _pv, _n, _bd in psnap.files])
+        .select(
+            F.col("_metadata.file_path").alias("sp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "n_nationkey",
+        )
+        .where(F.col("n_nationkey") % 4 == 1)
+        .collect()  # 25-row dim, bounded by construction
+    ]
+    pd_file = pdel_dir / "data" / "pos-deletes.parquet"
+    spark.createDataFrame(
+        del_rows, "file_path string, pos long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(pd_file) + ".tmp")
+    next(Path(str(pd_file) + ".tmp").glob("*.parquet")).rename(pd_file)
+    shutil.rmtree(str(pd_file) + ".tmp")
+    pdel_md = pdel_dir / "metadata"
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    write_avro_file(
+        pdel_md / "m-deletes.avro",
+        entry_schema,
+        [
+            {
+                "status": 1,
+                "data_file": {
+                    "content": 1,
+                    "file_path": f"{pdel_dir}/data/pos-deletes.parquet",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(del_rows),
+                    "file_size_in_bytes": pd_file.stat().st_size,
+                },
+            }
+        ],
+    )
+    hint = int((pdel_md / "version-hint.text").read_text().strip())
+    pmeta = _json.loads(
+        (pdel_md / f"v{hint}.metadata.json").read_text()
+    )
+    cur = next(
+        s
+        for s in pmeta["snapshots"]
+        if s["snapshot-id"] == pmeta["current-snapshot-id"]
+    )
+    _, ml_entries = read_avro_file(
+        pdel_md / Path(cur["manifest-list"]).name
+    )
+    ml_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+        ],
+    }
+    s2_id = max(s["snapshot-id"] for s in pmeta["snapshots"]) + 1
+    write_avro_file(
+        pdel_md / f"snap-{s2_id}-ml.avro",
+        ml_schema,
+        [
+            {
+                "manifest_path": e["manifest_path"],
+                "manifest_length": e["manifest_length"],
+                "partition_spec_id": 0,
+                "content": 0,
+            }
+            for e in ml_entries
+        ]
+        + [
+            {
+                "manifest_path": str(pdel_md / "m-deletes.avro"),
+                "manifest_length": (
+                    pdel_md / "m-deletes.avro"
+                ).stat().st_size,
+                "partition_spec_id": 0,
+                "content": 1,
+            }
+        ],
+    )
+    pmeta["snapshots"].append(
+        {
+            "snapshot-id": s2_id,
+            "timestamp-ms": int(cur.get("timestamp-ms") or 0) + 1,
+            "summary": {"operation": "overwrite"},
+            "manifest-list": str(pdel_md / f"snap-{s2_id}-ml.avro"),
+        }
+    )
+    pmeta["current-snapshot-id"] = s2_id
+    (pdel_md / f"v{hint + 1}.metadata.json").write_text(
+        _json.dumps(pmeta)
+    )
+    (pdel_md / "version-hint.text").write_text(str(hint + 1))
+    from_ice_pdel = _tag(read_iceberg(spark, pdel_dir), "iceberg_pdel")
     from snapflow_spark.sources.cc_index import read_cc_index
 
     key = F.col("n_nationkey")
@@ -555,8 +774,10 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(from_avro)
         .unionByName(from_delta)
         .unionByName(from_delta_v0)
+        .unionByName(from_delta_dv)
         .unionByName(from_ice)
         .unionByName(from_ice_s0)
+        .unionByName(from_ice_pdel)
         .unionByName(from_cc)
     )
 
