@@ -63,6 +63,7 @@ from snapflow_spark.functions.avro_codec import (
 __all__ = [
     "IcebergSnapshot",
     "IcebergStreamDataSource",
+    "expire_iceberg_snapshots",
     "iceberg_snapshot",
     "read_iceberg",
     "snapshot_store_to_iceberg",
@@ -1109,3 +1110,110 @@ class IcebergStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # Spark's offset log is the only state
+
+
+def _snapshot_file_refs(
+    snap: dict, location: str, table: Path
+) -> tuple[set, set]:
+    """(manifest-list + manifest paths, data/delete file paths)
+    referenced by one snapshot — resolved local paths."""
+    meta_files: set[str] = set()
+    data_files: set[str] = set()
+    if "manifest-list" not in snap:
+        for m in snap.get("manifests", []):
+            meta_files.add(_localize(m, location, table))
+        manifests = [
+            {"manifest_path": m} for m in snap.get("manifests", [])
+        ]
+    else:
+        ml = _localize(snap["manifest-list"], location, table)
+        meta_files.add(ml)
+        _, manifests = read_avro_file(ml)
+    for m in manifests:
+        mpath = _localize(m["manifest_path"], location, table)
+        meta_files.add(mpath)
+        _, entries = read_avro_file(mpath)
+        for e in entries:
+            rec = e.get("data_file") or {}
+            if rec.get("file_path"):
+                data_files.add(
+                    _localize(rec["file_path"], location, table)
+                )
+    return meta_files, data_files
+
+
+def expire_iceberg_snapshots(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Expire old snapshots and reclaim their storage — the Iceberg
+    twin of ``vacuum_delta`` (Iceberg's own ``expireSnapshots``
+    semantics): a snapshot expires when it is NOT among the newest
+    ``keep_last`` (by lineage position; the current snapshot is
+    always kept) AND, if ``older_than_ms`` is given, its
+    ``timestamp-ms`` is at or before the cutoff.  Files referenced
+    ONLY by expired snapshots — manifest lists, manifests, data AND
+    delete files — are deleted; anything a kept snapshot still
+    references survives.  The metadata rewrites with the pruned
+    snapshot list (a new version, so readers at the old metadata
+    keep working until they refresh; a RUNNING stream notices the
+    lineage change and raises rather than replaying wrong files).
+    Returns the deleted paths (relative to the table root where
+    possible); ``dry_run=True`` lists without deleting.  Unreferenced
+    files this never saw (crashed stages) are out of scope — that is
+    orphan-file removal, a separate maintenance pass."""
+    if keep_last < 1:
+        raise ValueError(
+            f"expire_iceberg_snapshots: keep_last must be >= 1, got "
+            f"{keep_last}"
+        )
+    table = Path(path)
+    mpath = _metadata_path(table)
+    meta = json.loads(mpath.read_text())
+    location = meta.get("location", "")
+    snaps = list(meta.get("snapshots", []))
+    current = meta.get("current-snapshot-id")
+    keep: list[dict] = []
+    expired: list[dict] = []
+    for i, s in enumerate(snaps):
+        is_tail = i >= len(snaps) - int(keep_last)
+        too_old = older_than_ms is None or (
+            int(s.get("timestamp-ms") or 0) <= int(older_than_ms)
+        )
+        if s["snapshot-id"] == current or is_tail or not too_old:
+            keep.append(s)
+        else:
+            expired.append(s)
+    if not expired:
+        return []
+    keep_meta: set[str] = set()
+    keep_data: set[str] = set()
+    for s in keep:
+        m, d = _snapshot_file_refs(s, location, table)
+        keep_meta |= m
+        keep_data |= d
+    doomed: set[str] = set()
+    for s in expired:
+        m, d = _snapshot_file_refs(s, location, table)
+        doomed |= m - keep_meta
+        doomed |= d - keep_data
+    out = sorted(
+        str(Path(p).relative_to(table)) if str(p).startswith(str(table)) else str(p)
+        for p in doomed
+    )
+    if dry_run:
+        return out
+    for p in doomed:
+        Path(p).unlink(missing_ok=True)
+    meta["snapshots"] = keep
+    hint = int(
+        (table / "metadata" / "version-hint.text").read_text().strip()
+    )
+    new_meta = table / "metadata" / f"v{hint + 1}.metadata.json"
+    with open(new_meta, "x", encoding="utf-8") as fh:
+        fh.write(json.dumps(meta, indent=1))
+    (table / "metadata" / "version-hint.text").write_text(str(hint + 1))
+    return out

@@ -598,3 +598,59 @@ def test_as_of_ms_time_travel(spark, tmp_path):
         read_iceberg(spark, path, as_of_ms=999)
     with pytest.raises(ValueError, match="not both"):
         read_iceberg(spark, path, snapshot_id=s1, as_of_ms=1500)
+
+
+def test_expire_snapshots_reclaims_storage(spark, tmp_path):
+    """expire_iceberg_snapshots: snapshots outside keep_last expire,
+    files ONLY they referenced are deleted (manifest lists, manifests,
+    data files), shared files survive, the metadata rewrites with the
+    pruned lineage, and time travel to an expired id now raises."""
+    from snapflow_spark.sources.iceberg import expire_iceberg_snapshots
+
+    path = tmp_path / "tbl"
+    s0 = write_iceberg(_df(spark, ROWS_V0), path)
+    s1 = write_iceberg(_df(spark, ROWS_V1), path, mode="append")
+    # s2 overwrites: s0/s1 data no longer referenced by the tail
+    s2 = write_iceberg(
+        _df(spark, [(9, "omega", "zz")]), path, mode="overwrite"
+    )
+    s0_files = {p for p, *_ in iceberg_snapshot(spark, path, snapshot_id=s0).files}
+    s1_files = {p for p, *_ in iceberg_snapshot(spark, path, snapshot_id=s1).files}
+    assert s0_files <= s1_files  # append kept s0's manifests
+    dry = expire_iceberg_snapshots(spark, path, keep_last=1, dry_run=True)
+    assert dry and all((path / rel).exists() for rel in dry)
+    gone = expire_iceberg_snapshots(spark, path, keep_last=1)
+    assert gone == dry
+    assert not any((path / rel).exists() for rel in gone)
+    # every s0/s1 data file is gone; the current snapshot reads fine
+    assert not any(Path(p).exists() for p in s1_files)
+    assert _rows(read_iceberg(spark, path)) == {(9, "omega", "zz")}
+    with pytest.raises(ValueError, match=f"snapshot {s0}"):
+        read_iceberg(spark, path, snapshot_id=s0)
+    # expiring again is a no-op
+    assert expire_iceberg_snapshots(spark, path, keep_last=1) == []
+    assert s2 == iceberg_snapshot(spark, path).snapshot_id
+
+
+def test_expire_snapshots_keeps_shared_files(spark, tmp_path):
+    """keep_last=2 on an append chain: the expired snapshot's files
+    are ALL shared with the kept ones (append re-lists manifests), so
+    nothing is deleted except its own manifest list."""
+    from snapflow_spark.sources.iceberg import expire_iceberg_snapshots
+
+    path = tmp_path / "tbl"
+    s0 = write_iceberg(_df(spark, ROWS_V0), path)
+    write_iceberg(_df(spark, ROWS_V1), path, mode="append")
+    write_iceberg(_df(spark, [(9, "omega", "zz")]), path, mode="append")
+    gone = expire_iceberg_snapshots(spark, path, keep_last=2)
+    # only s0's manifest LIST is uniquely s0's; its manifest + data
+    # files are re-listed by the kept appends and survive
+    assert len(gone) == 1 and "manifest-list" in gone[0]
+    assert _rows(read_iceberg(spark, path)) == set(ROWS_V0) | set(
+        ROWS_V1
+    ) | {(9, "omega", "zz")}
+    with pytest.raises(ValueError, match=f"snapshot {s0}"):
+        read_iceberg(spark, path, snapshot_id=s0)
+    # older_than_ms in the future + keep_last=1 expires the middle one
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_iceberg_snapshots(spark, path, keep_last=0)
