@@ -65,6 +65,8 @@ __all__ = [
     "IcebergStreamDataSource",
     "expire_iceberg_snapshots",
     "iceberg_snapshot",
+    "iceberg_stream_sink",
+    "remove_orphan_iceberg_files",
     "read_iceberg",
     "snapshot_store_to_iceberg",
     "write_iceberg",
@@ -656,13 +658,17 @@ def write_iceberg(
     df: DataFrame,
     path: str | os.PathLike,
     mode: str = "append",
+    extra_summary: dict | None = None,
 ) -> int:
     """Export a DataFrame as one Iceberg format-version-1 commit
     (unpartitioned spec); returns the new snapshot id.  ``append``
     keeps previous manifests in the new snapshot's manifest list;
     ``overwrite`` starts a fresh list (old snapshots stay readable by
     ``snapshot_id=`` — the write_delta time-travel contract);
-    ``error`` refuses an existing table."""
+    ``error`` refuses an existing table.  ``extra_summary`` adds
+    string key/value pairs to the snapshot's summary map (how real
+    Iceberg streaming sinks record their committed batch ids —
+    ``iceberg_stream_sink`` keys exactly-once on it)."""
     import pyarrow.parquet as pq
 
     if mode not in ("append", "overwrite", "error"):
@@ -869,7 +875,13 @@ def write_iceberg(
             "snapshot-id": snapshot_id,
             "timestamp-ms": now_ms,
             "summary": {
-                "operation": "append" if mode == "append" else "overwrite"
+                "operation": (
+                    "append" if mode == "append" else "overwrite"
+                ),
+                **{
+                    str(k): str(v)
+                    for k, v in (extra_summary or {}).items()
+                },
             },
             "manifest-list": f"{location}/metadata/{ml_name}",
         }
@@ -1216,4 +1228,97 @@ def expire_iceberg_snapshots(
     with open(new_meta, "x", encoding="utf-8") as fh:
         fh.write(json.dumps(meta, indent=1))
     (table / "metadata" / "version-hint.text").write_text(str(hint + 1))
+    return out
+
+
+def iceberg_stream_sink(path: str | os.PathLike, app_id: str):
+    """EXACTLY-ONCE streaming writes INTO an Iceberg table — the
+    ``delta_stream_sink`` twin, keyed the way real Iceberg streaming
+    sinks (Flink's, Spark's own) are: each micro-batch commits with a
+    ``streaming.<app_id>.batch-id`` entry in the snapshot SUMMARY,
+    and a replayed batch id at or below the lineage's recorded
+    high-water mark is skipped.  The high-water mark is the max over
+    ALL snapshots still in the metadata, so interleaved non-sink
+    commits can't drop it; ``expire_iceberg_snapshots`` keeping at
+    least the newest sink commit preserves it too (expiring EVERY
+    sink snapshot while the stream is down would forget the mark —
+    the same trade Flink documents).
+
+    Usage::
+
+        q = (curated.writeStream
+             .foreachBatch(iceberg_stream_sink(table, "my-pipeline"))
+             .option("checkpointLocation", ckpt).start())
+    """
+    target = Path(path)
+    key = f"streaming.{app_id}.batch-id"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            meta = json.loads(_metadata_path(target).read_text())
+        except FileNotFoundError:
+            meta = {}
+        high = max(
+            (
+                int(s["summary"][key])
+                for s in meta.get("snapshots", [])
+                if key in (s.get("summary") or {})
+            ),
+            default=-1,
+        )
+        if int(batch_id) <= high:
+            return  # already committed: idempotent replay
+        write_iceberg(
+            batch_df,
+            target,
+            mode="append",
+            extra_summary={key: int(batch_id)},
+        )
+
+    return write_batch
+
+
+def remove_orphan_iceberg_files(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete files under ``data/`` that NO snapshot in the current
+    metadata references — crashed staging leftovers, files orphaned
+    by interrupted commits (Iceberg's removeOrphanFiles).  The
+    retention window (default 7 days) protects in-flight writes: a
+    file newer than ``now - retention_hours`` is never touched, since
+    ``write_iceberg`` moves data files into place BEFORE publishing
+    metadata.  Only ``data/`` is swept — ``metadata/`` bookkeeping
+    belongs to ``expire_iceberg_snapshots``.  Returns deleted paths
+    relative to the table root; ``dry_run=True`` lists only."""
+    if retention_hours < 0:
+        raise ValueError(
+            "remove_orphan_iceberg_files: retention_hours must be "
+            f">= 0, got {retention_hours}"
+        )
+    table = Path(path)
+    meta = json.loads(_metadata_path(table).read_text())
+    location = meta.get("location", "")
+    referenced: set[str] = set()
+    for s in meta.get("snapshots", []):
+        _m, d = _snapshot_file_refs(s, location, table)
+        referenced |= d
+    cutoff = time.time() - retention_hours * 3600.0
+    out: list[str] = []
+    data = table / "data"
+    for p in data.rglob("*") if data.is_dir() else ():
+        if not p.is_file() or str(p) in referenced:
+            continue
+        try:
+            if p.stat().st_mtime >= cutoff:
+                continue  # inside the retention window: keep
+        except FileNotFoundError:
+            continue
+        out.append(str(p.relative_to(table)))
+    out.sort()
+    if not dry_run:
+        for rel in out:
+            (table / rel).unlink(missing_ok=True)
     return out

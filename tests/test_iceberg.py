@@ -654,3 +654,81 @@ def test_expire_snapshots_keeps_shared_files(spark, tmp_path):
     # older_than_ms in the future + keep_last=1 expires the middle one
     with pytest.raises(ValueError, match="keep_last"):
         expire_iceberg_snapshots(spark, path, keep_last=0)
+
+
+def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
+    """foreachBatch -> iceberg_stream_sink: micro-batches land as
+    summary-stamped snapshots; re-running the SAME batches from a
+    fresh checkpoint does not duplicate rows (the snapshot lineage is
+    the idempotence ledger, the Flink-sink recipe)."""
+    from snapflow_spark.sources.iceberg import iceberg_stream_sink
+
+    src = tmp_path / "src"
+    table = tmp_path / "tbl"
+    _df(spark, ROWS_V0).write.parquet(str(src), mode="overwrite")
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                iceberg_stream_sink(table, "ingest-test")
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    assert _rows(read_iceberg(spark, table)) == set(ROWS_V0)
+    n1 = read_iceberg(spark, table).count()
+    # fresh checkpoint replays batch 0: the summary high-water mark
+    # (streaming.ingest-test.batch-id = 0) suppresses the duplicate
+    run("ck2")
+    assert read_iceberg(spark, table).count() == n1
+    # an interleaved NON-sink commit doesn't drop the mark
+    write_iceberg(_df(spark, [(9, "omega", "zz")]), table, mode="append")
+    run("ck3")
+    assert read_iceberg(spark, table).count() == n1 + 1
+    # new data arrives; the next batch id commits normally
+    _df(spark, ROWS_V1).write.parquet(str(src), mode="append")
+    run("ck1")
+    assert _rows(read_iceberg(spark, table)) == set(ROWS_V0) | set(
+        ROWS_V1
+    ) | {(9, "omega", "zz")}
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """remove_orphan_iceberg_files deletes unreferenced data/ files
+    outside the retention window, never referenced ones, never
+    metadata, and never fresh (in-flight) files."""
+    import os as _os
+
+    from snapflow_spark.sources.iceberg import remove_orphan_iceberg_files
+
+    table = tmp_path / "tbl"
+    write_iceberg(_df(spark, ROWS_V0), table)
+    orphan = table / "data" / "crashed-stage.parquet"
+    orphan.write_bytes(b"leftover")
+    # fresh orphan: retention keeps it (default AND explicit 0 with a
+    # future mtime)
+    assert remove_orphan_iceberg_files(spark, table) == []
+    future = __import__("time").time() + 3600
+    _os.utime(orphan, (future, future))
+    assert remove_orphan_iceberg_files(spark, table, retention_hours=0) == []
+    # aged orphan: listed by dry run, then reclaimed
+    _os.utime(orphan, (1000, 1000))
+    dry = remove_orphan_iceberg_files(
+        spark, table, retention_hours=0, dry_run=True
+    )
+    assert dry == ["data/crashed-stage.parquet"] and orphan.exists()
+    gone = remove_orphan_iceberg_files(spark, table, retention_hours=0)
+    assert gone == dry and not orphan.exists()
+    # referenced files survive even when aged
+    ref = Path(iceberg_snapshot(spark, table).files[0][0])
+    _os.utime(ref, (1000, 1000))
+    assert remove_orphan_iceberg_files(spark, table, retention_hours=0) == []
+    assert _rows(read_iceberg(spark, table)) == set(ROWS_V0)
+    with pytest.raises(ValueError, match="retention_hours"):
+        remove_orphan_iceberg_files(spark, table, retention_hours=-1)
