@@ -86,7 +86,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from snapflow_spark.sources.deletion_vectors import deleted_row_indexes
 
@@ -96,6 +96,7 @@ __all__ = [
     "delta_snapshot",
     "delta_stream_sink",
     "read_delta",
+    "read_delta_cdf",
     "snapshot_store_to_delta",
     "vacuum_delta",
     "write_delta",
@@ -1277,3 +1278,166 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # Spark's offset log is the only state
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed: the row-level CHANGES committed in versions
+    ``[starting_version, ending_version]`` (inclusive; default end =
+    latest), as delta-spark's ``table_changes`` exposes them — table
+    columns plus ``_change_type`` (insert / delete /
+    update_preimage / update_postimage) and ``_commit_version``.
+
+    Per commit, the protocol's rule: when the commit carries ``cdc``
+    actions (writers with ``delta.enableChangeDataFeed`` emit them
+    under ``_change_data/`` for updates/merges), those files are the
+    AUTHORITATIVE change rows — their parquet already contains
+    ``_change_type`` — and the commit's add/remove actions are file
+    bookkeeping only.  Otherwise changes synthesize from the log:
+    ``add`` files with dataChange are inserts, ``remove``d files are
+    deletes read back from the still-on-disk parquet (time travel
+    keeps them until vacuum; a reclaimed file fails loudly at scan).
+
+    Loud scope: deletion vectors inside the range and column-mapped
+    tables raise; a schemaString change inside the range raises (one
+    output schema per call — split the range at the evolution)."""
+    table = Path(path)
+    log = _log_path(table)
+    versions = _json_versions(log)
+    if not versions:
+        raise FileNotFoundError(f"read_delta_cdf: no commit JSONs at {log}")
+    latest = max(versions)
+    start = int(starting_version)
+    end = latest if ending_version is None else int(ending_version)
+    if start < 0 or end > latest or start > end:
+        raise ValueError(
+            f"read_delta_cdf: bad range [{start}, {end}] "
+            f"(log has 0..{latest})"
+        )
+    snap = delta_snapshot(spark, table, version=end)
+    if snap.physical_names:
+        raise NotImplementedError(
+            "read_delta_cdf: column-mapped table (mode=name) — the "
+            "change files key physical names; unsupported"
+        )
+    fields = {f.name: f for f in snap.schema.fields}
+    part_cols = snap.partition_columns
+    data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+    cdc_schema = StructType(
+        list(data_fields)
+        + [StructField("_change_type", StringType(), True)]
+    )
+    out_cols = [f.name for f in snap.schema.fields] + [
+        "_change_type",
+        "_commit_version",
+    ]
+
+    # replay from 0 so a remove can recover its file's partitionValues
+    # even when the remove action omits them (they're optional there)
+    pv_of: dict[str, dict] = {}
+    schema_str = None
+    pieces: list[DataFrame] = []
+
+    def emit(rel: str, pv: dict, change_type, v: int, with_type_col: bool):
+        p = str(table / rel)
+        df = spark.read.schema(
+            cdc_schema if with_type_col else data_schema
+        ).parquet(p)
+        if not with_type_col:
+            df = df.withColumn("_change_type", F.lit(change_type))
+        df = df.withColumn("_commit_version", F.lit(int(v)).cast("bigint"))
+        for c in part_cols:
+            raw = pv.get(c)
+            df = df.withColumn(c, F.lit(raw).cast(fields[c].dataType))
+        pieces.append(df.select(*out_cols))
+
+    for v in range(0, end + 1):
+        p = versions.get(v)
+        if p is None:
+            raise FileNotFoundError(
+                f"read_delta_cdf: commit {v} missing from {log} (log "
+                "cleaned? CDF needs the JSON commits in range)"
+            )
+        adds: list[dict] = []
+        removes: list[dict] = []
+        cdcs: list[dict] = []
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    a = action["add"]
+                    rel = unquote(a["path"])
+                    pv_of[rel] = a.get("partitionValues") or {}
+                    if v >= start and a.get("deletionVector"):
+                        raise NotImplementedError(
+                            f"read_delta_cdf: commit {v} adds a "
+                            "deletion vector; row-level CDF for DV "
+                            "commits needs the pre/post image diff"
+                        )
+                    if a.get("dataChange", True):
+                        adds.append(a)
+                elif "remove" in action:
+                    removes.append(action["remove"])
+                elif "cdc" in action:
+                    cdcs.append(action["cdc"])
+                elif "metaData" in action:
+                    s = action["metaData"].get("schemaString")
+                    if v > start and schema_str is not None and s != schema_str:
+                        raise NotImplementedError(
+                            f"read_delta_cdf: schema changed at commit "
+                            f"{v} inside the range — split the range "
+                            "at the evolution"
+                        )
+                    schema_str = s
+        if v < start:
+            for r in removes:
+                pv_of.pop(unquote(r["path"]), None)
+            continue
+        if cdcs:  # authoritative: adds/removes are bookkeeping only
+            for c in cdcs:
+                emit(
+                    unquote(c["path"]),
+                    c.get("partitionValues") or {},
+                    None,
+                    v,
+                    with_type_col=True,
+                )
+            for r in removes:
+                pv_of.pop(unquote(r["path"]), None)
+            continue
+        for a in adds:
+            emit(
+                unquote(a["path"]),
+                a.get("partitionValues") or {},
+                "insert",
+                v,
+                with_type_col=False,
+            )
+        for r in removes:
+            if not r.get("dataChange", True):
+                continue
+            rel = unquote(r["path"])
+            pv = r.get("partitionValues") or pv_of.get(rel) or {}
+            emit(rel, pv, "delete", v, with_type_col=False)
+            pv_of.pop(rel, None)
+    if not pieces:
+        empty_schema = StructType(
+            list(snap.schema.fields)
+            + [
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
+    result = pieces[0]
+    for df in pieces[1:]:
+        result = result.unionByName(df)
+    return result

@@ -750,3 +750,90 @@ def test_delta_stream_sink_exactly_once(spark, tmp_path):
     _df(spark, ROWS_V1).write.parquet(str(src), mode="append")
     run("ck1")
     assert _rows(read_delta(spark, table)) == set(ROWS_V0) | set(ROWS_V1)
+
+
+def test_cdf_synthesized_from_log(spark, tmp_path):
+    """read_delta_cdf without cdc actions: adds are inserts, removed
+    files read back as deletes, versions stamp each row, and the
+    range bounds clip."""
+    from snapflow_spark.sources.delta import read_delta_cdf
+
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path, partition_by=["lang"])  # v0
+    write_delta(_df(spark, ROWS_V1), path, mode="append")  # v1
+    write_delta(_df(spark, [(9, "omega", "zz")]), path, mode="overwrite")  # v2
+
+    def changes(df):
+        return {
+            (r.doc_id, r.text, r.lang, r._change_type, r._commit_version)
+            for r in df.collect()
+        }
+
+    full = read_delta_cdf(spark, path)
+    want = (
+        {(d, t, lg, "insert", 0) for d, t, lg in ROWS_V0}
+        | {(d, t, lg, "insert", 1) for d, t, lg in ROWS_V1}
+        | {(d, t, lg, "delete", 2) for d, t, lg in ROWS_V0 + ROWS_V1}
+        | {(9, "omega", "zz", "insert", 2)}
+    )
+    assert changes(full) == want
+    # range clip: only the overwrite commit
+    tail = read_delta_cdf(spark, path, starting_version=2)
+    assert changes(tail) == {
+        c for c in want if c[4] == 2
+    }
+    with pytest.raises(ValueError, match="bad range"):
+        read_delta_cdf(spark, path, starting_version=3)
+    with pytest.raises(ValueError, match="bad range"):
+        read_delta_cdf(spark, path, starting_version=1, ending_version=0)
+
+
+def test_cdf_cdc_actions_are_authoritative(spark, tmp_path):
+    """A commit carrying cdc actions yields EXACTLY the change files'
+    rows (with their own _change_type) — its add/remove actions are
+    file bookkeeping, not changes."""
+    from snapflow_spark.sources.delta import read_delta_cdf
+
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path)  # v0
+    # hand-publish v1 the way an UPDATE with CDF enabled lands: a cdc
+    # file under _change_data/ + add/remove bookkeeping
+    cdc_rows = [
+        (0, "alpha", "en", "update_preimage"),
+        (0, "ALPHA!", "en", "update_postimage"),
+    ]
+    cdc = tmp_path / "tbl" / "_change_data" / "cdc-0.parquet"
+    cdc.parent.mkdir(parents=True)
+    spark.createDataFrame(
+        cdc_rows, SCHEMA + ", _change_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(cdc) + ".tmp")
+    next(Path(str(cdc) + ".tmp").glob("*.parquet")).rename(cdc)
+    import shutil
+
+    shutil.rmtree(str(cdc) + ".tmp")
+    # bookkeeping: re-add the (logically rewritten) data file
+    snap = delta_snapshot(spark, path)
+    rel, pv, sz, _st = snap.files[0]
+    log = Path(path) / "_delta_log"
+    (log / f"{1:020d}.json").write_text(
+        "\n".join(
+            json.dumps(a)
+            for a in [
+                {"cdc": {"path": "_change_data/cdc-0.parquet",
+                         "partitionValues": {}, "size": cdc.stat().st_size,
+                         "dataChange": False}},
+                {"remove": {"path": rel, "dataChange": True}},
+                {"add": {"path": rel, "partitionValues": pv, "size": sz,
+                         "modificationTime": 0, "dataChange": True}},
+            ]
+        )
+        + "\n"
+    )
+    got = {
+        (r.doc_id, r.text, r._change_type, r._commit_version)
+        for r in read_delta_cdf(spark, path, starting_version=1).collect()
+    }
+    assert got == {
+        (0, "alpha", "update_preimage", 1),
+        (0, "ALPHA!", "update_postimage", 1),
+    }

@@ -53,6 +53,19 @@ READ_SCHEMAS_REVIEWED: dict[str, tuple[str, str]] = {
 # note replaces the bare warning so a regression BEYOND the reviewed
 # count still flags.
 EXCHANGES_REVIEWED: dict[str, tuple[int, str]] = {
+    "q_scan_formats": (
+        2,
+        "reviewed round 13: every scan branch remains exchange-free "
+        "except the delete-read branches — 'delta_dv' applies its "
+        "deletion vector as a broadcast-HINTED anti-join (no "
+        "exchange), and 'iceberg_pdel' pays the two static SMJ "
+        "exchanges of its position-delete anti-join on (file, pos); "
+        "the delete side is deliberately UN-hinted so AQE broadcasts "
+        "small delete sets at runtime and shuffle-joins huge ones — "
+        "the correct 100 TB degradation (read_iceberg docstring). "
+        "The URI-translate join IS broadcast-hinted (one mapping row "
+        "per kept file)",
+    ),
     "q_dedup_exact": (
         7,
         "reviewed round 8: three independent dedup tiers in one "
