@@ -1416,6 +1416,28 @@ def _scan_delta(
     )
 
 
+def _scan_delta_cdf(
+    spark: SparkSession,
+    path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """core.scan_delta_cdf: zero-input source node over a Delta
+    table's CHANGE DATA FEED (sources.delta.read_delta_cdf) — row
+    changes with ``_change_type``/``_commit_version`` for versions
+    ``[starting_version, ending_version]`` (default end = latest)."""
+    from snapflow_spark.sources.delta import read_delta_cdf
+
+    return read_delta_cdf(
+        spark,
+        path,
+        starting_version=int(starting_version),
+        ending_version=(
+            None if ending_version is None else int(ending_version)
+        ),
+    )
+
+
 def _scan_avro(
     spark: SparkSession,
     path: str,
@@ -1581,6 +1603,7 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.d4": _d4,
     "core.scan_files": _scan_files,
     "core.scan_delta": _scan_delta,
+    "core.scan_delta_cdf": _scan_delta_cdf,
     "core.scan_iceberg": _scan_iceberg,
     "core.scan_avro": _scan_avro,
     "core.text_embed": _text_embed,

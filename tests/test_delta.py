@@ -837,3 +837,29 @@ def test_cdf_cdc_actions_are_authoritative(spark, tmp_path):
         (0, "alpha", "update_preimage", 1),
         (0, "ALPHA!", "update_postimage", 1),
     }
+
+
+def test_yaml_scan_delta_cdf_builtin(spark, tmp_path):
+    from snapflow_spark.plans import load_graph
+
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path)
+    write_delta(_df(spark, ROWS_V1), path, mode="append")
+    cfg = {
+        "warehouse": str(tmp_path / "wh_cdf"),
+        "nodes": [
+            {
+                "name": "changes",
+                "function": "core.scan_delta_cdf",
+                "params": {"path": str(path), "starting_version": 1},
+                "overwrite": True,
+            }
+        ],
+    }
+    g = load_graph(cfg)
+    assert g.produce(spark) == 1
+    got = {
+        (r.doc_id, r._change_type, r._commit_version)
+        for r in g.read(spark, "changes").collect()
+    }
+    assert got == {(d, "insert", 1) for d, _t, _lg in ROWS_V1}
