@@ -507,15 +507,19 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_delta(nation3.coalesce(1), dv_dir)
     dv_snap = delta_snapshot(spark, dv_dir)
     (dv_rel, dv_pv, dv_sz, dv_st) = dv_snap.files[0]
+    import pyarrow.parquet as _pq
+
+    # one bounded driver read of the 25-row dim file: row index ==
+    # position in file order, the same ordinal _metadata.row_index
+    # exposes to the reader's anti-join
     dv_idx = [
-        int(r.pos)
-        for r in spark.read.schema(nation3.schema)
-        .parquet(str(dv_dir / dv_rel))
-        .select(
-            F.col("_metadata.row_index").alias("pos"), "n_nationkey"
+        i
+        for i, k in enumerate(
+            _pq.read_table(
+                str(dv_dir / dv_rel), columns=["n_nationkey"]
+            ).column("n_nationkey").to_pylist()
         )
-        .where(F.col("n_nationkey") % 3 == 0)
-        .collect()  # 25-row dim, bounded by construction
+        if k % 3 == 0
     ]
     dv_add = {
         "path": dv_rel,
@@ -541,7 +545,7 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ice_dir = _SCRATCH / "iceberg_roundtrip"
     shutil.rmtree(ice_dir, ignore_errors=True)
     s0 = write_iceberg(nation3, ice_dir)
-    write_iceberg(
+    s1 = write_iceberg(
         nation3.select(
             (F.col("n_nationkey") + 100).alias("n_nationkey"),
             F.reverse("n_name").alias("n_name"),
@@ -550,58 +554,55 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ice_dir,
         mode="append",
     )
-    from_ice = _tag(read_iceberg(spark, ice_dir), "iceberg")
+    # the table gains a THIRD (delete) snapshot below, so the
+    # 'iceberg'/'iceberg_s0' branches pin their snapshots by id and
+    # the 'iceberg_pdel' branch owns the LATEST read
+    from_ice = _tag(
+        read_iceberg(spark, ice_dir, snapshot_id=s1), "iceberg"
+    )
     from_ice_s0 = _tag(
         read_iceberg(spark, ice_dir, snapshot_id=s0), "iceberg_s0"
     )
     # 'iceberg_pdel' branch (round 13): v2 position deletes
-    # driver-grade — a separate two-snapshot table (s0 full, s1 the
-    # shifted copy) gains a hand-published s2 whose manifest list
-    # re-lists s1's data manifests PLUS a DELETE manifest pointing at
-    # a (file_path, pos) parquet naming every n_nationkey % 4 == 1
-    # row of the s0 files.  Positions resolve through the same
-    # _metadata.row_index the reader anti-joins on; the oracle
-    # replays the logical delete.
+    # driver-grade — the SAME table gains a hand-published s2 whose
+    # manifest list re-lists s1's data manifests PLUS a DELETE
+    # manifest pointing at a (file_path, pos) parquet naming every
+    # n_nationkey % 4 == 1 row of the s0 files.  Positions resolve
+    # through the same _metadata.row_index the reader anti-joins on;
+    # the oracle replays the logical delete; reading LATEST exercises
+    # the delete snapshot.
     from snapflow_spark.functions.avro_codec import (
         read_avro_file,
         write_avro_file,
     )
     from snapflow_spark.sources.iceberg import iceberg_snapshot
 
-    pdel_dir = _SCRATCH / "iceberg_pdel_roundtrip"
-    shutil.rmtree(pdel_dir, ignore_errors=True)
-    p0 = write_iceberg(nation3, pdel_dir)
-    write_iceberg(
-        nation3.select(
-            (F.col("n_nationkey") + 100).alias("n_nationkey"),
-            F.reverse("n_name").alias("n_name"),
-            "n_regionkey",
-        ),
-        pdel_dir,
-        mode="append",
-    )
-    psnap = iceberg_snapshot(spark, pdel_dir, snapshot_id=p0)
+    pdel_dir = ice_dir
+    psnap = iceberg_snapshot(spark, pdel_dir, snapshot_id=s0)
     del_rows = [
-        (
-            psnap.file_uris.get(r.sp[len("file:"):], r.sp),
-            int(r.pos),
+        (psnap.file_uris.get(p, p), i)
+        for p, _pv, _n, _bd in psnap.files
+        for i, k in enumerate(
+            _pq.read_table(p, columns=["n_nationkey"])
+            .column("n_nationkey")
+            .to_pylist()  # 25-row dim, bounded by construction
         )
-        for r in spark.read.schema(nation3.schema)
-        .parquet(*[p for p, _pv, _n, _bd in psnap.files])
-        .select(
-            F.col("_metadata.file_path").alias("sp"),
-            F.col("_metadata.row_index").alias("pos"),
-            "n_nationkey",
-        )
-        .where(F.col("n_nationkey") % 4 == 1)
-        .collect()  # 25-row dim, bounded by construction
+        if k % 4 == 1
     ]
+    import pyarrow as _pa
+
     pd_file = pdel_dir / "data" / "pos-deletes.parquet"
-    spark.createDataFrame(
-        del_rows, "file_path string, pos long"
-    ).coalesce(1).write.mode("overwrite").parquet(str(pd_file) + ".tmp")
-    next(Path(str(pd_file) + ".tmp").glob("*.parquet")).rename(pd_file)
-    shutil.rmtree(str(pd_file) + ".tmp")
+    _pq.write_table(
+        _pa.table(
+            {
+                "file_path": [fp for fp, _i in del_rows],
+                "pos": _pa.array(
+                    [i for _fp, i in del_rows], type=_pa.int64()
+                ),
+            }
+        ),
+        pd_file,
+    )
     pdel_md = pdel_dir / "metadata"
     entry_schema = {
         "type": "record",

@@ -632,9 +632,17 @@ def _distributed_file_stats(
     """``_file_stats`` for many staged files in ONE Spark job —
     executor-side footer reads via mapInPandas instead of O(#files)
     serial driver I/O at export time (the iceberg bridge shares this
-    for its manifest bounds).  Returns {path: stats dict or None}."""
+    for its manifest bounds).  Returns {path: stats dict or None}.
+
+    Tiny exports skip the job: below ~a task's worth of files the
+    Spark round trip costs more than the footer reads it distributes
+    (a footer read is ~1 ms), so the driver reads them directly —
+    same bytes, no scheduling overhead.  The executor-side path is
+    for the thousands-of-files exports the O(#files) concern names."""
     if not paths:
         return {}
+    if len(paths) <= 16:
+        return {p: _file_stats(Path(p)) for p in paths}
     n = min(len(paths), spark.sparkContext.defaultParallelism)
 
     def gen(batches):
