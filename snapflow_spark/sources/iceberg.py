@@ -28,12 +28,20 @@ Append keeps previous manifests in the new snapshot's list;
 overwrite starts a fresh list (old snapshots stay readable — time
 travel, same contract as write_delta).
 
-Loud-guard scope (never silently wrong): delete manifests
-(manifest-list ``content=1``), non-data data-file content (position/
-equality deletes), format-version > 2, and partition filters naming
-non-identity-transform fields all raise with the feature named.
-Metadata is O(#files), driver-side — the same cost Iceberg's own
-planner pays before scan planning.
+**Row-level deletes read** (round 13): v2 POSITION deletes (DELETE
+manifests → ``(file_path, pos)`` parquet) apply as a distributed
+anti-join on the scan's ``_metadata.file_path``/``row_index``; v2
+EQUALITY deletes (``equality_ids`` columns) apply null-safe, scoped
+by DATA SEQUENCE NUMBER — each delete anti-joins only onto data
+files with a strictly smaller sequence, so rows written after the
+delete survive.
+
+Loud-guard scope (never silently wrong): an equality delete without
+a positive sequence number (unscopable), delete records inside DATA
+manifests (and vice versa), format-version > 2, and partition
+filters naming non-identity-transform fields all raise with the
+feature named.  Metadata is O(#files), driver-side — the same cost
+Iceberg's own planner pays before scan planning.
 """
 
 from __future__ import annotations
@@ -140,6 +148,13 @@ class IcebergSnapshot:
     #: resolved data-file path -> the metadata-recorded URI (what
     #: position-delete rows key their file_path column by)
     file_uris: dict = field(default_factory=dict)
+    #: v2 EQUALITY deletes live in this snapshot:
+    #: (resolved path, [column names], delete data-sequence-number);
+    #: each applies only to data files with a SMALLER sequence number
+    equality_deletes: list = field(default_factory=list)
+    #: resolved data-file path -> its data sequence number (0 when
+    #: the table predates sequence numbers)
+    file_seqs: dict = field(default_factory=dict)
 
 
 #: Iceberg single-value binary serialization decoders, by schema type
@@ -319,47 +334,54 @@ def iceberg_snapshot(
         )
     snap = snaps[want]
 
-    manifest_uris: list[str] = []
-    delete_manifest_uris: list[str] = []
+    #: (manifest uri, its data sequence number — 0 pre-v2)
+    manifest_uris: list[tuple[str, int]] = []
+    delete_manifest_uris: list[tuple[str, int]] = []
     if "manifest-list" in snap:
         ml_path = _localize(snap["manifest-list"], location, table)
         _, entries = read_avro_file(ml_path)
         for e in entries:
             content = int(e.get("content") or 0)
+            seq = int(e.get("sequence_number") or 0)
             if content == 0:
-                manifest_uris.append(e["manifest_path"])
+                manifest_uris.append((e["manifest_path"], seq))
             elif content == 1:  # v2 DELETE manifest: walked below
-                delete_manifest_uris.append(e["manifest_path"])
+                delete_manifest_uris.append((e["manifest_path"], seq))
             else:
                 raise NotImplementedError(
                     f"read_iceberg: manifest content {content} in the "
                     "manifest list (0=data and 1=deletes are the spec)"
                 )
     else:  # ancient v1 form: manifests inlined on the snapshot
-        manifest_uris = list(snap.get("manifests", []))
+        manifest_uris = [(m, 0) for m in snap.get("manifests", [])]
 
-    # v2 position-delete files: parquet rows of (file_path, pos)
-    # naming deleted data rows by the metadata-recorded URI + row
-    # index.  Applied in read_iceberg as a distributed anti-join;
-    # equality deletes (content=2 data files) stay a loud refusal.
-    # Scope note: deletes apply by exact file_path match — safe
-    # because Iceberg writers never reuse data-file paths (UUID
-    # names), so sequence-number scoping cannot change the result.
+    field_defs = _raw_schema_fields(meta)
+    names_by_id = {
+        int(f["id"]): f["name"]
+        for f in field_defs
+        if f.get("id") is not None
+    }
+
+    # v2 delete files.  POSITION deletes: parquet rows of (file_path,
+    # pos) naming deleted data rows by the metadata-recorded URI +
+    # row index — applied by exact file_path match, safe because
+    # Iceberg writers never reuse data-file paths (UUID names), so
+    # sequence scoping cannot change the result.  EQUALITY deletes:
+    # parquet rows of the `equality_ids` columns; each applies only
+    # to data files with a STRICTLY SMALLER data sequence number
+    # (rows written after the delete must survive), so a delete
+    # without a positive sequence number raises rather than silently
+    # matching nothing or everything.
     pos_deletes: list[str] = []
-    for muri in delete_manifest_uris:
+    eq_deletes: list[tuple[str, list[str], int]] = []
+    for muri, mseq in delete_manifest_uris:
         _, entries = read_avro_file(_localize(muri, location, table))
         for e in entries:
             if int(e.get("status") or 0) == _STATUS_DELETED:
                 continue
             rec = e["data_file"]
             content = int(rec.get("content") or 0)
-            if content == 2:
-                raise NotImplementedError(
-                    "read_iceberg: equality delete file (position "
-                    "deletes are implemented; equality deletes need "
-                    "the match columns evaluated per data row)"
-                )
-            if content != 1:
+            if content not in (1, 2):
                 raise ValueError(
                     "read_iceberg: non-delete entry (content="
                     f"{content}) inside a DELETE manifest"
@@ -369,14 +391,40 @@ def iceberg_snapshot(
                 raise NotImplementedError(
                     f"read_iceberg: delete file format {fmt}"
                 )
-            pos_deletes.append(
-                _localize(rec["file_path"], location, table)
+            if content == 1:
+                pos_deletes.append(
+                    _localize(rec["file_path"], location, table)
+                )
+                continue
+            dseq = int(e.get("sequence_number") or mseq or 0)
+            if dseq <= 0:
+                raise ValueError(
+                    "read_iceberg: equality delete file "
+                    f"{rec.get('file_path')!r} carries no positive "
+                    "sequence number — it cannot be scoped to the "
+                    "data files it predates"
+                )
+            ids = rec.get("equality_ids") or []
+            if not ids:
+                raise ValueError(
+                    "read_iceberg: equality delete file "
+                    f"{rec.get('file_path')!r} without equality_ids"
+                )
+            cols = []
+            for fid in ids:
+                if int(fid) not in names_by_id:
+                    raise ValueError(
+                        f"read_iceberg: equality_ids field {fid} not "
+                        "in the table schema"
+                    )
+                cols.append(names_by_id[int(fid)])
+            eq_deletes.append(
+                (_localize(rec["file_path"], location, table), cols, dseq)
             )
-
-    field_defs = _raw_schema_fields(meta)
     files: list[tuple[str, dict, int, dict]] = []
     file_uris: dict[str, str] = {}
-    for muri in manifest_uris:
+    file_seqs: dict[str, int] = {}
+    for muri, mseq in manifest_uris:
         _, entries = read_avro_file(_localize(muri, location, table))
         for e in entries:
             if int(e.get("status") or 0) == _STATUS_DELETED:
@@ -417,6 +465,7 @@ def iceberg_snapshot(
                         bounds[fdef["name"]] = (lo, hi)
             local = _localize(df_rec["file_path"], location, table)
             file_uris[local] = df_rec["file_path"]
+            file_seqs[local] = int(e.get("sequence_number") or mseq or 0)
             files.append(
                 (
                     local,
@@ -434,6 +483,8 @@ def iceberg_snapshot(
         meta,
         position_deletes=pos_deletes,
         file_uris=file_uris,
+        equality_deletes=eq_deletes,
+        file_seqs=file_seqs,
     )
 
 
@@ -498,42 +549,76 @@ def read_iceberg(
     ]
     if not paths:
         return spark.createDataFrame([], snap.schema)
-    scan = spark.read.schema(snap.schema).parquet(*paths)
-    if not snap.position_deletes:
-        return scan
-    # v2 position deletes: delete rows key (metadata-recorded
-    # file_path URI, row position); translate the URIs onto the local
-    # file URIs the scan's _metadata.file_path column reports (one
-    # tiny mapping row per kept data file), then anti-join on
-    # (file, pos).  The join runs distributed; AQE broadcasts the
-    # delete side when it is small (the common shape — per-file row
-    # lists), and falls back to a shuffle join for huge delete sets,
-    # which is exactly the degradation a 100 TB read wants.
+    if not snap.position_deletes and not snap.equality_deletes:
+        return spark.read.schema(snap.schema).parquet(*paths)
+    # v2 delete application.  POSITION deletes: delete rows key
+    # (metadata-recorded file_path URI, row position); translate the
+    # URIs onto the local file URIs the scan's _metadata.file_path
+    # column reports (one tiny mapping row per kept data file), then
+    # anti-join on (file, pos).  EQUALITY deletes: data files group
+    # by their data sequence number; each delete anti-joins
+    # (null-safe, the spec's equality semantics) ONLY onto groups
+    # with a strictly smaller sequence — rows written after the
+    # delete survive.  All joins run distributed; AQE broadcasts
+    # small delete sides (the common shape) and falls back to a
+    # shuffle join for huge delete sets, which is exactly the
+    # degradation a 100 TB read wants.
     out_cols = [f.name for f in snap.schema.fields]
-    mapping = spark.createDataFrame(
-        [
-            # _metadata.file_path is the Hadoop URI form (file:/path,
-            # one slash), not RFC 8089's file:///path
-            (snap.file_uris.get(p, p), f"file:{Path(p).resolve()}")
-            for p in paths
-        ],
-        "file_path string, __pd_file string",
-    )
-    dels = (
-        spark.read.parquet(*snap.position_deletes)
-        .select("file_path", "pos")
-        .join(F.broadcast(mapping), "file_path")
-        .select(
-            F.col("__pd_file"),
-            F.col("pos").alias("__pd_pos"),
+    pd_dels = None
+    if snap.position_deletes:
+        mapping = spark.createDataFrame(
+            [
+                # _metadata.file_path is the Hadoop URI form
+                # (file:/path, one slash), not RFC 8089's file:///path
+                (snap.file_uris.get(p, p), f"file:{Path(p).resolve()}")
+                for p in paths
+            ],
+            "file_path string, __pd_file string",
         )
-    )
-    return (
-        scan.withColumn("__pd_file", F.col("_metadata.file_path"))
-        .withColumn("__pd_pos", F.col("_metadata.row_index"))
-        .join(dels, ["__pd_file", "__pd_pos"], "left_anti")
-        .select(*out_cols)
-    )
+        pd_dels = (
+            spark.read.parquet(*snap.position_deletes)
+            .select("file_path", "pos")
+            .join(F.broadcast(mapping), "file_path")
+            .select(
+                F.col("__pd_file"),
+                F.col("pos").alias("__pd_pos"),
+            )
+        )
+    groups: dict[int, list[str]] = {}
+    for p in paths:
+        groups.setdefault(int(snap.file_seqs.get(p, 0)), []).append(p)
+    pieces: list[DataFrame] = []
+    for fseq, ps in sorted(groups.items()):
+        df = spark.read.schema(snap.schema).parquet(*ps)
+        if pd_dels is not None:
+            df = (
+                df.withColumn("__pd_file", F.col("_metadata.file_path"))
+                .withColumn("__pd_pos", F.col("_metadata.row_index"))
+                .join(pd_dels, ["__pd_file", "__pd_pos"], "left_anti")
+                .select(*out_cols)
+            )
+        for dpath, cols, dseq in snap.equality_deletes:
+            if dseq <= fseq:
+                continue  # the delete predates this file's rows
+            dd = (
+                spark.read.parquet(dpath)
+                .select(*cols)
+                .dropDuplicates()
+                .alias("__eqdel")
+            )
+            sc = df.alias("__eqdata")
+            cond = None
+            for c in cols:
+                term = F.col(f"__eqdata.{c}").eqNullSafe(
+                    F.col(f"__eqdel.{c}")
+                )
+                cond = term if cond is None else (cond & term)
+            df = sc.join(dd, cond, "left_anti")
+        pieces.append(df.select(*out_cols))
+    result = pieces[0]
+    for df in pieces[1:]:
+        result = result.unionByName(df)
+    return result
 
 
 # ------------------------------------------------------------- export

@@ -263,3 +263,21 @@ def test_checkpoint_and_stream_refuse_dv_tables(spark, tmp_path):
     with pytest.raises(Exception, match="deletion vector"):
         q.awaitTermination(120)
         q.stop()
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=64).filter(lambda b: len(b) % 4 == 0))
+def test_z85_round_trip_fuzz(data):
+    assert z85_decode(z85_encode(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=100_000), max_size=200),
+    st.sampled_from(["", "ab", "x/y"]),
+)
+def test_dv_descriptor_round_trip_fuzz(tmp_path_factory, idx, prefix):
+    d = tmp_path_factory.mktemp("dvfuzz")
+    desc = write_dv_file(d, idx, prefix=prefix)
+    assert deleted_row_indexes(d, desc) == sorted(idx)
+    assert deleted_row_indexes(d, inline_dv_descriptor(idx)) == sorted(idx)

@@ -281,9 +281,11 @@ def test_loud_guards_on_synthesized_tables(spark, tmp_path):
     _synthesize_v2(spark, t2, plant_delete_file=True)
     with pytest.raises(NotImplementedError, match="DATA manifest"):
         read_iceberg(spark, t2)
+    # an equality delete WITHOUT a sequence number cannot be scoped
+    # to the data it predates: loud, not silently matching nothing
     t4 = tmp_path / "eqdelete"
     _synthesize_v2(spark, t4, plant_equality_delete=True)
-    with pytest.raises(NotImplementedError, match="equality delete"):
+    with pytest.raises(ValueError, match="sequence number"):
         read_iceberg(spark, t4)
     t3 = tmp_path / "v3"
     _synthesize_v2(spark, t3, fmt_version=3)
@@ -732,3 +734,166 @@ def test_remove_orphan_files(spark, tmp_path):
     assert _rows(read_iceberg(spark, table)) == set(ROWS_V0)
     with pytest.raises(ValueError, match="retention_hours"):
         remove_orphan_iceberg_files(spark, table, retention_hours=-1)
+
+
+def test_equality_deletes_scoped_by_sequence(spark, tmp_path):
+    """v2 equality deletes: a delete file of equality_ids columns
+    removes MATCHING rows only from data files with a strictly
+    smaller data sequence number — rows written after the delete
+    survive, null-safe matching applies, and unscoped (sequence-less)
+    deletes raise (covered in the loud-guards test)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = tmp_path / "eq"
+    md = table / "metadata"
+    md.mkdir(parents=True)
+    (table / "data").mkdir(parents=True)
+
+    def data_file(name, rows):
+        p = table / "data" / name
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(p) + ".tmp")
+        next(Path(str(p) + ".tmp").glob("*.parquet")).rename(p)
+        import shutil
+
+        shutil.rmtree(str(p) + ".tmp")
+        return p
+
+    old = data_file(
+        "old.parquet",
+        [(0, "a", "en"), (1, "b", "de"), (2, "c", None)],
+    )
+    new = data_file("new.parquet", [(3, "d", "en"), (4, "e", None)])
+    # the equality delete file: lang column only (field id 3),
+    # deleting 'en' AND the null lang
+    eq = table / "data" / "eq-del.parquet"
+    pq.write_table(
+        pa.table({"lang": pa.array(["en", None], type=pa.string())}), eq
+    )
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition",
+                         "type": {"type": "record", "name": "r102",
+                                  "fields": []}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": "equality_ids",
+                         "type": ["null", {"type": "array",
+                                           "items": "int"}],
+                         "default": None},
+                    ],
+                },
+            },
+        ],
+    }
+
+    def entry(p, content=0, seq=None, eq_ids=None):
+        return {
+            "status": 1,
+            "sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": f"file://{p}",
+                "file_format": "parquet",
+                "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": p.stat().st_size,
+                "equality_ids": eq_ids,
+            },
+        }
+
+    write_avro_file(md / "m-old.avro", entry_schema, [entry(old)])
+    write_avro_file(md / "m-new.avro", entry_schema, [entry(new)])
+    write_avro_file(
+        md / "m-del.avro", entry_schema,
+        [entry(eq, content=2, eq_ids=[3])],
+    )
+    ml_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+        ],
+    }
+
+    def ml_entry(name, content, seq):
+        return {
+            "manifest_path": str(md / name),
+            "manifest_length": (md / name).stat().st_size,
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+        }
+
+    write_avro_file(
+        md / "snap-1-ml.avro",
+        ml_schema,
+        [
+            ml_entry("m-old.avro", 0, 1),  # data written BEFORE the delete
+            ml_entry("m-del.avro", 1, 2),  # the equality delete
+            ml_entry("m-new.avro", 0, 3),  # data written AFTER it
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "eq-tbl",
+        "location": str(table),
+        "last-updated-ms": 1,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "doc_id", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "text", "required": False,
+                     "type": "string"},
+                    {"id": 3, "name": "lang", "required": False,
+                     "type": "string"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 77,
+        "snapshots": [
+            {"snapshot-id": 77, "timestamp-ms": 1,
+             "summary": {"operation": "overwrite"},
+             "manifest-list": str(md / "snap-1-ml.avro")},
+        ],
+    }
+    (md / "v1.metadata.json").write_text(json.dumps(meta))
+    (md / "version-hint.text").write_text("1")
+
+    got = read_iceberg(spark, table)
+    # old 'en' and old NULL-lang rows die (null-safe match); old 'de'
+    # survives; BOTH new rows survive despite matching the predicate
+    assert _rows(got) == {
+        (1, "b", "de"),
+        (3, "d", "en"),
+        (4, "e", None),
+    }
