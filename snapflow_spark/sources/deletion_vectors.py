@@ -285,6 +285,33 @@ def _dv_sidecar_path(table_root: Path, path_or_inline: str) -> Path:
     return table_root / prefix / name if prefix else table_root / name
 
 
+def _absolute_dv_path(path_or_uri: str) -> "Path":
+    """storageType ``p`` records an absolute path AS A URI in real
+    Delta logs (``file:///...``, ``s3://...``), though bare paths
+    also appear.  Resolve file: URIs (any slash count) to local
+    paths; refuse remote schemes loudly rather than opening a
+    nonsense local path."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" in path_or_uri or path_or_uri.startswith("file:"):
+        u = urlparse(path_or_uri)
+        if u.scheme and u.scheme != "file":
+            raise NotImplementedError(
+                f"deletion vector: absolute-path DV with remote "
+                f"scheme {u.scheme!r} ({path_or_uri!r}); only local "
+                "file: URIs and bare paths are readable here"
+            )
+        # file:/p, file://host/p (host must be empty/localhost),
+        # file:///p all normalize to the path component
+        if u.netloc not in ("", "localhost"):
+            raise NotImplementedError(
+                f"deletion vector: file URI with remote authority "
+                f"{u.netloc!r}"
+            )
+        return Path(unquote(u.path))
+    return Path(path_or_uri)
+
+
 def deleted_row_indexes(
     table_root: str | os.PathLike, descriptor: dict
 ) -> list[int]:
@@ -301,7 +328,7 @@ def deleted_row_indexes(
         p = (
             _dv_sidecar_path(table, descriptor["pathOrInlineDv"])
             if st == "u"
-            else Path(descriptor["pathOrInlineDv"])
+            else _absolute_dv_path(descriptor["pathOrInlineDv"])
         )
         blob = p.read_bytes()
         off = descriptor.get("offset")

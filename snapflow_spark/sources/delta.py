@@ -88,7 +88,6 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from snapflow_spark.sources.deletion_vectors import deleted_row_indexes
 
 __all__ = [
     "DeltaSnapshot",
@@ -137,6 +136,16 @@ class DeltaSnapshot:
     #: appId -> highest committed txn version (the protocol's
     #: SetTransaction action — idempotent streaming writes key on it)
     txns: dict = field(default_factory=dict)
+
+
+def hadoop_file_uri(p: str | os.PathLike) -> str:
+    """The URI Spark's ``_metadata.file_path`` column reports for a
+    local file: Hadoop's Path.toString form — ``file:/path`` (single
+    slash), percent-encoded the way java.net.URI encodes a path
+    component (space -> %20, %% -> %25; ``+`` and the RFC 2396 mark
+    characters stay literal).  Join keys against the metadata column
+    MUST go through this, or files with spaces silently drop rows."""
+    return "file:" + quote(str(Path(p).resolve()), safe="/:@&=+$,-_.!~*'()")
 
 
 def _log_path(table_path: str | os.PathLike) -> Path:
@@ -434,10 +443,17 @@ def read_delta(
     ``add.stats`` min/max prove the column disjoint from [lo, hi]
     (either bound may be None = unbounded); files WITHOUT stats are
     always kept — skipping is an optimization, never a filter, so
-    callers still apply the real predicate on the result.  Files
-    group by partition tuple; each group is one parquet relation with
-    its partition columns re-attached as typed literals, so data
-    predicates and column pruning still push into every scan."""
+    callers still apply the real predicate on the result.
+
+    Plan shape is FILE-COUNT-INDEPENDENT: all kept files scan as ONE
+    parquet relation; partition columns re-attach through a broadcast
+    (file_path -> partitionValues) mapping join keyed on
+    ``_metadata.file_path`` (one tiny mapping row per kept file);
+    every deletion vector applies through ONE distributed
+    (file_path, row_index) anti-join whose delete side is expanded
+    EXECUTOR-side from the O(deleted)-sized descriptors — no
+    per-partition-group relations, no per-file broadcasts, and AQE
+    picks broadcast vs shuffle for the DV anti-join by actual size."""
     snap = delta_snapshot(
         spark, path, version=version, timestamp_ms=timestamp_ms
     )
@@ -506,63 +522,111 @@ def read_delta(
     data_schema = StructType(
         [StructField(P(f.name), f.dataType, f.nullable) for f in data_fields]
     )
-    groups: dict[tuple, list[tuple[str, str]]] = {}
+    kept: list[tuple[str, str, dict]] = []  # (rel, abs path, pv)
     for rel, pv, _sz, st in snap.files:
         if keep(pv) and stats_keep(st):
-            key = tuple(pv.get(P(c)) for c in snap.partition_columns)
-            groups.setdefault(key, []).append(
-                (rel, str(Path(snap.path) / rel))
-            )
+            kept.append((rel, str(Path(snap.path) / rel), pv))
 
     out_cols = [f.name for f in snap.schema.fields]
-    if not groups:
+    if not kept:
         return spark.createDataFrame([], snap.schema)
-    parts = []
-    for key, entries in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        # files WITHOUT a deletion vector scan together as one
-        # relation; each DV'd file scans with its parquet-native
-        # _metadata.row_index and anti-joins its (broadcast) deleted
-        # index set — row-level deletes applied distributed, the
-        # bitmap itself decoded driver-side from O(deleted) metadata
-        # (the same per-file bitmaps delta-spark ships to scan tasks)
-        clean = [p for rel, p in entries if rel not in snap.dvs]
-        sub = []
-        if clean:
-            sub.append(spark.read.schema(data_schema).parquet(*clean))
-        for rel, p in entries:
-            if rel not in snap.dvs:
-                continue
-            idx = deleted_row_indexes(snap.path, snap.dvs[rel])
-            df = spark.read.schema(data_schema).parquet(p)
-            if idx:
-                deleted = spark.createDataFrame(
-                    pd.DataFrame({"__dv_row_idx": pd.array(idx, dtype="int64")})
+
+    _uri = hadoop_file_uri
+
+    dv_entries = [
+        (rel, p) for rel, p, _pv in kept if rel in snap.dvs
+    ]
+    for rel, _p in dv_entries:
+        # plan-time guard: an unknown storage type refuses BEFORE any
+        # scan is scheduled (the executor-side decode re-validates
+        # framing/CRC/cardinality; this keeps the refusal eager)
+        st_ = snap.dvs[rel].get("storageType")
+        if st_ not in ("i", "u", "p"):
+            raise NotImplementedError(
+                f"deletion vector storageType {st_!r} (i/u/p are the "
+                "spec)"
+            )
+    need_key = bool(snap.partition_columns) or bool(dv_entries)
+
+    df = spark.read.schema(data_schema).parquet(*[p for _r, p, _pv in kept])
+    sel = [F.col(P(f.name)).alias(f.name) for f in data_fields]
+    if need_key:
+        sel.append(F.col("_metadata.file_path").alias("__df_file"))
+    if dv_entries:
+        sel.append(F.col("_metadata.row_index").alias("__df_pos"))
+    df = df.select(*sel)
+
+    if dv_entries:
+        # ONE anti-join for ALL deletion vectors: the delete side is
+        # (file uri, row index) pairs expanded EXECUTOR-side from the
+        # O(#DV'd files) descriptor rows — the driver never holds the
+        # decoded indexes, and AQE broadcasts or shuffles the delete
+        # side by its actual size (a 50%-deleted big table degrades
+        # to a shuffled anti-join instead of an OOM broadcast).
+        root = snap.path
+        dv_src = spark.createDataFrame(
+            [(_uri(p), json.dumps(snap.dvs[rel])) for rel, p in dv_entries],
+            "__dv_file string, __dv_desc string",
+        )
+
+        def expand(batches):
+            from snapflow_spark.sources.deletion_vectors import (
+                deleted_row_indexes as _dri,
+            )
+
+            for b in batches:
+                for furi, desc in zip(b["__dv_file"], b["__dv_desc"]):
+                    idx = _dri(root, json.loads(desc))
+                    for i in range(0, len(idx), 1 << 20):
+                        chunk = idx[i : i + (1 << 20)]
+                        yield pd.DataFrame(
+                            {
+                                "__dv_file": furi,
+                                "__dv_pos": pd.array(chunk, dtype="int64"),
+                            }
+                        )
+
+        n = min(
+            len(dv_entries), spark.sparkContext.defaultParallelism
+        )
+        dv_df = (
+            dv_src.repartition(n)
+            .mapInPandas(expand, "__dv_file string, __dv_pos long")
+        )
+        df = df.join(
+            dv_df,
+            (df["__df_file"] == dv_df["__dv_file"])
+            & (df["__df_pos"] == dv_df["__dv_pos"]),
+            "left_anti",
+        )
+
+    if snap.partition_columns:
+        # partition values re-attach via a broadcast mapping join —
+        # one KB-scale row per kept file, built from log metadata —
+        # instead of per-partition-group literal relations, so the
+        # relation count stays 1 regardless of #partitions
+        pv_cols = ", ".join(
+            f"__pv_{i} string" for i in range(len(snap.partition_columns))
+        )
+        mapping = spark.createDataFrame(
+            [
+                tuple(
+                    [_uri(p)]
+                    + [pv.get(P(c)) for c in snap.partition_columns]
                 )
-                df = (
-                    df.withColumn(
-                        "__dv_row_idx", F.col("_metadata.row_index")
-                    )
-                    .join(F.broadcast(deleted), "__dv_row_idx", "left_anti")
-                    .drop("__dv_row_idx")
-                )
-            sub.append(df)
-        for df in sub:
-            if phys:  # physical parquet names -> logical columns
-                df = df.select(
-                    *[
-                        F.col(P(f.name)).alias(f.name)
-                        for f in data_fields
-                    ]
-                )
-            for c, raw in zip(snap.partition_columns, key):
-                df = df.withColumn(
-                    c, F.lit(raw).cast(fields[c].dataType)
-                )
-            parts.append(df.select(*out_cols))
-    result = parts[0]
-    for df in parts[1:]:
-        result = result.unionByName(df)
-    return result
+                for _rel, p, pv in kept
+            ],
+            f"__pv_file string, {pv_cols}",
+        )
+        df = df.join(
+            F.broadcast(mapping),
+            df["__df_file"] == mapping["__pv_file"],
+        )
+        for i, c in enumerate(snap.partition_columns):
+            df = df.withColumn(
+                c, F.col(f"__pv_{i}").cast(fields[c].dataType)
+            )
+    return df.select(*out_cols)
 
 
 def _file_stats(p: Path) -> dict | None:

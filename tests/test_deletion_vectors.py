@@ -281,3 +281,96 @@ def test_dv_descriptor_round_trip_fuzz(tmp_path_factory, idx, prefix):
     desc = write_dv_file(d, idx, prefix=prefix)
     assert deleted_row_indexes(d, desc) == sorted(idx)
     assert deleted_row_indexes(d, inline_dv_descriptor(idx)) == sorted(idx)
+
+
+def test_read_delta_plan_is_file_count_independent(spark, tmp_path):
+    """The scan plan must contain exactly ONE parquet relation no
+    matter how many partitions, files, or deletion vectors the
+    snapshot holds — partition values attach via a broadcast mapping
+    join and ALL DVs apply as one distributed anti-join (the 100 TB
+    shape: plan size must not grow with the file count)."""
+    from pyspark.sql import functions as F
+    from snapflow_spark.sources.delta import read_delta, write_delta
+
+    table = tmp_path / "tbl"
+    df = spark.createDataFrame(
+        [(i, f"t{i}", f"p{i % 5}") for i in range(50)],
+        "doc_id bigint, text string, lang string",
+    )
+    write_delta(
+        df.repartition(2, "doc_id"), table, partition_by=["lang"]
+    )  # 5 partitions x up to 2 files each
+    # DV two files in different partitions via an external-writer
+    # commit: delete the first row of each chosen file
+    log = table / "_delta_log"
+    adds = [
+        json.loads(ln)["add"]
+        for ln in (log / f"{0:020d}.json").read_text().splitlines()
+        if '"add"' in ln
+    ]
+    assert len(adds) >= 4, "fixture needs several files"
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+    ]
+    victims = [adds[0], adds[-1]]
+    for a in victims:
+        actions.append(
+            {"add": {**a, "deletionVector": write_dv_file(table, [0])}}
+        )
+    (log / f"{1:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+
+    got = read_delta(spark, table)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    # correctness: exactly one row per DV'd file is gone
+    assert got.count() == 50 - 2
+    # and partition values survive the mapping join, typed
+    assert got.where(F.col("lang") == "p3").count() in (9, 10)
+    total = sum(
+        got.where(F.col("lang") == f"p{i}").count() for i in range(5)
+    )
+    assert total == 48
+
+
+def test_absolute_dv_path_uri_forms(tmp_path):
+    """storageType 'p' descriptors in real logs carry file:// URIs,
+    not bare paths — all slash-count forms resolve; remote schemes
+    refuse loudly."""
+    from snapflow_spark.sources.deletion_vectors import _absolute_dv_path
+
+    p = tmp_path / "dv dir" / "v.bin"
+    for uri in (
+        str(p),
+        f"file:{p}",
+        f"file://{p}",
+        f"file://localhost{p}",
+        "file://" + str(p).replace(" ", "%20"),
+    ):
+        assert _absolute_dv_path(uri) == p, uri
+    with pytest.raises(NotImplementedError, match="s3"):
+        _absolute_dv_path("s3://bucket/dv.bin")
+    with pytest.raises(NotImplementedError, match="authority"):
+        _absolute_dv_path("file://nas01/dv.bin")
+
+
+def test_read_delta_applies_file_uri_dv(spark, tmp_path):
+    """End-to-end: a 'p' descriptor whose pathOrInlineDv is a
+    file:/// URI (the protocol's recorded form) still applies."""
+    from snapflow_spark.sources.delta import read_delta
+
+    table = tmp_path / "tbl"
+
+    def as_uri(t, idx):
+        d = write_dv_file(t, idx)
+        u = uuid.UUID(bytes=z85_decode(d["pathOrInlineDv"][-20:]))
+        return {**d, "storageType": "p",
+                "pathOrInlineDv": (t / f"deletion_vector_{u}.bin").as_uri()}
+
+    _external_dv_table(spark, table, as_uri)
+    assert {r.doc_id for r in read_delta(spark, table).collect()} == {
+        0, 2, 4, 5, 6, 8, 9
+    }
