@@ -63,6 +63,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from snapflow_spark.sources.delta import hadoop_file_uri
 from snapflow_spark.functions.avro_codec import (
     read_avro_file,
     write_avro_file,
@@ -80,6 +81,7 @@ __all__ = [
     "write_iceberg",
 ]
 
+_STATUS_ADDED = 1
 _STATUS_DELETED = 2
 
 _PRIMITIVES = {
@@ -569,8 +571,9 @@ def read_iceberg(
         mapping = spark.createDataFrame(
             [
                 # _metadata.file_path is the Hadoop URI form
-                # (file:/path, one slash), not RFC 8089's file:///path
-                (snap.file_uris.get(p, p), f"file:{Path(p).resolve()}")
+                # (file:/path single slash, %-encoded) — go through
+                # the shared helper or files with spaces drop rows
+                (snap.file_uris.get(p, p), hadoop_file_uri(p))
                 for p in paths
             ],
             "file_path string, __pd_file string",
@@ -1154,7 +1157,12 @@ class IcebergStreamReader(DataSourceStreamReader):
                 mpath = _localize(m["manifest_path"], location, self.table)
                 _, entries = read_avro_file(mpath)
                 for e in entries:
-                    if int(e.get("status") or 0) == _STATUS_DELETED:
+                    # stream ONLY status ADDED entries: manifest
+                    # compaction rewrites old files into new manifests
+                    # as status EXISTING (0) with the compacting
+                    # snapshot as added_snapshot_id — re-streaming
+                    # those would duplicate every compacted row
+                    if int(e.get("status") or 0) != _STATUS_ADDED:
                         continue
                     rec = e["data_file"]
                     if int(rec.get("content") or 0) != 0:
@@ -1225,10 +1233,17 @@ def _snapshot_file_refs(
     else:
         ml = _localize(snap["manifest-list"], location, table)
         meta_files.add(ml)
+        if not Path(ml).exists():
+            # an interrupted earlier expire may have deleted this
+            # snapshot's files after publishing pruned metadata that
+            # no longer lists it — nothing left to walk
+            return meta_files, data_files
         _, manifests = read_avro_file(ml)
     for m in manifests:
         mpath = _localize(m["manifest_path"], location, table)
         meta_files.add(mpath)
+        if not Path(mpath).exists():
+            continue
         _, entries = read_avro_file(mpath)
         for e in entries:
             rec = e.get("data_file") or {}
@@ -1303,8 +1318,13 @@ def expire_iceberg_snapshots(
     )
     if dry_run:
         return out
-    for p in doomed:
-        Path(p).unlink(missing_ok=True)
+    # crash-safety ordering: PUBLISH the pruned metadata (and hint)
+    # FIRST, then delete the now-unreferenced files — a crash in
+    # between leaves harmless orphan files, never published metadata
+    # listing snapshots whose manifests are already gone (readers and
+    # later maintenance passes walking all listed snapshots would
+    # fail on those; _snapshot_file_refs also tolerates a half-done
+    # earlier pass by skipping missing manifests)
     meta["snapshots"] = keep
     hint = int(
         (table / "metadata" / "version-hint.text").read_text().strip()
@@ -1313,6 +1333,8 @@ def expire_iceberg_snapshots(
     with open(new_meta, "x", encoding="utf-8") as fh:
         fh.write(json.dumps(meta, indent=1))
     (table / "metadata" / "version-hint.text").write_text(str(hint + 1))
+    for p in doomed:
+        Path(p).unlink(missing_ok=True)
     return out
 
 

@@ -897,3 +897,146 @@ def test_equality_deletes_scoped_by_sequence(spark, tmp_path):
         (3, "d", "en"),
         (4, "e", None),
     }
+
+
+def test_stream_skips_compaction_existing_entries(spark, tmp_path):
+    """Manifest compaction (Iceberg's ManifestMergeManager during a
+    plain append) rewrites old files into a NEW manifest as status
+    EXISTING(0) entries with added_snapshot_id = the compacting
+    snapshot.  The stream must replay ONLY status ADDED(1) entries or
+    every compacted row duplicates."""
+    from snapflow_spark.functions.avro_codec import read_avro_file
+    from snapflow_spark.sources.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+        _localize,
+    )
+
+    table = tmp_path / "tbl"
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    write_iceberg(_df(spark, ROWS_V0), table)
+    _run_ice_stream_once(spark, table, out, ckpt)
+    assert _rows(spark.read.parquet(str(out))) == set(ROWS_V0)
+
+    md = table / "metadata"
+    meta = json.loads(
+        (md / f"v{(md / 'version-hint.text').read_text().strip()}.metadata.json").read_text()
+    )
+    location = meta["location"]
+    # stage one new data file
+    stage = tmp_path / "stage"
+    _df(spark, ROWS_V1).coalesce(1).write.parquet(str(stage))
+    part = next(stage.glob("*.parquet"))
+    new_rel = "data/compacted-new.parquet"
+    (table / "data").mkdir(exist_ok=True)
+    dest = table / new_rel
+    part.rename(dest)
+    # old entries -> EXISTING in the new merged manifest
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, old_manifests = read_avro_file(
+        _localize(cur["manifest-list"], location, table)
+    )
+    old_entries = []
+    for m in old_manifests:
+        _, es = read_avro_file(
+            _localize(m["manifest_path"], location, table)
+        )
+        old_entries.extend(es)
+    sid = 990001
+    merged = [
+        {**e, "status": 0, "snapshot_id": sid} for e in old_entries
+    ] + [
+        {
+            "status": 1,
+            "snapshot_id": sid,
+            "data_file": {
+                "file_path": f"{location}/{new_rel}",
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(ROWS_V1),
+                "file_size_in_bytes": dest.stat().st_size,
+                "block_size_in_bytes": 67108864,
+            },
+        }
+    ]
+    mname = "manifest-merged.avro"
+    write_avro_file(
+        md / mname, _MANIFEST_ENTRY_SCHEMA, merged,
+        extra_metadata={
+            "schema": json.dumps(meta["schema"], separators=(",", ":")),
+            "schema-id": "0",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "1",
+            "content": "data",
+        },
+    )
+    ml_name = f"snap-{sid}-manifest-list.avro"
+    write_avro_file(
+        md / ml_name, _MANIFEST_FILE_SCHEMA,
+        [{
+            "manifest_path": f"{location}/metadata/{mname}",
+            "manifest_length": (md / mname).stat().st_size,
+            "partition_spec_id": 0,
+            "added_snapshot_id": sid,
+        }],
+        extra_metadata={
+            "snapshot-id": str(sid),
+            "parent-snapshot-id": str(meta["current-snapshot-id"]),
+            "format-version": "1",
+        },
+    )
+    meta["snapshots"].append({
+        "snapshot-id": sid,
+        "timestamp-ms": 1700000000000,
+        "summary": {"operation": "append"},
+        "manifest-list": f"{location}/metadata/{ml_name}",
+    })
+    meta["current-snapshot-id"] = sid
+    hint = int((md / "version-hint.text").read_text().strip())
+    (md / f"v{hint + 1}.metadata.json").write_text(json.dumps(meta))
+    (md / "version-hint.text").write_text(str(hint + 1))
+
+    # batch reader sees everything exactly once
+    assert _rows(read_iceberg(spark, table)) == set(ROWS_V0) | set(ROWS_V1)
+    # the restarted stream appends ONLY the ADDED file's rows
+    _run_ice_stream_once(spark, table, out, ckpt)
+    got = spark.read.parquet(str(out))
+    assert _rows(got) == set(ROWS_V0) | set(ROWS_V1)
+    assert got.count() == len(ROWS_V0) + len(ROWS_V1)
+
+
+def test_expire_tolerates_interrupted_prior_pass(spark, tmp_path):
+    """Crash-safety: expire publishes pruned metadata BEFORE deleting
+    files, and a later pass tolerates manifests a half-done earlier
+    pass already removed instead of failing the walk."""
+    from snapflow_spark.functions.avro_codec import read_avro_file
+    from snapflow_spark.sources.iceberg import (
+        _localize,
+        expire_iceberg_snapshots,
+    )
+
+    table = tmp_path / "tbl"
+    write_iceberg(_df(spark, ROWS_V0), table)
+    write_iceberg(_df(spark, ROWS_V1), table, mode="overwrite")
+    write_iceberg(_df(spark, ROWS_V0), table, mode="overwrite")
+    md = table / "metadata"
+    meta = json.loads(
+        (md / f"v{(md / 'version-hint.text').read_text().strip()}.metadata.json").read_text()
+    )
+    # simulate an interrupted earlier expire: the OLDEST snapshot's
+    # manifest-list is gone but it is still listed in metadata
+    oldest = meta["snapshots"][0]
+    Path(_localize(oldest["manifest-list"], meta["location"], table)).unlink()
+    gone = expire_iceberg_snapshots(spark, table, keep_last=1)
+    assert gone  # the second snapshot's files reclaimed
+    # current snapshot still reads
+    assert _rows(read_iceberg(spark, table)) == set(ROWS_V0)
+    # metadata no longer lists expired snapshots
+    meta2 = json.loads(
+        (md / f"v{(md / 'version-hint.text').read_text().strip()}.metadata.json").read_text()
+    )
+    assert len(meta2["snapshots"]) == 1
