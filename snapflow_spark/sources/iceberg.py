@@ -64,6 +64,7 @@ from pyspark.sql.datasource import (
 )
 
 from snapflow_spark.sources.delta import hadoop_file_uri
+from snapflow_spark.sources.iceberg_transforms import apply_transform
 from snapflow_spark.functions.avro_codec import (
     read_avro_file,
     write_avro_file,
@@ -267,18 +268,21 @@ def _schema_from_metadata(meta: dict) -> T.StructType:
     return _spark_type(meta["schema"])
 
 
-def _default_spec(meta: dict) -> list[tuple[str, str]]:
+def _default_spec_raw(meta: dict) -> list[dict]:
+    """The default partition spec's raw field dicts (name, transform,
+    source-id, field-id)."""
     specs = meta.get("partition-specs")
     if specs is not None:
         sid = meta.get("default-spec-id", 0)
         for s in specs:
             if s.get("spec-id", 0) == sid:
-                return [(f["name"], f["transform"]) for f in s["fields"]]
+                return list(s["fields"])
         raise ValueError(f"read_iceberg: default-spec-id {sid} not found")
-    return [
-        (f["name"], f["transform"])
-        for f in meta.get("partition-spec", [])
-    ]
+    return list(meta.get("partition-spec", []))
+
+
+def _default_spec(meta: dict) -> list[tuple[str, str]]:
+    return [(f["name"], f["transform"]) for f in _default_spec_raw(meta)]
 
 
 def iceberg_snapshot(
@@ -502,9 +506,18 @@ def read_iceberg(
     ``as_of_ms=`` time-travels by time (the newest snapshot whose
     ``timestamp-ms`` is at or before the probe);
     ``partition_filter={field: value}`` prunes the FILE LIST against
-    the manifests' partition values — only identity-transform fields
-    qualify (a bucket/truncate/day transform would need the transform
-    applied to the probe value; naming one raises).
+    the manifests' partition values.  The key may be the partition
+    FIELD name (``ts_day``) or the SOURCE column name (``ts``); the
+    probe value runs through the spec transform the writer used —
+    identity, ``bucket[N]`` (spec Appendix B murmur3 hashing),
+    ``truncate[W]``, ``year``/``month``/``day``/``hour`` — and files
+    whose stored partition value differs are dropped.  For identity
+    specs this is exact; for the others it is a PRUNE: kept files
+    still hold other rows from the same bucket/window, so callers
+    apply the real predicate on the result (the min_max_filter
+    contract).  Temporal probes accept date/datetime, ISO strings, or
+    the internal int forms.  Unknown transforms (``void``, future
+    spec additions) raise.
     ``min_max_filter={col: (lo, hi)}`` prunes on the manifests'
     lower/upper_bounds (the spec's single-value binary serialization,
     decoded for int/long/float/double/string): a file is dropped only
@@ -514,23 +527,57 @@ def read_iceberg(
     snap = iceberg_snapshot(
         spark, path, snapshot_id=snapshot_id, as_of_ms=as_of_ms
     )
+    expected: dict = {}  # partition-field name -> transformed probe
     if partition_filter:
-        by_name = dict(snap.partition_fields)
-        for k in partition_filter:
-            if k not in by_name:
+        spec_fields = _default_spec_raw(snap.metadata)
+        src_by_id = {
+            f["id"]: f for f in _raw_schema_fields(snap.metadata)
+        }
+        for k, probe in partition_filter.items():
+            match = [f for f in spec_fields if f["name"] == k]
+            if not match:
+                # fall back to the SOURCE column name (the natural
+                # key when the spec field is e.g. 'ts_day' over 'ts')
+                match = [
+                    f
+                    for f in spec_fields
+                    if (src_by_id.get(f.get("source-id")) or {}).get(
+                        "name"
+                    )
+                    == k
+                ]
+            if not match:
                 raise ValueError(
                     f"read_iceberg: partition_filter field {k!r} not in "
-                    f"the default spec {sorted(by_name)}"
+                    f"the default spec "
+                    f"{sorted(f['name'] for f in spec_fields)}"
                 )
-            if by_name[k] != "identity":
+            if len(match) > 1:
+                raise ValueError(
+                    f"read_iceberg: partition_filter key {k!r} matches "
+                    f"{len(match)} spec fields "
+                    f"{[f['name'] for f in match]} — name the partition "
+                    "field explicitly"
+                )
+            sf = match[0]
+            transform = sf["transform"]
+            if transform == "identity":
+                expected[sf["name"]] = probe
+                continue
+            src = src_by_id.get(sf.get("source-id"))
+            src_type = (src or {}).get("type")
+            if not isinstance(src_type, str):
                 raise NotImplementedError(
-                    f"read_iceberg: partition_filter on {k!r} needs the "
-                    f"{by_name[k]!r} transform applied; only identity "
-                    "fields prune directly"
+                    f"read_iceberg: partition_filter on {k!r}: source "
+                    f"field id {sf.get('source-id')} has non-primitive "
+                    f"type {src_type!r}"
                 )
+            expected[sf["name"]] = apply_transform(
+                transform, src_type, probe
+            )
 
     def keep(pv: dict) -> bool:
-        for k, want in (partition_filter or {}).items():
+        for k, want in expected.items():
             if pv.get(k) != want:
                 return False
         return True

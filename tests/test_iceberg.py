@@ -118,7 +118,10 @@ def _synthesize_v2(spark, table: Path, plant_delete_manifest=False,
                                 "fields": [
                                     {"name": "lang",
                                      "type": ["null", "string"],
-                                     "default": None}
+                                     "default": None},
+                                    {"name": "id_bucket",
+                                     "type": ["null", "int"],
+                                     "default": None},
                                 ],
                             },
                         },
@@ -130,23 +133,25 @@ def _synthesize_v2(spark, table: Path, plant_delete_manifest=False,
         ],
     }
 
-    def entry(lang, p, status=1, content=0):
+    def entry(lang, p, status=1, content=0, id_bucket=None):
         return {
             "status": status,
             "data_file": {
                 "content": content,
                 "file_path": f"file://{p}",  # exercise the scheme strip
                 "file_format": "parquet",
-                "partition": {"lang": lang},
+                "partition": {"lang": lang, "id_bucket": id_bucket},
                 "record_count": 1,
                 "file_size_in_bytes": p.stat().st_size,
             },
         }
 
+    # true bucket[4] values of each file's doc_ids (spec murmur3:
+    # ids 0,1,2 all land in bucket 0; id 3 lands in bucket 3)
     entries = [
-        entry("en", files[0][1]),
-        entry("de", files[1][1]),
-        entry("fr", files[2][1], status=2),  # DELETED tombstone
+        entry("en", files[0][1], id_bucket=0),
+        entry("de", files[1][1], id_bucket=0),
+        entry("fr", files[2][1], status=2, id_bucket=3),  # DELETED
     ]
     if plant_delete_file:
         entries.append(entry("en", files[0][1], content=1))
@@ -263,9 +268,20 @@ def test_reader_against_hand_synthesized_v2(spark, tmp_path):
     en = read_iceberg(spark, table, partition_filter={"lang": "en"})
     assert _rows(en) == {(0, "a", "en"), (1, "b", "en")}
     assert all("part-en" in f for f in en.inputFiles())
-    # bucket-transform fields refuse to prune (transform not applied)
-    with pytest.raises(NotImplementedError, match="bucket"):
-        read_iceberg(spark, table, partition_filter={"id_bucket": 2})
+    # bucket-transform pruning: the probe runs through the spec's
+    # murmur3 bucket[4] (doc_ids 0..2 -> bucket 0, 3 -> bucket 3)
+    b0 = read_iceberg(spark, table, partition_filter={"id_bucket": 2})
+    assert _rows(b0) == {(0, "a", "en"), (1, "b", "en"), (2, "c", "de")}
+    assert len(b0.inputFiles()) == 2  # en + de files, fr pruned
+    # ... by the SOURCE column name too, and bucket 3 holds only the
+    # tombstoned fr file -> zero files survive the prune
+    b3 = read_iceberg(spark, table, partition_filter={"doc_id": 3})
+    assert b3.count() == 0
+    # prune composes with identity on the same spec
+    both = read_iceberg(
+        spark, table, partition_filter={"lang": "de", "id_bucket": 0}
+    )
+    assert _rows(both) == {(2, "c", "de")}
     with pytest.raises(ValueError, match="not in"):
         read_iceberg(spark, table, partition_filter={"nope": 1})
 
