@@ -1374,9 +1374,18 @@ def read_delta_cdf(
     deletes read back from the still-on-disk parquet (time travel
     keeps them until vacuum; a reclaimed file fails loudly at scan).
 
-    Loud scope: deletion vectors inside the range and column-mapped
-    tables raise; a schemaString change inside the range raises (one
-    output schema per call — split the range at the evolution)."""
+    Deletion-vector commits synthesize ROW-LEVEL changes: an add that
+    replaces a live file's DV emits 'delete' rows for the NEWLY
+    deleted indexes (new DV minus old DV) and 'insert' rows for any
+    resurrected ones; a fresh add carrying a DV inserts only its live
+    rows; a remove of a DV'd file emits deletes for its live rows
+    ONLY (the already-DV-deleted rows never resurface in the feed —
+    per-file DV state is tracked from version 0, including through
+    the pre-range replay).
+
+    Loud scope: column-mapped tables raise; a schemaString change
+    inside the range raises (one output schema per call — split the
+    range at the evolution)."""
     table = Path(path)
     log = _log_path(table)
     versions = _json_versions(log)
@@ -1411,15 +1420,48 @@ def read_delta_cdf(
 
     # replay from 0 so a remove can recover its file's partitionValues
     # even when the remove action omits them (they're optional there)
+    # — and its deletion-vector state, so a removed DV'd file's
+    # already-deleted rows never reappear as delete change rows
     pv_of: dict[str, dict] = {}
+    dv_of: dict[str, dict] = {}
     schema_str = None
     pieces: list[DataFrame] = []
 
-    def emit(rel: str, pv: dict, change_type, v: int, with_type_col: bool):
+    def _idx(desc: dict | None) -> set:
+        from snapflow_spark.sources.deletion_vectors import (
+            deleted_row_indexes,
+        )
+
+        return (
+            set(deleted_row_indexes(table, desc)) if desc else set()
+        )
+
+    def emit(
+        rel: str,
+        pv: dict,
+        change_type,
+        v: int,
+        with_type_col: bool,
+        include_idx: set | None = None,
+        exclude_idx: set | None = None,
+    ):
         p = str(table / rel)
         df = spark.read.schema(
             cdc_schema if with_type_col else data_schema
         ).parquet(p)
+        if include_idx is not None or exclude_idx:
+            idx = include_idx if include_idx is not None else exclude_idx
+            how = "semi" if include_idx is not None else "left_anti"
+            sel = spark.createDataFrame(
+                pd.DataFrame(
+                    {"__ri": pd.array(sorted(idx), dtype="int64")}
+                )
+            )
+            df = (
+                df.withColumn("__ri", F.col("_metadata.row_index"))
+                .join(F.broadcast(sel), "__ri", how)
+                .drop("__ri")
+            )
         if not with_type_col:
             df = df.withColumn("_change_type", F.lit(change_type))
         df = df.withColumn("_commit_version", F.lit(int(v)).cast("bigint"))
@@ -1438,6 +1480,10 @@ def read_delta_cdf(
         adds: list[dict] = []
         removes: list[dict] = []
         cdcs: list[dict] = []
+        added_rels: set[str] = set()  # re-adds beat same-commit removes
+        # state BEFORE this commit, for the DV pre/post image diff
+        prev_live = set(pv_of)
+        prev_dv = dict(dv_of)
         with open(p, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -1447,13 +1493,13 @@ def read_delta_cdf(
                 if "add" in action:
                     a = action["add"]
                     rel = unquote(a["path"])
+                    added_rels.add(rel)
                     pv_of[rel] = a.get("partitionValues") or {}
-                    if v >= start and a.get("deletionVector"):
-                        raise NotImplementedError(
-                            f"read_delta_cdf: commit {v} adds a "
-                            "deletion vector; row-level CDF for DV "
-                            "commits needs the pre/post image diff"
-                        )
+                    desc = a.get("deletionVector")
+                    if desc:
+                        dv_of[rel] = desc
+                    else:
+                        dv_of.pop(rel, None)
                     if a.get("dataChange", True):
                         adds.append(a)
                 elif "remove" in action:
@@ -1471,7 +1517,11 @@ def read_delta_cdf(
                     schema_str = s
         if v < start:
             for r in removes:
-                pv_of.pop(unquote(r["path"]), None)
+                rel = unquote(r["path"])
+                if rel in added_rels:
+                    continue  # same-commit re-add (DV update shape)
+                pv_of.pop(rel, None)
+                dv_of.pop(rel, None)
             continue
         if cdcs:  # authoritative: adds/removes are bookkeeping only
             for c in cdcs:
@@ -1483,23 +1533,65 @@ def read_delta_cdf(
                     with_type_col=True,
                 )
             for r in removes:
-                pv_of.pop(unquote(r["path"]), None)
+                rel = unquote(r["path"])
+                if rel in added_rels:
+                    continue
+                pv_of.pop(rel, None)
+                dv_of.pop(rel, None)
             continue
+        dv_handled: set[str] = set()
         for a in adds:
-            emit(
-                unquote(a["path"]),
-                a.get("partitionValues") or {},
-                "insert",
-                v,
-                with_type_col=False,
-            )
+            rel = unquote(a["path"])
+            pv = a.get("partitionValues") or {}
+            desc = a.get("deletionVector")
+            was_live = rel in prev_live
+            old_desc = prev_dv.get(rel) if was_live else None
+            if desc is None and old_desc is None:
+                # the plain shape: a new data file's rows are inserts
+                emit(rel, pv, "insert", v, with_type_col=False)
+                continue
+            new_idx, old_idx = _idx(desc), _idx(old_desc)
+            if not was_live:
+                # fresh file carrying a DV: only its live rows insert
+                emit(
+                    rel, pv, "insert", v, with_type_col=False,
+                    exclude_idx=new_idx,
+                )
+                continue
+            # in-place DV replacement (delta's DELETE/UPDATE shape:
+            # remove(old DV state) + add(new DV) of the SAME path):
+            # the change rows are the DV delta, and the paired remove
+            # is bookkeeping this diff already covers
+            dv_handled.add(rel)
+            newly_deleted = new_idx - old_idx
+            if newly_deleted:
+                emit(
+                    rel, pv, "delete", v, with_type_col=False,
+                    include_idx=newly_deleted,
+                )
+            resurrected = old_idx - new_idx
+            if resurrected:
+                emit(
+                    rel, pv, "insert", v, with_type_col=False,
+                    include_idx=resurrected,
+                )
         for r in removes:
             if not r.get("dataChange", True):
                 continue
             rel = unquote(r["path"])
+            if rel in dv_handled:
+                continue  # same-commit DV re-add emitted the diff
             pv = r.get("partitionValues") or pv_of.get(rel) or {}
-            emit(rel, pv, "delete", v, with_type_col=False)
-            pv_of.pop(rel, None)
+            # a removed DV'd file deletes only its LIVE rows — the
+            # DV-deleted ones left the table in earlier commits
+            old = prev_dv.get(rel)
+            emit(
+                rel, pv, "delete", v, with_type_col=False,
+                exclude_idx=_idx(old) or None,
+            )
+            if rel not in added_rels:
+                pv_of.pop(rel, None)
+                dv_of.pop(rel, None)
     if not pieces:
         empty_schema = StructType(
             list(snap.schema.fields)

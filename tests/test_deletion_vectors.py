@@ -374,3 +374,119 @@ def test_read_delta_applies_file_uri_dv(spark, tmp_path):
     assert {r.doc_id for r in read_delta(spark, table).collect()} == {
         0, 2, 4, 5, 6, 8, 9
     }
+
+
+def _changes(df):
+    return {
+        (r.doc_id, r._change_type, r._commit_version)
+        for r in df.collect()
+    }
+
+
+def test_cdf_over_dv_commits(spark, tmp_path):
+    """read_delta_cdf synthesizes ROW-LEVEL changes from deletion
+    vector commits: DV replacement emits only the DV delta (deletes
+    for newly-deleted indexes, inserts for resurrected ones), a
+    remove of a DV'd file deletes only its live rows, and the
+    pre-range replay tracks DV state so starting mid-history never
+    resurrects already-deleted rows."""
+    from snapflow_spark.sources.delta import read_delta_cdf, write_delta
+
+    table = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS).coalesce(1), table)  # v0: rows 0..9
+    log = table / "_delta_log"
+    add = json.loads(
+        [
+            ln
+            for ln in (log / f"{0:020d}.json").read_text().splitlines()
+            if '"add"' in ln
+        ][0]
+    )["add"]
+    proto = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}}
+
+    def dv_commit(v, idx, prev_desc):
+        # delta's DELETE shape: remove(old state) + add(same path,
+        # new DV), both dataChange
+        old = dict(add)
+        if prev_desc:
+            old["deletionVector"] = prev_desc
+        desc = write_dv_file(table, idx) if idx else None
+        new = {k: v_ for k, v_ in add.items() if k != "deletionVector"}
+        if desc:
+            new["deletionVector"] = desc
+        acts = [proto,
+                {"remove": {"path": old["path"], "dataChange": True}},
+                {"add": new}]
+        (log / f"{v:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in acts) + "\n"
+        )
+        return desc
+
+    d1 = dv_commit(1, [1, 3, 7], None)        # delete rows 1,3,7
+    d2 = dv_commit(2, [1, 3, 7, 9], d1)       # delete row 9
+    d3 = dv_commit(3, [1, 3], d2)             # resurrect rows 7,9
+    # v4: drop the file entirely
+    (log / f"{4:020d}.json").write_text(
+        json.dumps({"remove": {"path": add["path"], "dataChange": True}})
+        + "\n"
+    )
+
+    assert _changes(read_delta_cdf(spark, table, 1, 1)) == {
+        (1, "delete", 1), (3, "delete", 1), (7, "delete", 1)
+    }
+    assert _changes(read_delta_cdf(spark, table, 2, 2)) == {
+        (9, "delete", 2)
+    }
+    assert _changes(read_delta_cdf(spark, table, 3, 3)) == {
+        (7, "insert", 3), (9, "insert", 3)
+    }
+    # the v4 remove deletes ONLY live rows (DV [1,3] stays deleted) —
+    # and the DV state came from the PRE-RANGE replay
+    assert _changes(read_delta_cdf(spark, table, 4, 4)) == {
+        (i, "delete", 4) for i in range(10) if i not in (1, 3)
+    }
+    # full range is coherent end-to-end
+    full = _changes(read_delta_cdf(spark, table))
+    assert {(i, "insert", 0) for i in range(10)} <= full
+    assert len(full) == 10 + 3 + 1 + 2 + 8
+
+
+def test_cdf_fresh_add_with_dv(spark, tmp_path):
+    """A file FIRST added already carrying a DV inserts only its live
+    rows."""
+    from snapflow_spark.sources.delta import read_delta_cdf, write_delta
+
+    table = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS).coalesce(1), table)  # v0
+    log = table / "_delta_log"
+    add = json.loads(
+        [
+            ln
+            for ln in (log / f"{0:020d}.json").read_text().splitlines()
+            if '"add"' in ln
+        ][0]
+    )["add"]
+    # stage a second physical file with rows 100..104, added WITH a DV
+    rows2 = [(100 + i, f"x{i}", "xx") for i in range(5)]
+    stage = tmp_path / "stage"
+    _df(spark, rows2).coalesce(1).write.parquet(str(stage))
+    part = next(stage.glob("*.parquet"))
+    dest = table / "new.parquet"
+    part.rename(dest)
+    desc = write_dv_file(table, [0, 2])  # kills doc_ids 100, 102
+    acts = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"add": {"path": "new.parquet", "partitionValues": {},
+                 "size": dest.stat().st_size, "dataChange": True,
+                 "deletionVector": desc}},
+    ]
+    (log / f"{1:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in acts) + "\n"
+    )
+    assert _changes(read_delta_cdf(spark, table, 1, 1)) == {
+        (101, "insert", 1), (103, "insert", 1), (104, "insert", 1)
+    }
