@@ -230,6 +230,19 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
            reverse(n_name) AS n_name,
            n_regionkey
     FROM nation
+    UNION ALL
+    -- 'iceberg_edel' branch (round 14): v2 EQUALITY DELETES with
+    -- sequence scoping — old data (seq 1) loses its n_regionkey=2
+    -- rows to an equality-delete file at seq 2, while the shifted
+    -- copy written at seq 3 keeps ALL rows, region 2 included
+    SELECT 'iceberg_edel' AS fmt, n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey != 2
+    UNION ALL
+    SELECT 'iceberg_edel' AS fmt,
+           n_nationkey + 200 AS n_nationkey,
+           reverse(n_name) AS n_name,
+           n_regionkey
+    FROM nation
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,8 +261,11 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     open-table bridges (round 13): a three-commit Delta history
     (write → overwrite-with-tombstones → append) read at latest AND
     version=0, and a two-snapshot Iceberg table read at latest AND by
-    snapshot id — every round trip proven lossless against the
-    oracle's re-emission of the table."""
+    snapshot id — plus the row-level delete branches: Delta deletion
+    vectors ('delta_dv', round 13), Iceberg v2 position deletes
+    ('iceberg_pdel', round 13) and sequence-scoped equality deletes
+    ('iceberg_edel', round 14) — every round trip proven lossless
+    against the oracle's re-emission of the table."""
     csv_path = str(_SCRATCH / "csv_roundtrip" / "nation")
     write_csv(load_table(spark, sf_dir, "nation"), csv_path)
     from_csv = read_csv(spark, csv_path).select(
@@ -710,6 +726,169 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     (pdel_md / "version-hint.text").write_text(str(hint + 1))
     from_ice_pdel = _tag(read_iceberg(spark, pdel_dir), "iceberg_pdel")
+    # 'iceberg_edel' branch (round 14): v2 EQUALITY DELETES with
+    # sequence scoping driver-grade — a hand-published v2 table where
+    # the nation rows land at data sequence 1, an equality-delete
+    # file on n_regionkey (field id 3) deleting region 2 lands at
+    # sequence 2, and a shifted copy (key+200, name reversed) lands
+    # at sequence 3.  The reader must drop region-2 rows from the OLD
+    # file only: the delete predates the new file, whose region-2
+    # rows survive.  The oracle replays exactly that scoping.
+    import pyarrow as _pa2
+
+    ed_dir = _SCRATCH / "iceberg_edel_roundtrip"
+    shutil.rmtree(ed_dir, ignore_errors=True)
+    ed_md = ed_dir / "metadata"
+    ed_md.mkdir(parents=True)
+    (ed_dir / "data").mkdir(parents=True)
+    ed_src = nation3.select(
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("int"),
+    )
+
+    def _ed_data_file(name, df):
+        tmp = str(ed_dir / "data" / name) + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dest = ed_dir / "data" / name
+        next(Path(tmp).glob("*.parquet")).rename(dest)
+        shutil.rmtree(tmp)
+        return dest
+
+    ed_old = _ed_data_file("old.parquet", ed_src)
+    ed_new = _ed_data_file(
+        "new.parquet",
+        ed_src.select(
+            (F.col("n_nationkey") + 200).cast("int").alias("n_nationkey"),
+            F.reverse("n_name").alias("n_name"),
+            "n_regionkey",
+        ),
+    )
+    ed_eq = ed_dir / "data" / "eq-del.parquet"
+    _pq.write_table(
+        _pa2.table({"n_regionkey": _pa2.array([2], type=_pa2.int32())}),
+        ed_eq,
+    )
+    ed_entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition",
+                         "type": {"type": "record", "name": "r102",
+                                  "fields": []}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": "equality_ids",
+                         "type": ["null", {"type": "array",
+                                           "items": "int"}],
+                         "default": None},
+                    ],
+                },
+            },
+        ],
+    }
+
+    def _ed_entry(p, content=0, eq_ids=None):
+        return {
+            "status": 1,
+            "sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": f"file://{p}",
+                "file_format": "parquet",
+                "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": p.stat().st_size,
+                "equality_ids": eq_ids,
+            },
+        }
+
+    write_avro_file(
+        ed_md / "m-old.avro", ed_entry_schema, [_ed_entry(ed_old)]
+    )
+    write_avro_file(
+        ed_md / "m-new.avro", ed_entry_schema, [_ed_entry(ed_new)]
+    )
+    write_avro_file(
+        ed_md / "m-del.avro", ed_entry_schema,
+        [_ed_entry(ed_eq, content=2, eq_ids=[3])],
+    )
+    ed_ml_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+        ],
+    }
+
+    def _ed_ml(name, content, seq):
+        return {
+            "manifest_path": str(ed_md / name),
+            "manifest_length": (ed_md / name).stat().st_size,
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+        }
+
+    write_avro_file(
+        ed_md / "snap-1-ml.avro",
+        ed_ml_schema,
+        [
+            _ed_ml("m-old.avro", 0, 1),  # data BEFORE the delete
+            _ed_ml("m-del.avro", 1, 2),  # the equality delete
+            _ed_ml("m-new.avro", 0, 3),  # data AFTER it survives
+        ],
+    )
+    ed_meta = {
+        "format-version": 2,
+        "table-uuid": "edel-roundtrip",
+        "location": str(ed_dir),
+        "last-updated-ms": 1,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "n_nationkey", "required": False,
+                     "type": "int"},
+                    {"id": 2, "name": "n_name", "required": False,
+                     "type": "string"},
+                    {"id": 3, "name": "n_regionkey", "required": False,
+                     "type": "int"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 91,
+        "snapshots": [
+            {"snapshot-id": 91, "timestamp-ms": 1,
+             "summary": {"operation": "overwrite"},
+             "manifest-list": str(ed_md / "snap-1-ml.avro")},
+        ],
+    }
+    (ed_md / "v1.metadata.json").write_text(_json.dumps(ed_meta))
+    (ed_md / "version-hint.text").write_text("1")
+    from_ice_edel = _tag(read_iceberg(spark, ed_dir), "iceberg_edel")
     from snapflow_spark.sources.cc_index import read_cc_index
 
     key = F.col("n_nationkey")
@@ -779,6 +958,7 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(from_ice)
         .unionByName(from_ice_s0)
         .unionByName(from_ice_pdel)
+        .unionByName(from_ice_edel)
         .unionByName(from_cc)
     )
 
