@@ -38,13 +38,18 @@ distributed while the bitmap stays O(deleted-rows) metadata.  Reader
 protocol 3 with the ``deletionVectors`` feature is therefore
 supported.
 
-**Column mapping read** (round 13): ``delta.columnMapping.mode=name``
-tables (what modern Databricks writers create) read correctly — the
-``physicalName`` uuids recorded in the schema's field metadata key
-the parquet columns, ``partitionValues`` and ``stats``, and the scan
-renames them back to logical columns; ``mode=id`` (parquet field-id
-binding) stays a loud refusal, as does APPENDING to a column-mapped
-table (the export writer stages logical-named parquet).
+**Column mapping read** (rounds 13-14): ``delta.columnMapping.mode=
+name`` tables (what modern Databricks writers create) read correctly
+— the ``physicalName`` uuids recorded in the schema's field metadata
+key the parquet columns, ``partitionValues`` and ``stats``, and the
+scan renames them back to logical columns.  ``mode=id`` tables
+(round 14) bind parquet columns by their footer FIELD IDS via
+Spark's native ``spark.sql.parquet.fieldId.read.enabled`` path — the
+read schema carries ``parquet.field.id`` metadata from the log's
+``delta.columnMapping.id`` entries, so renamed physical columns
+still resolve; partitionValues/stats key physical names in both
+modes.  APPENDING to a column-mapped table stays a loud refusal
+(the export writer stages logical-named parquet).
 
 Loud-guard scope (never silently wrong): a reader protocol
 above what this module implements raises with the feature named;
@@ -130,9 +135,13 @@ class DeltaSnapshot:
     #: files that carry one (row-level deletes; see deletion_vectors)
     dvs: dict = field(default_factory=dict)
     #: logical -> physical column names when the table uses
-    #: delta.columnMapping.mode=name (empty otherwise); physical
-    #: names key the parquet columns, partitionValues, and stats
+    #: delta.columnMapping.mode=name OR =id (empty otherwise);
+    #: physical names key the partitionValues and stats in BOTH
+    #: modes, and the parquet columns in mode=name
     physical_names: dict = field(default_factory=dict)
+    #: logical -> parquet field id under mode=id (empty otherwise);
+    #: parquet columns bind by footer field id, not by name
+    field_ids: dict = field(default_factory=dict)
     #: appId -> highest committed txn version (the protocol's
     #: SetTransaction action — idempotent streaming writes key on it)
     txns: dict = field(default_factory=dict)
@@ -211,11 +220,10 @@ def _guard_protocol(protocol: dict, metadata: dict, what: str) -> None:
     mode = (metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode not in (None, "none", "name"):
+    if mode not in (None, "none", "name", "id"):
         raise NotImplementedError(
-            f"{what}: delta.columnMapping.mode={mode!r} ('name' is "
-            "implemented; 'id' binds parquet columns by field id, "
-            "which this reader does not resolve)"
+            f"{what}: delta.columnMapping.mode={mode!r} ('name' and "
+            "'id' are implemented)"
         )
 
 
@@ -241,11 +249,36 @@ def _physical_names(schema: StructType, metadata: dict, what: str) -> dict:
         pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
         if not pn:
             raise ValueError(
-                f"{what}: delta.columnMapping.mode=name but column "
+                f"{what}: delta.columnMapping.mode={mode} but column "
                 f"{f.name!r} has no physicalName in the schema "
                 "metadata — malformed table"
             )
         out[f.name] = pn
+    return out
+
+
+def _field_ids(schema: StructType, metadata: dict, what: str) -> dict:
+    """logical column name -> parquet field id under
+    ``delta.columnMapping.mode=id`` (the schema's
+    ``delta.columnMapping.id`` metadata).  Parquet columns bind by
+    their footer field ids, NOT by name — the parquet column names
+    may be anything (the common case: tables converted from formats
+    that renamed columns).  Empty for other modes."""
+    mode = (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode != "id":
+        return {}
+    out: dict[str, int] = {}
+    for f in schema.fields:
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise ValueError(
+                f"{what}: delta.columnMapping.mode=id but column "
+                f"{f.name!r} has no delta.columnMapping.id in the "
+                "schema metadata — malformed table"
+            )
+        out[f.name] = int(fid)
     return out
 
 
@@ -404,6 +437,7 @@ def delta_snapshot(
         )
     schema = StructType.fromJson(json.loads(metadata["schemaString"]))
     physical = _physical_names(schema, metadata, "read_delta")
+    fids = _field_ids(schema, metadata, "read_delta")
     part_cols = list(metadata.get("partitionColumns") or [])
     files = [
         (p, pv, sz, st) for p, (pv, sz, st) in sorted(adds.items())
@@ -418,6 +452,7 @@ def delta_snapshot(
         protocol=protocol,
         dvs=dvs,
         physical_names=physical,
+        field_ids=fids,
         txns=txns,
     )
 
@@ -519,9 +554,32 @@ def read_delta(
         f for f in snap.schema.fields
         if f.name not in snap.partition_columns
     ]
-    data_schema = StructType(
-        [StructField(P(f.name), f.dataType, f.nullable) for f in data_fields]
-    )
+    if snap.field_ids:
+        # columnMapping mode=id: request LOGICAL names carrying
+        # parquet.field.id metadata — Spark's parquet reader binds
+        # each column by its footer field id (the parquet column
+        # names are free to differ), so no rename select is needed.
+        # The session flag gates that binding; it only affects read
+        # schemas that carry field-id metadata, i.e. these reads.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        data_schema = StructType(
+            [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {"parquet.field.id": snap.field_ids[f.name]},
+                )
+                for f in data_fields
+            ]
+        )
+    else:
+        data_schema = StructType(
+            [
+                StructField(P(f.name), f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
     kept: list[tuple[str, str, dict]] = []  # (rel, abs path, pv)
     for rel, pv, _sz, st in snap.files:
         if keep(pv) and stats_keep(st):
@@ -549,7 +607,10 @@ def read_delta(
     need_key = bool(snap.partition_columns) or bool(dv_entries)
 
     df = spark.read.schema(data_schema).parquet(*[p for _r, p, _pv in kept])
-    sel = [F.col(P(f.name)).alias(f.name) for f in data_fields]
+    if snap.field_ids:  # mode=id reads come out logical already
+        sel = [F.col(f.name) for f in data_fields]
+    else:
+        sel = [F.col(P(f.name)).alias(f.name) for f in data_fields]
     if need_key:
         sel.append(F.col("_metadata.file_path").alias("__df_file"))
     if dv_entries:

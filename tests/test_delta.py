@@ -192,13 +192,22 @@ def test_loud_guards(spark, tmp_path):
         "schemaString": schema_str, "partitionColumns": [],
         "configuration": {},
     }
-    # column mapping mode=id binds by parquet field id: refused
+    # mode=id WITHOUT delta.columnMapping.id metadata is malformed
+    # (the READ path itself works since round 14)
     commit([
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         {"metaData": {**base_meta, "configuration":
                       {"delta.columnMapping.mode": "id"}}},
     ])
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(ValueError, match="malformed"):
+        read_delta(spark, table)
+    # an unknown mapping mode refuses loudly
+    commit([
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {**base_meta, "configuration":
+                      {"delta.columnMapping.mode": "shiny"}}},
+    ])
+    with pytest.raises(NotImplementedError, match="shiny"):
         read_delta(spark, table)
     # mode=name WITHOUT physicalName metadata is malformed, not a
     # silent logical-name scan
@@ -863,3 +872,97 @@ def test_yaml_scan_delta_cdf_builtin(spark, tmp_path):
         for r in g.read(spark, "changes").collect()
     }
     assert got == {(d, "insert", 1) for d, _t, _lg in ROWS_V1}
+
+
+def _id_mapped_table(spark, table: Path):
+    """Hand-publish a delta.columnMapping.mode=id table: parquet
+    columns carry FIELD IDS in their footers and names that match
+    NEITHER the logical names NOR the schema's physicalNames (the
+    converted-table shape id mode exists for); partitionValues key
+    physical names; binding must go through the ids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    phys = {"doc_id": "col-aaaa", "text": "col-bbbb", "lang": "col-cccc"}
+    log = table / "_delta_log"
+    log.mkdir(parents=True)
+    adds = []
+    for lang, rows in (("en", [(0, "a"), (1, "b")]), ("de", [(2, "c")])):
+        d = table / f"part-{lang}.parquet"
+        arrow_schema = pa.schema(
+            [
+                pa.field("legacy_key", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+                pa.field("legacy_body", pa.string(),
+                         metadata={b"PARQUET:field_id": b"2"}),
+            ]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "legacy_key": [r[0] for r in rows],
+                    "legacy_body": [r[1] for r in rows],
+                },
+                schema=arrow_schema,
+            ),
+            d,
+        )
+        adds.append(
+            {
+                "add": {
+                    "path": d.name,
+                    "partitionValues": {phys["lang"]: lang},
+                    "size": d.stat().st_size,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": n,
+                "type": t,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": phys[n],
+                },
+            }
+            for i, (n, t) in enumerate(
+                [("doc_id", "long"), ("text", "string"), ("lang", "string")]
+            )
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cmid-tbl",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": ["lang"],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }
+        },
+    ] + adds
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+
+
+def test_column_mapping_id_mode_reads(spark, tmp_path):
+    """mode=id: parquet columns bind by footer field id (names are
+    red herrings), logical names come out, partition pruning still
+    keys the physical partitionValues, appends still refuse."""
+    table = tmp_path / "cmid"
+    _id_mapped_table(spark, table)
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["doc_id", "text", "lang"]
+    assert _rows(got) == {(0, "a", "en"), (1, "b", "en"), (2, "c", "de")}
+    en = read_delta(spark, table, partition_filter={"lang": "en"})
+    assert _rows(en) == {(0, "a", "en"), (1, "b", "en")}
+    assert len(en.inputFiles()) == 1
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        write_delta(_df(spark, [(9, "x", "zz")]), table, mode="append")
