@@ -973,6 +973,151 @@ def write_delta(
     return next_v
 
 
+def delete_from_delta(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    condition,
+) -> int:
+    """Row-level DELETE via deletion vectors — the modern delta-spark
+    delete shape: matching rows are marked dead in per-file DV
+    sidecars (the from-scratch Z85 + roaring + CRC encoder) and the
+    commit re-adds each touched file with its new DV (remove + add of
+    the same path, both ``dataChange``), so no data file is
+    rewritten.  ``condition`` is a SQL predicate string or a Column
+    over the table's LOGICAL columns (partition columns included).
+    Returns the number of rows newly deleted.
+
+    Plan shape: ONE scan over the live files (partition values
+    attached the read_delta way) with one tiny per-file aggregate —
+    matched row indexes ride a ``collect_list`` bounded by
+    O(rows deleted), the same driver metadata the DV descriptors
+    themselves are.  Files whose EVERY live row matches are dropped
+    outright (remove only, no 100%-dead DV).  Existing DVs merge:
+    the new bitmap is old ∪ matched.  The commit upgrades the
+    protocol to reader 3 / writer 7 + ``deletionVectors`` when the
+    table does not carry it yet.  Column-mapped tables refuse (the
+    same guard as appends)."""
+    table = Path(path)
+    snap = delta_snapshot(spark, table)
+    if snap.physical_names:
+        raise NotImplementedError(
+            "delete_from_delta: column-mapped table — the predicate "
+            "scan and commit bookkeeping key physical names; "
+            "unsupported (same scope as appends)"
+        )
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    fields = {f.name: f for f in snap.schema.fields}
+    data_fields = [
+        f for f in snap.schema.fields
+        if f.name not in snap.partition_columns
+    ]
+    data_schema = StructType(
+        [StructField(f.name, f.dataType, f.nullable) for f in data_fields]
+    )
+    kept = [
+        (rel, str(table / rel), pv, st) for rel, pv, _sz, st in snap.files
+    ]
+    if not kept:
+        return 0
+    uri_to_rel = {hadoop_file_uri(p): rel for rel, p, _pv, _st in kept}
+    df = spark.read.schema(data_schema).parquet(
+        *[p for _r, p, _pv, _st in kept]
+    )
+    sel = list(df.columns)
+    df = df.select(
+        *sel,
+        F.col("_metadata.file_path").alias("__df_file"),
+        F.col("_metadata.row_index").alias("__df_pos"),
+    )
+    if snap.partition_columns:
+        pv_cols = ", ".join(
+            f"__pv_{i} string" for i in range(len(snap.partition_columns))
+        )
+        mapping = spark.createDataFrame(
+            [
+                tuple([hadoop_file_uri(p)] + [
+                    pv.get(c) for c in snap.partition_columns
+                ])
+                for _rel, p, pv, _st in kept
+            ],
+            f"__pv_file string, {pv_cols}",
+        )
+        df = df.join(
+            F.broadcast(mapping), df["__df_file"] == mapping["__pv_file"]
+        )
+        for i, c in enumerate(snap.partition_columns):
+            df = df.withColumn(
+                c, F.col(f"__pv_{i}").cast(fields[c].dataType)
+            )
+    # ONE pass: physical row count + matched indexes per file
+    # (collect_list skips the non-matching rows' nulls)
+    per_file = df.groupBy("__df_file").agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.collect_list(F.when(cond, F.col("__df_pos"))).alias("__hit"),
+    ).collect()
+    from snapflow_spark.sources.deletion_vectors import (
+        deleted_row_indexes,
+        write_dv_file,
+    )
+
+    actions: list[dict] = []
+    n_deleted = 0
+    by_rel = {rel: (pv, st) for rel, _p, pv, st in kept}
+    sizes = {rel: sz for rel, _pv, sz, _st in snap.files}
+    for row in sorted(per_file, key=lambda r: r["__df_file"]):
+        rel = uri_to_rel.get(row["__df_file"])
+        if rel is None:
+            raise RuntimeError(
+                f"delete_from_delta: scan reported unknown file "
+                f"{row['__df_file']!r}"
+            )
+        old_desc = snap.dvs.get(rel)
+        old = set(deleted_row_indexes(table, old_desc)) if old_desc else set()
+        matched = {int(i) for i in row["__hit"]} - old
+        if not matched:
+            continue
+        n_deleted += len(matched)
+        new_set = old | matched
+        pv, st = by_rel[rel]
+        actions.append(
+            {"remove": {"path": quote(rel, safe="/="), "dataChange": True,
+                        "partitionValues": pv}}
+        )
+        if len(new_set) >= int(row["__total"]):
+            continue  # every physical row dead: drop the file
+        add: dict = {
+            "path": quote(rel, safe="/="),
+            "partitionValues": pv,
+            "size": sizes[rel],
+            "modificationTime": int(time.time() * 1000),
+            "dataChange": True,
+            "deletionVector": write_dv_file(table, sorted(new_set)),
+        }
+        if st is not None:
+            add["stats"] = json.dumps(st, separators=(",", ":"))
+        actions.append({"add": add})
+    if n_deleted == 0:
+        return 0
+    feats = set(snap.protocol.get("readerFeatures") or [])
+    if "deletionVectors" not in feats:
+        actions.insert(0, {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(feats | {"deletionVectors"}),
+                "writerFeatures": sorted(
+                    set(snap.protocol.get("writerFeatures") or [])
+                    | {"deletionVectors"}
+                ),
+            }
+        })
+    commit = _log_path(table) / f"{snap.version + 1:020d}.json"
+    with open(commit, "x", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return n_deleted
+
+
 def write_delta_checkpoint(
     spark: SparkSession, path: str | os.PathLike
 ) -> int:

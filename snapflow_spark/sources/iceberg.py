@@ -750,6 +750,14 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        # content/sequence_number: v2 fields (0/null for v1 exports)
+        # — carried so appends onto a table with DELETE manifests
+        # (delete_from_iceberg) never degrade them into data
+        # manifests
+        {"name": "content", "type": "int", "default": 0,
+         "field-id": 517},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 515},
         {"name": "added_snapshot_id", "type": ["null", "long"],
          "default": None, "field-id": 503},
     ],
@@ -977,6 +985,8 @@ def write_iceberg(
                 "manifest_path": e["manifest_path"],
                 "manifest_length": e["manifest_length"],
                 "partition_spec_id": 0,
+                "content": int(e.get("content") or 0),
+                "sequence_number": e.get("sequence_number"),
                 "added_snapshot_id": e.get("added_snapshot_id"),
             }
             for e in prev_manifests
@@ -986,6 +996,8 @@ def write_iceberg(
                 "manifest_path": f"{location}/metadata/{manifest_name}",
                 "manifest_length": (md / manifest_name).stat().st_size,
                 "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": None,
                 "added_snapshot_id": snapshot_id,
             }
         ],
@@ -1383,6 +1395,232 @@ def expire_iceberg_snapshots(
     for p in doomed:
         Path(p).unlink(missing_ok=True)
     return out
+
+
+def delete_from_iceberg(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    condition,
+) -> int:
+    """Row-level DELETE via v2 POSITION-DELETE files — the
+    merge-on-read shape (Flink/Spark's Iceberg row-level delete
+    default): matching rows are recorded as (file_path, pos) in a
+    sorted delete parquet, a DELETE manifest points at it, and a new
+    snapshot carries the previous manifests plus the delete manifest
+    (manifest-list ``content=1``) — no data file is rewritten.
+    ``condition`` is a SQL predicate string or Column over the table
+    columns.  Returns the number of rows newly deleted.
+
+    The delete file is written DISTRIBUTED: matches flow
+    (recorded-URI, row-index) through one scan + one broadcast
+    mapping join and land sorted by (file_path, pos) as the spec
+    requires — the driver never holds the deleted row list.  Rows
+    already position-deleted are excluded (repeat deletes are
+    idempotent).  The table's metadata moves to format-version 2
+    (delete files are a v2 feature); old snapshots stay readable by
+    ``snapshot_id=``."""
+    table = Path(path)
+    snap = iceberg_snapshot(spark, table)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    from snapflow_spark.sources.delta import hadoop_file_uri as _huri
+
+    paths = [p for p, _pv, _n, _bd in snap.files]
+    if not paths:
+        return 0
+    mapping = spark.createDataFrame(
+        [(_huri(p), snap.file_uris.get(p, p)) for p in paths],
+        "__local string, file_path string",
+    )
+    scan = (
+        spark.read.schema(snap.schema)
+        .parquet(*paths)
+        .select(
+            "*",
+            F.col("_metadata.file_path").alias("__local"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    )
+    matches = (
+        scan.where(cond)
+        .join(F.broadcast(mapping), "__local")
+        .select("file_path", F.col("pos").cast("long").alias("pos"))
+    )
+    if snap.position_deletes:
+        prior = spark.read.parquet(*snap.position_deletes).select(
+            "file_path", "pos"
+        )
+        matches = matches.join(prior, ["file_path", "pos"], "left_anti")
+    data = table / "data"
+    data.mkdir(parents=True, exist_ok=True)
+    staging = data / f".del-staging-{uuid.uuid4().hex}"
+    (
+        matches.repartition(1)
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(str(staging))
+    )
+    import shutil as _shutil
+
+    import pyarrow.parquet as pq
+
+    part = next(Path(staging).glob("*.parquet"))
+    n_deleted = pq.ParquetFile(part).metadata.num_rows
+    if n_deleted == 0:
+        _shutil.rmtree(staging)
+        return 0
+    del_name = f"{uuid.uuid4().hex}-deletes.parquet"
+    part.rename(data / del_name)
+    _shutil.rmtree(staging)
+
+    md = table / "metadata"
+    meta = json.loads(_metadata_path(table).read_text())
+    location = meta.get("location", str(table))
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    prior_entries: list[dict] = []
+    if "manifest-list" in cur:
+        _, prior_entries = read_avro_file(
+            _localize(cur["manifest-list"], location, table)
+        )
+    new_seq = (
+        max(
+            [int(meta.get("last-sequence-number") or 0)]
+            + [
+                int(e.get("sequence_number") or 0)
+                for e in prior_entries
+            ]
+        )
+        + 1
+    )
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition",
+                         "type": {"type": "record", "name": "r102",
+                                  "fields": []}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + 1
+    del_manifest = f"manifest-del-{uuid.uuid4().hex}.avro"
+    write_avro_file(
+        md / del_manifest,
+        entry_schema,
+        [
+            {
+                "status": 1,
+                "sequence_number": new_seq,
+                "data_file": {
+                    "content": 1,  # POSITION deletes
+                    "file_path": f"{location}/data/{del_name}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(n_deleted),
+                    "file_size_in_bytes": (data / del_name).stat().st_size,
+                },
+            }
+        ],
+        extra_metadata={
+            "schema": json.dumps(
+                {"type": "struct", "schema-id": 0,
+                 "fields": _raw_schema_fields(meta)},
+                separators=(",", ":"),
+            ),
+            "schema-id": "0",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    ml_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+            {"name": "added_snapshot_id", "type": ["null", "long"],
+             "default": None},
+        ],
+    }
+    ml_name = f"snap-{snapshot_id}-manifest-list.avro"
+    write_avro_file(
+        md / ml_name,
+        ml_schema,
+        [
+            {
+                "manifest_path": e["manifest_path"],
+                "manifest_length": int(e["manifest_length"]),
+                "partition_spec_id": int(e.get("partition_spec_id") or 0),
+                "content": int(e.get("content") or 0),
+                "sequence_number": e.get("sequence_number"),
+                "added_snapshot_id": e.get("added_snapshot_id"),
+            }
+            for e in prior_entries
+        ]
+        + [
+            {
+                "manifest_path": f"{location}/metadata/{del_manifest}",
+                "manifest_length": (md / del_manifest).stat().st_size,
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": new_seq,
+                "added_snapshot_id": snapshot_id,
+            }
+        ],
+        extra_metadata={
+            "snapshot-id": str(snapshot_id),
+            "parent-snapshot-id": str(meta["current-snapshot-id"]),
+            "format-version": "2",
+        },
+    )
+    meta["snapshots"].append(
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now_ms,
+            "summary": {
+                "operation": "delete",
+                "deleted-position-deletes": str(int(n_deleted)),
+            },
+            "manifest-list": f"{location}/metadata/{ml_name}",
+        }
+    )
+    meta["current-snapshot-id"] = snapshot_id
+    meta["format-version"] = 2  # delete files are a v2 feature
+    meta["last-sequence-number"] = new_seq
+    meta["last-updated-ms"] = now_ms
+    hint = md / "version-hint.text"
+    version = int(hint.read_text().strip()) + 1 if hint.exists() else 1
+    with open(
+        md / f"v{version}.metadata.json", "x", encoding="utf-8"
+    ) as fh:
+        fh.write(json.dumps(meta, indent=1))
+    hint.write_text(str(version))
+    return int(n_deleted)
 
 
 def iceberg_stream_sink(path: str | os.PathLike, app_id: str):

@@ -490,3 +490,67 @@ def test_cdf_fresh_add_with_dv(spark, tmp_path):
     assert _changes(read_delta_cdf(spark, table, 1, 1)) == {
         (101, "insert", 1), (103, "insert", 1), (104, "insert", 1)
     }
+
+
+def test_delete_from_delta_end_to_end(spark, tmp_path):
+    """delete_from_delta: the modern DV delete shape end-to-end —
+    matching rows vanish without rewriting data files, DVs merge
+    across successive deletes, fully-dead files drop outright, the
+    protocol upgrades, time travel still sees every era, and the CDF
+    reports exactly the newly-deleted rows."""
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        delta_snapshot,
+        read_delta,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    table = tmp_path / "tbl"
+    rows = [(i, f"t{i}", "en" if i % 2 == 0 else "de") for i in range(10)]
+    write_delta(
+        _df(spark, rows).repartition(2, "doc_id"), table,
+        partition_by=["lang"],
+    )  # v0: 2 partitions x up to 2 files
+    n_files_v0 = len(delta_snapshot(spark, table).files)
+
+    # v1: predicate over data + partition columns
+    n = delete_from_delta(
+        spark, table, "doc_id >= 6 AND lang = 'en'"
+    )
+    assert n == 2  # doc_ids 6, 8
+    live = {r[0] for r in rows} - {6, 8}
+    assert {r.doc_id for r in read_delta(spark, table).collect()} == live
+    # no data file was rewritten; files with no match untouched
+    snap1 = delta_snapshot(spark, table)
+    assert {rel for rel, *_ in snap1.files} <= {
+        rel for rel, *_ in delta_snapshot(spark, table, version=0).files
+    }
+    assert snap1.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in snap1.protocol["readerFeatures"]
+    # v2: second delete MERGES into existing DVs
+    assert delete_from_delta(spark, table, "doc_id = 0") == 1
+    live -= {0}
+    assert {r.doc_id for r in read_delta(spark, table).collect()} == live
+    # already-deleted rows never re-count
+    assert delete_from_delta(spark, table, "doc_id IN (0, 6, 8)") == 0
+    # v3: kill an entire partition -> its files DROP, not 100%-dead DVs
+    assert delete_from_delta(spark, table, "lang = 'de'") == 5
+    snap3 = delta_snapshot(spark, table)
+    assert {r.doc_id for r in read_delta(spark, table).collect()} == {2, 4}
+    assert len(snap3.files) < n_files_v0
+    assert all(pv.get("lang") == "en" for _r, pv, _s, _st in snap3.files)
+    # time travel sees each era
+    assert {r.doc_id for r in read_delta(spark, table, version=0).collect()} == set(range(10))
+    assert {r.doc_id for r in read_delta(spark, table, version=1).collect()} == set(range(10)) - {6, 8}
+    # CDF reports exactly the newly-deleted rows per commit
+    assert _changes(read_delta_cdf(spark, table, 1, 1)) == {
+        (6, "delete", 1), (8, "delete", 1)
+    }
+    assert _changes(read_delta_cdf(spark, table, 3, 3)) == {
+        (i, "delete", 3) for i in (1, 3, 5, 7, 9)
+    }
+    # no-match delete commits nothing
+    v_before = delta_snapshot(spark, table).version
+    assert delete_from_delta(spark, table, "doc_id = 999") == 0
+    assert delta_snapshot(spark, table).version == v_before

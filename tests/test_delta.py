@@ -659,6 +659,10 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     # appending would mix logical-named parquet into the table: loud
     with pytest.raises(NotImplementedError, match="column-mapped"):
         write_delta(_df(spark, [(9, "x", "zz")]), table, mode="append")
+    from snapflow_spark.sources.delta import delete_from_delta
+
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        delete_from_delta(spark, table, "doc_id = 0")
 
 
 def test_column_mapping_streams_too(spark, tmp_path):

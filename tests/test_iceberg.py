@@ -1056,3 +1056,50 @@ def test_expire_tolerates_interrupted_prior_pass(spark, tmp_path):
         (md / f"v{(md / 'version-hint.text').read_text().strip()}.metadata.json").read_text()
     )
     assert len(meta2["snapshots"]) == 1
+
+
+def test_delete_from_iceberg_position_deletes(spark, tmp_path):
+    """delete_from_iceberg: merge-on-read row deletes end-to-end —
+    matching rows vanish via a sorted (file_path, pos) delete file +
+    DELETE manifest, repeat deletes are idempotent, later appends are
+    untouched by earlier deletes, and old snapshots time-travel."""
+    from snapflow_spark.sources.iceberg import delete_from_iceberg
+
+    table = tmp_path / "tbl"
+    s0 = write_iceberg(_df(spark, ROWS_V0), table)
+    assert delete_from_iceberg(spark, table, "lang = 'en'") == 2
+    assert _rows(read_iceberg(spark, table)) == {(2, "gamma", "de")}
+    # idempotent: the same predicate deletes nothing new
+    assert delete_from_iceberg(spark, table, "lang = 'en'") == 0
+    # no-match predicate commits nothing
+    assert delete_from_iceberg(spark, table, "doc_id = 999") == 0
+    # time travel to s0 still sees everything
+    assert _rows(read_iceberg(spark, table, snapshot_id=s0)) == set(ROWS_V0)
+    # append AFTER the delete: new rows survive even when matching
+    write_iceberg(_df(spark, ROWS_V1), table, mode="append")
+    assert delete_from_iceberg(spark, table, "doc_id = 0") == 0  # already gone? no: 0 was 'en', deleted
+    got = _rows(read_iceberg(spark, table))
+    assert got == {(2, "gamma", "de")} | set(ROWS_V1)
+    # delete spanning old + new data files
+    n = delete_from_iceberg(spark, table, "lang = 'de'")
+    assert n == 2  # (2, gamma, de) and (4, epsilon, de)
+    assert _rows(read_iceberg(spark, table)) == {(3, "delta", "fr")}
+    # the delete parquet is sorted by (file_path, pos) as the spec asks
+    import pyarrow.parquet as pq
+
+    dels = sorted((table / "data").glob("*-deletes.parquet"))
+    assert dels
+    t = pq.read_table(dels[0])
+    rows = list(zip(t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist()))
+    assert rows == sorted(rows)
+    # metadata moved to v2 with a positive last-sequence-number
+    import json as _json
+
+    md = table / "metadata"
+    meta = _json.loads(
+        (md / f"v{(md / 'version-hint.text').read_text().strip()}.metadata.json").read_text()
+    )
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] >= 1
+    assert meta["snapshots"][-1]["summary"]["operation"] == "delete"
