@@ -672,6 +672,25 @@ def read_iceberg(
 
 
 # ------------------------------------------------------------- export
+def _manifest_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
+    """The manifest-entry Avro schema with the given partition-record
+    fields injected ([(name, avro primitive type)]; empty = the
+    unpartitioned constant below)."""
+    import copy
+
+    schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    rec = next(
+        f for f in schema["fields"][2]["type"]["fields"]
+        if f["name"] == "partition"
+    )
+    rec["type"]["fields"] = [
+        {"name": n, "type": ["null", t], "default": None,
+         "field-id": 1000 + i}
+        for i, (n, t) in enumerate(part_fields)
+    ]
+    return schema
+
+
 _MANIFEST_ENTRY_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
@@ -797,21 +816,39 @@ def _iceberg_schema(schema: T.StructType) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+_PART_AVRO_TYPES = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
 def write_iceberg(
     df: DataFrame,
     path: str | os.PathLike,
     mode: str = "append",
     extra_summary: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
-    """Export a DataFrame as one Iceberg format-version-1 commit
-    (unpartitioned spec); returns the new snapshot id.  ``append``
-    keeps previous manifests in the new snapshot's manifest list;
-    ``overwrite`` starts a fresh list (old snapshots stay readable by
-    ``snapshot_id=`` — the write_delta time-travel contract);
-    ``error`` refuses an existing table.  ``extra_summary`` adds
-    string key/value pairs to the snapshot's summary map (how real
-    Iceberg streaming sinks record their committed batch ids —
-    ``iceberg_stream_sink`` keys exactly-once on it)."""
+    """Export a DataFrame as one Iceberg format-version-1 commit;
+    returns the new snapshot id.  ``append`` keeps previous manifests
+    in the new snapshot's manifest list; ``overwrite`` starts a fresh
+    list (old snapshots stay readable by ``snapshot_id=`` — the
+    write_delta time-travel contract); ``error`` refuses an existing
+    table.  ``extra_summary`` adds string key/value pairs to the
+    snapshot's summary map (how real Iceberg streaming sinks record
+    their committed batch ids — ``iceberg_stream_sink`` keys
+    exactly-once on it).
+
+    ``partition_by`` (round 14) exports an IDENTITY-partitioned spec:
+    files split per partition value, the manifests record TYPED
+    partition values (int/long/string/boolean sources), and
+    ``read_iceberg(partition_filter=...)`` prunes the file list from
+    metadata alone.  Unlike hive layout, Iceberg data files CONTAIN
+    their partition columns — staging writes through shadow columns
+    so the split happens without dropping the real ones.  Appends
+    must match the table's existing partition spec."""
     import pyarrow.parquet as pq
 
     if mode not in ("append", "overwrite", "error"):
@@ -836,6 +873,39 @@ def write_iceberg(
                 "write_iceberg: append schema differs from the table "
                 "schema; use mode='overwrite' to replace it"
             )
+    part_by = list(partition_by or [])
+    if prev_meta is not None and mode == "append":
+        existing = _default_spec(prev_meta)
+        existing_identity = [
+            n for n, t in existing if t == "identity"
+        ]
+        if partition_by is None:
+            part_by = existing_identity
+        if part_by != existing_identity or any(
+            t != "identity" for _n, t in existing
+        ):
+            raise ValueError(
+                f"write_iceberg: append with partition_by={part_by} "
+                f"onto a table with spec {existing}"
+            )
+    part_types: list[tuple[str, str]] = []  # (name, avro type)
+    df_fields = {f.name: f for f in df.schema.fields}
+    for c in part_by:
+        if c not in df_fields:
+            raise ValueError(
+                f"write_iceberg: partition column {c!r} not in the "
+                f"DataFrame columns {list(df_fields)}"
+            )
+        ice_t = _iceberg_schema(
+            T.StructType([df_fields[c]])
+        )["fields"][0]["type"]
+        if ice_t not in _PART_AVRO_TYPES:
+            raise NotImplementedError(
+                f"write_iceberg: partition column {c!r} has type "
+                f"{ice_t!r}; identity partitioning is implemented for "
+                f"{sorted(_PART_AVRO_TYPES)}"
+            )
+        part_types.append((c, _PART_AVRO_TYPES[ice_t]))
     md.mkdir(parents=True, exist_ok=True)
     data.mkdir(parents=True, exist_ok=True)
 
@@ -846,17 +916,57 @@ def write_iceberg(
     from snapflow_spark.sources.delta import _distributed_file_stats
 
     staging = table / f".staging-{uuid.uuid4().hex}"
-    df.write.mode("errorifexists").parquet(str(staging))
-    # (rel path, bytes, rows, stats dict or None)
-    moved: list[tuple[str, int, int, dict | None]] = []
+    if part_by:
+        # shadow columns drive the split so the REAL partition
+        # columns stay in the data files (Iceberg files carry every
+        # column; hive layout would drop them)
+        stage_df = df
+        shadow = [f"__part_{c}" for c in part_by]
+        for c, s in zip(part_by, shadow):
+            stage_df = stage_df.withColumn(s, F.col(c))
+        stage_df.write.mode("errorifexists").partitionBy(
+            *shadow
+        ).parquet(str(staging))
+    else:
+        df.write.mode("errorifexists").parquet(str(staging))
+
+    from urllib.parse import unquote as _unquote
+
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+    def _pv_of(p: Path) -> dict:
+        """Typed partition values parsed from the staged file's hive
+        dir segments (__part_c=value)."""
+        if not part_by:
+            return {}
+        raw: dict[str, str] = {}
+        for seg in p.relative_to(staging).parts[:-1]:
+            k, _, v = seg.partition("=")
+            if k.startswith("__part_"):
+                raw[k[len("__part_"):]] = v
+        out: dict = {}
+        for c, avro_t in part_types:
+            v = raw.get(c)
+            if v is None or v == _HIVE_NULL:
+                out[c] = None
+            elif avro_t in ("int", "long"):
+                out[c] = int(v)
+            elif avro_t == "boolean":
+                out[c] = v.lower() == "true"
+            else:
+                out[c] = _unquote(v)
+        return out
+
+    # (rel path, bytes, rows, stats dict or None, partition values)
+    moved: list[tuple[str, int, int, dict | None, dict]] = []
     import shutil
 
     try:
-        staged = sorted(staging.glob("*.parquet"))
+        staged = sorted(staging.rglob("*.parquet"))
         stats_map = _distributed_file_stats(
             spark, [str(p) for p in staged]
         )
-        for p in staged:
+        for i, p in enumerate(staged):
             st = stats_map.get(str(p))
             rows = (
                 int(st["numRecords"])
@@ -865,10 +975,14 @@ def write_iceberg(
             )
             if rows == 0:
                 continue  # empty task output: never a manifest entry
-            target = data / p.name
+            # flatten into data/: a task writes the SAME part name
+            # under each partition dir, so prefix with an ordinal
+            name = f"{i:05d}-{p.name}" if part_by else p.name
+            target = data / name
             os.rename(p, target)
             moved.append(
-                (f"data/{p.name}", target.stat().st_size, rows, st)
+                (f"data/{name}", target.stat().st_size, rows, st,
+                 _pv_of(p))
             )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -925,9 +1039,19 @@ def write_iceberg(
                 hi_out.append({"key": f["id"], "value": hi_b})
         return (lo_out or None), (hi_out or None)
 
+    ids_by_name = {f["name"]: int(f["id"]) for f in ice_fields}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": ids_by_name[c],
+            "field-id": 1000 + i,
+        }
+        for i, (c, _t) in enumerate(part_types)
+    ]
     manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
     entries = []
-    for rel, size, rows, st in moved:
+    for rel, size, rows, st, pv in moved:
         lo_b, hi_b = _file_bounds(st)
         entries.append(
             {
@@ -936,7 +1060,7 @@ def write_iceberg(
                 "data_file": {
                     "file_path": f"{location}/{rel}",
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": pv,
                     "record_count": rows,
                     "file_size_in_bytes": size,
                     "block_size_in_bytes": 67108864,
@@ -949,12 +1073,14 @@ def write_iceberg(
     # Spark's iceberg-runtime refuse manifests without these.
     write_avro_file(
         md / manifest_name,
-        _MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(part_types),
         entries,
         extra_metadata={
             "schema": json.dumps(ice_schema, separators=(",", ":")),
             "schema-id": "0",
-            "partition-spec": json.dumps([], separators=(",", ":")),
+            "partition-spec": json.dumps(
+                spec_fields, separators=(",", ":")
+            ),
             "partition-spec-id": "0",
             "format-version": "1",
             "content": "data",
@@ -1042,8 +1168,8 @@ def write_iceberg(
         "last-updated-ms": now_ms,
         "last-column-id": last_column_id,
         "schema": ice_schema,
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         "properties": {},
         "current-snapshot-id": snapshot_id,

@@ -1103,3 +1103,56 @@ def test_delete_from_iceberg_position_deletes(spark, tmp_path):
     assert meta["format-version"] == 2
     assert meta["last-sequence-number"] >= 1
     assert meta["snapshots"][-1]["summary"]["operation"] == "delete"
+
+
+def test_partitioned_export_and_pruning(spark, tmp_path):
+    """write_iceberg(partition_by=...): identity spec, TYPED partition
+    values in the manifests, data files that still CONTAIN the
+    partition column (the Iceberg rule hive layout breaks), metadata
+    pruning via partition_filter, and spec-checked appends."""
+    table = tmp_path / "tbl"
+    s0 = write_iceberg(
+        _df(spark, ROWS_V0), table, partition_by=["lang"]
+    )
+    got = read_iceberg(spark, table)
+    assert _rows(got) == set(ROWS_V0)
+    # the data files carry lang (not dropped into dirs)
+    snap = iceberg_snapshot(spark, table)
+    import pyarrow.parquet as pq
+
+    for p, pv, _n, _bd in snap.files:
+        cols = pq.ParquetFile(p).schema_arrow.names
+        assert "lang" in cols
+        assert pv["lang"] in {"en", "de"}
+    # metadata pruning: only the en file(s) scan
+    en = read_iceberg(spark, table, partition_filter={"lang": "en"})
+    assert _rows(en) == {(0, "alpha", "en"), (1, "beta", "en")}
+    assert len(en.inputFiles()) < len(snap.files)
+    # append keeps the spec; mismatched partitioning refuses
+    write_iceberg(_df(spark, ROWS_V1), table, mode="append")
+    assert _rows(read_iceberg(spark, table)) == set(ROWS_V0) | set(ROWS_V1)
+    de = read_iceberg(spark, table, partition_filter={"lang": "de"})
+    assert _rows(de) == {(2, "gamma", "de"), (4, "epsilon", "de")}
+    with pytest.raises(ValueError, match="partition_by"):
+        write_iceberg(
+            _df(spark, ROWS_V1), table, mode="append", partition_by=[]
+        )
+    # typed int partitioning + bucket-free identity probe by value
+    t2 = tmp_path / "byid"
+    write_iceberg(
+        _df(spark, ROWS_V0 + ROWS_V1), t2, partition_by=["doc_id"]
+    )
+    one = read_iceberg(spark, t2, partition_filter={"doc_id": 3})
+    assert _rows(one) == {(3, "delta", "fr")}
+    assert len(one.inputFiles()) == 1
+    # time travel across the partitioned history still works
+    assert _rows(read_iceberg(spark, table, snapshot_id=s0)) == set(ROWS_V0)
+    # unsupported partition source type refuses loudly
+    with pytest.raises(NotImplementedError, match="partition column"):
+        write_iceberg(
+            spark.createDataFrame(
+                [(1.5, "x")], "score double, text string"
+            ),
+            tmp_path / "bad",
+            partition_by=["score"],
+        )
