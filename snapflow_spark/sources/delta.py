@@ -977,6 +977,8 @@ def delete_from_delta(
     spark: SparkSession,
     path: str | os.PathLike,
     condition,
+    partition_filter: dict | None = None,
+    min_max_filter: dict | None = None,
 ) -> int:
     """Row-level DELETE via deletion vectors — the modern delta-spark
     delete shape: matching rows are marked dead in per-file DV
@@ -996,7 +998,15 @@ def delete_from_delta(
     the new bitmap is old ∪ matched.  The commit upgrades the
     protocol to reader 3 / writer 7 + ``deletionVectors`` when the
     table does not carry it yet.  Column-mapped tables refuse (the
-    same guard as appends)."""
+    same guard as appends).
+
+    ``partition_filter`` / ``min_max_filter`` PRUNE the file list
+    before the scan (read_delta's contracts) — the 100 TB shape for
+    targeted deletes: a delete known to touch one partition or one
+    key range scans only the files that can match, while
+    ``condition`` still decides row-exactly within them.  The caller
+    must ensure the prune does not exclude matching files (same
+    responsibility as any manual partition predicate)."""
     table = Path(path)
     snap = delta_snapshot(spark, table)
     if snap.physical_names:
@@ -1014,8 +1024,37 @@ def delete_from_delta(
     data_schema = StructType(
         [StructField(f.name, f.dataType, f.nullable) for f in data_fields]
     )
+    def _keep(pv: dict) -> bool:
+        for c, want in (partition_filter or {}).items():
+            if c not in snap.partition_columns:
+                raise ValueError(
+                    f"delete_from_delta: partition_filter names "
+                    f"non-partition column {c!r}"
+                )
+            got = pv.get(c)
+            if want is None:
+                if got is not None:
+                    return False
+            elif got is None or str(want) != got:
+                return False
+        return True
+
+    def _stats_keep(st: dict | None) -> bool:
+        if not st or not min_max_filter:
+            return True
+        for c, (lo, hi) in min_max_filter.items():
+            mn = (st.get("minValues") or {}).get(c)
+            mx = (st.get("maxValues") or {}).get(c)
+            if lo is not None and mx is not None and mx < lo:
+                return False
+            if hi is not None and mn is not None and mn > hi:
+                return False
+        return True
+
     kept = [
-        (rel, str(table / rel), pv, st) for rel, pv, _sz, st in snap.files
+        (rel, str(table / rel), pv, st)
+        for rel, pv, _sz, st in snap.files
+        if _keep(pv) and _stats_keep(st)
     ]
     if not kept:
         return 0

@@ -554,3 +554,33 @@ def test_delete_from_delta_end_to_end(spark, tmp_path):
     v_before = delta_snapshot(spark, table).version
     assert delete_from_delta(spark, table, "doc_id = 999") == 0
     assert delta_snapshot(spark, table).version == v_before
+
+
+def test_delete_from_delta_pruned(spark, tmp_path):
+    """partition_filter/min_max_filter prune the delete's scan to the
+    files that can match (the targeted-delete 100 TB shape) while
+    the predicate stays row-exact."""
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    table = tmp_path / "tbl"
+    rows = [(i, f"t{i}", "en" if i < 5 else "de") for i in range(10)]
+    write_delta(_df(spark, rows).coalesce(1), table, partition_by=["lang"])
+    n = delete_from_delta(
+        spark, table, "doc_id % 2 = 1", partition_filter={"lang": "en"}
+    )
+    assert n == 2  # 1, 3 (5..9 are de and excluded by the prune)
+    assert {r.doc_id for r in read_delta(spark, table).collect()} == (
+        set(range(10)) - {1, 3}
+    )
+    n2 = delete_from_delta(
+        spark, table, "doc_id >= 0", min_max_filter={"doc_id": (7, 8)}
+    )
+    assert n2 == 5  # the de file (5..9) is the only one kept by stats
+    with pytest.raises(ValueError, match="non-partition"):
+        delete_from_delta(
+            spark, table, "doc_id = 0", partition_filter={"text": "x"}
+        )

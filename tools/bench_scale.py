@@ -213,6 +213,16 @@ HEAVY = {
         "column crosses the python boundary and only the vectors "
         "come back; expected ~linear in text bytes"
     ),
+    "op_delta_delete": (
+        "documents as a STANDING Delta table (cold absorbs the "
+        "export, round 14): warm = delete_from_delta over a FRESH "
+        "500-key doc_id range per call with a min_max_filter prune "
+        "pinned to that range — the file list prunes driver-side "
+        "from log stats before any scan, the matched indexes ride a "
+        "per-file collect bounded by O(rows deleted), and the DV "
+        "sidecar write is O(deleted), so warm should stay ~flat as "
+        "the corpus grows 10x"
+    ),
     "op_delta_dv_read": (
         "documents as a STANDING Delta table (cold absorbs the "
         "export, round 13): warm = a stats-pruned single-file-range "
@@ -746,6 +756,47 @@ def _op_delta_dv_read(spark, sf_dir: str):
     return read_delta(spark, path, min_max_filter={"doc_id": (lo, lo)})
 
 
+_DELTA_DELETE_TABLES: dict = {}
+
+
+def _op_delta_delete(spark, sf_dir: str):
+    """Standing Delta table + DV-writing row-level DELETE (round
+    14): the corpus exports once per sf_dir (cold absorbs it), then
+    every call deletes a FRESH 500-key doc_id range with a
+    min_max_filter pinned to it — file pruning from log stats, the
+    matched-index collect and the DV sidecar both O(deleted), so the
+    warm cost tracks the touched file(s), not the corpus."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        write_delta,
+    )
+
+    if sf_dir not in _DELTA_DELETE_TABLES:
+        path = tempfile.mkdtemp(prefix="delta_del_") + "/tbl"
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        write_delta(d, path)
+        lo = d.agg(F.min("doc_id")).collect()[0][0]
+        _DELTA_DELETE_TABLES[sf_dir] = [path, int(lo)]
+    ent = _DELTA_DELETE_TABLES[sf_dir]
+    path, lo = ent
+    hi = lo + 499
+    ent[1] = hi + 1  # next call deletes the NEXT range
+    n = delete_from_delta(
+        spark,
+        path,
+        f"doc_id BETWEEN {lo} AND {hi}",
+        min_max_filter={"doc_id": (lo, hi)},
+    )
+    return spark.createDataFrame([(n,)], "n_deleted bigint")
+
+
 _IVFPQ_PATHS: dict = {}
 
 
@@ -847,6 +898,7 @@ def main() -> None:
     queries["op_dedup_incremental"] = _op_dedup_incremental
     queries["op_ivfpq_append"] = _op_ivfpq_append
     queries["op_delta_dv_read"] = _op_delta_dv_read
+    queries["op_delta_delete"] = _op_delta_delete
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)
