@@ -53,10 +53,11 @@ modes.  APPENDING to a column-mapped table stays a loud refusal
 
 Loud-guard scope (never silently wrong): a reader protocol
 above what this module implements raises with the feature named;
-``write_delta_checkpoint`` refuses a table with live DVs (its
-checkpoint schema carries no DV descriptors, and omitting them would
-resurrect deleted rows); the streaming source refuses DV'd adds (an
-append stream cannot express row-level deletes).  Stats-based DATA SKIPPING is in (round
+the streaming source refuses DV'd adds (an append stream cannot
+express row-level deletes).  Checkpoints CARRY deletion-vector
+descriptors, the protocol's feature lists, and SetTransaction
+high-water marks (round 14), so a checkpoint-seeded reader is
+equivalent to the JSON replay even after log cleanup.  Stats-based DATA SKIPPING is in (round
 12): ``write_delta`` folds each file's parquet row-group statistics
 into ``add.stats`` JSON (numRecords + min/maxValues + nullCount for
 JSON-safe primitive columns), and ``read_delta(min_max_filter=...)``
@@ -1163,29 +1164,39 @@ def write_delta_checkpoint(
     """Compact the current table state into a checkpoint parquet at
     the latest version and point ``_last_checkpoint`` at it, so
     readers seed from one parquet scan instead of replaying every
-    JSON commit; returns the checkpointed version."""
+    JSON commit; returns the checkpointed version.
+
+    The checkpoint carries everything a seeded reader needs to be
+    equivalent to the JSON replay (round 14): add actions INCLUDING
+    their ``deletionVector`` descriptors (a DV-less checkpoint would
+    resurrect deleted rows), the protocol's reader/writerFeatures
+    lists (not just the version ints), and one ``txn`` row per
+    recorded SetTransaction app id — without those, log cleanup past
+    the checkpoint would silently drop the exactly-once high-water
+    marks and replayed streaming batches would duplicate."""
     table = Path(path)
     snap = delta_snapshot(spark, table)
-    if snap.dvs:
-        raise NotImplementedError(
-            "write_delta_checkpoint: table has live deletion vectors "
-            f"on {sorted(snap.dvs)}; this checkpoint schema does not "
-            "carry DV descriptors, and writing one without them would "
-            "resurrect deleted rows for checkpoint-seeded readers"
-        )
     log = _log_path(table)
     add_t = (
         "struct<path:string,partitionValues:map<string,string>,"
         "size:bigint,modificationTime:bigint,dataChange:boolean,"
-        "stats:string>"
+        "stats:string,deletionVector:struct<storageType:string,"
+        "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
+        "cardinality:bigint>>"
     )
     meta_t = (
         "struct<id:string,format:struct<provider:string>,"
         "schemaString:string,partitionColumns:array<string>,"
         "configuration:map<string,string>>"
     )
-    proto_t = "struct<minReaderVersion:int,minWriterVersion:int>"
-    schema = f"add {add_t}, metaData {meta_t}, protocol {proto_t}"
+    proto_t = (
+        "struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>"
+    )
+    txn_t = "struct<appId:string,version:bigint>"
+    schema = (
+        f"add {add_t}, metaData {meta_t}, protocol {proto_t}, txn {txn_t}"
+    )
     meta = snap.metadata
     rows: list[tuple] = [
         (
@@ -1198,6 +1209,7 @@ def write_delta_checkpoint(
                 meta.get("configuration") or {},
             ),
             None,
+            None,
         ),
         (
             None,
@@ -1205,9 +1217,14 @@ def write_delta_checkpoint(
             (
                 int(snap.protocol.get("minReaderVersion", 1) or 1),
                 int(snap.protocol.get("minWriterVersion", 2) or 2),
+                snap.protocol.get("readerFeatures"),
+                snap.protocol.get("writerFeatures"),
             ),
+            None,
         ),
     ]
+    for app_id, txn_v in sorted(snap.txns.items()):
+        rows.append((None, None, None, (app_id, int(txn_v))))
     for rel, pv, sz, st in snap.files:
         stats_json = (
             json.dumps(st, separators=(",", ":")) if st else None
@@ -1216,9 +1233,23 @@ def write_delta_checkpoint(
             mtime_ms = int((table / rel).stat().st_mtime * 1000)
         except OSError:
             mtime_ms = 0
+        dv = snap.dvs.get(rel)
+        dv_row = (
+            (
+                dv.get("storageType"),
+                dv.get("pathOrInlineDv"),
+                None if dv.get("offset") is None else int(dv["offset"]),
+                int(dv.get("sizeInBytes") or 0),
+                int(dv.get("cardinality") or 0),
+            )
+            if dv
+            else None
+        )
         rows.append(
             (
-                (quote(rel, safe="/="), pv, sz, mtime_ms, True, stats_json),
+                (quote(rel, safe="/="), pv, sz, mtime_ms, True,
+                 stats_json, dv_row),
+                None,
                 None,
                 None,
             )
@@ -1274,19 +1305,43 @@ def vacuum_delta(
     table = Path(path)
     snap = delta_snapshot(spark, table)
     live = {rel for rel, _pv, _sz, _st in snap.files}
+    # DV sidecars referenced by the CURRENT version stay; replaced /
+    # dropped ones reclaim like data files (round 14 — the
+    # delete_from_delta writer creates a fresh sidecar per delete)
+    from snapflow_spark.sources.deletion_vectors import (
+        _absolute_dv_path,
+        _dv_sidecar_path,
+    )
+
+    for desc in snap.dvs.values():
+        st_ = desc.get("storageType")
+        try:
+            if st_ == "u":
+                p = _dv_sidecar_path(table, desc["pathOrInlineDv"])
+            elif st_ == "p":
+                p = _absolute_dv_path(desc["pathOrInlineDv"])
+            else:
+                continue  # inline: no file
+        except (ValueError, NotImplementedError):
+            continue
+        try:
+            live.add(p.resolve().relative_to(table.resolve()).as_posix())
+        except ValueError:
+            pass  # absolute DV outside the table root: not ours
     cutoff = time.time() - retention_hours * 3600.0
     candidates: list[str] = []
-    for p in table.rglob("*.parquet"):
-        rel = p.relative_to(table).as_posix()
-        if rel.startswith(f"{_LOG_DIR}/") or rel.startswith("."):
-            continue
-        if rel not in live:
-            try:
-                if p.stat().st_mtime >= cutoff:
-                    continue  # inside the retention window: keep
-            except FileNotFoundError:
+    for pattern in ("*.parquet", "deletion_vector_*.bin"):
+        for p in table.rglob(pattern):
+            rel = p.relative_to(table).as_posix()
+            if rel.startswith(f"{_LOG_DIR}/") or rel.startswith("."):
                 continue
-            candidates.append(rel)
+            if rel not in live:
+                try:
+                    if p.stat().st_mtime >= cutoff:
+                        continue  # inside the retention window: keep
+                except FileNotFoundError:
+                    continue
+                candidates.append(rel)
     if dry_run or not candidates:
         return sorted(candidates)
     write_delta_checkpoint(spark, table)

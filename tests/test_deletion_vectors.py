@@ -240,16 +240,21 @@ def test_dv_replacement_and_remove(spark, tmp_path):
     }
 
 
-def test_checkpoint_and_stream_refuse_dv_tables(spark, tmp_path):
+def test_checkpoint_carries_dvs_and_stream_refuses(spark, tmp_path):
+    """Checkpoints CARRY deletion-vector descriptors (round 14): a
+    reader seeded from the checkpoint after log cleanup applies the
+    same deletes as the JSON replay.  The streaming source still
+    refuses (an append stream cannot express row deletes)."""
     from snapflow_spark.sources.delta import (
         DeltaStreamDataSource,
+        read_delta,
         write_delta_checkpoint,
     )
 
     table = tmp_path / "tbl"
     _external_dv_table(spark, table, lambda t, idx: write_dv_file(t, idx))
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        write_delta_checkpoint(spark, table)
+    live = {0, 2, 4, 5, 6, 8, 9}
+    # the stream refusal first (it replays the JSON history)
     spark.dataSource.register(DeltaStreamDataSource)
     q = (
         spark.readStream.format("delta_log")
@@ -263,6 +268,14 @@ def test_checkpoint_and_stream_refuse_dv_tables(spark, tmp_path):
     with pytest.raises(Exception, match="deletion vector"):
         q.awaitTermination(120)
         q.stop()
+    cp_v = write_delta_checkpoint(spark, table)
+    assert cp_v == 1
+    # drop every JSON commit: the checkpoint must seed DVs too
+    log = table / "_delta_log"
+    for v in (0, 1):
+        (log / f"{v:020d}.json").unlink()
+    got = read_delta(spark, table)
+    assert {r.doc_id for r in got.collect()} == live
 
 
 @settings(max_examples=80, deadline=None)
@@ -584,3 +597,75 @@ def test_delete_from_delta_pruned(spark, tmp_path):
         delete_from_delta(
             spark, table, "doc_id = 0", partition_filter={"text": "x"}
         )
+
+
+def test_checkpoint_preserves_features_and_txns(spark, tmp_path):
+    """The checkpoint carries the protocol's feature LISTS and the
+    SetTransaction high-water marks — after log cleanup a replayed
+    (appId, version) still skips (exactly-once survives compaction)
+    and DV-feature tables still pass the protocol guard."""
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        delta_snapshot,
+        read_delta,
+        write_delta,
+        write_delta_checkpoint,
+    )
+
+    table = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS).coalesce(1), table,
+                txn=("appX", 7))  # v0
+    delete_from_delta(spark, table, "doc_id = 3")  # v1: DV + protocol 3
+    cp_v = write_delta_checkpoint(spark, table)
+    assert cp_v == 1
+    log = table / "_delta_log"
+    for v in (0, 1):
+        (log / f"{v:020d}.json").unlink()
+    snap = delta_snapshot(spark, table)
+    assert snap.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    assert snap.txns == {"appX": 7}
+    assert {r.doc_id for r in read_delta(spark, table).collect()} == (
+        set(range(10)) - {3}
+    )
+    # an at-or-below replay still skips: the idempotence ledger is
+    # the checkpoint now
+    assert write_delta(
+        _df(spark, [(99, "dup", "zz")]), table, txn=("appX", 7)
+    ) is None
+
+
+def test_vacuum_reclaims_replaced_dv_sidecars(spark, tmp_path):
+    """vacuum_delta: sidecars of REPLACED DVs reclaim (aged past
+    retention), the live DV sidecar always survives."""
+    import os as _os
+
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        delta_snapshot,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    table = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS).coalesce(1), table)
+    delete_from_delta(spark, table, "doc_id = 1")   # sidecar A
+    delete_from_delta(spark, table, "doc_id = 5")   # sidecar B (A∪{5})
+    sidecars = sorted(table.glob("deletion_vector_*.bin"))
+    assert len(sidecars) == 2
+    live_desc = next(iter(delta_snapshot(spark, table).dvs.values()))
+    for p in sidecars:
+        _os.utime(p, (1000, 1000))  # age everything out of retention
+    gone = vacuum_delta(spark, table, retention_hours=0)
+    # exactly one sidecar reclaimed, and not the live one
+    reclaimed_bins = [g for g in gone if g.endswith(".bin")]
+    assert len(reclaimed_bins) == 1
+    left = sorted(table.glob("deletion_vector_*.bin"))
+    assert len(left) == 1
+    from snapflow_spark.sources.deletion_vectors import _dv_sidecar_path
+
+    assert left[0] == _dv_sidecar_path(table, live_desc["pathOrInlineDv"])
+    assert {r.doc_id for r in read_delta(spark, table).collect()} == (
+        set(range(10)) - {1, 5}
+    )
