@@ -1102,6 +1102,14 @@ def write_iceberg(
     parent_id = (
         prev_meta.get("current-snapshot-id") if prev_meta else None
     )
+    # v2 tables (row-level deletes present) track data sequence
+    # numbers: this commit's files get the NEXT one, so earlier
+    # equality deletes can never reach rows written after them
+    new_seq = None
+    if prev_meta is not None and prev_meta.get(
+        "last-sequence-number"
+    ) is not None:
+        new_seq = int(prev_meta["last-sequence-number"]) + 1
     ml_name = f"snap-{snapshot_id}-manifest-list.avro"
     write_avro_file(
         md / ml_name,
@@ -1123,7 +1131,7 @@ def write_iceberg(
                 "manifest_length": (md / manifest_name).stat().st_size,
                 "partition_spec_id": 0,
                 "content": 0,
-                "sequence_number": None,
+                "sequence_number": new_seq,
                 "added_snapshot_id": snapshot_id,
             }
         ],
@@ -1160,7 +1168,11 @@ def write_iceberg(
         }
     )
     meta = {
-        "format-version": 1,
+        # a table upgraded to v2 (row-level deletes) STAYS v2 — and
+        # its sequence counter advances with this commit
+        "format-version": int(
+            (prev_meta or {}).get("format-version") or 1
+        ),
         "table-uuid": (
             prev_meta.get("table-uuid") if prev_meta else str(uuid.uuid4())
         ),
@@ -1175,6 +1187,8 @@ def write_iceberg(
         "current-snapshot-id": snapshot_id,
         "snapshots": snapshots,
     }
+    if new_seq is not None:
+        meta["last-sequence-number"] = new_seq
     tmp = md / f".v{version}.tmp"
     tmp.write_text(json.dumps(meta, indent=1))
     final = md / f"v{version}.metadata.json"
@@ -1597,7 +1611,33 @@ def delete_from_iceberg(
     part.rename(data / del_name)
     _shutil.rmtree(staging)
 
+    _publish_delete_snapshot(
+        table,
+        del_name,
+        int(n_deleted),
+        content=1,
+        summary={"deleted-position-deletes": str(int(n_deleted))},
+    )
+    return int(n_deleted)
+
+
+def _publish_delete_snapshot(
+    table: Path,
+    del_name: str,
+    record_count: int,
+    content: int,
+    summary: dict,
+    equality_ids: list[int] | None = None,
+) -> int:
+    """Publish a new snapshot adding ONE delete file (already sitting
+    at ``data/<del_name>``) behind a DELETE manifest: prior manifests
+    carry forward, the new manifest-list entry gets content=1 and the
+    next data sequence number, and the metadata moves to
+    format-version 2 with ``last-sequence-number``.  Shared by the
+    position-delete (content=1) and equality-delete (content=2,
+    ``equality_ids``) writers.  Returns the new snapshot id."""
     md = table / "metadata"
+    data = table / "data"
     meta = json.loads(_metadata_path(table).read_text())
     location = meta.get("location", str(table))
     cur = next(
@@ -1641,6 +1681,10 @@ def delete_from_iceberg(
                                   "fields": []}},
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": "equality_ids",
+                         "type": ["null", {"type": "array",
+                                           "items": "int"}],
+                         "default": None},
                     ],
                 },
             },
@@ -1648,6 +1692,9 @@ def delete_from_iceberg(
     }
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + 1
+    taken = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    while snapshot_id in taken:
+        snapshot_id += 1
     del_manifest = f"manifest-del-{uuid.uuid4().hex}.avro"
     write_avro_file(
         md / del_manifest,
@@ -1657,12 +1704,13 @@ def delete_from_iceberg(
                 "status": 1,
                 "sequence_number": new_seq,
                 "data_file": {
-                    "content": 1,  # POSITION deletes
+                    "content": content,
                     "file_path": f"{location}/data/{del_name}",
                     "file_format": "PARQUET",
                     "partition": {},
-                    "record_count": int(n_deleted),
+                    "record_count": int(record_count),
                     "file_size_in_bytes": (data / del_name).stat().st_size,
+                    "equality_ids": equality_ids,
                 },
             }
         ],
@@ -1728,10 +1776,7 @@ def delete_from_iceberg(
         {
             "snapshot-id": snapshot_id,
             "timestamp-ms": now_ms,
-            "summary": {
-                "operation": "delete",
-                "deleted-position-deletes": str(int(n_deleted)),
-            },
+            "summary": {"operation": "delete", **summary},
             "manifest-list": f"{location}/metadata/{ml_name}",
         }
     )
@@ -1746,7 +1791,67 @@ def delete_from_iceberg(
     ) as fh:
         fh.write(json.dumps(meta, indent=1))
     hint.write_text(str(version))
-    return int(n_deleted)
+    return snapshot_id
+
+
+def delete_iceberg_by_key(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    keys: DataFrame,
+) -> int:
+    """Row-level DELETE by KEY via a v2 EQUALITY-delete file — the
+    streaming-upsert shape (what Flink's Iceberg upsert sink writes):
+    ``keys`` is a DataFrame whose columns name the equality columns
+    and whose rows are the values to delete.  NO data file is
+    scanned: the keys land (deduplicated) in one delete parquet, a
+    DELETE manifest records their ``equality_ids``, and the new
+    snapshot's sequence number scopes the delete to data written
+    BEFORE it — rows appended afterwards survive even when matching,
+    exactly the read side's sequence semantics.  Cost is O(keys)
+    regardless of table size.  Returns the number of distinct keys
+    recorded (NOT the rows that will match — equality deletes are
+    resolved at read time)."""
+    table = Path(path)
+    meta = json.loads(_metadata_path(table).read_text())
+    fields_by_name = {
+        f["name"]: f for f in _raw_schema_fields(meta)
+    }
+    eq_ids: list[int] = []
+    for c in keys.columns:
+        f = fields_by_name.get(c)
+        if f is None or f.get("id") is None:
+            raise ValueError(
+                f"delete_iceberg_by_key: column {c!r} not in the "
+                f"table schema {sorted(fields_by_name)}"
+            )
+        eq_ids.append(int(f["id"]))
+    data = table / "data"
+    data.mkdir(parents=True, exist_ok=True)
+    staging = data / f".del-staging-{uuid.uuid4().hex}"
+    keys.dropDuplicates().repartition(1).sortWithinPartitions(
+        *keys.columns
+    ).write.parquet(str(staging))
+    import shutil as _shutil
+
+    import pyarrow.parquet as pq
+
+    part = next(Path(staging).glob("*.parquet"))
+    n_keys = pq.ParquetFile(part).metadata.num_rows
+    if n_keys == 0:
+        _shutil.rmtree(staging)
+        return 0
+    del_name = f"{uuid.uuid4().hex}-eq-deletes.parquet"
+    part.rename(data / del_name)
+    _shutil.rmtree(staging)
+    _publish_delete_snapshot(
+        table,
+        del_name,
+        int(n_keys),
+        content=2,  # EQUALITY deletes
+        summary={"equality-delete-keys": str(int(n_keys))},
+        equality_ids=eq_ids,
+    )
+    return int(n_keys)
 
 
 def iceberg_stream_sink(path: str | os.PathLike, app_id: str):

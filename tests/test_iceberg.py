@@ -1156,3 +1156,51 @@ def test_partitioned_export_and_pruning(spark, tmp_path):
             tmp_path / "bad",
             partition_by=["score"],
         )
+
+
+def test_delete_iceberg_by_key_equality(spark, tmp_path):
+    """delete_iceberg_by_key: equality deletes with NO data scan —
+    keys recorded at the next sequence number delete matching rows
+    written BEFORE, while rows appended AFTER survive (the read
+    side's sequence scoping, now produced by our own writer)."""
+    from snapflow_spark.sources.iceberg import delete_iceberg_by_key
+
+    table = tmp_path / "tbl"
+    write_iceberg(_df(spark, ROWS_V0), table)
+    n = delete_iceberg_by_key(
+        spark, table, spark.createDataFrame([("en",), ("en",)],
+                                            "lang string")
+    )
+    assert n == 1  # deduplicated keys
+    assert _rows(read_iceberg(spark, table)) == {(2, "gamma", "de")}
+    # rows appended AFTER the delete survive even when matching
+    write_iceberg(
+        _df(spark, [(7, "eta", "en")]), table, mode="append"
+    )
+    assert _rows(read_iceberg(spark, table)) == {
+        (2, "gamma", "de"), (7, "eta", "en")
+    }
+    # multi-column keys and null-safe matching
+    n2 = delete_iceberg_by_key(
+        spark, table,
+        spark.createDataFrame([(2, "de")], "doc_id bigint, lang string"),
+    )
+    assert n2 == 1
+    assert _rows(read_iceberg(spark, table)) == {(7, "eta", "en")}
+    # unknown column refuses
+    with pytest.raises(ValueError, match="not in"):
+        delete_iceberg_by_key(
+            spark, table, spark.createDataFrame([(1,)], "nope bigint")
+        )
+    # empty key set commits nothing
+    hint = (table / "metadata" / "version-hint.text").read_text()
+    assert delete_iceberg_by_key(
+        spark, table,
+        spark.createDataFrame([], "lang string"),
+    ) == 0
+    assert (table / "metadata" / "version-hint.text").read_text() == hint
+    # position + equality writers compose on one table
+    from snapflow_spark.sources.iceberg import delete_from_iceberg
+
+    assert delete_from_iceberg(spark, table, "doc_id = 7") == 1
+    assert _rows(read_iceberg(spark, table)) == set()
