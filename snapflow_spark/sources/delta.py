@@ -1010,9 +1010,33 @@ def delete_from_delta(
     responsibility as any manual partition predicate)."""
     table = Path(path)
     snap = delta_snapshot(spark, table)
+    actions, n_deleted = _dv_delete_plan(
+        spark, table, snap, condition, partition_filter,
+        min_max_filter, what="delete_from_delta",
+    )
+    if n_deleted == 0:
+        return 0
+    _commit_dv_actions(table, snap, actions)
+    return n_deleted
+
+
+def _dv_delete_plan(
+    spark: SparkSession,
+    table: Path,
+    snap: DeltaSnapshot,
+    condition,
+    partition_filter: dict | None,
+    min_max_filter: dict | None,
+    what: str,
+) -> tuple[list[dict], int]:
+    """The shared DV row-marking plan: scan the (pruned) live files,
+    find matching row indexes per file, and return the remove +
+    re-add-with-merged-DV actions plus the newly-deleted count —
+    delete_from_delta commits them as-is; update_delta appends its
+    rewritten-row adds first."""
     if snap.physical_names:
         raise NotImplementedError(
-            "delete_from_delta: column-mapped table — the predicate "
+            f"{what}: column-mapped table — the predicate "
             "scan and commit bookkeeping key physical names; "
             "unsupported (same scope as appends)"
         )
@@ -1029,7 +1053,7 @@ def delete_from_delta(
         for c, want in (partition_filter or {}).items():
             if c not in snap.partition_columns:
                 raise ValueError(
-                    f"delete_from_delta: partition_filter names "
+                    f"{what}: partition_filter names "
                     f"non-partition column {c!r}"
                 )
             got = pv.get(c)
@@ -1058,7 +1082,7 @@ def delete_from_delta(
         if _keep(pv) and _stats_keep(st)
     ]
     if not kept:
-        return 0
+        return [], 0
     uri_to_rel = {hadoop_file_uri(p): rel for rel, p, _pv, _st in kept}
     df = spark.read.schema(data_schema).parquet(
         *[p for _r, p, _pv, _st in kept]
@@ -1108,7 +1132,7 @@ def delete_from_delta(
         rel = uri_to_rel.get(row["__df_file"])
         if rel is None:
             raise RuntimeError(
-                f"delete_from_delta: scan reported unknown file "
+                f"{what}: scan reported unknown file "
                 f"{row['__df_file']!r}"
             )
         old_desc = snap.dvs.get(rel)
@@ -1136,8 +1160,14 @@ def delete_from_delta(
         if st is not None:
             add["stats"] = json.dumps(st, separators=(",", ":"))
         actions.append({"add": add})
-    if n_deleted == 0:
-        return 0
+    return actions, n_deleted
+
+
+def _commit_dv_actions(
+    table: Path, snap: DeltaSnapshot, actions: list[dict]
+) -> None:
+    """Publish one commit of DV-marking actions, upgrading the
+    protocol to 3/7 + deletionVectors when the table lacks it."""
     feats = set(snap.protocol.get("readerFeatures") or [])
     if "deletionVectors" not in feats:
         actions.insert(0, {
@@ -1155,7 +1185,86 @@ def delete_from_delta(
     with open(commit, "x", encoding="utf-8") as fh:
         for a in actions:
             fh.write(json.dumps(a, separators=(",", ":")) + "\n")
-    return n_deleted
+
+
+def update_delta(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    condition,
+    set_: dict,
+    partition_filter: dict | None = None,
+    min_max_filter: dict | None = None,
+) -> int:
+    """Row-level UPDATE — the modern delta-spark merge-on-read shape:
+    matching rows are marked dead in their files via deletion vectors
+    (no data file rewritten) and their UPDATED copies land in new
+    files, all in ONE atomic commit.  ``condition`` is a SQL
+    predicate string or Column; ``set_`` maps column name -> SQL
+    expression string or Column evaluated against the OLD row (so
+    ``{"price": "price * 1.1"}`` works).  Updates to partition
+    columns move rows to their new partition naturally — the
+    rewritten rows stage through the same hive-layout writer appends
+    use.  Returns the number of rows updated.
+
+    ``partition_filter`` / ``min_max_filter`` prune the file list
+    like delete_from_delta.  The rewritten-row source reads through
+    ``read_delta`` (single-relation plan, existing DVs applied), so
+    already-deleted rows can never resurrect as updated copies.
+    Column-mapped tables refuse (the append guard)."""
+    table = Path(path)
+    snap = delta_snapshot(spark, table)
+    fields = {f.name: f for f in snap.schema.fields}
+    bad = set(set_) - set(fields)
+    if bad:
+        raise ValueError(
+            f"update_delta: set_ names unknown columns {sorted(bad)}"
+        )
+    if not set_:
+        raise ValueError("update_delta: empty set_ — nothing to update")
+    actions, n = _dv_delete_plan(
+        spark, table, snap, condition, partition_filter,
+        min_max_filter, what="update_delta",
+    )
+    if n == 0:
+        return 0
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    src = read_delta(
+        spark,
+        table,
+        partition_filter=partition_filter,
+        min_max_filter=min_max_filter,
+    ).where(cond)
+    out_cols = [f.name for f in snap.schema.fields]
+    updated = src.select(
+        *[
+            (
+                (
+                    F.expr(set_[c])
+                    if isinstance(set_[c], str)
+                    else set_[c]
+                )
+                .cast(fields[c].dataType)
+                .alias(c)
+                if c in set_
+                else F.col(c)
+            )
+            for c in out_cols
+        ]
+    )
+    added = _stage_and_move(updated, table, snap.partition_columns)
+    for rel, pv, sz, mtime_ms, st in added:
+        add: dict = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": sz,
+            "modificationTime": mtime_ms,
+            "dataChange": True,
+        }
+        if st is not None:
+            add["stats"] = json.dumps(st, separators=(",", ":"))
+        actions.append({"add": add})
+    _commit_dv_actions(table, snap, actions)
+    return n
 
 
 def write_delta_checkpoint(

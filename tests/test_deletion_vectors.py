@@ -669,3 +669,66 @@ def test_vacuum_reclaims_replaced_dv_sidecars(spark, tmp_path):
     assert {r.doc_id for r in read_delta(spark, table).collect()} == (
         set(range(10)) - {1, 5}
     )
+
+
+def test_update_delta_end_to_end(spark, tmp_path):
+    """update_delta: matched rows die via DVs and their rewritten
+    copies land in new files in ONE commit — including partition
+    moves when the update touches a partition column; already-deleted
+    rows never resurrect as updated copies; CDF shows the
+    delete+insert pair."""
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        delta_snapshot,
+        read_delta,
+        read_delta_cdf,
+        update_delta,
+        write_delta,
+    )
+
+    table = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS).coalesce(1), table, partition_by=["lang"])
+    # prior delete: row 2 must NOT come back as an updated copy
+    assert delete_from_delta(spark, table, "doc_id = 2") == 1
+    n = update_delta(
+        spark, table, "doc_id % 2 = 0",
+        {"text": "concat(text, '!')"},
+    )
+    assert n == 4  # 0, 4, 6, 8 (2 already deleted)
+    got = _rows(read_delta(spark, table))
+    assert got == (
+        {(i, f"t{i}!", "en") for i in (0, 4, 6, 8)}
+        | {r for r in ROWS if r[0] % 2 == 1}
+    )
+    # exactly one commit for the update
+    assert delta_snapshot(spark, table).version == 2
+    # CDF: the update version shows deletes of old + inserts of new
+    ch = {
+        (r.doc_id, r.text, r._change_type)
+        for r in read_delta_cdf(spark, table, 2, 2).collect()
+    }
+    assert ch == (
+        {(i, f"t{i}", "delete") for i in (0, 4, 6, 8)}
+        | {(i, f"t{i}!", "insert") for i in (0, 4, 6, 8)}
+    )
+    # partition-moving update: lang flips -> the row lands in the
+    # other partition's files
+    n2 = update_delta(
+        spark, table, "doc_id = 1", {"lang": "'en'"}
+    )
+    assert n2 == 1
+    snap = delta_snapshot(spark, table)
+    moved = [
+        rel for rel, pv, _s, _st in snap.files if pv.get("lang") == "en"
+    ]
+    assert any("lang=en" in rel for rel in moved)
+    assert (1, "t1", "en") in _rows(read_delta(spark, table))
+    # guards
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_delta(spark, table, "doc_id = 0", {"nope": "'x'"})
+    with pytest.raises(ValueError, match="empty set_"):
+        update_delta(spark, table, "doc_id = 0", {})
+    # no-match: no commit
+    v = delta_snapshot(spark, table).version
+    assert update_delta(spark, table, "doc_id = 999", {"text": "'x'"}) == 0
+    assert delta_snapshot(spark, table).version == v
