@@ -792,14 +792,16 @@ def _distributed_file_stats(
 
 
 def _stage_and_move(
-    df: DataFrame, table: Path, partition_by: list[str]
+    df: DataFrame, table: Path, partition_by: list[str],
+    subdir: str = "",
 ) -> list[tuple[str, dict, int]]:
     """Write data files via Spark's parquet writer into a staging dir
     (hive ``col=val/`` layout for partitioned tables — Delta's own
-    file convention), then move each part file under the table root.
-    Returns (relative path, partitionValues, size, mtime_ms, stats)
-    per file; Spark's per-job UUID part names make the moves
-    collision-free."""
+    file convention), then move each part file under the table root
+    (or ``subdir`` below it — the ``_change_data`` CDC convention).
+    Returns (relative path INCLUDING subdir, partitionValues, size,
+    mtime_ms, stats) per file; Spark's per-job UUID part names make
+    the moves collision-free."""
     staging = table / f".staging-{uuid.uuid4().hex}"
     writer = df.write.mode("errorifexists")
     if partition_by:
@@ -813,13 +815,14 @@ def _stage_and_move(
             for seg in rel.parts[:-1]:
                 col, _, raw = seg.partition("=")
                 pv[col] = None if raw == _HIVE_NULL else unquote(raw)
-            target = table / rel
+            target = (table / subdir / rel) if subdir else (table / rel)
             target.parent.mkdir(parents=True, exist_ok=True)
             os.rename(p, target)
+            parts = ((subdir,) if subdir else ()) + rel.parts
             staged.append(
                 (
                     "/".join(
-                        quote(seg, safe="=") for seg in rel.parts
+                        quote(seg, safe="=") for seg in parts
                     ),
                     pv,
                     target,
@@ -1016,6 +1019,24 @@ def delete_from_delta(
     )
     if n_deleted == 0:
         return 0
+    if _cdf_enabled(snap):
+        # the CDF write side: the deleted rows land as authoritative
+        # change rows under _change_data/ (read through read_delta so
+        # existing DVs are already applied)
+        cond = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+        src = read_delta(
+            spark,
+            table,
+            partition_filter=partition_filter,
+            min_max_filter=min_max_filter,
+        ).where(cond)
+        actions += _stage_cdc_actions(
+            src.withColumn("_change_type", F.lit("delete")),
+            table,
+            snap.partition_columns,
+        )
     _commit_dv_actions(table, snap, actions)
     return n_deleted
 
@@ -1163,6 +1184,42 @@ def _dv_delete_plan(
     return actions, n_deleted
 
 
+def _cdf_enabled(snap: DeltaSnapshot) -> bool:
+    return (
+        str(
+            (snap.metadata.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", ""
+            )
+        ).lower()
+        == "true"
+    )
+
+
+def _stage_cdc_actions(
+    changes: DataFrame, table: Path, partition_by: list[str]
+) -> list[dict]:
+    """Stage change rows (data columns + ``_change_type``) under
+    ``_change_data/`` and return the commit's ``cdc`` actions — the
+    protocol's CDF write side.  Readers treat these as the
+    AUTHORITATIVE change rows for the commit (read_delta_cdf's
+    contract), so the caller emits them only when it also emits the
+    matching add/remove bookkeeping."""
+    staged = _stage_and_move(
+        changes, table, partition_by, subdir="_change_data"
+    )
+    return [
+        {
+            "cdc": {
+                "path": rel,
+                "partitionValues": pv,
+                "size": sz,
+                "dataChange": False,
+            }
+        }
+        for rel, pv, sz, _mt, _st in staged
+    ]
+
+
 def _commit_dv_actions(
     table: Path, snap: DeltaSnapshot, actions: list[dict]
 ) -> None:
@@ -1263,6 +1320,19 @@ def update_delta(
         if st is not None:
             add["stats"] = json.dumps(st, separators=(",", ":"))
         actions.append({"add": add})
+    if _cdf_enabled(snap):
+        # the CDF write side: pre/post images as authoritative change
+        # rows (delta's update_preimage/update_postimage pair)
+        changes = src.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            updated.withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+        actions += _stage_cdc_actions(
+            changes, table, snap.partition_columns
+        )
     _commit_dv_actions(table, snap, actions)
     return n
 

@@ -732,3 +732,55 @@ def test_update_delta_end_to_end(spark, tmp_path):
     v = delta_snapshot(spark, table).version
     assert update_delta(spark, table, "doc_id = 999", {"text": "'x'"}) == 0
     assert delta_snapshot(spark, table).version == v
+
+
+def test_cdf_write_side_cdc_actions(spark, tmp_path):
+    """CDF WRITE side: on a table with delta.enableChangeDataFeed,
+    delete_from_delta/update_delta emit cdc actions with _change_data
+    parquet — and read_delta_cdf treats them as the authoritative
+    change rows (delete; update_preimage/update_postimage)."""
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        read_delta_cdf,
+        update_delta,
+        write_delta,
+    )
+
+    table = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS).coalesce(1), table, partition_by=["lang"])
+    # flip the table property the way a writer would: new metaData
+    log = table / "_delta_log"
+    meta = json.loads(
+        [
+            ln
+            for ln in (log / f"{0:020d}.json").read_text().splitlines()
+            if '"metaData"' in ln
+        ][0]
+    )["metaData"]
+    meta["configuration"] = {"delta.enableChangeDataFeed": "true"}
+    (log / f"{1:020d}.json").write_text(
+        json.dumps({"metaData": meta}) + "\n"
+    )
+
+    assert delete_from_delta(spark, table, "doc_id = 4") == 1  # v2
+    assert (table / "_change_data").is_dir()
+    ch = {
+        (r.doc_id, r.text, r.lang, r._change_type)
+        for r in read_delta_cdf(spark, table, 2, 2).collect()
+    }
+    assert ch == {(4, "t4", "en", "delete")}
+
+    assert update_delta(
+        spark, table, "doc_id = 3", {"text": "'T3'"}
+    ) == 1  # v3
+    ch3 = {
+        (r.doc_id, r.text, r._change_type)
+        for r in read_delta_cdf(spark, table, 3, 3).collect()
+    }
+    assert ch3 == {
+        (3, "t3", "update_preimage"),
+        (3, "T3", "update_postimage"),
+    }
+    # the synthesized tier is NOT used for these commits (cdc rows
+    # are authoritative): no spurious full-file deletes/inserts
+    assert len(read_delta_cdf(spark, table, 2, 3).collect()) == 3
