@@ -551,6 +551,29 @@ def read_delta(
                 return False
         return True
 
+    kept: list[tuple[str, str, dict]] = []  # (rel, abs path, pv)
+    for rel, pv, _sz, st in snap.files:
+        if keep(pv) and stats_keep(st):
+            kept.append((rel, str(Path(snap.path) / rel), pv))
+    return _scan_live(spark, snap, kept)
+
+
+def _scan_live(
+    spark: SparkSession,
+    snap: DeltaSnapshot,
+    kept: list,
+) -> DataFrame:
+    """ONE parquet relation over the given live files ([(rel, abs
+    path, partitionValues)]) with deletion vectors applied and
+    partition columns re-attached — read_delta's body, reusable for
+    subsets (optimize_delta compacts exactly the files it names).
+    See read_delta's docstring for the plan-shape contract."""
+    phys = snap.physical_names
+    fields = {f.name: f for f in snap.schema.fields}
+
+    def P(c: str) -> str:
+        return phys.get(c, c) if phys else c
+
     data_fields = [
         f for f in snap.schema.fields
         if f.name not in snap.partition_columns
@@ -581,11 +604,6 @@ def read_delta(
                 for f in data_fields
             ]
         )
-    kept: list[tuple[str, str, dict]] = []  # (rel, abs path, pv)
-    for rel, pv, _sz, st in snap.files:
-        if keep(pv) and stats_keep(st):
-            kept.append((rel, str(Path(snap.path) / rel), pv))
-
     out_cols = [f.name for f in snap.schema.fields]
     if not kept:
         return spark.createDataFrame([], snap.schema)
@@ -1242,6 +1260,119 @@ def _commit_dv_actions(
     with open(commit, "x", encoding="utf-8") as fh:
         for a in actions:
             fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+
+
+def optimize_delta(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_filter: dict | None = None,
+) -> dict:
+    """OPTIMIZE — bin-pack small files and MATERIALIZE deletion
+    vectors, Delta's compaction maintenance op.  Per partition, files
+    smaller than ``target_file_bytes`` (or carrying a DV — compaction
+    purges DVs by rewriting only the live rows) are read back through
+    the single-relation scan and rewritten as fewer files; the commit
+    removes the compacted files and adds the replacements with
+    ``dataChange=false`` on BOTH sides, so CDF consumers see no
+    change rows (the protocol's OPTIMIZE convention, which
+    read_delta_cdf already honors).  Partitions with fewer than two
+    candidates and no DVs are left alone.  ``partition_filter``
+    restricts the maintenance to matching partitions.  Returns
+    ``{"files_removed": n, "files_added": m, "rows": k}``; a no-op
+    returns zeros without committing.
+
+    Old files stay on disk for time travel (vacuum reclaims them
+    after retention — including the now-unreferenced DV sidecars).
+    Column-mapped tables refuse (the append guard)."""
+    table = Path(path)
+    snap = delta_snapshot(spark, table)
+    if snap.physical_names:
+        raise NotImplementedError(
+            "optimize_delta: column-mapped table — the rewrite stages "
+            "logical-named parquet; unsupported (same scope as appends)"
+        )
+
+    def _keep(pv: dict) -> bool:
+        for c, want in (partition_filter or {}).items():
+            if c not in snap.partition_columns:
+                raise ValueError(
+                    f"optimize_delta: partition_filter names "
+                    f"non-partition column {c!r}"
+                )
+            got = pv.get(c)
+            if want is None:
+                if got is not None:
+                    return False
+            elif got is None or str(want) != got:
+                return False
+        return True
+
+    groups: dict[tuple, list] = {}
+    for rel, pv, sz, st in snap.files:
+        if _keep(pv):
+            key = tuple(pv.get(c) for c in snap.partition_columns)
+            groups.setdefault(key, []).append((rel, pv, sz))
+    victims: list[tuple[str, str, dict]] = []  # (rel, abs, pv)
+    for key, entries in groups.items():
+        cand = [
+            (rel, pv, sz)
+            for rel, pv, sz in entries
+            if sz < target_file_bytes or rel in snap.dvs
+        ]
+        if len(cand) < 2 and not any(
+            rel in snap.dvs for rel, _pv, _sz in cand
+        ):
+            continue
+        victims.extend(
+            (rel, str(table / rel), pv) for rel, pv, _sz in cand
+        )
+    if not victims:
+        return {"files_removed": 0, "files_added": 0, "rows": 0}
+    rows_df = _scan_live(spark, snap, victims)
+    if snap.partition_columns:
+        # one write task per partition -> one compacted file each
+        rows_df = rows_df.repartition(*snap.partition_columns)
+    else:
+        by_rel_sz = {rel: sz for rel, _pv, sz, _st in snap.files}
+        total = sum(by_rel_sz.get(rel, 0) for rel, _p, _pv in victims)
+        rows_df = rows_df.coalesce(
+            max(1, -(-total // int(target_file_bytes)))
+        )
+    added = _stage_and_move(rows_df, table, snap.partition_columns)
+    actions: list[dict] = []
+    for rel, _p, pv in sorted(victims):
+        actions.append(
+            {
+                "remove": {
+                    "path": quote(rel, safe="/="),
+                    "dataChange": False,
+                    "partitionValues": pv,
+                }
+            }
+        )
+    n_rows = 0
+    for rel, pv, sz, mtime_ms, st in added:
+        add: dict = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": sz,
+            "modificationTime": mtime_ms,
+            "dataChange": False,
+        }
+        if st is not None:
+            n_rows += int(st.get("numRecords") or 0)
+            add["stats"] = json.dumps(st, separators=(",", ":"))
+        actions.append({"add": add})
+    commit = _log_path(table) / f"{snap.version + 1:020d}.json"
+    with open(commit, "x", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return {
+        "files_removed": len(victims),
+        "files_added": len(added),
+        "rows": n_rows,
+    }
 
 
 def update_delta(

@@ -970,3 +970,53 @@ def test_column_mapping_id_mode_reads(spark, tmp_path):
     assert len(en.inputFiles()) == 1
     with pytest.raises(NotImplementedError, match="column-mapped"):
         write_delta(_df(spark, [(9, "x", "zz")]), table, mode="append")
+
+
+def test_optimize_delta_compacts_and_materializes_dvs(spark, tmp_path):
+    """optimize_delta: small files bin-pack per partition, DVs
+    materialize (rewritten files carry only live rows, descriptors
+    drop), content is row-identical, CDF sees NO change rows for the
+    optimize commit, and time travel still reads the pre-compaction
+    layout."""
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        delta_snapshot,
+        optimize_delta,
+        read_delta,
+        read_delta_cdf,
+    )
+
+    path = tmp_path / "tbl"
+    rows = [(i, f"t{i}", "en" if i % 2 == 0 else "de") for i in range(20)]
+    # many small files: 4 appends x 2 partitions
+    for k in range(4):
+        write_delta(
+            _df(spark, rows[k * 5:(k + 1) * 5]).repartition(2),
+            path,
+            partition_by=["lang"],
+        )
+    # a DV on top (round-14 delete writer)
+    assert delete_from_delta(spark, path, "doc_id = 7") == 1
+    before = _rows(read_delta(spark, path))
+    v_before = delta_snapshot(spark, path).version
+    n_files_before = len(delta_snapshot(spark, path).files)
+
+    out = optimize_delta(spark, path)
+    assert out["files_removed"] >= 2
+    snap = delta_snapshot(spark, path)
+    assert snap.version == v_before + 1
+    assert len(snap.files) < n_files_before
+    assert len(snap.files) == 2  # one compacted file per partition
+    assert snap.dvs == {}  # deletes materialized
+    assert _rows(read_delta(spark, path)) == before
+    # CDF: the optimize commit contributes zero change rows
+    assert read_delta_cdf(spark, path, snap.version, snap.version).count() == 0
+    # time travel to the pre-optimize version still works
+    assert _rows(read_delta(spark, path, version=v_before)) == before
+    # idempotent-ish: a second pass finds nothing worth doing
+    assert optimize_delta(spark, path) == {
+        "files_removed": 0, "files_added": 0, "rows": 0
+    }
+    # partition_filter guard
+    with pytest.raises(ValueError, match="non-partition"):
+        optimize_delta(spark, path, partition_filter={"text": "x"})
