@@ -998,7 +998,12 @@ def write_iceberg(
 
     ice_schema = _iceberg_schema(df.schema)
     last_column_id = len(df.schema.fields)
-    if prev_meta is not None and mode == "append":
+    if prev_meta is not None and (
+        mode == "append"
+        # overwrite with an IDENTICAL schema (compaction's shape)
+        # preserves ids too — only a schema-changing overwrite remaps
+        or _schema_from_metadata(prev_meta) == df.schema
+    ):
         # Reuse the TABLE's schema JSON verbatim: an externally
         # created table (schema evolution) can carry non-sequential
         # field ids, and prior manifests' lower/upper_bounds are keyed
@@ -1852,6 +1857,65 @@ def delete_iceberg_by_key(
         equality_ids=eq_ids,
     )
     return int(n_keys)
+
+
+def rewrite_iceberg_files(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compaction — Iceberg's ``rewrite_data_files`` maintenance op:
+    when the current snapshot carries row-level DELETE files, or more
+    than one data file smaller than ``target_file_bytes``, the live
+    rows are read back (deletes applied by the reader) and republished
+    as an OVERWRITE snapshot with fresh, delete-free manifests — the
+    merge-on-read debt is materialized.  Field ids are preserved (the
+    same-schema overwrite rule), the identity partition spec is kept,
+    and old snapshots stay time-travel readable until
+    ``expire_iceberg_snapshots`` reclaims them.  Non-identity
+    partition specs refuse (re-staging cannot reproduce a bucket/
+    temporal layout).  Returns ``{"files_before": n, "files_after":
+    m, "delete_files_removed": k}``; a no-op returns the current
+    counts without committing."""
+    table = Path(path)
+    snap = iceberg_snapshot(spark, table)
+    n_deletes = len(snap.position_deletes) + len(snap.equality_deletes)
+    part_names: list[str] = []
+    for name, transform in snap.partition_fields:
+        if transform != "identity":
+            raise NotImplementedError(
+                f"rewrite_iceberg_files: partition transform "
+                f"{transform!r} on {name!r} — re-staging only "
+                "reproduces identity specs"
+            )
+        part_names.append(name)
+    import pyarrow.parquet as pq
+
+    sizes = [Path(p).stat().st_size for p, _pv, _n, _bd in snap.files]
+    small = sum(1 for s in sizes if s < int(target_file_bytes))
+    if n_deletes == 0 and small < 2:
+        return {
+            "files_before": len(snap.files),
+            "files_after": len(snap.files),
+            "delete_files_removed": 0,
+        }
+    df = read_iceberg(spark, table)
+    if part_names:
+        df = df.repartition(*part_names)
+    else:
+        total = sum(sizes)
+        df = df.coalesce(max(1, -(-total // int(target_file_bytes))))
+    write_iceberg(
+        df, table, mode="overwrite",
+        partition_by=part_names or None,
+        extra_summary={"rewritten-data-files": str(len(snap.files))},
+    )
+    after = iceberg_snapshot(spark, table)
+    return {
+        "files_before": len(snap.files),
+        "files_after": len(after.files),
+        "delete_files_removed": n_deletes,
+    }
 
 
 def iceberg_stream_sink(path: str | os.PathLike, app_id: str):

@@ -1204,3 +1204,58 @@ def test_delete_iceberg_by_key_equality(spark, tmp_path):
 
     assert delete_from_iceberg(spark, table, "doc_id = 7") == 1
     assert _rows(read_iceberg(spark, table)) == set()
+
+
+def test_rewrite_iceberg_files_materializes_deletes(spark, tmp_path):
+    """rewrite_iceberg_files: the merge-on-read debt (position +
+    equality delete files) materializes into fresh delete-free
+    manifests; content row-identical; field ids preserved; old
+    snapshots still time-travel; second pass is a no-op."""
+    import json as _json
+
+    from snapflow_spark.sources.iceberg import (
+        delete_from_iceberg,
+        delete_iceberg_by_key,
+        rewrite_iceberg_files,
+    )
+
+    table = tmp_path / "tbl"
+    s0 = write_iceberg(_df(spark, ROWS_V0), table)
+    write_iceberg(_df(spark, ROWS_V1), table, mode="append")
+    assert delete_from_iceberg(spark, table, "doc_id = 0") == 1
+    assert delete_iceberg_by_key(
+        spark, table, spark.createDataFrame([("de",)], "lang string")
+    ) == 1
+    want = {(1, "beta", "en"), (3, "delta", "fr")}
+    assert _rows(read_iceberg(spark, table)) == want
+    md = table / "metadata"
+    ids_before = {
+        f["name"]: f["id"]
+        for f in _json.loads(
+            (md / f"v{(md / 'version-hint.text').read_text().strip()}.metadata.json").read_text()
+        )["schema"]["fields"]
+    }
+
+    out = rewrite_iceberg_files(spark, table)
+    assert out["delete_files_removed"] == 2
+    assert out["files_after"] <= out["files_before"]
+    snap = iceberg_snapshot(spark, table)
+    assert snap.position_deletes == [] and snap.equality_deletes == []
+    assert _rows(read_iceberg(spark, table)) == want
+    # field ids preserved through the same-schema overwrite
+    meta = _json.loads(
+        (md / f"v{(md / 'version-hint.text').read_text().strip()}.metadata.json").read_text()
+    )
+    assert {
+        f["name"]: f["id"] for f in meta["schema"]["fields"]
+    } == ids_before
+    # old snapshot still reads pre-delete state
+    assert _rows(read_iceberg(spark, table, snapshot_id=s0)) == set(ROWS_V0)
+    # compaction of a compact table is a no-op (no new snapshot)
+    n_snaps = len(meta["snapshots"])
+    out2 = rewrite_iceberg_files(spark, table)
+    assert out2["delete_files_removed"] == 0
+    meta2 = _json.loads(
+        (md / f"v{(md / 'version-hint.text').read_text().strip()}.metadata.json").read_text()
+    )
+    assert len(meta2["snapshots"]) == n_snaps
