@@ -825,9 +825,19 @@ def _stage_and_move(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(staging))
-    staged: list[tuple[str, dict, Path]] = []
     try:
-        for p in sorted(staging.rglob("*.parquet")):
+        all_parts = sorted(staging.rglob("*.parquet"))
+        stats = _distributed_file_stats(
+            df.sparkSession, [str(p) for p in all_parts]
+        )
+        out: list[tuple[str, dict, int, int, dict | None]] = []
+        for p in all_parts:
+            st = stats.get(str(p))
+            n_rows = (
+                int(st["numRecords"]) if st is not None else None
+            )
+            if n_rows == 0:
+                continue  # empty task output: never an add action
             rel = p.relative_to(staging)
             pv: dict = {}
             for seg in rel.parts[:-1]:
@@ -837,28 +847,14 @@ def _stage_and_move(
             target.parent.mkdir(parents=True, exist_ok=True)
             os.rename(p, target)
             parts = ((subdir,) if subdir else ()) + rel.parts
-            staged.append(
-                (
-                    "/".join(
-                        quote(seg, safe="=") for seg in parts
-                    ),
-                    pv,
-                    target,
-                )
-            )
-        stats = _distributed_file_stats(
-            df.sparkSession, [str(t) for _r, _pv, t in staged]
-        )
-        out: list[tuple[str, dict, int, int, dict | None]] = []
-        for rel_q, pv, target in staged:
-            st = target.stat()
+            fst = target.stat()
             out.append(
                 (
-                    rel_q,
+                    "/".join(quote(seg, safe="=") for seg in parts),
                     pv,
-                    st.st_size,
-                    int(st.st_mtime * 1000),
-                    stats.get(str(target)),
+                    fst.st_size,
+                    int(fst.st_mtime * 1000),
+                    st,
                 )
             )
     finally:
@@ -1890,6 +1886,12 @@ class DeltaStreamReader(DataSourceStreamReader):
                             )
                     elif "add" in action:
                         a = action["add"]
+                        if not a.get("dataChange", True):
+                            # compaction bookkeeping (OPTIMIZE):
+                            # rearranged rows are NOT new data —
+                            # streaming them would duplicate every
+                            # compacted row
+                            continue
                         if a.get("deletionVector"):
                             raise NotImplementedError(
                                 "delta stream: deletion vectors"

@@ -1020,3 +1020,27 @@ def test_optimize_delta_compacts_and_materializes_dvs(spark, tmp_path):
     # partition_filter guard
     with pytest.raises(ValueError, match="non-partition"):
         optimize_delta(spark, path, partition_filter={"text": "x"})
+
+
+def test_stream_skips_optimize_commits(spark, tmp_path):
+    """An OPTIMIZE commit (dataChange=false adds/removes) contributes
+    NOTHING to the append stream — rearranged rows are not new data;
+    streaming them would duplicate every compacted row."""
+    from snapflow_spark.sources.delta import optimize_delta
+
+    table = tmp_path / "tbl"
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    for k in range(3):  # three small files
+        write_delta(_df(spark, [ROWS_V0[k]]), table)
+    _run_stream_once(spark, table, out, ckpt)
+    assert _rows(spark.read.parquet(str(out))) == set(ROWS_V0)
+    res = optimize_delta(spark, table)
+    assert res["files_removed"] >= 3 and res["files_added"] == 1
+    # restart: the optimize commit adds zero rows to the stream
+    _run_stream_once(spark, table, out, ckpt)
+    got = spark.read.parquet(str(out))
+    assert got.count() == len(ROWS_V0)
+    # new data after the optimize still streams
+    write_delta(_df(spark, ROWS_V1), table, mode="append")
+    _run_stream_once(spark, table, out, ckpt)
+    assert _rows(spark.read.parquet(str(out))) == set(ROWS_V0) | set(ROWS_V1)
