@@ -290,13 +290,24 @@ def iceberg_snapshot(
     path: str | os.PathLike,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    ref: str | None = None,
 ) -> IcebergSnapshot:
-    if snapshot_id is not None and as_of_ms is not None:
+    if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
         raise ValueError(
-            "read_iceberg: pass snapshot_id= OR as_of_ms=, not both"
+            "read_iceberg: pass snapshot_id= OR as_of_ms= OR ref=, "
+            "not several"
         )
     table = Path(path)
     meta = json.loads(_metadata_path(table).read_text())
+    if ref is not None:
+        # v2 refs: named branches/tags in metadata["refs"]
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"read_iceberg: ref {ref!r} not in the table's refs "
+                f"{sorted(refs)}"
+            )
+        snapshot_id = int(refs[ref]["snapshot-id"])
     fv = int(meta.get("format-version", 1))
     if fv > 2:
         raise NotImplementedError(
@@ -501,6 +512,7 @@ def read_iceberg(
     partition_filter: dict | None = None,
     min_max_filter: dict | None = None,
     as_of_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg-layout table.  ``snapshot_id=`` time-travels;
     ``as_of_ms=`` time-travels by time (the newest snapshot whose
@@ -518,6 +530,8 @@ def read_iceberg(
     contract).  Temporal probes accept date/datetime, ISO strings, or
     the internal int forms.  Unknown transforms (``void``, future
     spec additions) raise.
+    ``ref=`` time-travels by NAMED REF (v2 branches/tags in the
+    metadata's ``refs`` map — see ``tag_iceberg_snapshot``).
     ``min_max_filter={col: (lo, hi)}`` prunes on the manifests'
     lower/upper_bounds (the spec's single-value binary serialization,
     decoded for int/long/float/double/string): a file is dropped only
@@ -525,7 +539,8 @@ def read_iceberg(
     bounds are always kept — skipping is an optimization, never a
     filter (the same contract as read_delta)."""
     snap = iceberg_snapshot(
-        spark, path, snapshot_id=snapshot_id, as_of_ms=as_of_ms
+        spark, path, snapshot_id=snapshot_id, as_of_ms=as_of_ms,
+        ref=ref,
     )
     expected: dict = {}  # partition-field name -> transformed probe
     if partition_filter:
@@ -1172,6 +1187,8 @@ def write_iceberg(
             "manifest-list": f"{location}/metadata/{ml_name}",
         }
     )
+    refs = dict((prev_meta or {}).get("refs") or {})
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
     meta = {
         # a table upgraded to v2 (row-level deletes) STAYS v2 — and
         # its sequence counter advances with this commit
@@ -1191,6 +1208,7 @@ def write_iceberg(
         "properties": {},
         "current-snapshot-id": snapshot_id,
         "snapshots": snapshots,
+        "refs": refs,
     }
     if new_seq is not None:
         meta["last-sequence-number"] = new_seq
@@ -1458,6 +1476,69 @@ def _snapshot_file_refs(
     return meta_files, data_files
 
 
+def tag_iceberg_snapshot(
+    path: str | os.PathLike,
+    name: str,
+    snapshot_id: int | None = None,
+    kind: str = "tag",
+) -> None:
+    """Create or move a NAMED REF (v2 ``refs``): a ``tag`` pins a
+    snapshot forever (until the ref is dropped), a ``branch`` names a
+    movable head.  ``snapshot_id=None`` refs the current snapshot.
+    Readers resolve refs with ``read_iceberg(ref=...)``;
+    ``expire_iceberg_snapshots`` never expires a snapshot a ref
+    names.  Publishing is a new metadata version (the same
+    create-exclusive contract as commits)."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"tag_iceberg_snapshot: kind {kind!r}")
+    table = Path(path)
+    md = table / "metadata"
+    meta = json.loads(_metadata_path(table).read_text())
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta["current-snapshot-id"])
+    )
+    have = {int(s["snapshot-id"]) for s in meta.get("snapshots", [])}
+    if sid not in have:
+        raise ValueError(
+            f"tag_iceberg_snapshot: snapshot {sid} not in the table "
+            f"(have {sorted(have)})"
+        )
+    refs = dict(meta.get("refs") or {})
+    refs[str(name)] = {"snapshot-id": sid, "type": kind}
+    meta["refs"] = refs
+    hint = md / "version-hint.text"
+    version = int(hint.read_text().strip()) + 1
+    with open(
+        md / f"v{version}.metadata.json", "x", encoding="utf-8"
+    ) as fh:
+        fh.write(json.dumps(meta, indent=1))
+    hint.write_text(str(version))
+
+
+def drop_iceberg_ref(path: str | os.PathLike, name: str) -> None:
+    """Remove a named ref (the tag/branch retention it carried ends —
+    the next expire may reclaim the snapshot)."""
+    table = Path(path)
+    md = table / "metadata"
+    meta = json.loads(_metadata_path(table).read_text())
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(
+            f"drop_iceberg_ref: ref {name!r} not in {sorted(refs)}"
+        )
+    del refs[name]
+    meta["refs"] = refs
+    hint = md / "version-hint.text"
+    version = int(hint.read_text().strip()) + 1
+    with open(
+        md / f"v{version}.metadata.json", "x", encoding="utf-8"
+    ) as fh:
+        fh.write(json.dumps(meta, indent=1))
+    hint.write_text(str(version))
+
+
 def expire_iceberg_snapshots(
     spark: SparkSession,
     path: str | os.PathLike,
@@ -1492,6 +1573,11 @@ def expire_iceberg_snapshots(
     location = meta.get("location", "")
     snaps = list(meta.get("snapshots", []))
     current = meta.get("current-snapshot-id")
+    ref_pinned = {
+        int(r.get("snapshot-id"))
+        for r in (meta.get("refs") or {}).values()
+        if r.get("snapshot-id") is not None
+    }
     keep: list[dict] = []
     expired: list[dict] = []
     for i, s in enumerate(snaps):
@@ -1499,7 +1585,8 @@ def expire_iceberg_snapshots(
         too_old = older_than_ms is None or (
             int(s.get("timestamp-ms") or 0) <= int(older_than_ms)
         )
-        if s["snapshot-id"] == current or is_tail or not too_old:
+        pinned = int(s["snapshot-id"]) in ref_pinned  # tags/branches
+        if s["snapshot-id"] == current or is_tail or not too_old or pinned:
             keep.append(s)
         else:
             expired.append(s)
@@ -1786,6 +1873,9 @@ def _publish_delete_snapshot(
         }
     )
     meta["current-snapshot-id"] = snapshot_id
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
     meta["format-version"] = 2  # delete files are a v2 feature
     meta["last-sequence-number"] = new_seq
     meta["last-updated-ms"] = now_ms

@@ -614,7 +614,7 @@ def test_as_of_ms_time_travel(spark, tmp_path):
     ) | set(ROWS_V1)
     with pytest.raises(ValueError, match="no snapshot at or before"):
         read_iceberg(spark, path, as_of_ms=999)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="not several"):
         read_iceberg(spark, path, snapshot_id=s1, as_of_ms=1500)
 
 
@@ -1259,3 +1259,56 @@ def test_rewrite_iceberg_files_materializes_deletes(spark, tmp_path):
         (md / f"v{(md / 'version-hint.text').read_text().strip()}.metadata.json").read_text()
     )
     assert len(meta2["snapshots"]) == n_snaps
+
+
+def test_refs_tags_branches(spark, tmp_path):
+    """v2 named refs: writers maintain the main branch, tags pin
+    snapshots against expiry, read_iceberg(ref=) resolves, dropped
+    refs release the pin."""
+    import json as _json
+
+    from snapflow_spark.sources.iceberg import (
+        drop_iceberg_ref,
+        expire_iceberg_snapshots,
+        tag_iceberg_snapshot,
+    )
+
+    table = tmp_path / "tbl"
+    s0 = write_iceberg(_df(spark, ROWS_V0), table)
+    tag_iceberg_snapshot(table, "v1.0")  # tag the current snapshot
+    s1 = write_iceberg(_df(spark, ROWS_V1), table, mode="overwrite")
+    s2 = write_iceberg(
+        _df(spark, [(9, "omega", "zz")]), table, mode="overwrite"
+    )
+    # ref resolution
+    assert _rows(read_iceberg(spark, table, ref="v1.0")) == set(ROWS_V0)
+    assert _rows(read_iceberg(spark, table, ref="main")) == {
+        (9, "omega", "zz")
+    }
+    md = table / "metadata"
+    meta = _json.loads(
+        (md / f"v{(md / 'version-hint.text').read_text().strip()}.metadata.json").read_text()
+    )
+    assert meta["refs"]["main"]["snapshot-id"] == s2
+    assert meta["refs"]["v1.0"] == {"snapshot-id": s0, "type": "tag"}
+    with pytest.raises(ValueError, match="not in the table's refs"):
+        read_iceberg(spark, table, ref="nope")
+    with pytest.raises(ValueError, match="not several"):
+        read_iceberg(spark, table, ref="main", snapshot_id=s1)
+    # expire: the TAGGED snapshot survives keep_last=1; s1 reclaims
+    gone = expire_iceberg_snapshots(spark, table, keep_last=1)
+    assert gone  # something reclaimed (s1's files)
+    assert _rows(read_iceberg(spark, table, ref="v1.0")) == set(ROWS_V0)
+    with pytest.raises(ValueError, match="not in metadata"):
+        read_iceberg(spark, table, snapshot_id=s1)
+    # dropping the tag releases the pin: next expire reclaims s0
+    drop_iceberg_ref(table, "v1.0")
+    gone2 = expire_iceberg_snapshots(spark, table, keep_last=1)
+    assert gone2
+    with pytest.raises(ValueError, match="not in metadata"):
+        read_iceberg(spark, table, snapshot_id=s0)
+    assert _rows(read_iceberg(spark, table)) == {(9, "omega", "zz")}
+    with pytest.raises(ValueError, match="not in"):
+        drop_iceberg_ref(table, "v1.0")
+    with pytest.raises(ValueError, match="snapshot 12345"):
+        tag_iceberg_snapshot(table, "x", snapshot_id=12345)
