@@ -868,6 +868,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> int | None:
     """Export a DataFrame as one Delta commit; returns the committed
     version.  ``append`` adds files; ``overwrite`` also tombstones
@@ -880,6 +881,13 @@ def write_delta(
     table already records a txn for ``app_id`` at or past ``version``
     the write is skipped and None returned — the exactly-once
     contract streaming sinks key on (see ``delta_stream_sink``).
+
+    ``merge_schema=True`` (delta-spark's mergeSchema) lets an append
+    ADD new nullable columns: the commit carries a widened metaData
+    whose schema is the table's columns followed by the new ones, and
+    readers return nulls for the new columns in pre-evolution files
+    (the parquet missing-column rule).  Dropping or retyping existing
+    columns still refuses — that is an overwrite.
 
     The commit publish is ``open(log/N.json, 'x')`` — atomic against
     local concurrent writers (loser gets FileExistsError, retries on
@@ -917,12 +925,27 @@ def write_delta(
                 "use mode='overwrite' (drops the mapping) or export "
                 "to a fresh table"
             )
-        if json.loads(snap.metadata["schemaString"]) != json.loads(
-            df.schema.json()
+        table_schema = StructType.fromJson(
+            json.loads(snap.metadata["schemaString"])
+        )
+        if [ (f.name, f.dataType) for f in table_schema.fields ] != [
+            (f.name, f.dataType)
+            for f in df.schema.fields[: len(table_schema.fields)]
+        ] or (
+            len(df.schema.fields) != len(table_schema.fields)
+            and not merge_schema
         ):
+            if merge_schema:
+                raise ValueError(
+                    "write_delta: merge_schema appends may only ADD "
+                    "columns after the table's existing ones — "
+                    f"table {[f.name for f in table_schema.fields]}, "
+                    f"append {[f.name for f in df.schema.fields]}"
+                )
             raise ValueError(
                 "write_delta: append schema differs from the table "
-                "schema; use mode='overwrite' to replace it"
+                "schema; use mode='overwrite' to replace it, or "
+                "merge_schema=True to add new nullable columns"
             )
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
@@ -958,6 +981,34 @@ def write_delta(
                     "schemaString": df.schema.json(),
                     "partitionColumns": partition_by,
                     "configuration": {},
+                }
+            }
+        )
+    elif merge_schema and json.loads(
+        snap.metadata["schemaString"]
+    ) != json.loads(df.schema.json()):
+        # schema evolution: widened metaData rides the append commit;
+        # new columns are forced nullable (pre-evolution files return
+        # null for them)
+        widened = StructType(
+            [
+                StructField(f.name, f.dataType, f.nullable)
+                for f in df.schema.fields[
+                    : len(json.loads(snap.metadata["schemaString"])["fields"])
+                ]
+            ]
+            + [
+                StructField(f.name, f.dataType, True)
+                for f in df.schema.fields[
+                    len(json.loads(snap.metadata["schemaString"])["fields"]):
+                ]
+            ]
+        )
+        actions.append(
+            {
+                "metaData": {
+                    **snap.metadata,
+                    "schemaString": widened.json(),
                 }
             }
         )

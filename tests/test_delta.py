@@ -1044,3 +1044,61 @@ def test_stream_skips_optimize_commits(spark, tmp_path):
     write_delta(_df(spark, ROWS_V1), table, mode="append")
     _run_stream_once(spark, table, out, ckpt)
     assert _rows(spark.read.parquet(str(out))) == set(ROWS_V0) | set(ROWS_V1)
+
+
+def test_merge_schema_append_evolution(spark, tmp_path):
+    """write_delta(merge_schema=True): appends may ADD nullable
+    columns — the commit carries a widened metaData, old files read
+    back with nulls for the new columns, time travel sees the old
+    schema, and drops/retypes still refuse."""
+    from snapflow_spark.sources.delta import delta_snapshot
+
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path)
+    evolved = spark.createDataFrame(
+        [(10, "zeta", "fr", 0.9)],
+        "doc_id bigint, text string, lang string, score double",
+    )
+    # without the flag: refusal names the escape hatches
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta(evolved, path, mode="append")
+    v = write_delta(evolved, path, mode="append", merge_schema=True)
+    assert v == 1
+    got = read_delta(spark, path)
+    assert [f.name for f in got.schema.fields] == [
+        "doc_id", "text", "lang", "score"
+    ]
+    rows = {(r.doc_id, r.text, r.lang, r.score) for r in got.collect()}
+    assert rows == {(d, t, lg, None) for d, t, lg in ROWS_V0} | {
+        (10, "zeta", "fr", 0.9)
+    }
+    # the new column is nullable in the evolved schema
+    snap = delta_snapshot(spark, path)
+    assert snap.schema["score"].nullable
+    # time travel to v0 shows the ORIGINAL schema
+    v0 = read_delta(spark, path, version=0)
+    assert [f.name for f in v0.schema.fields] == ["doc_id", "text", "lang"]
+    # later appends with the evolved schema need no flag
+    write_delta(
+        spark.createDataFrame(
+            [(11, "eta", "de", 0.1)],
+            "doc_id bigint, text string, lang string, score double",
+        ),
+        path,
+        mode="append",
+    )
+    assert read_delta(spark, path).count() == 5
+    # dropping or retyping existing columns still refuses
+    with pytest.raises(ValueError, match="ADD columns"):
+        write_delta(
+            spark.createDataFrame([(1, "x")], "doc_id bigint, text string"),
+            path, mode="append", merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="ADD columns"):
+        write_delta(
+            spark.createDataFrame(
+                [("1", "x", "en", 0.2)],
+                "doc_id string, text string, lang string, score double",
+            ),
+            path, mode="append", merge_schema=True,
+        )
