@@ -845,6 +845,7 @@ def write_iceberg(
     mode: str = "append",
     extra_summary: dict | None = None,
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Export a DataFrame as one Iceberg format-version-1 commit;
     returns the new snapshot id.  ``append`` keeps previous manifests
@@ -881,13 +882,26 @@ def write_iceberg(
         raise FileExistsError(
             f"write_iceberg: Iceberg table already exists at {table}"
         )
+    evolving = False
     if prev_meta is not None:
         prev_schema = _schema_from_metadata(prev_meta)
         if mode == "append" and prev_schema != df.schema:
-            raise ValueError(
-                "write_iceberg: append schema differs from the table "
-                "schema; use mode='overwrite' to replace it"
-            )
+            prefix_ok = [
+                (f.name, f.dataType) for f in prev_schema.fields
+            ] == [
+                (f.name, f.dataType)
+                for f in df.schema.fields[: len(prev_schema.fields)]
+            ]
+            if not (merge_schema and prefix_ok):
+                raise ValueError(
+                    "write_iceberg: append schema differs from the "
+                    "table schema; use mode='overwrite' to replace "
+                    "it, or merge_schema=True to add new columns"
+                    if not merge_schema
+                    else "write_iceberg: merge_schema appends may "
+                    "only ADD columns after the table's existing ones"
+                )
+            evolving = True
     part_by = list(partition_by or [])
     if prev_meta is not None and mode == "append":
         existing = _default_spec(prev_meta)
@@ -1024,20 +1038,30 @@ def write_iceberg(
         # field ids, and prior manifests' lower/upper_bounds are keyed
         # by those ids — regenerating 1..n would remap them and make
         # min_max_filter decode bounds against the wrong columns.
-        # Name/type/nullability equality was checked above, so the
-        # only thing this preserves is the id mapping.
+        # Name/type equality of the shared prefix was checked above,
+        # so the only thing this preserves is the id mapping; a
+        # merge_schema append assigns FRESH ids past last-column-id
+        # to its new columns (Iceberg's never-reuse-ids rule).
+        prev_fields = _raw_schema_fields(prev_meta)
+        last_column_id = max(
+            int(prev_meta.get("last-column-id", 0) or 0),
+            max((int(f["id"]) for f in prev_fields), default=0),
+        )
+        new_fields = list(prev_fields)
+        if evolving:
+            fresh = _iceberg_schema(
+                T.StructType(df.schema.fields[len(prev_fields):])
+            )["fields"]
+            for f in fresh:
+                last_column_id += 1
+                new_fields.append(
+                    {**f, "id": last_column_id, "required": False}
+                )
         ice_schema = {
             "type": "struct",
             "schema-id": 0,
-            "fields": _raw_schema_fields(prev_meta),
+            "fields": new_fields,
         }
-        last_column_id = max(
-            int(prev_meta.get("last-column-id", 0) or 0),
-            max(
-                (int(f["id"]) for f in ice_schema["fields"]),
-                default=0,
-            ),
-        )
     ice_fields = ice_schema["fields"]
 
     def _file_bounds(st: dict | None) -> tuple:

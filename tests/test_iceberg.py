@@ -1312,3 +1312,51 @@ def test_refs_tags_branches(spark, tmp_path):
         drop_iceberg_ref(table, "v1.0")
     with pytest.raises(ValueError, match="snapshot 12345"):
         tag_iceberg_snapshot(table, "x", snapshot_id=12345)
+
+
+def test_merge_schema_append_evolution(spark, tmp_path):
+    """write_iceberg(merge_schema=True): added columns get FRESH
+    field ids past last-column-id (Iceberg's never-reuse rule),
+    existing ids stay put, old files read back with nulls for the new
+    columns, and drops/retypes refuse."""
+    import json as _json
+
+    table = tmp_path / "tbl"
+    write_iceberg(_df(spark, ROWS_V0), table)
+    evolved = spark.createDataFrame(
+        [(10, "zeta", "fr", 0.9)],
+        "doc_id bigint, text string, lang string, score double",
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_iceberg(evolved, table, mode="append")
+    write_iceberg(evolved, table, mode="append", merge_schema=True)
+    got = read_iceberg(spark, table)
+    assert [f.name for f in got.schema.fields] == [
+        "doc_id", "text", "lang", "score"
+    ]
+    rows = {(r.doc_id, r.text, r.lang, r.score) for r in got.collect()}
+    assert rows == {(d, t, lg, None) for d, t, lg in ROWS_V0} | {
+        (10, "zeta", "fr", 0.9)
+    }
+    md = table / "metadata"
+    meta = _json.loads(
+        (md / f"v{(md / 'version-hint.text').read_text().strip()}.metadata.json").read_text()
+    )
+    ids = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    assert ids == {"doc_id": 1, "text": 2, "lang": 3, "score": 4}
+    assert meta["last-column-id"] == 4
+    # evolved-schema appends need no flag now
+    write_iceberg(
+        spark.createDataFrame(
+            [(11, "eta", "de", 0.1)],
+            "doc_id bigint, text string, lang string, score double",
+        ),
+        table,
+        mode="append",
+    )
+    assert read_iceberg(spark, table).count() == 5
+    with pytest.raises(ValueError, match="ADD columns"):
+        write_iceberg(
+            spark.createDataFrame([(1, "x")], "doc_id bigint, text string"),
+            table, mode="append", merge_schema=True,
+        )
