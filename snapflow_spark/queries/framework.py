@@ -531,49 +531,20 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_delta(spark, delta_dir, version=0), "delta_v0"
     )
     # 'delta_dv' branch (round 13): deletion vectors driver-grade —
-    # a separate single-file copy of nation gets commit v1 re-adding
-    # its data file with a DV naming the row indexes of every
-    # n_nationkey % 3 == 0 row.  Indexes resolve through the SAME
-    # _metadata.row_index column the reader filters on, so the
-    # assertion is logical (the oracle replays `% 3 != 0`) while the
-    # bytes exercise the full Z85 + roaring + CRC sidecar machinery.
-    import json as _json
-
-    from snapflow_spark.sources.delta import delta_snapshot
-    from snapflow_spark.sources.deletion_vectors import write_dv_file
+    # a separate single-file copy of nation loses every
+    # n_nationkey % 3 == 0 row to a DELETE, and the oracle replays
+    # `% 3 != 0` — the bytes exercise the full Z85 + roaring + CRC
+    # sidecar machinery on both sides.
+    # round 14: the commit comes from delete_from_delta — the DV
+    # WRITER (one scan + per-file aggregate, merged bitmaps, protocol
+    # upgrade) is now driver-grade too, not just the decoder
+    from snapflow_spark.sources.delta import delete_from_delta
 
     dv_dir = _SCRATCH / "delta_dv_roundtrip"
     shutil.rmtree(dv_dir, ignore_errors=True)
     write_delta(nation3.coalesce(1), dv_dir)
-    dv_snap = delta_snapshot(spark, dv_dir)
-    (dv_rel, dv_pv, dv_sz, dv_st) = dv_snap.files[0]
-    import pyarrow.parquet as _pq
-
-    # one bounded driver read of the 25-row dim file: row index ==
-    # position in file order, the same ordinal _metadata.row_index
-    # exposes to the reader's anti-join
-    dv_idx = [
-        i
-        for i, k in enumerate(
-            _pq.read_table(
-                str(dv_dir / dv_rel), columns=["n_nationkey"]
-            ).column("n_nationkey").to_pylist()
-        )
-        if k % 3 == 0
-    ]
-    dv_add = {
-        "path": dv_rel,
-        "partitionValues": dv_pv,
-        "size": dv_sz,
-        "modificationTime": 0,
-        "dataChange": True,
-        "deletionVector": write_dv_file(dv_dir, dv_idx),
-    }
-    if dv_st:
-        dv_add["stats"] = _json.dumps(dv_st, separators=(",", ":"))
-    (dv_dir / "_delta_log" / f"{1:020d}.json").write_text(
-        _json.dumps({"add": dv_add}) + "\n"
-    )
+    n_dv = delete_from_delta(spark, dv_dir, "n_nationkey % 3 = 0")
+    assert n_dv > 0, "delta_dv fixture: the delete matched nothing"
     from_delta_dv = _tag(read_delta(spark, dv_dir), "delta_dv")
     # 'iceberg' branches (round 13): the v1 export twin writes two
     # snapshots (s0 = full table, s1 appends a shifted copy:
@@ -603,315 +574,54 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from_ice_s0 = _tag(
         read_iceberg(spark, ice_dir, snapshot_id=s0), "iceberg_s0"
     )
-    # 'iceberg_pdel' branch (round 13): v2 position deletes
-    # driver-grade — the SAME table gains a hand-published s2 whose
-    # manifest list re-lists s1's data manifests PLUS a DELETE
-    # manifest pointing at a (file_path, pos) parquet naming every
-    # n_nationkey % 4 == 1 row of the s0 files.  Positions resolve
-    # through the same _metadata.row_index the reader anti-joins on;
-    # the oracle replays the logical delete; reading LATEST exercises
-    # the delete snapshot.
-    from snapflow_spark.functions.avro_codec import (
-        read_avro_file,
-        write_avro_file,
-    )
-    from snapflow_spark.sources.iceberg import iceberg_snapshot
+    # 'iceberg_pdel' branch: v2 position deletes driver-grade.
+    # round 14: the delete snapshot comes from delete_from_iceberg —
+    # the position-delete WRITER (distributed sorted (file_path, pos)
+    # delete parquet + DELETE manifest + v2 metadata) is driver-grade
+    # too.  `< 100` scopes the delete to the base rows; the shifted
+    # copy (keys +100) stays whole, exactly what the oracle replays.
+    from snapflow_spark.sources.iceberg import delete_from_iceberg
 
     pdel_dir = ice_dir
-    psnap = iceberg_snapshot(spark, pdel_dir, snapshot_id=s0)
-    del_rows = [
-        (psnap.file_uris.get(p, p), i)
-        for p, _pv, _n, _bd in psnap.files
-        for i, k in enumerate(
-            _pq.read_table(p, columns=["n_nationkey"])
-            .column("n_nationkey")
-            .to_pylist()  # 25-row dim, bounded by construction
-        )
-        if k % 4 == 1
-    ]
-    import pyarrow as _pa
-
-    pd_file = pdel_dir / "data" / "pos-deletes.parquet"
-    _pq.write_table(
-        _pa.table(
-            {
-                "file_path": [fp for fp, _i in del_rows],
-                "pos": _pa.array(
-                    [i for _fp, i in del_rows], type=_pa.int64()
-                ),
-            }
-        ),
-        pd_file,
+    n_pdel = delete_from_iceberg(
+        spark, pdel_dir, "n_nationkey % 4 = 1 AND n_nationkey < 100"
     )
-    pdel_md = pdel_dir / "metadata"
-    entry_schema = {
-        "type": "record",
-        "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int"},
-            {
-                "name": "data_file",
-                "type": {
-                    "type": "record",
-                    "name": "r2",
-                    "fields": [
-                        {"name": "content", "type": "int"},
-                        {"name": "file_path", "type": "string"},
-                        {"name": "file_format", "type": "string"},
-                        {
-                            "name": "partition",
-                            "type": {
-                                "type": "record",
-                                "name": "r102",
-                                "fields": [],
-                            },
-                        },
-                        {"name": "record_count", "type": "long"},
-                        {"name": "file_size_in_bytes", "type": "long"},
-                    ],
-                },
-            },
-        ],
-    }
-    write_avro_file(
-        pdel_md / "m-deletes.avro",
-        entry_schema,
-        [
-            {
-                "status": 1,
-                "data_file": {
-                    "content": 1,
-                    "file_path": f"{pdel_dir}/data/pos-deletes.parquet",
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": len(del_rows),
-                    "file_size_in_bytes": pd_file.stat().st_size,
-                },
-            }
-        ],
-    )
-    hint = int((pdel_md / "version-hint.text").read_text().strip())
-    pmeta = _json.loads(
-        (pdel_md / f"v{hint}.metadata.json").read_text()
-    )
-    cur = next(
-        s
-        for s in pmeta["snapshots"]
-        if s["snapshot-id"] == pmeta["current-snapshot-id"]
-    )
-    _, ml_entries = read_avro_file(
-        pdel_md / Path(cur["manifest-list"]).name
-    )
-    ml_schema = {
-        "type": "record",
-        "name": "manifest_file",
-        "fields": [
-            {"name": "manifest_path", "type": "string"},
-            {"name": "manifest_length", "type": "long"},
-            {"name": "partition_spec_id", "type": "int"},
-            {"name": "content", "type": "int"},
-        ],
-    }
-    s2_id = max(s["snapshot-id"] for s in pmeta["snapshots"]) + 1
-    write_avro_file(
-        pdel_md / f"snap-{s2_id}-ml.avro",
-        ml_schema,
-        [
-            {
-                "manifest_path": e["manifest_path"],
-                "manifest_length": e["manifest_length"],
-                "partition_spec_id": 0,
-                "content": 0,
-            }
-            for e in ml_entries
-        ]
-        + [
-            {
-                "manifest_path": str(pdel_md / "m-deletes.avro"),
-                "manifest_length": (
-                    pdel_md / "m-deletes.avro"
-                ).stat().st_size,
-                "partition_spec_id": 0,
-                "content": 1,
-            }
-        ],
-    )
-    pmeta["snapshots"].append(
-        {
-            "snapshot-id": s2_id,
-            "timestamp-ms": int(cur.get("timestamp-ms") or 0) + 1,
-            "summary": {"operation": "overwrite"},
-            "manifest-list": str(pdel_md / f"snap-{s2_id}-ml.avro"),
-        }
-    )
-    pmeta["current-snapshot-id"] = s2_id
-    (pdel_md / f"v{hint + 1}.metadata.json").write_text(
-        _json.dumps(pmeta)
-    )
-    (pdel_md / "version-hint.text").write_text(str(hint + 1))
+    assert n_pdel > 0, "iceberg_pdel fixture: the delete matched nothing"
     from_ice_pdel = _tag(read_iceberg(spark, pdel_dir), "iceberg_pdel")
     # 'iceberg_edel' branch (round 14): v2 EQUALITY DELETES with
-    # sequence scoping driver-grade — a hand-published v2 table where
-    # the nation rows land at data sequence 1, an equality-delete
-    # file on n_regionkey (field id 3) deleting region 2 lands at
-    # sequence 2, and a shifted copy (key+200, name reversed) lands
-    # at sequence 3.  The reader must drop region-2 rows from the OLD
-    # file only: the delete predates the new file, whose region-2
-    # rows survive.  The oracle replays exactly that scoping.
-    import pyarrow as _pa2
+    # sequence scoping driver-grade — built ENTIRELY by the engine's
+    # own writers: base
+    # table, then delete_iceberg_by_key (the equality-delete writer:
+    # O(keys), zero data scans, next sequence number), then an append
+    # whose rows land at a LATER sequence and therefore survive the
+    # delete even where they match.  The oracle replays exactly that
+    # scoping.  (The hand-synthesized spec-fidelity twin lives in
+    # tests/test_iceberg.py::test_equality_deletes_scoped_by_sequence.)
+    from snapflow_spark.sources.iceberg import delete_iceberg_by_key
 
     ed_dir = _SCRATCH / "iceberg_edel_roundtrip"
     shutil.rmtree(ed_dir, ignore_errors=True)
-    ed_md = ed_dir / "metadata"
-    ed_md.mkdir(parents=True)
-    (ed_dir / "data").mkdir(parents=True)
     ed_src = nation3.select(
         F.col("n_nationkey").cast("int"),
         F.col("n_name").cast("string"),
         F.col("n_regionkey").cast("int"),
     )
-
-    def _ed_data_file(name, df):
-        tmp = str(ed_dir / "data" / name) + ".tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        dest = ed_dir / "data" / name
-        next(Path(tmp).glob("*.parquet")).rename(dest)
-        shutil.rmtree(tmp)
-        return dest
-
-    ed_old = _ed_data_file("old.parquet", ed_src)
-    ed_new = _ed_data_file(
-        "new.parquet",
+    write_iceberg(ed_src, ed_dir)
+    n_ed = delete_iceberg_by_key(
+        spark,
+        ed_dir,
+        spark.createDataFrame([(2,)], "n_regionkey int"),
+    )
+    assert n_ed == 1, "iceberg_edel fixture: key not recorded"
+    write_iceberg(
         ed_src.select(
             (F.col("n_nationkey") + 200).cast("int").alias("n_nationkey"),
             F.reverse("n_name").alias("n_name"),
             "n_regionkey",
         ),
+        ed_dir,
+        mode="append",
     )
-    ed_eq = ed_dir / "data" / "eq-del.parquet"
-    _pq.write_table(
-        _pa2.table({"n_regionkey": _pa2.array([2], type=_pa2.int32())}),
-        ed_eq,
-    )
-    ed_entry_schema = {
-        "type": "record",
-        "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "sequence_number", "type": ["null", "long"],
-             "default": None},
-            {
-                "name": "data_file",
-                "type": {
-                    "type": "record",
-                    "name": "r2",
-                    "fields": [
-                        {"name": "content", "type": "int"},
-                        {"name": "file_path", "type": "string"},
-                        {"name": "file_format", "type": "string"},
-                        {"name": "partition",
-                         "type": {"type": "record", "name": "r102",
-                                  "fields": []}},
-                        {"name": "record_count", "type": "long"},
-                        {"name": "file_size_in_bytes", "type": "long"},
-                        {"name": "equality_ids",
-                         "type": ["null", {"type": "array",
-                                           "items": "int"}],
-                         "default": None},
-                    ],
-                },
-            },
-        ],
-    }
-
-    def _ed_entry(p, content=0, eq_ids=None):
-        return {
-            "status": 1,
-            "sequence_number": None,
-            "data_file": {
-                "content": content,
-                "file_path": f"file://{p}",
-                "file_format": "parquet",
-                "partition": {},
-                "record_count": 1,
-                "file_size_in_bytes": p.stat().st_size,
-                "equality_ids": eq_ids,
-            },
-        }
-
-    write_avro_file(
-        ed_md / "m-old.avro", ed_entry_schema, [_ed_entry(ed_old)]
-    )
-    write_avro_file(
-        ed_md / "m-new.avro", ed_entry_schema, [_ed_entry(ed_new)]
-    )
-    write_avro_file(
-        ed_md / "m-del.avro", ed_entry_schema,
-        [_ed_entry(ed_eq, content=2, eq_ids=[3])],
-    )
-    ed_ml_schema = {
-        "type": "record",
-        "name": "manifest_file",
-        "fields": [
-            {"name": "manifest_path", "type": "string"},
-            {"name": "manifest_length", "type": "long"},
-            {"name": "partition_spec_id", "type": "int"},
-            {"name": "content", "type": "int"},
-            {"name": "sequence_number", "type": "long"},
-        ],
-    }
-
-    def _ed_ml(name, content, seq):
-        return {
-            "manifest_path": str(ed_md / name),
-            "manifest_length": (ed_md / name).stat().st_size,
-            "partition_spec_id": 0,
-            "content": content,
-            "sequence_number": seq,
-        }
-
-    write_avro_file(
-        ed_md / "snap-1-ml.avro",
-        ed_ml_schema,
-        [
-            _ed_ml("m-old.avro", 0, 1),  # data BEFORE the delete
-            _ed_ml("m-del.avro", 1, 2),  # the equality delete
-            _ed_ml("m-new.avro", 0, 3),  # data AFTER it survives
-        ],
-    )
-    ed_meta = {
-        "format-version": 2,
-        "table-uuid": "edel-roundtrip",
-        "location": str(ed_dir),
-        "last-updated-ms": 1,
-        "last-column-id": 3,
-        "current-schema-id": 0,
-        "schemas": [
-            {
-                "type": "struct",
-                "schema-id": 0,
-                "fields": [
-                    {"id": 1, "name": "n_nationkey", "required": False,
-                     "type": "int"},
-                    {"id": 2, "name": "n_name", "required": False,
-                     "type": "string"},
-                    {"id": 3, "name": "n_regionkey", "required": False,
-                     "type": "int"},
-                ],
-            }
-        ],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "properties": {},
-        "current-snapshot-id": 91,
-        "snapshots": [
-            {"snapshot-id": 91, "timestamp-ms": 1,
-             "summary": {"operation": "overwrite"},
-             "manifest-list": str(ed_md / "snap-1-ml.avro")},
-        ],
-    }
-    (ed_md / "v1.metadata.json").write_text(_json.dumps(ed_meta))
-    (ed_md / "version-hint.text").write_text("1")
     from_ice_edel = _tag(read_iceberg(spark, ed_dir), "iceberg_edel")
     from snapflow_spark.sources.cc_index import read_cc_index
 
