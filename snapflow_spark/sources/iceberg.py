@@ -593,6 +593,11 @@ def read_iceberg(
 
     def keep(pv: dict) -> bool:
         for k, want in expected.items():
+            if k not in pv:
+                # a file written under an OLDER partition spec has no
+                # value for this field: unprunable, keep it — pruning
+                # is an optimization, never allowed to drop rows
+                continue
             if pv.get(k) != want:
                 return False
         return True

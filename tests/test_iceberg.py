@@ -1360,3 +1360,54 @@ def test_merge_schema_append_evolution(spark, tmp_path):
             spark.createDataFrame([(1, "x")], "doc_id bigint, text string"),
             table, mode="append", merge_schema=True,
         )
+
+
+def test_partition_filter_keeps_pre_spec_files(spark, tmp_path):
+    """Spec evolution safety: a file whose manifest partition record
+    LACKS the filtered field (written under an older spec) is
+    unprunable and must be KEPT — pruning may never drop rows."""
+    from snapflow_spark.functions.avro_codec import read_avro_file
+
+    table = tmp_path / "tbl"
+    _synthesize_v2(spark, table)
+    # strip id_bucket from the en entry's partition record by
+    # rewriting the manifest with a schema that has only lang
+    md = table / "metadata"
+    _, entries = read_avro_file(md / "m1.avro")
+    slim_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "partition",
+                         "type": {"type": "record", "name": "r102",
+                                  "fields": [
+                                      {"name": "lang",
+                                       "type": ["null", "string"],
+                                       "default": None}]}},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    slim = []
+    for e in entries:
+        rec = dict(e["data_file"])
+        rec["partition"] = {"lang": e["data_file"]["partition"].get("lang")}
+        slim.append({"status": e["status"], "data_file": rec})
+    write_avro_file(md / "m1.avro", slim_schema, slim)
+    # bucket-filter on doc_id: NO file carries id_bucket now, so the
+    # prune keeps everything that the identity/lang state allows
+    got = read_iceberg(spark, table, partition_filter={"doc_id": 3})
+    assert _rows(got) == {(0, "a", "en"), (1, "b", "en"), (2, "c", "de")}
