@@ -171,6 +171,33 @@ def _json_versions(log: Path) -> dict[int, Path]:
     return out
 
 
+def _commit_ts_ms(p: Path) -> int:
+    """A commit's timestamp for time travel: the protocol's
+    ``commitInfo.inCommitTimestamp`` when the writer recorded one
+    (the inCommitTimestamp feature — clock-skew-proof, monotonic), or
+    the commit file's mtime (the pre-ICT rule delta-spark's
+    timestampAsOf uses) otherwise."""
+    try:
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    action = json.loads(line)
+                except json.JSONDecodeError:
+                    break
+                ci = action.get("commitInfo")
+                if ci is not None:
+                    ict = ci.get("inCommitTimestamp")
+                    if ict is not None:
+                        return int(ict)
+                    break  # one commitInfo per commit, no ICT on it
+    except OSError:
+        pass
+    return int(p.stat().st_mtime * 1000)
+
+
 def _checkpoint_parts(log: Path, version: int) -> list[Path]:
     """All parquet parts of the checkpoint at ``version`` — the
     classic single-file form or the multi-part
@@ -320,7 +347,7 @@ def delta_snapshot(
         eligible = [
             v
             for v, p in versions.items()
-            if int(p.stat().st_mtime * 1000) <= int(timestamp_ms)
+            if _commit_ts_ms(p) <= int(timestamp_ms)
         ]
         if not eligible:
             raise ValueError(
@@ -367,9 +394,10 @@ def delta_snapshot(
         cp_df = spark.read.parquet(
             *[str(p) for p in _checkpoint_parts(log, cp)]
         )
-        cols = set(cp_df.columns)
-        for row in cp_df.collect():  # O(#files) metadata, bounded
-            d = row.asDict(recursive=True)
+        sidecars: list[str] = []
+
+        def _apply_cp_row(d: dict, cols: set) -> None:
+            nonlocal metadata, protocol
             if "add" in cols and d.get("add") and d["add"].get("path"):
                 apply_add(d["add"], "read_delta[checkpoint]")
             if (
@@ -392,6 +420,32 @@ def delta_snapshot(
                     int(t.get("version") or 0),
                     txns.get(t["appId"], -1),
                 )
+            if (
+                "sidecar" in cols
+                and d.get("sidecar")
+                and d["sidecar"].get("path")
+            ):
+                # V2 CHECKPOINT: the file actions live in sidecar
+                # parquet under _delta_log/_sidecars/ — reading only
+                # the top-level file would silently LOSE rows
+                sidecars.append(d["sidecar"]["path"])
+
+        cols = set(cp_df.columns)
+        for row in cp_df.collect():  # O(#files) metadata, bounded
+            _apply_cp_row(row.asDict(recursive=True), cols)
+        if sidecars:
+            side_paths = [
+                str(
+                    p
+                    if (p := Path(unquote(sp))).is_absolute()
+                    else log / "_sidecars" / unquote(sp)
+                )
+                for sp in sidecars
+            ]
+            side_df = spark.read.parquet(*side_paths)
+            side_cols = set(side_df.columns)
+            for row in side_df.collect():  # O(#files) metadata
+                _apply_cp_row(row.asDict(recursive=True), side_cols)
         replay_from = cp + 1
     else:
         replay_from = 0

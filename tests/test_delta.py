@@ -1102,3 +1102,111 @@ def test_merge_schema_append_evolution(spark, tmp_path):
             ),
             path, mode="append", merge_schema=True,
         )
+
+
+def test_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """V2 checkpoints park their file actions in SIDECAR parquet
+    under _delta_log/_sidecars/ — the reader must follow the sidecar
+    pointers or silently lose every row (the hazard of treating
+    v2Checkpoint as a 'harmless' feature)."""
+    import shutil as _sh
+
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path)            # v0
+    write_delta(_df(spark, ROWS_V1), path, mode="append")  # v1
+    snap = delta_snapshot(spark, path)
+    log = Path(path) / "_delta_log"
+
+    # hand-publish a v2-shaped checkpoint at version 1: metaData +
+    # protocol + sidecar POINTER in the top-level file, the add
+    # actions in the sidecar parquet
+    side_dir = log / "_sidecars"
+    side_dir.mkdir()
+    add_t = (
+        "struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>"
+    )
+    adds = [
+        ((rel, pv, sz, 0, True),)
+        for rel, pv, sz, _st in snap.files
+    ]
+    tmp = str(side_dir / ".stage")
+    spark.createDataFrame(adds, f"add {add_t}").coalesce(1).write.parquet(tmp)
+    side_name = "sc-001.parquet"
+    next(Path(tmp).glob("*.parquet")).rename(side_dir / side_name)
+    _sh.rmtree(tmp)
+
+    meta_t = (
+        "struct<id:string,format:struct<provider:string>,"
+        "schemaString:string,partitionColumns:array<string>,"
+        "configuration:map<string,string>>"
+    )
+    proto_t = "struct<minReaderVersion:int,minWriterVersion:int>"
+    side_t = "struct<path:string,sizeInBytes:bigint>"
+    cpmeta_t = "struct<version:bigint>"
+    top_schema = (
+        f"metaData {meta_t}, protocol {proto_t}, sidecar {side_t}, "
+        f"checkpointMetadata {cpmeta_t}"
+    )
+    m = snap.metadata
+    top_rows = [
+        (
+            (m["id"], ("parquet",), m["schemaString"], [], {}),
+            None, None, (1,),
+        ),
+        (None, (1, 2), None, None),
+        (
+            None, None,
+            (side_name, (side_dir / side_name).stat().st_size),
+            None,
+        ),
+    ]
+    tmp2 = str(log / ".cpstage")
+    spark.createDataFrame(top_rows, top_schema).coalesce(1).write.parquet(tmp2)
+    import uuid as _uuid
+
+    cp_name = f"{1:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"
+    next(Path(tmp2).glob("*.parquet")).rename(log / cp_name)
+    _sh.rmtree(tmp2)
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 1}))
+
+    # drop the JSON commits: only the v2 checkpoint can seed now
+    for v in (0, 1):
+        (log / f"{v:020d}.json").unlink()
+    got = read_delta(spark, path)
+    assert _rows(got) == set(ROWS_V0) | set(ROWS_V1)
+    # commits after the checkpoint still replay on top
+    write_delta(_df(spark, [(7, "eta", "en")]), path, mode="append")
+    assert _rows(read_delta(spark, path)) == (
+        set(ROWS_V0) | set(ROWS_V1) | {(7, "eta", "en")}
+    )
+
+
+def test_timestamp_travel_prefers_in_commit_timestamps(spark, tmp_path):
+    """Tables with the inCommitTimestamp feature time-travel on the
+    commitInfo timestamps (clock-skew-proof), not file mtimes."""
+    import os as _os
+
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path)
+    write_delta(_df(spark, ROWS_V1), path, mode="append")
+    log = Path(path) / "_delta_log"
+    # stamp ICTs that DISAGREE with the mtimes: v0 at 5_000_000,
+    # v1 at 6_000_000, while mtimes say ~now
+    for v, ict in ((0, 5_000_000_000), (1, 6_000_000_000)):
+        p = log / f"{v:020d}.json"
+        body = p.read_text()
+        p.write_text(
+            json.dumps({"commitInfo": {"inCommitTimestamp": ict,
+                                       "operation": "WRITE"}})
+            + "\n" + body
+        )
+        _os.utime(p, (1_000_000_000, 1_000_000_000))  # mtime: 2001
+    assert _rows(
+        read_delta(spark, path, timestamp_ms=5_500_000_000)
+    ) == set(ROWS_V0)
+    assert _rows(
+        read_delta(spark, path, timestamp_ms=6_000_000_000)
+    ) == set(ROWS_V0) | set(ROWS_V1)
+    with pytest.raises(ValueError, match="no commit at or before"):
+        read_delta(spark, path, timestamp_ms=4_999_999_999)
