@@ -171,6 +171,21 @@ def _json_versions(log: Path) -> dict[int, Path]:
     return out
 
 
+def _commit_info(operation: str) -> dict:
+    """The commitInfo action our writers stamp first in every commit:
+    the operation name plus an inCommitTimestamp, so engine-written
+    tables time-travel on monotonic commit timestamps instead of file
+    mtimes (and external readers see the conventional provenance
+    row).  Readers that don't know ICT ignore commitInfo entirely."""
+    return {
+        "commitInfo": {
+            "operation": operation,
+            "inCommitTimestamp": int(time.time() * 1000),
+            "engineInfo": "snapflow-spark",
+        }
+    }
+
+
 def _commit_ts_ms(p: Path) -> int:
     """A commit's timestamp for time travel: the protocol's
     ``commitInfo.inCommitTimestamp`` when the writer recorded one
@@ -1013,7 +1028,9 @@ def write_delta(
     log.mkdir(exist_ok=True)
     added = _stage_and_move(df, table, partition_by)
 
-    actions: list[dict] = []
+    actions: list[dict] = [
+        _commit_info("WRITE" if mode == "append" else mode.upper())
+    ]
     if txn is not None:
         actions.append(
             {
@@ -1340,10 +1357,12 @@ def _stage_cdc_actions(
 
 
 def _commit_dv_actions(
-    table: Path, snap: DeltaSnapshot, actions: list[dict]
+    table: Path, snap: DeltaSnapshot, actions: list[dict],
+    operation: str = "DELETE",
 ) -> None:
     """Publish one commit of DV-marking actions, upgrading the
     protocol to 3/7 + deletionVectors when the table lacks it."""
+    actions.insert(0, _commit_info(operation))
     feats = set(snap.protocol.get("readerFeatures") or [])
     if "deletionVectors" not in feats:
         actions.insert(0, {
@@ -1441,7 +1460,7 @@ def optimize_delta(
             max(1, -(-total // int(target_file_bytes)))
         )
     added = _stage_and_move(rows_df, table, snap.partition_columns)
-    actions: list[dict] = []
+    actions: list[dict] = [_commit_info("OPTIMIZE")]
     for rel, _p, pv in sorted(victims):
         actions.append(
             {
@@ -1565,7 +1584,7 @@ def update_delta(
         actions += _stage_cdc_actions(
             changes, table, snap.partition_columns
         )
-    _commit_dv_actions(table, snap, actions)
+    _commit_dv_actions(table, snap, actions, operation="UPDATE")
     return n
 
 

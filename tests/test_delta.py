@@ -685,9 +685,18 @@ def test_timestamp_time_travel(spark, tmp_path):
     write_delta(_df(spark, ROWS_V0), path)
     write_delta(_df(spark, ROWS_V1), path, mode="append")
     log = Path(path) / "_delta_log"
-    # pin deterministic commit times: v0 at t=1000s, v1 at t=2000s
-    _os.utime(log / f"{0:020d}.json", (1000, 1000))
-    _os.utime(log / f"{1:020d}.json", (2000, 2000))
+    # a PRE-ICT table: strip the commitInfo our writer stamps, then
+    # pin deterministic mtimes: v0 at t=1000s, v1 at t=2000s
+    for v, t in ((0, 1000), (1, 2000)):
+        p = log / f"{v:020d}.json"
+        p.write_text(
+            "\n".join(
+                ln for ln in p.read_text().splitlines()
+                if '"commitInfo"' not in ln
+            )
+            + "\n"
+        )
+        _os.utime(p, (t, t))
     assert _rows(read_delta(spark, path, timestamp_ms=1_500_000)) == set(
         ROWS_V0
     )
