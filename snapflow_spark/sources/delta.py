@@ -1382,6 +1382,76 @@ def _commit_dv_actions(
             fh.write(json.dumps(a, separators=(",", ":")) + "\n")
 
 
+def restore_delta(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """RESTORE — roll the table state back to an earlier version as a
+    NEW commit (delta-spark's RESTORE TABLE semantics): files live at
+    the target version but not now are re-added (their partition
+    values, stats and deletion vectors intact), files live now but
+    not then are removed, both with ``dataChange`` (a restore IS a
+    data change — CDF consumers see the rows come and go).  History
+    is preserved: the restore is one more commit, and time travel to
+    any version still works.  Returns the new version.  Restoring to
+    the current state is a no-op returning the current version.
+    Fails loudly at scan time if vacuum already reclaimed the target
+    version's files — the same trade time travel makes."""
+    table = Path(path)
+    cur = delta_snapshot(spark, table)
+    target = delta_snapshot(
+        spark, table, version=version, timestamp_ms=timestamp_ms
+    )
+    cur_files = {rel: (pv, sz, st) for rel, pv, sz, st in cur.files}
+    tgt_files = {rel: (pv, sz, st) for rel, pv, sz, st in target.files}
+    same_files = set(cur_files) == set(tgt_files)
+    same_dvs = cur.dvs == target.dvs
+    if same_files and same_dvs:
+        return cur.version
+    actions: list[dict] = [_commit_info("RESTORE")]
+    if json.dumps(target.metadata, sort_keys=True) != json.dumps(
+        cur.metadata, sort_keys=True
+    ):
+        actions.append({"metaData": target.metadata})
+    for rel in sorted(set(cur_files) - set(tgt_files)):
+        pv, _sz, _st = cur_files[rel]
+        actions.append(
+            {
+                "remove": {
+                    "path": quote(rel, safe="/="),
+                    "dataChange": True,
+                    "partitionValues": pv,
+                }
+            }
+        )
+    for rel in sorted(tgt_files):
+        pv, sz, st = tgt_files[rel]
+        in_cur = rel in cur_files
+        dv_changed = cur.dvs.get(rel) != target.dvs.get(rel)
+        if in_cur and not dv_changed:
+            continue  # already live in the right state
+        add: dict = {
+            "path": quote(rel, safe="/="),
+            "partitionValues": pv,
+            "size": sz,
+            "modificationTime": int(time.time() * 1000),
+            "dataChange": True,
+        }
+        if st is not None:
+            add["stats"] = json.dumps(st, separators=(",", ":"))
+        dv = target.dvs.get(rel)
+        if dv:
+            add["deletionVector"] = dv
+        actions.append({"add": add})
+    commit = _log_path(table) / f"{cur.version + 1:020d}.json"
+    with open(commit, "x", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return cur.version + 1
+
+
 def optimize_delta(
     spark: SparkSession,
     path: str | os.PathLike,

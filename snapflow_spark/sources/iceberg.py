@@ -1505,6 +1505,39 @@ def _snapshot_file_refs(
     return meta_files, data_files
 
 
+def rollback_iceberg(
+    path: str | os.PathLike,
+    snapshot_id: int,
+) -> None:
+    """ROLLBACK — point the table back at an earlier snapshot
+    (Iceberg's ``setCurrentSnapshot``): a new metadata version whose
+    current-snapshot-id (and main branch ref) is the target; every
+    snapshot stays in the lineage, so this is reversible and
+    time-travel-preserving.  The snapshot must still be in the
+    metadata (not expired)."""
+    table = Path(path)
+    md = table / "metadata"
+    meta = json.loads(_metadata_path(table).read_text())
+    have = {int(s["snapshot-id"]) for s in meta.get("snapshots", [])}
+    if int(snapshot_id) not in have:
+        raise ValueError(
+            f"rollback_iceberg: snapshot {snapshot_id} not in the "
+            f"table (have {sorted(have)})"
+        )
+    meta["current-snapshot-id"] = int(snapshot_id)
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": int(snapshot_id), "type": "branch"}
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    hint = md / "version-hint.text"
+    version = int(hint.read_text().strip()) + 1
+    with open(
+        md / f"v{version}.metadata.json", "x", encoding="utf-8"
+    ) as fh:
+        fh.write(json.dumps(meta, indent=1))
+    hint.write_text(str(version))
+
+
 def tag_iceberg_snapshot(
     path: str | os.PathLike,
     name: str,

@@ -1219,3 +1219,43 @@ def test_timestamp_travel_prefers_in_commit_timestamps(spark, tmp_path):
     ) == set(ROWS_V0) | set(ROWS_V1)
     with pytest.raises(ValueError, match="no commit at or before"):
         read_delta(spark, path, timestamp_ms=4_999_999_999)
+
+
+def test_restore_delta(spark, tmp_path):
+    """restore_delta: table state rolls back as ONE new commit —
+    removed files come back (DV state included), later files go,
+    history and time travel stay intact, restoring to the current
+    state is a no-op."""
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        restore_delta,
+    )
+
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path)             # v0
+    delete_from_delta(spark, path, "doc_id = 1")       # v1 (DV)
+    write_delta(_df(spark, ROWS_V1), path, mode="append")  # v2
+    full = set(ROWS_V0) | set(ROWS_V1) - {(1, "beta", "en")}
+    assert _rows(read_delta(spark, path)) == (
+        set(ROWS_V0) - {(1, "beta", "en")}
+    ) | set(ROWS_V1)
+    # restore to v0: the delete AND the append roll back
+    v = restore_delta(spark, path, version=0)
+    assert v == 3
+    assert _rows(read_delta(spark, path)) == set(ROWS_V0)
+    # the intermediate states still time travel
+    assert _rows(read_delta(spark, path, version=1)) == set(ROWS_V0) - {
+        (1, "beta", "en")
+    }
+    assert _rows(read_delta(spark, path, version=2)) == (
+        set(ROWS_V0) - {(1, "beta", "en")}
+    ) | set(ROWS_V1)
+    # restore to v1 brings the DV back
+    v2 = restore_delta(spark, path, version=1)
+    assert v2 == 4
+    assert _rows(read_delta(spark, path)) == set(ROWS_V0) - {
+        (1, "beta", "en")
+    }
+    # no-op restore: same version back, no commit
+    assert restore_delta(spark, path, version=4) == 4
+    assert restore_delta(spark, path, version=1) == 4

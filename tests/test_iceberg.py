@@ -1411,3 +1411,29 @@ def test_partition_filter_keeps_pre_spec_files(spark, tmp_path):
     # prune keeps everything that the identity/lang state allows
     got = read_iceberg(spark, table, partition_filter={"doc_id": 3})
     assert _rows(got) == {(0, "a", "en"), (1, "b", "en"), (2, "c", "de")}
+
+
+def test_rollback_iceberg(spark, tmp_path):
+    """rollback_iceberg: current-snapshot-id (and main) move back;
+    lineage intact, reversible; expired/unknown snapshots refuse."""
+    from snapflow_spark.sources.iceberg import rollback_iceberg
+
+    table = tmp_path / "tbl"
+    s0 = write_iceberg(_df(spark, ROWS_V0), table)
+    s1 = write_iceberg(
+        _df(spark, [(9, "omega", "zz")]), table, mode="overwrite"
+    )
+    assert _rows(read_iceberg(spark, table)) == {(9, "omega", "zz")}
+    rollback_iceberg(table, s0)
+    assert _rows(read_iceberg(spark, table)) == set(ROWS_V0)
+    assert _rows(read_iceberg(spark, table, ref="main")) == set(ROWS_V0)
+    # reversible
+    rollback_iceberg(table, s1)
+    assert _rows(read_iceberg(spark, table)) == {(9, "omega", "zz")}
+    with pytest.raises(ValueError, match="not in the table"):
+        rollback_iceberg(table, 123456)
+    # an append after a rollback keeps working (history branches
+    # forward from the restored head)
+    rollback_iceberg(table, s0)
+    write_iceberg(_df(spark, ROWS_V1), table, mode="append")
+    assert _rows(read_iceberg(spark, table)) == set(ROWS_V0) | set(ROWS_V1)
