@@ -163,7 +163,36 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("path", help="parquet file/dir with a text column")
     pf.add_argument("--text-col", default="text")
     pf.add_argument("--by", default="", help="comma-separated group columns")
+    tm = sub.add_parser(
+        "table",
+        help="table maintenance over a Delta/Iceberg layout: "
+        "vacuum|optimize|checkpoint|delete|restore (delta), "
+        "expire|rewrite|rollback|tag|orphans (iceberg) — the format "
+        "is detected from the table directory",
+    )
+    tm.add_argument(
+        "op",
+        choices=[
+            "vacuum", "optimize", "checkpoint", "delete", "restore",
+            "expire", "rewrite", "rollback", "tag", "orphans",
+        ],
+    )
+    tm.add_argument("path", help="table root directory")
+    tm.add_argument("--where", help="SQL predicate (delete)")
+    tm.add_argument("--version", type=int, help="target (restore)")
+    tm.add_argument("--snapshot-id", type=int,
+                    help="target (rollback/tag)")
+    tm.add_argument("--name", help="ref name (tag)")
+    tm.add_argument("--keep-last", type=int, default=1,
+                    help="snapshots kept (expire)")
+    tm.add_argument("--retention-hours", type=float, default=168.0)
+    tm.add_argument("--dry-run", action="store_true")
+    tm.add_argument("--target-mb", type=int, default=128,
+                    help="file-size target (optimize/rewrite)")
     args = ap.parse_args(argv)
+
+    if args.cmd == "table":
+        return _table_maintenance(args)
 
     if args.cmd == "profile":
         import json as _json
@@ -490,3 +519,109 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def _table_maintenance(args) -> int:
+    """Dispatch `table <op> <path>`: the format comes from the layout
+    (_delta_log/ = Delta, metadata/version-hint.text = Iceberg), each
+    op maps onto its sources/ function, and the result prints as one
+    JSON line."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    root = _Path(args.path)
+    is_delta = (root / "_delta_log").is_dir()
+    is_ice = (root / "metadata" / "version-hint.text").exists()
+    if not (is_delta or is_ice):
+        print(f"error: {root} is neither a Delta nor an Iceberg table")
+        return 2
+    from snapflow_spark.session import build_session, tune
+
+    spark = build_session("cli-table")
+    spark.sparkContext.setLogLevel("ERROR")
+    tune(spark)
+    out: dict
+    if is_delta:
+        import snapflow_spark.sources.delta as D
+
+        if args.op == "vacuum":
+            gone = D.vacuum_delta(
+                spark, root, dry_run=args.dry_run,
+                retention_hours=args.retention_hours,
+            )
+            out = {"op": "vacuum", "dry_run": args.dry_run,
+                   "reclaimed": gone}
+        elif args.op == "optimize":
+            out = {"op": "optimize", **D.optimize_delta(
+                spark, root,
+                target_file_bytes=args.target_mb * 1024 * 1024,
+            )}
+        elif args.op == "checkpoint":
+            out = {"op": "checkpoint",
+                   "version": D.write_delta_checkpoint(spark, root)}
+        elif args.op == "delete":
+            if not args.where:
+                print("error: delete needs --where")
+                return 2
+            out = {"op": "delete",
+                   "rows_deleted": D.delete_from_delta(
+                       spark, root, args.where)}
+        elif args.op == "restore":
+            if args.version is None:
+                print("error: restore needs --version")
+                return 2
+            out = {"op": "restore",
+                   "version": D.restore_delta(
+                       spark, root, version=args.version)}
+        else:
+            print(f"error: {args.op!r} is an Iceberg op; {root} is Delta")
+            return 2
+    else:
+        import snapflow_spark.sources.iceberg as I
+
+        if args.op == "expire":
+            gone = I.expire_iceberg_snapshots(
+                spark, root, keep_last=args.keep_last,
+                dry_run=args.dry_run,
+            )
+            out = {"op": "expire", "dry_run": args.dry_run,
+                   "reclaimed": gone}
+        elif args.op == "rewrite":
+            out = {"op": "rewrite", **I.rewrite_iceberg_files(
+                spark, root,
+                target_file_bytes=args.target_mb * 1024 * 1024,
+            )}
+        elif args.op == "rollback":
+            if args.snapshot_id is None:
+                print("error: rollback needs --snapshot-id")
+                return 2
+            I.rollback_iceberg(root, args.snapshot_id)
+            out = {"op": "rollback", "snapshot_id": args.snapshot_id}
+        elif args.op == "tag":
+            if not args.name:
+                print("error: tag needs --name")
+                return 2
+            I.tag_iceberg_snapshot(
+                root, args.name, snapshot_id=args.snapshot_id
+            )
+            out = {"op": "tag", "name": args.name}
+        elif args.op == "delete":
+            if not args.where:
+                print("error: delete needs --where")
+                return 2
+            out = {"op": "delete",
+                   "rows_deleted": I.delete_from_iceberg(
+                       spark, root, args.where)}
+        elif args.op == "orphans":
+            gone = I.remove_orphan_iceberg_files(
+                spark, root,
+                retention_hours=args.retention_hours,
+                dry_run=args.dry_run,
+            )
+            out = {"op": "orphans", "dry_run": args.dry_run,
+                   "reclaimed": gone}
+        else:
+            print(f"error: {args.op!r} is a Delta op; {root} is Iceberg")
+            return 2
+    print(_json.dumps(out, sort_keys=True))
+    return 0

@@ -1042,3 +1042,46 @@ def test_yaml_builtin_expect(spark, tmp_path):
     assert _expect(spark, df.where("doc_id = 1"), exps, on_fail="fail").count() == 1
     with _pytest.raises(ValueError, match="unknown expectation"):
         _expect(spark, df, [{"bogus": "x"}])
+
+
+def test_cli_table_maintenance(spark, tmp_path, capsys):
+    """`python -m snapflow_spark table <op> <path>`: format detection
+    plus the delete/optimize/restore (delta) and tag/rollback
+    (iceberg) dispatches, each printing one JSON line."""
+    import json as _json
+
+    from snapflow_spark.cli import main
+    from snapflow_spark.sources.delta import write_delta
+    from snapflow_spark.sources.iceberg import write_iceberg
+
+    rows = [(i, f"t{i}", "en") for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    dt = tmp_path / "dt"
+    write_delta(d, dt)
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run("table", "delete", str(dt), "--where", "doc_id = 0")
+    assert out == {"op": "delete", "rows_deleted": 1}
+    out = run("table", "optimize", str(dt))
+    assert out["op"] == "optimize" and out["files_added"] >= 1
+    out = run("table", "restore", str(dt), "--version", "0")
+    assert out["op"] == "restore"
+    out = run("table", "checkpoint", str(dt))
+    assert out["op"] == "checkpoint"
+
+    it = tmp_path / "it"
+    s0 = write_iceberg(d, it)
+    write_iceberg(d, it, mode="overwrite")
+    out = run("table", "tag", str(it), "--name", "v1",
+              "--snapshot-id", str(s0))
+    assert out == {"op": "tag", "name": "v1"}
+    out = run("table", "rollback", str(it), "--snapshot-id", str(s0))
+    assert out["op"] == "rollback"
+    # wrong-format op and non-table path fail politely
+    assert main(["table", "expire", str(dt)]) == 2
+    capsys.readouterr()
+    assert main(["table", "vacuum", str(tmp_path / "nope")]) == 2
+    capsys.readouterr()
