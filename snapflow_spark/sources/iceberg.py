@@ -1747,8 +1747,12 @@ def delete_from_iceberg(
     data = table / "data"
     data.mkdir(parents=True, exist_ok=True)
     staging = data / f".del-staging-{uuid.uuid4().hex}"
+    # shuffle by file_path so each task emits ONE spec-sorted delete
+    # file covering whole data files — a huge delete parallelizes
+    # across tasks instead of funnelling through one writer (the
+    # 100x shape); tiny deletes still collapse to one non-empty part
     (
-        matches.repartition(1)
+        matches.repartition(F.col("file_path"))
         .sortWithinPartitions("file_path", "pos")
         .write.parquet(str(staging))
     )
@@ -1756,19 +1760,23 @@ def delete_from_iceberg(
 
     import pyarrow.parquet as pq
 
-    part = next(Path(staging).glob("*.parquet"))
-    n_deleted = pq.ParquetFile(part).metadata.num_rows
-    if n_deleted == 0:
-        _shutil.rmtree(staging)
-        return 0
-    del_name = f"{uuid.uuid4().hex}-deletes.parquet"
-    part.rename(data / del_name)
+    del_files: list[tuple[str, int]] = []  # (name under data/, rows)
+    n_deleted = 0
+    for part in sorted(Path(staging).glob("*.parquet")):
+        n = pq.ParquetFile(part).metadata.num_rows
+        if n == 0:
+            continue
+        name = f"{uuid.uuid4().hex}-deletes.parquet"
+        part.rename(data / name)
+        del_files.append((name, int(n)))
+        n_deleted += int(n)
     _shutil.rmtree(staging)
+    if n_deleted == 0:
+        return 0
 
     _publish_delete_snapshot(
         table,
-        del_name,
-        int(n_deleted),
+        del_files,
         content=1,
         summary={"deleted-position-deletes": str(int(n_deleted))},
     )
@@ -1777,19 +1785,19 @@ def delete_from_iceberg(
 
 def _publish_delete_snapshot(
     table: Path,
-    del_name: str,
-    record_count: int,
+    del_files: list,
     content: int,
     summary: dict,
     equality_ids: list[int] | None = None,
 ) -> int:
-    """Publish a new snapshot adding ONE delete file (already sitting
-    at ``data/<del_name>``) behind a DELETE manifest: prior manifests
-    carry forward, the new manifest-list entry gets content=1 and the
-    next data sequence number, and the metadata moves to
-    format-version 2 with ``last-sequence-number``.  Shared by the
-    position-delete (content=1) and equality-delete (content=2,
-    ``equality_ids``) writers.  Returns the new snapshot id."""
+    """Publish a new snapshot adding delete files ([(name under
+    data/, record count)]) behind ONE DELETE manifest: prior
+    manifests carry forward, the new manifest-list entry gets
+    content=1 and the next data sequence number, and the metadata
+    moves to format-version 2 with ``last-sequence-number``.  Shared
+    by the position-delete (content=1) and equality-delete
+    (content=2, ``equality_ids``) writers.  Returns the new snapshot
+    id."""
     md = table / "metadata"
     data = table / "data"
     meta = json.loads(_metadata_path(table).read_text())
@@ -1862,11 +1870,12 @@ def _publish_delete_snapshot(
                     "file_path": f"{location}/data/{del_name}",
                     "file_format": "PARQUET",
                     "partition": {},
-                    "record_count": int(record_count),
+                    "record_count": int(n_rows),
                     "file_size_in_bytes": (data / del_name).stat().st_size,
                     "equality_ids": equality_ids,
                 },
             }
+            for del_name, n_rows in del_files
         ],
         extra_metadata={
             "schema": json.dumps(
@@ -2002,8 +2011,7 @@ def delete_iceberg_by_key(
     _shutil.rmtree(staging)
     _publish_delete_snapshot(
         table,
-        del_name,
-        int(n_keys),
+        [(del_name, int(n_keys))],
         content=2,  # EQUALITY deletes
         summary={"equality-delete-keys": str(int(n_keys))},
         equality_ids=eq_ids,
