@@ -152,10 +152,16 @@ def hadoop_file_uri(p: str | os.PathLike) -> str:
     """The URI Spark's ``_metadata.file_path`` column reports for a
     local file: Hadoop's Path.toString form — ``file:/path`` (single
     slash), percent-encoded the way java.net.URI encodes a path
-    component (space -> %20, %% -> %25; ``+`` and the RFC 2396 mark
-    characters stay literal).  Join keys against the metadata column
-    MUST go through this, or files with spaces silently drop rows."""
-    return "file:" + quote(str(Path(p).resolve()), safe="/:@&=+$,-_.!~*'()")
+    component (space -> %20, %% -> %25; ``+``, ``;`` and the RFC 2396
+    mark characters stay literal — java.net.URI keeps every pchar and
+    the segment-parameter ``;`` unescaped).  Join keys against the
+    metadata column MUST go through this, or files with spaces
+    silently drop rows (DV anti-joins and partition re-attach both
+    key on it; tests pin the helper against the live scan's
+    ``_metadata.file_path`` for special-character paths)."""
+    return "file:" + quote(
+        str(Path(p).resolve()), safe="/:@&=+$,;-_.!~*'()"
+    )
 
 
 def _log_path(table_path: str | os.PathLike) -> Path:
@@ -1060,19 +1066,19 @@ def write_delta(
     ) != json.loads(df.schema.json()):
         # schema evolution: widened metaData rides the append commit;
         # new columns are forced nullable (pre-evolution files return
-        # null for them)
+        # null for them).  The existing columns come from the TABLE
+        # schema VERBATIM — building them from the incoming df would
+        # silently tighten nullability and drop field metadata when
+        # the append's prefix fields are non-nullable, breaking the
+        # published schema for files that already hold nulls.
+        _table_fields = StructType.fromJson(
+            json.loads(snap.metadata["schemaString"])
+        ).fields
         widened = StructType(
-            [
-                StructField(f.name, f.dataType, f.nullable)
-                for f in df.schema.fields[
-                    : len(json.loads(snap.metadata["schemaString"])["fields"])
-                ]
-            ]
+            list(_table_fields)
             + [
                 StructField(f.name, f.dataType, True)
-                for f in df.schema.fields[
-                    len(json.loads(snap.metadata["schemaString"])["fields"]):
-                ]
+                for f in df.schema.fields[len(_table_fields):]
             ]
         )
         actions.append(
@@ -1129,16 +1135,19 @@ def delete_from_delta(
     over the table's LOGICAL columns (partition columns included).
     Returns the number of rows newly deleted.
 
-    Plan shape: ONE scan over the live files (partition values
-    attached the read_delta way) with one tiny per-file aggregate —
-    matched row indexes ride a ``collect_list`` bounded by
-    O(rows deleted), the same driver metadata the DV descriptors
-    themselves are.  Files whose EVERY live row matches are dropped
-    outright (remove only, no 100%-dead DV).  Existing DVs merge:
-    the new bitmap is old ∪ matched.  The commit upgrades the
-    protocol to reader 3 / writer 7 + ``deletionVectors`` when the
-    table does not carry it yet.  Column-mapped tables refuse (the
-    same guard as appends).
+    Plan shape (round 15 — fully distributed): one tiny per-file
+    count aggregate finds the touched files, then the matched
+    (file, pos) pairs shuffle by file and each file's DV sidecar is
+    merged with its old one and written EXECUTOR-side in an
+    ``applyInPandas`` stage — the driver holds only one descriptor
+    row per touched file at ANY delete breadth (a
+    delete-every-row-in-domain-X over a 100 TB table never
+    materializes row indexes driver-side).  Files whose EVERY live
+    row matches are dropped outright (remove only, no 100%-dead DV).
+    Existing DVs merge: the new bitmap is old ∪ matched.  The commit
+    upgrades the protocol to reader 3 / writer 7 +
+    ``deletionVectors`` when the table does not carry it yet.
+    Column-mapped tables refuse (the same guard as appends).
 
     ``partition_filter`` / ``min_max_filter`` PRUNE the file list
     before the scan (read_delta's contracts) — the 100 TB shape for
@@ -1185,19 +1194,37 @@ def _dv_delete_plan(
     partition_filter: dict | None,
     min_max_filter: dict | None,
     what: str,
+    match_keys: DataFrame | None = None,
 ) -> tuple[list[dict], int]:
     """The shared DV row-marking plan: scan the (pruned) live files,
     find matching row indexes per file, and return the remove +
     re-add-with-merged-DV actions plus the newly-deleted count —
-    delete_from_delta commits them as-is; update_delta appends its
-    rewritten-row adds first."""
+    delete_from_delta commits them as-is; update_delta / merge_delta
+    append their rewritten-row adds first.  ``match_keys`` (used by
+    merge) selects rows by key EQUALITY against a DataFrame of key
+    values instead of a predicate — the scan left-joins the
+    deduplicated keys and matches where the marker is non-null, so a
+    huge key set degrades to a shuffle join instead of a driver
+    IN-list.
+
+    Scale shape (round 15 — distributed, the delete_from_iceberg
+    discipline): a tiny per-file count aggregate finds the TOUCHED
+    files (O(#files) driver rows), then the matched (file, pos) pairs
+    shuffle by file and each file's new DV sidecar is merged with its
+    old one and WRITTEN entirely executor-side inside
+    ``applyInPandas`` — the driver only ever holds one descriptor row
+    per touched file, never a row-index list, at any delete breadth.
+    Per-task memory is O(deleted rows in ONE file), the same bound a
+    delta-spark scan task's bitmap build has."""
     if snap.physical_names:
         raise NotImplementedError(
             f"{what}: column-mapped table — the predicate "
             "scan and commit bookkeeping key physical names; "
             "unsupported (same scope as appends)"
         )
-    cond = F.expr(condition) if isinstance(condition, str) else condition
+    cond = (
+        F.expr(condition) if isinstance(condition, str) else condition
+    )
     fields = {f.name: f for f in snap.schema.fields}
     data_fields = [
         f for f in snap.schema.fields
@@ -1270,41 +1297,105 @@ def _dv_delete_plan(
             df = df.withColumn(
                 c, F.col(f"__pv_{i}").cast(fields[c].dataType)
             )
-    # ONE pass: physical row count + matched indexes per file
-    # (collect_list skips the non-matching rows' nulls)
+    if match_keys is not None:
+        key_cols = list(match_keys.columns)
+        missing = [c for c in key_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"{what}: match keys {missing} not in the table "
+                f"columns {sorted(fields)}"
+            )
+        marker = match_keys.dropDuplicates().withColumn(
+            "__dv_mm", F.lit(1)
+        )
+        df = df.join(marker, on=key_cols, how="left")
+        cond = F.col("__dv_mm").isNotNull()
+    # stage A — tiny JVM-side aggregate: per-file totals + hit counts
+    # (O(#kept files) driver rows; NEVER row indexes)
     per_file = df.groupBy("__df_file").agg(
         F.count(F.lit(1)).alias("__total"),
-        F.collect_list(F.when(cond, F.col("__df_pos"))).alias("__hit"),
+        F.count(F.when(cond, F.lit(1))).alias("__hits"),
     ).collect()
-    from snapflow_spark.sources.deletion_vectors import (
-        deleted_row_indexes,
-        write_dv_file,
-    )
+    totals: dict[str, int] = {}
+    for row in per_file:
+        uri = row["__df_file"]
+        if uri not in uri_to_rel:
+            raise RuntimeError(
+                f"{what}: scan reported unknown file {uri!r}"
+            )
+        if int(row["__hits"]):
+            totals[uri] = int(row["__total"])
+    if not totals:
+        return [], 0
+    # stage B — matched (file, pos) pairs shuffle by file; each
+    # file's task merges the old DV and writes the new sidecar
+    # EXECUTOR-side, returning ONE descriptor row.  Closures carry
+    # only O(#touched files) metadata (old descriptors + totals).
+    table_root = str(table)
+    old_descs = {uri: snap.dvs.get(uri_to_rel[uri]) for uri in totals}
+    file_totals = dict(totals)
 
+    def _build_dv(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from snapflow_spark.sources.deletion_vectors import (
+            deleted_row_indexes,
+            write_dv_file,
+        )
+
+        uri = pdf["__df_file"].iloc[0]
+        old_desc = old_descs.get(uri)
+        old = (
+            set(deleted_row_indexes(table_root, old_desc))
+            if old_desc
+            else set()
+        )
+        matched = {int(i) for i in pdf["__df_pos"]} - old
+        if not matched:  # every hit already dead in the old DV
+            return pd.DataFrame(
+                {
+                    "file": pd.Series([], dtype="object"),
+                    "n_new": pd.Series([], dtype="int64"),
+                    "descriptor": pd.Series([], dtype="object"),
+                }
+            )
+        new_set = old | matched
+        desc_json = (
+            None  # every physical row dead: drop the file outright
+            if len(new_set) >= file_totals[uri]
+            else json.dumps(
+                write_dv_file(table_root, sorted(new_set)),
+                separators=(",", ":"),
+            )
+        )
+        return pd.DataFrame(
+            {
+                "file": [uri],
+                "n_new": [len(matched)],
+                "descriptor": [desc_json],
+            }
+        )
+
+    desc_rows = (
+        df.where(cond)
+        .select("__df_file", "__df_pos")
+        .groupBy("__df_file")
+        .applyInPandas(
+            _build_dv, "file string, n_new long, descriptor string"
+        )
+        .collect()  # O(#touched files): one descriptor row each
+    )
     actions: list[dict] = []
     n_deleted = 0
     by_rel = {rel: (pv, st) for rel, _p, pv, st in kept}
     sizes = {rel: sz for rel, _pv, sz, _st in snap.files}
-    for row in sorted(per_file, key=lambda r: r["__df_file"]):
-        rel = uri_to_rel.get(row["__df_file"])
-        if rel is None:
-            raise RuntimeError(
-                f"{what}: scan reported unknown file "
-                f"{row['__df_file']!r}"
-            )
-        old_desc = snap.dvs.get(rel)
-        old = set(deleted_row_indexes(table, old_desc)) if old_desc else set()
-        matched = {int(i) for i in row["__hit"]} - old
-        if not matched:
-            continue
-        n_deleted += len(matched)
-        new_set = old | matched
+    for row in sorted(desc_rows, key=lambda r: r["file"]):
+        rel = uri_to_rel[row["file"]]
+        n_deleted += int(row["n_new"])
         pv, st = by_rel[rel]
         actions.append(
             {"remove": {"path": quote(rel, safe="/="), "dataChange": True,
                         "partitionValues": pv}}
         )
-        if len(new_set) >= int(row["__total"]):
+        if row["descriptor"] is None:
             continue  # every physical row dead: drop the file
         add: dict = {
             "path": quote(rel, safe="/="),
@@ -1312,7 +1403,7 @@ def _dv_delete_plan(
             "size": sizes[rel],
             "modificationTime": int(time.time() * 1000),
             "dataChange": True,
-            "deletionVector": write_dv_file(table, sorted(new_set)),
+            "deletionVector": json.loads(row["descriptor"]),
         }
         if st is not None:
             add["stats"] = json.dumps(st, separators=(",", ":"))

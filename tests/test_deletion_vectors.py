@@ -784,3 +784,87 @@ def test_cdf_write_side_cdc_actions(spark, tmp_path):
     # the synthesized tier is NOT used for these commits (cdc rows
     # are authoritative): no spurious full-file deletes/inserts
     assert len(read_delta_cdf(spark, table, 2, 3).collect()) == 3
+
+
+# ------------------------------------- round 15: distributed DV writer
+
+
+def test_dv_writer_driver_holds_only_descriptors(
+    spark, tmp_path, monkeypatch
+):
+    """Round-15 contract: the DV build is EXECUTOR-side.  Every
+    driver-side collect during a broad delete returns O(#files) rows
+    (the per-file count rows and the descriptor rows) — never the
+    matched row indexes, at any delete breadth."""
+    # Spark 4: the runtime class is the CLASSIC subclass, which
+    # overrides collect — patch it, not the abstract base
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    path = tmp_path / "t"
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "id", "id % 7 AS k"
+    ).repartition(4)
+    write_delta(df, path)
+
+    collected: list[int] = []
+    orig = _CDF.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_CDF, "collect", spy)
+    # a BROAD delete: ~43% of the table (the shape that OOMed a
+    # driver-side index collect at 100 TB)
+    n_del = delete_from_delta(spark, path, "k < 3")
+    monkeypatch.undo()
+
+    expected = sum(1 for i in range(n) if i % 7 < 3)
+    assert n_del == expected
+    assert collected, "the delete never collected (plan changed?)"
+    # 4 data files + slack: descriptor rows and count rows only
+    assert max(collected) <= 8, (
+        f"driver collected {max(collected)} rows during the delete — "
+        "row indexes are materializing driver-side again"
+    )
+    got = read_delta(spark, path)
+    assert got.count() == n - expected
+    assert got.where("k < 3").count() == 0
+
+
+def test_dv_writer_sidecars_written_executor_side(
+    spark, tmp_path, monkeypatch
+):
+    """Poisoning the DRIVER's write_dv_file proves the sidecar
+    encode runs in the Python workers (separate processes), not in
+    the driver."""
+    from snapflow_spark.sources import deletion_vectors as dvmod
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    path = tmp_path / "t"
+    write_delta(
+        spark.range(1000).selectExpr("id", "id % 5 AS k").coalesce(2),
+        path,
+    )
+
+    def boom(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError(
+            "write_dv_file ran in the DRIVER process"
+        )
+
+    monkeypatch.setattr(dvmod, "write_dv_file", boom)
+    assert delete_from_delta(spark, path, "k = 2") == 200
+    monkeypatch.undo()
+    assert read_delta(spark, path).count() == 800

@@ -1259,3 +1259,104 @@ def test_restore_delta(spark, tmp_path):
     # no-op restore: same version back, no commit
     assert restore_delta(spark, path, version=4) == 4
     assert restore_delta(spark, path, version=1) == 4
+
+
+# --------------------------------------------- round 15: ADVICE fixes
+
+
+def test_hadoop_file_uri_matches_scan_metadata_special_chars(
+    spark, tmp_path
+):
+    """hadoop_file_uri is the load-bearing join key for DV anti-joins
+    and partition re-attach — pin it against the ACTUAL
+    _metadata.file_path Spark reports, for a path carrying a space,
+    '%', '+', and ';' (java.net.URI keeps '+' and ';' literal)."""
+    from snapflow_spark.sources.delta import hadoop_file_uri
+
+    weird = tmp_path / "sp ace%40+;semi"
+    weird.mkdir()
+    spark.range(5).coalesce(1).write.parquet(str(weird / "p"))
+    files = sorted((weird / "p").glob("*.parquet"))
+    assert files
+    got = {
+        r[0]
+        for r in spark.read.parquet(str(weird / "p"))
+        .select("_metadata.file_path")
+        .distinct()
+        .collect()
+    }
+    assert got == {hadoop_file_uri(f) for f in files}
+
+
+def test_delete_and_read_round_trip_under_special_char_path(
+    spark, tmp_path
+):
+    """delete_from_delta + read_delta stay exact when the table root
+    itself contains URI-hostile characters (a mismatch would be
+    SILENT: resurrected rows or dropped files)."""
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        read_delta,
+        write_delta,
+    )
+
+    table = tmp_path / "we ird%2F+;dir" / "t"
+    rows = [(i, "en" if i % 2 else "de") for i in range(100)]
+    write_delta(
+        spark.createDataFrame(rows, "id long, lang string"),
+        table,
+        partition_by=["lang"],
+    )
+    assert delete_from_delta(spark, table, "id < 30") == 30
+    got = read_delta(spark, table)
+    assert got.count() == 70
+    assert got.where("id < 30").count() == 0
+    # partitioned read keeps every file (mapping join key intact)
+    assert got.where("lang = 'en'").count() == 35
+
+
+def test_merge_schema_preserves_table_nullability_and_metadata(
+    spark, tmp_path
+):
+    """A merge_schema append whose prefix fields are NON-nullable (or
+    lack field metadata) must not tighten the committed table schema:
+    existing columns come from the table schema verbatim, new ones
+    are forced nullable."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from snapflow_spark.sources.delta import delta_snapshot, write_delta
+
+    path = tmp_path / "t"
+    s1 = StructType(
+        [
+            StructField("id", LongType(), True, {"comment": "doc id"}),
+            StructField("name", StringType(), True),
+        ]
+    )
+    write_delta(spark.createDataFrame([(1, "a")], s1), path)
+    s2 = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("name", StringType(), False),
+            StructField("extra", DoubleType(), False),
+        ]
+    )
+    write_delta(
+        spark.createDataFrame([(2, "b", 1.5)], s2),
+        path,
+        mode="append",
+        merge_schema=True,
+    )
+    snap = delta_snapshot(spark, path)
+    fields = _json.loads(snap.metadata["schemaString"])["fields"]
+    assert [f["name"] for f in fields] == ["id", "name", "extra"]
+    assert all(f["nullable"] for f in fields)
+    assert fields[0]["metadata"] == {"comment": "doc id"}
