@@ -100,6 +100,7 @@ __all__ = [
     "DeltaStreamDataSource",
     "delta_snapshot",
     "delta_stream_sink",
+    "merge_delta",
     "read_delta",
     "read_delta_cdf",
     "snapshot_store_to_delta",
@@ -1747,6 +1748,266 @@ def update_delta(
         )
     _commit_dv_actions(table, snap, actions, operation="UPDATE")
     return n
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str | dict | None = "update",
+    when_not_matched: str | None = "insert",
+    txn: tuple[str, int] | None = None,
+) -> dict | None:
+    """MERGE / upsert — the CDC apply shape (delta-spark's ``MERGE
+    INTO`` keyed on an equi-join): target rows whose ``on`` key
+    appears in ``source`` are handled by ``when_matched``, source
+    rows matching no target row by ``when_not_matched``, all in ONE
+    atomic commit (merge-on-read: matched rows die via deletion
+    vectors, replacements and inserts land as new files — no data
+    file is rewritten).
+
+    ``when_matched``: ``"update"`` replaces the target row with the
+    source row (source must carry every table column); ``"delete"``
+    drops it; a dict maps column -> SQL expression/Column evaluated
+    against the aliased join (``"source.qty + target.qty"``); None
+    leaves matched target rows untouched.  ``when_not_matched``:
+    ``"insert"`` appends the unmatched source rows, None drops them.
+    Multiple source rows matching ONE target row raise (delta's
+    multiple-source-rows-matched rule) — deduplicate the changelog
+    first (``dedupe_keep_latest``).
+
+    ``txn=(app_id, version)`` makes the merge IDEMPOTENT exactly like
+    ``write_delta(txn=)``: already-recorded versions skip and return
+    None — the upsert stream sink's exactly-once contract.
+
+    Scale shape: the matched-row marking rides ``_dv_delete_plan``'s
+    distributed key-equality matcher (source keys join the scan,
+    AQE broadcasts small changelogs; DV sidecars are written
+    executor-side), the new rows stage through the distributed
+    hive-layout writer, and the driver holds only O(#touched files)
+    descriptors + O(#staged files) stats — a 100 TB table absorbing
+    a billion-row changelog never materializes rows driver-side.
+    CDF-enabled tables emit authoritative change rows
+    (update_preimage/postimage pairs, insert, delete).  Returns
+    ``{"rows_matched": n, "rows_inserted": m}``.
+
+    Column-mapped tables refuse (the append guard)."""
+    table = Path(path)
+    snap = delta_snapshot(spark, table)
+    if txn is not None:
+        app_id, txn_v = str(txn[0]), int(txn[1])
+        if snap.txns.get(app_id, -1) >= txn_v:
+            return None  # already committed: idempotent replay
+    if snap.physical_names:
+        raise NotImplementedError(
+            "merge_delta: column-mapped table — staging and commit "
+            "bookkeeping key physical names; unsupported (same scope "
+            "as appends)"
+        )
+    if when_matched is None and when_not_matched is None:
+        raise ValueError(
+            "merge_delta: no clauses — pass when_matched and/or "
+            "when_not_matched"
+        )
+    if isinstance(when_matched, str) and when_matched not in (
+        "update", "delete",
+    ):
+        raise ValueError(
+            f"merge_delta: when_matched {when_matched!r} — "
+            "'update', 'delete', a dict of set expressions, or None"
+        )
+    if when_not_matched not in ("insert", None):
+        raise ValueError(
+            f"merge_delta: when_not_matched {when_not_matched!r} — "
+            "'insert' or None"
+        )
+    fields = {f.name: f for f in snap.schema.fields}
+    out_cols = [f.name for f in snap.schema.fields]
+    on = list(on)
+    if not on:
+        raise ValueError("merge_delta: empty key list")
+    bad = [c for c in on if c not in fields]
+    if bad:
+        raise ValueError(
+            f"merge_delta: key columns {bad} not in the table "
+            f"schema {out_cols}"
+        )
+    bad = [c for c in on if c not in source.columns]
+    if bad:
+        raise ValueError(
+            f"merge_delta: key columns {bad} not in the source "
+            f"columns {source.columns}"
+        )
+    if isinstance(when_matched, dict):
+        bad = sorted(set(when_matched) - set(fields))
+        if bad:
+            raise ValueError(
+                f"merge_delta: when_matched sets unknown columns {bad}"
+            )
+
+    def _project(df: DataFrame, what: str) -> DataFrame:
+        missing = [c for c in out_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"merge_delta: {what} needs every table column; "
+                f"source is missing {missing}"
+            )
+        return df.select(
+            *[
+                F.col(c).cast(fields[c].dataType).alias(c)
+                for c in out_cols
+            ]
+        )
+
+    source = source.cache()
+    try:
+        target = read_delta(spark, table)
+        tgt_keys = target.select(*on).dropDuplicates()
+        matched_src = source.join(tgt_keys, on, "left_semi")
+        if when_matched is not None:
+            # delta's multiple-source-rows-matched rule: ambiguous
+            # update/delete refuses loudly (one tiny agg, limit 1)
+            dup = (
+                matched_src.groupBy(*on)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                key = {c: dup[0][c] for c in on}
+                raise ValueError(
+                    "merge_delta: multiple source rows match one "
+                    f"target row (e.g. key {key}) — deduplicate the "
+                    "changelog first (dedupe_keep_latest)"
+                )
+        actions: list[dict] = []
+        n_matched = 0
+        if when_matched is not None:
+            actions, n_matched = _dv_delete_plan(
+                spark, table, snap, None, None, None,
+                what="merge_delta",
+                match_keys=source.select(*on),
+            )
+        new_parts: list[tuple[str, DataFrame]] = []
+        if when_matched == "update":
+            new_parts.append(
+                ("update", _project(matched_src, "when_matched='update'"))
+            )
+        elif isinstance(when_matched, dict):
+            # plain (null-UNSAFE) equality, matching the delete
+            # plan's key-marker join: a null-keyed row never matches
+            joined = target.alias("target").join(
+                source.alias("source"),
+                [
+                    F.col(f"target.{c}") == F.col(f"source.{c}")
+                    for c in on
+                ],
+                "inner",
+            )
+            new_parts.append(
+                (
+                    "update",
+                    joined.select(
+                        *[
+                            (
+                                (
+                                    F.expr(when_matched[c])
+                                    if isinstance(when_matched[c], str)
+                                    else when_matched[c]
+                                )
+                                .cast(fields[c].dataType)
+                                .alias(c)
+                                if c in when_matched
+                                else F.col(f"target.{c}").alias(c)
+                            )
+                            for c in out_cols
+                        ]
+                    ),
+                )
+            )
+        n_inserted = 0
+        if when_not_matched == "insert":
+            new_parts.append(
+                (
+                    "insert",
+                    _project(
+                        source.join(tgt_keys, on, "left_anti"),
+                        "when_not_matched='insert'",
+                    ),
+                )
+            )
+        staged: dict[str, list] = {}
+        for kind, df_part in new_parts:
+            added = _stage_and_move(df_part, table, snap.partition_columns)
+            staged[kind] = added
+            for rel, pv, sz, mtime_ms, st in added:
+                add: dict = {
+                    "path": rel,
+                    "partitionValues": pv,
+                    "size": sz,
+                    "modificationTime": mtime_ms,
+                    "dataChange": True,
+                }
+                if st is not None:
+                    add["stats"] = json.dumps(st, separators=(",", ":"))
+                actions.append({"add": add})
+        for rel, _pv, _sz, _mt, st in staged.get("insert", []):
+            n_inserted += int(st["numRecords"]) if st else 0
+        if not actions:
+            # nothing changed; a txn-stamped no-op still records the
+            # high-water mark so replays stay cheap
+            if txn is None:
+                return {"rows_matched": 0, "rows_inserted": 0}
+            actions = []
+        if _cdf_enabled(snap) and (n_matched or n_inserted):
+            changes = None
+
+            def _tag(df: DataFrame, t: str) -> DataFrame:
+                return df.withColumn("_change_type", F.lit(t))
+
+            if when_matched is not None and n_matched:
+                pre = _tag(
+                    target.join(source.select(*on), on, "left_semi"),
+                    "update_preimage"
+                    if when_matched != "delete"
+                    else "delete",
+                )
+                changes = pre
+                if when_matched != "delete":
+                    post_src = new_parts[0][1]
+                    changes = changes.unionByName(
+                        _tag(post_src, "update_postimage")
+                    )
+            if when_not_matched == "insert" and n_inserted:
+                ins = _tag(
+                    _project(
+                        source.join(tgt_keys, on, "left_anti"), "insert"
+                    ),
+                    "insert",
+                )
+                changes = (
+                    ins if changes is None else changes.unionByName(ins)
+                )
+            if changes is not None:
+                actions += _stage_cdc_actions(
+                    changes, table, snap.partition_columns
+                )
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": app_id,
+                        "version": txn_v,
+                        "lastUpdated": int(time.time() * 1000),
+                    }
+                }
+            )
+        _commit_dv_actions(table, snap, actions, operation="MERGE")
+        return {"rows_matched": n_matched, "rows_inserted": n_inserted}
+    finally:
+        source.unpersist()
 
 
 def write_delta_checkpoint(

@@ -64,7 +64,11 @@ from pyspark.sql.datasource import (
 )
 
 from snapflow_spark.sources.delta import hadoop_file_uri
-from snapflow_spark.sources.iceberg_transforms import apply_transform
+from snapflow_spark.sources.iceberg_transforms import (
+    _days,
+    _micros,
+    apply_transform,
+)
 from snapflow_spark.functions.avro_codec import (
     read_avro_file,
     write_avro_file,
@@ -576,29 +580,63 @@ def read_iceberg(
                 )
             sf = match[0]
             transform = sf["transform"]
-            if transform == "identity":
-                expected[sf["name"]] = probe
-                continue
             src = src_by_id.get(sf.get("source-id"))
             src_type = (src or {}).get("type")
+            if transform == "identity":
+                expected[sf["name"]] = (probe, src_type)
+                continue
             if not isinstance(src_type, str):
                 raise NotImplementedError(
                     f"read_iceberg: partition_filter on {k!r}: source "
                     f"field id {sf.get('source-id')} has non-primitive "
                     f"type {src_type!r}"
                 )
-            expected[sf["name"]] = apply_transform(
-                transform, src_type, probe
+            expected[sf["name"]] = (
+                apply_transform(transform, src_type, probe),
+                None,
             )
 
+    def _prune_eq(stored, want, src_type) -> bool | None:
+        """True/False when the stored manifest value and the probe
+        are comparable; None when their representations are not
+        (externally written tables store e.g. identity dates as Avro
+        int days, truncate[W] decimals as bytes) — the caller KEEPS
+        the file then, because pruning is an optimization and must
+        never drop rows on a representation mismatch."""
+        if stored is None or want is None:
+            return stored is None and want is None
+        # identity temporal values: coerce BOTH sides onto the
+        # internal int form (days / micros from epoch)
+        if src_type == "date":
+            try:
+                return _days(stored) == _days(want)
+            except (TypeError, ValueError):
+                return None
+        if isinstance(src_type, str) and src_type.startswith(
+            "timestamp"
+        ):
+            try:
+                return _micros(stored) == _micros(want)
+            except (TypeError, ValueError):
+                return None
+        if isinstance(stored, bool) != isinstance(want, bool):
+            return None
+        if isinstance(stored, (int, float)) and isinstance(
+            want, (int, float)
+        ):
+            return stored == want
+        if type(stored) is not type(want):
+            return None  # incomparable representations: keep
+        return stored == want
+
     def keep(pv: dict) -> bool:
-        for k, want in expected.items():
+        for k, (want, src_type) in expected.items():
             if k not in pv:
                 # a file written under an OLDER partition spec has no
                 # value for this field: unprunable, keep it — pruning
                 # is an optimization, never allowed to drop rows
                 continue
-            if pv.get(k) != want:
+            if _prune_eq(pv.get(k), want, src_type) is False:
                 return False
         return True
 
@@ -844,6 +882,120 @@ _PART_AVRO_TYPES = {
 }
 
 
+def _entry_bounds(ice_fields: list[dict], st: dict | None) -> tuple:
+    """(lower_bounds, upper_bounds) k/v-record arrays for a data-file
+    manifest entry, from the file's stats (already folded across row
+    groups by the staging job's footer read), for exportable bound
+    types.  Shared by write_iceberg and upsert_iceberg."""
+    if not st:
+        return None, None
+    lo_out, hi_out = [], []
+    mins = st.get("minValues") or {}
+    maxs = st.get("maxValues") or {}
+    for f in ice_fields:
+        if f["name"] not in mins or f["name"] not in maxs:
+            continue
+        lo_b = _encode_bound(f["type"], mins[f["name"]])
+        hi_b = _encode_bound(f["type"], maxs[f["name"]])
+        if lo_b is not None and hi_b is not None:
+            lo_out.append({"key": f["id"], "value": lo_b})
+            hi_out.append({"key": f["id"], "value": hi_b})
+    return (lo_out or None), (hi_out or None)
+
+
+def _stage_data_files(
+    spark: SparkSession,
+    df: DataFrame,
+    table: Path,
+    part_types: list[tuple[str, str]],
+) -> list[tuple[str, int, int, dict | None, dict]]:
+    """Stage ``df`` as parquet and move the parts under ``table/
+    data/`` (the write_delta shape), returning one ``(rel path,
+    bytes, rows, stats dict or None, typed partition values)`` tuple
+    per non-empty file.  Identity partitions split through SHADOW
+    columns so the real partition columns stay in the data files
+    (Iceberg files carry every column; hive layout would drop them).
+    Row counts + min/max stats come from ONE executor-side Spark job
+    over the staged files (shared with write_delta), not O(#files)
+    serial driver footer reads.  Shared by write_iceberg and
+    upsert_iceberg."""
+    import shutil
+    from urllib.parse import unquote as _unquote
+
+    import pyarrow.parquet as pq
+
+    from snapflow_spark.sources.delta import _distributed_file_stats
+
+    data = table / "data"
+    data.mkdir(parents=True, exist_ok=True)
+    part_by = [c for c, _t in part_types]
+    staging = table / f".staging-{uuid.uuid4().hex}"
+    if part_by:
+        stage_df = df
+        shadow = [f"__part_{c}" for c in part_by]
+        for c, s in zip(part_by, shadow):
+            stage_df = stage_df.withColumn(s, F.col(c))
+        stage_df.write.mode("errorifexists").partitionBy(
+            *shadow
+        ).parquet(str(staging))
+    else:
+        df.write.mode("errorifexists").parquet(str(staging))
+
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+    def _pv_of(p: Path) -> dict:
+        """Typed partition values parsed from the staged file's hive
+        dir segments (__part_c=value)."""
+        if not part_by:
+            return {}
+        raw: dict[str, str] = {}
+        for seg in p.relative_to(staging).parts[:-1]:
+            k, _, v = seg.partition("=")
+            if k.startswith("__part_"):
+                raw[k[len("__part_"):]] = v
+        out: dict = {}
+        for c, avro_t in part_types:
+            v = raw.get(c)
+            if v is None or v == _HIVE_NULL:
+                out[c] = None
+            elif avro_t in ("int", "long"):
+                out[c] = int(v)
+            elif avro_t == "boolean":
+                out[c] = v.lower() == "true"
+            else:
+                out[c] = _unquote(v)
+        return out
+
+    # (rel path, bytes, rows, stats dict or None, partition values)
+    moved: list[tuple[str, int, int, dict | None, dict]] = []
+    try:
+        staged = sorted(staging.rglob("*.parquet"))
+        stats_map = _distributed_file_stats(
+            spark, [str(p) for p in staged]
+        )
+        for i, p in enumerate(staged):
+            st = stats_map.get(str(p))
+            rows = (
+                int(st["numRecords"])
+                if st is not None
+                else pq.ParquetFile(p).metadata.num_rows
+            )
+            if rows == 0:
+                continue  # empty task output: never a manifest entry
+            # flatten into data/: a task writes the SAME part name
+            # under each partition dir, so prefix with an ordinal
+            name = f"{i:05d}-{p.name}" if part_by else p.name
+            target = data / name
+            os.rename(p, target)
+            moved.append(
+                (f"data/{name}", target.stat().st_size, rows, st,
+                 _pv_of(p))
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return moved
+
+
 def write_iceberg(
     df: DataFrame,
     path: str | os.PathLike,
@@ -943,83 +1095,7 @@ def write_iceberg(
     md.mkdir(parents=True, exist_ok=True)
     data.mkdir(parents=True, exist_ok=True)
 
-    # stage data files, then move under data/ (the write_delta shape);
-    # row counts + min/max stats come from ONE executor-side Spark job
-    # over the staged files (shared with write_delta), not O(#files)
-    # serial driver footer reads
-    from snapflow_spark.sources.delta import _distributed_file_stats
-
-    staging = table / f".staging-{uuid.uuid4().hex}"
-    if part_by:
-        # shadow columns drive the split so the REAL partition
-        # columns stay in the data files (Iceberg files carry every
-        # column; hive layout would drop them)
-        stage_df = df
-        shadow = [f"__part_{c}" for c in part_by]
-        for c, s in zip(part_by, shadow):
-            stage_df = stage_df.withColumn(s, F.col(c))
-        stage_df.write.mode("errorifexists").partitionBy(
-            *shadow
-        ).parquet(str(staging))
-    else:
-        df.write.mode("errorifexists").parquet(str(staging))
-
-    from urllib.parse import unquote as _unquote
-
-    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
-
-    def _pv_of(p: Path) -> dict:
-        """Typed partition values parsed from the staged file's hive
-        dir segments (__part_c=value)."""
-        if not part_by:
-            return {}
-        raw: dict[str, str] = {}
-        for seg in p.relative_to(staging).parts[:-1]:
-            k, _, v = seg.partition("=")
-            if k.startswith("__part_"):
-                raw[k[len("__part_"):]] = v
-        out: dict = {}
-        for c, avro_t in part_types:
-            v = raw.get(c)
-            if v is None or v == _HIVE_NULL:
-                out[c] = None
-            elif avro_t in ("int", "long"):
-                out[c] = int(v)
-            elif avro_t == "boolean":
-                out[c] = v.lower() == "true"
-            else:
-                out[c] = _unquote(v)
-        return out
-
-    # (rel path, bytes, rows, stats dict or None, partition values)
-    moved: list[tuple[str, int, int, dict | None, dict]] = []
-    import shutil
-
-    try:
-        staged = sorted(staging.rglob("*.parquet"))
-        stats_map = _distributed_file_stats(
-            spark, [str(p) for p in staged]
-        )
-        for i, p in enumerate(staged):
-            st = stats_map.get(str(p))
-            rows = (
-                int(st["numRecords"])
-                if st is not None
-                else pq.ParquetFile(p).metadata.num_rows
-            )
-            if rows == 0:
-                continue  # empty task output: never a manifest entry
-            # flatten into data/: a task writes the SAME part name
-            # under each partition dir, so prefix with an ordinal
-            name = f"{i:05d}-{p.name}" if part_by else p.name
-            target = data / name
-            os.rename(p, target)
-            moved.append(
-                (f"data/{name}", target.stat().st_size, rows, st,
-                 _pv_of(p))
-            )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    moved = _stage_data_files(spark, df, table, part_types)
 
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + len(moved)
@@ -1068,26 +1144,6 @@ def write_iceberg(
             "fields": new_fields,
         }
     ice_fields = ice_schema["fields"]
-
-    def _file_bounds(st: dict | None) -> tuple:
-        """(lower_bounds, upper_bounds) k/v-record arrays from the
-        file's stats (already folded across row groups by the staging
-        job's footer read), for exportable bound types."""
-        if not st:
-            return None, None
-        lo_out, hi_out = [], []
-        mins = st.get("minValues") or {}
-        maxs = st.get("maxValues") or {}
-        for f in ice_fields:
-            if f["name"] not in mins or f["name"] not in maxs:
-                continue
-            lo_b = _encode_bound(f["type"], mins[f["name"]])
-            hi_b = _encode_bound(f["type"], maxs[f["name"]])
-            if lo_b is not None and hi_b is not None:
-                lo_out.append({"key": f["id"], "value": lo_b})
-                hi_out.append({"key": f["id"], "value": hi_b})
-        return (lo_out or None), (hi_out or None)
-
     ids_by_name = {f["name"]: int(f["id"]) for f in ice_fields}
     spec_fields = [
         {
@@ -1101,7 +1157,7 @@ def write_iceberg(
     manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
     entries = []
     for rel, size, rows, st, pv in moved:
-        lo_b, hi_b = _file_bounds(st)
+        lo_b, hi_b = _entry_bounds(ice_fields, st)
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -1722,8 +1778,15 @@ def delete_from_iceberg(
     if not paths:
         return 0
     mapping = spark.createDataFrame(
-        [(_huri(p), snap.file_uris.get(p, p)) for p in paths],
-        "__local string, file_path string",
+        [
+            (
+                _huri(p),
+                snap.file_uris.get(p, p),
+                int(snap.file_seqs.get(p, 0)),
+            )
+            for p in paths
+        ],
+        "__local string, file_path string, __fseq long",
     )
     scan = (
         spark.read.schema(snap.schema)
@@ -1734,10 +1797,24 @@ def delete_from_iceberg(
             F.col("_metadata.row_index").alias("pos"),
         )
     )
-    matches = (
-        scan.where(cond)
-        .join(F.broadcast(mapping), "__local")
-        .select("file_path", F.col("pos").cast("long").alias("pos"))
+    matches = scan.where(cond).join(F.broadcast(mapping), "__local")
+    # rows already dead via sequence-scoped EQUALITY deletes must not
+    # match again (they would inflate the returned count and write
+    # redundant position-delete rows): anti-join each delete's keys
+    # (null-safe, the spec's equality semantics) onto rows whose file
+    # sequence the delete covers — the read path's exact rule
+    for dpath, dcols, dseq in snap.equality_deletes:
+        dd = (
+            spark.read.parquet(dpath).select(*dcols).dropDuplicates()
+        )
+        matches = matches.join(
+            dd,
+            [matches[c].eqNullSafe(dd[c]) for c in dcols]
+            + [matches["__fseq"] < F.lit(int(dseq))],
+            "left_anti",
+        )
+    matches = matches.select(
+        "file_path", F.col("pos").cast("long").alias("pos")
     )
     if snap.position_deletes:
         prior = spark.read.parquet(*snap.position_deletes).select(
@@ -1789,6 +1866,7 @@ def _publish_delete_snapshot(
     content: int,
     summary: dict,
     equality_ids: list[int] | None = None,
+    data_moved: list | None = None,
 ) -> int:
     """Publish a new snapshot adding delete files ([(name under
     data/, record count)]) behind ONE DELETE manifest: prior
@@ -1796,17 +1874,35 @@ def _publish_delete_snapshot(
     content=1 and the next data sequence number, and the metadata
     moves to format-version 2 with ``last-sequence-number``.  Shared
     by the position-delete (content=1) and equality-delete
-    (content=2, ``equality_ids``) writers.  Returns the new snapshot
-    id."""
+    (content=2, ``equality_ids``) writers.
+
+    ``data_moved`` (round 15 — the upsert shape) additionally lands
+    NEW DATA FILES (``_stage_data_files`` tuples) behind a DATA
+    manifest at the SAME sequence number as the delete: equality
+    deletes apply only to strictly-smaller sequences, so the new
+    rows survive while every older matching row dies — one atomic
+    snapshot, the Flink upsert-sink commit.  Returns the new
+    snapshot id."""
     md = table / "metadata"
     data = table / "data"
     meta = json.loads(_metadata_path(table).read_text())
     location = meta.get("location", str(table))
     cur = next(
-        s
-        for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
+        (
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        ),
+        None,
     )
+    if cur is None:
+        raise ValueError(
+            "iceberg delete/upsert: the table has no live current "
+            f"snapshot (current-snapshot-id="
+            f"{meta.get('current-snapshot-id')!r}, "
+            f"{len(meta.get('snapshots') or [])} snapshots recorded) "
+            "— nothing to delete from; append first"
+        )
     prior_entries: list[dict] = []
     if "manifest-list" in cur:
         _, prior_entries = read_avro_file(
@@ -1890,6 +1986,79 @@ def _publish_delete_snapshot(
             "content": "deletes",
         },
     )
+    new_entries = [
+        {
+            "manifest_path": f"{location}/metadata/{del_manifest}",
+            "manifest_length": (md / del_manifest).stat().st_size,
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": new_seq,
+            "added_snapshot_id": snapshot_id,
+        }
+    ]
+    if data_moved:
+        # the upsert's DATA manifest, SAME sequence as the delete —
+        # the reader's strictly-smaller rule keeps these rows alive
+        raw_fields = _raw_schema_fields(meta)
+        types_by_id = {
+            int(f["id"]): f["type"]
+            for f in raw_fields
+            if f.get("id") is not None and isinstance(f.get("type"), str)
+        }
+        spec_raw = _default_spec_raw(meta)
+        part_types = [
+            (
+                f["name"],
+                _PART_AVRO_TYPES[types_by_id[int(f["source-id"])]],
+            )
+            for f in spec_raw
+        ]
+        ice_schema_json = json.dumps(
+            {"type": "struct", "schema-id": 0, "fields": raw_fields},
+            separators=(",", ":"),
+        )
+        data_manifest = f"manifest-{uuid.uuid4().hex}.avro"
+        write_avro_file(
+            md / data_manifest,
+            _manifest_entry_schema(part_types),
+            [
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "file_path": f"{location}/{rel}",
+                        "file_format": "PARQUET",
+                        "partition": pv,
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                        "block_size_in_bytes": 67108864,
+                        "lower_bounds": _entry_bounds(raw_fields, st)[0],
+                        "upper_bounds": _entry_bounds(raw_fields, st)[1],
+                    },
+                }
+                for rel, size, rows, st, pv in data_moved
+            ],
+            extra_metadata={
+                "schema": ice_schema_json,
+                "schema-id": "0",
+                "partition-spec": json.dumps(
+                    spec_raw, separators=(",", ":")
+                ),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        new_entries.append(
+            {
+                "manifest_path": f"{location}/metadata/{data_manifest}",
+                "manifest_length": (md / data_manifest).stat().st_size,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": new_seq,
+                "added_snapshot_id": snapshot_id,
+            }
+        )
     ml_schema = {
         "type": "record",
         "name": "manifest_file",
@@ -1919,16 +2088,7 @@ def _publish_delete_snapshot(
             }
             for e in prior_entries
         ]
-        + [
-            {
-                "manifest_path": f"{location}/metadata/{del_manifest}",
-                "manifest_length": (md / del_manifest).stat().st_size,
-                "partition_spec_id": 0,
-                "content": 1,
-                "sequence_number": new_seq,
-                "added_snapshot_id": snapshot_id,
-            }
-        ],
+        + new_entries,
         extra_metadata={
             "snapshot-id": str(snapshot_id),
             "parent-snapshot-id": str(meta["current-snapshot-id"]),
@@ -1939,7 +2099,12 @@ def _publish_delete_snapshot(
         {
             "snapshot-id": snapshot_id,
             "timestamp-ms": now_ms,
-            "summary": {"operation": "delete", **summary},
+            # an upsert both removes and adds rows: "overwrite" (what
+            # the Flink sink stamps); a pure delete stays "delete"
+            "summary": {
+                "operation": "overwrite" if data_moved else "delete",
+                **summary,
+            },
             "manifest-list": f"{location}/metadata/{ml_name}",
         }
     )
@@ -2017,6 +2182,138 @@ def delete_iceberg_by_key(
         equality_ids=eq_ids,
     )
     return int(n_keys)
+
+
+def upsert_iceberg(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    df: DataFrame,
+    keys: list[str],
+    extra_summary: dict | None = None,
+) -> dict:
+    """Keyed UPSERT in ONE snapshot — the Flink Iceberg upsert-sink
+    commit shape: an EQUALITY-delete file carrying ``df``'s key
+    values and the new data files land together at the SAME data
+    sequence number N.  The spec applies an equality delete only to
+    data files with a STRICTLY smaller sequence, so every older row
+    with a matching key dies while this commit's rows survive — an
+    atomic replace-by-key costing O(keys + new rows), no table scan,
+    no data file rewritten (the merge-on-read debt is settled later
+    by ``rewrite_iceberg_files``).
+
+    Creates the table (plain append) when absent or empty.  The
+    DataFrame must match the table schema exactly and carry every
+    key column; identity-partitioned tables keep their spec
+    (non-identity transforms refuse loudly).  ``extra_summary``
+    lands in the snapshot summary — the exactly-once hook
+    ``iceberg_stream_sink`` keys on.  Returns ``{"snapshot_id": id,
+    "keys": n_distinct_keys, "rows": n_new_rows}``."""
+    table = Path(path)
+    keys = list(keys)
+    if not keys:
+        raise ValueError("upsert_iceberg: empty key list")
+    missing = [c for c in keys if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"upsert_iceberg: key columns {missing} not in the "
+            f"DataFrame columns {df.columns}"
+        )
+    meta = None
+    try:
+        meta = json.loads(_metadata_path(table).read_text())
+    except FileNotFoundError:
+        pass
+    if meta is None or meta.get("current-snapshot-id") in (
+        None, -1,
+    ) or not meta.get("snapshots"):
+        # no live rows anywhere: the upsert IS a plain append
+        sid = write_iceberg(
+            df, table, mode="append", extra_summary=extra_summary
+        )
+        snap = iceberg_snapshot(spark, table)
+        return {
+            "snapshot_id": sid,
+            "keys": 0,
+            "rows": sum(n for _p, _pv, n, _bd in snap.files),
+        }
+    if _schema_from_metadata(meta) != df.schema:
+        raise ValueError(
+            "upsert_iceberg: DataFrame schema differs from the table "
+            "schema — upserts replace rows by key, they do not evolve "
+            "the schema (write_iceberg(merge_schema=True) first)"
+        )
+    spec = _default_spec(meta)
+    bad = [(n, t) for n, t in spec if t != "identity"]
+    if bad:
+        raise NotImplementedError(
+            f"upsert_iceberg: partition transforms {bad} — staging "
+            "only reproduces identity specs (same scope as "
+            "rewrite_iceberg_files)"
+        )
+    fields_by_name = {f["name"]: f for f in _raw_schema_fields(meta)}
+    eq_ids = []
+    for c in keys:
+        f = fields_by_name.get(c)
+        if f is None or f.get("id") is None:
+            raise ValueError(
+                f"upsert_iceberg: key column {c!r} not in the table "
+                f"schema {sorted(fields_by_name)}"
+            )
+        eq_ids.append(int(f["id"]))
+    types_by_id = {
+        int(f["id"]): f["type"]
+        for f in _raw_schema_fields(meta)
+        if isinstance(f.get("type"), str)
+    }
+    part_types = [
+        (n, _PART_AVRO_TYPES[types_by_id[int(sf["source-id"])]])
+        for sf, (n, _t) in zip(_default_spec_raw(meta), spec)
+    ]
+
+    import shutil as _shutil
+
+    import pyarrow.parquet as pq
+
+    # 1. the equality-delete keys (deduplicated, spec-sorted)
+    data = table / "data"
+    data.mkdir(parents=True, exist_ok=True)
+    staging = data / f".del-staging-{uuid.uuid4().hex}"
+    df.select(*keys).dropDuplicates().repartition(
+        1
+    ).sortWithinPartitions(*keys).write.parquet(str(staging))
+    part = next(Path(staging).glob("*.parquet"))
+    n_keys = int(pq.ParquetFile(part).metadata.num_rows)
+    del_files: list[tuple[str, int]] = []
+    if n_keys:
+        del_name = f"{uuid.uuid4().hex}-eq-deletes.parquet"
+        part.rename(data / del_name)
+        del_files.append((del_name, n_keys))
+    _shutil.rmtree(staging, ignore_errors=True)
+    if not n_keys:
+        return {
+            "snapshot_id": int(meta["current-snapshot-id"]),
+            "keys": 0,
+            "rows": 0,
+        }
+
+    # 2. the new data files (identity partitions preserved)
+    moved = _stage_data_files(spark, df, table, part_types)
+    n_rows = sum(rows for _rel, _sz, rows, _st, _pv in moved)
+
+    # 3. ONE snapshot: delete manifest + data manifest, same sequence
+    sid = _publish_delete_snapshot(
+        table,
+        del_files,
+        content=2,  # EQUALITY deletes
+        summary={
+            "upsert-keys": str(n_keys),
+            "added-records": str(n_rows),
+            **{str(k): str(v) for k, v in (extra_summary or {}).items()},
+        },
+        equality_ids=eq_ids,
+        data_moved=moved,
+    )
+    return {"snapshot_id": sid, "keys": n_keys, "rows": n_rows}
 
 
 def rewrite_iceberg_files(

@@ -1,0 +1,196 @@
+"""upsert_iceberg (round 15) — the Flink upsert-sink commit shape:
+equality delete + new data at the SAME sequence in ONE snapshot —
+plus the round-15 ADVICE fixes (delete_from_iceberg excludes rows
+already equality-deleted; no-current-snapshot raises a named
+ValueError; partition pruning keeps files on representation
+mismatches)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from snapflow_spark.sources.iceberg import (
+    delete_from_iceberg,
+    delete_iceberg_by_key,
+    iceberg_snapshot,
+    read_iceberg,
+    upsert_iceberg,
+    write_iceberg,
+)
+
+
+def _tbl(spark, rows):
+    return spark.createDataFrame(rows, "id long, val long, grp string")
+
+
+def _state(spark, path, **kw):
+    return {
+        (r.id, r.val, r.grp)
+        for r in read_iceberg(spark, path, **kw).collect()
+    }
+
+
+def test_upsert_replaces_by_key_in_one_snapshot(spark, tmp_path):
+    path = tmp_path / "t"
+    target = [(i, i * 10, "ab"[i % 2]) for i in range(10)]
+    write_iceberg(_tbl(spark, target), path)
+    before = iceberg_snapshot(spark, path)
+    n_snaps_before = len(before.metadata["snapshots"])
+
+    src = [(i, i * 100, "ab"[i % 2]) for i in range(5, 15)]
+    res = upsert_iceberg(spark, path, _tbl(spark, src), keys=["id"])
+    assert res["keys"] == 10 and res["rows"] == 10
+
+    expected = {r for r in target if r[0] < 5} | set(src)
+    assert _state(spark, path) == expected
+    # ONE snapshot: delete manifest + data manifest committed together
+    after = iceberg_snapshot(spark, path)
+    assert len(after.metadata["snapshots"]) == n_snaps_before + 1
+    assert after.metadata["snapshots"][-1]["summary"]["operation"] == (
+        "overwrite"
+    )
+    # time travel to the pre-upsert snapshot still sees the old rows
+    assert _state(
+        spark, path, snapshot_id=before.snapshot_id
+    ) == set(target)
+
+
+def test_upsert_replay_converges(spark, tmp_path):
+    path = tmp_path / "t"
+    write_iceberg(_tbl(spark, [(i, i, "a") for i in range(5)]), path)
+    src = _tbl(spark, [(3, 99, "a"), (7, 77, "b")])
+    upsert_iceberg(spark, path, src, keys=["id"])
+    first = _state(spark, path)
+    assert first == {(0, 0, "a"), (1, 1, "a"), (2, 2, "a"),
+                     (4, 4, "a"), (3, 99, "a"), (7, 77, "b")}
+    # replaying the same changelog converges (each upsert's delete
+    # scopes to strictly-earlier sequences, so its own rows survive)
+    upsert_iceberg(spark, path, src, keys=["id"])
+    assert _state(spark, path) == first
+
+
+def test_upsert_creates_table_and_guards(spark, tmp_path):
+    path = tmp_path / "t"
+    res = upsert_iceberg(
+        spark, path, _tbl(spark, [(1, 1, "a")]), keys=["id"]
+    )
+    assert res["keys"] == 0 and res["rows"] == 1
+    assert _state(spark, path) == {(1, 1, "a")}
+    with pytest.raises(ValueError, match="key columns"):
+        upsert_iceberg(
+            spark, path, _tbl(spark, [(1, 1, "a")]), keys=["nope"]
+        )
+    with pytest.raises(ValueError, match="schema differs"):
+        upsert_iceberg(
+            spark,
+            path,
+            spark.createDataFrame([(1,)], "id long"),
+            keys=["id"],
+        )
+    with pytest.raises(ValueError, match="empty key list"):
+        upsert_iceberg(spark, path, _tbl(spark, [(1, 1, "a")]), keys=[])
+
+
+def test_upsert_keeps_identity_partition_spec(spark, tmp_path):
+    path = tmp_path / "t"
+    write_iceberg(
+        _tbl(spark, [(i, i, "ab"[i % 2]) for i in range(6)]),
+        path,
+        partition_by=["grp"],
+    )
+    upsert_iceberg(
+        spark, path, _tbl(spark, [(0, 100, "a"), (9, 9, "b")]),
+        keys=["id"],
+    )
+    assert _state(spark, path) == {
+        (0, 100, "a"), (1, 1, "b"), (2, 2, "a"), (3, 3, "b"),
+        (4, 4, "a"), (5, 5, "b"), (9, 9, "b"),
+    }
+    # the new data files carry typed partition values: pruning works
+    snap = iceberg_snapshot(spark, path)
+    assert all(
+        pv.get("grp") in ("a", "b") for _p, pv, _n, _bd in snap.files
+    )
+    got = _state(spark, path, partition_filter={"grp": "b"})
+    assert {(1, 1, "b"), (3, 3, "b"), (5, 5, "b"), (9, 9, "b")} <= got
+    assert (0, 100, "a") not in got
+
+
+def test_delete_from_iceberg_excludes_equality_deleted_rows(
+    spark, tmp_path
+):
+    """Rows already dead via a sequence-scoped equality delete must
+    not be matched again: the count reflects LIVE rows only and no
+    redundant position-delete rows are written."""
+    path = tmp_path / "t"
+    write_iceberg(_tbl(spark, [(i, i, "a") for i in range(10)]), path)
+    assert delete_iceberg_by_key(
+        spark, path, spark.createDataFrame([(3,), (4,)], "id long")
+    ) == 2
+    # ids 3 and 4 are already equality-deleted: only 0,1,2,5 are live
+    assert delete_from_iceberg(spark, path, "id < 6") == 4
+    assert _state(spark, path) == {
+        (i, i, "a") for i in (6, 7, 8, 9)
+    }
+    # repeat: nothing newly deleted (idempotent)
+    assert delete_from_iceberg(spark, path, "id < 6") == 0
+
+
+def test_delete_without_current_snapshot_raises_named(spark, tmp_path):
+    """An external/empty table whose current-snapshot-id is -1 gets a
+    descriptive ValueError, not a bare StopIteration."""
+    table = tmp_path / "t"
+    md = table / "metadata"
+    md.mkdir(parents=True)
+    meta = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": str(table),
+        "last-updated-ms": 0,
+        "last-column-id": 1,
+        "schema": {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": False,
+                 "type": "long"},
+            ],
+        },
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+    }
+    (md / "v1.metadata.json").write_text(json.dumps(meta))
+    (md / "version-hint.text").write_text("1")
+    with pytest.raises(ValueError, match="no live current snapshot"):
+        delete_iceberg_by_key(
+            spark, table, spark.createDataFrame([(1,)], "id long")
+        )
+
+
+def test_partition_pruning_keeps_files_on_type_mismatch(
+    spark, tmp_path
+):
+    """A probe whose python type cannot be compared to the stored
+    manifest representation must KEEP every file (pruning is an
+    optimization, never a filter) instead of silently pruning the
+    table to empty."""
+    path = tmp_path / "t"
+    rows = [(i, i, str(i % 2)) for i in range(8)]
+    write_iceberg(_tbl(spark, rows), path, partition_by=["grp"])
+    # exact-type probe prunes normally
+    assert (
+        read_iceberg(spark, path, partition_filter={"grp": "1"}).count()
+        == 4
+    )
+    # int probe vs string-stored partition value: incomparable — keep
+    assert (
+        read_iceberg(spark, path, partition_filter={"grp": 1}).count()
+        == 8
+    )
