@@ -2232,6 +2232,7 @@ def delta_stream_sink(
     path: str | os.PathLike,
     app_id: str,
     partition_by: list[str] | None = None,
+    keys: list[str] | None = None,
 ):
     """EXACTLY-ONCE streaming writes INTO a Delta table: a
     ``foreachBatch`` body keyed on the protocol's SetTransaction
@@ -2242,6 +2243,14 @@ def delta_stream_sink(
     delta-spark's own streaming sink uses, with the table itself as
     the idempotence ledger (no side state).
 
+    ``keys`` (round 15) switches the sink to UPSERT mode — the other
+    half of CDC: each micro-batch after the first applies through
+    ``merge_delta`` (replace-by-key, DV delete + insert in one
+    commit, the same SetTransaction idempotence), so a keyed
+    changelog stream lands exactly-once upserts.  The first batch
+    creates the table as a plain append.  The changelog must carry
+    one row per key per batch (``dedupe_keep_latest`` upstream).
+
     Usage::
 
         q = (curated.writeStream
@@ -2249,8 +2258,20 @@ def delta_stream_sink(
              .option("checkpointLocation", ckpt).start())
     """
     target = str(path)
+    keys = list(keys) if keys is not None else None
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if keys is not None and (
+            Path(target) / _LOG_DIR
+        ).is_dir():
+            merge_delta(
+                batch_df.sparkSession,
+                target,
+                batch_df,
+                on=keys,
+                txn=(app_id, int(batch_id)),
+            )
+            return
         write_delta(
             batch_df,
             target,

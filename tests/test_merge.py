@@ -185,3 +185,44 @@ def test_merge_guards(spark, tmp_path):
         merge_delta(
             spark, path, src, on=["id"], when_matched={"zz": "1"}
         )
+
+
+def test_delta_stream_sink_upsert_mode_exactly_once(spark, tmp_path):
+    """delta_stream_sink(keys=): a keyed changelog stream lands
+    replace-by-key upserts; replaying the same batches from a fresh
+    checkpoint after a restart changes nothing (SetTransaction)."""
+    from snapflow_spark.sources.delta import delta_stream_sink
+
+    src = tmp_path / "src"
+    table = tmp_path / "tbl"
+    schema = "id long, val long, grp string"
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a")], schema
+    ).coalesce(1).write.parquet(str(src), mode="overwrite")
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                delta_stream_sink(table, "cdc-test", keys=["id"])
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    assert _state(spark, table) == {(1, 10, "a"), (2, 20, "a")}
+    # the changelog: update key 2, insert key 3
+    spark.createDataFrame(
+        [(2, 99, "a"), (3, 30, "b")], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run("ck1")
+    want = {(1, 10, "a"), (2, 99, "a"), (3, 30, "b")}
+    assert _state(spark, table) == want
+    # a FRESH checkpoint replays everything as batch 0: the recorded
+    # txn high-water mark suppresses the whole replay
+    run("ck2")
+    assert _state(spark, table) == want

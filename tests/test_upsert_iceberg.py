@@ -194,3 +194,41 @@ def test_partition_pruning_keeps_files_on_type_mismatch(
         read_iceberg(spark, path, partition_filter={"grp": 1}).count()
         == 8
     )
+
+
+def test_iceberg_stream_sink_upsert_mode_exactly_once(spark, tmp_path):
+    """iceberg_stream_sink(keys=): Flink's upsert=true shape — each
+    micro-batch is one equality-delete+data snapshot; a fresh
+    checkpoint's replay is suppressed by the batch-id summary."""
+    from snapflow_spark.sources.iceberg import iceberg_stream_sink
+
+    src = tmp_path / "src"
+    table = tmp_path / "tbl"
+    schema = "id long, val long, grp string"
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a")], schema
+    ).coalesce(1).write.parquet(str(src), mode="overwrite")
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                iceberg_stream_sink(table, "cdc-test", keys=["id"])
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    assert _state(spark, table) == {(1, 10, "a"), (2, 20, "a")}
+    spark.createDataFrame(
+        [(2, 99, "a"), (3, 30, "b")], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    run("ck1")
+    want = {(1, 10, "a"), (2, 99, "a"), (3, 30, "b")}
+    assert _state(spark, table) == want
+    run("ck2")
+    assert _state(spark, table) == want
