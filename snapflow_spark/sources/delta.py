@@ -2562,9 +2562,14 @@ def read_delta_cdf(
     per-file DV state is tracked from version 0, including through
     the pre-range replay).
 
-    Loud scope: column-mapped tables raise; a schemaString change
-    inside the range raises (one output schema per call — split the
-    range at the evolution)."""
+    Column-mapped tables (round 15): mode=name reads the physical
+    parquet columns and returns LOGICAL names (the _scan_live rename
+    discipline); mode=id binds by ``parquet.field.id`` metadata;
+    partitionValues and ``_change_data`` files key physical names
+    (``_change_type`` is a bare metadata column — never mapped).
+
+    Loud scope: a schemaString change inside the range raises (one
+    output schema per call — split the range at the evolution)."""
     table = Path(path)
     log = _log_path(table)
     versions = _json_versions(log)
@@ -2579,17 +2584,38 @@ def read_delta_cdf(
             f"(log has 0..{latest})"
         )
     snap = delta_snapshot(spark, table, version=end)
-    if snap.physical_names:
-        raise NotImplementedError(
-            "read_delta_cdf: column-mapped table (mode=name) — the "
-            "change files key physical names; unsupported"
-        )
     fields = {f.name: f for f in snap.schema.fields}
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
-    data_schema = StructType(data_fields)
+    phys = snap.physical_names
+
+    def P(c: str) -> str:
+        return phys.get(c, c) if phys else c
+
+    if snap.field_ids:
+        # mode=id: request logical names carrying parquet.field.id —
+        # Spark binds by footer id; _change_type (no id) binds by name
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        base_fields = [
+            StructField(
+                f.name, f.dataType, True,
+                {"parquet.field.id": snap.field_ids[f.name]},
+            )
+            for f in data_fields
+        ]
+        rename = False
+    elif phys:
+        # mode=name: the parquet columns carry physicalName uuids
+        base_fields = [
+            StructField(P(f.name), f.dataType, True) for f in data_fields
+        ]
+        rename = True
+    else:
+        base_fields = list(data_fields)
+        rename = False
+    data_schema = StructType(base_fields)
     cdc_schema = StructType(
-        list(data_fields)
+        list(base_fields)
         + [StructField("_change_type", StringType(), True)]
     )
     out_cols = [f.name for f in snap.schema.fields] + [
@@ -2641,11 +2667,18 @@ def read_delta_cdf(
                 .join(F.broadcast(sel), "__ri", how)
                 .drop("__ri")
             )
+        if rename:  # mode=name: physical columns come back logical
+            cols = [
+                F.col(P(f.name)).alias(f.name) for f in data_fields
+            ]
+            if with_type_col:
+                cols.append(F.col("_change_type"))
+            df = df.select(*cols)
         if not with_type_col:
             df = df.withColumn("_change_type", F.lit(change_type))
         df = df.withColumn("_commit_version", F.lit(int(v)).cast("bigint"))
         for c in part_cols:
-            raw = pv.get(c)
+            raw = pv.get(P(c))
             df = df.withColumn(c, F.lit(raw).cast(fields[c].dataType))
         pieces.append(df.select(*out_cols))
 

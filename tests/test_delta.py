@@ -1360,3 +1360,61 @@ def test_merge_schema_preserves_table_nullability_and_metadata(
     assert [f["name"] for f in fields] == ["id", "name", "extra"]
     assert all(f["nullable"] for f in fields)
     assert fields[0]["metadata"] == {"comment": "doc id"}
+
+
+def test_cdf_on_column_mapped_table(spark, tmp_path):
+    """read_delta_cdf on a mode=name table (round 15): the
+    synthesized tier renames physical parquet columns to logical
+    names, and cdc change files (physical names + bare _change_type)
+    read back logical too."""
+    import shutil
+
+    from snapflow_spark.sources.delta import read_delta_cdf
+
+    table = tmp_path / "cm"
+    _column_mapped_table(spark, table)
+    phys = {"doc_id": "col-aaaa", "text": "col-bbbb", "lang": "col-cccc"}
+
+    def changes(df):
+        return {
+            (r.doc_id, r.text, r.lang, r._change_type, r._commit_version)
+            for r in df.collect()
+        }
+
+    # synthesized tier: the v0 adds are inserts, logical-named
+    assert changes(read_delta_cdf(spark, table, 0, 0)) == {
+        (0, "a", "en", "insert", 0),
+        (1, "b", "en", "insert", 0),
+        (2, "c", "de", "insert", 0),
+    }
+
+    # cdc tier: an external writer lands a physical-named change file
+    cd = table / "_change_data"
+    cd.mkdir()
+    cdc_df = spark.createDataFrame(
+        [(0, "a", "update_preimage"), (0, "A", "update_postimage")],
+        f"`{phys['doc_id']}` bigint, `{phys['text']}` string, "
+        "_change_type string",
+    ).coalesce(1)
+    tmp = str(cd / "chg.parquet.tmp")
+    cdc_df.write.mode("overwrite").parquet(tmp)
+    target = cd / "chg.parquet"
+    next(Path(tmp).glob("*.parquet")).rename(target)
+    shutil.rmtree(tmp)
+    (table / "_delta_log" / f"{1:020d}.json").write_text(
+        json.dumps(
+            {
+                "cdc": {
+                    "path": "_change_data/chg.parquet",
+                    "partitionValues": {phys["lang"]: "en"},
+                    "size": target.stat().st_size,
+                    "dataChange": False,
+                }
+            }
+        )
+        + "\n"
+    )
+    assert changes(read_delta_cdf(spark, table, 1, 1)) == {
+        (0, "a", "en", "update_preimage", 1),
+        (0, "A", "en", "update_postimage", 1),
+    }
