@@ -244,6 +244,34 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
            reverse(n_name) AS n_name,
            n_regionkey
     FROM nation
+    UNION ALL
+    -- 'delta_merge' branch (round 15): MERGE / upsert driver-grade —
+    -- merge_delta replaces the matched keys (%5=0, upper-cased) via
+    -- the distributed DV delete + same-commit append and inserts the
+    -- region-1 rows re-keyed +300; the oracle replays the upsert
+    SELECT 'delta_merge' AS fmt, n_nationkey,
+           CASE WHEN n_nationkey % 5 = 0 THEN upper(n_name)
+                ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 'delta_merge' AS fmt, n_nationkey + 300 AS n_nationkey,
+           reverse(n_name) AS n_name, n_regionkey
+    FROM nation WHERE n_regionkey = 1
+    UNION ALL
+    -- 'iceberg_upsert' branch (round 15): the Flink upsert commit —
+    -- ONE snapshot carrying an equality-delete file (keys %5=0
+    -- replaced by upper-cased rows) and the new data files at the
+    -- SAME sequence (region-1 rows re-keyed +400 inserted)
+    SELECT 'iceberg_upsert' AS fmt, n_nationkey,
+           CASE WHEN n_nationkey % 5 = 0 THEN upper(n_name)
+                ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 'iceberg_upsert' AS fmt, n_nationkey + 400 AS n_nationkey,
+           reverse(n_name) AS n_name, n_regionkey
+    FROM nation WHERE n_regionkey = 1
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +279,7 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — staged ONCE per (session, sf_dir): the write→read round trips
     are eager side effects of building the plan, so repeat calls
     (bench warm reps, a second correctness pass) reuse the staged
-    fixtures and the lazy union instead of re-writing 15 fixture
+    fixtures and the lazy union instead of re-writing 17 fixture
     tables; the first call in any process still exercises every
     writer end-to-end.  See _build_scan_formats for the branches."""
     per = _SCAN_FORMATS_CACHE.get(spark)
@@ -287,9 +315,13 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     version=0, and a two-snapshot Iceberg table read at latest AND by
     snapshot id — plus the row-level delete branches: Delta deletion
     vectors ('delta_dv', round 13), Iceberg v2 position deletes
-    ('iceberg_pdel', round 13) and sequence-scoped equality deletes
-    ('iceberg_edel', round 14) — every round trip proven lossless
-    against the oracle's re-emission of the table."""
+    ('iceberg_pdel', round 13), sequence-scoped equality deletes
+    ('iceberg_edel', round 14), and the round-15 CDC apply shapes:
+    'delta_merge' (merge_delta — distributed-DV replace-by-key +
+    same-commit inserts) and 'iceberg_upsert' (upsert_iceberg — one
+    equality-delete+data snapshot, Flink's upsert commit) — every
+    round trip proven lossless against the oracle's re-emission of
+    the table."""
     csv_path = str(_SCRATCH / "csv_roundtrip" / "nation")
     write_csv(load_table(spark, sf_dir, "nation"), csv_path)
     from_csv = read_csv(spark, csv_path).select(
@@ -623,6 +655,66 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     from_ice_edel = _tag(read_iceberg(spark, ed_dir), "iceberg_edel")
+    # 'delta_merge' branch (round 15): MERGE / upsert driver-grade —
+    # built by merge_delta (the CDC apply shape): matched keys (%5=0)
+    # die via the DISTRIBUTED DV plan's key-equality matcher and
+    # their upper-cased replacements land in the same commit with the
+    # region-1 inserts re-keyed +300; the oracle replays the upsert.
+    from snapflow_spark.sources.delta import merge_delta
+
+    mg_dir = _SCRATCH / "delta_merge_roundtrip"
+    shutil.rmtree(mg_dir, ignore_errors=True)
+    write_delta(nation3, mg_dir)
+    mg_src = (
+        nation3.where(F.col("n_nationkey") % 5 == 0)
+        .withColumn("n_name", F.upper("n_name"))
+        .unionByName(
+            nation3.where(F.col("n_regionkey") == 1).select(
+                (F.col("n_nationkey") + 300).alias("n_nationkey"),
+                F.reverse("n_name").alias("n_name"),
+                "n_regionkey",
+            )
+        )
+    )
+    mres = merge_delta(spark, mg_dir, mg_src, on=["n_nationkey"])
+    assert mres["rows_matched"] > 0 and mres["rows_inserted"] > 0, (
+        f"delta_merge fixture: unexpected merge result {mres}"
+    )
+    from_delta_merge = _tag(read_delta(spark, mg_dir), "delta_merge")
+    # 'iceberg_upsert' branch (round 15): the Flink upsert-sink
+    # commit driver-grade — upsert_iceberg lands an equality-delete
+    # file (keys %5=0) and the replacement + insert data files at the
+    # SAME data sequence in ONE snapshot; the strictly-smaller
+    # scoping keeps this commit's rows alive while the old matching
+    # rows die — exactly what the oracle replays.
+    from snapflow_spark.sources.iceberg import upsert_iceberg
+
+    up_dir = _SCRATCH / "iceberg_upsert_roundtrip"
+    shutil.rmtree(up_dir, ignore_errors=True)
+    up_base = nation3.select(
+        F.col("n_nationkey").cast("int"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("int"),
+    )
+    write_iceberg(up_base, up_dir)
+    up_src = (
+        up_base.where(F.col("n_nationkey") % 5 == 0)
+        .withColumn("n_name", F.upper("n_name"))
+        .unionByName(
+            up_base.where(F.col("n_regionkey") == 1).select(
+                (F.col("n_nationkey") + 400)
+                .cast("int")
+                .alias("n_nationkey"),
+                F.reverse("n_name").alias("n_name"),
+                "n_regionkey",
+            )
+        )
+    )
+    ures = upsert_iceberg(spark, up_dir, up_src, keys=["n_nationkey"])
+    assert ures["keys"] > 0 and ures["rows"] > 0, (
+        f"iceberg_upsert fixture: unexpected upsert result {ures}"
+    )
+    from_ice_upsert = _tag(read_iceberg(spark, up_dir), "iceberg_upsert")
     from snapflow_spark.sources.cc_index import read_cc_index
 
     key = F.col("n_nationkey")
@@ -693,6 +785,8 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(from_ice_s0)
         .unionByName(from_ice_pdel)
         .unionByName(from_ice_edel)
+        .unionByName(from_delta_merge)
+        .unionByName(from_ice_upsert)
         .unionByName(from_cc)
     )
 
