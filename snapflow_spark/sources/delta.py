@@ -2011,7 +2011,7 @@ def merge_delta(
 
 
 def write_delta_checkpoint(
-    spark: SparkSession, path: str | os.PathLike
+    spark: SparkSession, path: str | os.PathLike, v2: bool = False
 ) -> int:
     """Compact the current table state into a checkpoint parquet at
     the latest version and point ``_last_checkpoint`` at it, so
@@ -2025,7 +2025,20 @@ def write_delta_checkpoint(
     lists (not just the version ints), and one ``txn`` row per
     recorded SetTransaction app id — without those, log cleanup past
     the checkpoint would silently drop the exactly-once high-water
-    marks and replayed streaming batches would duplicate."""
+    marks and replayed streaming batches would duplicate.
+
+    ``v2=True`` (round 15) writes the V2 CHECKPOINT form instead of
+    the classic single-part file: the file actions land in a SIDECAR
+    parquet under ``_delta_log/_sidecars/`` and the UUID-named top
+    file (``<v>.checkpoint.<uuid>.parquet``) carries only the
+    checkpointMetadata / protocol / metaData / txn rows plus one
+    ``sidecar`` pointer per sidecar — the layout large tables' log
+    compaction wants (file actions can be re-sharded without
+    rewriting the handle).  The round-14 reader consumes both forms.
+    Publishing the v2 form for EXTERNAL readers expects the table's
+    protocol to carry the ``v2Checkpoint`` reader feature — this
+    writer does not upgrade the protocol (that is a table property
+    change, a separate commit)."""
     table = Path(path)
     snap = delta_snapshot(spark, table)
     log = _log_path(table)
@@ -2046,37 +2059,25 @@ def write_delta_checkpoint(
         "readerFeatures:array<string>,writerFeatures:array<string>>"
     )
     txn_t = "struct<appId:string,version:bigint>"
-    schema = (
-        f"add {add_t}, metaData {meta_t}, protocol {proto_t}, txn {txn_t}"
-    )
     meta = snap.metadata
-    rows: list[tuple] = [
-        (
-            None,
-            (
-                meta.get("id"),
-                ((meta.get("format") or {}).get("provider", "parquet"),),
-                meta["schemaString"],
-                snap.partition_columns,
-                meta.get("configuration") or {},
-            ),
-            None,
-            None,
-        ),
-        (
-            None,
-            None,
-            (
-                int(snap.protocol.get("minReaderVersion", 1) or 1),
-                int(snap.protocol.get("minWriterVersion", 2) or 2),
-                snap.protocol.get("readerFeatures"),
-                snap.protocol.get("writerFeatures"),
-            ),
-            None,
-        ),
+    meta_row = (
+        meta.get("id"),
+        ((meta.get("format") or {}).get("provider", "parquet"),),
+        meta["schemaString"],
+        snap.partition_columns,
+        meta.get("configuration") or {},
+    )
+    proto_row = (
+        int(snap.protocol.get("minReaderVersion", 1) or 1),
+        int(snap.protocol.get("minWriterVersion", 2) or 2),
+        snap.protocol.get("readerFeatures"),
+        snap.protocol.get("writerFeatures"),
+    )
+    txn_rows = [
+        (app_id, int(txn_v))
+        for app_id, txn_v in sorted(snap.txns.items())
     ]
-    for app_id, txn_v in sorted(snap.txns.items()):
-        rows.append((None, None, None, (app_id, int(txn_v))))
+    add_rows: list[tuple] = []
     for rel, pv, sz, st in snap.files:
         stats_json = (
             json.dumps(st, separators=(",", ":")) if st else None
@@ -2097,24 +2098,73 @@ def write_delta_checkpoint(
             if dv
             else None
         )
-        rows.append(
+        add_rows.append(
+            (quote(rel, safe="/="), pv, sz, mtime_ms, True,
+             stats_json, dv_row)
+        )
+
+    def _write_one(df: DataFrame, target: Path) -> None:
+        tmp = log / f".cp-{uuid.uuid4().hex}"
+        df.coalesce(1).write.mode("errorifexists").parquet(str(tmp))
+        part = next(iter(tmp.glob("*.parquet")))
+        target.parent.mkdir(parents=True, exist_ok=True)
+        os.replace(part, target)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    n_actions = 2 + len(txn_rows) + len(add_rows)
+    if v2:
+        # V2 form: file actions in a sidecar; the UUID-named top file
+        # holds the handle rows + one sidecar pointer
+        side_name = f"{uuid.uuid4()}.parquet"
+        side_target = log / "_sidecars" / side_name
+        _write_one(
+            spark.createDataFrame(
+                [(a,) for a in add_rows], f"add {add_t}"
+            ),
+            side_target,
+        )
+        top_schema = (
+            f"checkpointMetadata struct<version:bigint>, "
+            f"metaData {meta_t}, protocol {proto_t}, txn {txn_t}, "
+            "sidecar struct<path:string,sizeInBytes:bigint>"
+        )
+        top_rows: list[tuple] = [
+            ((int(snap.version),), None, None, None, None),
+            (None, meta_row, None, None, None),
+            (None, None, proto_row, None, None),
+        ]
+        for t in txn_rows:
+            top_rows.append((None, None, None, t, None))
+        top_rows.append(
             (
-                (quote(rel, safe="/="), pv, sz, mtime_ms, True,
-                 stats_json, dv_row),
-                None,
-                None,
-                None,
+                None, None, None, None,
+                (side_name, int(side_target.stat().st_size)),
             )
         )
-    cp_df = spark.createDataFrame(rows, schema).coalesce(1)
-    tmp = log / f".cp-{uuid.uuid4().hex}"
-    cp_df.write.mode("errorifexists").parquet(str(tmp))
-    part = next(iter(tmp.glob("*.parquet")))
-    target = log / f"{snap.version:020d}.checkpoint.parquet"
-    os.replace(part, target)
-    shutil.rmtree(tmp, ignore_errors=True)
+        _write_one(
+            spark.createDataFrame(top_rows, top_schema),
+            log / f"{snap.version:020d}.checkpoint.{uuid.uuid4()}"
+                  ".parquet",
+        )
+    else:
+        schema = (
+            f"add {add_t}, metaData {meta_t}, protocol {proto_t}, "
+            f"txn {txn_t}"
+        )
+        rows: list[tuple] = [
+            (None, meta_row, None, None),
+            (None, None, proto_row, None),
+        ]
+        for t in txn_rows:
+            rows.append((None, None, None, t))
+        for a in add_rows:
+            rows.append((a, None, None, None))
+        _write_one(
+            spark.createDataFrame(rows, schema),
+            log / f"{snap.version:020d}.checkpoint.parquet",
+        )
     (log / _LAST_CHECKPOINT).write_text(
-        json.dumps({"version": snap.version, "size": len(rows)})
+        json.dumps({"version": snap.version, "size": n_actions})
     )
     return snap.version
 

@@ -1418,3 +1418,47 @@ def test_cdf_on_column_mapped_table(spark, tmp_path):
         (0, "a", "en", "update_preimage", 1),
         (0, "A", "en", "update_postimage", 1),
     }
+
+
+def test_v2_checkpoint_write_and_seed(spark, tmp_path):
+    """write_delta_checkpoint(v2=True) (round 15): the UUID-named top
+    file carries only handle rows + a sidecar pointer, file actions
+    (DV descriptors included) live under _delta_log/_sidecars/, and a
+    log-cleaned table seeds losslessly — txn marks included."""
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        delta_snapshot,
+    )
+
+    path = tmp_path / "tbl"
+    write_delta(_df(spark, ROWS_V0), path, partition_by=["lang"])
+    write_delta(
+        _df(spark, ROWS_V1), path, mode="append", txn=("app", 3)
+    )
+    n_dv = delete_from_delta(spark, path, "doc_id = 1")
+    assert n_dv == 1
+    cp_v = write_delta_checkpoint(spark, path, v2=True)
+    assert cp_v == 2
+    log = Path(path) / "_delta_log"
+    tops = sorted(log.glob(f"{cp_v:020d}.checkpoint.*.parquet"))
+    assert len(tops) == 1
+    assert not (log / f"{cp_v:020d}.checkpoint.parquet").exists()
+    sidecars = sorted((log / "_sidecars").glob("*.parquet"))
+    assert sidecars
+    top = spark.read.parquet(str(tops[0]))
+    assert "sidecar" in top.columns and "add" not in top.columns
+    assert "checkpointMetadata" in top.columns
+    side = spark.read.parquet(*[str(p) for p in sidecars])
+    assert "add" in side.columns
+
+    want = {r for r in (set(ROWS_V0) | set(ROWS_V1)) if r[0] != 1}
+    assert _rows(read_delta(spark, path)) == want
+    # retention cleanup: drop every JSON commit <= checkpoint
+    for v in (0, 1, 2):
+        (log / f"{v:020d}.json").unlink()
+    assert _rows(read_delta(spark, path)) == want  # v2 seed, DVs intact
+    # the SetTransaction high-water mark survives the seed
+    assert delta_snapshot(spark, path).txns["app"] == 3
+    # commits after the checkpoint still replay on top of it
+    write_delta(_df(spark, [(7, "eta", "en")]), path, mode="append")
+    assert _rows(read_delta(spark, path)) == want | {(7, "eta", "en")}
