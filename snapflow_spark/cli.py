@@ -166,15 +166,16 @@ def main(argv: list[str] | None = None) -> int:
     tm = sub.add_parser(
         "table",
         help="table maintenance over a Delta/Iceberg layout: "
-        "vacuum|optimize|checkpoint|delete|restore (delta), "
-        "expire|rewrite|rollback|tag|orphans (iceberg) — the format "
-        "is detected from the table directory",
+        "vacuum|optimize|checkpoint|delete|restore|upsert (delta), "
+        "expire|rewrite|rollback|tag|orphans|upsert (iceberg) — the "
+        "format is detected from the table directory",
     )
     tm.add_argument(
         "op",
         choices=[
             "vacuum", "optimize", "checkpoint", "delete", "restore",
             "expire", "rewrite", "rollback", "tag", "orphans",
+            "upsert",
         ],
     )
     tm.add_argument("path", help="table root directory")
@@ -189,6 +190,12 @@ def main(argv: list[str] | None = None) -> int:
     tm.add_argument("--dry-run", action="store_true")
     tm.add_argument("--target-mb", type=int, default=128,
                     help="file-size target (optimize/rewrite)")
+    tm.add_argument("--source",
+                    help="parquet path of the changelog rows (upsert)")
+    tm.add_argument("--keys",
+                    help="comma-separated key columns (upsert)")
+    tm.add_argument("--v2", action="store_true",
+                    help="sidecar-form v2 checkpoint (checkpoint)")
     args = ap.parse_args(argv)
 
     if args.cmd == "table":
@@ -558,7 +565,17 @@ def _table_maintenance(args) -> int:
             )}
         elif args.op == "checkpoint":
             out = {"op": "checkpoint",
-                   "version": D.write_delta_checkpoint(spark, root)}
+                   "version": D.write_delta_checkpoint(
+                       spark, root, v2=args.v2)}
+        elif args.op == "upsert":
+            if not (args.source and args.keys):
+                print("error: upsert needs --source and --keys")
+                return 2
+            res = D.merge_delta(
+                spark, root, spark.read.parquet(args.source),
+                on=[c.strip() for c in args.keys.split(",") if c.strip()],
+            )
+            out = {"op": "upsert", **res}
         elif args.op == "delete":
             if not args.where:
                 print("error: delete needs --where")
@@ -612,6 +629,16 @@ def _table_maintenance(args) -> int:
             out = {"op": "delete",
                    "rows_deleted": I.delete_from_iceberg(
                        spark, root, args.where)}
+        elif args.op == "upsert":
+            if not (args.source and args.keys):
+                print("error: upsert needs --source and --keys")
+                return 2
+            res = I.upsert_iceberg(
+                spark, root, spark.read.parquet(args.source),
+                keys=[c.strip() for c in args.keys.split(",")
+                      if c.strip()],
+            )
+            out = {"op": "upsert", **res}
         elif args.op == "orphans":
             gone = I.remove_orphan_iceberg_files(
                 spark, root,

@@ -1080,8 +1080,26 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     assert out == {"op": "tag", "name": "v1"}
     out = run("table", "rollback", str(it), "--snapshot-id", str(s0))
     assert out["op"] == "rollback"
+    # round 15: upsert dispatch on both formats (+ v2 checkpoints)
+    src = tmp_path / "changelog"
+    spark.createDataFrame(
+        [(0, "T0", "en"), (9, "t9", "de")],
+        "doc_id bigint, text string, lang string",
+    ).write.parquet(str(src))
+    out = run("table", "upsert", str(dt),
+              "--source", str(src), "--keys", "doc_id")
+    assert out == {"op": "upsert", "rows_matched": 1,
+                   "rows_inserted": 1}
+    out = run("table", "upsert", str(it),
+              "--source", str(src), "--keys", "doc_id")
+    assert out["op"] == "upsert" and out["keys"] == 2
+    out = run("table", "checkpoint", str(dt), "--v2")
+    assert out["op"] == "checkpoint"
+    assert list((dt / "_delta_log" / "_sidecars").glob("*.parquet"))
     # wrong-format op and non-table path fail politely
     assert main(["table", "expire", str(dt)]) == 2
     capsys.readouterr()
     assert main(["table", "vacuum", str(tmp_path / "nope")]) == 2
+    capsys.readouterr()
+    assert main(["table", "upsert", str(dt)]) == 2  # needs args
     capsys.readouterr()
