@@ -1781,13 +1781,17 @@ def merge_delta(
     ``write_delta(txn=)``: already-recorded versions skip and return
     None — the upsert stream sink's exactly-once contract.
 
-    Scale shape: the matched-row marking rides ``_dv_delete_plan``'s
-    distributed key-equality matcher (source keys join the scan,
-    AQE broadcasts small changelogs; DV sidecars are written
-    executor-side), the new rows stage through the distributed
-    hive-layout writer, and the driver holds only O(#touched files)
-    descriptors + O(#staged files) stats — a 100 TB table absorbing
-    a billion-row changelog never materializes rows driver-side.
+    Scale shape: the source keys' min/max bounds PRUNE the target
+    file list from log stats before any scan (delta-spark's MERGE
+    touched-file discovery) — a narrow changelog against a 100 TB
+    table scans only the files whose key ranges can match; the
+    matched-row marking rides ``_dv_delete_plan``'s distributed
+    key-equality matcher (source keys join the scan, AQE broadcasts
+    small changelogs; DV sidecars are written executor-side), the
+    new rows stage through the distributed hive-layout writer, and
+    the driver holds only O(#touched files) descriptors +
+    O(#staged files) stats — a billion-row changelog never
+    materializes rows driver-side.
     CDF-enabled tables emit authoritative change rows
     (update_preimage/postimage pairs, insert, delete).  Returns
     ``{"rows_matched": n, "rows_inserted": m}``.
@@ -1862,7 +1866,29 @@ def merge_delta(
 
     source = source.cache()
     try:
-        target = read_delta(spark, table)
+        # touched-file discovery (delta-spark's MERGE file pruning):
+        # the source keys' min/max bounds prune the TARGET file list
+        # from log stats before any scan — a narrow changelog against
+        # a huge table scans only the files whose key ranges can
+        # match.  Safe: a target key outside the source's bounds can
+        # never match a source row (plain equality), so dropping its
+        # files changes neither the matched set nor the anti-join.
+        bounds = source.agg(
+            *[F.min(F.col(c)).alias(f"__lo_{i}") for i, c in enumerate(on)],
+            *[F.max(F.col(c)).alias(f"__hi_{i}") for i, c in enumerate(on)],
+        ).first()
+        mmf: dict | None = {}
+        for i, c in enumerate(on):
+            lo, hi = bounds[f"__lo_{i}"], bounds[f"__hi_{i}"]
+            if (
+                isinstance(lo, (int, float, str))
+                and isinstance(hi, (int, float, str))
+                and not isinstance(lo, bool)
+                and not isinstance(hi, bool)
+            ):
+                mmf[c] = (lo, hi)
+        mmf = mmf or None
+        target = read_delta(spark, table, min_max_filter=mmf)
         tgt_keys = target.select(*on).dropDuplicates()
         matched_src = source.join(tgt_keys, on, "left_semi")
         if when_matched is not None:
@@ -1886,7 +1912,7 @@ def merge_delta(
         n_matched = 0
         if when_matched is not None:
             actions, n_matched = _dv_delete_plan(
-                spark, table, snap, None, None, None,
+                spark, table, snap, None, None, mmf,
                 what="merge_delta",
                 match_keys=source.select(*on),
             )

@@ -226,3 +226,49 @@ def test_delta_stream_sink_upsert_mode_exactly_once(spark, tmp_path):
     # txn high-water mark suppresses the whole replay
     run("ck2")
     assert _state(spark, table) == want
+
+
+def test_merge_prunes_target_files_by_source_key_bounds(
+    spark, tmp_path, monkeypatch
+):
+    """Touched-file discovery: a narrow changelog prunes the target
+    file list from log stats — with 4 single-range files and a
+    changelog inside ONE range, every driver collect stays at 1-2
+    rows (stage-A count row + descriptor row for the one touched
+    file; unpruned it would be 4)."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    path = tmp_path / "t"
+    for i in range(4):  # 4 files with disjoint doc_id ranges
+        write_delta(
+            _tbl(
+                spark,
+                [(j, j, "a") for j in range(i * 100, i * 100 + 10)],
+            ).coalesce(1),
+            path,
+            mode="append" if i else "error",
+        )
+    collected: list[int] = []
+    orig = _CDF.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_CDF, "collect", spy)
+    res = merge_delta(
+        spark,
+        path,
+        _tbl(spark, [(205, 9999, "z"), (207, 9999, "z")]),
+        on=["id"],
+    )
+    monkeypatch.undo()
+    assert res == {"rows_matched": 2, "rows_inserted": 0}
+    assert collected and max(collected) <= 2, (
+        f"collect sizes {collected}: the 4-file table was not pruned "
+        "to the one touched file"
+    )
+    got = _state(spark, path)
+    assert (205, 9999, "z") in got and (207, 9999, "z") in got
+    assert (206, 206, "a") in got and len(got) == 40

@@ -231,6 +231,24 @@ HEAVY = {
         "anti-join is O(deleted rows), so warm should stay ~flat as "
         "the corpus (and its file count) grows 10x"
     ),
+    "op_delta_merge": (
+        "documents as a STANDING Delta table (cold absorbs the "
+        "export, round 15): warm = merge_delta of a FRESH 500-key "
+        "changelog per call (updates over one doc_id range) — the "
+        "source keys' min/max bounds prune the target file list from "
+        "log stats (touched-file discovery), the matched rows die "
+        "via the distributed DV plan, replacements land in the same "
+        "commit; warm should stay ~flat as the corpus grows 10x"
+    ),
+    "op_iceberg_upsert": (
+        "documents as a STANDING Iceberg table (cold absorbs the "
+        "export, round 15): warm = upsert_iceberg of a FRESH 500-key "
+        "changelog per call — one equality-delete file + data files "
+        "at the same sequence in ONE snapshot, O(keys + new rows) "
+        "with NO table scan, so warm should stay ~flat as the corpus "
+        "grows 10x (manifest carry-forward is O(#snapshots) driver "
+        "metadata)"
+    ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
     "q_stream_windows": "events; tumbling+sliding agg",
@@ -797,6 +815,88 @@ def _op_delta_delete(spark, sf_dir: str):
     return spark.createDataFrame([(n,)], "n_deleted bigint")
 
 
+_DELTA_MERGE_TABLES: dict = {}
+
+
+def _op_delta_merge(spark, sf_dir: str):
+    """Standing Delta table + MERGE of a fresh 500-key changelog
+    (round 15): the corpus exports once per sf_dir (cold absorbs
+    it), then every call upserts updates over the NEXT doc_id range
+    — the source-bounds stats prune keeps the scan on the touched
+    file(s), so the warm cost tracks the changelog, not the corpus."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.sources.delta import merge_delta, write_delta
+
+    if sf_dir not in _DELTA_MERGE_TABLES:
+        path = tempfile.mkdtemp(prefix="delta_merge_") + "/tbl"
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        write_delta(d, path)
+        lo = d.agg(F.min("doc_id")).collect()[0][0]
+        _DELTA_MERGE_TABLES[sf_dir] = [path, int(lo)]
+    ent = _DELTA_MERGE_TABLES[sf_dir]
+    path, lo = ent
+    hi = lo + 499
+    ent[1] = hi + 1  # next call merges the NEXT range
+    changelog = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").between(lo, hi))
+        .select("doc_id", F.upper("text").alias("text"), "lang")
+    )
+    res = merge_delta(spark, path, changelog, on=["doc_id"])
+    return spark.createDataFrame(
+        [(res["rows_matched"], res["rows_inserted"])],
+        "rows_matched bigint, rows_inserted bigint",
+    )
+
+
+_ICEBERG_UPSERT_TABLES: dict = {}
+
+
+def _op_iceberg_upsert(spark, sf_dir: str):
+    """Standing Iceberg table + upsert of a fresh 500-key changelog
+    (round 15): O(keys + new rows) per call — an equality-delete
+    file and the replacement data files land at the same sequence in
+    one snapshot, no table scan — so the warm cost is independent of
+    the standing corpus size."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.sources.iceberg import (
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    if sf_dir not in _ICEBERG_UPSERT_TABLES:
+        path = tempfile.mkdtemp(prefix="iceberg_upsert_") + "/tbl"
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        write_iceberg(d, path)
+        lo = d.agg(F.min("doc_id")).collect()[0][0]
+        _ICEBERG_UPSERT_TABLES[sf_dir] = [path, int(lo)]
+    ent = _ICEBERG_UPSERT_TABLES[sf_dir]
+    path, lo = ent
+    hi = lo + 499
+    ent[1] = hi + 1
+    changelog = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").between(lo, hi))
+        .select("doc_id", F.upper("text").alias("text"), "lang")
+    )
+    res = upsert_iceberg(spark, path, changelog, keys=["doc_id"])
+    return spark.createDataFrame(
+        [(res["keys"], res["rows"])], "keys bigint, rows bigint"
+    )
+
+
 _IVFPQ_PATHS: dict = {}
 
 
@@ -899,6 +999,8 @@ def main() -> None:
     queries["op_ivfpq_append"] = _op_ivfpq_append
     queries["op_delta_dv_read"] = _op_delta_dv_read
     queries["op_delta_delete"] = _op_delta_delete
+    queries["op_delta_merge"] = _op_delta_merge
+    queries["op_iceberg_upsert"] = _op_iceberg_upsert
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)
