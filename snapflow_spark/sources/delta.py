@@ -938,6 +938,56 @@ def _stage_and_move(
     return out
 
 
+def _stage_logical(
+    df: DataFrame,
+    table: Path,
+    snap: "DeltaSnapshot",
+    subdir: str | None = None,
+) -> list:
+    """Stage LOGICAL-named rows for a possibly column-mapped table
+    (round 15): mode=name/id tables rename each table column to its
+    ``physicalName`` uuid before writing (mode=id also stamps
+    ``parquet.field.id`` in the written footers so id-binding readers
+    resolve them), partition dirs key physical names, and extra
+    non-table columns (``_change_type`` on cdc files) pass through
+    under their own names — the spec's on-disk shape.  Unmapped
+    tables stage unchanged.  Returns ``_stage_and_move``'s tuples
+    (partitionValues keyed physical for mapped tables, exactly what
+    the commit actions need)."""
+    phys = snap.physical_names
+    part_by = snap.partition_columns
+    if phys:
+        if snap.field_ids:
+            # footers must carry the ids the table binds by
+            df.sparkSession.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        table_cols = {f.name for f in snap.schema.fields}
+        cols = []
+        for f in snap.schema.fields:
+            if f.name not in df.columns:
+                continue
+            if snap.field_ids:
+                cols.append(
+                    F.col(f.name).alias(
+                        phys.get(f.name, f.name),
+                        metadata={
+                            "parquet.field.id": snap.field_ids[f.name]
+                        },
+                    )
+                )
+            else:
+                cols.append(
+                    F.col(f.name).alias(phys.get(f.name, f.name))
+                )
+        cols += [
+            F.col(c) for c in df.columns if c not in table_cols
+        ]
+        df = df.select(*cols)
+        part_by = [phys.get(c, c) for c in snap.partition_columns]
+    return _stage_and_move(df, table, part_by, subdir=subdir or "")
+
+
 def write_delta(
     df: DataFrame,
     path: str | os.PathLike,
@@ -993,13 +1043,11 @@ def write_delta(
                 f"write_delta: append with partition_by={partition_by} "
                 f"onto a table partitioned by {snap.partition_columns}"
             )
-        if snap.physical_names:
+        if snap.physical_names and merge_schema:
             raise NotImplementedError(
-                "write_delta: append onto a column-mapped table "
-                "(delta.columnMapping.mode=name) would stage "
-                "logical-named parquet next to physical-named files; "
-                "use mode='overwrite' (drops the mapping) or export "
-                "to a fresh table"
+                "write_delta: merge_schema onto a column-mapped "
+                "table — new columns need fresh physicalName/id "
+                "assignment; plain appends work (round 15)"
             )
         table_schema = StructType.fromJson(
             json.loads(snap.metadata["schemaString"])
@@ -1033,7 +1081,13 @@ def write_delta(
     table.mkdir(parents=True, exist_ok=True)
     log = _log_path(table)
     log.mkdir(exist_ok=True)
-    added = _stage_and_move(df, table, partition_by)
+    if snap is not None and mode == "append" and snap.physical_names:
+        # column-mapped append (round 15): stage PHYSICAL-named
+        # parquet (mode=id also stamps footer field ids) so the
+        # files sit next to the table's existing physical layout
+        added = _stage_logical(df, table, snap)
+    else:
+        added = _stage_and_move(df, table, partition_by)
 
     actions: list[dict] = [
         _commit_info("WRITE" if mode == "append" else mode.upper())
@@ -1181,7 +1235,7 @@ def delete_from_delta(
         actions += _stage_cdc_actions(
             src.withColumn("_change_type", F.lit("delete")),
             table,
-            snap.partition_columns,
+            snap,
         )
     _commit_dv_actions(table, snap, actions)
     return n_deleted
@@ -1217,23 +1271,38 @@ def _dv_delete_plan(
     per touched file, never a row-index list, at any delete breadth.
     Per-task memory is O(deleted rows in ONE file), the same bound a
     delta-spark scan task's bitmap build has."""
-    if snap.physical_names:
-        raise NotImplementedError(
-            f"{what}: column-mapped table — the predicate "
-            "scan and commit bookkeeping key physical names; "
-            "unsupported (same scope as appends)"
-        )
     cond = (
         F.expr(condition) if isinstance(condition, str) else condition
     )
+    phys = snap.physical_names
+
+    def P(c: str) -> str:  # logical -> physical (mapped tables)
+        return phys.get(c, c) if phys else c
+
     fields = {f.name: f for f in snap.schema.fields}
     data_fields = [
         f for f in snap.schema.fields
         if f.name not in snap.partition_columns
     ]
-    data_schema = StructType(
-        [StructField(f.name, f.dataType, f.nullable) for f in data_fields]
-    )
+    if snap.field_ids:
+        # mode=id: logical request names + footer-id binding
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        data_schema = StructType(
+            [
+                StructField(
+                    f.name, f.dataType, f.nullable,
+                    {"parquet.field.id": snap.field_ids[f.name]},
+                )
+                for f in data_fields
+            ]
+        )
+    else:
+        data_schema = StructType(
+            [
+                StructField(P(f.name), f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
     def _keep(pv: dict) -> bool:
         for c, want in (partition_filter or {}).items():
             if c not in snap.partition_columns:
@@ -1241,7 +1310,7 @@ def _dv_delete_plan(
                     f"{what}: partition_filter names "
                     f"non-partition column {c!r}"
                 )
-            got = pv.get(c)
+            got = pv.get(P(c))
             if want is None:
                 if got is not None:
                     return False
@@ -1253,8 +1322,8 @@ def _dv_delete_plan(
         if not st or not min_max_filter:
             return True
         for c, (lo, hi) in min_max_filter.items():
-            mn = (st.get("minValues") or {}).get(c)
-            mx = (st.get("maxValues") or {}).get(c)
+            mn = (st.get("minValues") or {}).get(P(c))
+            mx = (st.get("maxValues") or {}).get(P(c))
             if lo is not None and mx is not None and mx < lo:
                 return False
             if hi is not None and mn is not None and mn > hi:
@@ -1272,7 +1341,11 @@ def _dv_delete_plan(
     df = spark.read.schema(data_schema).parquet(
         *[p for _r, p, _pv, _st in kept]
     )
-    sel = list(df.columns)
+    if phys and not snap.field_ids:
+        # mode=name: physical parquet columns come back logical
+        sel = [F.col(P(f.name)).alias(f.name) for f in data_fields]
+    else:
+        sel = [F.col(f.name) for f in data_fields]
     df = df.select(
         *sel,
         F.col("_metadata.file_path").alias("__df_file"),
@@ -1285,7 +1358,7 @@ def _dv_delete_plan(
         mapping = spark.createDataFrame(
             [
                 tuple([hadoop_file_uri(p)] + [
-                    pv.get(c) for c in snap.partition_columns
+                    pv.get(P(c)) for c in snap.partition_columns
                 ])
                 for _rel, p, pv, _st in kept
             ],
@@ -1424,16 +1497,18 @@ def _cdf_enabled(snap: DeltaSnapshot) -> bool:
 
 
 def _stage_cdc_actions(
-    changes: DataFrame, table: Path, partition_by: list[str]
+    changes: DataFrame, table: Path, snap: "DeltaSnapshot"
 ) -> list[dict]:
     """Stage change rows (data columns + ``_change_type``) under
     ``_change_data/`` and return the commit's ``cdc`` actions — the
     protocol's CDF write side.  Readers treat these as the
     AUTHORITATIVE change rows for the commit (read_delta_cdf's
     contract), so the caller emits them only when it also emits the
-    matching add/remove bookkeeping."""
-    staged = _stage_and_move(
-        changes, table, partition_by, subdir="_change_data"
+    matching add/remove bookkeeping.  Column-mapped tables stage
+    physical-named change files (``_change_type`` stays bare — it is
+    a metadata column, never mapped)."""
+    staged = _stage_logical(
+        changes, table, snap, subdir="_change_data"
     )
     return [
         {
@@ -1680,7 +1755,8 @@ def update_delta(
     like delete_from_delta.  The rewritten-row source reads through
     ``read_delta`` (single-relation plan, existing DVs applied), so
     already-deleted rows can never resurrect as updated copies.
-    Column-mapped tables refuse (the append guard)."""
+    Column-mapped tables work (round 15): the scan binds physical
+    names / field ids and the rewritten rows stage physical."""
     table = Path(path)
     snap = delta_snapshot(spark, table)
     fields = {f.name: f for f in snap.schema.fields}
@@ -1721,7 +1797,7 @@ def update_delta(
             for c in out_cols
         ]
     )
-    added = _stage_and_move(updated, table, snap.partition_columns)
+    added = _stage_logical(updated, table, snap)
     for rel, pv, sz, mtime_ms, st in added:
         add: dict = {
             "path": rel,
@@ -1743,9 +1819,7 @@ def update_delta(
                 "_change_type", F.lit("update_postimage")
             )
         )
-        actions += _stage_cdc_actions(
-            changes, table, snap.partition_columns
-        )
+        actions += _stage_cdc_actions(changes, table, snap)
     _commit_dv_actions(table, snap, actions, operation="UPDATE")
     return n
 
@@ -1796,19 +1870,15 @@ def merge_delta(
     (update_preimage/postimage pairs, insert, delete).  Returns
     ``{"rows_matched": n, "rows_inserted": m}``.
 
-    Column-mapped tables refuse (the append guard)."""
+    Column-mapped tables work (round 15): the scan binds physical
+    names / field ids, staging renames to physical, and CDF change
+    files land physical-named."""
     table = Path(path)
     snap = delta_snapshot(spark, table)
     if txn is not None:
         app_id, txn_v = str(txn[0]), int(txn[1])
         if snap.txns.get(app_id, -1) >= txn_v:
             return None  # already committed: idempotent replay
-    if snap.physical_names:
-        raise NotImplementedError(
-            "merge_delta: column-mapped table — staging and commit "
-            "bookkeeping key physical names; unsupported (same scope "
-            "as appends)"
-        )
     if when_matched is None and when_not_matched is None:
         raise ValueError(
             "merge_delta: no clauses — pass when_matched and/or "
@@ -1966,7 +2036,7 @@ def merge_delta(
             )
         staged: dict[str, list] = {}
         for kind, df_part in new_parts:
-            added = _stage_and_move(df_part, table, snap.partition_columns)
+            added = _stage_logical(df_part, table, snap)
             staged[kind] = added
             for rel, pv, sz, mtime_ms, st in added:
                 add: dict = {
@@ -2017,9 +2087,7 @@ def merge_delta(
                     ins if changes is None else changes.unionByName(ins)
                 )
             if changes is not None:
-                actions += _stage_cdc_actions(
-                    changes, table, snap.partition_columns
-                )
+                actions += _stage_cdc_actions(changes, table, snap)
         if txn is not None:
             actions.append(
                 {

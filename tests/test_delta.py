@@ -656,13 +656,39 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     probe = read_delta(spark, table, min_max_filter={"doc_id": (2, None)})
     assert len(probe.inputFiles()) == 1
     assert _rows(probe) == {(2, "c", "de")}
-    # appending would mix logical-named parquet into the table: loud
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        write_delta(_df(spark, [(9, "x", "zz")]), table, mode="append")
+    # round 15: appends stage PHYSICAL-named parquet next to the
+    # table's existing physical layout
+    import pyarrow.parquet as pq
+
+    before = set(read_delta(spark, table).inputFiles())
+    write_delta(_df(spark, [(9, "x", "zz")]), table, mode="append")
+    assert _rows(read_delta(spark, table)) == {
+        (0, "a", "en"), (1, "b", "en"), (2, "c", "de"), (9, "x", "zz"),
+    }
+    new_files = set(read_delta(spark, table).inputFiles()) - before
+    for f in new_files:
+        cols = set(
+            pq.ParquetFile(f.removeprefix("file:")).schema_arrow.names
+        )
+        assert cols == {"col-aaaa", "col-bbbb"}  # physical names
+    # round 15: row-level DELETE binds physical names too
     from snapflow_spark.sources.delta import delete_from_delta
 
+    assert delete_from_delta(spark, table, "doc_id = 0") == 1
+    assert _rows(read_delta(spark, table)) == {
+        (1, "b", "en"), (2, "c", "de"), (9, "x", "zz"),
+    }
+    # merge_schema still refuses (new columns need fresh physical ids)
     with pytest.raises(NotImplementedError, match="column-mapped"):
-        delete_from_delta(spark, table, "doc_id = 0")
+        write_delta(
+            spark.createDataFrame(
+                [(5, "y", "fr", 1.0)],
+                "doc_id long, text string, lang string, extra double",
+            ),
+            table,
+            mode="append",
+            merge_schema=True,
+        )
 
 
 def test_column_mapping_streams_too(spark, tmp_path):
@@ -968,7 +994,10 @@ def _id_mapped_table(spark, table: Path):
 def test_column_mapping_id_mode_reads(spark, tmp_path):
     """mode=id: parquet columns bind by footer field id (names are
     red herrings), logical names come out, partition pruning still
-    keys the physical partitionValues, appends still refuse."""
+    keys the physical partitionValues; round 15: appends stage
+    physical-named parquet WITH footer field ids."""
+    import pyarrow.parquet as pq
+
     table = tmp_path / "cmid"
     _id_mapped_table(spark, table)
     got = read_delta(spark, table)
@@ -977,8 +1006,28 @@ def test_column_mapping_id_mode_reads(spark, tmp_path):
     en = read_delta(spark, table, partition_filter={"lang": "en"})
     assert _rows(en) == {(0, "a", "en"), (1, "b", "en")}
     assert len(en.inputFiles()) == 1
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        write_delta(_df(spark, [(9, "x", "zz")]), table, mode="append")
+    before = set(read_delta(spark, table).inputFiles())
+    write_delta(_df(spark, [(9, "x", "zz")]), table, mode="append")
+    assert _rows(read_delta(spark, table)) == {
+        (0, "a", "en"), (1, "b", "en"), (2, "c", "de"), (9, "x", "zz"),
+    }
+    new_files = set(read_delta(spark, table).inputFiles()) - before
+    assert new_files
+    for f in new_files:
+        sch = pq.ParquetFile(f.removeprefix("file:")).schema_arrow
+        ids = {
+            n: (sch.field(n).metadata or {}).get(b"PARQUET:field_id")
+            for n in sch.names
+        }
+        # physical names AND the table's footer field ids
+        assert ids == {"col-aaaa": b"1", "col-bbbb": b"2"}
+    # round 15: row-level ops bind by footer id too
+    from snapflow_spark.sources.delta import delete_from_delta
+
+    assert delete_from_delta(spark, table, "doc_id = 1") == 1
+    assert _rows(read_delta(spark, table)) == {
+        (0, "a", "en"), (2, "c", "de"), (9, "x", "zz"),
+    }
 
 
 def test_optimize_delta_compacts_and_materializes_dvs(spark, tmp_path):
@@ -1462,3 +1511,30 @@ def test_v2_checkpoint_write_and_seed(spark, tmp_path):
     # commits after the checkpoint still replay on top of it
     write_delta(_df(spark, [(7, "eta", "en")]), path, mode="append")
     assert _rows(read_delta(spark, path)) == want | {(7, "eta", "en")}
+
+
+def test_merge_and_update_on_column_mapped_table(spark, tmp_path):
+    """Round 15: the full row-level write surface binds physical
+    names on mode=name tables — update rewrites, merge upserts, and
+    the staged files keep the physical layout."""
+    from snapflow_spark.sources.delta import merge_delta, update_delta
+
+    table = tmp_path / "cm"
+    _column_mapped_table(spark, table)
+    assert update_delta(spark, table, "doc_id = 2", {"text": "'C'"}) == 1
+    assert _rows(read_delta(spark, table)) == {
+        (0, "a", "en"), (1, "b", "en"), (2, "C", "de"),
+    }
+    res = merge_delta(
+        spark,
+        table,
+        _df(spark, [(1, "B", "en"), (7, "g", "fr")]),
+        on=["doc_id"],
+    )
+    assert res == {"rows_matched": 1, "rows_inserted": 1}
+    assert _rows(read_delta(spark, table)) == {
+        (0, "a", "en"), (1, "B", "en"), (2, "C", "de"), (7, "g", "fr"),
+    }
+    # logical partition filter still prunes the physical-keyed layout
+    fr = read_delta(spark, table, partition_filter={"lang": "fr"})
+    assert _rows(fr) == {(7, "g", "fr")}
