@@ -1438,6 +1438,53 @@ def _scan_delta_cdf(
     )
 
 
+def _merge_delta_node(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    path: str,
+    keys: list[str],
+    when_matched: str | dict | None = "update",
+    when_not_matched: str | None = "insert",
+) -> DataFrame:
+    """core.merge_delta (round 15): apply the input changelog onto a
+    Delta table by key (MERGE — the CDC apply shape;
+    sources.delta.merge_delta: distributed DV replace-by-key +
+    same-commit inserts, touched-file discovery from the source key
+    bounds) and return the post-merge table read so downstream nodes
+    see the upserted state."""
+    from snapflow_spark.sources.delta import merge_delta, read_delta
+
+    merge_delta(
+        spark,
+        path,
+        input,
+        on=list(keys),
+        when_matched=when_matched,
+        when_not_matched=when_not_matched,
+    )
+    return read_delta(spark, path)
+
+
+def _upsert_iceberg_node(
+    spark: SparkSession,
+    input: DataFrame,  # noqa: A002
+    path: str,
+    keys: list[str],
+) -> DataFrame:
+    """core.upsert_iceberg (round 15): apply the input changelog onto
+    an Iceberg table by key (sources.iceberg.upsert_iceberg — the
+    Flink upsert commit: ONE snapshot carrying an equality-delete
+    file + the new data at the same sequence, O(keys + rows), no
+    table scan) and return the post-upsert table read."""
+    from snapflow_spark.sources.iceberg import (
+        read_iceberg,
+        upsert_iceberg,
+    )
+
+    upsert_iceberg(spark, path, input, keys=list(keys))
+    return read_iceberg(spark, path)
+
+
 def _scan_avro(
     spark: SparkSession,
     path: str,
@@ -1604,6 +1651,8 @@ BUILTINS: dict[str, Callable[..., DataFrame | None]] = {
     "core.scan_files": _scan_files,
     "core.scan_delta": _scan_delta,
     "core.scan_delta_cdf": _scan_delta_cdf,
+    "core.merge_delta": _merge_delta_node,
+    "core.upsert_iceberg": _upsert_iceberg_node,
     "core.scan_iceberg": _scan_iceberg,
     "core.scan_avro": _scan_avro,
     "core.text_embed": _text_embed,

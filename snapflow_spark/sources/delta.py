@@ -1213,7 +1213,7 @@ def delete_from_delta(
     responsibility as any manual partition predicate)."""
     table = Path(path)
     snap = delta_snapshot(spark, table)
-    actions, n_deleted = _dv_delete_plan(
+    actions, n_deleted, _nm = _dv_delete_plan(
         spark, table, snap, condition, partition_filter,
         min_max_filter, what="delete_from_delta",
     )
@@ -1250,17 +1250,24 @@ def _dv_delete_plan(
     min_max_filter: dict | None,
     what: str,
     match_keys: DataFrame | None = None,
-) -> tuple[list[dict], int]:
+    delete_matched: bool = True,
+    delete_not_matched: bool = False,
+) -> tuple[list[dict], int, int]:
     """The shared DV row-marking plan: scan the (pruned) live files,
     find matching row indexes per file, and return the remove +
-    re-add-with-merged-DV actions plus the newly-deleted count —
-    delete_from_delta commits them as-is; update_delta / merge_delta
-    append their rewritten-row adds first.  ``match_keys`` (used by
-    merge) selects rows by key EQUALITY against a DataFrame of key
-    values instead of a predicate — the scan left-joins the
-    deduplicated keys and matches where the marker is non-null, so a
-    huge key set degrades to a shuffle join instead of a driver
-    IN-list.
+    re-add-with-merged-DV actions plus (newly-deleted total,
+    newly-deleted MATCHED) counts — delete_from_delta commits them
+    as-is; update_delta / merge_delta append their rewritten-row adds
+    first.  ``match_keys`` (used by merge) selects rows by key
+    EQUALITY against a DataFrame of key values instead of a
+    predicate — the scan left-joins the deduplicated keys and
+    matches where the marker is non-null, so a huge key set degrades
+    to a shuffle join instead of a driver IN-list.
+    ``delete_matched`` / ``delete_not_matched`` pick which side(s)
+    of the key join die (merge's when_matched vs
+    when_not_matched_by_source), in ONE pass with ONE DV per file —
+    two separate plans would publish conflicting re-adds for a file
+    holding both kinds of rows.
 
     Scale shape (round 15 — distributed, the delete_from_iceberg
     discipline): a tiny per-file count aggregate finds the TOUCHED
@@ -1336,7 +1343,7 @@ def _dv_delete_plan(
         if _keep(pv) and _stats_keep(st)
     ]
     if not kept:
-        return [], 0
+        return [], 0, 0
     uri_to_rel = {hadoop_file_uri(p): rel for rel, p, _pv, _st in kept}
     df = spark.read.schema(data_schema).parquet(
         *[p for _r, p, _pv, _st in kept]
@@ -1371,6 +1378,7 @@ def _dv_delete_plan(
             df = df.withColumn(
                 c, F.col(f"__pv_{i}").cast(fields[c].dataType)
             )
+    matched_flag = F.lit(True)  # predicate deletes count as "matched"
     if match_keys is not None:
         key_cols = list(match_keys.columns)
         missing = [c for c in key_cols if c not in df.columns]
@@ -1383,7 +1391,13 @@ def _dv_delete_plan(
             "__dv_mm", F.lit(1)
         )
         df = df.join(marker, on=key_cols, how="left")
-        cond = F.col("__dv_mm").isNotNull()
+        matched_flag = F.col("__dv_mm").isNotNull()
+        if delete_matched and delete_not_matched:
+            cond = F.lit(True)
+        elif delete_not_matched:
+            cond = F.col("__dv_mm").isNull()
+        else:
+            cond = F.col("__dv_mm").isNotNull()
     # stage A — tiny JVM-side aggregate: per-file totals + hit counts
     # (O(#kept files) driver rows; NEVER row indexes)
     per_file = df.groupBy("__df_file").agg(
@@ -1400,7 +1414,7 @@ def _dv_delete_plan(
         if int(row["__hits"]):
             totals[uri] = int(row["__total"])
     if not totals:
-        return [], 0
+        return [], 0, 0
     # stage B — matched (file, pos) pairs shuffle by file; each
     # file's task merges the old DV and writes the new sidecar
     # EXECUTOR-side, returning ONE descriptor row.  Closures carry
@@ -1422,12 +1436,17 @@ def _dv_delete_plan(
             if old_desc
             else set()
         )
-        matched = {int(i) for i in pdf["__df_pos"]} - old
+        pairs = {
+            int(i): bool(m)
+            for i, m in zip(pdf["__df_pos"], pdf["__dv_m"])
+        }
+        matched = set(pairs) - old
         if not matched:  # every hit already dead in the old DV
             return pd.DataFrame(
                 {
                     "file": pd.Series([], dtype="object"),
                     "n_new": pd.Series([], dtype="int64"),
+                    "n_new_m": pd.Series([], dtype="int64"),
                     "descriptor": pd.Series([], dtype="object"),
                 }
             )
@@ -1444,26 +1463,32 @@ def _dv_delete_plan(
             {
                 "file": [uri],
                 "n_new": [len(matched)],
+                "n_new_m": [sum(1 for i in matched if pairs[i])],
                 "descriptor": [desc_json],
             }
         )
 
     desc_rows = (
         df.where(cond)
-        .select("__df_file", "__df_pos")
+        .select(
+            "__df_file", "__df_pos", matched_flag.alias("__dv_m")
+        )
         .groupBy("__df_file")
         .applyInPandas(
-            _build_dv, "file string, n_new long, descriptor string"
+            _build_dv,
+            "file string, n_new long, n_new_m long, descriptor string",
         )
         .collect()  # O(#touched files): one descriptor row each
     )
     actions: list[dict] = []
     n_deleted = 0
+    n_deleted_matched = 0
     by_rel = {rel: (pv, st) for rel, _p, pv, st in kept}
     sizes = {rel: sz for rel, _pv, sz, _st in snap.files}
     for row in sorted(desc_rows, key=lambda r: r["file"]):
         rel = uri_to_rel[row["file"]]
         n_deleted += int(row["n_new"])
+        n_deleted_matched += int(row["n_new_m"])
         pv, st = by_rel[rel]
         actions.append(
             {"remove": {"path": quote(rel, safe="/="), "dataChange": True,
@@ -1482,7 +1507,7 @@ def _dv_delete_plan(
         if st is not None:
             add["stats"] = json.dumps(st, separators=(",", ":"))
         actions.append({"add": add})
-    return actions, n_deleted
+    return actions, n_deleted, n_deleted_matched
 
 
 def _cdf_enabled(snap: DeltaSnapshot) -> bool:
@@ -1767,7 +1792,7 @@ def update_delta(
         )
     if not set_:
         raise ValueError("update_delta: empty set_ — nothing to update")
-    actions, n = _dv_delete_plan(
+    actions, n, _nm = _dv_delete_plan(
         spark, table, snap, condition, partition_filter,
         min_max_filter, what="update_delta",
     )
@@ -1831,6 +1856,7 @@ def merge_delta(
     on: list[str],
     when_matched: str | dict | None = "update",
     when_not_matched: str | None = "insert",
+    when_not_matched_by_source: str | None = None,
     txn: tuple[str, int] | None = None,
 ) -> dict | None:
     """MERGE / upsert — the CDC apply shape (delta-spark's ``MERGE
@@ -1847,6 +1873,12 @@ def merge_delta(
     against the aliased join (``"source.qty + target.qty"``); None
     leaves matched target rows untouched.  ``when_not_matched``:
     ``"insert"`` appends the unmatched source rows, None drops them.
+    ``when_not_matched_by_source="delete"`` (the FULL-SYNC clause)
+    drops target rows whose key appears in NO source row — after the
+    merge the table holds exactly the source's key set; it shares ONE
+    DV pass with the matched deletes (two plans would publish
+    conflicting re-adds for a file holding both kinds of rows) and
+    disables the touched-file prune (unmatched rows live anywhere).
     Multiple source rows matching ONE target row raise (delta's
     multiple-source-rows-matched rule) — deduplicate the changelog
     first (``dedupe_keep_latest``).
@@ -1879,10 +1911,19 @@ def merge_delta(
         app_id, txn_v = str(txn[0]), int(txn[1])
         if snap.txns.get(app_id, -1) >= txn_v:
             return None  # already committed: idempotent replay
-    if when_matched is None and when_not_matched is None:
+    if (
+        when_matched is None
+        and when_not_matched is None
+        and when_not_matched_by_source is None
+    ):
         raise ValueError(
-            "merge_delta: no clauses — pass when_matched and/or "
-            "when_not_matched"
+            "merge_delta: no clauses — pass when_matched, "
+            "when_not_matched and/or when_not_matched_by_source"
+        )
+    if when_not_matched_by_source not in ("delete", None):
+        raise ValueError(
+            f"merge_delta: when_not_matched_by_source "
+            f"{when_not_matched_by_source!r} — 'delete' or None"
         )
     if isinstance(when_matched, str) and when_matched not in (
         "update", "delete",
@@ -1958,6 +1999,10 @@ def merge_delta(
             ):
                 mmf[c] = (lo, hi)
         mmf = mmf or None
+        if when_not_matched_by_source is not None:
+            # by-source deletes target rows OUTSIDE the source's key
+            # bounds — the touched-file prune would skip them
+            mmf = None
         target = read_delta(spark, table, min_max_filter=mmf)
         tgt_keys = target.select(*on).dropDuplicates()
         matched_src = source.join(tgt_keys, on, "left_semi")
@@ -1980,12 +2025,18 @@ def merge_delta(
                 )
         actions: list[dict] = []
         n_matched = 0
-        if when_matched is not None:
-            actions, n_matched = _dv_delete_plan(
+        n_by_source = 0
+        del_matched = when_matched is not None
+        del_unmatched = when_not_matched_by_source == "delete"
+        if del_matched or del_unmatched:
+            actions, n_total, n_matched = _dv_delete_plan(
                 spark, table, snap, None, None, mmf,
                 what="merge_delta",
                 match_keys=source.select(*on),
+                delete_matched=del_matched,
+                delete_not_matched=del_unmatched,
             )
+            n_by_source = n_total - n_matched
         new_parts: list[tuple[str, DataFrame]] = []
         if when_matched == "update":
             new_parts.append(
@@ -2057,7 +2108,9 @@ def merge_delta(
             if txn is None:
                 return {"rows_matched": 0, "rows_inserted": 0}
             actions = []
-        if _cdf_enabled(snap) and (n_matched or n_inserted):
+        if _cdf_enabled(snap) and (
+            n_matched or n_inserted or n_by_source
+        ):
             changes = None
 
             def _tag(df: DataFrame, t: str) -> DataFrame:
@@ -2086,6 +2139,16 @@ def merge_delta(
                 changes = (
                     ins if changes is None else changes.unionByName(ins)
                 )
+            if del_unmatched and n_by_source:
+                gone = _tag(
+                    target.join(source.select(*on), on, "left_anti"),
+                    "delete",
+                )
+                changes = (
+                    gone
+                    if changes is None
+                    else changes.unionByName(gone)
+                )
             if changes is not None:
                 actions += _stage_cdc_actions(changes, table, snap)
         if txn is not None:
@@ -2099,7 +2162,10 @@ def merge_delta(
                 }
             )
         _commit_dv_actions(table, snap, actions, operation="MERGE")
-        return {"rows_matched": n_matched, "rows_inserted": n_inserted}
+        out = {"rows_matched": n_matched, "rows_inserted": n_inserted}
+        if when_not_matched_by_source is not None:
+            out["rows_deleted_by_source"] = n_by_source
+        return out
     finally:
         source.unpersist()
 

@@ -1538,3 +1538,44 @@ def test_merge_and_update_on_column_mapped_table(spark, tmp_path):
     # logical partition filter still prunes the physical-keyed layout
     fr = read_delta(spark, table, partition_filter={"lang": "fr"})
     assert _rows(fr) == {(7, "g", "fr")}
+
+
+def test_yaml_merge_and_upsert_builtins(spark, tmp_path):
+    """core.merge_delta / core.upsert_iceberg (round 15): a changelog
+    node upserts into standing tables through the YAML surface and
+    downstream reads see the post-merge state."""
+    from snapflow_spark.plans import load_graph
+    from snapflow_spark.sources.iceberg import write_iceberg
+
+    dt = tmp_path / "dt"
+    it = tmp_path / "it"
+    base = _df(spark, [(0, "a", "en"), (1, "b", "en")])
+    write_delta(base, dt)
+    write_iceberg(base, it)
+    changelog = _df(spark, [(1, "B", "en"), (7, "g", "fr")])
+    cfg = {
+        "warehouse": str(tmp_path / "wh"),
+        "sources": ["changes"],
+        "nodes": [
+            {
+                "name": "merged",
+                "function": "core.merge_delta",
+                "upstream": {"input": "changes"},
+                "params": {"path": str(dt), "keys": ["doc_id"]},
+                "overwrite": True,
+            },
+            {
+                "name": "upserted",
+                "function": "core.upsert_iceberg",
+                "upstream": {"input": "changes"},
+                "params": {"path": str(it), "keys": ["doc_id"]},
+                "overwrite": True,
+            },
+        ],
+    }
+    g = load_graph(cfg)
+    g.pipeline.sources["changes"].append(changelog)
+    assert g.produce(spark) == 2
+    want = {(0, "a", "en"), (1, "B", "en"), (7, "g", "fr")}
+    assert _rows(g.read(spark, "merged")) == want
+    assert _rows(g.read(spark, "upserted")) == want

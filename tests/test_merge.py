@@ -272,3 +272,77 @@ def test_merge_prunes_target_files_by_source_key_bounds(
     got = _state(spark, path)
     assert (205, 9999, "z") in got and (207, 9999, "z") in got
     assert (206, 206, "a") in got and len(got) == 40
+
+
+def test_merge_when_not_matched_by_source_full_sync(spark, tmp_path):
+    """when_not_matched_by_source='delete' (round 15): after the
+    merge the table holds exactly the source's key set — matched
+    keys replaced, new keys inserted, everything else dropped, all
+    in ONE commit / one DV pass."""
+    path = tmp_path / "t"
+    write_delta(
+        _tbl(spark, [(i, i, "a") for i in range(6)]), path
+    )
+    src = _tbl(spark, [(2, 200, "a"), (3, 300, "a"), (9, 900, "b")])
+    res = merge_delta(
+        spark, path, src, on=["id"],
+        when_not_matched_by_source="delete",
+    )
+    assert res == {
+        "rows_matched": 2,
+        "rows_inserted": 1,
+        "rows_deleted_by_source": 4,
+    }
+    assert _state(spark, path) == {
+        (2, 200, "a"), (3, 300, "a"), (9, 900, "b"),
+    }
+    # by-source delete with NO matched clause: matched rows untouched
+    path2 = tmp_path / "t2"
+    write_delta(
+        _tbl(spark, [(i, i, "a") for i in range(4)]), path2
+    )
+    res = merge_delta(
+        spark,
+        path2,
+        _tbl(spark, [(1, 999, "z"), (2, 999, "z")]),
+        on=["id"],
+        when_matched=None,
+        when_not_matched=None,
+        when_not_matched_by_source="delete",
+    )
+    assert res == {
+        "rows_matched": 0,
+        "rows_inserted": 0,
+        "rows_deleted_by_source": 2,
+    }
+    assert _state(spark, path2) == {(1, 1, "a"), (2, 2, "a")}
+
+
+def test_merge_by_source_cdf_emits_deletes(spark, tmp_path):
+    path = tmp_path / "t"
+    write_delta(_tbl(spark, [(1, 10, "a"), (2, 20, "a")]), path)
+    log = path / "_delta_log"
+    meta = None
+    for ln in (log / f"{0:020d}.json").read_text().splitlines():
+        if '"metaData"' in ln:
+            meta = json.loads(ln)["metaData"]
+    meta["configuration"] = {"delta.enableChangeDataFeed": "true"}
+    (log / f"{1:020d}.json").write_text(
+        json.dumps({"metaData": meta}) + "\n"
+    )
+    merge_delta(
+        spark,
+        path,
+        _tbl(spark, [(2, 99, "a")]),
+        on=["id"],
+        when_not_matched_by_source="delete",
+    )  # v2
+    ch = {
+        (r.id, r.val, r._change_type)
+        for r in read_delta_cdf(spark, path, 2, 2).collect()
+    }
+    assert ch == {
+        (2, 20, "update_preimage"),
+        (2, 99, "update_postimage"),
+        (1, 10, "delete"),
+    }
