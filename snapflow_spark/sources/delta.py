@@ -1666,14 +1666,14 @@ def optimize_delta(
 
     Old files stay on disk for time travel (vacuum reclaims them
     after retention — including the now-unreferenced DV sidecars).
-    Column-mapped tables refuse (the append guard)."""
+    Column-mapped tables work (round 15): the rewrite reads through
+    _scan_live's physical binding and stages physical-named files."""
     table = Path(path)
     snap = delta_snapshot(spark, table)
-    if snap.physical_names:
-        raise NotImplementedError(
-            "optimize_delta: column-mapped table — the rewrite stages "
-            "logical-named parquet; unsupported (same scope as appends)"
-        )
+    phys = snap.physical_names
+
+    def P(c: str) -> str:
+        return phys.get(c, c) if phys else c
 
     def _keep(pv: dict) -> bool:
         for c, want in (partition_filter or {}).items():
@@ -1682,7 +1682,7 @@ def optimize_delta(
                     f"optimize_delta: partition_filter names "
                     f"non-partition column {c!r}"
                 )
-            got = pv.get(c)
+            got = pv.get(P(c))
             if want is None:
                 if got is not None:
                     return False
@@ -1721,7 +1721,7 @@ def optimize_delta(
         rows_df = rows_df.coalesce(
             max(1, -(-total // int(target_file_bytes)))
         )
-    added = _stage_and_move(rows_df, table, snap.partition_columns)
+    added = _stage_logical(rows_df, table, snap)
     actions: list[dict] = [_commit_info("OPTIMIZE")]
     for rel, _p, pv in sorted(victims):
         actions.append(
@@ -2570,6 +2570,11 @@ class DeltaStreamDataSource(DataSource):
       loudly unless ``ignore_deletes=true`` (then adds still stream —
       delta-spark's ignoreDeletes), because a row-level delete cannot
       be expressed on an append stream;
+    - an add carrying a DELETION VECTOR (the DELETE/UPDATE re-add
+      shape) streams only its LIVE rows, the DV decoded
+      executor-side (round 15) — already-streamed live rows may
+      repeat, exactly delta-spark's documented ignoreChanges caveat,
+      but DV-dead rows never enter the feed;
     - ``starting_version`` skips history (``"latest"`` = only commits
       after stream start; an int = that version onward).  Replaying
       from 0 requires the JSON commits to still exist — a log cleaned
@@ -2590,9 +2595,19 @@ class DeltaStreamDataSource(DataSource):
 
 
 class _DeltaAddPartition(InputPartition):
-    def __init__(self, path: str, pv: dict):
+    def __init__(
+        self,
+        path: str,
+        pv: dict,
+        dv: dict | None = None,
+        table_root: str | None = None,
+    ):
         self.path = path
         self.pv = pv
+        #: add.deletionVector descriptor — only the file's LIVE rows
+        #: stream (decoded executor-side; needs table_root)
+        self.dv = dv
+        self.table_root = table_root
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -2669,14 +2684,12 @@ class DeltaStreamReader(DataSourceStreamReader):
                             # streaming them would duplicate every
                             # compacted row
                             continue
-                        if a.get("deletionVector"):
-                            raise NotImplementedError(
-                                "delta stream: deletion vectors"
-                            )
                         out.append(
                             _DeltaAddPartition(
                                 str(self.table / unquote(a["path"])),
                                 a.get("partitionValues") or {},
+                                dv=a.get("deletionVector"),
+                                table_root=str(self.table),
                             )
                         )
         return out
@@ -2713,11 +2726,41 @@ class DeltaStreamReader(DataSourceStreamReader):
                 for n in names
             ]
         )
+        dv_idx = None
+        if partition.dv is not None:
+            # a DV-carrying add (DELETE/UPDATE re-add shape): only
+            # the file's LIVE rows stream — decoded executor-side,
+            # O(deleted rows) metadata per task
+            import numpy as np
+
+            from snapflow_spark.sources.deletion_vectors import (
+                deleted_row_indexes,
+            )
+
+            dv_idx = np.asarray(
+                deleted_row_indexes(
+                    partition.table_root, partition.dv
+                ),
+                dtype="int64",
+            )
+        offset = 0
         pf = pq.ParquetFile(partition.path)
         file_cols = [P(n) for n in names if n not in pv]
         for batch in pf.iter_batches(
             batch_size=self.batch_size, columns=file_cols
         ):
+            if dv_idx is not None:
+                import numpy as np
+
+                pos = np.arange(
+                    offset, offset + batch.num_rows, dtype="int64"
+                )
+                offset += batch.num_rows
+                keep = ~np.isin(pos, dv_idx, assume_unique=True)
+                if not keep.all():
+                    batch = batch.filter(pa.array(keep))
+                    if batch.num_rows == 0:
+                        continue
             arrays = []
             for n in names:
                 typ = arrow_schema.field(n).type

@@ -240,11 +240,16 @@ def test_dv_replacement_and_remove(spark, tmp_path):
     }
 
 
-def test_checkpoint_carries_dvs_and_stream_refuses(spark, tmp_path):
+def test_checkpoint_carries_dvs_and_stream_live_rows(spark, tmp_path):
     """Checkpoints CARRY deletion-vector descriptors (round 14): a
     reader seeded from the checkpoint after log cleanup applies the
-    same deletes as the JSON replay.  The streaming source still
-    refuses (an append stream cannot express row deletes)."""
+    same deletes as the JSON replay.  The streaming source (round
+    15) streams only the LIVE rows of a DV-carrying add — the
+    re-add's already-streamed live rows repeat (delta-spark's
+    documented ignoreChanges caveat) but DV-dead rows never enter
+    the feed."""
+    from collections import Counter
+
     from snapflow_spark.sources.delta import (
         DeltaStreamDataSource,
         read_delta,
@@ -254,20 +259,26 @@ def test_checkpoint_carries_dvs_and_stream_refuses(spark, tmp_path):
     table = tmp_path / "tbl"
     _external_dv_table(spark, table, lambda t, idx: write_dv_file(t, idx))
     live = {0, 2, 4, 5, 6, 8, 9}
-    # the stream refusal first (it replays the JSON history)
+    # stream first (it replays the JSON history): v0 adds all 10
+    # rows, the v1 DV-carrying re-add streams its 7 live rows only
     spark.dataSource.register(DeltaStreamDataSource)
+    out = tmp_path / "out"
     q = (
         spark.readStream.format("delta_log")
         .option("path", str(table))
         .load()
-        .writeStream.format("noop")
+        .writeStream.format("parquet")
+        .option("path", str(out))
         .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(Exception, match="deletion vector"):
-        q.awaitTermination(120)
-        q.stop()
+    q.awaitTermination(120)
+    counts = Counter(
+        r.doc_id for r in spark.read.parquet(str(out)).collect()
+    )
+    assert all(counts[d] == 2 for d in live)
+    assert all(counts[d] == 1 for d in (1, 3, 7))
     cp_v = write_delta_checkpoint(spark, table)
     assert cp_v == 1
     # drop every JSON commit: the checkpoint must seed DVs too

@@ -1579,3 +1579,28 @@ def test_yaml_merge_and_upsert_builtins(spark, tmp_path):
     want = {(0, "a", "en"), (1, "B", "en"), (7, "g", "fr")}
     assert _rows(g.read(spark, "merged")) == want
     assert _rows(g.read(spark, "upserted")) == want
+
+
+def test_optimize_on_column_mapped_table(spark, tmp_path):
+    """Round 15: OPTIMIZE rewrites a mode=name table through the
+    physical binding — DVs materialize, content identical, staged
+    files keep physical column names."""
+    import pyarrow.parquet as pq
+
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        optimize_delta,
+    )
+
+    table = tmp_path / "cm"
+    _column_mapped_table(spark, table)
+    assert delete_from_delta(spark, table, "doc_id = 0") == 1
+    res = optimize_delta(spark, table)
+    assert res["files_removed"] >= 1 and res["files_added"] >= 1
+    got = read_delta(spark, table)
+    assert _rows(got) == {(1, "b", "en"), (2, "c", "de")}
+    for f in got.inputFiles():
+        cols = set(
+            pq.ParquetFile(f.removeprefix("file:")).schema_arrow.names
+        )
+        assert cols == {"col-aaaa", "col-bbbb"}
