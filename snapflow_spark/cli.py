@@ -166,16 +166,16 @@ def main(argv: list[str] | None = None) -> int:
     tm = sub.add_parser(
         "table",
         help="table maintenance over a Delta/Iceberg layout: "
-        "vacuum|optimize|checkpoint|delete|restore|upsert (delta), "
-        "expire|rewrite|rollback|tag|orphans|upsert (iceberg) — the "
-        "format is detected from the table directory",
+        "vacuum|optimize|checkpoint|delete|update|restore|upsert "
+        "(delta), expire|rewrite|rollback|tag|orphans|update|upsert "
+        "(iceberg) — the format is detected from the table directory",
     )
     tm.add_argument(
         "op",
         choices=[
             "vacuum", "optimize", "checkpoint", "delete", "restore",
             "expire", "rewrite", "rollback", "tag", "orphans",
-            "upsert",
+            "upsert", "update",
         ],
     )
     tm.add_argument("path", help="table root directory")
@@ -194,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet path of the changelog rows (upsert)")
     tm.add_argument("--keys",
                     help="comma-separated key columns (upsert)")
+    tm.add_argument("--set", dest="set_", metavar="JSON",
+                    help='{"col": "sql expr"} assignments (update)')
     tm.add_argument("--v2", action="store_true",
                     help="sidecar-form v2 checkpoint (checkpoint)")
     args = ap.parse_args(argv)
@@ -567,6 +569,14 @@ def _table_maintenance(args) -> int:
             out = {"op": "checkpoint",
                    "version": D.write_delta_checkpoint(
                        spark, root, v2=args.v2)}
+        elif args.op == "update":
+            if not (args.where and args.set_):
+                print("error: update needs --where and --set")
+                return 2
+            out = {"op": "update",
+                   "rows_updated": D.update_delta(
+                       spark, root, args.where,
+                       _json.loads(args.set_))}
         elif args.op == "upsert":
             if not (args.source and args.keys):
                 print("error: upsert needs --source and --keys")
@@ -629,6 +639,14 @@ def _table_maintenance(args) -> int:
             out = {"op": "delete",
                    "rows_deleted": I.delete_from_iceberg(
                        spark, root, args.where)}
+        elif args.op == "update":
+            if not (args.where and args.set_):
+                print("error: update needs --where and --set")
+                return 2
+            out = {"op": "update",
+                   "rows_updated": I.update_iceberg(
+                       spark, root, args.where,
+                       _json.loads(args.set_))}
         elif args.op == "upsert":
             if not (args.source and args.keys):
                 print("error: upsert needs --source and --keys")

@@ -1096,6 +1096,13 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     out = run("table", "checkpoint", str(dt), "--v2")
     assert out["op"] == "checkpoint"
     assert list((dt / "_delta_log" / "_sidecars").glob("*.parquet"))
+    # round 15: update dispatch on both formats
+    out = run("table", "update", str(dt), "--where", "doc_id = 9",
+              "--set", '{"text": "upper(text)"}')
+    assert out == {"op": "update", "rows_updated": 1}
+    out = run("table", "update", str(it), "--where", "doc_id = 0",
+              "--set", '{"text": "upper(text)"}')
+    assert out == {"op": "update", "rows_updated": 1}
     # wrong-format op and non-table path fail politely
     assert main(["table", "expire", str(dt)]) == 2
     capsys.readouterr()

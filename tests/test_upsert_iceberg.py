@@ -232,3 +232,47 @@ def test_iceberg_stream_sink_upsert_mode_exactly_once(spark, tmp_path):
     assert _state(spark, table) == want
     run("ck2")
     assert _state(spark, table) == want
+
+
+def test_update_iceberg_merge_on_read(spark, tmp_path):
+    """update_iceberg (round 15): matched rows die via a position-
+    delete file and their rewritten copies land in the SAME snapshot;
+    already-dead rows never resurrect; partition specs preserved."""
+    from snapflow_spark.sources.iceberg import update_iceberg
+
+    path = tmp_path / "t"
+    write_iceberg(
+        _tbl(spark, [(i, i, "ab"[i % 2]) for i in range(8)]),
+        path,
+        partition_by=["grp"],
+    )
+    before = iceberg_snapshot(spark, path)
+    n = update_iceberg(
+        spark, path, "id >= 6", {"val": "val * 100"}
+    )
+    assert n == 2
+    after = iceberg_snapshot(spark, path)
+    # ONE new snapshot carrying both the delete and the rewrite
+    assert (
+        len(after.metadata["snapshots"])
+        == len(before.metadata["snapshots"]) + 1
+    )
+    assert _state(spark, path) == {
+        (0, 0, "a"), (1, 1, "b"), (2, 2, "a"), (3, 3, "b"),
+        (4, 4, "a"), (5, 5, "b"), (6, 600, "a"), (7, 700, "b"),
+    }
+    # a second update composes (the first's deletes are honored)
+    assert update_iceberg(spark, path, "id = 6", {"val": "0"}) == 1
+    got = _state(spark, path)
+    assert (6, 0, "a") in got and (6, 600, "a") not in got
+    # prior equality-deleted rows never resurrect as updated copies
+    assert delete_iceberg_by_key(
+        spark, path, spark.createDataFrame([(7,)], "id long")
+    ) == 1
+    assert update_iceberg(spark, path, "id = 7", {"val": "1"}) == 0
+    assert all(r[0] != 7 for r in _state(spark, path))
+    # guards
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_iceberg(spark, path, "id = 1", {"zz": "1"})
+    with pytest.raises(ValueError, match="empty set_"):
+        update_iceberg(spark, path, "id = 1", {})
