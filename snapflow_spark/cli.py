@@ -175,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "vacuum", "optimize", "checkpoint", "delete", "restore",
             "expire", "rewrite", "rollback", "tag", "orphans",
-            "upsert", "update",
+            "upsert", "update", "history", "clean-log", "inspect",
         ],
     )
     tm.add_argument("path", help="table root directory")
@@ -196,6 +196,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated key columns (upsert)")
     tm.add_argument("--set", dest="set_", metavar="JSON",
                     help='{"col": "sql expr"} assignments (update)')
+    tm.add_argument("--kind", default="snapshots",
+                    help="metadata table kind (inspect, iceberg): "
+                    "snapshots|history|refs|manifests|files")
     tm.add_argument("--v2", action="store_true",
                     help="sidecar-form v2 checkpoint (checkpoint)")
     args = ap.parse_args(argv)
@@ -577,6 +580,18 @@ def _table_maintenance(args) -> int:
                    "rows_updated": D.update_delta(
                        spark, root, args.where,
                        _json.loads(args.set_))}
+        elif args.op == "history":
+            out = {"op": "history", "rows": [
+                r.asDict()
+                for r in D.describe_delta_history(spark, root).collect()
+            ]}
+        elif args.op == "clean-log":
+            gone = D.clean_delta_log(
+                spark, root, retention_hours=args.retention_hours,
+                dry_run=args.dry_run,
+            )
+            out = {"op": "clean-log", "dry_run": args.dry_run,
+                   "removed": gone}
         elif args.op == "upsert":
             if not (args.source and args.keys):
                 print("error: upsert needs --source and --keys")
@@ -647,6 +662,13 @@ def _table_maintenance(args) -> int:
                    "rows_updated": I.update_iceberg(
                        spark, root, args.where,
                        _json.loads(args.set_))}
+        elif args.op in ("history", "inspect"):
+            kind = "history" if args.op == "history" else args.kind
+            out = {"op": args.op, "kind": kind, "rows": [
+                r.asDict()
+                for r in I.iceberg_metadata_table(
+                    spark, root, kind).collect()
+            ]}
         elif args.op == "upsert":
             if not (args.source and args.keys):
                 print("error: upsert needs --source and --keys")

@@ -2329,6 +2329,108 @@ def write_delta_checkpoint(
     return snap.version
 
 
+def describe_delta_history(
+    spark: SparkSession, path: str | os.PathLike
+) -> DataFrame:
+    """DESCRIBE HISTORY (round 15) — one row per commit, newest
+    first, exactly the inspection surface delta-spark exposes:
+    ``version``, ``timestamp`` (the commit's time-travel timestamp —
+    inCommitTimestamp when recorded, else file mtime), ``operation``
+    (commitInfo's, null for writers that stamp none), and the
+    commit's action counts (``num_added_files`` / ``num_removed_files``
+    / ``num_cdc_files``) plus ``engine_info``.  Driver cost is
+    O(#commits × #actions) log metadata — the same replay
+    delta_snapshot already pays; no data file opens."""
+    table = Path(path)
+    log = _log_path(table)
+    versions = _json_versions(log)
+    if not versions:
+        raise FileNotFoundError(
+            f"describe_delta_history: no commit JSONs at {log} (log "
+            "cleaned past a checkpoint keeps only seeded state — "
+            "history needs the JSONs)"
+        )
+    rows = []
+    for v in sorted(versions, reverse=True):
+        p = versions[v]
+        op = None
+        engine = None
+        n_add = n_remove = n_cdc = 0
+        with open(p, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    n_add += 1
+                elif "remove" in action:
+                    n_remove += 1
+                elif "cdc" in action:
+                    n_cdc += 1
+                elif "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    op = ci.get("operation")
+                    engine = ci.get("engineInfo")
+        rows.append(
+            (
+                int(v),
+                int(_commit_ts_ms(p)),
+                op,
+                n_add,
+                n_remove,
+                n_cdc,
+                engine,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version bigint, timestamp_ms bigint, operation string, "
+        "num_added_files bigint, num_removed_files bigint, "
+        "num_cdc_files bigint, engine_info string",
+    )
+
+
+def clean_delta_log(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    retention_hours: float = 720.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Log retention (round 15) — delta-spark's
+    ``delta.logRetentionDuration`` cleanup: commit JSONs AT OR BELOW
+    the newest checkpoint whose time-travel timestamp is older than
+    ``retention_hours`` (default 30 days, Delta's own) are deleted;
+    readers seed from the checkpoint (which carries adds + DVs +
+    protocol + txn marks) so the CURRENT state is never affected —
+    only time travel / CDF / history INTO the cleaned range fails
+    loudly afterwards (their documented trade).  Without a
+    checkpoint nothing is ever cleaned.  Returns the deleted file
+    names; ``dry_run=True`` lists only."""
+    if retention_hours < 0:
+        raise ValueError(
+            f"clean_delta_log: retention_hours must be >= 0, got "
+            f"{retention_hours}"
+        )
+    table = Path(path)
+    log = _log_path(table)
+    cp = _latest_checkpoint_version(log, 1 << 62)
+    if cp is None:
+        return []  # no checkpoint: every commit is load-bearing
+    cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
+    out: list[str] = []
+    for v, p in sorted(_json_versions(log).items()):
+        if v > cp:
+            break  # commits past the checkpoint always replay
+        if _commit_ts_ms(p) >= cutoff_ms:
+            continue
+        out.append(p.name)
+    if not dry_run:
+        for name in out:
+            (log / name).unlink(missing_ok=True)
+    return out
+
+
 def vacuum_delta(
     spark: SparkSession,
     path: str | os.PathLike,

@@ -2416,6 +2416,139 @@ def upsert_iceberg(
     return {"snapshot_id": sid, "keys": n_keys, "rows": n_rows}
 
 
+def iceberg_metadata_table(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    kind: str,
+) -> DataFrame:
+    """Iceberg's INSPECTION tables (round 15) — the ``table$kind``
+    surface real Iceberg engines expose, from the table's own
+    metadata (driver cost O(metadata), no data file opens):
+
+    - ``snapshots``: one row per snapshot — id, timestamp,
+      operation, manifest-list path, the summary map as JSON;
+    - ``history``: the lineage newest-last with ``is_current``;
+    - ``refs``: named branches/tags -> snapshot ids;
+    - ``manifests``: the CURRENT snapshot's manifest-list entries —
+      path, length, content (0=data/1=deletes), sequence number,
+      added snapshot id;
+    - ``files``: every file the current snapshot's manifests keep
+      (status != DELETED) — content (0=data, 1=position deletes,
+      2=equality deletes), path, record count, size, the partition
+      record as JSON, sequence number."""
+    table = Path(path)
+    meta = json.loads(_metadata_path(table).read_text())
+    location = meta.get("location", str(table))
+    cur_id = meta.get("current-snapshot-id")
+    if kind == "snapshots":
+        return spark.createDataFrame(
+            [
+                (
+                    int(s["snapshot-id"]),
+                    int(s.get("timestamp-ms") or 0),
+                    (s.get("summary") or {}).get("operation"),
+                    s.get("manifest-list"),
+                    json.dumps(
+                        s.get("summary") or {}, sort_keys=True
+                    ),
+                )
+                for s in meta.get("snapshots", [])
+            ],
+            "snapshot_id bigint, timestamp_ms bigint, "
+            "operation string, manifest_list string, summary string",
+        )
+    if kind == "history":
+        return spark.createDataFrame(
+            [
+                (
+                    int(s.get("timestamp-ms") or 0),
+                    int(s["snapshot-id"]),
+                    s["snapshot-id"] == cur_id,
+                )
+                for s in meta.get("snapshots", [])
+            ],
+            "made_current_at_ms bigint, snapshot_id bigint, "
+            "is_current boolean",
+        )
+    if kind == "refs":
+        return spark.createDataFrame(
+            [
+                (name, r.get("type"), int(r["snapshot-id"]))
+                for name, r in sorted(
+                    (meta.get("refs") or {}).items()
+                )
+            ],
+            "name string, type string, snapshot_id bigint",
+        )
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if cur_id is None or cur_id == -1 or cur_id not in snaps:
+        raise ValueError(
+            f"iceberg_metadata_table: no live current snapshot for "
+            f"{kind!r} (current-snapshot-id={cur_id!r})"
+        )
+    _, entries = read_avro_file(
+        _localize(snaps[cur_id]["manifest-list"], location, table)
+    )
+    if kind == "manifests":
+        return spark.createDataFrame(
+            [
+                (
+                    e["manifest_path"],
+                    int(e.get("manifest_length") or 0),
+                    int(e.get("content") or 0),
+                    (
+                        None
+                        if e.get("sequence_number") is None
+                        else int(e["sequence_number"])
+                    ),
+                    (
+                        None
+                        if e.get("added_snapshot_id") is None
+                        else int(e["added_snapshot_id"])
+                    ),
+                )
+                for e in entries
+            ],
+            "path string, length bigint, content int, "
+            "sequence_number bigint, added_snapshot_id bigint",
+        )
+    if kind != "files":
+        raise ValueError(
+            f"iceberg_metadata_table: unknown kind {kind!r} — "
+            "snapshots, history, refs, manifests, files"
+        )
+    rows = []
+    for e in entries:
+        mseq = int(e.get("sequence_number") or 0)
+        _, m_entries = read_avro_file(
+            _localize(e["manifest_path"], location, table)
+        )
+        for me in m_entries:
+            if int(me.get("status") or 0) == _STATUS_DELETED:
+                continue
+            rec = me["data_file"]
+            rows.append(
+                (
+                    int(rec.get("content") or 0),
+                    rec["file_path"],
+                    int(rec.get("record_count") or 0),
+                    int(rec.get("file_size_in_bytes") or 0),
+                    json.dumps(
+                        dict(rec.get("partition") or {}),
+                        sort_keys=True,
+                        default=str,
+                    ),
+                    int(me.get("sequence_number") or mseq),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "content int, file_path string, record_count bigint, "
+        "file_size_in_bytes bigint, partition string, "
+        "sequence_number bigint",
+    )
+
+
 def rewrite_iceberg_files(
     spark: SparkSession,
     path: str | os.PathLike,

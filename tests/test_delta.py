@@ -1604,3 +1604,45 @@ def test_optimize_on_column_mapped_table(spark, tmp_path):
             pq.ParquetFile(f.removeprefix("file:")).schema_arrow.names
         )
         assert cols == {"col-aaaa", "col-bbbb"}
+
+
+def test_describe_history_and_log_cleanup(spark, tmp_path):
+    """describe_delta_history (round 15): one row per commit with
+    operation + action counts; clean_delta_log removes only commits
+    covered by a checkpoint AND older than retention — the current
+    state always survives."""
+    from snapflow_spark.sources.delta import (
+        clean_delta_log,
+        delete_from_delta,
+        describe_delta_history,
+        write_delta_checkpoint,
+    )
+
+    path = tmp_path / "t"
+    write_delta(_df(spark, ROWS_V0), path, partition_by=["lang"])  # v0
+    write_delta(_df(spark, ROWS_V1), path, mode="append")  # v1
+    delete_from_delta(spark, path, "doc_id = 0")  # v2 (DV)
+    h = {r.version: r for r in describe_delta_history(spark, path).collect()}
+    assert set(h) == {0, 1, 2}
+    assert h[0].operation == "WRITE" and h[0].num_added_files >= 1
+    assert h[2].operation == "DELETE"
+    # the matched file was fully dead: remove only (no DV re-add)
+    assert h[2].num_removed_files == 1
+    assert h[0].engine_info == "snapflow-spark"
+    assert all(h[v].timestamp_ms > 0 for v in h)
+
+    # no checkpoint: nothing is ever cleaned
+    assert clean_delta_log(spark, path, retention_hours=0) == []
+    cp = write_delta_checkpoint(spark, path)
+    assert cp == 2
+    # retention in the future keeps everything
+    assert clean_delta_log(spark, path, retention_hours=1e6) == []
+    gone = clean_delta_log(spark, path, retention_hours=0, dry_run=True)
+    assert gone == [f"{v:020d}.json" for v in (0, 1, 2)]
+    assert (path / "_delta_log" / f"{0:020d}.json").exists()  # dry run
+    assert clean_delta_log(spark, path, retention_hours=0) == gone
+    # the current state seeds from the checkpoint
+    want = {r for r in set(ROWS_V0) | set(ROWS_V1) if r[0] != 0}
+    assert _rows(read_delta(spark, path)) == want
+    with pytest.raises(FileNotFoundError, match="history needs"):
+        describe_delta_history(spark, path)

@@ -1103,6 +1103,14 @@ def test_cli_table_maintenance(spark, tmp_path, capsys):
     out = run("table", "update", str(it), "--where", "doc_id = 0",
               "--set", '{"text": "upper(text)"}')
     assert out == {"op": "update", "rows_updated": 1}
+    # round 15: inspection + log retention dispatches
+    out = run("table", "history", str(dt))
+    assert out["op"] == "history" and out["rows"][0]["version"] >= 1
+    out = run("table", "inspect", str(it), "--kind", "snapshots")
+    assert out["kind"] == "snapshots" and out["rows"]
+    out = run("table", "clean-log", str(dt),
+              "--retention-hours", "0", "--dry-run")
+    assert out["op"] == "clean-log" and out["dry_run"] is True
     # wrong-format op and non-table path fail politely
     assert main(["table", "expire", str(dt)]) == 2
     capsys.readouterr()

@@ -276,3 +276,43 @@ def test_update_iceberg_merge_on_read(spark, tmp_path):
         update_iceberg(spark, path, "id = 1", {"zz": "1"})
     with pytest.raises(ValueError, match="empty set_"):
         update_iceberg(spark, path, "id = 1", {})
+
+
+def test_iceberg_metadata_tables(spark, tmp_path):
+    """iceberg_metadata_table (round 15): the table$kind inspection
+    surface — snapshots/history/refs/manifests/files — from metadata
+    alone."""
+    from snapflow_spark.sources.iceberg import (
+        iceberg_metadata_table,
+        tag_iceberg_snapshot,
+    )
+
+    path = tmp_path / "t"
+    s0 = write_iceberg(_tbl(spark, [(i, i, "a") for i in range(6)]), path)
+    delete_iceberg_by_key(
+        spark, path, spark.createDataFrame([(2,)], "id long")
+    )
+    tag_iceberg_snapshot(path, "v1", snapshot_id=s0)
+
+    snaps = iceberg_metadata_table(spark, path, "snapshots").collect()
+    assert [r.operation for r in snaps] == ["append", "delete"]
+    assert snaps[0].snapshot_id == s0
+    hist = iceberg_metadata_table(spark, path, "history").collect()
+    assert [r.is_current for r in hist] == [False, True]
+    refs = {
+        r.name: (r.type, r.snapshot_id)
+        for r in iceberg_metadata_table(spark, path, "refs").collect()
+    }
+    assert refs["v1"] == ("tag", s0)
+    assert refs["main"][0] == "branch"
+    mans = iceberg_metadata_table(spark, path, "manifests").collect()
+    assert {r.content for r in mans} == {0, 1}  # data + delete
+    files = iceberg_metadata_table(spark, path, "files").collect()
+    by_content = {}
+    for r in files:
+        by_content.setdefault(r.content, []).append(r)
+    assert sum(r.record_count for r in by_content[0]) == 6  # data rows
+    assert sum(r.record_count for r in by_content[2]) == 1  # eq keys
+    assert all(r.file_size_in_bytes > 0 for r in files)
+    with pytest.raises(ValueError, match="unknown kind"):
+        iceberg_metadata_table(spark, path, "bogus")
