@@ -272,6 +272,21 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'iceberg_upsert' AS fmt, n_nationkey + 400 AS n_nationkey,
            reverse(n_name) AS n_name, n_regionkey
     FROM nation WHERE n_regionkey = 1
+    UNION ALL
+    -- 'iceberg_upd' branch (round 15 late): merge-on-read UPDATE —
+    -- matched rows die via a position-delete file and their
+    -- rewritten copies land in the SAME snapshot
+    SELECT 'iceberg_upd' AS fmt, n_nationkey, n_name,
+           CASE WHEN n_nationkey % 6 = 0 THEN n_regionkey + 50
+                ELSE n_regionkey END AS n_regionkey
+    FROM nation
+    UNION ALL
+    -- 'delta_sync' branch (round 15 late): the FULL-SYNC merge —
+    -- when_not_matched_by_source='delete' leaves exactly the
+    -- source's key set (non-region-2 rows, names upper-cased)
+    SELECT 'delta_sync' AS fmt, n_nationkey, upper(n_name) AS n_name,
+           n_regionkey
+    FROM nation WHERE n_regionkey != 2
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,7 +294,7 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — staged ONCE per (session, sf_dir): the write→read round trips
     are eager side effects of building the plan, so repeat calls
     (bench warm reps, a second correctness pass) reuse the staged
-    fixtures and the lazy union instead of re-writing 17 fixture
+    fixtures and the lazy union instead of re-writing 19 fixture
     tables; the first call in any process still exercises every
     writer end-to-end.  See _build_scan_formats for the branches."""
     per = _SCAN_FORMATS_CACHE.get(spark)
@@ -715,6 +730,41 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"iceberg_upsert fixture: unexpected upsert result {ures}"
     )
     from_ice_upsert = _tag(read_iceberg(spark, up_dir), "iceberg_upsert")
+    # 'iceberg_upd' branch (round 15 late): merge-on-read UPDATE
+    # driver-grade — update_iceberg writes a position-delete file AND
+    # the rewritten rows in ONE snapshot; the oracle replays the
+    # column rewrite.
+    from snapflow_spark.sources.iceberg import update_iceberg
+
+    upd_dir = _SCRATCH / "iceberg_upd_roundtrip"
+    shutil.rmtree(upd_dir, ignore_errors=True)
+    write_iceberg(up_base, upd_dir)
+    n_upd = update_iceberg(
+        spark, upd_dir, "n_nationkey % 6 = 0",
+        {"n_regionkey": "n_regionkey + 50"},
+    )
+    assert n_upd > 0, "iceberg_upd fixture: the update matched nothing"
+    from_ice_upd = _tag(read_iceberg(spark, upd_dir), "iceberg_upd")
+    # 'delta_sync' branch (round 15 late): the FULL-SYNC merge —
+    # when_not_matched_by_source='delete' drops every target key the
+    # source lacks (region-2 rows), matched keys take the source's
+    # upper-cased names, all in one commit / one DV pass.
+    sync_dir = _SCRATCH / "delta_sync_roundtrip"
+    shutil.rmtree(sync_dir, ignore_errors=True)
+    write_delta(nation3, sync_dir)
+    sres = merge_delta(
+        spark,
+        sync_dir,
+        nation3.where(F.col("n_regionkey") != 2).withColumn(
+            "n_name", F.upper("n_name")
+        ),
+        on=["n_nationkey"],
+        when_not_matched_by_source="delete",
+    )
+    assert sres["rows_deleted_by_source"] > 0, (
+        f"delta_sync fixture: unexpected merge result {sres}"
+    )
+    from_delta_sync = _tag(read_delta(spark, sync_dir), "delta_sync")
     from snapflow_spark.sources.cc_index import read_cc_index
 
     key = F.col("n_nationkey")
@@ -787,6 +837,8 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(from_ice_edel)
         .unionByName(from_delta_merge)
         .unionByName(from_ice_upsert)
+        .unionByName(from_ice_upd)
+        .unionByName(from_delta_sync)
         .unionByName(from_cc)
     )
 
