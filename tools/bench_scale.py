@@ -249,6 +249,15 @@ HEAVY = {
         "grows 10x (manifest carry-forward is O(#snapshots) driver "
         "metadata)"
     ),
+    "op_iceberg_update": (
+        "documents as a STANDING Iceberg table (cold absorbs the "
+        "export, round 15): warm = update_iceberg over a FRESH "
+        "500-key doc_id range per call — one scan finds matches "
+        "(position-delete parquet written distributed), the "
+        "rewritten rows stage as new files, both in ONE snapshot; "
+        "the scan is the corpus-bound part, so warm tracks the scan "
+        "until stats pruning lands on the iceberg side"
+    ),
     "q_udaf_grouped": "events; applyInPandas, groups x factor",
     "q_incremental_semantics": "events; 3 snapshot ticks + dedupe",
     "q_stream_windows": "events; tumbling+sliding agg",
@@ -897,6 +906,45 @@ def _op_iceberg_upsert(spark, sf_dir: str):
     )
 
 
+_ICEBERG_UPDATE_TABLES: dict = {}
+
+
+def _op_iceberg_update(spark, sf_dir: str):
+    """Standing Iceberg table + merge-on-read UPDATE of a fresh
+    500-key range per call (round 15): the matcher scan + the
+    position-delete write + the rewritten-row staging all land in
+    one snapshot; the scan side is the corpus-bound cost."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.sources.iceberg import (
+        update_iceberg,
+        write_iceberg,
+    )
+
+    if sf_dir not in _ICEBERG_UPDATE_TABLES:
+        path = tempfile.mkdtemp(prefix="iceberg_upd_") + "/tbl"
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        write_iceberg(d, path)
+        lo = d.agg(F.min("doc_id")).collect()[0][0]
+        _ICEBERG_UPDATE_TABLES[sf_dir] = [path, int(lo)]
+    ent = _ICEBERG_UPDATE_TABLES[sf_dir]
+    path, lo = ent
+    hi = lo + 499
+    ent[1] = hi + 1
+    n = update_iceberg(
+        spark,
+        path,
+        f"doc_id BETWEEN {lo} AND {hi}",
+        {"lang": "'xx'"},
+    )
+    return spark.createDataFrame([(n,)], "n_updated bigint")
+
+
 _IVFPQ_PATHS: dict = {}
 
 
@@ -1001,6 +1049,7 @@ def main() -> None:
     queries["op_delta_delete"] = _op_delta_delete
     queries["op_delta_merge"] = _op_delta_merge
     queries["op_iceberg_upsert"] = _op_iceberg_upsert
+    queries["op_iceberg_update"] = _op_iceberg_update
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)
