@@ -287,6 +287,23 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'delta_sync' AS fmt, n_nationkey, upper(n_name) AS n_name,
            n_regionkey
     FROM nation WHERE n_regionkey != 2
+    UNION ALL
+    -- 'delta_cm' branch (round 15 late): the COLUMN-MAPPED write
+    -- surface — a mode=name table (physical uuid parquet columns)
+    -- takes an engine APPEND, a DV DELETE and a merge-on-read
+    -- UPDATE; physical-name binding is Spark-side, the oracle
+    -- replays the logical result
+    SELECT 'delta_cm' AS fmt, n_nationkey, n_name,
+           CASE WHEN n_nationkey % 7 = 0 THEN n_regionkey + 10
+                ELSE n_regionkey END AS n_regionkey
+    FROM (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      UNION ALL
+      SELECT n_nationkey + 500 AS n_nationkey,
+             reverse(n_name) AS n_name, n_regionkey
+      FROM nation
+    )
+    WHERE n_nationkey % 5 != 1
     """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,7 +311,7 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — staged ONCE per (session, sf_dir): the write→read round trips
     are eager side effects of building the plan, so repeat calls
     (bench warm reps, a second correctness pass) reuse the staged
-    fixtures and the lazy union instead of re-writing 19 fixture
+    fixtures and the lazy union instead of re-writing 20 fixture
     tables; the first call in any process still exercises every
     writer end-to-end.  See _build_scan_formats for the branches."""
     per = _SCAN_FORMATS_CACHE.get(spark)
@@ -765,6 +782,96 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"delta_sync fixture: unexpected merge result {sres}"
     )
     from_delta_sync = _tag(read_delta(spark, sync_dir), "delta_sync")
+    # 'delta_cm' branch (round 15 late): the COLUMN-MAPPED write
+    # surface driver-grade — a hand-published mode=name table (the
+    # modern Databricks layout: physical uuid parquet columns,
+    # physical-keyed stats) takes an engine APPEND (staged physical
+    # via _stage_logical), a distributed DV DELETE and a
+    # merge-on-read UPDATE, every predicate logical-named.
+    import json as _json
+
+    from snapflow_spark.sources.delta import update_delta
+
+    cm_dir = _SCRATCH / "delta_cm_roundtrip"
+    shutil.rmtree(cm_dir, ignore_errors=True)
+    cm_phys = {
+        "n_nationkey": "c-1", "n_name": "c-2", "n_regionkey": "c-3",
+    }
+    cm_log = cm_dir / "_delta_log"
+    cm_log.mkdir(parents=True)
+    cm_file = cm_dir / "part-base.parquet"
+    tmpd = str(cm_file) + ".tmp"
+    nation3.select(
+        F.col("n_nationkey").cast("long").alias(cm_phys["n_nationkey"]),
+        F.col("n_name").alias(cm_phys["n_name"]),
+        F.col("n_regionkey").cast("long").alias(cm_phys["n_regionkey"]),
+    ).coalesce(1).write.mode("overwrite").parquet(tmpd)
+    next(Path(tmpd).glob("*.parquet")).rename(cm_file)
+    shutil.rmtree(tmpd)
+    cm_schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": n,
+                "type": t,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": cm_phys[n],
+                },
+            }
+            for i, (n, t) in enumerate(
+                [
+                    ("n_nationkey", "long"),
+                    ("n_name", "string"),
+                    ("n_regionkey", "long"),
+                ]
+            )
+        ],
+    }
+    cm_actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(cm_schema),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+        {
+            "add": {
+                "path": cm_file.name,
+                "partitionValues": {},
+                "size": cm_file.stat().st_size,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    (cm_log / f"{0:020d}.json").write_text(
+        "\n".join(_json.dumps(a) for a in cm_actions) + "\n"
+    )
+    write_delta(
+        nation3.select(
+            (F.col("n_nationkey") + 500)
+            .cast("long")
+            .alias("n_nationkey"),
+            F.reverse("n_name").alias("n_name"),
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        ),
+        cm_dir,
+        mode="append",
+    )
+    n_cm_del = delete_from_delta(spark, cm_dir, "n_nationkey % 5 = 1")
+    assert n_cm_del > 0, "delta_cm fixture: the delete matched nothing"
+    n_cm_upd = update_delta(
+        spark, cm_dir, "n_nationkey % 7 = 0",
+        {"n_regionkey": "n_regionkey + 10"},
+    )
+    assert n_cm_upd > 0, "delta_cm fixture: the update matched nothing"
+    from_delta_cm = _tag(read_delta(spark, cm_dir), "delta_cm")
     from snapflow_spark.sources.cc_index import read_cc_index
 
     key = F.col("n_nationkey")
@@ -839,6 +946,7 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(from_ice_upsert)
         .unionByName(from_ice_upd)
         .unionByName(from_delta_sync)
+        .unionByName(from_delta_cm)
         .unionByName(from_cc)
     )
 
