@@ -53,6 +53,10 @@ import time
 import uuid
 from dataclasses import dataclass, field
 from pathlib import Path
+from typing import NamedTuple
+
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series'
+# type hints against this module's globals (PEP 563 annotations)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,6 +72,7 @@ from snapflow_spark.sources.iceberg_transforms import (
     _days,
     _micros,
     apply_transform,
+    parse_transform,
 )
 from snapflow_spark.functions.avro_codec import (
     read_avro_file,
@@ -881,6 +886,299 @@ _PART_AVRO_TYPES = {
     "boolean": "boolean",
 }
 
+#: source types whose bucket serialization is the 8-byte LE long of
+#: their internal value (spec Appendix B: int/long widen, temporal
+#: types hash days/micros from epoch, time hashes micros-of-day)
+_BUCKET_LONG_SRC = {
+    "int", "long", "date", "time",
+    "timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns",
+}
+
+
+class _PartField(NamedTuple):
+    """One resolved partition-spec field for WRITE-side staging:
+    the manifest field name, the source DataFrame column, the spec
+    transform string, the source's Iceberg type, and the Avro
+    primitive of the TRANSFORM RESULT (what the manifest partition
+    record stores: bucket -> int, truncate -> source type,
+    year/month/day/hour -> int)."""
+
+    name: str
+    source: str
+    transform: str
+    src_type: str
+    avro: str
+
+
+def _result_avro(transform: str, src_type: str) -> str:
+    """The Avro primitive the manifests store for one (transform,
+    source type) pair; raises NotImplementedError outside the
+    stageable set (the loud-refusal contract)."""
+    name, _arg = parse_transform(transform)
+    if name == "identity":
+        if src_type in _PART_AVRO_TYPES:
+            return _PART_AVRO_TYPES[src_type]
+        raise NotImplementedError(
+            f"iceberg write: identity partitioning over source type "
+            f"{src_type!r}; supported: {sorted(_PART_AVRO_TYPES)}"
+        )
+    if name == "bucket":
+        if src_type in _BUCKET_LONG_SRC or src_type == "string":
+            return "int"
+        raise NotImplementedError(
+            f"iceberg write: bucket partitioning over source type "
+            f"{src_type!r}; supported: "
+            f"{sorted(_BUCKET_LONG_SRC | {'string'})}"
+        )
+    if name == "truncate":
+        if src_type in ("int", "long", "string"):
+            return _PART_AVRO_TYPES[src_type]
+        raise NotImplementedError(
+            f"iceberg write: truncate partitioning over source type "
+            f"{src_type!r}; supported: int, long, string"
+        )
+    if name in ("year", "month", "day", "hour"):
+        if src_type == "date" and name != "hour":
+            return "int"
+        if src_type.startswith("timestamp"):
+            return "int"
+        raise NotImplementedError(
+            f"iceberg write: {name!r} partitioning over source type "
+            f"{src_type!r} (date/timestamp sources only; 'hour' "
+            "needs a timestamp)"
+        )
+    raise NotImplementedError(
+        f"iceberg write: partition transform {transform!r}"
+    )
+
+
+def _fresh_field_name(source: str, transform: str) -> str:
+    """Iceberg's conventional partition-field naming for
+    engine-created specs (``c_bucket``, ``c_trunc``, ``c_day``…)."""
+    name, _arg = parse_transform(transform)
+    if name == "identity":
+        return source
+    if name == "truncate":
+        return f"{source}_trunc"
+    return f"{source}_{name}"
+
+
+def _murmur3_long_np(v):
+    """Vectorized 32-bit MurmurHash3 of the spec's 8-byte LE long
+    serialization (two 4-byte blocks, no tail) — numpy uint32
+    wraparound arithmetic, verified value-for-value against the
+    pinned scalar ``murmur3_x86_32`` in
+    tests/test_iceberg_transforms.py.  Returns uint32 hashes."""
+    import numpy as np
+
+    u = np.asarray(v, dtype=np.int64).view(np.uint64)
+    h = np.zeros(len(u), dtype=np.uint32)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    for blk in (u & np.uint64(0xFFFFFFFF), u >> np.uint64(32)):
+        k = blk.astype(np.uint32)
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)  # length
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def _bucket_long_udf(n: int):
+    """Arrow-batched pandas UDF: spec bucket[N] of an internal-long
+    column (int/long/date/timestamp sources pre-coerced JVM-side).
+    The hot path is one numpy pass per batch — no per-row python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _b(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mask = s.isna().to_numpy()
+        vals = s.fillna(0).to_numpy(dtype=np.int64, copy=False)
+        h = _murmur3_long_np(vals)
+        out = pd.array(
+            ((h & np.uint32(0x7FFFFFFF)) % np.uint32(int(n)))
+            .astype("int32"),
+            dtype="Int32",
+        )
+        out[mask] = pd.NA
+        return pd.Series(out)
+
+    return _b
+
+
+def _bucket_str_udf(n: int):
+    """Arrow-batched pandas UDF: spec bucket[N] over utf-8 string
+    serialization (variable length — per-value murmur3 inside the
+    Arrow batch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from snapflow_spark.sources.iceberg_transforms import (
+        murmur3_x86_32 as _m3,
+    )
+
+    @pandas_udf("int")
+    def _b(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None
+            if v is None
+            else (_m3(str(v).encode("utf-8")) & 0x7FFFFFFF) % int(n),
+            na_action="ignore",
+        ).astype("Int32")
+
+    return _b
+
+
+def _internal_micros_col(col, src_type: str):
+    """Epoch-micros Column for a timestamp source, matching
+    ``iceberg_transforms._micros`` exactly: tz-carrying timestamps
+    read their internal instant (``unix_micros``), NTZ timestamps
+    decompose their wall clock as UTC (tz-independent codegen —
+    pinned against the scalar reference in tests)."""
+    if src_type in ("timestamptz", "timestamptz_ns"):
+        return F.unix_micros(col)
+    return (
+        F.unix_date(F.to_date(col)).cast("long") * F.lit(86_400_000_000)
+        + F.hour(col).cast("long") * F.lit(3_600_000_000)
+        + F.minute(col).cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), col) * F.lit(1_000_000)).cast(
+            "long"
+        )
+    )
+
+
+def _with_partition_value(df: DataFrame, pf: _PartField, out: str):
+    """Attach column ``out`` = the spec transform of ``pf.source``.
+    Everything except bucket is pure codegen (verified against the
+    pinned scalar transforms, negatives and nulls included); bucket
+    crosses to python ONCE per batch through a numpy-vectorized
+    Arrow UDF — the only non-codegen partition math, paid on the
+    partition column alone at write time."""
+    c = F.col(pf.source)
+    name, arg = parse_transform(pf.transform)
+    t = pf.src_type
+    if name == "identity":
+        return df.withColumn(out, c)
+    if name == "truncate":
+        if t in ("int", "long"):
+            return df.withColumn(
+                out, (c - F.pmod(c, F.lit(int(arg)))).cast(t)
+            )
+        return df.withColumn(out, F.substring(c, 1, int(arg)))
+    if name == "bucket":
+        if t == "string":
+            return df.withColumn(out, _bucket_str_udf(arg)(c))
+        if t in ("int", "long", "time"):
+            longs = c.cast("long")
+        elif t == "date":
+            longs = F.unix_date(c).cast("long")
+        else:  # timestamp family
+            longs = _internal_micros_col(c, t)
+        return df.withColumn(out, _bucket_long_udf(arg)(longs))
+    # temporal transforms
+    if t == "date":
+        if name == "day":
+            e = F.unix_date(c)
+        elif name == "year":
+            e = F.year(c) - F.lit(1970)
+        else:  # month
+            e = (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+        return df.withColumn(out, e.cast("int"))
+    # timestamp sources: exact integer floor-division of epoch micros
+    # (never through doubles — (m - pmod(m, d)) is exactly divisible,
+    # so SQL DIV is exact floor for negatives too)
+    tmp = f"__pv_micros_{uuid.uuid4().hex[:8]}"
+    df = df.withColumn(tmp, _internal_micros_col(c, t))
+    d = 3_600_000_000 if name == "hour" else 86_400_000_000
+    days = F.expr(f"(`{tmp}` - pmod(`{tmp}`, {d})) DIV {d}")
+    if name == "hour" or name == "day":
+        e = days
+    else:
+        dt_col = F.date_add(F.lit("1970-01-01").cast("date"), days.cast("int"))
+        if name == "year":
+            e = F.year(dt_col) - F.lit(1970)
+        else:  # month
+            e = (F.year(dt_col) - F.lit(1970)) * F.lit(12) + F.month(
+                dt_col
+            ) - F.lit(1)
+    return df.withColumn(out, e.cast("int")).drop(tmp)
+
+
+def _spec_pairs(meta: dict) -> list[tuple[str, str]]:
+    """The default spec as [(source COLUMN name, transform)] — the
+    shape ``write_iceberg(partition_by=)`` compares against."""
+    by_id = {
+        int(f["id"]): f["name"]
+        for f in _raw_schema_fields(meta)
+        if f.get("id") is not None
+    }
+    return [
+        (by_id.get(int(sf["source-id"]), sf["name"]), sf["transform"])
+        for sf in _default_spec_raw(meta)
+    ]
+
+
+def _spec_part_fields(meta: dict) -> list[_PartField]:
+    """Resolve the table's default partition spec into write-stageable
+    ``_PartField``s (raises NotImplementedError for transforms/types
+    outside the stageable set — the loud-refusal contract).  Shared
+    by upsert_iceberg / update_iceberg / rewrite_iceberg_files /
+    _publish_delete_snapshot."""
+    by_id = {
+        int(f["id"]): f
+        for f in _raw_schema_fields(meta)
+        if f.get("id") is not None
+    }
+    out: list[_PartField] = []
+    for sf in _default_spec_raw(meta):
+        src = by_id.get(int(sf["source-id"]))
+        if src is None or not isinstance(src.get("type"), str):
+            raise NotImplementedError(
+                f"iceberg write: partition field {sf.get('name')!r} "
+                f"has source-id {sf.get('source-id')!r} with a "
+                "missing or non-primitive source type"
+            )
+        t = src["type"]
+        out.append(
+            _PartField(
+                name=sf["name"],
+                source=src["name"],
+                transform=sf["transform"],
+                src_type=t,
+                avro=_result_avro(sf["transform"], t),
+            )
+        )
+    return out
+
+
+def _parse_partition_by(partition_by) -> list[tuple[str, str]] | None:
+    """Normalize ``partition_by`` entries — ``"col"`` (identity) or
+    ``("col", "bucket[4]")`` pairs — to [(source, transform)]."""
+    if partition_by is None:
+        return None
+    out: list[tuple[str, str]] = []
+    for e in partition_by:
+        if isinstance(e, str):
+            out.append((e, "identity"))
+        elif isinstance(e, (tuple, list)) and len(e) == 2:
+            src, transform = e
+            parse_transform(str(transform))  # syntax check
+            out.append((str(src), str(transform)))
+        else:
+            raise ValueError(
+                f"write_iceberg: partition_by entry {e!r} — expected "
+                "a column name or a (column, transform) pair"
+            )
+    return out
+
 
 def _entry_bounds(ice_fields: list[dict], st: dict | None) -> tuple:
     """(lower_bounds, upper_bounds) k/v-record arrays for a data-file
@@ -907,18 +1205,21 @@ def _stage_data_files(
     spark: SparkSession,
     df: DataFrame,
     table: Path,
-    part_types: list[tuple[str, str]],
+    part_fields: list[_PartField],
 ) -> list[tuple[str, int, int, dict | None, dict]]:
     """Stage ``df`` as parquet and move the parts under ``table/
     data/`` (the write_delta shape), returning one ``(rel path,
     bytes, rows, stats dict or None, typed partition values)`` tuple
-    per non-empty file.  Identity partitions split through SHADOW
-    columns so the real partition columns stay in the data files
-    (Iceberg files carry every column; hive layout would drop them).
+    per non-empty file.  Partitions split through SHADOW columns
+    carrying the spec TRANSFORM of each source column (identity =
+    the column itself; bucket/truncate/temporal via
+    ``_with_partition_value``), so the real columns stay in the data
+    files (Iceberg files carry every column; hive layout would drop
+    them) and the manifests record the transform-result values.
     Row counts + min/max stats come from ONE executor-side Spark job
     over the staged files (shared with write_delta), not O(#files)
     serial driver footer reads.  Shared by write_iceberg and
-    upsert_iceberg."""
+    upsert_iceberg/update_iceberg."""
     import shutil
     from urllib.parse import unquote as _unquote
 
@@ -928,13 +1229,13 @@ def _stage_data_files(
 
     data = table / "data"
     data.mkdir(parents=True, exist_ok=True)
-    part_by = [c for c, _t in part_types]
+    part_by = [pf.name for pf in part_fields]
     staging = table / f".staging-{uuid.uuid4().hex}"
     if part_by:
         stage_df = df
-        shadow = [f"__part_{c}" for c in part_by]
-        for c, s in zip(part_by, shadow):
-            stage_df = stage_df.withColumn(s, F.col(c))
+        shadow = [f"__part_{pf.name}" for pf in part_fields]
+        for pf, s in zip(part_fields, shadow):
+            stage_df = _with_partition_value(stage_df, pf, s)
         stage_df.write.mode("errorifexists").partitionBy(
             *shadow
         ).parquet(str(staging))
@@ -945,7 +1246,8 @@ def _stage_data_files(
 
     def _pv_of(p: Path) -> dict:
         """Typed partition values parsed from the staged file's hive
-        dir segments (__part_c=value)."""
+        dir segments (__part_<field>=value), typed by the TRANSFORM
+        RESULT's avro primitive."""
         if not part_by:
             return {}
         raw: dict[str, str] = {}
@@ -954,16 +1256,16 @@ def _stage_data_files(
             if k.startswith("__part_"):
                 raw[k[len("__part_"):]] = v
         out: dict = {}
-        for c, avro_t in part_types:
-            v = raw.get(c)
+        for pf in part_fields:
+            v = raw.get(pf.name)
             if v is None or v == _HIVE_NULL:
-                out[c] = None
-            elif avro_t in ("int", "long"):
-                out[c] = int(v)
-            elif avro_t == "boolean":
-                out[c] = v.lower() == "true"
+                out[pf.name] = None
+            elif pf.avro in ("int", "long"):
+                out[pf.name] = int(v)
+            elif pf.avro == "boolean":
+                out[pf.name] = v.lower() == "true"
             else:
-                out[c] = _unquote(v)
+                out[pf.name] = _unquote(v)
         return out
 
     # (rel path, bytes, rows, stats dict or None, partition values)
@@ -1014,14 +1316,19 @@ def write_iceberg(
     their committed batch ids — ``iceberg_stream_sink`` keys
     exactly-once on it).
 
-    ``partition_by`` (round 14) exports an IDENTITY-partitioned spec:
-    files split per partition value, the manifests record TYPED
-    partition values (int/long/string/boolean sources), and
-    ``read_iceberg(partition_filter=...)`` prunes the file list from
-    metadata alone.  Unlike hive layout, Iceberg data files CONTAIN
-    their partition columns — staging writes through shadow columns
-    so the split happens without dropping the real ones.  Appends
-    must match the table's existing partition spec."""
+    ``partition_by`` exports a partitioned spec: entries are either
+    column names (identity) or ``(column, transform)`` pairs with
+    any spec transform — ``bucket[N]`` (Appendix B murmur3, staged
+    through a numpy-vectorized Arrow UDF), ``truncate[W]`` and
+    ``year``/``month``/``day``/``hour`` (pure codegen, pinned
+    against the scalar reference transforms).  Files split per
+    TRANSFORM value, the manifests record the typed transform
+    results, and ``read_iceberg(partition_filter=...)`` prunes the
+    file list from metadata alone.  Unlike hive layout, Iceberg data
+    files CONTAIN their partition columns — staging writes through
+    shadow columns so the split happens without dropping the real
+    ones.  Appends must match the table's existing partition spec
+    (transforms included; ``partition_by=None`` adopts it)."""
     import pyarrow.parquet as pq
 
     if mode not in ("append", "overwrite", "error"):
@@ -1059,43 +1366,55 @@ def write_iceberg(
                     "only ADD columns after the table's existing ones"
                 )
             evolving = True
-    part_by = list(partition_by or [])
+    pairs = _parse_partition_by(partition_by)
+    adopted_raw: list[dict] | None = None
     if prev_meta is not None and mode == "append":
-        existing = _default_spec(prev_meta)
-        existing_identity = [
-            n for n, t in existing if t == "identity"
-        ]
-        if partition_by is None:
-            part_by = existing_identity
-        if part_by != existing_identity or any(
-            t != "identity" for _n, t in existing
-        ):
+        existing_pairs = _spec_pairs(prev_meta)
+        if pairs is None:
+            pairs = existing_pairs
+        if pairs != existing_pairs:
             raise ValueError(
-                f"write_iceberg: append with partition_by={part_by} "
-                f"onto a table with spec {existing}"
+                f"write_iceberg: append with partition_by={pairs} "
+                f"onto a table with spec {existing_pairs}"
             )
-    part_types: list[tuple[str, str]] = []  # (name, avro type)
+        adopted_raw = _default_spec_raw(prev_meta)
+    elif prev_meta is not None and pairs is not None:
+        # overwrite reproducing the table's spec shape (the
+        # rewrite_iceberg_files compaction path): keep the existing
+        # partition-field names and field-ids so pruning filters
+        # written against the old spec keep matching
+        if pairs == _spec_pairs(prev_meta):
+            adopted_raw = _default_spec_raw(prev_meta)
+    pairs = pairs or []
+    part_fields: list[_PartField] = []
     df_fields = {f.name: f for f in df.schema.fields}
-    for c in part_by:
-        if c not in df_fields:
+    for i, (src_col, transform) in enumerate(pairs):
+        if src_col not in df_fields:
             raise ValueError(
-                f"write_iceberg: partition column {c!r} not in the "
-                f"DataFrame columns {list(df_fields)}"
+                f"write_iceberg: partition column {src_col!r} not in "
+                f"the DataFrame columns {list(df_fields)}"
             )
         ice_t = _iceberg_schema(
-            T.StructType([df_fields[c]])
+            T.StructType([df_fields[src_col]])
         )["fields"][0]["type"]
-        if ice_t not in _PART_AVRO_TYPES:
+        try:
+            avro = _result_avro(transform, ice_t)
+        except NotImplementedError as e:
             raise NotImplementedError(
-                f"write_iceberg: partition column {c!r} has type "
-                f"{ice_t!r}; identity partitioning is implemented for "
-                f"{sorted(_PART_AVRO_TYPES)}"
-            )
-        part_types.append((c, _PART_AVRO_TYPES[ice_t]))
+                f"write_iceberg: partition column {src_col!r}: {e}"
+            ) from None
+        fname = (
+            adopted_raw[i]["name"]
+            if adopted_raw is not None
+            else _fresh_field_name(src_col, transform)
+        )
+        part_fields.append(
+            _PartField(fname, src_col, transform, ice_t, avro)
+        )
     md.mkdir(parents=True, exist_ok=True)
     data.mkdir(parents=True, exist_ok=True)
 
-    moved = _stage_data_files(spark, df, table, part_types)
+    moved = _stage_data_files(spark, df, table, part_fields)
 
     now_ms = int(time.time() * 1000)
     snapshot_id = now_ms * 1000 + len(moved)
@@ -1145,15 +1464,26 @@ def write_iceberg(
         }
     ice_fields = ice_schema["fields"]
     ids_by_name = {f["name"]: int(f["id"]) for f in ice_fields}
-    spec_fields = [
-        {
-            "name": c,
-            "transform": "identity",
-            "source-id": ids_by_name[c],
-            "field-id": 1000 + i,
-        }
-        for i, (c, _t) in enumerate(part_types)
-    ]
+    if adopted_raw is not None:
+        spec_fields = [
+            {
+                "name": sf["name"],
+                "transform": sf["transform"],
+                "source-id": int(sf["source-id"]),
+                "field-id": int(sf.get("field-id", 1000 + i)),
+            }
+            for i, sf in enumerate(adopted_raw)
+        ]
+    else:
+        spec_fields = [
+            {
+                "name": pf.name,
+                "transform": pf.transform,
+                "source-id": ids_by_name[pf.source],
+                "field-id": 1000 + i,
+            }
+            for i, pf in enumerate(part_fields)
+        ]
     manifest_name = f"manifest-{uuid.uuid4().hex}.avro"
     entries = []
     for rel, size, rows, st, pv in moved:
@@ -1178,7 +1508,9 @@ def write_iceberg(
     # Spark's iceberg-runtime refuse manifests without these.
     write_avro_file(
         md / manifest_name,
-        _manifest_entry_schema(part_types),
+        _manifest_entry_schema(
+            [(pf.name, pf.avro) for pf in part_fields]
+        ),
         entries,
         extra_metadata={
             "schema": json.dumps(ice_schema, separators=(",", ":")),
@@ -1891,9 +2223,10 @@ def update_iceberg(
     Column over the OLD row) land as new data files in the SAME
     snapshot — position deletes key exact (file_path, pos), so the
     new files are untouched by construction; no data file is
-    rewritten in place.  Identity partition specs are preserved
-    (non-identity transforms refuse — the rewrite cannot re-stage a
-    bucket/temporal layout).  Returns the number of rows updated.
+    rewritten in place.  The table's partition spec is preserved,
+    transforms included (bucket/truncate/temporal re-staged through
+    the pinned transform stage).  Returns the number of rows
+    updated.
 
     The rewrite source reads through ``read_iceberg`` (all deletes
     applied), so already-dead rows never resurrect as updated
@@ -1909,13 +2242,7 @@ def update_iceberg(
         )
     if not set_:
         raise ValueError("update_iceberg: empty set_ — nothing to update")
-    spec = _default_spec(meta)
-    bad_spec = [(n, t) for n, t in spec if t != "identity"]
-    if bad_spec:
-        raise NotImplementedError(
-            f"update_iceberg: partition transforms {bad_spec} — "
-            "re-staging only reproduces identity specs"
-        )
+    _spec_part_fields(meta)  # loud-guard unstageable specs up front
     del_files, n = _position_delete_files(spark, table, snap, condition)
     if n == 0:
         return 0
@@ -1937,16 +2264,9 @@ def update_iceberg(
             for c in out_cols
         ]
     )
-    types_by_id = {
-        int(f["id"]): f["type"]
-        for f in _raw_schema_fields(meta)
-        if isinstance(f.get("type"), str)
-    }
-    part_types = [
-        (nm, _PART_AVRO_TYPES[types_by_id[int(sf["source-id"])]])
-        for sf, (nm, _t) in zip(_default_spec_raw(meta), spec)
-    ]
-    moved = _stage_data_files(spark, updated, table, part_types)
+    moved = _stage_data_files(
+        spark, updated, table, _spec_part_fields(meta)
+    )
     _publish_delete_snapshot(
         table,
         del_files,
@@ -2100,18 +2420,9 @@ def _publish_delete_snapshot(
         # the upsert's DATA manifest, SAME sequence as the delete —
         # the reader's strictly-smaller rule keeps these rows alive
         raw_fields = _raw_schema_fields(meta)
-        types_by_id = {
-            int(f["id"]): f["type"]
-            for f in raw_fields
-            if f.get("id") is not None and isinstance(f.get("type"), str)
-        }
         spec_raw = _default_spec_raw(meta)
         part_types = [
-            (
-                f["name"],
-                _PART_AVRO_TYPES[types_by_id[int(f["source-id"])]],
-            )
-            for f in spec_raw
+            (pf.name, pf.avro) for pf in _spec_part_fields(meta)
         ]
         ice_schema_json = json.dumps(
             {"type": "struct", "schema-id": 0, "fields": raw_fields},
@@ -2303,8 +2614,8 @@ def upsert_iceberg(
 
     Creates the table (plain append) when absent or empty.  The
     DataFrame must match the table schema exactly and carry every
-    key column; identity-partitioned tables keep their spec
-    (non-identity transforms refuse loudly).  ``extra_summary``
+    key column; partitioned tables keep their spec, transforms
+    included.  ``extra_summary``
     lands in the snapshot summary — the exactly-once hook
     ``iceberg_stream_sink`` keys on.  Returns ``{"snapshot_id": id,
     "keys": n_distinct_keys, "rows": n_new_rows}``."""
@@ -2342,14 +2653,6 @@ def upsert_iceberg(
             "schema — upserts replace rows by key, they do not evolve "
             "the schema (write_iceberg(merge_schema=True) first)"
         )
-    spec = _default_spec(meta)
-    bad = [(n, t) for n, t in spec if t != "identity"]
-    if bad:
-        raise NotImplementedError(
-            f"upsert_iceberg: partition transforms {bad} — staging "
-            "only reproduces identity specs (same scope as "
-            "rewrite_iceberg_files)"
-        )
     fields_by_name = {f["name"]: f for f in _raw_schema_fields(meta)}
     eq_ids = []
     for c in keys:
@@ -2360,15 +2663,7 @@ def upsert_iceberg(
                 f"schema {sorted(fields_by_name)}"
             )
         eq_ids.append(int(f["id"]))
-    types_by_id = {
-        int(f["id"]): f["type"]
-        for f in _raw_schema_fields(meta)
-        if isinstance(f.get("type"), str)
-    }
-    part_types = [
-        (n, _PART_AVRO_TYPES[types_by_id[int(sf["source-id"])]])
-        for sf, (n, _t) in zip(_default_spec_raw(meta), spec)
-    ]
+    part_fields = _spec_part_fields(meta)
 
     import shutil as _shutil
 
@@ -2396,8 +2691,9 @@ def upsert_iceberg(
             "rows": 0,
         }
 
-    # 2. the new data files (identity partitions preserved)
-    moved = _stage_data_files(spark, df, table, part_types)
+    # 2. the new data files (the table's partition spec preserved,
+    # transforms included)
+    moved = _stage_data_files(spark, df, table, part_fields)
     n_rows = sum(rows for _rel, _sz, rows, _st, _pv in moved)
 
     # 3. ONE snapshot: delete manifest + data manifest, same sequence
@@ -2560,25 +2856,20 @@ def rewrite_iceberg_files(
     rows are read back (deletes applied by the reader) and republished
     as an OVERWRITE snapshot with fresh, delete-free manifests — the
     merge-on-read debt is materialized.  Field ids are preserved (the
-    same-schema overwrite rule), the identity partition spec is kept,
-    and old snapshots stay time-travel readable until
-    ``expire_iceberg_snapshots`` reclaims them.  Non-identity
-    partition specs refuse (re-staging cannot reproduce a bucket/
-    temporal layout).  Returns ``{"files_before": n, "files_after":
-    m, "delete_files_removed": k}``; a no-op returns the current
+    same-schema overwrite rule), the partition spec is kept —
+    transforms included, with output clustered by the TRANSFORM
+    values so each partition dir gets contiguous files — and old
+    snapshots stay time-travel readable until
+    ``expire_iceberg_snapshots`` reclaims them.  Returns
+    ``{"files_before": n, "files_after": m,
+    "delete_files_removed": k}``; a no-op returns the current
     counts without committing."""
     table = Path(path)
     snap = iceberg_snapshot(spark, table)
     n_deletes = len(snap.position_deletes) + len(snap.equality_deletes)
-    part_names: list[str] = []
-    for name, transform in snap.partition_fields:
-        if transform != "identity":
-            raise NotImplementedError(
-                f"rewrite_iceberg_files: partition transform "
-                f"{transform!r} on {name!r} — re-staging only "
-                "reproduces identity specs"
-            )
-        part_names.append(name)
+    part_fields = (
+        _spec_part_fields(snap.metadata) if snap.partition_fields else []
+    )
     import pyarrow.parquet as pq
 
     sizes = [Path(p).stat().st_size for p, _pv, _n, _bd in snap.files]
@@ -2590,14 +2881,25 @@ def rewrite_iceberg_files(
             "delete_files_removed": 0,
         }
     df = read_iceberg(spark, table)
-    if part_names:
-        df = df.repartition(*part_names)
+    if part_fields:
+        # cluster by the TRANSFORM values (bucket id, day number, …)
+        # so each output partition dir gets contiguous task files —
+        # repartitioning by raw sources would spray every bucket
+        # across every task and multiply small files
+        tmp_cols = []
+        for i, pf in enumerate(part_fields):
+            tc = f"__rw_part_{i}"
+            df = _with_partition_value(df, pf, tc)
+            tmp_cols.append(tc)
+        df = df.repartition(*tmp_cols).drop(*tmp_cols)
     else:
         total = sum(sizes)
         df = df.coalesce(max(1, -(-total // int(target_file_bytes))))
     write_iceberg(
         df, table, mode="overwrite",
-        partition_by=part_names or None,
+        partition_by=[
+            (pf.source, pf.transform) for pf in part_fields
+        ] or None,
         extra_summary={"rewritten-data-files": str(len(snap.files))},
     )
     after = iceberg_snapshot(spark, table)
