@@ -2536,16 +2536,75 @@ def _publish_delete_snapshot(
     return snapshot_id
 
 
+#: above this many distinct keys, the equality-delete key set splits
+#: into one sorted parquet file per range partition (the spec allows
+#: MANY delete files in one DELETE manifest at the same sequence) —
+#: below it, one sorted file, the micro-batch CDC shape
+_EQ_DELETE_MAX_KEYS_PER_FILE = 5_000_000
+
+
+def _stage_equality_delete_files(
+    keys_df: DataFrame,
+    data: Path,
+    key_cols: list[str],
+    max_keys_per_file: int = _EQ_DELETE_MAX_KEYS_PER_FILE,
+) -> tuple[list[tuple[str, int]], int]:
+    """Stage the deduplicated key set as 1..N sorted parquet
+    equality-delete files under ``data/`` and return
+    ``([(name, rows)], n_distinct_keys)``.  DISTRIBUTED above
+    ``max_keys_per_file``: the keys range-partition into one sorted
+    file per partition, every file registered by the caller in the
+    SAME DELETE manifest at the same sequence number — no single
+    executor task ever serializes the whole key set (the
+    ``_dv_delete_plan`` discipline; the one pre-count aggregate runs
+    over the CHANGELOG keys, never the table).  Shared by
+    ``upsert_iceberg`` and ``delete_iceberg_by_key``."""
+    import math
+    import shutil as _shutil
+
+    import pyarrow.parquet as pq
+
+    distinct = keys_df.dropDuplicates()
+    n_keys = int(distinct.count())
+    if n_keys == 0:
+        return [], 0
+    parts = max(1, math.ceil(n_keys / int(max_keys_per_file)))
+    staged = (
+        distinct.repartitionByRange(parts, *key_cols)
+        if parts > 1
+        else distinct.repartition(1)
+    ).sortWithinPartitions(*key_cols)
+    data.mkdir(parents=True, exist_ok=True)
+    staging = data / f".del-staging-{uuid.uuid4().hex}"
+    staged.write.parquet(str(staging))
+    del_files: list[tuple[str, int]] = []
+    try:
+        for part in sorted(Path(staging).glob("*.parquet")):
+            rows = pq.ParquetFile(part).metadata.num_rows
+            if rows == 0:
+                continue
+            name = f"{uuid.uuid4().hex}-eq-deletes.parquet"
+            part.rename(data / name)
+            del_files.append((name, int(rows)))
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
+    return del_files, n_keys
+
+
 def delete_iceberg_by_key(
     spark: SparkSession,
     path: str | os.PathLike,
     keys: DataFrame,
+    max_keys_per_file: int = _EQ_DELETE_MAX_KEYS_PER_FILE,
 ) -> int:
     """Row-level DELETE by KEY via a v2 EQUALITY-delete file — the
     streaming-upsert shape (what Flink's Iceberg upsert sink writes):
     ``keys`` is a DataFrame whose columns name the equality columns
     and whose rows are the values to delete.  NO data file is
-    scanned: the keys land (deduplicated) in one delete parquet, a
+    scanned: the keys land (deduplicated) in sorted delete parquet —
+    ONE file for micro-batch sizes, one file PER RANGE PARTITION
+    above ``max_keys_per_file`` (a wide backfill never funnels
+    through a single task) — a
     DELETE manifest records their ``equality_ids``, and the new
     snapshot's sequence number scopes the delete to data written
     BEFORE it — rows appended afterwards survive even when matching,
@@ -2567,27 +2626,14 @@ def delete_iceberg_by_key(
                 f"table schema {sorted(fields_by_name)}"
             )
         eq_ids.append(int(f["id"]))
-    data = table / "data"
-    data.mkdir(parents=True, exist_ok=True)
-    staging = data / f".del-staging-{uuid.uuid4().hex}"
-    keys.dropDuplicates().repartition(1).sortWithinPartitions(
-        *keys.columns
-    ).write.parquet(str(staging))
-    import shutil as _shutil
-
-    import pyarrow.parquet as pq
-
-    part = next(Path(staging).glob("*.parquet"))
-    n_keys = pq.ParquetFile(part).metadata.num_rows
+    del_files, n_keys = _stage_equality_delete_files(
+        keys, table / "data", list(keys.columns), max_keys_per_file
+    )
     if n_keys == 0:
-        _shutil.rmtree(staging)
         return 0
-    del_name = f"{uuid.uuid4().hex}-eq-deletes.parquet"
-    part.rename(data / del_name)
-    _shutil.rmtree(staging)
     _publish_delete_snapshot(
         table,
-        [(del_name, int(n_keys))],
+        del_files,
         content=2,  # EQUALITY deletes
         summary={"equality-delete-keys": str(int(n_keys))},
         equality_ids=eq_ids,
@@ -2601,6 +2647,7 @@ def upsert_iceberg(
     df: DataFrame,
     keys: list[str],
     extra_summary: dict | None = None,
+    max_keys_per_file: int = _EQ_DELETE_MAX_KEYS_PER_FILE,
 ) -> dict:
     """Keyed UPSERT in ONE snapshot — the Flink Iceberg upsert-sink
     commit shape: an EQUALITY-delete file carrying ``df``'s key
@@ -2665,25 +2712,11 @@ def upsert_iceberg(
         eq_ids.append(int(f["id"]))
     part_fields = _spec_part_fields(meta)
 
-    import shutil as _shutil
-
-    import pyarrow.parquet as pq
-
-    # 1. the equality-delete keys (deduplicated, spec-sorted)
-    data = table / "data"
-    data.mkdir(parents=True, exist_ok=True)
-    staging = data / f".del-staging-{uuid.uuid4().hex}"
-    df.select(*keys).dropDuplicates().repartition(
-        1
-    ).sortWithinPartitions(*keys).write.parquet(str(staging))
-    part = next(Path(staging).glob("*.parquet"))
-    n_keys = int(pq.ParquetFile(part).metadata.num_rows)
-    del_files: list[tuple[str, int]] = []
-    if n_keys:
-        del_name = f"{uuid.uuid4().hex}-eq-deletes.parquet"
-        part.rename(data / del_name)
-        del_files.append((del_name, n_keys))
-    _shutil.rmtree(staging, ignore_errors=True)
+    # 1. the equality-delete keys (deduplicated, sorted, split into
+    # one file per range partition above max_keys_per_file)
+    del_files, n_keys = _stage_equality_delete_files(
+        df.select(*keys), table / "data", keys, max_keys_per_file
+    )
     if not n_keys:
         return {
             "snapshot_id": int(meta["current-snapshot-id"]),

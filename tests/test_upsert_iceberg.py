@@ -316,3 +316,75 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     assert all(r.file_size_in_bytes > 0 for r in files)
     with pytest.raises(ValueError, match="unknown kind"):
         iceberg_metadata_table(spark, path, "bogus")
+
+
+def test_equality_delete_key_write_distributed(spark, tmp_path):
+    """Round 16: above ``max_keys_per_file`` the equality-delete key
+    set splits into MANY sorted delete files — all registered in the
+    ONE DELETE manifest at the same sequence — and the table reads
+    back identically to the single-file shape.  No single task (and
+    never the driver) serializes the whole key set."""
+    import pyarrow.parquet as pq
+
+    from snapflow_spark.sources.iceberg import (
+        _stage_equality_delete_files,
+    )
+
+    path = tmp_path / "t"
+    target = [(i, i * 10, "ab"[i % 2]) for i in range(40)]
+    write_iceberg(_tbl(spark, target), path)
+    # tiny threshold forces the multi-file path on 25 keys
+    n = delete_iceberg_by_key(
+        spark, path,
+        spark.createDataFrame([(i,) for i in range(25)], "id long"),
+        max_keys_per_file=4,
+    )
+    assert n == 25
+    snap = iceberg_snapshot(spark, path)
+    # many delete files, one manifest, one sequence number
+    assert len(snap.equality_deletes) >= 6
+    seqs = {seq for _p, _cols, seq in snap.equality_deletes}
+    assert len(seqs) == 1
+    # each staged file is sorted within itself and none holds more
+    # than ~threshold keys (range partitioning balances, not exact)
+    all_keys = []
+    for p, cols, _seq in snap.equality_deletes:
+        vals = [r.id for r in spark.read.parquet(p).collect()]
+        assert vals == sorted(vals)
+        assert cols == ["id"]
+        all_keys.extend(vals)
+    assert sorted(all_keys) == list(range(25))
+    # the read result matches the single-file semantics exactly
+    assert _state(spark, path) == {
+        (i, i * 10, "ab"[i % 2]) for i in range(25, 40)
+    }
+    # upsert takes the same path: multi-file delete + data, ONE snapshot
+    res = upsert_iceberg(
+        spark, path,
+        _tbl(spark, [(i, -1, "z") for i in range(30, 38)]),
+        keys=["id"],
+        max_keys_per_file=3,
+    )
+    assert res["keys"] == 8
+    snap2 = iceberg_snapshot(spark, path)
+    new_deletes = [
+        e for e in snap2.equality_deletes
+        if e not in snap.equality_deletes
+    ]
+    assert len(new_deletes) >= 2
+    assert len({seq for _p, _c, seq in new_deletes}) == 1
+    assert _state(spark, path) == (
+        {(i, i * 10, "ab"[i % 2]) for i in range(25, 30)}
+        | {(i, -1, "z") for i in range(30, 38)}
+        | {(38, 380, "a"), (39, 390, "b")}
+    )
+    # contract: the staging plan splits into parts files without any
+    # repartition(1) single-task funnel when above the threshold
+    staged, n_keys = _stage_equality_delete_files(
+        spark.createDataFrame([(i,) for i in range(10)], "id long"),
+        tmp_path / "stage-probe",
+        ["id"],
+        max_keys_per_file=2,
+    )
+    assert n_keys == 10 and len(staged) >= 3
+    assert sum(r for _n, r in staged) == 10
