@@ -81,6 +81,7 @@ import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
+from dataclasses import replace as dc_replace
 from pathlib import Path
 from urllib.parse import quote, unquote
 
@@ -1012,8 +1013,13 @@ def write_delta(
     ADD new nullable columns: the commit carries a widened metaData
     whose schema is the table's columns followed by the new ones, and
     readers return nulls for the new columns in pre-evolution files
-    (the parquet missing-column rule).  Dropping or retyping existing
-    columns still refuses — that is an overwrite.
+    (the parquet missing-column rule).  On a COLUMN-MAPPED table the
+    added columns get fresh ``physicalName`` uuids and columnMapping
+    ids past ``delta.columnMapping.maxColumnId`` (never reused), the
+    bumped maxColumnId rides the same commit, and staging writes the
+    new columns under their physical uuids (mode=id also stamps the
+    footer field id).  Dropping or retyping existing columns still
+    refuses — that is an overwrite.
 
     The commit publish is ``open(log/N.json, 'x')`` — atomic against
     local concurrent writers (loser gets FileExistsError, retries on
@@ -1042,12 +1048,6 @@ def write_delta(
             raise ValueError(
                 f"write_delta: append with partition_by={partition_by} "
                 f"onto a table partitioned by {snap.partition_columns}"
-            )
-        if snap.physical_names and merge_schema:
-            raise NotImplementedError(
-                "write_delta: merge_schema onto a column-mapped "
-                "table — new columns need fresh physicalName/id "
-                "assignment; plain appends work (round 15)"
             )
         table_schema = StructType.fromJson(
             json.loads(snap.metadata["schemaString"])
@@ -1078,6 +1078,91 @@ def write_delta(
             f"DataFrame columns {df.columns}"
         )
 
+    # merge_schema widening, resolved BEFORE staging so a
+    # column-mapped append stages its NEW columns under their fresh
+    # physicalName uuids (and mode=id footer field ids)
+    evolved_meta: dict | None = None
+    stage_snap = snap
+    if (
+        snap is not None
+        and mode == "append"
+        and merge_schema
+        and json.loads(snap.metadata["schemaString"])
+        != json.loads(df.schema.json())
+    ):
+        # The existing columns come from the TABLE schema VERBATIM —
+        # building them from the incoming df would silently tighten
+        # nullability and drop field metadata; new columns are forced
+        # nullable (pre-evolution files return null for them, the
+        # parquet missing-column rule).
+        table_struct = StructType.fromJson(
+            json.loads(snap.metadata["schemaString"])
+        )
+        fresh = df.schema.fields[len(table_struct.fields):]
+        if snap.physical_names:
+            # column-mapped evolution: each ADDED column gets a fresh
+            # physicalName uuid and a columnMapping id past
+            # delta.columnMapping.maxColumnId (the spec's
+            # never-reuse-ids rule); maxColumnId bumps in the same
+            # metaData commit
+            cfg = dict(snap.metadata.get("configuration") or {})
+            used = [
+                int(cfg.get("delta.columnMapping.maxColumnId", 0) or 0)
+            ]
+            for f in table_struct.fields:
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is not None:
+                    used.append(int(fid))
+            next_id = max(used)
+            new_fields = []
+            for f in fresh:
+                next_id += 1
+                new_fields.append(
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        True,
+                        metadata={
+                            "delta.columnMapping.id": next_id,
+                            "delta.columnMapping.physicalName": (
+                                f"col-{uuid.uuid4()}"
+                            ),
+                        },
+                    )
+                )
+            widened = StructType(
+                list(table_struct.fields) + new_fields
+            )
+            cfg["delta.columnMapping.maxColumnId"] = str(next_id)
+            evolved_meta = {
+                **snap.metadata,
+                "schemaString": widened.json(),
+                "configuration": cfg,
+            }
+            stage_snap = dc_replace(
+                snap,
+                schema=widened,
+                metadata=evolved_meta,
+                physical_names=_physical_names(
+                    widened, evolved_meta, "write_delta"
+                ),
+                field_ids=_field_ids(
+                    widened, evolved_meta, "write_delta"
+                ),
+            )
+        else:
+            widened = StructType(
+                list(table_struct.fields)
+                + [
+                    StructField(f.name, f.dataType, True)
+                    for f in fresh
+                ]
+            )
+            evolved_meta = {
+                **snap.metadata,
+                "schemaString": widened.json(),
+            }
+
     table.mkdir(parents=True, exist_ok=True)
     log = _log_path(table)
     log.mkdir(exist_ok=True)
@@ -1085,7 +1170,7 @@ def write_delta(
         # column-mapped append (round 15): stage PHYSICAL-named
         # parquet (mode=id also stamps footer field ids) so the
         # files sit next to the table's existing physical layout
-        added = _stage_logical(df, table, snap)
+        added = _stage_logical(df, table, stage_snap)
     else:
         added = _stage_and_move(df, table, partition_by)
 
@@ -1116,34 +1201,10 @@ def write_delta(
                 }
             }
         )
-    elif merge_schema and json.loads(
-        snap.metadata["schemaString"]
-    ) != json.loads(df.schema.json()):
-        # schema evolution: widened metaData rides the append commit;
-        # new columns are forced nullable (pre-evolution files return
-        # null for them).  The existing columns come from the TABLE
-        # schema VERBATIM — building them from the incoming df would
-        # silently tighten nullability and drop field metadata when
-        # the append's prefix fields are non-nullable, breaking the
-        # published schema for files that already hold nulls.
-        _table_fields = StructType.fromJson(
-            json.loads(snap.metadata["schemaString"])
-        ).fields
-        widened = StructType(
-            list(_table_fields)
-            + [
-                StructField(f.name, f.dataType, True)
-                for f in df.schema.fields[len(_table_fields):]
-            ]
-        )
-        actions.append(
-            {
-                "metaData": {
-                    **snap.metadata,
-                    "schemaString": widened.json(),
-                }
-            }
-        )
+    elif evolved_meta is not None:
+        # schema evolution: the widened metaData rides the append
+        # commit (resolved above, before staging)
+        actions.append({"metaData": evolved_meta})
     if snap is not None and mode == "overwrite":
         for rel, _pv, _sz, _st in snap.files:
             actions.append(

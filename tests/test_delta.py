@@ -678,17 +678,21 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     assert _rows(read_delta(spark, table)) == {
         (1, "b", "en"), (2, "c", "de"), (9, "x", "zz"),
     }
-    # merge_schema still refuses (new columns need fresh physical ids)
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        write_delta(
-            spark.createDataFrame(
-                [(5, "y", "fr", 1.0)],
-                "doc_id long, text string, lang string, extra double",
-            ),
-            table,
-            mode="append",
-            merge_schema=True,
-        )
+    # merge_schema EVOLVES the mapped table (round 16) — the added
+    # column gets a fresh physical id; deep pins live in
+    # test_merge_schema_on_column_mapped_table
+    write_delta(
+        spark.createDataFrame(
+            [(5, "y", "fr", 1.0)],
+            "doc_id long, text string, lang string, extra double",
+        ),
+        table,
+        mode="append",
+        merge_schema=True,
+    )
+    assert {
+        (r.doc_id, r.extra) for r in read_delta(spark, table).collect()
+    } == {(1, None), (2, None), (9, None), (5, 1.0)}
 
 
 def test_column_mapping_streams_too(spark, tmp_path):
@@ -1646,3 +1650,111 @@ def test_describe_history_and_log_cleanup(spark, tmp_path):
     assert _rows(read_delta(spark, path)) == want
     with pytest.raises(FileNotFoundError, match="history needs"):
         describe_delta_history(spark, path)
+
+
+def test_merge_schema_on_column_mapped_table(spark, tmp_path):
+    """Round 16 (r15 Missing #2): merge_schema=True EVOLVES a
+    column-mapped table instead of refusing — the added column gets a
+    fresh physicalName uuid and a columnMapping id past
+    delta.columnMapping.maxColumnId, the widened metaData rides the
+    same append commit, pre-evolution files null-fill, and the staged
+    parquet carries the new column under its physical uuid."""
+    import pyarrow.parquet as pq
+
+    from snapflow_spark.sources.delta import delta_snapshot
+
+    table = tmp_path / "cm"
+    _column_mapped_table(spark, table)
+    df = spark.createDataFrame(
+        [(10, "zz", "fr", 0.5)],
+        "doc_id long, text string, lang string, score double",
+    )
+    v = write_delta(df, table, mode="append", merge_schema=True)
+    assert v == 1
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == [
+        "doc_id", "text", "lang", "score"
+    ]
+    rows = {(r.doc_id, r.text, r.lang, r.score) for r in got.collect()}
+    # old files NULL-fill the evolved column
+    assert rows == {
+        (0, "a", "en", None), (1, "b", "en", None),
+        (2, "c", "de", None), (10, "zz", "fr", 0.5),
+    }
+    # external-shape metadata, key by key
+    snap = delta_snapshot(spark, table)
+    fields = {f.name: f for f in snap.schema.fields}
+    meta = fields["score"].metadata
+    pn = meta["delta.columnMapping.physicalName"]
+    assert pn.startswith("col-") and pn not in (
+        "col-aaaa", "col-bbbb", "col-cccc"
+    )
+    assert int(meta["delta.columnMapping.id"]) == 4
+    cfg = snap.metadata["configuration"]
+    assert cfg["delta.columnMapping.maxColumnId"] == "4"
+    assert cfg["delta.columnMapping.mode"] == "name"
+    # every field still carries a physicalName (the mapped invariant)
+    for f in snap.schema.fields:
+        assert f.metadata.get("delta.columnMapping.physicalName")
+    # the staged file's parquet columns are PHYSICAL names, the new
+    # column's uuid included (logical names never hit disk)
+    new_files = [
+        table / rel for rel, _pv, _sz, _st in snap.files
+        if rel not in ("part-en.parquet", "part-de.parquet")
+    ]
+    assert new_files
+    for p in new_files:
+        cols = set(pq.ParquetFile(p).schema_arrow.names)
+        assert pn in cols and "score" not in cols
+        assert not cols & {"doc_id", "text", "lang"}
+    # a second evolution NEVER reuses ids
+    df2 = spark.createDataFrame(
+        [(11, "yy", "en", 1.5, 7)],
+        "doc_id long, text string, lang string, score double, n int",
+    )
+    write_delta(df2, table, mode="append", merge_schema=True)
+    snap2 = delta_snapshot(spark, table)
+    f_n = {f.name: f for f in snap2.schema.fields}["n"].metadata
+    assert int(f_n["delta.columnMapping.id"]) == 5
+    assert snap2.metadata["configuration"][
+        "delta.columnMapping.maxColumnId"
+    ] == "5"
+    assert read_delta(spark, table).count() == 5
+
+
+def test_merge_schema_on_id_mapped_table(spark, tmp_path):
+    """mode=id evolution: the added column additionally binds by a
+    parquet FOOTER field id — the staged file stamps it, and the
+    id-bound read resolves the new column next to legacy-named
+    files."""
+    import pyarrow.parquet as pq
+
+    from snapflow_spark.sources.delta import delta_snapshot
+
+    table = tmp_path / "cmid"
+    _id_mapped_table(spark, table)
+    df = spark.createDataFrame(
+        [(10, "zz", "fr", 0.5)],
+        "doc_id long, text string, lang string, score double",
+    )
+    write_delta(df, table, mode="append", merge_schema=True)
+    got = read_delta(spark, table)
+    rows = {(r.doc_id, r.text, r.lang, r.score) for r in got.collect()}
+    assert rows == {
+        (0, "a", "en", None), (1, "b", "en", None),
+        (2, "c", "de", None), (10, "zz", "fr", 0.5),
+    }
+    snap = delta_snapshot(spark, table)
+    meta = {f.name: f for f in snap.schema.fields}["score"].metadata
+    new_id = int(meta["delta.columnMapping.id"])
+    assert new_id == 4
+    # the staged parquet footer carries the binding field id
+    new_files = [
+        table / rel for rel, _pv, _sz, _st in snap.files
+        if not rel.startswith("part-")
+    ]
+    assert new_files
+    for p in new_files:
+        sch = pq.ParquetFile(p).schema_arrow
+        f = sch.field(meta["delta.columnMapping.physicalName"])
+        assert f.metadata[b"PARQUET:field_id"] == str(new_id).encode()
