@@ -104,6 +104,7 @@ __all__ = [
     "merge_delta",
     "read_delta",
     "read_delta_cdf",
+    "set_delta_properties",
     "snapshot_store_to_delta",
     "vacuum_delta",
     "write_delta",
@@ -2229,6 +2230,165 @@ def merge_delta(
         return out
     finally:
         source.unpersist()
+
+
+#: legacy protocol versions -> the features they implicitly enable;
+#: listed EXPLICITLY when a protocol upgrades to table features
+#: (minReader 3 / minWriter 7), the spec's upgrade rule
+_LEGACY_READER_FEATURES = {2: {"columnMapping"}}
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+
+
+def set_delta_properties(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    properties: dict,
+) -> int:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES as ONE commit: re-publish
+    the table's metaData with ``configuration`` merged with
+    ``properties`` (a ``None`` value UNSETs its key).  Properties
+    that gate protocol features upgrade the protocol IN THE SAME
+    commit — delta-spark's upgrade shapes:
+
+    - ``delta.enableChangeDataFeed=true``: minWriterVersion >= 4 (or
+      the ``changeDataFeed`` writer feature on a features protocol);
+      this engine's row-level writers emit cdc actions from then on.
+    - ``delta.columnMapping.mode=name|id`` on an UNMAPPED table:
+      minReader 2 / minWriter 5, and every existing column is
+      assigned ``physicalName = its CURRENT name`` plus a
+      columnMapping id with ``delta.columnMapping.maxColumnId``
+      recorded — existing files were written under logical column
+      names, so a uuid physicalName would orphan them (delta-spark's
+      upgrade rule; only columns added later get uuids).  Changing
+      an existing mode refuses loudly (the spec allows only
+      none -> name|id).
+    - ``delta.checkpointPolicy=v2``: protocol 3/7 with the
+      ``v2Checkpoint`` reader+writer feature, so external readers
+      are guaranteed to resolve ``write_delta_checkpoint(v2=True)``
+      checkpoints.
+    - ``delta.enableDeletionVectors=true``: protocol 3/7 with
+      ``deletionVectors``.
+
+    An upgrade to the features protocol lists every feature the old
+    legacy versions implied (the spec's explicitness rule).  Returns
+    the committed version."""
+    table = Path(path)
+    snap = delta_snapshot(spark, table)
+    cfg = dict(snap.metadata.get("configuration") or {})
+    schema_string = snap.metadata["schemaString"]
+
+    old_mode = cfg.get("delta.columnMapping.mode", "none") or "none"
+    for k, v in properties.items():
+        if v is None:
+            cfg.pop(str(k), None)
+        else:
+            cfg[str(k)] = str(v)
+    new_mode = cfg.get("delta.columnMapping.mode", "none") or "none"
+    if new_mode not in ("none", "name", "id"):
+        raise ValueError(
+            f"set_delta_properties: delta.columnMapping.mode="
+            f"{new_mode!r} ('name' and 'id' are the spec modes)"
+        )
+    if old_mode != new_mode and old_mode != "none":
+        raise NotImplementedError(
+            f"set_delta_properties: changing delta.columnMapping.mode "
+            f"{old_mode!r} -> {new_mode!r} — the spec only allows "
+            "enabling mapping on an unmapped table (none -> name|id)"
+        )
+
+    prot = snap.protocol or {}
+    mrv = int(prot.get("minReaderVersion", 1) or 1)
+    mwv = int(prot.get("minWriterVersion", 2) or 2)
+    rfeats = set(prot.get("readerFeatures") or [])
+    wfeats = set(prot.get("writerFeatures") or [])
+    want_mrv, want_mwv = mrv, mwv
+    want_r, want_w = set(rfeats), set(wfeats)
+
+    def _to_features():
+        nonlocal want_mrv, want_mwv
+        if want_mwv < 7:
+            for v, s in _LEGACY_WRITER_FEATURES.items():
+                if want_mwv >= v:
+                    want_w.update(s)
+        if want_mrv < 3:
+            for v, s in _LEGACY_READER_FEATURES.items():
+                if want_mrv >= v:
+                    want_r.update(s)
+        want_mrv, want_mwv = 3, 7
+
+    if cfg.get("delta.enableChangeDataFeed") == "true":
+        if want_mwv >= 7:
+            want_w.add("changeDataFeed")
+        else:
+            want_mwv = max(want_mwv, 4)
+    if new_mode in ("name", "id"):
+        if want_mwv >= 7 or want_mrv >= 3:
+            _to_features()
+            want_r.add("columnMapping")
+            want_w.add("columnMapping")
+        else:
+            want_mrv = max(want_mrv, 2)
+            want_mwv = max(want_mwv, 5)
+    if cfg.get("delta.checkpointPolicy") == "v2":
+        _to_features()
+        want_r.add("v2Checkpoint")
+        want_w.add("v2Checkpoint")
+    if cfg.get("delta.enableDeletionVectors") == "true":
+        _to_features()
+        want_r.add("deletionVectors")
+        want_w.add("deletionVectors")
+
+    if old_mode == "none" and new_mode in ("name", "id"):
+        # assign mapping metadata to every EXISTING column: physical
+        # name = current name (binds the already-written files), id =
+        # ordinal, maxColumnId recorded for future evolution
+        schema = StructType.fromJson(json.loads(schema_string))
+        mapped = []
+        for i, f in enumerate(schema.fields, start=1):
+            md = dict(f.metadata or {})
+            md.setdefault("delta.columnMapping.id", i)
+            md.setdefault("delta.columnMapping.physicalName", f.name)
+            mapped.append(
+                StructField(f.name, f.dataType, f.nullable, metadata=md)
+            )
+        schema_string = StructType(mapped).json()
+        cfg.setdefault(
+            "delta.columnMapping.maxColumnId", str(len(mapped))
+        )
+
+    actions: list[dict] = [_commit_info("SET TBLPROPERTIES")]
+    if (want_mrv, want_mwv, want_r, want_w) != (
+        mrv, mwv, rfeats, wfeats,
+    ):
+        p: dict = {
+            "minReaderVersion": want_mrv,
+            "minWriterVersion": want_mwv,
+        }
+        if want_mwv >= 7:
+            p["writerFeatures"] = sorted(want_w)
+        if want_mrv >= 3:
+            p["readerFeatures"] = sorted(want_r)
+        actions.append({"protocol": p})
+    actions.append(
+        {
+            "metaData": {
+                **snap.metadata,
+                "schemaString": schema_string,
+                "configuration": cfg,
+            }
+        }
+    )
+    commit = _log_path(table) / f"{snap.version + 1:020d}.json"
+    with open(commit, "x", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return snap.version + 1
 
 
 def write_delta_checkpoint(
