@@ -2764,7 +2764,17 @@ def iceberg_metadata_table(
     - ``files``: every file the current snapshot's manifests keep
       (status != DELETED) — content (0=data, 1=position deletes,
       2=equality deletes), path, record count, size, the partition
-      record as JSON, sequence number."""
+      record as JSON, sequence number;
+    - ``entries`` (round 16): the RAW manifest entries of the
+      current snapshot, DELETED rows included — status
+      (0=existing/1=added/2=deleted), snapshot id, sequence number,
+      content, path, record count;
+    - ``partitions`` (round 16): live DATA rows grouped by partition
+      record — partition JSON, file count, record sum;
+    - ``all_files`` (round 16): the files of EVERY snapshot still in
+      the metadata (deduplicated by path+content) with the newest
+      snapshot id referencing each — what orphan audits diff
+      against."""
     table = Path(path)
     meta = json.loads(_metadata_path(table).read_text())
     location = meta.get("location", str(table))
@@ -2841,40 +2851,102 @@ def iceberg_metadata_table(
             "path string, length bigint, content int, "
             "sequence_number bigint, added_snapshot_id bigint",
         )
-    if kind != "files":
+    def _manifest_rows(ml_entries, keep_deleted=False):
+        """Flatten manifest-list entries into per-file tuples:
+        (status, snapshot_id, sequence, content, path, rows, bytes,
+        partition JSON)."""
+        out = []
+        for e in ml_entries:
+            mseq = int(e.get("sequence_number") or 0)
+            _, m_entries = read_avro_file(
+                _localize(e["manifest_path"], location, table)
+            )
+            for me in m_entries:
+                status = int(me.get("status") or 0)
+                if status == _STATUS_DELETED and not keep_deleted:
+                    continue
+                rec = me["data_file"]
+                sid = me.get("snapshot_id")
+                out.append(
+                    (
+                        status,
+                        None if sid is None else int(sid),
+                        int(me.get("sequence_number") or mseq),
+                        int(rec.get("content") or 0),
+                        rec["file_path"],
+                        int(rec.get("record_count") or 0),
+                        int(rec.get("file_size_in_bytes") or 0),
+                        json.dumps(
+                            dict(rec.get("partition") or {}),
+                            sort_keys=True,
+                            default=str,
+                        ),
+                    )
+                )
+        return out
+
+    if kind == "files":
+        return spark.createDataFrame(
+            [
+                (c, p, n, b, pv, seq)
+                for _st, _sid, seq, c, p, n, b, pv in _manifest_rows(
+                    entries
+                )
+            ],
+            "content int, file_path string, record_count bigint, "
+            "file_size_in_bytes bigint, partition string, "
+            "sequence_number bigint",
+        )
+    if kind == "entries":
+        return spark.createDataFrame(
+            [
+                (st, sid, seq, c, p, n)
+                for st, sid, seq, c, p, n, _b, _pv in _manifest_rows(
+                    entries, keep_deleted=True
+                )
+            ],
+            "status int, snapshot_id bigint, sequence_number bigint, "
+            "content int, file_path string, record_count bigint",
+        )
+    if kind == "partitions":
+        agg: dict[str, list[int]] = {}
+        for _st, _sid, _seq, c, _p, n, _b, pv in _manifest_rows(
+            entries
+        ):
+            if c != 0:
+                continue  # data files only — delete files aggregate
+                # nothing a partition summary should count as rows
+            a = agg.setdefault(pv, [0, 0])
+            a[0] += 1
+            a[1] += n
+        return spark.createDataFrame(
+            [(pv, f, n) for pv, (f, n) in sorted(agg.items())],
+            "partition string, file_count bigint, record_count bigint",
+        )
+    if kind != "all_files":
         raise ValueError(
             f"iceberg_metadata_table: unknown kind {kind!r} — "
-            "snapshots, history, refs, manifests, files"
+            "snapshots, history, refs, manifests, files, entries, "
+            "partitions, all_files"
         )
-    rows = []
-    for e in entries:
-        mseq = int(e.get("sequence_number") or 0)
-        _, m_entries = read_avro_file(
-            _localize(e["manifest_path"], location, table)
+    seen: dict[tuple, tuple] = {}
+    for s in meta.get("snapshots", []):
+        if "manifest-list" not in s:
+            continue
+        _, ml = read_avro_file(
+            _localize(s["manifest-list"], location, table)
         )
-        for me in m_entries:
-            if int(me.get("status") or 0) == _STATUS_DELETED:
-                continue
-            rec = me["data_file"]
-            rows.append(
-                (
-                    int(rec.get("content") or 0),
-                    rec["file_path"],
-                    int(rec.get("record_count") or 0),
-                    int(rec.get("file_size_in_bytes") or 0),
-                    json.dumps(
-                        dict(rec.get("partition") or {}),
-                        sort_keys=True,
-                        default=str,
-                    ),
-                    int(me.get("sequence_number") or mseq),
-                )
-            )
+        for _st, _sid, seq, c, p, n, b, pv in _manifest_rows(ml):
+            key = (c, p)
+            prev = seen.get(key)
+            ref = int(s["snapshot-id"])
+            if prev is None or ref > prev[5]:
+                seen[key] = (c, p, n, b, pv, ref)
     return spark.createDataFrame(
-        rows,
+        sorted(seen.values()),
         "content int, file_path string, record_count bigint, "
         "file_size_in_bytes bigint, partition string, "
-        "sequence_number bigint",
+        "snapshot_id bigint",
     )
 
 

@@ -388,3 +388,57 @@ def test_equality_delete_key_write_distributed(spark, tmp_path):
     )
     assert n_keys == 10 and len(staged) >= 3
     assert sum(r for _n, r in staged) == 10
+
+
+def test_iceberg_metadata_tables_entries_partitions_all_files(
+    spark, tmp_path
+):
+    """Round 16 kinds: ``entries`` (raw manifest entries, DELETED
+    included), ``partitions`` (live data rows grouped by partition
+    record), ``all_files`` (every snapshot's files, deduplicated)."""
+    from snapflow_spark.sources.iceberg import iceberg_metadata_table
+
+    path = tmp_path / "t"
+    df = spark.createDataFrame(
+        [(i, i * 10, "ab"[i % 2]) for i in range(8)],
+        "id long, val long, grp string",
+    )
+    write_iceberg(df, path, partition_by=["grp"])
+    delete_iceberg_by_key(
+        spark, path, spark.createDataFrame([(0,), (1,)], "id long")
+    )
+    # overwrite makes the previous files current-dead but still
+    # reachable through the old snapshot -> all_files keeps them
+    write_iceberg(
+        spark.createDataFrame([(100, 0, "z")],
+                              "id long, val long, grp string"),
+        path, mode="overwrite", partition_by=["grp"],
+    )
+
+    # partitions: one row per live partition record of the CURRENT
+    # snapshot (the overwrite's single z file)
+    parts = iceberg_metadata_table(spark, path, "partitions").collect()
+    assert len(parts) == 1
+    assert json.loads(parts[0].partition) == {"grp": "z"}
+    assert (parts[0].file_count, parts[0].record_count) == (1, 1)
+
+    # entries: raw rows with status + content; the current snapshot
+    # only references the overwrite's data manifest
+    ent = iceberg_metadata_table(spark, path, "entries").collect()
+    assert all(r.status in (0, 1, 2) for r in ent)
+    assert {r.content for r in ent} == {0}
+    assert sum(r.record_count for r in ent) == 1
+
+    # all_files: every snapshot's live files — the pre-overwrite data
+    # files (a+b partitions), the equality-delete file, AND the new z
+    # file — deduplicated by path
+    allf = iceberg_metadata_table(spark, path, "all_files").collect()
+    by_content = {}
+    for r in allf:
+        by_content.setdefault(r.content, []).append(r)
+    assert sum(r.record_count for r in by_content[0]) == 9  # 8 + 1
+    assert sum(r.record_count for r in by_content[2]) == 2  # eq keys
+    assert len(set(r.file_path for r in allf)) == len(allf)
+    # partition records decode per file
+    pvs = {json.loads(r.partition).get("grp") for r in by_content[0]}
+    assert pvs == {"a", "b", "z"}
