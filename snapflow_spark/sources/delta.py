@@ -1711,6 +1711,8 @@ def optimize_delta(
     path: str | os.PathLike,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_filter: dict | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_ranges: int = 16,
 ) -> dict:
     """OPTIMIZE — bin-pack small files and MATERIALIZE deletion
     vectors, Delta's compaction maintenance op.  Per partition, files
@@ -1726,6 +1728,17 @@ def optimize_delta(
     ``{"files_removed": n, "files_added": m, "rows": k}``; a no-op
     returns zeros without committing.
 
+    ``zorder_by=[c1, c2(, c3)]`` (round 16 — OPTIMIZE ZORDER BY):
+    EVERY live file in the selected partitions is rewritten with rows
+    range-split and sorted on the Morton interleave of the named
+    columns (``write_zorder``'s pure-codegen bit-ladder — no UDF),
+    so each output file carries tight min/max stats on ALL the keys
+    simultaneously and box probes skip most files from the log's
+    per-file stats alone; ``zorder_ranges`` bounds the split count
+    per partition.  The z-key is computed for the shuffle and
+    dropped before staging — the stored schema is unchanged, and the
+    per-file stats the commit re-emits are what the pruning reads.
+
     Old files stay on disk for time travel (vacuum reclaims them
     after retention — including the now-unreferenced DV sidecars).
     Column-mapped tables work (round 15): the rewrite reads through
@@ -1733,6 +1746,25 @@ def optimize_delta(
     table = Path(path)
     snap = delta_snapshot(spark, table)
     phys = snap.physical_names
+    if zorder_by is not None:
+        if len(zorder_by) not in (2, 3):
+            raise ValueError(
+                "optimize_delta: zorder_by interleaves 2 or 3 key "
+                "columns (write_zorder's codegen ladder)"
+            )
+        known = {f.name for f in snap.schema.fields}
+        bad = [c for c in zorder_by if c not in known]
+        if bad:
+            raise ValueError(
+                f"optimize_delta: zorder_by columns {bad} not in the "
+                f"table schema {sorted(known)}"
+            )
+        overlap = [c for c in zorder_by if c in snap.partition_columns]
+        if overlap:
+            raise ValueError(
+                f"optimize_delta: zorder_by columns {overlap} are "
+                "partition columns — files already split on them"
+            )
 
     def P(c: str) -> str:
         return phys.get(c, c) if phys else c
@@ -1759,22 +1791,47 @@ def optimize_delta(
             groups.setdefault(key, []).append((rel, pv, sz))
     victims: list[tuple[str, str, dict]] = []  # (rel, abs, pv)
     for key, entries in groups.items():
-        cand = [
-            (rel, pv, sz)
-            for rel, pv, sz in entries
-            if sz < target_file_bytes or rel in snap.dvs
-        ]
-        if len(cand) < 2 and not any(
-            rel in snap.dvs for rel, _pv, _sz in cand
-        ):
-            continue
+        if zorder_by is not None:
+            # OPTIMIZE ZORDER rewrites EVERY live file in the
+            # selected partitions — clustering is the point, not
+            # just bin-packing small files
+            cand = list(entries)
+        else:
+            cand = [
+                (rel, pv, sz)
+                for rel, pv, sz in entries
+                if sz < target_file_bytes or rel in snap.dvs
+            ]
+            if len(cand) < 2 and not any(
+                rel in snap.dvs for rel, _pv, _sz in cand
+            ):
+                continue
         victims.extend(
             (rel, str(table / rel), pv) for rel, pv, _sz in cand
         )
     if not victims:
         return {"files_removed": 0, "files_added": 0, "rows": 0}
     rows_df = _scan_live(spark, snap, victims)
-    if snap.partition_columns:
+    if zorder_by is not None:
+        from snapflow_spark.sources.io import (
+            zorder_key3,
+            zorder_sort_key,
+        )
+
+        z = (
+            zorder_key3(*[F.col(c) for c in zorder_by])
+            if len(zorder_by) == 3
+            else zorder_sort_key(F.col(zorder_by[0]),
+                                 F.col(zorder_by[1]))
+        )
+        keys = [*snap.partition_columns, "__z"]
+        rows_df = (
+            rows_df.withColumn("__z", z)
+            .repartitionByRange(int(zorder_ranges), *keys)
+            .sortWithinPartitions(*keys)
+            .drop("__z")
+        )
+    elif snap.partition_columns:
         # one write task per partition -> one compacted file each
         rows_df = rows_df.repartition(*snap.partition_columns)
     else:

@@ -176,3 +176,71 @@ def test_enable_deletion_vectors_feature(spark, tmp_path):
     assert (p["minReaderVersion"], p["minWriterVersion"]) == (3, 7)
     assert "deletionVectors" in p["readerFeatures"]
     assert read_delta(spark, table).count() == 1
+
+
+def _box_hits(snap, lo, hi):
+    """Files whose log-recorded min/max stats INTERSECT the box
+    [lo,hi]^2 on (x, y) — what stats-based pruning must scan."""
+    hits = 0
+    for _rel, _pv, _sz, st in snap.files:
+        mn, mx = st["minValues"], st["maxValues"]
+        if mn["x"] <= hi and mx["x"] >= lo \
+                and mn["y"] <= hi and mx["y"] >= lo:
+            hits += 1
+    return hits
+
+
+def test_optimize_delta_zorder_clusters_for_box_pruning(
+    spark, tmp_path
+):
+    """optimize_delta(zorder_by=) — OPTIMIZE ZORDER BY: after the
+    clustering rewrite, a box probe's stats pruning (straight from
+    the re-emitted per-file min/max in the log) skips most files,
+    where the unclustered layout had to scan all of them; the row
+    set is unchanged and the rewrite is dataChange=false."""
+    import json as _json
+
+    from snapflow_spark.sources.delta import optimize_delta
+
+    table = tmp_path / "t"
+    rows = [(i, i % 64, (i * 7) % 64) for i in range(4096)]
+    df = (
+        spark.createDataFrame(rows, "id long, x long, y long")
+        .repartition(8)  # random spray: every file spans both domains
+    )
+    write_delta(df, table)
+    before = delta_snapshot(spark, table)
+    assert len(before.files) == 8
+    before_hits = _box_hits(before, 0, 7)
+    assert before_hits == 8  # unclustered: the box touches everything
+
+    res = optimize_delta(
+        spark, table, zorder_by=["x", "y"], zorder_ranges=8
+    )
+    assert res["files_removed"] == 8 and res["files_added"] >= 4
+    after = delta_snapshot(spark, table)
+    after_hits = _box_hits(after, 0, 7)
+    assert after_hits < before_hits / 2, (after_hits, before_hits)
+    # identical rows, schema unchanged (no leaked __z column)
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == ["id", "x", "y"]
+    assert got.count() == 4096
+    assert got.agg({"id": "sum"}).collect()[0][0] == sum(
+        r[0] for r in rows
+    )
+    # CDF-invisible: the OPTIMIZE commit is dataChange=false on both
+    # sides
+    lines = (
+        (table / "_delta_log" / f"{1:020d}.json").read_text()
+        .splitlines()
+    )
+    for line in lines:
+        a = _json.loads(line)
+        for side in ("add", "remove"):
+            if side in a:
+                assert a[side]["dataChange"] is False
+    # zorder_by validation is loud
+    with pytest.raises(ValueError, match="2 or 3"):
+        optimize_delta(spark, table, zorder_by=["x"])
+    with pytest.raises(ValueError, match="not in the"):
+        optimize_delta(spark, table, zorder_by=["x", "nope"])
