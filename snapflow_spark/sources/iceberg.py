@@ -36,10 +36,17 @@ by DATA SEQUENCE NUMBER — each delete anti-joins only onto data
 files with a strictly smaller sequence, so rows written after the
 delete survive.
 
+**Format-version 3 READ tier** (round 16): v3 metadata opens, and
+puffin DELETION VECTORS (``deletion-vector-v1`` blobs — the same
+64-bit portable RoaringBitmapArray serialization Delta DVs use,
+decoded executor-side in mapInPandas) apply per referenced data
+file.  v3 WRITES refuse loudly (row-lineage assignment is out of
+scope).
+
 Loud-guard scope (never silently wrong): an equality delete without
 a positive sequence number (unscopable), delete records inside DATA
-manifests (and vice versa), format-version > 2, and partition
-filters naming non-identity-transform fields all raise with the
+manifests (and vice versa), format-version > 3 (and any v3 WRITE),
+and partition filters naming unknown transforms all raise with the
 feature named.  Metadata is O(#files), driver-side — the same cost
 Iceberg's own planner pays before scan planning.
 """
@@ -167,6 +174,10 @@ class IcebergSnapshot:
     #: resolved data-file path -> its data sequence number (0 when
     #: the table predates sequence numbers)
     file_seqs: dict = field(default_factory=dict)
+    #: v3 DELETION VECTORS live in this snapshot: (referenced data
+    #: file URI as recorded, resolved puffin path, blob offset, blob
+    #: size) — each names deleted row positions of exactly ONE file
+    dv_deletes: list = field(default_factory=list)
 
 
 #: Iceberg single-value binary serialization decoders, by schema type
@@ -318,10 +329,11 @@ def iceberg_snapshot(
             )
         snapshot_id = int(refs[ref]["snapshot-id"])
     fv = int(meta.get("format-version", 1))
-    if fv > 2:
+    if fv > 3:
         raise NotImplementedError(
-            f"read_iceberg: format-version {fv} (v1/v2 implemented; v3 "
-            "adds row lineage and new delete semantics)"
+            f"read_iceberg: format-version {fv} (v1/v2 fully + the v3 "
+            "READ tier — metadata and puffin deletion vectors — are "
+            "implemented)"
         )
     location = meta.get("location", "")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
@@ -400,6 +412,7 @@ def iceberg_snapshot(
     # matching nothing or everything.
     pos_deletes: list[str] = []
     eq_deletes: list[tuple[str, list[str], int]] = []
+    dv_deletes: list[tuple[str, str, int, int]] = []
     for muri, mseq in delete_manifest_uris:
         _, entries = read_avro_file(_localize(muri, location, table))
         for e in entries:
@@ -413,6 +426,27 @@ def iceberg_snapshot(
                     f"{content}) inside a DELETE manifest"
                 )
             fmt = str(rec.get("file_format", "PARQUET")).upper()
+            if content == 1 and fmt == "PUFFIN":
+                # v3 DELETION VECTOR: a puffin blob of deleted row
+                # positions for exactly ONE referenced data file,
+                # located by the manifest's offset/size (no footer
+                # parse needed)
+                ref = rec.get("referenced_data_file")
+                if not ref:
+                    raise ValueError(
+                        "read_iceberg: puffin deletion vector "
+                        f"{rec.get('file_path')!r} without "
+                        "referenced_data_file"
+                    )
+                dv_deletes.append(
+                    (
+                        str(ref),
+                        _localize(rec["file_path"], location, table),
+                        int(rec.get("content_offset") or 0),
+                        int(rec.get("content_size_in_bytes") or 0),
+                    )
+                )
+                continue
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"read_iceberg: delete file format {fmt}"
@@ -511,7 +545,54 @@ def iceberg_snapshot(
         file_uris=file_uris,
         equality_deletes=eq_deletes,
         file_seqs=file_seqs,
+        dv_deletes=dv_deletes,
     )
+
+
+def _decode_puffin_dv(path: str, offset: int, size: int) -> list[int]:
+    """Decode one v3 ``deletion-vector-v1`` puffin blob into sorted
+    deleted row positions.  The blob layout (Iceberg spec v3): a
+    4-byte BIG-endian length of (magic + vector), the 4-byte magic
+    ``D1 D3 39 64`` — which is exactly the portable
+    RoaringBitmapArray magic 1681511377 little-endian, the same
+    64-bit portable serialization Delta deletion vectors use — the
+    vector bytes, then a 4-byte BE CRC-32 of (magic + vector).
+    Decoding reuses the Delta codec verbatim."""
+    import zlib
+
+    from snapflow_spark.sources.deletion_vectors import (
+        _MAGIC,
+        decode_dv_data,
+    )
+
+    with open(path, "rb") as fh:
+        fh.seek(int(offset))
+        blob = fh.read(int(size))
+    if len(blob) >= 8 and int.from_bytes(blob[4:8], "little") == _MAGIC:
+        declared = int.from_bytes(blob[:4], "big")
+        payload = blob[4 : 4 + declared]
+        if len(payload) != declared:
+            raise ValueError(
+                f"puffin deletion vector {path!r}: declared length "
+                f"{declared} exceeds the blob ({len(blob)} bytes)"
+            )
+        crc_end = 4 + declared + 4
+        if len(blob) >= crc_end:
+            want = int.from_bytes(blob[4 + declared : crc_end], "big")
+            got = zlib.crc32(payload) & 0xFFFFFFFF
+            if want != got:
+                raise ValueError(
+                    f"puffin deletion vector {path!r}: CRC mismatch "
+                    f"(stored {want}, computed {got})"
+                )
+    elif int.from_bytes(blob[:4], "little") == _MAGIC:
+        payload = blob  # bare vector (no length/CRC framing)
+    else:
+        raise ValueError(
+            f"puffin deletion vector {path!r}: no portable-roaring "
+            "magic at the manifest-recorded offset"
+        )
+    return decode_dv_data(payload)
 
 
 def read_iceberg(
@@ -661,7 +742,11 @@ def read_iceberg(
     ]
     if not paths:
         return spark.createDataFrame([], snap.schema)
-    if not snap.position_deletes and not snap.equality_deletes:
+    if (
+        not snap.position_deletes
+        and not snap.equality_deletes
+        and not snap.dv_deletes
+    ):
         return spark.read.schema(snap.schema).parquet(*paths)
     # v2 delete application.  POSITION deletes: delete rows key
     # (metadata-recorded file_path URI, row position); translate the
@@ -677,7 +762,61 @@ def read_iceberg(
     # degradation a 100 TB read wants.
     out_cols = [f.name for f in snap.schema.fields]
     pd_dels = None
+    pd_sources: list[DataFrame] = []
     if snap.position_deletes:
+        pd_sources.append(
+            spark.read.parquet(*snap.position_deletes).select(
+                "file_path", "pos"
+            )
+        )
+    if snap.dv_deletes:
+        # v3 deletion vectors: O(#DVs) descriptor rows fan out and
+        # each blob decodes EXECUTOR-side inside mapInPandas (the
+        # Delta DV discipline — the driver never holds decoded
+        # indexes), yielding the same (file_path, pos) shape the
+        # parquet position deletes use
+        dv_src = spark.createDataFrame(
+            [
+                (ref, p, int(off), int(sz))
+                for ref, p, off, sz in snap.dv_deletes
+            ],
+            "file_path string, __puffin string, __off long, "
+            "__size long",
+        )
+
+        def _expand_dvs(batches):
+            from snapflow_spark.sources.iceberg import (
+                _decode_puffin_dv as _dpd,
+            )
+
+            for b in batches:
+                for ref, p, off, sz in zip(
+                    b["file_path"], b["__puffin"], b["__off"],
+                    b["__size"],
+                ):
+                    idx = _dpd(p, int(off), int(sz))
+                    for i in range(0, len(idx), 1 << 20):
+                        chunk = idx[i : i + (1 << 20)]
+                        yield pd.DataFrame(
+                            {
+                                "file_path": ref,
+                                "pos": pd.array(chunk, dtype="int64"),
+                            }
+                        )
+
+        n = min(
+            len(snap.dv_deletes),
+            spark.sparkContext.defaultParallelism,
+        )
+        pd_sources.append(
+            dv_src.repartition(n).mapInPandas(
+                _expand_dvs, "file_path string, pos long"
+            )
+        )
+    if pd_sources:
+        all_pd = pd_sources[0]
+        for extra in pd_sources[1:]:
+            all_pd = all_pd.unionByName(extra)
         mapping = spark.createDataFrame(
             [
                 # _metadata.file_path is the Hadoop URI form
@@ -689,8 +828,7 @@ def read_iceberg(
             "file_path string, __pd_file string",
         )
         pd_dels = (
-            spark.read.parquet(*snap.position_deletes)
-            .select("file_path", "pos")
+            all_pd
             .join(F.broadcast(mapping), "file_path")
             .select(
                 F.col("__pd_file"),
@@ -1112,6 +1250,20 @@ def _with_partition_value(df: DataFrame, pf: _PartField, out: str):
     return df.withColumn(out, e.cast("int")).drop(tmp)
 
 
+def _guard_v3_write(meta: dict | None, what: str) -> None:
+    """v3 commits must assign row lineage and write deletion
+    vectors — out of the write tier's scope; refuse BEFORE staging
+    anything."""
+    if meta is not None and int(
+        meta.get("format-version", 1) or 1
+    ) >= 3:
+        raise NotImplementedError(
+            f"{what}: format-version 3 tables are READ-only in this "
+            "engine (v3 commits must assign row lineage ids and "
+            "write deletion vectors; the write tier targets v1/v2)"
+        )
+
+
 def _spec_pairs(meta: dict) -> list[tuple[str, str]]:
     """The default spec as [(source COLUMN name, transform)] — the
     shape ``write_iceberg(partition_by=)`` compares against."""
@@ -1346,6 +1498,7 @@ def write_iceberg(
         raise FileExistsError(
             f"write_iceberg: Iceberg table already exists at {table}"
         )
+    _guard_v3_write(prev_meta, "write_iceberg")
     evolving = False
     if prev_meta is not None:
         prev_schema = _schema_from_metadata(prev_meta)
@@ -2103,6 +2256,7 @@ def delete_from_iceberg(
     ``snapshot_id=``."""
     table = Path(path)
     snap = iceberg_snapshot(spark, table)
+    _guard_v3_write(snap.metadata, "delete_from_iceberg")
     del_files, n_deleted = _position_delete_files(
         spark, table, snap, condition
     )
@@ -2242,6 +2396,7 @@ def update_iceberg(
         )
     if not set_:
         raise ValueError("update_iceberg: empty set_ — nothing to update")
+    _guard_v3_write(meta, "update_iceberg")
     _spec_part_fields(meta)  # loud-guard unstageable specs up front
     del_files, n = _position_delete_files(spark, table, snap, condition)
     if n == 0:
@@ -2306,6 +2461,7 @@ def _publish_delete_snapshot(
     md = table / "metadata"
     data = table / "data"
     meta = json.loads(_metadata_path(table).read_text())
+    _guard_v3_write(meta, "iceberg delete/upsert")
     location = meta.get("location", str(table))
     cur = next(
         (
@@ -2614,6 +2770,7 @@ def delete_iceberg_by_key(
     resolved at read time)."""
     table = Path(path)
     meta = json.loads(_metadata_path(table).read_text())
+    _guard_v3_write(meta, "delete_iceberg_by_key")
     fields_by_name = {
         f["name"]: f for f in _raw_schema_fields(meta)
     }
@@ -2694,6 +2851,7 @@ def upsert_iceberg(
             "keys": 0,
             "rows": sum(n for _p, _pv, n, _bd in snap.files),
         }
+    _guard_v3_write(meta, "upsert_iceberg")
     if _schema_from_metadata(meta) != df.schema:
         raise ValueError(
             "upsert_iceberg: DataFrame schema differs from the table "
