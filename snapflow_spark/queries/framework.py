@@ -281,6 +281,22 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE n_regionkey END AS n_regionkey
     FROM nation
     UNION ALL
+    -- 'iceberg_bucket' branch (round 16): the TRANSFORM-partitioned
+    -- write surface — an engine-created bucket[4] spec (Appendix B
+    -- murmur3 staged through the numpy Arrow stage), an append
+    -- adopting the spec, and a keyed upsert re-staging through the
+    -- same transform; bucket routing is metadata-side, the oracle
+    -- replays the logical rows
+    SELECT 'iceberg_bucket' AS fmt, n_nationkey,
+           CASE WHEN n_nationkey % 5 = 0 THEN upper(n_name)
+                ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 'iceberg_bucket' AS fmt, n_nationkey + 600 AS n_nationkey,
+           reverse(n_name) AS n_name, n_regionkey
+    FROM nation
+    UNION ALL
     -- 'delta_sync' branch (round 15 late): the FULL-SYNC merge —
     -- when_not_matched_by_source='delete' leaves exactly the
     -- source's key set (non-region-2 rows, names upper-cased)
@@ -762,6 +778,50 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert n_upd > 0, "iceberg_upd fixture: the update matched nothing"
     from_ice_upd = _tag(read_iceberg(spark, upd_dir), "iceberg_upd")
+    # 'iceberg_bucket' branch (round 16): write-side partition
+    # TRANSFORMS driver-grade — the engine CREATES a bucket[4] table
+    # (murmur3 staged through the numpy-vectorized Arrow stage), an
+    # append with partition_by=None ADOPTS the transform spec, and a
+    # keyed upsert re-stages its replacement rows through the same
+    # transform; the manifests carry true Appendix-B bucket values
+    # (a partition_filter probe prunes the file list as a fixture
+    # sanity check — pruning itself is metadata-only, the oracle
+    # replays the logical rows).
+    bk_dir = _SCRATCH / "iceberg_bucket_roundtrip"
+    shutil.rmtree(bk_dir, ignore_errors=True)
+    write_iceberg(
+        up_base, bk_dir, partition_by=[("n_nationkey", "bucket[4]")]
+    )
+    write_iceberg(
+        up_base.select(
+            (F.col("n_nationkey") + 600)
+            .cast("int")
+            .alias("n_nationkey"),
+            F.reverse("n_name").alias("n_name"),
+            "n_regionkey",
+        ),
+        bk_dir,
+        mode="append",
+    )
+    bres = upsert_iceberg(
+        spark,
+        bk_dir,
+        up_base.where(F.col("n_nationkey") % 5 == 0).withColumn(
+            "n_name", F.upper("n_name")
+        ),
+        keys=["n_nationkey"],
+    )
+    assert bres["keys"] > 0 and bres["rows"] > 0, (
+        f"iceberg_bucket fixture: unexpected upsert result {bres}"
+    )
+    pruned = read_iceberg(
+        spark, bk_dir, partition_filter={"n_nationkey": 0}
+    )
+    full = read_iceberg(spark, bk_dir)
+    assert len(pruned.inputFiles()) < len(full.inputFiles()), (
+        "iceberg_bucket fixture: bucket pruning kept every file"
+    )
+    from_ice_bucket = _tag(full, "iceberg_bucket")
     # 'delta_sync' branch (round 15 late): the FULL-SYNC merge —
     # when_not_matched_by_source='delete' drops every target key the
     # source lacks (region-2 rows), matched keys take the source's
@@ -945,6 +1005,7 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(from_delta_merge)
         .unionByName(from_ice_upsert)
         .unionByName(from_ice_upd)
+        .unionByName(from_ice_bucket)
         .unionByName(from_delta_sync)
         .unionByName(from_delta_cm)
         .unionByName(from_cc)
