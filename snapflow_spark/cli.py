@@ -176,6 +176,7 @@ def main(argv: list[str] | None = None) -> int:
             "vacuum", "optimize", "checkpoint", "delete", "restore",
             "expire", "rewrite", "rollback", "tag", "orphans",
             "upsert", "update", "history", "clean-log", "inspect",
+            "set-props", "rename-column", "drop-column",
         ],
     )
     tm.add_argument("path", help="table root directory")
@@ -198,9 +199,19 @@ def main(argv: list[str] | None = None) -> int:
                     help='{"col": "sql expr"} assignments (update)')
     tm.add_argument("--kind", default="snapshots",
                     help="metadata table kind (inspect, iceberg): "
-                    "snapshots|history|refs|manifests|files")
+                    "snapshots|history|refs|manifests|files|entries|"
+                    "partitions|all_files")
     tm.add_argument("--v2", action="store_true",
                     help="sidecar-form v2 checkpoint (checkpoint)")
+    tm.add_argument("--props", metavar="JSON",
+                    help='{"key": "value"|null} properties to '
+                    "set/unset (set-props, delta)")
+    tm.add_argument("--zorder",
+                    help="comma-separated 2-3 key columns for the "
+                    "clustering rewrite (optimize, delta)")
+    tm.add_argument("--column", help="column (rename-column from / "
+                    "drop-column target, delta)")
+    tm.add_argument("--to", dest="to_", help="new name (rename-column)")
     args = ap.parse_args(argv)
 
     if args.cmd == "table":
@@ -564,10 +575,36 @@ def _table_maintenance(args) -> int:
             out = {"op": "vacuum", "dry_run": args.dry_run,
                    "reclaimed": gone}
         elif args.op == "optimize":
+            zo = [
+                c.strip() for c in (args.zorder or "").split(",")
+                if c.strip()
+            ]
             out = {"op": "optimize", **D.optimize_delta(
                 spark, root,
                 target_file_bytes=args.target_mb * 1024 * 1024,
+                zorder_by=zo or None,
             )}
+        elif args.op == "set-props":
+            if not args.props:
+                print("error: set-props needs --props JSON")
+                return 2
+            out = {"op": "set-props",
+                   "version": D.set_delta_properties(
+                       spark, root, _json.loads(args.props))}
+        elif args.op == "rename-column":
+            if not (args.column and args.to_):
+                print("error: rename-column needs --column and --to")
+                return 2
+            out = {"op": "rename-column",
+                   "version": D.rename_delta_column(
+                       spark, root, args.column, args.to_)}
+        elif args.op == "drop-column":
+            if not args.column:
+                print("error: drop-column needs --column")
+                return 2
+            out = {"op": "drop-column",
+                   "version": D.drop_delta_column(
+                       spark, root, args.column)}
         elif args.op == "checkpoint":
             out = {"op": "checkpoint",
                    "version": D.write_delta_checkpoint(

@@ -104,6 +104,8 @@ __all__ = [
     "merge_delta",
     "read_delta",
     "read_delta_cdf",
+    "rename_delta_column",
+    "drop_delta_column",
     "set_delta_properties",
     "snapshot_store_to_delta",
     "vacuum_delta",
@@ -1765,6 +1767,27 @@ def optimize_delta(
                 f"optimize_delta: zorder_by columns {overlap} are "
                 "partition columns — files already split on them"
             )
+        from pyspark.sql.types import (
+            ByteType,
+            DateType,
+            IntegerType,
+            ShortType,
+            TimestampType,
+        )
+
+        _Z_OK = (ByteType, ShortType, IntegerType, LongType,
+                 DateType, TimestampType)
+        by_name = {f.name: f.dataType for f in snap.schema.fields}
+        bad_t = [
+            c for c in zorder_by if not isinstance(by_name[c], _Z_OK)
+        ]
+        if bad_t:
+            raise ValueError(
+                f"optimize_delta: zorder_by columns {bad_t} have "
+                "non-integer types — the Morton ladder interleaves "
+                "int/long/date/timestamp keys (bucket or hash other "
+                "types into one first)"
+            )
 
     def P(c: str) -> str:
         return phys.get(c, c) if phys else c
@@ -1818,11 +1841,21 @@ def optimize_delta(
             zorder_sort_key,
         )
 
+        from pyspark.sql.types import DateType, TimestampType
+
+        def _zcol(c):
+            t = {f.name: f.dataType for f in snap.schema.fields}[c]
+            if isinstance(t, DateType):
+                return F.unix_date(F.col(c))
+            if isinstance(t, TimestampType):
+                return F.unix_seconds(F.col(c))
+            return F.col(c)
+
         z = (
-            zorder_key3(*[F.col(c) for c in zorder_by])
+            zorder_key3(*[_zcol(c) for c in zorder_by])
             if len(zorder_by) == 3
-            else zorder_sort_key(F.col(zorder_by[0]),
-                                 F.col(zorder_by[1]))
+            else zorder_sort_key(_zcol(zorder_by[0]),
+                                 _zcol(zorder_by[1]))
         )
         keys = [*snap.partition_columns, "__z"]
         rows_df = (
@@ -2287,6 +2320,119 @@ def merge_delta(
         return out
     finally:
         source.unpersist()
+
+
+def _mapped_schema_commit(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    what: str,
+) -> tuple["DeltaSnapshot", StructType, Path]:
+    """Shared precondition for metadata-only column surgery: the
+    table must be column-mapped (physical binding is what makes
+    rename/drop sound WITHOUT rewriting data files — delta-spark
+    enforces the same)."""
+    table = Path(path)
+    snap = delta_snapshot(spark, table)
+    if not snap.physical_names:
+        raise NotImplementedError(
+            f"{what}: the table is not column-mapped — logical names "
+            "ARE the parquet column names, so renaming/dropping "
+            "without a rewrite would corrupt reads.  Enable mapping "
+            "first: set_delta_properties(path, "
+            "{'delta.columnMapping.mode': 'name'})"
+        )
+    schema = StructType.fromJson(
+        json.loads(snap.metadata["schemaString"])
+    )
+    return snap, schema, table
+
+
+def rename_delta_column(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    old: str,
+    new: str,
+) -> int:
+    """ALTER TABLE RENAME COLUMN — metadata-only on a column-mapped
+    table: the logical name changes in the schemaString while the
+    ``physicalName`` (what the parquet files actually store) stays,
+    so every existing file keeps binding with zero rewrites.  A
+    renamed partition column updates ``partitionColumns`` in the
+    same commit (partitionValues key PHYSICAL names and are
+    untouched).  Returns the committed version."""
+    snap, schema, table = _mapped_schema_commit(
+        spark, path, "rename_delta_column"
+    )
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(
+            f"rename_delta_column: {old!r} not in {names}"
+        )
+    if new in names:
+        raise ValueError(
+            f"rename_delta_column: {new!r} already exists in {names}"
+        )
+    fields = [
+        StructField(new if f.name == old else f.name, f.dataType,
+                    f.nullable, metadata=dict(f.metadata or {}))
+        for f in schema.fields
+    ]
+    meta = {
+        **snap.metadata,
+        "schemaString": StructType(fields).json(),
+        "partitionColumns": [
+            new if c == old else c for c in snap.partition_columns
+        ],
+    }
+    actions = [_commit_info("RENAME COLUMN"), {"metaData": meta}]
+    commit = _log_path(table) / f"{snap.version + 1:020d}.json"
+    with open(commit, "x", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return snap.version + 1
+
+
+def drop_delta_column(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    name: str,
+) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only on a column-mapped
+    table: the field leaves the schemaString; the physical column
+    stays in the already-written parquet (readers simply stop
+    projecting it — the spec's drop-without-rewrite, its
+    columnMapping id never reused because ``maxColumnId`` is already
+    past it).  Partition columns refuse (their values key the file
+    layout).  Returns the committed version."""
+    snap, schema, table = _mapped_schema_commit(
+        spark, path, "drop_delta_column"
+    )
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"drop_delta_column: {name!r} not in {names}")
+    if name in snap.partition_columns:
+        raise ValueError(
+            f"drop_delta_column: {name!r} is a partition column — "
+            "partition values key the file layout; repartition via "
+            "overwrite instead"
+        )
+    if len(names) == 1:
+        raise ValueError(
+            "drop_delta_column: cannot drop the table's only column"
+        )
+    fields = [
+        StructField(f.name, f.dataType, f.nullable,
+                    metadata=dict(f.metadata or {}))
+        for f in schema.fields
+        if f.name != name
+    ]
+    meta = {**snap.metadata, "schemaString": StructType(fields).json()}
+    actions = [_commit_info("DROP COLUMNS"), {"metaData": meta}]
+    commit = _log_path(table) / f"{snap.version + 1:020d}.json"
+    with open(commit, "x", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return snap.version + 1
 
 
 #: legacy protocol versions -> the features they implicitly enable;

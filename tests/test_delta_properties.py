@@ -244,3 +244,115 @@ def test_optimize_delta_zorder_clusters_for_box_pruning(
         optimize_delta(spark, table, zorder_by=["x"])
     with pytest.raises(ValueError, match="not in the"):
         optimize_delta(spark, table, zorder_by=["x", "nope"])
+
+
+def test_rename_and_drop_column_on_mapped_table(spark, tmp_path):
+    """Round 16: metadata-only column surgery — the point of column
+    mapping.  RENAME changes the logical name while the physicalName
+    keeps binding every existing file (partition columns update
+    partitionColumns in the same commit); DROP removes the field
+    from the schema with the physical data left in place; both
+    refuse on unmapped tables."""
+    from tests.test_delta import _column_mapped_table
+    from snapflow_spark.sources.delta import (
+        drop_delta_column,
+        rename_delta_column,
+    )
+
+    table = tmp_path / "cm"
+    _column_mapped_table(spark, table)
+    v = rename_delta_column(spark, table, "text", "body")
+    assert v == 1
+    got = read_delta(spark, table)
+    assert [f.name for f in got.schema.fields] == [
+        "doc_id", "body", "lang"
+    ]
+    assert {(r.doc_id, r.body) for r in got.collect()} == {
+        (0, "a"), (1, "b"), (2, "c")
+    }
+    # physicalName untouched — the files keep binding
+    snap = delta_snapshot(spark, table)
+    assert {f.name: f.metadata["delta.columnMapping.physicalName"]
+            for f in snap.schema.fields}["body"] == "col-bbbb"
+    # renaming the PARTITION column updates partitionColumns too
+    rename_delta_column(spark, table, "lang", "language")
+    snap2 = delta_snapshot(spark, table)
+    assert snap2.partition_columns == ["language"]
+    assert {r.language for r in read_delta(spark, table).collect()} \
+        == {"en", "de"}
+    # appends keep working against the renamed logical surface
+    write_delta(
+        spark.createDataFrame(
+            [(9, "z", "fr")], "doc_id long, body string, language string"
+        ),
+        table, mode="append",
+    )
+    assert read_delta(spark, table).count() == 4
+    # collisions and unknowns are loud
+    with pytest.raises(ValueError, match="already exists"):
+        rename_delta_column(spark, table, "doc_id", "body")
+    with pytest.raises(ValueError, match="not in"):
+        rename_delta_column(spark, table, "nope", "x")
+    # DROP: the field leaves the schema, data files untouched
+    drop_delta_column(spark, table, "body")
+    got2 = read_delta(spark, table)
+    assert [f.name for f in got2.schema.fields] == [
+        "doc_id", "language"
+    ]
+    assert got2.count() == 4
+    with pytest.raises(ValueError, match="partition column"):
+        drop_delta_column(spark, table, "language")
+    # unmapped tables refuse with the enable-mapping pointer
+    plain = tmp_path / "plain"
+    write_delta(_tbl(spark, [(1, "a")]), plain)
+    with pytest.raises(NotImplementedError, match="not column-mapped"):
+        rename_delta_column(spark, plain, "val", "v2")
+    with pytest.raises(NotImplementedError, match="not column-mapped"):
+        drop_delta_column(spark, plain, "val")
+
+
+def test_cli_property_and_column_ops(spark, tmp_path, capsys):
+    """CLI dispatch for the round-16 surface: table set-props /
+    rename-column / drop-column / optimize --zorder."""
+    import json as _json
+
+    from snapflow_spark.cli import main
+
+    t = tmp_path / "t"
+    write_delta(
+        spark.createDataFrame(
+            [(i, (i * 7) % 50, f"v{i}") for i in range(80)],
+            "a long, b long, s string",
+        ).repartition(4),
+        t,
+    )
+    assert main([
+        "table", "set-props", str(t),
+        "--props", _json.dumps({"delta.columnMapping.mode": "name"}),
+    ]) == 0
+    assert main([
+        "table", "rename-column", str(t), "--column", "s", "--to", "tag"
+    ]) == 0
+    assert main([
+        "table", "drop-column", str(t), "--column", "tag"
+    ]) == 0
+    assert main([
+        "table", "optimize", str(t), "--zorder", "a,b"
+    ]) == 0
+    out = capsys.readouterr().out
+    assert '"op": "set-props"' in out and '"op": "optimize"' in out
+    assert [f.name for f in read_delta(spark, t).schema.fields] == [
+        "a", "b"
+    ]
+    # missing-arg dispatches fail loudly with exit 2
+    assert main(["table", "set-props", str(t)]) == 2
+    assert main(["table", "rename-column", str(t), "--column", "a"]) == 2
+    assert main(["table", "drop-column", str(t)]) == 2
+    # zorder over a non-integer column refuses with the type named
+    t2 = tmp_path / "t2"
+    write_delta(
+        spark.createDataFrame([(1, "x")], "a long, s string"), t2
+    )
+    from snapflow_spark.sources.delta import optimize_delta
+    with pytest.raises(ValueError, match="non-integer"):
+        optimize_delta(spark, t2, zorder_by=["a", "s"])
