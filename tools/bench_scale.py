@@ -249,6 +249,15 @@ HEAVY = {
         "grows 10x (manifest carry-forward is O(#snapshots) driver "
         "metadata)"
     ),
+    "op_iceberg_bucket_upsert": (
+        "documents as a STANDING bucket[8]-partitioned Iceberg table "
+        "(cold absorbs the export incl. the transform staging, round "
+        "16): warm = upsert_iceberg of a FRESH 500-key changelog per "
+        "call — the bucket transform (numpy-murmur3 Arrow stage) "
+        "runs only over the changelog rows, so warm should stay "
+        "~flat as the corpus grows 10x, matching the identity-spec "
+        "upsert row"
+    ),
     "op_iceberg_update": (
         "documents as a STANDING Iceberg table (cold absorbs the "
         "export, round 15): warm = update_iceberg over a FRESH "
@@ -906,6 +915,52 @@ def _op_iceberg_upsert(spark, sf_dir: str):
     )
 
 
+_ICEBERG_BUCKET_TABLES: dict = {}
+
+
+def _op_iceberg_bucket_upsert(spark, sf_dir: str):
+    """Standing BUCKET-partitioned Iceberg table + upsert of a fresh
+    500-key changelog per call (round 16): the write-side partition
+    transform stage (numpy-murmur3 Arrow bucket[8]) runs only over
+    the CHANGELOG rows, the equality-delete keys range-split above
+    the threshold, and no table scan happens — warm should stay
+    ~flat as the standing corpus grows 10x, same as the identity
+    upsert row next to it."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.sources.iceberg import (
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    if sf_dir not in _ICEBERG_BUCKET_TABLES:
+        path = tempfile.mkdtemp(prefix="iceberg_bk_") + "/tbl"
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        write_iceberg(
+            d, path, partition_by=[("doc_id", "bucket[8]")]
+        )
+        lo = d.agg(F.min("doc_id")).collect()[0][0]
+        _ICEBERG_BUCKET_TABLES[sf_dir] = [path, int(lo)]
+    ent = _ICEBERG_BUCKET_TABLES[sf_dir]
+    path, lo = ent
+    hi = lo + 499
+    ent[1] = hi + 1
+    changelog = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").between(lo, hi))
+        .select("doc_id", F.upper("text").alias("text"), "lang")
+    )
+    res = upsert_iceberg(spark, path, changelog, keys=["doc_id"])
+    return spark.createDataFrame(
+        [(res["keys"], res["rows"])], "keys bigint, rows bigint"
+    )
+
+
 _ICEBERG_UPDATE_TABLES: dict = {}
 
 
@@ -1050,6 +1105,7 @@ def main() -> None:
     queries["op_delta_merge"] = _op_delta_merge
     queries["op_iceberg_upsert"] = _op_iceberg_upsert
     queries["op_iceberg_update"] = _op_iceberg_update
+    queries["op_iceberg_bucket_upsert"] = _op_iceberg_bucket_upsert
 
     if args.standing_only:
         standing = standing_index_bench(spark, args.base, args.scaled)
