@@ -1749,6 +1749,15 @@ def write_iceberg(
                 "operation": (
                     "append" if mode == "append" else "overwrite"
                 ),
+                # the spec's standard commit metrics (what real
+                # engines surface in table$snapshots)
+                "added-data-files": str(len(moved)),
+                "added-records": str(
+                    sum(r for _p, _s, r, _st, _pv in moved)
+                ),
+                "added-files-size": str(
+                    sum(s for _p, s, _r, _st, _pv in moved)
+                ),
                 **{
                     str(k): str(v)
                     for k, v in (extra_summary or {}).items()
