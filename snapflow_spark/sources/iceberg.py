@@ -114,6 +114,10 @@ _PRIMITIVES = {
     "time": T.LongType(),  # µs since midnight — no Spark TIME type
     "timestamptz": T.TimestampType(),
     "timestamp": T.TimestampNTZType(),
+    # v3 nanosecond timestamps: Spark has no ns type — µs truncation
+    # on read, the same documented caveat as events.ts in TESTDATA
+    "timestamptz_ns": T.TimestampType(),
+    "timestamp_ns": T.TimestampNTZType(),
 }
 
 
