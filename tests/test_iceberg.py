@@ -303,10 +303,26 @@ def test_loud_guards_on_synthesized_tables(spark, tmp_path):
     _synthesize_v2(spark, t4, plant_equality_delete=True)
     with pytest.raises(ValueError, match="sequence number"):
         read_iceberg(spark, t4)
+    # round 16: format-version 3 now OPENS (the v3 read tier); only
+    # versions beyond it refuse — and v3 WRITES stay loud
     t3 = tmp_path / "v3"
     _synthesize_v2(spark, t3, fmt_version=3)
-    with pytest.raises(NotImplementedError, match="format-version 3"):
-        read_iceberg(spark, t3)
+    assert read_iceberg(spark, t3).count() > 0
+    with pytest.raises(NotImplementedError, match="READ-only"):
+        from snapflow_spark.sources.iceberg import write_iceberg as _wi
+
+        _wi(
+            spark.createDataFrame(
+                [(9, "x", "zz")],
+                "doc_id long, text string, lang string",
+            ),
+            t3,
+            mode="append",
+        )
+    t5 = tmp_path / "v4"
+    _synthesize_v2(spark, t5, fmt_version=4)
+    with pytest.raises(NotImplementedError, match="format-version 4"):
+        read_iceberg(spark, t5)
     with pytest.raises(FileNotFoundError, match="metadata"):
         read_iceberg(spark, tmp_path / "nothing")
 
