@@ -177,6 +177,7 @@ def main(argv: list[str] | None = None) -> int:
             "expire", "rewrite", "rollback", "tag", "orphans",
             "upsert", "update", "history", "clean-log", "inspect",
             "set-props", "rename-column", "drop-column",
+            "rewrite-manifests",
         ],
     )
     tm.add_argument("path", help="table root directory")
@@ -670,6 +671,9 @@ def _table_maintenance(args) -> int:
                 spark, root,
                 target_file_bytes=args.target_mb * 1024 * 1024,
             )}
+        elif args.op == "rewrite-manifests":
+            out = {"op": "rewrite-manifests",
+                   **I.rewrite_iceberg_manifests(spark, root)}
         elif args.op == "rollback":
             if args.snapshot_id is None:
                 print("error: rollback needs --snapshot-id")

@@ -877,15 +877,24 @@ def read_iceberg(
 
 
 # ------------------------------------------------------------- export
-def _manifest_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
+def _manifest_entry_schema(
+    part_fields: list[tuple[str, str]],
+    include_seq: bool = False,
+) -> dict:
     """The manifest-entry Avro schema with the given partition-record
     fields injected ([(name, avro primitive type)]; empty = the
-    unpartitioned constant below)."""
+    unpartitioned constant below).  ``include_seq`` adds the v2
+    per-entry ``sequence_number`` field (EXISTING entries in a
+    rewritten manifest must carry their ORIGINAL data sequence
+    explicitly — inheritance would re-stamp them)."""
     import copy
 
     schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    data_file_field = next(
+        f for f in schema["fields"] if f["name"] == "data_file"
+    )
     rec = next(
-        f for f in schema["fields"][2]["type"]["fields"]
+        f for f in data_file_field["type"]["fields"]
         if f["name"] == "partition"
     )
     rec["type"]["fields"] = [
@@ -893,6 +902,12 @@ def _manifest_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
          "field-id": 1000 + i}
         for i, (n, t) in enumerate(part_fields)
     ]
+    if include_seq:
+        schema["fields"].insert(
+            2,
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+        )
     return schema
 
 
@@ -3183,6 +3198,203 @@ def rewrite_iceberg_files(
         "files_before": len(snap.files),
         "files_after": len(after.files),
         "delete_files_removed": n_deletes,
+    }
+
+
+def rewrite_iceberg_manifests(
+    spark: SparkSession,
+    path: str | os.PathLike,
+    target_entries_per_manifest: int = 100_000,
+) -> dict:
+    """Manifest compaction — Iceberg's ``rewrite_manifests``
+    maintenance op: every append carries the prior manifest-list
+    entries forward, so a long-lived table's PLANNING cost grows
+    O(#snapshots) manifest files opened per scan.  This folds all
+    live DATA entries into ⌈entries/target⌉ fresh manifests in ONE
+    metadata-only commit (operation ``replace`` — zero data files
+    touched): entries land as status EXISTING carrying their
+    ORIGINAL snapshot id and data sequence number EXPLICITLY (the
+    inherit rule would re-stamp them and break equality-delete
+    scoping), partition records and column bounds pass through
+    verbatim so partition/min-max pruning is unchanged, and DELETE
+    manifests carry forward untouched at their sequence.  Old
+    snapshots stay time-travel readable.  Returns
+    ``{"manifests_before": n, "manifests_after": m, "entries": k}``;
+    a table with <= 1 data manifest is a no-op without a commit."""
+    table = Path(path)
+    md = table / "metadata"
+    meta = json.loads(_metadata_path(table).read_text())
+    _guard_v3_write(meta, "rewrite_iceberg_manifests")
+    cur_id = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if cur_id in (None, -1) or cur_id not in snaps:
+        raise ValueError(
+            "rewrite_iceberg_manifests: the table has no live "
+            f"current snapshot (current-snapshot-id={cur_id!r})"
+        )
+    location = meta.get("location", str(table))
+    cur = snaps[cur_id]
+    _, ml_entries = read_avro_file(
+        _localize(cur["manifest-list"], location, table)
+    )
+    data_mans = [
+        e for e in ml_entries if int(e.get("content") or 0) == 0
+    ]
+    delete_mans = [
+        e for e in ml_entries if int(e.get("content") or 0) == 1
+    ]
+    live: list[dict] = []
+    for e in data_mans:
+        mseq = int(e.get("sequence_number") or 0)
+        added_sid = e.get("added_snapshot_id")
+        _, m_entries = read_avro_file(
+            _localize(e["manifest_path"], location, table)
+        )
+        for me in m_entries:
+            if int(me.get("status") or 0) == _STATUS_DELETED:
+                continue
+            rec = me["data_file"]
+            sid = me.get("snapshot_id")
+            live.append(
+                {
+                    "status": 0,  # EXISTING
+                    "snapshot_id": (
+                        int(sid) if sid is not None
+                        else (int(added_sid)
+                              if added_sid is not None else None)
+                    ),
+                    "sequence_number": int(
+                        me.get("sequence_number") or mseq or 0
+                    ),
+                    "data_file": {
+                        "file_path": rec["file_path"],
+                        "file_format": rec.get(
+                            "file_format", "PARQUET"
+                        ),
+                        "partition": dict(rec.get("partition") or {}),
+                        "record_count": int(
+                            rec.get("record_count") or 0
+                        ),
+                        "file_size_in_bytes": int(
+                            rec.get("file_size_in_bytes") or 0
+                        ),
+                        "block_size_in_bytes": int(
+                            rec.get("block_size_in_bytes") or 67108864
+                        ),
+                        "lower_bounds": rec.get("lower_bounds"),
+                        "upper_bounds": rec.get("upper_bounds"),
+                    },
+                }
+            )
+    if len(data_mans) <= 1:
+        return {
+            "manifests_before": len(data_mans),
+            "manifests_after": len(data_mans),
+            "entries": len(live),
+        }
+    part_fields = [
+        (pf.name, pf.avro) for pf in _spec_part_fields(meta)
+    ]
+    spec_raw = _default_spec_raw(meta)
+    schema_json = json.dumps(
+        {"type": "struct", "schema-id": 0,
+         "fields": _raw_schema_fields(meta)},
+        separators=(",", ":"),
+    )
+    fv = int(meta.get("format-version", 1) or 1)
+    now_ms = int(time.time() * 1000)
+    snapshot_id = now_ms * 1000 + 7
+    while snapshot_id in snaps:
+        snapshot_id += 1
+    chunk = max(1, int(target_entries_per_manifest))
+    new_entries: list[dict] = []
+    n_new = 0
+    for i in range(0, max(len(live), 1), chunk):
+        part = live[i : i + chunk]
+        if not part and live:
+            continue
+        name = f"manifest-rw-{uuid.uuid4().hex}.avro"
+        write_avro_file(
+            md / name,
+            _manifest_entry_schema(part_fields, include_seq=True),
+            part,
+            extra_metadata={
+                "schema": schema_json,
+                "schema-id": "0",
+                "partition-spec": json.dumps(
+                    spec_raw, separators=(",", ":")
+                ),
+                "partition-spec-id": "0",
+                "format-version": str(fv),
+                "content": "data",
+            },
+        )
+        new_entries.append(
+            {
+                "manifest_path": f"{location}/metadata/{name}",
+                "manifest_length": (md / name).stat().st_size,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": None,  # per-entry seqs are explicit
+                "added_snapshot_id": snapshot_id,
+            }
+        )
+        n_new += 1
+        if not live:
+            break
+    ml_name = f"snap-{snapshot_id}-manifest-list.avro"
+    write_avro_file(
+        md / ml_name,
+        _MANIFEST_FILE_SCHEMA,
+        new_entries
+        + [
+            {
+                "manifest_path": e["manifest_path"],
+                "manifest_length": int(e["manifest_length"]),
+                "partition_spec_id": int(
+                    e.get("partition_spec_id") or 0
+                ),
+                "content": 1,
+                "sequence_number": e.get("sequence_number"),
+                "added_snapshot_id": e.get("added_snapshot_id"),
+            }
+            for e in delete_mans
+        ],
+        extra_metadata={
+            "snapshot-id": str(snapshot_id),
+            "parent-snapshot-id": str(cur_id),
+            "format-version": str(fv),
+        },
+    )
+    meta["snapshots"] = list(meta.get("snapshots", [])) + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now_ms,
+            "summary": {
+                "operation": "replace",
+                "manifests-replaced": str(len(data_mans)),
+                "manifests-created": str(n_new),
+                "entries": str(len(live)),
+            },
+            "manifest-list": f"{location}/metadata/{ml_name}",
+        }
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["refs"] = refs
+    meta["last-updated-ms"] = now_ms
+    hint = md / "version-hint.text"
+    version = int(hint.read_text().strip()) + 1 if hint.exists() else 1
+    with open(
+        md / f"v{version}.metadata.json", "x", encoding="utf-8"
+    ) as fh:
+        fh.write(json.dumps(meta, indent=1))
+    hint.write_text(str(version))
+    return {
+        "manifests_before": len(data_mans),
+        "manifests_after": n_new,
+        "entries": len(live),
     }
 
 

@@ -442,3 +442,98 @@ def test_iceberg_metadata_tables_entries_partitions_all_files(
     # partition records decode per file
     pvs = {json.loads(r.partition).get("grp") for r in by_content[0]}
     assert pvs == {"a", "b", "z"}
+
+
+def test_rewrite_iceberg_manifests(spark, tmp_path):
+    """Round 16 manifest compaction: three appends + an equality
+    delete fold into ONE data manifest in a metadata-only commit —
+    rows identical, per-entry sequence numbers carried EXPLICITLY so
+    delete scoping survives, bounds/partition pruning unchanged,
+    time travel intact."""
+    from snapflow_spark.sources.iceberg import (
+        iceberg_metadata_table,
+        rewrite_iceberg_manifests,
+    )
+
+    path = tmp_path / "t"
+    write_iceberg(_tbl(spark, [(i, i, "a") for i in range(5)]), path)
+    # delete keys 0,1 at the next sequence
+    delete_iceberg_by_key(
+        spark, path, spark.createDataFrame([(0,), (1,)], "id long")
+    )
+    # rows appended AFTER the delete survive even when matching
+    write_iceberg(
+        _tbl(spark, [(0, 100, "b"), (9, 90, "b")]), path,
+        mode="append",
+    )
+    s_pre = iceberg_snapshot(spark, path)
+    before_rows = _state(spark, path)
+    assert (0, 100, "b") in before_rows  # post-delete append alive
+    assert (0, 0, "a") not in before_rows
+    mans_before = iceberg_metadata_table(
+        spark, path, "manifests"
+    ).collect()
+    assert sum(1 for r in mans_before if r.content == 0) >= 2
+
+    res = rewrite_iceberg_manifests(spark, path)
+    assert res["manifests_before"] >= 2
+    assert res["manifests_after"] == 1
+    # identical read through the compacted metadata
+    assert _state(spark, path) == before_rows
+    mans_after = iceberg_metadata_table(
+        spark, path, "manifests"
+    ).collect()
+    assert sum(1 for r in mans_after if r.content == 0) == 1
+    assert sum(1 for r in mans_after if r.content == 1) == 1
+    # per-entry sequences explicit: the post-delete file still reads
+    # at its ORIGINAL sequence (2 — past the delete's 1), the
+    # pre-delete files at theirs (0), through the rewritten manifest
+    snap = iceberg_snapshot(spark, path)
+    assert sorted(snap.file_seqs.values()) == [0, 0, 0, 0, 2, 2]
+    assert [s for _p, _c, s in snap.equality_deletes] == [1]
+    # time travel to the pre-rewrite snapshot still works
+    assert _state(
+        spark, path, snapshot_id=s_pre.snapshot_id
+    ) == before_rows
+    # bounds survived: min_max pruning still cuts the file list
+    wide = read_iceberg(spark, path)
+    narrow = read_iceberg(
+        spark, path, min_max_filter={"id": (9, 9)}
+    )
+    assert len(narrow.inputFiles()) < len(wide.inputFiles())
+    # a second rewrite is a no-op (already one manifest)
+    res2 = rewrite_iceberg_manifests(spark, path)
+    assert res2["manifests_after"] == res2["manifests_before"] == 1
+    # appends on the compacted table keep working
+    write_iceberg(_tbl(spark, [(50, 5, "c")]), path, mode="append")
+    assert (50, 5, "c") in _state(spark, path)
+
+
+def test_rewrite_manifests_on_bucket_partitioned(spark, tmp_path):
+    """Partition records pass through the rewrite verbatim: bucket
+    pruning on the compacted manifests stays exact."""
+    from snapflow_spark.sources.iceberg import (
+        rewrite_iceberg_manifests,
+    )
+
+    path = tmp_path / "t"
+    base = spark.createDataFrame(
+        [(i, i * 10, "ab"[i % 2]) for i in range(12)],
+        "id long, val long, grp string",
+    )
+    write_iceberg(base, path, partition_by=[("id", "bucket[4]")])
+    write_iceberg(
+        spark.createDataFrame([(100, 1, "z")],
+                              "id long, val long, grp string"),
+        path, mode="append",
+    )
+    before = _state(spark, path)
+    res = rewrite_iceberg_manifests(spark, path)
+    assert res["manifests_after"] == 1
+    assert _state(spark, path) == before
+    pruned = read_iceberg(spark, path, partition_filter={"id": 100})
+    assert (100, 1, "z") in {
+        (r.id, r.val, r.grp) for r in pruned.collect()
+    }
+    full = read_iceberg(spark, path)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
