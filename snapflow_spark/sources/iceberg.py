@@ -1330,15 +1330,52 @@ def _spec_part_fields(meta: dict) -> list[_PartField]:
     return out
 
 
+#: Iceberg SQL transform-call names -> spec transform strings
+#: (``days(ts)`` == the spec's ``day`` transform, etc.)
+_SQL_TRANSFORM_NAMES = {
+    "identity": "identity",
+    "year": "year", "years": "year",
+    "month": "month", "months": "month",
+    "day": "day", "days": "day", "date": "day",
+    "hour": "hour", "hours": "hour", "date_hour": "hour",
+}
+
+
 def _parse_partition_by(partition_by) -> list[tuple[str, str]] | None:
-    """Normalize ``partition_by`` entries — ``"col"`` (identity) or
-    ``("col", "bucket[4]")`` pairs — to [(source, transform)]."""
+    """Normalize ``partition_by`` entries to [(source, transform)].
+    Accepted forms: ``"col"`` (identity), ``("col", "bucket[4]")``
+    pairs, and Iceberg's SQL transform-call strings —
+    ``"bucket(4, col)"`` / ``"truncate(3, col)"`` / ``"days(col)"``
+    / ``"years(col)"`` / ``"hours(col)"`` (plural and singular)."""
     if partition_by is None:
         return None
     out: list[tuple[str, str]] = []
     for e in partition_by:
         if isinstance(e, str):
-            out.append((e, "identity"))
+            m = re.fullmatch(
+                r"\s*(\w+)\s*\(\s*([^(),]+?)\s*\)\s*", e
+            )
+            m2 = re.fullmatch(
+                r"\s*(bucket|truncate)\s*\(\s*(\d+)\s*,"
+                r"\s*([^(),]+?)\s*\)\s*",
+                e,
+            )
+            if m2:
+                out.append(
+                    (m2.group(3), f"{m2.group(1)}[{m2.group(2)}]")
+                )
+            elif m:
+                name = m.group(1).lower()
+                if name not in _SQL_TRANSFORM_NAMES:
+                    raise ValueError(
+                        f"write_iceberg: unknown partition transform "
+                        f"call {e!r} — bucket(N, col), "
+                        "truncate(W, col), years/months/days/hours"
+                        "(col), identity(col)"
+                    )
+                out.append((m.group(2), _SQL_TRANSFORM_NAMES[name]))
+            else:
+                out.append((e, "identity"))
         elif isinstance(e, (tuple, list)) and len(e) == 2:
             src, transform = e
             parse_transform(str(transform))  # syntax check
@@ -1346,7 +1383,8 @@ def _parse_partition_by(partition_by) -> list[tuple[str, str]] | None:
         else:
             raise ValueError(
                 f"write_iceberg: partition_by entry {e!r} — expected "
-                "a column name or a (column, transform) pair"
+                "a column name, a transform call string, or a "
+                "(column, transform) pair"
             )
     return out
 

@@ -278,3 +278,27 @@ def test_append_onto_external_transform_spec(spark, tmp_path):
     assert [(f.name, f.transform) for f in pf] == [
         ("lang", "identity"), ("id_bucket", "bucket[4]")
     ]
+
+
+def test_sql_transform_call_strings(spark, tmp_path):
+    """partition_by accepts Iceberg's SQL transform-call strings —
+    "bucket(4, col)" / "days(col)" — producing the identical spec
+    the tuple form does."""
+    t1, t2 = tmp_path / "a", tmp_path / "b"
+    write_iceberg(
+        _df(spark), t1, partition_by=["bucket(4, doc_id)", "days(day)"]
+    )
+    write_iceberg(
+        _df(spark), t2,
+        partition_by=[("doc_id", "bucket[4]"), ("day", "day")],
+    )
+    s1 = iceberg_snapshot(spark, t1)
+    s2 = iceberg_snapshot(spark, t2)
+    assert s1.partition_fields == s2.partition_fields == [
+        ("doc_id_bucket", "bucket[4]"), ("day_day", "day")
+    ]
+    assert {pv["doc_id_bucket"] for _p, pv, _n, _bd in s1.files} == \
+        {pv["doc_id_bucket"] for _p, pv, _n, _bd in s2.files}
+    with pytest.raises(ValueError, match="unknown partition"):
+        write_iceberg(_df(spark), tmp_path / "c",
+                      partition_by=["wat(doc_id)"])
