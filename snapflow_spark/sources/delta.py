@@ -182,19 +182,30 @@ def _json_versions(log: Path) -> dict[int, Path]:
     return out
 
 
-def _commit_info(operation: str) -> dict:
+def _commit_info(operation: str, params: dict | None = None) -> dict:
     """The commitInfo action our writers stamp first in every commit:
     the operation name plus an inCommitTimestamp, so engine-written
     tables time-travel on monotonic commit timestamps instead of file
     mtimes (and external readers see the conventional provenance
-    row).  Readers that don't know ICT ignore commitInfo entirely."""
-    return {
-        "commitInfo": {
-            "operation": operation,
-            "inCommitTimestamp": int(time.time() * 1000),
-            "engineInfo": "snapflow-spark",
-        }
+    row).  ``params`` lands as ``operationParameters`` with every
+    value STRINGIFIED (delta-spark's convention — predicates, modes
+    and column lists all arrive as strings in DESCRIBE HISTORY).
+    Readers that don't know ICT ignore commitInfo entirely."""
+    ci: dict = {
+        "operation": operation,
+        "inCommitTimestamp": int(time.time() * 1000),
+        "engineInfo": "snapflow-spark",
     }
+    if params:
+        ci["operationParameters"] = {
+            str(k): (
+                v if isinstance(v, str)
+                else json.dumps(v, separators=(",", ":"))
+            )
+            for k, v in params.items()
+            if v is not None
+        }
+    return {"commitInfo": ci}
 
 
 def _commit_ts_ms(p: Path) -> int:
@@ -1178,7 +1189,15 @@ def write_delta(
         added = _stage_and_move(df, table, partition_by)
 
     actions: list[dict] = [
-        _commit_info("WRITE" if mode == "append" else mode.upper())
+        _commit_info(
+            "WRITE" if mode == "append" else mode.upper(),
+            {
+                "mode": (
+                    "Append" if mode == "append" else "Overwrite"
+                ),
+                "partitionBy": partition_by,
+            },
+        )
     ]
     if txn is not None:
         actions.append(
@@ -1301,7 +1320,15 @@ def delete_from_delta(
             table,
             snap,
         )
-    _commit_dv_actions(table, snap, actions)
+    _commit_dv_actions(
+        table, snap, actions,
+        params={
+            "predicate": (
+                condition if isinstance(condition, str)
+                else str(condition)
+            )
+        },
+    )
     return n_deleted
 
 
@@ -1615,10 +1642,11 @@ def _stage_cdc_actions(
 def _commit_dv_actions(
     table: Path, snap: DeltaSnapshot, actions: list[dict],
     operation: str = "DELETE",
+    params: dict | None = None,
 ) -> None:
     """Publish one commit of DV-marking actions, upgrading the
     protocol to 3/7 + deletionVectors when the table lacks it."""
-    actions.insert(0, _commit_info(operation))
+    actions.insert(0, _commit_info(operation, params))
     feats = set(snap.protocol.get("readerFeatures") or [])
     if "deletionVectors" not in feats:
         actions.insert(0, {
@@ -1874,7 +1902,15 @@ def optimize_delta(
             max(1, -(-total // int(target_file_bytes)))
         )
     added = _stage_logical(rows_df, table, snap)
-    actions: list[dict] = [_commit_info("OPTIMIZE")]
+    actions: list[dict] = [
+        _commit_info(
+            "OPTIMIZE",
+            {
+                "targetSize": str(int(target_file_bytes)),
+                "zOrderBy": zorder_by,
+            },
+        )
+    ]
     for rel, _p, pv in sorted(victims):
         actions.append(
             {
@@ -1997,7 +2033,16 @@ def update_delta(
             )
         )
         actions += _stage_cdc_actions(changes, table, snap)
-    _commit_dv_actions(table, snap, actions, operation="UPDATE")
+    _commit_dv_actions(
+        table, snap, actions, operation="UPDATE",
+        params={
+            "predicate": (
+                condition if isinstance(condition, str)
+                else str(condition)
+            ),
+            "set": sorted(set_),
+        },
+    )
     return n
 
 
@@ -2313,7 +2358,10 @@ def merge_delta(
                     }
                 }
             )
-        _commit_dv_actions(table, snap, actions, operation="MERGE")
+        _commit_dv_actions(
+            table, snap, actions, operation="MERGE",
+            params={"matchedKeys": list(on)},
+        )
         out = {"rows_matched": n_matched, "rows_inserted": n_inserted}
         if when_not_matched_by_source is not None:
             out["rows_deleted_by_source"] = n_by_source
@@ -2384,7 +2432,10 @@ def rename_delta_column(
             new if c == old else c for c in snap.partition_columns
         ],
     }
-    actions = [_commit_info("RENAME COLUMN"), {"metaData": meta}]
+    actions = [
+        _commit_info("RENAME COLUMN", {"from": old, "to": new}),
+        {"metaData": meta},
+    ]
     commit = _log_path(table) / f"{snap.version + 1:020d}.json"
     with open(commit, "x", encoding="utf-8") as fh:
         for a in actions:
@@ -2427,7 +2478,10 @@ def drop_delta_column(
         if f.name != name
     ]
     meta = {**snap.metadata, "schemaString": StructType(fields).json()}
-    actions = [_commit_info("DROP COLUMNS"), {"metaData": meta}]
+    actions = [
+        _commit_info("DROP COLUMNS", {"columns": [name]}),
+        {"metaData": meta},
+    ]
     commit = _log_path(table) / f"{snap.version + 1:020d}.json"
     with open(commit, "x", encoding="utf-8") as fh:
         for a in actions:
@@ -2565,7 +2619,15 @@ def set_delta_properties(
             "delta.columnMapping.maxColumnId", str(len(mapped))
         )
 
-    actions: list[dict] = [_commit_info("SET TBLPROPERTIES")]
+    actions: list[dict] = [
+        _commit_info(
+            "SET TBLPROPERTIES",
+            {"properties": {
+                str(k): (None if v is None else str(v))
+                for k, v in properties.items()
+            }},
+        )
+    ]
     if (want_mrv, want_mwv, want_r, want_w) != (
         mrv, mwv, rfeats, wfeats,
     ):
@@ -2779,6 +2841,7 @@ def describe_delta_history(
         p = versions[v]
         op = None
         engine = None
+        op_params = None
         n_add = n_remove = n_cdc = 0
         with open(p, encoding="utf-8") as fh:
             for line in fh:
@@ -2796,11 +2859,16 @@ def describe_delta_history(
                     ci = action["commitInfo"]
                     op = ci.get("operation")
                     engine = ci.get("engineInfo")
+                    if ci.get("operationParameters"):
+                        op_params = json.dumps(
+                            ci["operationParameters"], sort_keys=True
+                        )
         rows.append(
             (
                 int(v),
                 int(_commit_ts_ms(p)),
                 op,
+                op_params,
                 n_add,
                 n_remove,
                 n_cdc,
@@ -2810,6 +2878,7 @@ def describe_delta_history(
     return spark.createDataFrame(
         rows,
         "version bigint, timestamp_ms bigint, operation string, "
+        "operation_parameters string, "
         "num_added_files bigint, num_removed_files bigint, "
         "num_cdc_files bigint, engine_info string",
     )

@@ -356,3 +356,47 @@ def test_cli_property_and_column_ops(spark, tmp_path, capsys):
     from snapflow_spark.sources.delta import optimize_delta
     with pytest.raises(ValueError, match="non-integer"):
         optimize_delta(spark, t2, zorder_by=["a", "s"])
+
+
+def test_operation_parameters_in_history(spark, tmp_path):
+    """Round 16: commitInfo.operationParameters — delta-spark's
+    DESCRIBE HISTORY provenance column: WRITE carries mode +
+    partitionBy, DELETE its predicate, UPDATE predicate + set
+    columns, OPTIMIZE targetSize/zOrderBy — values stringified."""
+    import json as _json
+
+    from snapflow_spark.sources.delta import (
+        delete_from_delta,
+        describe_delta_history,
+        optimize_delta,
+        update_delta,
+    )
+
+    t = tmp_path / "t"
+    write_delta(
+        spark.createDataFrame(
+            [(i, (i * 3) % 7, f"v{i}") for i in range(40)],
+            "id long, k long, val string",
+        ).repartition(4),
+        t,
+    )
+    delete_from_delta(spark, t, "id >= 35")
+    update_delta(spark, t, "id = 0", {"val": "'zero'"})
+    optimize_delta(spark, t, zorder_by=["id", "k"])
+    hist = {
+        r.version: (r.operation, r.operation_parameters)
+        for r in describe_delta_history(spark, t).collect()
+    }
+    op, p = hist[0]
+    assert op == "WRITE"
+    assert _json.loads(p)["mode"] == "Append"
+    op, p = hist[1]
+    assert op == "DELETE" and _json.loads(p)["predicate"] == "id >= 35"
+    op, p = hist[2]
+    pp = _json.loads(p)
+    assert op == "UPDATE" and pp["predicate"] == "id = 0"
+    assert _json.loads(pp["set"]) == ["val"]
+    op, p = hist[3]
+    pp = _json.loads(p)
+    assert op == "OPTIMIZE"
+    assert _json.loads(pp["zOrderBy"]) == ["id", "k"]
