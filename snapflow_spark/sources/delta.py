@@ -1177,6 +1177,12 @@ def write_delta(
                 "schemaString": widened.json(),
             }
 
+    if snap is not None and mode == "append":
+        # CHECK constraints gate the rows BEFORE staging (one
+        # aggregate over the incoming batch; overwrites reset the
+        # configuration, constraints included)
+        _check_constraints(df, snap.metadata, "write_delta")
+
     table.mkdir(parents=True, exist_ok=True)
     log = _log_path(table)
     log.mkdir(exist_ok=True)
@@ -2010,6 +2016,7 @@ def update_delta(
             for c in out_cols
         ]
     )
+    _check_constraints(updated, snap.metadata, "update_delta")
     added = _stage_logical(updated, table, snap)
     for rel, pv, sz, mtime_ms, st in added:
         add: dict = {
@@ -2284,6 +2291,9 @@ def merge_delta(
             )
         staged: dict[str, list] = {}
         for kind, df_part in new_parts:
+            _check_constraints(
+                df_part, snap.metadata, f"merge_delta ({kind})"
+            )
             added = _stage_logical(df_part, table, snap)
             staged[kind] = added
             for rel, pv, sz, mtime_ms, st in added:
@@ -2368,6 +2378,46 @@ def merge_delta(
         return out
     finally:
         source.unpersist()
+
+
+def _check_constraints(
+    df: DataFrame, metadata: dict, what: str
+) -> None:
+    """Enforce the table's CHECK constraints
+    (``delta.constraints.<name>`` configuration entries — the
+    protocol's constraint mechanism) on rows about to be written:
+    a row violates when its expression evaluates to FALSE (SQL
+    semantics — NULL passes; ``not_null`` is nullability's job).
+    ALL constraints count in ONE aggregate pass; any violation
+    raises with the constraint name, expression and row count —
+    never a silent partial write."""
+    cons = {
+        k[len("delta.constraints."):]: v
+        for k, v in (metadata.get("configuration") or {}).items()
+        if k.startswith("delta.constraints.") and v
+    }
+    if not cons:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.expr(expr) == F.lit(False), 1).otherwise(0)
+        ).alias(f"__c_{i}")
+        for i, (_name, expr) in enumerate(sorted(cons.items()))
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {
+        name: (expr, int(row[f"__c_{i}"] or 0))
+        for i, (name, expr) in enumerate(sorted(cons.items()))
+        if int(row[f"__c_{i}"] or 0)
+    }
+    if bad:
+        detail = "; ".join(
+            f"{name}: ({expr}) false for {n} row(s)"
+            for name, (expr, n) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"{what}: CHECK constraint violation — {detail}"
+        )
 
 
 def _mapped_schema_commit(
@@ -2531,6 +2581,13 @@ def set_delta_properties(
       checkpoints.
     - ``delta.enableDeletionVectors=true``: protocol 3/7 with
       ``deletionVectors``.
+    - ``delta.constraints.<name>=<sql expr>`` (round 16 — ALTER
+      TABLE ADD CONSTRAINT): the EXISTING rows are validated first
+      (one aggregate scan; a violation refuses the whole commit) and
+      the protocol moves to writer 3+ (``checkConstraints``); from
+      then on ``write_delta`` appends, ``update_delta`` rewrites and
+      ``merge_delta`` outputs are all gated row-exactly BEFORE
+      staging (NULL passes — SQL CHECK semantics).
 
     An upgrade to the features protocol lists every feature the old
     legacy versions implied (the spec's explicitness rule).  Returns
@@ -2579,6 +2636,24 @@ def set_delta_properties(
                     want_r.update(s)
         want_mrv, want_mwv = 3, 7
 
+    new_constraints = {
+        str(k): str(v)
+        for k, v in properties.items()
+        if str(k).startswith("delta.constraints.") and v is not None
+    }
+    if new_constraints:
+        # ALTER TABLE ADD CONSTRAINT semantics: the EXISTING rows
+        # must already satisfy it (one aggregate scan), and writers
+        # must understand checkConstraints (legacy writer 3)
+        _check_constraints(
+            read_delta(spark, table),
+            {"configuration": new_constraints},
+            "set_delta_properties (existing rows)",
+        )
+        if want_mwv >= 7:
+            want_w.add("checkConstraints")
+        else:
+            want_mwv = max(want_mwv, 3)
     if cfg.get("delta.enableChangeDataFeed") == "true":
         if want_mwv >= 7:
             want_w.add("changeDataFeed")

@@ -400,3 +400,80 @@ def test_operation_parameters_in_history(spark, tmp_path):
     pp = _json.loads(p)
     assert op == "OPTIMIZE"
     assert _json.loads(pp["zOrderBy"]) == ["id", "k"]
+
+
+def test_check_constraints_end_to_end(spark, tmp_path):
+    """Round 16 CHECK constraints: ADD CONSTRAINT validates existing
+    rows and bumps the writer protocol; appends / updates / merges
+    are gated row-exactly BEFORE staging; NULL passes (SQL CHECK
+    semantics); violating commits leave the table untouched."""
+    from snapflow_spark.sources.delta import (
+        merge_delta,
+        update_delta,
+    )
+
+    t = tmp_path / "t"
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, None)],
+            "id long, price double",
+        ),
+        t,
+    )
+    # existing rows conform (NULL passes) -> constraint lands
+    v = set_delta_properties(
+        spark, t, {"delta.constraints.price_pos": "price > 0"}
+    )
+    snap = delta_snapshot(spark, t)
+    assert snap.metadata["configuration"][
+        "delta.constraints.price_pos"
+    ] == "price > 0"
+    assert int(snap.protocol["minWriterVersion"]) >= 3
+    # a constraint the EXISTING rows violate refuses, no commit
+    with pytest.raises(ValueError, match="id_small"):
+        set_delta_properties(
+            spark, t, {"delta.constraints.id_small": "id < 2"}
+        )
+    assert delta_snapshot(spark, t).version == v
+    # violating append refuses BEFORE touching the log
+    with pytest.raises(ValueError, match="price_pos"):
+        write_delta(
+            spark.createDataFrame(
+                [(4, -1.0)], "id long, price double"
+            ),
+            t, mode="append",
+        )
+    assert delta_snapshot(spark, t).version == v
+    assert read_delta(spark, t).count() == 3
+    # conforming append (with a NULL) passes
+    write_delta(
+        spark.createDataFrame(
+            [(4, 5.0), (5, None)], "id long, price double"
+        ),
+        t, mode="append",
+    )
+    assert read_delta(spark, t).count() == 5
+    # UPDATE producing a violation refuses
+    with pytest.raises(ValueError, match="price_pos"):
+        update_delta(spark, t, "id = 1", {"price": "-price"})
+    # MERGE whose inserts violate refuses
+    with pytest.raises(ValueError, match="price_pos"):
+        merge_delta(
+            spark, t,
+            spark.createDataFrame(
+                [(9, -3.0)], "id long, price double"
+            ),
+            on=["id"],
+        )
+    assert {r.id for r in read_delta(spark, t).collect()} == {
+        1, 2, 3, 4, 5
+    }
+    # dropping the constraint re-opens the gate
+    set_delta_properties(
+        spark, t, {"delta.constraints.price_pos": None}
+    )
+    write_delta(
+        spark.createDataFrame([(6, -1.0)], "id long, price double"),
+        t, mode="append",
+    )
+    assert read_delta(spark, t).count() == 6
