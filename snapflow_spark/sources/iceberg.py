@@ -1514,6 +1514,7 @@ def write_iceberg(
     extra_summary: dict | None = None,
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    branch: str | None = None,
 ) -> int:
     """Export a DataFrame as one Iceberg format-version-1 commit;
     returns the new snapshot id.  ``append`` keeps previous manifests
@@ -1537,7 +1538,15 @@ def write_iceberg(
     files CONTAIN their partition columns — staging writes through
     shadow columns so the split happens without dropping the real
     ones.  Appends must match the table's existing partition spec
-    (transforms included; ``partition_by=None`` adopts it)."""
+    (transforms included; ``partition_by=None`` adopts it).
+
+    ``branch=`` (round 16 — the WAP write side): the commit bases on
+    and advances THAT ref only, leaving ``main`` (and
+    current-snapshot-id) untouched — a branch write is invisible to
+    plain reads until ``fast_forward_iceberg`` publishes it.  A
+    first write to an unknown branch forks from the current
+    snapshot.  Read the branch back with
+    ``read_iceberg(ref=branch)``."""
     import pyarrow.parquet as pq
 
     if mode not in ("append", "overwrite", "error"):
@@ -1734,11 +1743,20 @@ def write_iceberg(
         },
     )
 
+    # the commit's BASE snapshot: the target branch's head when one
+    # is named (falling back to current — a first branch write forks
+    # from main), else the current snapshot
+    base_id = (
+        prev_meta.get("current-snapshot-id") if prev_meta else None
+    )
+    if branch and branch != "main" and prev_meta is not None:
+        ref = (prev_meta.get("refs") or {}).get(branch)
+        if ref is not None:
+            base_id = int(ref["snapshot-id"])
     prev_manifests: list[dict] = []
     if prev_meta is not None and mode == "append":
-        cur = prev_meta.get("current-snapshot-id")
         for s in prev_meta.get("snapshots", []):
-            if s["snapshot-id"] == cur and "manifest-list" in s:
+            if s["snapshot-id"] == base_id and "manifest-list" in s:
                 _, prev_manifests = read_avro_file(
                     _localize(
                         s["manifest-list"],
@@ -1746,9 +1764,7 @@ def write_iceberg(
                         table,
                     )
                 )
-    parent_id = (
-        prev_meta.get("current-snapshot-id") if prev_meta else None
-    )
+    parent_id = base_id
     # v2 tables (row-level deletes present) track data sequence
     # numbers: this commit's files get the NEXT one, so earlier
     # equality deletes can never reach rows written after them
@@ -1824,7 +1840,20 @@ def write_iceberg(
         }
     )
     refs = dict((prev_meta or {}).get("refs") or {})
-    refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    if branch and branch != "main":
+        # branch write: only the named ref advances; main and
+        # current-snapshot-id stay where they were (WAP isolation)
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        current_id = (
+            prev_meta.get("current-snapshot-id")
+            if prev_meta is not None
+            else snapshot_id
+        )
+        if current_id in (None, -1):
+            current_id = snapshot_id
+    else:
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        current_id = snapshot_id
     meta = {
         # a table upgraded to v2 (row-level deletes) STAYS v2 — and
         # its sequence counter advances with this commit
@@ -1841,8 +1870,9 @@ def write_iceberg(
         "partition-spec": spec_fields,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
-        "properties": {},
-        "current-snapshot-id": snapshot_id,
+        # table properties SURVIVE commits (a write is not an unset)
+        "properties": dict((prev_meta or {}).get("properties") or {}),
+        "current-snapshot-id": current_id,
         "snapshots": snapshots,
         "refs": refs,
     }
@@ -3237,6 +3267,80 @@ def rewrite_iceberg_files(
         "files_after": len(after.files),
         "delete_files_removed": n_deletes,
     }
+
+
+def fast_forward_iceberg(
+    path: str | os.PathLike,
+    from_ref: str,
+    to_ref: str = "main",
+) -> int:
+    """PUBLISH a branch — Iceberg's fast-forward: move ``to_ref``
+    (default main, which also moves current-snapshot-id) to
+    ``from_ref``'s head, refusing unless the target's current head
+    is an ANCESTOR of the source head (walked via the
+    manifest-lists' parent-snapshot-id chain — a fast-forward never
+    rewrites history; diverged refs need a real merge).  The
+    write-audit-publish loop: ``write_iceberg(branch="audit")`` →
+    validate ``read_iceberg(ref="audit")`` → ``fast_forward_iceberg
+    (path, "audit")``.  Returns the published snapshot id."""
+    from snapflow_spark.functions.avro_codec import read_avro_metadata
+
+    table = Path(path)
+    md = table / "metadata"
+    meta = json.loads(_metadata_path(table).read_text())
+    refs = dict(meta.get("refs") or {})
+    src = refs.get(from_ref)
+    if src is None:
+        raise ValueError(
+            f"fast_forward_iceberg: ref {from_ref!r} not in "
+            f"{sorted(refs)}"
+        )
+    head = int(src["snapshot-id"])
+    location = meta.get("location", str(table))
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    tgt = refs.get(to_ref)
+    if tgt is not None and int(tgt["snapshot-id"]) != head:
+        target = int(tgt["snapshot-id"])
+
+        def _parent(sid: int) -> int | None:
+            s = by_id.get(sid)
+            if s is None or "manifest-list" not in s:
+                return None
+            raw = read_avro_metadata(
+                _localize(s["manifest-list"], location, table)
+            ).get("parent-snapshot-id")
+            if raw is None:
+                return None
+            txt = raw.decode() if isinstance(raw, bytes) else str(raw)
+            return None if txt in ("null", "None", "") else int(txt)
+
+        anc, seen, ok = head, set(), False
+        while anc is not None and anc not in seen:
+            if anc == target:
+                ok = True
+                break
+            seen.add(anc)
+            anc = _parent(anc)
+        if not ok:
+            raise ValueError(
+                f"fast_forward_iceberg: {to_ref!r} (at {target}) is "
+                f"not an ancestor of {from_ref!r} (at {head}) — the "
+                "refs have diverged; fast-forward never rewrites "
+                "history"
+            )
+    refs[to_ref] = {"snapshot-id": head, "type": "branch"}
+    meta["refs"] = refs
+    if to_ref == "main":
+        meta["current-snapshot-id"] = head
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    hint = md / "version-hint.text"
+    version = int(hint.read_text().strip()) + 1 if hint.exists() else 1
+    with open(
+        md / f"v{version}.metadata.json", "x", encoding="utf-8"
+    ) as fh:
+        fh.write(json.dumps(meta, indent=1))
+    hint.write_text(str(version))
+    return head
 
 
 def rewrite_iceberg_manifests(

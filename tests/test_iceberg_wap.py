@@ -1,0 +1,76 @@
+"""WAP (write-audit-publish) round trip — branch writes + fast-forward."""
+from __future__ import annotations
+
+import pytest
+
+from snapflow_spark.sources.iceberg import (
+    fast_forward_iceberg,
+    iceberg_snapshot,
+    read_iceberg,
+    write_iceberg,
+)
+
+
+def _tbl(spark, rows):
+    return spark.createDataFrame(rows, "id long, val string")
+
+
+def _rows(df):
+    return {(r.id, r.val) for r in df.collect()}
+
+
+def test_wap_branch_write_and_publish(spark, tmp_path):
+    t = tmp_path / "t"
+    write_iceberg(_tbl(spark, [(1, "a"), (2, "b")]), t)
+    main_before = iceberg_snapshot(spark, t).snapshot_id
+    # the audit write: invisible to plain reads
+    write_iceberg(
+        _tbl(spark, [(3, "c")]), t, mode="append", branch="audit"
+    )
+    assert _rows(read_iceberg(spark, t)) == {(1, "a"), (2, "b")}
+    assert iceberg_snapshot(spark, t).snapshot_id == main_before
+    # ...but fully readable on the branch
+    assert _rows(read_iceberg(spark, t, ref="audit")) == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    # a second branch commit stacks on the branch head
+    write_iceberg(
+        _tbl(spark, [(4, "d")]), t, mode="append", branch="audit"
+    )
+    assert _rows(read_iceberg(spark, t, ref="audit")) == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d")
+    }
+    assert _rows(read_iceberg(spark, t)) == {(1, "a"), (2, "b")}
+    # publish: main fast-forwards to the audited head
+    sid = fast_forward_iceberg(t, "audit")
+    snap = iceberg_snapshot(spark, t)
+    assert snap.snapshot_id == sid
+    assert _rows(read_iceberg(spark, t)) == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d")
+    }
+    # diverged refs refuse: fork a branch FIRST, then move main past
+    # the fork point — the branch head no longer descends from main
+    write_iceberg(
+        _tbl(spark, [(9, "z")]), t, mode="append", branch="side"
+    )
+    write_iceberg(_tbl(spark, [(5, "e")]), t, mode="append")
+    with pytest.raises(ValueError, match="diverged"):
+        fast_forward_iceberg(t, "side")
+    # unknown source ref is loud
+    with pytest.raises(ValueError, match="not in"):
+        fast_forward_iceberg(t, "nope")
+
+
+def test_table_properties_survive_commits(spark, tmp_path):
+    t = tmp_path / "t"
+    write_iceberg(_tbl(spark, [(1, "a")]), t)
+    import json
+    from snapflow_spark.sources.iceberg import _metadata_path
+    meta = json.loads(_metadata_path(t).read_text())
+    meta["properties"] = {"commit.retry.num-retries": "5"}
+    p = t / "metadata" / "v99.metadata.json"
+    p.write_text(json.dumps(meta))
+    (t / "metadata" / "version-hint.text").write_text("99")
+    write_iceberg(_tbl(spark, [(2, "b")]), t, mode="append")
+    meta2 = json.loads(_metadata_path(t).read_text())
+    assert meta2["properties"] == {"commit.retry.num-retries": "5"}
