@@ -177,7 +177,7 @@ def main(argv: list[str] | None = None) -> int:
             "expire", "rewrite", "rollback", "tag", "orphans",
             "upsert", "update", "history", "clean-log", "inspect",
             "set-props", "rename-column", "drop-column",
-            "rewrite-manifests",
+            "rewrite-manifests", "publish",
         ],
     )
     tm.add_argument("path", help="table root directory")
@@ -213,6 +213,9 @@ def main(argv: list[str] | None = None) -> int:
     tm.add_argument("--column", help="column (rename-column from / "
                     "drop-column target, delta)")
     tm.add_argument("--to", dest="to_", help="new name (rename-column)")
+    tm.add_argument("--from-ref", dest="from_ref",
+                    help="branch to fast-forward publish (publish, "
+                    "iceberg)")
     args = ap.parse_args(argv)
 
     if args.cmd == "table":
@@ -674,6 +677,20 @@ def _table_maintenance(args) -> int:
         elif args.op == "rewrite-manifests":
             out = {"op": "rewrite-manifests",
                    **I.rewrite_iceberg_manifests(spark, root)}
+        elif args.op == "publish":
+            if not args.from_ref:
+                print("error: publish needs --from-ref")
+                return 2
+            out = {"op": "publish",
+                   "snapshot_id": I.fast_forward_iceberg(
+                       root, args.from_ref)}
+        elif args.op == "set-props":
+            if not args.props:
+                print("error: set-props needs --props JSON")
+                return 2
+            out = {"op": "set-props",
+                   "properties": I.set_iceberg_properties(
+                       root, _json.loads(args.props))}
         elif args.op == "rollback":
             if args.snapshot_id is None:
                 print("error: rollback needs --snapshot-id")

@@ -3269,6 +3269,35 @@ def rewrite_iceberg_files(
     }
 
 
+def set_iceberg_properties(
+    path: str | os.PathLike,
+    properties: dict,
+) -> dict:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES for the Iceberg bridge —
+    one metadata version whose ``properties`` map merges the given
+    entries (``None`` UNSETs); commits preserve the map from then on
+    (round 16).  Returns the resulting properties map."""
+    table = Path(path)
+    md = table / "metadata"
+    meta = json.loads(_metadata_path(table).read_text())
+    props = dict(meta.get("properties") or {})
+    for k, v in properties.items():
+        if v is None:
+            props.pop(str(k), None)
+        else:
+            props[str(k)] = str(v)
+    meta["properties"] = props
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    hint = md / "version-hint.text"
+    version = int(hint.read_text().strip()) + 1 if hint.exists() else 1
+    with open(
+        md / f"v{version}.metadata.json", "x", encoding="utf-8"
+    ) as fh:
+        fh.write(json.dumps(meta, indent=1))
+    hint.write_text(str(version))
+    return props
+
+
 def fast_forward_iceberg(
     path: str | os.PathLike,
     from_ref: str,

@@ -74,3 +74,46 @@ def test_table_properties_survive_commits(spark, tmp_path):
     write_iceberg(_tbl(spark, [(2, "b")]), t, mode="append")
     meta2 = json.loads(_metadata_path(t).read_text())
     assert meta2["properties"] == {"commit.retry.num-retries": "5"}
+
+
+def test_iceberg_properties_and_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from snapflow_spark.cli import main
+    from snapflow_spark.sources.iceberg import (
+        _metadata_path,
+        set_iceberg_properties,
+    )
+
+    t = tmp_path / "t"
+    write_iceberg(_tbl(spark, [(1, "a")]), t)
+    props = set_iceberg_properties(
+        t, {"commit.retry.num-retries": "5", "owner": "pipeline"}
+    )
+    assert props == {
+        "commit.retry.num-retries": "5", "owner": "pipeline"
+    }
+    set_iceberg_properties(t, {"owner": None})
+    meta = _json.loads(_metadata_path(t).read_text())
+    assert meta["properties"] == {"commit.retry.num-retries": "5"}
+    # survives a data commit
+    write_iceberg(_tbl(spark, [(2, "b")]), t, mode="append")
+    meta = _json.loads(_metadata_path(t).read_text())
+    assert meta["properties"] == {"commit.retry.num-retries": "5"}
+    # CLI: iceberg set-props + WAP publish dispatch
+    assert main([
+        "table", "set-props", str(t),
+        "--props", _json.dumps({"x": "1"}),
+    ]) == 0
+    write_iceberg(
+        _tbl(spark, [(3, "c")]), t, mode="append", branch="audit"
+    )
+    assert main([
+        "table", "publish", str(t), "--from-ref", "audit"
+    ]) == 0
+    out = capsys.readouterr().out
+    assert '"op": "publish"' in out
+    assert _rows(read_iceberg(spark, t)) == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    assert main(["table", "publish", str(t)]) == 2
