@@ -297,6 +297,23 @@ def q_schema_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
            reverse(n_name) AS n_name, n_regionkey
     FROM nation
     UNION ALL
+    -- 'iceberg_wap' branch (round 16): write-audit-publish — the
+    -- shifted rows land on an AUDIT branch (invisible to main),
+    -- fast_forward publishes them; the final state is base ∪ audit
+    SELECT 'iceberg_wap' AS fmt, n_nationkey, n_name, n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 'iceberg_wap' AS fmt, n_nationkey + 700 AS n_nationkey,
+           reverse(n_name) AS n_name, n_regionkey
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    -- 'delta_props' branch (round 16): set_delta_properties enables
+    -- CDF on an ENGINE-created table, a DV delete then drops %5=1
+    -- keys — the remaining rows replay as a filter (the cdc
+    -- emission itself is asserted in the fixture builder)
+    SELECT 'delta_props' AS fmt, n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey % 5 != 1
+    UNION ALL
     -- 'delta_sync' branch (round 15 late): the FULL-SYNC merge —
     -- when_not_matched_by_source='delete' leaves exactly the
     -- source's key set (non-region-2 rows, names upper-cased)
@@ -822,6 +839,73 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iceberg_bucket fixture: bucket pruning kept every file"
     )
     from_ice_bucket = _tag(full, "iceberg_bucket")
+    # 'iceberg_wap' branch (round 16): write-audit-publish
+    # driver-grade — the audit write bases on and advances ONLY its
+    # branch (the fixture asserts main cannot see it), then
+    # fast_forward_iceberg moves main to the audited head; the read
+    # is the published state.
+    from snapflow_spark.sources.iceberg import fast_forward_iceberg
+
+    wap_dir = _SCRATCH / "iceberg_wap_roundtrip"
+    shutil.rmtree(wap_dir, ignore_errors=True)
+    write_iceberg(up_base, wap_dir)
+    pre_wap = {
+        r.n_nationkey
+        for r in read_iceberg(spark, wap_dir).select(
+            "n_nationkey"
+        ).collect()
+    }
+    write_iceberg(
+        up_base.where(F.col("n_regionkey") == 0).select(
+            (F.col("n_nationkey") + 700)
+            .cast("int")
+            .alias("n_nationkey"),
+            F.reverse("n_name").alias("n_name"),
+            "n_regionkey",
+        ),
+        wap_dir,
+        mode="append",
+        branch="audit",
+    )
+    # audit isolation: main still reads the base rows only
+    mid_wap = {
+        r.n_nationkey
+        for r in read_iceberg(spark, wap_dir).select(
+            "n_nationkey"
+        ).collect()
+    }
+    assert mid_wap == pre_wap, (
+        "iceberg_wap fixture: the branch write leaked into main"
+    )
+    fast_forward_iceberg(wap_dir, "audit")
+    from_ice_wap = _tag(read_iceberg(spark, wap_dir), "iceberg_wap")
+    # 'delta_props' branch (round 16): set_delta_properties
+    # driver-grade — CDF turns ON via a property commit on an
+    # ENGINE-created table (no hand-published log), then a DV delete
+    # emits cdc actions (asserted) and the read replays the filter.
+    from snapflow_spark.sources.delta import set_delta_properties
+
+    pr_dir = _SCRATCH / "delta_props_roundtrip"
+    shutil.rmtree(pr_dir, ignore_errors=True)
+    write_delta(nation3, pr_dir)
+    set_delta_properties(
+        spark, pr_dir, {"delta.enableChangeDataFeed": "true"}
+    )
+    n_pr = delete_from_delta(spark, pr_dir, "n_nationkey % 5 = 1")
+    assert n_pr > 0, "delta_props fixture: the delete matched nothing"
+    import json as _pjson
+
+    pr_cdc = any(
+        "cdc" in _pjson.loads(line)
+        for line in (pr_dir / "_delta_log" / f"{2:020d}.json")
+        .read_text()
+        .splitlines()
+    )
+    assert pr_cdc, (
+        "delta_props fixture: CDF enabled but the delete emitted no "
+        "cdc actions"
+    )
+    from_delta_props = _tag(read_delta(spark, pr_dir), "delta_props")
     # 'delta_sync' branch (round 15 late): the FULL-SYNC merge —
     # when_not_matched_by_source='delete' drops every target key the
     # source lacks (region-2 rows), matched keys take the source's
@@ -1006,6 +1090,8 @@ def _build_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(from_ice_upsert)
         .unionByName(from_ice_upd)
         .unionByName(from_ice_bucket)
+        .unionByName(from_ice_wap)
+        .unionByName(from_delta_props)
         .unionByName(from_delta_sync)
         .unionByName(from_delta_cm)
         .unionByName(from_cc)

@@ -343,14 +343,15 @@ def test_all_declared_queries_plan_quality(spark):
     # q_text_quality round 12 adds the 'ppl' branch, whose scored
     # subtree renders three ways (main/totals/thresholds) on top of
     # the dsir twins; corpus-side effective work stays 2 exchanges.
-    # q_scan_formats (round 16): 18 static exchanges across the
-    # 22-branch fixture union — each delete-applying bridge branch
-    # (delta_dv/delta_merge/delta_sync/delta_cm DV anti-joins,
+    # q_scan_formats (round 16): 21 static exchanges across the
+    # 24-branch fixture union — each delete-applying bridge branch
+    # (delta_dv/delta_merge/delta_sync/delta_cm/delta_props DV
+    # anti-joins incl. the executor-side DV expand's repartition,
     # iceberg pdel/edel/upsert/upd delete anti-joins, round 16's
     # bucket-spec upsert anti-join) contributes metadata-scale join
     # exchanges over 25-row fixtures that AQE broadcasts at runtime;
     # nothing corpus-side shuffles.
-    REVIEWED_EXCHANGES = {"q_text_quality": 26, "q_scan_formats": 18}
+    REVIEWED_EXCHANGES = {"q_text_quality": 26, "q_scan_formats": 21}
 
     failures = []
     for name, fn in all_queries().items():
