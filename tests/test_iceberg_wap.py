@@ -117,3 +117,15 @@ def test_iceberg_properties_and_cli(spark, tmp_path, capsys):
         (1, "a"), (2, "b"), (3, "c")
     }
     assert main(["table", "publish", str(t)]) == 2
+
+
+def test_cli_rewrite_manifests(spark, tmp_path, capsys):
+    from snapflow_spark.cli import main
+
+    t = tmp_path / "t"
+    write_iceberg(_tbl(spark, [(1, "a")]), t)
+    write_iceberg(_tbl(spark, [(2, "b")]), t, mode="append")
+    assert main(["table", "rewrite-manifests", str(t)]) == 0
+    out = capsys.readouterr().out
+    assert '"manifests_after": 1' in out
+    assert _rows(read_iceberg(spark, t)) == {(1, "a"), (2, "b")}
