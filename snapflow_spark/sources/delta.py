@@ -305,12 +305,6 @@ def _physical_names(schema: StructType, metadata: dict, what: str) -> dict:
         return {}
     out: dict[str, str] = {}
     for f in schema.fields:
-        if "struct" in f.dataType.simpleString():
-            raise NotImplementedError(
-                f"{what}: column mapping on nested column {f.name!r} "
-                "(inner parquet fields are renamed too; only flat "
-                "columns are implemented)"
-            )
         pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
         if not pn:
             raise ValueError(
@@ -320,6 +314,120 @@ def _physical_names(schema: StructType, metadata: dict, what: str) -> dict:
             )
         out[f.name] = pn
     return out
+
+
+def _physical_datatype(dt, what: str):
+    """The PHYSICAL shape of one column's dataType under column
+    mapping (round 16 — nested support): struct fields rename to
+    their ``delta.columnMapping.physicalName`` RECURSIVELY (the
+    on-disk parquet shape mode=name tables store), arrays and maps
+    recurse into their element/value types.  Primitives pass
+    through.  Raises on a nested struct field missing its
+    physicalName (malformed table)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        out = []
+        for f in dt.fields:
+            pn = (f.metadata or {}).get(
+                "delta.columnMapping.physicalName"
+            )
+            if not pn:
+                raise ValueError(
+                    f"{what}: nested field {f.name!r} has no "
+                    "physicalName in the schema metadata — "
+                    "malformed column-mapped table"
+                )
+            out.append(
+                StructField(
+                    pn,
+                    _physical_datatype(f.dataType, what),
+                    f.nullable,
+                )
+            )
+        return StructType(out)
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _physical_datatype(dt.elementType, what),
+            dt.containsNull,
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            _physical_datatype(dt.keyType, what),
+            _physical_datatype(dt.valueType, what),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _is_nested(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType
+
+    return isinstance(dt, (StructType, ArrayType, MapType))
+
+
+def _strip_meta(dt):
+    """A metadata-free copy of a dataType — schema comparisons must
+    ignore the columnMapping metadata nested struct fields carry
+    (names and types are the contract, provenance is not)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    f.name, _strip_meta(f.dataType), f.nullable
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_strip_meta(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _strip_meta(dt.keyType),
+            _strip_meta(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _id_datatype(dt, what: str):
+    """mode=id nested binding (round 16): the dataType with
+    ``parquet.field.id`` metadata injected on every nested struct
+    field (from the schema's ``delta.columnMapping.id``), so Spark's
+    field-id parquet reader resolves inner columns too."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        out = []
+        for f in dt.fields:
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            if fid is None:
+                raise ValueError(
+                    f"{what}: nested field {f.name!r} has no "
+                    "delta.columnMapping.id in the schema metadata "
+                    "— malformed column-mapped table"
+                )
+            out.append(
+                StructField(
+                    f.name,
+                    _id_datatype(f.dataType, what),
+                    f.nullable,
+                    {"parquet.field.id": int(fid)},
+                )
+            )
+        return StructType(out)
+    if isinstance(dt, ArrayType):
+        return ArrayType(_id_datatype(dt.elementType, what),
+                         dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _id_datatype(dt.keyType, what),
+            _id_datatype(dt.valueType, what),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 def _field_ids(schema: StructType, metadata: dict, what: str) -> dict:
@@ -681,7 +789,7 @@ def _scan_live(
             [
                 StructField(
                     f.name,
-                    f.dataType,
+                    _id_datatype(f.dataType, "read_delta"),
                     f.nullable,
                     {"parquet.field.id": snap.field_ids[f.name]},
                 )
@@ -689,9 +797,19 @@ def _scan_live(
             ]
         )
     else:
+        # mode=name: request PHYSICAL names — nested struct fields
+        # rename recursively (round 16); the select below casts the
+        # shape back onto the logical names (a positional struct
+        # cast renames every level, pure codegen)
         data_schema = StructType(
             [
-                StructField(P(f.name), f.dataType, f.nullable)
+                StructField(
+                    P(f.name),
+                    _physical_datatype(f.dataType, "read_delta")
+                    if phys
+                    else f.dataType,
+                    f.nullable,
+                )
                 for f in data_fields
             ]
         )
@@ -719,6 +837,15 @@ def _scan_live(
     df = spark.read.schema(data_schema).parquet(*[p for _r, p, _pv in kept])
     if snap.field_ids:  # mode=id reads come out logical already
         sel = [F.col(f.name) for f in data_fields]
+    elif phys:
+        sel = [
+            (
+                F.col(P(f.name)).cast(f.dataType)
+                if _is_nested(f.dataType)
+                else F.col(P(f.name))
+            ).alias(f.name)
+            for f in data_fields
+        ]
     else:
         sel = [F.col(P(f.name)).alias(f.name) for f in data_fields]
     if need_key:
@@ -983,6 +1110,14 @@ def _stage_logical(
             if f.name not in df.columns:
                 continue
             if snap.field_ids:
+                if _is_nested(f.dataType):
+                    raise NotImplementedError(
+                        f"write to column-mapped table: nested "
+                        f"column {f.name!r} under mode=id — the "
+                        "footer field ids of INNER fields cannot be "
+                        "stamped through an alias; mode=name nested "
+                        "writes work"
+                    )
                 cols.append(
                     F.col(f.name).alias(
                         phys.get(f.name, f.name),
@@ -992,9 +1127,16 @@ def _stage_logical(
                     )
                 )
             else:
-                cols.append(
-                    F.col(f.name).alias(phys.get(f.name, f.name))
-                )
+                c = F.col(f.name)
+                if _is_nested(f.dataType):
+                    # nested rename logical -> physical: positional
+                    # struct cast renames every level, pure codegen
+                    c = c.cast(
+                        _physical_datatype(
+                            f.dataType, "write_delta (mapped)"
+                        )
+                    )
+                cols.append(c.alias(phys.get(f.name, f.name)))
         cols += [
             F.col(c) for c in df.columns if c not in table_cols
         ]
@@ -1066,8 +1208,11 @@ def write_delta(
         table_schema = StructType.fromJson(
             json.loads(snap.metadata["schemaString"])
         )
-        if [ (f.name, f.dataType) for f in table_schema.fields ] != [
-            (f.name, f.dataType)
+        if [
+            (f.name, _strip_meta(f.dataType))
+            for f in table_schema.fields
+        ] != [
+            (f.name, _strip_meta(f.dataType))
             for f in df.schema.fields[: len(table_schema.fields)]
         ] or (
             len(df.schema.fields) != len(table_schema.fields)
@@ -1128,13 +1273,53 @@ def write_delta(
                 if fid is not None:
                     used.append(int(fid))
             next_id = max(used)
+
+            def _map_new_dt(dt):
+                """Fresh columnMapping metadata for NESTED fields of
+                an added column (each nested struct field needs its
+                own physicalName/id or later mapped reads refuse)."""
+                nonlocal next_id
+                from pyspark.sql.types import ArrayType, MapType
+
+                if isinstance(dt, StructType):
+                    fs = []
+                    for nf in dt.fields:
+                        next_id += 1
+                        fs.append(
+                            StructField(
+                                nf.name,
+                                _map_new_dt(nf.dataType),
+                                True,
+                                metadata={
+                                    "delta.columnMapping.id": next_id,
+                                    "delta.columnMapping."
+                                    "physicalName": (
+                                        f"col-{uuid.uuid4()}"
+                                    ),
+                                },
+                            )
+                        )
+                    return StructType(fs)
+                if isinstance(dt, ArrayType):
+                    return ArrayType(
+                        _map_new_dt(dt.elementType), dt.containsNull
+                    )
+                if isinstance(dt, MapType):
+                    return MapType(
+                        _map_new_dt(dt.keyType),
+                        _map_new_dt(dt.valueType),
+                        dt.valueContainsNull,
+                    )
+                return dt
+
             new_fields = []
             for f in fresh:
+                mapped_dt = _map_new_dt(f.dataType)
                 next_id += 1
                 new_fields.append(
                     StructField(
                         f.name,
-                        f.dataType,
+                        mapped_dt,
                         True,
                         metadata={
                             "delta.columnMapping.id": next_id,
@@ -1389,12 +1574,13 @@ def _dv_delete_plan(
         if f.name not in snap.partition_columns
     ]
     if snap.field_ids:
-        # mode=id: logical request names + footer-id binding
+        # mode=id: logical request names + footer-id binding (nested
+        # inner fields carry their ids too — round 16)
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         data_schema = StructType(
             [
                 StructField(
-                    f.name, f.dataType, f.nullable,
+                    f.name, _id_datatype(f.dataType, what), f.nullable,
                     {"parquet.field.id": snap.field_ids[f.name]},
                 )
                 for f in data_fields
@@ -1403,7 +1589,13 @@ def _dv_delete_plan(
     else:
         data_schema = StructType(
             [
-                StructField(P(f.name), f.dataType, f.nullable)
+                StructField(
+                    P(f.name),
+                    _physical_datatype(f.dataType, what)
+                    if phys
+                    else f.dataType,
+                    f.nullable,
+                )
                 for f in data_fields
             ]
         )
@@ -1447,7 +1639,15 @@ def _dv_delete_plan(
     )
     if phys and not snap.field_ids:
         # mode=name: physical parquet columns come back logical
-        sel = [F.col(P(f.name)).alias(f.name) for f in data_fields]
+        # (nested shapes cast positionally back onto logical names)
+        sel = [
+            (
+                F.col(P(f.name)).cast(f.dataType)
+                if _is_nested(f.dataType)
+                else F.col(P(f.name))
+            ).alias(f.name)
+            for f in data_fields
+        ]
     else:
         sel = [F.col(f.name) for f in data_fields]
     df = df.select(
@@ -2677,21 +2877,48 @@ def set_delta_properties(
         want_w.add("deletionVectors")
 
     if old_mode == "none" and new_mode in ("name", "id"):
-        # assign mapping metadata to every EXISTING column: physical
-        # name = current name (binds the already-written files), id =
-        # ordinal, maxColumnId recorded for future evolution
+        # assign mapping metadata to every EXISTING column — NESTED
+        # fields included (round 16): physical name = current name
+        # at every level (binds the already-written files), ids
+        # sequential, maxColumnId recorded for future evolution
+        from pyspark.sql.types import ArrayType, MapType
+
         schema = StructType.fromJson(json.loads(schema_string))
-        mapped = []
-        for i, f in enumerate(schema.fields, start=1):
-            md = dict(f.metadata or {})
-            md.setdefault("delta.columnMapping.id", i)
-            md.setdefault("delta.columnMapping.physicalName", f.name)
-            mapped.append(
-                StructField(f.name, f.dataType, f.nullable, metadata=md)
-            )
-        schema_string = StructType(mapped).json()
+        next_id = 0
+
+        def _bind(dt):
+            nonlocal next_id
+            if isinstance(dt, StructType):
+                fs = []
+                for f in dt.fields:
+                    md = dict(f.metadata or {})
+                    if "delta.columnMapping.id" not in md:
+                        next_id += 1
+                        md["delta.columnMapping.id"] = next_id
+                    md.setdefault(
+                        "delta.columnMapping.physicalName", f.name
+                    )
+                    fs.append(
+                        StructField(
+                            f.name, _bind(f.dataType), f.nullable,
+                            metadata=md,
+                        )
+                    )
+                return StructType(fs)
+            if isinstance(dt, ArrayType):
+                return ArrayType(
+                    _bind(dt.elementType), dt.containsNull
+                )
+            if isinstance(dt, MapType):
+                return MapType(
+                    _bind(dt.keyType), _bind(dt.valueType),
+                    dt.valueContainsNull,
+                )
+            return dt
+
+        schema_string = _bind(schema).json()
         cfg.setdefault(
-            "delta.columnMapping.maxColumnId", str(len(mapped))
+            "delta.columnMapping.maxColumnId", str(next_id)
         )
 
     actions: list[dict] = [
