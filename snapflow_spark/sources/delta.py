@@ -955,7 +955,11 @@ def _file_stats(p: Path) -> dict | None:
             if st is None or not st.has_min_max:
                 dead.add(name)
                 continue
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:  # pyarrow can't cast e.g. decimals
+                dead.add(name)
+                continue
             ok = (int, float, str, bool)
             if not isinstance(mn, ok) or isinstance(mn, bytes):
                 dead.add(name)

@@ -1003,37 +1003,119 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
+_REV_PRIMITIVES = {
+    T.BooleanType(): "boolean",
+    T.IntegerType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.StringType(): "string",
+    T.BinaryType(): "binary",
+    T.DateType(): "date",
+    T.TimestampType(): "timestamptz",
+    T.TimestampNTZType(): "timestamp",
+}
+
+
 def _iceberg_schema(schema: T.StructType) -> dict:
-    """Spark → Iceberg JSON schema (v1 export scope: flat primitive
-    columns — the snapshot/export shapes this engine emits)."""
-    rev = {
-        T.BooleanType(): "boolean",
-        T.IntegerType(): "int",
-        T.LongType(): "long",
-        T.FloatType(): "float",
-        T.DoubleType(): "double",
-        T.StringType(): "string",
-        T.BinaryType(): "binary",
-        T.DateType(): "date",
-        T.TimestampType(): "timestamptz",
-        T.TimestampNTZType(): "timestamp",
-    }
+    """Spark → Iceberg JSON schema.  Round 16: NESTED columns export
+    too — structs recurse with per-field ids, lists carry
+    ``element-id``, maps ``key-id``/``value-id`` (ids assigned
+    depth-first, unique across every level, the spec's never-shared
+    rule); decimals map onto ``decimal(p,s)``.  The reader's
+    ``_spark_type`` round-trips every shape emitted here."""
+    counter = [0]
+
+    def _next() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def _conv(dt, where: str):
+        if dt in _REV_PRIMITIVES:
+            return _REV_PRIMITIVES[dt]
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision},{dt.scale})"
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                fid = _next()
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": _conv(
+                            f.dataType, f"{where}.{f.name}"
+                        ),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if isinstance(dt, T.ArrayType):
+            eid = _next()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": _conv(dt.elementType, f"{where}[]"),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            kid, vid = _next(), _next()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": _conv(dt.keyType, f"{where}<key>"),
+                "value-id": vid,
+                "value": _conv(dt.valueType, f"{where}<value>"),
+                "value-required": not dt.valueContainsNull,
+            }
+        raise NotImplementedError(
+            f"write_iceberg: column {where!r} type {dt} (primitive, "
+            "decimal, struct, array and map columns are the export "
+            "scope)"
+        )
+
     fields = []
-    for i, f in enumerate(schema.fields, start=1):
-        if f.dataType not in rev:
-            raise NotImplementedError(
-                f"write_iceberg: column {f.name!r} type {f.dataType} "
-                "(flat primitive columns are the export scope)"
-            )
+    for f in schema.fields:
+        fid = _next()
         fields.append(
             {
-                "id": i,
+                "id": fid,
                 "name": f.name,
                 "required": not f.nullable,
-                "type": rev[f.dataType],
+                "type": _conv(f.dataType, f.name),
             }
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _max_field_id(fields) -> int:
+    """The highest field id ANYWHERE in an Iceberg schema's field
+    list (nested struct/list/map ids included) — merge_schema's
+    never-reuse floor."""
+    best = 0
+
+    def _walk_type(t):
+        nonlocal best
+        if not isinstance(t, dict):
+            return
+        if t.get("type") == "struct":
+            for f in t.get("fields", []):
+                if f.get("id") is not None:
+                    best = max(best, int(f["id"]))
+                _walk_type(f.get("type"))
+        elif t.get("type") == "list":
+            if t.get("element-id") is not None:
+                best = max(best, int(t["element-id"]))
+            _walk_type(t.get("element"))
+        elif t.get("type") == "map":
+            for k in ("key-id", "value-id"):
+                if t.get(k) is not None:
+                    best = max(best, int(t[k]))
+            _walk_type(t.get("key"))
+            _walk_type(t.get("value"))
+
+    _walk_type({"type": "struct", "fields": list(fields)})
+    return best
 
 
 _PART_AVRO_TYPES = {
@@ -1645,7 +1727,7 @@ def write_iceberg(
     location = str(table)
 
     ice_schema = _iceberg_schema(df.schema)
-    last_column_id = len(df.schema.fields)
+    last_column_id = _max_field_id(ice_schema["fields"])
     if prev_meta is not None and (
         mode == "append"
         # overwrite with an IDENTICAL schema (compaction's shape)
@@ -1664,18 +1746,53 @@ def write_iceberg(
         prev_fields = _raw_schema_fields(prev_meta)
         last_column_id = max(
             int(prev_meta.get("last-column-id", 0) or 0),
-            max((int(f["id"]) for f in prev_fields), default=0),
+            _max_field_id(prev_fields),  # nested ids count too
         )
         new_fields = list(prev_fields)
         if evolving:
             fresh = _iceberg_schema(
                 T.StructType(df.schema.fields[len(prev_fields):])
             )["fields"]
+            # shift EVERY id in the fresh subtree (nested element/
+            # key/value ids included) past the table's ceiling —
+            # Iceberg's never-reuse-ids rule
+            offset = last_column_id
+
+            def _shift(t):
+                if not isinstance(t, dict):
+                    return t
+                t = dict(t)
+                if t.get("type") == "struct":
+                    t["fields"] = [
+                        {
+                            **f,
+                            "id": int(f["id"]) + offset,
+                            "type": _shift(f.get("type")),
+                        }
+                        for f in t.get("fields", [])
+                    ]
+                elif t.get("type") == "list":
+                    t["element-id"] = int(t["element-id"]) + offset
+                    t["element"] = _shift(t.get("element"))
+                elif t.get("type") == "map":
+                    t["key-id"] = int(t["key-id"]) + offset
+                    t["value-id"] = int(t["value-id"]) + offset
+                    t["key"] = _shift(t.get("key"))
+                    t["value"] = _shift(t.get("value"))
+                return t
+
             for f in fresh:
-                last_column_id += 1
                 new_fields.append(
-                    {**f, "id": last_column_id, "required": False}
+                    {
+                        **f,
+                        "id": int(f["id"]) + offset,
+                        "type": _shift(f.get("type")),
+                        "required": False,
+                    }
                 )
+            last_column_id = max(
+                last_column_id, _max_field_id(new_fields)
+            )
         ice_schema = {
             "type": "struct",
             "schema-id": 0,
