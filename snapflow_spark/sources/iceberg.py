@@ -3280,19 +3280,27 @@ def iceberg_metadata_table(
             "content int, file_path string, record_count bigint",
         )
     if kind == "partitions":
+        # [files, rows, position-delete files, equality-delete files]
         agg: dict[str, list[int]] = {}
         for _st, _sid, _seq, c, _p, n, _b, pv in _manifest_rows(
             entries
         ):
-            if c != 0:
-                continue  # data files only — delete files aggregate
-                # nothing a partition summary should count as rows
-            a = agg.setdefault(pv, [0, 0])
-            a[0] += 1
-            a[1] += n
+            a = agg.setdefault(pv, [0, 0, 0, 0])
+            if c == 0:
+                a[0] += 1
+                a[1] += n
+            elif c == 1:
+                a[2] += 1
+            elif c == 2:
+                a[3] += 1
         return spark.createDataFrame(
-            [(pv, f, n) for pv, (f, n) in sorted(agg.items())],
-            "partition string, file_count bigint, record_count bigint",
+            [
+                (pv, f, n, pd_, ed)
+                for pv, (f, n, pd_, ed) in sorted(agg.items())
+            ],
+            "partition string, file_count bigint, "
+            "record_count bigint, position_delete_file_count bigint, "
+            "equality_delete_file_count bigint",
         )
     if kind != "all_files":
         raise ValueError(

@@ -129,3 +129,48 @@ def test_cli_rewrite_manifests(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert '"manifests_after": 1' in out
     assert _rows(read_iceberg(spark, t)) == {(1, "a"), (2, "b")}
+
+
+def test_partitions_kind_counts_delete_files(spark, tmp_path):
+    from snapflow_spark.sources.iceberg import (
+        delete_iceberg_by_key,
+        iceberg_metadata_table,
+    )
+
+    t = tmp_path / "t"
+    write_iceberg(_tbl(spark, [(1, "a"), (2, "b")]), t)
+    delete_iceberg_by_key(
+        spark, t, spark.createDataFrame([(1,)], "id long")
+    )
+    rows = iceberg_metadata_table(spark, t, "partitions").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.file_count >= 1 and r.record_count == 2
+    assert r.equality_delete_file_count == 1
+    assert r.position_delete_file_count == 0
+
+
+def test_stream_sink_upsert_on_bucket_partitioned(spark, tmp_path):
+    """The exactly-once upsert stream sink composes with round-16
+    transform specs: each micro-batch re-stages through bucket[4]."""
+    from snapflow_spark.sources.iceberg import iceberg_stream_sink
+
+    t = tmp_path / "t"
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, val string"
+        ),
+        t,
+        partition_by=[("id", "bucket[4]")],
+    )
+    sink = iceberg_stream_sink(str(t), "wap-test", keys=["id"])
+    b0 = spark.createDataFrame(
+        [(2, "B2"), (99, "new")], "id long, val string"
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # replay: exactly-once on the batch id
+    got = {(r.id, r.val) for r in read_iceberg(spark, t).collect()}
+    assert (2, "B2") in got and (99, "new") in got
+    assert len(got) == 9
+    snap = iceberg_snapshot(spark, t)
+    assert snap.partition_fields == [("id_bucket", "bucket[4]")]
