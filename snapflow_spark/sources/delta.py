@@ -1272,10 +1272,30 @@ def write_delta(
             used = [
                 int(cfg.get("delta.columnMapping.maxColumnId", 0) or 0)
             ]
-            for f in table_struct.fields:
-                fid = (f.metadata or {}).get("delta.columnMapping.id")
-                if fid is not None:
-                    used.append(int(fid))
+
+            def _collect_ids(dt):
+                """Every columnMapping id at every nesting level —
+                the never-reuse floor must see NESTED struct field
+                ids too, or a foreign-written table with a stale
+                maxColumnId could hand a new column a nested
+                field's id (ADVICE r16)."""
+                from pyspark.sql.types import ArrayType, MapType
+
+                if isinstance(dt, StructType):
+                    for f in dt.fields:
+                        fid = (f.metadata or {}).get(
+                            "delta.columnMapping.id"
+                        )
+                        if fid is not None:
+                            used.append(int(fid))
+                        _collect_ids(f.dataType)
+                elif isinstance(dt, ArrayType):
+                    _collect_ids(dt.elementType)
+                elif isinstance(dt, MapType):
+                    _collect_ids(dt.keyType)
+                    _collect_ids(dt.valueType)
+
+            _collect_ids(table_struct)
             next_id = max(used)
 
             def _map_new_dt(dt):
@@ -2649,6 +2669,36 @@ def _mapped_schema_commit(
     return snap, schema, table
 
 
+def _refuse_if_constraint_referenced(snap, column: str, op: str):
+    """ALTER-guard (ADVICE r16): a column referenced by a
+    ``delta.constraints.*`` CHECK expression cannot be renamed or
+    dropped — every later write's constraint gate would fail with an
+    unresolved-column error the user can no longer trace.
+    delta-spark blocks the same way.  Identifier match is
+    token-level and case-insensitive (SQL semantics), backticks
+    included."""
+    import re
+
+    cfg = snap.metadata.get("configuration") or {}
+    pat = re.compile(
+        r"(?<![A-Za-z0-9_`])`?"
+        + re.escape(column)
+        + r"`?(?![A-Za-z0-9_`])",
+        re.IGNORECASE,
+    )
+    for k, expr in cfg.items():
+        if k.startswith("delta.constraints.") and pat.search(
+            str(expr or "")
+        ):
+            cname = k[len("delta.constraints."):]
+            raise ValueError(
+                f"{op}: column {column!r} is referenced by CHECK "
+                f"constraint {cname!r} ({expr}) — drop the "
+                "constraint first (set_delta_properties with "
+                f"{{{k!r}: None}})"
+            )
+
+
 def rename_delta_column(
     spark: SparkSession,
     path: str | os.PathLike,
@@ -2674,6 +2724,7 @@ def rename_delta_column(
         raise ValueError(
             f"rename_delta_column: {new!r} already exists in {names}"
         )
+    _refuse_if_constraint_referenced(snap, old, "rename_delta_column")
     fields = [
         StructField(new if f.name == old else f.name, f.dataType,
                     f.nullable, metadata=dict(f.metadata or {}))
@@ -2725,6 +2776,7 @@ def drop_delta_column(
         raise ValueError(
             "drop_delta_column: cannot drop the table's only column"
         )
+    _refuse_if_constraint_referenced(snap, name, "drop_delta_column")
     fields = [
         StructField(f.name, f.dataType, f.nullable,
                     metadata=dict(f.metadata or {}))
@@ -2818,6 +2870,20 @@ def set_delta_properties(
             f"set_delta_properties: changing delta.columnMapping.mode "
             f"{old_mode!r} -> {new_mode!r} — the spec only allows "
             "enabling mapping on an unmapped table (none -> name|id)"
+        )
+    if old_mode == "none" and new_mode == "id" and snap.files:
+        # mode=id reads resolve columns by parquet FOOTER field ids
+        # (parquet.field.id), but pre-upgrade files were written
+        # without ids — every read of them would fail or null-fill.
+        # delta-spark restricts upgrades of existing tables to 'name'
+        # (physicalName = current name binds old files) for exactly
+        # this reason; 'id' is creation-time only.
+        raise ValueError(
+            "set_delta_properties: delta.columnMapping.mode none -> "
+            "'id' on a table with existing data files — those files "
+            "carry no parquet field ids, so id-based reads would "
+            "fail.  Upgrade to 'name' instead ('id' is only valid "
+            "on an empty table)."
         )
 
     prot = snap.protocol or {}

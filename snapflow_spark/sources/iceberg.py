@@ -1241,7 +1241,16 @@ def _bucket_long_udf(n: int):
         import numpy as np
 
         mask = s.isna().to_numpy()
-        vals = s.fillna(0).to_numpy(dtype=np.int64, copy=False)
+        if s.dtype.kind == "f":
+            # Defensive only — callers coalesce nulls JVM-side so the
+            # batch arrives int64.  A float64 batch (nullable-long
+            # promotion) is lossy above 2^53; route through pandas'
+            # nullable Int64 so the payload never re-rounds.
+            vals = s.astype("Int64").to_numpy(
+                dtype=np.int64, na_value=0
+            )
+        else:
+            vals = s.fillna(0).to_numpy(dtype=np.int64, copy=False)
         h = _murmur3_long_np(vals)
         out = pd.array(
             ((h & np.uint32(0x7FFFFFFF)) % np.uint32(int(n)))
@@ -1321,7 +1330,17 @@ def _with_partition_value(df: DataFrame, pf: _PartField, out: str):
             longs = F.unix_date(c).cast("long")
         else:  # timestamp family
             longs = _internal_micros_col(c, t)
-        return df.withColumn(out, _bucket_long_udf(arg)(longs))
+        # Null handling stays JVM-side: a nullable long batch crossing
+        # Arrow->pandas is promoted to float64, which is lossy above
+        # 2^53 and would silently mis-bucket (wrong manifests + rows
+        # pruned away on filtered reads).  coalesce keeps the Arrow
+        # batch null-free (pandas keeps int64 exactly); the null mask
+        # is re-applied after the UDF.
+        b = _bucket_long_udf(arg)(F.coalesce(longs, F.lit(0)))
+        return df.withColumn(
+            out,
+            F.when(longs.isNull(), F.lit(None).cast("int")).otherwise(b),
+        )
     # temporal transforms
     if t == "date":
         if name == "day":
@@ -1881,7 +1900,7 @@ def write_iceberg(
                         table,
                     )
                 )
-    parent_id = base_id
+    parent_id = None if base_id in (None, -1) else base_id
     # v2 tables (row-level deletes present) track data sequence
     # numbers: this commit's files get the NEXT one, so earlier
     # equality deletes can never reach rows written after them
@@ -1934,6 +1953,14 @@ def write_iceberg(
     snapshots.append(
         {
             "snapshot-id": snapshot_id,
+            # spec-standard field: ancestry walks (fast-forward,
+            # WAP publish) read it straight from the JSON instead of
+            # opening one Avro manifest-list per hop
+            **(
+                {"parent-snapshot-id": parent_id}
+                if parent_id is not None
+                else {}
+            ),
             "timestamp-ms": now_ms,
             "summary": {
                 "operation": (
@@ -1959,15 +1986,21 @@ def write_iceberg(
     refs = dict((prev_meta or {}).get("refs") or {})
     if branch and branch != "main":
         # branch write: only the named ref advances; main and
-        # current-snapshot-id stay where they were (WAP isolation)
+        # current-snapshot-id stay where they were (WAP isolation).
+        # On a table that does not exist yet the same isolation must
+        # hold: create it with current-snapshot-id = -1 and ONLY the
+        # named branch ref, so the audit write stays invisible to
+        # plain reads until fast_forward_iceberg publishes main
+        # (ADVICE r16 — previously the first branch write was
+        # immediately current).
         refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
         current_id = (
             prev_meta.get("current-snapshot-id")
             if prev_meta is not None
-            else snapshot_id
+            else -1
         )
-        if current_id in (None, -1):
-            current_id = snapshot_id
+        if current_id is None:
+            current_id = -1
     else:
         refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
         current_id = snapshot_id
@@ -2878,6 +2911,11 @@ def _publish_delete_snapshot(
     meta["snapshots"].append(
         {
             "snapshot-id": snapshot_id,
+            **(
+                {"parent-snapshot-id": int(meta["current-snapshot-id"])}
+                if meta.get("current-snapshot-id") not in (None, -1)
+                else {}
+            ),
             "timestamp-ms": now_ms,
             # an upsert both removes and adds rows: "overwrite" (what
             # the Flink sink stamps); a pure delete stays "delete"
@@ -3458,7 +3496,15 @@ def fast_forward_iceberg(
 
         def _parent(sid: int) -> int | None:
             s = by_id.get(sid)
-            if s is None or "manifest-list" not in s:
+            if s is None:
+                return None
+            # prefer the spec-standard JSON field — O(1) per hop;
+            # fall back to the manifest-list's Avro metadata only
+            # for foreign-written snapshots that omit it
+            if "parent-snapshot-id" in s:
+                p = s["parent-snapshot-id"]
+                return None if p in (None, -1) else int(p)
+            if "manifest-list" not in s:
                 return None
             raw = read_avro_metadata(
                 _localize(s["manifest-list"], location, table)

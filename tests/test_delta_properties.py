@@ -166,6 +166,26 @@ def test_mode_change_and_bad_mode_refuse(spark, tmp_path):
         )
 
 
+def test_mode_id_upgrade_refused_with_data_files(spark, tmp_path):
+    """ADVICE r16 (medium): none -> 'id' on a table with existing
+    data files must refuse — those parquet files carry no footer
+    field ids, so the id-binding read path would fail or null-fill
+    on them.  delta-spark restricts existing-table upgrades to
+    'name' for this reason; 'id' is creation-time only."""
+    table = tmp_path / "t"
+    write_delta(_tbl(spark, [(1, "a")]), table)
+    with pytest.raises(ValueError, match="existing data files"):
+        set_delta_properties(
+            spark, table, {"delta.columnMapping.mode": "id"}
+        )
+    # the table is untouched (no half-commit)
+    snap = delta_snapshot(spark, table)
+    assert "delta.columnMapping.mode" not in (
+        snap.metadata.get("configuration") or {}
+    )
+    assert read_delta(spark, table).count() == 1
+
+
 def test_enable_deletion_vectors_feature(spark, tmp_path):
     table = tmp_path / "t"
     write_delta(_tbl(spark, [(1, "a")]), table)
@@ -309,6 +329,103 @@ def test_rename_and_drop_column_on_mapped_table(spark, tmp_path):
         rename_delta_column(spark, plain, "val", "v2")
     with pytest.raises(NotImplementedError, match="not column-mapped"):
         drop_delta_column(spark, plain, "val")
+
+
+def test_rename_drop_refuse_constraint_referenced(spark, tmp_path):
+    """ADVICE r16: a column referenced by delta.constraints.* cannot
+    be renamed or dropped — later writes' CHECK gates would fail
+    with an unresolved column the user can't trace.  Dropping the
+    constraint first unblocks."""
+    from tests.test_delta import _column_mapped_table
+    from snapflow_spark.sources.delta import (
+        drop_delta_column,
+        rename_delta_column,
+    )
+
+    table = tmp_path / "cm"
+    _column_mapped_table(spark, table)
+    set_delta_properties(
+        spark, table, {"delta.constraints.docid_pos": "doc_id >= 0"}
+    )
+    with pytest.raises(ValueError, match="docid_pos"):
+        rename_delta_column(spark, table, "doc_id", "id2")
+    with pytest.raises(ValueError, match="docid_pos"):
+        drop_delta_column(spark, table, "doc_id")
+    # substring names don't false-positive (`doc_id` vs `doc_id2`…);
+    # other columns stay renameable
+    rename_delta_column(spark, table, "text", "body")
+    # dropping the constraint unblocks the surgery
+    set_delta_properties(
+        spark, table, {"delta.constraints.docid_pos": None}
+    )
+    rename_delta_column(spark, table, "doc_id", "id2")
+    assert [f.name for f in read_delta(spark, table).schema.fields] \
+        == ["id2", "body", "lang"]
+
+
+def test_merge_schema_id_floor_sees_nested_ids(spark, tmp_path):
+    """ADVICE r16: the fresh-id floor for merge_schema evolution must
+    walk NESTED struct field ids — a foreign-written mapped table
+    with a stale maxColumnId must not hand a new column a nested
+    field's id."""
+    import json as _json
+
+    table = tmp_path / "t"
+    log = table / "_delta_log"
+    log.mkdir(parents=True)
+    # hand-published mapped table: top-level ids 1,2 but the struct's
+    # NESTED fields carry ids 3,4 while maxColumnId lies at 2
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "id"}},
+            {"name": "person", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "person"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "name", "type": "string", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "name"}},
+                 {"name": "age", "type": "long", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.id": 4,
+                      "delta.columnMapping.physicalName": "age"}},
+             ]}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "stale-max", "format": {"provider": "parquet",
+                                          "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "2",  # STALE
+            },
+        }},
+    ]
+    with open(log / f"{0:020d}.json", "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+    write_delta(
+        spark.createDataFrame(
+            [(1, ("ann", 30), 1.5)],
+            "id long, person struct<name:string,age:long>, "
+            "score double",
+        ),
+        table, mode="append", merge_schema=True,
+    )
+    snap = delta_snapshot(spark, table)
+    meta = {f.name: f for f in snap.schema.fields}["score"].metadata
+    # fresh id is past the NESTED maximum (4), not the stale max (2)
+    assert int(meta["delta.columnMapping.id"]) == 5
+    assert snap.metadata["configuration"][
+        "delta.columnMapping.maxColumnId"] == "5"
 
 
 def test_cli_property_and_column_ops(spark, tmp_path, capsys):

@@ -302,3 +302,31 @@ def test_sql_transform_call_strings(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown partition"):
         write_iceberg(_df(spark), tmp_path / "c",
                       partition_by=["wat(doc_id)"])
+
+
+def test_bucket_long_null_batch_precision(spark, tmp_path):
+    """ADVICE r16 (medium): an Arrow batch of a NULLABLE long bucket
+    column must not round-trip through float64 — values above 2^53
+    would mis-bucket silently and then vanish from
+    ``partition_filter`` reads (probe computes the CORRECT bucket,
+    file carries the wrong one).  Nulls are handled JVM-side
+    (coalesce + re-mask) so pandas never promotes the batch."""
+    big = (2**53) + 1  # first long float64 cannot represent
+    big2 = (2**62) + 3
+    rows = [(big, "a"), (None, "b"), (big2, "c"), (5, "d")]
+    df = spark.createDataFrame(rows, "k bigint, text string")
+    table = tmp_path / "tbl"
+    write_iceberg(df, table, partition_by=[("k", "bucket[8]")])
+    snap = iceberg_snapshot(spark, table)
+    # every stored bucket equals the pinned scalar spec value
+    stored = {}
+    for _p, pv, _n, _bd in snap.files:
+        stored[_p] = pv["k_bucket"]
+    want = {v: bucket_value("long", v, 8) for v in (big, big2, 5)}
+    got_buckets = {v for v in stored.values() if v is not None}
+    assert got_buckets == set(want.values())
+    assert any(v is None for v in stored.values())  # null row's file
+    # the round-trip: partition_filter by the BIG values finds them
+    for v, txt in ((big, "a"), (big2, "c"), (5, "d")):
+        r = read_iceberg(spark, table, partition_filter={"k": v})
+        assert (v, txt) in {(x.k, x.text) for x in r.collect()}
