@@ -95,6 +95,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from snapflow_spark.sources.occ import ConcurrentModificationError
+
 
 __all__ = [
     "DeltaSnapshot",
@@ -180,6 +182,181 @@ def _json_versions(log: Path) -> dict[int, Path]:
         if name.endswith(".json") and len(name) == 25 and name[:20].isdigit():
             out[int(name[:20])] = p
     return out
+
+
+class DeltaConcurrentModificationError(ConcurrentModificationError):
+    """Base for the Delta protocol's optimistic-concurrency conflict
+    taxonomy — a concurrent commit landed underneath this operation
+    and the logical conflict check proved the two NOT independent."""
+
+
+class DeltaMetadataChangedError(DeltaConcurrentModificationError):
+    """A concurrent commit changed the table metadata (schema,
+    partitioning, configuration) this operation was planned against."""
+
+
+class DeltaProtocolChangedError(DeltaConcurrentModificationError):
+    """A concurrent commit upgraded the table protocol."""
+
+
+class DeltaConcurrentAppendError(DeltaConcurrentModificationError):
+    """A concurrent commit added files this operation should have
+    read (delete/update/merge predicates, overwrite scope)."""
+
+
+class DeltaConcurrentDeleteError(DeltaConcurrentModificationError):
+    """A concurrent commit removed files this operation read or also
+    removes (the protocol's delete-read / delete-delete conflicts)."""
+
+
+class DeltaConcurrentTransactionError(DeltaConcurrentModificationError):
+    """A concurrent commit recorded this operation's ``txn`` app id
+    at or past its version — the idempotent payload was already
+    applied by another writer instance."""
+
+
+#: one-shot TEST seam: when set, called with ``(table, version)``
+#: right before the first exclusive-create attempt — lets tests
+#: interleave a competing commit at a deterministic point.  Cleared
+#: before invocation so the competing writer does not recurse.
+_pre_commit_hook = None
+
+
+def _occ_conflict_check(
+    commit_path: Path,
+    *,
+    op: str,
+    conflict_on_add: bool,
+    conflict_on_remove: bool,
+    our_removes: set,
+    txn_check: tuple | None,
+) -> None:
+    """The Delta protocol's logical conflict rules against ONE
+    winning commit (the optimistic-concurrency appendix,
+    WriteSerializable tier):
+
+    - any ``metaData``/``protocol`` change conflicts with everything
+      (the loser planned against stale schema/protocol);
+    - a ``txn`` for the same app id at/past our version means the
+      idempotent payload is already applied;
+    - ``add`` with dataChange conflicts only with operations that
+      READ the table (delete/update/merge/overwrite/restore) — blind
+      appends tolerate it;
+    - ``remove`` of a file we also remove is delete/delete; of any
+      file at all, delete/read for table-reading operations.
+    """
+    won = commit_path.name
+    with open(commit_path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            if "metaData" in a:
+                raise DeltaMetadataChangedError(
+                    f"{op}: concurrent commit {won} changed the table "
+                    "metadata underneath this operation — re-run "
+                    "against the current table state"
+                )
+            if "protocol" in a:
+                raise DeltaProtocolChangedError(
+                    f"{op}: concurrent commit {won} upgraded the "
+                    "table protocol underneath this operation"
+                )
+            if txn_check is not None and "txn" in a:
+                app, ver = txn_check
+                t = a["txn"] or {}
+                if t.get("appId") == app and int(
+                    t.get("version", -1)
+                ) >= ver:
+                    raise DeltaConcurrentTransactionError(
+                        f"{op}: concurrent commit {won} already "
+                        f"recorded txn appId={app!r} at version "
+                        f">= {ver} — the idempotent payload was "
+                        "applied by another writer"
+                    )
+            if (
+                conflict_on_add
+                and "add" in a
+                and (a["add"] or {}).get("dataChange")
+            ):
+                raise DeltaConcurrentAppendError(
+                    f"{op}: concurrent commit {won} appended data "
+                    "files this operation should have read"
+                )
+            if "remove" in a:
+                p = (a["remove"] or {}).get("path")
+                if p in our_removes:
+                    raise DeltaConcurrentDeleteError(
+                        f"{op}: concurrent commit {won} removed file "
+                        f"{p} this commit also removes "
+                        "(delete/delete conflict)"
+                    )
+                if conflict_on_remove:
+                    raise DeltaConcurrentDeleteError(
+                        f"{op}: concurrent commit {won} removed file "
+                        f"{p} this operation read "
+                        "(delete/read conflict)"
+                    )
+
+
+def _commit_with_retry(
+    table: Path,
+    base_version: int,
+    actions: list,
+    *,
+    op: str,
+    conflict_on_add: bool = False,
+    conflict_on_remove: bool = False,
+    txn_check: tuple | None = None,
+) -> int:
+    """Publish ``actions`` as one commit with the Delta protocol's
+    optimistic-concurrency retry: attempt create-exclusive at
+    ``base_version + 1``; when a concurrent writer won that version,
+    run :func:`_occ_conflict_check` against every commit that got in
+    and re-attempt at the next free version.  Returns the committed
+    version; raises the named conflict subclass when the commits are
+    not logically independent.  A lost race costs one log re-scan —
+    the staged data files are version-independent, so the rebase
+    never re-stages."""
+    global _pre_commit_hook
+    log = _log_path(table)
+    our_removes = {
+        (a["remove"] or {}).get("path")
+        for a in actions
+        if "remove" in a
+    }
+    v = base_version + 1
+    if _pre_commit_hook is not None:
+        hook, _pre_commit_hook = _pre_commit_hook, None
+        hook(table, v)
+    from snapflow_spark.sources.occ import MAX_COMMIT_RETRIES
+
+    for _ in range(MAX_COMMIT_RETRIES):
+        try:
+            with open(
+                log / f"{v:020d}.json", "x", encoding="utf-8"
+            ) as fh:
+                for a in actions:
+                    fh.write(
+                        json.dumps(a, separators=(",", ":")) + "\n"
+                    )
+            return v
+        except FileExistsError:
+            while (log / f"{v:020d}.json").exists():
+                _occ_conflict_check(
+                    log / f"{v:020d}.json",
+                    op=op,
+                    conflict_on_add=conflict_on_add,
+                    conflict_on_remove=conflict_on_remove,
+                    our_removes=our_removes,
+                    txn_check=txn_check,
+                )
+                v += 1
+    raise DeltaConcurrentModificationError(
+        f"{op}: gave up after {MAX_COMMIT_RETRIES} lost commit races "
+        f"at {table} — pathological write contention"
+    )
 
 
 def _commit_info(operation: str, params: dict | None = None) -> dict:
@@ -1465,11 +1642,25 @@ def write_delta(
         if st is not None:
             add["stats"] = json.dumps(st, separators=(",", ":"))
         actions.append({"add": add})
-    commit = log / f"{next_v:020d}.json"
-    with open(commit, "x", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
-    return next_v
+    try:
+        # append = blind append (tolerates concurrent adds/removes);
+        # overwrite READS the table it replaces, so any concurrent
+        # data change conflicts.  Losing a race to a commit that
+        # already recorded our txn app id means the idempotent
+        # payload is applied — same skip contract as the pre-check.
+        return _commit_with_retry(
+            table, next_v - 1, actions,
+            op="write_delta",
+            conflict_on_add=(mode == "overwrite" and snap is not None),
+            conflict_on_remove=(
+                mode == "overwrite" and snap is not None
+            ),
+            txn_check=(
+                (app_id, txn_v) if txn is not None else None
+            ),
+        )
+    except DeltaConcurrentTransactionError:
+        return None
 
 
 def delete_from_delta(
@@ -1873,9 +2064,14 @@ def _commit_dv_actions(
     table: Path, snap: DeltaSnapshot, actions: list[dict],
     operation: str = "DELETE",
     params: dict | None = None,
-) -> None:
+    txn_check: tuple | None = None,
+) -> int:
     """Publish one commit of DV-marking actions, upgrading the
-    protocol to 3/7 + deletionVectors when the table lacks it."""
+    protocol to 3/7 + deletionVectors when the table lacks it.
+    Row-level operations READ the table (their predicate scanned
+    every live file), so the optimistic retry conflicts with any
+    concurrent data change — a delete racing an overwrite raises
+    the named conflict instead of silently resurrecting rows."""
     actions.insert(0, _commit_info(operation, params))
     feats = set(snap.protocol.get("readerFeatures") or [])
     if "deletionVectors" not in feats:
@@ -1890,10 +2086,13 @@ def _commit_dv_actions(
                 ),
             }
         })
-    commit = _log_path(table) / f"{snap.version + 1:020d}.json"
-    with open(commit, "x", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return _commit_with_retry(
+        table, snap.version, actions,
+        op=operation.lower() + "_delta",
+        conflict_on_add=True,
+        conflict_on_remove=True,
+        txn_check=txn_check,
+    )
 
 
 def restore_delta(
@@ -1959,11 +2158,12 @@ def restore_delta(
         if dv:
             add["deletionVector"] = dv
         actions.append({"add": add})
-    commit = _log_path(table) / f"{cur.version + 1:020d}.json"
-    with open(commit, "x", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
-    return cur.version + 1
+    # RESTORE reads both endpoint versions' file sets — any
+    # concurrent data change invalidates the computed diff
+    return _commit_with_retry(
+        table, cur.version, actions, op="restore_delta",
+        conflict_on_add=True, conflict_on_remove=True,
+    )
 
 
 def optimize_delta(
@@ -2164,10 +2364,12 @@ def optimize_delta(
             n_rows += int(st.get("numRecords") or 0)
             add["stats"] = json.dumps(st, separators=(",", ":"))
         actions.append({"add": add})
-    commit = _log_path(table) / f"{snap.version + 1:020d}.json"
-    with open(commit, "x", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    # OPTIMIZE tolerates concurrent appends (it only read its
+    # victims); a concurrent remove of a victim is delete/delete —
+    # caught via the our_removes intersection
+    _commit_with_retry(
+        table, snap.version, actions, op="optimize_delta",
+    )
     return {
         "files_removed": len(victims),
         "files_added": len(added),
@@ -2592,10 +2794,16 @@ def merge_delta(
                     }
                 }
             )
-        _commit_dv_actions(
-            table, snap, actions, operation="MERGE",
-            params={"matchedKeys": list(on)},
-        )
+        try:
+            _commit_dv_actions(
+                table, snap, actions, operation="MERGE",
+                params={"matchedKeys": list(on)},
+                txn_check=(
+                    (app_id, txn_v) if txn is not None else None
+                ),
+            )
+        except DeltaConcurrentTransactionError:
+            return None  # applied by a concurrent writer instance
         out = {"rows_matched": n_matched, "rows_inserted": n_inserted}
         if when_not_matched_by_source is not None:
             out["rows_deleted_by_source"] = n_by_source
@@ -2741,11 +2949,12 @@ def rename_delta_column(
         _commit_info("RENAME COLUMN", {"from": old, "to": new}),
         {"metaData": meta},
     ]
-    commit = _log_path(table) / f"{snap.version + 1:020d}.json"
-    with open(commit, "x", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
-    return snap.version + 1
+    # metadata-only surgery rebases over concurrent appends/removes
+    # (physicalName binding is untouched); a concurrent metadata or
+    # protocol change conflicts
+    return _commit_with_retry(
+        table, snap.version, actions, op="rename_delta_column",
+    )
 
 
 def drop_delta_column(
@@ -2788,11 +2997,9 @@ def drop_delta_column(
         _commit_info("DROP COLUMNS", {"columns": [name]}),
         {"metaData": meta},
     ]
-    commit = _log_path(table) / f"{snap.version + 1:020d}.json"
-    with open(commit, "x", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
-    return snap.version + 1
+    return _commit_with_retry(
+        table, snap.version, actions, op="drop_delta_column",
+    )
 
 
 #: legacy protocol versions -> the features they implicitly enable;
@@ -3021,11 +3228,13 @@ def set_delta_properties(
             }
         }
     )
-    commit = _log_path(table) / f"{snap.version + 1:020d}.json"
-    with open(commit, "x", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
-    return snap.version + 1
+    # property commits rebase over concurrent appends UNLESS they add
+    # constraints (the existing-rows validation would not cover the
+    # concurrently appended rows); metadata/protocol changes conflict
+    return _commit_with_retry(
+        table, snap.version, actions, op="set_delta_properties",
+        conflict_on_add=bool(new_constraints),
+    )
 
 
 def write_delta_checkpoint(
