@@ -145,7 +145,7 @@ class Pipeline:
             # above materialized the output, so the pin is dead weight
             # now; release it or a long-lived pipeline accumulates one
             # stale persist per node run (round 8, VERDICT r7 #1).
-            for handle in ("victims_cache", "candidate_cache"):
+            for handle in ("victims_cache", "candidate_cache", "grams_cache"):
                 pinned = getattr(out, handle, None)
                 if pinned is not None:
                     pinned.unpersist()

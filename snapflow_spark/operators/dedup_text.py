@@ -481,25 +481,51 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    grams = ensure_parallelism(df.join(wanted, id_col, "left_semi")).select(
-        F.col(id_col),
-        F.array_distinct(ngram_expr(tokens_expr(text_col), n)).alias("grams"),
+    # The gram table is persisted too (round 17): it feeds BOTH sides
+    # of the pair join (ga and gb below), and without the pin each
+    # side re-runs the semi-join + the interpreted higher-order gram
+    # subtree (ngram_expr's zip_with chain is CodegenFallback —
+    # evaluated per row, the dominant CPU here; measured ~2x the
+    # verify cost without the pin at sf0.1). Bounded like the
+    # candidate pin: one row per doc that appears in a candidate pair.
+    grams = (
+        ensure_parallelism(df.join(wanted, id_col, "left_semi"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(ngram_expr(tokens_expr(text_col), n)).alias("grams"),
+        )
+        .withColumn("n_grams", F.size("grams"))
+        .persist()
     )
-    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
+    ga = grams.select(
+        F.col(id_col).alias("id_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n_grams").alias("n_a"),
+    )
+    gb = grams.select(
+        F.col(id_col).alias("id_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n_grams").alias("n_b"),
+    )
+    # |a ∪ b| = |a| + |b| - |a ∩ b| for distinct arrays — one
+    # array_intersect per pair instead of intersect + union (both are
+    # interpreted expressions; halving the per-pair array work). The
+    # integer counts are identical by construction, so the double
+    # division is bit-identical to the old size(union) form.
     out = (
         candidate_pairs.join(ga, "id_a")
         .join(gb, "id_b")
+        .withColumn("__i", F.size(F.array_intersect("grams_a", "grams_b")))
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("grams_a", "grams_b"))
-                / F.size(F.array_union("grams_a", "grams_b"))
-            ).alias("jaccard"),
+            (F.col("__i") / (F.col("n_a") + F.col("n_b") - F.col("__i"))).alias(
+                "jaccard"
+            ),
         )
     )
     out.candidate_cache = candidate_pairs  # release handle (docstring)
+    out.grams_cache = grams  # same caller-unpersist convention
     return out
 
 

@@ -18,22 +18,30 @@ Two signal tiers, two plan shapes:
 - REPETITION RULES — duplicate line/paragraph fractions (by count
   and by character mass) and top/duplicated word-n-gram character
   fractions for n = 2..10 — are PER-DOCUMENT statistics, so they need
-  NO shuffle at all: each kind's unit array is ``array_sort``-ed and
-  folded once with ``F.aggregate`` (duplicates are adjacent after the
-  sort; the accumulator carries the current run and the four dup/top
-  tallies), making the whole operator ONE map-only projection chain.
-  Two alternatives were measured and rejected (sf0.1, warm min-of-3,
-  same session): (a) exploding units into a groupBy(id, kind, unit)
-  count — at 100 TB that shuffles ~11× the corpus's token bytes to
-  compute numbers every row can compute locally (the explode→count
-  shape is the right tool only for CROSS-document stats: line dedup,
-  winnowing); (b) splitting the fold into many light zip_with/
-  aggregate passes over shifted slices — 3.47 s vs 2.94 s for the
-  single fold: ten interpreted lambda passes per kind cost more than
-  one fold's per-element struct, so the one-fold form stands. Fold
-  inputs are staged through named columns (winnowing's
-  materialization lesson) so each unit array is built once, not once
-  per reference.
+  NO shuffle: ONE Arrow-batched pandas UDF computes all thirteen
+  fractions per batch with vectorized numpy/pandas (factorize-coded
+  units, bincount tallies). Round 17 (optimization): the previous
+  pure-expression tier (per-kind ``array_sort`` + ``F.aggregate``
+  folds over xxhash64 unit structs) was measured at 5.8 s for the
+  repetition signals alone over 1.5 MB of sf0.1 text — Spark's
+  higher-order array functions (``aggregate``/``zip_with``/
+  ``transform``) are CodegenFallback, i.e. interpreted per element,
+  so 11 sorted folds + a 9-pass gram-hash chain burned ~4 ms/KB of
+  CPU. The Arrow tier computes the identical numbers (string
+  equality via per-batch integer coding — strictly MORE exact than
+  the old xxhash64 tier, and what the DuckDB oracle replays) at
+  vectorized-C speed; guide §4.2's rule ("hand whole batches to
+  native libraries rather than chaining interpreted JVM
+  expressions"). Alternatives measured and rejected earlier stand:
+  exploding units into a groupBy(id, kind, unit) count shuffles ~11×
+  the corpus's token bytes at 100 TB to compute numbers every row
+  can compute locally.
+  Parity pins: tokens are Java-default ``\\S+`` (ASCII whitespace
+  class — python ``re.ASCII`` matches it exactly, unlike python's
+  unicode-aware default); line/para trim strips U+0020 only
+  (``str.strip(' ')``), matching ``F.trim`` and DuckDB ``trim``;
+  unit lengths are code-point counts (python ``len``, matching
+  ``F.length``).
 
 Definitional choices (implementations differ; these are pinned here
 and replayed verbatim by the DuckDB oracle): duplicate line/paragraph
@@ -49,8 +57,14 @@ so the rule passes — matching ngram_expr's documented degradation).
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from snapflow_spark.functions.text import tokens_expr
 
@@ -127,127 +141,178 @@ PASS_RULES = (
 )
 
 
-def _nz(x: Column) -> Column:
-    """NULL-safe fraction: missing kind rows (doc had no units) and
-    0-denominator divisions read as 0.0 — the rule then passes, and
-    the word-count floor rejects genuinely empty docs."""
-    return F.coalesce(x, F.lit(0.0))
+#: The thirteen repetition signals, in SIGNAL_COLUMNS order.
+_REP_FIELDS = (
+    "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+    "dup_para_char_frac",
+    *(f"top{n}_char_frac" for n in _TOP_NS),
+    *(f"dup{n}_char_frac" for n in _DUP_NS),
+)
+_REP_SCHEMA = StructType(
+    [StructField(f, DoubleType(), True) for f in _REP_FIELDS]
+)
+
+#: Java-default ``\S+`` (ASCII \s = [ \t\n\x0B\f\r]); python's re.ASCII
+#: flag reproduces it exactly — python's unicode-aware default would
+#: additionally split on NBSP and friends, diverging from Spark/DuckDB.
+_TOKEN_ASCII_RE = re.compile(r"\S+", re.ASCII)
+_PARA_SPLIT_RE = re.compile(r"\n{2,}")
 
 
-def _L(x) -> Column:
-    return x.cast("long") if isinstance(x, Column) else F.lit(x).cast("long")
-
-
-def _rep_stats(arr: Column) -> Column:
-    """struct(extra_units, extra_chars, dupall_chars, top_chars,
-    total_chars) for one unit array of ``struct<h: long, l: long>``
-    (unit hash + unit char length) — sort, then ONE F.aggregate fold
-    (duplicates are adjacent after the sort; the accumulator carries
-    the open run). All codegen, no shuffle: per-document repetition
-    stats are row-local by definition.
-
-    Units are HASHES, not strings (round 9): the stats only need
-    equality (any total order makes equal units adjacent) and each
-    unit's char length, so sorting 16-byte structs replaces sorting —
-    and for n-grams even MATERIALIZING — the unit strings; xxhash64
-    collisions within one document are the usual negligible tier
-    (same convention as dedup_text's production tier, and the
-    string-unit parity is pinned by test).
-
-    extra_* = occurrences beyond the first of each duplicated unit;
-    dupall_chars = chars of ALL occurrences of duplicated units;
-    top_chars = max over distinct units of count·len (the definitions
-    pinned in the module doc). An empty array yields all zeros."""
-    s = F.array_sort(arr)
-    zero = F.struct(
-        _L(0).alias("prev_h"),
-        _L(0).alias("prev_l"),
-        _L(0).alias("run"),
-        _L(0).alias("extra_u"),
-        _L(0).alias("extra_c"),
-        _L(0).alias("dupall_c"),
-        _L(0).alias("top_c"),
-        _L(0).alias("total_c"),
+def _unit_dup_stats(
+    units: list, docs: list, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(dup_frac, dup_char_frac) per doc for one string-unit kind
+    (lines or paragraphs): occurrences beyond the first of each
+    duplicated unit, by count and by character mass. Vectorized:
+    units are factorize-coded once per batch, duplicate groups found
+    with bincount — no sort, exact string equality."""
+    frac = np.zeros(n_docs)
+    cfrac = np.zeros(n_docs)
+    if not units:
+        return frac, cfrac
+    d = np.asarray(docs, dtype=np.int64)
+    lens = np.fromiter((len(u) for u in units), dtype=np.int64, count=len(units))
+    codes, uniq = pd.factorize(np.asarray(units, dtype=object))
+    key = d * np.int64(len(uniq) + 1) + codes
+    k, ku = pd.factorize(key)
+    c = np.bincount(k)
+    glen = np.zeros(len(ku), dtype=np.int64)
+    glen[k] = lens
+    gdoc = np.zeros(len(ku), dtype=np.int64)
+    gdoc[k] = d
+    tu = np.bincount(d, minlength=n_docs).astype(np.float64)
+    tc = np.bincount(d, weights=lens, minlength=n_docs)
+    dup = c > 1
+    eu = np.bincount(gdoc[dup], weights=(c[dup] - 1), minlength=n_docs)
+    ec = np.bincount(
+        gdoc[dup], weights=(c[dup] - 1) * glen[dup], minlength=n_docs
     )
+    np.divide(eu, tu, out=frac, where=tu > 0)
+    np.divide(ec, tc, out=cfrac, where=tc > 0)
+    return frac, cfrac
 
-    def step(acc: Column, x: Column) -> Column:
-        same = (acc["run"] > 0) & (x["h"] == acc["prev_h"])
-        closing = (~same) & (acc["run"] > 1)
-        run_chars = acc["run"] * acc["prev_l"]
-        return F.struct(
-            x["h"].alias("prev_h"),
-            x["l"].cast("long").alias("prev_l"),
-            F.when(same, acc["run"] + 1).otherwise(_L(1)).cast("long").alias("run"),
-            (acc["extra_u"] + F.when(same, 1).otherwise(0)).cast("long").alias("extra_u"),
-            (acc["extra_c"] + F.when(same, x["l"]).otherwise(0))
-            .cast("long")
-            .alias("extra_c"),
-            (acc["dupall_c"] + F.when(closing, run_chars).otherwise(0))
-            .cast("long")
-            .alias("dupall_c"),
-            F.greatest(
-                acc["top_c"],
-                F.when(~same, run_chars).otherwise(_L(0)).cast("long"),
-            ).alias("top_c"),
-            (acc["total_c"] + x["l"]).cast("long").alias("total_c"),
+
+@pandas_udf(_REP_SCHEMA)
+def _rep_signals_udf(texts: pd.Series) -> pd.DataFrame:
+    """All thirteen repetition fractions per document, vectorized.
+
+    Word n-gram tiers chain-code grams: per-batch word ids from
+    pd.factorize, then tier n's code at position i is
+    factorize(code_{n-1}[i] * V + id[i+n-1]) — two grams get equal
+    codes iff their word sequences are equal (exact, no hashing).
+    Windows crossing document boundaries get codes too (harmless) but
+    are masked out of the per-(doc, gram) tallies. Gram char length =
+    windowed sum of word lengths (+ n-1 joiner spaces) via one cumsum.
+    Degenerate docs (fewer than n words) contribute ONE whole-text
+    gram, never duplicated — the ngram_expr contract the oracle
+    replays. NULL text yields all-zero fractions (pinned round 17)."""
+    n_docs = len(texts)
+    out = {f: np.zeros(n_docs) for f in _REP_FIELDS}
+    if n_docs == 0:
+        return pd.DataFrame(out, columns=list(_REP_FIELDS))
+    tok_lists: list[list[str]] = []
+    line_units: list[str] = []
+    line_docs: list[int] = []
+    para_units: list[str] = []
+    para_docs: list[int] = []
+    m = np.zeros(n_docs, dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not isinstance(t, str):
+            tok_lists.append([])
+            continue
+        toks = _TOKEN_ASCII_RE.findall(t)
+        tok_lists.append(toks)
+        m[i] = len(toks)
+        for x in t.split("\n"):
+            x = x.strip(" ")  # F.trim / DuckDB trim: U+0020 only
+            if x:
+                line_units.append(x)
+                line_docs.append(i)
+        for x in _PARA_SPLIT_RE.split(t):
+            x = x.strip(" ")
+            if x:
+                para_units.append(x)
+                para_docs.append(i)
+
+    for kind, units, docs in (
+        ("line", line_units, line_docs),
+        ("para", para_units, para_docs),
+    ):
+        frac, cfrac = _unit_dup_stats(units, docs, n_docs)
+        out[f"dup_{kind}_frac"] = frac
+        out[f"dup_{kind}_char_frac"] = cfrac
+
+    total_words = int(m.sum())
+    if total_words > 2**31:
+        raise ValueError(
+            "gopher repetition tier: >2^31 words in one Arrow batch — "
+            "lower spark.sql.execution.arrow.maxRecordsPerBatch"
         )
-
-    def finish(acc: Column) -> Column:
-        run_chars = acc["run"] * acc["prev_l"]
-        return F.struct(
-            acc["extra_u"].alias("extra_units"),
-            acc["extra_c"].alias("extra_chars"),
-            (acc["dupall_c"] + F.when(acc["run"] > 1, run_chars).otherwise(0))
-            .cast("long")
-            .alias("dupall_chars"),
-            F.greatest(acc["top_c"], run_chars.cast("long")).alias("top_chars"),
-            acc["total_c"].alias("total_chars"),
+    doc_chars = np.zeros(n_docs, dtype=np.int64)
+    if total_words:
+        all_words = np.empty(total_words, dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            all_words[pos : pos + len(toks)] = toks
+            pos += len(toks)
+        wdoc = np.repeat(np.arange(n_docs, dtype=np.int64), m)
+        wl = np.fromiter(
+            (len(w) for w in all_words), dtype=np.int64, count=total_words
         )
-
-    return F.aggregate(s, zero, step, finish)
-
-
-def _hl(x: Column) -> Column:
-    """string unit -> struct(h, l)."""
-    return F.struct(
-        F.xxhash64(x).alias("h"), F.length(x).cast("long").alias("l")
-    )
-
-
-def _gram_hl_expr(word_hashes: Column, word_lens: Column, n: int) -> Column:
-    """The struct<h,l> n-gram array WITHOUT materializing gram
-    strings: hash = xxhash64-fold over the window's word hashes,
-    len = sum of word lens + (n-1) joiner spaces. Built as zip_with
-    folds over shifted slices — ngram_expr's one-pass shape on longs
-    instead of strings. Degenerate case (fewer than n words) matches
-    ngram_expr: ONE whole-text gram — only its LENGTH matters (a
-    single unit is never duplicated; top/total read its chars), so
-    its hash is pinned to the fold of all word hashes."""
-    m = F.size(word_hashes) - (n - 1)
-    h = F.slice(word_hashes, 1, F.greatest(m, F.lit(1)))
-    ln = F.slice(word_lens, 1, F.greatest(m, F.lit(1)))
-    for k in range(1, n):
-        nh = F.slice(word_hashes, 1 + k, F.greatest(m, F.lit(1)))
-        nl = F.slice(word_lens, 1 + k, F.greatest(m, F.lit(1)))
-        h = F.zip_with(h, nh, lambda a, b: F.xxhash64(a, b))
-        ln = F.zip_with(ln, nl, lambda a, b: a + b + 1)
-    grams = F.zip_with(
-        h, ln, lambda a, b: F.struct(a.alias("h"), b.cast("long").alias("l"))
-    )
-    # degenerate: one whole-text unit — len = sum(word lens) + gaps
-    whole_len = (
-        F.aggregate(word_lens, _L(0), lambda acc, x: acc + x)
-        + F.greatest(F.size(word_lens) - 1, F.lit(0))
-    ).cast("long")
-    whole = F.array(
-        F.struct(
-            F.aggregate(
-                word_hashes, _L(0), lambda acc, x: F.xxhash64(acc, x)
-            ).alias("h"),
-            whole_len.alias("l"),
+        wid, wuniq = pd.factorize(all_words)
+        V = np.int64(len(wuniq) + 1)
+        cum = np.concatenate(([0], np.cumsum(wl)))
+        doc_chars = np.bincount(wdoc, weights=wl, minlength=n_docs).astype(
+            np.int64
         )
-    )
-    return F.when(m >= 1, grams).otherwise(whole)
+    # whole-text degenerate gram length: sum(word lens) + joiner gaps
+    whole_len = doc_chars + np.maximum(m - 1, 0)
+    prev = wid.astype(np.int64) if total_words else np.empty(0, dtype=np.int64)
+    for n in sorted((*_TOP_NS, *_DUP_NS)):
+        key_name = (
+            f"top{n}_char_frac" if n in _TOP_NS else f"dup{n}_char_frac"
+        )
+        tc = whole_len.astype(np.float64)  # degenerate default per doc
+        num = (
+            whole_len.astype(np.float64)
+            if n in _TOP_NS
+            else np.zeros(n_docs)
+        )
+        w = total_words - n + 1  # positions carrying an n-gram code
+        if w > 0:
+            key = prev[:w] * V + wid[n - 1 :]
+            prev, pu = pd.factorize(key)
+            valid = wdoc[:w] == wdoc[n - 1 :]
+            if valid.any():
+                gd = wdoc[:w][valid]
+                starts = np.flatnonzero(valid)
+                glen = (cum[starts + n] - cum[starts]) + (n - 1)
+                gkey = gd * np.int64(len(pu) + 1) + prev[:w][valid]
+                k, ku = pd.factorize(gkey)
+                c = np.bincount(k)
+                glen_u = np.zeros(len(ku), dtype=np.int64)
+                glen_u[k] = glen
+                gdoc_u = np.zeros(len(ku), dtype=np.int64)
+                gdoc_u[k] = gd
+                run_char = c * glen_u
+                live = m >= n  # docs with real windows this tier
+                tc_live = np.bincount(gd, weights=glen, minlength=n_docs)
+                tc = np.where(live, tc_live, tc)
+                if n in _TOP_NS:
+                    top = np.zeros(n_docs, dtype=np.int64)
+                    np.maximum.at(top, gdoc_u, run_char)
+                    num = np.where(live, top.astype(np.float64), num)
+                else:
+                    dup = c > 1
+                    dac = np.bincount(
+                        gdoc_u[dup], weights=run_char[dup], minlength=n_docs
+                    )
+                    num = np.where(live, dac, num)
+        frac = np.zeros(n_docs)
+        np.divide(num, tc, out=frac, where=tc > 0)
+        out[key_name] = frac
+    return pd.DataFrame(out, columns=list(_REP_FIELDS))
 
 
 def _stop_hits_expr(lw: Column, stopwords: tuple[str, ...]) -> Column:
@@ -270,10 +335,11 @@ def gopher_signals(
     ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
     alpha_word_frac, stop_hits, dup_line_frac, dup_line_char_frac,
     dup_para_frac, dup_para_char_frac, top{2,3,4}_char_frac,
-    dup{5..10}_char_frac. Plan: a staged map-only projection chain —
-    per-row rules + one sorted ``F.aggregate`` fold per unit kind; no
-    shuffle, no python (module doc). ``id_col`` is part of the stable
-    API but unused here: nothing leaves the row.
+    dup{5..10}_char_frac. Plan: per-row rules as one codegen
+    projection + the repetition tier as ONE Arrow-batched pandas UDF
+    (module doc); no shuffle, exactly one python crossing. ``id_col``
+    is part of the stable API but unused here: nothing leaves the
+    row.
 
     The required-stopword rule is the ONE language-coupled signal in
     the battery (the paper's list is English; on any other language it
@@ -315,7 +381,6 @@ def gopher_signals(
     fl = "double"
     base = df.select(
         "*",
-        words.alias("__w"),
         n_words.alias("n_words"),
         (word_chars / F.nullif(n_words, F.lit(0))).cast(fl).alias("mean_word_len"),
         (n_hash / F.nullif(n_words, F.lit(0))).cast(fl).alias("hash_word_ratio"),
@@ -332,123 +397,16 @@ def gopher_signals(
         stop_hits.alias("stop_hits"),
     )
 
-    # --- repetition tier: per-kind sorted folds, map-only ----------
-    # NB: the trim must be wrapped in a lambda — F.trim's optional
-    # second parameter makes F.transform pass (element, index), which
-    # silently turns the index into the trim-character set
-    trimmed_lines = F.filter(
-        F.transform(lines_all, lambda x: F.trim(x)), lambda x: x != ""
+    # --- repetition tier: ONE Arrow-vectorized crossing ------------
+    # (round 17 — see module doc: the interpreted fold battery this
+    # replaces cost ~4 ms/KB of task CPU). Only text_col crosses the
+    # boundary; the struct is materialized ONCE as a named column and
+    # the thirteen GetStructField reads are free.
+    with_rep = base.select("*", _rep_signals_udf(text).alias("__rep"))
+    out = with_rep.select(
+        "*", *[F.col("__rep")[f].alias(f) for f in _REP_FIELDS]
     )
-    paras = F.filter(
-        F.transform(F.split(text, r"\n{2,}"), lambda x: F.trim(x)),
-        lambda x: x != "",
-    )
-    # units are struct<h,l> hashes (round 9): per-word hash/len arrays
-    # are built ONCE and every n-gram tier derives from them — no gram
-    # strings are ever materialized (see _rep_stats / _gram_hl_expr)
-    staged = base.select(
-        "*",
-        F.transform(F.col("__w"), lambda w: F.xxhash64(w)).alias("__wh"),
-        F.transform(
-            F.col("__w"), lambda w: F.length(w).cast("long")
-        ).alias("__wl"),
-    )
-    # incremental gram-hash chain (round 10): tier n's hash/len arrays
-    # extend tier n-1's with ONE zip_with against the n-shifted word
-    # arrays (identical values to the from-scratch fold — zip_with is
-    # elementwise, and tier n's prefix of tier n-1 is exactly its
-    # base). The from-scratch form rebuilt each tier independently:
-    # sum(n-1) = 45 zip passes for n=2..10 vs 9 here. Each tier is a
-    # NAMED staged column so it evaluates once (the winnowing lesson).
-    wh, wl = F.col("__wh"), F.col("__wl")
-    gram_ns = sorted((*_TOP_NS, *_DUP_NS))
-    chain = staged
-    prev_h, prev_l = wh, wl
-    for n in gram_ns:
-        m = F.greatest(F.size(wh) - (n - 1), F.lit(1))
-        h = F.zip_with(
-            F.slice(prev_h, 1, m), F.slice(wh, n, m),
-            lambda a, b: F.xxhash64(a, b),
-        )
-        ln = F.zip_with(
-            F.slice(prev_l, 1, m), F.slice(wl, n, m), lambda a, b: a + b + 1
-        )
-        chain = chain.select(
-            "*", h.alias(f"__gh{n}"), ln.alias(f"__gl{n}")
-        )
-        prev_h, prev_l = F.col(f"__gh{n}"), F.col(f"__gl{n}")
-
-    def _gram_units(n: int) -> Column:
-        """struct<h,l> array for tier n from the staged chain, with
-        _gram_hl_expr's exact degenerate contract (fewer than n words
-        -> ONE whole-text gram whose hash is the fold of all word
-        hashes and whose length includes the joiner gaps)."""
-        grams = F.zip_with(
-            F.col(f"__gh{n}"),
-            F.col(f"__gl{n}"),
-            lambda a, b: F.struct(a.alias("h"), b.cast("long").alias("l")),
-        )
-        whole_len = (
-            F.aggregate(wl, _L(0), lambda acc, x: acc + x)
-            + F.greatest(F.size(wl) - 1, F.lit(0))
-        ).cast("long")
-        whole = F.array(
-            F.struct(
-                F.aggregate(
-                    wh, _L(0), lambda acc, x: F.xxhash64(acc, x)
-                ).alias("h"),
-                whole_len.alias("l"),
-            )
-        )
-        return F.when(F.size(wh) - (n - 1) >= 1, grams).otherwise(whole)
-
-    kinds: dict[str, Column] = {
-        "line": F.transform(trimmed_lines, _hl),
-        "para": F.transform(paras, _hl),
-    }
-    for n in gram_ns:
-        kinds[f"g{n}"] = _gram_units(n)
-    with_units = chain.select(
-        "*", *[arr.alias(f"__u_{k}") for k, arr in kinds.items()]
-    )
-    with_stats = with_units.select(
-        "*",
-        *[_rep_stats(F.col(f"__u_{k}")).alias(f"__r_{k}") for k in kinds],
-    )
-
-    def fr(k: str, num: Column, den: Column) -> Column:
-        return _nz(num / F.nullif(den, F.lit(0)))
-
-    r = {k: F.col(f"__r_{k}") for k in kinds}
-    u = {k: F.col(f"__u_{k}") for k in kinds}
-    frac_cols = [
-        fr("line", r["line"]["extra_units"], F.size(u["line"]))
-        .alias("dup_line_frac"),
-        fr("line", r["line"]["extra_chars"], r["line"]["total_chars"])
-        .alias("dup_line_char_frac"),
-        fr("para", r["para"]["extra_units"], F.size(u["para"]))
-        .alias("dup_para_frac"),
-        fr("para", r["para"]["extra_chars"], r["para"]["total_chars"])
-        .alias("dup_para_char_frac"),
-    ]
-    for n in _TOP_NS:
-        g = f"g{n}"
-        frac_cols.append(
-            fr(g, r[g]["top_chars"], r[g]["total_chars"])
-            .alias(f"top{n}_char_frac")
-        )
-    for n in _DUP_NS:
-        g = f"g{n}"
-        frac_cols.append(
-            fr(g, r[g]["dupall_chars"], r[g]["total_chars"])
-            .alias(f"dup{n}_char_frac")
-        )
-    out = with_stats.select("*", *frac_cols)
-    return out.drop(
-        "__w", "__wh", "__wl",
-        *[f"__u_{k}" for k in kinds],
-        *[f"__r_{k}" for k in kinds],
-    )
+    return out.drop("__rep")
 
 
 def gopher_pass_expr(thresholds: dict[str, float] | None = None) -> Column:

@@ -63,4 +63,25 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 4 decimals: pandas and DuckDB aggregate doubles in different
     orders (probed: equal after round)."""
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    return e.groupBy("user_id").applyInPandas(_zscore, _ZSCORE_SCHEMA)
+    # Pin the exchange width instead of letting AQE coalesce it: the
+    # python stage's cost is per-GROUP python/pandas overhead, not
+    # bytes, and AQE's 1 MB minPartitionSize floor coalesces this
+    # ~1.7 MB shuffle to 1-2 partitions — serializing every group's
+    # crossing on one core (measured 3.45 s -> 0.66 s at sf0.1 with
+    # the pin; plan shape unchanged, still exactly one Exchange since
+    # groupBy reuses the repartition's hashpartitioning). Width is
+    # max(defaultParallelism, shuffle.partitions), not a constant, so
+    # a cluster profile (tune_cluster: 2000 shuffle partitions) keeps
+    # its width and the local shim fills local[N] — guide §2.5/§4:
+    # python-crossing stages want parallelism first, byte-sized
+    # partitions second.
+    sc = spark.sparkContext
+    width = max(
+        sc.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    return (
+        e.repartition(width, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(_zscore, _ZSCORE_SCHEMA)
+    )

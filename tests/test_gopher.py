@@ -192,12 +192,19 @@ def test_keep_signals_and_shape(spark):
     assert plain.columns == df.columns
 
 
-def test_plan_is_python_free(spark):
+def test_plan_is_one_arrow_crossing_no_shuffle(spark):
+    # round 17: the repetition tier is ONE Arrow-batched pandas UDF
+    # (vectorized numpy/pandas — the interpreted fold battery it
+    # replaced cost ~4 ms/KB of task CPU); the plan must stay
+    # shuffle-free with exactly one ArrowEvalPython and no
+    # row-pickled BatchEvalPython.
     df = spark.createDataFrame([(1, synth_doc(1))], "doc_id long, text string")
     plan = (
         gopher_signals(df)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "EvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
 
 
 def test_defaults_cover_every_threshold_key():
@@ -286,7 +293,7 @@ def test_stopwords_by_lang_routes_per_row(spark):
     assert {r.doc_id for r in kept.collect()} == {1, 2}
 
 
-def test_multilingual_plan_stays_python_free(spark):
+def test_multilingual_plan_stays_one_crossing_no_shuffle(spark):
     df = spark.createDataFrame(
         [(1, "de", "x")], "doc_id long, lang string, text string"
     )
@@ -298,7 +305,11 @@ def test_multilingual_plan_stays_python_free(spark):
         .executedPlan()
         .toString()
     )
-    assert "Python" not in plan and "Exchange" not in plan
+    # the when-chain stopword routing itself adds no python and no
+    # shuffle; the one ArrowEvalPython is the repetition tier (r17)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
 
 
 def test_yaml_gopher_multilingual_e2e(spark, tmp_path):

@@ -50,6 +50,8 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{evdir}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .getOrCreate()
     )
     tune(spark)
@@ -74,7 +76,11 @@ def main() -> None:
     spark.stop()
 
     # ---- parse the event log ----
-    files = [f for f in glob.glob(f"{evdir}/*") if not f.endswith(".inprogress")] or glob.glob(f"{evdir}/*")
+    # Spark 4 event logs can be single files or eventlog_v2 dirs
+    files = [
+        f for f in glob.glob(f"{evdir}/**", recursive=True)
+        if os.path.isfile(f) and "appstatus" not in os.path.basename(f)
+    ]
     stages: dict[int, dict] = {}
     job_desc: dict[int, str] = {}
     stage_job: dict[int, int] = {}
