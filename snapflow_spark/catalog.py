@@ -10,6 +10,7 @@ files — readers take directories transparently.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,13 +38,41 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# Per-session memo of CONSTRUCTED DataFrames (lazy plans, never data):
+# spark.read.parquet pays 150-250 ms of driver-side schema inference on
+# every call, and a bench pass constructs the same ten fixture tables
+# hundreds of times. Keyed by (path, mtime) so a rewritten fixture
+# (tools/gen_scale.py regenerating .scratch tables) is picked up; the
+# WeakKeyDictionary dies with the session. Round 17 (optimization,
+# guide §1.2 per-task work / §6 listing): this caches PLANS only —
+# every action on the returned DataFrame still scans the parquet files
+# in full, so bench/oracle runs keep computing from the inputs.
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     from snapflow_spark.session import tune
 
     tune(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (path, mtime)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+    df = _build_table(spark, path, name)
+    cache[key] = df
+    return df
+
+
+def _build_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    df = spark.read.parquet(path)
     if name == "events":
         # Normalize ts to µs TimestampType regardless of how the fixture
         # was written. Older fixtures use parquet TIMESTAMP(NANOS), which
@@ -68,9 +97,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     of splits and this is a no-op, so no extra shuffle at scale."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # The partition probe (df.rdd) plans the query — ~100 ms of driver
+    # work per call. Memoize the decision per (DataFrame, target):
+    # load_table returns per-session cached objects, so repeated query
+    # constructions hit this memo instead of re-planning (round 17;
+    # derived one-off DataFrames simply miss — same behavior as before).
+    memo = df.__dict__.setdefault("_ep_memo", {})
+    out = memo.get(target)
+    if out is None:
+        out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+        memo[target] = out
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
