@@ -104,21 +104,30 @@ class Pipeline:
         inputs: dict[str, DataFrame | None] = {}
         seen: dict[str, list[str]] = {}
         any_delta = False
+        stores: dict[str, tuple] = {}
         for input_name, (src, mode) in node.upstream.items():
             store = self.store(src)
             available = store.snapshot_ids()
             delta = self.ledger.unconsumed(node.name, input_name, available)
             seen[input_name] = delta
             any_delta = any_delta or bool(delta)
-            if mode == CONSUMABLE:
-                inputs[input_name] = store.read(spark, delta)
-            elif mode == LATEST:
-                inputs[input_name] = store.read_latest(spark)
-            else:  # REFERENCE
-                inputs[input_name] = store.read(spark)
+            stores[input_name] = (store, mode, delta)
         if node.upstream:
+            # Decide BEFORE building any input DataFrame: the reactive
+            # fixed-point pass visits every node once more after the
+            # last productive run, and constructing a REFERENCE node's
+            # full-store read (schema inference + file listing per
+            # snapshot dir) only to discard it charged one wasted
+            # driver-side read per produce() (round 17, guide §1.2).
             if not any_delta:
                 return False
+            for input_name, (store, mode, delta) in stores.items():
+                if mode == CONSUMABLE:
+                    inputs[input_name] = store.read(spark, delta)
+                elif mode == LATEST:
+                    inputs[input_name] = store.read_latest(spark)
+                else:  # REFERENCE
+                    inputs[input_name] = store.read(spark)
         else:
             # Importer node (no upstream): runs once, like snapflow's
             # import_* source snaps (SURVEY §2.A A5).

@@ -9,6 +9,8 @@ with AQE handling skew.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -86,33 +88,71 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan shows ``Bucketed: true`` + SMJ with only Sorts above the
     scans). The customer side broadcasts. At 100 TB the bucketed write
     is paid once and amortized across every query that joins the pair;
-    here the query pays it inline (the q_accumulate setup precedent)
-    so the driver-visible plan IS the zero-exchange join. The `merge`
-    hint keeps the physical shape stable where AQE would broadcast the
-    small sf's fact side — broadcasting would be fine at sf0.01, but
-    the co-located SMJ is the plan that survives the scale-up."""
+    the layout is staged once per (session, sf_dir) — the
+    q_scan_formats fixture precedent (round 17; previously every call
+    re-dropped and re-wrote both tables, charging the amortized-once
+    write to every repeat execution) — and the driver-visible plan IS
+    the zero-exchange join. The `merge` hint keeps the physical shape
+    stable where AQE would broadcast the small sf's fact side —
+    broadcasting would be fine at sf0.01, but the co-located SMJ is
+    the plan that survives the scale-up."""
     c = load_table(spark, sf_dir, "customer")
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .where(
-            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        )
-        .select("o_orderkey", "o_custkey")
-    )
-    l = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-    )
-    ob = refresh_bucketed(o, "q_join_inner_orders_b", ["o_orderkey"], 8)
-    lb = refresh_bucketed(l, "q_join_inner_lineitem_b", ["l_orderkey"], 8)
+    ob, lb = _bucketed_facts(spark, sf_dir)
     fact = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
     return (
         fact.join(F.broadcast(c), fact.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(exact_revenue_sum("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+_BUCKETED_FACTS_CACHE: "WeakKeyDictionary[SparkSession, dict]" = (
+    WeakKeyDictionary()
+)
+
+
+def _bucketed_facts(spark: SparkSession, sf_dir: str):
+    """q_join_inner's bucketed fact pair, staged once per
+    (session, sf_dir). Table names carry an sf_dir digest so two
+    scale factors in one session stage DISTINCT catalog tables —
+    a shared name would let the first sf's cached scan silently read
+    the second sf's rewrite. The staged tables are a LAYOUT of the
+    parquet inputs (filter + bucketed write), rebuilt from scratch in
+    every new session/process; reads always scan the staged files."""
+    import hashlib
+    import os
+
+    from snapflow_spark.catalog import table_path
+
+    per = _BUCKETED_FACTS_CACHE.setdefault(spark, {})
+    # key carries the input mtimes so a regenerated fixture restages
+    def _mt(name: str) -> float:
+        try:
+            return os.path.getmtime(table_path(sf_dir, name))
+        except OSError:
+            return -1.0
+
+    key = (sf_dir, _mt("orders"), _mt("lineitem"))
+    pair = per.get(key)
+    if pair is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            )
+            .select("o_orderkey", "o_custkey")
+        )
+        l = (
+            load_table(spark, sf_dir, "lineitem")
+            .where(F.col("l_returnflag") == "R")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+        )
+        ob = refresh_bucketed(o, f"q_join_inner_orders_b_{tag}", ["o_orderkey"], 8)
+        lb = refresh_bucketed(l, f"q_join_inner_lineitem_b_{tag}", ["l_orderkey"], 8)
+        per[key] = pair = (ob, lb)
+    return pair
 
 
 @query(
