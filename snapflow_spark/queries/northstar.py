@@ -11,7 +11,9 @@ from __future__ import annotations
 
 import weakref
 
+import pandas as pd  # module-level: pandas_udf string hints need it
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql import functions as F
 
 from snapflow_spark.catalog import ensure_parallelism, load_table
@@ -2045,7 +2047,12 @@ def _cell_weight(i: F.Column, plane) -> F.Column:
 
 
 def _cell_bit(qv: F.Column, plane) -> F.Column:
-    """Sign bit of the integer dot product <quantized vec, plane>."""
+    """Sign bit of the integer dot product <quantized vec, plane>.
+
+    SCALAR REFERENCE for the vectorized ``_cell_bands_udf`` below —
+    kept (with ``_cell_weight``) so the parity test can pin the numpy
+    form value-for-value against the expression form the oracle SQL
+    was written from."""
     dot = F.aggregate(
         F.zip_with(
             qv,
@@ -2056,6 +2063,28 @@ def _cell_bit(qv: F.Column, plane) -> F.Column:
         lambda acc, x: acc + x,
     )
     return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def _cell_bands_udf(vecs: pd.Series) -> pd.Series:
+    """All _CELL_BANDS band values per vector in one exact-int64 numpy
+    pass: w[i, p] = ±1 from the same LCG as _cell_weight (operands stay
+    < 2^63, and every input to % is non-negative, so numpy's % and
+    Spark's sign-keeping % agree), bits = sign(q @ w), band value =
+    2*bit(2b) + bit(2b+1) — bit-identical to the _cell_bit expression
+    tier (parity-pinned in tests/test_northstar.py)."""
+    import numpy as np
+
+    m = np.vstack(vecs.to_numpy()).astype(np.float64)
+    q = np.floor(m * 1000).astype(np.int64)
+    dim = q.shape[1]
+    i = np.arange(dim, dtype=np.int64)[:, None]
+    p = np.arange(2 * _CELL_BANDS, dtype=np.int64)[None, :]
+    h = (1103515245 * (i * 8 + p) + 12345) % 2147483648
+    w = np.where(h < 1073741824, 1, -1).astype(np.int64)
+    bits = ((q @ w) >= 0).astype(np.int64)  # (n, 2*_CELL_BANDS)
+    vals = 2 * bits[:, 0::2] + bits[:, 1::2]
+    return pd.Series(list(vals.astype(np.int32)))
 
 
 @query(
@@ -2105,33 +2134,34 @@ def q_embed_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical shape as the 100 TB path (signature -> one shuffle ->
     bounded in-bucket exact verify), demonstrated here at a slice
     where the oracle can afford the replay."""
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _EXACT_SLICE)
-    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long"))
-    band_vals = F.array(
-        *[
-            (_cell_bit(F.col("qv"), 2 * b) * 2 + _cell_bit(F.col("qv"), 2 * b + 1)).cast(
-                "int"
-            )
-            for b in range(_CELL_BANDS)
-        ]
+    from snapflow_spark.operators.similarity import (
+        _hoisted_cos_pair,
+        _vec_member,
     )
-    banded = (
-        ensure_parallelism(emb.select("vec_id", "embedding", qv.alias("qv")))
-        .select(
-            "vec_id",
-            "embedding",
-            F.posexplode(band_vals).alias("band_idx", "band_val"),
-        )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _EXACT_SLICE)
+    # Round 17: the 8 per-row sign-bit folds moved from interpreted
+    # higher-order expressions (aggregate(zip_with(...)) per plane —
+    # CodegenFallback, ~8 s of task CPU on 300 rows at sf0.1) into ONE
+    # exact-int64 numpy matmul per Arrow batch (_cell_bands_udf; the
+    # LCG weights and floor(x*1000) quantization are bit-identical —
+    # pinned against the _cell_bit expression form in
+    # tests/test_northstar.py). The repartition ahead of the stage is
+    # gone for the same reason as embedding_near_dup_pairs: the banded
+    # explode feeds bucketed_pairs' groupBy exchange, which
+    # redistributes anyway. Norms are hoisted out of the pair loop
+    # (_vec_member). Interleaved A/B: 1.69 s -> 0.93 s warm at sf0.1,
+    # results value-identical.
+    banded = emb.select("vec_id", "embedding").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("__vec"),
+        F.posexplode(_cell_bands_udf("embedding")).alias("band_idx", "band_val"),
     )
     pairs = bucketed_pairs(
         banded,
         ["band_idx", "band_val"],
-        F.struct(F.col("vec_id").alias("id"), F.col("embedding").alias("__vec")),
-        lambda x, y: F.struct(
-            x["id"].alias("id_a"),
-            y["id"].alias("id_b"),
-            cosine_similarity(x["__vec"], y["__vec"]).alias("cos_raw"),
-        ),
+        _vec_member(),
+        _hoisted_cos_pair("cos_raw"),
         max_bucket=_CELL_MAX_BUCKET,
     )
     return (

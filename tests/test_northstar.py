@@ -605,6 +605,46 @@ def test_embed_near_dup_query_finds_planted_pairs(spark):
     assert all(0.9 <= r.cos <= 1.0 for r in rows)
 
 
+def test_cell_bands_udf_matches_expression_reference(spark):
+    """q_embed_near_exact's vectorized numpy band assignment
+    (_cell_bands_udf, round 17) is value-identical to the scalar
+    _cell_bit expression tier the DuckDB oracle replays — every band
+    value for every vector in the slice."""
+    from snapflow_spark.catalog import load_table
+    from snapflow_spark.queries.northstar import (
+        _CELL_BANDS,
+        _EXACT_SLICE,
+        _cell_bands_udf,
+        _cell_bit,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        F.col("vec_id") < _EXACT_SLICE
+    )
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    expr_vals = F.array(
+        *[
+            (_cell_bit(F.col("qv"), 2 * b) * 2 + _cell_bit(F.col("qv"), 2 * b + 1))
+            .cast("int")
+            for b in range(_CELL_BANDS)
+        ]
+    )
+    rows = (
+        emb.select("vec_id", "embedding", qv.alias("qv"))
+        .select(
+            "vec_id",
+            expr_vals.alias("expr_bands"),
+            _cell_bands_udf("embedding").alias("np_bands"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert list(r.expr_bands) == list(r.np_bands), r.vec_id
+
+
 def test_ivf_build_small_corpus_and_pgm_resize(spark):
     """IVF build on a corpus smaller than k_cells clamps the cell
     count instead of crashing; resize keeps grayscale PGM grayscale
