@@ -34,3 +34,11 @@ def l2_norm(a: str | Column) -> Column:
 
 def cosine_similarity(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_vs_normed(a: str | Column, b: str | Column, b_norm: str | Column) -> Column:
+    """``cosine_similarity(a, b)`` with ``b``'s norm precomputed —
+    float-identical (same folds, same multiply order), used to hoist a
+    broadcast probe's norm out of per-corpus-row evaluation (round 17:
+    the probe-side norm fold otherwise re-runs on every scored row)."""
+    return dot(a, b) / (l2_norm(a) * _c(b_norm))

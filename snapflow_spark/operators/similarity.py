@@ -19,7 +19,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from snapflow_spark.catalog import ensure_parallelism
-from snapflow_spark.functions.vectors import cosine_similarity, l2_norm
+from snapflow_spark.functions.vectors import (
+    cosine_similarity,  # noqa: F401 — re-exported operator API
+    cosine_vs_normed,
+    l2_norm,
+)
 from snapflow_spark.operators.buckets import bucketed_pairs
 from snapflow_spark.operators.topk import grouped_topk, topk
 
@@ -43,15 +47,18 @@ def brute_force_topk(
     partition keeps its local k, the driver merges N_partitions×k —
     instead of a one-group window that shuffles every scored row to a
     single task. Same rows, strictly better plan for one probe."""
+    # probe norm computed ONCE on the broadcast side (round 17): the
+    # old per-row cosine re-ran the probe's 64-element norm fold on
+    # every scored corpus row; cosine_vs_normed is float-identical.
     p = F.broadcast(
         probes.select(
             F.col(probe_id_col), F.col(vec_col).alias("__probe_vec")
-        )
+        ).withColumn("__probe_norm", l2_norm(F.col("__probe_vec")))
     )
     scored = ensure_parallelism(corpus.select(id_col, vec_col)).crossJoin(p).select(
         probe_id_col,
         id_col,
-        cosine_similarity(vec_col, "__probe_vec").alias("cos"),
+        cosine_vs_normed(vec_col, "__probe_vec", "__probe_norm").alias("cos"),
     )
     if single_probe:
         return topk(scored, [F.col("cos").desc(), F.col(id_col).asc()], k)
@@ -361,11 +368,16 @@ class IVFIndex:
             [(pid, cell, vec) for pid, cells, vec in cells_per_probe for cell in cells],
             f"{probe_id_col} {pid_type}, cell int, __probe_vec {vec_type}",
         )
-        pruned = self.assigned.join(F.broadcast(probe_cells), "cell")
+        pruned = self.assigned.join(
+            F.broadcast(
+                probe_cells.withColumn("__probe_norm", l2_norm(F.col("__probe_vec")))
+            ),
+            "cell",
+        )
         scored = pruned.select(
             probe_id_col,
             self.id_col,
-            cosine_similarity(self.vec_col, "__probe_vec").alias("cos"),
+            cosine_vs_normed(self.vec_col, "__probe_vec", "__probe_norm").alias("cos"),
         )
         return grouped_topk(
             scored, [probe_id_col], [F.col("cos").desc(), F.col(self.id_col).asc()], k
@@ -562,12 +574,12 @@ class PQCodec:
         p = F.broadcast(
             probes.select(
                 F.col(probe_id_col), F.col(self.vec_col).alias("__probe_vec")
-            )
+            ).withColumn("__probe_norm", l2_norm(F.col("__probe_vec")))
         )
         exact = raw.join(p, probe_id_col).select(
             probe_id_col,
             self.id_col,
-            cosine_similarity("__raw_vec", "__probe_vec").alias("cos"),
+            cosine_vs_normed("__raw_vec", "__probe_vec", "__probe_norm").alias("cos"),
         )
         return grouped_topk(
             exact, [probe_id_col], [F.col("cos").desc(), F.col(self.id_col).asc()], k
@@ -1229,10 +1241,17 @@ def prototype_filter(
         scored = scored.join(
             among.select(F.col(id_col)).distinct(), id_col, "semi"
         )
-    scored = scored.join(F.broadcast(centroids), "cell").select(
+    scored = scored.join(
+        F.broadcast(
+            centroids.withColumn("__centroid_norm", l2_norm(F.col("__centroid")))
+        ),
+        "cell",
+    ).select(
         id_col,
         "cell",
-        F.round(cosine_similarity(vec_col, "__centroid"), 8).alias("proto"),
+        F.round(
+            cosine_vs_normed(vec_col, "__centroid", "__centroid_norm"), 8
+        ).alias("proto"),
     )
 
     from pyspark.sql import Window
