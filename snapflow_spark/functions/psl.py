@@ -338,6 +338,32 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def isin_literals(col: Column, values: list) -> Column:
+    """``col.isin(*values)`` built in O(1) py4j round trips instead of
+    one per literal (round 17, guide §7.3 planning time): PySpark's
+    ``Column.isin`` calls ``_create_column_from_literal`` — one
+    gateway round trip — PER VALUE, which made the PSL expression
+    ~750 round trips (~4.4 s of q_dedup_exact's construction on a
+    contended driver core). The JVM ``Column.isin(Any*)`` wraps plain
+    values in ``Literal`` itself, and py4j ships a python list as ONE
+    command, so the whole membership test costs two round trips.
+    Expression-identical: same ``In(col, literals)``, same InSet
+    conversion at optimization. Falls back to the public API when the
+    classic-column internals are unavailable (e.g. Spark Connect)."""
+    vals = list(values)
+    try:
+        from pyspark import SparkContext
+        from pyspark.sql.classic.column import Column as ClassicColumn
+        from pyspark.sql.classic.column import _to_seq
+
+        ctx = SparkContext._active_spark_context
+        if ctx is None:
+            raise RuntimeError("no active SparkContext")
+        return ClassicColumn(col._jc.isin(_to_seq(ctx, vals)))
+    except Exception:
+        return col.isin(*vals)
+
+
 def registered_domain_expr(
     host: Column | str, psl: CompiledPSL | None = None
 ) -> Column:
@@ -366,19 +392,19 @@ def registered_domain_expr(
     terms = [F.lit(1)]
     for k, rules in sorted(psl.exact.items()):
         terms.append(
-            F.when((n >= k) & cand[k].isin(*sorted(rules)), F.lit(k)).otherwise(
+            F.when((n >= k) & isin_literals(cand[k], sorted(rules)), F.lit(k)).otherwise(
                 F.lit(0)
             )
         )
     for k, rules in sorted(psl.wildcard.items()):
         terms.append(
             F.when(
-                (n >= k + 1) & cand[k].isin(*sorted(rules)), F.lit(k + 1)
+                (n >= k + 1) & isin_literals(cand[k], sorted(rules)), F.lit(k + 1)
             ).otherwise(F.lit(0))
         )
     p = F.greatest(*terms) if len(terms) > 1 else terms[0]
     for k, rules in sorted(psl.exception.items()):
-        p = F.when((n >= k) & cand[k].isin(*sorted(rules)), F.lit(k - 1)).otherwise(
+        p = F.when((n >= k) & isin_literals(cand[k], sorted(rules)), F.lit(k - 1)).otherwise(
             p
         )
     return F.when(

@@ -62,6 +62,13 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _isin_lits(col: Column, values) -> Column:
+    """Chatter-free literal membership (see psl.isin_literals)."""
+    from snapflow_spark.functions.psl import isin_literals
+
+    return isin_literals(col, values)
+
+
 def host_expr(url: Column | str) -> Column:
     """Lowercased host[:port] of an absolute URL ('' if not one)."""
     return F.lower(F.regexp_extract(F.trim(_c(url)), r"^[^:/?#]+://([^/?#]+)", 1))
@@ -88,7 +95,7 @@ def registered_domain_expr(host: Column | str, psl=None) -> Column:
         )
         last3 = F.concat_ws(".", F.element_at(labels, -3), last2)
         return (
-            F.when((n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3)
+            F.when((n >= 3) & _isin_lits(last2, sorted(TWO_LEVEL_SUFFIXES)), last3)
             .when(n >= 2, last2)
             .otherwise(h)
         )
@@ -186,7 +193,7 @@ def filter_url_blocklist(
             )
             drop = drop | F.col("__block_domain").isNotNull()
         else:
-            drop = drop | rd.isin(*[d.lower() for d in domains])
+            drop = drop | _isin_lits(rd, [d.lower() for d in domains])
     if phrases:
         lowered = F.lower(_c(url_col))
         for p in phrases:

@@ -109,7 +109,7 @@ def incremental_minhash_dedup(
     still dedup; only tokenless/NULL docs bypass the gate."""
     k = num_hash_tables * rows_per_band
     staged = (
-        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        ensure_parallelism(docs).select(F.col(id_col), F.col(text_col))
         .select(id_col, tokens_expr(text_col).alias("__toks"))
         # NULL/tokenless docs bypass entirely: without this gate they
         # would degrade to a '' whole-text shingle and "near-match"

@@ -85,7 +85,7 @@ def simhash_candidates(
     single simhash UDF pass. (A band self-join would re-run the UDF
     subtree once per join side and shuffle the full table twice.)"""
     banded = simhash_bands(
-        ensure_parallelism(df.select(id_col, text_col)), text_col, n_bands
+        ensure_parallelism(df).select(id_col, text_col), text_col, n_bands
     ).select(F.col(id_col).alias("id"), "simhash", "band_idx", "band_val")
     pairs = bucketed_pairs(
         banded,
@@ -136,7 +136,7 @@ def simhash_sha_candidates(
     from snapflow_spark.functions.text import simhash_sha_bands_udf
 
     banded = (
-        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(text_col))
         .where(F.size(tokens_expr(text_col)) > 0)
         .select("id", simhash_sha_bands_udf(text_col).alias("bvals"))
         .select("id", "bvals", F.posexplode("bvals").alias("band_idx", "band_val"))
@@ -226,7 +226,7 @@ def minhash_candidates(
     """
     k = num_hash_tables * rows_per_band
     sigged = (
-        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(text_col))
         .select("id", tokens_expr(text_col).alias("tokens"))
         .where(F.size("tokens") > 0)
         .select("id", shingle_hashes(F.col("tokens"), shingle_n).alias("h"))
@@ -286,7 +286,7 @@ def minhash_sha_candidates(
     from snapflow_spark.functions.text import minhash_sha_bands_udf
 
     banded = (
-        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(text_col))
         .where(F.size(tokens_expr(text_col)) > 0)
         .select("id", minhash_sha_bands_udf(text_col).alias("bvals"))
         .select("id", F.posexplode("bvals").alias("band_idx", "band_val"))
@@ -324,7 +324,7 @@ def mingram_candidates(
     reproducibility for higher recall.
     """
     blocked = (
-        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(text_col))
         .select("id", F.array_distinct(ngram_expr(tokens_expr(text_col), n)).alias("grams"))
         .select("id", F.array_min(F.transform("grams", lambda g: F.sha2(g, 256))).alias("blk"))
     )

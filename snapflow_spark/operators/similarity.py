@@ -55,7 +55,7 @@ def brute_force_topk(
             F.col(probe_id_col), F.col(vec_col).alias("__probe_vec")
         ).withColumn("__probe_norm", l2_norm(F.col("__probe_vec")))
     )
-    scored = ensure_parallelism(corpus.select(id_col, vec_col)).crossJoin(p).select(
+    scored = ensure_parallelism(corpus).select(id_col, vec_col).crossJoin(p).select(
         probe_id_col,
         id_col,
         cosine_vs_normed(vec_col, "__probe_vec", "__probe_norm").alias("cos"),
@@ -198,7 +198,7 @@ def brute_force_topk_matmul(
                 {probe_id_col: out_pid, id_col: out_id, "cos": out_cos}
             )
 
-    candidates = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
+    candidates = ensure_parallelism(corpus).select(id_col, vec_col).mapInPandas(
         score_batches,
         schema=f"{probe_id_col} {pid_type}, {id_col} {id_type}, cos double",
     )
@@ -555,7 +555,7 @@ class PQCodec:
                     {probe_id_col: out_pid, id_col: out_id, "cos": out_cos}
                 )
 
-        candidates = ensure_parallelism(codes.select(id_col, "pq_code")).mapInPandas(
+        candidates = ensure_parallelism(codes).select(id_col, "pq_code").mapInPandas(
             score_batches,
             schema=f"{probe_id_col} {pid_type}, {id_col} {id_type}, cos double",
         )

@@ -211,7 +211,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snapflow_spark.operators.dedup_text import dedup_lines_global
 
     lines = dedup_lines_global(
-        ensure_parallelism(d.select("doc_id", "text"))
+        ensure_parallelism(d).select("doc_id", "text")
     ).select(
         F.lit("lines").alias("branch"),
         F.sha2(F.col("text"), 256).alias("fingerprint"),
@@ -964,11 +964,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_signals,
     )
 
-    def _ival(c: str) -> F.Column:
-        return F.coalesce(
-            F.round(F.col(c) * 1000000.0, 0).cast("long"), F.lit(-1)
-        ).cast("string")
-
+    # the 21-signal fingerprint battery as ONE parsed SQL expression
+    # (round 17, guide §7.3): the per-column builder
+    # coalesce(round(c*1e6, 0) cast long, -1) cast string cost ~12
+    # py4j round trips per signal (~1.8 s of this query's driver-side
+    # construction); one F.expr parses the identical tree JVM-side in
+    # a single round trip. SIGNAL_COLUMNS are plain snake_case names.
+    _fp_sql = "concat_ws('|', " + ", ".join(
+        f"cast(coalesce(cast(round({c} * 1000000.0, 0) as bigint), -1)"
+        " as string)"
+        for c in SIGNAL_COLUMNS
+    ) + ")"
     gopher = gopher_signals(d.select("doc_id", "lang", "text")).select(
         F.lit("gopher").alias("branch"),
         "doc_id",
@@ -977,9 +983,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(gopher_pass_expr(), F.lit(1.0)).otherwise(F.lit(0.0)).alias(
             "quality"
         ),
-        F.concat_ws("|", *[_ival(c) for c in SIGNAL_COLUMNS]).alias(
-            "fingerprint"
-        ),
+        F.expr(_fp_sql).alias("fingerprint"),
         F.col("n_words").cast("bigint").alias("n_tokens"),
     )
     # 'c4' branch (round 9): the Raffel et al. 2020 cleaning battery —
