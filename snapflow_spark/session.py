@@ -27,6 +27,26 @@ def tune(spark: SparkSession) -> SparkSession:
     """
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
+    # DataFrame-debugging call-site capture OFF (round 17, guide §7.3
+    # planning time): PySpark 4 wraps every DataFrame API call in
+    # _with_origin, which per call pays a conf.get round trip, a JVM
+    # PySparkCurrentOrigin.set + .clear pair and a python stack walk —
+    # ~4 py4j round trips per DataFrame method. Interleaved min-of-6
+    # A/B: q_text_quality construction 1.84 -> 0.96 s, q_dedup_exact
+    # 0.67 -> 0.47 s, q_pipeline_docs 1.36 -> 1.12 s. The only loss is
+    # the call-site line in error messages (the error itself is
+    # unchanged). Host-independent: this is driver-side chatter on any
+    # deployment. The python-side flag is cached globally on first
+    # use; the conf itself is STATIC (builder-time, set in
+    # build_session) and is only ever read to populate that cache, so
+    # for driver-owned sessions the cache write below is the operative
+    # switch.
+    try:  # best-effort: private cache, absent on future pyspark
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = False
+    except Exception:
+        pass
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     # pinned explicitly (not left to Spark's default) — SCALE.md's
@@ -180,6 +200,7 @@ def build_session(app_name: str = "snapflow-spark", master: str | None = None) -
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
