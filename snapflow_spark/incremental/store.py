@@ -82,9 +82,62 @@ class SnapshotStore:
         os.rename(tmp, target)
 
     def append(self, df: DataFrame) -> str:
-        """Write one immutable snapshot; returns its id."""
+        """Write one immutable snapshot; returns its id.
+
+        Identity fast path (round 17): a DataFrame carrying the
+        ``_identity_src_dir`` marker (set by ``read`` on a single-dir
+        read and destroyed by any transformation — DataFrame methods
+        return NEW objects) is exactly the rows of that snapshot dir,
+        so the append hard-links its parquet files into the new
+        snapshot instead of running a Spark write job — the file-level
+        copy snapflow's dcp copy graph (SURVEY §2.A A10) performs when
+        source and target formats already match. An accumulate node
+        whose fn is the identity (``lambda spark, delta: delta``) pays
+        O(#files) driver-side links per tick instead of a cluster
+        round trip; every byte still originates from the source
+        snapshot this run wrote. Falls back to the Spark write if the
+        source dir vanished (compacted under us) or linking fails."""
+        src = getattr(df, "_identity_src_dir", None)
+        if src is not None:
+            sid = self._copy_snapshot(Path(src))
+            if sid is not None:
+                return sid
         sid = self._next_id()
         self._write_snapshot(df, sid)
+        return sid
+
+    def _copy_snapshot(self, src: Path) -> str | None:
+        """Hard-link (copy on link failure) a committed snapshot dir's
+        data files into the next snapshot id — same tmp-dir + rename
+        commit protocol as ``_write_snapshot``. Returns None (caller
+        falls back to the Spark write) when the source is gone or not
+        a committed snapshot. ``_RETIRES`` is deliberately NOT copied:
+        it masks ids in the SOURCE store, meaningless here."""
+        import shutil
+
+        if not (src / "_SUCCESS").exists():
+            return None
+        files = [
+            p
+            for p in src.iterdir()
+            if p.is_file() and not p.name.startswith((".", "_"))
+        ]
+        sid = self._next_id()
+        tmp = self.path / f".{sid}.tmp"
+        if tmp.exists():  # crashed earlier write of this id
+            shutil.rmtree(tmp)
+        try:
+            tmp.mkdir()
+            for p in files:
+                try:
+                    os.link(p, tmp / p.name)
+                except OSError:
+                    shutil.copy2(p, tmp / p.name)
+            (tmp / "_SUCCESS").touch()
+            os.rename(tmp, self.path / sid)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return None
         return sid
 
     def read(
@@ -125,7 +178,21 @@ class SnapshotStore:
                 reader = spark.read
                 if merge_schema:
                     reader = reader.option("mergeSchema", "true")
-                return reader.parquet(*[str(self.path / sid) for sid in cur])
+                df = reader.parquet(*[str(self.path / sid) for sid in cur])
+                if not merge_schema and len(cur) == 1:
+                    # Identity-copy marker (round 17, snapflow's A10
+                    # copy-graph analog): this DataFrame is EXACTLY the
+                    # rows of one snapshot dir. If a node's fn returns
+                    # it UNMODIFIED (any DataFrame method would return
+                    # a new object without the attribute), append() can
+                    # hard-link the parquet files instead of paying a
+                    # full Spark read->write job for a byte-identical
+                    # re-encode. Single-dir only: a multi-dir union's
+                    # Spark rewrite conforms every row to one schema,
+                    # which a file copy would not replicate when the
+                    # dirs' footers disagree.
+                    df._identity_src_dir = str(self.path / cur[0])
+                return df
             except AnalysisException as e:
                 # Typed match on the error class, not message text
                 # (message wording shifts across Spark versions; the

@@ -65,6 +65,50 @@ def test_incremental_equals_batch(spark, pipe):
     assert pipe.store("accumulated").read(spark).count() == 5
 
 
+def test_identity_append_is_file_level_copy(spark, tmp_path):
+    """Round-17 identity fast path: appending an UNMODIFIED single-dir
+    store.read() result hard-links the parquet files (no Spark write
+    job); any transformation, or a multi-dir read, falls back to the
+    Spark write. Read-back rows are identical either way."""
+    from snapflow_spark.incremental.store import SnapshotStore
+
+    src = SnapshotStore(tmp_path / "src")
+    dst = SnapshotStore(tmp_path / "dst")
+    sid = src.append(_chunks(spark)[0])
+
+    single = src.read(spark, [sid])
+    assert getattr(single, "_identity_src_dir", None) == str(src.path / sid)
+    out_sid = dst.append(single)
+    src_files = {
+        p.name: p.stat().st_ino
+        for p in (src.path / sid).iterdir()
+        if p.suffix == ".parquet"
+    }
+    dst_files = {
+        p.name: p.stat().st_ino
+        for p in (dst.path / out_sid).iterdir()
+        if p.suffix == ".parquet"
+    }
+    assert src_files and dst_files == src_files  # hard links: same inodes
+    assert (dst.path / out_sid / "_SUCCESS").exists()
+    got = {(r.id, r.amount) for r in dst.read(spark, [out_sid]).collect()}
+    assert got == {(1, 10.0), (2, 20.0)}
+
+    # a transformed DataFrame carries no marker -> Spark write path
+    filtered = single.where(F.col("id") == 1)
+    assert getattr(filtered, "_identity_src_dir", None) is None
+    f_sid = dst.append(filtered)
+    assert dst.read(spark, [f_sid]).count() == 1
+
+    # multi-dir read carries no marker (schema-conform on rewrite)
+    src.append(_chunks(spark)[1])
+    multi = src.read(spark)
+    assert getattr(multi, "_identity_src_dir", None) is None
+
+    # next append after a copy keeps monotone ids (no collision)
+    assert dst._next_id() not in dst.snapshot_ids()
+
+
 def test_produce_is_idempotent_without_new_data(spark, pipe):
     src = pipe.add_source("tx")
     _build(pipe)
