@@ -89,24 +89,48 @@ def _build_table(spark: SparkSession, path: str, name: str) -> DataFrame:
     return df
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    probe: DataFrame | None = None,
+) -> DataFrame:
     """Repartition a too-coarse input up to the session's default
     parallelism before CPU-heavy per-row work (LSH signatures, UDF
     featurizers). The local fixtures are single-row-group parquet files
     -> 1 scan partition -> 1 busy core; at 100 TB a scan has thousands
-    of splits and this is a no-op, so no extra shuffle at scale."""
+    of splits and this is a no-op, so no extra shuffle at scale.
+
+    ``probe``: take the narrow-or-wide decision from THIS frame's
+    partition count instead of ``df``'s (round 17, guide §1.2): the
+    partition probe (``.rdd``) analyzes and physically plans the whole
+    query — ~0.1-1 s of driver work for a derived frame rebuilt on
+    every query construction. When ``df`` is ``probe`` plus
+    partitioning-preserving steps (a projection, a broadcast
+    semi-join), the decision is identical, and probing the stable
+    memoized base table costs one plan per session instead of one per
+    construction."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    # The partition probe (df.rdd) plans the query — ~100 ms of driver
-    # work per call. Memoize the decision per (DataFrame, target):
-    # load_table returns per-session cached objects, so repeated query
-    # constructions hit this memo instead of re-planning (round 17;
-    # derived one-off DataFrames simply miss — same behavior as before).
+    # Memoize per (DataFrame, target): load_table returns per-session
+    # cached objects, so repeated query constructions hit this memo
+    # instead of re-planning (round 17; derived one-off DataFrames
+    # miss the OUTPUT memo but can still share the probe's DECISION
+    # memo via probe=).
     memo = df.__dict__.setdefault("_ep_memo", {})
     out = memo.get(target)
     if out is None:
-        out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+        basis = probe if probe is not None else df
+        dmemo = basis.__dict__.setdefault("_ep_narrow", {})
+        narrow = dmemo.get(target)
+        if narrow is None:
+            narrow = basis.rdd.getNumPartitions() < target
+            dmemo[target] = narrow
+        out = df.repartition(target) if narrow else df
         memo[target] = out
+        # the output is wide by construction — prime its own memos so
+        # chained ensure_parallelism calls skip the probe entirely
+        out.__dict__.setdefault("_ep_memo", {}).setdefault(target, out)
+        out.__dict__.setdefault("_ep_narrow", {}).setdefault(target, False)
     return out
 
 

@@ -489,7 +489,12 @@ def ngram_jaccard_pairs(
     # verify cost without the pin at sf0.1). Bounded like the
     # candidate pin: one row per doc that appears in a candidate pair.
     grams = (
-        ensure_parallelism(df.join(wanted, id_col, "left_semi"))
+        # probe=df: the semi-join preserves df's partitioning (wanted
+        # broadcasts), so the widen decision comes from the stable
+        # corpus frame — one partition probe per session instead of
+        # re-planning the whole LSH DAG on every construction
+        # (round 17, measured ~1 s/call on q_dedup_minhash)
+        ensure_parallelism(df.join(wanted, id_col, "left_semi"), probe=df)
         .select(
             F.col(id_col),
             F.array_distinct(ngram_expr(tokens_expr(text_col), n)).alias("grams"),

@@ -187,6 +187,7 @@ def language_balanced_mix(
     id_col: str = "doc_id",
     salt: str = "langmix-v1",
     max_epochs: int = 20,
+    totals: dict[str, float] | None = None,
 ) -> DataFrame:
     """Temperature-balanced multilingual mix: ONE groupBy computes
     per-language token totals, ``temperature_weights`` turns them
@@ -204,17 +205,31 @@ def language_balanced_mix(
     equality filter could never select its rows, silently
     under-delivering the token budget. Route unidentified docs
     through ``core.lang_id`` (or an 'und' bucket) first if they
-    should participate."""
+    should participate.
+
+    ``totals`` (optional, round 17): precomputed per-language token
+    totals — the same convention as ``mix_corpora``'s. A caller that
+    already aggregated them (e.g. one groupBy serving several mixing
+    branches) passes the dict and this plans with ZERO extra jobs;
+    token sums are integers, so a caller total is exactly what the
+    internal aggregate would produce. NULL-language keys must already
+    be excluded (this function never selects their rows)."""
     df = df.where(F.col(lang_col).isNotNull())
-    rows = (
-        df.groupBy(lang_col).agg(F.sum(token_col).alias("__t")).collect()
-    )
-    # sorted: collect() order varies with task scheduling, and the
-    # weight folds downstream must be bit-stable (temperature_weights)
-    totals = {
-        r[lang_col]: float(r["__t"] or 0)
-        for r in sorted(rows, key=lambda r: r[lang_col])
-    }
+    if totals is None:
+        rows = (
+            df.groupBy(lang_col).agg(F.sum(token_col).alias("__t")).collect()
+        )
+        totals = {
+            r[lang_col]: float(r["__t"] or 0)
+            for r in sorted(rows, key=lambda r: r[lang_col])
+        }
+    else:
+        totals = {
+            g: float(v)
+            for g, v in sorted(totals.items(), key=lambda kv: str(kv[0]))
+        }
+    # sorted above: collect()/dict order varies, and the weight folds
+    # downstream must be bit-stable (temperature_weights)
     totals = {g: v for g, v in totals.items() if v > 0}
     weights = temperature_weights(totals, alpha)
     sources = {

@@ -1222,8 +1222,13 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_fp",
     )
     excise = (
+        # d passed whole (round 17): excise projects (__id, __prio,
+        # __toks) immediately and the outer select prunes the extra
+        # document columns, while d's ensure_parallelism memos make the
+        # operator's internal partition probe a dict hit instead of a
+        # per-construction re-plan (a derived d.select carries no memo)
         excise_shared_spans(
-            d.select("doc_id", "text"),
+            d,
             n=8,
             hash_fn="sha256",
             cache_victims=False,
@@ -1865,13 +1870,26 @@ def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", "en").otherwise("rest").alias("mix_source0"),
         token_count_expr("text").alias("n_toks"),
     )
-    # ONE construction-time job: per-source token totals (exact
-    # integer sums); the budget is their sum and `totals=` hands the
-    # figures to mix_corpora so it plans with zero extra aggregates
-    totals = {
-        r.mix_source0: int(r.t)
-        for r in toks.groupBy("mix_source0").agg(F.sum("n_toks").alias("t")).collect()
-    }
+    # ONE construction-time job for BOTH mixing branches (round 17,
+    # guide §1.2): a single per-LANGUAGE token-total collect serves
+    # the 'mix' en/rest split (en = t_en, rest = every other group
+    # including NULL-lang — integer sums, so the regrouped totals are
+    # exactly what the old per-branch aggregates produced) and, via
+    # the operators' `totals=` convention, the 'langmix' temperature
+    # weights (non-NULL groups only, the rows that branch can select).
+    # Previously each branch ran its own construction-time collect.
+    per_lang = (
+        d.groupBy("lang")
+        .agg(F.sum(token_count_expr("text")).alias("t"))
+        .collect()
+    )
+    totals = {"en": 0, "rest": 0}
+    lang_totals: dict[str, int] = {}
+    for r in per_lang:
+        t = int(r.t or 0)
+        totals["en" if r.lang == "en" else "rest"] += t
+        if r.lang is not None:
+            lang_totals[r.lang] = t
     budget = sum(totals.values())
     mixed = mix_corpora(
         {
@@ -1958,6 +1976,7 @@ def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_budget=budget,
         alpha=0.3,
         token_col="n_toks",
+        totals=lang_totals,  # from the fused per-lang collect above
     )
     lmixb = lmix.groupBy("mix_source").agg(
         F.count(F.lit(1)).alias("n_docs"),
