@@ -826,7 +826,18 @@ def excise_shared_spans(
         hasher = lambda g: F.xxhash64(g)  # noqa: E731 (varargs: not
         # directly usable as a transform() lambda)
     elif hash_fn == "sha256":
-        hasher = lambda g: F.sha2(g, 256)  # noqa: E731
+        # BINARY key internally (round 17, guide §2.2 narrower shuffle
+        # types): unhex halves the gram key on all three keyed
+        # exchanges (32 B vs the 64-char hex string). Equivalence to
+        # the hex form is an order-isomorphism, not an approximation:
+        # equal-length byte strings compare unsigned byte-by-byte,
+        # each byte maps to two hex chars high-nibble-first, and the
+        # lowercase hex digits '0'..'9','a'..'f' are ASCII-ordered
+        # exactly like their nibble values — so grouping, the join,
+        # and min() all carry over, and the one surviving hex value
+        # per victim is re-rendered at the output projection
+        # (lower(hex(...)), bit-identical to sha2's hex).
+        hasher = lambda g: F.unhex(F.sha2(g, 256))  # noqa: E731
     else:
         raise ValueError(f"hash_fn must be xxhash64 or sha256, got {hash_fn!r}")
 
@@ -948,7 +959,9 @@ def excise_shared_spans(
         *gram_cols,
     )
     touched_gram_cols = (
-        [F.col("__min_gram").alias("min_excised_gram")]
+        # binary -> the hex string the contract (and oracle) expects;
+        # min(binary) == min(hex) by the order-isomorphism above
+        [F.lower(F.hex(F.col("__min_gram"))).alias("min_excised_gram")]
         if hash_fn == "sha256"
         else []
     )
