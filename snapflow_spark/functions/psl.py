@@ -46,6 +46,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 from functools import lru_cache
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -338,28 +339,73 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# Per-SparkContext cache of converted literal Seqs (round 17): py4j's
+# ListConverter ships ONE command PER ELEMENT when a python list
+# crosses the gateway, so even the r17 `_to_seq` form of isin_literals
+# still paid ~580 round trips for the 576-rule PSL exact-2 set — per
+# CALL, and registered_domain_expr makes six such calls. The literal
+# sets are module-level constants, so the converted Seq (immutable on
+# the JVM side; `Column.isin` only reads it) is cached per context and
+# per value-tuple. The WeakKeyDictionary dies with the SparkContext.
+_SEQ_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
+#: join/split separator for the one-command string ship: U+001F unit
+#: separator, which cannot appear in domain labels or blocklist hosts.
+_SEQ_SEP = "\x1f"
+
+
+def _literal_seq(ctx, vals: list):
+    """A scala ``Seq`` of literals built in O(1) py4j round trips.
+
+    String fast path: join the values into ONE payload python-side,
+    split it JVM-side (``Pattern.LITERAL``; ``splitAsStream`` only
+    drops TRAILING empties and the guard requires every value
+    non-empty and separator-free) and wrap the resulting
+    ``java.util.List`` as a Seq — ~6 round trips total, element-for-
+    element the same ``java.lang.String`` objects the per-element
+    converter produces. Anything else falls back to ``_to_seq``."""
+    from pyspark.sql.classic.column import _to_seq
+
+    if vals and all(
+        isinstance(v, str) and v and _SEQ_SEP not in v for v in vals
+    ):
+        jvm = ctx._jvm
+        pat = jvm.java.util.regex.Pattern.compile(_SEQ_SEP, 16)  # LITERAL
+        jlist = pat.splitAsStream(_SEQ_SEP.join(vals)).collect(
+            jvm.java.util.stream.Collectors.toList()
+        )
+        return jvm.PythonUtils.toSeq(jlist)
+    return _to_seq(ctx, vals)
+
+
 def isin_literals(col: Column, values: list) -> Column:
     """``col.isin(*values)`` built in O(1) py4j round trips instead of
     one per literal (round 17, guide §7.3 planning time): PySpark's
     ``Column.isin`` calls ``_create_column_from_literal`` — one
-    gateway round trip — PER VALUE, which made the PSL expression
-    ~750 round trips (~4.4 s of q_dedup_exact's construction on a
-    contended driver core). The JVM ``Column.isin(Any*)`` wraps plain
-    values in ``Literal`` itself, and py4j ships a python list as ONE
-    command, so the whole membership test costs two round trips.
-    Expression-identical: same ``In(col, literals)``, same InSet
+    gateway round trip — PER VALUE, and even a pre-converted python
+    list costs one ``ListConverter.add`` round trip per element, which
+    made the PSL expression ~750-950 round trips per construction. The
+    values are shipped as ONE joined string, split JVM-side
+    (``_literal_seq``), and the converted Seq is memoized per
+    (SparkContext, value tuple) so repeat constructions pay ~1 round
+    trip. Expression-identical: same ``In(col, literals)``, same InSet
     conversion at optimization. Falls back to the public API when the
-    classic-column internals are unavailable (e.g. Spark Connect)."""
+    classic-column internals are unavailable (e.g. Spark Connect) or
+    the values are unhashable."""
     vals = list(values)
     try:
         from pyspark import SparkContext
         from pyspark.sql.classic.column import Column as ClassicColumn
-        from pyspark.sql.classic.column import _to_seq
 
         ctx = SparkContext._active_spark_context
         if ctx is None:
             raise RuntimeError("no active SparkContext")
-        return ClassicColumn(col._jc.isin(_to_seq(ctx, vals)))
+        cache = _SEQ_CACHE.setdefault(ctx, {})
+        key = tuple(vals)
+        seq = cache.get(key)
+        if seq is None:
+            seq = _literal_seq(ctx, vals)
+            cache[key] = seq
+        return ClassicColumn(col._jc.isin(seq))
     except Exception:
         return col.isin(*vals)
 

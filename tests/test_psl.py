@@ -208,3 +208,44 @@ def test_icann_only_section_filtering(tmp_path):
     assert registered_domain_py("user.github.io", c) == "github.io"
     c_all = load_psl(str(p))
     assert registered_domain_py("user.github.io", c_all) == "user.github.io"
+
+
+def test_isin_literals_one_command_ship_and_cache(spark):
+    """Round 17: isin_literals ships a string literal list as ONE py4j
+    payload (JVM-side split) and memoizes the converted Seq per
+    (SparkContext, value tuple). Results must match the public
+    Column.isin path exactly — including NULL and miss semantics — the
+    cache must hand back the same JVM Seq on a repeat call, and
+    values the fast path cannot carry (empty string, the separator
+    byte) must fall back to the per-element converter unchanged."""
+    from pyspark import SparkContext
+
+    from snapflow_spark.functions import psl as psl_mod
+
+    vals = sorted(
+        {h for h, _ in CASES if h} | {f"gen{i}.example" for i in range(300)}
+    )
+    df = spark.createDataFrame(
+        [("news.bbc.co.uk",), ("gen7.example",), ("absent.example",), (None,)],
+        "h string",
+    )
+    got = df.select(
+        psl_mod.isin_literals(F.col("h"), vals).alias("x"),
+        F.col("h").isin(*vals).alias("ref"),  # the per-literal public path
+    ).collect()
+    for r in got:
+        assert r.x == r.ref
+    ctx = SparkContext._active_spark_context
+    cache = psl_mod._SEQ_CACHE[ctx]
+    key = tuple(vals)
+    assert key in cache
+    seq_a = cache[key]
+    psl_mod.isin_literals(F.col("h"), list(vals))  # fresh list, same values
+    assert cache[key] is seq_a
+    odd = ["", "with\x1fsep", "plain.example"]
+    got2 = df.select(
+        psl_mod.isin_literals(F.col("h"), odd).alias("x"),
+        F.col("h").isin(*odd).alias("ref"),
+    ).collect()
+    for r in got2:
+        assert r.x == r.ref
