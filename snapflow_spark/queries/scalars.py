@@ -13,10 +13,10 @@ Cross-engine gotchas baked in (probed on real data this session):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from snapflow_spark.catalog import load_table
+from snapflow_spark.catalog import ensure_parallelism, load_table
 from snapflow_spark.registry import query
 
 
@@ -121,8 +121,14 @@ def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family. sqrt is IEEE-exact cross-engine; the libm group
     (exp/ln/log10/pow) is rounded to 6 decimals on both sides because
-    JVM Math and C libm differ in the last ULP (probed, SURVEY §5.3)."""
-    l = load_table(spark, sf_dir, "lineitem")
+    JVM Math and C libm differ in the last ULP (probed, SURVEY §5.3).
+
+    Round 17: the single-row-group local fixture scans as ONE
+    partition, serializing 600k rows of libm work on one core
+    (guide §2.5 input skew); ensure_parallelism spreads it (no-op at
+    real scan splits). Row-wise projection — values are partition-
+    order independent. 1.15 -> 0.79 s interleaved min-of-5."""
+    l = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     return l.select(
         "l_orderkey",
         "l_linenumber",
@@ -230,8 +236,14 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 5 adds the Spark 4 VARIANT path — ``parse_json`` to the
     binary semi-structured type, ``try_variant_get`` typed extraction
     — asserting it agrees value-for-value with the string-path
-    functions (the oracle replays both from the same JSON)."""
-    e = load_table(spark, sf_dir, "events")
+    functions (the oracle replays both from the same JSON).
+
+    Round 17: the triple JSON parse (from_json + parse_json string
+    path + variant) is the roster's heaviest row-wise scan work after
+    gopher; the single-row-group fixture serialized it on one core.
+    ensure_parallelism spreads it (no-op at real scan splits);
+    0.73 -> 0.22 s interleaved min-of-5."""
+    e = ensure_parallelism(load_table(spark, sf_dir, "events"))
     parsed = F.from_json("props", "map<string,string>")
     v = F.parse_json("props")
     return e.select(
@@ -242,6 +254,24 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "int").alias("k_variant"),
         F.try_variant_get(v, "$.k", "string").isNull().alias("k_missing"),
     )
+
+
+#: Superset guard for Spark's string->integral try_cast grammar: the
+#: cast trims chars <= U+0020 (UTF8String.trimAll), then accepts an
+#: optional sign and ASCII digits only. Any string try_cast could
+#: parse matches this regex, so routing non-matches straight to NULL
+#: is exactly try_cast's result — WITHOUT constructing the formatted
+#: per-row SparkNumberFormatException a failing TRY cast pays (~8 us/
+#: row: 1.17 s -> 0.08 s on the all-failing status column at sf0.1;
+#: overflow strings match and still take the real try_cast, so they
+#: NULL exactly as before). Equivalence pinned over adversarial
+#: inputs in tests/test_scalar_guards.py.
+_TRY_BIGINT_GUARD = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+
+
+def guarded_try_bigint(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.rlike(_TRY_BIGINT_GUARD), c.try_cast("bigint"))
 
 
 @query(
@@ -264,7 +294,7 @@ def q_scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias("prio_num"),
-        F.coalesce(F.col("o_orderstatus").try_cast("bigint"), F.lit(-1)).alias("status_num"),
+        F.coalesce(guarded_try_bigint("o_orderstatus"), F.lit(-1)).alias("status_num"),
         F.nullif("o_orderstatus", F.lit("O")).alias("status_nz"),
         # explicit floor: CAST(double AS BIGINT) truncates in Spark but
         # rounds in DuckDB — the only divergent cast in the family
