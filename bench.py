@@ -12,10 +12,13 @@ followed by a compact bounded-size summary line:
 contention-proof steady-state number; the single-shot cold pass is
 reported as ``value_cold`` (round-7 change, see run()).
 
-(the driver records a bounded tail of stdout and parses the LAST
-line — r02/r03 both lost the head of a too-long last line, so the
-last line is now a ~0.5 KB summary that always survives the cap;
-totals also remain the last keys of the full line)
+(the driver records a bounded 2000-byte tail of stdout and parses
+the LAST line — r02/r03 both lost the head of a too-long last line,
+so the last line is a byte-budgeted summary that always survives the
+cap; since round 18 it carries the full warm per-query dict under
+"queries" — ~1.7 KB for 50 queries, trimmed fastest-first in the
+rare case it would exceed the budget — so the driver's per-query
+PERF comparison works; totals remain the last keys of both lines)
 
 Each query is fully materialized through Spark's `noop` sink so the
 whole physical plan (scan -> shuffle -> agg/join) executes, without
@@ -401,15 +404,24 @@ def main() -> None:
         except OSError:
             pass  # history is best-effort; never break the stdout contract
     # Line order matters: the driver records a bounded TAIL of stdout
+    # (measured from BENCH_r17's recorded capture: exactly 2000 bytes)
     # and parses the last line (BENCH_r02 and _r03 both came back
     # parsed:null because the ~2.6 KB full per-query line sat last and
     # lost its head to the cap). So: full detail line FIRST, then a
-    # compact summary line LAST whose size is bounded (~0.5 KB: totals
-    # + the 8 slowest warm queries) so the final line always parses.
+    # byte-budgeted summary line LAST that always parses.
+    #
+    # Round 18 (VERDICT r17 item 2): the summary line now carries the
+    # FULL warm per-query dict under the contract key "queries"
+    # (name -> min-of-3 seconds) so the driver's PERF comparison
+    # (n_common / geomean / scaling.per_query) works again — PERF_r17
+    # had per_query:{} because the per-query data only ever appeared
+    # on the first (capped-away) line. To pay for it inside the 2000 B
+    # cap, the redundant slowest_warm/slowest_spread blocks (derivable
+    # from "queries" / the full first line) became two scalar spread
+    # stats, and a trim loop drops the FASTEST queries if the line
+    # ever exceeds the budget (50 queries ≈ 1.7 KB, so normally none).
     print(json.dumps(result))
-    slowest = dict(
-        sorted(result["queries"].items(), key=lambda kv: -kv[1])[:8]
-    )
+    spreads = sorted(result["warm_spread"].values())
     summary = {
         "metric": result["metric"],
         "unit": result["unit"],
@@ -426,13 +438,25 @@ def main() -> None:
         "gemm_start_ms": result["gemm_start_ms"],
         "gemm_end_ms": result["gemm_end_ms"],
         "headline_protocol": "warm_min_of_3",
-        "slowest_warm": slowest,
-        # bounded: adjudication stamps for the 8 slowest only
-        "slowest_spread": {k: result["warm_spread"].get(k) for k in slowest},
+        # rep-spread adjudication, compact: median + worst (per-query
+        # spreads/stamps stay on the full first line + BENCH_HISTORY)
+        "spread_med": spreads[len(spreads) // 2] if spreads else None,
+        "spread_max": spreads[-1] if spreads else None,
+        "queries": dict(result["queries"]),
         "value_cold": result["value_cold"],
         "value_warm": result["value_warm"],
         "value": result["value"],
     }
+    # keep the line safely under the driver's 2000 B tail cap: drop
+    # the fastest queries first (the slow ones carry the signal) and
+    # record how many were dropped so a trimmed dict is self-evident
+    budget = 1900
+    while len(json.dumps(summary)) > budget and summary["queries"]:
+        fastest = min(summary["queries"], key=summary["queries"].get)
+        del summary["queries"][fastest]
+        summary["queries_trimmed"] = (
+            summary.get("queries_trimmed", 0) + 1
+        )
     print(json.dumps(summary))
 
 
