@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType
 
+from snapflow_spark.functions.fragments import memo_fragment
+
 TOKEN_RE = r"\S+"
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
@@ -67,8 +69,12 @@ def bpe_tokens_expr(col: str | Column) -> Column:
     """BPE-ish pre-tokenization (contractions / letter runs / digit
     runs / punctuation runs, space-prefixed) — the token-count basis a
     training-data pipeline budgets by. Pure JVM regex."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(c, F.lit(BPE_RE), 0)
+    if isinstance(col, str):
+        return memo_fragment(
+            f"text.bpe_tokens|{col}",
+            lambda: F.regexp_extract_all(F.col(col), F.lit(BPE_RE), 0),
+        )
+    return F.regexp_extract_all(col, F.lit(BPE_RE), 0)
 
 
 def gram_hashes_expr(tokens: Column, n: int = 3) -> Column:
@@ -101,12 +107,23 @@ def winnow_fingerprints_expr(hashes: Column, w: int = 4) -> Column:
 
 def tokens_expr(col: str | Column) -> Column:
     """Whitespace tokenization as a JVM regex — the canonical token
-    column every downstream text op builds on."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+    column every downstream text op builds on. Plain-string inputs are
+    memoized per context (functions/fragments.py): the fragment is a
+    pure function of the column NAME, and queries rebuild it every
+    construction."""
+    if isinstance(col, str):
+        return memo_fragment(
+            f"text.tokens|{col}",
+            lambda: F.regexp_extract_all(F.col(col), F.lit(TOKEN_RE), 0),
+        )
+    return F.regexp_extract_all(col, F.lit(TOKEN_RE), 0)
 
 
 def token_count_expr(col: str | Column) -> Column:
+    if isinstance(col, str):
+        return memo_fragment(
+            f"text.token_count|{col}", lambda: F.size(tokens_expr(col))
+        )
     return F.size(tokens_expr(col))
 
 
@@ -127,7 +144,11 @@ def lang_id_expr(col: str | Column) -> Column:
     """Heuristic language ID: stopword-marker hit counts per language,
     argmax wins (ties broken by language code order). Pure Column
     algebra -> whole-stage codegen, no UDF."""
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        return memo_fragment(
+            f"text.lang_id|{col}", lambda: lang_id_expr(F.col(col))
+        )
+    c = col
     toks = F.regexp_extract_all(F.lower(c), F.lit(r"[\p{L}]+"), 0)
     def _contains(marker_arr):
         # real closure: a default-arg lambda would read as a 2-arg
@@ -151,7 +172,12 @@ def quality_score_expr(col: str | Column) -> Column:
     """Document quality heuristic in [0,1]: penalize very short docs,
     high punctuation ratio, and low stopword ratio (the classic
     pre-training corpus filters), as one codegen expression."""
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        return memo_fragment(
+            f"text.quality_score|{col}",
+            lambda: quality_score_expr(F.col(col)),
+        )
+    c = col
     n_chars = F.length(c)
     toks = tokens_expr(c)
     n_toks = F.size(toks)
@@ -229,8 +255,12 @@ def scrub_pii_expr(col: str | Column) -> Column:
 def fingerprint_expr(col: str | Column, n_chars: int = 64) -> Column:
     """Deterministic document fingerprint: sha2-256 of the
     whitespace-normalized lowercased text — the exact-dedup key."""
-    c = F.col(col) if isinstance(col, str) else col
-    normalized = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    if isinstance(col, str):
+        return memo_fragment(
+            f"text.fingerprint|{col}|{n_chars}",
+            lambda: fingerprint_expr(F.col(col), n_chars),
+        )
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
     return F.sha2(normalized, 256).substr(1, n_chars)
 
 

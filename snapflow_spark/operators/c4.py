@@ -56,6 +56,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from snapflow_spark.functions.fragments import memo_fragment
+
 __all__ = [
     "C4_DEFAULTS",
     "C4_POLICY_SUBSTRINGS",
@@ -154,67 +156,94 @@ def c4_signals(
         if min_words_per_line is None
         else min_words_per_line
     )
-    text = F.col(text_col)
     default_policy = (
         tuple(policy_substrings)
         if policy_substrings is not None
         else C4_POLICY_SUBSTRINGS
     )
-    # the trim is wrapped in a lambda on purpose: F.trim's optional
-    # second parameter makes F.transform pass (element, index), which
-    # silently turns the index into the trim-character set
-    lines = F.transform(F.split(text, r"\r?\n"), lambda x: F.trim(x))
-
-    # NB: the per-list lambda must take exactly ONE parameter — a
-    # bound default (lambda x, _p=pol) makes F.filter pass
-    # (element, index) and the list silently becomes the index column
-    def _kept_for(pol: tuple[str, ...]) -> Column:
-        return F.filter(lines, lambda x: _line_kept_expr(x, mw, pol))
-
-    kept = _kept_for(default_policy)
-    if policy_by_lang:
-        routed = None
-        for lang in sorted(policy_by_lang):
-            k = _kept_for(tuple(policy_by_lang[lang]))
-            cond = F.col(lang_col) == lang
-            routed = F.when(cond, k) if routed is None else routed.when(cond, k)
-        kept = routed.otherwise(kept)
-    lower_words = F.regexp_extract_all(F.lower(text), F.lit(r"\S+"), 0)
-
-    def _bad_hits(bws: tuple[str, ...]) -> Column:
-        if not bws:
-            return F.lit(0)
-        bad = [b.lower() for b in bws]
-        return F.size(F.filter(lower_words, lambda w: w.isin(*bad)))
-
-    bad_hits = _bad_hits(tuple(badwords))
-    if badwords_by_lang:
-        routed = None
-        for lang in sorted(badwords_by_lang):
-            cnt = _bad_hits(tuple(badwords_by_lang[lang]))
-            cond = F.col(lang_col) == lang
-            routed = (
-                F.when(cond, cnt) if routed is None else routed.when(cond, cnt)
-            )
-        bad_hits = routed.otherwise(bad_hits)
-    staged = df.select(
-        "*", lines.alias("__c4_lines"), kept.alias("__c4_kept")
+    # Per-context memo of the two UNALIASED staging fragments (round
+    # 18, functions/fragments.py — ~200 round trips per construction,
+    # rebuilt identically per bench rep); aliasing stays per-use.
+    stage_key = (
+        f"c4.stage|{text_col}|{mw}|{default_policy!r}|"
+        f"{sorted((policy_by_lang or {}).items())!r}|{lang_col}"
     )
-    kl = F.col("__c4_kept")
-    joined = F.array_join(kl, "\n")
+
+    def _build_stage() -> dict[str, Column]:
+        text = F.col(text_col)
+        # the trim is wrapped in a lambda on purpose: F.trim's optional
+        # second parameter makes F.transform pass (element, index),
+        # which silently turns the index into the trim-character set
+        lines = F.transform(F.split(text, r"\r?\n"), lambda x: F.trim(x))
+
+        # NB: the per-list lambda must take exactly ONE parameter — a
+        # bound default (lambda x, _p=pol) makes F.filter pass
+        # (element, index), the list silently becoming the index column
+        def _kept_for(pol: tuple[str, ...]) -> Column:
+            return F.filter(lines, lambda x: _line_kept_expr(x, mw, pol))
+
+        kept = _kept_for(default_policy)
+        if policy_by_lang:
+            routed = None
+            for lang in sorted(policy_by_lang):
+                k = _kept_for(tuple(policy_by_lang[lang]))
+                cond = F.col(lang_col) == lang
+                routed = (
+                    F.when(cond, k) if routed is None else routed.when(cond, k)
+                )
+            kept = routed.otherwise(kept)
+        return {"__c4_lines": lines, "__c4_kept": kept}
+
+    sig_key = (
+        f"c4.signals|{text_col}|{tuple(badwords)!r}|"
+        f"{sorted((badwords_by_lang or {}).items())!r}|{lang_col}"
+    )
+
+    def _build_signals() -> dict[str, Column]:
+        text = F.col(text_col)
+        lower_words = F.regexp_extract_all(F.lower(text), F.lit(r"\S+"), 0)
+
+        def _bad_hits(bws: tuple[str, ...]) -> Column:
+            if not bws:
+                return F.lit(0)
+            bad = [b.lower() for b in bws]
+            return F.size(F.filter(lower_words, lambda w: w.isin(*bad)))
+
+        bad_hits = _bad_hits(tuple(badwords))
+        if badwords_by_lang:
+            routed = None
+            for lang in sorted(badwords_by_lang):
+                cnt = _bad_hits(tuple(badwords_by_lang[lang]))
+                cond = F.col(lang_col) == lang
+                routed = (
+                    F.when(cond, cnt)
+                    if routed is None
+                    else routed.when(cond, cnt)
+                )
+            bad_hits = routed.otherwise(bad_hits)
+        kl = F.col("__c4_kept")
+        joined = F.array_join(kl, "\n")
+        return {
+            "c4_n_lines": F.size("__c4_lines"),
+            "c4_n_kept_lines": F.size(kl),
+            "c4_n_sentences": F.coalesce(
+                F.regexp_count(joined, F.lit(_SENT_RE)), F.lit(0)
+            ),
+            "c4_has_lorem_ipsum": F.lower(text)
+            .contains("lorem ipsum")
+            .cast("int"),
+            "c4_has_curly": text.contains("{").cast("int"),
+            "c4_badword_hits": bad_hits,
+            "c4_text": joined,
+        }
+
+    stage_cols = memo_fragment(stage_key, _build_stage)
+    staged = df.select(
+        "*", *[c.alias(name) for name, c in stage_cols.items()]
+    )
+    sig_cols = memo_fragment(sig_key, _build_signals)
     out = staged.select(
-        "*",
-        F.size("__c4_lines").alias("c4_n_lines"),
-        F.size(kl).alias("c4_n_kept_lines"),
-        F.coalesce(F.regexp_count(joined, F.lit(_SENT_RE)), F.lit(0)).alias(
-            "c4_n_sentences"
-        ),
-        F.lower(text).contains("lorem ipsum").cast("int").alias(
-            "c4_has_lorem_ipsum"
-        ),
-        text.contains("{").cast("int").alias("c4_has_curly"),
-        bad_hits.alias("c4_badword_hits"),
-        joined.alias("c4_text"),
+        "*", *[c.alias(name) for name, c in sig_cols.items()]
     )
     return out.drop("__c4_lines", "__c4_kept")
 
@@ -226,11 +255,14 @@ def c4_pass_expr(min_num_sentences: int | None = None) -> Column:
         if min_num_sentences is None
         else min_num_sentences
     )
-    return (
-        (F.col("c4_has_lorem_ipsum") == 0)
-        & (F.col("c4_has_curly") == 0)
-        & (F.col("c4_badword_hits") == 0)
-        & (F.col("c4_n_sentences") >= ms)
+    return memo_fragment(
+        f"c4.pass|{ms}",
+        lambda: (
+            (F.col("c4_has_lorem_ipsum") == 0)
+            & (F.col("c4_has_curly") == 0)
+            & (F.col("c4_badword_hits") == 0)
+            & (F.col("c4_n_sentences") >= ms)
+        ),
     )
 
 

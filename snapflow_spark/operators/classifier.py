@@ -132,6 +132,21 @@ def featurize_docs(
         F.col(tokens_col) if tokens_col is not None
         else word_tokens_expr(text_col)
     )
+    # the bucketed-gram fragment is a pure function of the staged
+    # "__toks" name + salt/buckets — memoized per context (round 18,
+    # functions/fragments.py: ~150 round trips per construction)
+    from snapflow_spark.functions.fragments import memo_fragment
+
+    bkts = memo_fragment(
+        f"classifier.bkts|__toks|{salt}|{num_buckets}",
+        lambda: F.coalesce(
+            F.transform(
+                grams_expr(F.col("__toks")),
+                lambda g: _hash_bucket(g, salt, num_buckets).cast("int"),
+            ),
+            F.array().cast("array<int>"),
+        ),
+    )
     staged = docs.select(
         F.col(id_col), *extra, toks.alias("__toks")
     ).select(
@@ -140,13 +155,7 @@ def featurize_docs(
         # zero-feature doc (scores the bias prior), matching how the
         # DSIR/CE explode paths silently drop NULL-text rows instead
         # of dying in the Arrow batch
-        F.coalesce(
-            F.transform(
-                grams_expr(F.col("__toks")),
-                lambda g: _hash_bucket(g, salt, num_buckets).cast("int"),
-            ),
-            F.array().cast("array<int>"),
-        ).alias("__bkts"),
+        bkts.alias("__bkts"),
     )
 
     def _collapse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

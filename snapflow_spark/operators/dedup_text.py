@@ -23,12 +23,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from snapflow_spark.catalog import ensure_parallelism
+from snapflow_spark.functions.fragments import memo_fragment
 from snapflow_spark.functions.text import (  # noqa: F401 — ngram_expr re-exported
     fingerprint_expr,
     ngram_expr,
     simhash_udf,
     tokens_expr,
 )
+
+
+def _distinct_grams_frag(text_col: str, n: int):
+    """array_distinct(ngram(tokens)) over a named text column — the
+    shared candidate/verify gram fragment, memoized per context (round
+    18, functions/fragments.py: the zip_with n-gram fold costs ~60
+    py4j round trips per construction and is rebuilt per bench rep)."""
+    return memo_fragment(
+        f"dedup.distinct_grams|{text_col}|{n}",
+        lambda: F.array_distinct(ngram_expr(tokens_expr(text_col), n)),
+    )
 from snapflow_spark.operators.buckets import bucketed_pairs
 
 
@@ -135,10 +147,14 @@ def simhash_sha_candidates(
     interpreted, not codegen'd, and measured 31 s vs <2 s at sf0.1)."""
     from snapflow_spark.functions.text import simhash_sha_bands_udf
 
+    bands_call = memo_fragment(
+        f"dedup.simhash_sha_bands|{text_col}",
+        lambda: simhash_sha_bands_udf(text_col),
+    )
     banded = (
         ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(text_col))
         .where(F.size(tokens_expr(text_col)) > 0)
-        .select("id", simhash_sha_bands_udf(text_col).alias("bvals"))
+        .select("id", bands_call.alias("bvals"))
         .select("id", "bvals", F.posexplode("bvals").alias("band_idx", "band_val"))
     )
     pairs = bucketed_pairs(
@@ -285,10 +301,14 @@ def minhash_sha_candidates(
     ngram_jaccard_pairs (the cascade in q_dedup_minhash)."""
     from snapflow_spark.functions.text import minhash_sha_bands_udf
 
+    bands_call = memo_fragment(
+        f"dedup.minhash_sha_bands|{text_col}",
+        lambda: minhash_sha_bands_udf(text_col),
+    )
     banded = (
         ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(text_col))
         .where(F.size(tokens_expr(text_col)) > 0)
-        .select("id", minhash_sha_bands_udf(text_col).alias("bvals"))
+        .select("id", bands_call.alias("bvals"))
         .select("id", F.posexplode("bvals").alias("band_idx", "band_val"))
     )
     pairs = bucketed_pairs(
@@ -323,10 +343,14 @@ def mingram_candidates(
     the multi-band generators (minhash_candidates) trade oracle
     reproducibility for higher recall.
     """
+    blk = memo_fragment(
+        "dedup.minblk|grams",
+        lambda: F.array_min(F.transform("grams", lambda g: F.sha2(g, 256))),
+    )
     blocked = (
         ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(text_col))
-        .select("id", F.array_distinct(ngram_expr(tokens_expr(text_col), n)).alias("grams"))
-        .select("id", F.array_min(F.transform("grams", lambda g: F.sha2(g, 256))).alias("blk"))
+        .select("id", _distinct_grams_frag(text_col, n).alias("grams"))
+        .select("id", blk.alias("blk"))
     )
     pairs = bucketed_pairs(
         blocked,
@@ -497,7 +521,7 @@ def ngram_jaccard_pairs(
         ensure_parallelism(df.join(wanted, id_col, "left_semi"), probe=df)
         .select(
             F.col(id_col),
-            F.array_distinct(ngram_expr(tokens_expr(text_col), n)).alias("grams"),
+            _distinct_grams_frag(text_col, n).alias("grams"),
         )
         .withColumn("n_grams", F.size("grams"))
         .persist()
@@ -676,11 +700,19 @@ def shared_span_pairs(
         winnow_fingerprints_expr,
     )
 
+    gram_h = memo_fragment(
+        f"dedup.gram_hashes|{text_col}|{n}",
+        lambda: gram_hashes_expr(tokens_expr(text_col), n=n),
+    )
+    winnow = memo_fragment(
+        f"dedup.winnow|__h|{w}",
+        lambda: winnow_fingerprints_expr(F.col("__h"), w=w),
+    )
     staged = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
-        gram_hashes_expr(tokens_expr(text_col), n=n).alias("__h"),
+        gram_h.alias("__h"),
     ).select(
-        "id", winnow_fingerprints_expr(F.col("__h"), w=w).alias("__fps")
+        "id", winnow.alias("__fps")
     )
     exploded = staged.select("id", F.explode("__fps").alias("fp"))
     if max_df is not None:
@@ -846,12 +878,14 @@ def excise_shared_spans(
         prio.alias("__prio"),
         tokens_expr(text_col).alias("__toks"),
     ).where(F.size("__toks") >= int(n))
+    hashed_grams = memo_fragment(
+        f"dedup.excise_grams|__toks|{n}|{hash_fn}",
+        lambda: F.transform(ngram_expr(F.col("__toks"), n), hasher),
+    )
     grams = toks.select(
         "__id",
         "__prio",
-        F.posexplode(
-            F.transform(ngram_expr(F.col("__toks"), n), hasher)
-        ).alias("pos", "h"),
+        F.posexplode(hashed_grams).alias("pos", "h"),
     )
     # Keeper per gram hash as a partial-aggregable groupBy, NOT a
     # window (see docstring). min(id) != max(id) detects ">= 2

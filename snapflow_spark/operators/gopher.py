@@ -66,6 +66,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StructField, StructType
 
+from snapflow_spark.functions.fragments import memo_fragment
 from snapflow_spark.functions.text import tokens_expr
 
 __all__ = [
@@ -351,60 +352,91 @@ def gopher_signals(
     to ``stopwords``/the paper list). Every other signal is
     script-agnostic as published (``\\p{L}`` alpha classes, character
     fractions)."""
-    text = F.col(text_col)
-    words = tokens_expr(text)
-    lw = F.transform(words, F.lower)
-    n_words = F.size(words)
-    word_chars = F.length(F.regexp_replace(text, r"\s", ""))
-    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
-    n_ellipsis = (
-        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
-    ) / F.lit(3)
-    lines_all = F.split(text, r"\n")
-    lines = F.filter(lines_all, lambda x: x.rlike(r"\S"))
-    n_lines = F.size(lines)
-    bullets = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•‣▪]")))
-    ell_lines = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
-    default_stops = tuple(stopwords) if stopwords else GOPHER_STOPWORDS
-    stop_hits = _stop_hits_expr(lw, default_stops)
-    if stopwords_by_lang:
-        routed = None
-        for lang in sorted(stopwords_by_lang):
-            cnt = _stop_hits_expr(lw, tuple(stopwords_by_lang[lang]))
-            cond = F.col(lang_col) == lang
-            routed = (
-                F.when(cond, cnt) if routed is None else routed.when(cond, cnt)
-            )
-        stop_hits = routed.otherwise(stop_hits)
+    # Per-context memo of the UNALIASED per-row battery (round 18,
+    # functions/fragments.py): ~460 py4j round trips per construction
+    # (the stopword array_contains chain alone is 8 casts + a fold),
+    # rebuilt identically per bench rep. Key carries every input that
+    # shapes the expressions; aliasing happens fresh per use below.
+    frag_key = (
+        f"gopher.base|{text_col}|{stopwords!r}|"
+        f"{sorted((stopwords_by_lang or {}).items())!r}|{lang_col}"
+    )
 
-    fl = "double"
+    def _build_base() -> dict[str, Column]:
+        text = F.col(text_col)
+        words = tokens_expr(text)
+        lw = F.transform(words, F.lower)
+        n_words = F.size(words)
+        word_chars = F.length(F.regexp_replace(text, r"\s", ""))
+        n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+        n_ellipsis = (
+            F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+        ) / F.lit(3)
+        lines_all = F.split(text, r"\n")
+        lines = F.filter(lines_all, lambda x: x.rlike(r"\S"))
+        n_lines = F.size(lines)
+        bullets = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•‣▪]")))
+        ell_lines = F.size(
+            F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+        )
+        alpha_words = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+        default_stops = tuple(stopwords) if stopwords else GOPHER_STOPWORDS
+        stop_hits = _stop_hits_expr(lw, default_stops)
+        if stopwords_by_lang:
+            routed = None
+            for lang in sorted(stopwords_by_lang):
+                cnt = _stop_hits_expr(lw, tuple(stopwords_by_lang[lang]))
+                cond = F.col(lang_col) == lang
+                routed = (
+                    F.when(cond, cnt)
+                    if routed is None
+                    else routed.when(cond, cnt)
+                )
+            stop_hits = routed.otherwise(stop_hits)
+        fl = "double"
+        return {
+            "n_words": n_words,
+            "mean_word_len": (word_chars / F.nullif(n_words, F.lit(0))).cast(fl),
+            "hash_word_ratio": (n_hash / F.nullif(n_words, F.lit(0))).cast(fl),
+            "ellipsis_word_ratio": (
+                n_ellipsis / F.nullif(n_words, F.lit(0))
+            ).cast(fl),
+            "bullet_line_frac": (bullets / F.nullif(n_lines, F.lit(0))).cast(fl),
+            "ellipsis_line_frac": (
+                ell_lines / F.nullif(n_lines, F.lit(0))
+            ).cast(fl),
+            "alpha_word_frac": (
+                alpha_words / F.nullif(n_words, F.lit(0))
+            ).cast(fl),
+            "stop_hits": stop_hits,
+        }
+
+    # memo_fragment stores Columns; a dict of them is equally immutable
+    base_cols: dict[str, Column] = memo_fragment(frag_key, _build_base)
     base = df.select(
-        "*",
-        n_words.alias("n_words"),
-        (word_chars / F.nullif(n_words, F.lit(0))).cast(fl).alias("mean_word_len"),
-        (n_hash / F.nullif(n_words, F.lit(0))).cast(fl).alias("hash_word_ratio"),
-        (n_ellipsis / F.nullif(n_words, F.lit(0)))
-        .cast(fl)
-        .alias("ellipsis_word_ratio"),
-        (bullets / F.nullif(n_lines, F.lit(0))).cast(fl).alias("bullet_line_frac"),
-        (ell_lines / F.nullif(n_lines, F.lit(0)))
-        .cast(fl)
-        .alias("ellipsis_line_frac"),
-        (alpha_words / F.nullif(n_words, F.lit(0)))
-        .cast(fl)
-        .alias("alpha_word_frac"),
-        stop_hits.alias("stop_hits"),
+        "*", *[c.alias(name) for name, c in base_cols.items()]
     )
 
     # --- repetition tier: ONE Arrow-vectorized crossing ------------
     # (round 17 — see module doc: the interpreted fold battery this
     # replaces cost ~4 ms/KB of task CPU). Only text_col crosses the
     # boundary; the struct is materialized ONCE as a named column and
-    # the thirteen GetStructField reads are free.
-    with_rep = base.select("*", _rep_signals_udf(text).alias("__rep"))
+    # the thirteen GetStructField reads are free. The UDF-call column
+    # and the field reads are memoized like the battery above (the
+    # pandas_udf wrapper re-serializes the function per call).
+    rep_call = memo_fragment(
+        f"gopher.rep|{text_col}",
+        lambda: _rep_signals_udf(F.col(text_col)),
+    )
+    with_rep = base.select("*", rep_call.alias("__rep"))
     out = with_rep.select(
-        "*", *[F.col("__rep")[f].alias(f) for f in _REP_FIELDS]
+        "*",
+        *[
+            memo_fragment(
+                f"gopher.repfield|{f}", lambda f=f: F.col("__rep")[f]
+            ).alias(f)
+            for f in _REP_FIELDS
+        ],
     )
     return out.drop("__rep")
 
@@ -417,11 +449,17 @@ def gopher_pass_expr(thresholds: dict[str, float] | None = None) -> Column:
     unknown = set(t) - set(GOPHER_DEFAULTS)
     if unknown:
         raise ValueError(f"unknown gopher thresholds: {sorted(unknown)}")
-    cond = F.lit(True)
-    for col_name, op, key in PASS_RULES:
-        c = F.col(col_name)
-        cond = cond & (c >= t[key] if op == ">=" else c <= t[key])
-    return F.coalesce(cond, F.lit(False))
+
+    def _build() -> Column:
+        cond = F.lit(True)
+        for col_name, op, key in PASS_RULES:
+            c = F.col(col_name)
+            cond = cond & (c >= t[key] if op == ">=" else c <= t[key])
+        return F.coalesce(cond, F.lit(False))
+
+    return memo_fragment(
+        f"gopher.pass|{sorted(t.items())!r}", _build
+    )
 
 
 def gopher_quality_filter(

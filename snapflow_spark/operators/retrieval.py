@@ -37,8 +37,16 @@ WORD_RE = r"[\p{L}]+"
 
 
 def word_tokens_expr(col: str | Column) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 0)
+    if isinstance(col, str):
+        from snapflow_spark.functions.fragments import memo_fragment
+
+        return memo_fragment(
+            f"retrieval.word_tokens|{col}",
+            lambda: F.regexp_extract_all(
+                F.lower(F.col(col)), F.lit(WORD_RE), 0
+            ),
+        )
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), 0)
 
 
 def doc_terms(

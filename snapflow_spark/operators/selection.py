@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from snapflow_spark.functions.fragments import memo_fragment
 from snapflow_spark.operators.curation import _BUCKETS, _hash_bucket
 from snapflow_spark.operators.retrieval import word_tokens_expr
 
@@ -84,6 +85,15 @@ def grams_expr(tokens: Column) -> Column:
     return F.concat(tokens, bigrams)
 
 
+def _grams_frag() -> Column:
+    """grams_expr over the staged "__toks" column — a pure fragment of
+    that name, memoized per context (round 18: the zip_with fold is
+    ~30 py4j round trips per construction)."""
+    return memo_fragment(
+        "selection.grams|__toks", lambda: grams_expr(F.col("__toks"))
+    )
+
+
 def _tagged_grams(
     raw: DataFrame,
     target: DataFrame | None,
@@ -111,7 +121,7 @@ def _tagged_grams(
             word_tokens_expr(text_col).alias("__toks"),
         ).select(
             "__id", "__w_raw", "__w_tgt",
-            grams_expr(F.col("__toks")).alias("__grams"),
+            _grams_frag().alias("__grams"),
         )
 
     def side(df: DataFrame, is_target: bool) -> DataFrame:
@@ -122,7 +132,7 @@ def _tagged_grams(
             word_tokens_expr(text_col).alias("__toks"),
         ).select(
             "__id", "__w_raw", "__w_tgt",
-            grams_expr(F.col("__toks")).alias("__grams"),
+            _grams_frag().alias("__grams"),
         )
 
     return side(raw, False).unionByName(side(target, True))
@@ -145,9 +155,13 @@ def _occ_with_model(
     (R = Σ_docs w_raw·n(x)) — the shuffle feeding that per-doc agg is
     byte-identical to the main path's, so ReuseExchange runs the
     heavy scan→tokenize→explode→window stage exactly once."""
+    bucket = memo_fragment(
+        f"selection.bucket|__g|{salt}|{num_buckets}",
+        lambda: _hash_bucket(F.col("__g"), salt, num_buckets),
+    )
     occ = tagged.select(
         "__id", "__w_raw", "__w_tgt", F.explode("__grams").alias("__g")
-    ).withColumn("__b", _hash_bucket(F.col("__g"), salt, num_buckets))
+    ).withColumn("__b", bucket)
     w = Window.partitionBy("__b")
     return occ.withColumn(
         "__rc", F.sum("__w_raw").over(w).cast("double")

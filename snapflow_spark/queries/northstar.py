@@ -17,6 +17,7 @@ from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql import functions as F
 
 from snapflow_spark.catalog import ensure_parallelism, load_table
+from snapflow_spark.functions.fragments import memo_fragment
 from snapflow_spark.functions.text import (
     BPE_RE,
     bpe_tokens_expr,
@@ -224,38 +225,46 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         registered_domain_expr,
     )
 
-    i = F.col("doc_id")
-    g = (i % 200).cast("string")
-    synth_url = F.concat(
-        F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
-        F.lit("://"),
-        F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.lit("Data-"), g,
-        F.when((i % 200) % 8 == 0, F.lit(".Example.CO.UK"))
-        .when((i % 200) % 8 == 1, F.lit(".example.com"))
-        .when((i % 200) % 8 == 2, F.lit(".EXAMPLE.org"))
-        .when((i % 200) % 8 == 3, F.lit(".site.Example.CK"))
-        .when((i % 200) % 8 == 4, F.lit(".WWW.CK"))
-        .when((i % 200) % 8 == 5, F.lit(".schools.K12.CA.US"))
-        .when((i % 200) % 8 == 6, F.lit(".city.Kawasaki.JP"))
-        .otherwise(F.lit(".blog.Kawasaki.jp")),
-        F.when(i % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/corpus/item-"), g,
-        F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(i % 2 == 0, F.lit("?a=1&b=2&utm_source=feed"))
-        .otherwise(F.lit("?b=2&utm_campaign=x&a=1&fbclid=abc")),
-        F.when(i % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    def _build_synth_url() -> F.Column:
+        i = F.col("doc_id")
+        g = (i % 200).cast("string")
+        return F.concat(
+            F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("Data-"), g,
+            F.when((i % 200) % 8 == 0, F.lit(".Example.CO.UK"))
+            .when((i % 200) % 8 == 1, F.lit(".example.com"))
+            .when((i % 200) % 8 == 2, F.lit(".EXAMPLE.org"))
+            .when((i % 200) % 8 == 3, F.lit(".site.Example.CK"))
+            .when((i % 200) % 8 == 4, F.lit(".WWW.CK"))
+            .when((i % 200) % 8 == 5, F.lit(".schools.K12.CA.US"))
+            .when((i % 200) % 8 == 6, F.lit(".city.Kawasaki.JP"))
+            .otherwise(F.lit(".blog.Kawasaki.jp")),
+            F.when(i % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/corpus/item-"), g,
+            F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(i % 2 == 0, F.lit("?a=1&b=2&utm_source=feed"))
+            .otherwise(F.lit("?b=2&utm_campaign=x&a=1&fbclid=abc")),
+            F.when(i % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        )
+
+    # the synthetic-URL tower and the PSL+normalize fingerprint are
+    # pure fragments of fixed column names — memoized per context
+    # (round 18, functions/fragments.py; the PSL longest-match tower
+    # alone is several hundred py4j round trips per construction)
+    synth_url = memo_fragment("northstar.synth_url|doc_id", _build_synth_url)
+    url_fp = memo_fragment(
+        "northstar.url_fp|url",
+        lambda: F.concat(
+            registered_domain_expr(host_expr("url")),
+            F.lit("|"),
+            normalize_url_expr("url"),
+        ),
     )
     urls = (
         d.select("doc_id", synth_url.alias("url"))
-        .select(
-            "doc_id",
-            F.concat(
-                registered_domain_expr(host_expr("url")),
-                F.lit("|"),
-                normalize_url_expr("url"),
-            ).alias("fingerprint"),
-        )
+        .select("doc_id", url_fp.alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .select(F.lit("url").alias("branch"), "fingerprint", "doc_id", "n_copies")
@@ -1201,9 +1210,17 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    staged = d.select(
-        "doc_id", gram_hashes_expr(tokens_expr("text"), n=3).alias("h")
-    ).select("doc_id", winnow_fingerprints_expr(F.col("h"), w=4).alias("fps"))
+    gram_h = memo_fragment(
+        "northstar.winnow_gram_hashes|text|3",
+        lambda: gram_hashes_expr(tokens_expr("text"), n=3),
+    )
+    winnow_fps = memo_fragment(
+        "northstar.winnow_fps|h|4",
+        lambda: winnow_fingerprints_expr(F.col("h"), w=4),
+    )
+    staged = d.select("doc_id", gram_h.alias("h")).select(
+        "doc_id", winnow_fps.alias("fps")
+    )
     null_l = F.lit(None).cast("bigint")
     winnow = staged.select(
         F.lit("winnow").alias("branch"),
@@ -2175,10 +2192,14 @@ def q_embed_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # redistributes anyway. Norms are hoisted out of the pair loop
     # (_vec_member). Interleaved A/B: 1.69 s -> 0.93 s warm at sf0.1,
     # results value-identical.
+    cell_bands = memo_fragment(
+        "northstar.cell_bands|embedding",
+        lambda: _cell_bands_udf("embedding"),
+    )
     banded = emb.select("vec_id", "embedding").select(
         F.col("vec_id").alias("id"),
         F.col("embedding").alias("__vec"),
-        F.posexplode(_cell_bands_udf("embedding")).alias("band_idx", "band_val"),
+        F.posexplode(cell_bands).alias("band_idx", "band_val"),
     )
     pairs = bucketed_pairs(
         banded,
