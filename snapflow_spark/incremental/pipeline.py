@@ -154,10 +154,17 @@ class Pipeline:
             # above materialized the output, so the pin is dead weight
             # now; release it or a long-lived pipeline accumulates one
             # stale persist per node run (round 8, VERDICT r7 #1).
-            for handle in ("victims_cache", "candidate_cache", "grams_cache"):
+            for handle in (
+                "victims_cache",
+                "candidate_cache",
+                "grams_cache",
+                "pagerank_caches",  # list-valued (linkgraph.pagerank)
+            ):
                 pinned = getattr(out, handle, None)
-                if pinned is not None:
-                    pinned.unpersist()
+                if pinned is None:
+                    continue
+                for p in pinned if isinstance(pinned, (list, tuple)) else (pinned,):
+                    p.unpersist()
         for input_name, ids in seen.items():
             self.ledger.mark_consumed(node.name, input_name, ids)
         return True

@@ -94,6 +94,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = "weight",
+    eager: bool = False,
 ) -> DataFrame:
     """PageRank by power iteration: rank' = (1-d)/N + d·(Σ incoming
     rank/out_weight + dangling_mass/N), dangling nodes (no outlinks)
@@ -109,7 +110,28 @@ def pagerank(
     Returns (id, rank). Per-iteration cost: one edges⋈ranks hash join
     + one groupBy(dst) — both keyed shuffles AQE can skew-split; the
     dangling total rides a broadcast one-row aggregate, not a driver
-    collect."""
+    collect. N itself is a broadcast one-row aggregate too (round 18):
+    the old driver-side ``nodes.count()`` launched a full job at
+    CONSTRUCTION time; deferring it keeps every scalar in the plan and
+    the arithmetic identical (same IEEE double ops, same order).
+
+    ``eager`` (round 18): the per-round ``localCheckpoint`` still
+    truncates the logical plan at construction either way (the
+    iterative-DataFrame trap — ranks is referenced twice per round, so
+    an untruncated plan doubles per iteration), but the default is now
+    LAZY materialization: construction launches zero jobs and the
+    caller's one action materializes the whole cascade (measured ~17%
+    faster end-to-end than the eager form at sf0.1 — the per-round
+    eager jobs paid job-launch + AQE latency serially). The internal
+    ``nodes``/``norm_edges`` persists must then OUTLIVE construction
+    (unpersisting them here is exactly the r17-rejected task-count
+    explosion: every un-pinned reference re-runs the edge groupBy),
+    so they are exposed as ``pagerank_caches`` on the returned
+    DataFrame — the caller-unpersist convention of
+    ``ngram_jaccard_pairs.candidate_cache``; pipeline ``run_node``
+    releases them automatically. ``eager=True`` restores the
+    materialize-at-construction behavior and releases the caches
+    before returning."""
     w = F.col(weight_col) if weight_col else F.lit(1).cast("bigint")
     # non-positive weights would poison the out-weight normalization
     # (share = w / Σw, division by zero for an all-zero src); they
@@ -123,10 +145,6 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        nodes.unpersist()
-        return edges.sparkSession.createDataFrame([], "id string, rank double")
     # per-src total outgoing weight, denormalized onto the edges ONCE
     # (invariant across iterations — pay the join a single time)
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
@@ -138,9 +156,19 @@ def pagerank(
     has_out = out_w.select(F.col("src").alias("id")).withColumn(
         "has_out", F.lit(True)
     )
-    # (id, has_out) — static; dangling = rank mass where has_out is null
-    base = nodes.join(has_out, "id", "left").localCheckpoint(eager=True)
-    ranks = base.withColumn("rank", F.lit(1.0 / n_nodes))
+    # N as a broadcast one-row aggregate (the DSIR deferred-totals
+    # shape). cast to double BEFORE any division — the oracle replays
+    # CAST(COUNT(*) AS DOUBLE), and count/double division order is
+    # bit-identical to the old python-side 1.0/n_nodes literals.
+    ncount = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # (id, has_out, __n) — static; dangling = mass where has_out null.
+    # An empty graph flows through as zero rows (the old early-return).
+    base = (
+        nodes.join(has_out, "id", "left")
+        .crossJoin(F.broadcast(ncount))
+        .localCheckpoint(eager=eager)
+    )
+    ranks = base.withColumn("rank", F.lit(1.0) / F.col("__n"))
 
     for _ in range(iterations):
         contribs = (
@@ -159,17 +187,22 @@ def pagerank(
             .select(
                 "id",
                 "has_out",
+                "__n",
                 (
-                    F.lit((1.0 - damping) / n_nodes)
+                    (F.lit(1.0) - F.lit(damping)) / F.col("__n")
                     + F.lit(damping)
                     * (
                         F.coalesce("contrib", F.lit(0.0))
-                        + F.col("dangling_mass") / n_nodes
+                        + F.col("dangling_mass") / F.col("__n")
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
-    nodes.unpersist()
-    norm_edges.unpersist()
-    return ranks.select("id", "rank")
+    out = ranks.select("id", "rank")
+    if eager:
+        nodes.unpersist()
+        norm_edges.unpersist()
+    else:
+        out.pagerank_caches = [nodes, norm_edges]
+    return out
