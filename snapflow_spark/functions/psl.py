@@ -348,6 +348,9 @@ def _c(col: Column | str) -> Column:
 # the JVM side; `Column.isin` only reads it) is cached per context and
 # per value-tuple. The WeakKeyDictionary dies with the SparkContext.
 _SEQ_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
+#: growth bound (r17 advice): each cached Seq pins a JVM reference for
+#: the SparkContext's lifetime; intended only for module-constant sets.
+_SEQ_CACHE_MAX = 256
 #: join/split separator for the one-command string ship: U+001F unit
 #: separator, which cannot appear in domain labels or blocklist hosts.
 _SEQ_SEP = "\x1f"
@@ -400,11 +403,19 @@ def isin_literals(col: Column, values: list) -> Column:
         if ctx is None:
             raise RuntimeError("no active SparkContext")
         cache = _SEQ_CACHE.setdefault(ctx, {})
-        key = tuple(vals)
+        # key carries the value TYPES too: python's cross-type equality
+        # (True == 1 == 1.0) would otherwise let [1] hit the cached Seq
+        # of [True] and build In() over wrong-typed literals (r17
+        # advice). Bounded: past _SEQ_CACHE_MAX distinct keys the Seq is
+        # built fresh instead of pinning another JVM reference — the
+        # cache is meant for module-constant literal sets (PSL rules,
+        # blocklists), not dynamically generated lists.
+        key = tuple((type(v).__name__, v) for v in vals)
         seq = cache.get(key)
         if seq is None:
             seq = _literal_seq(ctx, vals)
-            cache[key] = seq
+            if len(cache) < _SEQ_CACHE_MAX:
+                cache[key] = seq
         return ClassicColumn(col._jc.isin(seq))
     except Exception:
         return col.isin(*vals)

@@ -700,9 +700,25 @@ def shared_span_pairs(
         winnow_fingerprints_expr,
     )
 
+    # BINARY(32) fingerprint keys internally (round 18, guide §2.2/§2.3
+    # narrower shuffle types — the r17 excise-branch argument applied to
+    # the spans exchange): `unhex(sha2)` halves the fp on the explode ->
+    # max_df window -> bucket groupBy exchange (32 B vs the 64-char hex
+    # string). Equivalence is an order-isomorphism, not an
+    # approximation: unhex is injective on fixed-length lowercase hex,
+    # and equal-length byte strings compare unsigned byte-by-byte
+    # exactly like their lowercase-hex renderings compare char-by-char
+    # ('0'..'9','a'..'f' are ASCII-ordered like their nibble values) —
+    # so the winnow array_min, distinctness, the per-fp document count,
+    # the id-sorted bucket truncation, and the final min(fp) all carry
+    # over, and the one surviving value per pair is re-rendered
+    # lower(hex(...)), bit-identical to sha2's hex output.
     gram_h = memo_fragment(
-        f"dedup.gram_hashes|{text_col}|{n}",
-        lambda: gram_hashes_expr(tokens_expr(text_col), n=n),
+        f"dedup.gram_hashes_bin|{text_col}|{n}",
+        lambda: F.transform(
+            ngram_expr(tokens_expr(text_col), n),
+            lambda s: F.unhex(F.sha2(s, 256)),
+        ),
     )
     winnow = memo_fragment(
         f"dedup.winnow|__h|{w}",
@@ -738,7 +754,7 @@ def shared_span_pairs(
         pairs.groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shared"),
-            F.min("fp").alias("min_fp"),
+            F.lower(F.hex(F.min("fp"))).alias("min_fp"),
         )
         .where(F.col("n_shared") >= int(min_shared))
     )

@@ -264,9 +264,15 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: per-row SparkNumberFormatException a failing TRY cast pays (~8 us/
 #: row: 1.17 s -> 0.08 s on the all-failing status column at sf0.1;
 #: overflow strings match and still take the real try_cast, so they
-#: NULL exactly as before). Equivalence pinned over adversarial
+#: NULL exactly as before). Anchored \A..\z, not ^..$ (r17 advice):
+#: Java's $ also matches before a FINAL LINE TERMINATOR (U+0085,
+#: U+2028, U+2029 - none trimmed by trimAll), so '42<U+2028>' would
+#: pass a $-anchored guard. That was harmless (matches take the real
+#: try_cast, the superset direction), but \z makes the guard the
+#: exact accept boundary — it must never silently become a parse
+#: shortcut that skips the cast. Equivalence pinned over adversarial
 #: inputs in tests/test_scalar_guards.py.
-_TRY_BIGINT_GUARD = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+_TRY_BIGINT_GUARD = r"\A[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*\z"
 
 
 def guarded_try_bigint(col: Column | str) -> Column:

@@ -237,7 +237,9 @@ def test_isin_literals_one_command_ship_and_cache(spark):
         assert r.x == r.ref
     ctx = SparkContext._active_spark_context
     cache = psl_mod._SEQ_CACHE[ctx]
-    key = tuple(vals)
+    # keys carry value TYPES (r18: python cross-type equality would let
+    # [1] hit the cached Seq of [True] under a plain value tuple)
+    key = tuple((type(v).__name__, v) for v in vals)
     assert key in cache
     seq_a = cache[key]
     psl_mod.isin_literals(F.col("h"), list(vals))  # fresh list, same values
