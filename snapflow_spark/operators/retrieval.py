@@ -104,7 +104,10 @@ def word_tokens_py(text: str) -> list[str]:
 
 
 def _query_terms_local(
-    queries: DataFrame, query_id_col: str, query_text_col: str
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    queries_local: list[tuple] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Driver-materialized query terms: distinct (query_id, term)
     pairs plus the distinct term list, tokenized driver-side with
@@ -115,12 +118,23 @@ def _query_terms_local(
     corpus-only: the per-run DAG carries two LocalTableScans instead
     of two distinct exchanges, and no blocking tokenize job runs per
     search (measured: an eager Spark-side distinct+collect cost ~0.5 s
-    per invocation at local[32] — pure scheduler overhead)."""
+    per invocation at local[32] — pure scheduler overhead).
+
+    ``queries_local`` (round 18): the caller's own (id, text) pairs
+    when the query set is a driver-side literal (the common ad-hoc
+    probe shape) — skips even the tiny collect, which is still one
+    Spark job per construction because createDataFrame frames
+    materialize through an RDD."""
     spark = queries.sparkSession
     pid_type = queries.schema[query_id_col].dataType.simpleString()
+    rows = (
+        queries_local
+        if queries_local is not None
+        else queries.select(query_id_col, query_text_col).collect()
+    )
     pairs = {
         (r[0], t)
-        for r in queries.select(query_id_col, query_text_col).collect()
+        for r in rows
         for t in word_tokens_py(r[1])
     }
     q_terms = spark.createDataFrame(
@@ -199,10 +213,14 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    queries_local: list[tuple] | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k documents per query (ad-hoc form: index built
     in-query; ``build_postings_index`` + ``bm25_topk_indexed`` is the
     standing-index form that skips the build entirely).
+    ``queries_local``: the same (id, text) pairs as driver-side
+    literals, skipping the per-construction collect job
+    (_query_terms_local).
 
     ``score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
     over the DISTINCT terms of the query, with the standard
@@ -226,7 +244,9 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum(F.size(word_tokens_expr(text_col)).cast("bigint")).alias("__sum_dl"),
     )
-    q_terms, term_list = _query_terms_local(queries, query_id_col, query_text_col)
+    q_terms, term_list = _query_terms_local(
+        queries, query_id_col, query_text_col, queries_local
+    )
     return _bm25_rank(
         terms, q_terms, term_list, stats, k, k1, b, id_col, query_id_col
     )

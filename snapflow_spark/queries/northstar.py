@@ -324,7 +324,10 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, sf_dir, "documents")
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id bigint, query_text string")
-    bm25 = bm25_topk(d, qdf, k=5).select(
+    # queries_local: the probe set IS the module-constant list, so the
+    # per-construction collect job of the 2-row frame is skipped
+    # (round 18; the frame itself stays the declared input)
+    bm25 = bm25_topk(d, qdf, k=5, queries_local=_BM25_QUERIES).select(
         F.lit("bm25").alias("branch"),
         F.col("query_id").alias("qid"),
         F.col("doc_id").alias("item_id"),
