@@ -28,6 +28,13 @@ from snapflow_spark.sources import (
 
 _SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
 
+#: q_incremental_semantics' deferred-teardown warehouse, one per
+#: session (round 18): the previous invocation's tempdir is removed on
+#: the next invocation, so the returned lazy store read stays valid
+#: until the caller has materialized it (every harness materializes
+#: each query before constructing the next).
+_INCR_WAREHOUSES: "WeakKeyDictionary" = WeakKeyDictionary()
+
 _EVENT_COLS = ["event_id", "user_id", "event_type", "value"]
 
 
@@ -1116,44 +1123,51 @@ def q_incremental_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     After three incremental ticks the final state must equal the batch
     dedupe over the full table — the core "incremental == batch"
     guarantee snapflow is built around.
+
+    Round 18: the result is returned as a LAZY read of the
+    latest_state store itself instead of a copy-out write to stable
+    scratch — one fewer Spark re-encode job (and its read-back) per
+    invocation. That requires the warehouse to outlive this call, so
+    teardown is DEFERRED: each invocation removes the PREVIOUS
+    invocation's warehouse (whose returned DataFrame the caller has
+    materialized by then — the bench/oracle/driver contract), and at
+    most one ~events-sized tempdir lives until the next call or
+    process end. The pipeline ticks themselves (3 delta appends, 3
+    identity-append hard-links, 3 state recomputes) are the declared
+    semantics and still run end-to-end per invocation.
     """
     _SCRATCH.mkdir(parents=True, exist_ok=True)
+    prev = _INCR_WAREHOUSES.pop(spark, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
     warehouse = tempfile.mkdtemp(prefix="incr_", dir=_SCRATCH)
-    try:
-        pipe = Pipeline(warehouse)
-        src = pipe.add_source("events_src")
-        pipe.add_node(
-            Node(
-                name="accumulated",
-                fn=lambda spark, delta: delta,
-                upstream={"delta": ("events_src", "consumable")},
-            )
+    _INCR_WAREHOUSES[spark] = warehouse
+    pipe = Pipeline(warehouse)
+    src = pipe.add_source("events_src")
+    pipe.add_node(
+        Node(
+            name="accumulated",
+            fn=lambda spark, delta: delta,
+            upstream={"delta": ("events_src", "consumable")},
         )
-        pipe.add_node(
-            Node(
-                name="latest_state",
-                fn=lambda spark, history: dedupe_keep_latest(
-                    history,
-                    keys=["user_id", "event_type"],
-                    order_by=[F.col("ts").desc(), F.col("event_id").desc()],
-                ),
-                upstream={"history": ("accumulated", "reference")},
-                overwrite=True,
-            )
+    )
+    pipe.add_node(
+        Node(
+            name="latest_state",
+            fn=lambda spark, history: dedupe_keep_latest(
+                history,
+                keys=["user_id", "event_type"],
+                order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+            ),
+            upstream={"history": ("accumulated", "reference")},
+            overwrite=True,
         )
-        for chunk in _events_chunks(spark, sf_dir):
-            src.append(chunk)
-            pipe.produce(spark)  # one reactive tick per arriving block
+    )
+    for chunk in _events_chunks(spark, sf_dir):
+        src.append(chunk)
+        pipe.produce(spark)  # one reactive tick per arriving block
 
-        state = pipe.store("latest_state").read_latest(spark)
-        result = state.select(
-            "user_id", "event_type", "event_id", ts_millis("ts", "ts_ms"), "value"
-        )
-        # Distributed write to a stable scratch path (survives the
-        # warehouse teardown below), then a lazy parquet read — the
-        # final state never concentrates on the driver.
-        out = str(_SCRATCH / "incremental_state")
-        result.write.mode("overwrite").parquet(out)
-        return spark.read.parquet(out)
-    finally:
-        shutil.rmtree(warehouse, ignore_errors=True)
+    state = pipe.store("latest_state").read_latest(spark)
+    return state.select(
+        "user_id", "event_type", "event_id", ts_millis("ts", "ts_ms"), "value"
+    )
