@@ -152,9 +152,22 @@ def _occ_with_model(
     corpus. Because ln((c+α)/(Tot+αB)) = ln(c+α) − ln(Tot+αB) and the
     subtrahend is a per-corpus constant, both consumers can defer the
     totals to a tiny aggregate over their per-DOCUMENT rows
-    (R = Σ_docs w_raw·n(x)) — the shuffle feeding that per-doc agg is
-    byte-identical to the main path's, so ReuseExchange runs the
-    heavy scan→tokenize→explode→window stage exactly once."""
+    (R = Σ_docs w_raw·n(x)).
+
+    Round-18 correction + adjudication: the round-6 claim that AQE
+    ReuseExchange collapses the two per-doc consumers is FALSE in the
+    final adaptive plan — column pruning specializes the duplicated
+    subtrees (the totals copy loses the window entirely, keeping only
+    scan→tokenize→explode→partial-count), so the exchanges are never
+    byte-identical and 0 ReusedExchange appear. That duplication is
+    nonetheless the MEASURED-fastest shape: the totals copy is
+    windowless map-side work that overlaps the main chain, while a
+    per_doc persist (tried round 18) serializes the critical path —
+    interleaved A/B q_text_quality warm min: persist 3.70 s vs 3.53 s
+    at sf0.1 AND 12.39 s vs 10.23 s at the 10x corpus. Same verdict
+    as the round-8 excise-keeper staging: recompute of embarrassingly
+    parallel scan work beats materializing an intermediate. Revisit
+    only with cluster-scale evidence."""
     bucket = memo_fragment(
         f"selection.bucket|__g|{salt}|{num_buckets}",
         lambda: _hash_bucket(F.col("__g"), salt, num_buckets),

@@ -1035,9 +1035,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snapflow_spark.operators.selection import perplexity_buckets
 
     # raw = d, NOT a narrower select: the dsir branch's tagged-gram
-    # subtree is built from the same d, so identical inputs keep the
-    # two branches' gram-scale explode+window exchanges byte-identical
-    # and AQE ReuseExchange runs that stage once for both
+    # subtree is built from the same d (round 18 note: cross-branch
+    # ReuseExchange does NOT fire — the branches' per-doc aggregates
+    # differ after pruning; the duplicated totals subtrees are
+    # windowless map-side work, measured cheaper than pinning —
+    # adjudication in selection.py::_occ_with_model)
     pb = perplexity_buckets(
         d,
         ref_pred=F.col("lang") == "en",
