@@ -154,20 +154,34 @@ def _occ_with_model(
     totals to a tiny aggregate over their per-DOCUMENT rows
     (R = Σ_docs w_raw·n(x)).
 
-    Round-18 correction + adjudication: the round-6 claim that AQE
-    ReuseExchange collapses the two per-doc consumers is FALSE in the
-    final adaptive plan — column pruning specializes the duplicated
-    subtrees (the totals copy loses the window entirely, keeping only
-    scan→tokenize→explode→partial-count), so the exchanges are never
-    byte-identical and 0 ReusedExchange appear. That duplication is
-    nonetheless the MEASURED-fastest shape: the totals copy is
-    windowless map-side work that overlaps the main chain, while a
-    per_doc persist (tried round 18) serializes the critical path —
-    interleaved A/B q_text_quality warm min: persist 3.70 s vs 3.53 s
-    at sf0.1 AND 12.39 s vs 10.23 s at the 10x corpus. Same verdict
-    as the round-8 excise-keeper staging: recompute of embarrassingly
-    parallel scan work beats materializing an intermediate. Revisit
-    only with cluster-scale evidence."""
+    Round-18 correction + adjudication (three variants measured): the
+    round-6 claim that AQE ReuseExchange collapses the two per-doc
+    consumers is FALSE in the final adaptive plan — column pruning
+    specializes the duplicated subtrees (the totals copy loses the
+    window entirely, keeping only scan→tokenize→explode→partial-
+    count), so the exchanges are never byte-identical and 0
+    ReusedExchange appear. Two single-pass repairs were implemented
+    and measured against the duplication:
+    (a) per_doc PERSIST (one materialization feeds weights + totals):
+        SLOWER at both sizes — q_text_quality warm 3.70 vs 3.53 s at
+        sf0.1, 12.39 vs 10.23 s at the 10× corpus; the pin serializes
+        the critical path.
+    (b) per-bucket counts as a PERSISTED ≤num_buckets-row table,
+        BROADCAST-joined onto the occurrences with totals = Σ_b rc_b
+        from the same pin (kills the occurrence-stream window
+        exchange AND the duplicate pass; values verified identical):
+        isolated scorer 2.97 → 2.65 s at the 10× corpus, but the
+        FULL q_text_quality union measured old-fastest at BOTH sizes
+        (interleaved min: 8.55 vs 9.05 s at 10×; ~3.5 vs ~4.1 s at
+        sf0.1) — the duplicate windowless pass overlaps the other
+        five branches' stages, while the pin+broadcast barriers
+        serialize against them.
+    Verdict: keep the window + duplicated windowless totals pass
+    (same reasoning as the round-8 excise-keeper staging: overlapping
+    recompute of map-side scan work beats materializing an
+    intermediate). Variant (b) is the right shape if this scorer ever
+    runs STANDALONE on a saturated cluster — revisit only with
+    cluster-scale evidence."""
     bucket = memo_fragment(
         f"selection.bucket|__g|{salt}|{num_buckets}",
         lambda: _hash_bucket(F.col("__g"), salt, num_buckets),
